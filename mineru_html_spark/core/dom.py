@@ -1,0 +1,355 @@
+"""Streaming HTML tree construction on the stdlib tokenizer.
+
+A brand-new, dependency-free DOM for the extraction engine. The reference
+(snowbedding/MinerU-HTML) parses with BeautifulSoup + lxml
+(``/root/reference/dripper/process/simplify_html.py:999-1004``,
+``html_utils.py:12-43``); neither library is a requirement here — we build the
+tree in a single streaming pass over the tag stream (``html.parser.HTMLParser``
+is a pure tokenizer; all tree policy below is ours). This is deliberately
+Spark-friendly: parsing is a pure function of one document string, runs inside
+Arrow-batched UDFs on executors, and needs no C extensions.
+
+Model: ``Node(tag, attrs, children)`` where ``children`` holds ``Node`` or
+plain ``str`` text runs (no lxml-style text/tail split — text runs are
+first-class children, which makes the wrapper-insertion dance of the reference
+(`simplify_html.py:826-940`) a plain list splice).
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape, unescape
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Union
+
+# HTML5 void elements: no children, never pushed on the open stack.
+VOID_TAGS = frozenset({
+    'area', 'base', 'br', 'col', 'embed', 'hr', 'img', 'input', 'link',
+    'meta', 'param', 'source', 'track', 'wbr',
+})
+
+# Tags whose open implicitly closes a currently-open <p>.
+_P_CLOSERS = frozenset({
+    'address', 'article', 'aside', 'blockquote', 'details', 'div', 'dl',
+    'fieldset', 'figcaption', 'figure', 'footer', 'form', 'h1', 'h2', 'h3',
+    'h4', 'h5', 'h6', 'header', 'hr', 'main', 'menu', 'nav', 'ol', 'p',
+    'pre', 'section', 'table', 'ul',
+})
+
+# tag -> set of open ancestors it implicitly closes (nearest first).
+_IMPLICIT_CLOSE = {
+    'li': frozenset({'li'}),
+    'dt': frozenset({'dt', 'dd'}),
+    'dd': frozenset({'dt', 'dd'}),
+    'tr': frozenset({'tr', 'td', 'th'}),
+    'td': frozenset({'td', 'th'}),
+    'th': frozenset({'td', 'th'}),
+    'option': frozenset({'option'}),
+    'thead': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
+    'tbody': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
+    'tfoot': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
+}
+
+# Elements that bound implicit closing (never close past one of these).
+_SCOPE_BOUNDS = frozenset({'html', 'body', 'table', 'template'})
+
+_WS_RE = re.compile(r'\s+')
+
+
+class Node:
+    """One element. ``children`` interleaves Node and str (text runs)."""
+
+    __slots__ = ('tag', 'attrs', 'children', 'parent', 'item_id')
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.tag = tag
+        self.attrs: dict = attrs or {}
+        self.children: List[Union['Node', str]] = []
+        self.parent: Optional['Node'] = None
+        self.item_id: Optional[int] = None
+
+    # -- tree surgery ------------------------------------------------------
+    def append(self, child: Union['Node', str]) -> None:
+        if isinstance(child, Node):
+            child.parent = self
+        self.children.append(child)
+
+    def insert(self, idx: int, child: Union['Node', str]) -> None:
+        if isinstance(child, Node):
+            child.parent = self
+        self.children.insert(idx, child)
+
+    def remove_child(self, child: Union['Node', str]) -> None:
+        for i, c in enumerate(self.children):
+            if c is child:
+                del self.children[i]
+                if isinstance(child, Node):
+                    child.parent = None
+                return
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    def index_of(self, child: Union['Node', str]) -> int:
+        for i, c in enumerate(self.children):
+            if c is child:
+                return i
+        raise ValueError('child not found')
+
+    # -- traversal ---------------------------------------------------------
+    def iter(self) -> Iterator['Node']:
+        """self + all descendant elements, document order."""
+        yield self
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter()
+
+    def iter_descendants(self) -> Iterator['Node']:
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter()
+
+    def ancestors(self) -> Iterator['Node']:
+        n = self.parent
+        while n is not None:
+            yield n
+            n = n.parent
+
+    def element_children(self) -> List['Node']:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    def find_all(self, tag: str) -> List['Node']:
+        return [n for n in self.iter() if n.tag == tag]
+
+    # -- content -----------------------------------------------------------
+    def text_content(self) -> str:
+        parts: List[str] = []
+        for n, t in _walk_text(self):
+            parts.append(t)
+        return ''.join(parts)
+
+    def norm_text(self) -> str:
+        """Whitespace-collapsed visible text."""
+        return _WS_RE.sub(' ', self.text_content()).strip()
+
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def set(self, key: str, value: str) -> None:
+        self.attrs[key] = value
+
+    def class_tokens(self) -> List[str]:
+        return (self.attrs.get('class') or '').split()
+
+    def id_tokens(self) -> List[str]:
+        raw = (self.attrs.get('id') or '').strip()
+        if not raw:
+            return []
+        return [t for t in re.split(r'[-_\s]+', raw) if t]
+
+    def clone(self, deep: bool = True) -> 'Node':
+        n = Node(self.tag, dict(self.attrs))
+        n.item_id = self.item_id
+        if deep:
+            for c in self.children:
+                n.append(c.clone(True) if isinstance(c, Node) else c)
+        return n
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f'<Node {self.tag} attrs={self.attrs} n_children={len(self.children)}>'
+
+
+def _walk_text(node: Node) -> Iterator[tuple]:
+    for c in node.children:
+        if isinstance(c, str):
+            yield node, c
+        else:
+            yield from _walk_text(c)
+
+
+class _TreeBuilder(HTMLParser):
+    """Streaming tree construction with HTML5-lite recovery rules.
+
+    Tolerates the malformed-input cases the reference repairs via a
+    BeautifulSoup round-trip (`simplify_html.py:999-1001`): unclosed tags,
+    stray end tags, implicit <p>/<li>/<td> closing, missing html/body.
+    Comments, processing instructions and declarations are dropped at the
+    tokenizer (the reference strips them with regex + parser flags,
+    `simplify_html.py:377-392`, `html_utils.py:25-31`).
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node('#fragment')
+        self.stack: List[Node] = [self.root]
+
+    # stack helpers
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def _implicit_close(self, tag: str) -> None:
+        closers = _IMPLICIT_CLOSE.get(tag)
+        if tag in _P_CLOSERS:
+            # close an open <p> if one is in scope
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == 'p':
+                    del self.stack[i:]
+                    break
+                if t in _SCOPE_BOUNDS:
+                    break
+        if closers:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t in _SCOPE_BOUNDS:
+                    break
+
+    def handle_starttag(self, tag, attrs):
+        self._implicit_close(tag)
+        attrs_d = {}
+        for k, v in attrs:
+            if k not in attrs_d:  # first occurrence wins
+                attrs_d[k] = v if v is not None else ''
+        node = Node(tag, attrs_d)
+        self._top().append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        # <tag/> — treat as leaf regardless of voidness
+        attrs_d = {}
+        for k, v in attrs:
+            if k not in attrs_d:
+                attrs_d[k] = v if v is not None else ''
+        self._top().append(Node(tag, attrs_d))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self._top().append(data)
+
+    # comments / decls / PIs dropped
+    def handle_comment(self, data):
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+    def unknown_decl(self, data):
+        pass
+
+
+_XMLDECL_RE = re.compile(r'<\?xml\s+.*?\??>', re.DOTALL)
+
+
+def parse_html(html_str: str) -> Node:
+    """Parse an HTML document string → normalized tree rooted at <html>.
+
+    Guarantees the result has shape html > body > content so downstream
+    stages can assume a body (the reference reassembles an explicit
+    html/head/body envelope at `simplify_html.py:971-976`).
+    """
+    if not html_str:
+        html_str = ''
+    html_str = _XMLDECL_RE.sub('', html_str)
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html_str)
+        builder.close()
+    except Exception:
+        # tokenizer-level failure: degrade to text-only document
+        builder = _TreeBuilder()
+        builder.feed(escape(html_str))
+        builder.close()
+    frag = builder.root
+
+    # locate or synthesize <html>/<body>
+    html_node = None
+    for c in frag.element_children():
+        if c.tag == 'html':
+            html_node = c
+            break
+    if html_node is None:
+        html_node = Node('html')
+        body = Node('body')
+        html_node.append(body)
+        for c in list(frag.children):
+            if isinstance(c, Node):
+                c.detach()
+            body.append(c)
+        frag.children = []
+        return html_node
+
+    body = None
+    for c in html_node.element_children():
+        if c.tag == 'body':
+            body = c
+            break
+    if body is None:
+        body = Node('body')
+        moved = [c for c in html_node.children
+                 if not (isinstance(c, Node) and c.tag in ('head', 'body'))]
+        for c in moved:
+            if isinstance(c, Node):
+                c.detach()
+            else:
+                html_node.children.remove(c)
+            body.append(c)
+        html_node.append(body)
+    return html_node
+
+
+def get_body(root: Node) -> Node:
+    for c in root.element_children():
+        if c.tag == 'body':
+            return c
+    return root
+
+
+def _escape_attr(v: str) -> str:
+    return escape(v, quote=True)
+
+
+def serialize(node: Node, unescaped: bool = False) -> str:
+    """Serialize a tree back to HTML.
+
+    ``unescaped=True`` mirrors the reference's unescape-on-output
+    (`html_utils.py:65-78`) used for the final main-content HTML.
+    """
+    out: List[str] = []
+    _ser(node, out)
+    s = ''.join(out)
+    return unescape(s) if unescaped else s
+
+
+def _ser(node: Node, out: List[str]) -> None:
+    attrs = ''.join(
+        f' {k}' if v == '' and k in ('checked', 'disabled', 'selected')
+        else f' {k}="{_escape_attr(str(v))}"'
+        for k, v in node.attrs.items()
+    )
+    if node.tag in VOID_TAGS:
+        out.append(f'<{node.tag}{attrs}>')
+        return
+    out.append(f'<{node.tag}{attrs}>')
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(escape(c, quote=False))
+        else:
+            _ser(c, out)
+    out.append(f'</{node.tag}>')

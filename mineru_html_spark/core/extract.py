@@ -1,0 +1,132 @@
+"""Fused per-document extraction: parse → clean → segment → score → prune.
+
+One pure function per document; the Spark operator maps it over Arrow
+batches. Mirrors the reference query lifecycle
+(``/root/reference/dripper/api.py:239-342``) with the LLM stage replaced by
+the deterministic scorer (see ``score.py``) and trafilatura fallback replaced
+by a built-in degraded heuristic (keep low-link-density block paragraphs) so
+there is no external dependency (reference fallback: api.py:129-143,449-471).
+
+Statuses (never raises, never drops a row silently — reference contains
+failures per-case at eval_baselines/base.py:104-130):
+  ok        scored extraction succeeded with >=1 main block
+  fallback  scorer labeled nothing main -> degraded heuristic used
+            (reference: empty-main raises -> trafilatura, api.py:321-327)
+  too_long  document exceeded the size budget -> degraded heuristic
+            (reference: 32k-token prompt guard, api.py:89,263-273)
+  no_main   even the fallback found nothing -> empty spans
+  error     unexpected exception; message in `error`, empty spans
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Dict, List, Optional
+
+from .dom import Node, get_body
+from .score import MAIN, label_blocks
+from .simplify import RUN_WRAPPER_TAG, simplify_document
+from .spancodec import spans_to_html, tree_to_spans
+
+# Reference budget: prompt_tokens + 8 * n_items < 32768 (api.py:89,263-273).
+# We have no tokenizer; chars/4 is the standard approximation.
+MAX_TOKENS = 32768
+EST_CHARS_PER_TOKEN = 4
+REPLY_TOKENS_PER_ITEM = 8
+
+STATUS_OK = 'ok'
+STATUS_FALLBACK = 'fallback'
+STATUS_TOO_LONG = 'too_long'
+STATUS_NO_MAIN = 'no_main'
+STATUS_ERROR = 'error'
+
+
+def _keep_set(root: Node, main_nodes: List[Node]) -> set:
+    keep = set()
+    for node in main_nodes:
+        for d in node.iter():
+            keep.add(id(d))
+        for a in node.ancestors():
+            keep.add(id(a))
+    return keep
+
+
+def _prune(node: Node, keep: set) -> None:
+    """Children-first removal of everything outside the keep set
+    (reference: map_to_main.py:16-41,82)."""
+    if id(node) not in keep:
+        if node.parent is not None:
+            node.detach()
+        return
+    for child in node.element_children():
+        _prune(child, keep)
+
+
+def _unwrap_runs(root: Node) -> None:
+    """Splice run wrappers out, keeping their children in place
+    (reference drops cc-alg-uc-text via drop_tag, map_to_main.py:85-87)."""
+    for node in list(root.iter()):
+        if node.tag == RUN_WRAPPER_TAG and node.parent is not None:
+            parent = node.parent
+            idx = parent.index_of(node)
+            parent.remove_child(node)
+            for c in reversed(node.children):
+                parent.insert(idx, c)
+
+
+def _fallback_labels(blocks) -> Dict[int, str]:
+    """Degraded extraction: texty, link-light block paragraphs are main."""
+    labels = {}
+    for b in blocks:
+        texty = b.text_len >= 20
+        link_light = b.link_text_len <= 0.5 * max(b.text_len, 1)
+        keep = (b.content_type == 'block_element' and texty and link_light) \
+            or (b.n_imgs > 0 and link_light)
+        labels[b.item_id] = MAIN if keep else 'other'
+    return labels
+
+
+def extract_from_html(html_str: str) -> dict:
+    """Extract main content of one HTML document. Pure, deterministic."""
+    root, blocks, simplified = simplify_document(html_str)
+    n_items = len(blocks)
+
+    est_tokens = len(simplified) // EST_CHARS_PER_TOKEN \
+        + REPLY_TOKENS_PER_ITEM * n_items
+    status = STATUS_OK
+    if est_tokens >= MAX_TOKENS:
+        labels = _fallback_labels(blocks)
+        status = STATUS_TOO_LONG
+    else:
+        labels = label_blocks(blocks)
+        if not any(v == MAIN for v in labels.values()):
+            labels = _fallback_labels(blocks)
+            status = STATUS_FALLBACK
+
+    main_nodes = [b.node for b in blocks if labels.get(b.item_id) == MAIN]
+    if not main_nodes:
+        return {'spans': [], 'status': STATUS_NO_MAIN,
+                'n_items': n_items, 'n_main': 0, 'error': ''}
+
+    keep = _keep_set(root, main_nodes)
+    _prune(root, keep)
+    _unwrap_runs(root)
+    spans = tree_to_spans(get_body(root))
+    if not spans:
+        return {'spans': [], 'status': STATUS_NO_MAIN,
+                'n_items': n_items, 'n_main': len(main_nodes), 'error': ''}
+    return {'spans': spans, 'status': status, 'n_items': n_items,
+            'n_main': len(main_nodes), 'error': ''}
+
+
+def extract_document(doc_id: str, spans: List[dict]) -> dict:
+    """Row-level entry: input span row -> output span row. Never raises."""
+    try:
+        html_str = spans_to_html(spans)
+        out = extract_from_html(html_str)
+    except Exception:
+        out = {'spans': [], 'status': STATUS_ERROR, 'n_items': 0,
+               'n_main': 0,
+               'error': traceback.format_exc(limit=3)[-1000:]}
+    out['doc_id'] = doc_id
+    return out

@@ -1,0 +1,127 @@
+"""Deterministic batched block scorer — the SLM replacement.
+
+The reference classifies blocks with a fine-tuned Qwen3 behind a token-level
+state machine that forces a total labeling {1..N} -> {main, other}
+(``/root/reference/dripper/inference/logits_v1.py:258-538``). We replace the
+LLM with a deterministic feature scorer whose *feature set is the prompt's
+guideline text* (``dripper/inference/prompt.py:31-68``): navigation / menus /
+breadcrumbs / pagination, page-metadata (titles, authors, timestamps,
+engagement counts), ads / social / related-content => other; article body,
+forum posts, Q&A, embedded content images => main.
+
+Invariant carried over from the state machine: the scorer emits EXACTLY one
+label per item id, ids 1..N, in order (logits_v1.py guarantees this at the
+decoder; we guarantee it by construction and assert it).
+
+The scorer is pure and vectorizable: `score_features` takes parallel feature
+arrays (numpy) so the Spark path can run it over exploded block batches, and
+`label_blocks` adapts it to a per-document list of Block.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+MAIN = 'main'
+OTHER = 'other'
+
+# other-leaning class/id tokens (prompt.py guideline categories)
+BOILER_TOKENS = frozenset({
+    'nav', 'navbar', 'menu', 'breadcrumb', 'breadcrumbs', 'pagination',
+    'pager', 'footer', 'header', 'sidebar', 'aside', 'share', 'sharing',
+    'social', 'related', 'recommend', 'recommended', 'comment', 'comments',
+    'ad', 'ads', 'advert', 'advertisement', 'banner', 'sponsor',
+    'copyright', 'widget', 'promo', 'subscribe', 'newsletter', 'signup',
+    'login', 'search', 'tags', 'tag', 'meta', 'byline', 'timestamp',
+    'toolbar', 'button', 'btn', 'dropdown', 'modal', 'popup', 'cookie',
+})
+
+# main-leaning class/id tokens
+CONTENT_TOKENS = frozenset({
+    'content', 'article', 'main', 'post', 'body', 'text', 'entry', 'story',
+    'paragraph', 'section', 'answer', 'question', 'abstract', 'summary',
+})
+
+# tag priors: content-bearing block tags lean main (prompt.py: article body,
+# embedded images); list containers lean other (menus) unless texty.
+_TAG_PRIOR = {
+    'p': 2.0, 'pre': 2.0, 'blockquote': 2.0, 'figure': 1.5, 'article': 2.0,
+    'h2': 1.0, 'h3': 1.0, 'h4': 0.5, 'h5': 0.5, 'h6': 0.5,
+    'h1': -0.5,                      # page title = metadata per prompt spec
+    'table': 1.0, 'tr': 1.0, 'caption': 1.0,
+    'ul': -1.0, 'ol': -0.5, 'dl': 0.0,
+    'td': 0.0, 'th': 0.0, 'div': 0.0, 'section': 0.0, 'main': 1.0,
+    'form': -2.0, 'address': -1.0,
+}
+
+THRESHOLD = 2.0
+
+
+def score_features(
+    tag: np.ndarray,            # object (str)
+    text_len: np.ndarray,       # int
+    link_text_len: np.ndarray,  # int
+    n_imgs: np.ndarray,         # int
+    has_boiler_tok: np.ndarray,  # bool
+    has_content_tok: np.ndarray,  # bool
+    content_type: np.ndarray,   # object (str)
+) -> np.ndarray:
+    """Vectorized score; label = score >= THRESHOLD. Pure numpy."""
+    n = len(text_len)
+    score = np.zeros(n, dtype=np.float64)
+
+    tag_prior = np.fromiter(
+        (_TAG_PRIOR.get(t, 0.0) for t in tag), dtype=np.float64, count=n)
+    score += tag_prior
+
+    tl = text_len.astype(np.float64)
+    score += np.where(tl >= 150, 2.5,
+             np.where(tl >= 80, 2.0,
+             np.where(tl >= 40, 1.0,
+             np.where(tl >= 15, 0.0, -1.5))))
+
+    # link density: heavy linking = navigation/related lists
+    ld = link_text_len / np.maximum(tl, 1.0)
+    score += np.where(ld > 0.66, -3.5, np.where(ld > 0.33, -1.5, 0.0))
+
+    score += np.where(has_boiler_tok, -4.0, 0.0)
+    score += np.where(has_content_tok, 2.0, 0.0)
+
+    # embedded content images lean main (prompt spec), but only with some
+    # prose or figure context
+    score += np.where(n_imgs > 0, 1.5, 0.0)
+
+    is_texty = np.fromiter(
+        (ct in ('unwrapped_text', 'mixed') for ct in content_type),
+        dtype=bool, count=n)
+    score += np.where(is_texty & (tl >= 40), 1.0, 0.0)
+
+    return score
+
+
+def label_blocks(blocks) -> Dict[int, str]:
+    """Total labeling {1..N} -> {main, other} for one document's blocks."""
+    if not blocks:
+        return {}
+    tag = np.array([b.tag for b in blocks], dtype=object)
+    text_len = np.array([b.text_len for b in blocks], dtype=np.int64)
+    link_len = np.array([b.link_text_len for b in blocks], dtype=np.int64)
+    n_imgs = np.array([b.n_imgs for b in blocks], dtype=np.int64)
+    boiler = np.array(
+        [any(t in BOILER_TOKENS for t in b.class_id_tokens) for b in blocks])
+    content = np.array(
+        [any(t in CONTENT_TOKENS for t in b.class_id_tokens) for b in blocks])
+    ctype = np.array([b.content_type for b in blocks], dtype=object)
+
+    scores = score_features(tag, text_len, link_len, n_imgs, boiler, content,
+                            ctype)
+    labels = {
+        b.item_id: (MAIN if s >= THRESHOLD else OTHER)
+        for b, s in zip(blocks, scores)
+    }
+    # state-machine invariant: total function over contiguous 1..N
+    assert len(labels) == len(blocks)
+    assert sorted(labels) == list(range(1, len(blocks) + 1))
+    return labels

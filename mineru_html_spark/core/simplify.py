@@ -1,0 +1,434 @@
+"""DOM cleaning, block segmentation and item marking.
+
+Re-derives the *semantics* of the reference preprocess stage
+(``/root/reference/dripper/process/simplify_html.py``) on our own
+streaming-built DOM (see ``dom.py``) — fresh code, single-DOM design:
+
+The reference deep-copies the DOM, cleans the copy, segments the copy into
+paragraphs, then re-marks the ORIGINAL dom through a uuid hash-join
+(`simplify_html.py:61-97,765-978`). Because our extractor prunes to
+labeled-main nodes anyway (everything unlabeled is dropped,
+`map_to_main.py:44-88`), cleaning and marking one tree yields the same
+main-content output with no uid join and no deepcopy — O(1) fewer tree walks
+per document, which matters when this runs in an Arrow UDF over 10^12 docs.
+
+Semantics preserved from the reference (citations inline):
+  * boilerplate tag set            simplify_html.py:27-40
+  * class/id/display:none removal  simplify_html.py:46-48,649-709
+  * inline tag set                 simplify_html.py:17-24
+  * data- vs layout-table cells    simplify_html.py:116-157,198-220
+  * block segmentation + content_type classification simplify_html.py:160-374
+  * attribute cleaning (base64 img src dropped)      simplify_html.py:473-517
+  * list truncation (first/last + ellipsis; dl groups) simplify_html.py:588-646
+  * text truncation at 200 chars (call-site value, not the 500 default)
+                                   simplify_html.py:712-762,803
+  * meaningfulness filter          simplify_html.py:448-470
+  * paragraph dedup, first wins    simplify_html.py:366-374
+  * item ids form a contiguous 1..N sequence         dripper/base.py:26-73
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple, Union
+
+from .dom import Node, get_body, parse_html, serialize
+
+INLINE_TAGS = frozenset({
+    'map', 'optgroup', 'span', 'br', 'input', 'time', 'u', 'strong',
+    'textarea', 'small', 'sub', 'samp', 'blink', 'b', 'code', 'nobr',
+    'strike', 'bdo', 'basefont', 'abbr', 'var', 'i', 'select', 's', 'pic',
+    'label', 'mark', 'object', 'dd', 'dt', 'svg', 'li', 'button', 'a',
+    'font', 'dfn', 'sup', 'kbd', 'q', 'script', 'acronym', 'option', 'img',
+    'big', 'cite', 'em',
+})
+
+TAGS_TO_REMOVE = frozenset({
+    'head', 'header', 'footer', 'nav', 'aside', 'style', 'script',
+    'noscript', 'link', 'meta', 'iframe', 'frame',
+})
+
+# class tokens (ws-split) / id tokens ('-'-split) that kill an element
+BOILER_ATTR_TOKENS = frozenset({'nav', 'footer', 'header'})
+
+# synthetic wrapper tag for inline runs (reference: cc-alg-uc-text,
+# simplify_html.py:58); unwrapped before output.
+RUN_WRAPPER_TAG = 'x-run'
+
+_WS_RE = re.compile(r'\s+')
+
+
+# --------------------------------------------------------------------------
+# cleaning
+# --------------------------------------------------------------------------
+
+def remove_boilerplate_tags(root: Node) -> None:
+    """Drop entire subtrees of structural boilerplate tags (F3)."""
+    for node in list(root.iter()):
+        if node.tag in TAGS_TO_REMOVE and node.parent is not None:
+            node.detach()
+
+
+def _matches_boiler_attrs(node: Node) -> bool:
+    for part in node.class_tokens():
+        if part in BOILER_ATTR_TOKENS:
+            return True
+    raw_id = (node.attrs.get('id') or '').strip()
+    if raw_id:
+        for part in raw_id.split('-'):
+            if part in BOILER_ATTR_TOKENS:
+                return True
+    style = node.attrs.get('style') or ''
+    if 'display: none' in style or 'display:none' in style:
+        return True
+    return False
+
+
+def remove_boilerplate_attrs(node: Node) -> None:
+    """Children-first removal of class/id/display:none boilerplate (F4)."""
+    for child in node.element_children():
+        remove_boilerplate_attrs(child)
+    if _matches_boiler_attrs(node) and node.parent is not None:
+        node.detach()
+
+
+def clean_tree(root: Node) -> None:
+    remove_boilerplate_tags(root)
+    remove_boilerplate_attrs(root)
+
+
+# --------------------------------------------------------------------------
+# table classification (T9)
+# --------------------------------------------------------------------------
+
+def is_data_table(table: Node) -> bool:
+    if table.get('summary'):
+        return True
+    if table.get('role') == 'table' or table.get('data-table'):
+        return True
+    for d in table.iter_descendants():
+        if d.tag in ('caption', 'th', 'thead', 'tfoot', 'colgroup', 'col'):
+            return True
+        if 'headers' in d.attrs:
+            return True
+    return False
+
+
+# --------------------------------------------------------------------------
+# attribute cleaning / list + text truncation (run on the scoring clone)
+# --------------------------------------------------------------------------
+
+def clean_attributes(node: Node) -> None:
+    if node.tag == 'img':
+        src = (node.get('src') or '').strip()
+        alt = (node.get('alt') or '').strip()
+        cls = (node.get('class') or '').strip()
+        idv = (node.get('id') or '').strip()
+        node.attrs = {}
+        if src and not src.startswith('data:image/'):
+            node.attrs['src'] = src
+        if alt:
+            node.attrs['alt'] = alt
+        if cls:
+            node.attrs['class'] = cls
+        if idv:
+            node.attrs['id'] = idv
+    else:
+        cls = (node.get('class') or '').strip()
+        idv = (node.get('id') or '').strip()
+        node.attrs = {}
+        if cls:
+            node.attrs['class'] = cls
+        if idv:
+            node.attrs['id'] = idv
+    for child in node.element_children():
+        clean_attributes(child)
+
+
+def simplify_list(node: Node) -> None:
+    """Keep first/last items of long lists with an ellipsis between (O2)."""
+    if node.tag in ('ul', 'ol'):
+        items = node.element_children()
+        if len(items) > 2:
+            for it in items[1:-1]:
+                it.detach()
+            ell = Node('span')
+            ell.append('...')
+            node.insert(node.index_of(items[-1]), ell)
+    elif node.tag == 'dl':
+        items = node.element_children()
+        if len(items) > 2:
+            dts = [i for i in items if i.tag == 'dt']
+            if len(dts) > 1:
+                first_start = items.index(dts[0])
+                first_end = items.index(dts[1])
+                first_group = items[first_start:first_end]
+                last_group = items[items.index(dts[-1]):]
+                for c in node.element_children():
+                    c.detach()
+                node.children = []
+                for it in first_group:
+                    node.append(it)
+                ell = Node('span')
+                ell.append('...')
+                node.append(ell)
+                for it in last_group:
+                    node.append(it)
+    for child in node.element_children():
+        simplify_list(child)
+
+
+def is_meaningful(node: Node) -> bool:
+    """Non-ws text anywhere, or an <img> with a non-empty src (F5)."""
+    for c in node.children:
+        if isinstance(c, str):
+            if c.strip():
+                return True
+        else:
+            if is_meaningful(c):
+                return True
+    if node.tag == 'img':
+        src = (node.get('src') or '').strip()
+        return bool(src)
+    return False
+
+
+def truncate_text(node: Node, max_length: int = 200) -> None:
+    """Cap total text under ``node`` at ``max_length`` chars, '+...' marker.
+
+    Matches the reference's per-paragraph budget (call-site 200,
+    simplify_html.py:803). Our children-list model makes this a single
+    ordered walk over text runs.
+    """
+    slots: List[Tuple[Node, int]] = []
+
+    def collect(n: Node) -> None:
+        for i, c in enumerate(n.children):
+            if isinstance(c, str):
+                if c.strip():
+                    slots.append((n, i))
+            else:
+                collect(c)
+
+    collect(node)
+    total = sum(len(parent.children[i]) for parent, i in slots)
+    if total <= max_length:
+        return
+    remaining = max_length
+    for parent, i in slots:
+        text = parent.children[i]
+        if remaining <= 0:
+            parent.children[i] = ''
+        elif len(text) > remaining:
+            parent.children[i] = text[:remaining] + '...'
+            remaining = 0
+        else:
+            remaining -= len(text)
+
+
+# --------------------------------------------------------------------------
+# block segmentation (C1) + item marking (C2)
+# --------------------------------------------------------------------------
+
+@dataclass
+class Block:
+    """One candidate block ("item" in reference terms)."""
+    item_id: int
+    content_type: str            # block_element|inline_elements|unwrapped_text|mixed
+    node: Node                   # marked node in the (cleaned) document tree
+    simplified_html: str         # cleaned/truncated HTML shown to the scorer
+    # scorer features
+    tag: str = ''
+    text: str = ''
+    text_len: int = 0
+    link_text_len: int = 0
+    n_imgs: int = 0
+    class_id_tokens: List[str] = field(default_factory=list)
+    depth: int = 0
+
+
+def _link_text_len(node: Node) -> int:
+    total = 0
+    for n in node.iter():
+        if n.tag == 'a':
+            total += len(n.norm_text())
+    return total
+
+
+def _img_with_src_count(node: Node) -> int:
+    c = 0
+    for n in node.iter():
+        if n.tag == 'img':
+            src = (n.get('src') or '').strip()
+            if src and not src.startswith('data:image/'):
+                c += 1
+    return c
+
+
+def _depth(node: Node) -> int:
+    d = 0
+    for _ in node.ancestors():
+        d += 1
+    return d
+
+
+class Segmenter:
+    """Walks a cleaned body, splices run-wrappers, assigns item ids 1..N."""
+
+    def __init__(self, body: Node):
+        self.body = body
+        self.table_kind: Dict[int, bool] = {}
+        for t in body.find_all('table'):
+            self.table_kind[id(t)] = is_data_table(t)
+        self.blocks: List[Block] = []
+        self.seen_html: set = set()
+        self.next_id = 1
+
+    # -- block-ness --------------------------------------------------------
+    def is_block(self, node: Node) -> bool:
+        if node.tag in ('td', 'th'):
+            t = node.parent
+            while t is not None and t.tag != 'table':
+                t = t.parent
+            if t is not None:
+                # data-table cells stay inline (whole row is the block);
+                # layout-table cells are containers (simplify_html.py:198-220)
+                return not self.table_kind.get(id(t), False)
+        return node.tag not in INLINE_TAGS
+
+    def has_block_children(self, node: Node) -> bool:
+        return any(self.is_block(c) for c in node.element_children())
+
+    # -- segmentation ------------------------------------------------------
+    def run(self) -> List[Block]:
+        self._process(self.body)
+        return self.blocks
+
+    def _process(self, node: Node) -> None:
+        # one pass to find segments: ('block', child) | ('run', i0, i1, types)
+        segments: List[tuple] = []
+        run_start: Optional[int] = None
+        run_end: Optional[int] = None
+        run_types: List[str] = []
+        for idx, child in enumerate(node.children):
+            if isinstance(child, str):
+                if child.strip():
+                    if run_start is None:
+                        run_start = idx
+                    run_end = idx
+                    run_types.append('text')
+                continue
+            if self.is_block(child):
+                if run_start is not None:
+                    segments.append(('run', run_start, run_end, run_types))
+                    run_start, run_end, run_types = None, None, []
+                segments.append(('block', child))
+            else:
+                if run_start is None:
+                    run_start = idx
+                run_end = idx
+                run_types.append('element')
+        if run_start is not None:
+            segments.append(('run', run_start, run_end, run_types))
+
+        # splice run wrappers in reverse so earlier indices stay valid
+        wrappers: Dict[int, Node] = {}
+        for si in range(len(segments) - 1, -1, -1):
+            seg = segments[si]
+            if seg[0] != 'run':
+                continue
+            _, i0, i1, types = seg
+            wrapper = Node(RUN_WRAPPER_TAG)
+            moved = node.children[i0:i1 + 1]
+            del node.children[i0:i1 + 1]
+            for c in moved:
+                wrapper.append(c)
+            node.insert(i0, wrapper)
+            wrappers[si] = wrapper
+
+        # emit in document order
+        for si, seg in enumerate(segments):
+            if seg[0] == 'run':
+                types = seg[3]
+                if all(t == 'text' for t in types):
+                    ctype = 'unwrapped_text'
+                elif all(t == 'element' for t in types):
+                    ctype = 'inline_elements'
+                else:
+                    ctype = 'mixed'
+                self._emit(wrappers[si], ctype)
+            else:
+                child = seg[1]
+                if self.has_block_children(child):
+                    self._process(child)
+                else:
+                    self._emit(child, 'block_element')
+
+    # -- emission: clean clone, filter, dedup, assign id --------------------
+    def _emit(self, node: Node, content_type: str) -> None:
+        raw_key = serialize(node)
+        if raw_key in self.seen_html:
+            return
+        self.seen_html.add(raw_key)
+
+        clone = node.clone(deep=True)
+        clean_attributes(clone)
+        simplify_list(clone)
+        if not is_meaningful(clone):
+            return
+        truncate_text(clone, max_length=200)
+
+        item_id = self.next_id
+        self.next_id += 1
+        node.item_id = item_id
+        clone.set('_item_id', str(item_id))
+
+        text = node.norm_text()
+        blk = Block(
+            item_id=item_id,
+            content_type=content_type,
+            node=node,
+            simplified_html=serialize(clone),
+            tag=node.tag if node.tag != RUN_WRAPPER_TAG
+            else (node.parent.tag if node.parent is not None else 'body'),
+            text=text,
+            text_len=len(text),
+            link_text_len=_link_text_len(node),
+            n_imgs=_img_with_src_count(node),
+            class_id_tokens=[t.lower() for t in
+                             node.class_tokens() + node.id_tokens()],
+            depth=_depth(node),
+        )
+        self.blocks.append(blk)
+
+
+_TAG_OR_TEXT = re.compile(r'(<[^>]+>)|([^<]+)')
+
+
+def normalize_outside_tags(html_str: str) -> str:
+    """Collapse whitespace in text-between-tags only (T2)."""
+    def repl(m):
+        if m.group(1):
+            return m.group(1)
+        return _WS_RE.sub(' ', m.group(2))
+    return _TAG_OR_TEXT.sub(repl, html_str).strip()
+
+
+def simplify_document(html_str: str) -> Tuple[Node, List[Block], str]:
+    """Full preprocess: parse → clean → segment/mark → simplified html.
+
+    Returns (document_root, blocks, simplified_html). ``simplified_html`` is
+    the scorer-facing compact document (reference assembles the same envelope
+    at simplify_html.py:971-976).
+    """
+    root = parse_html(html_str)
+    clean_tree(root)
+    body = get_body(root)
+    blocks = Segmenter(body).run()
+    simplified = (
+        '<html><head><meta charset="utf-8"></head><body>'
+        + ''.join(b.simplified_html for b in blocks)
+        + '</body></html>'
+    )
+    return root, blocks, normalize_outside_tags(simplified)

@@ -1,0 +1,101 @@
+"""Span codec: interleaved (kind, text, media_ref, offset) <-> HTML.
+
+The engine's input/output contract (BASELINE.json input_hint): documents are
+rows of ``doc_id, spans ARRAY<STRUCT<kind,text,media_ref,offset>>``. Input
+spans carry raw HTML fragments; output spans carry the extracted main content
+as interleaved text blocks and media references. The per-row correctness
+invariant is span-sequence equality on (kind, text, media_ref) in offset
+order.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+from .dom import Node
+from .simplify import INLINE_TAGS, RUN_WRAPPER_TAG
+
+KIND_TEXT = 'text'
+KIND_IMAGE = 'image'
+
+_WS_RE = re.compile(r'\s+')
+
+
+def spans_to_html(spans: List[dict]) -> str:
+    """Assemble a document's raw HTML from its interleaved spans.
+
+    Text spans concatenate in offset order; media spans render as an
+    ``<img src="{media_ref}">`` placeholder so the DOM pipeline sees them as
+    embedded images (the reference treats img-with-src as meaningful content,
+    simplify_html.py:462-464).
+    """
+    ordered = sorted(spans, key=lambda s: s['offset'])
+    parts: List[str] = []
+    for s in ordered:
+        if s['kind'] == KIND_IMAGE:
+            parts.append(f'<img src="{s["media_ref"]}">')
+        else:
+            parts.append(s['text'] or '')
+    return ''.join(parts)
+
+
+def make_span(kind: str, text: str, media_ref: str, offset: int) -> Dict:
+    return {'kind': kind, 'text': text, 'media_ref': media_ref,
+            'offset': offset}
+
+
+class _SpanEmitter:
+    """Walks a pruned main-content tree emitting interleaved spans.
+
+    Text accumulates until a block boundary or an image; images flush the
+    buffer and emit a media span, so `<figure><img><figcaption>` interleaves
+    as image, text — document order preserved.
+    """
+
+    def __init__(self):
+        self.spans: List[dict] = []
+        self.buf: List[str] = []
+
+    def flush(self) -> None:
+        if not self.buf:
+            return
+        text = _WS_RE.sub(' ', ' '.join(self.buf)).strip()
+        self.buf = []
+        if text:
+            self.spans.append(
+                make_span(KIND_TEXT, text, '', len(self.spans)))
+
+    def visit(self, node: Node) -> None:
+        if node.tag == 'img':
+            src = (node.get('src') or '').strip()
+            if src and not src.startswith('data:image/'):
+                self.flush()
+                self.spans.append(
+                    make_span(KIND_IMAGE, '', src, len(self.spans)))
+            return
+        is_block = (node.tag not in INLINE_TAGS
+                    and node.tag != RUN_WRAPPER_TAG)
+        if is_block:
+            self.flush()
+        for c in node.children:
+            if isinstance(c, str):
+                if c.strip():
+                    self.buf.append(c)
+            else:
+                self.visit(c)
+        if is_block:
+            self.flush()
+
+
+def tree_to_spans(body: Node) -> List[dict]:
+    """Main-content tree -> ordered span list; offsets contiguous 0..N-1."""
+    em = _SpanEmitter()
+    for c in body.children:
+        if isinstance(c, str):
+            if c.strip():
+                em.buf.append(c)
+        else:
+            em.visit(c)
+    em.flush()
+    return em.spans

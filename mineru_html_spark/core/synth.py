@@ -1,0 +1,238 @@
+"""Deterministic synthesis of the interleaved docs table.
+
+The north rule's input is an Iceberg table
+``docs(doc_id STRING, spans ARRAY<STRUCT<kind,text,media_ref,offset:INT>>)``
+of interleaved text + media web documents. No external data is allowed in
+this sandbox, so we synthesize it deterministically (seeded, pure function of
+the document index) at any scale. Templates cover every structural case the
+reference pipeline exercises (FIXTURES.md §1): boilerplate chrome, all four
+content types, data vs layout tables, long lists, >200-char blocks,
+base64 / empty-src images, duplicate paragraphs, unclosed tags + XML decl +
+comments, a degenerate no-main page, and giant pages for the too-long route
+and skew salting. Size mix is heavy-tailed (~80% small / 15% medium / 5%
+large) so skew handling is observable at test scale.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List
+
+_WORDS = (
+    'the of and to in is that it was for on are as with his they at be this '
+    'have from or one had by word but not what all were we when your can '
+    'said there use an each which she do how their if will up other about '
+    'out many then them these so some her would make like him into time has '
+    'look two more write go see number no way could people my than first '
+    'water been call who oil its now find long down day did get come made '
+    'may part analysis system data model result method value table figure '
+    'section approach measure sample signal process network cluster node '
+    'distribution pipeline partition shuffle executor throughput latency'
+).split()
+
+_TOPICS = ('spark', 'web', 'ocean', 'market', 'energy', 'climate', 'health',
+           'music', 'travel', 'science')
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n_words)]
+    ws[0] = ws[0].capitalize()
+    return ' '.join(ws) + '.'
+
+
+def _para(rng: random.Random, n_sentences: int, lo=6, hi=14) -> str:
+    return ' '.join(_sentence(rng, rng.randint(lo, hi))
+                    for _ in range(n_sentences))
+
+
+def _nav_html(rng: random.Random) -> str:
+    links = ''.join(
+        f'<li><a href="/{t}">{t.capitalize()}</a></li>'
+        for t in rng.sample(_TOPICS, 5))
+    return (f'<header><h1>Site {rng.randint(1, 99)}</h1>'
+            f'<nav><ul>{links}</ul></nav></header>')
+
+
+def _related_html(rng: random.Random) -> str:
+    links = ''.join(
+        f'<li><a href="/post/{rng.randint(1, 999)}">'
+        f'{_sentence(rng, 4)[:-1]}</a></li>' for _ in range(4))
+    return f'<div class="related sidebar"><h3>Related</h3><ul>{links}</ul></div>'
+
+
+def _footer_html(rng: random.Random) -> str:
+    return ('<footer id="page-footer"><p>Copyright 2026. '
+            '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+            '</p></footer>')
+
+
+def _data_table(rng: random.Random) -> str:
+    rows = ''.join(
+        f'<tr><td>{rng.choice(_WORDS)}</td><td>{rng.randint(1, 500)}</td>'
+        f'<td>{rng.randint(1, 100)}%</td></tr>' for _ in range(4))
+    return (f'<table><caption>{_sentence(rng, 3)}</caption>'
+            '<thead><tr><th>name</th><th>count</th><th>share</th></tr></thead>'
+            f'<tbody>{rows}</tbody></table>')
+
+
+def _layout_table(rng: random.Random) -> str:
+    return ('<table><tr>'
+            f'<td><p>{_para(rng, 2)}</p></td>'
+            f'<td><p>{_para(rng, 2)}</p></td>'
+            '</tr></table>')
+
+
+def _long_list(rng: random.Random, n=8) -> str:
+    items = ''.join(f'<li>{_sentence(rng, 5)}</li>' for _ in range(n))
+    return f'<ul>{items}</ul>'
+
+
+# each piece is ('text', html_fragment) or ('image', media_ref)
+Piece = tuple
+
+
+def _article_pieces(rng: random.Random, doc_idx: int,
+                    n_paras: int, n_images: int) -> List[Piece]:
+    pieces: List[Piece] = []
+    pieces.append(('text',
+                   '<!DOCTYPE html><html><head><meta charset="utf-8">'
+                   f'<title>{_sentence(rng, 4)}</title></head><body>'))
+    pieces.append(('text', _nav_html(rng)))
+    pieces.append(('text', f'<div class="breadcrumb"><a href="/">Home</a> &gt; '
+                           f'<a href="/{rng.choice(_TOPICS)}">topic</a></div>'))
+    pieces.append(('text', '<article class="post-content">'
+                           f'<h1>{_sentence(rng, 5)[:-1]}</h1>'
+                           f'<div class="byline">By Author {rng.randint(1, 50)}'
+                           ' | 2026-01-01</div>'))
+    img_slots = set(rng.sample(range(n_paras), min(n_images, n_paras))) \
+        if n_paras else set()
+    for p in range(n_paras):
+        pieces.append(('text', f'<p>{_para(rng, rng.randint(2, 5))}</p>'))
+        if p in img_slots:
+            ref = f'media://img/{doc_idx:08d}/{p}'
+            pieces.append(('image', ref))
+            pieces.append(('text',
+                           f'<figcaption>{_sentence(rng, 6)}</figcaption>'))
+    if rng.random() < 0.4:
+        pieces.append(('text', _data_table(rng)))
+    if rng.random() < 0.25:
+        pieces.append(('text', f'<blockquote>{_para(rng, 2)}</blockquote>'))
+    pieces.append(('text', '</article>'))
+    pieces.append(('text', _related_html(rng)))
+    pieces.append(('text', _footer_html(rng)))
+    pieces.append(('text', '</body></html>'))
+    return pieces
+
+
+def _forum_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
+    pieces: List[Piece] = [('text', '<html><body>'), ('text', _nav_html(rng))]
+    pieces.append(('text', f'<div class="question"><h2>{_sentence(rng, 7)[:-1]}?'
+                           f'</h2><p>{_para(rng, 3)}</p></div>'))
+    for i in range(rng.randint(2, 4)):
+        pieces.append(('text', f'<div class="answer"><p>{_para(rng, rng.randint(2, 4))}</p>'))
+        if rng.random() < 0.3:
+            pieces.append(('image', f'media://img/{doc_idx:08d}/a{i}'))
+        pieces.append(('text', '</div>'))
+    pieces.append(('text', '<div class="share social">'
+                           '<a href="#">Share</a><a href="#">Tweet</a></div>'))
+    pieces.append(('text', _footer_html(rng)))
+    pieces.append(('text', '</body></html>'))
+    return pieces
+
+
+def _messy_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
+    """Unclosed tags, xml decl, comments, base64/empty imgs, dup paras."""
+    dup = f'<p>{_para(rng, 2)}</p>'
+    pieces: List[Piece] = [
+        ('text', '<?xml version="1.0" encoding="utf-8"?>'
+                 '<html><body><!-- top comment -->'),
+        ('text', _nav_html(rng)),
+        ('text', f'<div class="content"><p>{_para(rng, 3)}'),  # unclosed p
+        ('text', dup),
+        ('text', dup),  # exact duplicate paragraph (dedup case D1)
+        ('text', '<img src="data:image/png;base64,AAAA"><img src="">'),
+        ('image', f'media://img/{doc_idx:08d}/m0'),
+        ('text', f'<p style="display:none">{_sentence(rng, 8)}</p>'),
+        ('text', f'<p>{_para(rng, 4)}</p>'),
+        ('text', _long_list(rng)),
+        ('text', _layout_table(rng)),
+        ('text', '</div>'),
+        ('text', _footer_html(rng)),
+        # missing </body></html> on purpose
+    ]
+    return pieces
+
+
+def _navonly_pieces(rng: random.Random) -> List[Piece]:
+    """Degenerate page: chrome only, nothing main-able (fallback/no_main)."""
+    return [
+        ('text', '<html><body>'),
+        ('text', _nav_html(rng)),
+        ('text', f'<div class="menu">{_long_list(rng, 6)}</div>'),
+        ('text', '<div class="pagination"><a href="?p=1">1</a>'
+                 '<a href="?p=2">2</a><a href="?p=3">3</a></div>'),
+        ('text', _footer_html(rng)),
+        ('text', '</body></html>'),
+    ]
+
+
+def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
+    """Pure function (doc_idx, seed) -> docs-table row."""
+    rng = random.Random((seed << 32) ^ (doc_idx * 0x9E3779B97F4A7C15 & 0xFFFFFFFF))
+    r = rng.random()
+    # heavy-tailed size mix
+    if doc_idx % 199 == 7:
+        # giant page: exceeds the too-long budget, exercises skew salting
+        kind, pieces = 'giant', _article_pieces(
+            rng, doc_idx, n_paras=rng.randint(900, 1200), n_images=12)
+    elif r < 0.05:
+        kind, pieces = 'large', _article_pieces(
+            rng, doc_idx, n_paras=rng.randint(150, 300),
+            n_images=rng.randint(4, 8))
+    elif r < 0.20:
+        kind, pieces = 'medium', _article_pieces(
+            rng, doc_idx, n_paras=rng.randint(30, 60),
+            n_images=rng.randint(2, 4))
+    else:
+        style = rng.random()
+        if style < 0.55:
+            kind, pieces = 'small', _article_pieces(
+                rng, doc_idx, n_paras=rng.randint(3, 8),
+                n_images=rng.randint(0, 2))
+        elif style < 0.75:
+            kind, pieces = 'forum', _forum_pieces(rng, doc_idx)
+        elif style < 0.92:
+            kind, pieces = 'messy', _messy_pieces(rng, doc_idx)
+        else:
+            kind, pieces = 'navonly', _navonly_pieces(rng)
+
+    spans = []
+    off = 0
+    buf: List[str] = []
+    for ptype, payload in pieces:
+        if ptype == 'image':
+            if buf:
+                spans.append({'kind': 'text', 'text': ''.join(buf),
+                              'media_ref': '', 'offset': off})
+                off += 1
+                buf = []
+            spans.append({'kind': 'image', 'text': '',
+                          'media_ref': payload, 'offset': off})
+            off += 1
+        else:
+            buf.append(payload)
+            # split long text runs into multiple spans deterministically
+            if sum(len(b) for b in buf) > 4096:
+                spans.append({'kind': 'text', 'text': ''.join(buf),
+                              'media_ref': '', 'offset': off})
+                off += 1
+                buf = []
+    if buf:
+        spans.append({'kind': 'text', 'text': ''.join(buf),
+                      'media_ref': '', 'offset': off})
+    return {'doc_id': f'doc-{doc_idx:08d}', 'spans': spans}
+
+
+def docs_for_sf(sf: float) -> int:
+    """Document count at a scale factor (sf=1.0 -> 80k synthetic docs)."""
+    return max(60, int(round(sf * 80000)))
