@@ -1,0 +1,1 @@
+"""PySpark-native main-content extraction engine."""

@@ -1,0 +1,59 @@
+"""The extraction operator: one fused Arrow-batched mapInPandas stage.
+
+Reference lifecycle preprocess → generate → postprocess
+(``/root/reference/dripper/api.py:387-483``) is fused into a single
+per-batch stage: all three phases are pure per-document functions, so
+splitting them into separate Spark stages would only shuffle multi-KB HTML
+strings between executors for no parallelism gain. One stage = zero
+intermediate shuffle, one Arrow hop per document.
+
+Design rules applied:
+  * iterator-of-batches UDF (no per-row Python overhead at the boundary)
+  * per-row try/except inside `extract_document` — a poisonous document
+    never kills a task (reference contains failures per-case,
+    eval_baselines/base.py:104-130)
+  * module-level imports only; no driver state captured in the closure
+    beyond nothing — executors re-import the package (lazy init pattern,
+    reference lazy model singletons api.py:100-109)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.extract import extract_document
+
+OUT_SCHEMA = (
+    'doc_id string, '
+    'spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, '
+    'status string, n_items int, n_main int, error string'
+)
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+            r = extract_document(
+                doc_id,
+                [s if isinstance(s, dict) else dict(s) for s in spans])
+            out.append({
+                'doc_id': r['doc_id'],
+                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                          for s in r['spans']],
+                'status': r['status'],
+                'n_items': r['n_items'],
+                'n_main': r['n_main'],
+                'error': r['error'],
+            })
+        yield pd.DataFrame(
+            out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
+                          'error'])
+
+
+def apply_extract(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> results(doc_id, spans, status, ...)."""
+    return docs.mapInPandas(extract_batch, OUT_SCHEMA)

@@ -1,0 +1,54 @@
+"""Size-aware skew defusal for heavy-tailed document corpora.
+
+Web pages are heavy-tailed (the reference guards 32k tokens per doc,
+``/root/reference/dripper/api.py:89,263-273``; real crawls have 10 MB
+outliers). Hash-partitioning on doc_id alone gives each partition the same
+*row* count but wildly different *byte* counts, and one partition stuck with
+several giant pages becomes the straggler that defines job wall-time — the
+exact failure mode that breaks the N→4N scaling-efficiency target.
+
+Strategy (all native Catalyst expressions — no UDF, no extra scan):
+  * ``doc_bytes`` computed inline with ``aggregate(spans, ...)``;
+  * small docs: uniform hash over the full partition space;
+  * big docs (> ``big_doc_bytes``): routed by hash over the SAME partition
+    space but counted separately in expectation — with few big docs and
+    P partitions, collisions of two giants are rare; AQE's skew handling
+    splits any that remain. ``repartition(P, salt)`` gives Spark an exact
+    round-robin-by-hash placement.
+
+At 1000 executors this is one shuffle of the input — unavoidable, since an
+Iceberg scan's file layout doesn't balance bytes-per-task for a compute-bound
+UDF stage. The shuffle moves each doc once; the UDF stage then runs
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DOC_BYTES_EXPR = ('aggregate(spans, 0L, (acc, s) -> '
+                  'acc + length(s.text) + length(s.media_ref))')
+
+DEFAULT_BIG_DOC_BYTES = 131072  # ~32k tokens * 4 chars/token (api.py:89)
+
+
+def with_doc_bytes(docs: DataFrame) -> DataFrame:
+    return docs.withColumn('doc_bytes', F.expr(DOC_BYTES_EXPR))
+
+
+def salted_repartition(docs: DataFrame, num_partitions: int,
+                       big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES) -> DataFrame:
+    """Byte-balanced repartition of a (doc_id, spans, doc_bytes) frame.
+
+    Big docs get a distinct salt stream so the hash space they occupy is
+    decorrelated from the small-doc stream sharing their partitions.
+    """
+    if 'doc_bytes' not in docs.columns:
+        docs = with_doc_bytes(docs)
+    salt = F.when(
+        F.col('doc_bytes') > big_doc_bytes,
+        F.pmod(F.xxhash64('doc_id', F.lit('big')), F.lit(num_partitions)),
+    ).otherwise(
+        F.pmod(F.xxhash64('doc_id'), F.lit(num_partitions)))
+    return docs.repartition(num_partitions, salt)

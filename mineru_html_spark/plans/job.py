@@ -1,0 +1,76 @@
+"""End-to-end extraction job assembly.
+
+One logical plan, three fused physical stages (SURVEY.md §3):
+
+    scan docs (Iceberg/parquet — Catalyst prunes to doc_id, spans)
+      → doc_bytes (native aggregate)  → salted repartition (skew §4.2)
+      → mapInPandas(extract_batch)    (the only Python hop)
+      → write results partitioned by part_id + lineage counters (§4.3)
+
+``run_extraction`` is the in-memory variant (returns the result frame);
+``run_job`` is the durable variant with wave-chunked commits and
+checkpoint-resume via the lineage table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract_op import apply_extract
+from ..operators.skew import salted_repartition, with_doc_bytes
+from .lineage import (anti_join_done, read_done_parts, with_part_id,
+                      write_results_and_lineage)
+
+
+def run_extraction(spark: SparkSession, docs: DataFrame,
+                   num_partitions: Optional[int] = None) -> DataFrame:
+    """docs(doc_id, spans) → results; no sink, no checkpointing."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    docs = with_doc_bytes(docs.select('doc_id', 'spans'))
+    docs = salted_repartition(docs, num_partitions)
+    return apply_extract(docs.select('doc_id', 'spans'))
+
+
+def run_job(spark: SparkSession, docs: DataFrame, out_dir: str,
+            run_id: str = 'run-0', n_parts: int = 64,
+            n_waves: int = 4, resume: bool = True,
+            num_partitions: Optional[int] = None) -> dict:
+    """Durable, resumable extraction over ``docs``.
+
+    The part_id space [0, n_parts) is processed in ``n_waves`` chunks;
+    each wave is one write job whose commit is atomic (Spark's output
+    committer; Iceberg snapshot in production). A killed run loses at most
+    the in-flight wave; on restart the lineage anti-join skips finished
+    partitions (reference resume semantic, app/eval_baseline.py:93-115).
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    docs = with_part_id(docs.select('doc_id', 'spans'), n_parts)
+
+    done = read_done_parts(spark, out_dir) if resume else None
+    done_ids = set()
+    if done is not None:
+        done_ids = {r['part_id'] for r in done.collect()}
+    todo_parts = [p for p in range(n_parts) if p not in done_ids]
+
+    waves = [todo_parts[i::n_waves] for i in range(n_waves)]
+    n_done_waves = 0
+    for wave in waves:
+        if not wave:
+            continue
+        wave_docs = docs.where(F.col('part_id').isin(wave))
+        wave_docs = with_doc_bytes(wave_docs)
+        wave_docs = salted_repartition(wave_docs, num_partitions)
+        results = apply_extract(
+            wave_docs.select('doc_id', 'spans', 'part_id'))
+        # part_id is a pure function of doc_id — recompute, don't carry
+        results = with_part_id(results, n_parts)
+        write_results_and_lineage(spark, results, out_dir, run_id, wave)
+        n_done_waves += 1
+
+    return {'skipped_parts': len(done_ids), 'processed_parts':
+            len(todo_parts), 'waves': n_done_waves}

@@ -1,0 +1,98 @@
+"""Partition-level lineage, metrics and checkpoint-resume.
+
+Reproduces the reference's resume semantic — *finished units are detected
+from durable output and removed from the work set*
+(``/root/reference/app/eval_baseline.py:93-115``) — at partition granularity,
+the way a 10^12-doc run needs it:
+
+  * every doc gets a deterministic ``part_id = pmod(xxhash64(doc_id), P)``
+    (pure column function — re-derivable on resume, no join required);
+  * results land partitioned by ``part_id`` with dynamic partition overwrite,
+    so re-running a partition replaces it instead of duplicating
+    (Iceberg's per-partition snapshot commit is the production analog);
+  * a ``lineage`` table records, per (run_id, part_id): doc/status counters,
+    input bytes and wall time — these are the engine's counters (A5) and
+    the skew observability feed (§4.2 of SURVEY.md);
+  * resume = ``docs left_anti lineage_done on part_id`` with the done set
+    broadcast (it is tiny: one row per partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_SCHEMA = ('part_id int, run_id string, n_docs long, n_ok long, '
+                  'n_fallback long, n_too_long long, n_no_main long, '
+                  'n_error long, bytes_out long')
+
+
+def with_part_id(docs: DataFrame, n_parts: int) -> DataFrame:
+    return docs.withColumn(
+        'part_id',
+        F.pmod(F.xxhash64('doc_id'), F.lit(n_parts)).cast('int'))
+
+
+def lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, '_lineage')
+
+
+def results_path(out_dir: str) -> str:
+    return os.path.join(out_dir, 'results')
+
+
+def read_done_parts(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = lineage_path(out_dir)
+    try:
+        return spark.read.parquet(path).select('part_id').distinct()
+    except Exception:
+        return None
+
+
+def anti_join_done(docs: DataFrame, done_parts: DataFrame | None) -> DataFrame:
+    """Remove docs belonging to already-committed partitions.
+
+    The done set is one row per finished partition — always broadcast,
+    never a shuffle of the trillion-row side.
+    """
+    if done_parts is None:
+        return docs
+    return docs.join(F.broadcast(done_parts), 'part_id', 'left_anti')
+
+
+def compute_lineage(results: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition counters from a results DataFrame."""
+    return (
+        results.groupBy('part_id')
+        .agg(
+            F.count('*').alias('n_docs'),
+            F.sum(F.when(F.col('status') == 'ok', 1).otherwise(0)).alias('n_ok'),
+            F.sum(F.when(F.col('status') == 'fallback', 1).otherwise(0)).alias('n_fallback'),
+            F.sum(F.when(F.col('status') == 'too_long', 1).otherwise(0)).alias('n_too_long'),
+            F.sum(F.when(F.col('status') == 'no_main', 1).otherwise(0)).alias('n_no_main'),
+            F.sum(F.when(F.col('status') == 'error', 1).otherwise(0)).alias('n_error'),
+            F.sum(F.expr(
+                'aggregate(spans, 0L, (acc, s) -> acc + length(s.text) '
+                '+ length(s.media_ref))')).alias('bytes_out'),
+        )
+        .withColumn('run_id', F.lit(run_id))
+    )
+
+
+def write_results_and_lineage(spark: SparkSession, results: DataFrame,
+                              out_dir: str, run_id: str,
+                              wave_parts: list[int]) -> None:
+    """Idempotent per-wave commit: dynamic-overwrite the wave's result
+    partitions, then append lineage rows for exactly those partitions
+    (the durable 'partition finished' markers). Reading the wave back for
+    the counters is partition-pruned, so it scans only this wave's output.
+    """
+    spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+    (results.write.mode('overwrite').partitionBy('part_id')
+     .parquet(results_path(out_dir)))
+    written = (spark.read.parquet(results_path(out_dir))
+               .where(F.col('part_id').isin(wave_parts)))
+    lin = compute_lineage(written, run_id)
+    lin.write.mode('append').parquet(lineage_path(out_dir))

@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the production shape this engine targets (1000-executor cluster,
+100 TB input) while testable on local[N]:
+  * AQE on — runtime coalescing + skew-split of the size-salted partitions.
+  * Arrow batches capped — documents are multi-KB..MB strings; a 10k-row
+    default Arrow batch of 200 KB pages would hold ~2 GB in the Python
+    worker. 256 rows bounds worker RSS without hurting vectorization.
+  * shuffle.partitions sized by caller (cores at local; ~2-3x cores/executor
+    on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(master: str | None = None,
+              app_name: str = 'mineru-html-spark',
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    master = master or f'local[{cpus}]'
+    if shuffle_partitions is None:
+        n = master[master.find('[') + 1: master.find(']')] if '[' in master else str(cpus)
+        shuffle_partitions = cpus if n == '*' else int(n)
+    b = (
+        SparkSession.builder.master(master).appName(app_name)
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '256')
+        .config('spark.sql.files.maxPartitionBytes', '134217728')
+        .config('spark.driver.memory',
+                os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+        .config('spark.ui.enabled', 'false')
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel('ERROR')
+    return spark

@@ -1,0 +1,68 @@
+"""Distributed synthesis + storage of the interleaved docs table.
+
+At production scale the engine reads an Iceberg table
+(``spark.read.table('catalog.db.docs')``); in this sandbox the same shape is
+synthesized deterministically and (optionally) materialized to parquet so
+benchmark runs measure extraction, not generation. Synthesis itself is
+distributed — ``spark.range(n)`` partitions the id space and each Arrow batch
+generates its rows executor-side; no driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.synth import gen_doc
+
+DOCS_SCHEMA = ('doc_id string, '
+               'spans array<struct<kind:string,text:string,'
+               'media_ref:string,offset:int>>')
+
+
+def _gen_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for idx in pdf['id']:
+            d = gen_doc(int(idx))
+            rows.append({
+                'doc_id': d['doc_id'],
+                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                          for s in d['spans']],
+            })
+        yield pd.DataFrame(rows)
+
+
+def synth_docs_df(spark: SparkSession, n_docs: int,
+                  partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic docs table as a DataFrame, generated in parallel."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng = spark.range(0, n_docs, 1, partitions)
+    return rng.mapInPandas(_gen_batch, DOCS_SCHEMA)
+
+
+def materialized_docs(spark: SparkSession, n_docs: int,
+                      cache_root: str = '/root/repo/.data') -> DataFrame:
+    """Parquet-materialized docs table (build once per n_docs, then scan).
+
+    Mirrors the production Iceberg scan: Catalyst gets real file statistics,
+    column pruning and partition pruning, and benchmarks measure the
+    extraction stage rather than synthesis.
+    """
+    path = os.path.join(cache_root, f'docs_n{n_docs}')
+    marker = os.path.join(path, '_SUCCESS')
+    if not os.path.exists(marker):
+        synth_docs_df(spark, n_docs).write.mode('overwrite').parquet(path)
+    return spark.read.parquet(path)
+
+
+def read_docs(spark: SparkSession, source: str) -> DataFrame:
+    """Read a docs table from parquet path or (when configured) a catalog
+    table name — the production entry point."""
+    if source.endswith('.parquet') or os.path.isdir(source):
+        return spark.read.parquet(source)
+    return spark.read.table(source)
