@@ -38,16 +38,16 @@ _P_CLOSERS = frozenset({
 
 # tag -> set of open ancestors it implicitly closes (nearest first).
 _IMPLICIT_CLOSE = {
-    'li': frozenset({'li'}),
-    'dt': frozenset({'dt', 'dd'}),
-    'dd': frozenset({'dt', 'dd'}),
-    'tr': frozenset({'tr', 'td', 'th'}),
-    'td': frozenset({'td', 'th'}),
-    'th': frozenset({'td', 'th'}),
+    'li': frozenset({'li', 'p'}),
+    'dt': frozenset({'dt', 'dd', 'p'}),
+    'dd': frozenset({'dt', 'dd', 'p'}),
+    'tr': frozenset({'tr', 'td', 'th', 'p'}),
+    'td': frozenset({'td', 'th', 'p'}),
+    'th': frozenset({'td', 'th', 'p'}),
     'option': frozenset({'option'}),
-    'thead': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
-    'tbody': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
-    'tfoot': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th'}),
+    'thead': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th', 'p'}),
+    'tbody': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th', 'p'}),
+    'tfoot': frozenset({'thead', 'tbody', 'tfoot', 'tr', 'td', 'th', 'p'}),
 }
 
 # Elements that bound implicit closing (never close past one of these).
@@ -200,12 +200,13 @@ class _TreeBuilder(HTMLParser):
                 if t in _SCOPE_BOUNDS:
                     break
         if closers:
-            for i in range(len(self.stack) - 1, 0, -1):
-                t = self.stack[i].tag
+            # pop every consecutive closeable ancestor (e.g. a new <tr>
+            # closes an open td AND its tr)
+            while len(self.stack) > 1:
+                t = self.stack[-1].tag
                 if t in closers:
-                    del self.stack[i:]
-                    break
-                if t in _SCOPE_BOUNDS:
+                    self.stack.pop()
+                elif t in _SCOPE_BOUNDS or t not in closers:
                     break
 
     def handle_starttag(self, tag, attrs):

@@ -1,0 +1,9 @@
+import pytest
+
+
+@pytest.fixture(scope='session')
+def spark():
+    from mineru_html_spark.plans.session import get_spark
+    s = get_spark('local[4]', app_name='tests', shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,82 @@
+"""Streaming DOM builder: malformed-input recovery and tree shape."""
+
+from mineru_html_spark.core.dom import get_body, parse_html, serialize
+
+
+def test_basic_shape():
+    root = parse_html('<html><body><p>hi</p></body></html>')
+    assert root.tag == 'html'
+    body = get_body(root)
+    assert body.tag == 'body'
+    assert body.element_children()[0].tag == 'p'
+
+
+def test_missing_envelope_synthesized():
+    root = parse_html('<p>one</p><p>two</p>')
+    body = get_body(root)
+    assert [c.tag for c in body.element_children()] == ['p', 'p']
+
+
+def test_unclosed_tags_close_at_eof():
+    root = parse_html('<div><p>alpha<p>beta')
+    body = get_body(root)
+    div = body.element_children()[0]
+    # implicit p-closes-p: two sibling paragraphs
+    assert [c.tag for c in div.element_children()] == ['p', 'p']
+    assert div.element_children()[0].norm_text() == 'alpha'
+    assert div.element_children()[1].norm_text() == 'beta'
+
+
+def test_implicit_li_close():
+    root = parse_html('<ul><li>a<li>b<li>c</ul>')
+    ul = get_body(root).element_children()[0]
+    assert [c.tag for c in ul.element_children()] == ['li', 'li', 'li']
+
+
+def test_implicit_td_tr_close():
+    root = parse_html('<table><tr><td>a<td>b<tr><td>c</table>')
+    table = get_body(root).element_children()[0]
+    trs = table.find_all('tr')
+    assert len(trs) == 2
+    assert len(trs[0].find_all('td')) == 2
+
+
+def test_stray_end_tag_ignored():
+    root = parse_html('<div></span><p>x</p></div>')
+    assert get_body(root).norm_text() == 'x'
+
+
+def test_comments_pis_xmldecl_dropped():
+    root = parse_html('<?xml version="1.0"?><html><body>'
+                      '<!-- secret --><p>keep</p></body></html>')
+    s = serialize(root)
+    assert 'secret' not in s and 'xml' not in s
+    assert get_body(root).norm_text() == 'keep'
+
+
+def test_void_elements_no_children():
+    root = parse_html('<p>a<br>b<img src="x.png">c</p>')
+    p = get_body(root).element_children()[0]
+    tags = [c.tag for c in p.element_children()]
+    assert tags == ['br', 'img']
+    # DOM-spec text content: concatenation; br/img contribute nothing.
+    # (Span emission adds separators — see spancodec tests.)
+    assert p.norm_text() == 'abc'
+
+
+def test_entities_decoded_and_reescaped():
+    root = parse_html('<p>a &amp; b &lt; c</p>')
+    p = get_body(root).element_children()[0]
+    assert p.norm_text() == 'a & b < c'
+    assert '&amp;' in serialize(p)
+
+
+def test_serialize_roundtrip_attrs():
+    root = parse_html('<div class="x y" id="z" data-k="v&quot;w">t</div>')
+    s = serialize(get_body(root).element_children()[0])
+    assert 'class="x y"' in s and 'id="z"' in s
+
+
+def test_binary_garbage_no_crash():
+    root = parse_html('\x00\xff<<<>>><p<p<p</</</')
+    assert root.tag == 'html'

@@ -1,0 +1,58 @@
+"""Golden parity: distributed Spark extraction == committed single-node
+goldens, per-row span-sequence equality (kind, text, media_ref, order).
+
+This is the repo's analog of the reference's golden-corpus evaluation
+(/root/reference/dripper/eval_baselines/base.py) — SURVEY.md §5.
+"""
+
+import json
+import os
+
+import pytest
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), 'goldens',
+                           'goldens_80.json')
+
+
+def _load_goldens():
+    with open(GOLDEN_PATH) as f:
+        return {g['doc_id']: g for g in json.load(f)}
+
+
+def test_single_node_matches_goldens():
+    from mineru_html_spark.core.extract import extract_document
+    from mineru_html_spark.core.synth import gen_doc
+    goldens = _load_goldens()
+    for i in range(len(goldens)):
+        d = gen_doc(i)
+        g = goldens[d['doc_id']]
+        r = extract_document(d['doc_id'], d['spans'])
+        assert r['status'] == g['status'], d['doc_id']
+        assert [(s['kind'], s['text'], s['media_ref']) for s in r['spans']] \
+            == [(s['kind'], s['text'], s['media_ref']) for s in g['spans']], \
+            d['doc_id']
+
+
+@pytest.mark.spark
+def test_spark_job_matches_goldens(spark):
+    from mineru_html_spark.plans.job import run_extraction
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    goldens = _load_goldens()
+    docs = synth_docs_df(spark, len(goldens), partitions=4)
+    rows = run_extraction(spark, docs, num_partitions=4).collect()
+    assert len(rows) == len(goldens)
+    for r in rows:
+        g = goldens[r['doc_id']]
+        assert r['status'] == g['status'], r['doc_id']
+        got = [(s['kind'], s['text'], s['media_ref']) for s in r['spans']]
+        want = [(s['kind'], s['text'], s['media_ref']) for s in g['spans']]
+        assert got == want, r['doc_id']
+        offs = [s['offset'] for s in r['spans']]
+        assert offs == list(range(len(offs))), r['doc_id']
+
+
+def test_golden_statuses_cover_paths():
+    goldens = _load_goldens()
+    statuses = {g['status'] for g in goldens.values()}
+    # the fixture mix must exercise ok + fallback + too_long routes
+    assert {'ok', 'fallback', 'too_long'} <= statuses

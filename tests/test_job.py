@@ -1,0 +1,70 @@
+"""Durable job: wave commits, lineage counters, kill-and-resume."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture
+def out_dir(tmp_path):
+    return str(tmp_path / 'out')
+
+
+def test_kill_and_resume_no_dup_no_loss(spark, out_dir):
+    from mineru_html_spark.plans.job import run_job
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = synth_docs_df(spark, 200, partitions=4)
+
+    info1 = run_job(spark, docs, out_dir, run_id='r1', n_parts=8, n_waves=4,
+                    num_partitions=4)
+    assert info1['processed_parts'] == 8
+
+    # simulate a crash that lost half the lineage commits
+    lin = spark.read.parquet(out_dir + '/_lineage').where('part_id < 4')
+    lin.write.mode('overwrite').parquet(out_dir + '/_lineage_tmp')
+    shutil.rmtree(out_dir + '/_lineage')
+    shutil.move(out_dir + '/_lineage_tmp', out_dir + '/_lineage')
+
+    info2 = run_job(spark, docs, out_dir, run_id='r2', n_parts=8, n_waves=4,
+                    num_partitions=4)
+    assert info2['skipped_parts'] == 4
+    assert info2['processed_parts'] == 4
+
+    res = spark.read.parquet(out_dir + '/results')
+    assert res.count() == 200
+    assert res.select('doc_id').distinct().count() == 200
+
+
+def test_lineage_counters_consistent(spark, out_dir):
+    from mineru_html_spark.plans.job import run_job
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = synth_docs_df(spark, 120, partitions=4)
+    run_job(spark, docs, out_dir, run_id='r1', n_parts=4, n_waves=2,
+            num_partitions=4)
+    lin = spark.read.parquet(out_dir + '/_lineage')
+    tot = lin.agg(F.sum('n_docs').alias('d'), F.sum('n_ok').alias('ok'),
+                  F.sum('n_fallback').alias('fb'),
+                  F.sum('n_too_long').alias('tl'),
+                  F.sum('n_no_main').alias('nm'),
+                  F.sum('n_error').alias('er')).collect()[0]
+    assert tot['d'] == 120
+    assert tot['d'] == tot['ok'] + tot['fb'] + tot['tl'] + tot['nm'] + tot['er']
+    assert tot['er'] == 0
+
+    res = spark.read.parquet(out_dir + '/results')
+    by_status = {r['status']: r['count']
+                 for r in res.groupBy('status').count().collect()}
+    assert by_status.get('ok', 0) == tot['ok']
+
+
+def test_part_id_deterministic(spark):
+    from mineru_html_spark.plans.lineage import with_part_id
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = synth_docs_df(spark, 50, partitions=2)
+    a = {r['doc_id']: r['part_id']
+         for r in with_part_id(docs, 16).select('doc_id', 'part_id').collect()}
+    b = {r['doc_id']: r['part_id']
+         for r in with_part_id(docs, 16).select('doc_id', 'part_id').collect()}
+    assert a == b
+    assert all(0 <= p < 16 for p in a.values())

@@ -1,0 +1,65 @@
+"""Scorer invariants + directional behavior (the state-machine contract:
+a total labeling {1..N} -> {main, other}, logits_v1.py:258-538)."""
+
+from hypothesis import given, settings, strategies as st
+
+from mineru_html_spark.core.extract import extract_from_html
+from mineru_html_spark.core.score import MAIN, OTHER, label_blocks
+from mineru_html_spark.core.simplify import simplify_document
+
+
+def labels_for(html):
+    _, blocks, _ = simplify_document(html)
+    return blocks, label_blocks(blocks)
+
+
+def test_total_function_contiguous_ids():
+    html = '<body>' + ''.join(
+        f'<p>paragraph number {i} with some reasonable text content here</p>'
+        for i in range(10)) + '</body>'
+    blocks, labels = labels_for(html)
+    assert sorted(labels) == list(range(1, len(blocks) + 1))
+    assert set(labels.values()) <= {MAIN, OTHER}
+
+
+def test_long_prose_is_main_link_list_is_other():
+    html = ('<body>'
+            '<p>' + 'Long prose sentence with enough words to be an article '
+                    'body paragraph about a topic. ' * 3 + '</p>'
+            '<ul>' + ''.join(f'<li><a href="/{i}">Link {i}</a></li>'
+                             for i in range(5)) + '</ul>'
+            '</body>')
+    blocks, labels = labels_for(html)
+    by_tag = {b.tag: labels[b.item_id] for b in blocks}
+    assert by_tag['p'] == MAIN
+    assert by_tag['ul'] == OTHER
+
+
+def test_boiler_class_tokens_push_other():
+    html = ('<body>'
+            '<div class="sidebar related"><p>short promo text here okay'
+            '</p></div>'
+            '<div class="post-content article"><p>short body text here okay'
+            '</p></div>'
+            '</body>')
+    blocks, labels = labels_for(html)
+    # blocks are the inner <p>s; class tokens live on the block itself
+    # when the div wraps a single p the p is the block; check by text
+    assert len(blocks) == 2
+
+
+def test_deterministic():
+    html = '<body><p>some stable paragraph of text content</p></body>'
+    _, l1 = labels_for(html)
+    _, l2 = labels_for(html)
+    assert l1 == l2
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=400))
+def test_never_crashes_offsets_contiguous(s):
+    out = extract_from_html('<body>' + s + '</body>')
+    assert out['status'] in ('ok', 'fallback', 'too_long', 'no_main')
+    offs = [sp['offset'] for sp in out['spans']]
+    assert offs == list(range(len(offs)))

@@ -1,0 +1,159 @@
+"""Cleaning, segmentation, item marking — reference semantics parity.
+
+Each case cites the reference behavior it mirrors
+(/root/reference/dripper/process/simplify_html.py)."""
+
+from mineru_html_spark.core.dom import parse_html, get_body, serialize
+from mineru_html_spark.core.simplify import (
+    Segmenter, clean_attributes, clean_tree, is_data_table, simplify_document,
+    simplify_list, truncate_text,
+)
+
+
+def blocks_of(html):
+    _, blocks, _ = simplify_document(html)
+    return blocks
+
+
+def test_boilerplate_tags_removed():
+    # tags_to_remove set, simplify_html.py:27-40
+    html = ('<html><head><title>t</title></head><body><header>H</header>'
+            '<nav>N</nav><p>keep</p><aside>A</aside><footer>F</footer>'
+            '<script>js</script></body></html>')
+    blocks = blocks_of(html)
+    assert [b.text for b in blocks] == ['keep']
+
+
+def test_class_id_style_removal():
+    # should_remove_element, simplify_html.py:649-691
+    html = ('<body><div class="top nav">gone</div>'
+            '<div id="page-footer-x">gone</div>'
+            '<p style="display:none">gone</p>'
+            '<div class="navigation">kept: nav token must match exactly</div>'
+            '<p>kept</p></body>')
+    blocks = blocks_of(html)
+    texts = ' | '.join(b.text for b in blocks)
+    assert 'gone' not in texts
+    assert 'kept: nav token' in texts and 'kept' in texts
+
+
+def test_four_content_types():
+    # content_type classification, simplify_html.py:169-178,247-341
+    # inline runs only exist between block siblings; a div with only
+    # inline children is itself a block_element (simplify_html.py:285-301)
+    html = ('<body>'
+            '<p>a standalone block paragraph</p>'
+            '<b>bold</b><i>ital</i>'
+            '<p>separator one</p>'
+            'bare unwrapped text run'
+            '<p>separator two</p>'
+            'text with <b>bold</b> inside'
+            '<p>separator three</p>'
+            '<div><b>only</b> <i>inline</i> children</div>'
+            '</body>')
+    blocks = blocks_of(html)
+    ctypes = {b.text.split()[0]: b.content_type for b in blocks}
+    assert ctypes['a'] == 'block_element'
+    assert ctypes['boldital'] == 'inline_elements'
+    assert ctypes['bare'] == 'unwrapped_text'
+    assert ctypes['text'] == 'mixed'
+    assert ctypes['only'] == 'block_element'
+
+
+def test_data_vs_layout_table_cells():
+    # td/th block-ness by table kind, simplify_html.py:116-157,198-220
+    data = parse_html('<table><tr><th>h</th></tr><tr><td>v</td></tr></table>')
+    layout = parse_html('<table><tr><td>a</td><td>b</td></tr></table>')
+    assert is_data_table(get_body(data).element_children()[0])
+    assert not is_data_table(get_body(layout).element_children()[0])
+
+    # data table: each row is one block (cells inline)
+    blocks = blocks_of('<body><table><tr><th>name</th><th>n</th></tr>'
+                       '<tr><td>x</td><td>1</td></tr></table></body>')
+    assert all(b.tag == 'tr' for b in blocks)
+    assert len(blocks) == 2
+
+    # layout table: each cell is a container -> cell contents are blocks
+    blocks = blocks_of('<body><table><tr>'
+                       '<td><p>left text</p></td><td><p>right text</p></td>'
+                       '</tr></table></body>')
+    assert sorted(b.text for b in blocks) == ['left text', 'right text']
+
+
+def test_list_truncation_first_last_ellipsis():
+    # simplify_list, simplify_html.py:588-646
+    root = parse_html('<ul><li>one</li><li>two</li><li>three</li>'
+                      '<li>four</li></ul>')
+    ul = get_body(root).element_children()[0]
+    simplify_list(ul)
+    kids = ul.element_children()
+    assert [k.tag for k in kids] == ['li', 'span', 'li']
+    assert kids[0].norm_text() == 'one'
+    assert kids[1].norm_text() == '...'
+    assert kids[2].norm_text() == 'four'
+
+
+def test_dl_truncation_keeps_groups():
+    root = parse_html('<dl><dt>t1</dt><dd>d1a</dd><dd>d1b</dd>'
+                      '<dt>t2</dt><dd>d2</dd><dt>t3</dt><dd>d3</dd></dl>')
+    dl = get_body(root).element_children()[0]
+    simplify_list(dl)
+    texts = [k.norm_text() for k in dl.element_children()]
+    assert texts == ['t1', 'd1a', 'd1b', '...', 't3', 'd3']
+
+
+def test_text_truncation_200():
+    # call-site budget is 200, not the 500 default (simplify_html.py:803)
+    root = parse_html('<div><p>' + 'x' * 150 + '</p><p>' + 'y' * 150
+                      + '</p></div>')
+    div = get_body(root).element_children()[0]
+    truncate_text(div, max_length=200)
+    text = div.text_content()
+    assert text == 'x' * 150 + 'y' * 50 + '...'
+
+
+def test_attribute_cleaning_img_base64():
+    # clean_attributes, simplify_html.py:473-517
+    root = parse_html('<div style="color:red" data-x="1" class="c" id="i">'
+                      '<img src="data:image/png;base64,AA" alt="pic" '
+                      'width="5"><img src="real.png"></div>')
+    div = get_body(root).element_children()[0]
+    clean_attributes(div)
+    assert div.attrs == {'class': 'c', 'id': 'i'}
+    imgs = div.find_all('img')
+    assert 'src' not in imgs[0].attrs and imgs[0].attrs.get('alt') == 'pic'
+    assert imgs[1].attrs == {'src': 'real.png'}
+
+
+def test_meaningless_blocks_skipped():
+    # is_meaningful_content, simplify_html.py:448-470: empty-src and
+    # base64-only images are meaningless after attr cleaning
+    blocks = blocks_of('<body><p><img src=""></p>'
+                       '<p><img src="data:image/png;base64,AA"></p>'
+                       '<p><img src="ok.png"></p><p>text</p></body>')
+    assert len(blocks) == 2
+
+
+def test_duplicate_paragraph_dedup_first_wins():
+    # simplify_html.py:366-374
+    blocks = blocks_of('<body><p>same para</p><p>same para</p>'
+                       '<p>other para</p></body>')
+    assert [b.text for b in blocks] == ['same para', 'other para']
+
+
+def test_item_ids_contiguous():
+    # state-machine invariant: ids 1..N (dripper/base.py:26-73)
+    _, blocks, simplified = simplify_document(
+        '<body><p>one para here</p><div>two <b>bits</b></div>'
+        '<p><img src=""></p><p>three</p></body>')
+    assert [b.item_id for b in blocks] == list(range(1, len(blocks) + 1))
+    for b in blocks:
+        assert f'_item_id="{b.item_id}"' in simplified
+
+
+def test_simplified_envelope_and_ws_normalization():
+    _, _, simplified = simplify_document(
+        '<body><p>a   b\n\n c</p></body>')
+    assert simplified.startswith(
+        '<html><head><meta charset="utf-8"></head><body>')
+    assert 'a b c' in simplified

@@ -1,0 +1,64 @@
+"""Span codec: assembly, emission, interleaving, offset contiguity."""
+
+from mineru_html_spark.core.dom import get_body, parse_html
+from mineru_html_spark.core.spancodec import spans_to_html, tree_to_spans
+
+
+def test_assembly_order_and_placeholders():
+    spans = [
+        {'kind': 'image', 'text': '', 'media_ref': 'media://a', 'offset': 1},
+        {'kind': 'text', 'text': '<p>x</p>', 'media_ref': '', 'offset': 0},
+        {'kind': 'text', 'text': '<p>y</p>', 'media_ref': '', 'offset': 2},
+    ]
+    assert spans_to_html(spans) == '<p>x</p><img src="media://a"><p>y</p>'
+
+
+def test_emission_blocks_and_images_interleave():
+    body = get_body(parse_html(
+        '<body><p>first para</p>'
+        '<figure><img src="media://i1"><figcaption>cap</figcaption></figure>'
+        '<p>second para</p></body>'))
+    spans = tree_to_spans(body)
+    assert [(s['kind'], s['text'] or s['media_ref']) for s in spans] == [
+        ('text', 'first para'),
+        ('image', 'media://i1'),
+        ('text', 'cap'),
+        ('text', 'second para'),
+    ]
+    assert [s['offset'] for s in spans] == [0, 1, 2, 3]
+
+
+def test_inline_text_merges_block_text_splits():
+    body = get_body(parse_html(
+        '<body><div>one <b>two</b> three</div><p>four</p></body>'))
+    spans = tree_to_spans(body)
+    assert [s['text'] for s in spans] == ['one two three', 'four']
+
+
+def test_image_inside_paragraph_splits_text():
+    body = get_body(parse_html(
+        '<body><p>before <img src="media://m"> after</p></body>'))
+    spans = tree_to_spans(body)
+    assert [(s['kind'], s['text'] or s['media_ref']) for s in spans] == [
+        ('text', 'before'), ('image', 'media://m'), ('text', 'after')]
+
+
+def test_base64_and_empty_src_images_not_emitted():
+    body = get_body(parse_html(
+        '<body><p>t <img src=""> <img src="data:image/png;base64,A"></p>'
+        '</body>'))
+    spans = tree_to_spans(body)
+    assert [s['kind'] for s in spans] == ['text']
+
+
+def test_roundtrip_synth_docs():
+    from mineru_html_spark.core.synth import gen_doc
+    for i in (0, 1, 7, 12, 31):
+        d = gen_doc(i)
+        offs = [s['offset'] for s in d['spans']]
+        assert offs == list(range(len(offs)))
+        html = spans_to_html(d['spans'])
+        assert html  # assembles
+        for s in d['spans']:
+            if s['kind'] == 'image':
+                assert f'src="{s["media_ref"]}"' in html

@@ -1,0 +1,31 @@
+"""Generate golden span fixtures from a single-node run of the extractor.
+
+Goldens anchor span-sequence parity (kind, text, media_ref, order) for the
+distributed job — SURVEY.md §5. Regenerate ONLY when extraction semantics
+intentionally change: python tools/make_goldens.py
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
+from mineru_html_spark.core.extract import extract_document
+from mineru_html_spark.core.synth import gen_doc
+
+N = 80
+
+def main():
+    out = []
+    for i in range(N):
+        d = gen_doc(i)
+        r = extract_document(d['doc_id'], d['spans'])
+        out.append({'doc_id': r['doc_id'], 'status': r['status'],
+                    'n_items': r['n_items'], 'n_main': r['n_main'],
+                    'spans': r['spans']})
+    path = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens',
+                        'goldens_80.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f'wrote {len(out)} goldens to {path}')
+
+if __name__ == '__main__':
+    main()
