@@ -1,38 +1,392 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 that is SQL-expressible carries an exact
+ANSI-SQL mirror (same aliases, integer-stable values). Extraction itself is
+not SQL-expressible — its oracle instead reads the committed single-node
+golden parquet (tests/goldens/expected_sf001.parquet) so the distributed
+run is value-checked against reference-parity output, including an md5 over
+the full span sequence (true span-sequence equality, not just counts).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mineru_html_spark.core.synth import docs_for_sf
+from mineru_html_spark.functions import dedup as dd
+from mineru_html_spark.functions import media as md
+from mineru_html_spark.functions import rouge as rg
+from mineru_html_spark.functions import similarity as sim
+from mineru_html_spark.functions import text as tx
+from mineru_html_spark.plans.job import run_extraction
+from mineru_html_spark.sources.synthsource import synth_docs_df
+from mineru_html_spark.streaming.ingest import windowed_event_counts
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+EXPECTED_SF001 = os.path.join(REPO, 'tests', 'goldens',
+                              'expected_sf001.parquet')
+
+_STOP_SQL = ', '.join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace('sf', ''))
+    except ValueError:
+        return 0.01
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over the interleaved docs table
+    at sf=0.001 scale (synthesized deterministically per the north rule)."""
+    docs = synth_docs_df(spark, docs_for_sf(0.001))
+    return run_extraction(spark, docs)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline, value-checked via committed goldens."""
+    n = docs_for_sf(_sf_of(sf_dir))
+    docs = synth_docs_df(spark, n)
+    res = run_extraction(spark, docs)
+    return res.select(
+        'doc_id', 'status',
+        F.col('n_items').cast('int').alias('n_items'),
+        F.col('n_main').cast('int').alias('n_main'),
+        F.size('spans').cast('int').alias('n_spans'),
+        F.size(F.filter('spans', lambda s: s['kind'] == 'image'))
+         .cast('int').alias('n_image_spans'),
+        F.md5(F.concat_ws(
+            '\x1f',
+            F.transform('spans', lambda s: F.concat_ws(
+                '\x1e', s['kind'], s['text'], s['media_ref']))))
+         .alias('spans_sha'),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return tx.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_features(spark, sf_dir):
+    return tx.quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_doc_stats_by_source(spark, sf_dir):
+    d = tx.doc_stats_by_source(_docs(spark, sf_dir))
+    return d.select(
+        'source', 'n_docs', 'sum_chars',
+        F.round(F.lit(100) * F.col('sum_chars') / F.col('n_docs'))
+         .cast('long').alias('avg_chars_centi'))
+
+
+def q_ngram_profile(spark, sf_dir):
+    return tx.ngram_profile(_docs(spark, sf_dir), n=5)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        'value_milli', F.round(F.col('value') * 1000).cast('long'))
+    agg = (ev.groupBy(F.date_trunc('hour', 'ts').alias('window_start'),
+                      'event_type')
+           .agg(F.count('*').alias('n_events'),
+                F.sum('value_milli').alias('sum_value_milli')))
+    return agg
+
+
+def q_streaming_events_hourly(spark, sf_dir):
+    """Same aggregation through the Structured-Streaming operator
+    (batch-mode execution of the identical plan; watermark applies when
+    fed a stream)."""
+    ev = _events(spark, sf_dir).withColumn(
+        'value', F.round(F.col('value') * 1000).cast('long').cast('double'))
+    out = windowed_event_counts(ev)
+    return out.select('window_start', 'event_type', 'n_events',
+                      F.col('sum_value').cast('long').alias('sum_value_milli'))
+
+
+def q_resume_antijoin(spark, sf_dir):
+    """Checkpoint-resume semantics (S8): drop docs whose partition is done.
+    Done-set here is the deterministic rule doc_id % 7 == 0."""
+    docs = _docs(spark, sf_dir)
+    done = docs.where(F.col('doc_id') % 7 == 0).select('doc_id')
+    return (docs.join(F.broadcast(done), 'doc_id', 'left_anti')
+            .select('doc_id', 'n_chars'))
+
+
+def q_top_docs_per_source(spark, sf_dir):
+    from pyspark.sql.window import Window
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy('source').orderBy(F.desc('n_chars'),
+                                             F.asc('doc_id'))
+    return (docs.withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= 5)
+            .select('source', 'doc_id', 'n_chars', 'rnk'))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col('vec_id') == 0).select('embedding').collect()
+    query = list(qvec[0]['embedding']) if qvec else []
+    return sim.cosine_topk(emb, query, k=20)
+
+
+def q_knn_probe(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return (sim.knn_self_join(emb, [0, 1, 2, 3, 4], k=5)
+            .select('qid', 'vec_id', 'cos_micro', 'rank'))
+
+
+def q_jaccard_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = (docs.where(F.col('doc_id') % 97 == 0)
+             .select(F.col('doc_id').alias('a'),
+                     (F.col('doc_id') + 1).alias('b')))
+    return dd.jaccard_pairs(docs, pairs, k=3)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidates (non-SQL: rows-only check)."""
+    return dd.lsh_candidate_pairs(_docs(spark, sf_dir), k=3)
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (non-SQL: rows-only check)."""
+    return dd.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (non-SQL: rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col('vec_id') == 0).select('embedding').collect()
+    query = list(qvec[0]['embedding']) if qvec else []
+    return sim.ann_topk_lsh(emb, query, k=20)
+
+
+def q_rouge_self(spark, sf_dir):
+    """ROUGE-N(5) metric operator: pred = doc text truncated to its first
+    200 chars vs gt = full text (non-SQL: rows-only check)."""
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 11 == 0)
+    pairs = docs.select('doc_id',
+                        F.substring('text', 1, 200).alias('pred'),
+                        F.col('text').alias('gt'))
+    return rg.rouge_eval(pairs, n=5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synth media payloads for refs derived from the
+    docs table, extract deterministic features (non-SQL: rows-only)."""
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0)
+    refs = docs.select(
+        F.concat(F.lit('media://doc/'), F.col('doc_id')).alias('media_ref'))
+    media = md.synth_media_df(spark, refs)
+    feats = md.extract_media_features(media)
+    return feats.select('media_ref', F.size('feat').alias('feat_dim'),
+                        'decode_status')
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        'extract_main': q_extract_main,
+        'token_count': q_token_count,
+        'quality_features': q_quality_features,
+        'lang_id': q_lang_id,
+        'fingerprint': q_fingerprint,
+        'dedup_exact': q_dedup_exact,
+        'doc_stats_by_source': q_doc_stats_by_source,
+        'ngram_profile': q_ngram_profile,
+        'events_hourly': q_events_hourly,
+        'streaming_events_hourly': q_streaming_events_hourly,
+        'resume_antijoin': q_resume_antijoin,
+        'top_docs_per_source': q_top_docs_per_source,
+        'cosine_topk': q_cosine_topk,
+        'knn_probe': q_knn_probe,
+        'jaccard_sample': q_jaccard_sample,
+        'minhash_pairs': q_minhash_pairs,
+        'simhash_dups': q_simhash_dups,
+        'ann_lsh_topk': q_ann_lsh_topk,
+        'rouge_self': q_rouge_self,
+        'media_features': q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_WORDS_AZ = "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z]+'), w -> len(w) > 0)"
+_WORDS_AZ09 = "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'), w -> len(w) > 0)"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_COS_EXPR = """
+cast(round(1000000 * (
+    list_sum(list_transform(range(0, len(e.embedding)),
+             i -> e.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE))
+    / (CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) = 0
+            THEN 1.0 ELSE sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) END
+       * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))))
+)) AS BIGINT)
+"""
+
+_SHINGLES3 = (
+    "CASE WHEN len(w) < 3 THEN [] "
+    "ELSE list_distinct(list_transform(range(0, len(w) - 2), "
+    "i -> array_to_string(list_slice(w, i+1, i+3), ' '))) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'extract_main': f"""
+            SELECT doc_id, status, n_items, n_main, n_spans, n_image_spans,
+                   spans_sha
+            FROM read_parquet('{EXPECTED_SF001}')
+        """,
+        'token_count': """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        'quality_features': f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_words,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z]+'),
+                                   w -> w IN ({_STOP_SQL}))) AS n_stopwords
+            FROM documents
+        """,
+        'lang_id': f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_WORDS_AZ}) AS nw,
+                     len(list_filter({_WORDS_AZ}, w -> w IN ({_STOP_SQL}))) AS ns
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN nw = 0 THEN 0
+                        ELSE cast(floor(1000 * ns / nw) AS INT) END AS stopword_permille,
+                   CASE WHEN (CASE WHEN nw = 0 THEN 0
+                              ELSE cast(floor(1000 * ns / nw) AS INT) END) >= 180
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM t
+        """,
+        'fingerprint': f"""
+            SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
+        """,
+        'dedup_exact': f"""
+            SELECT md5({_NORM_TEXT}) AS fp,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        'doc_stats_by_source': """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   cast(round(100.0 * sum(n_chars) / count(*)) AS BIGINT)
+                       AS avg_chars_centi
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        'ngram_profile': f"""
+            WITH t AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents)
+            SELECT doc_id, len(w) AS n_words,
+                   CASE WHEN len(w) < 5 THEN 0
+                        ELSE len(list_distinct(list_transform(
+                             range(0, len(w) - 4),
+                             i -> array_to_string(list_slice(w, i+1, i+5), ' '))))
+                   END AS n_distinct_ngrams
+            FROM t
+        """,
+        'events_hourly': """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
+            FROM events GROUP BY 1, 2
+        """,
+        'streaming_events_hourly': """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
+            FROM events GROUP BY 1, 2
+        """,
+        'resume_antijoin': """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 7 <> 0
+        """,
+        'top_docs_per_source': """
+            SELECT source, doc_id, n_chars, rnk FROM (
+              SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents) WHERE rnk <= 5
+        """,
+        'cosine_topk': f"""
+            SELECT e.vec_id, {_COS_EXPR} AS cos_micro
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_micro DESC, e.vec_id ASC LIMIT 20
+        """,
+        'knn_probe': f"""
+            SELECT qid, vec_id, cos_micro, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     {_COS_EXPR} AS cos_micro,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                        ORDER BY {_COS_EXPR} DESC, e.vec_id ASC) AS rank
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        'jaccard_sample': f"""
+            WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM wt),
+            pairs AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 97 = 0)
+            SELECT p.a, p.b,
+                   CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 0
+                        ELSE cast(floor(1000 * len(list_intersect(sa.s, sb.s))
+                             / len(list_distinct(list_concat(sa.s, sb.s)))) AS INT)
+                   END AS jaccard_permille
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.a
+            JOIN sh sb ON sb.doc_id = p.b
+        """,
+    }

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "documents/sec extracted", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+The headline metric is extraction throughput (docs/sec) over the
+deterministic synthetic interleaved docs table at the given sf, measured on
+a parquet-materialized input (so the scan, not synthesis, is timed — same
+shape as the production Iceberg read). Per-query wall times cover the other
+operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+
+    import __spark_entry__ as entry
+    from mineru_html_spark.core.synth import docs_for_sf
+    from mineru_html_spark.plans.job import run_extraction
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import materialized_docs
+
+    sf = entry._sf_of(sf_dir)
+    n_docs = docs_for_sf(sf)
+
+    spark = get_spark(f'local[{cpus}]', app_name='bench',
+                      shuffle_partitions=cpus)
+
+    timings = {}
+
+    # headline: extraction over materialized parquet docs
+    docs = materialized_docs(spark, n_docs)
+    t0 = time.time()
+    res = run_extraction(spark, docs, num_partitions=cpus)
+    n_out = res.count()
+    extract_sec = time.time() - t0
+    timings['extract_main'] = round(extract_sec, 3)
+
+    # operator-family queries (skip the duplicate extraction run)
+    for name, fn in entry.queries().items():
+        if name == 'extract_main':
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:
+            timings[name] = -1.0
+
+    docs_per_sec = n_out / extract_sec if extract_sec > 0 else 0.0
+    print(json.dumps({
+        'metric': 'documents/sec extracted',
+        'value': round(docs_per_sec, 2),
+        'unit': 'sec',
+        'queries': timings,
+        'sf': sf,
+        'n_docs': n_out,
+        'cpus': cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

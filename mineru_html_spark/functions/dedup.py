@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point is 100 TB, not 60k rows):
+  * exact dedup: one shuffle on a 32-byte hash — never on the text itself;
+  * MinHash: signatures are computed row-local with native higher-order
+    functions (JVM, no Python); only (band_hash, doc_id) pairs — a few
+    dozen bytes/doc — are shuffled for bucketing. Candidate pairs then
+    verify locally. This is the standard shingle→minhash→band→bucket-join
+    pipeline; band count/width trade recall vs shuffle volume.
+  * SimHash: vectorized numpy inside an Arrow-batched pandas UDF (bit
+    manipulation is not expressible efficiently in Spark SQL); banding by
+    16-bit chunks makes near-dup candidate generation a hash join, not a
+    cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Duplicate groups by normalized-text md5: keeper + group size."""
+    norm = F.trim(F.regexp_replace(F.lower('text'), r'\s+', ' '))
+    return (documents
+            .select(F.md5(norm).alias('fp'), 'doc_id')
+            .groupBy('fp')
+            .agg(F.min('doc_id').alias('keeper_doc_id'),
+                 F.count('*').alias('group_size')))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep one row per distinct normalized text (the keeper = min doc_id)."""
+    norm = F.trim(F.regexp_replace(F.lower('text'), r'\s+', ' '))
+    w = documents.withColumn('fp', F.md5(norm))
+    keepers = (w.groupBy('fp').agg(F.min('doc_id').alias('doc_id')))
+    # broadcast-free: join back on (fp, doc_id) — both sides pre-shuffled
+    # on fp by the groupBy, Catalyst reuses the exchange
+    return w.join(keepers, ['fp', 'doc_id'], 'left_semi').drop('fp')
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _words_col():
+    return F.filter(F.split(F.lower(F.trim('text')), r'[^a-z0-9]+'),
+                    lambda w: F.length(w) > 0)
+
+
+def shingle_sets(documents: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id + distinct k-word shingles (row-local, no explode)."""
+    docs = documents.select('doc_id', _words_col().alias('w'))
+    sh = F.when(F.size('w') < k, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size('w') - k),
+                    lambda i: F.array_join(F.slice('w', i + 1, k), ' ')))
+    return docs.select('doc_id', F.array_distinct(sh).alias('shingles'))
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """64-wide MinHash signature per doc, fully native (xxhash64 streams).
+
+    signature[h] = min over shingles of xxhash64(shingle, h).
+    """
+    sh = shingle_sets(documents, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(F.col('shingles'),
+                        lambda s: F.xxhash64(s, h))))
+    return (sh.where(F.size('shingles') > 0)
+              .select('doc_id', sig.alias('sig')))
+
+
+def lsh_candidate_pairs(documents: DataFrame, k: int = 3,
+                        num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash bucketing.
+
+    Shuffles only (band_id, band_hash, doc_id). Pair explosion inside a
+    bucket is bounded by bucket size; production adds a bucket-size cap
+    (drop degenerate buckets — boilerplate shingles) which we apply at 64.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(documents, k, num_hashes)
+    banded = sigs.select(
+        'doc_id',
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias('band_id'),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice('sig', b * rows + 1, rows),
+                                lambda x: x.cast('string')),
+                            ','), b).alias('band_hash')))
+        ).alias('band'))
+    buckets = (banded
+               .groupBy('band.band_id', 'band.band_hash')
+               .agg(F.collect_set('doc_id').alias('members'))
+               .where((F.size('members') > 1) & (F.size('members') <= 64)))
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform(
+                    'members',
+                    lambda a: F.transform(
+                        'members', lambda b: F.struct(a.alias('a'),
+                                                      b.alias('b'))))),
+                lambda p: p['a'] < p['b'])).alias('p'))
+    return pairs.select('p.a', 'p.b').distinct()
+
+
+def jaccard_pairs(documents: DataFrame, pairs: DataFrame,
+                  k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    Joins shingle sets to both sides; permille-integral output for
+    cross-engine comparability.
+    """
+    sh = shingle_sets(documents, k)
+    a = sh.select(F.col('doc_id').alias('a'), F.col('shingles').alias('sa'))
+    b = sh.select(F.col('doc_id').alias('b'), F.col('shingles').alias('sb'))
+    j = pairs.join(a, 'a').join(b, 'b')
+    inter = F.size(F.array_intersect('sa', 'sb'))
+    union = F.size(F.array_union('sa', 'sb'))
+    return j.select(
+        'a', 'b',
+        F.when(union == 0, F.lit(0))
+         .otherwise((F.lit(1000) * inter / union).cast('int'))
+         .alias('jaccard_permille'))
+
+
+def minhash_dedup(documents: DataFrame, k: int = 3,
+                  threshold_permille: int = 800) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify."""
+    pairs = lsh_candidate_pairs(documents, k)
+    scored = jaccard_pairs(documents, pairs, k)
+    return scored.where(F.col('jaccard_permille') >= threshold_permille)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = 'doc_id long, simhash long'
+
+
+def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import re as _re
+    tok = _re.compile(r'[a-z0-9]+')
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for pdf in batches:
+        out_ids, out_hashes = [], []
+        for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+            words = tok.findall(str(text).lower())
+            if not words:
+                out_ids.append(doc_id)
+                out_hashes.append(0)
+                continue
+            # vectorized 64-bit FNV-1a per word, then bit-vote
+            hashes = np.fromiter(
+                (_fnv1a64(w) for w in words), dtype=np.uint64,
+                count=len(words))
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out_ids.append(doc_id)
+            out_hashes.append(np.int64(sim & mask64))
+        yield pd.DataFrame({'doc_id': out_ids,
+                            'simhash': np.array(out_hashes, dtype=np.int64)})
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xcbf29ce484222325)
+    p = np.uint64(0x100000001b3)
+    for byte in s.encode('utf-8'):
+        h = np.uint64((int(h) ^ byte) * int(p) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched pandas UDF)."""
+    return documents.select('doc_id', 'text').mapInPandas(
+        _simhash_batch, _SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(documents: DataFrame,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any
+    pair within hamming<=3 shares at least one of 4 chunks), then verify
+    hamming distance exactly — a hash join, never a cross join."""
+    sh = simhash(documents)
+    chunks = sh.select(
+        'doc_id', 'simhash',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias('chunk_id'),
+                F.shiftright(F.col('simhash'), i * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias('chunk_val'))
+            for i in range(4)])).alias('c'))
+    left = chunks.select(F.col('doc_id').alias('a'),
+                         F.col('simhash').alias('ha'), 'c')
+    right = chunks.select(F.col('doc_id').alias('b'),
+                          F.col('simhash').alias('hb'), 'c')
+    cand = (left.join(right, ['c'])
+            .where(F.col('a') < F.col('b'))
+            .select('a', 'b', 'ha', 'hb').distinct())
+    hamming = F.bit_count(F.col('ha').bitwiseXOR(F.col('hb')))
+    return (cand.select('a', 'b', hamming.alias('hamming'))
+            .where(F.col('hamming') <= max_hamming))

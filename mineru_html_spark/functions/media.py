@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so the
+decode kernels are STUBBED (deterministic fakes clearly marked), but every
+Spark-side piece is real and tested: the schema, the Arrow batch shape, the
+mapInPandas signatures, and the partitioning. Swapping the fake kernel for a
+real one (PIL/ffmpeg) changes only the inner function.
+
+Schema convention:
+    media(media_ref string, payload binary, mime string,
+          width int, height int, n_frames int)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = ('media_ref string, payload binary, mime string, '
+                'width int, height int, n_frames int')
+
+FEATURES_SCHEMA = ('media_ref string, feat array<float>, '
+                   'decode_status string')
+
+_FEAT_DIM = 16
+
+
+def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
+    """Deterministic fake payloads for a media_ref column (no external
+    data): payload = sha256 stream of the ref; dims derived from the ref."""
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref in pdf['media_ref']:
+                h = hashlib.sha256(str(ref).encode()).digest()
+                rows.append({
+                    'media_ref': ref,
+                    'payload': h * 8,       # 256 fake bytes
+                    'mime': 'image/fake',
+                    'width': 64 + h[0] % 192,
+                    'height': 64 + h[1] % 192,
+                    'n_frames': 1,
+                })
+            yield pd.DataFrame(rows, columns=['media_ref', 'payload', 'mime',
+                                              'width', 'height', 'n_frames'])
+    return media_refs.select('media_ref').distinct().mapInPandas(
+        batch, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """STUB: real deployment decodes via PIL/libjpeg. Not available here."""
+    raise NotImplementedError(
+        'image decode requires PIL/libjpeg — not present in this sandbox; '
+        'use fake_feature_kernel for tests')
+
+
+def fake_feature_kernel(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode+embed: hash-derived unit vector.
+
+    Keeps the full Spark plumbing testable; replace with a real
+    decode->CNN/CLIP kernel in production.
+    """
+    h = hashlib.sha256(payload or b'').digest()
+    v = np.frombuffer((h * ((4 * _FEAT_DIM) // len(h) + 1))[:4 * _FEAT_DIM],
+                      dtype=np.uint32).astype(np.float64)[:_FEAT_DIM]
+    n = np.linalg.norm(v) or 1.0
+    return (v / n).astype(np.float32)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media -> per-item feature vectors, Arrow-batched.
+
+    At 100 TB media payloads dominate shuffle cost: this stage is placed
+    directly after the media scan (no repartition), so features — 64 bytes —
+    travel, payloads don't.
+    """
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, status = [], []
+            for payload in pdf['payload']:
+                try:
+                    feats.append(
+                        [float(x) for x in fake_feature_kernel(payload)])
+                    status.append('ok')
+                except Exception as e:  # pragma: no cover
+                    feats.append([])
+                    status.append(f'error: {e}')
+            yield pd.DataFrame({'media_ref': pdf['media_ref'],
+                                'feat': feats, 'decode_status': status})
+    return media.select('media_ref', 'payload').mapInPandas(
+        batch, FEATURES_SCHEMA)
+
+
+def media_refs_from_results(results: DataFrame) -> DataFrame:
+    """Media references surviving extraction (the images worth decoding).
+    Native explode of the spans column, filtered to image spans."""
+    return (results
+            .select(F.explode('spans').alias('s'))
+            .where(F.col('s.kind') == 'image')
+            .select(F.col('s.media_ref').alias('media_ref'))
+            .distinct())

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+  * brute-force cosine top-k — the exact baseline; all arithmetic native
+    (zip_with/aggregate -> whole-stage codegen), one narrow projection and
+    a top-k (TakeOrderedAndProject — no full sort);
+  * random-hyperplane LSH — the scale path: signatures via a vectorized
+    numpy pandas-UDF (matrix multiply per Arrow batch), bucket join of
+    query signatures against base signatures, exact rerank only inside
+    buckets. Hyperplanes are seeded-deterministic and broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_scores(embeddings: DataFrame, query: Sequence[float],
+                  vec_col: str = 'embedding') -> DataFrame:
+    """Cosine similarity of every vector vs a literal query vector.
+
+    Returned as micro-units (int) so cross-engine value hashes agree.
+    """
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q))) or 1.0
+    qcol = F.array(*[F.lit(x).cast('double') for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast('double'))
+    cos = _dot(v, qcol) / (F.when(_norm(v) == 0, F.lit(1.0))
+                           .otherwise(_norm(v)) * F.lit(qn))
+    return embeddings.select(
+        'vec_id', F.round(cos * 1000000).cast('long').alias('cos_micro'))
+
+
+def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 20,
+                vec_col: str = 'embedding') -> DataFrame:
+    """Exact top-k by cosine; ties broken by vec_id for determinism."""
+    scored = cosine_scores(embeddings, query, vec_col)
+    return (scored.orderBy(F.desc('cos_micro'), F.asc('vec_id')).limit(k))
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                   seed: int = 7, vec_col: str = 'embedding') -> DataFrame:
+    """Sign-pattern signature per vector (one int), numpy per Arrow batch."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mat = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vec_col]])
+            signs = (mat @ planes.T) > 0
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                sig |= signs[:, b].astype(np.int64) << b
+            yield pd.DataFrame({'vec_id': pdf['vec_id'], 'sig': sig})
+
+    return embeddings.select('vec_id', vec_col).mapInPandas(
+        batch, 'vec_id long, sig long')
+
+
+def ann_topk_lsh(embeddings: DataFrame, query: Sequence[float], k: int = 20,
+                 n_planes: int = 12, seed: int = 7,
+                 max_probe_hamming: int = 2,
+                 vec_col: str = 'embedding') -> DataFrame:
+    """Approximate top-k: probe buckets within hamming<=r of the query
+    signature, exact-rerank candidates. Candidate set shrinks ~2^-planes."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(list(query), dtype=np.float64)
+    qsig = 0
+    for b in range(n_planes):
+        if float(planes[b] @ qv) > 0:
+            qsig |= 1 << b
+
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, vec_col)
+    probe = sigs.where(
+        F.bit_count(F.col('sig').bitwiseXOR(F.lit(qsig)))
+        <= max_probe_hamming)
+    cands = embeddings.join(probe.select('vec_id'), 'vec_id', 'left_semi')
+    return cosine_topk(cands, query, k, vec_col)
+
+
+def knn_self_join(embeddings: DataFrame, sample_ids: List[int], k: int = 5,
+                  vec_col: str = 'embedding') -> DataFrame:
+    """Exact kNN for a small probe set: broadcast the probes, never a full
+    cross join of the base table with itself."""
+    probes = (embeddings
+              .where(F.col('vec_id').isin(sample_ids))
+              .select(F.col('vec_id').alias('qid'),
+                      F.col(vec_col).alias('qvec')))
+    j = embeddings.crossJoin(F.broadcast(probes)) \
+        .where(F.col('vec_id') != F.col('qid'))
+    va = F.transform(F.col(vec_col), lambda x: x.cast('double'))
+    vb = F.transform(F.col('qvec'), lambda x: x.cast('double'))
+    cos = _dot(va, vb) / (
+        (F.when(_norm(va) == 0, F.lit(1.0)).otherwise(_norm(va)))
+        * (F.when(_norm(vb) == 0, F.lit(1.0)).otherwise(_norm(vb))))
+    scored = j.select('qid', 'vec_id',
+                      F.round(cos * 1000000).cast('long').alias('cos_micro'))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy('qid').orderBy(F.desc('cos_micro'),
+                                          F.asc('vec_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= k))

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs. Each operator has an exact ANSI-SQL mirror in
+``__spark_entry__.oracle_sql`` so the DuckDB gate checks values, and each is
+designed to scale: single narrow projection + one optional shuffle for the
+aggregating variants.
+
+Counts are returned as integers (not ratios) so cross-engine value hashing
+is exact; callers can derive ratios.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Frozen stopword list — shared verbatim with the SQL oracles.
+STOPWORDS = (
+    'the', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on',
+    'are', 'as', 'with', 'his', 'they', 'at', 'be', 'this', 'have', 'from',
+    'or', 'one', 'had', 'by', 'but', 'not', 'what', 'all', 'were', 'we',
+    'when', 'your', 'can', 'said', 'there', 'an', 'she', 'do', 'how',
+)
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace token count per document (BPE-free baseline)."""
+    return documents.select(
+        'doc_id',
+        F.when(F.length(F.trim('text')) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim('text'), r'\s+'))).alias('n_tokens'),
+    )
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Deterministic quality signals: lengths and class counts.
+
+    n_chars / n_words / n_punct / n_upper / n_stopwords; quality gating is a
+    downstream filter on these (kept integral for cross-engine parity).
+    """
+    words = F.split(F.trim('text'), r'\s+')
+    lower_words = F.split(F.lower(F.trim('text')), r'[^a-z]+')
+    return documents.select(
+        'doc_id',
+        F.length('text').alias('n_chars'),
+        F.when(F.length(F.trim('text')) == 0, F.lit(0))
+         .otherwise(F.size(words)).alias('n_words'),
+        (F.length('text')
+         - F.length(F.regexp_replace('text', r'[.,!?;:]', ''))
+         ).alias('n_punct'),
+        (F.length('text')
+         - F.length(F.regexp_replace('text', r'[A-Z]', ''))
+         ).alias('n_upper'),
+        F.size(F.filter(
+            lower_words,
+            lambda w: w.isin(*STOPWORDS))).alias('n_stopwords'),
+    )
+
+
+def lang_id(documents: DataFrame,
+            min_ratio_permille: int = 180) -> DataFrame:
+    """Heuristic language ID: English-stopword density in a-z word stream.
+
+    1000 * n_stopwords / n_alpha_words >= threshold -> 'en' else 'other'.
+    Integral permille keeps the decision boundary identical across engines.
+    """
+    lower_words = F.filter(
+        F.split(F.lower(F.trim('text')), r'[^a-z]+'),
+        lambda w: F.length(w) > 0)
+    n_words = F.size(lower_words)
+    n_stop = F.size(F.filter(lower_words, lambda w: w.isin(*STOPWORDS)))
+    # floor, not cast: DuckDB's double->int cast rounds, Spark's truncates
+    permille = F.when(n_words == 0, F.lit(0)) \
+        .otherwise(F.floor(F.lit(1000) * n_stop / n_words).cast('int'))
+    return documents.select(
+        'doc_id',
+        permille.alias('stopword_permille'),
+        F.when(permille >= min_ratio_permille, F.lit('en'))
+         .otherwise(F.lit('other')).alias('lang_pred'),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased text.
+
+    md5 is bit-identical across Spark and DuckDB, making the fingerprint
+    portable; at cluster scale it feeds exact dedup's shuffle key.
+    """
+    norm = F.trim(F.regexp_replace(F.lower('text'), r'\s+', ' '))
+    return documents.select(
+        'doc_id', F.md5(norm).alias('fp'))
+
+
+def ngram_profile(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct word-n-gram count per doc (the unit under ROUGE-N, A1).
+
+    Shingling is a native higher-order-function transform — no UDF,
+    no explode (the per-doc set never leaves the row).
+    """
+    words = F.filter(F.split(F.lower(F.trim('text')), r'[^a-z0-9]+'),
+                     lambda w: F.length(w) > 0)
+    docs = documents.select('doc_id', words.alias('w'))
+    shingles = F.when(
+        F.size('w') < n, F.array()
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size('w') - n),
+            lambda i: F.array_join(F.slice('w', i + 1, n), ' ')))
+    return docs.select(
+        'doc_id',
+        F.size('w').alias('n_words'),
+        F.size(F.array_distinct(shingles)).alias('n_distinct_ngrams'),
+    )
+
+
+def doc_stats_by_source(documents: DataFrame) -> DataFrame:
+    """Grouped corpus statistics (analog of the reference's per-level
+    metric reduction, eval_baselines/base.py:262-272)."""
+    return (documents.groupBy('source')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('n_chars').alias('sum_chars'),
+                 (F.sum('n_chars') / F.count('*')).alias('avg_chars'))
+            .orderBy('source'))

@@ -1,0 +1,56 @@
+"""Structured Streaming surfaces.
+
+The reference is batch-only (its "resume" is a file-existence scan —
+SURVEY.md §2.9), so the batch job + lineage anti-join is the primary
+continuity story. These streaming entry points cover the continuous-ingest
+deployment mode: new doc files appear in a landing directory, the SAME fused
+extraction operator runs over each micro-batch, results append to the sink —
+exactly-once via Spark's checkpoint + sink commit log.
+
+``Trigger.AvailableNow`` drains the backlog and stops, which doubles as the
+test harness and as an incremental catch-up job in production cron mode.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract_op import apply_extract
+from ..sources.synthsource import DOCS_SCHEMA
+
+
+def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
+                   checkpoint_dir: str):
+    """File-stream of docs parquet -> extraction -> parquet sink.
+
+    Returns the StreamingQuery (caller awaits termination). maxFilesPerTrigger
+    bounds micro-batch memory the same way Arrow batch size bounds the UDF.
+    """
+    docs = (spark.readStream.schema(DOCS_SCHEMA)
+            .option('maxFilesPerTrigger', 8)
+            .parquet(in_dir))
+    results = apply_extract(docs)
+    return (results.writeStream
+            .format('parquet')
+            .option('path', out_dir)
+            .option('checkpointLocation', checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    Works identically on a batch DataFrame (the oracle gate runs it batch);
+    in streaming mode the watermark bounds state for late data.
+    """
+    is_streaming = events.isStreaming
+    if is_streaming:
+        events = events.withWatermark('ts', '1 hour')
+    return (events
+            .groupBy(F.window('ts', '1 hour').alias('w'), 'event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.round(F.sum('value'), 4).alias('sum_value'))
+            .select(F.col('w.start').alias('window_start'), 'event_type',
+                    'n_events', 'sum_value'))

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry at sf=0.01 on local Spark, runs the matching
+oracle_sql() in DuckDB with the sf tables registered as views, and compares
+row count, sorted column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [query ...]
+"""
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get('ORACLE_SF_DIR', '/root/testdata/sf0.01')
+TABLES = ('region nation customer supplier part orders lineitem events '
+          'documents embeddings').split()
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5(repr(canon).encode()).hexdigest()
+    return h
+
+
+def _norm(v):
+    import datetime
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def main():
+    import duckdb
+    import __spark_entry__ as entry
+    from mineru_html_spark.plans.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark('local[8]', app_name='oracle-check',
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f'{t}.parquet')
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f'FAIL  {name}: spark error: {e}')
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f'rows-only  {name}: {len(srows)} rows, '
+                  f'cols={scols} ({dt:.1f}s)')
+            if len(srows) == 0:
+                print(f'  WARNING: zero rows')
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = [tuple(r) for r in rel.fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f'FAIL  {name}: duckdb error: {e}')
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_hash = (value_hash(scols, srows) == value_hash(dcols, drows)
+                   if ok_count and ok_cols else False)
+        status = 'OK   ' if (ok_count and ok_cols and ok_hash) else 'FAIL '
+        if status.startswith('FAIL'):
+            failures.append(name)
+        print(f'{status} {name}: rows {len(srows)}/{len(drows)} '
+              f'cols_match={ok_cols} hash_match={ok_hash} ({dt:.1f}s)')
+        if not ok_hash and ok_count and ok_cols:
+            # show first differing row for debugging
+            so = sorted(srows)
+            do = sorted(drows)
+            for a, b in zip(so, do):
+                an = tuple(_norm(x) for x in a)
+                bn = tuple(_norm(x) for x in b)
+                if an != bn:
+                    print(f'   spark : {a}')
+                    print(f'   duckdb: {b}')
+                    break
+    spark.stop()
+    print('FAILURES:', failures if failures else 'none')
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,63 @@
+"""Generate the sf0.01 expected-output parquet for the DuckDB oracle gate.
+
+Single-node reference-parity run of the extractor over the deterministic
+synthetic docs at sf=0.01 (the driver's oracle scale). The distributed Spark
+query must reproduce these rows exactly — including spans_sha, an md5 over
+the full (kind, text, media_ref) span sequence, so the oracle checks true
+span-sequence equality, not just counts.
+
+Regenerate ONLY on intentional semantic changes:  python tools/make_expected.py
+"""
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mineru_html_spark.core.extract import extract_document
+from mineru_html_spark.core.synth import docs_for_sf, gen_doc
+
+US, RS = '\x1f', '\x1e'
+
+
+def spans_sha(spans) -> str:
+    joined = US.join(
+        RS.join((s['kind'], s['text'], s['media_ref'])) for s in spans)
+    return hashlib.md5(joined.encode('utf-8')).hexdigest()
+
+
+def main():
+    n = docs_for_sf(0.01)
+    rows = {k: [] for k in ('doc_id', 'status', 'n_items', 'n_main',
+                            'n_spans', 'n_image_spans', 'spans_sha')}
+    for i in range(n):
+        d = gen_doc(i)
+        r = extract_document(d['doc_id'], d['spans'])
+        rows['doc_id'].append(r['doc_id'])
+        rows['status'].append(r['status'])
+        rows['n_items'].append(r['n_items'])
+        rows['n_main'].append(r['n_main'])
+        rows['n_spans'].append(len(r['spans']))
+        rows['n_image_spans'].append(
+            sum(1 for s in r['spans'] if s['kind'] == 'image'))
+        rows['spans_sha'].append(spans_sha(r['spans']))
+    table = pa.table({
+        'doc_id': pa.array(rows['doc_id'], pa.string()),
+        'status': pa.array(rows['status'], pa.string()),
+        'n_items': pa.array(rows['n_items'], pa.int32()),
+        'n_main': pa.array(rows['n_main'], pa.int32()),
+        'n_spans': pa.array(rows['n_spans'], pa.int32()),
+        'n_image_spans': pa.array(rows['n_image_spans'], pa.int32()),
+        'spans_sha': pa.array(rows['spans_sha'], pa.string()),
+    })
+    out = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens',
+                       'expected_sf001.parquet')
+    pq.write_table(table, out)
+    print(f'wrote {n} expected rows to {out}')
+
+
+if __name__ == '__main__':
+    main()

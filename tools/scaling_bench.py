@@ -1,0 +1,74 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 at N->4N).
+
+Runs the identical extraction job at local[8] and local[32] on the same
+materialized parquet input and reports throughput at both plus
+efficiency = (T_4N / T_N) / 4. Writes BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [sf]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mineru_html_spark.core.synth import docs_for_sf
+from mineru_html_spark.plans.job import run_extraction
+from mineru_html_spark.plans.session import get_spark
+from mineru_html_spark.sources.synthsource import materialized_docs
+
+
+def run_at(cores: int, n_docs: int, runs: int = 2) -> dict:
+    spark = get_spark(f'local[{cores}]', app_name=f'scale-{cores}',
+                      shuffle_partitions=cores)
+    docs = materialized_docs(spark, n_docs)
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        n = run_extraction(spark, docs, num_partitions=cores).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    spark.stop()
+    return {'cores': cores, 'wall_sec': round(best, 2),
+            'docs_per_sec': round(n / best, 2), 'n_docs': n}
+
+
+def main():
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n_docs = docs_for_sf(sf)
+    lo = run_at(8, n_docs)
+    hi = run_at(32, n_docs)
+    eff = (hi['docs_per_sec'] / lo['docs_per_sec']) / 4.0
+    result = {'sf': sf, 'n_docs': n_docs, 'N8': lo, 'N32': hi,
+              'scaling_efficiency': round(eff, 3)}
+    print(json.dumps(result))
+
+    md = f"""# BENCH — scaling evidence (north rule)
+
+Same extraction job, same materialized parquet input (sf={sf},
+{n_docs} synthetic interleaved docs), two parallelism levels on one
+machine (stand-in for N vs 4N executors; best of 2 runs each).
+
+| cores | wall (s) | docs/sec |
+|---|---|---|
+| 8 (N) | {lo['wall_sec']} | {lo['docs_per_sec']} |
+| 32 (4N) | {hi['wall_sec']} | {hi['docs_per_sec']} |
+
+**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (target >= 0.8).
+
+Why it scales: the job is one fused Arrow-UDF stage after a single
+size-salted shuffle; no joins, no aggregation barrier, no driver
+collect. Partition count == cores at each level, giant pages salted
+across partitions (operators/skew.py), AQE coalesces remainders.
+"""
+    out = os.path.join(os.path.dirname(__file__), '..', 'BENCH',
+                       'BASELINE.md')
+    with open(out, 'w') as f:
+        f.write(md)
+    print(f'wrote {out}')
+
+
+if __name__ == '__main__':
+    main()
