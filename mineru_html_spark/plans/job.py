@@ -27,9 +27,16 @@ from .lineage import (anti_join_done, read_done_parts, with_part_id,
 
 def run_extraction(spark: SparkSession, docs: DataFrame,
                    num_partitions: Optional[int] = None) -> DataFrame:
-    """docs(doc_id, spans) → results; no sink, no checkpointing."""
+    """docs(doc_id, spans) → results; no sink, no checkpointing.
+
+    Default partition fan-out is 4x cores: the UDF stage is compute-bound
+    with heavy-tailed per-doc cost, so oversplitting lets the scheduler
+    level stragglers (a partition stuck with several giant pages).
+    Explicit numPartitions on repartition() keeps AQE from coalescing the
+    exchange back down (AQE targets shuffle bytes, not CPU).
+    """
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
     docs = with_doc_bytes(docs.select('doc_id', 'spans'))
     docs = salted_repartition(docs, num_partitions)
     return apply_extract(docs.select('doc_id', 'spans'))

@@ -1,0 +1,153 @@
+"""Correctness of training-data operators against brute-force references."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope='module')
+def docs_df(spark):
+    rows = [
+        (1, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'a', 0),
+        (2, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'a', 0),  # exact dup of 1
+        (3, 'the quick brown fox jumps over the lazy cat again and again', 'en', 'a', 0),  # near dup of 1
+        (4, 'completely different content about spark shuffle partitions', 'en', 'b', 0),
+        (5, 'short', 'en', 'b', 0),
+        (6, '', 'en', 'b', 0),
+    ]
+    df = spark.createDataFrame(rows,
+                               'doc_id long, text string, lang string, '
+                               'source string, n_chars long')
+    return df.withColumn('n_chars', F.length('text'))
+
+
+def test_exact_dedup(spark, docs_df):
+    from mineru_html_spark.functions.dedup import exact_dedup, exact_dedup_groups
+    groups = {r['keeper_doc_id']: r['group_size']
+              for r in exact_dedup_groups(docs_df).collect()}
+    assert groups[1] == 2          # docs 1,2 collapse
+    kept = exact_dedup(docs_df)
+    ids = {r['doc_id'] for r in kept.select('doc_id').collect()}
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_minhash_finds_near_dup(spark, docs_df):
+    from mineru_html_spark.functions.dedup import minhash_dedup
+    out = minhash_dedup(docs_df, k=3, threshold_permille=500).collect()
+    pairs = {(r['a'], r['b']) for r in out}
+    assert (1, 2) in pairs         # exact dup: jaccard 1000
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found via LSH
+    assert all(r['jaccard_permille'] >= 500 for r in out)
+
+
+def test_jaccard_matches_python(spark, docs_df):
+    from mineru_html_spark.functions.dedup import jaccard_pairs
+
+    def shingles(t, k=3):
+        ws = [w for w in ''.join(
+            c if c.isalnum() else ' ' for c in t.lower()).split() if w]
+        return {' '.join(ws[i:i + k]) for i in range(len(ws) - k + 1)} \
+            if len(ws) >= k else set()
+
+    texts = {r['doc_id']: r['text'] for r in docs_df.collect()}
+    pairs = spark.createDataFrame([(1, 3), (1, 4)], 'a long, b long')
+    got = {(r['a'], r['b']): r['jaccard_permille']
+           for r in jaccard_pairs(docs_df, pairs, k=3).collect()}
+    for (a, b), jp in got.items():
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        want = math.floor(1000 * len(sa & sb) / len(sa | sb)) \
+            if sa | sb else 0
+        assert jp == want, (a, b)
+
+
+def test_simhash_exact_dup_zero_hamming(spark, docs_df):
+    from mineru_html_spark.functions.dedup import simhash, simhash_near_dups
+    hashes = {r['doc_id']: r['simhash'] for r in simhash(docs_df).collect()}
+    assert hashes[1] == hashes[2]
+    dups = {(r['a'], r['b']): r['hamming']
+            for r in simhash_near_dups(docs_df, max_hamming=10).collect()}
+    assert dups[(1, 2)] == 0
+    # near-dup doc 3 within small hamming of 1
+    assert (1, 3) in dups and dups[(1, 3)] <= 10
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    from mineru_html_spark.functions.similarity import cosine_topk
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((50, 8)).astype('float32')
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        'vec_id long, embedding array<float>')
+    q = vecs[0]
+    got = [r['vec_id'] for r in cosine_topk(df, [float(x) for x in q],
+                                            k=5).collect()]
+    sims = (vecs.astype(np.float64) @ q.astype(np.float64)) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1)
+        * np.linalg.norm(q.astype(np.float64)))
+    micro = np.round(sims * 1e6).astype(np.int64)
+    want = sorted(range(50), key=lambda i: (-micro[i], i))[:5]
+    assert got == want
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    # clustered data — the near-duplicate retrieval regime LSH is for
+    # (on isotropic random vectors hyperplane LSH has no signal)
+    import numpy as np
+    from mineru_html_spark.functions.similarity import ann_topk_lsh, cosine_topk
+    rng = np.random.RandomState(1)
+    centers = rng.standard_normal((20, 16)) * 3
+    vecs = np.vstack([
+        c + 0.15 * rng.standard_normal((10, 16)) for c in centers
+    ]).astype('float32')
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        'vec_id long, embedding array<float>')
+    q = [float(x) for x in vecs[7]]    # inside cluster 0
+    exact = {r['vec_id'] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r['vec_id'] for r in
+              ann_topk_lsh(df, q, k=10, n_planes=10,
+                           max_probe_hamming=2).collect()}
+    assert len(exact & approx) >= 8
+
+
+def test_rouge_identity_and_disjoint(spark):
+    from mineru_html_spark.functions.rouge import rouge_eval, rouge_n
+    text = 'one two three four five six seven eight nine ten'
+    assert rouge_n(text, text, 5) == (1.0, 1.0, 1.0)
+    assert rouge_n('alpha beta gamma delta epsilon zeta',
+                   'uno dos tres cuatro cinco seis', 5) == (0.0, 0.0, 0.0)
+    pairs = spark.createDataFrame(
+        [(1, text, text),
+         (2, 'one two three four five', text)],
+        'doc_id long, pred string, gt string')
+    rows = {r['doc_id']: r for r in rouge_eval(pairs, n=5).collect()}
+    assert rows[1]['f1_micro'] == 1000000
+    # pred covers 1 of 6 gt 5-grams, all of its own 1
+    assert rows[2]['prec_micro'] == 1000000
+    assert rows[2]['rec_micro'] == round(1000000 / 6)
+
+
+def test_media_plumbing(spark):
+    from mineru_html_spark.functions.media import (
+        extract_media_features, synth_media_df)
+    refs = spark.createDataFrame([(f'media://x/{i}',) for i in range(7)],
+                                 'media_ref string')
+    media = synth_media_df(spark, refs)
+    assert media.count() == 7
+    row = media.first()
+    assert row['mime'] == 'image/fake' and len(row['payload']) == 256
+    feats = extract_media_features(media).collect()
+    assert all(r['decode_status'] == 'ok' and len(r['feat']) == 16
+               for r in feats)
+    # determinism
+    feats2 = extract_media_features(media).collect()
+    assert {r['media_ref']: r['feat'] for r in feats} == \
+        {r['media_ref']: r['feat'] for r in feats2}
+
+
+def test_decode_stub_raises(spark):
+    from mineru_html_spark.functions.media import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b'x', 'image/png')
