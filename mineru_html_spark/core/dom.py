@@ -99,11 +99,15 @@ class Node:
 
     # -- traversal ---------------------------------------------------------
     def iter(self) -> Iterator['Node']:
-        """self + all descendant elements, document order."""
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter()
+        """self + all descendant elements, document order (iterative —
+        this is the hottest traversal in the engine)."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            # push children reversed to keep document order
+            stack.extend(c for c in reversed(n.children)
+                         if isinstance(c, Node))
 
     def iter_descendants(self) -> Iterator['Node']:
         for c in self.children:

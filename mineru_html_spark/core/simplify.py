@@ -248,22 +248,36 @@ class Block:
     depth: int = 0
 
 
-def _link_text_len(node: Node) -> int:
-    total = 0
-    for n in node.iter():
-        if n.tag == 'a':
-            total += len(n.norm_text())
-    return total
+def _gather_features(node: Node) -> Tuple[str, int, int]:
+    """One pass: (normalized text, link-text length, img-with-src count).
 
-
-def _img_with_src_count(node: Node) -> int:
-    c = 0
-    for n in node.iter():
-        if n.tag == 'img':
-            src = (n.get('src') or '').strip()
+    link-text counts characters lying under at least one <a> ancestor —
+    equivalent to the per-anchor norm_text sum for well-formed HTML, in a
+    single walk instead of one walk per anchor.
+    """
+    text_parts: List[str] = []
+    link_chars = 0
+    n_imgs = 0
+    # explicit stack of (node_or_text, inside_link)
+    stack: List[tuple] = [(node, node.tag == 'a')]
+    while stack:
+        item, in_a = stack.pop()
+        if isinstance(item, str):
+            if in_a:
+                link_chars += len(_WS_RE.sub(' ', item).strip())
+            text_parts.append(item)
+            continue
+        if item.tag == 'img':
+            src = (item.get('src') or '').strip()
             if src and not src.startswith('data:image/'):
-                c += 1
-    return c
+                n_imgs += 1
+        for c in reversed(item.children):
+            if isinstance(c, str):
+                stack.append((c, in_a))
+            else:
+                stack.append((c, in_a or c.tag == 'a'))
+    text = _WS_RE.sub(' ', ''.join(text_parts)).strip()
+    return text, link_chars, n_imgs
 
 
 def _depth(node: Node) -> int:
@@ -384,7 +398,7 @@ class Segmenter:
         node.item_id = item_id
         clone.set('_item_id', str(item_id))
 
-        text = node.norm_text()
+        text, link_len, n_imgs = _gather_features(node)
         blk = Block(
             item_id=item_id,
             content_type=content_type,
@@ -394,8 +408,8 @@ class Segmenter:
             else (node.parent.tag if node.parent is not None else 'body'),
             text=text,
             text_len=len(text),
-            link_text_len=_link_text_len(node),
-            n_imgs=_img_with_src_count(node),
+            link_text_len=link_len,
+            n_imgs=n_imgs,
             class_id_tokens=[t.lower() for t in
                              node.class_tokens() + node.id_tokens()],
             depth=_depth(node),
