@@ -1,0 +1,66 @@
+"""Table catalog abstraction: Iceberg in production, parquet here.
+
+The north rule targets Iceberg tables (snapshot-isolated per-partition
+commits, partition pruning, schema evolution). This sandbox ships no
+iceberg-spark-runtime jar, so the writer degrades to parquet with dynamic
+partition overwrite — same idempotent-commit semantics the lineage layer
+relies on, weaker atomicity (documented). The switch is a config, not a
+code path: every caller goes through `TableIO`.
+
+Production config (for spark-submit --py-files deployment):
+    --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hive  (or rest/glue/hadoop)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            'org.apache.iceberg.spark.SparkCatalog')
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Read/write tables by name (Iceberg catalog) or path (parquet)."""
+
+    def __init__(self, spark: SparkSession, catalog: str | None = None):
+        self.spark = spark
+        self.catalog = catalog if (catalog and iceberg_available(spark)) \
+            else None
+
+    def read(self, table_or_path: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f'{self.catalog}.{table_or_path}')
+        return self.spark.read.parquet(table_or_path)
+
+    def append(self, df: DataFrame, table_or_path: str,
+               partition_col: str | None = None) -> None:
+        """Append; parquet mode must keep the existing partition layout
+        (mixing flat and partitioned files breaks partition discovery)."""
+        if self.catalog:
+            df.writeTo(f'{self.catalog}.{table_or_path}').append()
+        else:
+            w = df.write.mode('append')
+            if partition_col:
+                w = w.partitionBy(partition_col)
+            w.parquet(table_or_path)
+
+    def overwrite_partitions(self, df: DataFrame, table_or_path: str,
+                             partition_col: str) -> None:
+        """Idempotent per-partition replace: Iceberg overwritePartitions
+        (snapshot commit) or parquet dynamic partition overwrite."""
+        if self.catalog:
+            df.writeTo(f'{self.catalog}.{table_or_path}') \
+              .overwritePartitions()
+        else:
+            self.spark.conf.set(
+                'spark.sql.sources.partitionOverwriteMode', 'dynamic')
+            (df.write.mode('overwrite').partitionBy(partition_col)
+             .parquet(table_or_path))

@@ -1,0 +1,82 @@
+"""Evaluation harness: the reference's eval_baseline job, Spark-first.
+
+Mirrors /root/reference/app/eval_baseline.py + eval_baselines/base.py:
+extract → per-case metric (ROUGE-N + span equality) → flat CSV export (S5)
+→ per-level/global mean reduction (S6, A2/A3) → error rows kept as rows
+(S7). All reductions are native groupBy/agg; only the ROUGE fold is an
+Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.rouge import rouge_eval
+from ..operators.extract_op import apply_extract
+
+
+def span_text(col='spans'):
+    """Visible text of a span sequence (native)."""
+    return F.array_join(
+        F.transform(col, lambda s: F.when(s['kind'] == 'text', s['text'])
+                    .otherwise(F.lit(''))), ' ')
+
+
+def evaluate(spark: SparkSession, docs: DataFrame,
+             golden: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) + golden(doc_id, spans, status) -> per-doc rows:
+    rouge metrics, span-sequence equality flag, statuses."""
+    results = apply_extract(docs.select('doc_id', 'spans'))
+    g = golden.select(
+        F.col('doc_id'),
+        F.col('spans').alias('gold_spans'),
+        F.col('status').alias('gold_status'))
+    j = results.join(g, 'doc_id', 'left')
+
+    seq = F.transform('spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    gseq = F.transform('gold_spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    scored = j.select(
+        'doc_id', 'status', 'gold_status',
+        (seq == gseq).alias('span_equal'),
+        span_text('spans').alias('pred'),
+        span_text('gold_spans').alias('gt'),
+    )
+    metrics = rouge_eval(
+        scored.selectExpr('hash(doc_id) as doc_id', 'pred', 'gt'))
+    scored = scored.withColumn('k', F.hash('doc_id')).join(
+        metrics.withColumnRenamed('doc_id', 'k'), 'k').drop('k')
+    return scored
+
+
+def export_results(scored: DataFrame, out_dir: str) -> dict:
+    """Flat CSV + JSON mean summary + error rows (reference S5/S6/S7)."""
+    os.makedirs(out_dir, exist_ok=True)
+    flat = scored.select('doc_id', 'status', 'gold_status', 'span_equal',
+                         'prec_micro', 'rec_micro', 'f1_micro')
+    flat.write.mode('overwrite').option('header', True).csv(
+        os.path.join(out_dir, 'flat_eval_result'))
+
+    errors = scored.where(F.col('status') == 'error')
+    errors.write.mode('overwrite').json(os.path.join(out_dir, 'errors'))
+
+    summary = flat.agg(
+        F.count('*').alias('n_cases'),
+        F.avg(F.col('span_equal').cast('int')).alias('span_equal_rate'),
+        F.avg('prec_micro').alias('mean_prec_micro'),
+        F.avg('rec_micro').alias('mean_rec_micro'),
+        F.avg('f1_micro').alias('mean_f1_micro'),
+    ).collect()[0].asDict()
+    by_status = {r['status']: r['count'] for r in
+                 flat.groupBy('status').count().collect()}
+    summary['by_status'] = by_status
+    import json
+    with open(os.path.join(out_dir, 'mean_eval_result.json'), 'w') as f:
+        json.dump(summary, f, indent=1, default=str)
+    return summary

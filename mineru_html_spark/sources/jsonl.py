@@ -1,0 +1,38 @@
+"""JSONL benchmark source (reference S1: line-by-line JSON corpus scan,
+/root/reference/dripper/eval_baselines/base.py:164-191).
+
+The reference loads the whole WebMainBench JSONL into a driver dict; at
+cluster scale that is a distributed json scan with an explicit schema (no
+schema inference pass over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# BaselineData row shape (base.py:57-94)
+BENCH_SCHEMA = ('track_id string, html string, '
+                'convert_main_content string, level string, url string')
+
+
+def read_bench_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Golden-benchmark rows: explicit schema, corrupt lines quarantined
+    instead of failing the scan."""
+    return (spark.read
+            .schema(BENCH_SCHEMA + ', _corrupt_record string')
+            .option('mode', 'PERMISSIVE')
+            .option('columnNameOfCorruptRecord', '_corrupt_record')
+            .json(path))
+
+
+def bench_to_docs(bench: DataFrame) -> DataFrame:
+    """Adapt benchmark rows to the engine's docs shape: the whole page html
+    becomes a single text span (native SQL, no UDF)."""
+    import pyspark.sql.functions as F
+    return bench.select(
+        F.col('track_id').alias('doc_id'),
+        F.array(F.struct(
+            F.lit('text').alias('kind'),
+            F.col('html').alias('text'),
+            F.lit('').alias('media_ref'),
+            F.lit(0).alias('offset'))).alias('spans'))

@@ -1,0 +1,75 @@
+"""Eval harness, JSONL source, catalog IO."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+
+def test_jsonl_source_and_adapter(spark, tmp_path):
+    from mineru_html_spark.sources.jsonl import bench_to_docs, read_bench_jsonl
+    p = str(tmp_path / 'bench.jsonl')
+    rows = [
+        {'track_id': 't1', 'html': '<body><p>hello world text</p></body>',
+         'convert_main_content': 'hello world text', 'level': 'easy',
+         'url': 'http://x'},
+        {'track_id': 't2', 'html': '<body><nav>menu</nav></body>',
+         'convert_main_content': '', 'level': 'hard', 'url': 'http://y'},
+    ]
+    with open(p, 'w') as f:
+        for r in rows:
+            f.write(json.dumps(r) + '\n')
+        f.write('{"broken json\n')  # corrupt line quarantined, not fatal
+
+    # Spark disallows querying only _corrupt_record on an uncached raw
+    # json scan — cache first (documented Spark requirement)
+    bench = read_bench_jsonl(spark, p).cache()
+    good = bench.where(F.col('_corrupt_record').isNull())
+    assert good.count() == 2
+    assert bench.where(F.col('_corrupt_record').isNotNull()).count() == 1
+
+    docs = bench_to_docs(good)
+    assert docs.columns == ['doc_id', 'spans']
+    row = docs.where("doc_id = 't1'").collect()[0]
+    assert row['spans'][0]['kind'] == 'text'
+    assert 'hello world' in row['spans'][0]['text']
+
+
+def test_evaluate_against_goldens(spark, tmp_path):
+    from mineru_html_spark.plans.evaluate import evaluate, export_results
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    from mineru_html_spark.operators.extract_op import apply_extract
+
+    docs = synth_docs_df(spark, 40, partitions=2)
+    golden = apply_extract(docs).select('doc_id', 'spans', 'status')
+
+    scored = evaluate(spark, docs, golden)
+    rows = scored.collect()
+    assert len(rows) == 40
+    # self-eval: everything must match its own golden exactly
+    assert all(r['span_equal'] for r in rows)
+    assert all(r['f1_micro'] == 1000000 for r in rows
+               if r['pred'].strip())
+
+    out = str(tmp_path / 'eval')
+    summary = export_results(scored, out)
+    assert summary['n_cases'] == 40
+    assert summary['span_equal_rate'] == 1.0
+    assert os.path.exists(os.path.join(out, 'mean_eval_result.json'))
+
+
+def test_table_io_parquet_fallback(spark, tmp_path):
+    from mineru_html_spark.plans.catalog import TableIO, iceberg_available
+    assert not iceberg_available(spark)  # sandbox has no iceberg jar
+    io = TableIO(spark, catalog='lake')
+    assert io.catalog is None            # degraded to parquet mode
+
+    df = spark.range(10).withColumn('p', F.pmod('id', F.lit(2)).cast('int'))
+    path = str(tmp_path / 't1')
+    io.overwrite_partitions(df, path, 'p')
+    assert spark.read.parquet(path).count() == 10
+    # re-writing one partition replaces, not duplicates
+    io.overwrite_partitions(df.where('p = 0'), path, 'p')
+    assert spark.read.parquet(path).count() == 10
+    io.append(df.where('p = 1'), path, partition_col='p')
+    assert spark.read.parquet(path).count() == 15
