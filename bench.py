@@ -39,10 +39,14 @@ def main():
 
     timings = {}
 
-    # headline: extraction over materialized parquet docs
+    # headline: extraction over materialized parquet docs. 4x the sf doc
+    # count + one warmup run so python-worker spawn and JIT don't dominate
+    # the docs/sec number at small scale.
+    n_docs = 4 * n_docs
     docs = materialized_docs(spark, n_docs)
+    res = run_extraction(spark, docs, num_partitions=4 * cpus)
+    res.count()  # warmup
     t0 = time.time()
-    res = run_extraction(spark, docs, num_partitions=cpus)
     n_out = res.count()
     extract_sec = time.time() - t0
     timings['extract_main'] = round(extract_sec, 3)

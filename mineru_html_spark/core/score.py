@@ -48,9 +48,10 @@ CONTENT_TOKENS = frozenset({
 # embedded images); list containers lean other (menus) unless texty.
 _TAG_PRIOR = {
     'p': 2.0, 'pre': 2.0, 'blockquote': 2.0, 'figure': 1.5, 'article': 2.0,
-    'h2': 1.0, 'h3': 1.0, 'h4': 0.5, 'h5': 0.5, 'h6': 0.5,
+    'figcaption': 2.0,               # caption of an embedded content image
+    'h2': 2.0, 'h3': 1.5, 'h4': 0.5, 'h5': 0.5, 'h6': 0.5,  # section/question headings are content
     'h1': -0.5,                      # page title = metadata per prompt spec
-    'table': 1.0, 'tr': 1.0, 'caption': 1.0,
+    'table': 1.0, 'tr': 3.5, 'caption': 3.5,  # data rows are data, however short
     'ul': -1.0, 'ol': -0.5, 'dl': 0.0,
     'td': 0.0, 'th': 0.0, 'div': 0.0, 'section': 0.0, 'main': 1.0,
     'form': -2.0, 'address': -1.0,
@@ -77,10 +78,13 @@ def score_features(
     score += tag_prior
 
     tl = text_len.astype(np.float64)
+    # short-text penalty does not apply to image-bearing blocks (an
+    # embedded figure legitimately has no prose of its own)
     score += np.where(tl >= 150, 2.5,
              np.where(tl >= 80, 2.0,
              np.where(tl >= 40, 1.0,
-             np.where(tl >= 15, 0.0, -1.5))))
+             np.where(tl >= 15, 0.0,
+                      np.where(n_imgs > 0, 0.0, -1.5)))))
 
     # link density: heavy linking = navigation/related lists
     ld = link_text_len / np.maximum(tl, 1.0)
@@ -89,9 +93,8 @@ def score_features(
     score += np.where(has_boiler_tok, -4.0, 0.0)
     score += np.where(has_content_tok, 2.0, 0.0)
 
-    # embedded content images lean main (prompt spec), but only with some
-    # prose or figure context
-    score += np.where(n_imgs > 0, 1.5, 0.0)
+    # embedded content images lean main (prompt spec)
+    score += np.where(n_imgs > 0, 2.0, 0.0)
 
     is_texty = np.fromiter(
         (ct in ('unwrapped_text', 'mixed') for ct in content_type),

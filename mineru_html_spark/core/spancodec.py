@@ -74,7 +74,11 @@ class _SpanEmitter:
                 self.spans.append(
                     make_span(KIND_IMAGE, '', src, len(self.spans)))
             return
+        # td/th don't flush: a table row reads as one text line, so cells
+        # merge into the enclosing <tr> span (layout-table cells hold block
+        # children like <p>, which flush themselves)
         is_block = (node.tag not in INLINE_TAGS
+                    and node.tag not in ('td', 'th')
                     and node.tag != RUN_WRAPPER_TAG)
         if is_block:
             self.flush()

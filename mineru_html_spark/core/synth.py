@@ -1,4 +1,4 @@
-"""Deterministic synthesis of the interleaved docs table.
+"""Deterministic synthesis of the interleaved docs table — with ground truth.
 
 The north rule's input is an Iceberg table
 ``docs(doc_id STRING, spans ARRAY<STRUCT<kind,text,media_ref,offset:INT>>)``
@@ -11,12 +11,21 @@ base64 / empty-src images, duplicate paragraphs, unclosed tags + XML decl +
 comments, a degenerate no-main page, and giant pages for the too-long route
 and skew salting. Size mix is heavy-tailed (~80% small / 15% medium / 5%
 large) so skew handling is observable at test scale.
+
+Because the generator knows which pieces are article content and which are
+chrome, it also emits **ground-truth main-content spans** per document —
+this repo's stand-in for the reference's WebMainBench golden corpus
+(/root/reference/dripper/eval_baselines/base.py): extraction accuracy is
+measured as ROUGE-N + span-sequence equality against generator truth
+(tools/accuracy_eval.py). Truth construction never consumes RNG draws, so
+adding it did not change the generated documents.
 """
 
 from __future__ import annotations
 
 import random
-from typing import Dict, List
+import re
+from typing import Dict, List, Tuple
 
 _WORDS = (
     'the of and to in is that it was for on are as with his they at be this '
@@ -32,6 +41,12 @@ _WORDS = (
 
 _TOPICS = ('spark', 'web', 'ocean', 'market', 'energy', 'climate', 'health',
            'music', 'travel', 'science')
+
+_WS_RE = re.compile(r'\s+')
+
+
+def _norm(s: str) -> str:
+    return _WS_RE.sub(' ', s).strip()
 
 
 def _sentence(rng: random.Random, n_words: int) -> str:
@@ -66,13 +81,20 @@ def _footer_html(rng: random.Random) -> str:
             '</p></footer>')
 
 
-def _data_table(rng: random.Random) -> str:
+def _data_table(rng: random.Random) -> Tuple[str, List[str]]:
+    """Returns (html, truth span texts: caption, header row, data rows)."""
+    cells = [(rng.choice(_WORDS), rng.randint(1, 500), rng.randint(1, 100))
+             for _ in range(4)]
     rows = ''.join(
-        f'<tr><td>{rng.choice(_WORDS)}</td><td>{rng.randint(1, 500)}</td>'
-        f'<td>{rng.randint(1, 100)}%</td></tr>' for _ in range(4))
-    return (f'<table><caption>{_sentence(rng, 3)}</caption>'
+        f'<tr><td>{w}</td><td>{n}</td><td>{p}%</td></tr>'
+        for w, n, p in cells)
+    cap = _sentence(rng, 3)
+    html = (f'<table><caption>{cap}</caption>'
             '<thead><tr><th>name</th><th>count</th><th>share</th></tr></thead>'
             f'<tbody>{rows}</tbody></table>')
+    truth = [_norm(cap), 'name count share'] + \
+        [f'{w} {n} {p}%' for w, n, p in cells]
+    return html, truth
 
 
 def _layout_table(rng: random.Random) -> str:
@@ -87,7 +109,11 @@ def _long_list(rng: random.Random, n=8) -> str:
     return f'<ul>{items}</ul>'
 
 
-# each piece is ('text', html_fragment) or ('image', media_ref)
+# each piece: (ptype, payload, truth_texts)
+#   ptype 'text'  -> payload = html fragment; truth_texts = the main-content
+#                    span texts this fragment should contribute (in order)
+#   ptype 'image' -> payload = media_ref (always main content by
+#                    construction: content images live in the article body)
 Piece = tuple
 
 
@@ -96,69 +122,84 @@ def _article_pieces(rng: random.Random, doc_idx: int,
     pieces: List[Piece] = []
     pieces.append(('text',
                    '<!DOCTYPE html><html><head><meta charset="utf-8">'
-                   f'<title>{_sentence(rng, 4)}</title></head><body>'))
-    pieces.append(('text', _nav_html(rng)))
+                   f'<title>{_sentence(rng, 4)}</title></head><body>', []))
+    pieces.append(('text', _nav_html(rng), []))
     pieces.append(('text', f'<div class="breadcrumb"><a href="/">Home</a> &gt; '
-                           f'<a href="/{rng.choice(_TOPICS)}">topic</a></div>'))
+                           f'<a href="/{rng.choice(_TOPICS)}">topic</a></div>',
+                   []))
+    title = _sentence(rng, 5)[:-1]
     pieces.append(('text', '<article class="post-content">'
-                           f'<h1>{_sentence(rng, 5)[:-1]}</h1>'
+                           f'<h1>{title}</h1>'
                            f'<div class="byline">By Author {rng.randint(1, 50)}'
-                           ' | 2026-01-01</div>'))
+                           ' | 2026-01-01</div>', []))
     img_slots = set(rng.sample(range(n_paras), min(n_images, n_paras))) \
         if n_paras else set()
     for p in range(n_paras):
-        pieces.append(('text', f'<p>{_para(rng, rng.randint(2, 5))}</p>'))
+        para = _para(rng, rng.randint(2, 5))
+        pieces.append(('text', f'<p>{para}</p>', [_norm(para)]))
         if p in img_slots:
             ref = f'media://img/{doc_idx:08d}/{p}'
-            pieces.append(('image', ref))
-            pieces.append(('text',
-                           f'<figcaption>{_sentence(rng, 6)}</figcaption>'))
+            pieces.append(('image', ref, []))
+            cap = _sentence(rng, 6)
+            pieces.append(('text', f'<figcaption>{cap}</figcaption>',
+                           [_norm(cap)]))
     if rng.random() < 0.4:
-        pieces.append(('text', _data_table(rng)))
+        thtml, ttruth = _data_table(rng)
+        pieces.append(('text', thtml, ttruth))
     if rng.random() < 0.25:
-        pieces.append(('text', f'<blockquote>{_para(rng, 2)}</blockquote>'))
-    pieces.append(('text', '</article>'))
-    pieces.append(('text', _related_html(rng)))
-    pieces.append(('text', _footer_html(rng)))
-    pieces.append(('text', '</body></html>'))
+        quote = _para(rng, 2)
+        pieces.append(('text', f'<blockquote>{quote}</blockquote>',
+                       [_norm(quote)]))
+    pieces.append(('text', '</article>', []))
+    pieces.append(('text', _related_html(rng), []))
+    pieces.append(('text', _footer_html(rng), []))
+    pieces.append(('text', '</body></html>', []))
     return pieces
 
 
 def _forum_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
-    pieces: List[Piece] = [('text', '<html><body>'), ('text', _nav_html(rng))]
-    pieces.append(('text', f'<div class="question"><h2>{_sentence(rng, 7)[:-1]}?'
-                           f'</h2><p>{_para(rng, 3)}</p></div>'))
+    pieces: List[Piece] = [('text', '<html><body>', []),
+                           ('text', _nav_html(rng), [])]
+    q_title = _sentence(rng, 7)[:-1] + '?'
+    q_body = _para(rng, 3)
+    pieces.append(('text', f'<div class="question"><h2>{q_title}'
+                           f'</h2><p>{q_body}</p></div>',
+                   [_norm(q_title), _norm(q_body)]))
     for i in range(rng.randint(2, 4)):
-        pieces.append(('text', f'<div class="answer"><p>{_para(rng, rng.randint(2, 4))}</p>'))
+        ans = _para(rng, rng.randint(2, 4))
+        pieces.append(('text', f'<div class="answer"><p>{ans}</p>',
+                       [_norm(ans)]))
         if rng.random() < 0.3:
-            pieces.append(('image', f'media://img/{doc_idx:08d}/a{i}'))
-        pieces.append(('text', '</div>'))
+            pieces.append(('image', f'media://img/{doc_idx:08d}/a{i}', []))
+        pieces.append(('text', '</div>', []))
     pieces.append(('text', '<div class="share social">'
-                           '<a href="#">Share</a><a href="#">Tweet</a></div>'))
-    pieces.append(('text', _footer_html(rng)))
-    pieces.append(('text', '</body></html>'))
+                           '<a href="#">Share</a><a href="#">Tweet</a></div>',
+                   []))
+    pieces.append(('text', _footer_html(rng), []))
+    pieces.append(('text', '</body></html>', []))
     return pieces
 
 
 def _messy_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
-    """Unclosed tags, xml decl, comments, base64/empty imgs, dup paras."""
+    """Unclosed tags, xml decl, comments, base64/empty imgs, dup paras.
+    Excluded from strict truth eval (parse recovery makes exact span
+    boundaries implementation-defined); ROUGE eval still applies."""
     dup = f'<p>{_para(rng, 2)}</p>'
     pieces: List[Piece] = [
         ('text', '<?xml version="1.0" encoding="utf-8"?>'
-                 '<html><body><!-- top comment -->'),
-        ('text', _nav_html(rng)),
-        ('text', f'<div class="content"><p>{_para(rng, 3)}'),  # unclosed p
-        ('text', dup),
-        ('text', dup),  # exact duplicate paragraph (dedup case D1)
-        ('text', '<img src="data:image/png;base64,AAAA"><img src="">'),
-        ('image', f'media://img/{doc_idx:08d}/m0'),
-        ('text', f'<p style="display:none">{_sentence(rng, 8)}</p>'),
-        ('text', f'<p>{_para(rng, 4)}</p>'),
-        ('text', _long_list(rng)),
-        ('text', _layout_table(rng)),
-        ('text', '</div>'),
-        ('text', _footer_html(rng)),
-        # missing </body></html> on purpose
+                 '<html><body><!-- top comment -->', []),
+        ('text', _nav_html(rng), []),
+        ('text', f'<div class="content"><p>{_para(rng, 3)}', []),
+        ('text', dup, []),
+        ('text', dup, []),
+        ('text', '<img src="data:image/png;base64,AAAA"><img src="">', []),
+        ('image', f'media://img/{doc_idx:08d}/m0', []),
+        ('text', f'<p style="display:none">{_sentence(rng, 8)}</p>', []),
+        ('text', f'<p>{_para(rng, 4)}</p>', []),
+        ('text', _long_list(rng), []),
+        ('text', _layout_table(rng), []),
+        ('text', '</div>', []),
+        ('text', _footer_html(rng), []),
     ]
     return pieces
 
@@ -166,18 +207,23 @@ def _messy_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
 def _navonly_pieces(rng: random.Random) -> List[Piece]:
     """Degenerate page: chrome only, nothing main-able (fallback/no_main)."""
     return [
-        ('text', '<html><body>'),
-        ('text', _nav_html(rng)),
-        ('text', f'<div class="menu">{_long_list(rng, 6)}</div>'),
+        ('text', '<html><body>', []),
+        ('text', _nav_html(rng), []),
+        ('text', f'<div class="menu">{_long_list(rng, 6)}</div>', []),
         ('text', '<div class="pagination"><a href="?p=1">1</a>'
-                 '<a href="?p=2">2</a><a href="?p=3">3</a></div>'),
-        ('text', _footer_html(rng)),
-        ('text', '</body></html>'),
+                 '<a href="?p=2">2</a><a href="?p=3">3</a></div>', []),
+        ('text', _footer_html(rng), []),
+        ('text', '</body></html>', []),
     ]
 
 
 def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
-    """Pure function (doc_idx, seed) -> docs-table row."""
+    """Pure function (doc_idx, seed) -> docs-table row with ground truth.
+
+    Returns doc_id, spans (the input), template kind, and truth_spans —
+    the (kind, text, media_ref) sequence a perfect main-content extractor
+    would emit (empty for templates excluded from strict truth).
+    """
     rng = random.Random((seed << 32) ^ (doc_idx * 0x9E3779B97F4A7C15 & 0xFFFFFFFF))
     r = rng.random()
     # heavy-tailed size mix
@@ -207,9 +253,10 @@ def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
             kind, pieces = 'navonly', _navonly_pieces(rng)
 
     spans = []
+    truth: List[Tuple[str, str, str]] = []
     off = 0
     buf: List[str] = []
-    for ptype, payload in pieces:
+    for ptype, payload, ptruth in pieces:
         if ptype == 'image':
             if buf:
                 spans.append({'kind': 'text', 'text': ''.join(buf),
@@ -218,9 +265,12 @@ def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
                 buf = []
             spans.append({'kind': 'image', 'text': '',
                           'media_ref': payload, 'offset': off})
+            truth.append(('image', '', payload))
             off += 1
         else:
             buf.append(payload)
+            for t in ptruth:
+                truth.append(('text', t, ''))
             # split long text runs into multiple spans deterministically
             if sum(len(b) for b in buf) > 4096:
                 spans.append({'kind': 'text', 'text': ''.join(buf),
@@ -230,7 +280,14 @@ def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
     if buf:
         spans.append({'kind': 'text', 'text': ''.join(buf),
                       'media_ref': '', 'offset': off})
-    return {'doc_id': f'doc-{doc_idx:08d}', 'spans': spans}
+
+    strict = kind in ('small', 'medium', 'large', 'forum')
+    truth_spans = [
+        {'kind': k, 'text': t, 'media_ref': m, 'offset': i}
+        for i, (k, t, m) in enumerate(truth)
+    ] if strict else []
+    return {'doc_id': f'doc-{doc_idx:08d}', 'spans': spans,
+            'template': kind, 'truth_spans': truth_spans}
 
 
 def docs_for_sf(sf: float) -> int:

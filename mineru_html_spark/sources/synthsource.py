@@ -46,17 +46,21 @@ def synth_docs_df(spark: SparkSession, n_docs: int,
 
 
 def materialized_docs(spark: SparkSession, n_docs: int,
-                      cache_root: str = '/root/repo/.data') -> DataFrame:
+                      cache_root: str = '/root/repo/.data',
+                      n_files: int = 128) -> DataFrame:
     """Parquet-materialized docs table (build once per n_docs, then scan).
 
     Mirrors the production Iceberg scan: Catalyst gets real file statistics,
     column pruning and partition pruning, and benchmarks measure the
-    extraction stage rather than synthesis.
+    extraction stage rather than synthesis. Written as many files so the
+    scan parallelizes regardless of which session materialized it (a real
+    lake table is likewise many well-sized files).
     """
     path = os.path.join(cache_root, f'docs_n{n_docs}')
     marker = os.path.join(path, '_SUCCESS')
     if not os.path.exists(marker):
-        synth_docs_df(spark, n_docs).write.mode('overwrite').parquet(path)
+        synth_docs_df(spark, n_docs, partitions=n_files) \
+            .write.mode('overwrite').parquet(path)
     return spark.read.parquet(path)
 
 

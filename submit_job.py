@@ -1,0 +1,66 @@
+"""spark-submit entry point for the extraction job (north-rule deployment).
+
+Cluster:
+    zip -r mineru_html_spark.zip mineru_html_spark
+    spark-submit --py-files mineru_html_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.execution.arrow.maxRecordsPerBatch=256 \\
+        submit_job.py --input lake.db.docs --output /lake/extracted \\
+        --n-parts 4096 --n-waves 64 --run-id prod-2026-08-16
+
+Sandbox smoke:
+    python submit_job.py --synth 1000 --output /tmp/out --n-parts 16
+
+The job is resumable: re-running with the same --output skips partitions
+already recorded in the lineage table (use --no-resume to force).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description='main-content extraction job')
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument('--input', help='docs table name or parquet path')
+    src.add_argument('--synth', type=int,
+                     help='synthesize N deterministic docs instead')
+    p.add_argument('--output', required=True, help='output directory/prefix')
+    p.add_argument('--run-id', default='run-0')
+    p.add_argument('--n-parts', type=int, default=256,
+                   help='checkpoint partition count (resume granularity)')
+    p.add_argument('--n-waves', type=int, default=8,
+                   help='commit waves (crash blast radius = 1 wave)')
+    p.add_argument('--no-resume', action='store_true')
+    p.add_argument('--catalog', default=None,
+                   help='Iceberg catalog name (parquet fallback if absent)')
+    p.add_argument('--master', default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+    # late imports so --help works without a JVM
+    from mineru_html_spark.plans.job import run_job
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import read_docs, synth_docs_df
+
+    spark = get_spark(args.master, app_name='mineru-extract')
+    if args.synth:
+        docs = synth_docs_df(spark, args.synth)
+    else:
+        docs = read_docs(spark, args.input)
+
+    info = run_job(spark, docs, args.output, run_id=args.run_id,
+                   n_parts=args.n_parts, n_waves=args.n_waves,
+                   resume=not args.no_resume)
+    print(json.dumps(info))
+    spark.stop()
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

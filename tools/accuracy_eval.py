@@ -1,0 +1,87 @@
+"""Extraction-accuracy evaluation against generator ground truth.
+
+The synthetic corpus carries per-document truth spans (the main content the
+generator intended — this repo's WebMainBench analog). Reports, per
+template: strict span-sequence equality rate and mean ROUGE-N(5) of
+extracted vs truth text. Writes ACCURACY.md.
+
+Usage: python tools/accuracy_eval.py [n_docs]
+"""
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mineru_html_spark.core.extract import extract_document
+from mineru_html_spark.core.synth import gen_doc
+from mineru_html_spark.functions.rouge import rouge_n
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    stats = defaultdict(lambda: {'n': 0, 'eq': 0, 'f1': 0.0,
+                                 'prec': 0.0, 'rec': 0.0})
+    mismatches = []
+    for i in range(n):
+        d = gen_doc(i)
+        r = extract_document(d['doc_id'], d['spans'])
+        kind = d['template']
+        s = stats[kind]
+        s['n'] += 1
+        pred_seq = [(sp['kind'], sp['text'], sp['media_ref'])
+                    for sp in r['spans']]
+        pred_text = ' '.join(sp['text'] for sp in r['spans']
+                             if sp['kind'] == 'text')
+        if d['truth_spans']:
+            truth_seq = [(sp['kind'], sp['text'], sp['media_ref'])
+                         for sp in d['truth_spans']]
+            truth_text = ' '.join(sp['text'] for sp in d['truth_spans']
+                                  if sp['kind'] == 'text')
+            if pred_seq == truth_seq:
+                s['eq'] += 1
+            elif len(mismatches) < 8:
+                mismatches.append((d['doc_id'], kind, pred_seq, truth_seq))
+            prec, rec, f1 = rouge_n(pred_text, truth_text, 5)
+            s['prec'] += prec
+            s['rec'] += rec
+            s['f1'] += f1
+    lines = ['# ACCURACY — extraction vs generator ground truth', '',
+             f'{n} synthetic docs; strict = span-sequence equality '
+             '(kind, text, media_ref, order); ROUGE-N n=5.', '',
+             '| template | docs | strict-equal | mean prec | mean rec | mean f1 |',
+             '|---|---|---|---|---|---|']
+    for kind in sorted(stats):
+        s = stats[kind]
+        if kind in ('small', 'medium', 'large', 'forum'):
+            nn = s['n']
+            lines.append(
+                f"| {kind} | {nn} | {s['eq'] / nn:.3f} | "
+                f"{s['prec'] / nn:.3f} | {s['rec'] / nn:.3f} | "
+                f"{s['f1'] / nn:.3f} |")
+        else:
+            lines.append(f"| {kind} | {s['n']} | n/a (no strict truth) "
+                         '| - | - | - |')
+    out = '\n'.join(lines) + '\n'
+    print(out)
+    for doc_id, kind, pred, truth in mismatches:
+        print(f'--- mismatch {doc_id} ({kind})')
+        for a, b in zip(pred[:50], truth[:50]):
+            if a != b:
+                print(f'  pred : {a}')
+                print(f'  truth: {b}')
+                break
+        if len(pred) != len(truth):
+            print(f'  len pred={len(pred)} truth={len(truth)}')
+            ps, ts = set(pred), set(truth)
+            for x in list(ts - ps)[:3]:
+                print(f'  missing: {x}')
+            for x in list(ps - ts)[:3]:
+                print(f'  extra  : {x}')
+    with open(os.path.join(os.path.dirname(__file__), '..',
+                           'ACCURACY.md'), 'w') as f:
+        f.write(out)
+
+
+if __name__ == '__main__':
+    main()
