@@ -1,0 +1,39 @@
+"""Skew defusal: size-salted repartition spreads bytes and giants."""
+
+import pyspark.sql.functions as F
+
+
+def test_salted_repartition_byte_balance(spark):
+    from mineru_html_spark.operators.skew import (salted_repartition,
+                                                  with_doc_bytes)
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = with_doc_bytes(synth_docs_df(spark, 1200, partitions=4))
+    parts = 12
+    rep = salted_repartition(docs, parts)
+    per_part = (rep
+                .withColumn('pid', F.spark_partition_id())
+                .groupBy('pid')
+                .agg(F.sum('doc_bytes').alias('bytes'),
+                     F.count('*').alias('rows'))
+                .collect())
+    assert len(per_part) == parts
+    byte_counts = sorted(r['bytes'] for r in per_part)
+    median = byte_counts[len(byte_counts) // 2]
+    # heavy tail present (giants ~40x median doc), yet no partition may
+    # dominate: salted placement bounds the spread
+    assert byte_counts[-1] <= 4 * median, byte_counts
+
+
+def test_giants_not_colocated(spark):
+    from mineru_html_spark.operators.skew import (DEFAULT_BIG_DOC_BYTES,
+                                                  salted_repartition,
+                                                  with_doc_bytes)
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = with_doc_bytes(synth_docs_df(spark, 1200, partitions=4))
+    rep = salted_repartition(docs, 12)
+    giants = (rep.withColumn('pid', F.spark_partition_id())
+              .where(F.col('doc_bytes') > DEFAULT_BIG_DOC_BYTES)
+              .groupBy('pid').count().collect())
+    if giants:
+        # ~6 giants over 12 partitions: no partition should hold most
+        assert max(r['count'] for r in giants) <= 3

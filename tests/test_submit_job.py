@@ -1,0 +1,37 @@
+"""spark-submit entry point: CLI parsing + end-to-end synth run."""
+
+import json
+import subprocess
+import sys
+
+
+def test_help_runs_without_jvm():
+    out = subprocess.run([sys.executable, 'submit_job.py', '--help'],
+                         capture_output=True, text=True, cwd='/root/repo',
+                         timeout=60)
+    assert out.returncode == 0
+    assert '--n-parts' in out.stdout and '--synth' in out.stdout
+
+
+def test_cli_synth_run(tmp_path):
+    out_dir = str(tmp_path / 'out')
+    r = subprocess.run(
+        [sys.executable, 'submit_job.py', '--synth', '80',
+         '--output', out_dir, '--n-parts', '8', '--n-waves', '2',
+         '--master', 'local[4]'],
+        capture_output=True, text=True, cwd='/root/repo', timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    info = json.loads([l for l in r.stdout.splitlines()
+                       if l.startswith('{')][-1])
+    assert info['processed_parts'] == 8
+
+    # resume: second invocation skips everything
+    r2 = subprocess.run(
+        [sys.executable, 'submit_job.py', '--synth', '80',
+         '--output', out_dir, '--n-parts', '8', '--n-waves', '2',
+         '--master', 'local[4]'],
+        capture_output=True, text=True, cwd='/root/repo', timeout=300)
+    info2 = json.loads([l for l in r2.stdout.splitlines()
+                        if l.startswith('{')][-1])
+    assert info2['skipped_parts'] == 8
+    assert info2['processed_parts'] == 0
