@@ -34,7 +34,9 @@ def test_exact_dedup(spark, docs_df):
 
 def test_minhash_finds_near_dup(spark, docs_df):
     from mineru_html_spark.functions.dedup import minhash_dedup
-    out = minhash_dedup(docs_df, k=3, threshold_permille=500).collect()
+    # doc 3 is a j~0.54 near-dup: use the low-threshold band config
+    out = minhash_dedup(docs_df, k=3, threshold_permille=500,
+                        bands=32).collect()
     pairs = {(r['a'], r['b']) for r in out}
     assert (1, 2) in pairs         # exact dup: jaccard 1000
     assert (1, 3) in pairs or (2, 3) in pairs  # near dup found via LSH
