@@ -1,0 +1,78 @@
+"""Executor-mode scaling evidence: N vs 4N real executor JVMs.
+
+Spark local-cluster mode launches genuinely separate executor processes
+(own JVM, own python workers) — the closest single-machine analog to the
+north rule's "N and 4N executors". 2 executors x 4 cores vs 8 executors x
+4 cores on the same materialized input. Appends to BENCH/BASELINE.md.
+
+Usage: python tools/executor_scaling.py [sf]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from mineru_html_spark.core.synth import docs_for_sf
+from mineru_html_spark.plans.job import run_extraction
+from mineru_html_spark.sources.synthsource import materialized_docs
+
+
+def run_at(n_execs: int, cores_each: int, n_docs: int, runs: int = 2) -> dict:
+    total = n_execs * cores_each
+    spark = (SparkSession.builder
+             .master(f'local-cluster[{n_execs},{cores_each},3072]')
+             .appName(f'exec-scale-{n_execs}')
+             .config('spark.sql.shuffle.partitions', str(total))
+             .config('spark.executorEnv.PYTHONPATH', '/root/repo')
+             .config('spark.sql.adaptive.enabled', 'true')
+             .config('spark.sql.execution.arrow.maxRecordsPerBatch', '256')
+             .config('spark.ui.enabled', 'false')
+             .getOrCreate())
+    spark.sparkContext.setLogLevel('ERROR')
+    docs = materialized_docs(spark, n_docs)
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        n = run_extraction(spark, docs, num_partitions=4 * total).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    spark.stop()
+    return {'executors': n_execs, 'cores_each': cores_each,
+            'wall_sec': round(best, 2), 'docs_per_sec': round(n / best, 2)}
+
+
+def main():
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n_docs = 16 * docs_for_sf(sf)
+    lo = run_at(2, 4, n_docs)
+    hi = run_at(8, 4, n_docs)
+    eff = (hi['docs_per_sec'] / lo['docs_per_sec']) / 4.0
+    result = {'sf': sf, 'n_docs': n_docs, 'N': lo, '4N': hi,
+              'executor_scaling_efficiency': round(eff, 3)}
+    print(json.dumps(result))
+    md = f"""
+## Executor-mode pairing (real separate executor JVMs, local-cluster)
+
+| executors x cores | docs/s | wall (s) |
+|---|---|---|
+| 2 x 4 (N) | {lo['docs_per_sec']} | {lo['wall_sec']} |
+| 8 x 4 (4N) | {hi['docs_per_sec']} | {hi['wall_sec']} |
+
+Executor-count scaling efficiency (N -> 4N executors): **{eff:.3f}**
+(same {n_docs}-doc input; each executor its own JVM + python workers —
+the literal shape of the north rule's criterion, still sharing one
+socket's bandwidth).
+"""
+    with open(os.path.join(os.path.dirname(__file__), '..', 'BENCH',
+                           'BASELINE.md'), 'a') as f:
+        f.write(md)
+    print('appended to BENCH/BASELINE.md')
+
+
+if __name__ == '__main__':
+    main()

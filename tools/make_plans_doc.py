@@ -1,0 +1,95 @@
+"""Generate PLANS.md: physical-plan evidence for the headline operators.
+
+Shows, straight from `.explain`, that the engine gets the plans a 100 TB
+deployment needs: column-pruned scans (ReadSchema), pushed filters,
+broadcast anti-joins, TakeOrderedAndProject top-k, single salted exchange
+before the fused Arrow UDF stage, whole-stage codegen for the native
+operators.
+
+Usage: python tools/make_plans_doc.py
+"""
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = '/root/testdata/sf0.01'
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def trimmed(plan: str, keep_patterns, max_lines=28) -> str:
+    lines = plan.splitlines()
+    if len(lines) <= max_lines:
+        return plan
+    keep = [l for l in lines if any(re.search(p, l) for p in keep_patterns)]
+    return '\n'.join(keep[:max_lines])
+
+
+def main():
+    import __spark_entry__ as entry
+    from mineru_html_spark.plans.job import run_extraction
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import materialized_docs
+
+    spark = get_spark('local[4]', app_name='plans', shuffle_partitions=4)
+    sections = []
+
+    docs = materialized_docs(spark, 800)
+    sections.append((
+        'Extraction pipeline (scan -> native doc_bytes -> one salted '
+        'exchange -> fused Arrow UDF)',
+        'Single shuffle in the whole job; doc_bytes is a native aggregate '
+        'projection (no UDF before the exchange); scan reads only '
+        'doc_id+spans.',
+        plan_of(run_extraction(spark, docs, num_partitions=8))))
+
+    sections.append((
+        'Column pruning (token_count)',
+        'ReadSchema carries only doc_id+text of the 5-column table.',
+        trimmed(plan_of(entry.q_token_count(spark, SF)),
+                [r'Scan|ReadSchema|Project'])))
+
+    sections.append((
+        'Resume anti-join (checkpoint semantics)',
+        'BroadcastHashJoin LeftAnti with the filter pushed into the scan — '
+        'the trillion-row side never shuffles.',
+        trimmed(plan_of(entry.q_resume_antijoin(spark, SF)),
+                [r'Join|Exchange|Scan|Filter'])))
+
+    sections.append((
+        'Top-k cosine (no global sort)',
+        'TakeOrderedAndProject instead of a full Sort+Limit.',
+        trimmed(plan_of(entry.q_cosine_topk(spark, SF)),
+                [r'TakeOrdered|Scan|Project'])))
+
+    sections.append((
+        'Exact dedup (hash-only shuffle)',
+        'The shuffle key is the 32-byte md5, never the document text; '
+        'partial aggregation (HashAggregate x2) before/after the exchange.',
+        trimmed(plan_of(entry.q_dedup_exact(spark, SF)),
+                [r'HashAggregate|Exchange|Scan|Project'])))
+
+    sections.append((
+        'Windowed event aggregation (streaming-shared plan)',
+        'HashAggregate partial/final around one exchange.',
+        trimmed(plan_of(entry.q_events_hourly(spark, SF)),
+                [r'HashAggregate|Exchange|Scan'])))
+
+    out = ['# PLANS — physical-plan evidence (`.explain`)', '',
+           'Captured from the live engine at sf=0.01; the properties below '
+           'are the ones that keep the job viable at 100 TB.', '']
+    for title, why, plan in sections:
+        out += [f'## {title}', '', why, '', '```', plan.strip(), '```', '']
+    with open(os.path.join(os.path.dirname(__file__), '..', 'PLANS.md'),
+              'w') as f:
+        f.write('\n'.join(out))
+    print('wrote PLANS.md')
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
