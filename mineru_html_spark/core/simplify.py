@@ -264,7 +264,7 @@ def _gather_features(node: Node) -> Tuple[str, int, int]:
         item, in_a = stack.pop()
         if isinstance(item, str):
             if in_a:
-                link_chars += len(_WS_RE.sub(' ', item).strip())
+                link_chars += len(' '.join(item.split()))
             text_parts.append(item)
             continue
         if item.tag == 'img':
@@ -276,7 +276,7 @@ def _gather_features(node: Node) -> Tuple[str, int, int]:
                 stack.append((c, in_a))
             else:
                 stack.append((c, in_a or c.tag == 'a'))
-    text = _WS_RE.sub(' ', ''.join(text_parts)).strip()
+    text = ' '.join(''.join(text_parts).split())
     return text, link_chars, n_imgs
 
 

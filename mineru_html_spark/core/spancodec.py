@@ -60,7 +60,7 @@ class _SpanEmitter:
     def flush(self) -> None:
         if not self.buf:
             return
-        text = _WS_RE.sub(' ', ' '.join(self.buf)).strip()
+        text = ' '.join(' '.join(self.buf).split())
         self.buf = []
         if text:
             self.spans.append(
