@@ -19,6 +19,7 @@ Design rules applied:
 
 from __future__ import annotations
 
+from time import perf_counter_ns
 from typing import Iterator
 
 import pandas as pd
@@ -29,7 +30,7 @@ from ..core.extract import extract_document
 OUT_SCHEMA = (
     'doc_id string, '
     'spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, '
-    'status string, n_items int, n_main int, error string'
+    'status string, n_items int, n_main int, error string, proc_us long'
 )
 
 
@@ -37,6 +38,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+            t0 = perf_counter_ns()
             r = extract_document(
                 doc_id,
                 [s if isinstance(s, dict) else dict(s) for s in spans])
@@ -48,10 +50,13 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 'n_items': r['n_items'],
                 'n_main': r['n_main'],
                 'error': r['error'],
+                # per-doc wall time: feeds the lineage table's skew
+                # observability (per-partition work spread, SURVEY §4.2)
+                'proc_us': (perf_counter_ns() - t0) // 1000,
             })
         yield pd.DataFrame(
             out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
-                          'error'])
+                          'error', 'proc_us'])
 
 
 def apply_extract(docs: DataFrame) -> DataFrame:

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 LINEAGE_SCHEMA = ('part_id int, run_id string, n_docs long, n_ok long, '
                   'n_fallback long, n_too_long long, n_no_main long, '
-                  'n_error long, bytes_out long')
+                  'n_error long, bytes_out long, proc_us_sum long, '
+                  'proc_us_max long')
 
 
 def with_part_id(docs: DataFrame, n_parts: int) -> DataFrame:
@@ -76,6 +77,8 @@ def compute_lineage(results: DataFrame, run_id: str) -> DataFrame:
             F.sum(F.expr(
                 'aggregate(spans, 0L, (acc, s) -> acc + length(s.text) '
                 '+ length(s.media_ref))')).alias('bytes_out'),
+            F.sum('proc_us').alias('proc_us_sum'),
+            F.max('proc_us').alias('proc_us_max'),
         )
         .withColumn('run_id', F.lit(run_id))
     )

@@ -57,6 +57,10 @@ def test_lineage_counters_consistent(spark, out_dir):
                  for r in res.groupBy('status').count().collect()}
     assert by_status.get('ok', 0) == tot['ok']
 
+    # skew observability: per-partition work totals recorded (SURVEY §4.2)
+    spread = lin.select('proc_us_sum', 'proc_us_max').collect()
+    assert all(r['proc_us_sum'] >= r['proc_us_max'] > 0 for r in spread)
+
 
 def test_part_id_deterministic(spark):
     from mineru_html_spark.plans.lineage import with_part_id
