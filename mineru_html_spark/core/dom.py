@@ -262,6 +262,92 @@ class _TreeBuilder(HTMLParser):
 
 _XMLDECL_RE = re.compile(r'<\?xml\s+.*?\??>', re.DOTALL)
 
+# ---------------------------------------------------------------------------
+# fast tokenizer: one compiled regex instead of html.parser's
+# char-by-char goahead loop (~30% of per-doc cost). Feeds the same
+# _TreeBuilder handlers; parse_html falls back to the stdlib tokenizer on
+# any exception, and a differential test asserts identical trees over the
+# synthetic corpus.
+# ---------------------------------------------------------------------------
+
+_TOK = re.compile(
+    r'<!--.*?(?:-->|\Z)'                       # comment
+    r'|<!\[CDATA\[.*?(?:\]\]>|\Z)'             # cdata
+    r'|<!DOCTYPE[^>]*>'                        # doctype
+    r'|<![^>]*>'                               # other decls
+    r'|<\?[^>]*>'                              # processing instruction
+    r'|</\s*([a-zA-Z][-\w:.]*)\s*>'            # end tag      -> group 1
+    r'|<([a-zA-Z][-\w:.]*)'                    # start tag    -> group 2
+    r'((?:\s+[^\s=/>]+(?:\s*=\s*(?:"[^"]*"|\'[^\']*\'|[^\s>]*))?)*)'  # attrs -> 3
+    r'\s*(/?)\s*>',                            # self-closing -> group 4
+    re.DOTALL | re.IGNORECASE)
+
+_ATTR = re.compile(
+    r'([^\s=/>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
+
+# elements whose content is raw text until the matching close tag
+# (html.parser's CDATA_CONTENT_ELEMENTS — parity with the fallback path)
+_RAWTEXT = frozenset({'script', 'style'})
+
+
+def _fast_feed(builder: '_TreeBuilder', s: str) -> None:
+    pos = 0
+    n = len(s)
+    while pos < n:
+        lt = s.find('<', pos)
+        if lt < 0:
+            data = s[pos:]
+            if data:
+                builder.handle_data(
+                    unescape(data) if '&' in data else data)
+            break
+        if lt > pos:
+            data = s[pos:lt]
+            builder.handle_data(unescape(data) if '&' in data else data)
+        m = _TOK.match(s, lt)
+        if m is None:
+            # stray '<' that opens nothing parseable: emit as text
+            builder.handle_data('<')
+            pos = lt + 1
+            continue
+        end_tag, start_tag, attr_blob, selfclose = m.group(1, 2, 3, 4)
+        pos = m.end()
+        if end_tag is not None:
+            builder.handle_endtag(end_tag.lower())
+        elif start_tag is not None:
+            tag = start_tag.lower()
+            attrs = []
+            if attr_blob:
+                for am in _ATTR.finditer(attr_blob):
+                    k = am.group(1).lower()
+                    v = am.group(2)
+                    if v is None:
+                        attrs.append((k, ''))
+                    else:
+                        if v[:1] in ('"', "'"):
+                            v = v[1:-1]
+                        attrs.append(
+                            (k, unescape(v) if '&' in v else v))
+            if selfclose:
+                builder.handle_startendtag(tag, attrs)
+            elif tag in _RAWTEXT:
+                builder.handle_starttag(tag, attrs)
+                close = re.compile(rf'</\s*{tag}\s*>', re.IGNORECASE)
+                cm = close.search(s, pos)
+                if cm:
+                    raw = s[pos:cm.start()]
+                    if raw:
+                        builder.handle_data(raw)
+                    pos = cm.end()
+                else:
+                    # unterminated raw-text element: stdlib drops the
+                    # buffered content — match it
+                    pos = n
+                builder.handle_endtag(tag)
+            else:
+                builder.handle_starttag(tag, attrs)
+        # else: comment/decl/PI — dropped
+
 
 def parse_html(html_str: str) -> Node:
     """Parse an HTML document string → normalized tree rooted at <html>.
@@ -275,13 +361,18 @@ def parse_html(html_str: str) -> Node:
     html_str = _XMLDECL_RE.sub('', html_str)
     builder = _TreeBuilder()
     try:
-        builder.feed(html_str)
-        builder.close()
+        _fast_feed(builder, html_str)
     except Exception:
-        # tokenizer-level failure: degrade to text-only document
-        builder = _TreeBuilder()
-        builder.feed(escape(html_str))
-        builder.close()
+        try:
+            # fall back to the stdlib tokenizer
+            builder = _TreeBuilder()
+            builder.feed(html_str)
+            builder.close()
+        except Exception:
+            # tokenizer-level failure: degrade to text-only document
+            builder = _TreeBuilder()
+            builder.feed(escape(html_str))
+            builder.close()
     frag = builder.root
 
     # locate or synthesize <html>/<body>

@@ -1,0 +1,72 @@
+"""Fast regex tokenizer must build identical trees to the stdlib tokenizer.
+
+parse_html uses the fast path with stdlib fallback; this differential
+suite (corpus + adversarial cases + hypothesis fuzz) is what licenses it.
+"""
+
+from html import escape
+
+from hypothesis import given, settings, strategies as st
+
+from mineru_html_spark.core.dom import (_TreeBuilder, _XMLDECL_RE,
+                                        _fast_feed, serialize)
+
+
+def _trees(s: str):
+    s = _XMLDECL_RE.sub('', s or '')
+    b1 = _TreeBuilder()
+    _fast_feed(b1, s)
+    b2 = _TreeBuilder()
+    b2.feed(s)
+    b2.close()
+    return serialize(b1.root), serialize(b2.root)
+
+
+def test_corpus_parity():
+    from mineru_html_spark.core.spancodec import spans_to_html
+    from mineru_html_spark.core.synth import gen_doc
+    for i in range(150):
+        h = spans_to_html(gen_doc(i)['spans'])
+        fast, std = _trees(h)
+        assert fast == std, f'doc {i}'
+
+
+EDGES = [
+    '\x00\xff<<<>>><p<p<p</</</',
+    '<p>a &amp; b &lt;c&gt; &#65;</p>',
+    '<script>if(a<b){x}</script><p>t</p>',
+    '<style>p>a{color:red}</style>done',
+    '<textarea><p>not a tag</p></textarea>',
+    '<div class="x" data-y=\'1\' checked>t</div>',
+    '<p>a<br/>b',
+    '<!-- c --><p>x<![CDATA[ <z> ]]></p>',
+    '<P CLASS="UP">Mixed Case</P>',
+    '<a href=unquoted>t</a>',
+    '<p title="a&quot;b">x</p>',
+    '<script>never closed',
+    '<!DOCTYPE html><html><body><p>x',
+    '<td>bare cell</td>',
+    '<img src="a.png" alt>tail',
+]
+
+
+def test_edge_parity():
+    for e in EDGES:
+        fast, std = _trees(e)
+        assert fast == std, repr(e)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet='<>/ab &#;"=\'-!?p', max_size=160))
+def test_fuzz_never_crashes_and_valid_tree(s):
+    """On junk input the two tokenizers may legitimately disagree on
+    token boundaries (stdlib accepts tag names like 'a;'); the contract
+    for garbage is determinism + a well-formed tree, not stdlib parity.
+    """
+    from mineru_html_spark.core.dom import get_body, parse_html
+    root = parse_html(s)
+    assert root.tag == 'html'
+    assert get_body(root) is not None
+    fast1, _ = _trees(s)
+    fast2, _ = _trees(s)
+    assert fast1 == fast2
