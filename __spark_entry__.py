@@ -209,6 +209,12 @@ def q_rouge_self(spark, sf_dir):
     return rg.rouge_eval(pairs, n=5)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based session windows over the event stream (30-min gap)."""
+    from mineru_html_spark.functions.sessions import sessionize
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synth media payloads for refs derived from the
     docs table, extract deterministic features (non-SQL: rows-only)."""
@@ -243,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
+        'sessionize': q_sessionize,
     }
 
 
@@ -373,6 +380,23 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'sessionize': """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start
+            FROM s GROUP BY 1, 2
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -1,0 +1,35 @@
+"""Gap-based sessionization over an event stream.
+
+A new session starts after >gap_seconds of inactivity per user — the
+classic LAG + cumulative-sum window composition. At cluster scale this is
+one shuffle on user_id; the two window functions share the same
+partitioning so Catalyst plans a single exchange. (In Structured
+Streaming the equivalent is session_window()/applyInPandasWithState;
+batch form shown here is the oracle-checkable one.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """events(user_id, event_id, ts) -> (user_id, session_id, n_events,
+    session_start). session_id numbers sessions per user from 1."""
+    order = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    prev_ts = F.lag(F.col('ts')).over(order)
+    # unix_timestamp handles TIMESTAMP_NTZ (parquet ts) where a direct
+    # long cast is rejected
+    gap = (F.unix_timestamp(F.col('ts'))
+           - F.unix_timestamp(prev_ts))
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    numbered = events.withColumn('new_s', new_session).withColumn(
+        'session_id',
+        F.sum('new_s').over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return (numbered.groupBy('user_id', 'session_id')
+            .agg(F.count('*').alias('n_events'),
+                 F.min('ts').alias('session_start')))

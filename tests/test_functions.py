@@ -153,3 +153,19 @@ def test_decode_stub_raises(spark):
     from mineru_html_spark.functions.media import decode_image
     with pytest.raises(NotImplementedError):
         decode_image(b'x', 'image/png')
+
+
+def test_sessionize(spark):
+    import datetime as dt
+    from mineru_html_spark.functions.sessions import sessionize
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 1, t0 + dt.timedelta(minutes=50)),   # 40-min gap -> new session
+        (4, 2, t0),                              # other user
+    ]
+    ev = spark.createDataFrame(rows, 'event_id long, user_id long, ts timestamp')
+    got = {(r['user_id'], r['session_id']): r['n_events']
+           for r in sessionize(ev, gap_seconds=1800).collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
