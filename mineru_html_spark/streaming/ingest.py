@@ -47,6 +47,8 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
     """
     is_streaming = events.isStreaming
     if is_streaming:
+        # watermarks require TIMESTAMP (not NTZ, the parquet default)
+        events = events.withColumn('ts', F.col('ts').cast('timestamp'))
         events = events.withWatermark('ts', '1 hour')
     return (events
             .groupBy(F.window('ts', '1 hour').alias('w'), 'event_type')
@@ -54,3 +56,19 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
                  F.round(F.sum('value'), 4).alias('sum_value'))
             .select(F.col('w.start').alias('window_start'), 'event_type',
                     'n_events', 'sum_value'))
+
+
+def streaming_sessionize(events: DataFrame, gap: str = '30 minutes') -> DataFrame:
+    """Native session windows (gap-merged) — the Structured Streaming twin
+    of functions/sessions.sessionize. On a stream, the watermark bounds
+    session state; on a batch frame the same plan runs finitely and must
+    agree with the LAG-based batch operator on session counts."""
+    is_streaming = events.isStreaming
+    if is_streaming:
+        events = events.withColumn('ts', F.col('ts').cast('timestamp'))
+        events = events.withWatermark('ts', '1 hour')
+    return (events
+            .groupBy(F.session_window('ts', gap).alias('w'), 'user_id')
+            .agg(F.count('*').alias('n_events'))
+            .select('user_id', F.col('w.start').alias('session_start'),
+                    'n_events'))

@@ -33,3 +33,32 @@ def test_stream_extract_availablenow(spark, tmp_path):
     final = spark.read.parquet(out_dir)
     assert final.count() == 80
     assert final.select('doc_id').distinct().count() == 60
+
+
+def test_streaming_sessionize_agrees_with_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.sessions import sessionize
+    from mineru_html_spark.streaming.ingest import streaming_sessionize
+
+    events = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+    batch = sessionize(events, gap_seconds=1800)
+    native = streaming_sessionize(events, gap='30 minutes')
+
+    # identical session structure: same number of sessions per user and
+    # same (user, session_start, n_events) multiset
+    a = sorted((r['user_id'], r['session_start'], r['n_events'])
+               for r in batch.collect())
+    b = sorted((r['user_id'], r['session_start'], r['n_events'])
+               for r in native.collect())
+    assert a == b
+
+    # and it actually runs as a stream (availableNow over a file source)
+    in_dir = str(tmp_path / 'ev')
+    events.write.parquet(in_dir)
+    stream = (spark.readStream.schema(events.schema).parquet(in_dir))
+    q = (streaming_sessionize(stream, gap='30 minutes')
+         .writeStream.format('memory').queryName('sess_out')
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql('select count(*) c from sess_out').collect()[0]['c'] \
+        == len(a)
