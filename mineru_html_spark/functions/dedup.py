@@ -202,8 +202,8 @@ _SIMHASH_SCHEMA = 'doc_id long, simhash long'
 
 def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import re as _re
+    import zlib
     tok = _re.compile(r'[a-z0-9]+')
-    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
     for pdf in batches:
         out_ids, out_hashes = [], []
         for doc_id, text in zip(pdf['doc_id'], pdf['text']):
@@ -212,10 +212,12 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out_ids.append(doc_id)
                 out_hashes.append(0)
                 continue
-            # vectorized 64-bit FNV-1a per word, then bit-vote
+            # 64-bit word hash from two C-speed crc32 passes (a python
+            # FNV loop per byte was the batch's hot spot), then bit-vote
             hashes = np.fromiter(
-                (_fnv1a64(w) for w in words), dtype=np.uint64,
-                count=len(words))
+                ((zlib.crc32(b := w.encode('utf-8'))
+                  | (zlib.crc32(b, 0x9E3779B9) << 32)) for w in words),
+                dtype=np.uint64, count=len(words))
             bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64))
                     & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
@@ -223,17 +225,9 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in np.nonzero(votes > 0)[0]:
                 sim |= np.uint64(1) << np.uint64(b)
             out_ids.append(doc_id)
-            out_hashes.append(np.int64(sim & mask64))
+            out_hashes.append(np.int64(sim))
         yield pd.DataFrame({'doc_id': out_ids,
                             'simhash': np.array(out_hashes, dtype=np.int64)})
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xcbf29ce484222325)
-    p = np.uint64(0x100000001b3)
-    for byte in s.encode('utf-8'):
-        h = np.uint64((int(h) ^ byte) * int(p) & 0xFFFFFFFFFFFFFFFF)
-    return h
 
 
 def simhash(documents: DataFrame) -> DataFrame:
