@@ -78,7 +78,8 @@ def _fallback_labels(blocks) -> Dict[int, str]:
     """Degraded extraction: texty, link-light block paragraphs are main."""
     labels = {}
     for b in blocks:
-        texty = b.text_len >= 20
+        # same short-text boundary as the scorer (score.py tl >= 15)
+        texty = b.text_len >= 15
         link_light = b.link_text_len <= 0.5 * max(b.text_len, 1)
         keep = (b.content_type == 'block_element' and texty and link_light) \
             or (b.n_imgs > 0 and link_light)

@@ -52,7 +52,9 @@ _TAG_PRIOR = {
     'h2': 2.0, 'h3': 1.5, 'h4': 0.5, 'h5': 0.5, 'h6': 0.5,  # section/question headings are content
     'h1': -0.5,                      # page title = metadata per prompt spec
     'table': 1.0, 'tr': 3.5, 'caption': 3.5,  # data rows are data, however short
-    'ul': -1.0, 'ol': -0.5, 'dl': 0.0,
+    # no blanket list penalty: nav/related lists already die on link
+    # density; texty lists (instructions, tips) are content
+    'ul': 0.0, 'ol': 0.0, 'dl': 0.0,
     'td': 0.0, 'th': 0.0, 'div': 0.0, 'section': 0.0, 'main': 1.0,
     'form': -2.0, 'address': -1.0,
 }

@@ -204,12 +204,62 @@ def _messy_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
     return pieces
 
 
+def _howto_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
+    """Instructional page: the ordered list IS the main content (the case
+    where list == boilerplate heuristics fail), plus a code block."""
+    pieces: List[Piece] = [('text', '<html><body>', []),
+                           ('text', _nav_html(rng), [])]
+    intro = _para(rng, 2)
+    pieces.append(('text', f'<div class="content"><p>{intro}</p>',
+                   [_norm(intro)]))
+    steps = [_sentence(rng, rng.randint(10, 16)) for _ in range(rng.randint(4, 7))]
+    items = ''.join(f'<li>{s}</li>' for s in steps)
+    pieces.append(('text', f'<ol>{items}</ol>',
+                   [' '.join(_norm(s) for s in steps)]))
+    code = '\n'.join('val x%d = df.filter(col("a") > %d)' % (i, rng.randint(1, 99))
+                     for i in range(rng.randint(2, 4)))
+    pieces.append(('text', f'<pre>{code}</pre>', [_norm(code)]))
+    if rng.random() < 0.5:
+        ref = f'media://img/{doc_idx:08d}/h0'
+        pieces.append(('image', ref, []))
+    tips = [_sentence(rng, rng.randint(9, 14)) for _ in range(3)]
+    tip_items = ''.join(f'<li>{t}</li>' for t in tips)
+    pieces.append(('text', f'<ul class="tips">{tip_items}</ul>',
+                   [' '.join(_norm(t) for t in tips)]))
+    pieces.append(('text', '</div>', []))
+    pieces.append(('text', _related_html(rng), []))
+    pieces.append(('text', _footer_html(rng), []))
+    pieces.append(('text', '</body></html>', []))
+    return pieces
+
+
+def _link_list(rng: random.Random, n=6) -> str:
+    items = ''.join(
+        f'<li><a href="/{rng.choice(_TOPICS)}/{rng.randint(1, 99)}">'
+        f'{_sentence(rng, 3)[:-1]}</a></li>' for _ in range(n))
+    return f'<ul>{items}</ul>'
+
+
+def _bare_pieces(rng: random.Random) -> List[Piece]:
+    """Old-school div-soup page: class-less short divs the scorer rejects
+    (div prior 0, short text) but the degraded fallback keeps — exercises
+    the reference's trafilatura route (api.py:449-471) deterministically."""
+    pieces: List[Piece] = [('text', '<html><body>', []),
+                           ('text', _nav_html(rng), [])]
+    for _ in range(rng.randint(3, 5)):
+        t = _sentence(rng, rng.randint(5, 7))
+        pieces.append(('text', f'<div>{t}</div>', [_norm(t)]))
+    pieces.append(('text', _footer_html(rng), []))
+    pieces.append(('text', '</body></html>', []))
+    return pieces
+
+
 def _navonly_pieces(rng: random.Random) -> List[Piece]:
-    """Degenerate page: chrome only, nothing main-able (fallback/no_main)."""
+    """Degenerate page: chrome only, nothing main-able (no_main)."""
     return [
         ('text', '<html><body>', []),
         ('text', _nav_html(rng), []),
-        ('text', f'<div class="menu">{_long_list(rng, 6)}</div>', []),
+        ('text', f'<div class="menu">{_link_list(rng, 6)}</div>', []),
         ('text', '<div class="pagination"><a href="?p=1">1</a>'
                  '<a href="?p=2">2</a><a href="?p=3">3</a></div>', []),
         ('text', _footer_html(rng), []),
@@ -241,13 +291,17 @@ def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
             n_images=rng.randint(2, 4))
     else:
         style = rng.random()
-        if style < 0.55:
+        if style < 0.45:
             kind, pieces = 'small', _article_pieces(
                 rng, doc_idx, n_paras=rng.randint(3, 8),
                 n_images=rng.randint(0, 2))
-        elif style < 0.75:
+        elif style < 0.63:
             kind, pieces = 'forum', _forum_pieces(rng, doc_idx)
-        elif style < 0.92:
+        elif style < 0.75:
+            kind, pieces = 'howto', _howto_pieces(rng, doc_idx)
+        elif style < 0.80:
+            kind, pieces = 'bare', _bare_pieces(rng)
+        elif style < 0.93:
             kind, pieces = 'messy', _messy_pieces(rng, doc_idx)
         else:
             kind, pieces = 'navonly', _navonly_pieces(rng)
@@ -281,7 +335,7 @@ def gen_doc(doc_idx: int, seed: int = 42) -> Dict:
         spans.append({'kind': 'text', 'text': ''.join(buf),
                       'media_ref': '', 'offset': off})
 
-    strict = kind in ('small', 'medium', 'large', 'forum')
+    strict = kind in ('small', 'medium', 'large', 'forum', 'howto', 'bare')
     truth_spans = [
         {'kind': k, 'text': t, 'media_ref': m, 'offset': i}
         for i, (k, t, m) in enumerate(truth)

@@ -11,7 +11,7 @@ from mineru_html_spark.core.extract import extract_document
 from mineru_html_spark.core.synth import gen_doc
 from mineru_html_spark.functions.rouge import rouge_n
 
-STRICT = ('small', 'medium', 'large', 'forum')
+STRICT = ('small', 'medium', 'large', 'forum', 'howto', 'bare')
 
 
 def test_strict_templates_exact_span_equality():
@@ -43,7 +43,7 @@ def test_messy_template_rouge_floor():
         assert len(text) > 50, d['doc_id']
         assert 'Copyright 2026' not in text, d['doc_id']
         n += 1
-    assert n >= 30
+    assert n >= 20
 
 
 def test_navonly_yields_no_main_or_minimal():

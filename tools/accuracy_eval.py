@@ -53,7 +53,7 @@ def main():
              '|---|---|---|---|---|---|']
     for kind in sorted(stats):
         s = stats[kind]
-        if kind in ('small', 'medium', 'large', 'forum'):
+        if kind in ('small', 'medium', 'large', 'forum', 'howto', 'bare'):
             nn = s['n']
             lines.append(
                 f"| {kind} | {nn} | {s['eq'] / nn:.3f} | "
