@@ -23,6 +23,9 @@ adding it did not change the generated documents.
 
 from __future__ import annotations
 
+# bump when generated content changes; invalidates materialized caches
+SYNTH_VERSION = 2
+
 import random
 import re
 from typing import Dict, List, Tuple

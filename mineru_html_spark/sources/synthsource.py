@@ -16,7 +16,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..core.synth import gen_doc
+from ..core.synth import SYNTH_VERSION, gen_doc
 
 DOCS_SCHEMA = ('doc_id string, '
                'spans array<struct<kind:string,text:string,'
@@ -56,7 +56,7 @@ def materialized_docs(spark: SparkSession, n_docs: int,
     scan parallelizes regardless of which session materialized it (a real
     lake table is likewise many well-sized files).
     """
-    path = os.path.join(cache_root, f'docs_n{n_docs}')
+    path = os.path.join(cache_root, f'docs_v{SYNTH_VERSION}_n{n_docs}')
     marker = os.path.join(path, '_SUCCESS')
     if not os.path.exists(marker):
         synth_docs_df(spark, n_docs, partitions=n_files) \
