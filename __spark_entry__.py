@@ -278,8 +278,22 @@ _SHINGLES3 = (
 )
 
 
+def _expected_parquet(name: str) -> str:
+    path = os.path.join(REPO, 'tests', 'goldens',
+                        f'expected_{name}_sf001.parquet')
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
+        # deterministic non-SQL operators: value-checked against committed
+        # single-run outputs (regression + distributed-determinism gate,
+        # same pattern as the extraction goldens)
+        name: _expected_parquet(name)
+        for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
+                     'rouge_self', 'media_features')
+    }
+    oracles.update({
         'extract_main': f"""
             SELECT doc_id, status, n_items, n_main, n_spans, n_image_spans,
                    spans_sha
@@ -413,4 +427,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = p.a
             JOIN sh sb ON sb.doc_id = p.b
         """,
-    }
+    })
+    return oracles

@@ -1,0 +1,40 @@
+"""Commit expected outputs for the non-SQL-expressible operators.
+
+MinHash/SimHash/ANN/ROUGE/media queries are deterministic but not
+expressible in DuckDB SQL; instead of settling for rows-only checks, we
+run each once at the oracle scale (sf=0.01), commit the result parquet,
+and point the oracle at it — the driver then value-checks that the
+distributed run reproduces the committed output exactly (determinism +
+regression gate, same pattern as the extraction goldens).
+
+Regenerate ONLY on intentional semantic changes:
+    python tools/make_expected_ops.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = '/root/testdata/sf0.01'
+OUT_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens')
+
+NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
+         'media_features')
+
+
+def main():
+    import __spark_entry__ as entry
+    from mineru_html_spark.plans.session import get_spark
+    spark = get_spark('local[8]', app_name='make-expected-ops',
+                      shuffle_partitions=8)
+    qs = entry.queries()
+    for name in NAMES:
+        df = qs[name](spark, SF_DIR)
+        path = os.path.join(OUT_DIR, f'expected_{name}_sf001.parquet')
+        df.toPandas().to_parquet(path, index=False)
+        print(f'{name}: {len(df.columns)} cols -> {path}')
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
