@@ -209,6 +209,31 @@ def q_rouge_self(spark, sf_dir):
     return rg.rouge_eval(pairs, n=5)
 
 
+def q_token_count_bpe(spark, sf_dir):
+    return tx.token_count_bpe(_docs(spark, sf_dir))
+
+
+def q_quality_gate(spark, sf_dir):
+    return tx.quality_gate(_docs(spark, sf_dir))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucketed self-join + exact
+    verify); committed-output oracle."""
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select('embedding').first()['embedding'])
+    return sim.embedding_near_dups(emb, dim=dim, threshold_micro=350000)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, 4-probe); committed-output
+    oracle."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col('vec_id') == 0).select('embedding').collect()
+    query = list(qvec[0]['embedding']) if qvec else []
+    return sim.ann_topk_ivf(emb, query, k=20, n_lists=16, n_probe=4)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap)."""
     from mineru_html_spark.functions.sessions import sessionize
@@ -250,6 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
         'sessionize': q_sessionize,
+        'token_count_bpe': q_token_count_bpe,
+        'quality_gate': q_quality_gate,
+        'embedding_near_dups': q_embedding_near_dups,
+        'ann_ivf_topk': q_ann_ivf_topk,
     }
 
 
@@ -291,9 +320,49 @@ def oracle_sql() -> dict[str, str]:
         # same pattern as the extraction goldens)
         name: _expected_parquet(name)
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
-                     'rouge_self', 'media_features')
+                     'rouge_self', 'media_features',
+                     'embedding_near_dups', 'ann_ivf_topk')
     }
     oracles.update({
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_gate": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_words,
+                     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z]+'),
+                                     w -> w IN ({_STOP_SQL}))) AS n_stopwords
+              FROM documents),
+            pm AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_chars = 0 THEN 0
+                          ELSE cast(floor(1000 * n_punct / n_chars) AS INT)
+                     END AS punct_permille,
+                     CASE WHEN n_words = 0 THEN 0
+                          ELSE cast(floor(1000 * n_stopwords / n_words) AS INT)
+                     END AS stop_permille
+              FROM q)
+            SELECT doc_id,
+                   CASE WHEN n_words < 5 THEN 'too_short'
+                        WHEN punct_permille > 150 THEN 'punct_heavy'
+                        WHEN stop_permille < 50 THEN 'low_stopword'
+                        ELSE '' END AS drop_reason,
+                   (CASE WHEN n_words < 5 THEN 'too_short'
+                         WHEN punct_permille > 150 THEN 'punct_heavy'
+                         WHEN stop_permille < 50 THEN 'low_stopword'
+                         ELSE '' END) = '' AS keep,
+                   punct_permille, stop_permille
+            FROM pm
+        """,
         'extract_main': f"""
             SELECT doc_id, status, n_items, n_main, n_spans, n_image_spans,
                    spans_sha

@@ -125,3 +125,117 @@ def knn_self_join(embeddings: DataFrame, sample_ids: List[int], k: int = 5,
                                           F.asc('vec_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
             .where(F.col('rank') <= k))
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (dedup mode, whole-table)
+# --------------------------------------------------------------------------
+
+def embedding_near_dups(embeddings: DataFrame, dim: int,
+                        threshold_micro: int = 950000,
+                        n_planes: int = 12, bands: int = 6, seed: int = 7,
+                        vec_col: str = 'embedding') -> DataFrame:
+    """All vector pairs with cosine >= threshold (near-dup dedup).
+
+    Scale path: BANDED hyperplane LSH — planes split into bands (2 planes
+    per band at the defaults); a pair is a candidate if any band matches,
+    so recall at cosine c is 1-(1-p^r)^b with p = 1-acos(c)/pi (~0.9997
+    at c=0.9). The self-join key is (band_id, band_bits): only a few
+    bytes per vector shuffle; exact cosine verifies candidates.
+    """
+    rows = n_planes // bands
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, vec_col)
+    banded = sigs.select(
+        'vec_id',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bd).alias('band_id'),
+                F.shiftright(F.col('sig'), bd * rows)
+                 .bitwiseAND(F.lit((1 << rows) - 1)).alias('band_bits'))
+            for bd in range(bands)])).alias('k'))
+    left = banded.select('k', F.col('vec_id').alias('a'))
+    right = banded.select('k', F.col('vec_id').alias('b'))
+    cand = (left.join(right, 'k')
+            .where(F.col('a') < F.col('b'))
+            .select('a', 'b').distinct())
+
+    va = embeddings.select(F.col('vec_id').alias('a'),
+                           F.col(vec_col).alias('ea'))
+    vb = embeddings.select(F.col('vec_id').alias('b'),
+                           F.col(vec_col).alias('eb'))
+    j = cand.join(va, 'a').join(vb, 'b')
+    xa = F.transform(F.col('ea'), lambda x: x.cast('double'))
+    xb = F.transform(F.col('eb'), lambda x: x.cast('double'))
+    cos = _dot(xa, xb) / (
+        (F.when(_norm(xa) == 0, F.lit(1.0)).otherwise(_norm(xa)))
+        * (F.when(_norm(xb) == 0, F.lit(1.0)).otherwise(_norm(xb))))
+    return (j.select('a', 'b',
+                     F.round(cos * 1000000).cast('long').alias('cos_micro'))
+            .where(F.col('cos_micro') >= threshold_micro))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed rerank
+# --------------------------------------------------------------------------
+
+def _kmeans_centroids(vecs: 'np.ndarray', k: int, seed: int = 5,
+                      iters: int = 8) -> 'np.ndarray':
+    """Deterministic mini k-means for the coarse quantizer (numpy;
+    production would train on a sample and broadcast — same as here)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(vecs), size=min(k, len(vecs)), replace=False)
+    cents = vecs[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_index(embeddings: DataFrame, dim: int, n_lists: int = 16,
+              sample: int = 2048, seed: int = 5,
+              vec_col: str = 'embedding') -> tuple:
+    """Train the coarse quantizer on a deterministic sample and assign
+    every vector to its nearest centroid (list_id) via a vectorized
+    Arrow UDF. Returns (assigned_df, centroids)."""
+    samp = (embeddings.orderBy('vec_id').limit(sample)
+            .select(vec_col).toPandas())
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in samp[vec_col]])
+    cents = _kmeans_centroids(mat, n_lists, seed)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            m = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({'vec_id': pdf['vec_id'],
+                                'list_id': d.argmin(axis=1).astype('int32')})
+
+    assigned = embeddings.select('vec_id', vec_col).mapInPandas(
+        assign, 'vec_id long, list_id int')
+    return assigned, cents
+
+
+def ann_topk_ivf(embeddings: DataFrame, query: Sequence[float], k: int = 20,
+                 n_lists: int = 16, n_probe: int = 4, seed: int = 5,
+                 vec_col: str = 'embedding') -> DataFrame:
+    """IVF ANN: probe the n_probe nearest inverted lists, exact-rerank.
+
+    The scale path pre-materializes the assignment (ivf_index) as a table
+    partitioned by list_id so probes prune partitions at scan time; here
+    the assignment runs inline for a self-contained query.
+    """
+    dim = len(query)
+    assigned, cents = ivf_index(embeddings, dim, n_lists, seed=seed,
+                                vec_col=vec_col)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(x) for x in d.argsort()[:n_probe]]
+    cands = (embeddings
+             .join(assigned.where(F.col('list_id').isin(probe_lists))
+                   .select('vec_id'), 'vec_id', 'left_semi'))
+    return cosine_topk(cands, query, k, vec_col)

@@ -33,6 +33,46 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """BPE-ish subword-boundary token count (GPT-2-style segmentation
+    classes: contractions, letter runs, digit runs, punct runs — without
+    a learned merge table). Native regexp_extract_all, portable to the
+    DuckDB oracle verbatim."""
+    pat = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+    return documents.select(
+        'doc_id',
+        F.size(F.regexp_extract_all('text', F.lit(pat), 0))
+         .alias('n_bpe_tokens'))
+
+
+def quality_gate(documents: DataFrame,
+                 min_words: int = 5,
+                 max_punct_permille: int = 150,
+                 min_stop_permille: int = 50) -> DataFrame:
+    """Training-data quality filter with per-rule reasons.
+
+    Composable gate over the quality features: too-short docs, punct-heavy
+    docs (boilerplate/code debris), stopword-free docs (non-language).
+    Returns every doc with its keep decision and first failing reason so
+    downstream can audit drop rates per rule (never silently filter).
+    """
+    q = quality_features(documents)
+    punct_pm = F.when(q.n_chars == 0, F.lit(0)) \
+        .otherwise(F.floor(F.lit(1000) * q.n_punct / q.n_chars)).cast('int')
+    stop_pm = F.when(q.n_words == 0, F.lit(0)) \
+        .otherwise(F.floor(F.lit(1000) * q.n_stopwords / q.n_words)).cast('int')
+    reason = (F.when(q.n_words < min_words, F.lit('too_short'))
+              .when(punct_pm > max_punct_permille, F.lit('punct_heavy'))
+              .when(stop_pm < min_stop_permille, F.lit('low_stopword'))
+              .otherwise(F.lit('')))
+    return q.select(
+        'doc_id',
+        reason.alias('drop_reason'),
+        (reason == '').alias('keep'),
+        punct_pm.alias('punct_permille'),
+        stop_pm.alias('stop_permille'))
+
+
 def quality_features(documents: DataFrame) -> DataFrame:
     """Deterministic quality signals: lengths and class counts.
 

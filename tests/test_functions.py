@@ -177,3 +177,41 @@ def test_sessionize(spark):
     got = {(r['user_id'], r['session_id']): r['n_events']
            for r in sessionize(ev, gap_seconds=1800).collect()}
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark):
+    import numpy as np
+    from mineru_html_spark.functions.similarity import embedding_near_dups
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((60, 16)).astype('float32')
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    # plant near-duplicates of vectors 0 and 1
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((101, [float(x) for x in base[1] + 0.01 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    pairs = {(r['a'], r['b']) for r in
+             embedding_near_dups(df, dim=16, threshold_micro=990000).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    # no spurious high-cos pairs among independent gaussians
+    assert all(a in (0, 1) or b in (100, 101) for a, b in pairs)
+
+
+def test_ivf_ann_recall(spark):
+    import numpy as np
+    from mineru_html_spark.functions.similarity import ann_topk_ivf, cosine_topk
+    rng = np.random.RandomState(4)
+    centers = rng.standard_normal((10, 16)) * 3
+    vecs = np.vstack([c + 0.2 * rng.standard_normal((20, 16))
+                      for c in centers]).astype('float32')
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        'vec_id long, embedding array<float>')
+    q = [float(x) for x in vecs[5]]
+    exact = {r['vec_id'] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r['vec_id'] for r in
+              ann_topk_ivf(df, q, k=10, n_lists=10, n_probe=3).collect()}
+    assert len(exact & approx) >= 8
+    # determinism across invocations
+    approx2 = {r['vec_id'] for r in
+               ann_topk_ivf(df, q, k=10, n_lists=10, n_probe=3).collect()}
+    assert approx == approx2
