@@ -72,3 +72,36 @@ def streaming_sessionize(events: DataFrame, gap: str = '30 minutes') -> DataFram
             .agg(F.count('*').alias('n_events'))
             .select('user_id', F.col('w.start').alias('session_start'),
                     'n_events'))
+
+
+def stateful_user_counters(events, timeout_ms: int = 0):
+    """Custom stateful streaming operator: running per-user event counters
+    via applyInPandasWithState (the escape hatch for stateful logic the
+    built-in windows can't express — e.g. lifetime counters, custom decay,
+    per-key model state).
+
+    State per user: (n_events, sum_value_milli). Each micro-batch emits
+    the updated totals for users seen in that batch — an incremental,
+    restartable materialized aggregate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, sv = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += int(round(pdf['value'].sum() * 1000))
+        state.update((n, sv))
+        yield pd.DataFrame({'user_id': [key[0]], 'n_events': [n],
+                            'sum_value_milli': [sv]})
+
+    return (events
+            .groupBy('user_id')
+            .applyInPandasWithState(
+                update,
+                outputStructType='user_id long, n_events long, '
+                                 'sum_value_milli long',
+                stateStructType='n long, sv long',
+                outputMode='update',
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -62,3 +62,37 @@ def test_streaming_sessionize_agrees_with_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.sql('select count(*) c from sess_out').collect()[0]['c'] \
         == len(a)
+
+
+def test_stateful_user_counters(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.streaming.ingest import stateful_user_counters
+
+    events = (spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+              .where(F.col('user_id') < 20))
+    in_dir = str(tmp_path / 'ev')
+    # several files -> maxFilesPerTrigger drives multiple micro-batches,
+    # so state genuinely accumulates across batches
+    events.repartition(4).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option('maxFilesPerTrigger', 1).parquet(in_dir))
+    q = (stateful_user_counters(stream)
+         .writeStream.format('memory').queryName('ucount')
+         .outputMode('update').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last emitted row per user == exact batch totals
+    got = spark.sql("""
+        SELECT user_id, max_by(n_events, n_events) AS n_events,
+               max_by(sum_value_milli, n_events) AS sum_value_milli
+        FROM ucount GROUP BY user_id""").collect()
+    want = {r['user_id']: (r['n'], r['sv']) for r in
+            events.groupBy('user_id')
+            .agg(F.count('*').alias('n'),
+                 F.sum(F.round(F.col('value') * 1000).cast('long'))
+                 .alias('sv')).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        n, _ = want[r['user_id']]
+        assert r['n_events'] == n, r['user_id']
