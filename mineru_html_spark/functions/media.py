@@ -104,3 +104,65 @@ def media_refs_from_results(results: DataFrame) -> DataFrame:
             .where(F.col('s.kind') == 'image')
             .select(F.col('s.media_ref').alias('media_ref'))
             .distinct())
+
+
+RESIZED_SCHEMA = ('media_ref string, width int, height int, '
+                  'resized_payload binary, status string')
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stage: real Spark plumbing, stubbed kernel.
+
+    The aspect-ratio arithmetic and batch shape are production-real; the
+    pixel kernel (PIL's Image.resize) is replaced by a deterministic
+    payload-slice fake since no image libs ship in this container.
+    """
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload, w, h in zip(pdf['media_ref'], pdf['payload'],
+                                          pdf['width'], pdf['height']):
+                scale = min(1.0, max_side / max(int(w), int(h), 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                # STUB kernel: real impl decodes + resamples; fake keeps a
+                # deterministic byte budget proportional to the new area
+                budget = max(16, (nw * nh) // 4)
+                rows.append({'media_ref': ref, 'width': nw, 'height': nh,
+                             'resized_payload': bytes(payload)[:budget],
+                             'status': 'ok'})
+            yield pd.DataFrame(rows, columns=['media_ref', 'width', 'height',
+                                              'resized_payload', 'status'])
+    return media.select('media_ref', 'payload', 'width', 'height') \
+        .mapInPandas(batch, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = ('media_ref string, frame_idx int, frame_payload binary')
+
+
+def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: evenly-spaced frame indices,
+    one output row per sampled frame (the explode-shaped stage a video
+    pipeline needs). Decode kernel stubbed; index math and row fan-out
+    are real."""
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload, nf in zip(pdf['media_ref'], pdf['payload'],
+                                        pdf['n_frames']):
+                nf = max(int(nf), 1)
+                k = min(n_samples, nf)
+                idxs = [int(i * (nf - 1) / max(k - 1, 1)) for i in range(k)] \
+                    if k > 1 else [0]
+                seen = []
+                for i in idxs:
+                    if i in seen:
+                        continue
+                    seen.append(i)
+                    chunk = bytes(payload)[i % max(len(payload) // 16, 1)
+                                           * 16:][:16]
+                    rows.append({'media_ref': ref, 'frame_idx': i,
+                                 'frame_payload': chunk})
+            yield pd.DataFrame(rows, columns=['media_ref', 'frame_idx',
+                                              'frame_payload'])
+    return media.select('media_ref', 'payload', 'n_frames') \
+        .mapInPandas(batch, FRAMES_SCHEMA)

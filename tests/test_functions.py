@@ -215,3 +215,29 @@ def test_ivf_ann_recall(spark):
     approx2 = {r['vec_id'] for r in
                ann_topk_ivf(df, q, k=10, n_lists=10, n_probe=3).collect()}
     assert approx == approx2
+
+
+def test_media_resize_and_frames(spark):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.media import (resize_images,
+                                                   sample_frames,
+                                                   synth_media_df)
+    refs = spark.createDataFrame([(f'media://v/{i}',) for i in range(5)],
+                                 'media_ref string')
+    media = synth_media_df(spark, refs).withColumn(
+        'n_frames', F.lit(10))
+    resized = resize_images(media, max_side=32).collect()
+    assert all(r['status'] == 'ok' and max(r['width'], r['height']) <= 32
+               for r in resized)
+    # aspect preserved within rounding
+    orig = {r['media_ref']: (r['width'], r['height'])
+            for r in media.collect()}
+    for r in resized:
+        ow, oh = orig[r['media_ref']]
+        assert abs(r['width'] / r['height'] - ow / oh) < 0.2
+
+    frames = sample_frames(media, n_samples=4).collect()
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r['media_ref'], []).append(r['frame_idx'])
+    assert all(sorted(v) == [0, 3, 6, 9] for v in by_ref.values())
