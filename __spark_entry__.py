@@ -218,11 +218,16 @@ def q_quality_gate(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (LSH-bucketed self-join + exact
-    verify); committed-output oracle."""
-    emb = _embeddings(spark, sf_dir)
+    """Embedding-cosine near-dup pairs (multi-table signature LSH + exact
+    verify); the base table has no near-dups, so the query plants exact
+    copies (vec_id + 1000000) — every original must pair with its copy.
+    Committed-output oracle."""
+    emb = _embeddings(spark, sf_dir).select('vec_id', 'embedding')
+    planted = emb.select((F.col('vec_id') + 1000000).alias('vec_id'),
+                         'embedding')
+    both = emb.unionByName(planted)
     dim = len(emb.select('embedding').first()['embedding'])
-    return sim.embedding_near_dups(emb, dim=dim, threshold_micro=350000)
+    return sim.embedding_near_dups(both, dim=dim, threshold_micro=990000)
 
 
 def q_ann_ivf_topk(spark, sf_dir):

@@ -133,31 +133,29 @@ def knn_self_join(embeddings: DataFrame, sample_ids: List[int], k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, dim: int,
                         threshold_micro: int = 950000,
-                        n_planes: int = 12, bands: int = 6, seed: int = 7,
+                        n_planes: int = 16, n_tables: int = 4, seed: int = 7,
                         vec_col: str = 'embedding') -> DataFrame:
     """All vector pairs with cosine >= threshold (near-dup dedup).
 
-    Scale path: BANDED hyperplane LSH — planes split into bands (2 planes
-    per band at the defaults); a pair is a candidate if any band matches,
-    so recall at cosine c is 1-(1-p^r)^b with p = 1-acos(c)/pi (~0.9997
-    at c=0.9). The self-join key is (band_id, band_bits): only a few
-    bytes per vector shuffle; exact cosine verifies candidates.
+    Scale path: L independent full-signature LSH tables (sig equality
+    join per table, candidates OR'd). At near-dup cosine the full
+    16-plane signature matches with p ~ (1-acos(c)/pi)^16 per table
+    (p=0.48 at c=0.99; exact copies always match), so 4 tables give
+    ~0.93+ recall while random pairs land in the same 16-bit bucket with
+    ~2^-16 probability — the candidate set stays linear in n, unlike
+    few-bit banding which degenerates into a quadratic bucket join.
+    Exact cosine verifies every candidate.
     """
-    rows = n_planes // bands
-    sigs = lsh_signatures(embeddings, dim, n_planes, seed, vec_col)
-    banded = sigs.select(
-        'vec_id',
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bd).alias('band_id'),
-                F.shiftright(F.col('sig'), bd * rows)
-                 .bitwiseAND(F.lit((1 << rows) - 1)).alias('band_bits'))
-            for bd in range(bands)])).alias('k'))
-    left = banded.select('k', F.col('vec_id').alias('a'))
-    right = banded.select('k', F.col('vec_id').alias('b'))
-    cand = (left.join(right, 'k')
-            .where(F.col('a') < F.col('b'))
-            .select('a', 'b').distinct())
+    cands = None
+    for t in range(n_tables):
+        sigs = lsh_signatures(embeddings, dim, n_planes, seed + 101 * t,
+                              vec_col)
+        left = sigs.select(F.col('sig'), F.col('vec_id').alias('a'))
+        right = sigs.select(F.col('sig'), F.col('vec_id').alias('b'))
+        c = (left.join(right, 'sig')
+             .where(F.col('a') < F.col('b')).select('a', 'b'))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.distinct()
 
     va = embeddings.select(F.col('vec_id').alias('a'),
                            F.col(vec_col).alias('ea'))
