@@ -20,6 +20,7 @@ failures per-case at eval_baselines/base.py:104-130):
 
 from __future__ import annotations
 
+import sys
 import traceback
 from typing import Dict, List, Optional
 
@@ -33,6 +34,13 @@ from .spancodec import spans_to_html, tree_to_spans
 MAX_TOKENS = 32768
 EST_CHARS_PER_TOKEN = 4
 REPLY_TOKENS_PER_ITEM = 8
+
+# Real crawls contain pathologically nested markup; several tree walks
+# (clone, prune, serialize) are recursive, so raise the interpreter limit
+# well above any real page depth. Beyond this, the per-row try/except
+# degrades the document to status='error' instead of killing the task.
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
 
 STATUS_OK = 'ok'
 STATUS_FALLBACK = 'fallback'

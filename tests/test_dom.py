@@ -80,3 +80,20 @@ def test_serialize_roundtrip_attrs():
 def test_binary_garbage_no_crash():
     root = parse_html('\x00\xff<<<>>><p<p<p</</</')
     assert root.tag == 'html'
+
+
+def test_deep_nesting_extracts_or_degrades():
+    from mineru_html_spark.core.extract import extract_document
+    # realistic pathological depth: extract fine
+    html = ('<div>' * 3000
+            + '<p>deep content paragraph with enough text to be main</p>'
+            + '</div>' * 3000)
+    r = extract_document('deep', [{'kind': 'text', 'text': html,
+                                   'media_ref': '', 'offset': 0}])
+    assert r['status'] == 'ok'
+    assert r['spans'][0]['text'].startswith('deep content')
+    # absurd depth: contained failure, never an exception out of the row
+    html = '<div>' * 30000 + 'x' + '</div>' * 30000
+    r2 = extract_document('worse', [{'kind': 'text', 'text': html,
+                                     'media_ref': '', 'offset': 0}])
+    assert r2['status'] == 'error' and r2['spans'] == []
