@@ -33,6 +33,8 @@ import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple, Union
 
+from hashlib import blake2b
+
 from .dom import Node, get_body, parse_html, serialize
 
 INLINE_TAGS = frozenset({
@@ -381,7 +383,7 @@ class Segmenter:
 
     # -- emission: clean clone, filter, dedup, assign id --------------------
     def _emit(self, node: Node, content_type: str) -> None:
-        raw_key = serialize(node)
+        raw_key = _struct_key(node)
         if raw_key in self.seen_html:
             return
         self.seen_html.add(raw_key)
@@ -415,6 +417,42 @@ class Segmenter:
             depth=_depth(node),
         )
         self.blocks.append(blk)
+
+
+_STRUCT_END = object()  # close marker; identity-checked, unforgeable by text
+
+
+def _struct_key(node: Node) -> bytes:
+    """Injective structural digest of a subtree — the paragraph-dedup key
+    (reference dedups on the serialized paragraph html,
+    simplify_html.py:366-374; hashing the same token stream avoids
+    building and escaping a throwaway string per candidate block).
+    Length-prefixed fields keep the encoding unambiguous."""
+    h = blake2b(digest_size=16)
+    END = _STRUCT_END
+    stack: List[object] = [node]
+    while stack:
+        it = stack.pop()
+        if it is END:
+            h.update(b'/')
+            continue
+        if isinstance(it, str):
+            b = it.encode('utf-8', 'surrogatepass')
+            h.update(b'T%d:' % len(b))
+            h.update(b)
+            continue
+        tb = it.tag.encode()
+        h.update(b'E%d:' % len(tb))
+        h.update(tb)
+        for k, v in it.attrs.items():
+            kb, vb = k.encode(), str(v).encode('utf-8', 'surrogatepass')
+            h.update(b'A%d:%d:' % (len(kb), len(vb)))
+            h.update(kb)
+            h.update(vb)
+        h.update(b'>')
+        stack.append(END)
+        stack.extend(reversed(it.children))
+    return h.digest()
 
 
 _TAG_OR_TEXT = re.compile(r'(<[^>]+>)|([^<]+)')
