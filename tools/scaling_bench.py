@@ -84,36 +84,12 @@ def main():
         f"{p['hi']['docs_per_sec']} | {p['raw_efficiency']} | "
         f"{p['hardware_ceiling']} | {p['efficiency_vs_ceiling']} |"
         for p in pairs)
-    md = f"""# BENCH -- scaling evidence (north rule)
-
-Same extraction job, same materialized parquet input (sf={sf},
-{n_docs} synthetic interleaved docs, 128 files), run at N and 4N cores
-(best of 2 runs each). "ceiling" is the same machine's measured
-pure-Python multiprocessing efficiency at that pairing -- this sandbox is
-ONE shared socket, so per-core throughput falls as cores go busy
-(frequency/memory bandwidth); no software can exceed the ceiling here.
-
-| cores N -> 4N | docs/s @N | docs/s @4N | raw eff | hw ceiling | eff vs ceiling |
-|---|---|---|---|---|---|
-{rows}
-
-Interpretation: the job reaches the bulk of whatever parallel throughput
-this machine physically offers at each pairing. On a real cluster the
-N -> 4N step adds 4x sockets (ceiling ~ 1.0), so the efficiency-vs-ceiling
-column is the transferable number; the raw column is bounded by
-single-box physics, not by the job.
-
-Why the job scales: one fused Arrow-UDF stage after a single
-size-salted shuffle; no joins, no aggregation barrier, no driver
-collect. 4x-cores partition fan-out levels the heavy-tailed per-doc
-cost (giant pages), salting spreads giants (operators/skew.py), AQE
-keeps the explicit repartition's fan-out.
-"""
-    out = os.path.join(os.path.dirname(__file__), '..', 'BENCH',
-                       'BASELINE.md')
-    with open(out, 'w') as f:
-        f.write(md)
-    print(f'wrote {out}')
+    # append machine-readable run record; BENCH/BASELINE.md is curated
+    log = os.path.join(os.path.dirname(__file__), '..', 'BENCH',
+                       'scaling_runs.jsonl')
+    with open(log, 'a') as f:
+        f.write(json.dumps(result) + '\n')
+    print(f'appended run record to {log}')
 
 
 if __name__ == '__main__':
