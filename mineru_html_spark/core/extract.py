@@ -26,7 +26,8 @@ from typing import Dict, List, Optional
 
 from .dom import Node, get_body
 from .score import MAIN, label_blocks
-from .simplify import RUN_WRAPPER_TAG, simplify_document
+from .simplify import (RUN_WRAPPER_TAG, estimate_budget_chars,
+                       simplify_document)
 from .spancodec import spans_to_html, tree_to_spans
 
 # Reference budget: prompt_tokens + 8 * n_items < 32768 (api.py:89,263-273).
@@ -96,11 +97,15 @@ def _fallback_labels(blocks) -> Dict[int, str]:
 
 
 def extract_from_html(html_str: str) -> dict:
-    """Extract main content of one HTML document. Pure, deterministic."""
-    root, blocks, simplified = simplify_document(html_str)
+    """Extract main content of one HTML document. Pure, deterministic.
+
+    Hot path skips materializing the scorer-view HTML (the reference
+    needs that string as LLM input; our scorer consumes features) — the
+    size budget uses the calibrated estimator instead."""
+    root, blocks, _ = simplify_document(html_str, build_simplified=False)
     n_items = len(blocks)
 
-    est_tokens = len(simplified) // EST_CHARS_PER_TOKEN \
+    est_tokens = estimate_budget_chars(blocks) // EST_CHARS_PER_TOKEN \
         + REPLY_TOKENS_PER_ITEM * n_items
     status = STATUS_OK
     if est_tokens >= MAX_TOKENS:

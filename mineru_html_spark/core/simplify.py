@@ -196,6 +196,27 @@ def is_meaningful(node: Node) -> bool:
     return False
 
 
+def is_meaningful_cleaned(node: Node) -> bool:
+    """F5 applied as if clean_attributes had run: non-ws text anywhere, or
+    an <img> whose src survives cleaning (non-empty, non-base64). Walks
+    the original node — equivalent to clean(clone)+is_meaningful without
+    materializing the clone."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.tag == 'img':
+            src = (n.get('src') or '').strip()
+            if src and not src.startswith('data:image/'):
+                return True
+        for c in n.children:
+            if isinstance(c, str):
+                if c.strip():
+                    return True
+            else:
+                stack.append(c)
+    return False
+
+
 def truncate_text(node: Node, max_length: int = 200) -> None:
     """Cap total text under ``node`` at ``max_length`` chars, '+...' marker.
 
@@ -290,9 +311,16 @@ def _depth(node: Node) -> int:
 
 
 class Segmenter:
-    """Walks a cleaned body, splices run-wrappers, assigns item ids 1..N."""
+    """Walks a cleaned body, splices run-wrappers, assigns item ids 1..N.
 
-    def __init__(self, body: Node):
+    ``build_simplified=False`` (the production hot path) skips
+    materializing the scorer-view HTML per block — the reference needs
+    that string as LLM input (simplify_html.py:971-976); our scorer
+    consumes features, so the string is only built for parity/debugging.
+    """
+
+    def __init__(self, body: Node, build_simplified: bool = True):
+        self.build_simplified = build_simplified
         self.body = body
         self.table_kind: Dict[int, bool] = {}
         for t in body.find_all('table'):
@@ -388,24 +416,30 @@ class Segmenter:
             return
         self.seen_html.add(raw_key)
 
-        clone = node.clone(deep=True)
-        clean_attributes(clone)
-        simplify_list(clone)
-        if not is_meaningful(clone):
-            return
-        truncate_text(clone, max_length=200)
+        if self.build_simplified:
+            clone = node.clone(deep=True)
+            clean_attributes(clone)
+            simplify_list(clone)
+            if not is_meaningful(clone):
+                return
+            truncate_text(clone, max_length=200)
+        else:
+            if not is_meaningful_cleaned(node):
+                return
+            clone = None
 
         item_id = self.next_id
         self.next_id += 1
         node.item_id = item_id
-        clone.set('_item_id', str(item_id))
+        if clone is not None:
+            clone.set('_item_id', str(item_id))
 
         text, link_len, n_imgs = _gather_features(node)
         blk = Block(
             item_id=item_id,
             content_type=content_type,
             node=node,
-            simplified_html=serialize(clone),
+            simplified_html=serialize(clone) if clone is not None else '',
             tag=node.tag if node.tag != RUN_WRAPPER_TAG
             else (node.parent.tag if node.parent is not None else 'body'),
             text=text,
@@ -467,20 +501,39 @@ def normalize_outside_tags(html_str: str) -> str:
     return _TAG_OR_TEXT.sub(repl, html_str).strip()
 
 
-def simplify_document(html_str: str) -> Tuple[Node, List[Block], str]:
+def simplify_document(html_str: str,
+                      build_simplified: bool = True
+                      ) -> Tuple[Node, List[Block], str]:
     """Full preprocess: parse → clean → segment/mark → simplified html.
 
-    Returns (document_root, blocks, simplified_html). ``simplified_html`` is
-    the scorer-facing compact document (reference assembles the same envelope
-    at simplify_html.py:971-976).
+    Returns (document_root, blocks, simplified_html). ``simplified_html``
+    is the scorer-facing compact document (reference assembles the same
+    envelope at simplify_html.py:971-976); pass build_simplified=False on
+    the hot path to skip materializing it (blocks carry empty
+    simplified_html, and the size budget uses `estimate_budget_chars`).
     """
     root = parse_html(html_str)
     clean_tree(root)
     body = get_body(root)
-    blocks = Segmenter(body).run()
+    blocks = Segmenter(body, build_simplified=build_simplified).run()
+    if not build_simplified:
+        return root, blocks, ''
     simplified = (
         '<html><head><meta charset="utf-8"></head><body>'
         + ''.join(b.simplified_html for b in blocks)
         + '</body></html>'
     )
     return root, blocks, normalize_outside_tags(simplified)
+
+
+# per-block overhead of the simplified form: markup + attrs around the
+# (truncated) text; calibrated against the materialized form on the
+# synthetic corpus (see test_budget_estimate_tracks_materialized)
+BLOCK_MARKUP_OVERHEAD = 40
+
+
+def estimate_budget_chars(blocks: List[Block]) -> int:
+    """Size estimate of the scorer-view document without building it:
+    truncated text (A4 budget, 200) plus per-block markup overhead."""
+    return sum(min(b.text_len, 200) + BLOCK_MARKUP_OVERHEAD
+               for b in blocks)

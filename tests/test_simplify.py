@@ -157,3 +157,31 @@ def test_simplified_envelope_and_ws_normalization():
     assert simplified.startswith(
         '<html><head><meta charset="utf-8"></head><body>')
     assert 'a b c' in simplified
+
+
+def test_budget_estimate_tracks_materialized():
+    # the hot path's size estimator must stay within ~30% of the real
+    # scorer-view document so the too-long boundary is stable
+    from mineru_html_spark.core.simplify import estimate_budget_chars
+    from mineru_html_spark.core.spancodec import spans_to_html
+    from mineru_html_spark.core.synth import gen_doc
+    for i in range(60):
+        d = gen_doc(i)
+        _, blocks, simplified = simplify_document(
+            spans_to_html(d['spans']), build_simplified=True)
+        if not blocks or not simplified:
+            continue
+        ratio = estimate_budget_chars(blocks) / len(simplified)
+        assert 0.5 < ratio < 1.5, (d['doc_id'], ratio)
+
+
+def test_fast_path_same_items_as_full():
+    # build_simplified=False must assign identical item ids/blocks
+    from mineru_html_spark.core.spancodec import spans_to_html
+    from mineru_html_spark.core.synth import gen_doc
+    for i in range(40):
+        h = spans_to_html(gen_doc(i)['spans'])
+        _, full, _ = simplify_document(h, build_simplified=True)
+        _, fast, _ = simplify_document(h, build_simplified=False)
+        assert [(b.item_id, b.tag, b.content_type, b.text) for b in full] \
+            == [(b.item_id, b.tag, b.content_type, b.text) for b in fast]
