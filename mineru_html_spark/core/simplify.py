@@ -72,6 +72,31 @@ def remove_boilerplate_tags(root: Node) -> None:
             node.detach()
 
 
+def clean_tree_fast(root: Node) -> None:
+    """F3 + F4 in one top-down walk: a removed subtree is never visited.
+
+    The reference applies tag-removal then children-first attr-removal
+    (simplify_html.py:1011-1012); the final tree is identical either way
+    (removing an ancestor removes the descendants), so the single pass is
+    pure speedup, verified by the golden suite.
+    """
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        kept = []
+        for c in node.children:
+            if isinstance(c, str):
+                kept.append(c)
+                continue
+            if c.tag in TAGS_TO_REMOVE or _matches_boiler_attrs(c):
+                c.parent = None
+                continue
+            kept.append(c)
+            stack.append(c)
+        if len(kept) != len(node.children):
+            node.children = kept
+
+
 def _matches_boiler_attrs(node: Node) -> bool:
     for part in node.class_tokens():
         if part in BOILER_ATTR_TOKENS:
@@ -96,8 +121,7 @@ def remove_boilerplate_attrs(node: Node) -> None:
 
 
 def clean_tree(root: Node) -> None:
-    remove_boilerplate_tags(root)
-    remove_boilerplate_attrs(root)
+    clean_tree_fast(root)
 
 
 # --------------------------------------------------------------------------
@@ -462,31 +486,32 @@ def _struct_key(node: Node) -> bytes:
     simplify_html.py:366-374; hashing the same token stream avoids
     building and escaping a throwaway string per candidate block).
     Length-prefixed fields keep the encoding unambiguous."""
-    h = blake2b(digest_size=16)
     END = _STRUCT_END
+    parts: List[bytes] = []
     stack: List[object] = [node]
     while stack:
         it = stack.pop()
         if it is END:
-            h.update(b'/')
+            parts.append(b'/')
             continue
         if isinstance(it, str):
             b = it.encode('utf-8', 'surrogatepass')
-            h.update(b'T%d:' % len(b))
-            h.update(b)
+            parts.append(b'T%d:' % len(b))
+            parts.append(b)
             continue
         tb = it.tag.encode()
-        h.update(b'E%d:' % len(tb))
-        h.update(tb)
+        parts.append(b'E%d:' % len(tb))
+        parts.append(tb)
         for k, v in it.attrs.items():
-            kb, vb = k.encode(), str(v).encode('utf-8', 'surrogatepass')
-            h.update(b'A%d:%d:' % (len(kb), len(vb)))
-            h.update(kb)
-            h.update(vb)
-        h.update(b'>')
+            kb = k.encode()
+            vb = str(v).encode('utf-8', 'surrogatepass')
+            parts.append(b'A%d:%d:' % (len(kb), len(vb)))
+            parts.append(kb)
+            parts.append(vb)
+        parts.append(b'>')
         stack.append(END)
         stack.extend(reversed(it.children))
-    return h.digest()
+    return blake2b(b''.join(parts), digest_size=16).digest()
 
 
 _TAG_OR_TEXT = re.compile(r'(<[^>]+>)|([^<]+)')
