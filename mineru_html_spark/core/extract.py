@@ -22,10 +22,11 @@ from __future__ import annotations
 
 import sys
 import traceback
+from time import perf_counter_ns
 from typing import Dict, List, Optional
 
 from .dom import Node, get_body
-from .score import MAIN, label_blocks
+from .score import MAIN, THRESHOLD, score_blocks
 from .simplify import (RUN_WRAPPER_TAG, estimate_budget_chars,
                        simplify_document)
 from .spancodec import spans_to_html, tree_to_spans
@@ -96,32 +97,27 @@ def _fallback_labels(blocks) -> Dict[int, str]:
     return labels
 
 
-def extract_from_html(html_str: str) -> dict:
-    """Extract main content of one HTML document. Pure, deterministic.
+def _segment_doc(html_str: str):
+    """Stage 1: parse/clean/segment + size-budget decision.
 
-    Hot path skips materializing the scorer-view HTML (the reference
-    needs that string as LLM input; our scorer consumes features) — the
-    size budget uses the calibrated estimator instead."""
+    Returns (root, blocks, pre_status) where pre_status is '' when the
+    document awaits scoring, or 'too_long' when it routes to fallback.
+    """
     root, blocks, _ = simplify_document(html_str, build_simplified=False)
-    n_items = len(blocks)
-
     est_tokens = estimate_budget_chars(blocks) // EST_CHARS_PER_TOKEN \
-        + REPLY_TOKENS_PER_ITEM * n_items
-    status = STATUS_OK
-    if est_tokens >= MAX_TOKENS:
-        labels = _fallback_labels(blocks)
-        status = STATUS_TOO_LONG
-    else:
-        labels = label_blocks(blocks)
-        if not any(v == MAIN for v in labels.values()):
-            labels = _fallback_labels(blocks)
-            status = STATUS_FALLBACK
+        + REPLY_TOKENS_PER_ITEM * len(blocks)
+    return root, blocks, (STATUS_TOO_LONG if est_tokens >= MAX_TOKENS
+                          else '')
 
+
+def _finalize_doc(root, blocks, labels: Dict[int, str],
+                  status: str) -> dict:
+    """Stage 3: prune to main, unwrap run markers, emit spans."""
+    n_items = len(blocks)
     main_nodes = [b.node for b in blocks if labels.get(b.item_id) == MAIN]
     if not main_nodes:
         return {'spans': [], 'status': STATUS_NO_MAIN,
                 'n_items': n_items, 'n_main': 0, 'error': ''}
-
     keep = _keep_set(root, main_nodes)
     _prune(root, keep)
     _unwrap_runs(root)
@@ -133,14 +129,87 @@ def extract_from_html(html_str: str) -> dict:
             'n_main': len(main_nodes), 'error': ''}
 
 
+def extract_rows(rows: List[tuple]) -> List[dict]:
+    """Batched extraction: [(doc_id, spans), ...] -> output rows.
+
+    The scorer runs ONCE over the concatenated candidate blocks of every
+    scoreable document in the batch (the SLM-replacement "batched scorer
+    over pandas batches" of the north star), then results slice back per
+    document. Per-row failures degrade to status='error' rows.
+    """
+    staged = []           # (doc_id, root, blocks, pre_status, us)
+    flat_blocks = []
+    slices = []           # (staged_idx, start, end) for scoreable docs
+    for doc_id, spans in rows:
+        t0 = perf_counter_ns()
+        try:
+            html_str = spans_to_html(spans)
+            root, blocks, pre = _segment_doc(html_str)
+            idx = len(staged)
+            us = (perf_counter_ns() - t0) // 1000
+            staged.append((doc_id, root, blocks, pre, us))
+            if pre == '':
+                slices.append((idx, len(flat_blocks),
+                               len(flat_blocks) + len(blocks)))
+                flat_blocks.extend(blocks)
+        except Exception:
+            staged.append((doc_id, None, None, STATUS_ERROR,
+                           (perf_counter_ns() - t0) // 1000))
+
+    scores = score_blocks(flat_blocks)
+
+    score_slice = {}
+    for idx, lo, hi in slices:
+        score_slice[idx] = scores[lo:hi]
+
+    out = []
+    for idx, item in enumerate(staged):
+        doc_id, root, blocks, pre, us = item
+        if pre == STATUS_ERROR:
+            out.append({'doc_id': doc_id, 'spans': [],
+                        'status': STATUS_ERROR, 'n_items': 0, 'n_main': 0,
+                        'error': 'segment stage failed', 'proc_us': us})
+            continue
+        t1 = perf_counter_ns()
+        try:
+            if pre == STATUS_TOO_LONG:
+                labels = _fallback_labels(blocks)
+                status = STATUS_TOO_LONG
+            else:
+                sc = score_slice[idx]
+                labels = {b.item_id: (MAIN if s >= THRESHOLD else 'other')
+                          for b, s in zip(blocks, sc)}
+                assert len(labels) == len(blocks)
+                if not any(v == MAIN for v in labels.values()):
+                    labels = _fallback_labels(blocks)
+                    status = STATUS_FALLBACK
+                else:
+                    status = STATUS_OK
+            r = _finalize_doc(root, blocks, labels, status)
+        except Exception:
+            r = {'spans': [], 'status': STATUS_ERROR, 'n_items': 0,
+                 'n_main': 0,
+                 'error': traceback.format_exc(limit=3)[-1000:]}
+        r['doc_id'] = doc_id
+        # per-doc wall time = segment + finalize phases (the scorer is
+        # batch-fused and uniform); feeds lineage skew counters
+        r['proc_us'] = us + (perf_counter_ns() - t1) // 1000
+        out.append(r)
+    return out
+
+
+def extract_from_html(html_str: str) -> dict:
+    """Extract main content of one HTML document. Pure, deterministic."""
+    return extract_rows([('_', [
+        {'kind': 'text', 'text': html_str, 'media_ref': '', 'offset': 0}
+    ])])[0]
+
+
 def extract_document(doc_id: str, spans: List[dict]) -> dict:
     """Row-level entry: input span row -> output span row. Never raises."""
     try:
-        html_str = spans_to_html(spans)
-        out = extract_from_html(html_str)
+        return extract_rows([(doc_id, spans)])[0]
     except Exception:
-        out = {'spans': [], 'status': STATUS_ERROR, 'n_items': 0,
-               'n_main': 0,
-               'error': traceback.format_exc(limit=3)[-1000:]}
-    out['doc_id'] = doc_id
-    return out
+        return {'doc_id': doc_id, 'spans': [], 'status': STATUS_ERROR,
+                'n_items': 0, 'n_main': 0,
+                'error': traceback.format_exc(limit=3)[-1000:]}

@@ -106,10 +106,13 @@ def score_features(
     return score
 
 
-def label_blocks(blocks) -> Dict[int, str]:
-    """Total labeling {1..N} -> {main, other} for one document's blocks."""
-    if not blocks:
-        return {}
+def score_blocks(blocks) -> np.ndarray:
+    """Vectorized scores for a flat block list — the batched-scorer entry:
+    callers may concatenate blocks from MANY documents (the Arrow-batch
+    hot path does) and slice the result back per document."""
+    n = len(blocks)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
     tag = np.array([b.tag for b in blocks], dtype=object)
     text_len = np.array([b.text_len for b in blocks], dtype=np.int64)
     link_len = np.array([b.link_text_len for b in blocks], dtype=np.int64)
@@ -119,9 +122,15 @@ def label_blocks(blocks) -> Dict[int, str]:
     content = np.array(
         [any(t in CONTENT_TOKENS for t in b.class_id_tokens) for b in blocks])
     ctype = np.array([b.content_type for b in blocks], dtype=object)
+    return score_features(tag, text_len, link_len, n_imgs, boiler, content,
+                          ctype)
 
-    scores = score_features(tag, text_len, link_len, n_imgs, boiler, content,
-                            ctype)
+
+def label_blocks(blocks) -> Dict[int, str]:
+    """Total labeling {1..N} -> {main, other} for one document's blocks."""
+    if not blocks:
+        return {}
+    scores = score_blocks(blocks)
     labels = {
         b.item_id: (MAIN if s >= THRESHOLD else OTHER)
         for b, s in zip(blocks, scores)

@@ -19,13 +19,12 @@ Design rules applied:
 
 from __future__ import annotations
 
-from time import perf_counter_ns
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import extract_document
+from ..core.extract import extract_rows
 
 OUT_SCHEMA = (
     'doc_id string, '
@@ -36,24 +35,20 @@ OUT_SCHEMA = (
 
 def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = []
-        for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
-            t0 = perf_counter_ns()
-            r = extract_document(
-                doc_id,
-                [s if isinstance(s, dict) else dict(s) for s in spans])
-            out.append({
-                'doc_id': r['doc_id'],
-                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
-                          for s in r['spans']],
-                'status': r['status'],
-                'n_items': r['n_items'],
-                'n_main': r['n_main'],
-                'error': r['error'],
-                # per-doc wall time: feeds the lineage table's skew
-                # observability (per-partition work spread, SURVEY §4.2)
-                'proc_us': (perf_counter_ns() - t0) // 1000,
-            })
+        rows = [(doc_id,
+                 [s if isinstance(s, dict) else dict(s) for s in spans])
+                for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
+        results = extract_rows(rows)   # one batched scorer pass inside
+        out = [{
+            'doc_id': r['doc_id'],
+            'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                      for s in r['spans']],
+            'status': r['status'],
+            'n_items': r['n_items'],
+            'n_main': r['n_main'],
+            'error': r['error'],
+            'proc_us': r['proc_us'],
+        } for r in results]
         yield pd.DataFrame(
             out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
                           'error', 'proc_us'])
