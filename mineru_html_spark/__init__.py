@@ -1,1 +1,24 @@
-"""PySpark-native main-content extraction engine."""
+"""PySpark-native main-content extraction engine (MinerU-HTML rebuild).
+
+Public API:
+    from mineru_html_spark import (
+        run_extraction, run_job,            # extraction jobs
+        extract_document, extract_rows,     # single-node core
+        synth_docs_df, materialized_docs,   # deterministic corpus
+        get_spark,
+    )
+Operator families live under functions/ (dedup, similarity, text, media,
+rouge, sessions), streaming/ (ingest) and plans/ (job, lineage, evaluate,
+catalog).
+"""
+
+from .core.extract import extract_document, extract_from_html, extract_rows
+from .plans.job import run_extraction, run_job
+from .plans.session import get_spark
+from .sources.synthsource import materialized_docs, read_docs, synth_docs_df
+
+__all__ = [
+    'extract_document', 'extract_from_html', 'extract_rows',
+    'run_extraction', 'run_job', 'get_spark',
+    'synth_docs_df', 'materialized_docs', 'read_docs',
+]

@@ -73,3 +73,42 @@ def test_table_io_parquet_fallback(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10
     io.append(df.where('p = 1'), path, partition_col='p')
     assert spark.read.parquet(path).count() == 15
+
+
+def test_jsonl_to_extraction_end_to_end(spark, tmp_path):
+    """A user of the reference's eval corpus can run our engine on it:
+    JSONL -> docs shape -> extraction, through the public API."""
+    import json
+    from mineru_html_spark import run_extraction
+    from mineru_html_spark.sources.jsonl import bench_to_docs, read_bench_jsonl
+
+    p = str(tmp_path / 'bench.jsonl')
+    rows = [
+        {'track_id': f't{i}',
+         'html': ('<html><body><nav><a href="/">Home</a></nav>'
+                  f'<article><p>Main content paragraph number {i} with '
+                  'plenty of text to extract here.</p></article>'
+                  '<footer>Copyright</footer></body></html>'),
+         'convert_main_content': '', 'level': 'easy', 'url': ''}
+        for i in range(6)
+    ]
+    with open(p, 'w') as f:
+        for r in rows:
+            f.write(json.dumps(r) + '\n')
+
+    docs = bench_to_docs(read_bench_jsonl(spark, p))
+    out = {r['doc_id']: r for r in
+           run_extraction(spark, docs, num_partitions=4).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[f't{i}']
+        assert r['status'] == 'ok'
+        text = ' '.join(s['text'] for s in r['spans'])
+        assert f'paragraph number {i}' in text
+        assert 'Copyright' not in text and 'Home' not in text
+
+
+def test_public_api_imports():
+    import mineru_html_spark as m
+    for name in m.__all__:
+        assert hasattr(m, name), name
