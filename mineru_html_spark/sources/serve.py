@@ -1,0 +1,83 @@
+"""Single-node REST serving of the extractor (reference S3 analog).
+
+The reference serves `POST /extract` through FastAPI + a GPU-backed
+singleton (/root/reference/dripper/server.py:80-131). Our extractor is a
+pure CPU function, so serving is a thin stdlib HTTP wrapper around the
+same core the Spark job uses — no framework dependency, suitable for
+sidecar/debug deployments. (Bulk work belongs in the Spark job; this is
+the per-request path.)
+
+    python -m mineru_html_spark.sources.serve --port 8808
+    curl -s localhost:8808/health
+    curl -s -XPOST localhost:8808/extract -d '{"html": "<p>hi</p>"}'
+
+Response mirrors the engine row: {spans, status, n_items, n_main}.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..core.extract import extract_from_html
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode('utf-8')
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802  (stdlib naming)
+        if self.path == '/health':
+            self._send(200, {'status': 'ok'})
+        else:
+            self._send(404, {'error': 'not found'})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != '/extract':
+            self._send(404, {'error': 'not found'})
+            return
+        try:
+            n = int(self.headers.get('Content-Length', 0))
+            req = json.loads(self.rfile.read(n) or b'{}')
+            html = req.get('html')
+            if not isinstance(html, str) or not html:
+                self._send(400, {'error': 'body must be JSON with a '
+                                          'non-empty "html" string'})
+                return
+            out = extract_from_html(html)
+            # 500 on total failure, mirroring the reference's contract
+            # (server.py:110-117)
+            code = 500 if out['status'] == 'error' else 200
+            self._send(code, {k: out[k] for k in
+                              ('spans', 'status', 'n_items', 'n_main')})
+        except json.JSONDecodeError:
+            self._send(400, {'error': 'invalid JSON body'})
+        except Exception as e:  # pragma: no cover
+            self._send(500, {'error': str(e)[:500]})
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+def make_server(host: str = '127.0.0.1', port: int = 8808):
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def main():  # pragma: no cover - manual entry
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8808)
+    args = p.parse_args()
+    srv = make_server(args.host, args.port)
+    print(f'serving on {args.host}:{args.port}')
+    srv.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

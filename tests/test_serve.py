@@ -1,0 +1,59 @@
+"""REST serving surface (reference S3 analog), driven over a real socket."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope='module')
+def server_url():
+    from mineru_html_spark.sources.serve import make_server
+    srv = make_server('127.0.0.1', 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{port}'
+    srv.shutdown()
+
+
+def _post(url, payload, raw=None):
+    data = raw if raw is not None else json.dumps(payload).encode()
+    req = urllib.request.Request(url, data=data, method='POST')
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health(server_url):
+    with urllib.request.urlopen(server_url + '/health', timeout=10) as r:
+        assert json.loads(r.read()) == {'status': 'ok'}
+
+
+def test_extract_roundtrip(server_url):
+    html = ('<html><body><nav><a href="/">Home</a></nav>'
+            '<article><p>The body paragraph with plenty of prose to '
+            'extract from this little page.</p></article>'
+            '<footer>Copyright</footer></body></html>')
+    status, out = _post(server_url + '/extract', {'html': html})
+    assert status == 200 and out['status'] == 'ok'
+    texts = ' '.join(s['text'] for s in out['spans'])
+    assert 'body paragraph' in texts and 'Copyright' not in texts
+
+
+def test_extract_bad_requests(server_url):
+    for payload, raw in (({}, None), (None, b'not json')):
+        try:
+            _post(server_url + '/extract', payload, raw=raw)
+            assert False, 'expected 400'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
+def test_unknown_path_404(server_url):
+    try:
+        _post(server_url + '/nope', {'html': 'x'})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
