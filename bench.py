@@ -39,10 +39,10 @@ def main():
 
     timings = {}
 
-    # headline: extraction over materialized parquet docs. 4x the sf doc
-    # count + one warmup run so python-worker spawn and JIT don't dominate
-    # the docs/sec number at small scale.
-    n_docs = 4 * n_docs
+    # headline: extraction over materialized parquet docs. 16x the sf doc
+    # count + one warmup run so python-worker spawn, JIT and scan setup
+    # don't dominate the docs/sec number at small scale.
+    n_docs = 16 * n_docs
     docs = materialized_docs(spark, n_docs)
     res = run_extraction(spark, docs, num_partitions=4 * cpus)
     res.count()  # warmup
