@@ -1,0 +1,35 @@
+"""Build the --py-files zip for spark-submit deployment.
+
+    python tools/package.py               # -> dist/mineru_html_spark.zip
+    spark-submit --master ... --py-files dist/mineru_html_spark.zip \
+        submit_job.py --input <table-or-path> --output <dir>
+
+Verified in-sandbox: /opt/spark/bin/spark-submit --master local[8]
+--py-files dist/mineru_html_spark.zip submit_job.py --synth 500
+--output /tmp/out --n-parts 16 (from a cwd outside the repo; the zip
+alone supplies the package to driver and executors).
+"""
+import os
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    out_dir = os.path.join(ROOT, 'dist')
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, 'mineru_html_spark.zip')
+    with zipfile.ZipFile(out, 'w', zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(ROOT, 'mineru_html_spark')
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != '__pycache__']
+            for f in sorted(files):
+                if f.endswith('.py'):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, ROOT))
+    print(out)
+
+
+if __name__ == '__main__':
+    main()
