@@ -1,0 +1,83 @@
+"""Hostile-input torture tests: the open web sends worse than fuzzers do.
+
+Contract for every case: no exception escapes the row, a valid status
+comes back, and runtime stays bounded (these run in the normal suite, so
+a pathological slowdown fails the clock, not just the assert).
+"""
+
+import time
+
+import pytest
+
+from mineru_html_spark.core.extract import extract_document
+
+OK_STATUSES = {'ok', 'fallback', 'too_long', 'no_main', 'error'}
+
+
+def run(html: str) -> dict:
+    return extract_document(
+        't', [{'kind': 'text', 'text': html, 'media_ref': '', 'offset': 0}])
+
+
+CASES = {
+    'tables_nested_5_deep':
+        '<table><tr><td>' * 5 + '<p>innermost content text here</p>'
+        + '</td></tr></table>' * 5,
+    'thousand_attributes':
+        '<div ' + ' '.join(f'data-a{i}="v{i}"' for i in range(1000))
+        + '><p>attribute bomb survivor paragraph</p></div>',
+    'ten_k_sibling_divs':
+        '<body>' + ''.join(f'<div>sibling {i} text content</div>'
+                           for i in range(10000)) + '</body>',
+    'megabyte_text_node':
+        '<p>' + ('lorem ipsum dolor sit amet ' * 40000) + '</p>',
+    'entity_chain':
+        '<p>' + '&amp;' * 5000 + ' plus real content words here</p>',
+    'emoji_rtl_mixed':
+        '<body><p>مرحبا بالعالم 👋🌍 שלום עולם — mixed direction text '
+        'with enough words to be kept as main content.</p></body>',
+    'cdata_in_svg':
+        '<body><svg><![CDATA[<p>not content</p>]]></svg>'
+        '<p>the actual paragraph content of this page</p></body>',
+    'unclosed_everything':
+        '<div><table><tr><td><ul><li><b><p>chaos text that should still '
+        'surface as content somewhere',
+    'null_bytes_and_controls':
+        '<body><p>text with \x00 null and \x07 bell and \x1b escape '
+        'characters embedded in the prose</p></body>',
+    'comment_bomb':
+        '<body>' + '<!-- x -->' * 20000
+        + '<p>content after twenty thousand comments</p></body>',
+    'attr_quotes_hostile':
+        '<div class="a\'b" id=\'c"d\' title="<p>not-a-tag</p>">'
+        '<p>hostile attribute quoting survivor text</p></div>',
+    'script_with_html_inside':
+        '<script>document.write("<p>fake</p><div>fake</div>")</script>'
+        '<p>real content paragraph after the script block</p>',
+}
+
+
+@pytest.mark.parametrize('name', sorted(CASES))
+def test_torture_case(name):
+    t0 = time.time()
+    r = run(CASES[name])
+    dt = time.time() - t0
+    assert r['status'] in OK_STATUSES, name
+    assert dt < 10, f'{name} took {dt:.1f}s'
+    offs = [s['offset'] for s in r['spans']]
+    assert offs == list(range(len(offs)))
+
+
+def test_torture_content_survives():
+    # the cases with recoverable content must actually keep it
+    for name, needle in [
+        ('thousand_attributes', 'attribute bomb survivor'),
+        ('cdata_in_svg', 'actual paragraph content'),
+        ('comment_bomb', 'twenty thousand comments'),
+        ('script_with_html_inside', 'real content paragraph'),
+        ('attr_quotes_hostile', 'hostile attribute quoting'),
+    ]:
+        r = run(CASES[name])
+        text = ' '.join(s['text'] for s in r['spans'])
+        assert needle in text, name
+        assert 'fake' not in text or name != 'script_with_html_inside'
