@@ -239,6 +239,43 @@ def q_ann_ivf_topk(spark, sf_dir):
     return sim.ann_topk_ivf(emb, query, k=20, n_lists=16, n_probe=4)
 
 
+def q_accuracy_summary(spark, sf_dir):
+    """Distributed accuracy eval vs generator ground truth: per-template
+    strict span-sequence-equality counts + mean ROUGE-N(5) F1 — the
+    WebMainBench-analog evaluation run as one Spark job (extract, join
+    truth, ROUGE UDF, grouped reduction). Committed-output oracle."""
+    from mineru_html_spark.functions.rouge import rouge_eval
+    from mineru_html_spark.plans.evaluate import span_text
+    from mineru_html_spark.sources.synthsource import synth_truth_df
+
+    n = docs_for_sf(_sf_of(sf_dir))
+    docs = synth_docs_df(spark, n)
+    truth = synth_truth_df(spark, n)
+    res = run_extraction(spark, docs)
+
+    seq = F.transform('spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    tseq = F.transform('truth_spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    j = (res.join(truth, 'doc_id')
+         .where(F.size('truth_spans') > 0)          # strict templates only
+         .select('doc_id', 'template',
+                 (seq == tseq).alias('strict_equal'),
+                 span_text('spans').alias('pred'),
+                 span_text('truth_spans').alias('gt')))
+    scored = rouge_eval(
+        j.selectExpr('xxhash64(doc_id) as doc_id', 'pred', 'gt'))
+    j = j.withColumn('k', F.xxhash64('doc_id')).join(
+        scored.withColumnRenamed('doc_id', 'k'), 'k')
+    return (j.groupBy('template')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum(F.col('strict_equal').cast('int')).alias('n_equal'),
+                 F.floor(F.avg('f1_micro')).cast('long')
+                  .alias('mean_f1_micro')))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap)."""
     from mineru_html_spark.functions.sessions import sessionize
@@ -284,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_gate': q_quality_gate,
         'embedding_near_dups': q_embedding_near_dups,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'accuracy_summary': q_accuracy_summary,
     }
 
 
@@ -326,7 +364,8 @@ def oracle_sql() -> dict[str, str]:
         name: _expected_parquet(name)
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
                      'rouge_self', 'media_features',
-                     'embedding_near_dups', 'ann_ivf_topk')
+                     'embedding_near_dups', 'ann_ivf_topk',
+                     'accuracy_summary')
     }
     oracles.update({
         "token_count_bpe": r"""

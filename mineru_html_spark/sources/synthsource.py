@@ -45,6 +45,37 @@ def synth_docs_df(spark: SparkSession, n_docs: int,
     return rng.mapInPandas(_gen_batch, DOCS_SCHEMA)
 
 
+TRUTH_SCHEMA = ('doc_id string, template string, '
+                'truth_spans array<struct<kind:string,text:string,'
+                'media_ref:string,offset:int>>')
+
+
+def _gen_truth_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for idx in pdf['id']:
+            d = gen_doc(int(idx))
+            rows.append({
+                'doc_id': d['doc_id'],
+                'template': d['template'],
+                'truth_spans': [
+                    (s['kind'], s['text'], s['media_ref'], s['offset'])
+                    for s in d['truth_spans']],
+            })
+        yield pd.DataFrame(rows, columns=['doc_id', 'template',
+                                          'truth_spans'])
+
+
+def synth_truth_df(spark: SparkSession, n_docs: int,
+                   partitions: Optional[int] = None) -> DataFrame:
+    """Ground-truth main-content spans for the synthetic corpus
+    (WebMainBench-analog golden table), generated distributed."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng = spark.range(0, n_docs, 1, partitions)
+    return rng.mapInPandas(_gen_truth_batch, TRUTH_SCHEMA)
+
+
 def materialized_docs(spark: SparkSession, n_docs: int,
                       cache_root: str = '/root/repo/.data',
                       n_files: int = 128) -> DataFrame:
