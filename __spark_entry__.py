@@ -110,10 +110,12 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_doc_stats_by_source(spark, sf_dir):
     d = tx.doc_stats_by_source(_docs(spark, sf_dir))
+    # half-up rounding in pure integer arithmetic: double round() differs
+    # between engines at ulp boundaries (VERDICT r01 "What's wrong" #3)
     return d.select(
         'source', 'n_docs', 'sum_chars',
-        F.round(F.lit(100) * F.col('sum_chars') / F.col('n_docs'))
-         .cast('long').alias('avg_chars_centi'))
+        F.expr('(200 * sum_chars + n_docs) div (2 * n_docs)')
+         .alias('avg_chars_centi'))
 
 
 def q_ngram_profile(spark, sf_dir):
@@ -123,11 +125,16 @@ def q_ngram_profile(spark, sf_dir):
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         'value_milli', F.round(F.col('value') * 1000).cast('long'))
+    # epoch BIGINT at the gate boundary: raw TIMESTAMP repr differs between
+    # Spark (session-TZ) and DuckDB (naive) — VERDICT r01 "What's wrong" #1
     agg = (ev.groupBy(F.date_trunc('hour', 'ts').alias('window_start'),
                       'event_type')
            .agg(F.count('*').alias('n_events'),
                 F.sum('value_milli').alias('sum_value_milli')))
-    return agg
+    return agg.select(
+        F.unix_timestamp('window_start').cast('long')
+         .alias('window_start_epoch'),
+        'event_type', 'n_events', 'sum_value_milli')
 
 
 def q_streaming_events_hourly(spark, sf_dir):
@@ -137,8 +144,11 @@ def q_streaming_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         'value', F.round(F.col('value') * 1000).cast('long').cast('double'))
     out = windowed_event_counts(ev)
-    return out.select('window_start', 'event_type', 'n_events',
-                      F.col('sum_value').cast('long').alias('sum_value_milli'))
+    return out.select(
+        F.unix_timestamp('window_start').cast('long')
+         .alias('window_start_epoch'),
+        'event_type', 'n_events',
+        F.col('sum_value').cast('long').alias('sum_value_milli'))
 
 
 def q_resume_antijoin(spark, sf_dir):
@@ -277,9 +287,14 @@ def q_accuracy_summary(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    """Gap-based session windows over the event stream (30-min gap)."""
+    """Gap-based session windows over the event stream (30-min gap).
+    session_start crosses the gate as epoch BIGINT (canonical repr)."""
     from mineru_html_spark.functions.sessions import sessionize
-    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+    s = sessionize(_events(spark, sf_dir), gap_seconds=1800)
+    return s.select(
+        'user_id', 'session_id', 'n_events',
+        F.unix_timestamp('session_start').cast('long')
+         .alias('session_start_epoch'))
 
 
 def q_media_features(spark, sf_dir):
@@ -456,8 +471,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         'doc_stats_by_source': """
             SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-                   cast(round(100.0 * sum(n_chars) / count(*)) AS BIGINT)
-                       AS avg_chars_centi
+                   cast((200 * cast(sum(n_chars) AS BIGINT) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS avg_chars_centi
             FROM documents GROUP BY source ORDER BY source
         """,
         'ngram_profile': f"""
@@ -471,13 +486,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         'events_hourly': """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS window_start_epoch,
+                   event_type,
                    count(*) AS n_events,
                    sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
             FROM events GROUP BY 1, 2
         """,
         'streaming_events_hourly': """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS window_start_epoch,
+                   event_type,
                    count(*) AS n_events,
                    sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
             FROM events GROUP BY 1, 2
@@ -522,7 +541,7 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS session_start
+                   cast(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch
             FROM s GROUP BY 1, 2
         """,
         'jaccard_sample': f"""
