@@ -30,11 +30,15 @@ def spans_to_html(spans: List[dict]) -> str:
     embedded images (the reference treats img-with-src as meaningful content,
     simplify_html.py:462-464).
     """
+    import html as _html
     ordered = sorted(spans, key=lambda s: s['offset'])
     parts: List[str] = []
     for s in ordered:
         if s['kind'] == KIND_IMAGE:
-            parts.append(f'<img src="{s["media_ref"]}">')
+            # escape: a quote/'>' in media_ref must not break the
+            # reassembled attribute (parser unescapes on the way back,
+            # so the span round-trips byte-identical)
+            parts.append(f'<img src="{_html.escape(s["media_ref"], quote=True)}">')
         else:
             parts.append(s['text'] or '')
     return ''.join(parts)

@@ -84,6 +84,12 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
                        num_hashes: int = 64) -> DataFrame:
     """64-wide MinHash signature per doc (vectorized Arrow UDF).
 
+    CONTRACT: documents with fewer than ``k`` tokens produce NO output row
+    (a sub-k doc has no shingles, hence no signature — it can never be a
+    near-dup candidate). Callers needing one-row-per-doc must left-join
+    back to the input on doc_id; ``lsh_candidate_pairs`` relies on the
+    drop (short docs are excluded from bucketing by construction).
+
     Spark's higher-order array functions are interpreted (no whole-stage
     codegen), so a native xxhash64-fold was ~20x slower than this numpy
     path: shingles hash once via crc32 (C speed), then one (S x 64)

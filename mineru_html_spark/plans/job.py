@@ -58,26 +58,34 @@ def run_job(spark: SparkSession, docs: DataFrame, out_dir: str,
         num_partitions = spark.sparkContext.defaultParallelism
     docs = with_part_id(docs.select('doc_id', 'spans'), n_parts)
 
+    # resume: broadcast anti-join against the lineage done-set — never a
+    # driver-side id list (an isin() of 10^5 part ids bloats the plan; the
+    # anti-join is one tiny broadcast however large n_parts gets)
     done = read_done_parts(spark, out_dir) if resume else None
-    done_ids = set()
-    if done is not None:
-        done_ids = {r['part_id'] for r in done.collect()}
-    todo_parts = [p for p in range(n_parts) if p not in done_ids]
+    n_done = done.count() if done is not None else 0
+    todo = anti_join_done(docs, done)
 
-    waves = [todo_parts[i::n_waves] for i in range(n_waves)]
+    all_parts = spark.range(n_parts).select(
+        F.col('id').cast('int').alias('part_id'))
+    todo_parts = anti_join_done(all_parts, done)
+
     n_done_waves = 0
-    for wave in waves:
-        if not wave:
+    for w in range(n_waves):
+        # wave membership is a pure column predicate (part_id mod n_waves)
+        # — O(1) plan size at any n_parts
+        wave_rule = F.pmod(F.col('part_id'), F.lit(n_waves)) == w
+        attempted = todo_parts.where(wave_rule)
+        if attempted.limit(1).count() == 0:
             continue
-        wave_docs = docs.where(F.col('part_id').isin(wave))
+        wave_docs = todo.where(wave_rule)
         wave_docs = with_doc_bytes(wave_docs)
         wave_docs = salted_repartition(wave_docs, num_partitions)
         results = apply_extract(
             wave_docs.select('doc_id', 'spans', 'part_id'))
         # part_id is a pure function of doc_id — recompute, don't carry
         results = with_part_id(results, n_parts)
-        write_results_and_lineage(spark, results, out_dir, run_id, wave)
+        write_results_and_lineage(spark, results, out_dir, run_id, attempted)
         n_done_waves += 1
 
-    return {'skipped_parts': len(done_ids), 'processed_parts':
-            len(todo_parts), 'waves': n_done_waves}
+    return {'skipped_parts': n_done, 'processed_parts': n_parts - n_done,
+            'waves': n_done_waves}

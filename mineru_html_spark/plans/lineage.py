@@ -84,18 +84,34 @@ def compute_lineage(results: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+_COUNTER_COLS = ('n_docs', 'n_ok', 'n_fallback', 'n_too_long', 'n_no_main',
+                 'n_error', 'bytes_out', 'proc_us_sum', 'proc_us_max')
+
+
 def write_results_and_lineage(spark: SparkSession, results: DataFrame,
                               out_dir: str, run_id: str,
-                              wave_parts: list[int]) -> None:
+                              attempted_parts: DataFrame) -> None:
     """Idempotent per-wave commit: dynamic-overwrite the wave's result
-    partitions, then append lineage rows for exactly those partitions
-    (the durable 'partition finished' markers). Reading the wave back for
-    the counters is partition-pruned, so it scans only this wave's output.
+    partitions, then append lineage rows for EVERY attempted partition —
+    the durable 'partition finished' markers.
+
+    Counters come from the persisted in-memory results frame (the write
+    action materializes the cache; no re-scan of the wave's output).
+    ``attempted_parts`` (one int ``part_id`` per partition this wave tried,
+    at most n_parts rows) left-joins the counters so a partition that held
+    zero documents still gets a marker row (n_docs=0) — otherwise resume
+    would reschedule empty partitions forever.
     """
     spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
-    (results.write.mode('overwrite').partitionBy('part_id')
-     .parquet(results_path(out_dir)))
-    written = (spark.read.parquet(results_path(out_dir))
-               .where(F.col('part_id').isin(wave_parts)))
-    lin = compute_lineage(written, run_id)
-    lin.write.mode('append').parquet(lineage_path(out_dir))
+    results = results.persist()
+    try:
+        (results.write.mode('overwrite').partitionBy('part_id')
+         .parquet(results_path(out_dir)))
+        counters = compute_lineage(results, run_id).drop('run_id')
+        lin = (attempted_parts.join(counters, 'part_id', 'left')
+               .fillna(dict.fromkeys(_COUNTER_COLS, 0))
+               .withColumn('run_id', F.lit(run_id))
+               .select('part_id', 'run_id', *_COUNTER_COLS))
+        lin.write.mode('append').parquet(lineage_path(out_dir))
+    finally:
+        results.unpersist()

@@ -21,6 +21,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..core.extract import extract_from_html
 
+MAX_BODY_BYTES = 10 * 1024 * 1024  # reject larger payloads before reading
+
 
 class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload: dict) -> None:
@@ -42,7 +44,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {'error': 'not found'})
             return
         try:
-            n = int(self.headers.get('Content-Length', 0))
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+            except (TypeError, ValueError):
+                n = -1
+            if n <= 0:
+                self._send(400, {'error': 'missing or invalid '
+                                          'Content-Length'})
+                return
+            if n > MAX_BODY_BYTES:
+                self._send(413, {'error': f'body exceeds {MAX_BODY_BYTES} '
+                                          'bytes'})
+                return
             req = json.loads(self.rfile.read(n) or b'{}')
             html = req.get('html')
             if not isinstance(html, str) or not html:

@@ -57,9 +57,53 @@ def test_lineage_counters_consistent(spark, out_dir):
                  for r in res.groupBy('status').count().collect()}
     assert by_status.get('ok', 0) == tot['ok']
 
-    # skew observability: per-partition work totals recorded (SURVEY §4.2)
-    spread = lin.select('proc_us_sum', 'proc_us_max').collect()
+    # skew observability: per-partition work totals recorded (SURVEY §4.2);
+    # empty-part marker rows (n_docs=0) legitimately carry zero counters
+    spread = lin.where('n_docs > 0').select('proc_us_sum',
+                                            'proc_us_max').collect()
     assert all(r['proc_us_sum'] >= r['proc_us_max'] > 0 for r in spread)
+
+
+def test_resume_at_4096_parts_marks_empty_parts(spark, out_dir):
+    """Scale hygiene: n_parts >> n_docs. Every attempted partition — even
+    one holding zero documents — gets a lineage marker, so a resumed run
+    skips the whole part space instead of rescheduling empties forever."""
+    from mineru_html_spark.plans.job import run_job
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = synth_docs_df(spark, 200, partitions=4)
+
+    info1 = run_job(spark, docs, out_dir, run_id='r1', n_parts=4096,
+                    n_waves=2, num_partitions=4)
+    assert info1['processed_parts'] == 4096
+
+    lin = spark.read.parquet(out_dir + '/_lineage')
+    assert lin.select('part_id').distinct().count() == 4096
+    assert lin.where('n_docs = 0').count() > 0          # empty-part markers
+
+    info2 = run_job(spark, docs, out_dir, run_id='r2', n_parts=4096,
+                    n_waves=2, num_partitions=4)
+    assert info2['skipped_parts'] == 4096
+    assert info2['waves'] == 0                          # nothing re-run
+
+    res = spark.read.parquet(out_dir + '/results')
+    assert res.count() == 200
+    assert res.select('doc_id').distinct().count() == 200
+
+
+def test_resume_filter_is_broadcast_antijoin(spark):
+    """The wave work-set filter must be a BroadcastHashJoin LeftAnti (a
+    driver-side isin() of part ids bloats the plan at n_parts=10^5)."""
+    from mineru_html_spark.plans.lineage import anti_join_done, with_part_id
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    import pyspark.sql.functions as F
+    docs = with_part_id(
+        synth_docs_df(spark, 50, partitions=2).select('doc_id', 'spans'), 64)
+    done = spark.range(10).select(F.col('id').cast('int').alias('part_id'))
+    filtered = anti_join_done(docs, done)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan
+    assert 'LeftAnti' in plan
+    assert filtered.count() < 50
 
 
 def test_part_id_deterministic(spark):

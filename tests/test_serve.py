@@ -51,6 +51,30 @@ def test_extract_bad_requests(server_url):
             assert e.code == 400
 
 
+def test_oversized_body_rejected_413(server_url):
+    """Content-Length beyond the cap is rejected before the body is read
+    (one request must not be able to allocate arbitrary memory)."""
+    from mineru_html_spark.sources.serve import MAX_BODY_BYTES
+    req = urllib.request.Request(
+        server_url + '/extract', data=b'x', method='POST',
+        headers={'Content-Length': str(MAX_BODY_BYTES + 1)})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, 'expected 413'
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+
+
+def test_zero_length_body_rejected_400(server_url):
+    req = urllib.request.Request(server_url + '/extract', data=b'',
+                                 method='POST')
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, 'expected 400'
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_unknown_path_404(server_url):
     try:
         _post(server_url + '/nope', {'html': 'x'})
