@@ -193,29 +193,97 @@ def _kmeans_centroids(vecs: 'np.ndarray', k: int, seed: int = 5,
     return cents
 
 
-def ivf_index(embeddings: DataFrame, dim: int, n_lists: int = 16,
-              sample: int = 2048, seed: int = 5,
-              vec_col: str = 'embedding') -> tuple:
-    """Train the coarse quantizer on a deterministic sample and assign
-    every vector to its nearest centroid (list_id) via a vectorized
-    Arrow UDF. Returns (assigned_df, centroids)."""
-    samp = (embeddings.orderBy('vec_id').limit(sample)
-            .select(vec_col).toPandas())
+def train_quantizer(embeddings: DataFrame, n_lists: int = 16,
+                    sample: int = 2048, seed: int = 5,
+                    vec_col: str = 'embedding') -> 'np.ndarray':
+    """Train the coarse quantizer on a deterministic HASH sample —
+    ``pmod(xxhash64(vec_id), n/sample) = 0`` — never a TakeOrdered over
+    the full table (at 10^9 rows that global top-k is a needless
+    all-partitions sort; the hash filter is a pushable scan predicate).
+    The ≈sample rows collected are sorted by vec_id driver-side so the
+    k-means init is order-independent."""
+    n = embeddings.count()
+    mod = max(1, n // sample)
+    samp = (embeddings
+            .where(F.pmod(F.xxhash64('vec_id'), F.lit(mod)) == 0)
+            .select('vec_id', vec_col).toPandas()
+            .sort_values('vec_id').reset_index(drop=True))
     mat = np.vstack([np.asarray(v, dtype=np.float64)
                      for v in samp[vec_col]])
-    cents = _kmeans_centroids(mat, n_lists, seed)
+    return _kmeans_centroids(mat, n_lists, seed)
 
+
+def ivf_assign(embeddings: DataFrame, cents: 'np.ndarray',
+               vec_col: str = 'embedding',
+               keep_vec: bool = False) -> DataFrame:
+    """Assign every vector to its nearest centroid (list_id) via a
+    vectorized Arrow UDF. ``keep_vec=True`` carries the vector through so
+    index materialization needs no join back to the base table."""
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             m = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vec_col]])
             d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame({'vec_id': pdf['vec_id'],
-                                'list_id': d.argmin(axis=1).astype('int32')})
+            out = {'vec_id': pdf['vec_id'],
+                   'list_id': d.argmin(axis=1).astype('int32')}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
-    assigned = embeddings.select('vec_id', vec_col).mapInPandas(
-        assign, 'vec_id long, list_id int')
-    return assigned, cents
+    schema = 'vec_id long, list_id int'
+    if keep_vec:
+        vtype = dict(embeddings.dtypes)[vec_col]
+        schema += f', {vec_col} {vtype}'
+    return embeddings.select('vec_id', vec_col).mapInPandas(assign, schema)
+
+
+def ivf_index(embeddings: DataFrame, dim: int, n_lists: int = 16,
+              sample: int = 2048, seed: int = 5,
+              vec_col: str = 'embedding') -> tuple:
+    """Train the coarse quantizer and assign every vector to its nearest
+    list. Returns (assigned_df, centroids)."""
+    cents = train_quantizer(embeddings, n_lists, sample, seed, vec_col)
+    return ivf_assign(embeddings, cents, vec_col), cents
+
+
+def materialize_ivf(embeddings: DataFrame, index_dir: str, n_lists: int = 16,
+                    sample: int = 2048, seed: int = 5,
+                    vec_col: str = 'embedding') -> None:
+    """Persist the IVF index: vectors partitioned by list_id + a tiny
+    centroids table. A probed query then scans only n_probe/n_lists of the
+    data via partition pruning — the 10^9-row scale path the inline
+    ``ann_topk_ivf`` approximates. No join: the assignment UDF carries the
+    vector through (one pass, one shuffle-free write per input partition,
+    then the partitionBy exchange)."""
+    import os
+    cents = train_quantizer(embeddings, n_lists, sample, seed, vec_col)
+    vecs = ivf_assign(embeddings, cents, vec_col, keep_vec=True)
+    (vecs.write.mode('overwrite').partitionBy('list_id')
+     .parquet(os.path.join(index_dir, 'vectors')))
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        'list_id int, centroid array<double>')
+    (cdf.coalesce(1).write.mode('overwrite')
+     .parquet(os.path.join(index_dir, 'centroids')))
+
+
+def ann_topk_ivf_indexed(spark, index_dir: str, query: Sequence[float],
+                         k: int = 20, n_probe: int = 4,
+                         vec_col: str = 'embedding') -> DataFrame:
+    """ANN over a materialized IVF index: pick the n_probe nearest
+    centroids driver-side (n_lists rows), scan ONLY those list_id
+    partitions (pruned at planning time), exact-rerank."""
+    import os
+    crows = spark.read.parquet(os.path.join(index_dir, 'centroids')).collect()
+    qv = np.asarray(list(query), dtype=np.float64)
+    dists = sorted(
+        (float(((np.asarray(r['centroid']) - qv) ** 2).sum()), r['list_id'])
+        for r in crows)
+    probe_lists = [lid for _, lid in dists[:n_probe]]
+    vecs = (spark.read.parquet(os.path.join(index_dir, 'vectors'))
+            .where(F.col('list_id').isin(probe_lists)))
+    return cosine_topk(vecs, query, k, vec_col)
 
 
 def ann_topk_ivf(embeddings: DataFrame, query: Sequence[float], k: int = 20,

@@ -217,6 +217,34 @@ def test_ivf_ann_recall(spark):
     assert approx == approx2
 
 
+def test_ivf_materialized_index_matches_inline(spark, tmp_path):
+    """The persisted IVF index (vectors partitioned by list_id) must give
+    the same answer as the inline query, and the probe scan must prune
+    partitions at planning time (the 10^9-row scale path)."""
+    import numpy as np
+    from mineru_html_spark.functions.similarity import (
+        ann_topk_ivf, ann_topk_ivf_indexed, materialize_ivf)
+    rng = np.random.RandomState(4)
+    centers = rng.standard_normal((10, 16)) * 3
+    vecs = np.vstack([c + 0.2 * rng.standard_normal((20, 16))
+                      for c in centers]).astype('float32')
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        'vec_id long, embedding array<float>')
+    q = [float(x) for x in vecs[5]]
+
+    idx = str(tmp_path / 'ivf')
+    materialize_ivf(df, idx, n_lists=10)
+    inline = [(r['vec_id'], r['cos_micro']) for r in
+              ann_topk_ivf(df, q, k=10, n_lists=10, n_probe=3).collect()]
+    indexed_df = ann_topk_ivf_indexed(spark, idx, q, k=10, n_probe=3)
+    indexed = [(r['vec_id'], r['cos_micro']) for r in indexed_df.collect()]
+    assert inline == indexed
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert 'PartitionFilters' in plan and 'list_id' in plan
+
+
 def test_media_resize_and_frames(spark):
     import pyspark.sql.functions as F
     from mineru_html_spark.functions.media import (resize_images,
