@@ -32,6 +32,12 @@ EXPECTED_SF001 = os.path.join(REPO, 'tests', 'goldens',
 
 _STOP_SQL = ', '.join(f"'{w}'" for w in tx.STOPWORDS)
 
+# one token definition everywhere: the oracle pattern is the engine's
+# (core/tokens.py), SQL-escaped
+from mineru_html_spark.core.tokens import BPE_TOKEN_PATTERN  # noqa: E402
+
+_BPE_SQL_PATTERN = BPE_TOKEN_PATTERN.replace("'", "''")
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -398,10 +404,10 @@ def oracle_sql() -> dict[str, str]:
                      'accuracy_summary')
     }
     oracles.update({
-        "token_count_bpe": r"""
+        "token_count_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                       '{_BPE_SQL_PATTERN}'))
                        AS n_bpe_tokens
             FROM documents
         """,

@@ -27,15 +27,41 @@ from typing import Dict, List, Optional
 
 from .dom import Node, get_body
 from .score import MAIN, THRESHOLD, score_blocks
-from .simplify import (RUN_WRAPPER_TAG, estimate_budget_chars,
-                       simplify_document)
+from .simplify import RUN_WRAPPER_TAG, simplify_document
 from .spancodec import spans_to_html, tree_to_spans
+from .tokens import count_tokens
 
 # Reference budget: prompt_tokens + 8 * n_items < 32768 (api.py:89,263-273).
-# We have no tokenizer; chars/4 is the standard approximation.
+# Prompt tokens are counted with the engine's ONE token definition
+# (core/tokens.py — same count token_count_bpe reports), over each block's
+# scorer-view text (truncated to the A4 budget) plus a fixed allowance for
+# the block's wrapper markup.
 MAX_TOKENS = 32768
-EST_CHARS_PER_TOKEN = 4
+SCORER_TEXT_BUDGET = 200        # A4 text budget (simplify.truncate_text)
+MARKUP_TOKENS_PER_ITEM = 10     # <tag _item_id="N"> ... </tag> wrapper
 REPLY_TOKENS_PER_ITEM = 8
+
+
+def estimate_prompt_tokens(blocks) -> int:
+    """Token estimate of the scorer prompt for a segmented document —
+    the exact quantity the too_long guard compares against MAX_TOKENS."""
+    text_tokens = sum(count_tokens(b.text[:SCORER_TEXT_BUDGET])
+                      for b in blocks)
+    return text_tokens + (MARKUP_TOKENS_PER_ITEM
+                          + REPLY_TOKENS_PER_ITEM) * len(blocks)
+
+
+def _is_too_long(blocks) -> bool:
+    """Same decision as ``estimate_prompt_tokens(blocks) >= MAX_TOKENS``,
+    but the typical (small) document never pays for tokenization: a token
+    spans >=1 char, so chars is a sound upper bound on text tokens — if
+    even that bound stays under budget the doc is certainly under, and
+    only near-boundary giants run the exact regex count."""
+    overhead = (MARKUP_TOKENS_PER_ITEM + REPLY_TOKENS_PER_ITEM) * len(blocks)
+    chars_ub = sum(min(b.text_len, SCORER_TEXT_BUDGET) for b in blocks)
+    if chars_ub + overhead < MAX_TOKENS:
+        return False
+    return estimate_prompt_tokens(blocks) >= MAX_TOKENS
 
 # Real crawls contain pathologically nested markup; several tree walks
 # (clone, prune, serialize) are recursive, so raise the interpreter limit
@@ -104,10 +130,7 @@ def _segment_doc(html_str: str):
     document awaits scoring, or 'too_long' when it routes to fallback.
     """
     root, blocks, _ = simplify_document(html_str, build_simplified=False)
-    est_tokens = estimate_budget_chars(blocks) // EST_CHARS_PER_TOKEN \
-        + REPLY_TOKENS_PER_ITEM * len(blocks)
-    return root, blocks, (STATUS_TOO_LONG if est_tokens >= MAX_TOKENS
-                          else '')
+    return root, blocks, (STATUS_TOO_LONG if _is_too_long(blocks) else '')
 
 
 def _finalize_doc(root, blocks, labels: Dict[int, str],

@@ -1,0 +1,28 @@
+"""One token definition for the whole engine.
+
+The BPE-ish segmentation (GPT-2-style classes: contraction suffixes,
+letter runs, digit runs, punctuation runs — without a learned merge
+table) is defined ONCE here and consumed by:
+
+  * ``functions.text.token_count_bpe`` (Spark regexp_extract_all),
+  * its DuckDB oracle (pattern string SQL-escaped verbatim),
+  * the extraction size guard (``core.extract``) — the reference rejects
+    on real prompt tokens (/root/reference/dripper/api.py:89,263-273);
+    chars/4 put boundary documents on a different route than a token
+    count would, so the guard now counts the same tokens the token-count
+    operator reports.
+"""
+
+from __future__ import annotations
+
+import re
+
+BPE_TOKEN_PATTERN = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def count_tokens(text: str) -> int:
+    """Number of BPE-ish tokens in ``text`` (same value as the Spark
+    ``token_count_bpe`` column for the same string)."""
+    return len(_BPE_RE.findall(text))

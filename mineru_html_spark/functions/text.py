@@ -38,7 +38,7 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     classes: contractions, letter runs, digit runs, punct runs — without
     a learned merge table). Native regexp_extract_all, portable to the
     DuckDB oracle verbatim."""
-    pat = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+    from ..core.tokens import BPE_TOKEN_PATTERN as pat
     return documents.select(
         'doc_id',
         F.size(F.regexp_extract_all('text', F.lit(pat), 0))

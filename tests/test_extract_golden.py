@@ -56,3 +56,64 @@ def test_golden_statuses_cover_paths():
     statuses = {g['status'] for g in goldens.values()}
     # the fixture mix must exercise ok + fallback + too_long routes
     assert {'ok', 'fallback', 'too_long'} <= statuses
+
+
+def test_too_long_boundary_is_token_calibrated():
+    """The guard and the token_count_bpe operator share one token
+    definition (core/tokens.py): a document whose prompt estimate is one
+    block under MAX_TOKENS extracts normally; one block over routes to
+    the too_long fallback."""
+    from mineru_html_spark.core.extract import (MAX_TOKENS,
+                                                estimate_prompt_tokens,
+                                                extract_from_html)
+    from mineru_html_spark.core.simplify import simplify_document
+
+    def make_html(n):
+        paras = ''.join(
+            f'<p>paragraph {i} ' + 'lorem ipsum dolor sit amet ' * 8 + '</p>'
+            for i in range(n))
+        return f'<html><body><article>{paras}</article></body></html>'
+
+    def est(n):
+        _, blocks, _ = simplify_document(make_html(n),
+                                         build_simplified=False)
+        return estimate_prompt_tokens(blocks)
+
+    per_block = est(50) / 50
+    n = int(MAX_TOKENS / per_block) + 2
+    while est(n) < MAX_TOKENS:
+        n += 5
+    while est(n) >= MAX_TOKENS:
+        n -= 1
+    # n is the largest count under budget; n+1 crosses it
+    assert est(n) < MAX_TOKENS <= est(n + 1)
+    assert extract_from_html(make_html(n))['status'] != 'too_long'
+    assert extract_from_html(make_html(n + 1))['status'] == 'too_long'
+
+
+def test_prompt_token_estimate_tracks_scorer_view():
+    """estimate_prompt_tokens must stay within ~35% of the true BPE-ish
+    token count of the materialized scorer-view document (it feeds the
+    same MAX_TOKENS budget the reference applies to real prompt tokens)."""
+    from mineru_html_spark.core.extract import estimate_prompt_tokens
+    from mineru_html_spark.core.simplify import simplify_document
+    from mineru_html_spark.core.spancodec import spans_to_html
+    from mineru_html_spark.core.synth import gen_doc
+    from mineru_html_spark.core.tokens import count_tokens
+    checked = 0
+    for i in range(60):
+        d = gen_doc(i)
+        _, blocks, simplified = simplify_document(
+            spans_to_html(d['spans']), build_simplified=True)
+        if not blocks or not simplified:
+            continue
+        true_tokens = count_tokens(simplified)
+        # tiny docs are dominated by the fixed html/head preamble and are
+        # 3 orders of magnitude below the 32k boundary — calibration only
+        # matters where the guard can trip
+        if true_tokens < 300:
+            continue
+        ratio = estimate_prompt_tokens(blocks) / true_tokens
+        assert 0.7 < ratio < 1.3, (d['doc_id'], ratio)
+        checked += 1
+    assert checked >= 20
