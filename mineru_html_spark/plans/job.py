@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.extract_op import apply_extract
 from ..operators.skew import salted_repartition, with_doc_bytes
-from .lineage import (anti_join_done, read_done_parts, with_part_id,
-                      write_results_and_lineage)
+from .lineage import anti_join_done, commit_wave, with_part_id
+from .sinks import ParquetSink, ResultSink
 
 
 def run_extraction(spark: SparkSession, docs: DataFrame,
@@ -42,18 +42,25 @@ def run_extraction(spark: SparkSession, docs: DataFrame,
     return apply_extract(docs.select('doc_id', 'spans'))
 
 
-def run_job(spark: SparkSession, docs: DataFrame, out_dir: str,
+def run_job(spark: SparkSession, docs: DataFrame, out_dir: str = '',
             run_id: str = 'run-0', n_parts: int = 64,
             n_waves: int = 4, resume: bool = True,
-            num_partitions: Optional[int] = None) -> dict:
+            num_partitions: Optional[int] = None,
+            sink: Optional[ResultSink] = None) -> dict:
     """Durable, resumable extraction over ``docs``.
 
     The part_id space [0, n_parts) is processed in ``n_waves`` chunks;
-    each wave is one write job whose commit is atomic (Spark's output
-    committer; Iceberg snapshot in production). A killed run loses at most
-    the in-flight wave; on restart the lineage anti-join skips finished
-    partitions (reference resume semantic, app/eval_baseline.py:93-115).
+    each wave is one write job whose commit is atomic through the
+    ``sink`` (ParquetSink's dynamic partition overwrite here; IcebergSink
+    snapshot commits in production — plans/sinks.py). A killed run loses
+    at most the in-flight wave; on restart the lineage anti-join skips
+    finished partitions (reference resume semantic,
+    app/eval_baseline.py:93-115).
     """
+    if sink is None:
+        if not out_dir:
+            raise ValueError('run_job needs out_dir or an explicit sink')
+        sink = ParquetSink(out_dir)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     docs = with_part_id(docs.select('doc_id', 'spans'), n_parts)
@@ -61,7 +68,7 @@ def run_job(spark: SparkSession, docs: DataFrame, out_dir: str,
     # resume: broadcast anti-join against the lineage done-set — never a
     # driver-side id list (an isin() of 10^5 part ids bloats the plan; the
     # anti-join is one tiny broadcast however large n_parts gets)
-    done = read_done_parts(spark, out_dir) if resume else None
+    done = sink.read_done_parts(spark) if resume else None
     n_done = done.count() if done is not None else 0
     todo = anti_join_done(docs, done)
 
@@ -84,7 +91,7 @@ def run_job(spark: SparkSession, docs: DataFrame, out_dir: str,
             wave_docs.select('doc_id', 'spans', 'part_id'))
         # part_id is a pure function of doc_id — recompute, don't carry
         results = with_part_id(results, n_parts)
-        write_results_and_lineage(spark, results, out_dir, run_id, attempted)
+        commit_wave(results, sink, run_id, attempted)
         n_done_waves += 1
 
     return {'skipped_parts': n_done, 'processed_parts': n_parts - n_done,

@@ -88,12 +88,11 @@ _COUNTER_COLS = ('n_docs', 'n_ok', 'n_fallback', 'n_too_long', 'n_no_main',
                  'n_error', 'bytes_out', 'proc_us_sum', 'proc_us_max')
 
 
-def write_results_and_lineage(spark: SparkSession, results: DataFrame,
-                              out_dir: str, run_id: str,
-                              attempted_parts: DataFrame) -> None:
-    """Idempotent per-wave commit: dynamic-overwrite the wave's result
-    partitions, then append lineage rows for EVERY attempted partition —
-    the durable 'partition finished' markers.
+def commit_wave(results: DataFrame, sink, run_id: str,
+                attempted_parts: DataFrame) -> None:
+    """Idempotent per-wave commit through a ResultSink: replace the wave's
+    result partitions, then append lineage rows for EVERY attempted
+    partition — the durable 'partition finished' markers.
 
     Counters come from the persisted in-memory results frame (the write
     action materializes the cache; no re-scan of the wave's output).
@@ -102,16 +101,14 @@ def write_results_and_lineage(spark: SparkSession, results: DataFrame,
     zero documents still gets a marker row (n_docs=0) — otherwise resume
     would reschedule empty partitions forever.
     """
-    spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
     results = results.persist()
     try:
-        (results.write.mode('overwrite').partitionBy('part_id')
-         .parquet(results_path(out_dir)))
+        sink.write_wave(results)
         counters = compute_lineage(results, run_id).drop('run_id')
         lin = (attempted_parts.join(counters, 'part_id', 'left')
                .fillna(dict.fromkeys(_COUNTER_COLS, 0))
                .withColumn('run_id', F.lit(run_id))
                .select('part_id', 'run_id', *_COUNTER_COLS))
-        lin.write.mode('append').parquet(lineage_path(out_dir))
+        sink.append_lineage(lin)
     finally:
         results.unpersist()

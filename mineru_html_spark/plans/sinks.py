@@ -1,0 +1,121 @@
+"""Result/lineage sinks: one write contract, parquet and Iceberg impls.
+
+The durable job (``plans.job.run_job``) talks to a ``ResultSink`` and never
+to a storage API directly. Production is the Iceberg path (SURVEY.md §4.3:
+per-wave snapshot commits on the results table, append-only lineage
+table); this sandbox has no Iceberg runtime jar, so the parquet sink —
+dynamic-partition-overwrite results + append-only lineage parquet, the
+exact same commit semantics at directory granularity — is what the tests
+exercise, and the Iceberg sink is the drop-in swap for a real cluster:
+
+    run_job(spark, docs, sink=IcebergSink('cat.db.results',
+                                          'cat.db.lineage'))
+
+Commit contract every implementation must honor (the kill-and-resume
+tests in tests/test_job.py are written against it):
+  * ``write_wave`` replaces exactly the part_id partitions present in the
+    frame (idempotent: re-running a wave yields no duplicates);
+  * ``append_lineage`` appends one marker row per attempted partition,
+    durably AFTER the wave's results are visible;
+  * ``read_done_parts`` returns the distinct part_ids with lineage
+    markers, or None when no lineage exists yet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ResultSink:
+    """Write contract for the durable extraction job."""
+
+    def write_wave(self, results: DataFrame) -> None:
+        raise NotImplementedError
+
+    def append_lineage(self, lineage: DataFrame) -> None:
+        raise NotImplementedError
+
+    def read_done_parts(self, spark: SparkSession) -> DataFrame | None:
+        raise NotImplementedError
+
+    def read_results(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetSink(ResultSink):
+    """Directory-backed sink: results partitioned by part_id with dynamic
+    partition overwrite (re-running a wave replaces, never duplicates),
+    lineage as an append-only parquet log."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    @property
+    def results_path(self) -> str:
+        return os.path.join(self.out_dir, 'results')
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.out_dir, '_lineage')
+
+    def write_wave(self, results: DataFrame) -> None:
+        spark = results.sparkSession
+        spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+        (results.write.mode('overwrite').partitionBy('part_id')
+         .parquet(self.results_path))
+
+    def append_lineage(self, lineage: DataFrame) -> None:
+        lineage.write.mode('append').parquet(self.lineage_path)
+
+    def read_done_parts(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return (spark.read.parquet(self.lineage_path)
+                    .select('part_id').distinct())
+        except Exception:
+            return None
+
+    def read_results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.results_path)
+
+
+class IcebergSink(ResultSink):
+    """Catalog-backed sink: per-wave snapshot commits.
+
+    ``overwritePartitions`` is Iceberg's dynamic partition overwrite — one
+    atomic snapshot per wave, with time-travel/rollback for free; lineage
+    rows append to their own table. Requires an Iceberg catalog on the
+    session (spark.sql.catalog.<name> = org.apache.iceberg...); the
+    sandbox has no runtime jar, so this class is covered by contract tests
+    only up to plan construction (tests skip the execution when the
+    catalog is absent).
+    """
+
+    def __init__(self, results_table: str, lineage_table: str):
+        self.results_table = results_table
+        self.lineage_table = lineage_table
+
+    def write_wave(self, results: DataFrame) -> None:
+        spark = results.sparkSession
+        if not spark.catalog.tableExists(self.results_table):
+            (results.writeTo(self.results_table)
+             .partitionedBy(F.col('part_id')).create())
+        else:
+            results.writeTo(self.results_table).overwritePartitions()
+
+    def append_lineage(self, lineage: DataFrame) -> None:
+        spark = lineage.sparkSession
+        if not spark.catalog.tableExists(self.lineage_table):
+            lineage.writeTo(self.lineage_table).create()
+        else:
+            lineage.writeTo(self.lineage_table).append()
+
+    def read_done_parts(self, spark: SparkSession) -> DataFrame | None:
+        if not spark.catalog.tableExists(self.lineage_table):
+            return None
+        return spark.table(self.lineage_table).select('part_id').distinct()
+
+    def read_results(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.results_table)
