@@ -307,6 +307,61 @@ def q_accuracy_summary(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_heldout_accuracy(spark, sf_dir):
+    """Scorer-independent accuracy: the held-out adversarial corpus
+    (core/heldout.py — template mutations written after scorer freeze;
+    the WebMainBench-analog external eval). Strict span equality on the
+    strict templates, ROUGE-N(5) F1 on all. Committed-output oracle."""
+    from mineru_html_spark.core.heldout import (STRICT_TEMPLATES,
+                                                heldout_for_sf)
+    from mineru_html_spark.functions.rouge import rouge_eval
+    from mineru_html_spark.plans.evaluate import span_text
+    from mineru_html_spark.sources.synthsource import (heldout_docs_df,
+                                                       heldout_truth_df)
+    n = heldout_for_sf(_sf_of(sf_dir))
+    docs = heldout_docs_df(spark, n)
+    truth = heldout_truth_df(spark, n)
+    res = run_extraction(spark, docs)
+
+    seq = F.transform('spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    tseq = F.transform('truth_spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    j = (res.join(truth, 'doc_id')
+         .select('doc_id', 'template',
+                 F.col('template').isin(list(STRICT_TEMPLATES))
+                  .alias('strict'),
+                 (seq == tseq).alias('strict_equal'),
+                 span_text('spans').alias('pred'),
+                 span_text('truth_spans').alias('gt')))
+    scored = rouge_eval(
+        j.selectExpr('xxhash64(doc_id) as doc_id', 'pred', 'gt'))
+    j = j.withColumn('k', F.xxhash64('doc_id')).join(
+        scored.withColumnRenamed('doc_id', 'k'), 'k')
+    return (j.groupBy('template')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum(F.col('strict').cast('int')).alias('n_strict'),
+                 F.sum((F.col('strict') & F.col('strict_equal'))
+                       .cast('int')).alias('n_equal'),
+                 F.floor(F.avg('f1_micro')).cast('long')
+                  .alias('mean_f1_micro')))
+
+
+def q_baseline_eval(spark, sf_dir):
+    """Baseline comparators through one eval job (reference floor pattern,
+    imp.py:1474-1507): engine vs passthrough (whole-body span-ization
+    floor) vs degraded (link-density heuristic, no scorer). The engine
+    must dominate both; committed-output oracle pins the numbers."""
+    from mineru_html_spark.plans.evaluate import evaluate_extractors
+    from mineru_html_spark.sources.synthsource import synth_truth_df
+    n = docs_for_sf(_sf_of(sf_dir))
+    docs = synth_docs_df(spark, n)
+    truth = synth_truth_df(spark, n)
+    return evaluate_extractors(spark, docs, truth)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap).
     session_start crosses the gate as epoch BIGINT (canonical repr)."""
@@ -316,6 +371,20 @@ def q_sessionize(spark, sf_dir):
         'user_id', 'session_id', 'n_events',
         F.unix_timestamp('session_start').cast('long')
          .alias('session_start_epoch'))
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """The Structured-Streaming session operator (native session_window,
+    gap-merged) run in batch mode — oracle-gated against the same SQL the
+    LAG-based batch sessionize is checked with: both must produce the
+    identical (user, session_start, n_events) partition of the stream."""
+    from mineru_html_spark.streaming.ingest import streaming_sessionize
+    out = streaming_sessionize(_events(spark, sf_dir), gap='30 minutes')
+    return out.select(
+        'user_id',
+        F.unix_timestamp('session_start').cast('long')
+         .alias('session_start_epoch'),
+        'n_events')
 
 
 def q_media_features(spark, sf_dir):
@@ -353,11 +422,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
         'sessionize': q_sessionize,
+        'streaming_sessionize': q_streaming_sessionize,
         'token_count_bpe': q_token_count_bpe,
         'quality_gate': q_quality_gate,
         'embedding_near_dups': q_embedding_near_dups,
         'ann_ivf_topk': q_ann_ivf_topk,
         'accuracy_summary': q_accuracy_summary,
+        'heldout_accuracy': q_heldout_accuracy,
+        'baseline_eval': q_baseline_eval,
     }
 
 
@@ -401,7 +473,8 @@ def oracle_sql() -> dict[str, str]:
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
                      'rouge_self', 'media_features',
                      'embedding_near_dups', 'ann_ivf_topk',
-                     'accuracy_summary')
+                     'accuracy_summary', 'heldout_accuracy',
+                     'baseline_eval')
     }
     oracles.update({
         "token_count_bpe": f"""
@@ -564,6 +637,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    cast(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch
             FROM s GROUP BY 1, 2
+        """,
+        'streaming_sessionize': """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id,
+                   cast(floor(epoch(min(ts))) AS BIGINT)
+                       AS session_start_epoch,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

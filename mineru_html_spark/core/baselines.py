@@ -1,0 +1,58 @@
+"""Baseline extractors — the eval harness's floor and sanity rails.
+
+The reference ships a factory of 30+ comparator extractors so its metric
+has context and a floor (html2text scores 0.5977 on its corpus —
+/root/reference/eval_baselines/baselines/imp.py:1474-1507,
+README.md:35). This module is that pattern with the two baselines that
+matter for a deterministic engine:
+
+  * ``passthrough`` — keep EVERY candidate block (html2text-style
+    whole-body span-ization). Perfect recall, no precision: the floor any
+    real extractor must dominate. If the engine ever scores below this,
+    the metric or the engine is broken.
+  * ``degraded``    — the engine's link-density fallback heuristic run
+    unconditionally (no scorer). This is the reference's
+    trafilatura-fallback analog (api.py:449-471) and isolates the
+    scorer's contribution: engine − degraded = what scoring buys.
+
+Both share the engine's parse/segment/finalize machinery, so the
+comparison measures LABELING quality, not parser differences — same as
+the reference running every baseline through one eval job
+(app/eval_baseline.py).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Dict, List
+
+from .extract import _fallback_labels, _finalize_doc, _segment_doc
+from .score import MAIN
+from .spancodec import spans_to_html
+
+
+def _passthrough_labels(blocks) -> Dict[int, str]:
+    return {b.item_id: MAIN for b in blocks}
+
+
+BASELINE_LABELERS = {
+    'passthrough': _passthrough_labels,
+    'degraded': _fallback_labels,
+}
+
+
+def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
+    """[(doc_id, spans)] -> result rows for the named baseline extractor.
+    Same row contract as the engine (errors contained per-case)."""
+    labeler = BASELINE_LABELERS[name]
+    out = []
+    for doc_id, spans in rows:
+        try:
+            root, blocks, _pre = _segment_doc(spans_to_html(spans))
+            r = _finalize_doc(root, blocks, labeler(blocks), 'ok')
+        except Exception:
+            r = {'spans': [], 'status': 'error', 'n_items': 0, 'n_main': 0,
+                 'error': traceback.format_exc(limit=3)[-1000:]}
+        r['doc_id'] = doc_id
+        out.append(r)
+    return out

@@ -57,3 +57,37 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def apply_extract(docs: DataFrame) -> DataFrame:
     """docs(doc_id, spans) -> results(doc_id, spans, status, ...)."""
     return docs.mapInPandas(extract_batch, OUT_SCHEMA)
+
+
+BASELINE_SCHEMA = (
+    'doc_id string, '
+    'spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, '
+    'status string, n_items int, n_main int, error string'
+)
+
+
+def apply_baseline(docs: DataFrame, name: str) -> DataFrame:
+    """docs(doc_id, spans) -> results for a named baseline extractor
+    (core/baselines.py) — same fused Arrow-batched shape as the engine."""
+    from ..core.baselines import baseline_extract_rows
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(doc_id,
+                     [s if isinstance(s, dict) else dict(s) for s in spans])
+                    for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
+            results = baseline_extract_rows(rows, name)
+            out = [{
+                'doc_id': r['doc_id'],
+                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                          for s in r['spans']],
+                'status': r['status'],
+                'n_items': r['n_items'],
+                'n_main': r['n_main'],
+                'error': r['error'],
+            } for r in results]
+            yield pd.DataFrame(
+                out, columns=['doc_id', 'spans', 'status', 'n_items',
+                              'n_main', 'error'])
+
+    return docs.mapInPandas(batch, BASELINE_SCHEMA)

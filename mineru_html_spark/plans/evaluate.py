@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.rouge import rouge_eval
-from ..operators.extract_op import apply_extract
+from ..operators.extract_op import apply_baseline, apply_extract
 
 
 def span_text(col='spans'):
@@ -53,6 +53,56 @@ def evaluate(spark: SparkSession, docs: DataFrame,
     scored = scored.withColumn('k', F.hash('doc_id')).join(
         metrics.withColumnRenamed('doc_id', 'k'), 'k').drop('k')
     return scored
+
+
+def evaluate_extractors(spark: SparkSession, docs: DataFrame,
+                        truth: DataFrame,
+                        extractors=('engine', 'passthrough',
+                                    'degraded')) -> DataFrame:
+    """Score the engine AND the baseline comparators against generator
+    truth in ONE Spark job (reference pattern: every baseline through one
+    eval run, app/eval_baseline.py + baselines/imp.py:1474-1507).
+
+    Returns per-extractor means: strict-equal count, ROUGE-N(5)
+    precision/recall/F1 (micro units). The passthrough floor has ~perfect
+    recall and poor precision by construction — any real extractor must
+    dominate its F1, which the test suite asserts for the engine.
+    """
+    seq = F.transform('spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+    tseq = F.transform('truth_spans', lambda s: F.struct(
+        s['kind'].alias('kind'), s['text'].alias('text'),
+        s['media_ref'].alias('media_ref')))
+
+    frames = []
+    for name in extractors:
+        res = (apply_extract(docs) if name == 'engine'
+               else apply_baseline(docs, name))
+        j = (res.join(truth, 'doc_id')
+             .where(F.size('truth_spans') > 0)
+             .select(F.lit(name).alias('extractor'), 'doc_id',
+                     (seq == tseq).alias('strict_equal'),
+                     span_text('spans').alias('pred'),
+                     span_text('truth_spans').alias('gt')))
+        frames.append(j)
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+
+    u = u.withColumn('k', F.xxhash64(F.concat_ws(':', 'extractor',
+                                                 'doc_id')))
+    scored = rouge_eval(u.selectExpr('k as doc_id', 'pred', 'gt'))
+    u = u.join(scored.withColumnRenamed('doc_id', 'k'), 'k')
+    return (u.groupBy('extractor')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum(F.col('strict_equal').cast('int')).alias('n_equal'),
+                 F.floor(F.avg('prec_micro')).cast('long')
+                  .alias('mean_prec_micro'),
+                 F.floor(F.avg('rec_micro')).cast('long')
+                  .alias('mean_rec_micro'),
+                 F.floor(F.avg('f1_micro')).cast('long')
+                  .alias('mean_f1_micro')))
 
 
 def export_results(scored: DataFrame, out_dir: str) -> dict:

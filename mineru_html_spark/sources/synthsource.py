@@ -23,17 +23,22 @@ DOCS_SCHEMA = ('doc_id string, '
                'media_ref:string,offset:int>>')
 
 
-def _gen_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        rows = []
-        for idx in pdf['id']:
-            d = gen_doc(int(idx))
-            rows.append({
-                'doc_id': d['doc_id'],
-                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
-                          for s in d['spans']],
-            })
-        yield pd.DataFrame(rows)
+def _mk_docs_batch(gen):
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                d = gen(int(idx))
+                rows.append({
+                    'doc_id': d['doc_id'],
+                    'spans': [(s['kind'], s['text'], s['media_ref'],
+                               s['offset']) for s in d['spans']],
+                })
+            yield pd.DataFrame(rows)
+    return _batch
+
+
+_gen_batch = _mk_docs_batch(gen_doc)
 
 
 def synth_docs_df(spark: SparkSession, n_docs: int,
@@ -50,20 +55,25 @@ TRUTH_SCHEMA = ('doc_id string, template string, '
                 'media_ref:string,offset:int>>')
 
 
-def _gen_truth_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        rows = []
-        for idx in pdf['id']:
-            d = gen_doc(int(idx))
-            rows.append({
-                'doc_id': d['doc_id'],
-                'template': d['template'],
-                'truth_spans': [
-                    (s['kind'], s['text'], s['media_ref'], s['offset'])
-                    for s in d['truth_spans']],
-            })
-        yield pd.DataFrame(rows, columns=['doc_id', 'template',
-                                          'truth_spans'])
+def _mk_truth_batch(gen):
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                d = gen(int(idx))
+                rows.append({
+                    'doc_id': d['doc_id'],
+                    'template': d['template'],
+                    'truth_spans': [
+                        (s['kind'], s['text'], s['media_ref'], s['offset'])
+                        for s in d['truth_spans']],
+                })
+            yield pd.DataFrame(rows, columns=['doc_id', 'template',
+                                              'truth_spans'])
+    return _batch
+
+
+_gen_truth_batch = _mk_truth_batch(gen_doc)
 
 
 def synth_truth_df(spark: SparkSession, n_docs: int,
@@ -74,6 +84,26 @@ def synth_truth_df(spark: SparkSession, n_docs: int,
         partitions = max(spark.sparkContext.defaultParallelism, 8)
     rng = spark.range(0, n_docs, 1, partitions)
     return rng.mapInPandas(_gen_truth_batch, TRUTH_SCHEMA)
+
+
+def heldout_docs_df(spark: SparkSession, n_docs: int,
+                    partitions: Optional[int] = None) -> DataFrame:
+    """Held-out adversarial docs table (core/heldout.py), distributed."""
+    from ..core.heldout import gen_heldout_doc
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng = spark.range(0, n_docs, 1, partitions)
+    return rng.mapInPandas(_mk_docs_batch(gen_heldout_doc), DOCS_SCHEMA)
+
+
+def heldout_truth_df(spark: SparkSession, n_docs: int,
+                     partitions: Optional[int] = None) -> DataFrame:
+    """Ground truth for the held-out adversarial corpus, distributed."""
+    from ..core.heldout import gen_heldout_doc
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng = spark.range(0, n_docs, 1, partitions)
+    return rng.mapInPandas(_mk_truth_batch(gen_heldout_doc), TRUTH_SCHEMA)
 
 
 def materialized_docs(spark: SparkSession, n_docs: int,

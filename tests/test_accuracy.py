@@ -56,3 +56,59 @@ def test_navonly_yields_no_main_or_minimal():
         text = ' '.join(s['text'] for s in r['spans'] if s['kind'] == 'text')
         assert 'Copyright 2026' not in text
         assert r['status'] in ('no_main', 'fallback', 'ok')
+
+
+def test_heldout_adversarial_corpus_strict_equality():
+    """Scorer-independent eval (VERDICT r01 #2): the held-out adversarial
+    templates — chrome shuffle, nested boilerplate, class bait, deep
+    nesting, table trap, figure storms, short-main and link-main boundary
+    probes — written after scorer freeze, must extract exactly (strict
+    span-sequence equality vs generator truth)."""
+    from mineru_html_spark.core.extract import extract_document
+    from mineru_html_spark.core.heldout import (STRICT_TEMPLATES,
+                                                gen_heldout_doc)
+    n_strict = n_equal = 0
+    seen_templates = set()
+    for i in range(135):
+        d = gen_heldout_doc(i)
+        seen_templates.add(d['template'])
+        if d['template'] not in STRICT_TEMPLATES:
+            continue
+        r = extract_document(d['doc_id'], d['spans'])
+        pred = [(s['kind'], s['text'], s['media_ref']) for s in r['spans']]
+        gt = [(s['kind'], s['text'], s['media_ref'])
+              for s in d['truth_spans']]
+        n_strict += 1
+        n_equal += pred == gt
+    assert len(seen_templates) == 9
+    assert n_strict >= 100
+    assert n_equal == n_strict
+
+
+def test_heldout_deterministic():
+    from mineru_html_spark.core.heldout import gen_heldout_doc
+    a = gen_heldout_doc(17)
+    b = gen_heldout_doc(17)
+    assert a == b
+
+
+def test_engine_dominates_baselines(spark):
+    """VERDICT r01 #3: the eval harness scores named comparators through
+    one factory; the engine must strictly dominate the passthrough floor
+    and the scorer-free degraded heuristic on both strict equality and
+    ROUGE F1 (and passthrough's recall must be ~perfect — if not, the
+    metric itself is broken)."""
+    from mineru_html_spark.plans.evaluate import evaluate_extractors
+    from mineru_html_spark.sources.synthsource import (synth_docs_df,
+                                                       synth_truth_df)
+    docs = synth_docs_df(spark, 300)
+    truth = synth_truth_df(spark, 300)
+    rows = {r['extractor']: r for r in
+            evaluate_extractors(spark, docs, truth).collect()}
+    assert set(rows) == {'engine', 'passthrough', 'degraded'}
+    eng, pt, dg = rows['engine'], rows['passthrough'], rows['degraded']
+    assert eng['mean_f1_micro'] > pt['mean_f1_micro']
+    assert eng['mean_f1_micro'] > dg['mean_f1_micro']
+    assert eng['n_equal'] > pt['n_equal']
+    assert eng['n_equal'] > dg['n_equal']
+    assert pt['mean_rec_micro'] >= 999999   # floor keeps everything
