@@ -67,8 +67,20 @@ def _is_too_long(blocks) -> bool:
 # (clone, prune, serialize) are recursive, so raise the interpreter limit
 # well above any real page depth. Beyond this, the per-row try/except
 # degrades the document to status='error' instead of killing the task.
-if sys.getrecursionlimit() < 20000:
-    sys.setrecursionlimit(20000)
+MIN_RECURSION_LIMIT = 20000
+
+
+def _ensure_recursion_headroom() -> None:
+    """Assert the stack floor at batch entry, not only at import: host
+    code can lower the limit after we import (observed: PySpark's
+    error-context capture imports IPython on the first column op, and
+    IPython's import resets the limit to 3000 — shallower than a 1k-deep
+    real page needs)."""
+    if sys.getrecursionlimit() < MIN_RECURSION_LIMIT:
+        sys.setrecursionlimit(MIN_RECURSION_LIMIT)
+
+
+_ensure_recursion_headroom()
 
 STATUS_OK = 'ok'
 STATUS_FALLBACK = 'fallback'
@@ -160,7 +172,9 @@ def extract_rows(rows: List[tuple]) -> List[dict]:
     over pandas batches" of the north star), then results slice back per
     document. Per-row failures degrade to status='error' rows.
     """
+    _ensure_recursion_headroom()
     staged = []           # (doc_id, root, blocks, pre_status, us)
+    seg_errors = {}       # doc_id -> traceback tail
     flat_blocks = []
     slices = []           # (staged_idx, start, end) for scoreable docs
     for doc_id, spans in rows:
@@ -176,6 +190,7 @@ def extract_rows(rows: List[tuple]) -> List[dict]:
                                len(flat_blocks) + len(blocks)))
                 flat_blocks.extend(blocks)
         except Exception:
+            seg_errors[doc_id] = traceback.format_exc(limit=3)[-1000:]
             staged.append((doc_id, None, None, STATUS_ERROR,
                            (perf_counter_ns() - t0) // 1000))
 
@@ -191,7 +206,9 @@ def extract_rows(rows: List[tuple]) -> List[dict]:
         if pre == STATUS_ERROR:
             out.append({'doc_id': doc_id, 'spans': [],
                         'status': STATUS_ERROR, 'n_items': 0, 'n_main': 0,
-                        'error': 'segment stage failed', 'proc_us': us})
+                        'error': 'segment stage failed: '
+                                 + seg_errors.get(doc_id, ''),
+                        'proc_us': us})
             continue
         t1 = perf_counter_ns()
         try:

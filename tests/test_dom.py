@@ -90,7 +90,7 @@ def test_deep_nesting_extracts_or_degrades():
             + '</div>' * 3000)
     r = extract_document('deep', [{'kind': 'text', 'text': html,
                                    'media_ref': '', 'offset': 0}])
-    assert r['status'] == 'ok'
+    assert r['status'] == 'ok', (r['status'], r['error'])
     assert r['spans'][0]['text'].startswith('deep content')
     # absurd depth: contained failure, never an exception out of the row
     html = '<div>' * 30000 + 'x' + '</div>' * 30000
