@@ -82,12 +82,15 @@ def _extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every query that consumes extraction output (extract_main,
     accuracy_summary) — the engine never pays for the same corpus twice
     within a process (VERDICT r01 'Next round' #4)."""
+    from mineru_html_spark.sources.synthsource import materialized_docs
     n = docs_for_sf(_sf_of(sf_dir))
     key = (spark.sparkContext.applicationId, n)
     cached = _EXTRACT_CACHE.get(key)
     if cached is not None:
         return cached
-    res = run_extraction(spark, synth_docs_df(spark, n)).persist()
+    # materialized input: the scan (not synthesis) feeds the operator,
+    # matching the production Iceberg-read shape
+    res = run_extraction(spark, materialized_docs(spark, n)).persist()
     _EXTRACT_CACHE[key] = res
     return res
 
@@ -278,10 +281,10 @@ def q_accuracy_summary(spark, sf_dir):
     truth, ROUGE UDF, grouped reduction). Committed-output oracle."""
     from mineru_html_spark.functions.rouge import rouge_eval
     from mineru_html_spark.plans.evaluate import span_text
-    from mineru_html_spark.sources.synthsource import synth_truth_df
+    from mineru_html_spark.sources.synthsource import materialized_truth
 
     n = docs_for_sf(_sf_of(sf_dir))
-    truth = synth_truth_df(spark, n)
+    truth = materialized_truth(spark, n)
     res = _extraction_results(spark, sf_dir)
 
     seq = F.transform('spans', lambda s: F.struct(
@@ -316,11 +319,9 @@ def q_heldout_accuracy(spark, sf_dir):
                                                 heldout_for_sf)
     from mineru_html_spark.functions.rouge import rouge_eval
     from mineru_html_spark.plans.evaluate import span_text
-    from mineru_html_spark.sources.synthsource import (heldout_docs_df,
-                                                       heldout_truth_df)
+    from mineru_html_spark.sources.synthsource import materialized_heldout
     n = heldout_for_sf(_sf_of(sf_dir))
-    docs = heldout_docs_df(spark, n)
-    truth = heldout_truth_df(spark, n)
+    docs, truth = materialized_heldout(spark, n)
     res = run_extraction(spark, docs)
 
     seq = F.transform('spans', lambda s: F.struct(
@@ -355,11 +356,14 @@ def q_baseline_eval(spark, sf_dir):
     floor) vs degraded (link-density heuristic, no scorer). The engine
     must dominate both; committed-output oracle pins the numbers."""
     from mineru_html_spark.plans.evaluate import evaluate_extractors
-    from mineru_html_spark.sources.synthsource import synth_truth_df
+    from mineru_html_spark.sources.synthsource import (materialized_docs,
+                                                       materialized_truth)
     n = docs_for_sf(_sf_of(sf_dir))
-    docs = synth_docs_df(spark, n)
-    truth = synth_truth_df(spark, n)
-    return evaluate_extractors(spark, docs, truth)
+    docs = materialized_docs(spark, n)
+    truth = materialized_truth(spark, n)
+    return evaluate_extractors(
+        spark, docs, truth,
+        engine_results=_extraction_results(spark, sf_dir))
 
 
 def q_sessionize(spark, sf_dir):

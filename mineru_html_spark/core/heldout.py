@@ -42,6 +42,7 @@ from .synth import (_WORDS, _footer_html, _link_list, _nav_html, _norm,
                     _para, _related_html, _sentence)
 
 HELDOUT_SEED = 20260816  # fixed, distinct from synth's default seed
+HELDOUT_VERSION = 1      # bump when template content changes (cache key)
 
 
 def _wrap_deep(inner: str, rng: random.Random, depth: int = 12) -> str:

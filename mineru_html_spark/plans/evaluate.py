@@ -57,8 +57,8 @@ def evaluate(spark: SparkSession, docs: DataFrame,
 
 def evaluate_extractors(spark: SparkSession, docs: DataFrame,
                         truth: DataFrame,
-                        extractors=('engine', 'passthrough',
-                                    'degraded')) -> DataFrame:
+                        extractors=('engine', 'passthrough', 'degraded'),
+                        engine_results: DataFrame | None = None) -> DataFrame:
     """Score the engine AND the baseline comparators against generator
     truth in ONE Spark job (reference pattern: every baseline through one
     eval run, app/eval_baseline.py + baselines/imp.py:1474-1507).
@@ -77,8 +77,13 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
 
     frames = []
     for name in extractors:
-        res = (apply_extract(docs) if name == 'engine'
-               else apply_baseline(docs, name))
+        if name == 'engine':
+            # reuse an already-extracted (persisted) frame when the caller
+            # has one — never extract the same corpus twice in a process
+            res = engine_results if engine_results is not None \
+                else apply_extract(docs)
+        else:
+            res = apply_baseline(docs, name)
         j = (res.join(truth, 'doc_id')
              .where(F.size('truth_spans') > 0)
              .select(F.lit(name).alias('extractor'), 'doc_id',

@@ -106,23 +106,54 @@ def heldout_truth_df(spark: SparkSession, n_docs: int,
     return rng.mapInPandas(_mk_truth_batch(gen_heldout_doc), TRUTH_SCHEMA)
 
 
+def _materialized(spark: SparkSession, key: str, build,
+                  cache_root: str = '/root/repo/.data',
+                  n_files: int = 128) -> DataFrame:
+    """Parquet-materialize a deterministic synthetic table once per key,
+    then scan it. Mirrors the production Iceberg scan: Catalyst gets real
+    file statistics, column pruning and partition pruning, and benchmarks
+    measure the operators rather than synthesis. Written as many files so
+    the scan parallelizes regardless of which session materialized it."""
+    path = os.path.join(cache_root, key)
+    marker = os.path.join(path, '_SUCCESS')
+    if not os.path.exists(marker):
+        build(n_files).write.mode('overwrite').parquet(path)
+    return spark.read.parquet(path)
+
+
 def materialized_docs(spark: SparkSession, n_docs: int,
                       cache_root: str = '/root/repo/.data',
                       n_files: int = 128) -> DataFrame:
-    """Parquet-materialized docs table (build once per n_docs, then scan).
+    return _materialized(
+        spark, f'docs_v{SYNTH_VERSION}_n{n_docs}',
+        lambda p: synth_docs_df(spark, n_docs, partitions=p),
+        cache_root, n_files)
 
-    Mirrors the production Iceberg scan: Catalyst gets real file statistics,
-    column pruning and partition pruning, and benchmarks measure the
-    extraction stage rather than synthesis. Written as many files so the
-    scan parallelizes regardless of which session materialized it (a real
-    lake table is likewise many well-sized files).
-    """
-    path = os.path.join(cache_root, f'docs_v{SYNTH_VERSION}_n{n_docs}')
-    marker = os.path.join(path, '_SUCCESS')
-    if not os.path.exists(marker):
-        synth_docs_df(spark, n_docs, partitions=n_files) \
-            .write.mode('overwrite').parquet(path)
-    return spark.read.parquet(path)
+
+def materialized_truth(spark: SparkSession, n_docs: int,
+                       cache_root: str = '/root/repo/.data',
+                       n_files: int = 128) -> DataFrame:
+    return _materialized(
+        spark, f'truth_v{SYNTH_VERSION}_n{n_docs}',
+        lambda p: synth_truth_df(spark, n_docs, partitions=p),
+        cache_root, n_files)
+
+
+def materialized_heldout(spark: SparkSession, n_docs: int,
+                         cache_root: str = '/root/repo/.data',
+                         n_files: int = 32) -> tuple:
+    """(docs, truth) for the held-out corpus, parquet-materialized."""
+    from ..core.heldout import HELDOUT_SEED, HELDOUT_VERSION
+    key = f's{HELDOUT_SEED}_v{HELDOUT_VERSION}_n{n_docs}'
+    docs = _materialized(
+        spark, f'helddocs_{key}',
+        lambda p: heldout_docs_df(spark, n_docs, partitions=p),
+        cache_root, n_files)
+    truth = _materialized(
+        spark, f'heldtruth_{key}',
+        lambda p: heldout_truth_df(spark, n_docs, partitions=p),
+        cache_root, n_files)
+    return docs, truth
 
 
 def read_docs(spark: SparkSession, source: str) -> DataFrame:
