@@ -11,6 +11,12 @@ exercise, and the Iceberg sink is the drop-in swap for a real cluster:
     run_job(spark, docs, sink=IcebergSink('cat.db.results',
                                           'cat.db.lineage'))
 
+Layering note: ``plans/catalog.TableIO`` is the generic table read/write
+helper (name-vs-path dispatch); ResultSink is the JOB-facing commit
+contract built on the same write primitives (dynamic partition overwrite
+/ ``writeTo().overwritePartitions()``), plus the create-if-absent and
+done-set reading the durable job needs.
+
 Commit contract every implementation must honor (the kill-and-resume
 tests in tests/test_job.py are written against it):
   * ``write_wave`` replaces exactly the part_id partitions present in the
