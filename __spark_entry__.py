@@ -350,6 +350,44 @@ def q_heldout_accuracy(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document boilerplate n-gram detection (C4/Dolma primitive):
+    word-3-grams appearing in >= 3 distinct documents."""
+    from mineru_html_spark.functions.corpus import duplicated_ngrams
+    return duplicated_ngrams(_docs(spark, sf_dir), n=3, min_docs=3)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII masking with auditable per-rule counts. The synthetic corpus
+    carries no PII, so the query plants deterministic email/IP/phone
+    strings on every 10th doc, then scrubs — planted matches must be
+    counted and fully masked (scrubbed text crosses the gate as md5)."""
+    from mineru_html_spark.functions.corpus import pii_scrub
+    planted = F.concat(
+        F.col('text'),
+        F.lit(' contact user'), F.col('doc_id').cast('string'),
+        F.lit('@example.com at 10.0.'),
+        (F.col('doc_id') % 200).cast('string'),
+        F.lit('.7 or +001-555-0123'))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(F.col('doc_id') % 10 == 0, planted)
+         .otherwise(F.col('text')).alias('text'))
+    out = pii_scrub(docs)
+    return out.select('doc_id', 'n_emails', 'n_ips', 'n_phones',
+                      F.md5('scrubbed').alias('scrubbed_md5'))
+
+
+def q_seq_pack(spark, sf_dir):
+    """Greedy-prefix sequence packing into 2048-token packs, bucketed by
+    doc_id % 64 (cross-engine-reproducible bucket for the oracle; the
+    production default is pmod(xxhash64(doc_id), P))."""
+    from mineru_html_spark.functions.corpus import pack_sequences
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, budget=2048, n_buckets=64,
+                          bucket=F.col('doc_id') % 64)
+
+
 def q_baseline_eval(spark, sf_dir):
     """Baseline comparators through one eval job (reference floor pattern,
     imp.py:1474-1507): engine vs passthrough (whole-body span-ization
@@ -434,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'accuracy_summary': q_accuracy_summary,
         'heldout_accuracy': q_heldout_accuracy,
         'baseline_eval': q_baseline_eval,
+        'dup_ngrams': q_dup_ngrams,
+        'pii_scrub': q_pii_scrub,
+        'seq_pack': q_seq_pack,
     }
 
 
@@ -660,6 +701,61 @@ def oracle_sql() -> dict[str, str]:
                        AS session_start_epoch,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        'dup_ngrams': f"""
+            WITH w AS (
+              SELECT doc_id, {_WORDS_AZ09} AS ws FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 2, 0)),
+                       i -> array_to_string(list_slice(ws, i+1, i+3), ' '))))
+                       AS s
+              FROM w)
+            SELECT md5(s) AS sh, count(*) AS n_docs
+            FROM sh GROUP BY 1 HAVING count(*) >= 3
+        """,
+        'pii_scrub': """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com at 10.0.'
+                               || CAST(doc_id % 200 AS VARCHAR)
+                               || '.7 or +001-555-0123'
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                       AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                       AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS scrubbed_md5
+            FROM d
+        """,
+        'seq_pack': f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 64 AS bucket,
+                     CAST(len(regexp_extract_all(text,
+                       '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, bucket, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, bucket, n_tokens,
+                   (cum - n_tokens) // 2048 AS pack_id
+            FROM c
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -1,0 +1,106 @@
+"""Corpus-level training-data operators (beyond the reference).
+
+Three operations every LLM-corpus pipeline runs at 100 TB, expressed
+native-first so Catalyst keeps them in whole-stage codegen:
+
+  * ``duplicated_ngrams`` — cross-document boilerplate n-gram detection
+    (the C4/Dolma "remove n-grams that repeat across documents" primitive).
+    Shingles stay row-local as a higher-order transform; only (md5, 1)
+    pairs enter the exchange, partial-aggregated map-side. At 10^12 docs
+    the shuffle carries 32-byte hashes, never text.
+  * ``pii_scrub`` — email/IPv4/phone masking with per-rule counts (never
+    silently rewrite: the counts make the scrub auditable, same policy as
+    the quality gate's drop reasons).
+  * ``pack_sequences`` — greedy-prefix sequence packing: documents are
+    hash-bucketed, each bucket packs independently in doc_id order, and a
+    document lands in pack ``(running_total - n_tokens) div budget``.
+    One shuffle (the bucket window); buckets pack in parallel, so packing
+    never needs a global order — the property that lets it scale. A pack
+    may overflow by the one document that straddles the boundary
+    (standard pack-then-truncate/pad contract). Token counts use the
+    engine's ONE token definition (core/tokens.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from ..core.tokens import BPE_TOKEN_PATTERN
+
+
+def _words(col: str = 'text') -> Column:
+    return F.filter(F.split(F.lower(F.trim(col)), r'[^a-z0-9]+'),
+                    lambda w: F.length(w) > 0)
+
+
+def duplicated_ngrams(documents: DataFrame, n: int = 3,
+                      min_docs: int = 3) -> DataFrame:
+    """(sh, n_docs): md5 of every word-n-gram appearing in >= min_docs
+    distinct documents. Shingles are de-duplicated per document BEFORE the
+    explode, so count(*) counts documents, not occurrences."""
+    docs = documents.select('doc_id', _words().alias('w'))
+    shingles = F.when(
+        F.size('w') < n, F.array()
+    ).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size('w') - n),
+            lambda i: F.array_join(F.slice('w', i + 1, n), ' '))))
+    ex = docs.select(F.explode(shingles).alias('s'))
+    return (ex.select(F.md5('s').alias('sh'))
+            .groupBy('sh').agg(F.count('*').alias('n_docs'))
+            .where(F.col('n_docs') >= min_docs))
+
+
+# cross-engine-safe patterns (Java regex and RE2 agree): no backrefs,
+# no lookaround, explicit character classes
+EMAIL_RE = r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+IPV4_RE = r'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'
+PHONE_RE = r'\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'
+
+
+def pii_scrub(documents: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Mask emails/IPv4s/phones; emit per-rule match counts and the
+    scrubbed text. Counts first (on the original), then masking in a
+    fixed order (email before phone so an address' digits can't be
+    re-matched)."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+         .cast('long').alias('n_emails'),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+         .cast('long').alias('n_ips'),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+         .cast('long').alias('n_phones'),
+    ]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, '<EMAIL>'),
+            IPV4_RE, '<IP>'),
+        PHONE_RE, '<PHONE>')
+    return documents.select('doc_id', *counts,
+                            scrubbed.alias('scrubbed'))
+
+
+def pack_sequences(documents: DataFrame, budget: int = 2048,
+                   n_buckets: int = 64,
+                   bucket: Column | None = None) -> DataFrame:
+    """(doc_id, bucket, n_tokens, pack_id): greedy-prefix packing.
+
+    ``bucket`` defaults to pmod(xxhash64(doc_id), n_buckets) — pass an
+    explicit expression when a cross-engine-reproducible bucketing is
+    needed (the oracle uses doc_id % n_buckets)."""
+    if bucket is None:
+        bucket = F.pmod(F.xxhash64('doc_id'), F.lit(n_buckets))
+    n_tokens = F.size(F.regexp_extract_all(
+        'text', F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast('long')
+    t = documents.select('doc_id', bucket.cast('long').alias('bucket'),
+                         n_tokens.alias('n_tokens'))
+    w = (Window.partitionBy('bucket').orderBy('doc_id')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # integer div, not double floor: exact at any running-total magnitude
+    return (t.withColumn('cum', F.sum('n_tokens').over(w))
+            .select('doc_id', 'bucket', 'n_tokens',
+                    F.expr(f'(cum - n_tokens) div {budget}')
+                     .alias('pack_id')))

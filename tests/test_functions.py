@@ -269,3 +269,59 @@ def test_media_resize_and_frames(spark):
     for r in frames:
         by_ref.setdefault(r['media_ref'], []).append(r['frame_idx'])
     assert all(sorted(v) == [0, 3, 6, 9] for v in by_ref.values())
+
+
+def test_duplicated_ngrams_detects_planted_boilerplate(spark):
+    from mineru_html_spark.functions.corpus import duplicated_ngrams
+    import hashlib
+    rows = [(i, f'unique words only here {i} alpha beta gamma delta '
+                'subscribe to our newsletter now') for i in range(6)]
+    rows.append((100, 'totally different text with no repeats at all'))
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['sh']: r['n_docs'] for r in
+           duplicated_ngrams(df, n=3, min_docs=3).collect()}
+    planted = hashlib.md5(b'subscribe to our').hexdigest()
+    assert out[planted] == 6
+    absent = hashlib.md5(b'totally different text').hexdigest()
+    assert absent not in out
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from mineru_html_spark.functions.corpus import pii_scrub
+    df = spark.createDataFrame(
+        [(1, 'mail a.user+tag@sub.example.org or 192.168.0.1 '
+             'and call +123-456-7890 twice: 555-123-4567'),
+         (2, 'clean text, no pii at all')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1['n_emails'], r1['n_ips'], r1['n_phones']) == (1, 1, 2)
+    assert '<EMAIL>' in r1['scrubbed'] and '<IP>' in r1['scrubbed']
+    assert r1['scrubbed'].count('<PHONE>') == 2
+    assert 'example.org' not in r1['scrubbed']
+    assert '192.168' not in r1['scrubbed']
+    r2 = rows[2]
+    assert (r2['n_emails'], r2['n_ips'], r2['n_phones']) == (0, 0, 0)
+    assert r2['scrubbed'] == 'clean text, no pii at all'
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = pii_scrub(pii_scrub(df).select(
+        'doc_id', F.col('scrubbed').alias('text'))).collect()
+    for r in again:
+        assert r['scrubbed'] == rows[r['doc_id']]['scrubbed']
+
+
+def test_pack_sequences_greedy_prefix_invariants(spark):
+    from mineru_html_spark.functions.corpus import pack_sequences
+    import pyspark.sql.functions as F2
+    rows = [(i, 'word ' * (17 + (i * 13) % 400)) for i in range(200)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = pack_sequences(df, budget=256, n_buckets=8,
+                         bucket=F2.col('doc_id') % 8).collect()
+    # recompute greedy-prefix packing per bucket in plain python
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r['bucket'], r['doc_id'])):
+        cum = by_bucket.get(r['bucket'], 0)
+        assert r['pack_id'] == cum // 256, r
+        by_bucket[r['bucket']] = cum + r['n_tokens']
+    assert len(out) == 200
+    assert max(r['pack_id'] for r in out) > 0   # actually packs multiple
