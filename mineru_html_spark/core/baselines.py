@@ -43,7 +43,13 @@ BASELINE_LABELERS = {
 
 def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
     """[(doc_id, spans)] -> result rows for the named baseline extractor.
-    Same row contract as the engine (errors contained per-case)."""
+    Same row contract as the engine (errors contained per-case).
+
+    Each baseline pays its own parse: ``_finalize_doc`` prunes the tree
+    destructively (item ids attach to tree nodes), so segmentations are
+    not shareable across labelers — evaluating k baselines is inherently
+    k passes, which is fine for an eval-side code path.
+    """
     labeler = BASELINE_LABELERS[name]
     out = []
     for doc_id, spans in rows:
