@@ -74,6 +74,25 @@ def streaming_sessionize(events: DataFrame, gap: str = '30 minutes') -> DataFram
                     'n_events'))
 
 
+def streaming_dedup(docs: DataFrame) -> DataFrame:
+    """Exact-dedup twin for continuous ingest: one row per distinct
+    content fingerprint, first arrival wins (batch twin:
+    functions/dedup.exact_dedup).
+
+    The dedup state is keyed by the 32-byte md5 only — content never
+    enters state. In AvailableNow catch-up mode (the deployment used
+    here and in cron-style incremental runs) state lives for the drain
+    and is discarded; a 24/7 stream bounds it with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` on ingest
+    time (a TTL on how late a duplicate can arrive), which changes
+    semantics from global-exact to exact-within-TTL — the standard
+    trade at unbounded stream length.
+    """
+    fp = F.md5(F.concat_ws(
+        '\x1f', F.transform('spans', lambda s: s['text'])))
+    return docs.withColumn('fp', fp).dropDuplicates(['fp'])
+
+
 def stateful_user_counters(events, timeout_ms: int = 0):
     """Custom stateful streaming operator: running per-user event counters
     via applyInPandasWithState (the escape hatch for stateful logic the

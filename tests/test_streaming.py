@@ -96,3 +96,39 @@ def test_stateful_user_counters(spark, tmp_path):
     for r in got:
         n, _ = want[r['user_id']]
         assert r['n_events'] == n, r['user_id']
+
+
+def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
+    """Exact dedup over a file stream: planted duplicate contents are
+    dropped across micro-batches (state carries across files), and the
+    batch-mode run of the same plan agrees with exact_dedup."""
+    import pyspark.sql.functions as F
+    from mineru_html_spark.sources.synthsource import (DOCS_SCHEMA,
+                                                       synth_docs_df)
+    from mineru_html_spark.streaming.ingest import streaming_dedup
+
+    in_dir = str(tmp_path / 'in')
+    out_dir = str(tmp_path / 'out')
+    ckpt = str(tmp_path / 'ckpt')
+
+    base = synth_docs_df(spark, 40, partitions=2)
+    base.write.parquet(in_dir)
+    # plant duplicates: same spans, different doc ids (re-crawled pages)
+    dup = base.limit(10).select(
+        F.concat(F.lit('copy-'), 'doc_id').alias('doc_id'), 'spans')
+    dup.write.mode('append').parquet(in_dir)
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(in_dir))
+    q = (streaming_dedup(stream).writeStream.format('parquet')
+         .option('path', out_dir).option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 40                       # 10 copies dropped
+    assert out.select('fp').distinct().count() == 40
+
+    # batch twin agreement: distinct fingerprints match
+    batch = streaming_dedup(spark.read.parquet(in_dir))
+    assert batch.count() == 40
