@@ -388,6 +388,15 @@ def q_seq_pack(spark, sf_dir):
                           bucket=F.col('doc_id') % 64)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: LSH candidates -> exact-Jaccard verify ->
+    iterative connected components (hash-min label propagation; the
+    post-pairs step a 10^12-doc dedup needs). Non-SQL (iterative);
+    committed-output oracle."""
+    return dd.near_dup_clusters(_docs(spark, sf_dir), k=3,
+                                threshold_permille=800)
+
+
 def q_baseline_eval(spark, sf_dir):
     """Baseline comparators through one eval job (reference floor pattern,
     imp.py:1474-1507): engine vs passthrough (whole-body span-ization
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'accuracy_summary': q_accuracy_summary,
         'heldout_accuracy': q_heldout_accuracy,
         'baseline_eval': q_baseline_eval,
+        'near_dup_clusters': q_near_dup_clusters,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -519,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features',
                      'embedding_near_dups', 'ann_ivf_topk',
                      'accuracy_summary', 'heldout_accuracy',
-                     'baseline_eval')
+                     'baseline_eval', 'near_dup_clusters')
     }
     oracles.update({
         "token_count_bpe": f"""

@@ -266,3 +266,70 @@ def simhash_near_dups(documents: DataFrame,
     hamming = F.bit_count(F.col('ha').bitwiseXOR(F.col('hb')))
     return (cand.select('a', 'b', hamming.alias('hamming'))
             .where(F.col('hamming') <= max_hamming))
+
+
+# --------------------------------------------------------------------------
+# near-duplicate CLUSTERING: connected components over verified pairs
+# --------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(a, b) undirected edges -> (doc_id, cluster_id): every node labeled
+    with the MINIMUM doc_id reachable from it (deterministic canonical
+    cluster ids).
+
+    Hash-min label propagation: each round every node takes the min label
+    among itself and its neighbors; converges in O(cluster diameter)
+    rounds. Near-dup clusters are shallow (a hub page + its copies —
+    diameter 2-4 in practice), so the loop exits after a handful of
+    rounds even at 10^12 nodes; each round is one shuffle on doc_id of an
+    (id, label) frame — labels only, never content. Frames are persisted
+    and lineage is cut with localCheckpoint every round so the plan does
+    not grow with iterations (the classic iterative-Spark trap). The
+    convergence test piggybacks on the round's aggregation (one count of
+    changed labels, no extra pass over edges).
+    """
+    sym = (edges.select(F.col('a').alias('x'), F.col('b').alias('y'))
+           .unionByName(edges.select(F.col('b').alias('x'),
+                                     F.col('a').alias('y'))))
+    sym = sym.distinct().persist()
+    labels = (sym.select(F.col('x').alias('doc_id'))
+              .distinct()
+              .withColumn('cluster_id', F.col('doc_id'))).localCheckpoint()
+    for _ in range(max_iter):
+        # min over {own label} U {neighbor labels}; the changed flag is
+        # computed in the same pass (no second join for convergence)
+        nbr = (sym.join(labels.withColumnRenamed('doc_id', 'y'), 'y')
+               .groupBy(F.col('x').alias('doc_id'))
+               .agg(F.min('cluster_id').alias('nbr_min')))
+        stepped = (labels.join(nbr, 'doc_id', 'left')
+                   .select('doc_id',
+                           F.least('cluster_id',
+                                   F.coalesce('nbr_min', 'cluster_id'))
+                            .alias('new_id'),
+                           (F.coalesce('nbr_min', 'cluster_id')
+                            < F.col('cluster_id')).alias('chg'))
+                   ).localCheckpoint()
+        labels = stepped.select('doc_id',
+                                F.col('new_id').alias('cluster_id'))
+        if stepped.where('chg').limit(1).count() == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_dup_clusters(documents: DataFrame, k: int = 3,
+                      threshold_permille: int = 800,
+                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates -> exact
+    Jaccard verify -> connected components -> (doc_id, cluster_id,
+    cluster_size) for every doc in a cluster of >= 2. cluster_id is the
+    minimum member doc_id (the canonical keeper under first-wins policy:
+    keep doc_id == cluster_id, drop the rest)."""
+    verified = minhash_dedup(documents, k, threshold_permille,
+                             num_hashes, bands).select('a', 'b')
+    comp = connected_components(verified)
+    from pyspark.sql.window import Window
+    size = Window.partitionBy('cluster_id')
+    return comp.select(
+        'doc_id', 'cluster_id',
+        F.count('*').over(size).alias('cluster_size'))

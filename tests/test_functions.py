@@ -325,3 +325,66 @@ def test_pack_sequences_greedy_prefix_invariants(spark):
         by_bucket[r['bucket']] = cum + r['n_tokens']
     assert len(out) == 200
     assert max(r['pack_id'] for r in out) > 0   # actually packs multiple
+
+
+def test_pii_scrub_matches_python_re_on_adversarial_inputs(spark):
+    """Regex-dialect differential: Spark executes Java regex, the oracle
+    runs RE2, the reference point here is Python re — all three must
+    agree on these patterns (that's why the patterns avoid lookaround and
+    backrefs). Also: no residual matches survive in scrubbed text."""
+    import re
+    from mineru_html_spark.functions.corpus import (EMAIL_RE, IPV4_RE,
+                                                    PHONE_RE, pii_scrub)
+    cases = [
+        'a@b.co',                              # minimal email
+        'x a@b.c x',                           # 1-letter TLD: NOT an email
+        'first.last+tag@sub.domain.example.com trailing',
+        'double..dots@ex..ample.com',          # permissive local/domain
+        '@nouser.com user@ nodomain',
+        '1.2.3.4', '255.255.255.255', '999.999.999.999',
+        'v1.2.3.4000',                         # >3-digit tail: no \b match
+        'semver 1.2.3 not ip',
+        '+123-456-7890', '123-456-7890', '12-456-7890',
+        'phone inside email: a123-456-7890@x.com',
+        'unicode café @ example ☃ 10.0.0.1',
+        'adjacent:1.1.1.1,2.2.2.2;me@x.io+456-789-0123',
+        '',
+        'a' * 500 + '@example.com',
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)),
+                               'doc_id long, text string')
+    got = {r['doc_id']: r for r in pii_scrub(df).collect()}
+    for i, text in enumerate(cases):
+        r = got[i]
+        assert r['n_emails'] == len(re.findall(EMAIL_RE, text)), (i, text)
+        assert r['n_ips'] == len(re.findall(IPV4_RE, text)), (i, text)
+        assert r['n_phones'] == len(re.findall(PHONE_RE, text)), (i, text)
+        s = r['scrubbed']
+        assert not re.search(EMAIL_RE, s), (i, s)
+        assert not re.search(IPV4_RE, s.replace('<IP>', '')), (i, s)
+        assert not re.search(PHONE_RE, s), (i, s)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from mineru_html_spark.functions.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (21, 20), (21, 22)],
+        'a long, b long')
+    out = {r['doc_id']: r['cluster_id']
+           for r in connected_components(edges).collect()}
+    # chains merge transitively to the min member, regardless of edge order
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dup_clusters_transitive(spark, docs_df):
+    from mineru_html_spark.functions.dedup import near_dup_clusters
+    rows = {r['doc_id']: r for r in
+            near_dup_clusters(docs_df, threshold_permille=500,
+                              bands=32).collect()}
+    # docs 1,2 exact dups and 3 a near dup -> one cluster keyed by min id
+    assert rows[1]['cluster_id'] == 1
+    assert rows[2]['cluster_id'] == 1
+    assert rows[3]['cluster_id'] == 1
+    assert rows[1]['cluster_size'] == 3
+    assert 4 not in rows and 5 not in rows       # non-dups absent

@@ -20,7 +20,8 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens')
 
 NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'media_features', 'embedding_near_dups', 'ann_ivf_topk',
-         'accuracy_summary', 'heldout_accuracy', 'baseline_eval')
+         'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
+         'near_dup_clusters')
 
 
 def main():
