@@ -23,6 +23,7 @@ the reference running every baseline through one eval job
 
 from __future__ import annotations
 
+import re
 import traceback
 from typing import Dict, List
 
@@ -35,10 +36,48 @@ def _passthrough_labels(blocks) -> Dict[int, str]:
     return {b.item_id: MAIN for b in blocks}
 
 
-BASELINE_LABELERS = {
-    'passthrough': _passthrough_labels,
-    'degraded': _fallback_labels,
+# T10 — the reference's ReaderLM regex pre-cleaner, baseline-only there
+# (eval_baselines/baselines/imp.py:1162-1240): strip script/style/meta/
+# link/comments, neutralize svg bodies and base64 image payloads, then
+# read everything that survives. Patterns re-derived for the same
+# constructs (non-greedy body matches, attribute-safe tag heads).
+_RX_SCRIPT = re.compile(r'<\s*script\b.*?/\s*script\s*>',
+                        re.IGNORECASE | re.DOTALL)
+_RX_STYLE = re.compile(r'<\s*style\b.*?/\s*style\s*>',
+                       re.IGNORECASE | re.DOTALL)
+_RX_META = re.compile(r'<\s*meta\b[^>]*>', re.IGNORECASE)
+_RX_LINK = re.compile(r'<\s*link\b[^>]*>', re.IGNORECASE)
+_RX_COMMENT = re.compile(r'<!--.*?-->', re.DOTALL)
+_RX_SVG = re.compile(r'(<svg\b[^>]*>).*?(</svg\s*>)',
+                     re.IGNORECASE | re.DOTALL)
+_RX_B64IMG = re.compile(r'<img\b[^>]*src="data:image/[^"]*"[^>]*>',
+                        re.IGNORECASE)
+
+
+def regex_clean_html(html: str,
+                     svg_placeholder: str = 'svg placeholder') -> str:
+    """ReaderLM-style pre-clean (T10): same removal set as the reference's
+    clean_html with clean_svg/clean_base64 on."""
+    html = _RX_SCRIPT.sub('', html)
+    html = _RX_STYLE.sub('', html)
+    html = _RX_META.sub('', html)
+    html = _RX_COMMENT.sub('', html)
+    html = _RX_LINK.sub('', html)
+    html = _RX_SVG.sub(lambda m: m.group(1) + svg_placeholder + m.group(2),
+                       html)
+    html = _RX_B64IMG.sub('<img src="#">', html)
+    return html
+
+
+# name -> (html preprocessor | None, block labeler)
+BASELINES = {
+    'passthrough': (None, _passthrough_labels),
+    'degraded': (None, _fallback_labels),
+    'regex_cleaner': (regex_clean_html, _passthrough_labels),
 }
+
+# backwards-compatible view (labelers only)
+BASELINE_LABELERS = {k: v[1] for k, v in BASELINES.items()}
 
 
 def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
@@ -50,11 +89,14 @@ def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
     not shareable across labelers — evaluating k baselines is inherently
     k passes, which is fine for an eval-side code path.
     """
-    labeler = BASELINE_LABELERS[name]
+    pre, labeler = BASELINES[name]
     out = []
     for doc_id, spans in rows:
         try:
-            root, blocks, _pre = _segment_doc(spans_to_html(spans))
+            html = spans_to_html(spans)
+            if pre is not None:
+                html = pre(html)
+            root, blocks, _pre = _segment_doc(html)
             r = _finalize_doc(root, blocks, labeler(blocks), 'ok')
         except Exception:
             r = {'spans': [], 'status': 'error', 'n_items': 0, 'n_main': 0,

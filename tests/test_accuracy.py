@@ -105,10 +105,31 @@ def test_engine_dominates_baselines(spark):
     truth = synth_truth_df(spark, 300)
     rows = {r['extractor']: r for r in
             evaluate_extractors(spark, docs, truth).collect()}
-    assert set(rows) == {'engine', 'passthrough', 'degraded'}
-    eng, pt, dg = rows['engine'], rows['passthrough'], rows['degraded']
-    assert eng['mean_f1_micro'] > pt['mean_f1_micro']
-    assert eng['mean_f1_micro'] > dg['mean_f1_micro']
-    assert eng['n_equal'] > pt['n_equal']
-    assert eng['n_equal'] > dg['n_equal']
-    assert pt['mean_rec_micro'] >= 999999   # floor keeps everything
+    assert set(rows) == {'engine', 'passthrough', 'degraded',
+                         'regex_cleaner'}
+    eng = rows['engine']
+    for name in ('passthrough', 'degraded', 'regex_cleaner'):
+        assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
+        assert eng['n_equal'] > rows[name]['n_equal'], name
+    assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
+
+
+def test_regex_cleaner_baseline_semantics():
+    """T10 (ReaderLM pre-cleaner, reference imp.py:1162-1240): scripts,
+    styles, meta/link tags and comments vanish; svg bodies and base64
+    image payloads are neutralized; ordinary markup passes through."""
+    from mineru_html_spark.core.baselines import regex_clean_html
+    html = ('<head><meta charset="x"><link rel="a" href="b">'
+            '<script>var a = "<p>evil</p>";</script>'
+            '<STYLE>.x{}</STYLE></head>'
+            '<!-- note --><p>keep me</p>'
+            '<svg width="5"><circle r="1"/></svg>'
+            '<img src="data:image/png;base64,AAAA==" alt="x">'
+            '<img src="/real.png">')
+    out = regex_clean_html(html)
+    assert 'evil' not in out and '.x{}' not in out
+    assert 'meta' not in out and 'link' not in out and 'note' not in out
+    assert '<p>keep me</p>' in out
+    assert '<circle' not in out and 'svg placeholder' in out
+    assert 'base64' not in out and '<img src="#">' in out
+    assert '<img src="/real.png">' in out
