@@ -1,0 +1,87 @@
+"""Tolerant JSON extraction — the reference's response-parse cascade.
+
+Reference semantics (T5-T7, ``dripper/inference/logits.py:51-141``): an
+LLM reply is expected to contain one JSON object, possibly wrapped in
+prose or truncated mid-generation. Recovery is a cascade:
+
+  T5  take the first-'{' .. last-'}' window (no '{' at all is fatal;
+      a missing '}' keeps the tail);
+  T6  if the window does not parse, shrink it from the right one char at
+      a time, re-closing with '}' each step, until a prefix parses;
+  T7  the cascade: window -> direct parse -> shrinking repair -> error.
+
+Our engine has no LLM decoder — the scorer emits labels directly — but
+the cascade has two real consumers here: ``sources/jsonl.py``'s recovery
+mode (salvage truncated/garbage-wrapped corpus lines instead of only
+quarantining them) and ``parse_label_response`` (the exact reply shape
+the reference decodes, kept for parity testing of the parse path).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict
+
+
+class JsonRepairError(ValueError):
+    """Raised when no JSON object can be recovered from the text."""
+
+
+def extract_brace_window(text: str) -> str:
+    """T5: the first-'{' .. last-'}' substring; tail kept when unclosed."""
+    lo = text.find('{')
+    if lo == -1:
+        raise JsonRepairError('no opening brace in response')
+    hi = text.rfind('}')
+    return text[lo:] if hi == -1 else text[lo:hi + 1]
+
+
+def parse_shrinking(text: str, max_steps: int | None = None) -> dict:
+    """T6: try ever-shorter prefixes, each re-closed with '}'.
+
+    Handles truncated generations and trailing garbage. Worst case is
+    O(n^2); ``max_steps`` bounds it for untrusted multi-KB inputs (the
+    reference walks the full length — same behavior when None).
+    """
+    idx = len(text)
+    steps = max_steps if max_steps is not None else idx
+    while idx > 0 and steps > 0:
+        try:
+            got = json.loads(text[:idx] + '}')
+        except Exception:
+            idx -= 1
+            steps -= 1
+            continue
+        if isinstance(got, dict):
+            return got
+        idx -= 1
+        steps -= 1
+    raise JsonRepairError('no prefix parses as a JSON object')
+
+
+def parse_tolerant(text: str, max_steps: int | None = None) -> dict:
+    """T7: the full cascade. Returns a dict or raises JsonRepairError."""
+    window = extract_brace_window(text)
+    try:
+        got = json.loads(window)
+        if isinstance(got, dict):
+            return got
+    except Exception:
+        pass
+    return parse_shrinking(window, max_steps)
+
+
+def parse_label_response(text: str) -> Dict[int, str]:
+    """Decode a {item_id: 'main'|'other'} reply (the reference's LLM
+    response contract): keys coerced to int, values validated."""
+    raw = parse_tolerant(text)
+    out: Dict[int, str] = {}
+    for k, v in raw.items():
+        try:
+            key = int(k)
+        except (TypeError, ValueError):
+            raise JsonRepairError(f'non-integer item id {k!r}')
+        if v not in ('main', 'other'):
+            raise JsonRepairError(f'invalid label {v!r} for item {key}')
+        out[key] = v
+    return out

@@ -25,6 +25,48 @@ def read_bench_jsonl(spark: SparkSession, path: str) -> DataFrame:
             .json(path))
 
 
+_BENCH_FIELDS = ('track_id', 'html', 'convert_main_content', 'level',
+                 'url')
+
+
+def _recover_batch(it):
+    import pandas as pd
+
+    from ..core.jsonrepair import JsonRepairError, parse_tolerant
+    cols = list(_BENCH_FIELDS) + ['_corrupt_record']
+    for pdf in it:
+        rows = []
+        for line in pdf['_corrupt_record']:
+            row = dict.fromkeys(cols)
+            try:
+                d = parse_tolerant(str(line), max_steps=4096)
+                for f in _BENCH_FIELDS:
+                    v = d.get(f)
+                    row[f] = v if isinstance(v, str) or v is None else str(v)
+            except JsonRepairError:
+                row['_corrupt_record'] = line     # stays quarantined
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_bench_jsonl_recovered(spark: SparkSession, path: str) -> DataFrame:
+    """S1 + T5-T7: the corrupt-line quarantine upgraded to a recovery
+    stage. Lines the JSON scan rejects (truncated generations, prose-
+    wrapped objects, trailing garbage) go through the tolerant parse
+    cascade (core/jsonrepair.py, reference logits.py:51-141); rows that
+    recover join the clean scan with ``_corrupt_record`` null, rows that
+    don't keep their raw line (errors-as-rows, never silently dropped).
+    """
+    import pyspark.sql.functions as F
+    raw = read_bench_jsonl(spark, path).cache()   # corrupt-col query quirk
+    ok = raw.where(F.col('_corrupt_record').isNull())
+    bad = (raw.where(F.col('_corrupt_record').isNotNull())
+           .select('_corrupt_record'))
+    recovered = bad.mapInPandas(
+        _recover_batch, BENCH_SCHEMA + ', _corrupt_record string')
+    return ok.unionByName(recovered)
+
+
 def bench_to_docs(bench: DataFrame) -> DataFrame:
     """Adapt benchmark rows to the engine's docs shape: the whole page html
     becomes a single text span (native SQL, no UDF)."""

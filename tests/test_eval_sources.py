@@ -112,3 +112,61 @@ def test_public_api_imports():
     import mineru_html_spark as m
     for name in m.__all__:
         assert hasattr(m, name), name
+
+
+def test_json_repair_cascade_reference_parity():
+    """T5-T7 semantics (reference logits.py:51-141): brace-window
+    extraction, truncated-generation repair, label-contract validation."""
+    import pytest
+    from mineru_html_spark.core.jsonrepair import (JsonRepairError,
+                                                   extract_brace_window,
+                                                   parse_label_response,
+                                                   parse_tolerant)
+    # T5: window
+    assert extract_brace_window('x {"a": 1} y') == '{"a": 1}'
+    assert extract_brace_window('{"a": 1') == '{"a": 1'     # unclosed: tail
+    with pytest.raises(JsonRepairError):
+        extract_brace_window('no braces at all')
+    # T7 direct
+    assert parse_tolerant('reply: {"1": "main", "2": "other"} thanks') == \
+        {'1': 'main', '2': 'other'}
+    # T6: truncated mid-generation -> longest parseable prefix survives
+    got = parse_tolerant('{"1": "main", "2": "oth')
+    assert got == {'1': 'main'}
+    # trailing garbage inside the window
+    assert parse_tolerant('{"a": 2} trailing {junk') == {'a': 2}
+    with pytest.raises(JsonRepairError):
+        parse_tolerant('[1, 2, 3]')          # array is not the contract
+    # label contract
+    assert parse_label_response('{"1": "main", "2": "other"}') == \
+        {1: 'main', 2: 'other'}
+    with pytest.raises(JsonRepairError):
+        parse_label_response('{"x": "main"}')
+    with pytest.raises(JsonRepairError):
+        parse_label_response('{"1": "MAIN"}')
+
+
+def test_jsonl_recovery_salvages_corrupt_lines(spark, tmp_path):
+    """Recovery mode: truncated and prose-wrapped lines come back as rows;
+    hopeless lines stay quarantined with their raw content."""
+    import json
+    from mineru_html_spark.sources.jsonl import read_bench_jsonl_recovered
+    p = tmp_path / 'bench.jsonl'
+    good = {'track_id': 't1', 'html': '<p>a</p>',
+            'convert_main_content': 'a', 'level': 'easy', 'url': 'u1'}
+    lines = [
+        json.dumps(good),
+        'LOG garbage before {"track_id": "t2", "html": "<p>b</p>"} after',
+        '{"track_id": "t3", "html": "<p>c</p>", "level": "tru',
+        'completely hopeless, no json here',
+    ]
+    p.write_text('\n'.join(lines) + '\n')
+    out = read_bench_jsonl_recovered(spark, str(p)).collect()
+    by_id = {r['track_id']: r for r in out if r['track_id'] is not None}
+    assert by_id['t1']['level'] == 'easy'
+    assert by_id['t2']['html'] == '<p>b</p>'            # prose-wrapped
+    assert by_id['t3']['html'] == '<p>c</p>'            # truncated
+    assert by_id['t3']['level'] is None                 # lost field stays null
+    quarantined = [r for r in out if r['track_id'] is None]
+    assert len(quarantined) == 1
+    assert 'hopeless' in quarantined[0]['_corrupt_record']
