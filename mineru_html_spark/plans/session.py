@@ -41,3 +41,66 @@ def get_spark(master: str | None = None,
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel('ERROR')
     return spark
+
+
+class EnvGuardError(RuntimeError):
+    """Raised when the executor runtime cannot run the engine."""
+
+
+def preflight_check(spark: SparkSession, strict: bool = True) -> dict:
+    """Environment guard before heavy work — the reference checks its
+    runtime env before loading the model (I4, dripper/server.py); the
+    Spark-deployment analog validates every executor's Python runtime
+    against the driver BEFORE a multi-hour job schedules:
+
+      * python (major, minor) parity driver vs executors — the classic
+        spark-submit failure that otherwise surfaces as a mid-job
+        pickle/Arrow error on the first UDF stage;
+      * pandas/numpy importable worker-side (Arrow stages need them);
+      * recursion headroom raisable (deep-page tree walks).
+
+    One tiny job over defaultParallelism rows; returns the per-executor
+    report, raises EnvGuardError on mismatch when strict.
+    """
+    import sys as _sys
+
+    def probe(it):
+        import sys
+
+        import pandas as pd
+        for pdf in it:
+            import numpy
+            from mineru_html_spark.core.extract import (
+                _ensure_recursion_headroom)
+            _ensure_recursion_headroom()
+            yield pd.DataFrame({
+                'py': [f'{sys.version_info[0]}.{sys.version_info[1]}'],
+                'pandas_ok': [pd.__version__ != ''],
+                'numpy_ok': [numpy.__version__ != ''],
+                'recursion_limit': [sys.getrecursionlimit()],
+            })
+
+    n = max(2, spark.sparkContext.defaultParallelism)
+    rows = (spark.range(0, n, 1, n)
+            .mapInPandas(probe, 'py string, pandas_ok boolean, '
+                                'numpy_ok boolean, recursion_limit long')
+            .collect())
+    driver_py = f'{_sys.version_info[0]}.{_sys.version_info[1]}'
+    report = {
+        'driver_py': driver_py,
+        'executor_py': sorted({r['py'] for r in rows}),
+        'min_recursion_limit': min(r['recursion_limit'] for r in rows),
+        'n_probes': len(rows),
+    }
+    problems = []
+    if set(report['executor_py']) != {driver_py}:
+        problems.append(f"python mismatch: driver {driver_py}, "
+                        f"executors {report['executor_py']}")
+    if not all(r['pandas_ok'] and r['numpy_ok'] for r in rows):
+        problems.append('pandas/numpy missing on some executor')
+    if report['min_recursion_limit'] < 20000:
+        problems.append('recursion headroom not raisable worker-side')
+    report['problems'] = problems
+    if strict and problems:
+        raise EnvGuardError('; '.join(problems))
+    return report

@@ -38,6 +38,8 @@ def parse_args(argv):
     p.add_argument('--catalog', default=None,
                    help='Iceberg catalog name (parquet fallback if absent)')
     p.add_argument('--master', default=None)
+    p.add_argument('--skip-preflight', action='store_true',
+                   help='skip the executor-environment guard')
     return p.parse_args(argv)
 
 
@@ -45,10 +47,13 @@ def main(argv=None):
     args = parse_args(argv or sys.argv[1:])
     # late imports so --help works without a JVM
     from mineru_html_spark.plans.job import run_job
-    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.plans.session import get_spark, preflight_check
     from mineru_html_spark.sources.synthsource import read_docs, synth_docs_df
 
     spark = get_spark(args.master, app_name='mineru-extract')
+    if not args.skip_preflight:
+        # fail in seconds, not hours: executor runtime parity (I4 analog)
+        preflight_check(spark, strict=True)
     if args.synth:
         docs = synth_docs_df(spark, args.synth)
     else:

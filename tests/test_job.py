@@ -170,3 +170,15 @@ def test_part_id_deterministic(spark):
          for r in with_part_id(docs, 16).select('doc_id', 'part_id').collect()}
     assert a == b
     assert all(0 <= p < 16 for p in a.values())
+
+
+def test_preflight_env_guard(spark):
+    """I4 analog: the executor-environment guard validates python parity,
+    Arrow deps and recursion headroom on every executor in one tiny job,
+    so a broken deployment fails in seconds instead of mid-run."""
+    from mineru_html_spark.plans.session import preflight_check
+    report = preflight_check(spark, strict=True)
+    assert report['problems'] == []
+    assert report['executor_py'] == [report['driver_py']]
+    assert report['min_recursion_limit'] >= 20000
+    assert report['n_probes'] >= 2
