@@ -562,3 +562,48 @@ def estimate_budget_chars(blocks: List[Block]) -> int:
     truncated text (A4 budget, 200) plus per-block markup overhead."""
     return sum(min(b.text_len, 200) + BLOCK_MARKUP_OVERHEAD
                for b in blocks)
+
+
+# ---------------------------------------------------------------------------
+# F8 — inline-tag unwrap (reference remove_inline_tags,
+# process/simplify_html.py:520-585). The reference ships this DISABLED:
+# its only call site is commented out (simplify_html.py:796), so the
+# active pipeline never runs it. We mirror that state exactly — the
+# operator is implemented and tested but not wired into
+# simplify_document. Our DOM stores text as run children (no text/tail
+# split), so the splice is a plain child-list replacement and text order
+# is preserved for free.
+# ---------------------------------------------------------------------------
+
+INLINE_UNWRAP_TAGS = frozenset({
+    'map', 'optgroup', 'span', 'br', 'input', 'time', 'u', 'strong',
+    'textarea', 'small', 'sub', 'samp', 'blink', 'b', 'code', 'nobr',
+    'strike', 'bdo', 'basefont', 'abbr', 'var', 'i', 'select', 's', 'pic',
+    'label', 'mark', 'object', 'dd', 'dt', 'svg', 'li', 'button', 'a',
+    'font', 'dfn', 'sup', 'kbd', 'q', 'script', 'acronym', 'option',
+    'img', 'big', 'cite', 'em',
+})
+
+# preserved even though they appear in the inline set (same as reference
+# EXCLUDED_TAGS)
+INLINE_UNWRAP_KEEP = frozenset({'img', 'br', 'li', 'dt', 'dd', 'td', 'th'})
+
+
+def unwrap_inline_tags(node: Node) -> None:
+    """Splice inline wrappers out of the tree, keeping their text and
+    children in place; an element whose subtree contains a preserved tag
+    (img/br/li/dt/dd/td/th) is left alone. Depth-first, so nested inline
+    wrappers collapse fully."""
+    for child in list(node.element_children()):
+        unwrap_inline_tags(child)
+    tag = node.tag
+    if (tag in INLINE_UNWRAP_TAGS and tag not in INLINE_UNWRAP_KEEP
+            and node.parent is not None):
+        for d in node.iter_descendants():
+            if d.tag in INLINE_UNWRAP_KEEP:
+                return
+        parent = node.parent
+        idx = parent.index_of(node)
+        parent.remove_child(node)
+        for c in reversed(node.children):
+            parent.insert(idx, c)

@@ -185,3 +185,31 @@ def test_fast_path_same_items_as_full():
         _, fast, _ = simplify_document(h, build_simplified=False)
         assert [(b.item_id, b.tag, b.content_type, b.text) for b in full] \
             == [(b.item_id, b.tag, b.content_type, b.text) for b in fast]
+
+
+def test_unwrap_inline_tags_reference_parity():
+    """F8 (reference remove_inline_tags, simplify_html.py:520-585 — dead
+    code there, shipped-disabled here): inline wrappers splice out with
+    text order preserved; subtrees holding img/br stay intact."""
+    from mineru_html_spark.core.dom import parse_html, serialize
+    from mineru_html_spark.core.simplify import unwrap_inline_tags
+
+    root = parse_html('<body><p>a <b>bold <i>deep</i></b> tail</p></body>')
+    unwrap_inline_tags(root)
+    out = serialize(root)
+    assert '<b>' not in out and '<i>' not in out
+    assert 'a bold deep tail' in ' '.join(out.split())
+    assert '<p>' in out                       # block wrapper untouched
+
+    # a span holding an <img> is preserved wholesale
+    root2 = parse_html('<body><p><span>x <img src="/i.png"> y</span></p></body>')
+    unwrap_inline_tags(root2)
+    out2 = serialize(root2)
+    assert '<span>' in out2 and '<img' in out2
+
+    # nested inline wrappers collapse fully; anchors unwrap too
+    root3 = parse_html('<body><p><em><a href="/x"><strong>t</strong></a></em></p></body>')
+    unwrap_inline_tags(root3)
+    out3 = serialize(root3)
+    assert all(t not in out3 for t in ('<em>', '<a', '<strong>'))
+    assert '>t<' in out3 or 't' in out3
