@@ -11,6 +11,7 @@ order.
 from __future__ import annotations
 
 import re
+from html import escape as _html_escape
 from typing import Dict, List
 
 from .dom import Node
@@ -30,7 +31,6 @@ def spans_to_html(spans: List[dict]) -> str:
     embedded images (the reference treats img-with-src as meaningful content,
     simplify_html.py:462-464).
     """
-    import html as _html
     ordered = sorted(spans, key=lambda s: s['offset'])
     parts: List[str] = []
     for s in ordered:
@@ -38,7 +38,7 @@ def spans_to_html(spans: List[dict]) -> str:
             # escape: a quote/'>' in media_ref must not break the
             # reassembled attribute (parser unescapes on the way back,
             # so the span round-trips byte-identical)
-            parts.append(f'<img src="{_html.escape(s["media_ref"], quote=True)}">')
+            parts.append(f'<img src="{_html_escape(s["media_ref"], quote=True)}">')
         else:
             parts.append(s['text'] or '')
     return ''.join(parts)
