@@ -213,3 +213,26 @@ def test_unwrap_inline_tags_reference_parity():
     out3 = serialize(root3)
     assert all(t not in out3 for t in ('<em>', '<a', '<strong>'))
     assert '>t<' in out3 or 't' in out3
+
+
+def test_fused_key_and_features_matches_separate_walks():
+    """_key_and_features must be byte- and value-identical to running
+    _struct_key and _gather_features separately, across the synthetic
+    corpus's segmented blocks."""
+    from mineru_html_spark.core.simplify import (_gather_features,
+                                                 _key_and_features,
+                                                 _struct_key,
+                                                 simplify_document)
+    from mineru_html_spark.core.spancodec import spans_to_html
+    from mineru_html_spark.core.synth import gen_doc
+    checked = 0
+    for i in range(40):
+        d = gen_doc(i)
+        _, blocks, _ = simplify_document(spans_to_html(d['spans']),
+                                         build_simplified=False)
+        for b in blocks[:50]:
+            key, text, link, imgs = _key_and_features(b.node)
+            assert key == _struct_key(b.node)
+            assert (text, link, imgs) == _gather_features(b.node)
+            checked += 1
+    assert checked > 500
