@@ -278,7 +278,7 @@ def truncate_text(node: Node, max_length: int = 200) -> None:
 # block segmentation (C1) + item marking (C2)
 # --------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate block ("item" in reference terms)."""
     item_id: int
@@ -537,7 +537,10 @@ def _key_and_features(node: Node) -> Tuple[bytes, str, int, int]:
             parts.append(b'T%d:' % len(b))
             parts.append(b)
             if in_a:
-                link_chars += len(' '.join(it.split()))
+                # len of the single-space-joined split, without building it
+                ws = it.split()
+                if ws:
+                    link_chars += sum(map(len, ws)) + len(ws) - 1
             text_parts.append(it)
             continue
         tb = it.tag.encode()
