@@ -53,6 +53,9 @@ _IMPLICIT_CLOSE = {
 # Elements that bound implicit closing (never close past one of these).
 _SCOPE_BOUNDS = frozenset({'html', 'body', 'table', 'template'})
 
+# every tag that can trigger ANY implicit close — the start-tag fast path
+_IMPLICIT_TRIGGERS = frozenset(_IMPLICIT_CLOSE) | _P_CLOSERS
+
 _WS_RE = re.compile(r'\s+')
 
 
@@ -215,13 +218,16 @@ class _TreeBuilder(HTMLParser):
                     break
 
     def handle_starttag(self, tag, attrs):
-        self._implicit_close(tag)
+        # fast path: most tags trigger no implicit closes — one membership
+        # test instead of a call + two lookups per start tag
+        if tag in _IMPLICIT_TRIGGERS:
+            self._implicit_close(tag)
         attrs_d = {}
         for k, v in attrs:
             if k not in attrs_d:  # first occurrence wins
                 attrs_d[k] = v if v is not None else ''
         node = Node(tag, attrs_d)
-        self._top().append(node)
+        self.stack[-1].append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
