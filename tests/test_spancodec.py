@@ -62,3 +62,55 @@ def test_roundtrip_synth_docs():
         for s in d['spans']:
             if s['kind'] == 'image':
                 assert f'src="{s["media_ref"]}"' in html
+
+
+def test_media_ref_escaping_roundtrips_hostile_refs():
+    """A media_ref containing quotes, angle brackets, ampersands or
+    entity-lookalikes must survive spans_to_html -> parse -> img src
+    byte-identically (the escape added in round 2)."""
+    from mineru_html_spark.core.dom import parse_html
+    from mineru_html_spark.core.spancodec import spans_to_html
+
+    hostile = [
+        'media://a/"onload="x',
+        "media://b/'><script>alert(1)</script>",
+        'media://c/a&b&amp;c',
+        'media://d/<img src=x>',
+        'media://e/with spaces and \t tab',
+        'media://f/&lt;already-escaped&gt;',
+    ]
+    for ref in hostile:
+        spans = [
+            {'kind': 'text', 'text': '<p>before</p>', 'media_ref': '',
+             'offset': 0},
+            {'kind': 'image', 'text': '', 'media_ref': ref, 'offset': 1},
+            {'kind': 'text', 'text': '<p>after</p>', 'media_ref': '',
+             'offset': 2},
+        ]
+        root = parse_html(spans_to_html(spans))
+        imgs = root.find_all('img')
+        assert len(imgs) == 1, ref
+        assert imgs[0].get('src') == ref
+        # and the surrounding structure is intact
+        assert len(root.find_all('p')) == 2, ref
+
+
+def test_media_ref_escaping_roundtrips_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mineru_html_spark.core.dom import parse_html
+    from mineru_html_spark.core.spancodec import spans_to_html
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(min_size=1, max_size=60).filter(
+        lambda s: s.strip() and not s.isspace()))
+    def roundtrip(ref):
+        spans = [{'kind': 'image', 'text': '', 'media_ref': ref,
+                  'offset': 0}]
+        root = parse_html(spans_to_html(spans))
+        imgs = root.find_all('img')
+        assert len(imgs) == 1
+        assert imgs[0].get('src') == ref
+
+    roundtrip()
