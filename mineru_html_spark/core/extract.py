@@ -23,7 +23,7 @@ from __future__ import annotations
 import sys
 import traceback
 from time import perf_counter_ns
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from .dom import Node, get_body
 from .score import MAIN, THRESHOLD, score_blocks

@@ -38,7 +38,7 @@ from __future__ import annotations
 import random
 from typing import Dict, List, Tuple
 
-from .synth import (_WORDS, _footer_html, _link_list, _nav_html, _norm,
+from .synth import (_footer_html, _link_list, _nav_html, _norm,
                     _para, _related_html, _sentence)
 
 HELDOUT_SEED = 20260816  # fixed, distinct from synth's default seed

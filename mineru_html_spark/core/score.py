@@ -20,7 +20,7 @@ arrays (numpy) so the Spark path can run it over exploded block batches, and
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
