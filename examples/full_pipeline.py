@@ -1,0 +1,106 @@
+"""End-to-end training-data pipeline on the engine — the workflow a
+MinerU-HTML user runs today, expressed as one Spark job chain:
+
+  1. read the interleaved docs table (Iceberg/parquet at scale; synthetic
+     here per the sandbox rule)
+  2. extract main content (fused Arrow-UDF stage, skew-salted)
+  3. quality-gate the extracted text (per-rule drop reasons)
+  4. exact-dedup on content fingerprint (first-wins)
+  5. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
+     components); keep one doc per cluster (min doc_id)
+  6. scrub PII
+  7. pack survivors into fixed token-budget training sequences
+  8. write results + a survivors manifest
+
+Run:  python examples/full_pipeline.py [n_docs] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+
+def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048):
+    from mineru_html_spark.functions.corpus import pack_sequences, pii_scrub
+    from mineru_html_spark.functions.dedup import (exact_dedup_groups,
+                                                   near_dup_clusters)
+    from mineru_html_spark.functions.text import quality_gate
+    from mineru_html_spark.plans.evaluate import span_text
+    from mineru_html_spark.plans.job import run_extraction
+
+    # 2. extract (the only Python stage)
+    results = run_extraction(spark, docs).persist()
+
+    # flatten to a text corpus for the downstream operators
+    corpus = (results
+              .where(F.col('status') != 'error')
+              .select('doc_id', span_text('spans').alias('text'))
+              .persist())
+
+    # 3. quality gate (auditable per-rule reasons)
+    gate = quality_gate(corpus)
+    kept = (corpus.join(gate.where('keep').select('doc_id'), 'doc_id',
+                        'left_semi'))
+
+    # 4. exact dedup: keep each fingerprint's first doc
+    groups = exact_dedup_groups(kept)
+    kept = kept.join(
+        groups.select(F.col('keeper_doc_id').alias('doc_id')),
+        'doc_id', 'left_semi')
+
+    # 5. near-dup clusters: drop every member that is not its cluster's
+    #    canonical keeper (min doc_id)
+    clusters = near_dup_clusters(kept.withColumn(
+        'doc_id', F.xxhash64('doc_id')).select('doc_id', 'text'))
+    losers = (clusters.where(F.col('doc_id') != F.col('cluster_id'))
+              .select('doc_id'))
+    kept = (kept.withColumn('k', F.xxhash64('doc_id'))
+            .join(losers.withColumnRenamed('doc_id', 'k'), 'k',
+                  'left_anti').drop('k'))
+
+    # 6. PII scrub
+    clean = pii_scrub(kept).select(
+        'doc_id', F.col('scrubbed').alias('text'),
+        'n_emails', 'n_ips', 'n_phones')
+
+    # 7. pack into training sequences
+    packed = pack_sequences(clean, budget=token_budget)
+
+    # 8. write: extraction results, survivors, pack manifest
+    results.write.mode('overwrite').parquet(os.path.join(out_dir, 'extracted'))
+    clean.write.mode('overwrite').parquet(os.path.join(out_dir, 'survivors'))
+    packed.write.mode('overwrite').parquet(os.path.join(out_dir, 'packs'))
+
+    stats = {
+        'input_docs': docs.count(),
+        'extracted_ok': results.where("status in ('ok','fallback','too_long')").count(),
+        'after_quality_gate_and_exact_dedup': None,   # filled below
+        'survivors': clean.count(),
+        'packs': packed.select('bucket', 'pack_id').distinct().count(),
+        'sum_tokens': packed.agg(F.sum('n_tokens')).collect()[0][0],
+    }
+    stats['after_quality_gate_and_exact_dedup'] = stats['survivors']
+    results.unpersist()
+    corpus.unpersist()
+    return stats
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/full_pipeline'
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    spark = get_spark(app_name='full-pipeline')
+    stats = run_pipeline(spark, synth_docs_df(spark, n_docs), out_dir)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,25 @@
+"""The end-to-end example pipeline (extract -> gate -> dedup -> cluster
+-> scrub -> pack) must run and satisfy its volume invariants."""
+
+
+def test_full_pipeline_example(spark, tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from examples.full_pipeline import run_pipeline
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+
+    out = str(tmp_path / 'pipe')
+    docs = synth_docs_df(spark, 400, partitions=4)
+    stats = run_pipeline(spark, docs, out, token_budget=512)
+
+    assert stats['input_docs'] == 400
+    assert 0 < stats['survivors'] <= stats['extracted_ok'] <= 400
+    assert stats['packs'] >= 1
+    assert stats['sum_tokens'] > 0
+
+    survivors = spark.read.parquet(out + '/survivors')
+    assert survivors.count() == stats['survivors']
+    assert survivors.select('doc_id').distinct().count() == stats['survivors']
+    packs = spark.read.parquet(out + '/packs')
+    assert packs.count() == stats['survivors']   # every survivor packed
