@@ -350,6 +350,21 @@ def q_heldout_accuracy(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_approx_distinct_users(spark, sf_dir):
+    """Daily distinct users via HLL++ (approx_count_distinct, rsd=0.02).
+    At 10^12 events an exact distinct is a full shuffle of the key space;
+    the sketch partial-aggregates map-side and merges tiny state. Gate:
+    committed-output oracle (HLL++ is deterministic for fixed input);
+    tests assert <=5%% error vs exact."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.expr('unix_timestamp(ts) div 86400')
+                       .alias('day_epoch'))
+            .agg(F.approx_count_distinct('user_id', 0.02)
+                  .alias('approx_users'),
+                 F.count('*').alias('n_events'))
+            )
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Cross-document boilerplate n-gram detection (C4/Dolma primitive):
     word-3-grams appearing in >= 3 distinct documents."""
@@ -482,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'heldout_accuracy': q_heldout_accuracy,
         'baseline_eval': q_baseline_eval,
         'near_dup_clusters': q_near_dup_clusters,
+        'approx_distinct_users': q_approx_distinct_users,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -529,7 +545,8 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features',
                      'embedding_near_dups', 'ann_ivf_topk',
                      'accuracy_summary', 'heldout_accuracy',
-                     'baseline_eval', 'near_dup_clusters')
+                     'baseline_eval', 'near_dup_clusters',
+                     'approx_distinct_users')
     }
     oracles.update({
         "token_count_bpe": f"""

@@ -388,3 +388,22 @@ def test_near_dup_clusters_transitive(spark, docs_df):
     assert rows[3]['cluster_id'] == 1
     assert rows[1]['cluster_size'] == 3
     assert 4 not in rows and 5 not in rows       # non-dups absent
+
+
+def test_approx_distinct_within_relative_error(spark):
+    """HLL++ daily distinct users (rsd=0.02) must land within 5% of the
+    exact count on the real events table — the accuracy contract that
+    justifies replacing the exact-distinct shuffle at scale."""
+    import __spark_entry__ as entry
+    approx = {r['day_epoch']: r['approx_users'] for r in
+              entry.q_approx_distinct_users(
+                  spark, '/root/testdata/sf0.01').collect()}
+    ev = spark.read.parquet('/root/testdata/sf0.01/events.parquet')
+    exact = {r['day_epoch']: r['exact'] for r in
+             ev.selectExpr('unix_timestamp(ts) div 86400 as day_epoch',
+                           'user_id')
+               .groupBy('day_epoch')
+               .agg(F.countDistinct('user_id').alias('exact')).collect()}
+    assert set(approx) == set(exact) and len(exact) >= 10
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) <= max(2, 0.05 * ex), (day, approx[day], ex)

@@ -1,0 +1,75 @@
+"""Real kill -9 resume demonstration (north rule: resumable from
+partition-level checkpoints on failure).
+
+Launches the actual spark-submit entry (submit_job.py) as a subprocess,
+SIGKILLs it mid-run (while waves are committing), then reruns it to
+completion and verifies: no document lost, no document duplicated, and
+the second run skipped the partitions the first one committed.
+
+Usage: python tools/kill_resume_demo.py [n_docs] [out_dir]
+"""
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/kill_resume_demo'
+    shutil.rmtree(out, ignore_errors=True)
+
+    cmd = [sys.executable, os.path.join(REPO, 'submit_job.py'),
+           '--synth', str(n_docs), '--output', out,
+           '--n-parts', '64', '--n-waves', '8', '--run-id', 'victim']
+    env = dict(os.environ, SPARK_GRAFT_CPUS='8')
+
+    proc = subprocess.Popen(cmd, cwd=REPO, env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    # wait until at least one wave has durably committed, then murder it
+    lineage = os.path.join(out, '_lineage')
+    t0 = time.time()
+    while time.time() - t0 < 300:
+        if os.path.isdir(lineage) and any(
+                f.endswith('.parquet') for f in os.listdir(lineage)):
+            break
+        if proc.poll() is not None:
+            print(json.dumps({'error': 'job finished before kill',
+                              'rc': proc.returncode}))
+            return 1
+        time.sleep(0.5)
+    time.sleep(2.0)                    # let another wave get in flight
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    print(f'killed pid {proc.pid} mid-run (SIGKILL)', file=sys.stderr)
+
+    # rerun to completion
+    r = subprocess.run(cmd[:-2] + ['--run-id', 'survivor'], cwd=REPO,
+                       env=env, capture_output=True, text=True)
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # verify with a fresh session
+    from mineru_html_spark.plans.session import get_spark
+    spark = get_spark('local[8]', app_name='kill-verify',
+                      shuffle_partitions=8)
+    res = spark.read.parquet(os.path.join(out, 'results'))
+    total, distinct = res.count(), res.select('doc_id').distinct().count()
+    spark.stop()
+
+    ok = (total == n_docs and distinct == n_docs
+          and info['skipped_parts'] > 0)
+    print(json.dumps({'n_docs': n_docs, 'rows': total, 'distinct': distinct,
+                      'resume_info': info, 'ok': ok}))
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
