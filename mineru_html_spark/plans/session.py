@@ -37,6 +37,7 @@ def get_spark(master: str | None = None,
         .config('spark.driver.memory',
                 os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.ui.enabled', 'false')
+        .config('spark.ui.showConsoleProgress', 'false')
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel('ERROR')
