@@ -350,6 +350,24 @@ def q_heldout_accuracy(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode canonicalization, cross-checked against an INDEPENDENT
+    NFC implementation (engine: Python unicodedata; oracle: DuckDB ICU).
+    The corpus is ASCII, so every 7th doc gets planted combining
+    sequences, a circled digit, a BEL control and a tab — all must
+    normalize identically on both engines (md5 over the result)."""
+    junk = ' café ① \x07x\tend'
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(F.col('doc_id') % 7 == 0,
+               F.concat(F.col('text'), F.lit(junk)))
+         .otherwise(F.col('text')).alias('text'))
+    out = tx.normalize_text(docs)
+    return out.select('doc_id',
+                      F.md5('norm_text').alias('norm_md5'),
+                      F.length('norm_text').alias('n_chars_norm'))
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """Daily distinct users via HLL++ (approx_count_distinct, rsd=0.02).
     At 10^12 events an exact distinct is a full shuffle of the key space;
@@ -498,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'baseline_eval': q_baseline_eval,
         'near_dup_clusters': q_near_dup_clusters,
         'approx_distinct_users': q_approx_distinct_users,
+        'normalize_text': q_normalize_text,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -728,6 +747,26 @@ def oracle_sql() -> dict[str, str]:
                        AS session_start_epoch,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        'normalize_text': """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' cafe' || chr(769) || ' '
+                               || chr(9312) || ' ' || chr(7) || 'x'
+                               || chr(9) || 'end'
+                          ELSE text END AS text
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
+                       '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+              FROM d)
+            SELECT doc_id, md5(norm_text) AS norm_md5,
+                   length(norm_text) AS n_chars_norm
+            FROM n
         """,
         'dup_ngrams': f"""
             WITH w AS (

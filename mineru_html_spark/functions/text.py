@@ -154,6 +154,41 @@ def ngram_profile(documents: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+# C0/C1 controls except \t \n \r (which the whitespace collapse handles)
+CONTROL_PATTERN = r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]'
+
+
+def normalize_text(documents: DataFrame,
+                   text_col: str = 'text') -> DataFrame:
+    """Unicode canonicalization: NFC + control-char strip + whitespace
+    collapse — the normalization every corpus pipeline applies before
+    hashing, dedup or tokenization (mojibake-adjacent combining
+    sequences otherwise defeat exact dedup).
+
+    NFC runs via Python unicodedata inside an Arrow batch (Spark has no
+    native NFC); the DuckDB oracle uses an INDEPENDENT implementation
+    (ICU ``nfc_normalize``), so the driver gate cross-checks two NFC
+    engines against each other.
+    """
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+
+    ctrl = _re.compile(CONTROL_PATTERN)
+    ws = _re.compile(r'\s+')
+
+    def batch(it):
+        for pdf in it:
+            t = pdf[text_col].map(
+                lambda s: unicodedata.normalize('NFC', str(s)))
+            t = t.map(lambda s: ws.sub(' ', ctrl.sub('', s)).strip())
+            yield pd.DataFrame({'doc_id': pdf['doc_id'], 'norm_text': t})
+
+    return documents.select('doc_id', text_col).mapInPandas(
+        batch, 'doc_id long, norm_text string')
+
+
 def doc_stats_by_source(documents: DataFrame) -> DataFrame:
     """Grouped corpus statistics (analog of the reference's per-level
     metric reduction, eval_baselines/base.py:262-272)."""

@@ -407,3 +407,26 @@ def test_approx_distinct_within_relative_error(spark):
     assert set(approx) == set(exact) and len(exact) >= 10
     for day, ex in exact.items():
         assert abs(approx[day] - ex) <= max(2, 0.05 * ex), (day, approx[day], ex)
+
+
+def test_normalize_text_unicode_semantics(spark):
+    from mineru_html_spark.functions.text import normalize_text
+    import unicodedata
+    rows = [
+        (1, 'café and café'),          # combining == precomposed
+        (2, 'ctrl\x07here\x00and\x1fthere'),      # controls stripped
+        (3, '  spaced\t\tout\n\nlines  '),        # ws collapse + trim
+        (4, 'plain ascii unchanged'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r['norm_text'] for r in normalize_text(df).collect()}
+    assert got[1] == 'café and café'     # both sides composed
+    assert got[2] == 'ctrlhereandthere'
+    assert got[3] == 'spaced out lines'
+    assert got[4] == 'plain ascii unchanged'
+    # idempotent: normalizing the output changes nothing
+    again = normalize_text(spark.createDataFrame(
+        [(k, v) for k, v in got.items()], 'doc_id long, text string'))
+    assert {r['doc_id']: r['norm_text'] for r in again.collect()} == got
+    # NFC really applied (not just pass-through)
+    assert unicodedata.is_normalized('NFC', got[1])
