@@ -42,7 +42,20 @@ from .synth import (_footer_html, _link_list, _nav_html, _norm,
                     _para, _related_html, _sentence)
 
 HELDOUT_SEED = 20260816  # fixed, distinct from synth's default seed
-HELDOUT_VERSION = 1      # bump when template content changes (cache key)
+HELDOUT_VERSION = 2      # bump when template content changes (cache key)
+
+_UNICODE_WORDS = (
+    'häufig zitiertes prinzip größerer datenverarbeitung übergreifend '
+    'café coûte marché déjà naïve façon élève '
+    'обработка данных важна обучения моделей система '
+    'δεδομένα επεξεργασία σύστημα μοντέλο').split()
+
+_CJK_SENTENCES = (
+    '数据处理的一个常见原则是先清洗后训练。',
+    '大规模语料需要去重与质量过滤。',
+    '分布式系统按分区并行处理文档。',
+    '网页正文抽取要去除导航与页脚。',
+)
 
 
 def _wrap_deep(inner: str, rng: random.Random, depth: int = 12) -> str:
@@ -236,6 +249,38 @@ def _linkmain_pieces(rng: random.Random, doc_idx: int) -> List[Piece]:
     return pieces
 
 
+def _unicode_content_pieces(rng: random.Random,
+                            doc_idx: int) -> List[Piece]:
+    """Non-ASCII robustness: accented/Cyrillic/Greek prose, CJK sentences
+    (no word boundaries), and non-breaking spaces — multibyte parsing,
+    codec round-trip and whitespace normalization must all hold exactly."""
+    pieces: List[Piece] = [('text', '<html><body>', []),
+                           ('text', _nav_html(rng), []),
+                           ('text', '<article>', [])]
+    # CJK sentences sampled WITHOUT replacement: a repeated paragraph is
+    # first-wins-deduped by the engine (D1, reference semantics), so the
+    # corpus never repeats content — same policy as the main generator
+    cjk_pool = list(_CJK_SENTENCES)
+    rng.shuffle(cjk_pool)
+    for _ in range(rng.randint(3, 6)):
+        words = [rng.choice(_UNICODE_WORDS)
+                 for _ in range(rng.randint(8, 16))]
+        # weld one pair with a non-breaking space (engine collapses it
+        # to a regular space; truth built the same way)
+        if len(words) > 3:
+            i = rng.randint(0, len(words) - 2)
+            words[i] = words[i] + ' ' + words.pop(i + 1)
+        para = ' '.join(words).capitalize() + '.'
+        pieces.append(('text', f'<p>{para}</p>', [_norm(para)]))
+        if cjk_pool and rng.random() < 0.5:
+            cjk = cjk_pool.pop()
+            pieces.append(('text', f'<p>{cjk}</p>', [_norm(cjk)]))
+    pieces.append(('text', '</article>', []))
+    pieces.append(('text', _footer_html(rng), []))
+    pieces.append(('text', '</body></html>', []))
+    return pieces
+
+
 _TEMPLATES = (
     ('chrome_shuffle', _chrome_shuffle_pieces, True),
     ('nested_boilerplate', _nested_boilerplate_pieces, True),
@@ -245,6 +290,7 @@ _TEMPLATES = (
     ('figstorm', _figstorm_pieces, True),
     ('shortmain', _shortmain_pieces, True),
     ('linkmain', _linkmain_pieces, True),
+    ('unicode_content', _unicode_content_pieces, True),
     ('hostile', _hostile_pieces, False),
 )
 

@@ -80,7 +80,7 @@ def test_heldout_adversarial_corpus_strict_equality():
               for s in d['truth_spans']]
         n_strict += 1
         n_equal += pred == gt
-    assert len(seen_templates) == 9
+    assert len(seen_templates) == 10
     assert n_strict >= 100
     assert n_equal == n_strict
 
