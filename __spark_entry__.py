@@ -350,6 +350,30 @@ def q_heldout_accuracy(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization + registrable domain (crawl-dedup keys).
+    URLs are planted deterministically from doc_id (mixed case, www,
+    default/explicit ports, tracking params, fragments, two-level public
+    suffixes); the oracle reimplements the same rules independently in
+    SQL — a cross-engine check of the whole rule set."""
+    from mineru_html_spark.functions.urls import (canonical_url,
+                                                  registrable_domain)
+    d = F.col('doc_id')
+    url = F.concat(
+        F.lit('HTTP://WWW.Site'), (d % 40).cast('string'),
+        F.lit('.Example.'),
+        F.when(d % 3 == 0, F.lit('CO.UK')).otherwise(F.lit('com')),
+        F.when(d % 2 == 0, F.lit(':80')).otherwise(F.lit('')),
+        F.lit('/Path'), (d % 10).cast('string'), F.lit('/'),
+        F.lit('?utm_source=x&id='), (d % 20).cast('string'),
+        F.lit('#s'))
+    docs = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    return docs.select(
+        'doc_id',
+        canonical_url(F.col('url')).alias('canonical'),
+        registrable_domain(F.col('url')).alias('domain'))
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode canonicalization, cross-checked against an INDEPENDENT
     NFC implementation (engine: Python unicodedata; oracle: DuckDB ICU).
@@ -517,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'near_dup_clusters': q_near_dup_clusters,
         'approx_distinct_users': q_approx_distinct_users,
         'normalize_text': q_normalize_text,
+        'url_canon': q_url_canon,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -747,6 +772,65 @@ def oracle_sql() -> dict[str, str]:
                        AS session_start_epoch,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        'url_canon': """
+            WITH d AS (
+              SELECT doc_id,
+                     'HTTP://WWW.Site' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.Example.'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'CO.UK' ELSE 'com' END
+                     || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                     || '/Path' || CAST(doc_id % 10 AS VARCHAR) || '/'
+                     || '?utm_source=x&id=' || CAST(doc_id % 20 AS VARCHAR)
+                     || '#s' AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                       '^www\\.', '') AS host,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1)
+                       AS port,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+                       AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM d),
+            c AS (
+              SELECT doc_id, scheme, host,
+                     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                               OR (scheme = 'https' AND port = '443')
+                          THEN '' ELSE ':' || port END AS port,
+                     CASE WHEN length(path) > 1 AND path LIKE '%/'
+                          THEN substr(path, 1, length(path) - 1)
+                          ELSE path END AS path,
+                     array_to_string(list_filter(
+                       regexp_split_to_array(query, '&'),
+                       x -> len(x) > 0 AND NOT regexp_matches(x,
+                         '^(utm_[a-zA-Z]+|fbclid|gclid|ref)=')), '&')
+                       AS query,
+                     regexp_split_to_array(host, '\\.') AS labels
+              FROM p)
+            SELECT doc_id,
+                   scheme || '://' || host || port || path
+                   || CASE WHEN query = '' THEN '' ELSE '?' || query END
+                       AS canonical,
+                   CASE WHEN len(labels) <= 2 THEN host
+                        WHEN array_to_string(list_slice(labels,
+                               len(labels) - 1, len(labels)), '.') IN
+                             ('co.uk','org.uk','ac.uk','gov.uk','com.au',
+                              'net.au','org.au','co.jp','ne.jp','or.jp',
+                              'com.br','com.cn','com.mx','co.in','co.kr',
+                              'com.tr','com.ar','co.za','com.sg','com.hk')
+                        THEN array_to_string(list_slice(labels,
+                               len(labels) - 2, len(labels)), '.')
+                        ELSE array_to_string(list_slice(labels,
+                               len(labels) - 1, len(labels)), '.') END
+                       AS domain
+            FROM c
         """,
         'normalize_text': """
             WITH d AS (

@@ -1,0 +1,100 @@
+"""URL operators — canonicalization, registrable domains, URL dedup.
+
+Crawl pipelines dedup by canonical URL before content ever downloads;
+at 10^12 URLs these must be native column expressions (regexp_extract /
+higher-order functions — whole-stage codegen, zero UDF), which also
+makes them exactly mirrorable in the DuckDB oracle.
+
+Canonicalization rules (each is a standard crawl-dedup choice,
+documented so the policy is auditable):
+  * scheme and host lowercased; a leading ``www.`` stripped;
+  * default ports (:80 http, :443 https) removed, other ports kept;
+  * tracking params dropped (utm_*, fbclid, gclid, ref);
+  * fragment dropped;
+  * trailing slash stripped from non-root paths.
+
+``registrable_domain`` is the public-suffix-list computation with the
+PSL replaced by its well-known two-level entries (co.uk, com.au, ...) —
+an approximation documented here rather than a silent dependency on a
+list this sandbox cannot fetch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# well-known two-level public suffixes (PSL head entries)
+TWO_LEVEL_SUFFIXES = (
+    'co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au', 'org.au',
+    'co.jp', 'ne.jp', 'or.jp', 'com.br', 'com.cn', 'com.mx', 'co.in',
+    'co.kr', 'com.tr', 'com.ar', 'co.za', 'com.sg', 'com.hk',
+)
+
+TRACKING_PARAM_RE = r'^(utm_[a-zA-Z]+|fbclid|gclid|ref)='
+
+
+def _lower(c: Column) -> Column:
+    return F.lower(c)
+
+
+def parse_url(url: Column) -> dict:
+    """Native decomposition: scheme, host (no port), port, path, query,
+    all empty-string when absent."""
+    scheme = _lower(F.regexp_extract(url, r'^([A-Za-z][A-Za-z0-9+.-]*)://',
+                                     1))
+    host = _lower(F.regexp_extract(
+        url, r'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))
+    port = F.regexp_extract(url, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:'
+                                 r'([0-9]+)', 1)
+    path = F.regexp_extract(url, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'
+                                 r'(/[^?#]*)', 1)
+    query = F.regexp_extract(url, r'\?([^#]*)', 1)
+    return {'scheme': scheme, 'host': host, 'port': port, 'path': path,
+            'query': query}
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonicalization rules above, as one native expression tree."""
+    p = parse_url(url)
+    host = F.regexp_replace(p['host'], r'^www\.', '')
+    default_port = ((p['scheme'] == 'http') & (p['port'] == '80')) | \
+                   ((p['scheme'] == 'https') & (p['port'] == '443'))
+    port = F.when((p['port'] == '') | default_port, F.lit('')) \
+            .otherwise(F.concat(F.lit(':'), p['port']))
+    path = F.when(
+        (F.length(p['path']) > 1) & p['path'].endswith('/'),
+        p['path'].substr(F.lit(1), F.length(p['path']) - 1)
+    ).otherwise(p['path'])
+    kept_params = F.filter(
+        F.split(p['query'], '&'),
+        lambda kv: (F.length(kv) > 0) & ~kv.rlike(TRACKING_PARAM_RE))
+    query = F.array_join(kept_params, '&')
+    return F.concat(
+        p['scheme'], F.lit('://'), host, port, path,
+        F.when(query == '', F.lit('')).otherwise(F.concat(F.lit('?'),
+                                                          query)))
+
+
+def registrable_domain(url: Column) -> Column:
+    """Last-two-labels heuristic, extended to three labels for the
+    well-known two-level public suffixes."""
+    host = F.regexp_replace(parse_url(url)['host'], r'^www\.', '')
+    labels = F.split(host, r'\.')
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), '.')
+    last3 = F.array_join(F.slice(labels, -3, 3), '.')
+    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return F.when(n <= 2, host).otherwise(
+        F.when(is_two_level, last3).otherwise(last2))
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = 'url') -> DataFrame:
+    """(canonical_url, keeper_url, group_size): crawl-dedup groups —
+    the URL-level analog of exact content dedup (one shuffle on the
+    canonical string)."""
+    c = canonical_url(F.col(url_col))
+    return (df.select(F.col(url_col).alias('url'), c.alias('canonical'))
+            .groupBy('canonical')
+            .agg(F.min('url').alias('keeper_url'),
+                 F.count('*').alias('group_size')))

@@ -430,3 +430,37 @@ def test_normalize_text_unicode_semantics(spark):
     assert {r['doc_id']: r['norm_text'] for r in again.collect()} == got
     # NFC really applied (not just pass-through)
     assert unicodedata.is_normalized('NFC', got[1])
+
+
+def test_url_canonicalization_rules(spark):
+    from mineru_html_spark.functions.urls import (canonical_url,
+                                                  registrable_domain,
+                                                  url_dedup_groups)
+    cases = {
+        'HTTP://WWW.Ex.CO.UK:80/P/?utm_source=x&id=7#f':
+            ('http://ex.co.uk/P?id=7', 'ex.co.uk'),
+        'https://sub.shop.example.com:443/a/b/':
+            ('https://sub.shop.example.com/a/b', 'example.com'),
+        'https://example.com/a?b=1&utm_campaign=z&c=2&gclid=q':
+            ('https://example.com/a?b=1&c=2', 'example.com'),
+        'http://example.org:8080/x': ('http://example.org:8080/x',
+                                      'example.org'),
+        'https://example.com/': ('https://example.com/', 'example.com'),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], 'url string')
+    got = {r['url']: (r['c'], r['d']) for r in df.select(
+        'url', canonical_url(F.col('url')).alias('c'),
+        registrable_domain(F.col('url')).alias('d')).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+    # dedup: tracking-param/case/port variants collapse to one group
+    variants = spark.createDataFrame(
+        [('https://example.com/a?id=1&utm_source=x',),
+         ('HTTPS://WWW.EXAMPLE.COM:443/a?id=1',),
+         ('https://example.com/a/?id=1',),
+         ('https://example.com/b',)], 'url string')
+    groups = {r['canonical']: r['group_size']
+              for r in url_dedup_groups(variants).collect()}
+    assert groups['https://example.com/a?id=1'] == 3
+    assert groups['https://example.com/b'] == 1
