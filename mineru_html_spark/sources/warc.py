@@ -32,9 +32,25 @@ WARC_DOCS_SCHEMA = ('doc_id string, '
 
 
 def _maybe_gunzip(payload: bytes) -> bytes:
-    if payload[:2] == b'\x1f\x8b':
-        return gzip.decompress(payload)
-    return payload
+    """Plain bytes pass through; gzip decompresses ALL members — Common
+    Crawl archives are one gzip member per record (letting index-driven
+    readers seek to a record without decompressing the file), and
+    ``zlib`` streams member-by-member until input is exhausted."""
+    if payload[:2] != b'\x1f\x8b':
+        return payload
+    import zlib
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(payload[pos:]))
+        out.append(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = n - len(tail)
+    return b''.join(out)
 
 
 def parse_warc_records(payload: bytes) -> Iterator[Tuple[dict, bytes]]:
@@ -140,10 +156,12 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
 
 # -- deterministic WARC synthesis (sandbox has no real archives) ----------
 
-def write_synth_warc(path: str, doc_indices, gzip_file: bool = False) -> int:
+def write_synth_warc(path: str, doc_indices, gzip_file: bool = False,
+                     gzip_members: bool = False) -> int:
     """Write a deterministic WARC file holding the synthetic corpus's
     pages (core/synth.gen_doc html reassembled per doc). Returns the
-    number of response records written."""
+    number of response records written. ``gzip_members=True`` writes one
+    gzip member per record — Common Crawl's actual layout."""
     from ..core.spancodec import spans_to_html
     from ..core.synth import gen_doc
 
@@ -161,7 +179,8 @@ def write_synth_warc(path: str, doc_indices, gzip_file: bool = False) -> int:
                f'WARC-Target-URI: http://synth.example/{d["doc_id"]}\r\n'
                f'Content-Length: {len(http)}\r\n'
                f'\r\n').encode('ascii')
-        out.append(hdr + http)
+        rec = hdr + http
+        out.append(gzip.compress(rec) if gzip_members else rec)
         n += 1
     blob = b''.join(out)
     if gzip_file:

@@ -56,3 +56,18 @@ def test_warc_malformed_records_quarantined(spark, tmp_path):
     assert warc_bytes_to_doc_rows('c.warc', css) == []
     recs = list(parse_warc_records(good))
     assert len(recs) == 1 and recs[0][0]['warc-type'] == 'response'
+
+
+def test_warc_per_record_gzip_members(spark, tmp_path):
+    """Common Crawl's layout: one gzip member per record. The reader
+    must stream all members and yield every record."""
+    from mineru_html_spark.sources.warc import read_warc, write_synth_warc
+    w = tmp_path / 'warcs'
+    w.mkdir()
+    n = write_synth_warc(str(w / 'm.warc.gz'), range(40, 52),
+                         gzip_members=True)
+    assert n == 12
+    docs = read_warc(spark, str(w))
+    ok = docs.where("error = ''")
+    assert ok.count() == 12
+    assert ok.select('doc_id').distinct().count() == 12
