@@ -350,6 +350,25 @@ def q_heldout_accuracy(spark, sf_dir):
                   .alias('mean_f1_micro')))
 
 
+def q_script_detect(spark, sf_dir):
+    """Writing-script profile (multilingual routing stage). The corpus is
+    ASCII, so scripts are planted: every 4th doc gets a Cyrillic, Greek
+    or CJK suffix, and every 20th a Cyrillic block long enough to flip
+    the dominant script. Oracle mirrors the exact ranges via RE2
+    \\x{...} classes — two regex engines, one answer."""
+    from mineru_html_spark.functions.text import script_profile
+    d = F.col('doc_id')
+    text = (F.when(d % 20 == 1,
+                   F.concat('text', F.repeat(F.lit(' привет мир данные'),
+                                             30)))
+            .when(d % 4 == 1, F.concat('text', F.lit(' привет мир')))
+            .when(d % 4 == 2, F.concat('text', F.lit(' αλφα βητα')))
+            .when(d % 4 == 3, F.concat('text', F.lit(' 数据处理系统')))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return script_profile(docs)
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization + registrable domain (crawl-dedup keys).
     URLs are planted deterministically from doc_id (mixed case, www,
@@ -542,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'approx_distinct_users': q_approx_distinct_users,
         'normalize_text': q_normalize_text,
         'url_canon': q_url_canon,
+        'script_detect': q_script_detect,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -772,6 +792,39 @@ def oracle_sql() -> dict[str, str]:
                        AS session_start_epoch,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        'script_detect': """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 20 = 1
+                          THEN text || repeat(' привет мир данные', 30)
+                          WHEN doc_id % 4 = 1 THEN text || ' привет мир'
+                          WHEN doc_id % 4 = 2 THEN text || ' αλφα βητα'
+                          WHEN doc_id % 4 = 3 THEN text || ' 数据处理系统'
+                          ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
+                CAST(len(regexp_extract_all(text,
+                  '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+                CAST(len(regexp_extract_all(text,
+                  '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
+                CAST(len(regexp_extract_all(text,
+                  '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}]'))
+                  AS BIGINT) AS n_cjk
+              FROM d)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+                   CASE WHEN n_latin + n_cyrillic + n_greek + n_cjk = 0
+                        THEN 'none'
+                        WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk)
+                        THEN 'latin'
+                        WHEN n_cyrillic >= greatest(n_greek, n_cjk)
+                        THEN 'cyrillic'
+                        WHEN n_greek >= n_cjk THEN 'greek'
+                        ELSE 'cjk' END AS script
+            FROM c
         """,
         'url_canon': """
             WITH d AS (

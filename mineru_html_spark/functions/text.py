@@ -157,6 +157,42 @@ def ngram_profile(documents: DataFrame, n: int = 5) -> DataFrame:
 # C0/C1 controls except \t \n \r (which the whitespace collapse handles)
 CONTROL_PATTERN = r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]'
 
+# Unicode-script classes (Java regex \u escapes; the DuckDB oracle uses
+# RE2's \x{...} for the same ranges)
+SCRIPT_CLASSES = (
+    ('latin', '[A-Za-z\u00C0-\u024F]'),
+    ('cyrillic', '[\u0400-\u04FF]'),
+    ('greek', '[\u0370-\u03FF]'),
+    ('cjk', '[\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7A3]'),
+)
+
+
+def script_profile(documents: DataFrame) -> DataFrame:
+    """Writing-script detection: per-script letter counts + the dominant
+    script — the scalable first stage of multilingual language ID (the
+    stopword heuristic, lang_id, only separates English from the rest;
+    script counts route docs to per-script models). Native regexp counts,
+    whole-stage codegen, exactly mirrorable in SQL.
+
+    Tie-break priority on equal counts: latin > cyrillic > greek > cjk;
+    all-zero -> 'none'.
+    """
+    counts = {name: F.size(F.regexp_extract_all('text', F.lit(pat),
+                                                F.lit(0))).cast('long')
+              for name, pat in SCRIPT_CLASSES}
+    lat, cyr, grk, cjk = (counts[k] for k, _ in SCRIPT_CLASSES)
+    total = lat + cyr + grk + cjk
+    dominant = (F.when(total == 0, 'none')
+                .when(lat >= F.greatest(cyr, grk, cjk), 'latin')
+                .when(cyr >= F.greatest(grk, cjk), 'cyrillic')
+                .when(grk >= cjk, 'greek')
+                .otherwise('cjk'))
+    return documents.select(
+        'doc_id',
+        lat.alias('n_latin'), cyr.alias('n_cyrillic'),
+        grk.alias('n_greek'), cjk.alias('n_cjk'),
+        dominant.alias('script'))
+
 
 def normalize_text(documents: DataFrame,
                    text_col: str = 'text') -> DataFrame:

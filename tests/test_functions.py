@@ -464,3 +464,24 @@ def test_url_canonicalization_rules(spark):
               for r in url_dedup_groups(variants).collect()}
     assert groups['https://example.com/a?id=1'] == 3
     assert groups['https://example.com/b'] == 1
+
+
+def test_script_profile_detection(spark):
+    from mineru_html_spark.functions.text import script_profile
+    rows = [
+        (1, 'plain english text only here'),
+        (2, 'короткий русский текст без латиницы'),
+        (3, 'μικρό ελληνικό κείμενο εδώ'),
+        (4, '中文句子没有拉丁字符'),
+        (5, 'mixed text с русским hello'),
+        (6, '12345 .,!?'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in script_profile(df).collect()}
+    assert got[1]['script'] == 'latin' and got[1]['n_cyrillic'] == 0
+    assert got[2]['script'] == 'cyrillic' and got[2]['n_latin'] == 0
+    assert got[3]['script'] == 'greek'
+    assert got[4]['script'] == 'cjk' and got[4]['n_cjk'] > 0
+    assert got[5]['script'] == 'latin'          # latin majority
+    assert got[5]['n_cyrillic'] > 0
+    assert got[6]['script'] == 'none'
