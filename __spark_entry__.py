@@ -700,7 +700,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         'doc_stats_by_source': """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(n_chars) AS BIGINT) AS sum_chars,
                    cast((200 * cast(sum(n_chars) AS BIGINT) + count(*))
                         // (2 * count(*)) AS BIGINT) AS avg_chars_centi
             FROM documents GROUP BY source ORDER BY source
@@ -720,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start_epoch,
                    event_type,
                    count(*) AS n_events,
-                   sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
+                   cast(sum(cast(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_milli
             FROM events GROUP BY 1, 2
         """,
         'streaming_events_hourly': """
@@ -728,7 +730,8 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start_epoch,
                    event_type,
                    count(*) AS n_events,
-                   sum(cast(round(value * 1000) AS BIGINT)) AS sum_value_milli
+                   cast(sum(cast(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_milli
             FROM events GROUP BY 1, 2
         """,
         'resume_antijoin': """
@@ -767,8 +770,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id, ts,
-                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     cast(SUM(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    cast(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch
@@ -957,7 +962,7 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM t)
             SELECT doc_id, bucket, n_tokens,
-                   (cum - n_tokens) // 2048 AS pack_id
+                   cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
         """,
         'jaccard_sample': f"""

@@ -4,6 +4,16 @@ Runs every queries() entry at sf=0.01 on local Spark, runs the matching
 oracle_sql() in DuckDB with the sf tables registered as views, and compares
 row count, sorted column names, and an order-insensitive value hash.
 
+CRITICAL (round-3 fix): the DuckDB side is fetched via `.df()` (pandas /
+Arrow), exactly like the driver — NOT `fetchall()`. DuckDB returns Python
+ints for HUGEINT through `fetchall()`, which masked a class of
+type-representation mismatches for two rounds: `sum()` / windowed `SUM()
+OVER` / `//`-on-sum produce HUGEINT, which pandas renders as float64, so
+`3` hashed as `3.0` at the driver while looking green locally. There is
+deliberately NO float rounding or Decimal coercion here: if the two engines
+produce different representations, this checker must FAIL, because the
+driver will.
+
 Usage: python tools/check_oracles.py [query ...]
 """
 import hashlib
@@ -18,24 +28,48 @@ TABLES = ('region nation customer supplier part orders lineitem events '
           'documents embeddings').split()
 
 
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows)
-    h = hashlib.md5(repr(canon).encode()).hexdigest()
-    return h
-
-
 def _norm(v):
+    """Minimal cross-engine canonicalization — types are NOT coerced.
+
+    numpy scalars unwrap to the matching Python scalar (int64 -> int,
+    float64 -> float: the int/float distinction is preserved, which is the
+    whole point). NaN/None both map to None (pandas represents SQL NULL in
+    numeric columns as NaN on BOTH the Spark-toPandas and DuckDB-df sides).
+    Timestamps normalize to naive isoformat. Nothing else is touched.
+    """
     import datetime
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    try:
+        import pandas as pd
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+    except ImportError:
+        pass
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, float):
-        return round(v, 6)
     return v
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(repr(_norm(r[i])) for i in order) for r in rows)
+    return hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+def fetch_duckdb(con, sql):
+    """Fetch an oracle result the way the driver does: through pandas."""
+    df = con.sql(sql).df()
+    cols = list(df.columns)
+    rows = [tuple(rec) for rec in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():
@@ -75,9 +109,7 @@ def main():
                 print(f'  WARNING: zero rows')
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = [tuple(r) for r in rel.fetchall()]
+            dcols, drows = fetch_duckdb(con, oracles[name])
         except Exception as e:
             failures.append(name)
             print(f'FAIL  {name}: duckdb error: {e}')
@@ -92,13 +124,15 @@ def main():
         print(f'{status} {name}: rows {len(srows)}/{len(drows)} '
               f'cols_match={ok_cols} hash_match={ok_hash} ({dt:.1f}s)')
         if not ok_hash and ok_count and ok_cols:
-            # show first differing row for debugging
-            so = sorted(srows)
-            do = sorted(drows)
+            # show first differing row (sorted-column canonical form)
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            so = sorted(tuple(repr(_norm(r[i])) for i in order_s)
+                        for r in srows)
+            do = sorted(tuple(repr(_norm(r[i])) for i in order_d)
+                        for r in drows)
             for a, b in zip(so, do):
-                an = tuple(_norm(x) for x in a)
-                bn = tuple(_norm(x) for x in b)
-                if an != bn:
+                if a != b:
                     print(f'   spark : {a}')
                     print(f'   duckdb: {b}')
                     break
