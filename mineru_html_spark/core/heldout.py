@@ -42,7 +42,8 @@ from .synth import (_footer_html, _link_list, _nav_html, _norm,
                     _para, _related_html, _sentence)
 
 HELDOUT_SEED = 20260816  # fixed, distinct from synth's default seed
-HELDOUT_VERSION = 2      # bump when template content changes (cache key)
+HELDOUT_VERSION = 3      # bump when template content changes (cache key)
+                         # v3: corpus floor 210 -> 300 (10 templates x 30)
 
 _UNICODE_WORDS = (
     'häufig zitiertes prinzip größerer datenverarbeitung übergreifend '
@@ -347,6 +348,6 @@ def gen_heldout_doc(doc_idx: int, seed: int = HELDOUT_SEED) -> Dict:
 
 def heldout_for_sf(sf: float) -> int:
     """Held-out corpus size at a scale factor (a quarter of the main
-    corpus, floor 210 so every template keeps >=30 docs)."""
+    corpus, floor 300 so every one of the 10 templates keeps >=30 docs)."""
     from .synth import docs_for_sf
-    return max(210, docs_for_sf(sf) // 4)
+    return max(300, docs_for_sf(sf) // 4)

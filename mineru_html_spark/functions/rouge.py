@@ -4,10 +4,15 @@ Re-implements the semantics of ``calc_rouge_n_score``
 (/root/reference/dripper/eval_baselines/base.py:24-54): n-gram count maps on
 both sides, overlap = sum of min(count) per shared n-gram, precision =
 overlap/pred_total, recall = overlap/gt_total, f1 harmonic. The reference
-tokenizes with jieba (Chinese); ours tokenizes on word boundaries — the
-metric algebra is identical. Runs as an Arrow-batched pandas UDF (a Counter
-fold per row is not expressible as native SQL without exploding n-grams
-twice), returning micro-units for cross-engine stability.
+tokenizes with jieba (Chinese); ours tokenizes `[a-z0-9]+` runs as word
+tokens and every CJK-range codepoint (Han, Hiragana/Katakana, Hangul) as
+its own unigram token — jieba's own fallback for out-of-dictionary text —
+so the metric is meaningful on CJK and mixed-script corpora (a CJK-only
+pred/gt pair used to tokenize to two empty sets and score 0.0 even when
+identical). The metric algebra is identical to the reference. Runs as an
+Arrow-batched pandas UDF (a Counter fold per row is not expressible as
+native SQL without exploding n-grams twice), returning micro-units for
+cross-engine stability.
 """
 
 from __future__ import annotations
@@ -19,24 +24,41 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-_TOKEN_RE = re.compile(r'[a-z0-9]+')
+# word tokens, or single CJK codepoints (Han / kana / Hangul — the same
+# ranges script_profile routes on; one definition of "CJK" repo-wide)
+_TOKEN_RE = re.compile(
+    r'[a-z0-9]+|[一-鿿぀-ヿ가-힣]')
 
 ROUGE_SCHEMA = ('doc_id long, prec_micro long, rec_micro long, f1_micro long')
 
 
-def _ngrams(text: str, n: int) -> Counter:
-    toks = _TOKEN_RE.findall(str(text).lower())
+def _tokens(text: str) -> list:
+    return _TOKEN_RE.findall(str(text).lower())
+
+
+def _ngram_counts(toks: list, n: int) -> Counter:
     if len(toks) < n:
         return Counter()
     return Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+
+def _ngrams(text: str, n: int) -> Counter:
+    return _ngram_counts(_tokens(text), n)
 
 
 def rouge_n(pred: str, gt: str, n: int = 5) -> tuple:
     # both-empty counts as a perfect prediction (base.py:40-42)
     if not str(gt).strip() and not str(pred).strip():
         return (1.0, 1.0, 1.0)
-    p = _ngrams(pred, n)
-    g = _ngrams(gt, n)
+    pt = _tokens(pred)
+    gt_toks = _tokens(gt)
+    # both sides tokenize to nothing (e.g. punctuation-only text outside
+    # every token class): extend the both-empty guard rather than score a
+    # vacuous 0.0 — there is no n-gram evidence either way
+    if not pt and not gt_toks:
+        return (1.0, 1.0, 1.0)
+    p = _ngram_counts(pt, n)
+    g = _ngram_counts(gt_toks, n)
     if not p or not g:
         return (0.0, 0.0, 0.0)
     overlap = sum(min(c, g[k]) for k, c in p.items() if k in g)
