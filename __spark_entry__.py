@@ -369,6 +369,100 @@ def q_script_detect(spark, sf_dir):
     return script_profile(docs)
 
 
+# Planted sentences for per-script language ID — defined ONCE and shared
+# verbatim by the Spark query and the DuckDB oracle (doc_id % 12 selects;
+# else the doc keeps its English corpus text). Replacement (not append) so
+# the planted script is guaranteed dominant.
+_LANG_PLANTS = (
+    (1, 'Der Hund und die Katze sind nicht mit dem Mann'),
+    (2, 'Les enfants sont dans une maison avec les livres pour tous'),
+    (3, 'Los perros y las casas para este pueblo con una mesa'),
+    (4, 'Это был новый эксперимент и тёмные облака над городом'),
+    (5, 'Українські діти їдять свіжі яблука і пють воду щодня'),
+    (6, 'Το γρήγορο καφέ αλεπού πηδάει πάνω από τον τεμπέλη σκύλο'),
+    (7, '大规模数据处理系统用于文本分析和机器学习'),
+    (8, 'データの処理はとても速いですから便利です'),
+    (9, '대규모 데이터 처리 시스템은 매우 빠릅니다'),
+    (10, '!!! ??? ...'),
+)
+
+
+def q_lang_by_script(spark, sf_dir):
+    """Per-script language ID (router + script-local models): dominant
+    script routes each doc to a stopword-marker model (latin: en/de/fr/es),
+    an alphabet-exclusive-letter model (cyrillic: uk vs ru), a constant
+    (greek: el) or a character-class model (cjk: ja/ko/zh). Ten language
+    plants replace every doc_id % 12 in 1..10; the oracle reimplements the
+    full decision tree in RE2 — two regex engines, one answer."""
+    col = None
+    for m, s in _LANG_PLANTS:
+        col = (F.when(F.col('doc_id') % 12 == m, F.lit(s)) if col is None
+               else col.when(F.col('doc_id') % 12 == m, F.lit(s)))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', col.otherwise(F.col('text')).alias('text'))
+    return tx.lang_id_by_script(docs)
+
+
+def _lang_by_script_oracle() -> str:
+    """DuckDB mirror of q_lang_by_script: same plants, same marker patterns
+    (shared constants from functions.text), same cascaded-argmax decision
+    tree — RE2 vs Java regex, one answer. The cascaded form
+    `x_i >= greatest(x_{i+1..n})` selects the first global max in priority
+    order (identical semantics to the Spark chain)."""
+    plants = '\n                 '.join(
+        f"WHEN {m} THEN '{s}'" for m, s in _LANG_PLANTS)
+    lang_counts = ',\n                '.join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{lang}"
+        for lang, pat in tx.LATIN_LANG_MARKERS)
+    return f"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE doc_id % 12
+                 {plants}
+                 ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z\\x{{00C0}}-\\x{{024F}}]')) AS lat,
+                len(regexp_extract_all(text, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
+                len(regexp_extract_all(text, '[\\x{{0370}}-\\x{{03FF}}]')) AS grk,
+                len(regexp_extract_all(text,
+                  '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}\\x{{AC00}}-\\x{{D7A3}}]'))
+                  AS cjk,
+                {lang_counts},
+                len(regexp_extract_all(text, '{tx.UK_MARKER}')) AS n_uk,
+                len(regexp_extract_all(text, '{tx.RU_MARKER}')) AS n_ru,
+                len(regexp_extract_all(text, '[\\x{{3040}}-\\x{{30FF}}]')) AS n_kana,
+                len(regexp_extract_all(text, '[\\x{{AC00}}-\\x{{D7A3}}]')) AS n_hang
+              FROM d),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN lat + cyr + grk + cjk = 0 THEN 'none'
+                     WHEN lat >= greatest(cyr, grk, cjk) THEN 'latin'
+                     WHEN cyr >= greatest(grk, cjk) THEN 'cyrillic'
+                     WHEN grk >= cjk THEN 'greek' ELSE 'cjk' END AS script,
+                n_en, n_de, n_fr, n_es, n_uk, n_ru, n_kana, n_hang
+              FROM c)
+            SELECT doc_id, script,
+              CASE script
+                WHEN 'latin' THEN
+                  CASE WHEN n_en + n_de + n_fr + n_es = 0 THEN 'und'
+                       WHEN n_en >= greatest(n_de, n_fr, n_es) THEN 'en'
+                       WHEN n_de >= greatest(n_fr, n_es) THEN 'de'
+                       WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END
+                WHEN 'cyrillic' THEN
+                  CASE WHEN n_uk = 0 AND n_ru = 0 THEN 'und'
+                       WHEN n_uk > n_ru THEN 'uk' ELSE 'ru' END
+                WHEN 'greek' THEN 'el'
+                WHEN 'cjk' THEN
+                  CASE WHEN n_kana > 0 THEN 'ja'
+                       WHEN n_hang > 0 THEN 'ko' ELSE 'zh' END
+                ELSE 'und' END AS lang
+            FROM s
+        """
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization + registrable domain (crawl-dedup keys).
     URLs are planted deterministically from doc_id (mixed case, www,
@@ -562,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'normalize_text': q_normalize_text,
         'url_canon': q_url_canon,
         'script_detect': q_script_detect,
+        'lang_by_script': q_lang_by_script,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -831,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'cjk' END AS script
             FROM c
         """,
+        'lang_by_script': _lang_by_script_oracle(),
         'url_canon': """
             WITH d AS (
               SELECT doc_id,

@@ -194,6 +194,83 @@ def script_profile(documents: DataFrame) -> DataFrame:
         dominant.alias('script'))
 
 
+# Per-script language markers. Latin languages discriminate on distinctive
+# whole-word stopwords (sets chosen to be mutually exclusive across the four
+# languages — e.g. 'la' is excluded because French and Spanish share it);
+# (?i) is safe here because the classes are pure ASCII, where Java and RE2
+# case-folding agree. Cyrillic languages discriminate on alphabet-exclusive
+# letters (Ukrainian і/ї/є/ґ vs Russian ы/э/ё) — NO \b or (?i) on non-ASCII,
+# where Java and RE2 semantics diverge; both cases are listed explicitly.
+LATIN_LANG_MARKERS = (
+    ('en', r'(?i)\b(the|and|of|with|this|that|from|have)\b'),
+    ('de', r'(?i)\b(und|der|die|das|nicht|ist|ein|mit)\b'),
+    ('fr', r'(?i)\b(les|est|une|dans|pour|avec|sur)\b'),
+    ('es', r'(?i)\b(los|las|una|para|por|con|este)\b'),
+)
+UK_MARKER = '[іїєґІЇЄҐ]'  # іїєґІЇЄҐ
+RU_MARKER = '[ыэёЫЭЁ]'              # ыэёЫЭЁ
+KANA_MARKER = '[぀-ヿ]'
+HANGUL_MARKER = '[가-힣]'
+
+
+def lang_id_by_script(documents: DataFrame) -> DataFrame:
+    """Per-script language ID: route on dominant writing script, then apply
+    a script-local model (closes the round-2 limitation where lang_id only
+    separated English from everything else).
+
+      latin    -> argmax of distinctive-stopword counts over en/de/fr/es
+                  (tie priority in LATIN_LANG_MARKERS order; all-zero -> und)
+      cyrillic -> Ukrainian-exclusive vs Russian-exclusive letter counts
+                  (uk on strict majority, ru otherwise; both-zero -> und)
+      greek    -> el (Greek script is effectively monolingual)
+      cjk      -> ja if any kana, else ko if any hangul, else zh
+      none     -> und
+
+    All decisions are native regexp counts over ONE narrow projection — the
+    script route is recomputed inline rather than joined back from
+    script_profile (same formula, zero shuffle), whole-stage codegen, zero
+    UDFs, and exactly mirrorable in the DuckDB oracle (the marker patterns
+    avoid every known Java-vs-RE2 divergence; see marker comments). Labels
+    are BCP-47 primary subtags.
+    """
+    def n(pat):
+        return F.size(F.regexp_extract_all('text', F.lit(pat), F.lit(0))) \
+                .cast('long')
+
+    lat_counts = [(lang, n(pat)) for lang, pat in LATIN_LANG_MARKERS]
+    latin_best = F.when(
+        sum((c for _, c in lat_counts), F.lit(0)) == 0, F.lit('und'))
+    for lang, c in lat_counts:
+        others = [o for lg, o in lat_counts if lg != lang]
+        # strictly-greater against earlier entries wins via ordering: the
+        # first language whose count >= every other count takes the doc
+        latin_best = latin_best.when(c >= F.greatest(*others), F.lit(lang))
+    latin_best = latin_best.otherwise(F.lit('und'))
+
+    n_uk, n_ru = n(UK_MARKER), n(RU_MARKER)
+    cyr_lang = (F.when((n_uk == 0) & (n_ru == 0), 'und')
+                .when(n_uk > n_ru, 'uk').otherwise('ru'))
+    cjk_lang = (F.when(n(KANA_MARKER) > 0, 'ja')
+                .when(n(HANGUL_MARKER) > 0, 'ko')
+                .otherwise('zh'))
+
+    # same route formula as script_profile, inlined (no self-join)
+    counts = {name: n(pat) for name, pat in SCRIPT_CLASSES}
+    lat, cyr, grk, cjk = (counts[k] for k, _ in SCRIPT_CLASSES)
+    script = (F.when(lat + cyr + grk + cjk == 0, 'none')
+              .when(lat >= F.greatest(cyr, grk, cjk), 'latin')
+              .when(cyr >= F.greatest(grk, cjk), 'cyrillic')
+              .when(grk >= cjk, 'greek')
+              .otherwise('cjk'))
+    lang = (F.when(script == 'latin', latin_best)
+            .when(script == 'cyrillic', cyr_lang)
+            .when(script == 'greek', F.lit('el'))
+            .when(script == 'cjk', cjk_lang)
+            .otherwise(F.lit('und')))
+    return documents.select('doc_id', script.alias('script'),
+                            lang.alias('lang'))
+
+
 def normalize_text(documents: DataFrame,
                    text_col: str = 'text') -> DataFrame:
     """Unicode canonicalization: NFC + control-char strip + whitespace

@@ -162,6 +162,37 @@ def test_rouge_cjk():
     assert rouge_n('!!!', cjk, 5) == (0.0, 0.0, 0.0)
 
 
+def test_lang_id_by_script(spark):
+    """Router + per-script models: one doc per language/edge case."""
+    from mineru_html_spark.functions.text import lang_id_by_script
+    docs = [
+        (1, 'The quick brown fox jumps over the lazy dog and this is that',
+         'latin', 'en'),
+        (2, 'Der Hund und die Katze sind nicht mit dem Mann', 'latin', 'de'),
+        (3, 'Les enfants sont dans une maison avec les livres pour tous',
+         'latin', 'fr'),
+        (4, 'Los perros y las casas para este pueblo con una mesa',
+         'latin', 'es'),
+        (5, 'Это был новый эксперимент и тёмные облака над городом',
+         'cyrillic', 'ru'),
+        (6, 'Українські діти їдять свіжі яблука і пють воду щодня',
+         'cyrillic', 'uk'),
+        (7, 'Το γρήγορο καφέ αλεπού πηδάει πάνω από τον σκύλο',
+         'greek', 'el'),
+        (8, '大规模数据处理系统用于文本分析和机器学习', 'cjk', 'zh'),
+        (9, 'データの処理はとても速いですから便利です', 'cjk', 'ja'),
+        (10, '대규모 데이터 처리 시스템은 매우 빠릅니다', 'cjk', 'ko'),
+        (11, '!!! ??? ...', 'none', 'und'),
+        (12, 'zzz qqq xxx vvv', 'latin', 'und'),
+    ]
+    df = spark.createDataFrame([(d, t) for d, t, _, _ in docs],
+                               'doc_id long, text string')
+    got = {r['doc_id']: (r['script'], r['lang'])
+           for r in lang_id_by_script(df).collect()}
+    for d, _, script, lang in docs:
+        assert got[d] == (script, lang), (d, got[d], script, lang)
+
+
 def test_media_plumbing(spark):
     from mineru_html_spark.functions.media import (
         extract_media_features, synth_media_df)
