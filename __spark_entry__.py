@@ -113,6 +113,41 @@ def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark, sf_dir):
+    """End-to-end WARC path: synthesize a deterministic 4-archive set
+    (plain / whole-gzip / member-gzip / corrupt), read via the binaryFile
+    one-task-per-archive source, extract, and emit the same per-doc
+    digest as extract_main — plus one source_error row proving the
+    corrupt archive quarantined instead of failing the task. Committed-
+    output oracle (fixed 90-doc corpus, sf-independent)."""
+    from mineru_html_spark.operators.extract_op import apply_extract
+    from mineru_html_spark.sources.warc import (read_warc,
+                                                write_synth_warc_gate_set)
+    d = os.path.join(REPO, '.data', 'warc_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_warc_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    docs = read_warc(spark, d)
+    good = docs.where(F.col('error') == '')
+    res = apply_extract(good.select('doc_id', 'spans'))
+    out = res.select(
+        'doc_id', 'status',
+        F.size('spans').cast('int').alias('n_spans'),
+        F.md5(F.concat_ws(
+            '\x1f',
+            F.transform('spans', lambda s: F.concat_ws(
+                '\x1e', s['kind'], s['text'], s['media_ref']))))
+         .alias('spans_sha'))
+    errs = docs.where(F.col('error') != '').select(
+        F.regexp_extract('warc_file', r'([^/]+)$', 1).alias('doc_id'),
+        F.lit('source_error').alias('status'),
+        F.lit(0).cast('int').alias('n_spans'),
+        F.lit('').alias('spans_sha'))
+    return out.unionByName(errs)
+
+
 def q_token_count(spark, sf_dir):
     return tx.token_count(_docs(spark, sf_dir))
 
@@ -657,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_canon': q_url_canon,
         'script_detect': q_script_detect,
         'lang_by_script': q_lang_by_script,
+        'warc_extract': q_warc_extract,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -705,7 +741,7 @@ def oracle_sql() -> dict[str, str]:
                      'embedding_near_dups', 'ann_ivf_topk',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
-                     'approx_distinct_users')
+                     'approx_distinct_users', 'warc_extract')
     }
     oracles.update({
         "token_count_bpe": f"""

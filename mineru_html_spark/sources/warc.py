@@ -3,13 +3,19 @@
 A 100 TB extraction run usually starts from WARC (Common Crawl ships
 ~90k .warc.gz files per snapshot), not from a pre-built docs table. The
 scale shape here is the standard one: ONE TASK PER WARC FILE — a WARC
-file is self-contained, so `binaryFile` rows parallelize per file and
-each record parses in a streaming generator (bounded memory per record).
+file is self-contained, so `binaryFile` rows parallelize per file.
+Memory honesty: `binaryFile` materializes the (compressed) archive in
+the task, and ``_maybe_gunzip`` materializes the decompressed archive
+before record scanning — per-task memory is bounded by ONE DECOMPRESSED
+ARCHIVE (~400 MB for a 100 MB Common Crawl segment), not by a record. At
+Common Crawl segment sizes that bound fits comfortably in an executor
+slot; a constant-memory variant would feed ``zlib.decompressobj`` chunks
+to an incremental record scanner — the record parser below is already a
+generator, so only ``_maybe_gunzip`` would change.
 Production notes: real archives are per-record gzip members, letting a
 reader skip records without decompressing the file; this implementation
-handles plain and whole-file-gzip WARCs (the sandbox synthesizes its
-own), and the member-level variant is a drop-in replacement of
-``_maybe_gunzip``.
+handles plain, whole-file-gzip, and member-gzip WARCs (the sandbox
+synthesizes its own).
 
 Output contract matches the engine input: ``docs(doc_id, spans)`` with
 the full page HTML as a single text span (same adaptation as
@@ -108,35 +114,53 @@ def _http_html_body(payload: bytes) -> str | None:
 
 def warc_bytes_to_doc_rows(warc_file: str, payload: bytes) -> List[dict]:
     """One WARC file's bytes -> docs rows (html responses only; errors
-    kept as rows)."""
+    kept as rows).
+
+    The whole parse is fenced: a corrupt archive (bad gzip stream, for
+    one) must quarantine as ONE error row for the file, not fail the
+    Spark task after retries — S7 errors-as-rows applies at the archive
+    level exactly as it does at the record level."""
     rows = []
-    for headers, body in parse_warc_records(payload):
-        if '_error' in headers:
-            rows.append({'doc_id': '', 'spans': [], 'url': '',
-                         'warc_file': warc_file,
-                         'error': headers['_error']})
-            continue
-        if headers.get('warc-type') != 'response':
-            continue
-        html = _http_html_body(body)
-        if html is None:
-            continue
-        rid = headers.get('warc-record-id', '') or \
-            headers.get('warc-target-uri', '')
-        rows.append({
-            'doc_id': rid,
-            'spans': [('text', html, '', 0)],
-            'url': headers.get('warc-target-uri', ''),
-            'warc_file': warc_file,
-            'error': '',
-        })
+    n_records = 0
+    try:
+        for headers, body in parse_warc_records(payload):
+            n_records += 1
+            if '_error' in headers:
+                rows.append({'doc_id': '', 'spans': [], 'url': '',
+                             'warc_file': warc_file,
+                             'error': headers['_error']})
+                continue
+            if headers.get('warc-type') != 'response':
+                continue
+            html = _http_html_body(body)
+            if html is None:
+                continue
+            rid = headers.get('warc-record-id', '') or \
+                headers.get('warc-target-uri', '')
+            rows.append({
+                'doc_id': rid,
+                'spans': [('text', html, '', 0)],
+                'url': headers.get('warc-target-uri', ''),
+                'warc_file': warc_file,
+                'error': '',
+            })
+    except Exception as e:                          # zlib.error et al.
+        rows.append({'doc_id': '', 'spans': [], 'url': '',
+                     'warc_file': warc_file,
+                     'error': f'archive decode failed: {e}'})
+    if n_records == 0 and not rows and payload:
+        # garbage that decompresses (or scans) to nothing without raising:
+        # still an anomaly worth surfacing, never a silent empty result
+        rows.append({'doc_id': '', 'spans': [], 'url': '',
+                     'warc_file': warc_file,
+                     'error': 'archive decode failed: no WARC records'})
     return rows
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files -> docs frame. One binaryFile row (== one task) per
-    archive; the per-file parse is a generator, so memory is bounded by
-    the largest single record, not the file."""
+    archive; per-task memory is bounded by one decompressed archive (see
+    module docstring). Corrupt archives surface as error rows."""
     import pandas as pd
 
     files = (spark.read.format('binaryFile').load(path_glob)
@@ -187,4 +211,25 @@ def write_synth_warc(path: str, doc_indices, gzip_file: bool = False,
         blob = gzip.compress(blob)
     with open(path, 'wb') as f:
         f.write(blob)
+    return n
+
+
+def write_synth_warc_gate_set(dir_path: str) -> int:
+    """Deterministic 4-file WARC set for the driver gate: one file per
+    layout (plain / whole-file gzip / per-record gzip members) plus one
+    corrupt archive that must quarantine as a single error row. Contents
+    derive only from gen_doc (gzip headers carry mtime, so file BYTES
+    vary run-to-run, but parsed content — and therefore extraction
+    output — is bit-stable). Returns the number of response records."""
+    import os
+    os.makedirs(dir_path, exist_ok=True)
+    n = 0
+    n += write_synth_warc(os.path.join(dir_path, 'plain.warc'),
+                          range(0, 30))
+    n += write_synth_warc(os.path.join(dir_path, 'whole.warc.gz'),
+                          range(30, 60), gzip_file=True)
+    n += write_synth_warc(os.path.join(dir_path, 'members.warc.gz'),
+                          range(60, 90), gzip_members=True)
+    with open(os.path.join(dir_path, 'corrupt.warc.gz'), 'wb') as f:
+        f.write(b'\x1f\x8b\x08\x00corrupted-not-a-gzip-stream\x00\x00')
     return n

@@ -58,6 +58,28 @@ def test_warc_malformed_records_quarantined(spark, tmp_path):
     assert len(recs) == 1 and recs[0][0]['warc-type'] == 'response'
 
 
+def test_warc_corrupt_archive_quarantined(spark, tmp_path):
+    """A corrupt gzip archive must become ONE error row, not a failed
+    Spark task (S7 errors-as-rows at archive level)."""
+    from mineru_html_spark.sources.warc import (read_warc,
+                                                warc_bytes_to_doc_rows,
+                                                write_synth_warc)
+    rows = warc_bytes_to_doc_rows(
+        'bad.warc.gz', b'\x1f\x8b\x08\x00not-a-real-gzip-stream')
+    assert len(rows) == 1
+    assert rows[0]['error'].startswith('archive decode failed')
+
+    w = tmp_path / 'warcs'
+    w.mkdir()
+    write_synth_warc(str(w / 'good.warc'), range(0, 5))
+    (w / 'bad.warc.gz').write_bytes(b'\x1f\x8b\x08\x00broken')
+    docs = read_warc(spark, str(w))
+    assert docs.where("error = ''").count() == 5
+    errs = docs.where("error != ''").collect()
+    assert len(errs) == 1
+    assert errs[0]['warc_file'].endswith('bad.warc.gz')
+
+
 def test_warc_per_record_gzip_members(spark, tmp_path):
     """Common Crawl's layout: one gzip member per record. The reader
     must stream all members and yield every record."""

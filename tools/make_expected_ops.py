@@ -21,7 +21,7 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens')
 NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'media_features', 'embedding_near_dups', 'ann_ivf_topk',
          'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
-         'near_dup_clusters', 'approx_distinct_users')
+         'near_dup_clusters', 'approx_distinct_users', 'warc_extract')
 
 
 def main():
