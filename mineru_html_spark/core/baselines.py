@@ -84,10 +84,9 @@ def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
     """[(doc_id, spans)] -> result rows for the named baseline extractor.
     Same row contract as the engine (errors contained per-case).
 
-    Each baseline pays its own parse: ``_finalize_doc`` prunes the tree
-    destructively (item ids attach to tree nodes), so segmentations are
-    not shareable across labelers — evaluating k baselines is inherently
-    k passes, which is fine for an eval-side code path.
+    One parse per baseline. For several PRE-FREE baselines over the same
+    corpus, prefer ``baseline_extract_rows_multi`` — it shares one parse
+    across labelers via clone-tree finalization.
     """
     pre, labeler = BASELINES[name]
     out = []
@@ -103,4 +102,53 @@ def baseline_extract_rows(rows: List[tuple], name: str) -> List[dict]:
                  'error': traceback.format_exc(limit=3)[-1000:]}
         r['doc_id'] = doc_id
         out.append(r)
+    return out
+
+
+def fusable(names) -> list:
+    """The subset of baselines that can share one parse: labelers with no
+    HTML preprocessor (regex_cleaner rewrites the html BEFORE parsing, so
+    it legitimately needs its own segmentation)."""
+    return [n for n in names if BASELINES[n][0] is None]
+
+
+def baseline_extract_rows_multi(rows: List[tuple], names) -> List[dict]:
+    """[(doc_id, spans)] -> result rows for SEVERAL pre-free baselines
+    from ONE parse per doc (VERDICT r02 'What's wrong' #4: passthrough
+    and degraded consume the same segmentation, so paying two parses was
+    pure waste). ``_finalize_doc`` prunes destructively, so every labeler
+    but the last finalizes on an iterative tree clone (Node.clone_tree —
+    far cheaper than a re-parse); the last one consumes the original.
+    Output rows carry an ``extractor`` column."""
+    assert not [n for n in names if BASELINES[n][0] is not None], \
+        'only pre-free baselines can share a parse'
+    out = []
+    last = len(names) - 1
+    for doc_id, spans in rows:
+        try:
+            html = spans_to_html(spans)
+            root, blocks, _pre = _segment_doc(html)
+        except Exception:
+            tb = traceback.format_exc(limit=3)[-1000:]
+            for name in names:
+                out.append({'extractor': name, 'doc_id': doc_id,
+                            'spans': [], 'status': 'error', 'n_items': 0,
+                            'n_main': 0, 'error': tb})
+            continue
+        for i, name in enumerate(names):
+            labeler = BASELINES[name][1]
+            try:
+                if i < last:
+                    root2, node_map = root.clone_tree()
+                    r = _finalize_doc(root2, blocks, labeler(blocks),
+                                      'ok', node_map=node_map)
+                else:
+                    r = _finalize_doc(root, blocks, labeler(blocks), 'ok')
+            except Exception:
+                r = {'spans': [], 'status': 'error', 'n_items': 0,
+                     'n_main': 0,
+                     'error': traceback.format_exc(limit=3)[-1000:]}
+            r['extractor'] = name
+            r['doc_id'] = doc_id
+            out.append(r)
     return out

@@ -100,6 +100,32 @@ class Node:
                 return i
         raise ValueError('child not found')
 
+    # -- cloning -----------------------------------------------------------
+    def clone_tree(self) -> tuple:
+        """Deep-copy the subtree iteratively (no recursion, no deepcopy
+        overhead). Returns (new_root, node_map) where node_map maps
+        id(old_node) -> new_node, so callers holding references into the
+        old tree (e.g. Block.node) can re-anchor them in the copy. Lets k
+        destructive finalizations share ONE parse."""
+        new_root = Node(self.tag, dict(self.attrs))
+        new_root.item_id = self.item_id
+        node_map = {id(self): new_root}
+        stack = [(self, new_root)]
+        while stack:
+            old, new = stack.pop()
+            append = new.children.append
+            for c in old.children:
+                if isinstance(c, Node):
+                    nc = Node(c.tag, dict(c.attrs))
+                    nc.item_id = c.item_id
+                    nc.parent = new
+                    append(nc)
+                    node_map[id(c)] = nc
+                    stack.append((c, nc))
+                else:
+                    append(c)
+        return new_root, node_map
+
     # -- traversal ---------------------------------------------------------
     def iter(self) -> Iterator['Node']:
         """self + all descendant elements, document order (iterative —

@@ -146,10 +146,19 @@ def _segment_doc(html_str: str):
 
 
 def _finalize_doc(root, blocks, labels: Dict[int, str],
-                  status: str) -> dict:
-    """Stage 3: prune to main, unwrap run markers, emit spans."""
+                  status: str, node_map: Dict[int, object] = None) -> dict:
+    """Stage 3: prune to main, unwrap run markers, emit spans.
+
+    ``node_map`` (id(old)->new, from Node.clone_tree) re-anchors the
+    blocks' node references into a cloned tree, so several destructive
+    finalizations can share one parse (fused baseline labelings)."""
     n_items = len(blocks)
-    main_nodes = [b.node for b in blocks if labels.get(b.item_id) == MAIN]
+    if node_map is None:
+        main_nodes = [b.node for b in blocks
+                      if labels.get(b.item_id) == MAIN]
+    else:
+        main_nodes = [node_map[id(b.node)] for b in blocks
+                      if labels.get(b.item_id) == MAIN]
     if not main_nodes:
         return {'spans': [], 'status': STATUS_NO_MAIN,
                 'n_items': n_items, 'n_main': 0, 'error': ''}

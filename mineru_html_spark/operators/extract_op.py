@@ -91,3 +91,37 @@ def apply_baseline(docs: DataFrame, name: str) -> DataFrame:
                               'n_main', 'error'])
 
     return docs.mapInPandas(batch, BASELINE_SCHEMA)
+
+
+MULTI_BASELINE_SCHEMA = 'extractor string, ' + BASELINE_SCHEMA
+
+
+def apply_baselines_fused(docs: DataFrame, names) -> DataFrame:
+    """docs(doc_id, spans) -> results for SEVERAL pre-free baselines in
+    one fused stage: one parse per document, k labelings (clone-tree
+    finalization, core/baselines.baseline_extract_rows_multi). k result
+    rows per doc, tagged by the ``extractor`` column."""
+    from ..core.baselines import baseline_extract_rows_multi
+    names = tuple(names)
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(doc_id,
+                     [s if isinstance(s, dict) else dict(s) for s in spans])
+                    for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
+            results = baseline_extract_rows_multi(rows, names)
+            out = [{
+                'extractor': r['extractor'],
+                'doc_id': r['doc_id'],
+                'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                          for s in r['spans']],
+                'status': r['status'],
+                'n_items': r['n_items'],
+                'n_main': r['n_main'],
+                'error': r['error'],
+            } for r in results]
+            yield pd.DataFrame(
+                out, columns=['extractor', 'doc_id', 'spans', 'status',
+                              'n_items', 'n_main', 'error'])
+
+    return docs.mapInPandas(batch, MULTI_BASELINE_SCHEMA)

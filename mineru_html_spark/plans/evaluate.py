@@ -69,6 +69,8 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
     recall and poor precision by construction — any real extractor must
     dominate its F1, which the test suite asserts for the engine.
     """
+    from ..core.baselines import fusable
+
     seq = F.transform('spans', lambda s: F.struct(
         s['kind'].alias('kind'), s['text'].alias('text'),
         s['media_ref'].alias('media_ref')))
@@ -76,6 +78,18 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
         s['kind'].alias('kind'), s['text'].alias('text'),
         s['media_ref'].alias('media_ref')))
 
+    def _score(res, extractor_col):
+        return (res.join(truth, 'doc_id')
+                .where(F.size('truth_spans') > 0)
+                .select(extractor_col.alias('extractor'), 'doc_id',
+                        (seq == tseq).alias('strict_equal'),
+                        span_text('spans').alias('pred'),
+                        span_text('truth_spans').alias('gt')))
+
+    # scorer-free labelers that share a segmentation run as ONE fused
+    # stage (one parse per doc, clone-tree finalization); preprocessing
+    # baselines (regex_cleaner) and the engine keep their own pass
+    fused = fusable([n for n in extractors if n != 'engine'])
     frames = []
     for name in extractors:
         if name == 'engine':
@@ -83,15 +97,16 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
             # has one — never extract the same corpus twice in a process
             res = engine_results if engine_results is not None \
                 else apply_extract(docs)
+        elif name in fused:
+            if name != fused[0]:
+                continue               # whole fused group emitted at once
+            from ..operators.extract_op import apply_baselines_fused
+            frames.append(_score(apply_baselines_fused(docs, fused),
+                                 F.col('extractor')))
+            continue
         else:
             res = apply_baseline(docs, name)
-        j = (res.join(truth, 'doc_id')
-             .where(F.size('truth_spans') > 0)
-             .select(F.lit(name).alias('extractor'), 'doc_id',
-                     (seq == tseq).alias('strict_equal'),
-                     span_text('spans').alias('pred'),
-                     span_text('truth_spans').alias('gt')))
-        frames.append(j)
+        frames.append(_score(res, F.lit(name)))
     u = frames[0]
     for f in frames[1:]:
         u = u.unionByName(f)

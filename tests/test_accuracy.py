@@ -114,6 +114,28 @@ def test_engine_dominates_baselines(spark):
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
 
 
+def test_fused_baselines_equal_solo():
+    """The fused one-parse multi-labeling path (clone-tree finalization)
+    must produce byte-identical results to the pay-per-parse path for
+    every fused baseline — spans, status, counts."""
+    from mineru_html_spark.core.baselines import (baseline_extract_rows,
+                                                  baseline_extract_rows_multi)
+    from mineru_html_spark.core.synth import gen_doc
+    rows = [(d['doc_id'], d['spans']) for d in
+            (gen_doc(i) for i in range(0, 60))]
+    fused = baseline_extract_rows_multi(rows, ('passthrough', 'degraded'))
+    for name in ('passthrough', 'degraded'):
+        solo = baseline_extract_rows(rows, name)
+        got = [r for r in fused if r['extractor'] == name]
+        assert len(got) == len(solo)
+        for a, b in zip(got, solo):
+            assert a['doc_id'] == b['doc_id']
+            assert a['status'] == b['status']
+            assert a['n_items'] == b['n_items']
+            assert a['n_main'] == b['n_main']
+            assert a['spans'] == b['spans'], a['doc_id']
+
+
 def test_regex_cleaner_baseline_semantics():
     """T10 (ReaderLM pre-cleaner, reference imp.py:1162-1240): scripts,
     styles, meta/link tags and comments vanish; svg bodies and base64
