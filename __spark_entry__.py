@@ -438,6 +438,122 @@ def q_lang_by_script(spark, sf_dir):
     return tx.lang_id_by_script(docs)
 
 
+# PSL gate plants: one case per rule family (private-suffix, two-level
+# ICANN, exception, wildcard, deep private, default, www-strip composition)
+_PSL_PLANTS = (
+    (1, "'https://Docs.MyProject' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.GitHub.IO/x'"),
+    (2, "'http://WWW.Shop' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.Example.CO.UK/'"),
+    (3, "'http://a' || CAST(doc_id % 17 AS VARCHAR) || '.b.WWW.CK/'"),
+    (4, "'http://Foo' || CAST(doc_id % 17 AS VARCHAR) || '.Bar.CK/'"),
+    (5, "'https://myblog' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.BlogSpot.com/'"),
+    (6, "'http://data.example' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.s3.amazonaws.com/'"),
+    (7, "'http://deep.sub' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.host.co.nz/'"),
+    (0, "'http://www.portal' || CAST(doc_id % 17 AS VARCHAR)"
+        " || '.example.com/'"),
+)
+
+
+def q_psl_domains(spark, sf_dir):
+    """Registrable domain under FULL Public Suffix List semantics
+    (longest match, wildcard *.ck, exception !www.ck) from the committed
+    PSL snapshot — per-depth broadcast joins, zero shuffle (the scale
+    path crawl URL dedup keys on). Plants cover every rule family; the
+    oracle replays the same rules as VALUES joins in DuckDB."""
+    from mineru_html_spark.functions.urls import with_registrable_domain
+    d = F.col('doc_id')
+    k = (d % 17).cast('string')
+    cases = {
+        1: F.concat(F.lit('https://Docs.MyProject'), k,
+                    F.lit('.GitHub.IO/x')),
+        2: F.concat(F.lit('http://WWW.Shop'), k, F.lit('.Example.CO.UK/')),
+        3: F.concat(F.lit('http://a'), k, F.lit('.b.WWW.CK/')),
+        4: F.concat(F.lit('http://Foo'), k, F.lit('.Bar.CK/')),
+        5: F.concat(F.lit('https://myblog'), k, F.lit('.BlogSpot.com/')),
+        6: F.concat(F.lit('http://data.example'), k,
+                    F.lit('.s3.amazonaws.com/')),
+        7: F.concat(F.lit('http://deep.sub'), k, F.lit('.host.co.nz/')),
+        0: F.concat(F.lit('http://www.portal'), k, F.lit('.example.com/')),
+    }
+    url = None
+    for m, expr in cases.items():
+        url = F.when(d % 8 == m, expr) if url is None \
+            else url.when(d % 8 == m, expr)
+    docs = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    return with_registrable_domain(docs, 'url').select('doc_id', 'domain')
+
+
+def _psl_domains_oracle() -> str:
+    """DuckDB mirror of q_psl_domains: the same psl_rules() rows (single
+    source of truth) replayed as per-depth VALUES left joins, the same
+    exception-first / longest-match / wildcard-guard selection."""
+    from mineru_html_spark.functions.urls import psl_rules
+    rules = psl_rules()
+    depths = sorted({r['key_len'] for r in rules})
+
+    def v(x):
+        return 'CAST(NULL AS INT)' if x is None else str(x)
+
+    plants = '\n                '.join(
+        f"WHEN {m} THEN {expr}" for m, expr in _PSL_PLANTS)
+    joins, effs, excs = [], ['1'], []
+    for k in depths:
+        rows = ', '.join(
+            f"('{r['key']}', {v(r['norm_eff'])}, {v(r['wild_eff'])}, "
+            f"{v(r['exc_eff'])})"
+            for r in rules if r['key_len'] == k)
+        joins.append(
+            f"LEFT JOIN (VALUES {rows}) r{k}(k{k}, norm{k}, wild{k}, "
+            f"exc{k})\n                ON len(labels) >= {k} AND "
+            f"array_to_string(list_slice(labels, len(labels) - {k - 1}, "
+            f"len(labels)), '.') = r{k}.k{k}")
+        effs.append(f"coalesce(norm{k}, 1)")
+        effs.append(f"coalesce(CASE WHEN len(labels) >= wild{k} "
+                    f"THEN wild{k} END, 1)")
+        excs.append(f"exc{k}")
+    rule_cols = ', '.join(f"norm{k}, wild{k}, exc{k}" for k in depths)
+    exc_sql = ', '.join(reversed(excs))
+    eff_sql = ', '.join(effs)
+    join_sql = '\n              '.join(joins)
+    return f"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                {plants}
+                END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                  '^www\\.', '') AS host
+              FROM d),
+            l AS (
+              SELECT doc_id, host,
+                     regexp_split_to_array(host, '\\.') AS labels
+              FROM h),
+            j AS (
+              SELECT l.*, {rule_cols}
+              FROM l
+              {join_sql}),
+            p AS (
+              SELECT doc_id, host, labels,
+                coalesce(coalesce({exc_sql}),
+                         greatest({eff_sql})) AS psl_len
+              FROM j)
+            SELECT doc_id,
+                   CASE WHEN len(labels) <= psl_len THEN host
+                        ELSE array_to_string(list_slice(labels,
+                               len(labels) - psl_len, len(labels)), '.')
+                   END AS domain
+            FROM p
+        """
+
+
 def _lang_by_script_oracle() -> str:
     """DuckDB mirror of q_lang_by_script: same plants, same marker patterns
     (shared constants from functions.text), same cascaded-argmax decision
@@ -693,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'script_detect': q_script_detect,
         'lang_by_script': q_lang_by_script,
         'warc_extract': q_warc_extract,
+        'psl_domains': q_psl_domains,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -963,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         'lang_by_script': _lang_by_script_oracle(),
+        'psl_domains': _psl_domains_oracle(),
         'url_canon': """
             WITH d AS (
               SELECT doc_id,

@@ -13,13 +13,20 @@ documented so the policy is auditable):
   * fragment dropped;
   * trailing slash stripped from non-root paths.
 
-``registrable_domain`` is the public-suffix-list computation with the
-PSL replaced by its well-known two-level entries (co.uk, com.au, ...) —
-an approximation documented here rather than a silent dependency on a
-list this sandbox cannot fetch.
+Two registrable-domain implementations, by design:
+  * ``registrable_domain`` — the pure-column fast path (last-two labels,
+    extended to three for the well-known two-level suffixes). Zero joins;
+    right for the overwhelmingly common case and for Column contexts.
+  * ``with_registrable_domain`` — FULL Public Suffix List semantics
+    (longest match, ``*.`` wildcard and ``!`` exception rules) driven by
+    the committed PSL snapshot ``data/public_suffix_subset.dat``: per
+    rule-depth broadcast hash joins, so it costs zero shuffles and scales
+    to 10^12 URLs. Swap the .dat for the complete list in production.
 """
 
 from __future__ import annotations
+
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -87,6 +94,109 @@ def registrable_domain(url: Column) -> Column:
     is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
     return F.when(n <= 2, host).otherwise(
         F.when(is_two_level, last3).otherwise(last2))
+
+
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'data', 'public_suffix_subset.dat')
+_PSL_CACHE = None
+
+
+def psl_rules(path: str = None) -> list:
+    """Parse a publicsuffix.org-format file into merged match rows:
+    one dict per (key, key_len) with
+
+      key      — the rule's concrete labels ('*.'/'!' stripped), the join
+                 key against a host's last ``key_len`` labels;
+      norm_eff — public-suffix length when a normal rule matches;
+      wild_eff — length when a wildcard rule matches (guarded by
+                 n_host_labels >= wild_eff at match time);
+      exc_eff  — length when an exception rule matches (rule minus its
+                 leftmost label; beats every other rule, per PSL spec).
+
+    Single-label normal rules are dropped — they equal the implicit
+    default rule (public suffix = last label) and would only bloat the
+    broadcast."""
+    global _PSL_CACHE
+    if path is None:
+        if _PSL_CACHE is not None:
+            return _PSL_CACHE
+        path = _PSL_PATH
+    merged: dict = {}
+    with open(path, encoding='utf-8') as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith('//'):
+                continue
+            if ln.startswith('!'):
+                key = ln[1:]
+                kind, eff = 'exc_eff', key.count('.')      # len(labels)-1
+            elif ln.startswith('*.'):
+                key = ln[2:]
+                kind, eff = 'wild_eff', key.count('.') + 2
+            else:
+                key = ln
+                kind, eff = 'norm_eff', key.count('.') + 1
+                if eff == 1:
+                    continue
+            row = merged.setdefault(key, {'key': key,
+                                          'key_len': key.count('.') + 1,
+                                          'norm_eff': None,
+                                          'wild_eff': None,
+                                          'exc_eff': None})
+            row[kind] = eff if row[kind] is None else max(row[kind], eff)
+    out = sorted(merged.values(), key=lambda r: (r['key_len'], r['key']))
+    if path == _PSL_PATH:
+        _PSL_CACHE = out
+    return out
+
+
+def with_registrable_domain(df: DataFrame, url_col: str = 'url',
+                            out_col: str = 'domain') -> DataFrame:
+    """Append the PSL registrable domain of ``url_col`` (full semantics).
+
+    Scale shape: the PSL is tiny (≤15k rows), so matching is one
+    broadcast hash join per distinct rule depth (the snapshot has depths
+    1–3) on the host's last-k-labels string — no shuffle of the URL
+    table, no UDF, no explode. Selection: a matched exception rule wins
+    (longest first), else the longest matched normal/wildcard rule
+    (wildcards only when the host is deep enough), else the default rule
+    (public suffix = last label). Hosts that ARE a public suffix come
+    back as themselves (crawl-dedup convention; strict PSL says
+    'no registrable domain')."""
+    spark = df.sparkSession
+    rules = psl_rules()
+    host = F.regexp_replace(parse_url(F.col(url_col))['host'],
+                            r'^www\.', '')
+    labels = F.split(host, r'\.')
+    n = F.size(labels)
+    df = df.withColumn('_psl_host', host).withColumn('_psl_labels', labels)
+
+    depths = sorted({r['key_len'] for r in rules})
+    for k in depths:
+        rk = [r for r in rules if r['key_len'] == k]
+        rdf = spark.createDataFrame(
+            [(r['key'], r['norm_eff'], r['wild_eff'], r['exc_eff'])
+             for r in rk],
+            f'_k{k} string, _norm{k} int, _wild{k} int, _exc{k} int')
+        lastk = F.array_join(F.slice('_psl_labels', -k, k), '.')
+        df = df.join(F.broadcast(rdf),
+                     (n >= k) & (lastk == F.col(f'_k{k}')), 'left')
+
+    n = F.size('_psl_labels')
+    exc = F.coalesce(*[F.col(f'_exc{k}') for k in reversed(depths)])
+    cands = [F.lit(1)]
+    for k in depths:
+        cands.append(F.coalesce(F.col(f'_norm{k}'), F.lit(1)))
+        cands.append(F.coalesce(
+            F.when(n >= F.col(f'_wild{k}'), F.col(f'_wild{k}')), F.lit(1)))
+    psl_len = F.coalesce(exc, F.greatest(*cands))
+    domain = F.when(n <= psl_len, F.col('_psl_host')).otherwise(
+        F.array_join(F.slice('_psl_labels', -(psl_len + 1),
+                             psl_len + 1), '.'))
+    drop = ['_psl_host', '_psl_labels'] + \
+        [c for k in depths for c in (f'_k{k}', f'_norm{k}',
+                                     f'_wild{k}', f'_exc{k}')]
+    return df.withColumn(out_col, domain).drop(*drop)
 
 
 def url_dedup_groups(df: DataFrame, url_col: str = 'url') -> DataFrame:

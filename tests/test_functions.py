@@ -520,6 +520,39 @@ def test_url_canonicalization_rules(spark):
     assert groups['https://example.com/b'] == 1
 
 
+def test_psl_registrable_domain(spark):
+    """Full PSL semantics from the committed snapshot: longest match,
+    wildcard *.ck, exception !www.ck, private suffixes, default rule,
+    host-equals-public-suffix."""
+    from mineru_html_spark.functions.urls import (psl_rules,
+                                                  with_registrable_domain)
+    rules = {r['key']: r for r in psl_rules()}
+    # merged row: 'ck' carries only the wildcard (1-label normals dropped)
+    assert rules['ck'] == {'key': 'ck', 'key_len': 1, 'norm_eff': None,
+                           'wild_eff': 2, 'exc_eff': None}
+    assert rules['www.ck']['exc_eff'] == 1      # exception: psl = 'ck'
+    assert rules['github.io']['norm_eff'] == 2
+    assert rules['s3.amazonaws.com']['norm_eff'] == 3
+
+    cases = {
+        'https://Docs.MyProject.GitHub.IO/x': 'myproject.github.io',
+        'http://WWW.Shop.Example.CO.UK/': 'example.co.uk',
+        'http://a.b.WWW.CK/': 'www.ck',              # exception rule
+        'http://Foo.Bar.CK/': 'foo.bar.ck',          # wildcard rule
+        'https://myblog.BlogSpot.com/': 'myblog.blogspot.com',
+        'http://www.portal.example.com/': 'example.com',
+        'http://single/': 'single',
+        'http://bar.ck/': 'bar.ck',   # host == wildcard public suffix
+        'http://data.example.s3.amazonaws.com/': 'example.s3.amazonaws.com',
+        'http://deep.sub.host.co.nz/': 'host.co.nz',
+    }
+    df = spark.createDataFrame([(u,) for u in cases], 'url string')
+    got = {r['url']: r['domain']
+           for r in with_registrable_domain(df, 'url').collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+
 def test_script_profile_detection(spark):
     from mineru_html_spark.functions.text import script_profile
     rows = [
