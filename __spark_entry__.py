@@ -644,7 +644,10 @@ def q_normalize_text(spark, sf_dir):
     The corpus is ASCII, so every 7th doc gets planted combining
     sequences, a circled digit, a BEL control and a tab — all must
     normalize identically on both engines (md5 over the result)."""
-    junk = ' café ① \x07x\tend'
+    junk = (' café ① \x07x\tend\u00a0nb\u2028ls\u3000w')
+    # \u00a0 NBSP, \u2028 LINE SEPARATOR, \u3000 ideographic space:
+    # exactly the codepoints where Python \\s and RE2 \\s diverge —
+    # both engines collapse them via the ONE shared explicit class
     docs = _docs(spark, sf_dir).select(
         'doc_id',
         F.when(F.col('doc_id') % 7 == 0,
@@ -1140,13 +1143,14 @@ def oracle_sql() -> dict[str, str]:
                        AS domain
             FROM c
         """,
-        'normalize_text': """
+        'normalize_text': f"""
             WITH d AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 7 = 0
                           THEN text || ' cafe' || chr(769) || ' '
                                || chr(9312) || ' ' || chr(7) || 'x'
-                               || chr(9) || 'end'
+                               || chr(9) || 'end' || chr(160) || 'nb'
+                               || chr(8232) || 'ls' || chr(12288) || 'w'
                           ELSE text END AS text
               FROM documents),
             n AS (
@@ -1154,7 +1158,8 @@ def oracle_sql() -> dict[str, str]:
                      trim(regexp_replace(regexp_replace(
                        nfc_normalize(text),
                        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
-                       '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+                       '', 'g'), '{tx.WHITESPACE_CLASS_RE2}+', ' ', 'g'))
+                       AS norm_text
               FROM d)
             SELECT doc_id, md5(norm_text) AS norm_md5,
                    length(norm_text) AS n_chars_norm

@@ -157,6 +157,19 @@ def ngram_profile(documents: DataFrame, n: int = 5) -> DataFrame:
 # C0/C1 controls except \t \n \r (which the whitespace collapse handles)
 CONTROL_PATTERN = r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]'
 
+# ONE explicit whitespace class shared by the engine and the DuckDB
+# oracle: Python's \s is Unicode-aware (NBSP, U+2028, ideographic space)
+# while RE2's \s is ASCII-only — relying on either engine's builtin
+# silently diverges on non-ASCII whitespace. This is the Unicode
+# White_Space set minus the C0 controls the CONTROL_PATTERN strip already
+# removed (\x0B \x0C \x1C-\x1F \x85).
+WHITESPACE_CLASS = ('[\\t\\n\\r \\u00A0\\u1680\\u2000-\\u200A'
+                    '\\u2028\\u2029\\u202F\\u205F\\u3000]')
+# the same class in RE2 \x{...} syntax for the SQL oracle
+WHITESPACE_CLASS_RE2 = ('[\\t\\n\\r \\x{00A0}\\x{1680}'
+                        '\\x{2000}-\\x{200A}\\x{2028}\\x{2029}'
+                        '\\x{202F}\\x{205F}\\x{3000}]')
+
 # Unicode-script classes (Java regex \u escapes; the DuckDB oracle uses
 # RE2's \x{...} for the same ranges)
 SCRIPT_CLASSES = (
@@ -281,7 +294,11 @@ def normalize_text(documents: DataFrame,
     NFC runs via Python unicodedata inside an Arrow batch (Spark has no
     native NFC); the DuckDB oracle uses an INDEPENDENT implementation
     (ICU ``nfc_normalize``), so the driver gate cross-checks two NFC
-    engines against each other.
+    engines against each other. Whitespace collapses via the explicit
+    WHITESPACE_CLASS (NOT ``\\s`` — Python's is Unicode-aware, RE2's is
+    ASCII-only, and the divergence only shows on non-ASCII whitespace
+    like NBSP). After the collapse only ASCII spaces remain, so the
+    trailing strip/trim agrees across engines too.
     """
     import re as _re
     import unicodedata
@@ -289,7 +306,7 @@ def normalize_text(documents: DataFrame,
     import pandas as pd
 
     ctrl = _re.compile(CONTROL_PATTERN)
-    ws = _re.compile(r'\s+')
+    ws = _re.compile(WHITESPACE_CLASS + '+')
 
     def batch(it):
         for pdf in it:
