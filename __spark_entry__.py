@@ -721,6 +721,24 @@ def q_near_dup_clusters(spark, sf_dir):
                                 threshold_permille=800)
 
 
+def q_near_dup_clusters_star(spark, sf_dir):
+    """The same clustering through the BOUNDED-ROUND component finder:
+    alternating large-star/small-star (O(log^2 n) rounds regardless of
+    cluster diameter — the variant a pathological 10^12-edge graph
+    needs). Its oracle is hash-min's committed output, so the driver
+    gate literally certifies the two algorithms agree on the same
+    pipeline (plus the pytest equivalence suite vs a union-find oracle
+    and a planted 1000-node chain)."""
+    from pyspark.sql.window import Window
+    verified = dd.minhash_dedup(_docs(spark, sf_dir), 3, 800,
+                                64, 16).select('a', 'b')
+    comp = dd.connected_components_star(verified)
+    size = Window.partitionBy('cluster_id')
+    return comp.select(
+        'doc_id', 'cluster_id',
+        F.count('*').over(size).alias('cluster_size'))
+
+
 def q_baseline_eval(spark, sf_dir):
     """Baseline comparators through one eval job (reference floor pattern,
     imp.py:1474-1507): engine vs passthrough (whole-body span-ization
@@ -806,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'heldout_accuracy': q_heldout_accuracy,
         'baseline_eval': q_baseline_eval,
         'near_dup_clusters': q_near_dup_clusters,
+        'near_dup_clusters_star': q_near_dup_clusters_star,
         'approx_distinct_users': q_approx_distinct_users,
         'normalize_text': q_normalize_text,
         'url_canon': q_url_canon,
@@ -863,6 +882,11 @@ def oracle_sql() -> dict[str, str]:
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')
     }
+    # the star-CC twin is value-checked against HASH-MIN's committed
+    # output — the gate itself certifies the two component algorithms
+    # agree, not just that each is self-consistent
+    oracles['near_dup_clusters_star'] = \
+        _expected_parquet('near_dup_clusters')
     oracles.update({
         "token_count_bpe": f"""
             SELECT doc_id,

