@@ -712,6 +712,41 @@ def q_seq_pack(spark, sf_dir):
                           bucket=F.col('doc_id') % 64)
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary profile: top-100 words by occurrence (ties broken by
+    word) with per-word document frequency — explode, map-side partial
+    agg, TakeOrdered top-k (no global sort)."""
+    from mineru_html_spark.functions.corpus import vocab_topk
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (corpus mixing): per-source
+    permille rates derived from a fixed rule (100 + 137*(len(source)%5)),
+    selection by salted md5 key — rerun/engine/cluster-size invariant,
+    which is what makes sampling value-checkable at all. The rate dim is
+    collected (20 rows) then broadcast-joined; the fact table never
+    shuffles."""
+    from mineru_html_spark.functions.corpus import stratified_sample
+    docs = _docs(spark, sf_dir)
+    sources = [r['source'] for r in docs.select('source')
+               .distinct().collect()]
+    rates = {s: 100 + 137 * (len(s) % 5) for s in sources}
+    out = stratified_sample(docs, rates, key_col='doc_id',
+                            stratum_col='source', salt='s1')
+    return out.select('doc_id', 'source')
+
+
+def q_dup_doc_filter(spark, sf_dir):
+    """C4/RefinedWeb document-level boilerplate filter: per-doc fraction
+    of distinct 3-grams that are corpus-duplicated (>= 3 docs), with the
+    keep decision at 500 permille. Hash-only shuffles; short docs keep
+    (no shingles = no evidence)."""
+    from mineru_html_spark.functions.corpus import dup_shingle_fraction
+    return dup_shingle_fraction(_docs(spark, sf_dir), n=3, min_docs=3,
+                                max_dup_permille=500)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: LSH candidates -> exact-Jaccard verify ->
     iterative connected components (hash-min label propagation; the
@@ -835,6 +870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
+        'vocab_topk': q_vocab_topk,
+        'stratified_sample': q_stratified_sample,
+        'dup_doc_filter': q_dup_doc_filter,
     }
 
 
@@ -1243,6 +1281,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens,
                    cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
+        """,
+        'vocab_topk': f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WORDS_AZ09}) AS word
+              FROM documents)
+            SELECT word, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY word
+            ORDER BY n_occ DESC, word ASC LIMIT 100
+        """,
+        'stratified_sample': """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substring(
+                    md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8))
+                  AS BIGINT) % 1000
+                  < 100 + 137 * (length(source) % 5)
+        """,
+        'dup_doc_filter': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, md5(unnest({_SHINGLES3})) AS sh FROM w),
+            dup AS (
+              SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 3),
+            tot AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            nd AS (
+              SELECT sh.doc_id, count(*) AS n_dup
+              FROM sh JOIN dup USING (sh) GROUP BY 1),
+            r AS (
+              SELECT d.doc_id,
+                     coalesce(t.n_shingles, 0) AS n_shingles,
+                     coalesce(nd.n_dup, 0) AS n_dup
+              FROM documents d
+              LEFT JOIN tot t USING (doc_id)
+              LEFT JOIN nd USING (doc_id))
+            SELECT doc_id, n_shingles, n_dup,
+                   CASE WHEN n_shingles = 0 THEN 0
+                        ELSE CAST(floor(1000 * n_dup / n_shingles)
+                                  AS BIGINT) END AS dup_permille,
+                   CASE WHEN n_shingles = 0 THEN true
+                        ELSE floor(1000 * n_dup / n_shingles) <= 500
+                   END AS keep
+            FROM r
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

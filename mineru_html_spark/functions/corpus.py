@@ -1,6 +1,6 @@
 """Corpus-level training-data operators (beyond the reference).
 
-Three operations every LLM-corpus pipeline runs at 100 TB, expressed
+Operations every LLM-corpus pipeline runs at 100 TB, expressed
 native-first so Catalyst keeps them in whole-stage codegen:
 
   * ``duplicated_ngrams`` — cross-document boilerplate n-gram detection
@@ -104,3 +104,99 @@ def pack_sequences(documents: DataFrame, budget: int = 2048,
             .select('doc_id', 'bucket', 'n_tokens',
                     F.expr(f'(cum - n_tokens) div {budget}')
                      .alias('pack_id')))
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """(word, n_occ, n_docs) for the k most frequent words — vocabulary
+    profiling (tokenizer training, stopword discovery, corpus drift
+    checks). Deterministic order: (n_occ desc, word asc).
+
+    Scale shape: explode → hash-aggregate with MAP-SIDE partial
+    aggregation (the shuffle carries one row per distinct word per task,
+    not per occurrence), then a TakeOrdered top-k — no global sort.
+    n_docs rides the same aggregate via count(distinct doc_id)."""
+    ex = (documents.select('doc_id', F.explode(_words()).alias('word')))
+    agg = (ex.groupBy('word')
+           .agg(F.count('*').alias('n_occ'),
+                F.countDistinct('doc_id').alias('n_docs')))
+    return agg.orderBy(F.desc('n_occ'), F.asc('word')).limit(k)
+
+
+def sample_key(col: Column, salt: str = 's1') -> Column:
+    """Deterministic, engine-portable sampling key in [0, 1000):
+    md5-derived (NOT xxhash64/rand — md5 is bit-identical in Spark and
+    DuckDB, and a salted hash key means the same doc is kept or dropped
+    on every engine, every rerun, every cluster size)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(col.cast('string'), F.lit(':' + salt))),
+        1, 8), 16, 10).cast('long')
+    return F.pmod(h, F.lit(1000))
+
+
+def stratified_sample(documents: DataFrame, rates: dict,
+                      key_col: str = 'doc_id',
+                      stratum_col: str = 'source',
+                      default_permille: int = 0,
+                      salt: str = 's1') -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its salted hash
+    key falls under its stratum's permille rate (``rates``:
+    stratum -> permille). The per-stratum rate table broadcasts (tiny
+    dim); selection is a pure filter — no shuffle of the fact table, and
+    reruns/engines agree row-for-row (the property `df.sample()` cannot
+    give a correctness gate). Corpus mixing ("2x wikipedia, 0.3x
+    crawl") is this exact operator at 100 TB."""
+    spark = documents.sparkSession
+    rdf = spark.createDataFrame(
+        [(s, int(p)) for s, p in sorted(rates.items())],
+        f'{stratum_col} string, _rate int')
+    out = (documents
+           .join(F.broadcast(rdf), stratum_col, 'left')
+           .withColumn('_rate', F.coalesce('_rate',
+                                           F.lit(default_permille)))
+           .withColumn('_skey', sample_key(F.col(key_col), salt)))
+    return (out.where(F.col('_skey') < F.col('_rate'))
+            .drop('_skey', '_rate'))
+
+
+def dup_shingle_fraction(documents: DataFrame, n: int = 3,
+                         min_docs: int = 3,
+                         max_dup_permille: int = 500) -> DataFrame:
+    """(doc_id, n_shingles, n_dup, dup_permille, keep): per-document
+    fraction of distinct word-n-grams that are corpus-duplicated
+    (appear in >= min_docs docs) — the C4/RefinedWeb document-level
+    boilerplate filter built on ``duplicated_ngrams``.
+
+    Scale shape: shingles are md5-hashed row-local; the duplicated set
+    comes from one hash-only aggregate; membership is a semi-join on the
+    32-byte hash (never text); the per-doc rollup partial-aggregates
+    map-side. Docs with < n words have no shingles and keep=true
+    (no evidence of boilerplate)."""
+    docs = documents.select('doc_id', _words().alias('w'))
+    shingles = F.when(
+        F.size('w') < n, F.array()
+    ).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size('w') - n),
+            lambda i: F.array_join(F.slice('w', i + 1, n), ' '))))
+    per_doc = docs.select(
+        'doc_id', F.explode_outer(shingles).alias('s'))
+    per_doc = per_doc.select('doc_id', F.md5('s').alias('sh'))
+    # one shingling definition feeds both the corpus-level dup aggregate
+    # and the membership join; rows are per-doc-distinct, so count(*)
+    # counts documents (same semantics as duplicated_ngrams) and the
+    # groupBy exchange on sh is reusable by the join
+    dup = (per_doc.where(F.col('sh').isNotNull())
+           .groupBy('sh').agg(F.count('*').alias('_n'))
+           .where(F.col('_n') >= min_docs)
+           .select('sh', F.lit(1).alias('_dup')))
+    j = per_doc.join(dup, 'sh', 'left')
+    agg = (j.groupBy('doc_id')
+           .agg(F.count('sh').alias('n_shingles'),
+                F.count('_dup').alias('n_dup')))
+    permille = F.when(F.col('n_shingles') == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(1000) * F.col('n_dup') / F.col('n_shingles'))
+         .cast('long'))
+    return agg.select(
+        'doc_id', 'n_shingles', 'n_dup',
+        permille.alias('dup_permille'),
+        (permille <= max_dup_permille).alias('keep'))

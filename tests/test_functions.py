@@ -516,6 +516,66 @@ def test_near_dup_clusters_transitive(spark, docs_df):
     assert 4 not in rows and 5 not in rows       # non-dups absent
 
 
+def test_vocab_topk(spark):
+    from mineru_html_spark.functions.corpus import vocab_topk
+    df = spark.createDataFrame(
+        [(1, 'alpha beta alpha'), (2, 'beta gamma'), (3, 'alpha zeta')],
+        'doc_id long, text string')
+    rows = vocab_topk(df, k=2).collect()
+    assert [(r['word'], r['n_occ'], r['n_docs']) for r in rows] == \
+        [('alpha', 3, 2), ('beta', 2, 2)]
+    # tie at the boundary breaks by word asc
+    rows3 = vocab_topk(df, k=3).collect()
+    assert rows3[2]['word'] == 'gamma'    # gamma(1) < zeta(1) lexically
+
+
+def test_stratified_sample_deterministic(spark):
+    from mineru_html_spark.functions.corpus import (sample_key,
+                                                    stratified_sample)
+    df = spark.createDataFrame(
+        [(i, 'a' if i % 2 == 0 else 'bb') for i in range(2000)],
+        'doc_id long, source string')
+    rates = {'a': 250, 'bb': 1000}
+    s1 = {r['doc_id'] for r in stratified_sample(df, rates).collect()}
+    s2 = {r['doc_id'] for r in stratified_sample(df, rates).collect()}
+    assert s1 == s2                       # rerun-identical, unlike sample()
+    b = {i for i in s1 if i % 2 == 1}
+    a = s1 - b
+    assert len(b) == 1000                 # rate 1000 keeps everything
+    assert 150 <= len(a) <= 350           # ~25% of 1000
+    # unknown stratum drops by default
+    df2 = spark.createDataFrame([(1, 'zz')], 'doc_id long, source string')
+    assert stratified_sample(df2, rates).count() == 0
+    # different salt -> different (still deterministic) subset
+    s3 = {r['doc_id']
+          for r in stratified_sample(df, rates, salt='s2').collect()}
+    assert {i for i in s3 if i % 2 == 1} == b
+    assert (s3 - b) != a
+    # the key itself is stable and in range
+    ks = df.select(sample_key(F.col('doc_id')).alias('k')).collect()
+    assert all(0 <= r['k'] < 1000 for r in ks)
+
+
+def test_dup_shingle_fraction(spark):
+    from mineru_html_spark.functions.corpus import dup_shingle_fraction
+    boiler = 'subscribe to our newsletter for updates'
+    docs = [(i, f'unique words {i} alpha{i} beta{i} gamma{i} ' + boiler)
+            for i in range(5)]
+    docs += [(10, 'completely fresh text about owls and rivers today'),
+             (11, 'hi')]                  # short doc: no shingles
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in
+            dup_shingle_fraction(df, n=3, min_docs=3,
+                                 max_dup_permille=300).collect()}
+    assert len(rows) == 7                 # every doc present
+    for i in range(5):
+        # 4 boilerplate 3-grams of 10 total: exactly 400 permille
+        assert rows[i]['n_dup'] == 4
+        assert rows[i]['dup_permille'] == 400 and not rows[i]['keep']
+    assert rows[10]['n_dup'] == 0 and rows[10]['keep']
+    assert rows[11]['n_shingles'] == 0 and rows[11]['keep']
+
+
 def test_approx_distinct_within_relative_error(spark):
     """HLL++ daily distinct users (rsd=0.02) must land within 5% of the
     exact count on the real events table — the accuracy contract that
