@@ -79,6 +79,39 @@ def main():
         trimmed(plan_of(entry.q_events_hourly(spark, SF)),
                 [r'HashAggregate|Exchange|Scan'])))
 
+    sections.append((
+        'PSL registrable domain (per-depth broadcast rule joins)',
+        'Full public-suffix semantics as three BroadcastHashJoins on the '
+        'host\'s last-k-labels key — the URL table itself never '
+        'exchanges; swapping in the complete 15k-rule list changes '
+        'nothing in the plan.',
+        trimmed(plan_of(entry.q_psl_domains(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|Scan|Project'])))
+
+    sections.append((
+        'Per-script language ID (single codegen projection)',
+        'Router + four script-local models fold into ONE whole-stage-'
+        'codegen Project over the scan — no self-join, no UDF, no '
+        'exchange.',
+        trimmed(plan_of(entry.q_lang_by_script(spark, SF)),
+                [r'WholeStageCodegen|Project|Scan'], max_lines=8)))
+
+    sections.append((
+        'Vocabulary top-k (partial agg + TakeOrdered)',
+        'Explode feeds a map-side partial HashAggregate; the exchange '
+        'carries one row per distinct word per task; TakeOrderedAndProject '
+        'replaces any global sort.',
+        trimmed(plan_of(entry.q_vocab_topk(spark, SF)),
+                [r'TakeOrdered|HashAggregate|Exchange|Generate|Scan'])))
+
+    sections.append((
+        'Deterministic stratified sampling (broadcast rate dim + filter)',
+        'The per-stratum rate table broadcasts; selection is a pure '
+        'filter on the salted md5 key — the fact table never shuffles '
+        'and reruns keep identical rows.',
+        trimmed(plan_of(entry.q_stratified_sample(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|Filter|Scan'])))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
