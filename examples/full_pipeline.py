@@ -5,12 +5,15 @@ MinerU-HTML user runs today, expressed as one Spark job chain:
      here per the sandbox rule)
   2. extract main content (fused Arrow-UDF stage, skew-salted)
   3. quality-gate the extracted text (per-rule drop reasons)
-  4. exact-dedup on content fingerprint (first-wins)
-  5. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
+  4. language-route (script router + per-script models) and apply the
+     training-mix: deterministic stratified sampling by language
+  5. exact-dedup on content fingerprint (first-wins)
+  6. document-level boilerplate filter (duplicated-3-gram fraction)
+  7. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
      components); keep one doc per cluster (min doc_id)
-  6. scrub PII
-  7. pack survivors into fixed token-budget training sequences
-  8. write results + a survivors manifest
+  8. scrub PII
+  9. pack survivors into fixed token-budget training sequences
+ 10. write results + a survivors manifest
 
 Run:  python examples/full_pipeline.py [n_docs] [out_dir]
 """
@@ -26,11 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 
-def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048):
-    from mineru_html_spark.functions.corpus import pack_sequences, pii_scrub
+def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
+                 lang_mix: dict | None = None):
+    from mineru_html_spark.functions.corpus import (dup_shingle_fraction,
+                                                    pack_sequences,
+                                                    pii_scrub,
+                                                    stratified_sample)
     from mineru_html_spark.functions.dedup import (exact_dedup_groups,
                                                    near_dup_clusters)
-    from mineru_html_spark.functions.text import quality_gate
+    from mineru_html_spark.functions.text import (lang_id_by_script,
+                                                  quality_gate)
     from mineru_html_spark.plans.evaluate import span_text
     from mineru_html_spark.plans.job import run_extraction
 
@@ -48,13 +56,27 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048):
     kept = (corpus.join(gate.where('keep').select('doc_id'), 'doc_id',
                         'left_semi'))
 
-    # 4. exact dedup: keep each fingerprint's first doc
+    # 4. language routing + training-mix control: per-language keep
+    #    rates via deterministic (rerun-identical) hash sampling
+    lang_mix = lang_mix or {'en': 1000, 'und': 500}
+    langs = lang_id_by_script(kept).select('doc_id', 'lang')
+    kept = stratified_sample(kept.join(langs, 'doc_id'), lang_mix,
+                             stratum_col='lang').drop('lang')
+
+    # 5. exact dedup: keep each fingerprint's first doc
     groups = exact_dedup_groups(kept)
     kept = kept.join(
         groups.select(F.col('keeper_doc_id').alias('doc_id')),
         'doc_id', 'left_semi')
 
-    # 5. near-dup clusters: drop every member that is not its cluster's
+    # 6. document-level boilerplate filter: drop docs dominated by
+    #    corpus-duplicated 3-grams (C4/RefinedWeb policy)
+    frac = dup_shingle_fraction(kept, n=3, min_docs=3,
+                                max_dup_permille=900)
+    kept = kept.join(frac.where('keep').select('doc_id'), 'doc_id',
+                     'left_semi')
+
+    # 7. near-dup clusters: drop every member that is not its cluster's
     #    canonical keeper (min doc_id)
     clusters = near_dup_clusters(kept.withColumn(
         'doc_id', F.xxhash64('doc_id')).select('doc_id', 'text'))
@@ -64,15 +86,15 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048):
             .join(losers.withColumnRenamed('doc_id', 'k'), 'k',
                   'left_anti').drop('k'))
 
-    # 6. PII scrub
+    # 8. PII scrub
     clean = pii_scrub(kept).select(
         'doc_id', F.col('scrubbed').alias('text'),
         'n_emails', 'n_ips', 'n_phones')
 
-    # 7. pack into training sequences
+    # 9. pack into training sequences
     packed = pack_sequences(clean, budget=token_budget)
 
-    # 8. write: extraction results, survivors, pack manifest
+    # 10. write: extraction results, survivors, pack manifest
     results.write.mode('overwrite').parquet(os.path.join(out_dir, 'extracted'))
     clean.write.mode('overwrite').parquet(os.path.join(out_dir, 'survivors'))
     packed.write.mode('overwrite').parquet(os.path.join(out_dir, 'packs'))
