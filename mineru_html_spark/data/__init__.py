@@ -1,0 +1,2 @@
+"""Namespace marker so importlib.resources can resolve the committed
+data files (PSL snapshot) from a --py-files zip deployment."""

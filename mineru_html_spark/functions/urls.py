@@ -101,6 +101,18 @@ _PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(
 _PSL_CACHE = None
 
 
+def _read_default_psl() -> str:
+    """The committed snapshot, readable BOTH from a checkout and from a
+    --py-files zip deployment (where open() on a path inside the archive
+    fails; importlib.resources resolves through the zip importer)."""
+    if os.path.exists(_PSL_PATH):
+        with open(_PSL_PATH, encoding='utf-8') as f:
+            return f.read()
+    from importlib import resources
+    return (resources.files('mineru_html_spark.data')
+            .joinpath('public_suffix_subset.dat').read_text('utf-8'))
+
+
 def psl_rules(path: str = None) -> list:
     """Parse a publicsuffix.org-format file into merged match rows:
     one dict per (key, key_len) with
@@ -117,35 +129,38 @@ def psl_rules(path: str = None) -> list:
     default rule (public suffix = last label) and would only bloat the
     broadcast."""
     global _PSL_CACHE
-    if path is None:
+    default = path is None
+    if default:
         if _PSL_CACHE is not None:
             return _PSL_CACHE
-        path = _PSL_PATH
+        text = _read_default_psl()
+    else:
+        with open(path, encoding='utf-8') as f:
+            text = f.read()
     merged: dict = {}
-    with open(path, encoding='utf-8') as f:
-        for ln in f:
-            ln = ln.strip()
-            if not ln or ln.startswith('//'):
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith('//'):
+            continue
+        if ln.startswith('!'):
+            key = ln[1:]
+            kind, eff = 'exc_eff', key.count('.')          # len(labels)-1
+        elif ln.startswith('*.'):
+            key = ln[2:]
+            kind, eff = 'wild_eff', key.count('.') + 2
+        else:
+            key = ln
+            kind, eff = 'norm_eff', key.count('.') + 1
+            if eff == 1:
                 continue
-            if ln.startswith('!'):
-                key = ln[1:]
-                kind, eff = 'exc_eff', key.count('.')      # len(labels)-1
-            elif ln.startswith('*.'):
-                key = ln[2:]
-                kind, eff = 'wild_eff', key.count('.') + 2
-            else:
-                key = ln
-                kind, eff = 'norm_eff', key.count('.') + 1
-                if eff == 1:
-                    continue
-            row = merged.setdefault(key, {'key': key,
-                                          'key_len': key.count('.') + 1,
-                                          'norm_eff': None,
-                                          'wild_eff': None,
-                                          'exc_eff': None})
-            row[kind] = eff if row[kind] is None else max(row[kind], eff)
+        row = merged.setdefault(key, {'key': key,
+                                      'key_len': key.count('.') + 1,
+                                      'norm_eff': None,
+                                      'wild_eff': None,
+                                      'exc_eff': None})
+        row[kind] = eff if row[kind] is None else max(row[kind], eff)
     out = sorted(merged.values(), key=lambda r: (r['key_len'], r['key']))
-    if path == _PSL_PATH:
+    if default:
         _PSL_CACHE = out
     return out
 

@@ -1,0 +1,38 @@
+"""Deployment packaging: the --py-files zip must carry the committed
+data files and the loaders must resolve them THROUGH the zip importer
+(plain open() on a path inside an archive fails on executors)."""
+
+import os
+import subprocess
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_zip_contains_data_and_loads_psl(tmp_path):
+    out = subprocess.run([sys.executable,
+                          os.path.join(ROOT, 'tools', 'package.py')],
+                         capture_output=True, text=True, check=True)
+    zip_path = out.stdout.strip().splitlines()[-1]
+    names = set(zipfile.ZipFile(zip_path).namelist())
+    assert 'mineru_html_spark/data/public_suffix_subset.dat' in names
+    assert 'mineru_html_spark/data/__init__.py' in names
+    assert 'mineru_html_spark/functions/urls.py' in names
+
+    # import the package FROM THE ZIP ONLY (cwd elsewhere, repo not on
+    # sys.path) and parse the PSL through importlib.resources
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from mineru_html_spark.functions.urls import psl_rules\n"
+        "rules = psl_rules()\n"
+        "keys = {r['key'] for r in rules}\n"
+        "assert 'github.io' in keys and 'co.uk' in keys, keys\n"
+        "assert any(r['wild_eff'] for r in rules)\n"
+        "assert any(r['exc_eff'] for r in rules)\n"
+        "print('ZIP_PSL_OK', len(rules))\n" % zip_path)
+    r = subprocess.run([sys.executable, '-c', probe], cwd=str(tmp_path),
+                       capture_output=True, text=True,
+                       env={**os.environ, 'PYTHONPATH': ''})
+    assert r.returncode == 0, r.stderr
+    assert 'ZIP_PSL_OK' in r.stdout
