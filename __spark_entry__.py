@@ -59,6 +59,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
 
 
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -747,6 +751,127 @@ def q_dup_doc_filter(spark, sf_dir):
                                 max_dup_permille=500)
 
 
+def q_asof_purchase(spark, sf_dir):
+    """AS-OF join (most recent purchase at or before each click, per
+    user) — Spark has no ASOF primitive; this is the union +
+    carry-forward-window encoding (ONE shuffle on user_id, no range-join
+    explosion). The oracle is DuckDB's NATIVE ASOF JOIN — a fully
+    independent implementation of the semantics. Right side is
+    pre-aggregated to one row per (user, ts) (max event_id wins) so the
+    pick is well-defined on both engines; NULL attachments surface as
+    -1 (a BIGINT column with NULLs would downcast to float64 in the
+    driver's pandas fetch)."""
+    from mineru_html_spark.functions.relational import asof_join
+    ev = _events(spark, sf_dir).withColumn(
+        'epoch', F.unix_timestamp('ts').cast('long'))
+    clicks = ev.where("event_type = 'click'").select(
+        'event_id', 'user_id', 'epoch')
+    purchases = (ev.where("event_type = 'purchase'")
+                 .groupBy('user_id', 'epoch')
+                 .agg(F.max('event_id').alias('p_event_id'),
+                      F.round(F.max_by('value', 'event_id') * 1000)
+                       .cast('long').alias('p_value_milli')))
+    j = asof_join(clicks, purchases, by='user_id', ts='epoch',
+                  value_cols=['p_event_id', 'p_value_milli'])
+    return j.select(
+        'event_id', 'user_id',
+        F.col('epoch').alias('click_epoch'),
+        F.coalesce('p_event_id_asof', F.lit(-1)).alias('purchase_event_id'),
+        F.coalesce('p_value_milli_asof', F.lit(-1))
+         .alias('purchase_value_milli'))
+
+
+def q_rolling_value_7d(spark, sf_dir):
+    """Event-time rolling 7-day sum of value per user (RANGE window
+    frame: same-timestamp peers included on both engines, so the result
+    is intra-timestamp-order independent)."""
+    from mineru_html_spark.functions.relational import rolling_sum
+    ev = _events(spark, sf_dir).select(
+        'event_id', 'user_id',
+        F.unix_timestamp('ts').cast('long').alias('epoch'),
+        F.round(F.col('value') * 1000).cast('long').alias('value_milli'))
+    out = rolling_sum(ev, by='user_id', epoch_col='epoch',
+                      value_col='value_milli', window_sec=7 * 86400,
+                      out_col='roll_milli')
+    return out.select('event_id', 'user_id', 'epoch', 'roll_milli')
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 analog (pricing summary): the canonical scan-heavy
+    aggregate. Money lands in integer centi-units per ROW before any
+    aggregation, so the sums are exact and engine-portable; the scan
+    reads only the 7 needed columns of lineitem with the shipdate filter
+    pushed down."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate <= timestamp '2000-12-01 00:00:00'")
+    centi = lambda c: F.round(c * 100).cast('long')
+    disc = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    return (li.groupBy('l_returnflag', 'l_linestatus')
+            .agg(F.sum(centi(F.col('l_quantity'))).alias('sum_qty_centi'),
+                 F.sum(centi(F.col('l_extendedprice')))
+                  .alias('sum_base_centi'),
+                 F.sum(centi(disc)).alias('sum_disc_centi'),
+                 F.sum(centi(disc * (1 + F.col('l_tax'))))
+                  .alias('sum_charge_centi'),
+                 F.count('*').alias('n_rows'))
+            .orderBy('l_returnflag', 'l_linestatus'))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): top-10 open-order revenue.
+    The 1.5k-row filtered customer dim BROADCASTS into the
+    lineitem⨝orders join; top-k is TakeOrdered (no global sort), ties
+    broken by orderkey."""
+    cust = _table(spark, sf_dir, 'customer').where(
+        "c_mktsegment = 'BUILDING'").select('c_custkey')
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate < timestamp '1998-01-01 00:00:00'").select(
+        'o_orderkey', 'o_custkey', 'o_orderdate', 'o_orderpriority')
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate > timestamp '1998-01-01 00:00:00'").select(
+        'l_orderkey', 'l_extendedprice', 'l_discount')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy('l_orderkey',
+                      F.unix_timestamp('o_orderdate').cast('long')
+                       .alias('orderdate_epoch'),
+                      'o_orderpriority')
+            .agg(F.sum(rev).alias('revenue_centi'))
+            .orderBy(F.desc('revenue_centi'), F.asc('l_orderkey'))
+            .limit(10))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 analog (local-supplier volume): the 6-table star join.
+    Every dimension (region→nation→customer, supplier) broadcasts; the
+    fact table (lineitem) joins without ever shuffling until the final
+    25-group aggregate."""
+    region = _table(spark, sf_dir, 'region').where("r_name = 'ASIA'")
+    nation = _table(spark, sf_dir, 'nation')
+    cust = _table(spark, sf_dir, 'customer')
+    supp = _table(spark, sf_dir, 'supplier')
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1998-01-01 00:00:00'")
+    li = _table(spark, sf_dir, 'lineitem')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    nat = (nation.join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+           .select('n_nationkey', 'n_name'))
+    j = (li
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp),
+               (li.l_suppkey == supp.s_suppkey)
+               & (cust.c_nationkey == supp.s_nationkey))
+         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey))
+    return (j.groupBy('n_name').agg(F.sum(rev).alias('revenue_centi'))
+            .orderBy(F.desc('revenue_centi'), F.asc('n_name')))
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: LSH candidates -> exact-Jaccard verify ->
     iterative connected components (hash-min label propagation; the
@@ -873,6 +998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vocab_topk': q_vocab_topk,
         'stratified_sample': q_stratified_sample,
         'dup_doc_filter': q_dup_doc_filter,
+        'asof_purchase': q_asof_purchase,
+        'rolling_value_7d': q_rolling_value_7d,
+        'tpch_q1': q_tpch_q1,
+        'tpch_q3': q_tpch_q3,
+        'tpch_q5': q_tpch_q5,
     }
 
 
@@ -1324,6 +1454,83 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(1000 * n_dup / n_shingles) <= 500
                    END AS keep
             FROM r
+        """,
+        'asof_purchase': """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     cast(floor(epoch(ts)) AS BIGINT) AS epoch,
+                     event_type, value
+              FROM events),
+            c AS (SELECT event_id, user_id, epoch FROM e
+                  WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch,
+                         max(event_id) AS p_event_id,
+                         cast(round(arg_max(value, event_id) * 1000)
+                              AS BIGINT) AS p_value_milli
+                  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id, c.epoch AS click_epoch,
+                   coalesce(p.p_event_id, -1) AS purchase_event_id,
+                   coalesce(p.p_value_milli, -1) AS purchase_value_milli
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.epoch >= p.epoch
+        """,
+        'rolling_value_7d': """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     cast(floor(epoch(ts)) AS BIGINT) AS epoch,
+                     cast(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events)
+            SELECT event_id, user_id, epoch,
+                   cast(SUM(value_milli) OVER (
+                        PARTITION BY user_id ORDER BY epoch
+                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_milli
+            FROM e
+        """,
+        'tpch_q1': """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_centi,
+                   cast(sum(cast(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_centi,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS sum_disc_centi,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                        * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                        AS sum_charge_centi,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        'tpch_q3': """
+            SELECT l_orderkey,
+                   cast(floor(epoch(o_orderdate)) AS BIGINT)
+                       AS orderdate_epoch,
+                   o_orderpriority,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_centi
+            FROM lineitem, orders, customer
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_centi DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        'tpch_q5': """
+            SELECT n_name,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_centi
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

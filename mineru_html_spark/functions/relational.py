@@ -1,0 +1,62 @@
+"""Relational time-series operators Spark lacks as primitives.
+
+``asof_join`` — the "most recent right row at or before the left row's
+timestamp" join (market-data/event-attribution semantics). Spark has no
+ASOF JOIN; the naive encoding (range join + row_number) explodes to a
+cross-product per key before pruning. The scalable encoding used here is
+union + carry-forward: tag both sides, union, and carry the last right
+row forward over a (key, ts)-ordered window — ONE shuffle on the key,
+no range join, no explosion, O(n log n) per key regardless of how many
+left rows share a right row. The DuckDB oracle cross-checks against a
+genuinely independent implementation: its native ASOF JOIN operator.
+
+``rolling_sum`` — event-time rolling aggregate per key via a RANGE
+window frame (peers at the same timestamp are included on both engines,
+so ties are deterministic).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
+              value_cols: list, suffix: str = '_asof') -> DataFrame:
+    """For every left row, attach ``value_cols`` of the most recent right
+    row with ``right.ts <= left.ts`` within the same ``by`` key (NULLs
+    when no such row). Right side MUST be unique per (by, ts) — enforce
+    upstream (e.g. max_by pre-aggregation) or the pick is undefined.
+
+    At equal timestamps the right row is visible to the left row
+    (matching ASOF's >= comparison): the union orders right rows before
+    left rows via the tag.
+    """
+    lt = left.withColumn('_tag', F.lit(1))
+    rt = right.select(
+        by, ts, *value_cols).withColumn('_tag', F.lit(0))
+    for c in left.columns:
+        if c not in (by, ts) and c not in value_cols:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    u = lt.unionByName(rt.select(lt.columns))
+    w = (Window.partitionBy(by).orderBy(ts, '_tag')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c + suffix)
+               for c in value_cols]
+    out_cols = [c for c in left.columns] + carried
+    return (u.select(*out_cols, F.col('_tag'))
+            .where(F.col('_tag') == 1).drop('_tag'))
+
+
+def rolling_sum(df: DataFrame, by: str, epoch_col: str, value_col: str,
+                window_sec: int, out_col: str = 'rolling') -> DataFrame:
+    """Event-time rolling sum of ``value_col`` over the trailing
+    ``window_sec`` seconds per ``by`` key (RANGE frame: rows sharing a
+    timestamp are peers — included together — so the result does not
+    depend on intra-timestamp order)."""
+    w = (Window.partitionBy(by).orderBy(F.col(epoch_col).cast('long'))
+         .rangeBetween(-window_sec, 0))
+    return df.withColumn(out_col, F.sum(value_col).over(w))

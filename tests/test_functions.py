@@ -576,6 +576,39 @@ def test_dup_shingle_fraction(spark):
     assert rows[11]['n_shingles'] == 0 and rows[11]['keep']
 
 
+def test_asof_join(spark):
+    """Union + carry-forward-window as-of semantics: most recent right
+    row at-or-before each left timestamp, per key; equal timestamps are
+    visible; no prior right row -> NULL."""
+    from mineru_html_spark.functions.relational import asof_join
+    left = spark.createDataFrame(
+        [(1, 'u', 100), (2, 'u', 200), (3, 'u', 50), (4, 'v', 150)],
+        'id long, k string, ts long')
+    right = spark.createDataFrame(
+        [('u', 100, 'a'), ('u', 180, 'b'), ('v', 151, 'c')],
+        'k string, ts long, tag string')
+    out = {r['id']: r['tag_asof']
+           for r in asof_join(left, right, by='k', ts='ts',
+                              value_cols=['tag']).collect()}
+    assert out == {1: 'a',      # equal ts visible
+                   2: 'b',      # most recent of {a@100, b@180}
+                   3: None,     # nothing at or before 50
+                   4: None}     # v's only right row is AFTER 150
+
+
+def test_rolling_sum_range_frame(spark):
+    from mineru_html_spark.functions.relational import rolling_sum
+    df = spark.createDataFrame(
+        [(1, 'u', 0, 10), (2, 'u', 5, 20), (3, 'u', 11, 40),
+         (4, 'u', 5, 5)],                       # same-ts peer as id=2
+        'id long, k string, epoch long, v long')
+    out = {r['id']: r['roll']
+           for r in rolling_sum(df, 'k', 'epoch', 'v', window_sec=10,
+                                out_col='roll').collect()}
+    # RANGE frame: ids 2 and 4 are peers -> both see 10+20+5
+    assert out == {1: 10, 2: 35, 4: 35, 3: 65}  # 3: 20+5+40 (0 aged out)
+
+
 def test_approx_distinct_within_relative_error(spark):
     """HLL++ daily distinct users (rsd=0.02) must land within 5% of the
     exact count on the real events table — the accuracy contract that
