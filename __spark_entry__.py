@@ -716,6 +716,24 @@ def q_seq_pack(spark, sf_dir):
                           bucket=F.col('doc_id') % 64)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021) with
+    per-rule reasons. Four pathological plants exercise the rule
+    cascade (repetitive / symbol-heavy / non-alpha / too-short); the
+    oracle reimplements every signal in DuckDB list/regexp SQL."""
+    d = F.col('doc_id')
+    text = (F.when(d % 13 == 1, F.repeat(F.lit('the data of pipeline '),
+                                         40))
+            .when(d % 13 == 2, F.repeat(F.lit('the# data# of# word# '),
+                                        15))
+            .when(d % 13 == 3, F.repeat(F.lit('123 456 789 321 654 '),
+                                        12))
+            .when(d % 13 == 4, F.lit('tiny doc'))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return tx.gopher_signals(docs)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary profile: top-100 words by occurrence (ties broken by
     word) with per-word document frequency — explode, map-side partial
@@ -1015,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
+        'gopher_quality': q_gopher_quality,
         'vocab_topk': q_vocab_topk,
         'stratified_sample': q_stratified_sample,
         'dup_doc_filter': q_dup_doc_filter,
@@ -1431,6 +1450,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens,
                    cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
+        """,
+        'gopher_quality': f"""
+            WITH d AS (
+              SELECT doc_id, CASE doc_id % 13
+                WHEN 1 THEN repeat('the data of pipeline ', 40)
+                WHEN 2 THEN repeat('the# data# of# word# ', 15)
+                WHEN 3 THEN repeat('123 456 789 321 654 ', 12)
+                WHEN 4 THEN 'tiny doc'
+                ELSE text END AS text
+              FROM documents),
+            w AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                  '[^a-z0-9]+'), x -> len(x) > 0) AS lw,
+                CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+')
+                END AS wt
+              FROM d),
+            c AS (
+              SELECT doc_id, text, lw,
+                len(lw) AS n_words,
+                length(array_to_string(lw, '')) AS sum_len,
+                len(wt) AS n_ws,
+                len(list_filter(wt,
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                len(list_filter(lw, x -> x IN ({_STOP_SQL}))) AS n_stop,
+                CASE WHEN len(lw) < 3 THEN []
+                     ELSE list_transform(range(0, len(lw) - 2),
+                       i -> array_to_string(list_slice(lw, i+1, i+3), ' '))
+                END AS grams
+              FROM w),
+            m AS (
+              SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(CASE WHEN n_words = 0 THEN 0
+                     ELSE (200 * sum_len + n_words) // (2 * n_words)
+                     END AS BIGINT) AS mean_word_len_centi,
+                CAST(CASE WHEN n_ws = 0 THEN 0
+                     ELSE floor(1000 * n_alpha / n_ws)
+                     END AS BIGINT) AS alpha_permille,
+                CAST(n_stop AS BIGINT) AS n_stopwords,
+                CAST(CASE WHEN len(grams) = 0 THEN 0
+                     ELSE floor(1000 * (len(grams)
+                          - len(list_distinct(grams))) / len(grams))
+                     END AS BIGINT) AS dup_ngram_permille,
+                CAST(CASE WHEN n_words = 0 THEN 0
+                     ELSE floor(1000 * (length(text) - length(
+                          regexp_replace(text, '[#…]', '', 'g')))
+                          / n_words)
+                     END AS BIGINT) AS symbol_permille
+              FROM c),
+            r AS (
+              SELECT *,
+                CASE WHEN n_words < 50 THEN 'too_few_words'
+                     WHEN n_words > 100000 THEN 'too_many_words'
+                     WHEN mean_word_len_centi < 300
+                          OR mean_word_len_centi > 1000 THEN 'word_length'
+                     WHEN alpha_permille < 800 THEN 'low_alpha'
+                     WHEN n_stopwords < 2 THEN 'few_stopwords'
+                     WHEN symbol_permille > 100 THEN 'symbol_heavy'
+                     WHEN dup_ngram_permille > 200 THEN 'repetitive'
+                     ELSE '' END AS drop_reason
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len_centi, alpha_permille,
+                   n_stopwords, dup_ngram_permille, symbol_permille,
+                   drop_reason, drop_reason = '' AS keep
+            FROM r
         """,
         'vocab_topk': f"""
             WITH w AS (

@@ -576,6 +576,35 @@ def test_dup_shingle_fraction(spark):
     assert rows[11]['n_shingles'] == 0 and rows[11]['keep']
 
 
+def test_gopher_signals(spark):
+    """Each Gopher rule isolated by a crafted doc; a good doc keeps."""
+    from mineru_html_spark.functions.text import gopher_signals
+    good = ('the quick brown fox jumps over the lazy dog and then it '
+            'runs through the field with great joy while other animals '
+            'watch from afar because this day is bright and the wind '
+            'carries seeds to every corner of that valley where children '
+            'play games during long warm afternoons near the old mill')
+    docs = [
+        (1, good),
+        (2, 'short text'),                               # too_few_words
+        (3, 'the data of pipeline ' * 40),               # repetitive
+        (4, 'the# data# of# word# ' * 15),               # symbol_heavy
+        (5, '123 456 789 321 654 ' * 12),                # low_alpha
+        (6, ('zz ' * 60)),                               # word_length (2.0)
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in gopher_signals(df).collect()}
+    assert rows[1]['drop_reason'] == '' and rows[1]['keep']
+    assert rows[2]['drop_reason'] == 'too_few_words'
+    assert rows[3]['drop_reason'] == 'repetitive'
+    assert rows[3]['dup_ngram_permille'] > 900
+    assert rows[4]['drop_reason'] == 'symbol_heavy'
+    assert rows[5]['drop_reason'] == 'low_alpha'
+    assert rows[5]['alpha_permille'] == 0
+    assert rows[6]['drop_reason'] == 'word_length'
+    assert rows[6]['mean_word_len_centi'] == 200
+
+
 def test_asof_join(spark):
     """Union + carry-forward-window as-of semantics: most recent right
     row at-or-before each left timestamp, per key; equal timestamps are
