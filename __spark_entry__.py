@@ -769,6 +769,18 @@ def q_dup_doc_filter(spark, sf_dir):
                                 max_dup_permille=500)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """C4's exact-duplication TRANSFORM: every word covered by a
+    10-gram occurring >= 2 times corpus-wide is deleted (not the doc —
+    the span). Hash+position-only shuffles; the word-drop mask is a
+    native nested higher-order EXISTS. The synthetic corpus shares
+    template boilerplate across docs, so removals are non-trivial."""
+    from mineru_html_spark.functions.corpus import remove_dup_spans
+    out = remove_dup_spans(_docs(spark, sf_dir), n=10, min_occurrences=2)
+    return out.select('doc_id', 'n_words', 'n_removed',
+                      F.md5('clean_text').alias('clean_md5'))
+
+
 def q_asof_purchase(spark, sf_dir):
     """AS-OF join (most recent purchase at or before each click, per
     user) — Spark has no ASOF primitive; this is the union +
@@ -1037,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vocab_topk': q_vocab_topk,
         'stratified_sample': q_stratified_sample,
         'dup_doc_filter': q_dup_doc_filter,
+        'remove_dup_spans': q_remove_dup_spans,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1560,6 +1573,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(1000 * n_dup / n_shingles) <= 500
                    END AS keep
             FROM r
+        """,
+        'remove_dup_spans': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            e AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(list_slice(w, i+1, i+10), ' '))
+                         AS h
+              FROM (SELECT doc_id, w,
+                           unnest(range(0, greatest(len(w) - 9, 0))) AS i
+                    FROM w)),
+            dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+            hit AS (SELECT e.doc_id, list(e.i) AS idxs
+                    FROM e JOIN dup USING (h) GROUP BY 1),
+            j AS (SELECT w.doc_id, w.w, coalesce(hit.idxs, []) AS idxs
+                  FROM w LEFT JOIN hit USING (doc_id)),
+            k AS (
+              SELECT doc_id, w, idxs,
+                     list_filter(range(0, len(w)),
+                       p -> len(list_filter(idxs,
+                              i -> p >= i AND p < i + 10)) = 0) AS keep_pos
+              FROM j)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(len(w) - len(keep_pos) AS BIGINT) AS n_removed,
+                   md5(coalesce(array_to_string(
+                       list_transform(keep_pos, p -> w[p+1]), ' '), ''))
+                       AS clean_md5
+            FROM k
         """,
         'asof_purchase': """
             WITH e AS (

@@ -200,3 +200,53 @@ def dup_shingle_fraction(documents: DataFrame, n: int = 3,
         'doc_id', 'n_shingles', 'n_dup',
         permille.alias('dup_permille'),
         (permille <= max_dup_permille).alias('keep'))
+
+
+def remove_dup_spans(documents: DataFrame, n: int = 10,
+                     min_occurrences: int = 2) -> DataFrame:
+    """C4's exact-duplication TRANSFORM (not filter): delete every word
+    covered by a word-``n``-gram that occurs >= ``min_occurrences`` times
+    across the whole corpus (C4 removes any span occurring more than
+    once; the doc-level filter ``dup_shingle_fraction`` is the coarser
+    cousin). Returns (doc_id, n_words, n_removed, clean_text).
+
+    Scale shape: windows are md5-hashed row-local and exploded WITH
+    their position; the corpus count is one hash-only aggregate
+    (occurrences this time, not documents — C4 semantics, so two hits
+    inside one doc also trigger); duplicated positions come back as one
+    small array per doc (collect_list after a semi-join — bounded by
+    n_windows per doc, never corpus-wide); the word-drop mask is a
+    native higher-order EXISTS over positions. Shuffles carry hashes
+    and integer positions only — document text never leaves its row
+    until the final projection.
+    """
+    docs = documents.select('doc_id', _words().alias('w'))
+    wins = F.when(
+        F.size('w') < n, F.array()
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size('w') - n),
+                    lambda i: F.struct(
+                        i.alias('i'),
+                        F.md5(F.array_join(
+                            F.slice('w', i + 1, n), ' ')).alias('h'))))
+    ex = docs.select('doc_id', F.explode(wins).alias('x')) \
+        .select('doc_id', F.col('x.i').alias('i'), F.col('x.h').alias('h'))
+    dup = (ex.groupBy('h').agg(F.count('*').alias('_n'))
+           .where(F.col('_n') >= min_occurrences)
+           .select('h'))
+    hit = (ex.join(dup, 'h', 'left_semi')
+           .groupBy('doc_id').agg(F.collect_list('i').alias('idxs')))
+    j = docs.join(hit, 'doc_id', 'left') \
+        .withColumn('idxs', F.coalesce('idxs', F.array()))
+    kept = F.filter(
+        F.transform('w', lambda word, p: F.struct(
+            word.alias('word'),
+            F.exists('idxs', lambda i: (p >= i) & (p < i + n))
+             .alias('drop'))),
+        lambda s: ~s['drop'])
+    return j.select(
+        'doc_id',
+        F.size('w').cast('long').alias('n_words'),
+        (F.size('w') - F.size(kept)).cast('long').alias('n_removed'),
+        F.array_join(F.transform(kept, lambda s: s['word']), ' ')
+         .alias('clean_text'))

@@ -605,6 +605,29 @@ def test_gopher_signals(spark):
     assert rows[6]['mean_word_len_centi'] == 200
 
 
+def test_remove_dup_spans(spark):
+    """C4 exact-duplication transform: duplicated 10-gram spans vanish
+    from every holder (intra-doc repeats too); unique content intact."""
+    from mineru_html_spark.functions.corpus import remove_dup_spans
+    boiler = 'one two three four five six seven eight nine ten'
+    df = spark.createDataFrame([
+        (1, f'alpha beta {boiler} gamma delta unique words here for one'),
+        (2, f'start {boiler} finish with some other different filler'),
+        (3, 'completely fresh content with no duplicated windows at all'),
+        (4, f'{boiler} {boiler} twice in one doc'),
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r
+            for r in remove_dup_spans(df, n=10).collect()}
+    assert rows[1]['n_removed'] == 10
+    assert 'three' not in rows[1]['clean_text']
+    assert rows[1]['clean_text'].startswith('alpha beta gamma delta')
+    assert rows[2]['n_removed'] == 10
+    assert rows[3]['n_removed'] == 0
+    assert rows[3]['clean_text'].startswith('completely fresh')
+    assert rows[4]['n_removed'] == 20          # intra-doc duplication
+    assert rows[4]['clean_text'] == 'twice in one doc'
+
+
 def test_asof_join(spark):
     """Union + carry-forward-window as-of semantics: most recent right
     row at-or-before each left timestamp, per key; equal timestamps are
