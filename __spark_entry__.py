@@ -491,10 +491,25 @@ def q_psl_domains(spark, sf_dir):
     return with_registrable_domain(docs, 'url').select('doc_id', 'domain')
 
 
-def _psl_domains_oracle() -> str:
-    """DuckDB mirror of q_psl_domains: the same psl_rules() rows (single
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus rollup (RefinedWeb-style URL-level curation
+    unit): PSL registrable domain feeding a grouped aggregate — two
+    gated operators COMPOSED, checked end-to-end by one oracle."""
+    doms = q_psl_domains(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select('doc_id', 'n_chars')
+    return (doms.join(docs, 'doc_id')
+            .groupBy('domain')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('n_chars').alias('sum_chars'),
+                 F.max('n_chars').alias('max_chars')))
+
+
+def _psl_domain_ctes() -> str:
+    """Shared CTE chain producing (doc_id, domain) under full PSL
+    semantics from the planted URLs — the same psl_rules() rows (single
     source of truth) replayed as per-depth VALUES left joins, the same
-    exception-first / longest-match / wildcard-guard selection."""
+    exception-first / longest-match / wildcard-guard selection. Used by
+    the psl_domains oracle and composed by domain_stats."""
     from mineru_html_spark.functions.urls import psl_rules
     rules = psl_rules()
     depths = sorted({r['key_len'] for r in rules})
@@ -523,8 +538,7 @@ def _psl_domains_oracle() -> str:
     exc_sql = ', '.join(reversed(excs))
     eff_sql = ', '.join(effs)
     join_sql = '\n              '.join(joins)
-    return f"""
-            WITH d AS (
+    return f"""d AS (
               SELECT doc_id,
                 CASE doc_id % 8
                 {plants}
@@ -548,13 +562,33 @@ def _psl_domains_oracle() -> str:
               SELECT doc_id, host, labels,
                 coalesce(coalesce({exc_sql}),
                          greatest({eff_sql})) AS psl_len
-              FROM j)
-            SELECT doc_id,
+              FROM j),
+            dom AS (
+              SELECT doc_id,
                    CASE WHEN len(labels) <= psl_len THEN host
                         ELSE array_to_string(list_slice(labels,
                                len(labels) - psl_len, len(labels)), '.')
                    END AS domain
-            FROM p
+              FROM p)"""
+
+
+def _psl_domains_oracle() -> str:
+    return f"""
+            WITH {_psl_domain_ctes()}
+            SELECT doc_id, domain FROM dom
+        """
+
+
+def _domain_stats_oracle() -> str:
+    """Composition gate: PSL domain extraction feeding a per-domain
+    corpus rollup (the RefinedWeb-style URL-level curation unit)."""
+    return f"""
+            WITH {_psl_domain_ctes()}
+            SELECT domain, count(*) AS n_docs,
+                   cast(sum(n_chars) AS BIGINT) AS sum_chars,
+                   cast(max(n_chars) AS BIGINT) AS max_chars
+            FROM dom JOIN documents USING (doc_id)
+            GROUP BY 1
         """
 
 
@@ -1042,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_by_script': q_lang_by_script,
         'warc_extract': q_warc_extract,
         'psl_domains': q_psl_domains,
+        'domain_stats': q_domain_stats,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -1328,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'lang_by_script': _lang_by_script_oracle(),
         'psl_domains': _psl_domains_oracle(),
+        'domain_stats': _domain_stats_oracle(),
         'url_canon': """
             WITH d AS (
               SELECT doc_id,
