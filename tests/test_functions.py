@@ -503,6 +503,21 @@ def test_connected_components_star_long_chain(spark):
         assert any('PARTIAL' in str(x.message) for x in w)
 
 
+def test_connected_components_star_20k_chain(spark):
+    """O(log^2 n) in practice: a 20,000-hop chain (hash-min would need
+    20,000 rounds) resolves in ~a dozen star rounds with correct labels
+    at both ends and a correct total."""
+    from mineru_html_spark.functions.dedup import connected_components_star
+    edges = spark.range(20000).selectExpr('id as a', 'id + 1 as b')
+    labels, rounds = connected_components_star(edges, return_rounds=True)
+    assert rounds <= 16, rounds
+    got = labels.agg(
+        F.count('*').alias('n'),
+        F.countDistinct('cluster_id').alias('k'),
+        F.max('cluster_id').alias('mx')).collect()[0]
+    assert (got['n'], got['k'], got['mx']) == (20001, 1, 0)
+
+
 def test_near_dup_clusters_transitive(spark, docs_df):
     from mineru_html_spark.functions.dedup import near_dup_clusters
     rows = {r['doc_id']: r for r in
