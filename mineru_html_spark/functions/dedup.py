@@ -363,8 +363,10 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
          .select(F.least('a', 'b').alias('u'),
                  F.greatest('a', 'b').alias('v'))
          .distinct().localCheckpoint())
-    nodes = (e.select(F.col('u').alias('doc_id'))
-             .unionByName(e.select(F.col('v').alias('doc_id')))
+    # node set from the ORIGINAL edges (hash-min parity: a node whose
+    # only edge is a self-loop still gets a label)
+    nodes = (edges.select(F.col('a').alias('doc_id'))
+             .unionByName(edges.select(F.col('b').alias('doc_id')))
              .distinct().localCheckpoint())
 
     def _fingerprint(df):

@@ -467,6 +467,15 @@ def test_connected_components_star_equivalence(spark):
     for n, m in ((40, 25), (200, 150), (300, 600)):
         graphs.append([(rng.randrange(n), rng.randrange(n))
                        for _ in range(m)])
+    # hash-min parity on self-loops: a node whose only edge is (x, x)
+    # still gets a singleton label
+    loopy = spark.createDataFrame([(7, 7), (1, 2)], 'a long, b long')
+    got = {r['doc_id']: r['cluster_id']
+           for r in connected_components_star(loopy).collect()}
+    hm = {r['doc_id']: r['cluster_id']
+          for r in connected_components(loopy).collect()}
+    assert got == hm == {7: 7, 1: 1, 2: 1}
+
     for g in graphs:
         g = [(a, b) for a, b in g if a != b]
         edges = spark.createDataFrame(g, 'a long, b long')
