@@ -219,6 +219,12 @@ def remove_dup_spans(documents: DataFrame, n: int = 10,
     native higher-order EXISTS over positions. Shuffles carry hashes
     and integer positions only — document text never leaves its row
     until the final projection.
+
+    Cost bound, stated honestly: the mask is O(n_words x n_dup_windows)
+    per document — negligible normally, quadratic only for a GIANT doc
+    that is also near-fully duplicated. If that shape ever dominates a
+    corpus, swap the mask stage for a sorted-idxs two-pointer inside an
+    Arrow batch (drop-in: only the ``kept`` expression changes).
     """
     docs = documents.select('doc_id', _words().alias('w'))
     wins = F.when(

@@ -1,0 +1,55 @@
+"""Driver-contract structural invariants: the gate only protects what it
+covers, so coverage itself must be asserted."""
+
+import os
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_query_has_an_oracle():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert qs <= oracles, f'queries without oracles: {sorted(qs - oracles)}'
+    assert oracles <= qs, f'orphan oracles: {sorted(oracles - qs)}'
+
+
+def test_committed_output_oracles_exist_and_regenerate():
+    """Every read_parquet oracle points at a committed file, and the
+    regeneration tool's NAMES list stays in sync (drift here silently
+    un-gates an operator)."""
+    import re
+    from tools.make_expected_ops import NAMES
+    committed = {name for name, sql in entry.oracle_sql().items()
+                 if 'read_parquet' in sql and 'expected_' in sql}
+    # near_dup_clusters_star deliberately reuses hash-min's file;
+    # extract_main's golden regenerates through tools/make_expected.py
+    assert committed - {'near_dup_clusters_star', 'extract_main'} \
+        == set(NAMES), (committed, NAMES)
+    for name, sql in entry.oracle_sql().items():
+        m = re.search(r"read_parquet\('([^']+)'\)", sql)
+        if m and 'expected_' in m.group(1):
+            assert os.path.exists(m.group(1)), m.group(1)
+
+
+def test_oracle_sql_parses_in_duckdb():
+    """Every SQL-mirror oracle must at least bind and plan in DuckDB
+    against empty same-schema views (catches syntax/identifier drift
+    without paying a full execution)."""
+    import duckdb
+    con = duckdb.connect()
+    sf = '/root/testdata/sf0.01'
+    for t in ('region nation customer supplier part orders lineitem '
+              'events documents embeddings').split():
+        p = os.path.join(sf, f'{t}.parquet')
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{p}') LIMIT 0")
+    for name, sql in entry.oracle_sql().items():
+        if 'read_parquet' in sql and 'expected_' in sql:
+            continue                      # committed-output oracles
+        try:
+            con.sql(f'EXPLAIN {sql}')
+        except Exception as e:            # pragma: no cover
+            raise AssertionError(f'{name}: {e}') from e
