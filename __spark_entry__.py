@@ -391,25 +391,36 @@ def q_heldout_accuracy(spark, sf_dir):
 
 def q_script_detect(spark, sf_dir):
     """Writing-script profile (multilingual routing stage). The corpus is
-    ASCII, so scripts are planted: every 4th doc gets a Cyrillic, Greek
-    or CJK suffix, and every 20th a Cyrillic block long enough to flip
-    the dominant script. Oracle mirrors the exact ranges via RE2
-    \\x{...} classes — two regex engines, one answer."""
+    ASCII, so scripts are planted: every 8th doc gets a Cyrillic, Greek,
+    CJK, Arabic, Hebrew or Devanagari suffix, and every 20th a Cyrillic
+    block long enough to flip the dominant script. Oracle mirrors the
+    exact ranges via RE2 classes DERIVED from the same SCRIPT_CLASSES
+    strings — two regex engines, one definition, one answer."""
     from mineru_html_spark.functions.text import script_profile
     d = F.col('doc_id')
-    text = (F.when(d % 20 == 1,
-                   F.concat('text', F.repeat(F.lit(' привет мир данные'),
-                                             30)))
-            .when(d % 4 == 1, F.concat('text', F.lit(' привет мир')))
-            .when(d % 4 == 2, F.concat('text', F.lit(' αλφα βητα')))
-            .when(d % 4 == 3, F.concat('text', F.lit(' 数据处理系统')))
-            .otherwise(F.col('text')))
-    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    text = F.when(d % 20 == 1,
+                  F.concat('text', F.repeat(F.lit(' привет мир данные'),
+                                            30)))
+    for m, s in _SCRIPT_PLANTS:
+        text = text.when(d % 8 == m, F.concat('text', F.lit(s)))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', text.otherwise(F.col('text')).alias('text'))
     return script_profile(docs)
 
 
+# Script-detect plant suffixes (doc_id % 8 selects; shared with the SQL
+# oracle verbatim)
+_SCRIPT_PLANTS = (
+    (1, ' привет мир'),
+    (2, ' αλφα βητα'),
+    (3, ' 数据处理系统'),
+    (4, ' مرحبا بالعالم'),
+    (5, ' שלום עולם'),
+    (6, ' नमस्ते दुनिया'),
+)
+
 # Planted sentences for per-script language ID — defined ONCE and shared
-# verbatim by the Spark query and the DuckDB oracle (doc_id % 12 selects;
+# verbatim by the Spark query and the DuckDB oracle (doc_id % 16 selects;
 # else the doc keeps its English corpus text). Replacement (not append) so
 # the planted script is guaranteed dominant.
 _LANG_PLANTS = (
@@ -423,20 +434,26 @@ _LANG_PLANTS = (
     (8, 'データの処理はとても速いですから便利です'),
     (9, '대규모 데이터 처리 시스템은 매우 빠릅니다'),
     (10, '!!! ??? ...'),
+    (11, 'مرحبا بالعالم هذا نص عربي بسيط للاختبار'),
+    (12, 'این پژوهش درباره زبان فارسی است و چند واژه گوناگون دارد'),
+    (13, 'یہ ایک اردو تحریر ہے جس میں ٹھیک الفاظ ڈالے گئے ہیں'),
+    (14, 'שלום עולם זה טקסט פשוט בעברית לבדיקה'),
+    (15, 'यह एक सरल हिंदी वाक्य है और इसमें कुछ शब्द हैं'),
 )
 
 
 def q_lang_by_script(spark, sf_dir):
     """Per-script language ID (router + script-local models): dominant
-    script routes each doc to a stopword-marker model (latin: en/de/fr/es),
-    an alphabet-exclusive-letter model (cyrillic: uk vs ru), a constant
-    (greek: el) or a character-class model (cjk: ja/ko/zh). Ten language
-    plants replace every doc_id % 12 in 1..10; the oracle reimplements the
-    full decision tree in RE2 — two regex engines, one answer."""
+    script routes each doc to a stopword-marker model (latin:
+    en/de/fr/es), alphabet-exclusive-letter models (cyrillic: uk vs ru;
+    arabic: ur/fa/ar), constants (greek: el, hebrew: he, devanagari: hi)
+    or a character-class model (cjk: ja/ko/zh). Fifteen language plants
+    replace every doc_id % 16 in 1..15; the oracle reimplements the full
+    decision tree in RE2 — two regex engines, one answer."""
     col = None
     for m, s in _LANG_PLANTS:
-        col = (F.when(F.col('doc_id') % 12 == m, F.lit(s)) if col is None
-               else col.when(F.col('doc_id') % 12 == m, F.lit(s)))
+        col = (F.when(F.col('doc_id') % 16 == m, F.lit(s)) if col is None
+               else col.when(F.col('doc_id') % 16 == m, F.lit(s)))
     docs = _docs(spark, sf_dir).select(
         'doc_id', col.otherwise(F.col('text')).alias('text'))
     return tx.lang_id_by_script(docs)
@@ -592,58 +609,110 @@ def _domain_stats_oracle() -> str:
         """
 
 
-def _lang_by_script_oracle() -> str:
-    """DuckDB mirror of q_lang_by_script: same plants, same marker patterns
-    (shared constants from functions.text), same cascaded-argmax decision
-    tree — RE2 vs Java regex, one answer. The cascaded form
-    `x_i >= greatest(x_{i+1..n})` selects the first global max in priority
-    order (identical semantics to the Spark chain)."""
+def _script_route_sql() -> str:
+    """The dominant-script CASE over SCRIPT_CLASSES in RE2 syntax —
+    generated from the same tuple the Spark expression uses (cascaded
+    argmax `x_i >= greatest(x_{i+1..n})` = first global max in priority
+    order, the proven-equivalent form)."""
+    names = [n for n, _ in tx.SCRIPT_CLASSES]
+    total = ' + '.join(f'n_{n}' for n in names)
+    arms = []
+    for i, nm in enumerate(names[:-1]):
+        rest = [f'n_{x}' for x in names[i + 1:]]
+        g = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        arms.append(f"WHEN n_{nm} >= {g} THEN '{nm}'")
+    arm_sql = '\n                     '.join(arms)
+    return f"""CASE WHEN {total} = 0 THEN 'none'
+                     {arm_sql}
+                     ELSE '{names[-1]}' END"""
+
+
+def _script_count_sql() -> str:
+    return ',\n                '.join(
+        f"CAST(len(regexp_extract_all(text, '{tx.re2_class(pat)}')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, pat in tx.SCRIPT_CLASSES)
+
+
+def _script_detect_oracle() -> str:
+    """DuckDB mirror of q_script_detect — counts, route and plants all
+    derived from the shared constants."""
     plants = '\n                 '.join(
-        f"WHEN {m} THEN '{s}'" for m, s in _LANG_PLANTS)
-    lang_counts = ',\n                '.join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{lang}"
-        for lang, pat in tx.LATIN_LANG_MARKERS)
+        f"WHEN doc_id % 8 = {m} THEN text || '{s}'"
+        for m, s in _SCRIPT_PLANTS)
+    names = ', '.join(f'n_{n}' for n, _ in tx.SCRIPT_CLASSES)
     return f"""
             WITH d AS (
               SELECT doc_id,
-                CASE doc_id % 12
+                CASE WHEN doc_id % 20 = 1
+                     THEN text || repeat(' привет мир данные', 30)
                  {plants}
                  ELSE text END AS text
               FROM documents),
             c AS (
               SELECT doc_id,
-                len(regexp_extract_all(text,
-                  '[A-Za-z\\x{{00C0}}-\\x{{024F}}]')) AS lat,
-                len(regexp_extract_all(text, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
-                len(regexp_extract_all(text, '[\\x{{0370}}-\\x{{03FF}}]')) AS grk,
-                len(regexp_extract_all(text,
-                  '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}\\x{{AC00}}-\\x{{D7A3}}]'))
-                  AS cjk,
+                {_script_count_sql()}
+              FROM d)
+            SELECT doc_id, {names},
+                   {_script_route_sql()} AS script
+            FROM c
+        """
+
+
+def _lang_by_script_oracle() -> str:
+    """DuckDB mirror of q_lang_by_script: same plants, same marker patterns
+    (shared constants from functions.text), same cascaded-argmax decision
+    tree — RE2 vs Java regex, one answer."""
+    plants = '\n                 '.join(
+        f"WHEN {m} THEN '{s}'" for m, s in _LANG_PLANTS)
+    lang_counts = ',\n                '.join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{lang}"
+        for lang, pat in tx.LATIN_LANG_MARKERS)
+    latin = [lang for lang, _ in tx.LATIN_LANG_MARKERS]
+    latin_total = ' + '.join(f'n_{x}' for x in latin)
+    latin_arms = []
+    for i, lang in enumerate(latin[:-1]):
+        rest = [f'n_{x}' for x in latin[i + 1:]]
+        g = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        latin_arms.append(f"WHEN n_{lang} >= {g} THEN '{lang}'")
+    latin_sql = '\n                       '.join(latin_arms)
+    return f"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE doc_id % 16
+                 {plants}
+                 ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                {_script_count_sql()},
                 {lang_counts},
                 len(regexp_extract_all(text, '{tx.UK_MARKER}')) AS n_uk,
                 len(regexp_extract_all(text, '{tx.RU_MARKER}')) AS n_ru,
-                len(regexp_extract_all(text, '[\\x{{3040}}-\\x{{30FF}}]')) AS n_kana,
-                len(regexp_extract_all(text, '[\\x{{AC00}}-\\x{{D7A3}}]')) AS n_hang
+                len(regexp_extract_all(text, '{tx.UR_MARKER}')) AS n_ur,
+                len(regexp_extract_all(text, '{tx.FA_MARKER}')) AS n_fa,
+                len(regexp_extract_all(text,
+                    '{tx.re2_class(tx.KANA_MARKER)}')) AS n_kana,
+                len(regexp_extract_all(text,
+                    '{tx.re2_class(tx.HANGUL_MARKER)}')) AS n_hang
               FROM d),
             s AS (
-              SELECT doc_id,
-                CASE WHEN lat + cyr + grk + cjk = 0 THEN 'none'
-                     WHEN lat >= greatest(cyr, grk, cjk) THEN 'latin'
-                     WHEN cyr >= greatest(grk, cjk) THEN 'cyrillic'
-                     WHEN grk >= cjk THEN 'greek' ELSE 'cjk' END AS script,
-                n_en, n_de, n_fr, n_es, n_uk, n_ru, n_kana, n_hang
-              FROM c)
+              SELECT *, {_script_route_sql()} AS script FROM c)
             SELECT doc_id, script,
               CASE script
                 WHEN 'latin' THEN
-                  CASE WHEN n_en + n_de + n_fr + n_es = 0 THEN 'und'
-                       WHEN n_en >= greatest(n_de, n_fr, n_es) THEN 'en'
-                       WHEN n_de >= greatest(n_fr, n_es) THEN 'de'
-                       WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END
+                  CASE WHEN {latin_total} = 0 THEN 'und'
+                       {latin_sql}
+                       ELSE '{latin[-1]}' END
                 WHEN 'cyrillic' THEN
                   CASE WHEN n_uk = 0 AND n_ru = 0 THEN 'und'
                        WHEN n_uk > n_ru THEN 'uk' ELSE 'ru' END
                 WHEN 'greek' THEN 'el'
+                WHEN 'arabic' THEN
+                  CASE WHEN n_ur > 0 THEN 'ur'
+                       WHEN n_fa > 0 THEN 'fa' ELSE 'ar' END
+                WHEN 'hebrew' THEN 'he'
+                WHEN 'devanagari' THEN 'hi'
                 WHEN 'cjk' THEN
                   CASE WHEN n_kana > 0 THEN 'ja'
                        WHEN n_hang > 0 THEN 'ko' ELSE 'zh' END
@@ -1328,39 +1397,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
-        'script_detect': """
-            WITH d AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 20 = 1
-                          THEN text || repeat(' привет мир данные', 30)
-                          WHEN doc_id % 4 = 1 THEN text || ' привет мир'
-                          WHEN doc_id % 4 = 2 THEN text || ' αλφα βητα'
-                          WHEN doc_id % 4 = 3 THEN text || ' 数据处理系统'
-                          ELSE text END AS text
-              FROM documents),
-            c AS (
-              SELECT doc_id,
-                CAST(len(regexp_extract_all(text,
-                  '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
-                CAST(len(regexp_extract_all(text,
-                  '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
-                CAST(len(regexp_extract_all(text,
-                  '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
-                CAST(len(regexp_extract_all(text,
-                  '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}]'))
-                  AS BIGINT) AS n_cjk
-              FROM d)
-            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
-                   CASE WHEN n_latin + n_cyrillic + n_greek + n_cjk = 0
-                        THEN 'none'
-                        WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk)
-                        THEN 'latin'
-                        WHEN n_cyrillic >= greatest(n_greek, n_cjk)
-                        THEN 'cyrillic'
-                        WHEN n_greek >= n_cjk THEN 'greek'
-                        ELSE 'cjk' END AS script
-            FROM c
-        """,
+        'script_detect': _script_detect_oracle(),
         'lang_by_script': _lang_by_script_oracle(),
         'psl_domains': _psl_domains_oracle(),
         'domain_stats': _domain_stats_oracle(),

@@ -170,14 +170,44 @@ WHITESPACE_CLASS_RE2 = ('[\\t\\n\\r \\x{00A0}\\x{1680}'
                         '\\x{2000}-\\x{200A}\\x{2028}\\x{2029}'
                         '\\x{202F}\\x{205F}\\x{3000}]')
 
-# Unicode-script classes (Java regex \u escapes; the DuckDB oracle uses
-# RE2's \x{...} for the same ranges)
+# Unicode-script classes (Java regex; the DuckDB oracle derives RE2
+# \x{...} classes from these same strings \u2014 one definition). Tie-break
+# priority = tuple order.
 SCRIPT_CLASSES = (
     ('latin', '[A-Za-z\u00C0-\u024F]'),
     ('cyrillic', '[\u0400-\u04FF]'),
     ('greek', '[\u0370-\u03FF]'),
+    ('arabic', '[\u0600-\u06FF]'),
+    ('hebrew', '[\u0590-\u05FF]'),
+    ('devanagari', '[\u0900-\u097F]'),
     ('cjk', '[\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7A3]'),
 )
+
+
+def re2_class(java_class: str) -> str:
+    """The same character class in RE2 \\x{...} syntax (for the DuckDB
+    oracles) \u2014 derived, never hand-duplicated."""
+    return ''.join(c if ord(c) < 128 else f'\\x{{{ord(c):04X}}}'
+                   for c in java_class)
+
+
+def dominant_script_col(text_col: str = 'text'):
+    """Dominant-script expression over SCRIPT_CLASSES (cascaded argmax
+    with tuple-order tie priority; all-zero -> 'none'). Shared by
+    script_profile and lang_id_by_script."""
+    cols = [F.size(F.regexp_extract_all(text_col, F.lit(pat),
+                                        F.lit(0))).cast('long')
+            for _, pat in SCRIPT_CLASSES]
+    names = [n for n, _ in SCRIPT_CLASSES]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    dominant = F.when(total == 0, 'none')
+    for i, nm in enumerate(names[:-1]):
+        rest = cols[i + 1:]
+        mx = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        dominant = dominant.when(cols[i] >= mx, nm)
+    return dominant.otherwise(names[-1]), dict(zip(names, cols))
 
 
 def script_profile(documents: DataFrame) -> DataFrame:
@@ -187,23 +217,14 @@ def script_profile(documents: DataFrame) -> DataFrame:
     script counts route docs to per-script models). Native regexp counts,
     whole-stage codegen, exactly mirrorable in SQL.
 
-    Tie-break priority on equal counts: latin > cyrillic > greek > cjk;
+    Tie-break priority on equal counts = SCRIPT_CLASSES order (latin >
+    cyrillic > greek > arabic > hebrew > devanagari > cjk);
     all-zero -> 'none'.
     """
-    counts = {name: F.size(F.regexp_extract_all('text', F.lit(pat),
-                                                F.lit(0))).cast('long')
-              for name, pat in SCRIPT_CLASSES}
-    lat, cyr, grk, cjk = (counts[k] for k, _ in SCRIPT_CLASSES)
-    total = lat + cyr + grk + cjk
-    dominant = (F.when(total == 0, 'none')
-                .when(lat >= F.greatest(cyr, grk, cjk), 'latin')
-                .when(cyr >= F.greatest(grk, cjk), 'cyrillic')
-                .when(grk >= cjk, 'greek')
-                .otherwise('cjk'))
+    dominant, counts = dominant_script_col('text')
     return documents.select(
         'doc_id',
-        lat.alias('n_latin'), cyr.alias('n_cyrillic'),
-        grk.alias('n_greek'), cjk.alias('n_cjk'),
+        *[counts[n].alias(f'n_{n}') for n, _ in SCRIPT_CLASSES],
         dominant.alias('script'))
 
 
@@ -220,10 +241,15 @@ LATIN_LANG_MARKERS = (
     ('fr', r'(?i)\b(les|est|une|dans|pour|avec|sur)\b'),
     ('es', r'(?i)\b(los|las|una|para|por|con|este)\b'),
 )
-UK_MARKER = '[іїєґІЇЄҐ]'  # іїєґІЇЄҐ
-RU_MARKER = '[ыэёЫЭЁ]'              # ыэёЫЭЁ
+UK_MARKER = '[іїєґІЇЄҐ]'            # Ukrainian-exclusive letters
+RU_MARKER = '[ыэёЫЭЁ]'              # Russian-exclusive letters
 KANA_MARKER = '[぀-ヿ]'
 HANGUL_MARKER = '[가-힣]'
+# Arabic-script discrimination: Urdu-exclusive letters (ttheh/ddal/rreh/
+# bari-yeh), then Persian-exclusive (peh/tcheh/jeh/gaf — Urdu uses these
+# too, hence the check order); plain Arabic otherwise
+UR_MARKER = '[ٹڈڑے]'
+FA_MARKER = '[پچژگ]'
 
 
 def lang_id_by_script(documents: DataFrame) -> DataFrame:
@@ -231,13 +257,20 @@ def lang_id_by_script(documents: DataFrame) -> DataFrame:
     a script-local model (closes the round-2 limitation where lang_id only
     separated English from everything else).
 
-      latin    -> argmax of distinctive-stopword counts over en/de/fr/es
-                  (tie priority in LATIN_LANG_MARKERS order; all-zero -> und)
-      cyrillic -> Ukrainian-exclusive vs Russian-exclusive letter counts
-                  (uk on strict majority, ru otherwise; both-zero -> und)
-      greek    -> el (Greek script is effectively monolingual)
-      cjk      -> ja if any kana, else ko if any hangul, else zh
-      none     -> und
+      latin      -> argmax of distinctive-stopword counts over en/de/fr/es
+                    (tie priority = LATIN_LANG_MARKERS order; zero -> und)
+      cyrillic   -> Ukrainian-exclusive vs Russian-exclusive letter counts
+                    (uk on strict majority, ru otherwise; both-zero -> und)
+      greek      -> el (Greek script is effectively monolingual)
+      arabic     -> ur if Urdu-exclusive letters, else fa if
+                    Persian-exclusive letters (Urdu also uses those —
+                    order matters), else ar
+      hebrew     -> he
+      devanagari -> hi (coarse: Marathi/Nepali share the script; a
+                    production system swaps in per-language n-gram
+                    profiles behind this router)
+      cjk        -> ja if any kana, else ko if any hangul, else zh
+      none       -> und
 
     All decisions are native regexp counts over ONE narrow projection — the
     script route is recomputed inline rather than joined back from
@@ -263,21 +296,21 @@ def lang_id_by_script(documents: DataFrame) -> DataFrame:
     n_uk, n_ru = n(UK_MARKER), n(RU_MARKER)
     cyr_lang = (F.when((n_uk == 0) & (n_ru == 0), 'und')
                 .when(n_uk > n_ru, 'uk').otherwise('ru'))
+    arab_lang = (F.when(n(UR_MARKER) > 0, 'ur')
+                 .when(n(FA_MARKER) > 0, 'fa')
+                 .otherwise('ar'))
     cjk_lang = (F.when(n(KANA_MARKER) > 0, 'ja')
                 .when(n(HANGUL_MARKER) > 0, 'ko')
                 .otherwise('zh'))
 
     # same route formula as script_profile, inlined (no self-join)
-    counts = {name: n(pat) for name, pat in SCRIPT_CLASSES}
-    lat, cyr, grk, cjk = (counts[k] for k, _ in SCRIPT_CLASSES)
-    script = (F.when(lat + cyr + grk + cjk == 0, 'none')
-              .when(lat >= F.greatest(cyr, grk, cjk), 'latin')
-              .when(cyr >= F.greatest(grk, cjk), 'cyrillic')
-              .when(grk >= cjk, 'greek')
-              .otherwise('cjk'))
+    script, _counts = dominant_script_col('text')
     lang = (F.when(script == 'latin', latin_best)
             .when(script == 'cyrillic', cyr_lang)
             .when(script == 'greek', F.lit('el'))
+            .when(script == 'arabic', arab_lang)
+            .when(script == 'hebrew', F.lit('he'))
+            .when(script == 'devanagari', F.lit('hi'))
             .when(script == 'cjk', cjk_lang)
             .otherwise(F.lit('und')))
     return documents.select('doc_id', script.alias('script'),

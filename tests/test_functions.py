@@ -184,6 +184,14 @@ def test_lang_id_by_script(spark):
         (10, '대규모 데이터 처리 시스템은 매우 빠릅니다', 'cjk', 'ko'),
         (11, '!!! ??? ...', 'none', 'und'),
         (12, 'zzz qqq xxx vvv', 'latin', 'und'),
+        (13, 'مرحبا بالعالم هذا نص عربي بسيط', 'arabic', 'ar'),
+        (14, 'این پژوهش درباره زبان فارسی است و چند واژه دارد',
+         'arabic', 'fa'),
+        (15, 'یہ ایک اردو تحریر ہے جس میں ٹھیک الفاظ ڈالے گئے ہیں',
+         'arabic', 'ur'),
+        (16, 'שלום עולם זה טקסט פשוט בעברית', 'hebrew', 'he'),
+        (17, 'यह एक सरल हिंदी वाक्य है और इसमें शब्द हैं',
+         'devanagari', 'hi'),
     ]
     df = spark.createDataFrame([(d, t) for d, t, _, _ in docs],
                                'doc_id long, text string')
