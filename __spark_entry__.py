@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mineru_html_spark.core.synth import docs_for_sf
 from mineru_html_spark.functions import dedup as dd
+from mineru_html_spark.functions.corpus import (LM_HEAD_MILLI,
+                                                LM_TAIL_MILLI)
 from mineru_html_spark.functions import media as md
 from mineru_html_spark.functions import rouge as rg
 from mineru_html_spark.functions import similarity as sim
@@ -884,6 +886,56 @@ def q_remove_dup_spans(spark, sf_dir):
                       F.md5('clean_text').alias('clean_md5'))
 
 
+# fixed benchmark texts for the decontamination gate — the marker words
+# ('shuffle', 'codegen', 'stage', 'probe') are outside the synthetic
+# corpus vocabulary and placed so EVERY 8-gram window contains one, so
+# the only possible overlaps are the planted ones
+_BENCH_TEXTS = (
+    'shuffle key agg row scan slow fast codegen table value',
+    'stage batch window spark order data column probe agg join',
+)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C / Llama
+    eval-overlap filter): flag every training doc sharing any word-8-gram
+    with the benchmark corpus. Contamination is planted on
+    doc_id % 23 in {7, 11}; the benchmark shingle index broadcasts and
+    the corpus text never shuffles."""
+    from mineru_html_spark.functions.corpus import decontaminate
+    d = F.col('doc_id')
+    text = (F.when(d % 23 == 7,
+                   F.concat('text', F.lit(' ' + _BENCH_TEXTS[0])))
+            .when(d % 23 == 11,
+                  F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
+                                  'text string')
+    return decontaminate(docs, bench, n=8)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-linear quality classifier (GPT-3/Llama
+    curation shape): all-integer hashing-trick scoring as one native
+    higher-order aggregate — no explode, no join, no shuffle. Weights
+    are deterministic md5-derived stand-ins for trained ones (a
+    broadcast data-file swap in production, same stance as the PSL)."""
+    from mineru_html_spark.functions.corpus import hashed_linear_score
+    return hashed_linear_score(_docs(spark, sf_dir), salt='qw1')
+
+
+def q_lm_bucket(spark, sf_dir):
+    """CCNet-style LM quality bucketing: avg unigram NLL (milli-nats)
+    under a corpus-estimated LM, bucketed head/middle/tail by FIXED
+    thresholds (a pure filter — never a global ntile sort). The oracle
+    recomputes the identical expression shape in DuckDB; milli rounding
+    makes the float value hash representation-stable (cosine-micro
+    policy)."""
+    from mineru_html_spark.functions.corpus import unigram_lm_nll
+    return unigram_lm_nll(_docs(spark, sf_dir))
+
+
 def q_asof_purchase(spark, sf_dir):
     """AS-OF join (most recent purchase at or before each click, per
     user) — Spark has no ASOF primitive; this is the union +
@@ -1154,6 +1206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stratified_sample': q_stratified_sample,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
+        'decontaminate': q_decontaminate,
+        'quality_classifier': q_quality_classifier,
+        'lm_bucket': q_lm_bucket,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1494,6 +1549,87 @@ def oracle_sql() -> dict[str, str]:
               FROM w)
             SELECT md5(s) AS sh, count(*) AS n_docs
             FROM sh GROUP BY 1 HAVING count(*) >= 3
+        """,
+        'decontaminate': f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 7 THEN text || ' {_BENCH_TEXTS[0]}'
+                          WHEN doc_id % 23 = 11 THEN text || ' {_BENCH_TEXTS[1]}'
+                          ELSE text END AS text
+              FROM documents),
+            w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM d),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 8 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(0, len(w) - 7),
+                            i -> array_to_string(list_slice(w, i+1, i+8), ' ')))
+                     END AS ss
+              FROM w),
+            bw AS (
+              SELECT list_filter(regexp_split_to_array(lower(trim(bt)),
+                       '[^a-z0-9]+'), x -> len(x) > 0) AS w
+              FROM (VALUES ('{_BENCH_TEXTS[0]}'), ('{_BENCH_TEXTS[1]}')) v(bt)),
+            bs AS (
+              SELECT DISTINCT md5(s) AS h
+              FROM (SELECT unnest(list_transform(
+                      range(0, len(w) - 7),
+                      i -> array_to_string(list_slice(w, i+1, i+8), ' ')))
+                      AS s
+                    FROM bw)),
+            bl AS (SELECT list(h) AS hs FROM bs)
+            SELECT doc_id,
+                   CAST(len(ss) AS BIGINT) AS n_shingles,
+                   CAST(len(list_filter(ss,
+                        s -> list_contains(bl.hs, md5(s)))) AS BIGINT)
+                       AS n_bench_hits,
+                   len(list_filter(ss,
+                        s -> list_contains(bl.hs, md5(s)))) > 0
+                       AS contaminated
+            FROM sh, bl
+        """,
+        'quality_classifier': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            s AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(w, x ->
+                       CAST('0x' || substring(md5(x || ':qw1'), 1, 8)
+                            AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+                         AS score_sum
+              FROM w)
+            SELECT doc_id, n_words, score_sum,
+                   CAST(CASE WHEN n_words = 0 THEN 0
+                        ELSE floor(1000 * score_sum / n_words)
+                        END AS BIGINT) AS score_milli,
+                   CAST(CASE WHEN n_words = 0 THEN 0
+                        ELSE floor(1000 * score_sum / n_words)
+                        END AS BIGINT) > 0 AS label
+            FROM s
+        """,
+        'lm_bucket': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+            c AS (SELECT word, count(*) AS cnt FROM ex GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            a AS (
+              SELECT ex.doc_id, count(*) AS n_tokens,
+                     sum(ln(c.cnt::DOUBLE)) AS sum_ln
+              FROM ex JOIN c USING (word) GROUP BY 1),
+            f AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN -1
+                          ELSE round(1000 * (
+                            ln((SELECT total FROM t)::DOUBLE)
+                            - a.sum_ln / a.n_tokens))
+                          END AS BIGINT) AS nll_milli
+              FROM documents d LEFT JOIN a USING (doc_id))
+            SELECT doc_id, n_tokens, nll_milli,
+                   CASE WHEN n_tokens = 0 THEN 'empty'
+                        WHEN nll_milli <= {LM_HEAD_MILLI} THEN 'head'
+                        WHEN nll_milli <= {LM_TAIL_MILLI} THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM f
         """,
         'pii_scrub': """
             WITH d AS (

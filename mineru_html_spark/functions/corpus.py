@@ -202,6 +202,157 @@ def dup_shingle_fraction(documents: DataFrame, n: int = 3,
         (permille <= max_dup_permille).alias('keep'))
 
 
+def _distinct_shingles(w: Column, n: int) -> Column:
+    """Per-row distinct word-n-gram strings of a words array (empty when
+    the row has fewer than ``n`` words) — the one shingling definition
+    shared by the corpus-dup and decontamination operators."""
+    return F.when(
+        F.size(w) < n, F.array()
+    ).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), ' '))))
+
+
+def benchmark_shingles(benchmark: DataFrame, n: int = 8,
+                       text_col: str = 'text') -> DataFrame:
+    """(sh): the distinct md5 word-``n``-gram hashes of a benchmark/eval
+    corpus — the contamination index. Tiny relative to the training
+    corpus (every public eval suite together is a few hundred MB), so it
+    broadcasts."""
+    sh = _distinct_shingles(_words(text_col), n)
+    return (benchmark.select(F.explode(sh).alias('s'))
+            .select(F.md5('s').alias('sh')).distinct())
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  n: int = 8) -> DataFrame:
+    """(doc_id, n_shingles, n_bench_hits, contaminated): benchmark
+    decontamination — flag every training document that shares any word
+    ``n``-gram with the benchmark corpus (the GPT-3 appendix-C /
+    Llama-style eval-overlap filter; n=13 in GPT-3, lower here because
+    the synthetic docs are short).
+
+    Scale shape: the benchmark shingle index is distinct md5 hashes —
+    small — and BROADCASTS; document shingles are built row-local and
+    exploded, the membership probe is a broadcast hash join (no shuffle
+    of the corpus), and the per-doc rollup partial-aggregates map-side.
+    Every document survives to the output (explode_outer), including
+    those too short to shingle (n_shingles=0, not contaminated)."""
+    bench = F.broadcast(
+        benchmark_shingles(benchmark, n).withColumn('_hit', F.lit(1)))
+    docs = documents.select('doc_id', _words().alias('w'))
+    per_doc = (docs
+               .select('doc_id',
+                       F.explode_outer(_distinct_shingles(F.col('w'), n))
+                        .alias('s'))
+               .select('doc_id', F.md5('s').alias('sh')))
+    agg = (per_doc.join(bench, 'sh', 'left')
+           .groupBy('doc_id')
+           .agg(F.count('sh').alias('n_shingles'),
+                F.count('_hit').alias('n_bench_hits')))
+    return agg.select('doc_id', 'n_shingles', 'n_bench_hits',
+                      (F.col('n_bench_hits') > 0).alias('contaminated'))
+
+
+def hashed_weight(word: Column, salt: str = 'qw1') -> Column:
+    """Deterministic engine-portable integer weight in [-1000, 1000]:
+    the hashing-trick feature weight, derived from md5 (bit-identical in
+    Spark and DuckDB — the same portability argument as ``sample_key``)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(word, F.lit(':' + salt))), 1, 8), 16, 10) \
+        .cast('long')
+    return F.pmod(h, F.lit(2001)) - 1000
+
+
+def hashed_linear_score(documents: DataFrame,
+                        salt: str = 'qw1') -> DataFrame:
+    """(doc_id, n_words, score_sum, score_milli, label): fastText-style
+    linear text classifier with the hashing trick — the quality-classifier
+    shape used by GPT-3/Llama data curation (score docs against a
+    reference-vs-crawl classifier, keep high scorers).
+
+    The weights here are deterministic hash-derived integers standing in
+    for trained ones: the hashed-feature space, the scoring plumbing and
+    the scale shape are real; production swaps in a trained weight table
+    (a broadcast data-file change — the same stance as the PSL snapshot).
+    All-integer scoring, so the DuckDB oracle is exact, not
+    float-canonicalized.
+
+    Scale shape: ONE native higher-order AGGREGATE per row — no explode,
+    no join, no shuffle, whole-stage codegen end to end. (With a trained
+    weight table the words would explode into a broadcast hash join
+    instead; still no shuffle of the corpus.)"""
+    d = documents.select('doc_id', _words().alias('w'))
+    score = F.aggregate(
+        'w', F.lit(0).cast('long'),
+        lambda acc, word: acc + hashed_weight(word, salt))
+    t = d.select('doc_id',
+                 F.size('w').cast('long').alias('n_words'),
+                 score.alias('score_sum'))
+    milli = F.when(F.col('n_words') == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(1000) * F.col('score_sum') / F.col('n_words'))
+         .cast('long'))
+    return t.select('doc_id', 'n_words', 'score_sum',
+                    milli.alias('score_milli'),
+                    (milli > 0).alias('label'))
+
+
+# CCNet-style LM-quality bucket thresholds (milli-nats of avg unigram
+# NLL). Fixed constants by design: production derives them once from a
+# sampled percentile pass per language (CCNet uses Wikipedia-LM
+# perplexity terciles), then applies them as a pure filter — bucketing
+# must NOT be a global sort/ntile at 10^12 rows.
+LM_HEAD_MILLI = 3400
+LM_TAIL_MILLI = 3404
+
+
+def unigram_lm_nll(documents: DataFrame,
+                   head_milli: int = LM_HEAD_MILLI,
+                   tail_milli: int = LM_TAIL_MILLI) -> DataFrame:
+    """(doc_id, n_tokens, nll_milli, bucket): CCNet-style LM quality
+    bucketing — score each document by the average negative log-likelihood
+    of its tokens under a unigram LM estimated from the corpus itself,
+    then bucket head/middle/tail by fixed thresholds (head = most
+    predictable). CCNet does exactly this shape with a KenLM 5-gram; the
+    unigram estimator keeps the operator closed over the corpus (no
+    external model file) while exercising the same plan.
+
+    nll_milli = round(1000 * (ln(total) - sum_ln_cnt / n)) — computed in
+    this exact expression shape on BOTH engines, rounded to milli-nats so
+    the value hash is representation-stable (same policy as the cosine
+    micro-rounding). Docs with no tokens get (-1, 'empty').
+
+    Scale shape: the LM is one hash aggregate on word (map-side partial
+    combine — the shuffle carries one row per distinct word per task);
+    the corpus-side probe is a broadcast hash join at gate scale (a
+    web-scale vocabulary would flip to a shuffle join on word, still
+    hash-only); the per-doc rollup partial-aggregates map-side. No global
+    sort anywhere — bucketing is a pure filter on fixed thresholds."""
+    docs = documents.select(
+        'doc_id', F.explode_outer(_words()).alias('word'))
+    counts = (docs.where(F.col('word').isNotNull())
+              .groupBy('word').agg(F.count('*').alias('cnt')))
+    lm = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum('cnt').alias('total'))))
+    agg = (docs.join(F.broadcast(lm), 'word', 'left')
+           .groupBy('doc_id')
+           .agg(F.count('word').alias('n_tokens'),
+                F.sum(F.log(F.col('cnt').cast('double'))).alias('_sum_ln'),
+                F.max('total').alias('_total')))
+    nll = F.when(F.col('n_tokens') == 0, F.lit(-1)).otherwise(
+        F.round(F.lit(1000) * (
+            F.log(F.col('_total').cast('double'))
+            - F.col('_sum_ln') / F.col('n_tokens')))).cast('long')
+    t = agg.select('doc_id', 'n_tokens', nll.alias('nll_milli'))
+    bucket = F.when(F.col('n_tokens') == 0, F.lit('empty')) \
+        .when(F.col('nll_milli') <= head_milli, F.lit('head')) \
+        .when(F.col('nll_milli') <= tail_milli, F.lit('middle')) \
+        .otherwise(F.lit('tail'))
+    return t.select('doc_id', 'n_tokens', 'nll_milli',
+                    bucket.alias('bucket'))
+
+
 def remove_dup_spans(documents: DataFrame, n: int = 10,
                      min_occurrences: int = 2) -> DataFrame:
     """C4's exact-duplication TRANSFORM (not filter): delete every word

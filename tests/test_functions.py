@@ -821,3 +821,65 @@ def test_script_profile_detection(spark):
     assert got[5]['script'] == 'latin'          # latin majority
     assert got[5]['n_cyrillic'] > 0
     assert got[6]['script'] == 'none'
+
+
+def test_decontaminate_planted(spark):
+    from mineru_html_spark.functions.corpus import decontaminate
+    bench = spark.createDataFrame(
+        [('alpha beta gamma delta epsilon zeta eta theta iota kappa',)],
+        'text string')
+    docs = spark.createDataFrame([
+        # shares the 8-gram alpha..theta with the benchmark
+        (1, 'intro words then alpha beta gamma delta epsilon zeta eta '
+            'theta trailing'),
+        # 7 shared words then diverges: no 8-gram overlap
+        (2, 'alpha beta gamma delta epsilon zeta eta banana'),
+        (3, 'totally unrelated content about rivers and owls flowing '
+            'south today'),
+        (4, 'tiny'),                      # too short to shingle
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r
+            for r in decontaminate(docs, bench, n=8).collect()}
+    assert len(rows) == 4                 # every doc survives
+    assert rows[1]['contaminated'] and rows[1]['n_bench_hits'] == 1
+    assert not rows[2]['contaminated'] and rows[2]['n_shingles'] == 1
+    assert not rows[3]['contaminated']
+    assert rows[4]['n_shingles'] == 0 and not rows[4]['contaminated']
+
+
+def test_hashed_linear_score_matches_python(spark):
+    import hashlib
+
+    from mineru_html_spark.functions.corpus import hashed_linear_score
+    docs = spark.createDataFrame(
+        [(1, 'Alpha beta ALPHA gamma-42!'), (2, ''), (3, '   ')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in hashed_linear_score(docs).collect()}
+
+    def w(word):
+        h = int(hashlib.md5((word + ':qw1').encode()).hexdigest()[:8], 16)
+        return h % 2001 - 1000
+
+    exp = sum(w(x) for x in ['alpha', 'beta', 'alpha', 'gamma', '42'])
+    assert rows[1]['n_words'] == 5 and rows[1]['score_sum'] == exp
+    assert rows[1]['score_milli'] == math.floor(1000 * exp / 5)
+    assert rows[1]['label'] == (rows[1]['score_milli'] > 0)
+    for d in (2, 3):                      # empty/whitespace docs
+        assert rows[d]['n_words'] == 0 and rows[d]['score_sum'] == 0
+        assert rows[d]['score_milli'] == 0 and not rows[d]['label']
+
+
+def test_unigram_lm_nll_orders_rarity(spark):
+    from mineru_html_spark.functions.corpus import unigram_lm_nll
+    docs = [(i, 'common common common common') for i in range(1, 9)]
+    docs += [(9, 'rare common common common'), (10, '')]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in unigram_lm_nll(df).collect()}
+    assert len(rows) == 10
+    assert rows[10]['n_tokens'] == 0 and rows[10]['bucket'] == 'empty'
+    assert rows[10]['nll_milli'] == -1
+    # the doc containing the rare token scores strictly less predictable
+    assert rows[9]['nll_milli'] > rows[1]['nll_milli']
+    # hand check: doc 1 is all 'common' (35 of 36 corpus tokens)
+    exp = round(1000 * (math.log(36) - math.log(35)))
+    assert rows[1]['nll_milli'] == exp and rows[1]['bucket'] == 'head'
