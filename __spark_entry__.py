@@ -523,12 +523,75 @@ def q_domain_stats(spark, sf_dir):
                  F.max('n_chars').alias('max_chars')))
 
 
-def _psl_domain_ctes() -> str:
+# URL-blocklist plants: (arm, prefix, suffix) around CAST(doc_id % 13)
+# — both engines build url = prefix || k || suffix from this one tuple.
+# Arms exercise: clean / blocked domain (PSL-derived) / clean private
+# suffix / blocked domain that ALSO matches a path keyword (domain must
+# win) / blocked path on a clean domain / clean.
+_BLK_PLANTS = (
+    (0, 'http://www.portal', '.example.com/home'),
+    (1, 'http://ads.tracker', '.example.co.uk/track'),
+    (2, 'https://docs.proj', '.github.io/guide'),
+    (3, 'https://promo', '.spam-casino.net/free-coins'),
+    (4, 'http://shop', '.example.com/adclick/banner'),
+    (5, 'https://news.site', '.org/article'),
+)
+_BLK_DOMAINS = ('example.co.uk', 'spam-casino.net')
+_BLK_KEYWORDS = ('adclick', 'free-coins')
+
+
+def q_url_blocklist(spark, sf_dir):
+    """URL-level corpus filtering (RefinedWeb/FineWeb curation): drop by
+    blocklisted PSL registrable domain (UT1-blocklist shape, broadcast
+    join) or by URL-path keyword (native rlike), with auditable
+    drop_reason and fixed domain-over-path precedence. Composes the full
+    PSL operator; zero shuffles of the URL table."""
+    from mineru_html_spark.functions.urls import url_blocklist_filter
+    d = F.col('doc_id')
+    k = (d % 13).cast('string')
+    url = None
+    for m, pre, suf in _BLK_PLANTS:
+        expr = F.concat(F.lit(pre), k, F.lit(suf))
+        url = F.when(d % 6 == m, expr) if url is None \
+            else url.when(d % 6 == m, expr)
+    docs = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    out = url_blocklist_filter(docs, 'url', domains=_BLK_DOMAINS,
+                               path_keywords=_BLK_KEYWORDS)
+    return out.select('doc_id', 'domain', 'drop_reason', 'keep')
+
+
+def _url_blocklist_oracle() -> str:
+    arms = '\n                '.join(
+        f"WHEN {m} THEN '{pre}' || CAST(doc_id % 13 AS VARCHAR) || '{suf}'"
+        for m, pre, suf in _BLK_PLANTS)
+    url_case = f"""CASE doc_id % 6
+                {arms}
+                END"""
+    doms = ', '.join(f"'{x}'" for x in _BLK_DOMAINS)
+    kw = '|'.join(_BLK_KEYWORDS)
+    return f"""
+            WITH {_psl_domain_ctes(url_case)},
+            r AS (
+              SELECT dom.doc_id, dom.domain,
+                     CASE WHEN dom.domain IN ({doms}) THEN 'blocked_domain'
+                          WHEN regexp_matches(regexp_extract(d.url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                            '{kw}') THEN 'blocked_path'
+                          ELSE '' END AS drop_reason
+              FROM dom JOIN d USING (doc_id))
+            SELECT doc_id, domain, drop_reason,
+                   drop_reason = '' AS keep
+            FROM r
+        """
+
+
+def _psl_domain_ctes(url_case: str | None = None) -> str:
     """Shared CTE chain producing (doc_id, domain) under full PSL
     semantics from the planted URLs — the same psl_rules() rows (single
     source of truth) replayed as per-depth VALUES left joins, the same
     exception-first / longest-match / wildcard-guard selection. Used by
-    the psl_domains oracle and composed by domain_stats."""
+    the psl_domains oracle, composed by domain_stats, and re-plumbed
+    with different plants (``url_case``) by url_blocklist."""
     from mineru_html_spark.functions.urls import psl_rules
     rules = psl_rules()
     depths = sorted({r['key_len'] for r in rules})
@@ -557,11 +620,13 @@ def _psl_domain_ctes() -> str:
     exc_sql = ', '.join(reversed(excs))
     eff_sql = ', '.join(effs)
     join_sql = '\n              '.join(joins)
+    if url_case is None:
+        url_case = f"""CASE doc_id % 8
+                {plants}
+                END"""
     return f"""d AS (
               SELECT doc_id,
-                CASE doc_id % 8
-                {plants}
-                END AS url
+                {url_case} AS url
               FROM documents),
             h AS (
               SELECT doc_id,
@@ -1198,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'warc_extract': q_warc_extract,
         'psl_domains': q_psl_domains,
         'domain_stats': q_domain_stats,
+        'url_blocklist': q_url_blocklist,
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'seq_pack': q_seq_pack,
@@ -1456,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_by_script': _lang_by_script_oracle(),
         'psl_domains': _psl_domains_oracle(),
         'domain_stats': _domain_stats_oracle(),
+        'url_blocklist': _url_blocklist_oracle(),
         'url_canon': """
             WITH d AS (
               SELECT doc_id,

@@ -223,3 +223,37 @@ def url_dedup_groups(df: DataFrame, url_col: str = 'url') -> DataFrame:
             .groupBy('canonical')
             .agg(F.min('url').alias('keeper_url'),
                  F.count('*').alias('group_size')))
+
+
+def url_blocklist_filter(df: DataFrame, url_col: str = 'url',
+                         domains: tuple = (),
+                         path_keywords: tuple = ()) -> DataFrame:
+    """Append (domain, drop_reason, keep): URL-level corpus filtering —
+    the RefinedWeb/FineWeb curation step that drops documents by
+    registrable domain (UT1-style blocklists) and by URL-path keyword,
+    BEFORE any content is parsed (the cheapest possible reject at crawl
+    scale).
+
+    Precedence is fixed and auditable: a blocklisted registrable domain
+    wins over a path-keyword hit; clean URLs get drop_reason '' and
+    keep=true.
+
+    Scale shape: the registrable domain comes from the PSL broadcast
+    joins (``with_registrable_domain``); the domain blocklist — even the
+    multi-million-entry UT1 lists are a few hundred MB — is one more
+    broadcast hash join; the path check is a native rlike. Zero shuffles
+    of the URL table, zero UDFs."""
+    d = with_registrable_domain(df, url_col)
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(x, 1) for x in sorted(domains)],
+                                'domain string, _blk int')
+    j = d.join(F.broadcast(bdf), 'domain', 'left')
+    path = parse_url(F.col(url_col))['path']
+    kw = '|'.join(path_keywords)          # literal keywords, no escaping
+    reason = (F.when(F.col('_blk').isNotNull(), F.lit('blocked_domain'))
+              .when(path.rlike(kw) if kw else F.lit(False),
+                    F.lit('blocked_path'))
+              .otherwise(F.lit('')))
+    return (j.withColumn('drop_reason', reason)
+            .withColumn('keep', reason == '')
+            .drop('_blk'))

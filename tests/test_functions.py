@@ -883,3 +883,29 @@ def test_unigram_lm_nll_orders_rarity(spark):
     # hand check: doc 1 is all 'common' (35 of 36 corpus tokens)
     exp = round(1000 * (math.log(36) - math.log(35)))
     assert rows[1]['nll_milli'] == exp and rows[1]['bucket'] == 'head'
+
+
+def test_url_blocklist_filter(spark):
+    from mineru_html_spark.functions.urls import url_blocklist_filter
+    df = spark.createDataFrame([
+        (1, 'http://www.portal.example.com/home'),            # clean
+        (2, 'http://ads.tracker.example.co.uk/track'),        # domain hit
+        (3, 'https://promo.spam-casino.net/free-coins'),      # both: domain wins
+        (4, 'http://shop.example.com/adclick/banner'),        # path hit
+        (5, 'https://docs.proj.github.io/guide'),             # private suffix, clean
+    ], 'doc_id long, url string')
+    rows = {r['doc_id']: r for r in url_blocklist_filter(
+        df, 'url', domains=('example.co.uk', 'spam-casino.net'),
+        path_keywords=('adclick', 'free-coins')).collect()}
+    assert rows[1]['drop_reason'] == '' and rows[1]['keep']
+    assert rows[1]['domain'] == 'example.com'
+    assert rows[2]['drop_reason'] == 'blocked_domain'
+    assert rows[2]['domain'] == 'example.co.uk'
+    # a blocklisted domain whose path ALSO matches: domain wins
+    assert rows[3]['drop_reason'] == 'blocked_domain'
+    assert rows[4]['drop_reason'] == 'blocked_path' and not rows[4]['keep']
+    assert rows[5]['keep'] and rows[5]['domain'] == 'proj.github.io'
+    # no keywords configured -> path arm never fires
+    clean = url_blocklist_filter(df, 'url', domains=(),
+                                 path_keywords=()).collect()
+    assert all(r['keep'] for r in clean)
