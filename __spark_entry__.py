@@ -306,6 +306,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return sim.embedding_near_dups(both, dim=dim, threshold_micro=990000)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, drop
+    within-cluster semantic near-dups (cosine >= 0.95 to a lower-id
+    member). The base table has no near-dups, so the query plants exact
+    copies of every 7th vector (vec_id + 1000000) — each copy lands in
+    its original's cluster with similarity 1.0 and must be dropped while
+    every original survives. Committed-output oracle."""
+    emb = _embeddings(spark, sf_dir).select('vec_id', 'embedding')
+    planted = (emb.where(F.col('vec_id') % 7 == 3)
+               .select((F.col('vec_id') + 1000000).alias('vec_id'),
+                       'embedding'))
+    both = emb.unionByName(planted)
+    return sim.semantic_dedup(both, n_lists=16, threshold=0.95)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer, 4-probe); committed-output
     oracle."""
@@ -1249,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_count_bpe': q_token_count_bpe,
         'quality_gate': q_quality_gate,
         'embedding_near_dups': q_embedding_near_dups,
+        'semantic_dedup': q_semantic_dedup,
         'ann_ivf_topk': q_ann_ivf_topk,
         'accuracy_summary': q_accuracy_summary,
         'heldout_accuracy': q_heldout_accuracy,
@@ -1322,7 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         name: _expected_parquet(name)
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
                      'rouge_self', 'media_features',
-                     'embedding_near_dups', 'ann_ivf_topk',
+                     'embedding_near_dups', 'semantic_dedup',
+                     'ann_ivf_topk',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -305,3 +305,49 @@ def ann_topk_ivf(embeddings: DataFrame, query: Sequence[float], k: int = 20,
              .join(assigned.where(F.col('list_id').isin(probe_lists))
                    .select('vec_id'), 'vec_id', 'left_semi'))
     return cosine_topk(cands, query, k, vec_col)
+
+
+def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
+                   threshold: float = 0.95, sample: int = 2048,
+                   seed: int = 5, vec_col: str = 'embedding') -> DataFrame:
+    """(vec_id, list_id, max_prev_sim_micro, keep): SemDeDup (Abbas et
+    al. 2023) — semantic near-duplicate removal over embeddings: cluster
+    with the IVF coarse quantizer, then WITHIN each cluster drop every
+    vector whose cosine similarity to any lower-id cluster member is
+    >= threshold (keep-first, so the survivor set is deterministic and
+    order-independent across cluster sizes). max_prev_sim_micro records
+    the evidence (micro-scaled; -2e6 for a cluster's first vector).
+
+    Scale shape — the paper's own design: clustering bounds the O(c^2)
+    pairwise work to within-cluster blocks (SemDeDup runs k=50k clusters
+    over 100M+ embeddings); the quantizer trains on a hash sample and
+    broadcasts; assignment is one vectorized Arrow pass; the pairwise
+    stage is one applyInPandas per cluster — the only shuffle is the
+    groupBy(list_id) exchange. A pathologically giant cluster would be
+    sub-bucketed by a secondary hash before the pairwise stage (same cap
+    pattern as the MinHash bucket cap)."""
+    cents = train_quantizer(embeddings, n_lists, sample, seed, vec_col)
+    assigned = ivf_assign(embeddings, cents, vec_col, keep_vec=True)
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values('vec_id').reset_index(drop=True)
+        m = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        n = len(pdf)
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)   # j < i
+        prev_max = np.where(mask, sims, -2.0).max(axis=1)
+        return pd.DataFrame({
+            'vec_id': pdf['vec_id'],
+            'list_id': pdf['list_id'],
+            'max_prev_sim_micro':
+                np.round(prev_max * 1e6).astype('int64'),
+            'keep': prev_max < threshold,
+        })
+
+    return (assigned.groupBy('list_id')
+            .applyInPandas(dedup, 'vec_id long, list_id int, '
+                                  'max_prev_sim_micro long, keep boolean'))

@@ -909,3 +909,25 @@ def test_url_blocklist_filter(spark):
     clean = url_blocklist_filter(df, 'url', domains=(),
                                  path_keywords=()).collect()
     assert all(r['keep'] for r in clean)
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    import numpy as np
+
+    from mineru_html_spark.functions.similarity import semantic_dedup
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype('float32')
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # exact copies of vectors 0..4 under higher ids: must be dropped
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = {r['vec_id']: r
+           for r in semantic_dedup(df, n_lists=4, threshold=0.95).collect()}
+    assert len(out) == 45                 # every vector labeled
+    for i in range(5):
+        assert not out[100 + i]['keep']
+        assert out[100 + i]['max_prev_sim_micro'] == 1000000
+    assert all(out[i]['keep'] for i in range(40))   # random vecs survive
+    # copies land in their original's cluster
+    for i in range(5):
+        assert out[100 + i]['list_id'] == out[i]['list_id']

@@ -19,7 +19,8 @@ SF_DIR = '/root/testdata/sf0.01'
 OUT_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens')
 
 NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
-         'media_features', 'embedding_near_dups', 'ann_ivf_topk',
+         'media_features', 'embedding_near_dups', 'semantic_dedup',
+         'ann_ivf_topk',
          'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
          'near_dup_clusters', 'approx_distinct_users', 'warc_extract')
 
@@ -30,7 +31,8 @@ def main():
     spark = get_spark('local[8]', app_name='make-expected-ops',
                       shuffle_partitions=8)
     qs = entry.queries()
-    for name in NAMES:
+    only = set(sys.argv[1:])              # regen a subset: pass names
+    for name in (n for n in NAMES if not only or n in only):
         df = qs[name](spark, SF_DIR)
         path = os.path.join(OUT_DIR, f'expected_{name}_sf001.parquet')
         df.toPandas().to_parquet(path, index=False)
