@@ -307,9 +307,23 @@ LM_HEAD_MILLI = 3400
 LM_TAIL_MILLI = 3404
 
 
+def unigram_lm_table(documents: DataFrame) -> DataFrame:
+    """(word, cnt, total): the unigram LM. In production this is built
+    ONCE and materialized (CCNet's LM is a static pretrained artifact) —
+    pass it to ``unigram_lm_nll(lm=...)`` so the corpus isn't re-scanned
+    per scoring run; built inline it costs two extra (column-pruned,
+    text-only) passes over the corpus."""
+    counts = (documents
+              .select(F.explode(_words()).alias('word'))
+              .groupBy('word').agg(F.count('*').alias('cnt')))
+    return counts.crossJoin(
+        F.broadcast(counts.agg(F.sum('cnt').alias('total'))))
+
+
 def unigram_lm_nll(documents: DataFrame,
                    head_milli: int = LM_HEAD_MILLI,
-                   tail_milli: int = LM_TAIL_MILLI) -> DataFrame:
+                   tail_milli: int = LM_TAIL_MILLI,
+                   lm: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_tokens, nll_milli, bucket): CCNet-style LM quality
     bucketing — score each document by the average negative log-likelihood
     of its tokens under a unigram LM estimated from the corpus itself,
@@ -328,13 +342,14 @@ def unigram_lm_nll(documents: DataFrame,
     the corpus-side probe is a broadcast hash join at gate scale (a
     web-scale vocabulary would flip to a shuffle join on word, still
     hash-only); the per-doc rollup partial-aggregates map-side. No global
-    sort anywhere — bucketing is a pure filter on fixed thresholds."""
+    sort anywhere — bucketing is a pure filter on fixed thresholds.
+    Pass a materialized ``lm`` (``unigram_lm_table``) to score without
+    rebuilding it — the production path, where the LM is a static
+    artifact reused across runs."""
     docs = documents.select(
         'doc_id', F.explode_outer(_words()).alias('word'))
-    counts = (docs.where(F.col('word').isNotNull())
-              .groupBy('word').agg(F.count('*').alias('cnt')))
-    lm = counts.crossJoin(
-        F.broadcast(counts.agg(F.sum('cnt').alias('total'))))
+    if lm is None:
+        lm = unigram_lm_table(documents)
     agg = (docs.join(F.broadcast(lm), 'word', 'left')
            .groupBy('doc_id')
            .agg(F.count('word').alias('n_tokens'),

@@ -931,3 +931,14 @@ def test_semantic_dedup_drops_planted_copies(spark):
     # copies land in their original's cluster
     for i in range(5):
         assert out[100 + i]['list_id'] == out[i]['list_id']
+
+
+def test_unigram_lm_nll_materialized_lm_matches_inline(spark):
+    from mineru_html_spark.functions.corpus import (unigram_lm_nll,
+                                                    unigram_lm_table)
+    docs = [(i, 'common common rare0 common') for i in range(6)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    inline = sorted(map(tuple, unigram_lm_nll(df).collect()))
+    lm = unigram_lm_table(df).localCheckpoint()    # the production path
+    reused = sorted(map(tuple, unigram_lm_nll(df, lm=lm).collect()))
+    assert inline == reused

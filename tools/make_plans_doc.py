@@ -112,6 +112,49 @@ def main():
         trimmed(plan_of(entry.q_stratified_sample(spark, SF)),
                 [r'BroadcastHashJoin|BroadcastExchange|Filter|Scan'])))
 
+    sections.append((
+        'Hashed-linear quality classifier (zero-shuffle codegen)',
+        'The whole hashing-trick scorer is ONE whole-stage-codegen '
+        'Project over the scan — higher-order aggregate inside the row, '
+        'no explode, no join, no exchange anywhere.',
+        trimmed(plan_of(entry.q_quality_classifier(spark, SF)),
+                [r'WholeStageCodegen|Project|Scan'], max_lines=8)))
+
+    sections.append((
+        'Benchmark decontamination (broadcast shingle probe)',
+        'The benchmark 8-gram index broadcasts (BroadcastHashJoin); the '
+        'corpus side explodes md5 hashes row-local and the per-doc '
+        'rollup partial-aggregates — document text never enters an '
+        'exchange.',
+        trimmed(plan_of(entry.q_decontaminate(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|HashAggregate|'
+                 r'Exchange|Generate|Scan'])))
+
+    sections.append((
+        'LM quality bucketing (broadcast LM + fixed-threshold filter)',
+        'The unigram LM is one hash aggregate whose result broadcasts '
+        'back; bucketing is a pure projection on fixed thresholds — '
+        'no global sort/ntile anywhere in the plan.',
+        trimmed(plan_of(entry.q_lm_bucket(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|HashAggregate|'
+                 r'Exchange|Scan'])))
+
+    sections.append((
+        'URL blocklist filter (PSL joins + broadcast blocklist)',
+        'Registrable domain via the per-depth PSL broadcast joins, then '
+        'one more BroadcastHashJoin against the domain blocklist and a '
+        'native rlike on the path — the URL table never exchanges.',
+        trimmed(plan_of(entry.q_url_blocklist(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|Filter|Scan'])))
+
+    sections.append((
+        'SemDeDup semantic dedup (one exchange, cluster-bounded pairwise)',
+        'Quantizer trains on a hash sample; assignment is a vectorized '
+        'Arrow pass; the ONLY exchange is groupBy(list_id) feeding the '
+        'per-cluster pairwise stage (FlatMapGroupsInPandas).',
+        trimmed(plan_of(entry.q_semantic_dedup(spark, SF)),
+                [r'FlatMapGroupsInPandas|Exchange|MapInPandas|Scan|Sort'])))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
