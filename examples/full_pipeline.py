@@ -5,15 +5,21 @@ MinerU-HTML user runs today, expressed as one Spark job chain:
      here per the sandbox rule)
   2. extract main content (fused Arrow-UDF stage, skew-salted)
   3. quality-gate the extracted text (per-rule drop reasons)
-  4. language-route (script router + per-script models) and apply the
+  4. benchmark decontamination: drop docs sharing any 8-gram with the
+     eval corpus (broadcast shingle index)
+  5. LM quality filter, CCNet policy: score avg unigram NLL and drop the
+     least-predictable tail — the cut derived from a percentile pass
+     (approxQuantile), which is exactly how production sets the fixed
+     thresholds it then applies as a pure filter
+  6. language-route (script router + per-script models) and apply the
      training-mix: deterministic stratified sampling by language
-  5. exact-dedup on content fingerprint (first-wins)
-  6. document-level boilerplate filter (duplicated-3-gram fraction)
-  7. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
+  7. exact-dedup on content fingerprint (first-wins)
+  8. document-level boilerplate filter (duplicated-3-gram fraction)
+  9. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
      components); keep one doc per cluster (min doc_id)
-  8. scrub PII
-  9. pack survivors into fixed token-budget training sequences
- 10. write results + a survivors manifest
+ 10. scrub PII
+ 11. pack survivors into fixed token-budget training sequences
+ 12. write results + a survivors manifest
 
 Run:  python examples/full_pipeline.py [n_docs] [out_dir]
 """
@@ -31,10 +37,12 @@ import pyspark.sql.functions as F
 
 def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  lang_mix: dict | None = None):
-    from mineru_html_spark.functions.corpus import (dup_shingle_fraction,
+    from mineru_html_spark.functions.corpus import (decontaminate,
+                                                    dup_shingle_fraction,
                                                     pack_sequences,
                                                     pii_scrub,
-                                                    stratified_sample)
+                                                    stratified_sample,
+                                                    unigram_lm_nll)
     from mineru_html_spark.functions.dedup import (exact_dedup_groups,
                                                    near_dup_clusters)
     from mineru_html_spark.functions.text import (lang_id_by_script,
@@ -56,27 +64,51 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     kept = (corpus.join(gate.where('keep').select('doc_id'), 'doc_id',
                         'left_semi'))
 
-    # 4. language routing + training-mix control: per-language keep
+    # 4. benchmark decontamination (eval-overlap filter). The benchmark
+    #    stands in for the real eval suites; its shingle index broadcasts.
+    bench = spark.createDataFrame(
+        [('the quick benchmark question about spark shuffles and joins '
+          'that must never leak into training',)], 'text string')
+    cont = decontaminate(kept, bench, n=8)
+    kept = kept.join(cont.where(~F.col('contaminated')).select('doc_id'),
+                     'doc_id', 'left_semi')
+
+    # 5. LM tail filter (CCNet policy: drop the least-predictable tail).
+    #    The cut comes from a percentile pass — production derives its
+    #    fixed thresholds exactly this way, then applies them as a pure
+    #    filter on later corpora.
+    nll = unigram_lm_nll(kept).select('doc_id', 'nll_milli')
+    tail_cut = nll.approxQuantile('nll_milli', [0.95], 0.01)[0]
+    kept = kept.join(nll.where(F.col('nll_milli') <= tail_cut)
+                     .select('doc_id'), 'doc_id', 'left_semi')
+    # materialize the filtered corpus before the iterative downstream
+    # stages: near-dup clustering re-scans its input many times, and
+    # without this cut each re-scan would replay the decontamination and
+    # LM subplans (production writes the phase boundary to a table —
+    # same idea, durable)
+    kept = kept.localCheckpoint()
+
+    # 6. language routing + training-mix control: per-language keep
     #    rates via deterministic (rerun-identical) hash sampling
     lang_mix = lang_mix or {'en': 1000, 'und': 500}
     langs = lang_id_by_script(kept).select('doc_id', 'lang')
     kept = stratified_sample(kept.join(langs, 'doc_id'), lang_mix,
                              stratum_col='lang').drop('lang')
 
-    # 5. exact dedup: keep each fingerprint's first doc
+    # 7. exact dedup: keep each fingerprint's first doc
     groups = exact_dedup_groups(kept)
     kept = kept.join(
         groups.select(F.col('keeper_doc_id').alias('doc_id')),
         'doc_id', 'left_semi')
 
-    # 6. document-level boilerplate filter: drop docs dominated by
+    # 8. document-level boilerplate filter: drop docs dominated by
     #    corpus-duplicated 3-grams (C4/RefinedWeb policy)
     frac = dup_shingle_fraction(kept, n=3, min_docs=3,
                                 max_dup_permille=900)
     kept = kept.join(frac.where('keep').select('doc_id'), 'doc_id',
                      'left_semi')
 
-    # 7. near-dup clusters: drop every member that is not its cluster's
+    # 9. near-dup clusters: drop every member that is not its cluster's
     #    canonical keeper (min doc_id)
     clusters = near_dup_clusters(kept.withColumn(
         'doc_id', F.xxhash64('doc_id')).select('doc_id', 'text'))
@@ -86,15 +118,15 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
             .join(losers.withColumnRenamed('doc_id', 'k'), 'k',
                   'left_anti').drop('k'))
 
-    # 8. PII scrub
+    # 10. PII scrub
     clean = pii_scrub(kept).select(
         'doc_id', F.col('scrubbed').alias('text'),
         'n_emails', 'n_ips', 'n_phones')
 
-    # 9. pack into training sequences
+    # 11. pack into training sequences
     packed = pack_sequences(clean, budget=token_budget)
 
-    # 10. write: extraction results, survivors, pack manifest
+    # 12. write: extraction results, survivors, pack manifest
     results.write.mode('overwrite').parquet(os.path.join(out_dir, 'extracted'))
     clean.write.mode('overwrite').parquet(os.path.join(out_dir, 'survivors'))
     packed.write.mode('overwrite').parquet(os.path.join(out_dir, 'packs'))
