@@ -31,6 +31,8 @@ from mineru_html_spark.streaming.ingest import windowed_event_counts
 REPO = os.path.dirname(os.path.abspath(__file__))
 EXPECTED_SF001 = os.path.join(REPO, 'tests', 'goldens',
                               'expected_sf001.parquet')
+SPANS_SF001 = os.path.join(REPO, 'tests', 'goldens',
+                           'spans_sf001.parquet')
 
 _STOP_SQL = ', '.join(f"'{w}'" for w in tx.STOPWORDS)
 
@@ -1237,6 +1239,18 @@ def q_media_features(spark, sf_dir):
                         'decode_status')
 
 
+def q_interleave_pairs(spark, sf_dir):
+    """Image-text caption-candidate mining over the INTERLEAVED span
+    sequences (MMC4/LAION pairing step): for each image span of the
+    distributed extraction output, the nearest preceding/following text
+    span, window-trimmed. The oracle computes the same pairs in DuckDB
+    from the committed single-node-reference spans parquet — so this
+    gate checks distributed extraction AND the pair operator against an
+    engine-independent replay."""
+    from mineru_html_spark.functions.media import interleave_pairs
+    return interleave_pairs(_extraction_results(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'extract_main': q_extract_main,
@@ -1259,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
+        'interleave_pairs': q_interleave_pairs,
         'sessionize': q_sessionize,
         'streaming_sessionize': q_streaming_sessionize,
         'token_count_bpe': q_token_count_bpe,
@@ -1714,6 +1729,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll_milli <= {LM_TAIL_MILLI} THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM f
+        """,
+        'interleave_pairs': f"""
+            WITH r AS (
+              SELECT doc_id, spans
+              FROM read_parquet('{SPANS_SF001}')),
+            x AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       list_filter(spans, s -> s.kind = 'image'),
+                       i -> struct_pack(
+                         media_ref := i.media_ref,
+                         img_offset := CAST(i."offset" AS BIGINT),
+                         b := coalesce(list_filter(spans,
+                                t -> t.kind = 'text'
+                                     AND t."offset" < i."offset")[-1].text,
+                              ''),
+                         a := coalesce(list_filter(spans,
+                                t -> t.kind = 'text'
+                                     AND t."offset" > i."offset")[1].text,
+                              '')))) AS p
+              FROM r)
+            SELECT doc_id,
+                   p.media_ref AS media_ref,
+                   p.img_offset AS img_offset,
+                   substring(p.b, greatest(1, length(p.b) - 119), 120)
+                       AS before_text,
+                   substring(p.a, 1, 120) AS after_text
+            FROM x
         """,
         'pii_scrub': """
             WITH d AS (

@@ -166,3 +166,44 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
                                               'frame_payload'])
     return media.select('media_ref', 'payload', 'n_frames') \
         .mapInPandas(batch, FRAMES_SCHEMA)
+
+
+def interleave_pairs(results: DataFrame, window: int = 120) -> DataFrame:
+    """(doc_id, media_ref, img_offset, before_text, after_text): mine
+    image-text caption candidates from the interleaved span sequences —
+    for every image span, the nearest preceding and following TEXT span
+    (trimmed to the last/first ``window`` chars). This is the
+    MMC4/LAION-style pairing step that turns extracted interleaved
+    documents into (image, context) training pairs.
+
+    Scale shape: everything is native higher-order functions over the
+    per-row spans array (whole-stage codegen) followed by one explode —
+    no shuffle, no UDF; payload bytes never travel (pairs carry the
+    media_ref, resolution happens at training-shard build). Edge docs:
+    an image with no text on one side gets '' on that side; docs without
+    image spans emit nothing."""
+    texts = F.filter('spans', lambda s: s['kind'] == 'text')
+    imgs = F.filter('spans', lambda s: s['kind'] == 'image')
+    pairs = F.transform(imgs, lambda i: F.struct(
+        i['media_ref'].alias('media_ref'),
+        i['offset'].cast('long').alias('img_offset'),
+        F.coalesce(
+            F.try_element_at(F.filter(
+                texts, lambda t: t['offset'] < i['offset']),
+                F.lit(-1))['text'],
+            F.lit('')).alias('b'),
+        F.coalesce(
+            F.try_element_at(F.filter(
+                texts, lambda t: t['offset'] > i['offset']),
+                F.lit(1))['text'],
+            F.lit('')).alias('a')))
+    ex = results.select('doc_id', F.explode(pairs).alias('p'))
+    b, a = F.col('p.b'), F.col('p.a')
+    before = b.substr(F.greatest(F.lit(1),
+                                 F.length(b) - F.lit(window - 1)),
+                      F.lit(window))
+    return ex.select('doc_id',
+                     F.col('p.media_ref').alias('media_ref'),
+                     F.col('p.img_offset').alias('img_offset'),
+                     before.alias('before_text'),
+                     a.substr(F.lit(1), F.lit(window)).alias('after_text'))

@@ -942,3 +942,47 @@ def test_unigram_lm_nll_materialized_lm_matches_inline(spark):
     lm = unigram_lm_table(df).localCheckpoint()    # the production path
     reused = sorted(map(tuple, unigram_lm_nll(df, lm=lm).collect()))
     assert inline == reused
+
+
+def test_interleave_pairs_edges(spark):
+    from mineru_html_spark.functions.media import interleave_pairs
+
+    def span(kind, text, ref, off):
+        return {'kind': kind, 'text': text, 'media_ref': ref,
+                'offset': off}
+
+    rows = [
+        # image in the middle, image first (no before), image last
+        {'doc_id': 'a', 'spans': [
+            span('image', '', 'm://0', 0),
+            span('text', 'alpha', '', 1),
+            span('image', '', 'm://1', 2),
+            span('text', 'beta', '', 3),
+            span('image', '', 'm://2', 4),
+        ]},
+        # consecutive images share the same neighbours
+        {'doc_id': 'b', 'spans': [
+            span('text', 'x' * 300, '', 0),
+            span('image', '', 'm://3', 1),
+            span('image', '', 'm://4', 2),
+            span('text', 'tail', '', 3),
+        ]},
+        {'doc_id': 'c', 'spans': [span('text', 'no images', '', 0)]},
+        {'doc_id': 'd', 'spans': []},
+    ]
+    df = spark.createDataFrame(
+        rows, 'doc_id string, spans array<struct<kind:string,text:string,'
+              'media_ref:string,offset:int>>')
+    got = {(r['doc_id'], r['media_ref']): r
+           for r in interleave_pairs(df, window=120).collect()}
+    assert len(got) == 5                  # docs c, d emit nothing
+    assert got[('a', 'm://0')]['before_text'] == ''
+    assert got[('a', 'm://0')]['after_text'] == 'alpha'
+    assert got[('a', 'm://1')]['before_text'] == 'alpha'
+    assert got[('a', 'm://1')]['after_text'] == 'beta'
+    assert got[('a', 'm://2')]['before_text'] == 'beta'
+    assert got[('a', 'm://2')]['after_text'] == ''
+    # window trims to the LAST 120 chars of the preceding text
+    assert got[('b', 'm://3')]['before_text'] == 'x' * 120
+    assert got[('b', 'm://4')]['before_text'] == 'x' * 120  # nearest text
+    assert got[('b', 'm://3')]['after_text'] == 'tail'      # skips image

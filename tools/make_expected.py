@@ -29,10 +29,16 @@ def spans_sha(spans) -> str:
     return hashlib.md5(joined.encode('utf-8')).hexdigest()
 
 
+SPAN_TYPE = pa.list_(pa.struct([
+    ('kind', pa.string()), ('text', pa.string()),
+    ('media_ref', pa.string()), ('offset', pa.int32())]))
+
+
 def main():
     n = docs_for_sf(0.01)
     rows = {k: [] for k in ('doc_id', 'status', 'n_items', 'n_main',
                             'n_spans', 'n_image_spans', 'spans_sha')}
+    full_spans = []
     for i in range(n):
         d = gen_doc(i)
         r = extract_document(d['doc_id'], d['spans'])
@@ -44,6 +50,7 @@ def main():
         rows['n_image_spans'].append(
             sum(1 for s in r['spans'] if s['kind'] == 'image'))
         rows['spans_sha'].append(spans_sha(r['spans']))
+        full_spans.append(r['spans'])
     table = pa.table({
         'doc_id': pa.array(rows['doc_id'], pa.string()),
         'status': pa.array(rows['status'], pa.string()),
@@ -57,6 +64,20 @@ def main():
                        'expected_sf001.parquet')
     pq.write_table(table, out)
     print(f'wrote {n} expected rows to {out}')
+
+    # full span sequences from the SAME single-node reference run: the
+    # committed INPUT fixture for the interleave_pairs oracle (DuckDB
+    # computes the pairs independently from these spans, so the gate
+    # checks distributed-extraction + pair-operator against a pure
+    # single-node replay)
+    spans_table = pa.table({
+        'doc_id': pa.array(rows['doc_id'], pa.string()),
+        'spans': pa.array(full_spans, SPAN_TYPE),
+    })
+    spans_out = os.path.join(os.path.dirname(__file__), '..', 'tests',
+                             'goldens', 'spans_sf001.parquet')
+    pq.write_table(spans_table, spans_out)
+    print(f'wrote full spans to {spans_out}')
 
 
 if __name__ == '__main__':

@@ -155,6 +155,16 @@ def main():
         trimmed(plan_of(entry.q_semantic_dedup(spark, SF)),
                 [r'FlatMapGroupsInPandas|Exchange|MapInPandas|Scan|Sort'])))
 
+    sections.append((
+        'Interleaved image-text pairing (zero-shuffle HOFs + explode)',
+        'Caption-candidate mining over the span sequences: native '
+        'higher-order functions inside the row, one Generate (explode) — '
+        'no exchange after the extraction stage, payload bytes never '
+        'travel.',
+        trimmed(plan_of(entry.q_interleave_pairs(spark, SF)),
+                [r'Generate|Project|Exchange|InMemory|Scan'],
+                max_lines=10)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
