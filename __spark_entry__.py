@@ -1018,6 +1018,17 @@ def q_lm_bucket(spark, sf_dir):
     return unigram_lm_nll(_docs(spark, sf_dir))
 
 
+def q_phrase_detect(spark, sf_dir):
+    """Mikolov (2013) phrase detection — the word2vec bigram-scoring
+    pass that builds a phrase vocabulary before tokenizer/embedding
+    training. Row-local bigrams, two partial-agg shuffles, broadcast
+    unigram probes, TakeOrdered top-k; one double division micro-rounded
+    identically on both engines."""
+    from mineru_html_spark.functions.corpus import phrase_detect
+    return phrase_detect(_docs(spark, sf_dir), delta=5, k=100,
+                         min_count=5)
+
+
 def q_asof_purchase(spark, sf_dir):
     """AS-OF join (most recent purchase at or before each click, per
     user) — Spark has no ASOF primitive; this is the union +
@@ -1306,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'decontaminate': q_decontaminate,
         'quality_classifier': q_quality_classifier,
         'lm_bucket': q_lm_bucket,
+        'phrase_detect': q_phrase_detect,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1729,6 +1741,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll_milli <= {LM_TAIL_MILLI} THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM f
+        """,
+        'phrase_detect': f"""
+            WITH w AS (SELECT {_WORDS_AZ09} AS w FROM documents),
+            uni AS (SELECT unnest(w) AS a FROM w),
+            u AS (SELECT a, count(*) AS n_a FROM uni GROUP BY 1),
+            t AS (SELECT CAST(sum(n_a) AS BIGINT) AS n_total FROM u),
+            bg AS (
+              SELECT unnest(CASE WHEN len(w) < 2 THEN []
+                            ELSE list_transform(range(0, len(w) - 1),
+                              i -> struct_pack(a := w[i+1], b := w[i+2]))
+                            END) AS g
+              FROM w),
+            b AS (
+              SELECT g.a AS a, g.b AS b, count(*) AS n_ab
+              FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+            j AS (
+              SELECT concat(b.a, ' ', b.b) AS bigram, b.n_ab,
+                     ua.n_a AS n_a, ub.n_a AS n_b
+              FROM b JOIN u ua ON b.a = ua.a
+                     JOIN u ub ON b.b = ub.a)
+            SELECT bigram, n_ab, n_a, n_b,
+                   CAST(round(1000000
+                        * CAST(n_ab - 5 AS DOUBLE)
+                        * CAST((SELECT n_total FROM t) AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                     AS BIGINT) AS score_micro
+            FROM j
+            ORDER BY score_micro DESC, bigram ASC
+            LIMIT 100
         """,
         'interleave_pairs': f"""
             WITH r AS (

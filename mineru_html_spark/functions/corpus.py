@@ -422,3 +422,55 @@ def remove_dup_spans(documents: DataFrame, n: int = 10,
         (F.size('w') - F.size(kept)).cast('long').alias('n_removed'),
         F.array_join(F.transform(kept, lambda s: s['word']), ' ')
          .alias('clean_text'))
+
+
+def phrase_detect(documents: DataFrame, delta: int = 5, k: int = 100,
+                  min_count: int = 5) -> DataFrame:
+    """(bigram, n_ab, n_a, n_b, score_micro): Mikolov et al. (2013)
+    phrase detection — the word2vec bigram-scoring pass that builds a
+    phrase vocabulary ("new_york") before tokenizer/embedding training:
+
+        score = (count(ab) - delta) * N / (count(a) * count(b))
+
+    scaled to micro and top-k'd (ties break on the bigram string, so the
+    result is fully deterministic). ``delta`` discounts rare accidents;
+    bigrams under ``min_count`` never surface.
+
+    Scale shape: bigrams are built ROW-LOCAL with a higher-order
+    transform (no self-join of an exploded table); unigram and bigram
+    counts are two hash aggregates with map-side partial combine
+    (shuffles carry one row per distinct gram per task); the two unigram
+    probes are broadcast joins at gate scale (web-scale vocab flips to
+    hash joins on the word — still count rows only); the final top-k is
+    TakeOrderedAndProject, never a global sort. The single
+    floating-point op (one division) is computed in the same expression
+    shape on both engines and micro-rounded — the cosine policy."""
+    words = documents.select(_words().alias('w'))
+    uni = (words.select(F.explode('w').alias('a'))
+           .groupBy('a').agg(F.count('*').alias('n_a')))
+    bigrams = F.when(F.size('w') < 2, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size('w') - 2),
+                    lambda i: F.struct(
+                        F.element_at('w', i + 1).alias('a'),
+                        F.element_at('w', i + 2).alias('b'))))
+    bi = (words.select(F.explode(bigrams).alias('g'))
+          .select(F.col('g.a').alias('a'), F.col('g.b').alias('b'))
+          .groupBy('a', 'b').agg(F.count('*').alias('n_ab'))
+          .where(F.col('n_ab') >= min_count))
+    total = F.broadcast(uni.agg(F.sum('n_a').alias('n_total')))
+    j = (bi.join(F.broadcast(uni), 'a')
+         .join(F.broadcast(uni.select(F.col('a').alias('b'),
+                                      F.col('n_a').alias('n_b'))), 'b')
+         .crossJoin(total))
+    # counts cast to double BEFORE the products: long multiplication of
+    # web-scale counts would overflow under ANSI (and DuckDB would
+    # silently promote to HUGEINT instead — the engines must share one
+    # arithmetic); doubles are exact for counts < 2^53
+    score = F.round(F.lit(1000000)
+                    * (F.col('n_ab') - delta).cast('double')
+                    * F.col('n_total').cast('double')
+                    / (F.col('n_a').cast('double')
+                       * F.col('n_b').cast('double'))).cast('long')
+    out = j.select(F.concat_ws(' ', 'a', 'b').alias('bigram'),
+                   'n_ab', 'n_a', 'n_b', score.alias('score_micro'))
+    return out.orderBy(F.desc('score_micro'), F.asc('bigram')).limit(k)

@@ -986,3 +986,26 @@ def test_interleave_pairs_edges(spark):
     assert got[('b', 'm://3')]['before_text'] == 'x' * 120
     assert got[('b', 'm://4')]['before_text'] == 'x' * 120  # nearest text
     assert got[('b', 'm://3')]['after_text'] == 'tail'      # skips image
+
+
+def test_phrase_detect_mikolov_score(spark):
+    from mineru_html_spark.functions.corpus import phrase_detect
+    # 'new york' co-occurs every time; 'the city' is incidental
+    docs = [(i, 'new york is the city where new york people live in '
+                'new york') for i in range(4)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    rows = {r['bigram']: r
+            for r in phrase_detect(df, delta=2, k=10,
+                                   min_count=4).collect()}
+    assert 'new york' in rows
+    r = rows['new york']
+    assert r['n_ab'] == 12 and r['n_a'] == 12 and r['n_b'] == 12
+    n_total = 4 * 13                      # 13 words per doc
+    exp = round(1_000_000 * (12 - 2) * n_total / (12 * 12))
+    assert r['score_micro'] == exp
+    # every surfaced bigram met min_count
+    assert all(v['n_ab'] >= 4 for v in rows.values())
+    # the true phrase outranks the incidental high-frequency-word bigram
+    # ('york is' pairs a frequent word with a different successor each
+    # context — the n_a*n_b denominator is what buries it)
+    assert rows['new york']['score_micro'] > rows['york is']['score_micro']
