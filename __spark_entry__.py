@@ -1018,6 +1018,58 @@ def q_lm_bucket(spark, sf_dir):
     return unigram_lm_nll(_docs(spark, sf_dir))
 
 
+_BM25_TERMS = ('spark', 'vector', 'window')
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-20 for a fixed query — the keyword-retrieval
+    tier next to the ANN stack (corpus audits, leak hunting, hard
+    negatives). One native pass for tf/dl, ONE aggregate row broadcast
+    back (N, avgdl, per-term df), closed-form scoring projection,
+    TakeOrdered top-k."""
+    from mineru_html_spark.functions.retrieval import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), list(_BM25_TERMS), k=20)
+
+
+def _bm25_oracle(terms, k: int = 20) -> str:
+    """DuckDB mirror with the IDENTICAL expression shape and the exact
+    same float constants (interpolated from the shared BM25_K1/BM25_B,
+    so an engine can't parse a different nearest-double)."""
+    from mineru_html_spark.functions.retrieval import BM25_B, BM25_K1
+    terms = sorted(set(terms))
+    tf_cols = ',\n                     '.join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms)
+    df_cols = ',\n                     '.join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}" for t in terms)
+    parts = '\n                      + '.join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE)"
+        f" + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+        f" + {BM25_B} * dl / avgdl))"
+        for t in terms)
+    tf_names = ', '.join(f'tf_{t}' for t in terms)
+    return f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            base AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     {tf_cols}
+              FROM w),
+            s AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                     {df_cols}
+              FROM base)
+            SELECT doc_id, dl, {tf_names},
+                   CAST(round(1000000 * ({parts})) AS BIGINT)
+                       AS score_micro
+            FROM base, s
+            ORDER BY score_micro DESC, doc_id ASC
+            LIMIT {k}
+        """
+
+
 def q_phrase_detect(spark, sf_dir):
     """Mikolov (2013) phrase detection — the word2vec bigram-scoring
     pass that builds a phrase vocabulary before tokenizer/embedding
@@ -1318,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_classifier': q_quality_classifier,
         'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
+        'bm25_topk': q_bm25_topk,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1742,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM f
         """,
+        'bm25_topk': _bm25_oracle(_BM25_TERMS, k=20),
         'phrase_detect': f"""
             WITH w AS (SELECT {_WORDS_AZ09} AS w FROM documents),
             uni AS (SELECT unnest(w) AS a FROM w),

@@ -1,0 +1,70 @@
+"""Lexical retrieval over the corpus — BM25 top-k.
+
+The keyword-search tier every corpus platform pairs with the ANN tier
+(similarity.py): eval-set leak hunting, targeted corpus audits,
+hard-negative mining. Everything is native column expressions
+(whole-stage codegen): per-term term frequencies are higher-order
+filters over the per-row words array, the corpus statistics (N, df per
+term, avg doc length) are ONE aggregate row broadcast back, scoring is
+a closed-form projection, and the top-k is TakeOrderedAndProject —
+no UDF, no global sort, one tiny broadcast. The only floats are the
+final idf/score expressions, computed in the same shape on both engines
+and micro-rounded (the cosine policy).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .corpus import _words
+
+BM25_K1 = 1.2          # term-frequency saturation
+BM25_B = 0.75          # document-length normalization
+
+
+def bm25_topk(documents: DataFrame, terms: list, k: int = 20,
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(doc_id, dl, tf_<term>..., score_micro): BM25 top-k documents for
+    a bag of query terms (Robertson/Sparck-Jones idf with +1 flooring,
+    the Lucene form — never negative).
+
+    Scale shape: one pass computes per-doc tf for every term natively;
+    a single global aggregate yields (N, avgdl, df per term) and
+    broadcasts back (one row); scoring is a pure projection and the
+    top-k is TakeOrdered. At 10^12 docs this is exactly the
+    scan + tiny-broadcast + top-k plan you'd want; a persistent inverted
+    index is a different trade (build cost, mutation) a crawl-audit
+    pass doesn't need."""
+    terms = sorted(set(terms))
+    w = _words()
+
+    def tf_of(term):
+        # closure factory: a two-param lambda would make Spark bind the
+        # second param to the ELEMENT INDEX, not the captured term
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = documents.select(
+        'doc_id',
+        F.size(w).cast('long').alias('dl'),
+        *[tf_of(t).cast('long').alias(f'tf_{t}') for t in terms])
+    stats = base.agg(
+        F.count('*').alias('n_docs'),
+        F.avg('dl').alias('avgdl'),
+        *[F.sum((F.col(f'tf_{t}') > 0).cast('long')).alias(f'df_{t}')
+          for t in terms])
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in terms:
+        tf = F.col(f'tf_{t}').cast('double')
+        df = F.col(f'df_{t}').cast('double')
+        n = F.col('n_docs').cast('double')
+        idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        norm = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col('dl') / F.col('avgdl'))
+        part = idf * (tf * F.lit(k1 + 1.0)) / norm
+        score = part if score is None else score + part
+    out = j.select('doc_id', 'dl', *[f'tf_{t}' for t in terms],
+                   F.round(F.lit(1000000) * score).cast('long')
+                    .alias('score_micro'))
+    return out.orderBy(F.desc('score_micro'), F.asc('doc_id')).limit(k)

@@ -1009,3 +1009,41 @@ def test_phrase_detect_mikolov_score(spark):
     # ('york is' pairs a frequent word with a different successor each
     # context — the n_a*n_b denominator is what buries it)
     assert rows['new york']['score_micro'] > rows['york is']['score_micro']
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from mineru_html_spark.functions.retrieval import bm25_topk
+    corpus = {
+        1: 'apple banana apple cherry',
+        2: 'apple apple apple apple apple apple apple apple',
+        3: 'banana cherry durian elderberry fig grape',
+        4: 'cherry cherry',
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               'doc_id long, text string')
+    got = {r['doc_id']: r
+           for r in bm25_topk(df, ['apple', 'cherry'], k=4).collect()}
+
+    docs = {i: t.split() for i, t in corpus.items()}
+    n, avgdl = len(docs), sum(map(len, docs.values())) / len(docs)
+    k1, b = 1.2, 0.75
+
+    def score(ws):
+        s = 0.0
+        for t in ['apple', 'cherry']:
+            tf = ws.count(t)
+            dfq = sum(1 for w in docs.values() if t in w)
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1 - b + b * len(ws) / avgdl))
+        return round(1_000_000 * s)
+
+    for i, ws in docs.items():
+        assert got[i]['score_micro'] == score(ws), i
+        assert got[i]['tf_apple'] == ws.count('apple')
+    # tf saturation: 8x apple does NOT score 8x doc 1
+    assert got[2]['score_micro'] < 3 * got[1]['score_micro']
+    # the short doc with both query terms ranks above the no-term doc
+    assert got[1]['score_micro'] > got[3]['score_micro']

@@ -165,6 +165,16 @@ def main():
                 [r'Generate|Project|Exchange|InMemory|Scan'],
                 max_lines=10)))
 
+    sections.append((
+        'BM25 lexical top-k (one aggregate row broadcast back)',
+        'Per-term tf natively in the scan projection; the corpus stats '
+        '(N, avgdl, per-term df) reduce to ONE row that broadcasts back '
+        '(BroadcastNestedLoopJoin of a single row); scoring is a '
+        'closed-form projection and the top-k is TakeOrderedAndProject.',
+        trimmed(plan_of(entry.q_bm25_topk(spark, SF)),
+                [r'TakeOrdered|HashAggregate|BroadcastExchange|'
+                 r'BroadcastNestedLoop|Scan'])))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
