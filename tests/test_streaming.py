@@ -132,3 +132,39 @@ def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
     # batch twin agreement: distinct fingerprints match
     batch = streaming_dedup(spark.read.parquet(in_dir))
     assert batch.count() == 40
+
+
+def test_streaming_quality_filter_agrees_with_batch(spark, tmp_path):
+    """The corpus quality operators (gate + hashed-linear classifier) are
+    pure per-row projections, so the SAME call works unchanged on a file
+    stream — the streaming corpus-filter deployment shape. AvailableNow
+    drain must produce row-identical results to the batch run."""
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.corpus import hashed_linear_score
+    from mineru_html_spark.functions.text import quality_gate
+
+    in_dir = str(tmp_path / 'docs')
+    out_dir = str(tmp_path / 'scored')
+    ckpt = str(tmp_path / 'ckpt')
+    rows = [(i, f'doc {i} agg scan filter value row ' * (1 + i % 5))
+            for i in range(200)]
+    batch_in = spark.createDataFrame(rows, 'doc_id long, text string')
+    batch_in.write.parquet(in_dir)
+
+    def scored(df):
+        gate = quality_gate(df).select('doc_id', 'keep')
+        clf = hashed_linear_score(df).select('doc_id', 'score_milli',
+                                             'label')
+        return gate.join(clf, 'doc_id')
+
+    stream_in = (spark.readStream
+                 .schema('doc_id long, text string').parquet(in_dir))
+    q = (scored(stream_in).writeStream
+         .format('parquet').option('path', out_dir)
+         .option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, scored(batch_in).collect()))
+    assert got == want and len(got) == 200
