@@ -1,0 +1,41 @@
+"""Independent cross-checks of the gate queries' planted semantics.
+
+The DuckDB oracles recompute the same logic, so a systematic bug could
+pass both sides; these assertions check the OUTCOME against the plant
+rule itself (a predicate on doc_id), which neither engine's operator
+code defines."""
+
+import pyspark.sql.functions as F
+
+SF = '/root/testdata/sf0.01'
+
+
+def test_decontaminate_flags_exactly_the_planted_docs(spark):
+    import __spark_entry__ as entry
+    d = entry.queries()['decontaminate'](spark, SF)
+    bad = d.where((F.col('doc_id') % 23).isin(7, 11)
+                  != F.col('contaminated')).count()
+    assert bad == 0
+    assert d.where('contaminated').count() > 0
+
+
+def test_url_blocklist_reasons_follow_the_plant_arms(spark):
+    import __spark_entry__ as entry
+    d = entry.queries()['url_blocklist'](spark, SF)
+    arm = F.col('doc_id') % 6
+    expected = (F.when(arm.isin(1, 3), F.lit('blocked_domain'))
+                .when(arm == 4, F.lit('blocked_path'))
+                .otherwise(F.lit('')))
+    assert d.where(F.col('drop_reason') != expected).count() == 0
+    assert d.where(F.col('keep') != (expected == '')).count() == 0
+
+
+def test_lm_bucket_thresholds_are_non_degenerate(spark):
+    import __spark_entry__ as entry
+    d = entry.queries()['lm_bucket'](spark, SF)
+    buckets = {r['bucket']: r['n'] for r in
+               d.groupBy('bucket').agg(F.count('*').alias('n')).collect()}
+    # fixed thresholds must actually split the corpus three ways
+    assert buckets.get('head', 0) > 0
+    assert buckets.get('middle', 0) > 0
+    assert buckets.get('tail', 0) > 0
