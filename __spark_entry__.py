@@ -1018,6 +1018,25 @@ def q_lm_bucket(spark, sf_dir):
     return unigram_lm_nll(_docs(spark, sf_dir))
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (Sennrich 2016): the corpus-scale part is
+    ONE word-type frequency aggregate; the 50-round merge loop runs
+    driver-side over the pruned type dictionary (how subword-nmt/HF
+    trainers work). Deterministic tie-breaks; committed-output oracle."""
+    from mineru_html_spark.functions.bpe import bpe_train, merges_df
+    return merges_df(spark, bpe_train(_docs(spark, sf_dir), n_merges=50))
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Apply the trained BPE merges to the corpus: Arrow-batched pass
+    with a per-batch word memo. Per-doc piece counts + piece-sequence
+    md5 cross the gate (committed-output oracle), so the distributed
+    application must reproduce the single-run segmentation exactly."""
+    from mineru_html_spark.functions.bpe import bpe_apply, bpe_train
+    docs = _docs(spark, sf_dir)
+    return bpe_apply(docs, bpe_train(docs, n_merges=50))
+
+
 _BM25_TERMS = ('spark', 'vector', 'window')
 
 
@@ -1371,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
+        'bpe_train': q_bpe_train,
+        'bpe_apply': q_bpe_apply,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1419,7 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
                      'rouge_self', 'media_features',
                      'embedding_near_dups', 'semantic_dedup',
-                     'ann_ivf_topk',
+                     'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

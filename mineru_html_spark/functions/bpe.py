@@ -1,0 +1,145 @@
+"""BPE tokenizer training + application (Sennrich et al. 2016).
+
+The tokenizer-training step of an LLM data pipeline, split the way real
+trainers split it:
+
+  * the CORPUS-SCALE part is exactly one aggregation — the word-type
+    frequency dictionary (explode -> map-side-combined hash agg, the
+    same shuffle shape as ``vocab_topk``), pruned to the top-K types
+    (TakeOrderedAndProject, no global sort). Subword-nmt and HF
+    tokenizers train from this dictionary too; the corpus is never
+    touched again.
+  * the MERGE LOOP runs driver-side over that dictionary (at web scale
+    a pruned type dict is ~10-100M rows — the standard single-machine
+    trainer input; the loop is O(types) per merge via pair-count
+    deltas... here the plain recount, bounded by top_types). Fully
+    deterministic: ties break on (count desc, pair lexicographic asc).
+  * APPLYING the merges is distributed again: an Arrow-batched pass
+    with a per-batch word memo (web text repeats words heavily, so the
+    memo hit rate is the dedup ratio of the batch).
+
+End-of-word marker: '</w>' appended as its own symbol (the original
+paper's convention), so 'low' segments differently mid-word vs
+word-final.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .corpus import _words
+
+EOW = '</w>'
+
+
+def bpe_word_counts(documents: DataFrame) -> DataFrame:
+    """(word, cnt): the type-frequency dictionary — the ONLY
+    corpus-scale pass of BPE training."""
+    return (documents.select(F.explode(_words()).alias('word'))
+            .groupBy('word').agg(F.count('*').alias('cnt')))
+
+
+def _pair_counts(seqs: dict) -> dict:
+    pc: dict = {}
+    for sym, (seq, cnt) in seqs.items():
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            pc[p] = pc.get(p, 0) + cnt
+    return pc
+
+
+def _merge_seq(seq: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(seq):
+        if i < len(seq) - 1 and (seq[i], seq[i + 1]) == pair:
+            out.append(seq[i] + seq[i + 1])
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 50,
+              top_types: int = 20000) -> list:
+    """[(rank, left, right)]: the learned merge table. Deterministic:
+    the type dict is TakeOrdered'd on (cnt desc, word asc) and every
+    merge tie breaks on (count desc, pair asc)."""
+    rows = (bpe_word_counts(documents)
+            .orderBy(F.desc('cnt'), F.asc('word'))
+            .limit(top_types).collect())
+    seqs = {r['word']: (tuple(r['word']) + (EOW,), r['cnt'])
+            for r in rows}
+    merges = []
+    for rank in range(n_merges):
+        pc = _pair_counts(seqs)
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1]))
+        seqs = {w: (_merge_seq(seq, best), cnt)
+                for w, (seq, cnt) in seqs.items()}
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, a, b, a + b) for r, a, b in merges],
+        'rank int, left string, right string, merged string')
+
+
+def _encode_word(word: str, ranks: dict) -> tuple:
+    seq = tuple(word) + (EOW,)
+    while len(seq) > 1:
+        best, bi = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        seq = (seq[:bi] + (seq[bi] + seq[bi + 1],) + seq[bi + 2:])
+    return seq
+
+
+def bpe_apply(documents: DataFrame, merges: list) -> DataFrame:
+    """(doc_id, n_words, n_pieces, pieces_md5): tokenize with the merge
+    table (lowest-rank applicable pair first — the standard greedy).
+    Arrow-batched; per-batch word memo exploits word repetition."""
+    ranks = {(a, b): r for r, a, b in merges}
+    spark = documents.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        rk = b_ranks.value
+        memo: dict = {}
+        word_re = re.compile(r'[^a-z0-9]+')
+        for pdf in it:
+            out = {'doc_id': [], 'n_words': [], 'n_pieces': [],
+                   'pieces_md5': []}
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                words = [w for w in word_re.split(str(text).lower().strip())
+                         if w]
+                pieces = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, rk)
+                        memo[w] = enc
+                    pieces.extend(enc)
+                out['doc_id'].append(doc_id)
+                out['n_words'].append(len(words))
+                out['n_pieces'].append(len(pieces))
+                out['pieces_md5'].append(hashlib.md5(
+                    '\x1f'.join(pieces).encode('utf-8')).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(run, 'doc_id long, n_words long, n_pieces long, '
+                              'pieces_md5 string'))

@@ -1047,3 +1047,27 @@ def test_bm25_matches_python_reference(spark):
     assert got[2]['score_micro'] < 3 * got[1]['score_micro']
     # the short doc with both query terms ranks above the no-term doc
     assert got[1]['score_micro'] > got[3]['score_micro']
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The paper's worked example: {'low':5,'lower':2,'newest':6,
+    'widest':3} must learn es -> est -> est</w> -> lo -> low first."""
+    from mineru_html_spark.functions.bpe import bpe_apply, bpe_train
+    rows = ([(i, 'low') for i in range(5)]
+            + [(100 + i, 'lower') for i in range(2)]
+            + [(200 + i, 'newest') for i in range(6)]
+            + [(300 + i, 'widest') for i in range(3)])
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    merges = bpe_train(df, n_merges=5)
+    assert [(a, b) for _, a, b in merges] == \
+        [('e', 's'), ('es', 't'), ('est', '</w>'), ('l', 'o'),
+         ('lo', 'w')]
+    # apply: 'lowest' (unseen word) segments as low + est</w>
+    probe = spark.createDataFrame([(1, 'lowest'), (2, 'low'), (3, '')],
+                                  'doc_id long, text string')
+    got = {r['doc_id']: r for r in bpe_apply(probe, merges).collect()}
+    assert got[1]['n_pieces'] == 2        # ('low', 'est</w>')
+    assert got[2]['n_pieces'] == 2        # ('low', '</w>') — no low+</w> merge yet
+    assert got[3]['n_words'] == 0 and got[3]['n_pieces'] == 0
+    # determinism: retraining yields the identical merge table
+    assert bpe_train(df, n_merges=5) == merges

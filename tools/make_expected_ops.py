@@ -22,7 +22,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'media_features', 'embedding_near_dups', 'semantic_dedup',
          'ann_ivf_topk',
          'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
-         'near_dup_clusters', 'approx_distinct_users', 'warc_extract')
+         'near_dup_clusters', 'approx_distinct_users', 'warc_extract',
+         'bpe_train', 'bpe_apply')
 
 
 def main():
