@@ -1071,3 +1071,38 @@ def test_bpe_train_sennrich_example(spark):
     assert got[3]['n_words'] == 0 and got[3]['n_pieces'] == 0
     # determinism: retraining yields the identical merge table
     assert bpe_train(df, n_merges=5) == merges
+
+
+def test_bpe_encode_reconstruction_property():
+    """Invariant: BPE segmentation is a partition — concatenating a
+    word's pieces always reconstructs word + '</w>', for ANY merge
+    table (hypothesis over random corpora and probe words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mineru_html_spark.functions.bpe import (EOW, _encode_word,
+                                                 _merge_seq,
+                                                 _pair_counts)
+
+    word_st = st.text(alphabet='abc01', min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(word_st, min_size=1, max_size=8), word_st,
+           st.integers(min_value=0, max_value=12))
+    def prop(corpus, probe, n_merges):
+        seqs = {w: (tuple(w) + (EOW,), 1) for w in corpus}
+        merges = []
+        for rank in range(n_merges):
+            pc = _pair_counts(seqs)
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            seqs = {w: (_merge_seq(s, best), c)
+                    for w, (s, c) in seqs.items()}
+        ranks = {p: i for i, p in enumerate(merges)}
+        pieces = _encode_word(probe, ranks)
+        assert ''.join(pieces) == probe + EOW
+        assert all(pieces)                # no empty symbols
+
+    prop()
