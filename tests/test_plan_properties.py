@@ -1,0 +1,74 @@
+"""Physical-plan regression guards.
+
+PLANS.md documents the plan shapes that keep the engine viable at
+100 TB; these tests ENFORCE the load-bearing ones, so a refactor that
+silently turns a broadcast join into a shuffle join, or a top-k into a
+global sort, fails CI instead of surfacing as a cluster bill."""
+
+import pytest
+
+SF = '/root/testdata/sf0.01'
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope='module')
+def entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_scan_prunes_columns(spark, entry):
+    # a 2-column projection must not read the 5-column table
+    p = plan_of(entry.q_token_count(spark, SF))
+    assert 'ReadSchema: struct<doc_id:bigint,text:string>' in p
+
+
+def test_resume_antijoin_broadcasts(spark, entry):
+    p = plan_of(entry.q_resume_antijoin(spark, SF))
+    assert 'BroadcastHashJoin' in p and 'LeftAnti' in p
+    assert 'SortMergeJoin' not in p       # the big side must not shuffle
+
+
+@pytest.mark.parametrize('q', ['cosine_topk', 'vocab_topk', 'bm25_topk',
+                               'phrase_detect'])
+def test_topk_uses_take_ordered_not_global_sort(spark, entry, q):
+    p = plan_of(entry.queries()[q](spark, SF))
+    assert 'TakeOrderedAndProject' in p
+    assert 'CartesianProduct' not in p
+
+
+def test_quality_classifier_is_shuffle_free(spark, entry):
+    p = plan_of(entry.q_quality_classifier(spark, SF))
+    assert 'Exchange' not in p            # the zero-shuffle claim, enforced
+    assert '*(' in p                      # whole-stage-codegen stage marker
+
+
+def test_psl_joins_stay_broadcast(spark, entry):
+    for q in ('psl_domains', 'url_blocklist'):
+        p = plan_of(entry.queries()[q](spark, SF))
+        assert 'BroadcastHashJoin' in p
+        assert 'SortMergeJoin' not in p
+        # the URL table itself must never hash-exchange
+        assert 'Exchange hashpartitioning' not in p
+
+
+def test_semantic_dedup_single_exchange(spark, entry):
+    p = plan_of(entry.q_semantic_dedup(spark, SF))
+    assert p.count('Exchange hashpartitioning') == 1   # groupBy(list_id)
+    assert 'FlatMapGroupsInPandas' in p
+
+
+def test_no_cartesian_products_anywhere(spark, entry):
+    # broadcast-NLJ of one-row stat frames is fine; an unbroadcast
+    # cartesian is never fine
+    for name, fn in entry.queries().items():
+        if name.startswith('streaming_'):
+            continue                      # streaming twins plan lazily
+        try:
+            p = plan_of(fn(spark, SF))
+        except Exception:
+            continue                      # non-plannable here (needs IO)
+        assert 'CartesianProduct' not in p, name
