@@ -474,3 +474,41 @@ def phrase_detect(documents: DataFrame, delta: int = 5, k: int = 100,
     out = j.select(F.concat_ws(' ', 'a', 'b').alias('bigram'),
                    'n_ab', 'n_a', 'n_b', score.alias('score_micro'))
     return out.orderBy(F.desc('score_micro'), F.asc('bigram')).limit(k)
+
+
+# secrets patterns (The Stack / StarCoder-style redaction) — RE2+Java
+# safe: no lookaround, no backrefs; PEM bodies are base64 (+/ alphabet),
+# so [^-]* spans them without touching the ----- fences
+AWS_KEY_RE = r'\bAKIA[0-9A-Z]{16}\b'
+GH_TOKEN_RE = r'\bghp_[A-Za-z0-9]{36}\b'
+PEM_BLOCK_RE = (r'-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*'
+                r'-----END [A-Z ]*PRIVATE KEY-----')
+
+
+def secrets_scrub(documents: DataFrame,
+                  text_col: str = 'text') -> DataFrame:
+    """(doc_id, n_aws_keys, n_gh_tokens, n_private_keys, scrubbed):
+    credential redaction — the code-corpus curation step The Stack /
+    StarCoder run before training (their secrets pass). Same auditable
+    contract as ``pii_scrub``: counts on the ORIGINAL text first, then
+    masking in a fixed order, so the redaction is verifiable and the
+    counts feed a corpus health report.
+
+    Scale shape: three native regexp passes, whole-stage codegen, zero
+    shuffle — at 100 TB this rides the same scan as the quality gate."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(AWS_KEY_RE), F.lit(0)))
+         .cast('long').alias('n_aws_keys'),
+        F.size(F.regexp_extract_all(t, F.lit(GH_TOKEN_RE), F.lit(0)))
+         .cast('long').alias('n_gh_tokens'),
+        F.size(F.regexp_extract_all(t, F.lit(PEM_BLOCK_RE), F.lit(0)))
+         .cast('long').alias('n_private_keys'),
+    ]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PEM_BLOCK_RE, '<PRIVATE_KEY>'),
+            AWS_KEY_RE, '<AWS_KEY>'),
+        GH_TOKEN_RE, '<GH_TOKEN>')
+    return documents.select('doc_id', *counts,
+                            scrubbed.alias('scrubbed'))

@@ -39,3 +39,18 @@ def test_lm_bucket_thresholds_are_non_degenerate(spark):
     assert buckets.get('head', 0) > 0
     assert buckets.get('middle', 0) > 0
     assert buckets.get('tail', 0) > 0
+
+
+def test_secrets_scrub_counts_and_masks_the_planted_arms(spark):
+    import __spark_entry__ as entry
+    d = entry.queries()['secrets_scrub'](spark, SF)
+    arm = F.col('doc_id') % 12
+    # each planted arm counts exactly one secret of its kind; clean arms zero
+    assert d.where((arm == 2) & (F.col('n_aws_keys') != 1)).count() == 0
+    assert d.where((arm == 5) & (F.col('n_gh_tokens') != 1)).count() == 0
+    assert d.where((arm == 7) & (F.col('n_private_keys') != 1)).count() == 0
+    assert d.where(~arm.isin(2, 5, 7)
+                   & ((F.col('n_aws_keys') != 0)
+                      | (F.col('n_gh_tokens') != 0)
+                      | (F.col('n_private_keys') != 0))).count() == 0
+    assert d.where(arm.isin(2, 5, 7)).count() > 0
