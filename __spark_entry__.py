@@ -893,6 +893,39 @@ def q_pii_scrub(spark, sf_dir):
                       F.md5('scrubbed').alias('scrubbed_md5'))
 
 
+def q_streaming_near_dup(spark, sf_dir):
+    """Ingest-time near-dup candidate flagging through a REAL stream:
+    every 10th doc is planted again under doc_id+1000000, the corpus
+    drains through the stateful first-wins LSH-bucket operator
+    (applyInPandasWithState) with AvailableNow, and the flag rows come
+    back as the result. One input file -> one micro-batch -> ids sorted
+    within each bucket, so the output is deterministic and
+    committed-output gated: every planted copy must collide with its
+    original's buckets."""
+    import os
+    import tempfile
+
+    from mineru_html_spark.streaming.ingest import streaming_near_dup
+    docs = (_docs(spark, sf_dir).where(F.col('doc_id') % 5 == 0)
+            .select('doc_id', 'text'))
+    planted = (docs.where(F.col('doc_id') % 10 == 0)
+               .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                       'text'))
+    tmp = tempfile.mkdtemp(prefix='snd_gate_')
+    in_dir = os.path.join(tmp, 'in')
+    out_dir = os.path.join(tmp, 'out')
+    docs.unionByName(planted).repartition(1).write.parquet(in_dir)
+    stream = (spark.readStream.schema('doc_id long, text string')
+              .parquet(in_dir))
+    q = (streaming_near_dup(stream).writeStream
+         .foreachBatch(lambda df, _:
+                       df.write.mode('append').parquet(out_dir))
+         .option('checkpointLocation', os.path.join(tmp, 'ckpt'))
+         .outputMode('update').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
 def q_secrets_scrub(spark, sf_dir):
     """Credential redaction (The Stack / StarCoder secrets pass): AWS
     key IDs, GitHub tokens and PEM private-key blocks planted
@@ -1403,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'secrets_scrub': q_secrets_scrub,
+        'streaming_near_dup': q_streaming_near_dup,
         'seq_pack': q_seq_pack,
         'gopher_quality': q_gopher_quality,
         'vocab_topk': q_vocab_topk,
@@ -1465,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features',
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
+                     'streaming_near_dup',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -124,3 +124,78 @@ def stateful_user_counters(events, timeout_ms: int = 0):
                 stateStructType='n long, sv long',
                 outputMode='update',
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def minhash_band_rows(docs: DataFrame, k: int = 3, num_hashes: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """(doc_id, band_id, band_hash): the banded-LSH bucketing rows —
+    the same signature + banding construction as the batch
+    ``lsh_candidate_pairs``, factored so the stateless part runs
+    unchanged on a stream (mapInPandas and the band explode are both
+    streaming-safe)."""
+    from ..functions.dedup import minhash_signatures
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, k, num_hashes)
+    return sigs.select(
+        'doc_id',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bd).alias('band_id'),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice('sig', bd * rows + 1, rows),
+                            lambda x: x.cast('string')), ','),
+                    F.lit(bd)).alias('band_hash'))
+            for bd in range(bands)])).alias('b')) \
+        .select('doc_id', 'b.band_id', 'b.band_hash')
+
+
+def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
+                       bands: int = 16) -> DataFrame:
+    """Ingest-time near-duplicate candidate flagging: first-wins per LSH
+    bucket, kept as custom state across micro-batches.
+
+    Emits (band_id, band_hash, doc_id, first_doc_id, is_first) in update
+    mode: a document with ANY is_first=false row landed in a bucket an
+    earlier document claimed — a near-dup CANDIDATE, exact-verified
+    downstream exactly like the batch LSH path (candidates are a
+    superset; the verify stage owns precision).
+
+    Scale shape: state per bucket is ONE long (the claiming doc_id) —
+    content and signatures never enter state; the only shuffle is the
+    groupBy on (band_id, band_hash). A 24/7 stream bounds state with a
+    timeout (bucket claims expire after the dedup horizon) — the same
+    exact-within-TTL trade documented on ``streaming_dedup``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        first = state.get[0] if state.exists else None
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf['doc_id'])
+        ids.sort()                        # deterministic within a batch
+        out = {'band_id': [], 'band_hash': [], 'doc_id': [],
+               'first_doc_id': [], 'is_first': []}
+        for doc_id in ids:
+            if first is None:
+                first = doc_id
+            out['band_id'].append(key[0])
+            out['band_hash'].append(key[1])
+            out['doc_id'].append(doc_id)
+            out['first_doc_id'].append(first)
+            out['is_first'].append(doc_id == first)
+        state.update((first,))
+        yield pd.DataFrame(out)
+
+    rows = minhash_band_rows(docs, k, num_hashes, bands)
+    return (rows.groupBy('band_id', 'band_hash')
+            .applyInPandasWithState(
+                update,
+                outputStructType='band_id int, band_hash long, '
+                                 'doc_id long, first_doc_id long, '
+                                 'is_first boolean',
+                stateStructType='first long',
+                outputMode='update',
+                timeoutConf=GroupStateTimeout.NoTimeout))

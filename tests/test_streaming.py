@@ -168,3 +168,56 @@ def test_streaming_quality_filter_agrees_with_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     want = sorted(map(tuple, scored(batch_in).collect()))
     assert got == want and len(got) == 200
+
+
+def test_streaming_near_dup_flags_planted_duplicates(spark, tmp_path):
+    """First-wins LSH-bucket state across micro-batches: a later
+    near-identical doc must collide with the original's buckets; unique
+    docs must claim all their buckets. Second batch (new file, same
+    stream) must hit state persisted from the first."""
+    from mineru_html_spark.streaming.ingest import (minhash_band_rows,
+                                                    streaming_near_dup)
+
+    base = ('the quick brown fox jumps over the lazy dog again and '
+            'again today')
+    batch1 = [(1, base),
+              (3, 'completely different content about spark shuffle '
+                  'partition planning throughput')]
+    batch2 = [(2, base),                  # exact dup of 1, next batch
+              (4, 'fresh unique words about rivers owls and mountains '
+                  'flowing gently south')]
+    in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+    ckpt = str(tmp_path / 'ckpt')
+    schema = 'doc_id long, text string'
+    spark.createDataFrame(batch1, schema).write.parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_near_dup(stream).writeStream
+             .foreachBatch(lambda df, _:
+                           df.write.mode('append').parquet(out_dir))
+             .option('checkpointLocation', ckpt)
+             .outputMode('update')       # matches the operator's mode
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(batch2, schema).write.mode('append') \
+        .parquet(in_dir)
+    drain()
+
+    flags = spark.read.parquet(out_dir).collect()
+    dup_hits = {r['doc_id'] for r in flags if not r['is_first']}
+    assert 2 in dup_hits                  # cross-batch collision caught
+    assert 3 not in dup_hits and 4 not in dup_hits
+    # doc 2's collisions all point back at doc 1
+    assert {r['first_doc_id'] for r in flags
+            if r['doc_id'] == 2 and not r['is_first']} == {1}
+    # the stateless banding agrees with the batch construction
+    batch_rows = minhash_band_rows(
+        spark.createDataFrame(batch1 + batch2, schema))
+    b1 = {(r['band_id'], r['band_hash'])
+          for r in batch_rows.where('doc_id = 1').collect()}
+    b2 = {(r['band_id'], r['band_hash'])
+          for r in batch_rows.where('doc_id = 2').collect()}
+    assert b1 == b2                       # exact dup: identical buckets
