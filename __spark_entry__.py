@@ -1053,6 +1053,26 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Token-level (Llama-2 style) contamination grading: appended-
+    phrase plants yield partial coverage; doc_id % 23 == 3 docs are
+    REPLACED by benchmark text wholesale and must grade dirty
+    (coverage > 800 permille)."""
+    from mineru_html_spark.functions.corpus import decontaminate_spans
+    d = F.col('doc_id')
+    text = (F.when(d % 23 == 3,
+                   F.lit(_BENCH_TEXTS[0] + ' ' + _BENCH_TEXTS[1]))
+            .when(d % 23 == 7,
+                  F.concat('text', F.lit(' ' + _BENCH_TEXTS[0])))
+            .when(d % 23 == 11,
+                  F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
+                                  'text string')
+    return decontaminate_spans(docs, bench, n=8, dirty_permille=800)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed-linear quality classifier (GPT-3/Llama
     curation shape): all-integer hashing-trick scoring as one native
@@ -1444,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
         'decontaminate': q_decontaminate,
+        'decontaminate_spans': q_decontaminate_spans,
         'quality_classifier': q_quality_classifier,
         'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
@@ -1831,6 +1852,60 @@ def oracle_sql() -> dict[str, str]:
                         s -> list_contains(bl.hs, md5(s)))) > 0
                        AS contaminated
             FROM sh, bl
+        """,
+        'decontaminate_spans': f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 3
+                            THEN '{_BENCH_TEXTS[0]} {_BENCH_TEXTS[1]}'
+                          WHEN doc_id % 23 = 7 THEN text || ' {_BENCH_TEXTS[0]}'
+                          WHEN doc_id % 23 = 11 THEN text || ' {_BENCH_TEXTS[1]}'
+                          ELSE text END AS text
+              FROM documents),
+            w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM d),
+            bw AS (
+              SELECT list_filter(regexp_split_to_array(lower(trim(bt)),
+                       '[^a-z0-9]+'), x -> len(x) > 0) AS w
+              FROM (VALUES ('{_BENCH_TEXTS[0]}'), ('{_BENCH_TEXTS[1]}')) v(bt)),
+            bs AS (
+              SELECT DISTINCT md5(s) AS h
+              FROM (SELECT unnest(list_transform(
+                      range(0, len(w) - 7),
+                      i -> array_to_string(list_slice(w, i+1, i+8), ' ')))
+                      AS s
+                    FROM bw)),
+            bl AS (SELECT list(h) AS hs FROM bs),
+            wins AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) < 8 THEN []
+                          ELSE list_transform(range(0, len(w) - 7),
+                            i -> struct_pack(i := i,
+                              h := md5(array_to_string(
+                                     list_slice(w, i+1, i+8), ' '))))
+                     END AS wins
+              FROM w),
+            h AS (
+              SELECT doc_id, w,
+                     list_transform(list_filter(wins,
+                       x -> list_contains(bl.hs, x.h)), x -> x.i) AS idxs
+              FROM wins, bl),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(CASE WHEN len(w) = 0 THEN 0
+                          ELSE len(list_filter(range(0, len(w)),
+                            p -> len(list_filter(idxs,
+                                   i -> p >= i AND p < i + 8)) > 0))
+                          END AS BIGINT) AS n_covered
+              FROM h)
+            SELECT doc_id, n_words, n_covered,
+                   CAST(CASE WHEN n_words = 0 THEN 0
+                        ELSE floor(1000 * n_covered / n_words)
+                        END AS BIGINT) AS coverage_permille,
+                   CAST(CASE WHEN n_words = 0 THEN 0
+                        ELSE floor(1000 * n_covered / n_words)
+                        END AS BIGINT) > 800 AS dirty
+            FROM c
         """,
         'quality_classifier': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -512,3 +512,51 @@ def secrets_scrub(documents: DataFrame,
         GH_TOKEN_RE, '<GH_TOKEN>')
     return documents.select('doc_id', *counts,
                             scrubbed.alias('scrubbed'))
+
+
+def decontaminate_spans(documents: DataFrame, benchmark: DataFrame,
+                        n: int = 8,
+                        dirty_permille: int = 800) -> DataFrame:
+    """(doc_id, n_words, n_covered, coverage_permille, dirty): Llama-2
+    style TOKEN-LEVEL contamination — a word is contaminated when any
+    benchmark-shared ``n``-gram covers it; a document is dirty when the
+    covered fraction exceeds ``dirty_permille`` (the paper flags >80%
+    matched tokens). The coarser doc-level flag is ``decontaminate``;
+    this variant grades partial overlap so borderline docs can be kept
+    with the contaminated span excised instead of dropped.
+
+    Scale shape: identical to ``remove_dup_spans`` with the corpus-wide
+    dup aggregate replaced by the broadcast benchmark index — windows
+    explode as (md5, position) pairs, membership is a broadcast
+    semi-join, positions come back as one bounded array per doc, and
+    the coverage mask is a native nested higher-order EXISTS."""
+    bench = F.broadcast(benchmark_shingles(benchmark, n))
+    docs = documents.select('doc_id', _words().alias('w'))
+    wins = F.when(
+        F.size('w') < n, F.array()
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size('w') - n),
+                    lambda i: F.struct(
+                        i.alias('i'),
+                        F.md5(F.array_join(
+                            F.slice('w', i + 1, n), ' ')).alias('sh'))))
+    ex = (docs.select('doc_id', F.explode(wins).alias('x'))
+          .select('doc_id', F.col('x.i').alias('i'),
+                  F.col('x.sh').alias('sh')))
+    hit = (ex.join(bench, 'sh', 'left_semi')
+           .groupBy('doc_id').agg(F.collect_list('i').alias('idxs')))
+    j = docs.join(hit, 'doc_id', 'left') \
+        .withColumn('idxs', F.coalesce('idxs', F.array()))
+    covered = F.when(F.size('w') == 0, F.lit(0)).otherwise(F.size(
+        F.filter(F.sequence(F.lit(0), F.size('w') - 1),
+                 lambda p: F.exists(
+                     'idxs', lambda i: (p >= i) & (p < i + n)))))
+    out = j.select('doc_id',
+                   F.size('w').cast('long').alias('n_words'),
+                   covered.cast('long').alias('n_covered'))
+    permille = F.when(F.col('n_words') == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(1000) * F.col('n_covered') / F.col('n_words'))
+         .cast('long'))
+    return out.select('doc_id', 'n_words', 'n_covered',
+                      permille.alias('coverage_permille'),
+                      (permille > dirty_permille).alias('dirty'))

@@ -1130,3 +1130,25 @@ def test_secrets_scrub_redacts_and_counts(spark):
     assert rows[5]['n_aws_keys'] == 0 and rows[5]['n_gh_tokens'] == 0
     assert rows[5]['scrubbed'] == \
         'AKIAshortlower123 not a key; ghp_tooshort neither'
+
+
+def test_decontaminate_spans_counts_covered_tokens(spark):
+    from mineru_html_spark.functions.corpus import decontaminate_spans
+    bench = spark.createDataFrame(
+        [('alpha beta gamma delta epsilon zeta eta theta',)],
+        'text string')
+    docs = spark.createDataFrame([
+        # the 8-gram sits at positions 2..9 of 12 words: 8/12 covered
+        (1, 'pre words alpha beta gamma delta epsilon zeta eta theta '
+            'post trailing'),
+        (2, 'alpha beta gamma delta epsilon zeta eta theta'),  # 8/8
+        (3, 'nothing shared here with anything benchmark related at all'),
+        (4, 'shorty'),
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in decontaminate_spans(
+        docs, bench, n=8, dirty_permille=800).collect()}
+    assert rows[1]['n_covered'] == 8 and rows[1]['n_words'] == 12
+    assert rows[1]['coverage_permille'] == 666 and not rows[1]['dirty']
+    assert rows[2]['coverage_permille'] == 1000 and rows[2]['dirty']
+    assert rows[3]['n_covered'] == 0 and not rows[3]['dirty']
+    assert rows[4]['n_words'] == 1 and rows[4]['n_covered'] == 0

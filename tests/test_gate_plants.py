@@ -54,3 +54,23 @@ def test_secrets_scrub_counts_and_masks_the_planted_arms(spark):
                       | (F.col('n_gh_tokens') != 0)
                       | (F.col('n_private_keys') != 0))).count() == 0
     assert d.where(arm.isin(2, 5, 7)).count() > 0
+
+
+def test_decontaminate_spans_grades_coverage(spark):
+    import __spark_entry__ as entry
+    d = entry.queries()['decontaminate_spans'](spark, SF)
+    arm = F.col('doc_id') % 23
+    # replaced docs are fully covered and dirty
+    assert d.where((arm == 3)
+                   & ((F.col('coverage_permille') != 1000)
+                      | ~F.col('dirty'))).count() == 0
+    # appended-phrase docs are partially covered, never dirty
+    partial = d.where(arm.isin(7, 11))
+    assert partial.where(F.col('n_covered') == 0).count() == 0
+    assert partial.where(F.col('dirty')).count() == 0
+    assert partial.where(
+        F.col('coverage_permille') >= 800).count() == 0
+    # clean docs have zero coverage
+    assert d.where(~arm.isin(3, 7, 11)
+                   & (F.col('n_covered') != 0)).count() == 0
+    assert d.where(arm == 3).count() > 0
