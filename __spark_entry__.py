@@ -1094,6 +1094,61 @@ def q_lm_bucket(spark, sf_dir):
     return unigram_lm_nll(_docs(spark, sf_dir))
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic synthetic link graph
+    (two out-edges per doc: doc -> (7*doc+3) mod N and (13*doc+5) mod N).
+    Fixed-point millionth-scale arithmetic floors every contribution
+    BEFORE the sum, so ten iterations are bit-identical across engines —
+    the oracle is an EXACT chain of ten per-iteration CTEs, not a
+    committed golden."""
+    from mineru_html_spark.functions.graph import pagerank_integer
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    d = F.col('doc_id')
+    edges = (docs.select(d.alias('src'), ((d * 7 + 3) % n).alias('dst'))
+             .unionByName(
+                 docs.select(d.alias('src'),
+                             ((d * 13 + 5) % n).alias('dst'))))
+    nodes = docs.select(d.alias('node'))
+    return pagerank_integer(edges, nodes, iters=10)
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """The iterative algorithm unrolled as a chain of per-iteration
+    CTEs — possible only because the arithmetic is integer-exact."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""r{k} AS (
+              SELECT n.node,
+                     CAST(150000 + coalesce(s.s, 0) AS BIGINT)
+                         AS rank_micro
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum((850000 * r.rank_micro)
+                                // (1000000 * e.outdeg)) AS BIGINT) AS s
+                FROM e JOIN r{k - 1} r ON e.src = r.node
+                GROUP BY 1) s USING (node))""")
+    chain = ',\n            '.join(its)
+    return f"""
+            WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                        FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            ed AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM documents, nn),
+            od AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+            e AS (SELECT ed.src, ed.dst, od.outdeg
+                  FROM ed JOIN od USING (src)),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro
+                   FROM nodes),
+            {chain}
+            SELECT node, rank_micro FROM r{iters}
+        """
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (Sennrich 2016): the corpus-scale part is
     ONE word-type frequency aggregate; the 50-round merge loop runs
@@ -1471,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_topk': q_bm25_topk,
         'bpe_train': q_bpe_train,
         'bpe_apply': q_bpe_apply,
+        'pagerank': q_pagerank,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
         'tpch_q1': q_tpch_q1,
@@ -1951,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         'bm25_topk': _bm25_oracle(_BM25_TERMS, k=20),
+        'pagerank': _pagerank_oracle(iters=10),
         'phrase_detect': f"""
             WITH w AS (SELECT {_WORDS_AZ09} AS w FROM documents),
             uni AS (SELECT unnest(w) AS a FROM w),

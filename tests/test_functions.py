@@ -1152,3 +1152,28 @@ def test_decontaminate_spans_counts_covered_tokens(spark):
     assert rows[2]['coverage_permille'] == 1000 and rows[2]['dirty']
     assert rows[3]['n_covered'] == 0 and not rows[3]['dirty']
     assert rows[4]['n_words'] == 1 and rows[4]['n_covered'] == 0
+
+
+def test_pagerank_integer_matches_python_reference(spark):
+    from mineru_html_spark.functions.graph import (BASE, DAMP, SCALE,
+                                                   pagerank_integer)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (0, 3)],
+                                  'src long, dst long')
+    nodes = spark.createDataFrame([(i,) for i in range(4)], 'node long')
+    got = {r['node']: r['rank_micro']
+           for r in pagerank_integer(edges, nodes, iters=10).collect()}
+
+    ins = {1: [(0, 2)], 2: [(1, 1)], 0: [(2, 1)], 3: [(0, 2)]}
+    ranks = {i: SCALE for i in range(4)}
+    for _ in range(10):
+        ranks = {n: BASE + sum((DAMP * ranks[u]) // (SCALE * d)
+                               for u, d in ins.get(n, []))
+                 for n in range(4)}
+    assert got == ranks
+    # the cycle member fed by the full-outdegree node outranks the
+    # sink that shares a halved contribution
+    assert got[0] > got[3]
+    # bit-identical across reruns (the integer-exactness claim)
+    again = {r['node']: r['rank_micro']
+             for r in pagerank_integer(edges, nodes, iters=10).collect()}
+    assert again == got
