@@ -1083,6 +1083,28 @@ def q_quality_classifier(spark, sf_dir):
     return hashed_linear_score(_docs(spark, sf_dir), salt='qw1')
 
 
+def q_soft_quality_sample(spark, sf_dir):
+    """FineWeb-Edu-style soft quality filtering COMPOSED from two gated
+    operators: the hashed-linear classifier score maps to a keep rate
+    (permille = (1000000 + score_milli) div 2000, clamped — all integer,
+    dividend kept non-negative because Spark's div truncates toward
+    zero while DuckDB's // floors), and each doc keeps iff its salted
+    md5 key falls under its own rate. Borderline docs survive at
+    reduced rate instead of dying at a hard threshold; the decision is
+    rerun/engine invariant."""
+    from mineru_html_spark.functions.corpus import (
+        hashed_linear_score, score_proportional_sample)
+    scored = hashed_linear_score(_docs(spark, sf_dir), salt='qw1')
+    permille = F.expr('(1000000 + score_milli) div 2000')
+    return scored.select(
+        'doc_id', 'score_milli',
+        F.greatest(F.lit(0), F.least(F.lit(1000),
+                                     permille.cast('long')))
+         .alias('keep_permille'),
+        score_proportional_sample(scored, permille, salt='sp1')
+        .alias('kept'))
+
+
 def q_lm_bucket(spark, sf_dir):
     """CCNet-style LM quality bucketing: avg unigram NLL (milli-nats)
     under a corpus-estimated LM, bucketed head/middle/tail by FIXED
@@ -1521,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'decontaminate': q_decontaminate,
         'decontaminate_spans': q_decontaminate_spans,
         'quality_classifier': q_quality_classifier,
+        'soft_quality_sample': q_soft_quality_sample,
         'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
@@ -1980,6 +2003,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(1000 * score_sum / n_words)
                         END AS BIGINT) > 0 AS label
             FROM s
+        """,
+        'soft_quality_sample': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            s AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(w, x ->
+                       CAST('0x' || substring(md5(x || ':qw1'), 1, 8)
+                            AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+                         AS score_sum
+              FROM w),
+            m AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN n_words = 0 THEN 0
+                          ELSE floor(1000 * score_sum / n_words)
+                          END AS BIGINT) AS score_milli
+              FROM s),
+            p AS (
+              SELECT doc_id, score_milli,
+                     greatest(0, least(1000,
+                       (1000000 + score_milli) // 2000))
+                         AS keep_permille
+              FROM m)
+            SELECT doc_id, score_milli,
+                   CAST(keep_permille AS BIGINT) AS keep_permille,
+                   (CAST('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || ':sp1'), 1, 8)
+                      AS BIGINT) % 1000) < keep_permille AS kept
+            FROM p
         """,
         'lm_bucket': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -560,3 +560,22 @@ def decontaminate_spans(documents: DataFrame, benchmark: DataFrame,
     return out.select('doc_id', 'n_words', 'n_covered',
                       permille.alias('coverage_permille'),
                       (permille > dirty_permille).alias('dirty'))
+
+
+def score_proportional_sample(documents: DataFrame,
+                              permille: Column,
+                              key_col: str = 'doc_id',
+                              salt: str = 'sp1') -> Column:
+    """Keep decision for score-proportional (soft) sampling: TRUE iff
+    the row's salted md5 key falls under its OWN keep rate ``permille``
+    (clamped to [0, 1000]) — FineWeb-Edu-style "sample in proportion to
+    the quality score" instead of a hard threshold, so borderline docs
+    survive at reduced rate and the corpus keeps diversity.
+
+    Deterministic and engine-portable for the same reason as
+    ``stratified_sample``: the decision is a pure integer comparison of
+    two hash-derived columns — rerun/engine/cluster-size invariant,
+    zero shuffle."""
+    rate = F.greatest(F.lit(0), F.least(F.lit(1000),
+                                        permille.cast('long')))
+    return sample_key(F.col(key_col), salt) < rate

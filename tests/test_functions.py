@@ -1177,3 +1177,36 @@ def test_pagerank_integer_matches_python_reference(spark):
     again = {r['node']: r['rank_micro']
              for r in pagerank_integer(edges, nodes, iters=10).collect()}
     assert again == got
+
+
+def test_score_proportional_sample_rates(spark):
+    """Soft sampling keeps rows at their OWN rate: empirical keep
+    fraction tracks the permille, and the decision is deterministic."""
+    from mineru_html_spark.functions.corpus import (
+        sample_key, score_proportional_sample)
+    df = spark.createDataFrame(
+        [(i, (i % 3) * 400) for i in range(3000)],   # rates 0/400/800
+        'doc_id long, permille long')
+    kept = df.select('doc_id', 'permille',
+                     score_proportional_sample(
+                         df, F.col('permille')).alias('kept'))
+    stats = {r['permille']: (r['n'], r['k']) for r in
+             kept.groupBy('permille')
+                 .agg(F.count('*').alias('n'),
+                      F.sum(F.col('kept').cast('int')).alias('k'))
+                 .collect()}
+    assert stats[0][1] == 0               # rate 0 keeps nothing
+    for rate in (400, 800):
+        n, k = stats[rate]
+        assert abs(k / n - rate / 1000) < 0.06, (rate, k, n)
+    # clamping: permille above 1000 keeps everything
+    over = spark.createDataFrame([(i, 5000) for i in range(50)],
+                                 'doc_id long, permille long')
+    assert over.select(score_proportional_sample(
+        over, F.col('permille')).alias('kept')) \
+        .where('kept').count() == 50
+    # decision == the raw key comparison (pure-python replay)
+    import hashlib
+    row = kept.where('doc_id = 7').collect()[0]
+    key = int(hashlib.md5(b'7:sp1').hexdigest()[:8], 16) % 1000
+    assert row['kept'] == (key < row['permille'])
