@@ -69,11 +69,47 @@ def regex_clean_html(html: str,
     return html
 
 
+def _boilerpipe_labels(blocks) -> Dict[int, str]:
+    """Boilerpipe's NumWordsRulesClassifier (Kohlschuetter et al.,
+    WSDM'11 "Boilerplate Detection using Shallow Text Features") — the
+    classic density heuristic the WebMainBench-style comparisons always
+    include. The published decision tree verbatim: a block is CONTENT
+    iff its link density <= 1/3 and its word count, in the context of
+    the previous/next blocks' word counts and the previous block's link
+    density, clears the trained thresholds. Image blocks ride along
+    when link-light (the engine's convention — the original operates on
+    text only)."""
+    feats = []
+    for b in blocks:
+        nw = len(b.text.split())
+        ld = b.link_text_len / max(b.text_len, 1)
+        feats.append((b, nw, ld))
+    labels = {}
+    for i, (b, nw, ld) in enumerate(feats):
+        prev_nw, prev_ld = (feats[i - 1][1], feats[i - 1][2]) \
+            if i > 0 else (0, 0.0)
+        next_nw = feats[i + 1][1] if i + 1 < len(feats) else 0
+        if ld > 1 / 3:
+            content = False
+        elif prev_ld <= 0.555556:
+            if nw <= 16:
+                content = next_nw > 15 or prev_nw > 4
+            else:
+                content = True
+        else:
+            content = nw > 40 or next_nw > 17
+        if not content and b.n_imgs > 0 and ld <= 1 / 3:
+            content = True
+        labels[b.item_id] = MAIN if content else 'other'
+    return labels
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
     'degraded': (None, _fallback_labels),
     'regex_cleaner': (regex_clean_html, _passthrough_labels),
+    'boilerpipe': (None, _boilerpipe_labels),
 }
 
 # backwards-compatible view (labelers only)

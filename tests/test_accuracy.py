@@ -106,9 +106,10 @@ def test_engine_dominates_baselines(spark):
     rows = {r['extractor']: r for r in
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
-                         'regex_cleaner'}
+                         'regex_cleaner', 'boilerpipe'}
     eng = rows['engine']
-    for name in ('passthrough', 'degraded', 'regex_cleaner'):
+    for name in ('passthrough', 'degraded', 'regex_cleaner',
+                 'boilerpipe'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -123,8 +124,9 @@ def test_fused_baselines_equal_solo():
     from mineru_html_spark.core.synth import gen_doc
     rows = [(d['doc_id'], d['spans']) for d in
             (gen_doc(i) for i in range(0, 60))]
-    fused = baseline_extract_rows_multi(rows, ('passthrough', 'degraded'))
-    for name in ('passthrough', 'degraded'):
+    fused = baseline_extract_rows_multi(
+        rows, ('passthrough', 'degraded', 'boilerpipe'))
+    for name in ('passthrough', 'degraded', 'boilerpipe'):
         solo = baseline_extract_rows(rows, name)
         got = [r for r in fused if r['extractor'] == name]
         assert len(got) == len(solo)
