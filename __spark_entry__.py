@@ -584,8 +584,11 @@ def _url_blocklist_oracle() -> str:
     url_case = f"""CASE doc_id % 6
                 {arms}
                 END"""
+    from mineru_html_spark.functions.urls import regex_literal
     doms = ', '.join(f"'{x}'" for x in _BLK_DOMAINS)
-    kw = '|'.join(_BLK_KEYWORDS)
+    # same literal-escape as the Spark side (regex_literal) — DuckDB
+    # single-quoted literals pass backslashes through unchanged
+    kw = '|'.join(regex_literal(x) for x in _BLK_KEYWORDS)
     return f"""
             WITH {_psl_domain_ctes(url_case)},
             r AS (
@@ -903,7 +906,7 @@ def q_streaming_near_dup(spark, sf_dir):
     committed-output gated: every planted copy must collide with its
     original's buckets."""
     import os
-    import tempfile
+    import shutil
 
     from mineru_html_spark.streaming.ingest import streaming_near_dup
     docs = (_docs(spark, sf_dir).where(F.col('doc_id') % 5 == 0)
@@ -911,7 +914,11 @@ def q_streaming_near_dup(spark, sf_dir):
     planted = (docs.where(F.col('doc_id') % 10 == 0)
                .select((F.col('doc_id') + 1000000).alias('doc_id'),
                        'text'))
-    tmp = tempfile.mkdtemp(prefix='snd_gate_')
+    # fixed workspace, wiped per run (a tempdir-per-run leaked across
+    # gate invocations); the drain must START from an empty checkpoint
+    # every time or the AvailableNow run would be a no-op
+    tmp = os.path.join(REPO, '.data', 'snd_gate_v1')
+    shutil.rmtree(tmp, ignore_errors=True)
     in_dir = os.path.join(tmp, 'in')
     out_dir = os.path.join(tmp, 'out')
     docs.unionByName(planted).repartition(1).write.parquet(in_dir)
@@ -922,7 +929,13 @@ def q_streaming_near_dup(spark, sf_dir):
                        df.write.mode('append').parquet(out_dir))
          .option('checkpointLocation', os.path.join(tmp, 'ckpt'))
          .outputMode('update').trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    # awaitTermination(timeout) returns False if still running — reading
+    # the sink mid-write would gate a partial result, so stop and fail
+    # loudly instead
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            'streaming_near_dup drain did not finish within 180s')
     return spark.read.parquet(out_dir)
 
 

@@ -109,7 +109,9 @@ def _encode_word(word: str, ranks: dict) -> tuple:
 def bpe_apply(documents: DataFrame, merges: list) -> DataFrame:
     """(doc_id, n_words, n_pieces, pieces_md5): tokenize with the merge
     table (lowest-rank applicable pair first — the standard greedy).
-    Arrow-batched; per-batch word memo exploits word repetition."""
+    Arrow-batched; a per-task word memo exploits word repetition and is
+    capped (cleared at 2^16 distinct words) so a long-running task over a
+    huge vocabulary can't grow it without bound."""
     ranks = {(a, b): r for r, a, b in merges}
     spark = documents.sparkSession
     b_ranks = spark.sparkContext.broadcast(ranks)
@@ -131,6 +133,8 @@ def bpe_apply(documents: DataFrame, merges: list) -> DataFrame:
                     enc = memo.get(w)
                     if enc is None:
                         enc = _encode_word(w, rk)
+                        if len(memo) >= 65536:
+                            memo.clear()
                         memo[w] = enc
                     pieces.extend(enc)
                 out['doc_id'].append(doc_id)

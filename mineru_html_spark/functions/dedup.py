@@ -350,9 +350,9 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
       small-star: every u (over larger->smaller directed edges) links its
                   smaller-or-equal neighbors and itself to that minimum.
 
-    Convergence when a round leaves the edge multiset unchanged
-    (count + order-insensitive xxhash fingerprint — checked on the same
-    cached frame, no extra pass). At the fixpoint every component is a
+    Convergence when a round leaves the edge set unchanged (count + two
+    independent order-insensitive xxhash fingerprints — checked on the
+    same cached frame, no extra pass). At the fixpoint every component is a
     star rooted at its minimum; labels read directly off the edges. The
     round-2 reverted attempt mislabeled SMALL components by extracting
     labels before the fixpoint — this version only reads labels after
@@ -370,12 +370,18 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
              .distinct().localCheckpoint())
 
     def _fingerprint(df):
-        # order-insensitive multiset fingerprint; bit_xor (not sum) —
-        # the edge set is distinct, and xor never overflows under ANSI
+        # order-insensitive SET fingerprint: count + TWO independent
+        # 64-bit xors (different xxhash64 seeds via an extra literal).
+        # One xor alone can collide for distinct edge sets (e.g. swapped
+        # pairs with equal xor) and silently stop the loop early; a
+        # simultaneous collision in both independent hashes is ~2^-128.
+        # xor (not sum) because xor never overflows under ANSI.
         r = df.agg(
             F.count('*').alias('n'),
-            F.expr('bit_xor(xxhash64(u, v))').alias('h')).collect()[0]
-        return (r['n'], r['h'])
+            F.expr('bit_xor(xxhash64(u, v))').alias('h1'),
+            F.expr('bit_xor(xxhash64(u, v, 7919))').alias('h2')
+        ).collect()[0]
+        return (r['n'], r['h1'], r['h2'])
 
     def _large_star(df):
         sym = df.unionByName(df.select(F.col('v').alias('u'),

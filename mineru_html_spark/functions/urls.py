@@ -40,6 +40,19 @@ TWO_LEVEL_SUFFIXES = (
 
 TRACKING_PARAM_RE = r'^(utm_[a-zA-Z]+|fbclid|gclid|ref)='
 
+# characters special in BOTH Java regex (Spark rlike) and RE2 (DuckDB
+# oracle) outside a character class — the portable escape set
+_REGEX_META = set(r'\.^$*+?()[]{}|')
+
+
+def regex_literal(s: str) -> str:
+    """Escape ``s`` so it matches literally in both Java regex and RE2.
+
+    Only true metacharacters are escaped (both engines accept redundant
+    punctuation escapes but RE2 rejects some, e.g. ``\\ `` — so the set
+    is the conservative intersection)."""
+    return ''.join('\\' + c if c in _REGEX_META else c for c in s)
+
 
 def _lower(c: Column) -> Column:
     return F.lower(c)
@@ -238,6 +251,10 @@ def url_blocklist_filter(df: DataFrame, url_col: str = 'url',
     wins over a path-keyword hit; clean URLs get drop_reason '' and
     keep=true.
 
+    Keywords are matched LITERALLY: each is regex-escaped before joining
+    into the alternation (``regex_literal``), so a keyword containing
+    '.', '+' or '(' can't silently change match semantics or error.
+
     Scale shape: the registrable domain comes from the PSL broadcast
     joins (``with_registrable_domain``); the domain blocklist — even the
     multi-million-entry UT1 lists are a few hundred MB — is one more
@@ -249,7 +266,7 @@ def url_blocklist_filter(df: DataFrame, url_col: str = 'url',
                                 'domain string, _blk int')
     j = d.join(F.broadcast(bdf), 'domain', 'left')
     path = parse_url(F.col(url_col))['path']
-    kw = '|'.join(path_keywords)          # literal keywords, no escaping
+    kw = '|'.join(regex_literal(x) for x in path_keywords)
     reason = (F.when(F.col('_blk').isNotNull(), F.lit('blocked_domain'))
               .when(path.rlike(kw) if kw else F.lit(False),
                     F.lit('blocked_path'))
