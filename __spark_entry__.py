@@ -2052,15 +2052,17 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
             a AS (
               SELECT ex.doc_id, count(*) AS n_tokens,
-                     sum(ln(c.cnt::DOUBLE)) AS sum_ln
+                     CAST(sum(CAST(floor(1000 * ln(c.cnt::DOUBLE))
+                                   AS BIGINT)) AS BIGINT) AS sum_mln
               FROM ex JOIN c USING (word) GROUP BY 1),
             f AS (
               SELECT d.doc_id,
                      CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
                      CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN -1
-                          ELSE round(1000 * (
-                            ln((SELECT total FROM t)::DOUBLE)
-                            - a.sum_ln / a.n_tokens))
+                          ELSE CAST(floor(1000 *
+                            ln((SELECT total FROM t)::DOUBLE)) AS BIGINT)
+                            - CAST(floor(a.sum_mln / a.n_tokens)
+                                   AS BIGINT)
                           END AS BIGINT) AS nll_milli
               FROM documents d LEFT JOIN a USING (doc_id))
             SELECT doc_id, n_tokens, nll_milli,

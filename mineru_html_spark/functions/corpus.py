@@ -332,10 +332,15 @@ def unigram_lm_nll(documents: DataFrame,
     unigram estimator keeps the operator closed over the corpus (no
     external model file) while exercising the same plan.
 
-    nll_milli = round(1000 * (ln(total) - sum_ln_cnt / n)) — computed in
-    this exact expression shape on BOTH engines, rounded to milli-nats so
-    the value hash is representation-stable (same policy as the cosine
-    micro-rounding). Docs with no tokens get (-1, 'empty').
+    nll_milli = floor(1000*ln(total)) - floor(sum(floor(1000*ln(cnt)))/n)
+    — each token contributes an INTEGER (floored milli-nats of its count)
+    so the per-doc aggregate is an exact long sum, independent of Spark
+    partial-aggregation order vs DuckDB's (the float-sum formulation
+    could flip the rounded result by 1 at exact boundaries — same
+    integer-exactness policy as pagerank_integer). The remaining
+    cross-engine assumption is only that ln() of the SAME double agrees,
+    which the per-value hash gates already exercise. Docs with no tokens
+    get (-1, 'empty').
 
     Scale shape: the LM is one hash aggregate on word (map-side partial
     combine — the shuffle carries one row per distinct word per task);
@@ -350,15 +355,18 @@ def unigram_lm_nll(documents: DataFrame,
         'doc_id', F.explode_outer(_words()).alias('word'))
     if lm is None:
         lm = unigram_lm_table(documents)
+    mln = F.floor(F.lit(1000) * F.log(F.col('cnt').cast('double'))) \
+        .cast('long')
     agg = (docs.join(F.broadcast(lm), 'word', 'left')
            .groupBy('doc_id')
            .agg(F.count('word').alias('n_tokens'),
-                F.sum(F.log(F.col('cnt').cast('double'))).alias('_sum_ln'),
+                F.sum(mln).alias('_sum_mln'),
                 F.max('total').alias('_total')))
     nll = F.when(F.col('n_tokens') == 0, F.lit(-1)).otherwise(
-        F.round(F.lit(1000) * (
-            F.log(F.col('_total').cast('double'))
-            - F.col('_sum_ln') / F.col('n_tokens')))).cast('long')
+        F.floor(F.lit(1000) * F.log(F.col('_total').cast('double')))
+         .cast('long')
+        - F.floor(F.col('_sum_mln') / F.col('n_tokens')).cast('long')
+    ).cast('long')
     t = agg.select('doc_id', 'n_tokens', nll.alias('nll_milli'))
     bucket = F.when(F.col('n_tokens') == 0, F.lit('empty')) \
         .when(F.col('nll_milli') <= head_milli, F.lit('head')) \
