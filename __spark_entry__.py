@@ -332,6 +332,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return sim.ann_topk_ivf(emb, query, k=20, n_lists=16, n_probe=4)
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """The MATERIALIZED IVF scale path, end-to-end: write the index
+    (vectors partitioned by list_id + a tiny centroids table) to disk,
+    then probe it — the probe scans ONLY the n_probe list partitions via
+    partition pruning (PartitionFilters guarded in
+    tests/test_plan_properties.py). Same quantizer seed and probe as the
+    inline ann_ivf_topk, so the result is gated against the SAME
+    committed output — certifying the materialized index returns exactly
+    what the inline assignment path returns."""
+    import os
+    import shutil
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col('vec_id') == 0).select('embedding').collect()
+    query = list(qvec[0]['embedding']) if qvec else []
+    idx = os.path.join(REPO, '.data', 'ivf_index_v1')
+    shutil.rmtree(idx, ignore_errors=True)
+    sim.materialize_ivf(emb, idx, n_lists=16)
+    return sim.ann_topk_ivf_indexed(spark, idx, query, k=20, n_probe=4)
+
+
 def q_accuracy_summary(spark, sf_dir):
     """Distributed accuracy eval vs generator ground truth: per-template
     strict span-sequence-equality counts + mean ROUGE-N(5) F1 — the
@@ -1529,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_near_dups': q_embedding_near_dups,
         'semantic_dedup': q_semantic_dedup,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_ivf_indexed': q_ann_ivf_indexed,
         'accuracy_summary': q_accuracy_summary,
         'heldout_accuracy': q_heldout_accuracy,
         'baseline_eval': q_baseline_eval,
@@ -1622,6 +1643,9 @@ def oracle_sql() -> dict[str, str]:
     # agree, not just that each is self-consistent
     oracles['near_dup_clusters_star'] = \
         _expected_parquet('near_dup_clusters')
+    # the materialized-index probe must return EXACTLY what the inline
+    # IVF assignment path returns (same quantizer seed, same probes)
+    oracles['ann_ivf_indexed'] = _expected_parquet('ann_ivf_topk')
     oracles.update({
         "token_count_bpe": f"""
             SELECT doc_id,

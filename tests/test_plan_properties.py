@@ -61,6 +61,15 @@ def test_semantic_dedup_single_exchange(spark, entry):
     assert 'FlatMapGroupsInPandas' in p
 
 
+def test_ivf_indexed_probe_prunes_partitions(spark, entry):
+    # the materialized-IVF probe must scan ONLY the probed list_id
+    # partitions — partition pruning at planning time, not a filter
+    # after a full scan (the whole point of the materialized index)
+    p = plan_of(entry.q_ann_ivf_indexed(spark, SF))
+    assert 'PartitionFilters' in p and 'list_id' in p
+    assert 'TakeOrderedAndProject' in p
+
+
 def test_no_cartesian_products_anywhere(spark, entry):
     # broadcast-NLJ of one-row stat frames is fine; an unbroadcast
     # cartesian is never fine
