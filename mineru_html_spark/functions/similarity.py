@@ -307,9 +307,55 @@ def ann_topk_ivf(embeddings: DataFrame, query: Sequence[float], k: int = 20,
     return cosine_topk(cands, query, k, vec_col)
 
 
+def _prev_max_exact(mn: 'np.ndarray', idxs: 'np.ndarray') -> 'np.ndarray':
+    """Exact keep-first evidence for one block: for each row (in idxs
+    order) the max cosine to any EARLIER row of the block. O(b^2) sims,
+    O(b^2) memory — callers bound b."""
+    sub = mn[idxs]
+    sims = sub @ sub.T
+    n = len(idxs)
+    mask = np.tril(np.ones((n, n), dtype=bool), k=-1)   # j < i
+    return np.where(mask, sims, -2.0).max(axis=1)
+
+
+def _prev_max_capped(mn: 'np.ndarray', idxs: 'np.ndarray',
+                     threshold: float, cap: int) -> 'np.ndarray':
+    """Keep-first evidence with BOUNDED pairwise work for a giant
+    cluster: exact below ``cap``; above it, exact within sorted-order
+    chunks of ``cap``, then the chunk survivors recurse as one smaller
+    problem (their extra evidence merges in via max). The recursion
+    strictly shrinks (it only runs when some row was dropped), so total
+    work is O(n*cap) per level with geometrically shrinking levels and
+    O(cap^2) peak memory — never an n x n matrix.
+
+    Above the cap this is a documented approximation of global
+    keep-first: a cross-chunk pair is only compared if both sides
+    survive their chunks, so a row whose only >=threshold lower match
+    was itself dropped in ANOTHER chunk can survive (boundary-straddling
+    triangles). Below the cap semantics are exact."""
+    n = len(idxs)
+    if n <= cap:
+        return _prev_max_exact(mn, idxs)
+    pm = np.full(n, -2.0)
+    surv_pos = []
+    for s in range(0, n, cap):
+        part = idxs[s:s + cap]
+        p = _prev_max_exact(mn, part)
+        pm[s:s + len(part)] = p
+        for off, val in enumerate(p):
+            if val < threshold:
+                surv_pos.append(s + off)
+    if 1 < len(surv_pos) < n:
+        sp = np.asarray(surv_pos)
+        p2 = _prev_max_capped(mn, idxs[sp], threshold, cap)
+        pm[sp] = np.maximum(pm[sp], p2)
+    return pm
+
+
 def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
                    threshold: float = 0.95, sample: int = 2048,
-                   seed: int = 5, vec_col: str = 'embedding') -> DataFrame:
+                   seed: int = 5, vec_col: str = 'embedding',
+                   max_pairwise: int = 1024) -> DataFrame:
     """(vec_id, list_id, max_prev_sim_micro, keep): SemDeDup (Abbas et
     al. 2023) — semantic near-duplicate removal over embeddings: cluster
     with the IVF coarse quantizer, then WITHIN each cluster drop every
@@ -323,9 +369,17 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
     over 100M+ embeddings); the quantizer trains on a hash sample and
     broadcasts; assignment is one vectorized Arrow pass; the pairwise
     stage is one applyInPandas per cluster — the only shuffle is the
-    groupBy(list_id) exchange. A pathologically giant cluster would be
-    sub-bucketed by a secondary hash before the pairwise stage (same cap
-    pattern as the MinHash bucket cap)."""
+    groupBy(list_id) exchange.
+
+    Giant-cluster guard: a cluster larger than ``max_pairwise`` is
+    processed by ``_prev_max_capped`` (chunked keep-first + survivor
+    recursion — same guard philosophy as the MinHash bucket cap at
+    functions/dedup.py), so a skewed embedding space can NEVER provoke
+    an n x n similarity matrix; work is O(n * max_pairwise) per level
+    and memory O(max_pairwise^2). Semantics stay exact up to the cap —
+    size ``n_lists`` so expected cluster size stays below it (n_lists
+    should grow proportionally with the corpus: SemDeDup's own ratio is
+    ~2000 vectors/cluster, i.e. n_lists ~ N/2000)."""
     cents = train_quantizer(embeddings, n_lists, sample, seed, vec_col)
     assigned = ivf_assign(embeddings, cents, vec_col, keep_vec=True)
 
@@ -336,10 +390,8 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
-        sims = mn @ mn.T
-        n = len(pdf)
-        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)   # j < i
-        prev_max = np.where(mask, sims, -2.0).max(axis=1)
+        prev_max = _prev_max_capped(mn, np.arange(len(pdf)),
+                                    threshold, max_pairwise)
         return pd.DataFrame({
             'vec_id': pdf['vec_id'],
             'list_id': pdf['list_id'],

@@ -933,6 +933,70 @@ def test_semantic_dedup_drops_planted_copies(spark):
         assert out[100 + i]['list_id'] == out[i]['list_id']
 
 
+def test_semantic_dedup_capped_matches_exact_below_cap():
+    # the capped evidence function must be EXACT whenever the recursion
+    # never engages — any block size >= n gives identical output
+    import numpy as np
+
+    from mineru_html_spark.functions.similarity import (_prev_max_capped,
+                                                        _prev_max_exact)
+    rng = np.random.RandomState(11)
+    m = rng.randn(200, 8)
+    m /= np.linalg.norm(m, axis=1)[:, None]
+    idxs = np.arange(200)
+    exact = _prev_max_exact(m, idxs)
+    assert np.allclose(_prev_max_capped(m, idxs, 0.95, 200), exact)
+    assert np.allclose(_prev_max_capped(m, idxs, 0.95, 4096), exact)
+
+
+def test_semantic_dedup_mega_cluster_bounded_work(monkeypatch):
+    # planted mega-cluster: 3000 EXACT copies in one cluster. The guard
+    # must (a) never form a block larger than the cap, (b) still keep
+    # exactly one survivor of the copy family.
+    import numpy as np
+
+    import mineru_html_spark.functions.similarity as sim
+    seen = []
+    real = sim._prev_max_exact
+
+    def spy(mn, idxs):
+        seen.append(len(idxs))
+        return real(mn, idxs)
+
+    monkeypatch.setattr(sim, '_prev_max_exact', spy)
+    v = np.ones(16) / 4.0
+    mn = np.tile(v, (3000, 1))
+    pm = sim._prev_max_capped(mn, np.arange(3000), 0.95, cap=64)
+    assert max(seen) <= 64                # bounded pairwise blocks
+    assert pm[0] == -2.0                  # global first survives
+    assert (pm[1:] >= 0.95).all()         # every copy carries evidence
+    # total work stayed ~O(n * cap), not O(n^2): the exact path would
+    # compute 3000^2 = 9M sims; the capped path's block sims are far less
+    assert sum(b * b for b in seen) < 3000 * 64 * 4
+
+
+def test_semantic_dedup_mega_cluster_end_to_end(spark):
+    # Spark path with a tiny cap: 300 exact copies + 10 distinct vectors,
+    # one cluster (n_lists=1) — one survivor of the family, distinct
+    # vectors all survive, labels stay total
+    import numpy as np
+
+    from mineru_html_spark.functions.similarity import semantic_dedup
+    rng = np.random.RandomState(9)
+    distinct = rng.randn(10, 8).astype('float64')
+    rows = [(i, [float(x) for x in distinct[i]]) for i in range(10)]
+    rows += [(100 + i, [1.0] * 8) for i in range(300)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = {r['vec_id']: r
+           for r in semantic_dedup(df, n_lists=1, threshold=0.95,
+                                   max_pairwise=32).collect()}
+    assert len(out) == 310
+    fam = [vid for vid in out if vid >= 100]
+    keepers = [vid for vid in fam if out[vid]['keep']]
+    assert keepers == [100]               # keep-first: lowest id wins
+    assert all(out[i]['keep'] for i in range(10))
+
+
 def test_unigram_lm_nll_materialized_lm_matches_inline(spark):
     from mineru_html_spark.functions.corpus import (unigram_lm_nll,
                                                     unigram_lm_table)
