@@ -81,8 +81,13 @@ def _mh_params(num_hashes: int):
 
 
 def minhash_signatures(documents: DataFrame, k: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = 64,
+                       ts_col: str | None = None) -> DataFrame:
     """64-wide MinHash signature per doc (vectorized Arrow UDF).
+
+    ``ts_col`` (optional) names a timestamp column to carry through
+    unchanged — the streaming TTL path needs event time next to the
+    signature without a stream-stream join back to the input.
 
     CONTRACT: documents with fewer than ``k`` tokens produce NO output row
     (a sub-k doc has no shingles, hence no signature — it can never be a
@@ -104,8 +109,10 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+            ids, sigs, tss = [], [], []
+            ts_vals = pdf[ts_col] if ts_col else pdf['doc_id']
+            for doc_id, text, ts in zip(pdf['doc_id'], pdf['text'],
+                                        ts_vals):
                 ws = tok.findall(str(text).lower())
                 if len(ws) < k:
                     continue
@@ -117,15 +124,21 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
                 m = (hs[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
                 ids.append(doc_id)
                 sigs.append(m.min(axis=0).astype(np.int64).tolist())
+                tss.append(ts)
             # explicit dtypes: an empty batch would otherwise infer
             # float64 for 'sig' and break Arrow list conversion
-            yield pd.DataFrame({
+            out = {
                 'doc_id': pd.Series(ids, dtype='int64'),
                 'sig': pd.Series(sigs, dtype='object'),
-            })
+            }
+            if ts_col:
+                out[ts_col] = pd.Series(tss, dtype='datetime64[us]')
+            yield pd.DataFrame(out)
 
-    return documents.select('doc_id', 'text').mapInPandas(
-        batch, 'doc_id long, sig array<long>')
+    cols = ['doc_id', 'text'] + ([ts_col] if ts_col else [])
+    schema = 'doc_id long, sig array<long>' + (
+        f', {ts_col} timestamp' if ts_col else '')
+    return documents.select(*cols).mapInPandas(batch, schema)
 
 
 def lsh_candidate_pairs(documents: DataFrame, k: int = 3,

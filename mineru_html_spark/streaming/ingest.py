@@ -127,17 +127,20 @@ def stateful_user_counters(events, timeout_ms: int = 0):
 
 
 def minhash_band_rows(docs: DataFrame, k: int = 3, num_hashes: int = 64,
-                      bands: int = 16) -> DataFrame:
-    """(doc_id, band_id, band_hash): the banded-LSH bucketing rows —
-    the same signature + banding construction as the batch
+                      bands: int = 16,
+                      ts_col: str | None = None) -> DataFrame:
+    """(doc_id, band_id, band_hash[, ts]): the banded-LSH bucketing rows
+    — the same signature + banding construction as the batch
     ``lsh_candidate_pairs``, factored so the stateless part runs
     unchanged on a stream (mapInPandas and the band explode are both
-    streaming-safe)."""
+    streaming-safe). ``ts_col`` carries event time through for the TTL
+    path."""
     from ..functions.dedup import minhash_signatures
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, k, num_hashes)
+    sigs = minhash_signatures(docs, k, num_hashes, ts_col=ts_col)
+    carry = [ts_col] if ts_col else []
     return sigs.select(
-        'doc_id',
+        'doc_id', *carry,
         F.explode(F.array(*[
             F.struct(
                 F.lit(bd).alias('band_id'),
@@ -148,11 +151,13 @@ def minhash_band_rows(docs: DataFrame, k: int = 3, num_hashes: int = 64,
                             lambda x: x.cast('string')), ','),
                     F.lit(bd)).alias('band_hash'))
             for bd in range(bands)])).alias('b')) \
-        .select('doc_id', 'b.band_id', 'b.band_hash')
+        .select('doc_id', *carry, 'b.band_id', 'b.band_hash')
 
 
 def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
-                       bands: int = 16) -> DataFrame:
+                       bands: int = 16, ttl_seconds: int | None = None,
+                       ts_col: str = 'ts',
+                       lateness: str = '1 hour') -> DataFrame:
     """Ingest-time near-duplicate candidate flagging: first-wins per LSH
     bucket, kept as custom state across micro-batches.
 
@@ -164,32 +169,72 @@ def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
 
     Scale shape: state per bucket is ONE long (the claiming doc_id) —
     content and signatures never enter state; the only shuffle is the
-    groupBy on (band_id, band_hash). A 24/7 stream bounds state with a
-    timeout (bucket claims expire after the dedup horizon) — the same
-    exact-within-TTL trade documented on ``streaming_dedup``."""
+    groupBy on (band_id, band_hash).
+
+    ``ttl_seconds`` bounds state for a 24/7 stream: with it set, ``docs``
+    must carry an event-time column ``ts_col``; each bucket claim expires
+    once the watermark (event time minus ``lateness``) passes the claim's
+    last activity + TTL, after which the bucket is REMOVED from state and
+    a later document re-claims it as first. Semantics become
+    exact-within-TTL (the standard trade at unbounded stream length,
+    documented on ``streaming_dedup``); every data arrival extends the
+    claim's life, so an active boilerplate bucket never churns."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl = ttl_seconds
+    # Arrow hands timestamps to pandas as session-local naive values;
+    # epoch math against the watermark needs the session tz made explicit
+    tz = (docs.sparkSession.conf.get('spark.sql.session.timeZone', None)
+          or 'UTC') if ttl is not None else 'UTC'
+
+    def _epoch_ms(t) -> int:
+        if t.tzinfo is None:
+            t = t.tz_localize(tz)
+        return int(t.timestamp() * 1000)
 
     def update(key, pdfs, state):
         import pandas as pd
-        first = state.get[0] if state.exists else None
-        ids = []
-        for pdf in pdfs:
-            ids.extend(int(x) for x in pdf['doc_id'])
-        ids.sort()                        # deterministic within a batch
-        out = {'band_id': [], 'band_hash': [], 'doc_id': [],
-               'first_doc_id': [], 'is_first': []}
-        for doc_id in ids:
-            if first is None:
-                first = doc_id
-            out['band_id'].append(key[0])
-            out['band_hash'].append(key[1])
-            out['doc_id'].append(doc_id)
-            out['first_doc_id'].append(first)
-            out['is_first'].append(doc_id == first)
-        state.update((first,))
-        yield pd.DataFrame(out)
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            first = state.get[0] if state.exists else None
+            ids = []
+            max_ts = None
+            for pdf in pdfs:
+                ids.extend(int(x) for x in pdf['doc_id'])
+                if ttl is not None and len(pdf):
+                    t = pdf[ts_col].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+            ids.sort()                    # deterministic within a batch
+            out = {'band_id': [], 'band_hash': [], 'doc_id': [],
+                   'first_doc_id': [], 'is_first': []}
+            for doc_id in ids:
+                if first is None:
+                    first = doc_id
+                out['band_id'].append(key[0])
+                out['band_hash'].append(key[1])
+                out['doc_id'].append(doc_id)
+                out['first_doc_id'].append(first)
+                out['is_first'].append(doc_id == first)
+            state.update((first,))
+            if ttl is not None and max_ts is not None:
+                # expire TTL after the newest activity; never set a
+                # timeout at/behind the watermark (illegal) — a late
+                # arrival inside the lateness window keeps +1ms headroom
+                timeout_ms = max(
+                    _epoch_ms(max_ts) + ttl * 1000,
+                    state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(timeout_ms)
+            yield pd.DataFrame(out)
 
-    rows = minhash_band_rows(docs, k, num_hashes, bands)
+    if ttl is None:
+        rows = minhash_band_rows(docs, k, num_hashes, bands)
+        timeout_conf = GroupStateTimeout.NoTimeout
+    else:
+        rows = (minhash_band_rows(docs, k, num_hashes, bands,
+                                  ts_col=ts_col)
+                .withWatermark(ts_col, lateness))
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
     return (rows.groupBy('band_id', 'band_hash')
             .applyInPandasWithState(
                 update,
@@ -198,4 +243,4 @@ def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
                                  'is_first boolean',
                 stateStructType='first long',
                 outputMode='update',
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout_conf))

@@ -221,3 +221,64 @@ def test_streaming_near_dup_flags_planted_duplicates(spark, tmp_path):
     b2 = {(r['band_id'], r['band_hash'])
           for r in batch_rows.where('doc_id = 2').collect()}
     assert b1 == b2                       # exact dup: identical buckets
+
+
+def test_streaming_near_dup_ttl_evicts_and_readmits(spark, tmp_path):
+    """Event-time TTL on the LSH bucket state: a claim expires once the
+    watermark passes its last activity + TTL, the bucket is REMOVED from
+    state, and a later document re-claims it as first — exact-within-TTL
+    semantics for 24/7 streams. Five single-file micro-batches drive the
+    full lifecycle: claim -> dup flagged -> watermark advances -> evict
+    -> re-admit."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mineru_html_spark.streaming.ingest import streaming_near_dup
+
+    X = 'alpha beta gamma delta epsilon zeta eta theta unique content run'
+    Y = 'one two three four five six seven eight nine ten eleven twelve'
+    Z = 'red green blue yellow purple orange cyan magenta lime navy teal'
+    batches = [
+        (0, X, '2026-01-01 10:00:00'),   # claims its buckets; ttl->11:00
+        (1, X, '2026-01-01 13:00:00'),   # within TTL: flagged, ttl->14:00
+        (50, Y, '2026-01-01 16:00:00'),  # watermark -> 15:00 after batch
+        (51, Z, '2026-01-01 17:00:00'),  # wm 15:00 > 14:00: X evicted
+        (2, X, '2026-01-01 18:00:00'),   # empty bucket: re-claimed
+    ]
+    in_dir = str(tmp_path / 'in')
+    for i, (doc_id, text, ts) in enumerate(batches):
+        before = set(glob.glob(os.path.join(in_dir, '*.parquet')))
+        (spark.createDataFrame([(doc_id, text)],
+                               'doc_id long, text string')
+         .select('doc_id', 'text',
+                 F.lit(ts).cast('timestamp').alias('ts'))
+         .coalesce(1).write.mode('append').parquet(in_dir))
+        # the file source orders by modification time: force strict order
+        new = set(glob.glob(os.path.join(in_dir, '*.parquet'))) - before
+        for f in new:
+            os.utime(f, (1000000 + i * 10, 1000000 + i * 10))
+
+    out_dir = str(tmp_path / 'out')
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .option('maxFilesPerTrigger', 1).parquet(in_dir))
+    q = (streaming_near_dup(stream, ttl_seconds=3600, lateness='1 hour')
+         .writeStream
+         .foreachBatch(lambda df, _:
+                       df.write.mode('append').parquet(out_dir))
+         .option('checkpointLocation', str(tmp_path / 'ckpt'))
+         .outputMode('update').trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    res = spark.read.parquet(out_dir)
+    r1 = res.where('doc_id = 1')
+    assert r1.count() > 0
+    assert r1.where('is_first').count() == 0        # dup within TTL
+    assert {r['first_doc_id'] for r in r1.collect()} == {0}
+    r2 = res.where('doc_id = 2')
+    assert r2.count() > 0
+    # every one of doc 2's buckets was evicted and re-claimed
+    assert r2.where('NOT is_first').count() == 0
+    assert {r['first_doc_id'] for r in r2.collect()} == {2}
