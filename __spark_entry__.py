@@ -277,10 +277,24 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.ann_topk_lsh(emb, query, k=20)
 
 
+_CJK_PLANT = ('大规模数据处理系统用于文本分析和机器学习。'
+              '我们的研究结果表明这个方法可以提高数据质量。')
+
+
 def q_rouge_self(spark, sf_dir):
     """ROUGE-N(5) metric operator: pred = doc text truncated to its first
-    200 chars vs gt = full text (non-SQL: rows-only check)."""
-    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 11 == 0)
+    200 chars vs gt = full text. Every 44th doc is replaced by Chinese
+    prose built from dictionary words (~370 chars), so the 200-char
+    truncation slices mid-word and the committed golden certifies the
+    dictionary-first CJK segmentation (greedy longest-match over
+    cjk_dict.tsv), not just the ASCII tokenizer."""
+    d = F.col('doc_id')
+    text = (F.when(d % 44 == 0,
+                   F.concat(F.repeat(F.lit(_CJK_PLANT), 8),
+                            (d % 7).cast('string')))
+            .otherwise(F.col('text')))
+    docs = (_docs(spark, sf_dir).where(d % 11 == 0)
+            .select('doc_id', text.alias('text')))
     pairs = docs.select('doc_id',
                         F.substring('text', 1, 200).alias('pred'),
                         F.col('text').alias('gt'))

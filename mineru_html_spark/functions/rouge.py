@@ -4,19 +4,23 @@ Re-implements the semantics of ``calc_rouge_n_score``
 (/root/reference/dripper/eval_baselines/base.py:24-54): n-gram count maps on
 both sides, overlap = sum of min(count) per shared n-gram, precision =
 overlap/pred_total, recall = overlap/gt_total, f1 harmonic. The reference
-tokenizes with jieba (Chinese); ours tokenizes `[a-z0-9]+` runs as word
-tokens and every CJK-range codepoint (Han, Hiragana/Katakana, Hangul) as
-its own unigram token — jieba's own fallback for out-of-dictionary text —
-so the metric is meaningful on CJK and mixed-script corpora (a CJK-only
-pred/gt pair used to tokenize to two empty sets and score 0.0 even when
-identical). The metric algebra is identical to the reference. Runs as an
-Arrow-batched pandas UDF (a Counter fold per row is not expressible as
-native SQL without exploding n-grams twice), returning micro-units for
-cross-engine stability.
+tokenizes with jieba (base.py:24-54); ours tokenizes `[a-z0-9]+` runs as
+word tokens and segments CJK runs (Han, Hiragana/Katakana, Hangul — the
+same ranges script_profile routes on) DICTIONARY-FIRST: greedy
+longest-match against the committed frequency dictionary
+``data/cjk_dict.tsv`` (~500 common multi-character words), falling back
+to one token per codepoint for out-of-dictionary text — jieba's own OOV
+fallback. So 机器学习 scores as the word it is, not four unigrams, and a
+CJK-only pred/gt pair no longer tokenizes to two empty sets. The metric
+algebra is identical to the reference. Runs as an Arrow-batched pandas
+UDF (a Counter fold per row is not expressible as native SQL without
+exploding n-grams twice), returning micro-units for cross-engine
+stability.
 """
 
 from __future__ import annotations
 
+import os
 import re
 from collections import Counter
 from typing import Iterator
@@ -24,16 +28,61 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# word tokens, or single CJK codepoints (Han / kana / Hangul — the same
-# ranges script_profile routes on; one definition of "CJK" repo-wide)
+# word tokens, or RUNS of CJK codepoints (segmented by _seg_cjk)
 _TOKEN_RE = re.compile(
-    r'[a-z0-9]+|[一-鿿぀-ヿ가-힣]')
+    r'[a-z0-9]+|[一-鿿぀-ヿ가-힣]+')
+_CJK_FIRST = re.compile(r'[一-鿿぀-ヿ가-힣]')
 
 ROUGE_SCHEMA = ('doc_id long, prec_micro long, rec_micro long, f1_micro long')
 
+_DICT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'data', 'cjk_dict.tsv')
+_dict_cache = None
+
+
+def _cjk_dict() -> tuple:
+    """(word->freq, max word length) — loaded once per process; the
+    committed snapshot stands in for a full jieba-style dictionary
+    (swap the .tsv for a complete one in production, same machinery)."""
+    global _dict_cache
+    if _dict_cache is None:
+        words = {}
+        with open(_DICT_PATH, encoding='utf-8') as f:
+            for line in f:
+                w, freq = line.rstrip('\n').split('\t')
+                words[w] = int(freq)
+        _dict_cache = (words, max(map(len, words)))
+    return _dict_cache
+
+
+def _seg_cjk(run: str) -> list:
+    """Greedy longest-match segmentation of one CJK run: at each
+    position take the longest dictionary word, else emit the single
+    codepoint (the OOV fallback)."""
+    words, max_len = _cjk_dict()
+    out = []
+    i, n = 0, len(run)
+    while i < n:
+        for L in range(min(max_len, n - i), 1, -1):
+            if run[i:i + L] in words:
+                out.append(run[i:i + L])
+                i += L
+                break
+        else:
+            out.append(run[i])
+            i += 1
+    return out
+
 
 def _tokens(text: str) -> list:
-    return _TOKEN_RE.findall(str(text).lower())
+    toks = []
+    for m in _TOKEN_RE.finditer(str(text).lower()):
+        s = m.group()
+        if _CJK_FIRST.match(s):
+            toks.extend(_seg_cjk(s))
+        else:
+            toks.append(s)
+    return toks
 
 
 def _ngram_counts(toks: list, n: int) -> Counter:
