@@ -104,12 +104,115 @@ def _boilerpipe_labels(blocks) -> Dict[int, str]:
     return labels
 
 
+# Arc90 readability.js class/id weight regexes and tag init weights —
+# the published constants (readability.js 2010; Mozilla Readability
+# keeps the same lists). Applied to class and id INDEPENDENTLY (+-25
+# each), exactly as initializeNode/getClassWeight do.
+_RX_RD_NEG = re.compile(
+    r'combx|comment|com-|contact|foot|footer|footnote|masthead|media'
+    r'|meta|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor'
+    r'|shopping|tags|tool|widget', re.IGNORECASE)
+_RX_RD_POS = re.compile(
+    r'article|body|content|entry|hentry|main|page|pagination|post'
+    r'|text|blog|story', re.IGNORECASE)
+_RD_TAG_W = {'div': 5, 'pre': 3, 'td': 3, 'blockquote': 3,
+             'address': -3, 'ol': -3, 'ul': -3, 'dl': -3, 'dd': -3,
+             'dt': -3, 'li': -3, 'form': -3,
+             'h1': -5, 'h2': -5, 'h3': -5, 'h4': -5, 'h5': -5, 'h6': -5,
+             'th': -5}
+
+
+def _rd_class_weight(node) -> int:
+    w = 0
+    for k in ('class', 'id'):
+        v = node.attrs.get(k) or ''
+        if not v:
+            continue
+        if _RX_RD_NEG.search(v):
+            w -= 25
+        if _RX_RD_POS.search(v):
+            w += 25
+    return w
+
+
+def _readability_labels(blocks) -> Dict[int, str]:
+    """Arc90 readability.js candidate scoring (the public 2010 algorithm,
+    kept by Mozilla Readability): each paragraph-like block with >= 25
+    chars feeds ``1 + commas + min(len/100, 3)`` to its parent (full)
+    and grandparent (half); a candidate initializes with its tag weight
+    plus class/id weight (+-25, the signature Readability signal); final
+    candidate scores scale by (1 - link density of the candidate's
+    subtree); the top candidate plus any sibling candidate clearing
+    ``max(10, 0.2*top)`` become the article, and blocks inside the
+    article subtree label MAIN — containment is how Readability keeps
+    headings and images that score poorly on their own."""
+    cand_score: dict = {}
+    cand_node: dict = {}
+    order: dict = {}
+
+    def _touch(nd) -> int:
+        key = id(nd)
+        if key not in cand_score:
+            cand_score[key] = float(_RD_TAG_W.get(nd.tag, 0)
+                                    + _rd_class_weight(nd))
+            cand_node[key] = nd
+            order[key] = len(order)
+        return key
+
+    for b in blocks:
+        if b.text_len < 25:              # arc90: skip tiny paragraphs
+            continue
+        contrib = 1.0 + b.text.count(',') + min(b.text_len // 100, 3)
+        p = b.node.parent
+        if p is None:
+            continue
+        cand_score[_touch(p)] += contrib
+        if p.parent is not None:
+            cand_score[_touch(p.parent)] += contrib / 2.0
+    if not cand_score:
+        return {b.item_id: 'other' for b in blocks}
+
+    # link-density scaling over each candidate's subtree, computed from
+    # the blocks beneath it (one ancestor walk per block)
+    txt = dict.fromkeys(cand_score, 0)
+    lnk = dict.fromkeys(cand_score, 0)
+    for b in blocks:
+        nd = b.node
+        while nd is not None:
+            key = id(nd)
+            if key in cand_score:
+                txt[key] += b.text_len
+                lnk[key] += b.link_text_len
+            nd = nd.parent
+    final = {k: s * (1.0 - (lnk[k] / txt[k] if txt[k] else 0.0))
+             for k, s in cand_score.items()}
+    top = min(final, key=lambda k: (-final[k], order[k]))
+    thresh = max(10.0, final[top] * 0.2)
+    top_parent = cand_node[top].parent
+    keep = {top}
+    for k, nd in cand_node.items():
+        if k != top and nd.parent is top_parent and final[k] >= thresh:
+            keep.add(k)
+
+    labels = {}
+    for b in blocks:
+        nd, hit = b.node, False
+        while nd is not None:
+            if id(nd) in keep:
+                hit = True
+                break
+            nd = nd.parent
+        labels[b.item_id] = MAIN if hit else 'other'
+    return labels
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
     'degraded': (None, _fallback_labels),
     'regex_cleaner': (regex_clean_html, _passthrough_labels),
     'boilerpipe': (None, _boilerpipe_labels),
+    'readability': (None, _readability_labels),
 }
 
 # backwards-compatible view (labelers only)

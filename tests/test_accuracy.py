@@ -106,10 +106,10 @@ def test_engine_dominates_baselines(spark):
     rows = {r['extractor']: r for r in
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
-                         'regex_cleaner', 'boilerpipe'}
+                         'regex_cleaner', 'boilerpipe', 'readability'}
     eng = rows['engine']
     for name in ('passthrough', 'degraded', 'regex_cleaner',
-                 'boilerpipe'):
+                 'boilerpipe', 'readability'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -125,8 +125,8 @@ def test_fused_baselines_equal_solo():
     rows = [(d['doc_id'], d['spans']) for d in
             (gen_doc(i) for i in range(0, 60))]
     fused = baseline_extract_rows_multi(
-        rows, ('passthrough', 'degraded', 'boilerpipe'))
-    for name in ('passthrough', 'degraded', 'boilerpipe'):
+        rows, ('passthrough', 'degraded', 'boilerpipe', 'readability'))
+    for name in ('passthrough', 'degraded', 'boilerpipe', 'readability'):
         solo = baseline_extract_rows(rows, name)
         got = [r for r in fused if r['extractor'] == name]
         assert len(got) == len(solo)
