@@ -780,6 +780,89 @@ def _script_detect_oracle() -> str:
         """
 
 
+def q_lang_by_script_learned(spark, sf_dir):
+    """The router with the LEARNED latin model: committed character-
+    trigram profiles (Cavnar-Trenkle shape, trained by
+    tools/train_lang_profiles.py) broadcast-joined against each doc's
+    trigram stream; marker chain kept as the zero-score fallback; other
+    scripts keep their models. Same fifteen plants as lang_by_script;
+    the oracle replays the trigram scoring from the SAME committed
+    profile rows as a VALUES table — integer weights, exact hash."""
+    col = None
+    for m, s in _LANG_PLANTS:
+        col = (F.when(F.col('doc_id') % 16 == m, F.lit(s)) if col is None
+               else col.when(F.col('doc_id') % 16 == m, F.lit(s)))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', col.otherwise(F.col('text')).alias('text'))
+    return tx.lang_id_by_script_learned(docs)
+
+
+def _lang_by_script_learned_oracle() -> str:
+    """DuckDB mirror of q_lang_by_script_learned: the marker-model
+    oracle's full decision tree, with the latin branch replaced by the
+    trigram-profile argmax whenever any profile trigram matched. The
+    profile VALUES rows come from the same loader as the Spark table."""
+    from mineru_html_spark.functions.text import (TRIGRAM_CLEAN_RE,
+                                                  TRIGRAM_LANGS,
+                                                  load_trigram_rows)
+    base = _lang_by_script_oracle()
+    # strip the trailing "FROM s" and re-plumb with the trigram CTEs
+    assert base.rstrip().endswith('FROM s')
+    prof_rows = ', '.join(f"('{lang}', '{g}', {w})"
+                          for lang, g, w in load_trigram_rows())
+    sums = ',\n                '.join(
+        f"coalesce(sum(CASE WHEN p.lang = '{lg}' THEN p.weight END), 0)"
+        f" AS s_{lg}" for lg in TRIGRAM_LANGS)
+    order = list(TRIGRAM_LANGS)
+    arms = []
+    for i, lg in enumerate(order[:-1]):
+        rest = [f'ts.s_{x}' for x in order[i + 1:]]
+        g = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        arms.append(f"WHEN ts.s_{lg} >= {g} THEN '{lg}'")
+    tri_case = ('CASE ' + ' '.join(arms)
+                + f" ELSE '{order[-1]}' END")
+    total = ' + '.join(f'ts.s_{lg}' for lg in TRIGRAM_LANGS)
+    score_cols = ', '.join(f'ts.s_{lg} AS s_{lg}' for lg in TRIGRAM_LANGS)
+    return f"""
+            WITH b AS ({base}),
+            cl AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(CASE doc_id % 16
+                       {'''
+                       '''.join(f"WHEN {m} THEN '{s}'"
+                                for m, s in _LANG_PLANTS)}
+                       ELSE text END), '{TRIGRAM_CLEAN_RE}', ' ', 'g'))
+                       AS clean
+              FROM documents),
+            tg AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(clean) < 3 THEN []
+                            ELSE list_transform(range(0, len(clean) - 2),
+                                   i -> substr(clean, i + 1, 3))
+                            END) AS trigram
+              FROM cl),
+            prof(lang, trigram, weight) AS (SELECT * FROM (VALUES
+              {prof_rows}) v(lang, trigram, weight)),
+            tsc AS (
+              SELECT tg.doc_id,
+                {sums}
+              FROM tg LEFT JOIN prof p USING (trigram) GROUP BY 1),
+            ts AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(t.s_en, 0) AS BIGINT) AS s_en,
+                     CAST(coalesce(t.s_de, 0) AS BIGINT) AS s_de,
+                     CAST(coalesce(t.s_fr, 0) AS BIGINT) AS s_fr,
+                     CAST(coalesce(t.s_es, 0) AS BIGINT) AS s_es
+              FROM documents d LEFT JOIN tsc t USING (doc_id))
+            SELECT b.doc_id, b.script,
+                   CASE WHEN b.script = 'latin' AND ({total}) > 0
+                        THEN {tri_case}
+                        ELSE b.lang END AS lang,
+                   {score_cols}
+            FROM b JOIN ts USING (doc_id)
+        """
+
+
 def _lang_by_script_oracle() -> str:
     """DuckDB mirror of q_lang_by_script: same plants, same marker patterns
     (shared constants from functions.text), same cascaded-argmax decision
@@ -1574,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_canon': q_url_canon,
         'script_detect': q_script_detect,
         'lang_by_script': q_lang_by_script,
+        'lang_by_script_learned': q_lang_by_script_learned,
         'warc_extract': q_warc_extract,
         'psl_domains': q_psl_domains,
         'domain_stats': q_domain_stats,
@@ -1848,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'script_detect': _script_detect_oracle(),
         'lang_by_script': _lang_by_script_oracle(),
+        'lang_by_script_learned': _lang_by_script_learned_oracle(),
         'psl_domains': _psl_domains_oracle(),
         'domain_stats': _domain_stats_oracle(),
         'url_blocklist': _url_blocklist_oracle(),

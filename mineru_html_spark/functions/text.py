@@ -317,6 +317,96 @@ def lang_id_by_script(documents: DataFrame) -> DataFrame:
                             lang.alias('lang'))
 
 
+# Languages with learned trigram profiles (order = tie priority, same
+# convention as LATIN_LANG_MARKERS)
+TRIGRAM_LANGS = ('en', 'de', 'fr', 'es')
+
+# the classifier-side text normalization — MUST stay in lockstep with
+# tools/train_lang_profiles.py clean() and the DuckDB oracle
+TRIGRAM_CLEAN_RE = '[^a-z]+'
+
+
+def load_trigram_rows() -> list:
+    """[(lang, trigram, weight)] from the committed snapshot — the ONE
+    loader both the Spark profile table and the DuckDB oracle's VALUES
+    are built from (guaranteed parity)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'data', 'latin_trigram_profiles.tsv')
+    rows = []
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            lang, g, w = line.rstrip('\n').split('\t')
+            rows.append((lang, g, int(w)))
+    return rows
+
+
+def latin_trigram_profiles(spark) -> DataFrame:
+    """The committed character-trigram language profiles
+    (data/latin_trigram_profiles.tsv — trained by
+    tools/train_lang_profiles.py, Cavnar-Trenkle 1994 shape) as a small
+    (lang, trigram, weight) DataFrame, one broadcast away from any join.
+    ~1200 rows; production retrains on Wikipedia dumps with the same
+    tool and swaps the file, like the PSL snapshot."""
+    return spark.createDataFrame(
+        load_trigram_rows(), 'lang string, trigram string, weight long')
+
+
+def lang_id_by_script_learned(documents: DataFrame) -> DataFrame:
+    """(doc_id, script, lang, s_en, s_de, s_fr, s_es): the per-script
+    router with a LEARNED latin model — character-trigram profiles
+    (Cavnar & Trenkle 1994) replace the hand-picked stopword markers for
+    latin-script documents; every other script keeps its model, and the
+    marker chain remains the FALLBACK when no profile trigram matches
+    (short/degenerate latin text).
+
+    score_l = sum over the document's character trigrams (lowercased,
+    non-letter runs collapsed to single spaces) of the lang-l profile
+    weight; argmax with the marker model's tie convention. Integer
+    weights make the scores exactly mirrorable in the DuckDB oracle.
+
+    Plan shape: one narrow projection -> row-local trigram array ->
+    explode -> BROADCAST join against the ~1200-row profile table ->
+    one pivoting hash aggregate (partial map-side) -> join of the
+    per-doc score row back to the row-local router projection on doc_id.
+    The explode is the honest cost (len(text) rows per doc, hash+weight
+    only); everything stays codegen, zero Python UDFs."""
+    spark = documents.sparkSession
+    prof = latin_trigram_profiles(spark)
+
+    clean = F.trim(F.regexp_replace(F.lower(F.col('text')),
+                                    TRIGRAM_CLEAN_RE, ' '))
+    tri = F.when(F.length(clean) < 3,
+                 F.array().cast('array<string>')) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.length(clean) - 3),
+            lambda i: clean.substr(i + F.lit(1), F.lit(3))))
+    ex = documents.select('doc_id', F.explode_outer(tri).alias('trigram'))
+    j = ex.join(F.broadcast(prof), 'trigram', 'left')
+    scores = j.groupBy('doc_id').agg(*[
+        F.coalesce(F.sum(F.when(F.col('lang') == lg, F.col('weight'))),
+                   F.lit(0)).alias(f's_{lg}')
+        for lg in TRIGRAM_LANGS])
+
+    base = lang_id_by_script(documents)
+    out = base.join(scores, 'doc_id')
+    s = {lg: F.col(f's_{lg}') for lg in TRIGRAM_LANGS}
+    total = s['en'] + s['de'] + s['fr'] + s['es']
+    tri_best = None
+    order = list(TRIGRAM_LANGS)
+    for i, lg in enumerate(order[:-1]):
+        rest = [s[x] for x in order[i + 1:]]
+        g = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        cond = s[lg] >= g
+        tri_best = (F.when(cond, F.lit(lg)) if tri_best is None
+                    else tri_best.when(cond, F.lit(lg)))
+    tri_best = tri_best.otherwise(F.lit(order[-1]))
+    lang = F.when((F.col('script') == 'latin') & (total > 0), tri_best) \
+        .otherwise(F.col('lang'))
+    return out.select('doc_id', 'script', lang.alias('lang'),
+                      *[f's_{lg}' for lg in TRIGRAM_LANGS])
+
+
 def gopher_signals(documents: DataFrame,
                    min_words: int = 50,
                    max_words: int = 100_000,

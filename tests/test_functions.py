@@ -1299,3 +1299,32 @@ def test_score_proportional_sample_rates(spark):
     row = kept.where('doc_id = 7').collect()[0]
     key = int(hashlib.md5(b'7:sp1').hexdigest()[:8], 16) % 1000
     assert row['kept'] == (key < row['permille'])
+
+
+def test_lang_id_by_script_learned(spark):
+    """The learned trigram model separates en/de/fr/es with real margins,
+    and the chain degrades exactly as designed: zero profile coverage ->
+    marker fallback; non-latin scripts keep their models."""
+    from mineru_html_spark.functions.text import lang_id_by_script_learned
+    rows = [
+        (1, 'Der Hund und die Katze sind nicht mit dem Mann'),
+        (2, 'Les enfants sont dans une maison avec les livres pour tous'),
+        (3, 'Los perros y las casas para este pueblo con una mesa'),
+        (4, 'The quick brown fox jumps over the lazy dog again today'),
+        (5, 'xqz vwk jxq'),              # no profile trigram -> fallback
+        (6, '!!! ??? ...'),              # script none -> und
+        (7, 'Это был новый эксперимент и тёмные облака над городом'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r
+           for r in lang_id_by_script_learned(df).collect()}
+    assert [out[i]['lang'] for i in range(1, 8)] == \
+        ['de', 'fr', 'es', 'en', 'und', 'und', 'ru']
+    # learned scores carry real evidence: the winner's margin is wide
+    for i, lg in ((1, 's_de'), (2, 's_fr'), (3, 's_es'), (4, 's_en')):
+        r = out[i]
+        others = [r[c] for c in ('s_en', 's_de', 's_fr', 's_es')
+                  if c != lg]
+        assert r[lg] > 2 * max(others), (i, dict(r.asDict()))
+    # fallback rows have all-zero scores (that's what triggered fallback)
+    assert all(out[5][c] == 0 for c in ('s_en', 's_de', 's_fr', 's_es'))

@@ -81,3 +81,11 @@ def test_no_cartesian_products_anywhere(spark, entry):
         except Exception:
             continue                      # non-plannable here (needs IO)
         assert 'CartesianProduct' not in p, name
+
+
+def test_trigram_profile_join_stays_broadcast(spark, entry):
+    # the ~1200-row profile table must broadcast; the exploded trigram
+    # stream must never sort-merge against it
+    p = plan_of(entry.q_lang_by_script_learned(spark, SF))
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p or 'doc_id' in p  # scores join on doc_id may SMJ

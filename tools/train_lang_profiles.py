@@ -1,0 +1,124 @@
+"""Train the latin-script character-trigram language profiles.
+
+Classic Cavnar & Trenkle (1994) "N-Gram-Based Text Categorization"
+shape: per language, count character trigrams over a small training
+corpus (lowercased, non-letters collapsed to single spaces), keep the
+top-K trigrams, and store integer permille weights (round(1000 *
+count / total), floor 1). At classification time a document's score for
+a language is the weight-sum of its trigrams under that language's
+profile — a unigram LM over trigrams, the learned replacement for the
+hand-picked stopword markers (which remain the zero-score fallback).
+
+The training text below is a deterministic committed corpus of simple
+prose authored for this tool (a production system would train on
+Wikipedia dumps — same machinery, bigger file). Regenerate the committed
+snapshot with:
+
+    python tools/train_lang_profiles.py
+
+writes mineru_html_spark/data/latin_trigram_profiles.tsv
+(lang \t trigram \t weight), sorted for byte-stable diffs.
+"""
+import os
+import re
+from collections import Counter
+
+TOP_K = 300
+
+TRAIN = {
+    'en': """
+        The quick brown fox jumps over the lazy dog while the children
+        watch from the garden. There are many things that people want to
+        know about the world and the way it works. This is a simple
+        sentence with common words that should have been enough for the
+        model. We think that they will have more time when the weather
+        is better. The house at the end of the street has a red door and
+        a small window. She said that she would come back before the end
+        of the day. Most of the people who live in this city have never
+        seen the old bridge. It is not always easy to find the right
+        answer to a hard question. The government announced that the new
+        law would take effect from the first day of the year. Students
+        read books about history and science because learning matters.
+        """,
+    'de': """
+        Der schnelle braune Fuchs springt über den faulen Hund während
+        die Kinder aus dem Garten zuschauen. Es gibt viele Dinge die die
+        Menschen über die Welt wissen wollen und wie sie funktioniert.
+        Dies ist ein einfacher Satz mit häufigen Wörtern die für das
+        Modell genug sein sollten. Wir denken dass sie mehr Zeit haben
+        werden wenn das Wetter besser ist. Das Haus am Ende der Straße
+        hat eine rote Tür und ein kleines Fenster. Sie sagte dass sie
+        vor dem Ende des Tages zurückkommen würde. Die meisten Menschen
+        die in dieser Stadt leben haben die alte Brücke nie gesehen. Es
+        ist nicht immer leicht die richtige Antwort auf eine schwere
+        Frage zu finden. Die Regierung kündigte an dass das neue Gesetz
+        ab dem ersten Tag des Jahres gelten würde. Studenten lesen
+        Bücher über Geschichte und Wissenschaft weil Lernen wichtig ist.
+        """,
+    'fr': """
+        Le rapide renard brun saute par dessus le chien paresseux
+        pendant que les enfants regardent depuis le jardin. Il y a
+        beaucoup de choses que les gens veulent savoir sur le monde et
+        sur la manière dont il fonctionne. Ceci est une phrase simple
+        avec des mots courants qui devraient suffire pour le modèle.
+        Nous pensons qu'ils auront plus de temps quand le temps sera
+        meilleur. La maison au bout de la rue a une porte rouge et une
+        petite fenêtre. Elle a dit qu'elle reviendrait avant la fin de
+        la journée. La plupart des gens qui vivent dans cette ville
+        n'ont jamais vu le vieux pont. Il n'est pas toujours facile de
+        trouver la bonne réponse à une question difficile. Le
+        gouvernement a annoncé que la nouvelle loi entrerait en vigueur
+        dès le premier jour de l'année. Les étudiants lisent des livres
+        sur l'histoire et la science parce que l'apprentissage compte.
+        """,
+    'es': """
+        El rápido zorro marrón salta sobre el perro perezoso mientras
+        los niños miran desde el jardín. Hay muchas cosas que la gente
+        quiere saber sobre el mundo y sobre la manera en que funciona.
+        Esta es una frase sencilla con palabras comunes que deberían
+        bastar para el modelo. Pensamos que tendrán más tiempo cuando el
+        clima sea mejor. La casa al final de la calle tiene una puerta
+        roja y una ventana pequeña. Ella dijo que volvería antes del
+        final del día. La mayoría de las personas que viven en esta
+        ciudad nunca han visto el puente viejo. No siempre es fácil
+        encontrar la respuesta correcta a una pregunta difícil. El
+        gobierno anunció que la nueva ley entraría en vigor desde el
+        primer día del año. Los estudiantes leen libros sobre historia y
+        ciencia porque aprender importa.
+        """,
+}
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   'mineru_html_spark', 'data', 'latin_trigram_profiles.tsv')
+
+
+def clean(text: str) -> str:
+    # SAME normalization the classifier applies (text.py / DuckDB oracle):
+    # lowercase, every non-[a-z] run -> one space, trimmed
+    return re.sub(r'[^a-z]+', ' ', text.lower()).strip()
+
+
+def trigrams(text: str):
+    s = clean(text)
+    return (s[i:i + 3] for i in range(len(s) - 2))
+
+
+def main():
+    rows = []
+    for lang in sorted(TRAIN):
+        counts = Counter(trigrams(TRAIN[lang]))
+        total = sum(counts.values())
+        # deterministic top-K: by count desc, then trigram asc
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        for g, c in sorted(top):
+            w = max(1, round(1000 * c / total))
+            rows.append((lang, g, w))
+    with open(OUT, 'w', encoding='utf-8') as f:
+        for lang, g, w in rows:
+            f.write(f'{lang}\t{g}\t{w}\n')
+    print(f'{OUT}: {len(rows)} rows '
+          f'({", ".join(sorted(TRAIN))} x top-{TOP_K})')
+
+
+if __name__ == '__main__':
+    main()
