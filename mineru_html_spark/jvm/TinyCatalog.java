@@ -1,0 +1,608 @@
+// TinyCatalog: a minimal file-backed Spark DataSource-V2 TableCatalog.
+//
+// Purpose (SURVEY.md §4.3 / VERDICT r03 next-round #4): the sandbox has no
+// Iceberg runtime jar, but the IcebergSink commit contract
+// (plans/sinks.py) is written against the DataFrameWriterV2 verbs —
+// writeTo().create() / .append() / .overwritePartitions(). This catalog
+// implements the real V2 write path (WriteBuilder -> BatchWrite ->
+// per-task DataWriter -> driver-side commit) with DYNAMIC PARTITION
+// OVERWRITE semantics at file granularity, plus the matching V2 read path,
+// so the sink's snapshot-commit contract executes end-to-end against a
+// genuine TableCatalog instead of a mock. It is a test double for the
+// COMMIT PROTOCOL, not a storage engine: rows serialize as URL-encoded
+// TSV, one directory per table, one data file per (task, partition).
+//
+// Supported column types: int, long, string, double, boolean — enough for
+// the sink contract frames (part_id, ids, counters, payload strings).
+// At most one identity partition column.
+//
+// Build: tools/build_tiny_catalog.sh (javac against the pyspark jars).
+// Register:
+//   spark.sql.catalog.tiny          = TinyCatalog
+//   spark.sql.catalog.tiny.warehouse = /path/to/dir
+
+import java.io.BufferedReader;
+import java.io.BufferedWriter;
+import java.io.File;
+import java.io.FileReader;
+import java.io.FileWriter;
+import java.io.IOException;
+import java.io.Serializable;
+import java.net.URLDecoder;
+import java.net.URLEncoder;
+import java.nio.charset.StandardCharsets;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.HashMap;
+import java.util.HashSet;
+import java.util.List;
+import java.util.Map;
+import java.util.Set;
+import java.util.UUID;
+
+import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Expressions;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.connector.read.Batch;
+import org.apache.spark.sql.connector.read.InputPartition;
+import org.apache.spark.sql.connector.read.PartitionReader;
+import org.apache.spark.sql.connector.read.PartitionReaderFactory;
+import org.apache.spark.sql.connector.read.Scan;
+import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.write.BatchWrite;
+import org.apache.spark.sql.connector.write.DataWriter;
+import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
+import org.apache.spark.sql.connector.write.SupportsDynamicOverwrite;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
+import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.connector.write.WriterCommitMessage;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.DataTypes;
+import org.apache.spark.sql.types.StructField;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+import org.apache.spark.unsafe.types.UTF8String;
+
+public class TinyCatalog implements TableCatalog, SupportsNamespaces {
+  private String name;
+  private File warehouse;
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.name = name;
+    String wh = options.get("warehouse");
+    if (wh == null) throw new IllegalArgumentException("warehouse required");
+    this.warehouse = new File(wh);
+    this.warehouse.mkdirs();
+  }
+
+  @Override
+  public String name() { return name; }
+
+  private File tableDir(Identifier ident) {
+    String ns = String.join(".", ident.namespace());
+    return new File(warehouse, (ns.isEmpty() ? "default" : ns)
+        + "." + ident.name());
+  }
+
+  @Override
+  public Identifier[] listTables(String[] namespace) {
+    List<Identifier> out = new ArrayList<>();
+    File[] dirs = warehouse.listFiles(File::isDirectory);
+    if (dirs == null) return new Identifier[0];
+    String ns = String.join(".", namespace);
+    for (File d : dirs) {
+      int dot = d.getName().lastIndexOf('.');
+      if (dot < 0) continue;
+      if (d.getName().substring(0, dot).equals(ns)) {
+        out.add(Identifier.of(namespace, d.getName().substring(dot + 1)));
+      }
+    }
+    return out.toArray(new Identifier[0]);
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    File dir = tableDir(ident);
+    if (!new File(dir, "_schema").exists()) {
+      throw new NoSuchTableException(ident);
+    }
+    return TinyTable.load(dir);
+  }
+
+  @SuppressWarnings("deprecation")
+  @Override
+  public Table createTable(Identifier ident, StructType schema,
+                           Transform[] partitions,
+                           Map<String, String> properties) {
+    File dir = tableDir(ident);
+    if (new File(dir, "_schema").exists()) {
+      throw new IllegalStateException("table exists: " + ident);
+    }
+    dir.mkdirs();
+    String partCol = "";
+    if (partitions.length > 1) {
+      throw new UnsupportedOperationException("at most one partition col");
+    }
+    if (partitions.length == 1) {
+      // identity transform only: reference its single column name
+      partCol = partitions[0].references()[0].fieldNames()[0];
+    }
+    try (BufferedWriter w = new BufferedWriter(
+        new FileWriter(new File(dir, "_schema"), StandardCharsets.UTF_8))) {
+      w.write(partCol + "\n");
+      for (StructField f : schema.fields()) {
+        w.write(f.name() + "\t" + typeName(f.dataType()) + "\n");
+      }
+    } catch (IOException e) {
+      throw new RuntimeException(e);
+    }
+    return TinyTable.load(dir);
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes) {
+    throw new UnsupportedOperationException("alterTable");
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    File dir = tableDir(ident);
+    if (!dir.exists()) return false;
+    File[] fs = dir.listFiles();
+    if (fs != null) for (File f : fs) f.delete();
+    return dir.delete();
+  }
+
+  @Override
+  public void renameTable(Identifier oldIdent, Identifier newIdent) {
+    throw new UnsupportedOperationException("renameTable");
+  }
+
+  // ----- namespaces: a single implicit namespace tree -------------------
+  @Override
+  public String[][] listNamespaces() {
+    return new String[][] {{"default"}};
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] namespace) {
+    return new String[0][];
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+      throws NoSuchNamespaceException {
+    return new HashMap<>();
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> meta) {
+  }
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes) {
+    throw new UnsupportedOperationException("alterNamespace");
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade) {
+    return false;
+  }
+
+  // ----- shared helpers --------------------------------------------------
+  static String typeName(DataType t) {
+    if (t.equals(DataTypes.IntegerType)) return "int";
+    if (t.equals(DataTypes.LongType)) return "long";
+    if (t.equals(DataTypes.StringType)) return "string";
+    if (t.equals(DataTypes.DoubleType)) return "double";
+    if (t.equals(DataTypes.BooleanType)) return "boolean";
+    throw new UnsupportedOperationException("type: " + t);
+  }
+
+  static DataType typeOf(String n) {
+    switch (n) {
+      case "int": return DataTypes.IntegerType;
+      case "long": return DataTypes.LongType;
+      case "string": return DataTypes.StringType;
+      case "double": return DataTypes.DoubleType;
+      case "boolean": return DataTypes.BooleanType;
+      default: throw new UnsupportedOperationException("type: " + n);
+    }
+  }
+
+  static String enc(String s) {
+    try {
+      return URLEncoder.encode(s, "UTF-8");
+    } catch (IOException e) { throw new RuntimeException(e); }
+  }
+
+  static String dec(String s) {
+    try {
+      return URLDecoder.decode(s, "UTF-8");
+    } catch (IOException e) { throw new RuntimeException(e); }
+  }
+
+  // ======================================================================
+  public static class TinyTable implements Table, SupportsRead,
+      SupportsWrite {
+    final File dir;
+    final StructType schema;
+    final String partCol;           // "" when unpartitioned
+
+    TinyTable(File dir, StructType schema, String partCol) {
+      this.dir = dir;
+      this.schema = schema;
+      this.partCol = partCol;
+    }
+
+    static TinyTable load(File dir) {
+      try (BufferedReader r = new BufferedReader(
+          new FileReader(new File(dir, "_schema"), StandardCharsets.UTF_8))) {
+        String partCol = r.readLine();
+        List<StructField> fields = new ArrayList<>();
+        String line;
+        while ((line = r.readLine()) != null) {
+          if (line.isEmpty()) continue;
+          String[] kv = line.split("\t", 2);
+          fields.add(DataTypes.createStructField(kv[0], typeOf(kv[1]), true));
+        }
+        return new TinyTable(dir, DataTypes.createStructType(fields),
+            partCol == null ? "" : partCol);
+      } catch (IOException e) {
+        throw new RuntimeException(e);
+      }
+    }
+
+    @Override
+    public String name() { return dir.getName(); }
+
+    @SuppressWarnings("deprecation")
+    @Override
+    public StructType schema() { return schema; }
+
+    @Override
+    public Transform[] partitioning() {
+      return partCol.isEmpty() ? new Transform[0]
+          : new Transform[] { Expressions.identity(partCol) };
+    }
+
+    @Override
+    public Set<TableCapability> capabilities() {
+      return new HashSet<>(Arrays.asList(
+          TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE,
+          TableCapability.OVERWRITE_DYNAMIC,
+          TableCapability.TRUNCATE));
+    }
+
+    @Override
+    public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+      return new TinyScanBuilder(dir, schema);
+    }
+
+    @Override
+    public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      return new TinyWriteBuilder(dir, schema, partCol);
+    }
+  }
+
+  // ----- write path ------------------------------------------------------
+  static class TinyWriteBuilder implements WriteBuilder,
+      SupportsDynamicOverwrite, SupportsTruncate {
+    final File dir;
+    final StructType schema;
+    final String partCol;
+    String mode = "append";
+
+    TinyWriteBuilder(File dir, StructType schema, String partCol) {
+      this.dir = dir;
+      this.schema = schema;
+      this.partCol = partCol;
+    }
+
+    @Override
+    public WriteBuilder overwriteDynamicPartitions() {
+      mode = "dynamic";
+      return this;
+    }
+
+    @Override
+    public WriteBuilder truncate() {
+      mode = "truncate";
+      return this;
+    }
+
+    @Override
+    public Write build() {
+      final String m = mode;
+      return new Write() {
+        @Override
+        public BatchWrite toBatch() {
+          return new TinyBatchWrite(dir, schema, partCol, m);
+        }
+      };
+    }
+  }
+
+  static class TinyCommitMessage implements WriterCommitMessage {
+    // tmp file path -> encoded partition value
+    final HashMap<String, String> files = new HashMap<>();
+  }
+
+  static class TinyBatchWrite implements BatchWrite {
+    final File dir;
+    final StructType schema;
+    final String partCol;
+    final String mode;
+
+    TinyBatchWrite(File dir, StructType schema, String partCol,
+                   String mode) {
+      this.dir = dir;
+      this.schema = schema;
+      this.partCol = partCol;
+      this.mode = mode;
+    }
+
+    @Override
+    public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo i) {
+      return new TinyWriterFactory(dir.getAbsolutePath(), schema, partCol);
+    }
+
+    @Override
+    public void commit(WriterCommitMessage[] messages) {
+      // the snapshot commit: collect touched partitions, drop their old
+      // files under dynamic overwrite (or all files under truncate),
+      // then publish the new files — all driver-side, like a real
+      // table-format metadata swap at directory granularity
+      Set<String> touched = new HashSet<>();
+      for (WriterCommitMessage m : messages) {
+        if (m != null) touched.addAll(((TinyCommitMessage) m).files.values());
+      }
+      File[] existing = dir.listFiles(
+          (d, n) -> n.startsWith("d_") && n.endsWith(".tsv"));
+      if (existing != null) {
+        for (File f : existing) {
+          String part = f.getName().split("_", 3)[1];
+          if (mode.equals("truncate")
+              || (mode.equals("dynamic") && touched.contains(part))) {
+            f.delete();
+          }
+        }
+      }
+      for (WriterCommitMessage m : messages) {
+        if (m == null) continue;
+        for (Map.Entry<String, String> e
+            : ((TinyCommitMessage) m).files.entrySet()) {
+          File src = new File(e.getKey());
+          File dst = new File(dir, "d_" + e.getValue() + "_"
+              + UUID.randomUUID() + ".tsv");
+          if (!src.renameTo(dst)) {
+            throw new RuntimeException("publish failed: " + src);
+          }
+        }
+      }
+    }
+
+    @Override
+    public void abort(WriterCommitMessage[] messages) {
+      for (WriterCommitMessage m : messages) {
+        if (m == null) continue;
+        for (String p : ((TinyCommitMessage) m).files.keySet()) {
+          new File(p).delete();
+        }
+      }
+    }
+  }
+
+  static class TinyWriterFactory implements DataWriterFactory, Serializable {
+    final String dirPath;
+    final StructType schema;
+    final String partCol;
+
+    TinyWriterFactory(String dirPath, StructType schema, String partCol) {
+      this.dirPath = dirPath;
+      this.schema = schema;
+      this.partCol = partCol;
+    }
+
+    @Override
+    public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
+      return new TinyDataWriter(dirPath, schema, partCol, taskId);
+    }
+  }
+
+  static class TinyDataWriter implements DataWriter<InternalRow> {
+    final String dirPath;
+    final StructType schema;
+    final int partIdx;              // -1 when unpartitioned
+    final long taskId;
+    final HashMap<String, BufferedWriter> open = new HashMap<>();
+    final HashMap<String, String> files = new HashMap<>();
+
+    TinyDataWriter(String dirPath, StructType schema, String partCol,
+                   long taskId) {
+      this.dirPath = dirPath;
+      this.schema = schema;
+      this.partIdx = partCol.isEmpty() ? -1
+          : schema.fieldIndex(partCol);
+      this.taskId = taskId;
+    }
+
+    private String cell(InternalRow row, int i) {
+      if (row.isNullAt(i)) return "%00N";     // never produced by enc()
+      DataType t = schema.fields()[i].dataType();
+      if (t.equals(DataTypes.IntegerType)) return String.valueOf(row.getInt(i));
+      if (t.equals(DataTypes.LongType)) return String.valueOf(row.getLong(i));
+      if (t.equals(DataTypes.DoubleType)) {
+        return String.valueOf(row.getDouble(i));
+      }
+      if (t.equals(DataTypes.BooleanType)) {
+        return String.valueOf(row.getBoolean(i));
+      }
+      return enc(row.getUTF8String(i).toString());
+    }
+
+    @Override
+    public void write(InternalRow row) throws IOException {
+      String part = partIdx < 0 ? "x" : enc(cell(row, partIdx));
+      BufferedWriter w = open.get(part);
+      if (w == null) {
+        File f = File.createTempFile("tiny-" + taskId + "-", ".tsv",
+            new File(dirPath));
+        w = new BufferedWriter(new FileWriter(f, StandardCharsets.UTF_8));
+        open.put(part, w);
+        files.put(f.getAbsolutePath(), part);
+      }
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < schema.fields().length; i++) {
+        if (i > 0) sb.append('\t');
+        sb.append(cell(row, i));
+      }
+      sb.append('\n');
+      w.write(sb.toString());
+    }
+
+    @Override
+    public WriterCommitMessage commit() throws IOException {
+      for (BufferedWriter w : open.values()) w.close();
+      TinyCommitMessage m = new TinyCommitMessage();
+      m.files.putAll(files);
+      return m;
+    }
+
+    @Override
+    public void abort() throws IOException {
+      for (BufferedWriter w : open.values()) w.close();
+      for (String p : files.keySet()) new File(p).delete();
+    }
+
+    @Override
+    public void close() {}
+  }
+
+  // ----- read path -------------------------------------------------------
+  static class TinyScanBuilder implements ScanBuilder {
+    final File dir;
+    final StructType schema;
+
+    TinyScanBuilder(File dir, StructType schema) {
+      this.dir = dir;
+      this.schema = schema;
+    }
+
+    @Override
+    public Scan build() {
+      final File d = dir;
+      final StructType s = schema;
+      return new Scan() {
+        @Override
+        public StructType readSchema() { return s; }
+
+        @Override
+        public Batch toBatch() { return new TinyBatch(d, s); }
+      };
+    }
+  }
+
+  static class TinyInputPartition implements InputPartition {
+    final String path;
+    TinyInputPartition(String path) { this.path = path; }
+  }
+
+  static class TinyBatch implements Batch {
+    final File dir;
+    final StructType schema;
+
+    TinyBatch(File dir, StructType schema) {
+      this.dir = dir;
+      this.schema = schema;
+    }
+
+    @Override
+    public InputPartition[] planInputPartitions() {
+      File[] fs = dir.listFiles(
+          (d, n) -> n.startsWith("d_") && n.endsWith(".tsv"));
+      if (fs == null) return new InputPartition[0];
+      Arrays.sort(fs);
+      InputPartition[] out = new InputPartition[fs.length];
+      for (int i = 0; i < fs.length; i++) {
+        out[i] = new TinyInputPartition(fs[i].getAbsolutePath());
+      }
+      return out;
+    }
+
+    @Override
+    public PartitionReaderFactory createReaderFactory() {
+      return new TinyReaderFactory(schema);
+    }
+  }
+
+  static class TinyReaderFactory implements PartitionReaderFactory {
+    final StructType schema;
+    TinyReaderFactory(StructType schema) { this.schema = schema; }
+
+    @Override
+    public PartitionReader<InternalRow> createReader(InputPartition p) {
+      return new TinyPartitionReader(
+          ((TinyInputPartition) p).path, schema);
+    }
+  }
+
+  static class TinyPartitionReader implements PartitionReader<InternalRow> {
+    final BufferedReader reader;
+    final StructType schema;
+    InternalRow current;
+
+    TinyPartitionReader(String path, StructType schema) {
+      try {
+        this.reader = new BufferedReader(
+            new FileReader(path, StandardCharsets.UTF_8));
+      } catch (IOException e) { throw new RuntimeException(e); }
+      this.schema = schema;
+    }
+
+    @Override
+    public boolean next() throws IOException {
+      String line = reader.readLine();
+      if (line == null) return false;
+      String[] cells = line.split("\t", -1);
+      Object[] vals = new Object[schema.fields().length];
+      for (int i = 0; i < vals.length; i++) {
+        String c = cells[i];
+        if (c.equals("%00N")) { vals[i] = null; continue; }
+        DataType t = schema.fields()[i].dataType();
+        if (t.equals(DataTypes.IntegerType)) vals[i] = Integer.parseInt(c);
+        else if (t.equals(DataTypes.LongType)) vals[i] = Long.parseLong(c);
+        else if (t.equals(DataTypes.DoubleType)) {
+          vals[i] = Double.parseDouble(c);
+        } else if (t.equals(DataTypes.BooleanType)) {
+          vals[i] = Boolean.parseBoolean(c);
+        } else vals[i] = UTF8String.fromString(dec(c));
+      }
+      current = new GenericInternalRow(vals);
+      return true;
+    }
+
+    @Override
+    public InternalRow get() { return current; }
+
+    @Override
+    public void close() throws IOException { reader.close(); }
+  }
+}

@@ -93,10 +93,14 @@ class IcebergSink(ResultSink):
     ``overwritePartitions`` is Iceberg's dynamic partition overwrite — one
     atomic snapshot per wave, with time-travel/rollback for free; lineage
     rows append to their own table. Requires an Iceberg catalog on the
-    session (spark.sql.catalog.<name> = org.apache.iceberg...); the
-    sandbox has no runtime jar, so this class is covered by contract tests
-    only up to plan construction (tests skip the execution when the
-    catalog is absent).
+    session (spark.sql.catalog.<name> = org.apache.iceberg...). The
+    sandbox has no Iceberg runtime jar, but every verb here EXECUTES in
+    tests against a real DataSource-V2 TableCatalog
+    (mineru_html_spark/jvm/TinyCatalog.java — genuine WriteBuilder ->
+    BatchWrite -> DataWriter -> driver-commit path with OVERWRITE_DYNAMIC;
+    tests/test_tiny_catalog.py drives create / overwritePartitions /
+    append / reads end-to-end), so the commit contract is certified
+    beyond plan construction.
     """
 
     def __init__(self, results_table: str, lineage_table: str):

@@ -1,0 +1,11 @@
+#!/bin/sh
+# Compile the TinyCatalog DSv2 test catalog against the pyspark jars.
+# Output: .data/tiny_catalog/classes (put on spark.driver.extraClassPath).
+set -e
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+JARS="$(python -c 'import pyspark, os; print(os.path.join(os.path.dirname(pyspark.__file__), "jars"))')"
+OUT="$REPO/.data/tiny_catalog/classes"
+mkdir -p "$OUT"
+javac -nowarn -encoding UTF-8 -cp "$JARS/*" -d "$OUT" \
+  "$REPO/mineru_html_spark/jvm/TinyCatalog.java"
+echo "$OUT"
