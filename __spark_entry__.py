@@ -1504,6 +1504,54 @@ def q_tpch_q5(spark, sf_dir):
             .orderBy(F.desc('revenue_centi'), F.asc('n_name')))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 analog (forecast revenue change): the pure
+    scan-filter-aggregate — every predicate (shipdate range, discount
+    band, quantity cap) pushes into the parquet scan, one partial
+    aggregate, one row out. The simplest possible plan and the one that
+    most directly measures scan efficiency at 100 TB."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate >= timestamp '1997-01-01 00:00:00' AND "
+        "l_shipdate < timestamp '1998-01-01 00:00:00' AND "
+        "l_discount >= 0.0499 AND l_discount <= 0.0701 AND "
+        "l_quantity < 24")
+    rev = F.round(F.col('l_extendedprice') * F.col('l_discount')
+                  * 100).cast('long')
+    return li.agg(F.sum(rev).alias('revenue_centi'),
+                  F.count('*').alias('n_rows'))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Customer and nation dims
+    BROADCAST into the orders⨝lineitem join; top-k is TakeOrdered.
+    (The analog groups on the columns the synthetic schema carries —
+    no address/phone/comment.)"""
+    cust = _table(spark, sf_dir, 'customer').select(
+        'c_custkey', 'c_name', 'c_nationkey',
+        F.round(F.col('c_acctbal') * 100).cast('long')
+         .alias('acctbal_centi'))
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate >= timestamp '1997-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1997-04-01 00:00:00'").select(
+        'o_orderkey', 'o_custkey')
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_returnflag = 'R'").select(
+        'l_orderkey', 'l_extendedprice', 'l_discount')
+    nation = _table(spark, sf_dir, 'nation').select(
+        'n_nationkey', 'n_name')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy('c_custkey', 'c_name', 'acctbal_centi', 'n_name')
+            .agg(F.sum(rev).alias('revenue_centi'))
+            .orderBy(F.desc('revenue_centi'), F.asc('c_custkey'))
+            .limit(20))
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -1687,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q1': q_tpch_q1,
         'tpch_q3': q_tpch_q3,
         'tpch_q5': q_tpch_q5,
+        'tpch_q6': q_tpch_q6,
+        'tpch_q10': q_tpch_q10,
     }
 
 
@@ -2541,6 +2591,32 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY 1
+        """,
+        'tpch_q6': """
+            SELECT cast(sum(cast(round(l_extendedprice * l_discount
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_centi,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.0499 AND l_discount <= 0.0701
+              AND l_quantity < 24
+        """,
+        'tpch_q10': """
+            SELECT c_custkey, c_name,
+                   cast(round(c_acctbal * 100) AS BIGINT) AS acctbal_centi,
+                   n_name,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_centi
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_centi DESC, c_custkey ASC
+            LIMIT 20
         """,
         'jaccard_sample': f"""
             WITH wt AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -24,9 +24,11 @@ def test_committed_output_oracles_exist_and_regenerate():
     committed = {name for name, sql in entry.oracle_sql().items()
                  if 'read_parquet' in sql and 'expected_' in sql}
     # near_dup_clusters_star deliberately reuses hash-min's file;
-    # extract_main's golden regenerates through tools/make_expected.py
-    assert committed - {'near_dup_clusters_star', 'extract_main'} \
-        == set(NAMES), (committed, NAMES)
+    # ann_ivf_indexed deliberately reuses the inline IVF path's file
+    # (the gate certifies index==inline); extract_main's golden
+    # regenerates through tools/make_expected.py
+    assert committed - {'near_dup_clusters_star', 'ann_ivf_indexed',
+                        'extract_main'} == set(NAMES), (committed, NAMES)
     for name, sql in entry.oracle_sql().items():
         m = re.search(r"read_parquet\('([^']+)'\)", sql)
         if m and 'expected_' in m.group(1):

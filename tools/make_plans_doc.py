@@ -175,6 +175,28 @@ def main():
                 [r'TakeOrdered|HashAggregate|BroadcastExchange|'
                  r'BroadcastNestedLoop|Scan'])))
 
+    sections.append((
+        'Learned trigram language ID (broadcast profile join)',
+        'The committed ~1200-row trigram profile table broadcasts '
+        '(BroadcastHashJoin) against the row-local exploded trigram '
+        'stream; one pivoting partial HashAggregate reduces to a single '
+        'score row per doc before the join back to the router '
+        'projection — retraining on real dumps only swaps the data '
+        'file, never the plan.',
+        trimmed(plan_of(entry.q_lang_by_script_learned(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|HashAggregate|'
+                 r'Exchange|Generate|Scan'])))
+
+    sections.append((
+        'Materialized IVF index probe (partition pruning)',
+        'The probe scans ONLY the n_probe list_id partitions — '
+        'PartitionFilters prunes at planning time, so a 10^9-vector '
+        'index reads n_probe/n_lists of the data; rerank finishes with '
+        'TakeOrderedAndProject.',
+        trimmed(plan_of(entry.q_ann_ivf_indexed(spark, SF)),
+                [r'PartitionFilters|TakeOrdered|Scan|Project'],
+                max_lines=10)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
