@@ -1056,6 +1056,83 @@ def q_streaming_near_dup(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+_LD_B1 = 'subscribe to our newsletter today'
+_LD_B2 = 'all rights reserved worldwide'
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet line-level keep-first dedup over a corpus with REAL line
+    structure: each doc's words regroup into 10-word lines, then two
+    boilerplate lines are planted (every 3rd doc gets a newsletter line,
+    every 4th a rights line) — exactly the repeated nav/footer text
+    CCNet's first stage strips. Keep-first: the planted lines survive
+    only in doc 0 (the minimum (doc_id, idx) instance); naturally
+    repeated 10-word lines dedup the same way. The oracle replays the
+    whole pipeline in DuckDB list SQL."""
+    from mineru_html_spark.functions.corpus import line_dedup
+    d = F.col('doc_id')
+    wr = F.split('text', ' ')
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(wr) - 1) / 10)
+                       .cast('int')),
+            lambda i: F.array_join(F.slice(wr, i * 10 + 1, 10), ' ')),
+        '\n')
+    text2 = F.concat(
+        body,
+        F.when(d % 3 == 0, F.lit('\n' + _LD_B1)).otherwise(F.lit('')),
+        F.when(d % 4 == 0, F.lit('\n' + _LD_B2)).otherwise(F.lit('')))
+    docs = _docs(spark, sf_dir).select('doc_id', text2.alias('text'))
+    return line_dedup(docs)
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            d AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, (len(w) - 1) // 10 + 1),
+                  i -> array_to_string(
+                    list_slice(w, i * 10 + 1, i * 10 + 10), ' ')), chr(10))
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || '{_LD_B1}' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN chr(10) || '{_LD_B2}' ELSE '' END AS text
+              FROM wr),
+            dl AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+            i2 AS (
+              SELECT doc_id, g.idx AS idx, g.h AS h,
+                     doc_id * 1000000 + g.idx AS pos_key
+              FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(lines) + 1),
+                        i -> struct_pack(idx := i - 1,
+                               h := md5(lower(trim(lines[i])))))) AS g
+                    FROM dl)),
+            f AS (SELECT h, min(pos_key) AS first_key FROM i2 GROUP BY 1),
+            dr AS (
+              SELECT i2.doc_id, i2.idx FROM i2 JOIN f USING (h)
+              WHERE pos_key <> first_key),
+            di AS (
+              SELECT doc_id, list(idx) AS idxs, count(*) AS n
+              FROM dr GROUP BY 1)
+            SELECT dl.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(coalesce(di.n, 0) AS BIGINT) AS n_removed,
+                   md5(coalesce(array_to_string(list_transform(list_filter(
+                     list_transform(range(1, len(lines) + 1),
+                       i -> struct_pack(ln := lines[i],
+                              dropped := list_contains(
+                                coalesce(di.idxs, CAST([] AS INT[])),
+                                i - 1))),
+                     s -> NOT s.dropped), s -> s.ln), chr(10)), ''))
+                     AS clean_md5
+            FROM dl LEFT JOIN di USING (doc_id)
+        """
+
+
 def q_secrets_scrub(spark, sf_dir):
     """Credential redaction (The Stack / StarCoder secrets pass): AWS
     key IDs, GitHub tokens and PEM private-key blocks planted
@@ -1713,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_ngrams': q_dup_ngrams,
         'pii_scrub': q_pii_scrub,
         'secrets_scrub': q_secrets_scrub,
+        'line_dedup': q_line_dedup,
         'streaming_near_dup': q_streaming_near_dup,
         'seq_pack': q_seq_pack,
         'gopher_quality': q_gopher_quality,
@@ -1983,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         'script_detect': _script_detect_oracle(),
         'lang_by_script': _lang_by_script_oracle(),
         'lang_by_script_learned': _lang_by_script_learned_oracle(),
+        'line_dedup': _line_dedup_oracle(),
         'psl_domains': _psl_domains_oracle(),
         'domain_stats': _domain_stats_oracle(),
         'url_blocklist': _url_blocklist_oracle(),

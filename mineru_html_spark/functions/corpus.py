@@ -53,6 +53,58 @@ def duplicated_ngrams(documents: DataFrame, n: int = 3,
             .where(F.col('n_docs') >= min_docs))
 
 
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_md5): CCNet-style line-level
+    deduplication (Wenzek et al. 2020 — CCNet's FIRST pipeline stage:
+    hash every paragraph, keep only the first occurrence across the
+    whole corpus; repeated boilerplate lines — nav text, cookie
+    banners, footers — vanish from every later document). Distinct from
+    ``remove_dup_spans``: C4 deletes n-gram WINDOWS occurring twice
+    anywhere; CCNet drops whole repeated LINES, keep-first.
+
+    First = the instance with the minimum (doc_id, position), encoded as
+    ``doc_id * 1,000,000 + idx`` so "min" is a plain BIGINT min on both
+    engines (struct-min ordering semantics never enter the gate).
+    clean_text crosses as md5 (kept lines joined by newline, original
+    order).
+
+    Scale shape (same pattern as ``remove_dup_spans``): line hashes
+    explode row-local WITH position; every exchange carries only
+    (md5, pos_key) pairs and small per-doc drop-index arrays — line TEXT
+    never leaves its row; the rebuild is a native higher-order filter
+    over the row's own lines. At 10^12 docs that is two hash-only
+    exchanges plus one row-local projection."""
+    hashed = documents.select(
+        'doc_id',
+        F.posexplode(F.transform(
+            F.split('text', '\n'),
+            lambda ln: F.md5(F.lower(F.trim(ln))))).alias('idx', 'h'))
+    inst = hashed.select(
+        'h', (F.col('doc_id') * 1000000 + F.col('idx')).alias('pos_key'))
+    firsts = inst.groupBy('h').agg(F.min('pos_key').alias('first_key'))
+    drops = (inst.join(firsts, 'h')
+             .where(F.col('pos_key') != F.col('first_key'))
+             .select(F.expr('pos_key div 1000000').alias('doc_id'),
+                     (F.col('pos_key') % 1000000).cast('int')
+                      .alias('idx')))
+    hit = drops.groupBy('doc_id').agg(
+        F.collect_list('idx').alias('drop_idxs'))
+    j = documents.join(hit, 'doc_id', 'left').withColumn(
+        'drop_idxs', F.coalesce('drop_idxs', F.array().cast('array<int>')))
+    w = F.split('text', '\n')
+    kept = F.filter(
+        F.transform(w, lambda ln, i: F.struct(
+            ln.alias('line'),
+            F.exists('drop_idxs', lambda d: d == i).alias('drop'))),
+        lambda s: ~s['drop'])
+    return j.select(
+        'doc_id',
+        F.size(w).cast('long').alias('n_lines'),
+        F.size('drop_idxs').cast('long').alias('n_removed'),
+        F.md5(F.array_join(F.transform(kept, lambda s: s['line']), '\n'))
+         .alias('clean_md5'))
+
+
 # cross-engine-safe patterns (Java regex and RE2 agree): no backrefs,
 # no lookaround, explicit character classes
 EMAIL_RE = r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'

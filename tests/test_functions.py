@@ -1328,3 +1328,26 @@ def test_lang_id_by_script_learned(spark):
         assert r[lg] > 2 * max(others), (i, dict(r.asDict()))
     # fallback rows have all-zero scores (that's what triggered fallback)
     assert all(out[5][c] == 0 for c in ('s_en', 's_de', 's_fr', 's_es'))
+
+
+def test_line_dedup_keep_first(spark):
+    """CCNet line dedup: a repeated line survives only at its minimum
+    (doc_id, position); within-doc repeats also collapse; unique lines
+    keep their original order in the rebuilt text."""
+    import hashlib
+
+    from mineru_html_spark.functions.corpus import line_dedup
+    rows = [
+        (1, 'alpha one\nshared boiler line\nbeta two'),
+        (2, 'shared boiler line\ngamma three'),
+        (3, 'delta four\ndelta four\nshared boiler line'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r for r in line_dedup(df).collect()}
+    assert (out[1]['n_lines'], out[1]['n_removed']) == (3, 0)
+    assert (out[2]['n_lines'], out[2]['n_removed']) == (2, 1)
+    assert (out[3]['n_lines'], out[3]['n_removed']) == (3, 2)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]['clean_md5'] == md5('alpha one\nshared boiler line\nbeta two')
+    assert out[2]['clean_md5'] == md5('gamma three')
+    assert out[3]['clean_md5'] == md5('delta four')
