@@ -1056,6 +1056,88 @@ def q_streaming_near_dup(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+# DSIR gate plant: natural-English prose HELD OUT from the target
+# training text (generalization must come through the hashed buckets,
+# not feature identity)
+_DSIR_PLANT = (
+    'The weather in the mountains changed quickly and the travellers '
+    'followed the river to the old bridge before the end of the day. '
+    'Many of the houses in the village had stone walls and small '
+    'gardens, and the people who lived there knew the history of every '
+    'road and the names of the families who had built them.')
+_DSIR_KEEP_MILLI = 1500
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (Xie et al. 2023): hashed
+    unigram+bigram log-ratio of the committed target profile vs the raw
+    corpus LM. Every 9th doc is replaced by held-out natural prose —
+    those must score far above the word-soup corpus and clear the keep
+    threshold; the oracle replays the whole pipeline with the profile
+    VALUES built from the same loader."""
+    from mineru_html_spark.functions.corpus import dsir_weights
+    d = F.col('doc_id')
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(d % 9 == 4, F.lit(_DSIR_PLANT))
+         .otherwise(F.col('text')).alias('text'))
+    return dsir_weights(docs, keep_threshold_milli=_DSIR_KEEP_MILLI)
+
+
+def _dsir_oracle() -> str:
+    from mineru_html_spark.functions.corpus import (DSIR_BUCKETS,
+                                                    load_dsir_target)
+    tgt_rows = ', '.join(f'({b}, {m})' for b, m in load_dsir_target())
+    return f"""
+            WITH d0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 4 THEN '{_DSIR_PLANT}'
+                          ELSE text END AS text
+              FROM documents),
+            wt AS (SELECT doc_id, {_WORDS_AZ09.replace('text', 'd0.text')}
+                          AS w FROM d0),
+            ft AS (
+              SELECT doc_id,
+                     list_concat(w,
+                       CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(0, len(w) - 1),
+                                   i -> w[i+1] || ' ' || w[i+2]) END)
+                       AS fs
+              FROM wt),
+            fb AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(f || ':dsir'), 1, 8)
+                          AS BIGINT) % {DSIR_BUCKETS} AS INT) AS bucket
+              FROM (SELECT doc_id, unnest(fs) AS f FROM ft)),
+            raw AS (SELECT bucket, count(*) AS cnt FROM fb GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM raw),
+            r2 AS (
+              SELECT bucket,
+                     CAST(floor(1000 * ln(cnt::DOUBLE /
+                          (SELECT total FROM t)::DOUBLE)) AS BIGINT)
+                       AS mln_r
+              FROM raw),
+            tgt(bucket, mln_t) AS (SELECT * FROM (VALUES
+              {tgt_rows}) v(bucket, mln_t)),
+            sc AS (
+              SELECT fb.doc_id, count(*) AS n_feats,
+                     CAST(sum(tgt.mln_t - r2.mln_r) AS BIGINT) AS lr
+              FROM fb JOIN r2 USING (bucket) JOIN tgt USING (bucket)
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(coalesce(sc.lr, 0) AS BIGINT) AS logratio_milli,
+                   CAST(CASE WHEN coalesce(sc.n_feats, 0) = 0 THEN 0
+                        ELSE floor(sc.lr::DOUBLE / sc.n_feats)
+                        END AS BIGINT) AS avg_milli,
+                   coalesce(sc.n_feats, 0) > 0 AND
+                   (CASE WHEN coalesce(sc.n_feats, 0) = 0 THEN 0
+                    ELSE floor(sc.lr::DOUBLE / sc.n_feats) END)
+                     >= {_DSIR_KEEP_MILLI} AS keep
+            FROM d0 d LEFT JOIN sc USING (doc_id)
+        """
+
+
 _LD_B1 = 'subscribe to our newsletter today'
 _LD_B2 = 'all rights reserved worldwide'
 
@@ -1791,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'secrets_scrub': q_secrets_scrub,
         'line_dedup': q_line_dedup,
+        'dsir_select': q_dsir_select,
         'streaming_near_dup': q_streaming_near_dup,
         'seq_pack': q_seq_pack,
         'gopher_quality': q_gopher_quality,
@@ -2062,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_by_script': _lang_by_script_oracle(),
         'lang_by_script_learned': _lang_by_script_learned_oracle(),
         'line_dedup': _line_dedup_oracle(),
+        'dsir_select': _dsir_oracle(),
         'psl_domains': _psl_domains_oracle(),
         'domain_stats': _domain_stats_oracle(),
         'url_blocklist': _url_blocklist_oracle(),

@@ -53,6 +53,91 @@ def duplicated_ngrams(documents: DataFrame, n: int = 3,
             .where(F.col('n_docs') >= min_docs))
 
 
+DSIR_BUCKETS = 4096
+
+
+def load_dsir_target() -> list:
+    """[(bucket, mln)] from the committed DSIR target profile — the ONE
+    loader both the Spark broadcast table and the DuckDB oracle's VALUES
+    are built from. Retrain with tools/train_dsir_target.py."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'data', 'dsir_target_profile.tsv')
+    rows = []
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            b, mln = line.rstrip('\n').split('\t')
+            rows.append((int(b), int(mln)))
+    return rows
+
+
+def dsir_weights(documents: DataFrame,
+                 keep_threshold_milli: int = 0) -> DataFrame:
+    """(doc_id, n_feats, logratio_milli, avg_milli, keep): DSIR — Data
+    Selection with Importance Resampling (Xie et al. 2023). Each
+    document scores sum over its hashed n-gram features (word unigrams +
+    bigrams, md5-bucketed into 4096 bins) of
+    ``ln p_target(bucket) - ln p_raw(bucket)`` — how much more the
+    TARGET distribution (committed profile, quality prose) likes the
+    document than the raw corpus itself does. High-ratio documents read
+    like the target; word-soup scores negative. ``keep`` thresholds the
+    LENGTH-NORMALIZED average (milli-nats per feature), so long docs
+    aren't favored.
+
+    Integer-exact: both sides are floored milli-nat longs per feature
+    (target: committed add-one-smoothed values; raw:
+    floor(1000*ln(cnt/total)) — cnt >= 1 by construction since the raw
+    LM comes from the same corpus), so the per-doc aggregate is
+    order-independent across engines.
+
+    Scale shape: features explode row-local to (doc_id, bucket int)
+    pairs; the raw LM is one <=4096-row hash aggregate that BROADCASTS
+    back, the target profile is a 4096-row broadcast data file; scoring
+    is one partial-aggregated groupBy(doc_id). Nothing but ints in any
+    exchange. Production swaps the target file for a dump-trained one
+    (tools/train_dsir_target.py)."""
+    spark = documents.sparkSession
+    tgt = spark.createDataFrame(load_dsir_target(),
+                                'bucket int, mln_t long')
+    w = _words()
+    feats = F.concat(
+        w, F.when(F.size(w) < 2, F.array().cast('array<string>'))
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(' ', F.element_at(w, i + 1),
+                                      F.element_at(w, i + 2)))))
+    bkt = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col('f'), F.lit(':dsir'))), 1, 8),
+            16, 10).cast('long'),
+        F.lit(DSIR_BUCKETS)).cast('int')
+    fb = (documents.select('doc_id', F.explode_outer(feats).alias('f'))
+          .select('doc_id', F.when(F.col('f').isNull(), None)
+                  .otherwise(bkt).alias('bucket')))
+    raw = (fb.where(F.col('bucket').isNotNull())
+           .groupBy('bucket').agg(F.count('*').alias('cnt')))
+    raw = raw.crossJoin(
+        F.broadcast(raw.agg(F.sum('cnt').alias('total'))))
+    raw = raw.select(
+        'bucket',
+        F.floor(F.lit(1000) * F.log(F.col('cnt').cast('double')
+                                    / F.col('total').cast('double')))
+         .cast('long').alias('mln_r'))
+    j = (fb.join(F.broadcast(raw), 'bucket', 'left')
+         .join(F.broadcast(tgt), 'bucket', 'left'))
+    agg = (j.groupBy('doc_id')
+           .agg(F.count('bucket').cast('long').alias('n_feats'),
+                F.coalesce(F.sum(F.col('mln_t') - F.col('mln_r')),
+                           F.lit(0)).cast('long')
+                 .alias('logratio_milli')))
+    avg = F.when(F.col('n_feats') == 0, F.lit(0)).otherwise(
+        F.floor(F.col('logratio_milli') / F.col('n_feats'))).cast('long')
+    return agg.select(
+        'doc_id', 'n_feats', 'logratio_milli', avg.alias('avg_milli'),
+        ((F.col('n_feats') > 0)
+         & (avg >= keep_threshold_milli)).alias('keep'))
+
+
 def line_dedup(documents: DataFrame) -> DataFrame:
     """(doc_id, n_lines, n_removed, clean_md5): CCNet-style line-level
     deduplication (Wenzek et al. 2020 — CCNet's FIRST pipeline stage:

@@ -1351,3 +1351,26 @@ def test_line_dedup_keep_first(spark):
     assert out[1]['clean_md5'] == md5('alpha one\nshared boiler line\nbeta two')
     assert out[2]['clean_md5'] == md5('gamma three')
     assert out[3]['clean_md5'] == md5('delta four')
+
+
+def test_dsir_separates_target_like_prose_from_soup(spark):
+    """DSIR importance weights: held-out natural-English prose (target
+    distribution) must far outscore the corpus word-soup; empty docs get
+    zero evidence and are never kept."""
+    from mineru_html_spark.functions.corpus import dsir_weights
+    prose = ('The children walked along the river in the morning and '
+             'the light over the water made the old houses of the town '
+             'look like part of the history of the country.')
+    soup = ('key agg row scan slow fast table value part hash value '
+            'table part a row fast merge batch part value fast spark')
+    rows = [(1, prose), (2, soup), (3, soup + ' window sort column'),
+            (4, '')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r
+           for r in dsir_weights(df, keep_threshold_milli=1500).collect()}
+    assert len(out) == 4                      # empty doc still labeled
+    assert out[4]['n_feats'] == 0 and not out[4]['keep']
+    # prose scores far above both soup docs (length-normalized)
+    assert out[1]['avg_milli'] > out[2]['avg_milli'] + 1000
+    assert out[1]['avg_milli'] > out[3]['avg_milli'] + 1000
+    assert out[1]['keep']

@@ -1,0 +1,95 @@
+"""Train the DSIR target profile (hashed n-gram importance weights).
+
+DSIR — Data Selection with Importance Resampling (Xie et al. 2023) —
+scores raw documents by how much more likely their hashed n-gram
+features are under a TARGET distribution (quality prose, e.g.
+Wikipedia) than under the RAW corpus distribution, then keeps the
+high-ratio tail. This tool builds the committed target side:
+
+  * features: word unigrams + space-joined bigrams over the engine's
+    `[a-z0-9]+` word definition (same as functions/corpus._words);
+  * bucket: pmod(first-8-hex-digits of md5(feature + ':dsir'), B) —
+    the md5 sampling-key construction that is bit-identical in Spark
+    and DuckDB;
+  * weight per bucket: floor(1000 * ln((cnt + 1) / (total + B)))
+    (add-one smoothing — unseen buckets get the floor), stored as
+    integer milli-nats so the scoring aggregate is exact.
+
+The committed training text is deterministic natural-English prose
+authored for this tool; production retrains on a real target dump with
+the same machinery and swaps the data file (PSL-snapshot pattern).
+
+    python tools/train_dsir_target.py
+writes mineru_html_spark/data/dsir_target_profile.tsv
+(bucket \t mln), ALL B rows, sorted by bucket.
+"""
+import hashlib
+import math
+import os
+import re
+from collections import Counter
+
+B = 4096
+
+TARGET = """
+    The history of science is the study of how natural knowledge has
+    developed over the centuries through observation and experiment.
+    Early scholars recorded the motion of the planets and the change of
+    the seasons, and their careful measurements became the foundation of
+    modern astronomy. During the nineteenth century, researchers in many
+    countries began to share their results in journals, and the pace of
+    discovery increased rapidly. A good theory makes predictions that
+    can be tested, and when an experiment disagrees with the prediction,
+    the theory must be revised or abandoned. The language of nature is
+    written in mathematics, but the questions that drive research are
+    often simple ones about why the world looks the way it does. Public
+    libraries and universities opened science to people who had never
+    had access to formal education, and many important contributions
+    came from outside the academies. In the twentieth century, physics
+    transformed our understanding of matter and energy, while biology
+    revealed the structure of the molecules that carry inheritance from
+    one generation to the next. The growth of computing made it possible
+    to analyse data on a scale that earlier generations could not have
+    imagined, and entire fields now depend on careful statistical
+    reasoning. Science is a human activity, shaped by the societies that
+    support it, and its benefits depend on honest reporting and the free
+    exchange of ideas. Students who learn to ask clear questions and to
+    test their answers against evidence carry the method far beyond the
+    laboratory. The ocean covers most of the surface of the earth, and
+    its currents move heat from the equator toward the poles, shaping
+    the climate of every continent. Careful observation of the natural
+    world remains the beginning of all understanding.
+    """
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   'mineru_html_spark', 'data', 'dsir_target_profile.tsv')
+
+
+def words(text: str):
+    return [w for w in re.split(r'[^a-z0-9]+', text.lower().strip()) if w]
+
+
+def features(ws):
+    yield from ws
+    for i in range(len(ws) - 1):
+        yield ws[i] + ' ' + ws[i + 1]
+
+
+def bucket(f: str) -> int:
+    return int(hashlib.md5((f + ':dsir').encode()).hexdigest()[:8], 16) % B
+
+
+def main():
+    counts = Counter(bucket(f) for f in features(words(TARGET)))
+    total = sum(counts.values())
+    with open(OUT, 'w', encoding='utf-8') as fh:
+        for b in range(B):
+            mln = math.floor(1000 * math.log(
+                (counts.get(b, 0) + 1) / (total + B)))
+            fh.write(f'{b}\t{mln}\n')
+    print(f'{OUT}: {B} buckets, {total} target features, '
+          f'{len(counts)} non-empty')
+
+
+if __name__ == '__main__':
+    main()
