@@ -1367,10 +1367,14 @@ def test_dsir_separates_target_like_prose_from_soup(spark):
             (4, '')]
     df = spark.createDataFrame(rows, 'doc_id long, text string')
     out = {r['doc_id']: r
-           for r in dsir_weights(df, keep_threshold_milli=1500).collect()}
+           for r in dsir_weights(df,
+                                 keep_threshold_milli=-3500).collect()}
     assert len(out) == 4                      # empty doc still labeled
     assert out[4]['n_feats'] == 0 and not out[4]['keep']
-    # prose scores far above both soup docs (length-normalized)
+    # prose scores far above both soup docs (length-normalized); the
+    # absolute level is negative (small target => smoothing floor
+    # dominates unseen buckets) — DSIR selects on the ordering
     assert out[1]['avg_milli'] > out[2]['avg_milli'] + 1000
     assert out[1]['avg_milli'] > out[3]['avg_milli'] + 1000
     assert out[1]['keep']
+    assert not out[2]['keep'] and not out[3]['keep']
