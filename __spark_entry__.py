@@ -1169,7 +1169,9 @@ def q_line_dedup(spark, sf_dir):
         F.when(d % 3 == 0, F.lit('\n' + _LD_B1)).otherwise(F.lit('')),
         F.when(d % 4 == 0, F.lit('\n' + _LD_B2)).otherwise(F.lit('')))
     docs = _docs(spark, sf_dir).select('doc_id', text2.alias('text'))
-    return line_dedup(docs)
+    out = line_dedup(docs)
+    return out.select('doc_id', 'n_lines', 'n_removed',
+                      F.md5('clean_text').alias('clean_md5'))
 
 
 def _line_dedup_oracle() -> str:

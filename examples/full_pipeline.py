@@ -4,22 +4,27 @@ MinerU-HTML user runs today, expressed as one Spark job chain:
   1. read the interleaved docs table (Iceberg/parquet at scale; synthetic
      here per the sandbox rule)
   2. extract main content (fused Arrow-UDF stage, skew-salted)
-  3. quality-gate the extracted text (per-rule drop reasons)
-  4. benchmark decontamination: drop docs sharing any 8-gram with the
+  3. CCNet line-level dedup: strip lines already seen anywhere in the
+     corpus (repeated nav/footer boilerplate), keep-first
+  4. quality-gate the cleaned text (per-rule drop reasons)
+  5. benchmark decontamination: drop docs sharing any 8-gram with the
      eval corpus (broadcast shingle index)
-  5. LM quality filter, CCNet policy: score avg unigram NLL and drop the
+  6. LM quality filter, CCNet policy: score avg unigram NLL and drop the
      least-predictable tail — the cut derived from a percentile pass
      (approxQuantile), which is exactly how production sets the fixed
      thresholds it then applies as a pure filter
-  6. language-route (script router + per-script models) and apply the
+  7. DSIR selection: hashed n-gram importance ratio vs the committed
+     target profile; drop the least-target-like tail (percentile cut,
+     same thresholds-from-percentiles policy)
+  8. language-route (script router + per-script models) and apply the
      training-mix: deterministic stratified sampling by language
-  7. exact-dedup on content fingerprint (first-wins)
-  8. document-level boilerplate filter (duplicated-3-gram fraction)
-  9. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
+  9. exact-dedup on content fingerprint (first-wins)
+ 10. document-level boilerplate filter (duplicated-3-gram fraction)
+ 11. near-dup clustering (MinHash LSH -> Jaccard verify -> connected
      components); keep one doc per cluster (min doc_id)
- 10. scrub PII
- 11. pack survivors into fixed token-budget training sequences
- 12. write results + a survivors manifest
+ 12. scrub PII
+ 13. pack survivors into fixed token-budget training sequences
+ 14. write results + a survivors manifest
 
 Run:  python examples/full_pipeline.py [n_docs] [out_dir]
 """
@@ -38,7 +43,9 @@ import pyspark.sql.functions as F
 def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  lang_mix: dict | None = None):
     from mineru_html_spark.functions.corpus import (decontaminate,
+                                                    dsir_weights,
                                                     dup_shingle_fraction,
+                                                    line_dedup,
                                                     pack_sequences,
                                                     pii_scrub,
                                                     stratified_sample,
@@ -59,7 +66,15 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
               .select('doc_id', span_text('spans').alias('text'))
               .persist())
 
-    # 3. quality gate (auditable per-rule reasons)
+    # 3. CCNet line dedup: corpus-repeated lines (boilerplate the DOM
+    #    pass didn't catch) vanish keep-first; downstream stages see the
+    #    cleaned text. Cut lineage here — the rebuild subplan would
+    #    otherwise replay under every downstream self-join.
+    corpus = (line_dedup(corpus)
+              .select('doc_id', F.col('clean_text').alias('text'))
+              .localCheckpoint())
+
+    # 4. quality gate (auditable per-rule reasons)
     gate = quality_gate(corpus)
     kept = (corpus.join(gate.where('keep').select('doc_id'), 'doc_id',
                         'left_semi'))
@@ -80,6 +95,19 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     nll = unigram_lm_nll(kept).select('doc_id', 'nll_milli')
     tail_cut = nll.approxQuantile('nll_milli', [0.95], 0.01)[0]
     kept = kept.join(nll.where(F.col('nll_milli') <= tail_cut)
+                     .select('doc_id'), 'doc_id', 'left_semi')
+
+    # cut lineage before DSIR: its scoring plan references the corpus
+    # more than once, and each percentile/filter action would otherwise
+    # replay the decontamination + LM subplans per reference
+    kept = kept.localCheckpoint()
+
+    # 7. DSIR selection (importance resampling vs the committed target
+    #    profile): drop the least-target-like 5% — thresholds from a
+    #    percentile pass, then applied as a pure filter, like the LM cut
+    dw = dsir_weights(kept).select('doc_id', 'avg_milli')
+    dsir_cut = dw.approxQuantile('avg_milli', [0.05], 0.01)[0]
+    kept = kept.join(dw.where(F.col('avg_milli') >= dsir_cut)
                      .select('doc_id'), 'doc_id', 'left_semi')
     # materialize the filtered corpus before the iterative downstream
     # stages: near-dup clustering re-scans its input many times, and

@@ -99,7 +99,12 @@ def dsir_weights(documents: DataFrame,
     spark = documents.sparkSession
     tgt = spark.createDataFrame(load_dsir_target(),
                                 'bucket int, mln_t long')
-    w = _words()
+    # materialize the words array as a COLUMN before the bigram lambda:
+    # referencing the _words() EXPRESSION inside transform would
+    # re-split the whole text once per element (O(n^2) on a giant doc —
+    # a 37k-word page turned this stage into a hang before the fix)
+    wt = documents.select('doc_id', _words().alias('w'))
+    w = F.col('w')
     feats = F.concat(
         w, F.when(F.size(w) < 2, F.array().cast('array<string>'))
             .otherwise(F.transform(
@@ -111,13 +116,18 @@ def dsir_weights(documents: DataFrame,
             F.md5(F.concat(F.col('f'), F.lit(':dsir'))), 1, 8),
             16, 10).cast('long'),
         F.lit(DSIR_BUCKETS)).cast('int')
-    fb = (documents.select('doc_id', F.explode_outer(feats).alias('f'))
+    fb = (wt.select('doc_id', F.explode_outer(feats).alias('f'))
           .select('doc_id', F.when(F.col('f').isNull(), None)
                   .otherwise(bkt).alias('bucket')))
-    raw = (fb.where(F.col('bucket').isNotNull())
-           .groupBy('bucket').agg(F.count('*').alias('cnt')))
-    raw = raw.crossJoin(
-        F.broadcast(raw.agg(F.sum('cnt').alias('total'))))
+    # the raw LM is <=4096 rows but referenced twice more below (its own
+    # total + the scoring join): cut its lineage so a caller with a long
+    # upstream plan (the full-pipeline chain) doesn't replay that plan
+    # once per reference
+    counts = (fb.where(F.col('bucket').isNotNull())
+              .groupBy('bucket').agg(F.count('*').alias('cnt'))
+              .localCheckpoint())
+    raw = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum('cnt').alias('total'))))
     raw = raw.select(
         'bucket',
         F.floor(F.lit(1000) * F.log(F.col('cnt').cast('double')
@@ -139,7 +149,7 @@ def dsir_weights(documents: DataFrame,
 
 
 def line_dedup(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_lines, n_removed, clean_md5): CCNet-style line-level
+    """(doc_id, n_lines, n_removed, clean_text): CCNet-style line-level
     deduplication (Wenzek et al. 2020 — CCNet's FIRST pipeline stage:
     hash every paragraph, keep only the first occurrence across the
     whole corpus; repeated boilerplate lines — nav text, cookie
@@ -147,11 +157,15 @@ def line_dedup(documents: DataFrame) -> DataFrame:
     ``remove_dup_spans``: C4 deletes n-gram WINDOWS occurring twice
     anywhere; CCNet drops whole repeated LINES, keep-first.
 
-    First = the instance with the minimum (doc_id, position), encoded as
-    ``doc_id * 1,000,000 + idx`` so "min" is a plain BIGINT min on both
-    engines (struct-min ordering semantics never enter the gate).
-    clean_text crosses as md5 (kept lines joined by newline, original
-    order).
+    First = the instance with the minimum (doc_id, position). For
+    numeric doc_ids this is encoded as ``doc_id * 1,000,000 + idx`` so
+    "min" is a plain BIGINT min on both engines (struct-min ordering
+    semantics never enter the gate); string doc_ids (e.g. the extraction
+    pipeline's 'doc-...' ids) fall back to a lexicographic
+    min(struct(doc_id, idx)) — any deterministic total order gives valid
+    keep-first semantics. clean_text = the kept lines joined by newline
+    in original order (the gate query hashes it to cross the value gate
+    compactly).
 
     Scale shape (same pattern as ``remove_dup_spans``): line hashes
     explode row-local WITH position; every exchange carries only
@@ -164,14 +178,28 @@ def line_dedup(documents: DataFrame) -> DataFrame:
         F.posexplode(F.transform(
             F.split('text', '\n'),
             lambda ln: F.md5(F.lower(F.trim(ln))))).alias('idx', 'h'))
-    inst = hashed.select(
-        'h', (F.col('doc_id') * 1000000 + F.col('idx')).alias('pos_key'))
-    firsts = inst.groupBy('h').agg(F.min('pos_key').alias('first_key'))
-    drops = (inst.join(firsts, 'h')
-             .where(F.col('pos_key') != F.col('first_key'))
-             .select(F.expr('pos_key div 1000000').alias('doc_id'),
-                     (F.col('pos_key') % 1000000).cast('int')
-                      .alias('idx')))
+    numeric_id = dict(documents.dtypes)['doc_id'] in (
+        'tinyint', 'smallint', 'int', 'bigint')
+    if numeric_id:
+        inst = hashed.select(
+            'h',
+            (F.col('doc_id') * 1000000 + F.col('idx')).alias('pos_key'))
+        firsts = inst.groupBy('h').agg(
+            F.min('pos_key').alias('first_key'))
+        drops = (inst.join(firsts, 'h')
+                 .where(F.col('pos_key') != F.col('first_key'))
+                 .select(F.expr('pos_key div 1000000').alias('doc_id'),
+                         (F.col('pos_key') % 1000000).cast('int')
+                          .alias('idx')))
+    else:
+        inst = hashed.select(
+            'h', F.struct('doc_id', 'idx').alias('pos_key'))
+        firsts = inst.groupBy('h').agg(
+            F.min('pos_key').alias('first_key'))
+        drops = (inst.join(firsts, 'h')
+                 .where(F.col('pos_key') != F.col('first_key'))
+                 .select(F.col('pos_key.doc_id').alias('doc_id'),
+                         F.col('pos_key.idx').cast('int').alias('idx')))
     hit = drops.groupBy('doc_id').agg(
         F.collect_list('idx').alias('drop_idxs'))
     j = documents.join(hit, 'doc_id', 'left').withColumn(
@@ -186,8 +214,8 @@ def line_dedup(documents: DataFrame) -> DataFrame:
         'doc_id',
         F.size(w).cast('long').alias('n_lines'),
         F.size('drop_idxs').cast('long').alias('n_removed'),
-        F.md5(F.array_join(F.transform(kept, lambda s: s['line']), '\n'))
-         .alias('clean_md5'))
+        F.array_join(F.transform(kept, lambda s: s['line']), '\n')
+         .alias('clean_text'))
 
 
 # cross-engine-safe patterns (Java regex and RE2 agree): no backrefs,

@@ -1334,8 +1334,6 @@ def test_line_dedup_keep_first(spark):
     """CCNet line dedup: a repeated line survives only at its minimum
     (doc_id, position); within-doc repeats also collapse; unique lines
     keep their original order in the rebuilt text."""
-    import hashlib
-
     from mineru_html_spark.functions.corpus import line_dedup
     rows = [
         (1, 'alpha one\nshared boiler line\nbeta two'),
@@ -1347,10 +1345,9 @@ def test_line_dedup_keep_first(spark):
     assert (out[1]['n_lines'], out[1]['n_removed']) == (3, 0)
     assert (out[2]['n_lines'], out[2]['n_removed']) == (2, 1)
     assert (out[3]['n_lines'], out[3]['n_removed']) == (3, 2)
-    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
-    assert out[1]['clean_md5'] == md5('alpha one\nshared boiler line\nbeta two')
-    assert out[2]['clean_md5'] == md5('gamma three')
-    assert out[3]['clean_md5'] == md5('delta four')
+    assert out[1]['clean_text'] == 'alpha one\nshared boiler line\nbeta two'
+    assert out[2]['clean_text'] == 'gamma three'
+    assert out[3]['clean_text'] == 'delta four'
 
 
 def test_dsir_separates_target_like_prose_from_soup(spark):
