@@ -1375,3 +1375,85 @@ def test_dsir_separates_target_like_prose_from_soup(spark):
     assert out[1]['avg_milli'] > out[3]['avg_milli'] + 1000
     assert out[1]['keep']
     assert not out[2]['keep'] and not out[3]['keep']
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Differential: the distributed keep-first line dedup must agree
+    with a direct single-pass python implementation on a randomized
+    corpus with heavy cross-doc and within-doc line repetition."""
+    import random
+
+    from mineru_html_spark.functions.corpus import line_dedup
+    rng = random.Random(77)
+    pool = [f'line {i} alpha beta' for i in range(12)]
+    docs = []
+    for doc_id in range(40):
+        n = rng.randint(1, 8)
+        docs.append((doc_id,
+                     '\n'.join(rng.choice(pool) for _ in range(n))))
+    # python reference: first occurrence in (doc_id, idx) order wins
+    seen, want = set(), {}
+    for doc_id, text in docs:
+        kept = []
+        removed = 0
+        for ln in text.split('\n'):
+            key = ln.strip().lower()
+            if key in seen:
+                removed += 1
+            else:
+                seen.add(key)
+                kept.append(ln)
+        want[doc_id] = (len(text.split('\n')), removed, '\n'.join(kept))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_lines'], r['n_removed'], r['clean_text'])
+           for r in line_dedup(df).collect()}
+    assert got == want
+
+
+def test_dsir_matches_python_reference(spark):
+    """Differential: dsir_weights must reproduce a direct python replay
+    (features -> md5 buckets -> integer milli-nat log ratio) exactly —
+    every score, not just the keep bits."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from mineru_html_spark.functions.corpus import (DSIR_BUCKETS,
+                                                    dsir_weights,
+                                                    load_dsir_target)
+    texts = {
+        1: 'the history of the country and the light of the morning',
+        2: 'key agg row scan slow fast table value part hash merge',
+        3: 'the table of the key and the scan of the row',
+        4: 'one',
+        5: '',
+    }
+    tgt = dict(load_dsir_target())
+
+    def words(t):
+        return [w for w in re.split(r'[^a-z0-9]+', t.lower().strip())
+                if w]
+
+    def buckets(t):
+        ws = words(t)
+        fs = list(ws) + [ws[i] + ' ' + ws[i + 1]
+                         for i in range(len(ws) - 1)]
+        return [int(hashlib.md5((f + ':dsir').encode())
+                    .hexdigest()[:8], 16) % DSIR_BUCKETS for f in fs]
+
+    cnt = Counter(b for t in texts.values() for b in buckets(t))
+    total = sum(cnt.values())
+    want = {}
+    for doc_id, t in texts.items():
+        bs = buckets(t)
+        lr = sum(tgt[b] - math.floor(1000 * math.log(cnt[b] / total))
+                 for b in bs)
+        n = len(bs)
+        avg = math.floor(lr / n) if n else 0
+        want[doc_id] = (n, lr, avg)
+    df = spark.createDataFrame(list(texts.items()),
+                               'doc_id long, text string')
+    got = {r['doc_id']: (r['n_feats'], r['logratio_milli'], r['avg_milli'])
+           for r in dsir_weights(df).collect()}
+    assert got == want

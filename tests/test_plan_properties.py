@@ -89,3 +89,21 @@ def test_trigram_profile_join_stays_broadcast(spark, entry):
     p = plan_of(entry.q_lang_by_script_learned(spark, SF))
     assert 'BroadcastHashJoin' in p
     assert 'SortMergeJoin' not in p or 'doc_id' in p  # scores join on doc_id may SMJ
+
+
+def test_dsir_joins_stay_broadcast(spark, entry):
+    # both the raw-LM (<=4096 rows) and target-profile joins must
+    # broadcast; the only SortMergeJoin allowed is none at all
+    p = plan_of(entry.q_dsir_select(spark, SF))
+    assert p.count('BroadcastHashJoin') >= 2
+    assert 'SortMergeJoin' not in p
+
+
+def test_line_dedup_shuffles_are_hash_only(spark, entry):
+    # the exchanges must carry (md5, pos_key) pairs and small index
+    # arrays — never the line text; text appears only in the row-local
+    # rebuild projection after the final left join
+    p = plan_of(entry.q_line_dedup(spark, SF))
+    for line in p.splitlines():
+        if 'Exchange hashpartitioning' in line:
+            assert 'text' not in line, line
