@@ -1806,15 +1806,21 @@ def q_streaming_sessionize(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: synth media payloads for refs derived from the
-    docs table, extract deterministic features (non-SQL: rows-only)."""
+    """Multimodal image path, REAL end-to-end: refs derived from the
+    docs table get genuine PNG payloads (stdlib codec), decode produces
+    actual pixels, and the committed golden pins the pixel-statistics
+    feature vector itself (micro-rounded) — a regression anywhere in
+    codec, decode, or kernel flips the hash."""
     docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0)
     refs = docs.select(
         F.concat(F.lit('media://doc/'), F.col('doc_id')).alias('media_ref'))
     media = md.synth_media_df(spark, refs)
     feats = md.extract_media_features(media)
-    return feats.select('media_ref', F.size('feat').alias('feat_dim'),
-                        'decode_status')
+    return feats.select(
+        'media_ref', F.size('feat').alias('feat_dim'), 'decode_status',
+        F.md5(F.concat_ws(',', F.transform(
+            'feat', lambda x: F.round(x * 1000000).cast('long')
+            .cast('string')))).alias('feat_micro_md5'))
 
 
 def q_interleave_pairs(spark, sf_dir):

@@ -1,10 +1,13 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode kernels are STUBBED (deterministic fakes clearly marked), but every
-Spark-side piece is real and tested: the schema, the Arrow batch shape, the
-mapInPandas signatures, and the partitioning. Swapping the fake kernel for a
-real one (PIL/ffmpeg) changes only the inner function.
+The IMAGE path is REAL end-to-end: payloads are genuine PNG files
+(pure-stdlib codec, ``functions/png.py`` — zlib is all PNG needs, no
+PIL/libjpeg required), decode produces actual pixel arrays, features are
+real image statistics, and resize is a real box-average resample with
+PNG re-encode. JPEG/video decode would need libjpeg/ffmpeg (absent in
+this container) and surfaces as a contained non-ok status row — the
+hash-derived fake kernel remains only as the documented fallback for
+undecodable mimes so the plumbing stays total.
 
 Schema convention:
     media(media_ref string, payload binary, mime string,
@@ -21,6 +24,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .png import decode_png, encode_png
+
 MEDIA_SCHEMA = ('media_ref string, payload binary, mime string, '
                 'width int, height int, n_frames int')
 
@@ -30,20 +35,40 @@ FEATURES_SCHEMA = ('media_ref string, feat array<float>, '
 _FEAT_DIM = 16
 
 
+def _synth_image(ref: str) -> np.ndarray:
+    """Deterministic small RGB test image for a media_ref: hash-seeded
+    gradients + a block pattern (varied enough that image statistics
+    genuinely differ per ref)."""
+    h = hashlib.sha256(str(ref).encode()).digest()
+    w = 8 + h[0] % 25
+    ht = 8 + h[1] % 25
+    yy, xx = np.mgrid[0:ht, 0:w]
+    r = (xx * (1 + h[2] % 7) + h[3]) % 256
+    g = (yy * (1 + h[4] % 7) + h[5]) % 256
+    b = ((xx + yy) * (1 + h[6] % 5) + h[7]) % 256
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    # one solid block whose position/colour depend on the hash
+    by, bx = h[8] % max(ht - 3, 1), h[9] % max(w - 3, 1)
+    img[by:by + 3, bx:bx + 3] = (h[10], h[11], h[12])
+    return img
+
+
 def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
-    """Deterministic fake payloads for a media_ref column (no external
-    data): payload = sha256 stream of the ref; dims derived from the ref."""
+    """Deterministic REAL PNG payloads for a media_ref column (no
+    external data): each ref gets a hash-seeded pattern image encoded
+    with the stdlib PNG codec — the decode stage downstream does real
+    pixel work."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref in pdf['media_ref']:
-                h = hashlib.sha256(str(ref).encode()).digest()
+                img = _synth_image(ref)
                 rows.append({
                     'media_ref': ref,
-                    'payload': h * 8,       # 256 fake bytes
-                    'mime': 'image/fake',
-                    'width': 64 + h[0] % 192,
-                    'height': 64 + h[1] % 192,
+                    'payload': encode_png(img),
+                    'mime': 'image/png',
+                    'width': int(img.shape[1]),
+                    'height': int(img.shape[0]),
                     'n_frames': 1,
                 })
             yield pd.DataFrame(rows, columns=['media_ref', 'payload', 'mime',
@@ -53,18 +78,44 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
-    """STUB: real deployment decodes via PIL/libjpeg. Not available here."""
+    """Real decode for PNG (stdlib codec). JPEG/WebP need libjpeg —
+    absent here — and raise; callers contain the error as a status row."""
+    if mime == 'image/png' or bytes(payload[:8]) == b'\x89PNG\r\n\x1a\n':
+        return decode_png(payload)
     raise NotImplementedError(
-        'image decode requires PIL/libjpeg — not present in this sandbox; '
-        'use fake_feature_kernel for tests')
+        f'decode for {mime} requires libjpeg/ffmpeg — not present in '
+        f'this sandbox (PNG decodes for real via functions/png.py)')
+
+
+def image_feature_kernel(img: np.ndarray) -> np.ndarray:
+    """REAL 16-dim image descriptor from decoded pixels: normalized
+    dims + aspect, per-channel means/stds, 2x2 luminance block means,
+    and mean |dx| / |dy| gradient energy. Deterministic, unit-norm."""
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    rgb = img[:, :, :3].astype(np.float64)
+    h, w = rgb.shape[:2]
+    lum = rgb.mean(axis=2)
+    hh, wh = max(h // 2, 1), max(w // 2, 1)
+    blocks = [lum[:hh, :wh].mean(), lum[:hh, wh:].mean() if w > 1 else 0.0,
+              lum[hh:, :wh].mean() if h > 1 else 0.0,
+              lum[hh:, wh:].mean() if h > 1 and w > 1 else 0.0]
+    dx = np.abs(np.diff(lum, axis=1)).mean() if w > 1 else 0.0
+    dy = np.abs(np.diff(lum, axis=0)).mean() if h > 1 else 0.0
+    v = np.array([w / 256.0, h / 256.0, w / max(h, 1),
+                  *(rgb.mean(axis=(0, 1)) / 255.0),
+                  *(rgb.std(axis=(0, 1)) / 255.0),
+                  *[b / 255.0 for b in blocks],
+                  dx / 255.0, dy / 255.0, 1.0], dtype=np.float64)
+    assert len(v) == _FEAT_DIM
+    n = np.linalg.norm(v) or 1.0
+    return (v / n).astype(np.float32)
 
 
 def fake_feature_kernel(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for decode+embed: hash-derived unit vector.
-
-    Keeps the full Spark plumbing testable; replace with a real
-    decode->CNN/CLIP kernel in production.
-    """
+    """Hash-derived unit vector — the documented FALLBACK for mimes this
+    container cannot decode (jpeg/webp/video); keeps the plumbing total.
+    PNG payloads never reach this path."""
     h = hashlib.sha256(payload or b'').digest()
     v = np.frombuffer((h * ((4 * _FEAT_DIM) // len(h) + 1))[:4 * _FEAT_DIM],
                       dtype=np.uint32).astype(np.float64)[:_FEAT_DIM]
@@ -73,7 +124,10 @@ def fake_feature_kernel(payload: bytes) -> np.ndarray:
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """media -> per-item feature vectors, Arrow-batched.
+    """media -> per-item feature vectors, Arrow-batched. PNG payloads
+    decode for REAL (status 'ok'); undecodable mimes fall back to the
+    hash kernel (status 'fake'); corrupt payloads become error rows —
+    never task failures.
 
     At 100 TB media payloads dominate shuffle cost: this stage is placed
     directly after the media scan (no repartition), so features — 64 bytes —
@@ -82,17 +136,22 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, status = [], []
-            for payload in pdf['payload']:
+            for payload, mime in zip(pdf['payload'], pdf['mime']):
                 try:
+                    img = decode_image(bytes(payload), str(mime))
+                    feats.append(
+                        [float(x) for x in image_feature_kernel(img)])
+                    status.append('ok')
+                except NotImplementedError:
                     feats.append(
                         [float(x) for x in fake_feature_kernel(payload)])
-                    status.append('ok')
-                except Exception as e:  # pragma: no cover
+                    status.append('fake')
+                except Exception as e:
                     feats.append([])
-                    status.append(f'error: {e}')
+                    status.append(f'error: {e}'[:200])
             yield pd.DataFrame({'media_ref': pdf['media_ref'],
                                 'feat': feats, 'decode_status': status})
-    return media.select('media_ref', 'payload').mapInPandas(
+    return media.select('media_ref', 'payload', 'mime').mapInPandas(
         batch, FEATURES_SCHEMA)
 
 
@@ -110,29 +169,56 @@ RESIZED_SCHEMA = ('media_ref string, width int, height int, '
                   'resized_payload binary, status string')
 
 
-def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
-    """Resize stage: real Spark plumbing, stubbed kernel.
+def resize_to(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Real area-average resample to (nh, nw): each output pixel is the
+    mean of its source box (the antialias-correct choice for
+    downsampling, which is what a media pipeline does)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(nh + 1) * h / nh).round().astype(int)
+    xs = (np.arange(nw + 1) * w / nw).round().astype(int)
+    out = np.zeros((nh, nw) + img.shape[2:], dtype=np.uint8)
+    f = img.astype(np.float64)
+    for i in range(nh):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(nw):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
+    return out
 
-    The aspect-ratio arithmetic and batch shape are production-real; the
-    pixel kernel (PIL's Image.resize) is replaced by a deterministic
-    payload-slice fake since no image libs ship in this container.
-    """
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stage — REAL for PNG payloads: decode, box-average
+    resample preserving aspect ratio, re-encode PNG (status 'ok').
+    Undecodable mimes keep the deterministic byte-budget fallback
+    (status 'fake'); corrupt payloads become error rows."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for ref, payload, w, h in zip(pdf['media_ref'], pdf['payload'],
-                                          pdf['width'], pdf['height']):
+            for ref, payload, mime, w, h in zip(
+                    pdf['media_ref'], pdf['payload'], pdf['mime'],
+                    pdf['width'], pdf['height']):
                 scale = min(1.0, max_side / max(int(w), int(h), 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                # STUB kernel: real impl decodes + resamples; fake keeps a
-                # deterministic byte budget proportional to the new area
-                budget = max(16, (nw * nh) // 4)
-                rows.append({'media_ref': ref, 'width': nw, 'height': nh,
-                             'resized_payload': bytes(payload)[:budget],
-                             'status': 'ok'})
+                try:
+                    img = decode_image(bytes(payload), str(mime))
+                    resized = resize_to(img, nw, nh)
+                    rows.append({'media_ref': ref, 'width': nw,
+                                 'height': nh,
+                                 'resized_payload': encode_png(resized),
+                                 'status': 'ok'})
+                except NotImplementedError:
+                    budget = max(16, (nw * nh) // 4)
+                    rows.append({'media_ref': ref, 'width': nw,
+                                 'height': nh,
+                                 'resized_payload': bytes(payload)[:budget],
+                                 'status': 'fake'})
+                except Exception as e:
+                    rows.append({'media_ref': ref, 'width': nw,
+                                 'height': nh, 'resized_payload': b'',
+                                 'status': f'error: {e}'[:200]})
             yield pd.DataFrame(rows, columns=['media_ref', 'width', 'height',
                                               'resized_payload', 'status'])
-    return media.select('media_ref', 'payload', 'width', 'height') \
+    return media.select('media_ref', 'payload', 'mime', 'width', 'height') \
         .mapInPandas(batch, RESIZED_SCHEMA)
 
 

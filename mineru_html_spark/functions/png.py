@@ -1,0 +1,139 @@
+"""Pure-stdlib PNG codec (zlib + struct + numpy) — a REAL image decode
+path for the media pipeline.
+
+This container has no PIL/libjpeg, but PNG needs neither: the format is
+zlib deflate over per-scanline-filtered raster bytes (RFC 2083). This
+module implements:
+
+  * ``encode_png(arr)``  — 8-bit grayscale (H,W), RGB (H,W,3) or RGBA
+    (H,W,4); filter type 0 on every scanline, one IDAT chunk.
+  * ``decode_png(data)`` — bit depth 8, color types 0 (gray), 2 (RGB),
+    6 (RGBA), non-interlaced; ALL five scanline filters (None/Sub/Up/
+    Average/Paeth) unfiltered exactly per the spec.
+
+Scope is deliberate: the standard 8-bit non-interlaced cases cover what
+a training-data media pipeline stores; palette/16-bit/interlaced inputs
+raise ValueError with a clear message (decode_status carries it as an
+error row — the contained-failure policy, never a task failure).
+
+Filters Sub/Up are vectorized; Average/Paeth have a sequential data
+dependency along x, handled with a per-pixel-column loop over ndarray
+rows (C-speed per scanline op, python loop bounded by width).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b'\x89PNG\r\n\x1a\n'
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack('>I', len(body)) + tag + body
+            + struct.pack('>I', zlib.crc32(tag + body) & 0xffffffff))
+
+
+def encode_png(arr: 'np.ndarray') -> bytes:
+    """8-bit gray (H,W), RGB (H,W,3) or RGBA (H,W,4) -> PNG bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, channels = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f'unsupported array shape {a.shape}')
+    h, w = a.shape[:2]
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to every scanline
+    raster = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    raster[:, 0] = 0
+    raster[:, 1:] = a.reshape(h, w * channels)
+    return (_SIG + _chunk(b'IHDR', ihdr)
+            + _chunk(b'IDAT', zlib.compress(raster.tobytes(), 6))
+            + _chunk(b'IEND', b''))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> 'np.ndarray':
+    """PNG bytes -> uint8 array (H,W) gray / (H,W,3) RGB / (H,W,4) RGBA."""
+    if bytes(data[:8]) != _SIG:
+        raise ValueError('not a PNG (bad signature)')
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack('>I', data[pos:pos + 4])
+        tag = bytes(data[pos + 4:pos + 8])
+        body = bytes(data[pos + 8:pos + 8 + length])
+        pos += 12 + length
+        if tag == b'IHDR':
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack('>IIBBBBB', body)
+            if depth != 8:
+                raise ValueError(f'unsupported bit depth {depth}')
+            if color_type not in _CHANNELS:
+                raise ValueError(f'unsupported color type {color_type}')
+            if interlace != 0:
+                raise ValueError('interlaced PNG unsupported')
+        elif tag == b'IDAT':
+            idat.append(body)
+        elif tag == b'IEND':
+            break
+    if w is None:
+        raise ValueError('missing IHDR')
+    channels = _CHANNELS[color_type]
+    raw = zlib.decompress(b''.join(idat))
+    stride = 1 + w * channels
+    if len(raw) != h * stride:
+        raise ValueError('raster size mismatch')
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * channels), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ftype == 0:                      # None
+            cur = line
+        elif ftype == 1:                    # Sub
+            cur = line.copy()
+            for x in range(bpp, len(cur)):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xff
+        elif ftype == 2:                    # Up
+            cur = (line + prev) & 0xff
+        elif ftype == 3:                    # Average
+            cur = line.copy()
+            p = prev.astype(np.int32)
+            for x in range(len(cur)):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + p[x]) >> 1)) & 0xff
+        elif ftype == 4:                    # Paeth
+            cur = line.copy()
+            p = prev.astype(np.int32)
+            for x in range(len(cur)):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                up = int(p[x])
+                ul = int(p[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xff
+        else:
+            raise ValueError(f'bad filter type {ftype}')
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
