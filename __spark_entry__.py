@@ -1823,6 +1823,21 @@ def q_media_features(spark, sf_dir):
             .cast('string')))).alias('feat_micro_md5'))
 
 
+def q_media_resize(spark, sf_dir):
+    """The REAL resize stage, gated: PNG payloads decode, box-average
+    resample to max side 16 preserving aspect, re-encode; the committed
+    golden pins the resized PNG bytes (md5) — deterministic because the
+    codec is stdlib zlib at a fixed level and the resample is exact
+    integer-box averaging."""
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0)
+    refs = docs.select(
+        F.concat(F.lit('media://doc/'), F.col('doc_id')).alias('media_ref'))
+    media = md.synth_media_df(spark, refs)
+    out = md.resize_images(media, max_side=16)
+    return out.select('media_ref', 'width', 'height', 'status',
+                      F.md5('resized_payload').alias('resized_md5'))
+
+
 def q_interleave_pairs(spark, sf_dir):
     """Image-text caption-candidate mining over the INTERLEAVED span
     sequences (MMC4/LAION pairing step): for each image span of the
@@ -1857,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
+        'media_resize': q_media_resize,
         'interleave_pairs': q_interleave_pairs,
         'sessionize': q_sessionize,
         'streaming_sessionize': q_streaming_sessionize,
@@ -1951,7 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         # same pattern as the extraction goldens)
         name: _expected_parquet(name)
         for name in ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk',
-                     'rouge_self', 'media_features',
+                     'rouge_self', 'media_features', 'media_resize',
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup',

@@ -19,8 +19,8 @@ SF_DIR = '/root/testdata/sf0.01'
 OUT_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'goldens')
 
 NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
-         'media_features', 'embedding_near_dups', 'semantic_dedup',
-         'ann_ivf_topk',
+         'media_features', 'media_resize', 'embedding_near_dups',
+         'semantic_dedup', 'ann_ivf_topk',
          'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
          'near_dup_clusters', 'approx_distinct_users', 'warc_extract',
          'bpe_train', 'bpe_apply', 'streaming_near_dup')
