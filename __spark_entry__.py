@@ -156,6 +156,28 @@ def q_warc_extract(spark, sf_dir):
     return out.unionByName(errs)
 
 
+def q_pdf_extract(spark, sf_dir):
+    """End-to-end PDF path (the north rule's 'PDF/layout parse' tier):
+    a deterministic 25-file gate set (compressed + uncompressed content
+    streams, 1-3 pages, escape-heavy strings, one corrupt file) reads
+    via the one-task-per-file binaryFile source, the stdlib text
+    extractor pulls the text operators, and the corrupt file must
+    surface as a contained error row. Committed-output oracle."""
+    from mineru_html_spark.sources.pdf import (read_pdfs,
+                                               write_synth_pdf_gate_set)
+    d = os.path.join(REPO, '.data', 'pdf_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_pdf_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_pdfs(spark, d)
+    return out.select('doc_id', 'n_pages', 'n_chars',
+                      F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def q_token_count(spark, sf_dir):
     return tx.token_count(_docs(spark, sf_dir))
 
@@ -1873,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rouge_self': q_rouge_self,
         'media_features': q_media_features,
         'media_resize': q_media_resize,
+        'pdf_extract': q_pdf_extract,
         'interleave_pairs': q_interleave_pairs,
         'sessionize': q_sessionize,
         'streaming_sessionize': q_streaming_sessionize,
@@ -1970,7 +1993,7 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features', 'media_resize',
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
-                     'streaming_near_dup',
+                     'streaming_near_dup', 'pdf_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,266 @@
+"""PDF source: layout-light text extraction, pure stdlib.
+
+The north rule names "PDF/layout parse" next to HTML boilerplate strip;
+this module is the PDF ingestion tier: a tolerant text extractor for the
+dominant simple-PDF shape (FlateDecode content streams + literal-string
+text operators) and a deterministic synth writer so the path is testable
+end-to-end with no external data — the same design as the WARC source
+(``sources/warc.py``).
+
+Extractor scope, stated honestly: PDF 1.x bodies whose page content
+streams are uncompressed or FlateDecode (zlib — stdlib), with text shown
+via the standard operators ``Tj`` / ``'`` / ``"`` (literal strings) and
+``TJ`` (array of strings + kerning numbers); string escapes
+(``\\)``, ``\\(``, ``\\\\``, ``\\n``-family, octal) are decoded per the
+spec. That covers machine-generated report/invoice/article PDFs — the
+kind a crawl actually yields in bulk. Hex strings, CID/Type0 composite
+fonts, encrypted files and object streams surface as contained error or
+partial rows, never task failures (extracting those correctly needs a
+font/CMap stack — a real library dependency, not a parsing trick).
+
+Spark shape: one task per file via the binaryFile source, Arrow-batched
+parse, errors as rows — identical contract to the WARC reader.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator, List, Tuple
+
+_STREAM_RE = re.compile(rb'stream\r?\n(.*?)\r?\nendstream', re.DOTALL)
+_FLATE_RE = re.compile(rb'/Filter\s*(?:\[\s*)?/FlateDecode')
+_OBJ_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj(.*?)endobj', re.DOTALL)
+_PAGE_COUNT_RE = re.compile(rb'/Type\s*/Page[^s]')
+
+# one text-showing op: literal string followed by Tj / ' / ", or an
+# array followed by TJ — scanned over a DECOMPRESSED content stream
+_ESCAPES = {b'n': b'\n', b'r': b'\r', b't': b'\t', b'b': b'\b',
+            b'f': b'\f', b'(': b'(', b')': b')', b'\\': b'\\'}
+
+
+def _decode_literal(body: bytes) -> str:
+    """Decode one PDF literal string body (between unescaped parens)."""
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i:i + 1]
+        if c == b'\\' and i + 1 < len(body):
+            nxt = body[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            m = re.match(rb'[0-7]{1,3}', body[i + 1:i + 4])
+            if m:
+                out.append(int(m.group(), 8) & 0xff)
+                i += 1 + len(m.group())
+                continue
+            i += 1      # lone backslash: drop (spec: ignore)
+            continue
+        out += c
+        i += 1
+    return out.decode('latin-1')
+
+
+def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
+    """Yield (decoded string, end position) for every literal string,
+    respecting escapes and nesting-free paren balance."""
+    i = 0
+    n = len(stream)
+    while i < n:
+        if stream[i:i + 1] != b'(':
+            i += 1
+            continue
+        j = i + 1
+        depth = 1
+        while j < n and depth:
+            c = stream[j:j + 1]
+            if c == b'\\':
+                j += 2
+                continue
+            if c == b'(':
+                depth += 1
+            elif c == b')':
+                depth -= 1
+            j += 1
+        yield _decode_literal(stream[i + 1:j - 1]), j
+        i = j
+
+
+def extract_stream_text(stream: bytes) -> List[str]:
+    """Text runs shown by one content stream, in stream order: every
+    literal string that a Tj / ' / " consumes, and every string inside a
+    TJ array. A '-shown string implies a line break before it (the
+    operator moves to the next line)."""
+    runs: List[str] = []
+    for s, end in _scan_strings(stream):
+        # the operator follows the string (possibly after an array close
+        # + kerning numbers for TJ) — look ahead a short window
+        window = stream[end:end + 48]
+        m = re.match(rb"\s*(?:[-0-9.\s]*\])?\s*(Tj|TJ|'|\")", window)
+        if m:
+            runs.append(s)
+            continue
+        # inside a TJ array: strings separated by kerning numbers; the
+        # closing bracket + TJ comes later. Detect by the array context:
+        m2 = re.match(rb"\s*[-0-9.]*\s*\(", window)
+        if m2 or re.match(rb"\s*[-0-9.\s]*\]\s*TJ", window):
+            runs.append(s)
+    return runs
+
+
+def pdf_to_text(data: bytes) -> Tuple[str, int]:
+    """(extracted text, n_pages) for one PDF file. Content streams are
+    located by structure (stream/endstream), inflated when FlateDecode,
+    and scanned for text operators; page count comes from /Type /Page
+    objects. Raises ValueError on non-PDF input."""
+    if not bytes(data[:5]) == b'%PDF-':
+        raise ValueError('not a PDF (missing %PDF- header)')
+    n_pages = len(_PAGE_COUNT_RE.findall(data))
+    texts: List[str] = []
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        raw = sm.group(1)
+        if _FLATE_RE.search(body[:sm.start()]):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue                    # contained: skip bad stream
+        if b'BT' not in raw:
+            continue                        # not a text content stream
+        texts.extend(extract_stream_text(raw))
+    return '\n'.join(texts), n_pages
+
+
+# ---------------------------------------------------------------------------
+# deterministic synth writer (test/bench input, no external data)
+# ---------------------------------------------------------------------------
+
+def _pdf_escape(s: str) -> bytes:
+    return (s.replace('\\', r'\\').replace('(', r'\(')
+             .replace(')', r'\)').encode('latin-1', 'replace'))
+
+
+def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
+                    compress: bool = True) -> bytes:
+    """A complete, valid single-font PDF showing ``lines`` across pages
+    (FlateDecode content streams when ``compress``). Deterministic."""
+    pages = [lines[i:i + lines_per_page]
+             for i in range(0, max(len(lines), 1), lines_per_page)]
+    objs: List[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)            # 1-based object number
+
+    font = add(b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>')
+    content_ids, page_ids = [], []
+    for pls in pages:
+        parts = [b'BT /F1 11 Tf 50 780 Td 14 TL']
+        for i, ln in enumerate(pls):
+            parts.append((b'(' + _pdf_escape(ln) + b') Tj T*') if i == 0
+                         else (b'(' + _pdf_escape(ln) + b") '"))
+        parts.append(b'ET')
+        stream = b'\n'.join(parts)
+        if compress:
+            comp = zlib.compress(stream, 6)
+            body = (b'<< /Length ' + str(len(comp)).encode()
+                    + b' /Filter /FlateDecode >>\nstream\n' + comp
+                    + b'\nendstream')
+        else:
+            body = (b'<< /Length ' + str(len(stream)).encode()
+                    + b' >>\nstream\n' + stream + b'\nendstream')
+        content_ids.append(add(body))
+    pages_id = len(objs) + len(pages) + 1
+    for cid in content_ids:
+        page_ids.append(add(
+            b'<< /Type /Page /Parent ' + str(pages_id).encode()
+            + b' 0 R /MediaBox [0 0 612 792] /Contents '
+            + str(cid).encode() + b' 0 R /Resources << /Font << /F1 '
+            + str(font).encode() + b' 0 R >> >> >>'))
+    kids = b' '.join(str(p).encode() + b' 0 R' for p in page_ids)
+    assert add(b'<< /Type /Pages /Kids [' + kids + b'] /Count '
+               + str(len(page_ids)).encode() + b' >>') == pages_id
+    catalog = add(b'<< /Type /Catalog /Pages '
+                  + str(pages_id).encode() + b' 0 R >>')
+
+    out = bytearray(b'%PDF-1.4\n')
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b' 0 obj\n' + body + b'\nendobj\n'
+    xref_at = len(out)
+    out += b'xref\n0 ' + str(len(objs) + 1).encode() + b'\n'
+    out += b'0000000000 65535 f \n'
+    for off in offsets[1:]:
+        out += f'{off:010d} 00000 n \n'.encode()
+    out += (b'trailer\n<< /Size ' + str(len(objs) + 1).encode()
+            + b' /Root ' + str(catalog).encode() + b' 0 R >>\n'
+            + b'startxref\n' + str(xref_at).encode() + b'\n%%EOF\n')
+    return bytes(out)
+
+
+def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
+    """Deterministic PDF gate corpus: ``n_docs`` files sweeping the
+    extractor's surface — compressed and uncompressed streams, 1..3
+    pages, strings with parens/backslash/octal-escape content — plus one
+    corrupt non-PDF file that must quarantine as an error row."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    words = ('report table figure total revenue section appendix value '
+             'quarter summary analysis margin growth index page').split()
+    for d in range(n_docs):
+        lines = []
+        for i in range(8 + (d * 7) % 40):
+            ws = [words[(d * 13 + i * 5 + k) % len(words)]
+                  for k in range(6 + (i + d) % 5)]
+            ln = ' '.join(ws)
+            if i % 9 == 3:
+                ln += ' (nested (parens)) and \\ backslash'
+            lines.append(f'{ln} #{d}-{i}')
+        data = write_synth_pdf(lines, lines_per_page=15,
+                               compress=(d % 3 != 1))
+        with open(os.path.join(out_dir, f'doc{d:03d}.pdf'), 'wb') as f:
+            f.write(data)
+    with open(os.path.join(out_dir, 'corrupt.pdf'), 'wb') as f:
+        f.write(b'this is not a pdf at all \x00\x01\x02')
+
+
+PDF_ROWS_SCHEMA = ('doc_id string, n_pages int, n_chars long, '
+                   'text string, error string')
+
+
+def pdf_bytes_to_row(name: str, data: bytes) -> dict:
+    """One (file -> row) parse with contained failure."""
+    try:
+        text, n_pages = pdf_to_text(data)
+        return {'doc_id': name, 'n_pages': n_pages,
+                'n_chars': len(text), 'text': text, 'error': ''}
+    except Exception as e:
+        return {'doc_id': name, 'n_pages': 0, 'n_chars': 0, 'text': '',
+                'error': f'{type(e).__name__}: {e}'[:300]}
+
+
+def read_pdfs(spark, path: str):
+    """Directory of .pdf files -> (doc_id, n_pages, n_chars, text,
+    error) — one task per file (binaryFile source), Arrow-batched parse,
+    errors as rows. Same contract as the WARC reader."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.pdf').load(path)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows = [pdf_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'n_pages', 'n_chars', 'text',
+                               'error'])
+
+    return files.mapInPandas(batch, PDF_ROWS_SCHEMA)

@@ -1,0 +1,61 @@
+"""PDF source: writer/extractor round-trips, escape handling, stream
+variants, corrupt-file quarantine, and the Spark binaryFile path."""
+
+from mineru_html_spark.sources.pdf import (pdf_bytes_to_row, pdf_to_text,
+                                           read_pdfs, write_synth_pdf,
+                                           write_synth_pdf_gate_set)
+
+
+def test_pdf_roundtrip_multipage_compressed():
+    lines = [f'Line {i} of the quarterly report' for i in range(45)]
+    text, n_pages = pdf_to_text(write_synth_pdf(lines, lines_per_page=20))
+    assert n_pages == 3
+    assert text.split('\n') == lines
+
+
+def test_pdf_roundtrip_uncompressed_and_escapes():
+    lines = ['plain line',
+             'with (nested (parens)) inside',
+             'a \\ backslash and a ) stray paren',
+             'tabs\tand\nnewlines survive as chars']
+    text, n_pages = pdf_to_text(
+        write_synth_pdf(lines, compress=False))
+    assert n_pages == 1
+    assert text == '\n'.join(lines)
+    # compressed variant produces the identical text
+    t2, _ = pdf_to_text(write_synth_pdf(lines, compress=True))
+    assert t2 == text
+
+
+def test_pdf_octal_escape_decoding():
+    from mineru_html_spark.sources.pdf import _decode_literal
+    assert _decode_literal(rb'A\101B') == 'AAB'      # \101 = 'A'
+    assert _decode_literal(rb'x\51y') == 'x)y'       # \51 = ')'
+    assert _decode_literal(rb'n\nm') == 'n\nm'
+
+
+def test_pdf_corrupt_contained():
+    r = pdf_bytes_to_row('bad.pdf', b'not a pdf')
+    assert r['error'].startswith('ValueError') and r['text'] == ''
+    # a PDF with a corrupt Flate stream yields partial (other streams)
+    good = write_synth_pdf(['hello world'], compress=True)
+    broken = good.replace(b'stream\n', b'stream\nXX', 1)
+    r2 = pdf_bytes_to_row('half.pdf', broken)
+    assert r2['error'] == ''               # contained skip, not failure
+
+
+def test_read_pdfs_spark_path(spark, tmp_path):
+    d = str(tmp_path / 'pdfs')
+    write_synth_pdf_gate_set(d, n_docs=6)
+    rows = {r['doc_id']: r for r in read_pdfs(spark, d).collect()}
+    assert len(rows) == 7                  # 6 good + 1 corrupt
+    assert rows['corrupt.pdf']['error'].startswith('ValueError')
+    good = [r for n, r in rows.items() if n != 'corrupt.pdf']
+    assert all(r['error'] == '' and r['n_chars'] > 0 and r['n_pages'] >= 1
+               for r in good)
+    # extraction agrees with a direct single-node parse of the same file
+    import os
+    with open(os.path.join(d, 'doc000.pdf'), 'rb') as f:
+        want_text, want_pages = pdf_to_text(f.read())
+    assert rows['doc000.pdf']['text'] == want_text
+    assert rows['doc000.pdf']['n_pages'] == want_pages
