@@ -181,9 +181,17 @@ def line_dedup(documents: DataFrame) -> DataFrame:
     numeric_id = dict(documents.dtypes)['doc_id'] in (
         'tinyint', 'smallint', 'int', 'bigint')
     if numeric_id:
-        inst = hashed.select(
-            'h',
-            (F.col('doc_id') * 1000000 + F.col('idx')).alias('pos_key'))
+        # the BIGINT encoding aliases for >=1M-line docs or negative
+        # ids — fail loudly instead of corrupting an unrelated document
+        pos_key = F.when(
+            (F.col('idx') >= 1000000) | (F.col('doc_id') < 0),
+            F.raise_error(F.concat(
+                F.lit('line_dedup: doc_id '), F.col('doc_id'),
+                F.lit(' violates the numeric pos_key encoding '
+                      '(needs 0 <= doc_id and < 1M lines/doc)')))
+            .cast('long')
+        ).otherwise(F.col('doc_id') * 1000000 + F.col('idx'))
+        inst = hashed.select('h', pos_key.alias('pos_key'))
         firsts = inst.groupBy('h').agg(
             F.min('pos_key').alias('first_key'))
         drops = (inst.join(firsts, 'h')
@@ -202,20 +210,26 @@ def line_dedup(documents: DataFrame) -> DataFrame:
                          F.col('pos_key.idx').cast('int').alias('idx')))
     hit = drops.groupBy('doc_id').agg(
         F.collect_list('idx').alias('drop_idxs'))
-    j = documents.join(hit, 'doc_id', 'left').withColumn(
-        'drop_idxs', F.coalesce('drop_idxs', F.array().cast('array<int>')))
-    w = F.split('text', '\n')
-    kept = F.filter(
-        F.transform(w, lambda ln, i: F.struct(
-            ln.alias('line'),
-            F.exists('drop_idxs', lambda d: d == i).alias('drop'))),
-        lambda s: ~s['drop'])
+    j = (documents.join(hit, 'doc_id', 'left')
+         .withColumn('drop_idxs',
+                     F.coalesce('drop_idxs', F.array().cast('array<int>')))
+         .withColumn('_lines', F.split('text', '\n')))
+    # O(n_lines + n_drops) rebuild: hash-based array_except of the index
+    # range (order-preserving), then one element_at per kept index over
+    # the MATERIALIZED lines column — a per-line exists() over drop_idxs
+    # would be quadratic exactly for the boilerplate-heavy docs this
+    # operator targets
+    lines = F.col('_lines')
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(lines) - 1).cast('array<int>'),
+        'drop_idxs')
     return j.select(
         'doc_id',
-        F.size(w).cast('long').alias('n_lines'),
+        F.size(lines).cast('long').alias('n_lines'),
         F.size('drop_idxs').cast('long').alias('n_removed'),
-        F.array_join(F.transform(kept, lambda s: s['line']), '\n')
-         .alias('clean_text'))
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(lines, i + 1)),
+            '\n').alias('clean_text'))
 
 
 # cross-engine-safe patterns (Java regex and RE2 agree): no backrefs,

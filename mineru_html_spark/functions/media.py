@@ -179,9 +179,13 @@ def resize_to(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
     out = np.zeros((nh, nw) + img.shape[2:], dtype=np.uint8)
     f = img.astype(np.float64)
     for i in range(nh):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        # clamp so the box is never empty: upscaling duplicates edge
+        # pixels instead of averaging an empty slice into NaN
+        y0 = min(int(ys[i]), h - 1)
+        y1 = min(max(int(ys[i + 1]), y0 + 1), h)
         for j in range(nw):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            x0 = min(int(xs[j]), w - 1)
+            x1 = min(max(int(xs[j + 1]), x0 + 1), w)
             out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
     return out
 

@@ -318,37 +318,52 @@ def _prev_max_exact(mn: 'np.ndarray', idxs: 'np.ndarray') -> 'np.ndarray':
     return np.where(mask, sims, -2.0).max(axis=1)
 
 
+def _proj_vec(dim: int) -> 'np.ndarray':
+    """Fixed deterministic unit vector for 1-D candidate ordering."""
+    rng = np.random.RandomState(17)
+    v = rng.standard_normal(dim)
+    return v / (np.linalg.norm(v) or 1.0)
+
+
 def _prev_max_capped(mn: 'np.ndarray', idxs: 'np.ndarray',
                      threshold: float, cap: int) -> 'np.ndarray':
     """Keep-first evidence with BOUNDED pairwise work for a giant
-    cluster: exact below ``cap``; above it, exact within sorted-order
-    chunks of ``cap``, then the chunk survivors recurse as one smaller
-    problem (their extra evidence merges in via max). The recursion
-    strictly shrinks (it only runs when some row was dropped), so total
-    work is O(n*cap) per level with geometrically shrinking levels and
+    cluster: exact below ``cap``. Above it, candidates order by a fixed
+    1-D PROJECTION (near-duplicates have near-equal projections —
+    ``|p(a)-p(b)| <= ||a-b||``, about 0.32 at cosine 0.95 on unit
+    vectors — so dup pairs co-locate regardless of how far apart their
+    ids are), then exact keep-first runs inside half-overlapping
+    projection-ordered blocks of ``cap`` (members compared in id order;
+    evidence merges via max), and the surviving rows recurse as one
+    smaller problem when the pass dropped anything. Work is
+    O(2*n*cap) per level with geometrically shrinking levels and
     O(cap^2) peak memory — never an n x n matrix.
 
-    Above the cap this is a documented approximation of global
-    keep-first: a cross-chunk pair is only compared if both sides
-    survive their chunks, so a row whose only >=threshold lower match
-    was itself dropped in ANOTHER chunk can survive (boundary-straddling
-    triangles). Below the cap semantics are exact."""
+    The documented approximation above the cap: a pair is missed only
+    if the two rows sit more than cap/2 apart in projection order at
+    EVERY recursion level — for >=0.95-cosine near-duplicates that
+    requires a pathologically dense projection neighborhood, and the
+    earlier id-ordered chunking (which missed any cross-chunk pair
+    whose chunks dropped nothing) is strictly dominated by this.
+    Below the cap semantics are exact."""
     n = len(idxs)
     if n <= cap:
         return _prev_max_exact(mn, idxs)
+    proj = mn[idxs] @ _proj_vec(mn.shape[1])
+    order = np.argsort(proj, kind='stable')
     pm = np.full(n, -2.0)
-    surv_pos = []
-    for s in range(0, n, cap):
-        part = idxs[s:s + cap]
-        p = _prev_max_exact(mn, part)
-        pm[s:s + len(part)] = p
-        for off, val in enumerate(p):
-            if val < threshold:
-                surv_pos.append(s + off)
+    half = max(cap // 2, 1)
+    for s in range(0, n, half):
+        sel = order[s:s + cap]
+        if len(sel) < 2:
+            continue
+        sel_sorted = np.sort(sel)          # id order within the block
+        p = _prev_max_exact(mn, idxs[sel_sorted])
+        pm[sel_sorted] = np.maximum(pm[sel_sorted], p)
+    surv_pos = np.nonzero(pm < threshold)[0]
     if 1 < len(surv_pos) < n:
-        sp = np.asarray(surv_pos)
-        p2 = _prev_max_capped(mn, idxs[sp], threshold, cap)
-        pm[sp] = np.maximum(pm[sp], p2)
+        p2 = _prev_max_capped(mn, idxs[surv_pos], threshold, cap)
+        pm[surv_pos] = np.maximum(pm[surv_pos], p2)
     return pm
 
 

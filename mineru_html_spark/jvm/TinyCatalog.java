@@ -238,6 +238,18 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     } catch (IOException e) { throw new RuntimeException(e); }
   }
 
+  // partition values are embedded in data-file names between '_'
+  // separators; URL-encoding leaves '_' unescaped, so a value like
+  // "run_1" would truncate at parse time — hex-encode instead
+  // (alphabet [0-9a-f], separator-safe by construction)
+  static String hexEnc(String s) {
+    StringBuilder sb = new StringBuilder();
+    for (byte b : s.getBytes(StandardCharsets.UTF_8)) {
+      sb.append(String.format("%02x", b));
+    }
+    return sb.toString();
+  }
+
   // ======================================================================
   public static class TinyTable implements Table, SupportsRead,
       SupportsWrite {
@@ -460,7 +472,7 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public void write(InternalRow row) throws IOException {
-      String part = partIdx < 0 ? "x" : enc(cell(row, partIdx));
+      String part = partIdx < 0 ? "x" : hexEnc(cell(row, partIdx));
       BufferedWriter w = open.get(part);
       if (w == null) {
         File f = File.createTempFile("tiny-" + taskId + "-", ".tsv",

@@ -97,15 +97,15 @@ def extract_stream_text(stream: bytes) -> List[str]:
     for s, end in _scan_strings(stream):
         # the operator follows the string (possibly after an array close
         # + kerning numbers for TJ) — look ahead a short window
-        window = stream[end:end + 48]
+        window = stream[end:end + 64]
         m = re.match(rb"\s*(?:[-0-9.\s]*\])?\s*(Tj|TJ|'|\")", window)
         if m:
             runs.append(s)
             continue
-        # inside a TJ array: strings separated by kerning numbers; the
-        # closing bracket + TJ comes later. Detect by the array context:
-        m2 = re.match(rb"\s*[-0-9.]*\s*\(", window)
-        if m2 or re.match(rb"\s*[-0-9.\s]*\]\s*TJ", window):
+        # inside a TJ array: strings separated by ONE OR MORE kerning
+        # numbers before the next string or the closing bracket (legal
+        # PDF emits adjacent adjustments: [(He) -10 -20 (llo)] TJ)
+        if re.match(rb"\s*(?:-?[0-9.]+\s*)*(?:\(|\]\s*TJ)", window):
             runs.append(s)
     return runs
 

@@ -189,7 +189,11 @@ def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
 
     def _epoch_ms(t) -> int:
         if t.tzinfo is None:
-            t = t.tz_localize(tz)
+            # DST fold/gap timestamps must not kill a 24/7 stream:
+            # resolve ambiguous times to the earlier instant and shift
+            # nonexistent ones forward (both deterministic)
+            t = t.tz_localize(tz, ambiguous=True,
+                              nonexistent='shift_forward')
         return int(t.timestamp() * 1000)
 
     def update(key, pdfs, state):

@@ -1551,3 +1551,21 @@ def test_dsir_matches_python_reference(spark):
     got = {r['doc_id']: (r['n_feats'], r['logratio_milli'], r['avg_milli'])
            for r in dsir_weights(df).collect()}
     assert got == want
+
+
+def test_semantic_dedup_capped_catches_cross_chunk_pair():
+    """Review finding: with id-ordered chunks, a lone duplicate pair in
+    different chunks of a no-drop giant cluster was never compared. The
+    projection-ordered blocks must catch it: 2048 random vectors with
+    ONE identical pair at distant ids, cap 1024."""
+    import numpy as np
+
+    from mineru_html_spark.functions.similarity import _prev_max_capped
+    rng = np.random.RandomState(23)
+    m = rng.standard_normal((2048, 16))
+    m[1500] = m[10]                       # the only near-dup pair
+    m /= np.linalg.norm(m, axis=1)[:, None]
+    pm = _prev_max_capped(m, np.arange(2048), 0.95, cap=1024)
+    assert pm[1500] >= 0.95               # caught despite chunk distance
+    assert pm[10] < 0.95                  # the keeper survives
+    assert (pm < 0.95).sum() == 2047      # nothing else dropped

@@ -59,3 +59,25 @@ def test_read_pdfs_spark_path(spark, tmp_path):
         want_text, want_pages = pdf_to_text(f.read())
     assert rows['doc000.pdf']['text'] == want_text
     assert rows['doc000.pdf']['n_pages'] == want_pages
+
+
+def test_pdf_tj_array_with_multiple_kerning_numbers():
+    """Legal TJ arrays carry MULTIPLE adjacent kerning adjustments
+    between strings — every string must still extract (review finding:
+    the lookahead used to require at most one number)."""
+    import zlib
+
+    from mineru_html_spark.sources.pdf import extract_stream_text, pdf_to_text
+    stream = (b'BT /F1 11 Tf 50 780 Td\n'
+              b'[(He) -10 -20 (llo) -5 ( wor) -1 -2 -3 (ld)] TJ\n'
+              b'(tail) Tj\nET')
+    assert extract_stream_text(stream) == ['He', 'llo', ' wor', 'ld',
+                                           'tail']
+    # through a whole file with a compressed stream
+    body = (b'<< /Length %d /Filter /FlateDecode >>\nstream\n%s'
+            b'\nendstream')
+    comp = zlib.compress(stream)
+    pdf = (b'%PDF-1.4\n1 0 obj\n' + body % (len(comp), comp)
+           + b'\nendobj\n2 0 obj\n<< /Type /Page >>\nendobj\n')
+    text, n_pages = pdf_to_text(pdf)
+    assert text == 'He\nllo\n wor\nld\ntail' and n_pages == 1

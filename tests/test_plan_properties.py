@@ -85,10 +85,13 @@ def test_no_cartesian_products_anywhere(spark, entry):
 
 def test_trigram_profile_join_stays_broadcast(spark, entry):
     # the ~1200-row profile table must broadcast; the exploded trigram
-    # stream must never sort-merge against it
+    # stream must never sort-merge against it (the per-doc scores join
+    # on doc_id is the only join allowed to SMJ)
     p = plan_of(entry.q_lang_by_script_learned(spark, SF))
     assert 'BroadcastHashJoin' in p
-    assert 'SortMergeJoin' not in p or 'doc_id' in p  # scores join on doc_id may SMJ
+    for line in p.splitlines():
+        if 'SortMergeJoin' in line:
+            assert 'trigram' not in line, line
 
 
 def test_dsir_joins_stay_broadcast(spark, entry):

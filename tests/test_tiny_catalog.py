@@ -70,6 +70,17 @@ done = sorted(r['part_id']
               for r in sink.read_done_parts(spark).collect())
 assert done == [0, 1], done
 assert spark.table('tiny.default.lineage').count() == 3
+
+# string partition values CONTAINING '_' must overwrite exactly
+# (filenames hex-encode the value; a URL-encoding left '_' bare and
+# truncated the parsed partition at commit time — review finding)
+s1 = spark.createDataFrame(
+    [('run_1', 1), ('run_1', 2), ('run_2', 3)], 'run string, v int')
+s1.writeTo('tiny.default.by_run').partitionedBy(s1.run).create()
+spark.createDataFrame([('run_1', 9)], 'run string, v int') \
+    .writeTo('tiny.default.by_run').overwritePartitions()
+got = sorted(map(tuple, spark.table('tiny.default.by_run').collect()))
+assert got == [('run_1', 9), ('run_2', 3)], got
 spark.stop()
 print('TINY-CATALOG-CONTRACT-OK')
 '''
@@ -78,7 +89,12 @@ print('TINY-CATALOG-CONTRACT-OK')
 @pytest.mark.skipif(shutil.which('javac') is None, reason='no JDK')
 def test_iceberg_sink_contract_on_real_v2_catalog():
     classes = os.path.join(REPO, '.data', 'tiny_catalog', 'classes')
-    if not os.path.exists(os.path.join(classes, 'TinyCatalog.class')):
+    java_src = os.path.join(REPO, 'mineru_html_spark', 'jvm',
+                            'TinyCatalog.java')
+    cls = os.path.join(classes, 'TinyCatalog.class')
+    # (re)compile when missing or stale vs the source
+    if (not os.path.exists(cls)
+            or os.path.getmtime(cls) < os.path.getmtime(java_src)):
         subprocess.run(['sh', os.path.join(REPO, 'tools',
                                            'build_tiny_catalog.sh')],
                        check=True, capture_output=True)
