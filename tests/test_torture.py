@@ -81,3 +81,61 @@ def test_torture_content_survives():
         text = ' '.join(s['text'] for s in r['spans'])
         assert needle in text, name
         assert 'fake' not in text or name != 'script_with_html_inside'
+
+
+def test_png_decoder_never_crashes_on_garbage():
+    """Contained-failure guarantee: random bytes, truncated valid files
+    and bit-flipped files must raise clean exceptions (ValueError /
+    zlib.error / struct.error) — never hang, never segfault, never
+    return garbage silently for structurally broken input."""
+    import random
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mineru_html_spark.functions.png import decode_png, encode_png
+    rng = random.Random(5)
+    ok = (ValueError, zlib.error, struct.error, IndexError)
+    for _ in range(60):
+        blob = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 400)))
+        try:
+            decode_png(blob)
+        except ok:
+            pass
+    good = encode_png(np.arange(192, dtype=np.uint8).reshape(8, 8, 3))
+    for cut in range(0, len(good), 7):
+        try:
+            decode_png(good[:cut])
+        except ok:
+            pass
+    for _ in range(40):
+        b = bytearray(good)
+        b[rng.randrange(8, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decode_png(bytes(b))
+        except ok:
+            pass
+
+
+def test_pdf_extractor_never_crashes_on_garbage():
+    """Same guarantee for the PDF text extractor: arbitrary bytes after
+    a %PDF- header, truncations and flips must be contained."""
+    import random
+
+    from mineru_html_spark.sources.pdf import pdf_bytes_to_row, write_synth_pdf
+    rng = random.Random(9)
+    for _ in range(60):
+        blob = b'%PDF-' + bytes(rng.getrandbits(8)
+                                for _ in range(rng.randint(0, 600)))
+        r = pdf_bytes_to_row('f.pdf', blob)
+        assert isinstance(r['text'], str)          # contained either way
+    good = write_synth_pdf([f'line {i}' for i in range(30)])
+    for cut in range(0, len(good), 37):
+        r = pdf_bytes_to_row('t.pdf', good[:cut])
+        assert isinstance(r['text'], str)
+    for _ in range(40):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = pdf_bytes_to_row('x.pdf', bytes(b))
+        assert isinstance(r['text'], str)

@@ -197,6 +197,17 @@ def main():
                 [r'PartitionFilters|TakeOrdered|Scan|Project'],
                 max_lines=10)))
 
+    sections.append((
+        'CCNet line dedup (hash-only exchanges; text stays in its row)',
+        'Line hashes explode row-local WITH position; the exchanges '
+        'carry (md5, pos_key) pairs and small per-doc drop-index '
+        'arrays; the rebuild is an order-preserving array_except + '
+        'element_at projection over the row\'s own lines — O(n+m) per '
+        'doc, text never shuffles.',
+        trimmed(plan_of(entry.q_line_dedup(spark, SF)),
+                [r'Exchange|HashAggregate|Generate|Project|Scan'],
+                max_lines=14)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
