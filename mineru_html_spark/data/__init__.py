@@ -1,2 +1,26 @@
-"""Namespace marker so importlib.resources can resolve the committed
-data files (PSL snapshot) from a --py-files zip deployment."""
+"""Committed data-file access, zip-deployment-safe.
+
+``read_text(name)`` reads a committed data file (PSL snapshot, CJK
+dictionary, trigram language profiles, DSIR target profile) BOTH from a
+checkout and from a ``--py-files`` zip deployment, where ``open()`` on a
+path inside the archive fails but importlib.resources resolves through
+the zip importer. Every loader in the package must go through this —
+a plain ``open(os.path.join(__file__...))`` silently works in tests and
+breaks only on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def read_text(name: str) -> str:
+    path = os.path.join(_DIR, name)
+    if os.path.exists(path):
+        with open(path, encoding='utf-8') as f:
+            return f.read()
+    from importlib import resources
+    return (resources.files('mineru_html_spark.data')
+            .joinpath(name).read_text('utf-8'))

@@ -59,15 +59,13 @@ DSIR_BUCKETS = 4096
 def load_dsir_target() -> list:
     """[(bucket, mln)] from the committed DSIR target profile — the ONE
     loader both the Spark broadcast table and the DuckDB oracle's VALUES
-    are built from. Retrain with tools/train_dsir_target.py."""
-    import os
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'data', 'dsir_target_profile.tsv')
+    are built from; zip-deployment-safe. Retrain with
+    tools/train_dsir_target.py."""
+    from ..data import read_text
     rows = []
-    with open(path, encoding='utf-8') as f:
-        for line in f:
-            b, mln = line.rstrip('\n').split('\t')
-            rows.append((int(b), int(mln)))
+    for line in read_text('dsir_target_profile.tsv').splitlines():
+        b, mln = line.split('\t')
+        rows.append((int(b), int(mln)))
     return rows
 
 

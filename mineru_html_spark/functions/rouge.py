@@ -20,7 +20,6 @@ stability.
 
 from __future__ import annotations
 
-import os
 import re
 from collections import Counter
 from typing import Iterator
@@ -35,22 +34,21 @@ _CJK_FIRST = re.compile(r'[一-鿿぀-ヿ가-힣]')
 
 ROUGE_SCHEMA = ('doc_id long, prec_micro long, rec_micro long, f1_micro long')
 
-_DICT_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'data', 'cjk_dict.tsv')
 _dict_cache = None
 
 
 def _cjk_dict() -> tuple:
-    """(word->freq, max word length) — loaded once per process; the
-    committed snapshot stands in for a full jieba-style dictionary
-    (swap the .tsv for a complete one in production, same machinery)."""
+    """(word->freq, max word length) — loaded once per process via the
+    zip-deployment-safe data reader; the committed snapshot stands in
+    for a full jieba-style dictionary (swap the .tsv for a complete one
+    in production, same machinery)."""
     global _dict_cache
     if _dict_cache is None:
+        from ..data import read_text
         words = {}
-        with open(_DICT_PATH, encoding='utf-8') as f:
-            for line in f:
-                w, freq = line.rstrip('\n').split('\t')
-                words[w] = int(freq)
+        for line in read_text('cjk_dict.tsv').splitlines():
+            w, freq = line.split('\t')
+            words[w] = int(freq)
         _dict_cache = (words, max(map(len, words)))
     return _dict_cache
 

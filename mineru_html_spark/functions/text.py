@@ -329,15 +329,12 @@ TRIGRAM_CLEAN_RE = '[^a-z]+'
 def load_trigram_rows() -> list:
     """[(lang, trigram, weight)] from the committed snapshot — the ONE
     loader both the Spark profile table and the DuckDB oracle's VALUES
-    are built from (guaranteed parity)."""
-    import os
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'data', 'latin_trigram_profiles.tsv')
+    are built from (guaranteed parity); zip-deployment-safe."""
+    from ..data import read_text
     rows = []
-    with open(path, encoding='utf-8') as f:
-        for line in f:
-            lang, g, w = line.rstrip('\n').split('\t')
-            rows.append((lang, g, int(w)))
+    for line in read_text('latin_trigram_profiles.tsv').splitlines():
+        lang, g, w = line.split('\t')
+        rows.append((lang, g, int(w)))
     return rows
 
 

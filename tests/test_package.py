@@ -36,3 +36,35 @@ def test_zip_contains_data_and_loads_psl(tmp_path):
                        env={**os.environ, 'PYTHONPATH': ''})
     assert r.returncode == 0, r.stderr
     assert 'ZIP_PSL_OK' in r.stdout
+
+
+def test_zip_loads_all_committed_tsv_data(tmp_path):
+    """Round-4 data files (CJK dictionary, trigram language profiles,
+    DSIR target profile) must ship in the zip AND load through the zip
+    importer — a plain open() would pass every in-checkout test and
+    fail only on a real cluster."""
+    out = subprocess.run([sys.executable,
+                          os.path.join(ROOT, 'tools', 'package.py')],
+                         capture_output=True, text=True, check=True)
+    zip_path = out.stdout.strip().splitlines()[-1]
+    names = set(zipfile.ZipFile(zip_path).namelist())
+    for f in ('cjk_dict.tsv', 'latin_trigram_profiles.tsv',
+              'dsir_target_profile.tsv'):
+        assert f'mineru_html_spark/data/{f}' in names
+
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from mineru_html_spark.functions.rouge import _seg_cjk\n"
+        "assert _seg_cjk('机器学习') == ['机器学习']\n"
+        "from mineru_html_spark.functions.text import load_trigram_rows\n"
+        "rows = load_trigram_rows()\n"
+        "assert len(rows) == 1200 and rows[0][0] == 'de'\n"
+        "from mineru_html_spark.functions.corpus import load_dsir_target\n"
+        "t = load_dsir_target()\n"
+        "assert len(t) == 4096\n"
+        "print('ZIP_TSV_OK')\n" % zip_path)
+    r = subprocess.run([sys.executable, '-c', probe], cwd=str(tmp_path),
+                       capture_output=True, text=True,
+                       env={**os.environ, 'PYTHONPATH': ''})
+    assert r.returncode == 0, r.stderr
+    assert 'ZIP_TSV_OK' in r.stdout

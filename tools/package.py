@@ -25,10 +25,11 @@ def main():
         for root, dirs, files in os.walk(pkg):
             dirs[:] = [d for d in dirs if d != '__pycache__']
             for f in sorted(files):
-                # .dat: committed data files (e.g. the PSL snapshot) must
-                # ship with the code — executors read them through
+                # .dat/.tsv: committed data files (PSL snapshot, CJK
+                # dictionary, trigram + DSIR profiles) must ship with
+                # the code — executors read them through
                 # importlib.resources, which resolves inside the zip
-                if f.endswith(('.py', '.dat')):
+                if f.endswith(('.py', '.dat', '.tsv')):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, ROOT))
     print(out)
