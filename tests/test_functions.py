@@ -1569,3 +1569,51 @@ def test_semantic_dedup_capped_catches_cross_chunk_pair():
     assert pm[1500] >= 0.95               # caught despite chunk distance
     assert pm[10] < 0.95                  # the keeper survives
     assert (pm < 0.95).sum() == 2047      # nothing else dropped
+
+
+def test_resize_to_upscale_is_nan_free():
+    """Review finding: upscale boxes could round to empty source slices
+    and average into NaN->uint8 garbage. Clamped boxes must duplicate
+    edge pixels instead."""
+    import numpy as np
+
+    from mineru_html_spark.functions.media import resize_to
+    img = np.array([[[10, 20, 30], [40, 50, 60]],
+                    [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    up = resize_to(img, 5, 5)
+    assert up.shape == (5, 5, 3)
+    assert up.min() >= 10 and up.max() <= 120      # no NaN-cast garbage
+    assert (up[0, 0] == img[0, 0]).all()           # corners preserved
+    assert (up[4, 4] == img[1, 1]).all()
+    # 1x1 source to anything: constant fill
+    one = np.full((1, 1, 3), 77, dtype=np.uint8)
+    assert (resize_to(one, 3, 4) == 77).all()
+
+
+def test_line_dedup_rejects_encoding_violations(spark):
+    """The BIGINT pos_key encoding must fail loudly (raise_error) for
+    negative doc_ids instead of corrupting an unrelated document."""
+    import pytest as _pytest
+
+    from mineru_html_spark.functions.corpus import line_dedup
+    df = spark.createDataFrame([(-3, 'a\nb')], 'doc_id long, text string')
+    with _pytest.raises(Exception, match='pos_key encoding'):
+        line_dedup(df).collect()
+
+
+def test_regex_literal_escapes_metacharacters(spark):
+    """url keyword escaping: a keyword with regex metacharacters must
+    match LITERALLY in Spark rlike (and by shared construction in the
+    RE2 oracle)."""
+    import pyspark.sql.functions as F
+
+    from mineru_html_spark.functions.urls import regex_literal
+    assert regex_literal('a.b+c') == r'a\.b\+c'
+    assert regex_literal('x(1)|y') == r'x\(1\)\|y'
+    assert regex_literal('free-coins') == 'free-coins'   # '-' untouched
+    df = spark.createDataFrame(
+        [(1, '/ads/a.bXc/'), (2, '/ads/a.b+c/'), (3, '/aXbYc/')],
+        'id long, path string')
+    got = {r['id'] for r in
+           df.where(F.col('path').rlike(regex_literal('a.b+c'))).collect()}
+    assert got == {2}        # '.' and '+' must not act as regex ops
