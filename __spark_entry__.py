@@ -1179,7 +1179,11 @@ def q_line_dedup(spark, sf_dir):
     whole pipeline in DuckDB list SQL."""
     from mineru_html_spark.functions.corpus import line_dedup
     d = F.col('doc_id')
-    wr = F.split('text', ' ')
+    # materialize the split BEFORE the line-building lambda captures it
+    # (a captured expression re-splits the whole text per line index)
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    wr = F.col('_w')
     body = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.floor((F.size(wr) - 1) / 10)
@@ -1190,7 +1194,7 @@ def q_line_dedup(spark, sf_dir):
         body,
         F.when(d % 3 == 0, F.lit('\n' + _LD_B1)).otherwise(F.lit('')),
         F.when(d % 4 == 0, F.lit('\n' + _LD_B2)).otherwise(F.lit('')))
-    docs = _docs(spark, sf_dir).select('doc_id', text2.alias('text'))
+    docs = wdf.select('doc_id', text2.alias('text'))
     out = line_dedup(docs)
     return out.select('doc_id', 'n_lines', 'n_removed',
                       F.md5('clean_text').alias('clean_md5'))

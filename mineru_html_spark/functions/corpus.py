@@ -397,8 +397,13 @@ def benchmark_shingles(benchmark: DataFrame, n: int = 8,
     corpus — the contamination index. Tiny relative to the training
     corpus (every public eval suite together is a few hundred MB), so it
     broadcasts."""
-    sh = _distinct_shingles(_words(text_col), n)
-    return (benchmark.select(F.explode(sh).alias('s'))
+    # materialize the words array as a COLUMN first — passing the
+    # _words() EXPRESSION into the shingle lambda would re-split the
+    # whole text once per shingle index (O(n^2) on a long eval doc;
+    # same trap/fix as dsir_weights and lang_id_by_script_learned)
+    wb = benchmark.select(_words(text_col).alias('w'))
+    sh = _distinct_shingles(F.col('w'), n)
+    return (wb.select(F.explode(sh).alias('s'))
             .select(F.md5('s').alias('sh')).distinct())
 
 

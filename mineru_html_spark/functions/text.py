@@ -373,12 +373,26 @@ def lang_id_by_script_learned(documents: DataFrame) -> DataFrame:
 
     clean = F.trim(F.regexp_replace(F.lower(F.col('text')),
                                     TRIGRAM_CLEAN_RE, ' '))
-    tri = F.when(F.length(clean) < 3,
+    # Two O(n^2) traps live here and both are fixed by materializing:
+    # (1) referencing the `clean` EXPRESSION inside the transform lambda
+    #     would re-run the full-text regexp_replace once per trigram
+    #     index (the dsir_weights trap — a 40k-char page took 43s), so
+    #     the cleaned text is materialized behind a select boundary;
+    # (2) `substr(i, 3)` on a STRING is itself O(i): UTF8String.substring
+    #     scans from byte 0 to find the i-th codepoint, so a per-index
+    #     substr lambda is quadratic even over a materialized column.
+    #     Splitting into a char ARRAY once (O(n)) makes every
+    #     element_at O(1) and the whole trigram build linear.
+    cl = documents.select('doc_id', F.split(clean, '').alias('ch'))
+    a = F.col('ch')
+    tri = F.when(F.size(a) < 3,
                  F.array().cast('array<string>')) \
         .otherwise(F.transform(
-            F.sequence(F.lit(0), F.length(clean) - 3),
-            lambda i: clean.substr(i + F.lit(1), F.lit(3))))
-    ex = documents.select('doc_id', F.explode_outer(tri).alias('trigram'))
+            F.sequence(F.lit(0), F.size(a) - 3),
+            lambda i: F.concat(F.element_at(a, i + 1),
+                               F.element_at(a, i + 2),
+                               F.element_at(a, i + 3))))
+    ex = cl.select('doc_id', F.explode_outer(tri).alias('trigram'))
     j = ex.join(F.broadcast(prof), 'trigram', 'left')
     scores = j.groupBy('doc_id').agg(*[
         F.coalesce(F.sum(F.when(F.col('lang') == lg, F.col('weight'))),
@@ -428,11 +442,21 @@ def gopher_signals(documents: DataFrame,
     quality_gate. Zero UDFs, zero shuffles — this runs at scan speed on
     10^12 docs.
     """
-    lower_words = F.filter(
+    lower_words_expr = F.filter(
         F.split(F.lower(F.trim('text')), r'[^a-z0-9]+'),
         lambda w: F.length(w) > 0)
-    ws_tokens = F.when(F.length(F.trim('text')) == 0, F.array()) \
+    ws_tokens_expr = F.when(F.length(F.trim('text')) == 0, F.array()) \
         .otherwise(F.split(F.trim('text'), r'\s+'))
+    # materialize the word arrays behind a select boundary: the grams
+    # transform below captures lower_words inside its lambda, and a
+    # captured EXPRESSION is re-evaluated once per element — the full
+    # split+filter per 3-gram index, O(len^2) per document (the same
+    # trap fixed in dsir_weights / lang_id_by_script_learned)
+    documents = documents.select(
+        'doc_id', 'text', lower_words_expr.alias('_lw'),
+        ws_tokens_expr.alias('_wt'))
+    lower_words = F.col('_lw')
+    ws_tokens = F.col('_wt')
     n_words = F.size(lower_words)
     sum_len = F.length(F.array_join(lower_words, ''))
     # half-up integer centi mean: floor((200*s + n) / (2n)) — double
