@@ -180,9 +180,14 @@ def line_dedup(documents: DataFrame) -> DataFrame:
         'tinyint', 'smallint', 'int', 'bigint')
     if numeric_id:
         # the BIGINT encoding aliases for >=1M-line docs or negative
-        # ids — fail loudly instead of corrupting an unrelated document
+        # ids, and doc_id*1M overflows Long.MAX for
+        # doc_id > (2^63-1-999999)/1M ≈ 9.223e12 (silent wrap in
+        # non-ANSI mode would corrupt keep-first attribution) — fail
+        # loudly instead of corrupting an unrelated document
         pos_key = F.when(
-            (F.col('idx') >= 1000000) | (F.col('doc_id') < 0),
+            (F.col('idx') >= 1000000) | (F.col('doc_id') < 0)
+            | (F.col('doc_id') > (9223372036854775807 - 999999)
+               // 1000000),
             F.raise_error(F.concat(
                 F.lit('line_dedup: doc_id '), F.col('doc_id'),
                 F.lit(' violates the numeric pos_key encoding '

@@ -166,7 +166,8 @@ def media_refs_from_results(results: DataFrame) -> DataFrame:
 
 
 RESIZED_SCHEMA = ('media_ref string, width int, height int, '
-                  'resized_payload binary, status string')
+                  'resized_payload binary, raster_md5 string, '
+                  'status string')
 
 
 def resize_to(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
@@ -194,7 +195,12 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize stage — REAL for PNG payloads: decode, box-average
     resample preserving aspect ratio, re-encode PNG (status 'ok').
     Undecodable mimes keep the deterministic byte-budget fallback
-    (status 'fake'); corrupt payloads become error rows."""
+    (status 'fake'); corrupt payloads become error rows.
+
+    ``raster_md5`` hashes the resized PIXELS (raw raster bytes), not
+    the re-encoded PNG: deflate output is not pinned across zlib
+    builds (zlib-ng etc.), so goldens gate on the raster hash — the
+    payload bytes stay available for downstream sinks."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -209,19 +215,24 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
                     rows.append({'media_ref': ref, 'width': nw,
                                  'height': nh,
                                  'resized_payload': encode_png(resized),
+                                 'raster_md5': hashlib.md5(
+                                     resized.tobytes()).hexdigest(),
                                  'status': 'ok'})
                 except NotImplementedError:
                     budget = max(16, (nw * nh) // 4)
                     rows.append({'media_ref': ref, 'width': nw,
                                  'height': nh,
                                  'resized_payload': bytes(payload)[:budget],
+                                 'raster_md5': '',
                                  'status': 'fake'})
                 except Exception as e:
                     rows.append({'media_ref': ref, 'width': nw,
                                  'height': nh, 'resized_payload': b'',
+                                 'raster_md5': '',
                                  'status': f'error: {e}'[:200]})
             yield pd.DataFrame(rows, columns=['media_ref', 'width', 'height',
-                                              'resized_payload', 'status'])
+                                              'resized_payload',
+                                              'raster_md5', 'status'])
     return media.select('media_ref', 'payload', 'mime', 'width', 'height') \
         .mapInPandas(batch, RESIZED_SCHEMA)
 

@@ -9,14 +9,20 @@ end-to-end with no external data — the same design as the WARC source
 
 Extractor scope, stated honestly: PDF 1.x bodies whose page content
 streams are uncompressed or FlateDecode (zlib — stdlib), with text shown
-via the standard operators ``Tj`` / ``'`` / ``"`` (literal strings) and
-``TJ`` (array of strings + kerning numbers); string escapes
-(``\\)``, ``\\(``, ``\\\\``, ``\\n``-family, octal) are decoded per the
-spec. That covers machine-generated report/invoice/article PDFs — the
-kind a crawl actually yields in bulk. Hex strings, CID/Type0 composite
-fonts, encrypted files and object streams surface as contained error or
-partial rows, never task failures (extracting those correctly needs a
-font/CMap stack — a real library dependency, not a parsing trick).
+via the standard operators ``Tj`` / ``'`` / ``"`` and ``TJ`` (array of
+strings + kerning numbers), over BOTH literal strings (``(...)`` with
+``\\)``, ``\\(``, ``\\\\``, ``\\n``-family and octal escapes decoded per
+the spec) and hex strings (``<48656c...>``, whitespace-tolerant, odd
+final digit zero-padded). Stream bounds honor the dictionary's direct
+``/Length`` entry when present (a FlateDecode body may legally contain
+the bytes ``endstream``; the regex bound is only the fallback for
+indirect or absent lengths). That covers machine-generated
+report/invoice/article PDFs — the kind a crawl actually yields in bulk.
+CID/Type0 composite fonts, encrypted files and object streams surface
+as contained error or partial rows, never task failures (extracting
+those correctly needs a font/CMap stack — a real library dependency,
+not a parsing trick); undecodable streams are counted into the per-doc
+``n_bad_streams`` warning column instead of vanishing silently.
 
 Spark shape: one task per file via the binaryFile source, Arrow-batched
 parse, errors as rows — identical contract to the WARC reader.
@@ -29,8 +35,9 @@ import zlib
 from typing import Iterator, List, Tuple
 
 _STREAM_RE = re.compile(rb'stream\r?\n(.*?)\r?\nendstream', re.DOTALL)
+_STREAM_START_RE = re.compile(rb'stream\r?\n')
+_LENGTH_RE = re.compile(rb'/Length\s+(\d+)(?!\s+\d+\s+R)')
 _FLATE_RE = re.compile(rb'/Filter\s*(?:\[\s*)?/FlateDecode')
-_OBJ_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj(.*?)endobj', re.DOTALL)
 _PAGE_COUNT_RE = re.compile(rb'/Type\s*/Page[^s]')
 
 # one text-showing op: literal string followed by Tj / ' / ", or an
@@ -63,13 +70,40 @@ def _decode_literal(body: bytes) -> str:
     return out.decode('latin-1')
 
 
+_WS_ONLY_RE = re.compile(rb'\s+')
+
+
+def _decode_hex(body: bytes) -> str:
+    """Decode one PDF hex string body (between < and >): whitespace is
+    ignored, an odd final digit is zero-padded (PDF 32000-1 §7.3.4.3)."""
+    digits = _WS_ONLY_RE.sub(b'', body)
+    if len(digits) % 2:
+        digits += b'0'
+    try:
+        return bytes.fromhex(digits.decode('ascii')).decode('latin-1')
+    except (ValueError, UnicodeDecodeError):
+        return ''
+
+
 def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
-    """Yield (decoded string, end position) for every literal string,
-    respecting escapes and nesting-free paren balance."""
+    """Yield (decoded string, end position) for every literal ``(...)``
+    and hex ``<...>`` string, respecting escapes and paren nesting;
+    ``<<`` dictionary opens are skipped (not strings)."""
     i = 0
     n = len(stream)
     while i < n:
-        if stream[i:i + 1] != b'(':
+        c = stream[i:i + 1]
+        if c == b'<':
+            if stream[i + 1:i + 2] == b'<':
+                i += 2                      # dict open, not a string
+                continue
+            j = stream.find(b'>', i + 1)
+            if j < 0:
+                return
+            yield _decode_hex(stream[i + 1:j]), j + 1
+            i = j + 1
+            continue
+        if c != b'(':
             i += 1
             continue
         j = i + 1
@@ -88,52 +122,102 @@ def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
         i = j
 
 
+# anchored via compiled.match(stream, pos) — no slicing (a slice per
+# string would be O(n^2) over the stream) and no fixed-size window (a
+# long kerning run after a TJ string must not push the operator out of
+# a 64-byte lookahead)
+_SHOW_OP_RE = re.compile(rb"\s*(?:[-0-9.\s]*\])?\s*(Tj|TJ|'|\")")
+_TJ_INNER_RE = re.compile(rb"\s*(?:-?[0-9.]+\s*)*(?:\(|<(?!<)|\]\s*TJ)")
+
+
 def extract_stream_text(stream: bytes) -> List[str]:
     """Text runs shown by one content stream, in stream order: every
-    literal string that a Tj / ' / " consumes, and every string inside a
-    TJ array. A '-shown string implies a line break before it (the
-    operator moves to the next line)."""
+    literal or hex string that a Tj / ' / " consumes, and every string
+    inside a TJ array. A '-shown string implies a line break before it
+    (the operator moves to the next line)."""
     runs: List[str] = []
     for s, end in _scan_strings(stream):
         # the operator follows the string (possibly after an array close
-        # + kerning numbers for TJ) — look ahead a short window
-        window = stream[end:end + 64]
-        m = re.match(rb"\s*(?:[-0-9.\s]*\])?\s*(Tj|TJ|'|\")", window)
-        if m:
+        # + kerning numbers for TJ) — anchored lookahead at `end`
+        if _SHOW_OP_RE.match(stream, end):
             runs.append(s)
             continue
         # inside a TJ array: strings separated by ONE OR MORE kerning
         # numbers before the next string or the closing bracket (legal
         # PDF emits adjacent adjustments: [(He) -10 -20 (llo)] TJ)
-        if re.match(rb"\s*(?:-?[0-9.]+\s*)*(?:\(|\]\s*TJ)", window):
+        if _TJ_INNER_RE.match(stream, end):
             runs.append(s)
     return runs
 
 
-def pdf_to_text(data: bytes) -> Tuple[str, int]:
-    """(extracted text, n_pages) for one PDF file. Content streams are
-    located by structure (stream/endstream), inflated when FlateDecode,
-    and scanned for text operators; page count comes from /Type /Page
-    objects. Raises ValueError on non-PDF input."""
+_OBJ_HEADER_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj')
+_ENDSTREAM_AFTER_RE = re.compile(rb'\s*endstream')
+
+
+def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
+    """Yield (object dictionary bytes, raw stream bytes) for every
+    stream object.  Stream bounds honor a DIRECT ``/Length n`` entry
+    (verified by the trailing ``endstream`` keyword) — a FlateDecode
+    body may legally contain the bytes ``endstream``/``endobj``, which
+    truncates any purely regex-delimited scan; the non-greedy regex is
+    only the fallback for absent or indirect (``n 0 R``) lengths."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        h = _OBJ_HEADER_RE.search(data, pos)
+        if not h:
+            return
+        em = data.find(b'endobj', h.end())
+        sm = _STREAM_START_RE.search(data, h.end())
+        if sm is None or (0 <= em < sm.start()):
+            pos = (em + 6) if em >= 0 else h.end()
+            continue
+        dict_part = data[h.end():sm.start()]
+        raw = None
+        lm = _LENGTH_RE.search(dict_part)
+        if lm:
+            s0 = sm.end()
+            ln = int(lm.group(1))
+            if s0 + ln <= n and _ENDSTREAM_AFTER_RE.match(
+                    data, s0 + ln):
+                raw = data[s0:s0 + ln]
+                pos = s0 + ln
+        if raw is None:
+            fm = _STREAM_RE.search(data, sm.start())
+            if fm is None:
+                return
+            raw = fm.group(1)
+            pos = fm.end()
+        yield dict_part, raw
+        nxt = data.find(b'endobj', pos)
+        pos = (nxt + 6) if nxt >= 0 else pos
+
+
+def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
+    """(extracted text, n_pages, n_bad_streams) for one PDF file.
+    Content streams are located via /Length-verified bounds (regex
+    fallback), inflated when FlateDecode, and scanned for text
+    operators; page count comes from /Type /Page objects. Streams that
+    fail to inflate are COUNTED (``n_bad_streams``), not silently
+    dropped — text loss is visible in the output row. Raises ValueError
+    on non-PDF input."""
     if not bytes(data[:5]) == b'%PDF-':
         raise ValueError('not a PDF (missing %PDF- header)')
+    data = bytes(data)
     n_pages = len(_PAGE_COUNT_RE.findall(data))
+    n_bad = 0
     texts: List[str] = []
-    for m in _OBJ_RE.finditer(data):
-        body = m.group(3)
-        sm = _STREAM_RE.search(body)
-        if not sm:
-            continue
-        raw = sm.group(1)
-        if _FLATE_RE.search(body[:sm.start()]):
+    for dict_part, raw in _iter_stream_objects(data):
+        if _FLATE_RE.search(dict_part):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
-                continue                    # contained: skip bad stream
+                n_bad += 1                  # contained AND counted
+                continue
         if b'BT' not in raw:
             continue                        # not a text content stream
         texts.extend(extract_stream_text(raw))
-    return '\n'.join(texts), n_pages
+    return '\n'.join(texts), n_pages, n_bad
 
 
 # ---------------------------------------------------------------------------
@@ -146,9 +230,16 @@ def _pdf_escape(s: str) -> bytes:
 
 
 def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
-                    compress: bool = True) -> bytes:
+                    compress: bool = True,
+                    string_style: str = 'literal') -> bytes:
     """A complete, valid single-font PDF showing ``lines`` across pages
-    (FlateDecode content streams when ``compress``). Deterministic."""
+    (FlateDecode content streams when ``compress``). Deterministic.
+
+    ``string_style``: 'literal' (``(...) Tj``), 'hex' (``<...> Tj`` hex
+    strings with embedded whitespace and an odd-digit final string), or
+    'tj_kerned' (TJ arrays splitting each line in two with a LONG run
+    of kerning adjustments between the halves — the shape that defeats
+    any fixed-size operator lookahead window)."""
     pages = [lines[i:i + lines_per_page]
              for i in range(0, max(len(lines), 1), lines_per_page)]
     objs: List[bytes] = []
@@ -157,13 +248,31 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
         objs.append(body)
         return len(objs)            # 1-based object number
 
+    def show(ln: str, first: bool) -> bytes:
+        if string_style == 'hex':
+            hx = ln.encode('latin-1', 'replace').hex().encode('ascii')
+            # legal whitespace inside the hex string; odd final digit
+            # (zero-padded per spec) when the last byte's low nibble is 0
+            if len(hx) > 8:
+                hx = hx[:8] + b'\n' + hx[8:]
+            if hx.endswith(b'0'):
+                hx = hx[:-1]
+            return b'<' + hx + b'> Tj T*'
+        if string_style == 'tj_kerned':
+            mid = max(len(ln) // 2, 1)
+            kern = b' '.join(str(-(3 + k % 7)).encode()
+                             for k in range(40))
+            return (b'[(' + _pdf_escape(ln[:mid]) + b') ' + kern
+                    + b' (' + _pdf_escape(ln[mid:]) + b')] TJ T*')
+        return ((b'(' + _pdf_escape(ln) + b') Tj T*') if first
+                else (b'(' + _pdf_escape(ln) + b") '"))
+
     font = add(b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>')
     content_ids, page_ids = [], []
     for pls in pages:
         parts = [b'BT /F1 11 Tf 50 780 Td 14 TL']
         for i, ln in enumerate(pls):
-            parts.append((b'(' + _pdf_escape(ln) + b') Tj T*') if i == 0
-                         else (b'(' + _pdf_escape(ln) + b") '"))
+            parts.append(show(ln, i == 0))
         parts.append(b'ET')
         stream = b'\n'.join(parts)
         if compress:
@@ -207,41 +316,89 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
 def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
     """Deterministic PDF gate corpus: ``n_docs`` files sweeping the
     extractor's surface — compressed and uncompressed streams, 1..3
-    pages, strings with parens/backslash/octal-escape content — plus one
-    corrupt non-PDF file that must quarantine as an error row."""
+    pages, literal strings with parens/backslash/octal-escape content,
+    HEX strings (``<...> Tj``), TJ arrays with 40-number kerning runs —
+    plus four adversarial files: a corrupt non-PDF (error row), a PDF
+    whose uncompressed stream contains the bytes ``endstream`` inside a
+    string (only the /Length-honoring bound extracts it whole), a PDF
+    with one undecodable FlateDecode stream (must COUNT, not silently
+    drop), and a mixed literal+hex TJ array file."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     words = ('report table figure total revenue section appendix value '
              'quarter summary analysis margin growth index page').split()
+    styles = ('literal', 'hex', 'tj_kerned')
     for d in range(n_docs):
         lines = []
         for i in range(8 + (d * 7) % 40):
             ws = [words[(d * 13 + i * 5 + k) % len(words)]
                   for k in range(6 + (i + d) % 5)]
             ln = ' '.join(ws)
-            if i % 9 == 3:
+            if i % 9 == 3 and d % 4 != 2:
                 ln += ' (nested (parens)) and \\ backslash'
             lines.append(f'{ln} #{d}-{i}')
         data = write_synth_pdf(lines, lines_per_page=15,
-                               compress=(d % 3 != 1))
+                               compress=(d % 3 != 1),
+                               string_style=styles[d % 4 % 3]
+                               if d % 4 != 0 else 'literal')
         with open(os.path.join(out_dir, f'doc{d:03d}.pdf'), 'wb') as f:
             f.write(data)
     with open(os.path.join(out_dir, 'corrupt.pdf'), 'wb') as f:
         f.write(b'this is not a pdf at all \x00\x01\x02')
+    # /Length-bound proof: the string content CONTAINS 'endstream' —
+    # a regex-delimited scan truncates the stream mid-string and loses
+    # the tail; the /Length path extracts every line
+    tricky_stream = (b'BT (before the marker) Tj\n'
+                     b'(contains endstream inside a string) Tj\n'
+                     b'(after the marker) Tj ET')
+    tricky = (b'%PDF-1.4\n'
+              b'1 0 obj\n<< /Type /Page >>\nendobj\n'
+              b'2 0 obj\n<< /Length ' + str(len(tricky_stream)).encode()
+              + b' >>\nstream\n' + tricky_stream
+              + b'\nendstream\nendobj\n'
+              b'%%EOF\n')
+    with open(os.path.join(out_dir, 'len_bound.pdf'), 'wb') as f:
+        f.write(tricky)
+    # one good + one undecodable Flate stream: n_bad_streams == 1 and
+    # the good page's text still extracts
+    good = zlib.compress(b'BT (good page text survives) Tj ET', 6)
+    bad_flate = (b'%PDF-1.4\n'
+                 b'1 0 obj\n<< /Type /Page >>\nendobj\n'
+                 b'2 0 obj\n<< /Length ' + str(len(good)).encode()
+                 + b' /Filter /FlateDecode >>\nstream\n' + good
+                 + b'\nendstream\nendobj\n'
+                 b'3 0 obj\n<< /Length 12 /Filter /FlateDecode >>\n'
+                 b'stream\nnot deflate!\nendstream\nendobj\n'
+                 b'%%EOF\n')
+    with open(os.path.join(out_dir, 'bad_stream.pdf'), 'wb') as f:
+        f.write(bad_flate)
+    # mixed literal + hex strings inside ONE TJ array
+    mixed_stream = (b'BT [(lit half ) -12 <6865782068616c66> -8 (!)] '
+                    b'TJ ET')
+    mixed = (b'%PDF-1.4\n'
+             b'1 0 obj\n<< /Type /Page >>\nendobj\n'
+             b'2 0 obj\n<< /Length ' + str(len(mixed_stream)).encode()
+             + b' >>\nstream\n' + mixed_stream
+             + b'\nendstream\nendobj\n'
+             b'%%EOF\n')
+    with open(os.path.join(out_dir, 'mixed_tj.pdf'), 'wb') as f:
+        f.write(mixed)
 
 
 PDF_ROWS_SCHEMA = ('doc_id string, n_pages int, n_chars long, '
-                   'text string, error string')
+                   'n_bad_streams int, text string, error string')
 
 
 def pdf_bytes_to_row(name: str, data: bytes) -> dict:
     """One (file -> row) parse with contained failure."""
     try:
-        text, n_pages = pdf_to_text(data)
+        text, n_pages, n_bad = pdf_to_text(data)
         return {'doc_id': name, 'n_pages': n_pages,
-                'n_chars': len(text), 'text': text, 'error': ''}
+                'n_chars': len(text), 'n_bad_streams': n_bad,
+                'text': text, 'error': ''}
     except Exception as e:
-        return {'doc_id': name, 'n_pages': 0, 'n_chars': 0, 'text': '',
+        return {'doc_id': name, 'n_pages': 0, 'n_chars': 0,
+                'n_bad_streams': 0, 'text': '',
                 'error': f'{type(e).__name__}: {e}'[:300]}
 
 
@@ -260,7 +417,7 @@ def read_pdfs(spark, path: str):
             rows = [pdf_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
                     for p, c in zip(pdf['path'], pdf['content'])]
             yield pd.DataFrame(
-                rows, columns=['doc_id', 'n_pages', 'n_chars', 'text',
-                               'error'])
+                rows, columns=['doc_id', 'n_pages', 'n_chars',
+                               'n_bad_streams', 'text', 'error'])
 
     return files.mapInPandas(batch, PDF_ROWS_SCHEMA)

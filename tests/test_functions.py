@@ -438,6 +438,14 @@ def test_media_resize_and_frames(spark):
     resized = resize_images(media, max_side=32).collect()
     assert all(r['status'] == 'ok' and max(r['width'], r['height']) <= 32
                for r in resized)
+    # the golden gates on raster_md5 (pixels), not payload bytes —
+    # certify here that the payload round-trips to exactly that raster
+    import hashlib
+
+    from mineru_html_spark.functions.png import decode_png
+    for r in resized:
+        img = decode_png(bytes(r['resized_payload']))
+        assert hashlib.md5(img.tobytes()).hexdigest() == r['raster_md5']
     # aspect preserved within rounding
     orig = {r['media_ref']: (r['width'], r['height'])
             for r in media.collect()}
@@ -1599,6 +1607,17 @@ def test_line_dedup_rejects_encoding_violations(spark):
     df = spark.createDataFrame([(-3, 'a\nb')], 'doc_id long, text string')
     with _pytest.raises(Exception, match='pos_key encoding'):
         line_dedup(df).collect()
+    # doc_id large enough that doc_id*1_000_000 wraps past Long.MAX —
+    # a silent wrap (non-ANSI mode) would mis-attribute keep-first
+    big = (2**63 - 1 - 999999) // 1000000 + 1
+    df2 = spark.createDataFrame([(big, 'a\nb')], 'doc_id long, text string')
+    with _pytest.raises(Exception, match='pos_key encoding'):
+        line_dedup(df2).collect()
+    # the largest encodable id still works
+    ok = spark.createDataFrame([(big - 1, 'a\nb\na')],
+                               'doc_id long, text string')
+    row = line_dedup(ok).collect()[0]
+    assert row['n_lines'] == 3 and row['n_removed'] == 1
 
 
 def test_regex_literal_escapes_metacharacters(spark):

@@ -8,7 +8,9 @@ from mineru_html_spark.sources.pdf import (pdf_bytes_to_row, pdf_to_text,
 
 def test_pdf_roundtrip_multipage_compressed():
     lines = [f'Line {i} of the quarterly report' for i in range(45)]
-    text, n_pages = pdf_to_text(write_synth_pdf(lines, lines_per_page=20))
+    text, n_pages, n_bad = pdf_to_text(
+        write_synth_pdf(lines, lines_per_page=20))
+    assert n_bad == 0
     assert n_pages == 3
     assert text.split('\n') == lines
 
@@ -18,12 +20,12 @@ def test_pdf_roundtrip_uncompressed_and_escapes():
              'with (nested (parens)) inside',
              'a \\ backslash and a ) stray paren',
              'tabs\tand\nnewlines survive as chars']
-    text, n_pages = pdf_to_text(
+    text, n_pages, _ = pdf_to_text(
         write_synth_pdf(lines, compress=False))
     assert n_pages == 1
     assert text == '\n'.join(lines)
     # compressed variant produces the identical text
-    t2, _ = pdf_to_text(write_synth_pdf(lines, compress=True))
+    t2, _, _ = pdf_to_text(write_synth_pdf(lines, compress=True))
     assert t2 == text
 
 
@@ -42,21 +44,25 @@ def test_pdf_corrupt_contained():
     broken = good.replace(b'stream\n', b'stream\nXX', 1)
     r2 = pdf_bytes_to_row('half.pdf', broken)
     assert r2['error'] == ''               # contained skip, not failure
+    assert r2['n_bad_streams'] == 1        # ...but the loss is COUNTED
 
 
 def test_read_pdfs_spark_path(spark, tmp_path):
     d = str(tmp_path / 'pdfs')
     write_synth_pdf_gate_set(d, n_docs=6)
     rows = {r['doc_id']: r for r in read_pdfs(spark, d).collect()}
-    assert len(rows) == 7                  # 6 good + 1 corrupt
+    # 6 synth + corrupt + 3 adversarial (len_bound/bad_stream/mixed_tj)
+    assert len(rows) == 10
     assert rows['corrupt.pdf']['error'].startswith('ValueError')
+    assert rows['bad_stream.pdf']['n_bad_streams'] == 1
+    assert 'endstream inside a string' in rows['len_bound.pdf']['text']
     good = [r for n, r in rows.items() if n != 'corrupt.pdf']
     assert all(r['error'] == '' and r['n_chars'] > 0 and r['n_pages'] >= 1
                for r in good)
     # extraction agrees with a direct single-node parse of the same file
     import os
     with open(os.path.join(d, 'doc000.pdf'), 'rb') as f:
-        want_text, want_pages = pdf_to_text(f.read())
+        want_text, want_pages, _ = pdf_to_text(f.read())
     assert rows['doc000.pdf']['text'] == want_text
     assert rows['doc000.pdf']['n_pages'] == want_pages
 
@@ -79,5 +85,73 @@ def test_pdf_tj_array_with_multiple_kerning_numbers():
     comp = zlib.compress(stream)
     pdf = (b'%PDF-1.4\n1 0 obj\n' + body % (len(comp), comp)
            + b'\nendobj\n2 0 obj\n<< /Type /Page >>\nendobj\n')
-    text, n_pages = pdf_to_text(pdf)
+    text, n_pages, _ = pdf_to_text(pdf)
     assert text == 'He\nllo\n wor\nld\ntail' and n_pages == 1
+
+
+def test_pdf_hex_strings_roundtrip():
+    lines = ['hello hex world', 'second line with more text',
+             'third and final']
+    text, n_pages, n_bad = pdf_to_text(
+        write_synth_pdf(lines, string_style='hex'))
+    assert text == '\n'.join(lines) and n_bad == 0
+    # compressed variant identical
+    t2, _, _ = pdf_to_text(
+        write_synth_pdf(lines, string_style='hex', compress=True))
+    assert t2 == text
+
+
+def test_pdf_hex_decode_spec_cases():
+    from mineru_html_spark.sources.pdf import _decode_hex
+    assert _decode_hex(b'48656c6c6f') == 'Hello'
+    assert _decode_hex(b'48 65\n6c6C 6f') == 'Hello'   # ws + case
+    assert _decode_hex(b'4865706') == 'Hep`'           # odd: pad 0
+    assert _decode_hex(b'') == ''
+
+
+def test_pdf_tj_long_kerning_run_not_window_limited():
+    """40 kerning adjustments between TJ halves exceed any fixed
+    64-byte lookahead — the anchored-match scan must keep every
+    string (review finding: the old window dropped the second
+    half)."""
+    from mineru_html_spark.sources.pdf import extract_stream_text
+    kern = b' '.join(str(-(3 + k)).encode() for k in range(40))
+    stream = b'BT [(first half) ' + kern + b' (second half)] TJ ET'
+    assert extract_stream_text(stream) == ['first half', 'second half']
+    # and end-to-end via the synth writer's tj_kerned style
+    text, _, _ = pdf_to_text(
+        write_synth_pdf(['abcdefgh'], string_style='tj_kerned'))
+    assert text.replace('\n', '') == 'abcdefgh'
+
+
+def test_pdf_length_bound_beats_embedded_endstream():
+    """A stream whose DATA contains the bytes 'endstream' (legal for
+    FlateDecode bodies, and constructible with literal strings) must
+    not be truncated: the /Length entry bounds the stream."""
+    body = (b'BT (before) Tj (contains endstream here) Tj '
+            b'(after) Tj ET')
+    pdf = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n'
+           b'2 0 obj\n<< /Length ' + str(len(body)).encode()
+           + b' >>\nstream\n' + body + b'\nendstream\nendobj\n%%EOF\n')
+    text, n_pages, n_bad = pdf_to_text(pdf)
+    assert text == 'before\ncontains endstream here\nafter'
+    assert n_bad == 0
+
+
+def test_pdf_indirect_length_falls_back_to_regex():
+    """/Length given as an indirect reference (n 0 R) cannot be
+    resolved without an xref walk — the regex bound takes over and
+    plain streams still extract."""
+    body = b'BT (indirect length doc) Tj ET'
+    pdf = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n'
+           b'2 0 obj\n<< /Length 9 0 R >>\nstream\n' + body
+           + b'\nendstream\nendobj\n'
+           b'9 0 obj\n' + str(len(body)).encode() + b'\nendobj\n%%EOF\n')
+    text, _, _ = pdf_to_text(pdf)
+    assert text == 'indirect length doc'
+
+
+def test_pdf_mixed_literal_and_hex_in_one_tj():
+    from mineru_html_spark.sources.pdf import extract_stream_text
+    stream = b'BT [(lit ) -12 <686578> -8 ( done)] TJ ET'
+    assert extract_stream_text(stream) == ['lit ', 'hex', ' done']
