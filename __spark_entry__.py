@@ -121,6 +121,27 @@ def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The markdown output tier (the reference's dominant ``*-md``
+    format — dripper/eval_baselines/baselines/imp.py:1474-1507): the
+    same single-parse extraction, plus the pruned main tree serialized
+    as markdown (headings/lists/links/images/quotes/tables/code) inside
+    the same Arrow batch. Gated over a fifth of the extraction corpus
+    against a committed golden (hash of the markdown itself, so any
+    serializer drift flips the gate)."""
+    from mineru_html_spark.operators.extract_op import apply_extract_markdown
+    from mineru_html_spark.sources.synthsource import materialized_docs
+    n = docs_for_sf(_sf_of(sf_dir))
+    # doc ids are 'doc-{idx:08d}' — keep every fifth document
+    docs = materialized_docs(spark, n).where(
+        F.substring('doc_id', 5, 8).cast('long') % 5 == 0)
+    res = apply_extract_markdown(docs)
+    return res.select(
+        'doc_id', 'status',
+        F.length('markdown').cast('long').alias('md_chars'),
+        F.md5('markdown').alias('md_md5'))
+
+
 def q_warc_extract(spark, sf_dir):
     """End-to-end WARC path: synthesize a deterministic 4-archive set
     (plain / whole-gzip / member-gzip / corrupt), read via the binaryFile
@@ -1894,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_oracles.py) runs everything regardless of order.
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
+        'extract_markdown': q_extract_markdown,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2016,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup', 'pdf_extract',
+                     'extract_markdown',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -146,12 +146,18 @@ def _segment_doc(html_str: str):
 
 
 def _finalize_doc(root, blocks, labels: Dict[int, str],
-                  status: str, node_map: Dict[int, object] = None) -> dict:
+                  status: str, node_map: Dict[int, object] = None,
+                  with_markdown: bool = False) -> dict:
     """Stage 3: prune to main, unwrap run markers, emit spans.
 
     ``node_map`` (id(old)->new, from Node.clone_tree) re-anchors the
     blocks' node references into a cloned tree, so several destructive
-    finalizations can share one parse (fused baseline labelings)."""
+    finalizations can share one parse (fused baseline labelings).
+
+    ``with_markdown`` additionally serializes the pruned tree as
+    markdown (the reference's dominant *-md output format) — same
+    walk cost class as span emission, off by default so the flagship
+    spans path pays nothing."""
     n_items = len(blocks)
     if node_map is None:
         main_nodes = [b.node for b in blocks
@@ -160,20 +166,32 @@ def _finalize_doc(root, blocks, labels: Dict[int, str],
         main_nodes = [node_map[id(b.node)] for b in blocks
                       if labels.get(b.item_id) == MAIN]
     if not main_nodes:
-        return {'spans': [], 'status': STATUS_NO_MAIN,
-                'n_items': n_items, 'n_main': 0, 'error': ''}
+        r = {'spans': [], 'status': STATUS_NO_MAIN,
+             'n_items': n_items, 'n_main': 0, 'error': ''}
+        if with_markdown:
+            r['markdown'] = ''
+        return r
     keep = _keep_set(root, main_nodes)
     _prune(root, keep)
     _unwrap_runs(root)
-    spans = tree_to_spans(get_body(root))
+    body = get_body(root)
+    spans = tree_to_spans(body)
     if not spans:
-        return {'spans': [], 'status': STATUS_NO_MAIN,
-                'n_items': n_items, 'n_main': len(main_nodes), 'error': ''}
-    return {'spans': spans, 'status': status, 'n_items': n_items,
-            'n_main': len(main_nodes), 'error': ''}
+        r = {'spans': [], 'status': STATUS_NO_MAIN,
+             'n_items': n_items, 'n_main': len(main_nodes), 'error': ''}
+        if with_markdown:
+            r['markdown'] = ''
+        return r
+    r = {'spans': spans, 'status': status, 'n_items': n_items,
+         'n_main': len(main_nodes), 'error': ''}
+    if with_markdown:
+        from .markdown import tree_to_markdown
+        r['markdown'] = tree_to_markdown(body)
+    return r
 
 
-def extract_rows(rows: List[tuple]) -> List[dict]:
+def extract_rows(rows: List[tuple],
+                 with_markdown: bool = False) -> List[dict]:
     """Batched extraction: [(doc_id, spans), ...] -> output rows.
 
     The scorer runs ONCE over the concatenated candidate blocks of every
@@ -213,11 +231,14 @@ def extract_rows(rows: List[tuple]) -> List[dict]:
     for idx, item in enumerate(staged):
         doc_id, root, blocks, pre, us = item
         if pre == STATUS_ERROR:
-            out.append({'doc_id': doc_id, 'spans': [],
-                        'status': STATUS_ERROR, 'n_items': 0, 'n_main': 0,
-                        'error': 'segment stage failed: '
-                                 + seg_errors.get(doc_id, ''),
-                        'proc_us': us})
+            r0 = {'doc_id': doc_id, 'spans': [],
+                  'status': STATUS_ERROR, 'n_items': 0, 'n_main': 0,
+                  'error': 'segment stage failed: '
+                           + seg_errors.get(doc_id, ''),
+                  'proc_us': us}
+            if with_markdown:
+                r0['markdown'] = ''
+            out.append(r0)
             continue
         t1 = perf_counter_ns()
         try:
@@ -234,11 +255,14 @@ def extract_rows(rows: List[tuple]) -> List[dict]:
                     status = STATUS_FALLBACK
                 else:
                     status = STATUS_OK
-            r = _finalize_doc(root, blocks, labels, status)
+            r = _finalize_doc(root, blocks, labels, status,
+                              with_markdown=with_markdown)
         except Exception:
             r = {'spans': [], 'status': STATUS_ERROR, 'n_items': 0,
                  'n_main': 0,
                  'error': traceback.format_exc(limit=3)[-1000:]}
+            if with_markdown:
+                r['markdown'] = ''
         r['doc_id'] = doc_id
         # per-doc wall time = segment + finalize phases (the scorer is
         # batch-fused and uniform); feeds lineage skew counters

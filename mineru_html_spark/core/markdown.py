@@ -1,0 +1,260 @@
+"""Main-content tree -> Markdown serializer (the reference's dominant
+output format).
+
+The reference's eval factory registers ``*-md`` variants for nearly
+every extractor (dripper/eval_baselines/baselines/imp.py:1474-1507):
+extract main HTML, then convert with html2text
+(``HTML2TextWrapper``, imp.py:15-27 — ``bodywidth=0`` i.e. no line
+wrapping, links/images optionally dropped).  This module is the
+engine's native equivalent: it walks the PRUNED main-content Node tree
+(the same tree ``tree_to_spans`` flattens) and emits CommonMark-style
+markdown with html2text conventions:
+
+  * headings  ``# `` .. ``###### ``
+  * paragraphs separated by blank lines, no wrapping (bodywidth=0)
+  * ``*`` bullets / ``1.`` ordered items, 4-space nesting
+  * ``**strong**`` / ``_emphasis_`` / `` `code` ``
+  * ``[text](href)`` links, ``![alt](src)`` images — suppressible via
+    ``ignore_links`` / ``ignore_images`` exactly like the reference's
+    wrapper config (imp.py:19-20 sets both True for eval)
+  * ``> `` blockquotes, 4-space-indented ``pre`` blocks, ``* * *`` hr
+  * pipe tables with a ``---`` separator row after the header
+
+Pure tree walk, no regexes over HTML: runs inside the same Arrow batch
+as extraction, so the markdown tier adds zero extra parses or shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .dom import Node
+
+_HEADINGS = {'h1': 1, 'h2': 2, 'h3': 3, 'h4': 4, 'h5': 5, 'h6': 6}
+# inline rendering set for MARKDOWN purposes (narrower than simplify's
+# INLINE_TAGS, which exists for run-wrapping and includes li/dd/dt)
+_MD_INLINE = frozenset({
+    'a', 'abbr', 'acronym', 'b', 'bdo', 'big', 'br', 'cite', 'code',
+    'dfn', 'em', 'font', 'i', 'img', 'kbd', 'label', 'mark', 'nobr',
+    'q', 's', 'samp', 'small', 'span', 'strike', 'strong', 'sub',
+    'sup', 'time', 'tt', 'u', 'var',
+})
+
+
+class MarkdownOptions:
+    def __init__(self, ignore_links: bool = False,
+                 ignore_images: bool = False):
+        self.ignore_links = ignore_links
+        self.ignore_images = ignore_images
+
+
+def _collapse(text: str) -> str:
+    return ' '.join(text.split())
+
+
+def _collapse_keep_edges(c: str) -> str:
+    """Collapse interior whitespace but preserve boundary spaces (they
+    separate adjacent inline runs)."""
+    s = ' '.join(c.split())
+    if c[:1].isspace() and s:
+        s = ' ' + s
+    if c[-1:].isspace() and s:
+        s = s + ' '
+    return s
+
+
+def _inline(node: Node, opts: MarkdownOptions) -> str:
+    parts: List[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(_collapse_keep_edges(c))
+        else:
+            parts.append(_inline_el(c, opts))
+    return ''.join(parts)
+
+
+def _inline_el(el: Node, opts: MarkdownOptions) -> str:
+    t = el.tag
+    if t == 'br':
+        return '\n'
+    if t == 'img':
+        if opts.ignore_images:
+            return ''
+        src = (el.get('src') or '').strip()
+        if not src:
+            return ''
+        alt = _collapse(el.get('alt') or '')
+        return f'![{alt}]({src})'
+    if t == 'a':
+        inner = _inline(el, opts)
+        href = (el.get('href') or '').strip()
+        if opts.ignore_links or not href:
+            return inner
+        stripped = inner.strip()
+        return f'[{stripped}]({href})' if stripped else ''
+    if t in ('b', 'strong'):
+        inner = _inline(el, opts).strip()
+        return f'**{inner}**' if inner else ''
+    if t in ('i', 'em', 'cite', 'dfn', 'var'):
+        inner = _inline(el, opts).strip()
+        return f'_{inner}_' if inner else ''
+    if t in ('code', 'kbd', 'samp', 'tt'):
+        inner = _inline(el, opts).strip()
+        return f'`{inner}`' if inner else ''
+    if t in ('s', 'strike'):
+        inner = _inline(el, opts).strip()
+        return f'~~{inner}~~' if inner else ''
+    return _inline(el, opts)
+
+
+def _indent(block: str, prefix: str, first_prefix: str = None) -> str:
+    lines = block.split('\n')
+    fp = prefix if first_prefix is None else first_prefix
+    out = [(fp if i == 0 else prefix) + ln for i, ln in enumerate(lines)]
+    return '\n'.join(out)
+
+
+def _pre_text(node: Node) -> str:
+    """Literal text of a pre block (no whitespace collapsing)."""
+    parts: List[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(c)
+        elif c.tag == 'br':
+            parts.append('\n')
+        else:
+            parts.append(_pre_text(c))
+    return ''.join(parts)
+
+
+def _table_blocks(table: Node, opts: MarkdownOptions) -> List[str]:
+    rows: List[List[str]] = []
+    header_cells = 0
+
+    def walk_rows(node):
+        nonlocal header_cells
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == 'tr':
+                cells = [_inline(cell, opts).strip().replace('|', r'\|')
+                         .replace('\n', ' ')
+                         for cell in c.children
+                         if isinstance(cell, Node)
+                         and cell.tag in ('td', 'th')]
+                if cells:
+                    if not rows and any(
+                            isinstance(cell, Node) and cell.tag == 'th'
+                            for cell in c.children):
+                        header_cells = len(cells)
+                    rows.append(cells)
+            elif c.tag in ('thead', 'tbody', 'tfoot'):
+                walk_rows(c)
+
+    walk_rows(table)
+    if not rows:
+        return []
+    width = max(len(r) for r in rows)
+    lines = []
+    for i, r in enumerate(rows):
+        r = r + [''] * (width - len(r))
+        lines.append('| ' + ' | '.join(r) + ' |')
+        if i == 0:
+            lines.append('|' + '|'.join(['---'] * width) + '|')
+    return ['\n'.join(lines)]
+
+
+def _list_blocks(node: Node, opts: MarkdownOptions) -> List[str]:
+    ordered = node.tag == 'ol'
+    items: List[str] = []
+    idx = 0
+    for c in node.children:
+        if not isinstance(c, Node) or c.tag != 'li':
+            continue
+        idx += 1
+        marker = f'{idx}. ' if ordered else '* '
+        inner = _blocks(c, opts)
+        body = '\n\n'.join(inner) if inner else ''
+        items.append(_indent(body, ' ' * 4, marker) if body
+                     else marker.rstrip())
+    return ['\n'.join(items)] if items else []
+
+
+def _block_el(el: Node, opts: MarkdownOptions) -> List[str]:
+    t = el.tag
+    if t in _HEADINGS:
+        txt = _inline(el, opts).strip().replace('\n', ' ')
+        return [f'{"#" * _HEADINGS[t]} {txt}'] if txt else []
+    if t in ('ul', 'ol'):
+        return _list_blocks(el, opts)
+    if t == 'blockquote':
+        inner = _blocks(el, opts)
+        if not inner:
+            return []
+        # one quote block: interior blank lines keep the '>' prefix so
+        # multi-paragraph quotes stay a single blockquote
+        return [_indent('\n\n'.join(inner), '> ')]
+    if t == 'pre':
+        text = _pre_text(el).strip('\n')
+        return [_indent(text, ' ' * 4)] if text.strip() else []
+    if t == 'table':
+        return _table_blocks(el, opts)
+    if t == 'hr':
+        return ['* * *']
+    if t in ('dl',):
+        out = []
+        for c in el.children:
+            if isinstance(c, Node) and c.tag == 'dt':
+                txt = _inline(c, opts).strip()
+                if txt:
+                    out.append(f'**{txt}**')
+            elif isinstance(c, Node) and c.tag == 'dd':
+                inner = _blocks(c, opts)
+                out.extend(_indent(b, ' ' * 4) for b in inner)
+        return out
+    # generic container (p, div, section, article, figure, ...)
+    return _blocks(el, opts)
+
+
+def _blocks(node: Node, opts: MarkdownOptions) -> List[str]:
+    out: List[str] = []
+    buf: List[str] = []
+
+    def flush():
+        if not buf:
+            return
+        joined = ''.join(buf)
+        # collapse per-line (br produced \n), keep bodywidth=0
+        lines = [' '.join(ln.split()) for ln in joined.split('\n')]
+        text = '\n'.join(ln for ln in lines).strip('\n')
+        text = '\n'.join(ln for ln in text.split('\n') if ln) \
+            if text.strip() else ''
+        buf.clear()
+        if text:
+            out.append(text)
+
+    for c in node.children:
+        if isinstance(c, str):
+            buf.append(_collapse_keep_edges(c))
+        elif c.tag in _MD_INLINE:
+            buf.append(_inline_el(c, opts))
+        else:
+            flush()
+            out.extend(_block_el(c, opts))
+    flush()
+    return out
+
+
+def tree_to_markdown(body: Node, ignore_links: bool = False,
+                     ignore_images: bool = False) -> str:
+    """Pruned main-content tree -> markdown string (blocks separated by
+    blank lines, trailing newline, no wrapping)."""
+    opts = MarkdownOptions(ignore_links=ignore_links,
+                           ignore_images=ignore_images)
+    blocks = _blocks(body, opts)
+    if not blocks:
+        return ''
+    md = '\n\n'.join(blocks) + '\n'
+    # trailing whitespace carries no meaning anywhere we emit (br is a
+    # plain newline, not the two-space form) — strip it per line
+    return '\n'.join(ln.rstrip() for ln in md.split('\n'))

@@ -1,0 +1,586 @@
+"""Baseline-sequential JPEG codec, pure Python + numpy (no libjpeg).
+
+Real crawl media is JPEG-first; the reference never decodes pixels at
+all (reference eval_baselines keeps media as opaque refs), so this is a
+beyond-reference tier following the same design as ``png.py``: a
+genuine stdlib-level codec so the media pipeline does real pixel work
+on deterministic synth payloads, plus a general decoder for foreign
+baseline files.
+
+Scope (stated honestly):
+  * DECODE: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+    any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    markers (DRI/RSTn), 0xFF00 byte unstuffing, 16-bit DQT entries.
+    Progressive (SOF2), arithmetic coding, hierarchical and 12-bit
+    precision raise ValueError — callers contain errors as status rows.
+  * ENCODE: baseline sequential, 4:4:4 (no subsampling), Annex K
+    quantization tables scaled by a quality knob, Annex K standard
+    Huffman tables. Deterministic: same pixels -> same bytes (no RNG,
+    no zlib — entropy coding is our own canonical-Huffman writer).
+
+Everything here is from the public ITU-T T.81 spec (Annex K tables,
+§F.1/F.2 entropy coding); the reference repo has no JPEG code to port.
+Performance: the entropy loop is per-bit Python — fine for the <=32px
+synth corpus and contained decode of small crawl thumbnails; a numpy
+batch Huffman pass is the upgrade path if large foreign JPEGs ever
+dominate a profile (same caveat as png.py's foreign-filter path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural
+# a.k.a. row-major order here; stored to files in zigzag order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K.3 standard Huffman tables: (BITS counts per length 1..16,
+# HUFFVAL symbol list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa]
+
+# orthonormal 8x8 DCT-II matrix: FDCT X = C @ x @ C.T, IDCT x = C.T @ X @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81
+    §C.2): codes of each length are consecutive, lengths ascending."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the bit-at-a-time reader."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """(category, appended bits) per T.81 §F.1.2.1: category = bit
+    length of |v|; negatives use the one's-complement convention."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _magnitude (T.81 §F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xff
+            self.out.append(byte)
+            if byte == 0xff:
+                self.out.append(0x00)          # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)    # 1-fill per spec
+
+
+def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-style quality scaling (public libjpeg convention)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    """FDCT -> quantize handled by caller; encodes one quantized,
+    zigzagged 64-coefficient block. Returns the new DC predictor."""
+    zz = block[ZIGZAG]
+    dc = int(zz[0])
+    s, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xf0]          # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]              # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xff, marker]) + (len(payload) + 2).to_bytes(2, 'big') \
+        + payload
+
+
+def _dht_payload(tc: int, th: int, bits: List[int], vals: List[int]) -> bytes:
+    return bytes([(tc << 4) | th] + bits + vals)
+
+
+def _pad_plane(c: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (bh*8, bw_*8), level-shifted."""
+    h, w = c.shape
+    p = np.empty((bh * 8, bw_ * 8))
+    p[:h, :w] = c
+    p[h:, :w] = c[h - 1:h, :]
+    p[:, w:] = p[:, w - 1:w]
+    return p - 128.0
+
+
+def encode_jpeg_baseline(img: np.ndarray, quality: int = 90,
+                         subsample: bool = False,
+                         restart_interval: int = 0) -> bytes:
+    """Encode an RGB (h,w,3) or grayscale (h,w) uint8 image as baseline
+    sequential JFIF: Annex K quant (quality-scaled) + standard Huffman
+    tables, 4:4:4 by default or 4:2:0 (box-averaged chroma, 2x2-luma
+    MCUs) with ``subsample``, optional DRI/RSTn restart markers.
+    Deterministic."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    f = img.astype(np.float64)
+    if gray:
+        comps = [f[:, :, 0]]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+
+    sub = bool(subsample) and not gray
+    # (h_factor, v_factor) per component
+    factors = [(2, 2) if sub and ci == 0 else (1, 1)
+               for ci in range(len(comps))]
+    if sub:
+        # box-average 2x2 chroma downsample (pad odd dims by edge rep)
+        ds = []
+        for c in comps[1:]:
+            ph = c if h % 2 == 0 else np.vstack([c, c[-1:, :]])
+            ph = ph if w % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+            ds.append((ph[0::2, 0::2] + ph[1::2, 0::2]
+                       + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0)
+        comps = [comps[0]] + ds
+
+    ql = _scale_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scale_quant(QUANT_CHROMA, quality).reshape(8, 8)
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    hmax = max(hf for hf, _ in factors)
+    vmax = max(vf for _, vf in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [_pad_plane(c, mcuy * vf, mcux * hf)
+              for c, (hf, vf) in zip(comps, factors)]
+
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    tables = [ql] + [qc] * (len(comps) - 1)
+    dcs = [dc_l] + [dc_c] * (len(comps) - 1)
+    acs = [ac_l] + [ac_c] * (len(comps) - 1)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xff, 0xd0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, (hf, vf) in enumerate(factors):
+                for by in range(vf):
+                    for bx in range(hf):
+                        y0 = (my * vf + by) * 8
+                        x0 = (mx * hf + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        coef = _C @ blk @ _C.T
+                        q = np.round(coef / tables[ci]) \
+                            .astype(np.int32).ravel()
+                        preds[ci] = _encode_block(
+                            writer, q, preds[ci], dcs[ci], acs[ci])
+    writer.flush()
+
+    out = bytearray(b'\xff\xd8')               # SOI
+    out += _seg(0xe0, b'JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00')
+    out += _seg(0xdb, bytes([0]) + bytes(int(x) for x in
+                                         ql.ravel()[ZIGZAG]))
+    if not gray:
+        out += _seg(0xdb, bytes([1]) + bytes(int(x) for x in
+                                             qc.ravel()[ZIGZAG]))
+    ncomp = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, 'big') + w.to_bytes(2, 'big') \
+        + bytes([ncomp])
+    for ci, (hf, vf) in enumerate(factors):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += _seg(0xc0, sof)                     # SOF0 baseline
+    out += _seg(0xc4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xc4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if not gray:
+        out += _seg(0xc4, _dht_payload(0, 1, DC_CHROMA_BITS,
+                                       DC_CHROMA_VALS))
+        out += _seg(0xc4, _dht_payload(1, 1, AC_CHROMA_BITS,
+                                       AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xdd, int(restart_interval).to_bytes(2, 'big'))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xda, sos)
+    out += writer.out
+    out += b'\xff\xd9'                         # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing and RSTn stops."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xff:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2                  # stuffed ff
+            elif 0xd0 <= nxt <= 0xd7:
+                raise _RestartMarker()
+            else:
+                raise ValueError(
+                    f'unexpected marker 0xff{nxt:02x} in entropy data')
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_to_restart(self) -> None:
+        """Consume the RSTn marker at the current byte position."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] != 0xff or not (0xd0 <= d[self.pos + 1] <= 0xd7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _decode_symbol(br: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError('invalid Huffman code')
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
+                  qtab: np.ndarray) -> Tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    s = _decode_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0f
+        if s == 0:
+            if r == 15:
+                k += 16                        # ZRL
+                continue
+            break                              # EOB
+        k += r
+        if k > 63:
+            raise ValueError('AC run past end of block')
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * qtab
+    blk = _C.T @ coef.reshape(8, 8) @ _C
+    return blk, dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JFIF/JPEG byte stream to an (h,w,3)
+    RGB uint8 array ((h,w) stays 3-channel via gray replication for a
+    uniform downstream contract). Raises ValueError on non-JPEG input
+    and on out-of-scope coding modes (progressive / arithmetic /
+    12-bit)."""
+    data = bytes(data)
+    if data[:2] != b'\xff\xd8':
+        raise ValueError('not a JPEG (missing SOI)')
+    qtables: Dict[int, np.ndarray] = {}
+    dc_tabs: Dict[int, Dict] = {}
+    ac_tabs: Dict[int, Dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xff:
+            raise ValueError(f'marker expected at {pos}')
+        marker = data[pos + 1]
+        if marker == 0xd9:                     # EOI
+            break
+        if marker in (0x01,) or 0xd0 <= marker <= 0xd7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(data[pos + 2:pos + 4], 'big')
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xdb:                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0f
+                i += 1
+                if pq:                         # 16-bit entries
+                    vals = np.frombuffer(body[i:i + 128],
+                                         dtype='>u2').astype(np.int32)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i:i + 64],
+                                         dtype=np.uint8).astype(np.int32)
+                    i += 64
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = vals             # stored zigzag -> natural
+                qtables[tq] = nat
+        elif marker == 0xc4:                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0f
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                tab = _build_decoder(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                i += 17 + nv
+        elif marker == 0xc0 or marker == 0xc1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f'{prec}-bit precision unsupported')
+            fh = int.from_bytes(body[1:3], 'big')
+            fw = int.from_bytes(body[3:5], 'big')
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
+                comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 0x0f,
+                              'tq': tq})
+            frame = {'h': fh, 'w': fw, 'comps': comps}
+        elif marker in (0xc2, 0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca,
+                        0xcb, 0xcd, 0xce, 0xcf):
+            raise ValueError(
+                f'SOF{marker - 0xc0}: only baseline sequential '
+                f'(SOF0/1) is supported')
+        elif marker == 0xdd:                   # DRI
+            restart_interval = int.from_bytes(body[:2], 'big')
+        elif marker == 0xda:                   # SOS
+            if frame is None:
+                raise ValueError('SOS before SOF')
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + si * 2:3 + si * 2]
+                comp = next(c for c in frame['comps'] if c['id'] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0f))
+            return _decode_scan(data, pos + 2 + seglen, frame, scan,
+                                qtables, dc_tabs, ac_tabs,
+                                restart_interval)
+        pos += 2 + seglen
+    raise ValueError('no SOS scan found')
+
+
+def _decode_scan(data, pos, frame, scan, qtables, dc_tabs, ac_tabs,
+                 restart_interval):
+    h, w = frame['h'], frame['w']
+    hmax = max(c['h'] for c, _, _ in scan)
+    vmax = max(c['v'] for c, _, _ in scan)
+    if hmax > 2 or vmax > 2:
+        raise ValueError('sampling factors above 2x2 unsupported')
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(np.zeros((mcuy * comp['v'] * 8,
+                                mcux * comp['h'] * 8)))
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                br.sync_to_restart()
+                preds = [0] * len(scan)
+            mcu_count += 1
+            for ci, (comp, td, ta) in enumerate(scan):
+                for by in range(comp['v']):
+                    for bx in range(comp['h']):
+                        try:
+                            blk, preds[ci] = _decode_block(
+                                br, dc_tabs[td], ac_tabs[ta],
+                                preds[ci], qtables[comp['tq']])
+                        except _RestartMarker:
+                            raise ValueError(
+                                'restart marker inside MCU') from None
+                        y0 = (my * comp['v'] + by) * 8
+                        x0 = (mx * comp['h'] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    # upsample to full resolution and crop
+    full = []
+    for ci, (comp, _, _) in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // comp['v'], hmax // comp['h']
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

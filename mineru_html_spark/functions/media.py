@@ -24,6 +24,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .jpeg import decode_jpeg, encode_jpeg_baseline
 from .png import decode_png, encode_png
 
 MEDIA_SCHEMA = ('media_ref string, payload binary, mime string, '
@@ -54,19 +55,31 @@ def _synth_image(ref: str) -> np.ndarray:
 
 
 def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
-    """Deterministic REAL PNG payloads for a media_ref column (no
+    """Deterministic REAL image payloads for a media_ref column (no
     external data): each ref gets a hash-seeded pattern image encoded
-    with the stdlib PNG codec — the decode stage downstream does real
-    pixel work."""
+    with one of the stdlib codecs — PNG for two thirds of refs,
+    baseline JPEG (hash-varied 4:4:4 / 4:2:0 / restart-marker
+    variants) for the rest, mirroring a crawl's PNG/JPEG mix — so the
+    decode stage downstream does real pixel work on both formats."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref in pdf['media_ref']:
                 img = _synth_image(ref)
+                sel = hashlib.sha256(str(ref).encode()).digest()[13]
+                if sel % 3 == 2:
+                    payload = encode_jpeg_baseline(
+                        img, quality=85 + sel % 11,
+                        subsample=(sel % 2 == 0),
+                        restart_interval=(sel % 4))
+                    mime = 'image/jpeg'
+                else:
+                    payload = encode_png(img)
+                    mime = 'image/png'
                 rows.append({
                     'media_ref': ref,
-                    'payload': encode_png(img),
-                    'mime': 'image/png',
+                    'payload': payload,
+                    'mime': mime,
                     'width': int(img.shape[1]),
                     'height': int(img.shape[0]),
                     'n_frames': 1,
@@ -78,13 +91,19 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode for PNG (stdlib codec). JPEG/WebP need libjpeg —
-    absent here — and raise; callers contain the error as a status row."""
+    """Real decode for PNG (functions/png.py) and baseline-sequential
+    JPEG (functions/jpeg.py) — the two formats that dominate crawl
+    media. WebP/AVIF/video need libwebp/ffmpeg — absent here — and
+    raise; callers contain the error as a status row."""
     if mime == 'image/png' or bytes(payload[:8]) == b'\x89PNG\r\n\x1a\n':
         return decode_png(payload)
+    if mime in ('image/jpeg', 'image/jpg') \
+            or bytes(payload[:2]) == b'\xff\xd8':
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f'decode for {mime} requires libjpeg/ffmpeg — not present in '
-        f'this sandbox (PNG decodes for real via functions/png.py)')
+        f'decode for {mime} requires libwebp/ffmpeg — not present in '
+        f'this sandbox (PNG + baseline JPEG decode for real via '
+        f'functions/png.py / functions/jpeg.py)')
 
 
 def image_feature_kernel(img: np.ndarray) -> np.ndarray:

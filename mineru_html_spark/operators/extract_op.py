@@ -59,6 +59,42 @@ def apply_extract(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(extract_batch, OUT_SCHEMA)
 
 
+MD_SCHEMA = OUT_SCHEMA + ', markdown string'
+
+
+def extract_markdown_batch(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [(doc_id,
+                 [s if isinstance(s, dict) else dict(s) for s in spans])
+                for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
+        results = extract_rows(rows, with_markdown=True)
+        out = [{
+            'doc_id': r['doc_id'],
+            'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
+                      for s in r['spans']],
+            'status': r['status'],
+            'n_items': r['n_items'],
+            'n_main': r['n_main'],
+            'error': r['error'],
+            'proc_us': r['proc_us'],
+            'markdown': r['markdown'],
+        } for r in results]
+        yield pd.DataFrame(
+            out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
+                          'error', 'proc_us', 'markdown'])
+
+
+def apply_extract_markdown(docs: DataFrame) -> DataFrame:
+    """Extraction with the markdown output tier (the reference's *-md
+    variants: main content serialized as markdown alongside the span
+    sequence — dripper/eval_baselines/baselines/imp.py:1474-1507,
+    html2text conversion at imp.py:15-27). Same single parse + batched
+    scorer; the markdown serializer reuses the pruned tree inside the
+    same Arrow batch."""
+    return docs.mapInPandas(extract_markdown_batch, MD_SCHEMA)
+
+
 BASELINE_SCHEMA = (
     'doc_id string, '
     'spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, '

@@ -297,10 +297,11 @@ def test_png_codec_roundtrip_and_filters():
 
 
 def test_media_real_decode_resize_and_fallbacks(spark):
-    """Real image path: PNG decodes to true pixels (features reflect the
-    image, not the bytes), resize produces a decodable smaller PNG with
-    preserved aspect; jpeg falls back to the hash kernel as 'fake';
-    corrupt payloads become contained error rows."""
+    """Real image path: PNG and baseline JPEG decode to true pixels
+    (features reflect the image, not the bytes), resize produces a
+    decodable smaller PNG with preserved aspect; webp falls back to the
+    hash kernel as 'fake' (no libwebp); corrupt payloads become
+    contained error rows."""
     import numpy as np
 
     from mineru_html_spark.functions.media import (decode_image,
@@ -322,9 +323,14 @@ def test_media_real_decode_resize_and_fallbacks(spark):
     small = resize_to(half, 2, 2)
     assert small[0, 0, 0] == 200 and small[0, 1, 2] == 200
 
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
     rows = [
         ('png', bytearray(encode_png(red)), 'image/png', 20, 10, 1),
-        ('jpg', bytearray(b'\xff\xd8\xff\xe0 fake jpeg bytes'),
+        ('jpg', bytearray(encode_jpeg_baseline(red, 90)),
+         'image/jpeg', 20, 10, 1),
+        ('webp', bytearray(b'RIFF....WEBPVP8 '), 'image/webp',
+         20, 10, 1),
+        ('badjpg', bytearray(b'\xff\xd8\xff\xe0 truncated'),
          'image/jpeg', 20, 10, 1),
         ('bad', bytearray(b'\x89PNG\r\n\x1a\n corrupt'), 'image/png',
          20, 10, 1),
@@ -334,14 +340,21 @@ def test_media_real_decode_resize_and_fallbacks(spark):
               'width int, height int, n_frames int')
     st = {r['media_ref']: r['decode_status']
           for r in extract_media_features(media).collect()}
-    assert st['png'] == 'ok' and st['jpg'] == 'fake'
+    assert st['png'] == 'ok' and st['jpg'] == 'ok'
+    assert st['webp'] == 'fake'
     assert st['bad'].startswith('error')
+    assert st['badjpg'].startswith('error')
     rz = {r['media_ref']: r for r in resize_images(media, 8).collect()}
     assert rz['png']['status'] == 'ok'
     out = decode_png(bytes(rz['png']['resized_payload']))
     assert out.shape == (4, 8, 3)          # aspect preserved 20x10 -> 8x4
-    assert rz['jpg']['status'] == 'fake'
+    assert rz['jpg']['status'] == 'ok'      # real JPEG decode feeds resize
+    assert rz['webp']['status'] == 'fake'
     assert rz['bad']['status'].startswith('error')
+    # jpeg of solid red decodes to (approximately) red: the real-pixels
+    # proof for the jpeg path
+    jr = decode_png(bytes(rz['jpg']['resized_payload']))
+    assert jr[:, :, 0].mean() > 240 and jr[:, :, 1].mean() < 15
 
 
 def test_sessionize(spark):

@@ -1,0 +1,120 @@
+"""Baseline JPEG codec: round-trips across coding variants, spec-path
+coverage (subsampling, restart markers, grayscale), contained failures
+on out-of-scope modes and garbage."""
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.jpeg import (decode_jpeg,
+                                              encode_jpeg_baseline)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize('sub,dri', [(False, 0), (False, 3),
+                                     (True, 0), (True, 2)])
+def test_jpeg_roundtrip_variants(sub, dri):
+    img = _gradient(37, 45)
+    data = encode_jpeg_baseline(img, quality=90, subsample=sub,
+                                restart_interval=dri)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (3.5 if sub else 2.0)
+
+
+def test_jpeg_flat_image_is_exact():
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(flat, 90))
+    assert (out == flat).all()
+
+
+def test_jpeg_grayscale_single_component():
+    g = (np.add.outer(np.arange(20) * 4, np.arange(28) * 3) % 256) \
+        .astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(g, 92))
+    assert out.shape == (20, 28, 3)
+    # channels replicate for the uniform downstream contract
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+
+
+def test_jpeg_odd_dimensions_with_subsampling():
+    img = _gradient(33, 41)
+    out = decode_jpeg(encode_jpeg_baseline(img, 85, subsample=True,
+                                           restart_interval=3))
+    assert out.shape == (33, 41, 3)
+
+
+def test_jpeg_deterministic_bytes():
+    img = _gradient(24, 24)
+    assert encode_jpeg_baseline(img, 90) == encode_jpeg_baseline(img, 90)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # high-frequency noise produces 0xFF bytes in the entropy stream;
+    # the stuffing/unstuffing pair must agree (shape-exact decode)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    data = encode_jpeg_baseline(noise, quality=100)
+    assert decode_jpeg(data).shape == (16, 16, 3)
+
+
+def test_jpeg_rejects_progressive():
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg_baseline(img, 90))
+    i = data.find(b'\xff\xc0')
+    data[i + 1] = 0xc2                         # SOF0 -> SOF2
+    with pytest.raises(ValueError, match='baseline'):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b'not a jpeg at all')
+    with pytest.raises(ValueError):
+        decode_jpeg(b'\xff\xd8only a header')
+
+
+def test_jpeg_fuzz_never_crashes_uncontained():
+    """Truncations and single-byte corruptions of a valid stream must
+    raise clean exceptions (callers turn them into error rows), never
+    hang or segfault."""
+    img = _gradient(17, 19)
+    good = encode_jpeg_baseline(img, 88, restart_interval=2)
+    rng = np.random.RandomState(11)
+    for cut in (3, 20, len(good) // 2, len(good) - 2):
+        try:
+            decode_jpeg(good[:cut])
+        except Exception as e:
+            assert isinstance(e, (ValueError, IndexError, KeyError))
+    for _ in range(30):
+        b = bytearray(good)
+        b[rng.randint(2, len(b))] = rng.randint(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except Exception as e:
+            assert isinstance(e, (ValueError, IndexError, KeyError))
+
+
+def test_jpeg_16bit_dqt_entries_decode():
+    # force a 16-bit DQT by patching the table segment: re-emit the
+    # luma table with pq=1 (big-endian u16 entries, same values)
+    img = _gradient(16, 16)
+    data = encode_jpeg_baseline(img, 90)
+    i = data.find(b'\xff\xdb')
+    seglen = int.from_bytes(data[i + 2:i + 4], 'big')
+    body = data[i + 4:i + 2 + seglen]
+    assert body[0] == 0x00                     # pq=0, tq=0
+    wide = bytes([0x10]) + b''.join(
+        int(v).to_bytes(2, 'big') for v in body[1:65])
+    patched = (data[:i] + b'\xff\xdb'
+               + (len(wide) + 2).to_bytes(2, 'big') + wide
+               + data[i + 2 + seglen:])
+    out = decode_jpeg(patched)
+    ref = decode_jpeg(data)
+    assert (out == ref).all()

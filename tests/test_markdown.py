@@ -1,0 +1,91 @@
+"""Markdown serializer: html2text-convention output from the pruned
+main-content tree (reference's *-md tier — imp.py:1474-1507, wrapper
+config at imp.py:15-27)."""
+
+from mineru_html_spark.core.dom import get_body, parse_html
+from mineru_html_spark.core.markdown import tree_to_markdown
+
+
+def md(html: str, **kw) -> str:
+    return tree_to_markdown(get_body(parse_html(html)), **kw)
+
+
+def test_headings_and_paragraphs():
+    out = md('<h1>Title</h1><p>one</p><h3>Sub</h3><p>two</p>')
+    assert out == '# Title\n\none\n\n### Sub\n\ntwo\n'
+
+
+def test_inline_marks():
+    out = md('<p>a <b>bold</b> and <em>it</em> and <code>c()</code> '
+             'and <s>gone</s></p>')
+    assert out == 'a **bold** and _it_ and `c()` and ~~gone~~\n'
+
+
+def test_links_and_images_with_ignore_flags():
+    html = ('<p><a href="https://x.io/p">text</a> and '
+            '<img src="i.png" alt="pic"></p>')
+    assert md(html) == '[text](https://x.io/p) and ![pic](i.png)\n'
+    # the reference's eval wrapper sets both ignore flags (imp.py:19-20)
+    assert md(html, ignore_links=True, ignore_images=True) \
+        == 'text and\n'
+
+
+def test_nested_lists_and_ordered_numbering():
+    out = md('<ul><li>a</li><li>b<ul><li>b1</li><li>b2</li></ul></li>'
+             '</ul><ol><li>x</li><li>y</li><li>z</li></ol>')
+    assert '* a' in out and '    * b1' in out
+    assert '1. x' in out and '2. y' in out and '3. z' in out
+
+
+def test_multiparagraph_blockquote_stays_one_quote():
+    out = md('<blockquote><p>first</p><p>second</p></blockquote>')
+    assert out == '> first\n>\n> second\n'
+
+
+def test_pre_preserves_verbatim_lines():
+    out = md('<pre>def f():\n    return  1</pre>')
+    assert out == '    def f():\n        return  1\n'
+
+
+def test_table_pipe_format_with_escape():
+    out = md('<table><tr><th>k</th><th>v</th></tr>'
+             '<tr><td>a|b</td><td>1</td></tr></table>')
+    assert out == '| k | v |\n|---|---|\n| a\\|b | 1 |\n'
+
+
+def test_br_and_hr():
+    assert md('<p>one<br>two</p><hr><p>end</p>') \
+        == 'one\ntwo\n\n* * *\n\nend\n'
+
+
+def test_empty_and_whitespace_only():
+    assert md('<div>   </div>') == ''
+    assert md('') == ''
+
+
+def test_definition_list():
+    out = md('<dl><dt>term</dt><dd>meaning</dd></dl>')
+    assert '**term**' in out and '    meaning' in out
+
+
+def test_extract_rows_with_markdown_flag():
+    from mineru_html_spark.core.extract import extract_rows
+    spans = [{'kind': 'text',
+              'text': '<html><body><article><h1>Real Title</h1>'
+                      + '<p>' + 'solid main content words here ' * 8
+                      + '</p><ul><li>' + 'list item of the main body '
+                      * 4 + '</li></ul></article>'
+                      '<footer>copyright</footer></body></html>',
+              'media_ref': '', 'offset': 0}]
+    r = extract_rows([('d1', spans)], with_markdown=True)[0]
+    assert r['status'] in ('ok', 'fallback')
+    # kept main content serializes with structure (the scorer may or
+    # may not keep the short standalone heading block — that is the
+    # extractor's decision, not the serializer's)
+    assert 'solid main content words here' in r['markdown']
+    assert '* list item' in r['markdown']
+    assert 'copyright' not in r['markdown']       # boilerplate pruned
+    # flag off -> no markdown key, identical spans (flagship unchanged)
+    r2 = extract_rows([('d1', spans)])[0]
+    assert 'markdown' not in r2
+    assert r2['spans'] == r['spans']

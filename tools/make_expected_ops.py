@@ -23,7 +23,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'semantic_dedup', 'ann_ivf_topk',
          'accuracy_summary', 'heldout_accuracy', 'baseline_eval',
          'near_dup_clusters', 'approx_distinct_users', 'warc_extract',
-         'bpe_train', 'bpe_apply', 'streaming_near_dup', 'pdf_extract')
+         'bpe_train', 'bpe_apply', 'streaming_near_dup', 'pdf_extract',
+         'extract_markdown')
 
 
 def main():
