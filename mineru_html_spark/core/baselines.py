@@ -206,6 +206,189 @@ def _readability_labels(blocks) -> Dict[int, str]:
     return labels
 
 
+# jusText (Pomikálek 2011, "Removing boilerplate and duplicate content
+# from web corpora", ch. 5; justext's published defaults) — stopword-
+# density paragraph classification with context-sensitive revision.
+_JT_LENGTH_LOW = 70
+_JT_LENGTH_HIGH = 200
+_JT_STOP_LOW = 0.30
+_JT_STOP_HIGH = 0.32
+_JT_MAX_LINK_DENSITY = 0.2
+_JT_STOPSET = frozenset(
+    # the engine's English stoplist (functions/text.py STOPWORDS);
+    # production swaps per-language stoplists exactly as jusText ships
+    # per-language files
+    ('the', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for',
+     'on', 'are', 'as', 'with', 'his', 'they', 'at', 'be', 'this',
+     'have', 'from', 'or', 'one', 'had', 'by', 'but', 'not', 'what',
+     'all', 'were', 'we', 'when', 'your', 'can', 'said', 'there', 'an',
+     'she', 'do', 'how'))
+
+
+def _justext_labels(blocks) -> Dict[int, str]:
+    """jusText two-stage classification, block-granular:
+
+    Context-free (the published classify_paragraphs thresholds):
+    link density > 0.2 -> bad; copyright mark -> bad; < 70 chars ->
+    'short' (bad if any link text); stopword density > 0.32 -> good if
+    > 200 chars else neargood; > 0.30 -> neargood; else bad.
+
+    Context-sensitive (revise_paragraph_classification, without the
+    heading-distance rule — the engine's segmentation has no heading
+    channel): 'short' takes good only when its nearest non-short/
+    neargood neighbours agree good (or a bad side is shielded by an
+    adjacent neargood); 'neargood' becomes bad only between two bads.
+    Image blocks ride along when link-light (engine convention)."""
+    raw = []
+    for b in blocks:
+        words = b.text.lower().split()
+        sd = (sum(1 for w in words if w in _JT_STOPSET)
+              / max(len(words), 1))
+        ld = b.link_text_len / max(b.text_len, 1)
+        if ld > _JT_MAX_LINK_DENSITY:
+            c = 'bad'
+        elif '\xa9' in b.text or '&copy' in b.text:
+            c = 'bad'
+        elif b.text_len < _JT_LENGTH_LOW:
+            c = 'bad' if b.link_text_len > 0 else 'short'
+        elif sd > _JT_STOP_HIGH:
+            c = 'good' if b.text_len > _JT_LENGTH_HIGH else 'neargood'
+        elif sd > _JT_STOP_LOW:
+            c = 'neargood'
+        else:
+            c = 'bad'
+        raw.append(c)
+
+    def neigh(i, step, ignore_neargood):
+        j = i + step
+        while 0 <= j < len(raw):
+            c = raw[j]
+            if c in ('good', 'bad') or (c == 'neargood'
+                                        and not ignore_neargood):
+                return c
+            j += step
+        return 'bad'                      # document edge counts as bad
+
+    revised = list(raw)
+    for i, c in enumerate(raw):
+        if c == 'short':
+            prev, nxt = neigh(i, -1, True), neigh(i, 1, True)
+            if prev == nxt == 'good':
+                revised[i] = 'good'
+            elif prev == nxt == 'bad':
+                revised[i] = 'bad'
+            elif (prev == 'bad' and neigh(i, -1, False) == 'neargood') \
+                    or (nxt == 'bad' and neigh(i, 1, False) == 'neargood'):
+                revised[i] = 'good'
+            else:
+                revised[i] = 'bad'
+        elif c == 'neargood':
+            prev, nxt = neigh(i, -1, True), neigh(i, 1, True)
+            revised[i] = 'bad' if (prev == 'bad' and nxt == 'bad') \
+                else 'good'
+    labels = {}
+    for b, c in zip(blocks, revised):
+        keep = c == 'good'
+        if not keep and b.n_imgs > 0 \
+                and b.link_text_len <= 0.2 * max(b.text_len, 1):
+            keep = True
+        labels[b.item_id] = MAIN if keep else 'other'
+    return labels
+
+
+_RX_PUNCT = re.compile(r'[!"#$%&\'()*+,\-./:;<=>?@\[\]^_`{|}~'
+                       r'、。！，：；？]')
+
+
+def _text_density_labels(blocks) -> Dict[int, str]:
+    """GNE-style text-and-symbol-density content node selection (Hong
+    et al. 2019, "Method of web page body extraction based on text and
+    symbol density"; the GeneralNewsExtractor implementation of it) —
+    the CETD (Sun et al., SIGIR'11) family's modern form:
+
+    per candidate node i over the segmented tree:
+      ti  = chars under i         lti  = link chars under i
+      tgi = tags under i          ltgi = <a> tags under i
+      density_i = (ti - lti) / max(tgi - ltgi, 1)
+      sbdi      = (ti - lti) / max(#punctuation marks, 1)
+      score_i   = ln(std of all densities + e) * density_i
+                  * log10(#p-descendants + 2) * ln(max(sbdi, e))
+
+    argmax (first in document order on ties) is the content node;
+    blocks inside its subtree label MAIN."""
+    import math
+    if not blocks:
+        return {}
+    root = blocks[0].node
+    while root.parent is not None:
+        root = root.parent
+
+    stats: dict = {}                      # id(node) -> [chars, link, tags, atags, p, punct]
+    order: dict = {}
+    nodes: dict = {}
+
+    # iterative post-order (pathological nesting must not blow the
+    # executor's Python stack): ENTER pushes children, EXIT folds the
+    # node's accumulated stats into its parent's
+    stack = [(root, root.tag == 'a', False)]
+    while stack:
+        node, in_a, done = stack.pop()
+        key = id(node)
+        if not done:
+            order[key] = len(order)
+            nodes[key] = node
+            s = [0, 0, 0, 0, 0, 0]
+            for c in node.children:
+                if isinstance(c, str):
+                    t = ' '.join(c.split())
+                    s[0] += len(t)
+                    if in_a:
+                        s[1] += len(t)
+                    s[5] += len(_RX_PUNCT.findall(t))
+            stats[key] = s
+            stack.append((node, in_a, True))
+            for c in node.children:
+                if not isinstance(c, str):
+                    stack.append((c, in_a or c.tag == 'a', False))
+            continue
+        p = node.parent
+        if p is not None and id(p) in stats:
+            ps, cs = stats[id(p)], stats[key]
+            ps[0] += cs[0]
+            ps[1] += cs[1]
+            ps[2] += cs[2] + 1
+            ps[3] += cs[3] + (1 if node.tag == 'a' else 0)
+            ps[4] += cs[4] + (1 if node.tag == 'p' else 0)
+            ps[5] += cs[5]
+    dens = {}
+    for key, (ti, lti, tgi, ltgi, _p, _pu) in stats.items():
+        if ti > 0:
+            dens[key] = (ti - lti) / max(tgi - ltgi, 1)
+    if not dens:
+        return {b.item_id: 'other' for b in blocks}
+    vals = list(dens.values())
+    mean = sum(vals) / len(vals)
+    std = (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
+    best, best_score = None, None
+    for key in sorted(dens, key=order.get):
+        ti, lti, tgi, ltgi, p, punct = stats[key]
+        sbdi = (ti - lti) / max(punct, 1)
+        score = (math.log(std + math.e) * dens[key]
+                 * math.log10(p + 2) * math.log(max(sbdi, math.e)))
+        if best_score is None or score > best_score:
+            best, best_score = key, score
+    labels = {}
+    for b in blocks:
+        nd, hit = b.node, False
+        while nd is not None:
+            if id(nd) == best:
+                hit = True
+                break
+            nd = nd.parent
+        labels[b.item_id] = MAIN if hit else 'other'
+    return labels
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
@@ -213,6 +396,8 @@ BASELINES = {
     'regex_cleaner': (regex_clean_html, _passthrough_labels),
     'boilerpipe': (None, _boilerpipe_labels),
     'readability': (None, _readability_labels),
+    'justext': (None, _justext_labels),
+    'text_density': (None, _text_density_labels),
 }
 
 # backwards-compatible view (labelers only)

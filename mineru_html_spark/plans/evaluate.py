@@ -59,7 +59,8 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
                         truth: DataFrame,
                         extractors=('engine', 'passthrough', 'degraded',
                                     'regex_cleaner', 'boilerpipe',
-                                    'readability'),
+                                    'readability', 'justext',
+                                    'text_density'),
                         engine_results: DataFrame | None = None) -> DataFrame:
     """Score the engine AND the baseline comparators against generator
     truth in ONE Spark job (reference pattern: every baseline through one

@@ -106,10 +106,12 @@ def test_engine_dominates_baselines(spark):
     rows = {r['extractor']: r for r in
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
-                         'regex_cleaner', 'boilerpipe', 'readability'}
+                         'regex_cleaner', 'boilerpipe', 'readability',
+                         'justext', 'text_density'}
     eng = rows['engine']
     for name in ('passthrough', 'degraded', 'regex_cleaner',
-                 'boilerpipe', 'readability'):
+                 'boilerpipe', 'readability', 'justext',
+                 'text_density'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -157,3 +159,52 @@ def test_regex_cleaner_baseline_semantics():
     assert '<circle' not in out and 'svg placeholder' in out
     assert 'base64' not in out and '<img src="#">' in out
     assert '<img src="/real.png">' in out
+
+
+def test_justext_labeler_semantics():
+    """jusText context-free + revision on a crafted page: a long
+    stopword-rich paragraph is good, a link-farm block is bad, and a
+    short block BETWEEN good neighbours is rescued by the context pass
+    (the signature jusText behaviour)."""
+    from mineru_html_spark.core.baselines import _justext_labels
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    stopy = ('it was the best of the times and they were all there in '
+             'the house by the sea and she said that this is how we do '
+             'it when all of the people are with us and not one of them '
+             'had any doubt about what they were there for that day ')
+    links = ''.join(f'<a href="/x{i}">nav link {i}</a> ' for i in range(12))
+    # second good paragraph must differ: the segmenter's paragraph
+    # dedup (D1) removes exact repeats before labeling
+    html = (f'<html><body><div><p>{stopy}</p>'
+            f'<p>short middle</p>'
+            f'<p>{stopy} and then some more of it all</p></div>'
+            f'<div>{links}</div></body></html>')
+    root, blocks, _ = _segment_doc(html)
+    labels = _justext_labels(blocks)
+    by_text = {b.text[:12]: labels[b.item_id] for b in blocks}
+    good = [k for k, v in by_text.items() if v == MAIN]
+    assert any(k.startswith('it was the') for k in good)
+    assert by_text.get('short middle') == MAIN      # rescued by context
+    assert all(not k.startswith('nav link') for k in good)
+
+
+def test_text_density_labeler_picks_article():
+    """GNE-style density scoring: the dense multi-paragraph article
+    subtree wins over the tag-heavy link sidebar."""
+    from mineru_html_spark.core.baselines import _text_density_labels
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    para = ('Real sentences, with punctuation marks. More words here, '
+            'and commas, and full stops. Content keeps flowing nicely. ')
+    side = ''.join(f'<div><a href="/t{i}">tag{i}</a></div>'
+                   for i in range(15))
+    html = (f'<html><body><article><p>{para}</p><p>{para}</p>'
+            f'<p>{para}</p></article><div id="side">{side}</div>'
+            f'</body></html>')
+    root, blocks, _ = _segment_doc(html)
+    labels = _text_density_labels(blocks)
+    kept = [b.text[:10] for b in blocks if labels[b.item_id] == MAIN]
+    assert kept and all(t.startswith('Real sente') for t in kept)
