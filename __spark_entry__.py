@@ -142,6 +142,83 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5('markdown').alias('md_md5'))
 
 
+def _ensure_tiny_catalog(spark) -> None:
+    """Compile TinyCatalog (once, cached vs source mtime) and register
+    it as catalog ``tiny`` on the RUNNING session.
+
+    Runtime registration works because in local mode the session's
+    context classloader is Spark's MutableURLClassLoader, so the
+    compiled classes dir can be added post-start and
+    ``spark.sql.catalog.*`` confs are read dynamically by the
+    CatalogManager. On a real cluster deployment pass the classes as a
+    jar instead: ``spark-submit --jars tiny-catalog.jar --conf
+    spark.sql.catalog.tiny=TinyCatalog --conf
+    spark.sql.catalog.tiny.warehouse=...`` (for the production Iceberg
+    catalog, swap in the iceberg-spark-runtime jar and
+    org.apache.iceberg.spark.SparkCatalog — the sink verbs are
+    identical)."""
+    import subprocess
+    classes = os.path.join(REPO, '.data', 'tiny_catalog', 'classes')
+    src = os.path.join(REPO, 'mineru_html_spark', 'jvm',
+                       'TinyCatalog.java')
+    cls = os.path.join(classes, 'TinyCatalog.class')
+    if not os.path.exists(cls) \
+            or os.path.getmtime(cls) < os.path.getmtime(src):
+        subprocess.run(
+            ['sh', os.path.join(REPO, 'tools', 'build_tiny_catalog.sh')],
+            check=True, capture_output=True)
+    if spark.conf.get('spark.sql.catalog.tiny', None) is not None:
+        return
+    jvm = spark._jvm
+    loader = jvm.Thread.currentThread().getContextClassLoader()
+    loader.addURL(jvm.java.io.File(classes).toURI().toURL())
+    root = os.path.join(REPO, '.data', 'tiny_wh')
+    wh = os.path.join(root, spark.sparkContext.applicationId)
+    # one warehouse per session; sweep predecessors so repeated local
+    # runs don't accumulate dead snapshot dirs
+    if os.path.isdir(root):
+        import shutil
+        for d in os.listdir(root):
+            if d != spark.sparkContext.applicationId:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    spark.conf.set('spark.sql.catalog.tiny', 'TinyCatalog')
+    spark.conf.set('spark.sql.catalog.tiny.warehouse', wh)
+
+
+def q_dsv2_sink_roundtrip(spark, sf_dir):
+    """The IcebergSink commit path as a GATED query (it was test-only
+    before): a wave derived from the documents table commits through
+    ``writeTo(...).partitionedBy(part_id).create()`` /
+    ``overwritePartitions()`` on the real DSv2 TableCatalog
+    (jvm/TinyCatalog.java — WriteBuilder -> BatchWrite -> per-task
+    DataWriter -> driver commit), lineage appends, and the output is
+    the READBACK via ``spark.table`` aggregated per partition — so the
+    oracle certifies that what comes out of the catalog is exactly
+    what went in (per-partition doc counts + order-independent payload
+    digest). Idempotent: re-running overwrites the same partitions,
+    and done-parts reads distinct, so the aggregate is stable across
+    repeated runs in one session."""
+    from mineru_html_spark.plans.sinks import IcebergSink
+    _ensure_tiny_catalog(spark)
+    wave = _docs(spark, sf_dir).select(
+        (F.col('doc_id') % 8).cast('int').alias('part_id'),
+        'doc_id', F.md5('text').alias('payload'))
+    sink = IcebergSink('tiny.default.results_gate_v1',
+                       'tiny.default.lineage_gate_v1')
+    sink.write_wave(wave)
+    sink.append_lineage(
+        wave.groupBy('part_id').agg(F.count('*').alias('n_docs')))
+    done = sink.read_done_parts(spark).withColumn('done', F.lit(1))
+    back = sink.read_results(spark)
+    agg = back.groupBy('part_id').agg(
+        F.count('*').alias('n_docs'),
+        F.md5(F.concat_ws(',', F.array_sort(F.collect_list('payload'))))
+         .alias('payload_md5'))
+    return agg.join(done, 'part_id').select(
+        'part_id', 'n_docs', 'payload_md5', 'done')
+
+
 def q_warc_extract(spark, sf_dir):
     """End-to-end WARC path: synthesize a deterministic 4-archive set
     (plain / whole-gzip / member-gzip / corrupt), read via the binaryFile
@@ -1916,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'extract_markdown': q_extract_markdown,
+        'dsv2_sink_roundtrip': q_dsv2_sink_roundtrip,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2052,6 +2130,14 @@ def oracle_sql() -> dict[str, str]:
     # IVF assignment path returns (same quantizer seed, same probes)
     oracles['ann_ivf_indexed'] = _expected_parquet('ann_ivf_topk')
     oracles.update({
+        "dsv2_sink_roundtrip": """
+            SELECT CAST(doc_id %% 8 AS INTEGER) AS part_id,
+                   COUNT(*) AS n_docs,
+                   md5(string_agg(md5(text), ','
+                       ORDER BY md5(text))) AS payload_md5,
+                   1 AS done
+            FROM documents GROUP BY 1
+        """.replace('%%', '%'),
         "token_count_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
