@@ -16,9 +16,15 @@ a training-data media pipeline stores; palette/16-bit/interlaced inputs
 raise ValueError with a clear message (decode_status carries it as an
 error row — the contained-failure policy, never a task failure).
 
-Filters Sub/Up are vectorized; Average/Paeth have a sequential data
-dependency along x, handled with a per-pixel-column loop over ndarray
-rows (C-speed per scanline op, python loop bounded by width).
+Filter performance, stated honestly: Up is one vectorized add per
+scanline; Sub is bpp numpy cumsums (the left-dependency is a
+per-channel-phase prefix sum, exact under mod-256); Average and Paeth
+genuinely carry a sequential data dependency along x (the predictor
+mixes left with up through a nonlinearity), so they run a per-pixel
+Python loop bounded by the scanline width — fine for the synth corpus
+(our own encoder emits filter 0 only) and for contained decode of
+small foreign PNGs; a C-speed path for those two filters means a real
+imaging dependency, which this sandbox deliberately avoids.
 """
 
 from __future__ import annotations
@@ -112,9 +118,13 @@ def decode_png(data: bytes) -> 'np.ndarray':
         if ftype == 0:                      # None
             cur = line
         elif ftype == 1:                    # Sub
+            # recon[x] = raw[x] + recon[x-bpp]: a per-channel-phase
+            # prefix sum — cumsum in int64 then mod 256 is exact
+            # because mod distributes over addition
             cur = line.copy()
-            for x in range(bpp, len(cur)):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xff
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(line[c::bpp],
+                                        dtype=np.int64) & 0xff
         elif ftype == 2:                    # Up
             cur = (line + prev) & 0xff
         elif ftype == 3:                    # Average

@@ -1649,3 +1649,32 @@ def test_regex_literal_escapes_metacharacters(spark):
     got = {r['id'] for r in
            df.where(F.col('path').rlike(regex_literal('a.b+c'))).collect()}
     assert got == {2}        # '.' and '+' must not act as regex ops
+
+
+def test_png_sub_filter_cumsum_wide_raster():
+    """The vectorized Sub unfilter (per-channel-phase cumsum mod 256)
+    must be exact on a WIDE random raster where every scanline uses
+    filter 1 — the loop-free path's wrap-around arithmetic is the thing
+    under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mineru_html_spark.functions.png import _SIG, _chunk, decode_png
+    rng = np.random.RandomState(5)
+    h, w, ch = 13, 129, 3
+    img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+    stride = w * ch
+    rows = []
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        filt = row.copy()
+        for x in range(ch, stride):
+            filt[x] = (row[x] - row[x - ch]) & 0xff
+        rows.append(b'\x01' + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, 2, 0, 0, 0)
+    png = (_SIG + _chunk(b'IHDR', ihdr)
+           + _chunk(b'IDAT', zlib.compress(b''.join(rows)))
+           + _chunk(b'IEND', b''))
+    assert (decode_png(png) == img).all()
