@@ -41,7 +41,32 @@ import pyspark.sql.functions as F
 
 
 def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
-                 lang_mix: dict | None = None):
+                 lang_mix: dict | None = None,
+                 stage_report: dict | None = None):
+    """Run the 14-stage chain. When ``stage_report`` is a dict, each
+    stage is materialized (persist+count) and its wall/rows recorded in
+    it — the at-scale linearity proof harness
+    (tools/pipeline_stage_report.py); None (default) keeps the lazy
+    production plan shape."""
+    import time as _time
+    _prev_marked = []
+
+    def _mark(name, df):
+        if stage_report is None:
+            return df
+        t0 = _time.time()
+        df = df.persist()
+        n = df.count()
+        stage_report[name] = {'wall_s': round(_time.time() - t0, 2),
+                              'rows': n}
+        # once a stage is materialized its predecessor's cache is dead
+        # weight (each stage consumes the one before); keep only the
+        # extraction frame, which the final writes/stats re-read
+        if _prev_marked and _prev_marked[-1][0] != '02_extract':
+            _prev_marked[-1][1].unpersist()
+        _prev_marked.append((name, df))
+        return df
+
     from mineru_html_spark.functions.corpus import (decontaminate,
                                                     dsir_weights,
                                                     dup_shingle_fraction,
@@ -58,26 +83,27 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     from mineru_html_spark.plans.job import run_extraction
 
     # 2. extract (the only Python stage)
-    results = run_extraction(spark, docs).persist()
+    results = _mark('02_extract', run_extraction(spark, docs).persist())
 
     # flatten to a text corpus for the downstream operators
-    corpus = (results
+    corpus = _mark('02b_flatten', (results
               .where(F.col('status') != 'error')
               .select('doc_id', span_text('spans').alias('text'))
-              .persist())
+              .persist()))
 
     # 3. CCNet line dedup: corpus-repeated lines (boilerplate the DOM
     #    pass didn't catch) vanish keep-first; downstream stages see the
     #    cleaned text. Cut lineage here — the rebuild subplan would
     #    otherwise replay under every downstream self-join.
-    corpus = (line_dedup(corpus)
+    corpus = _mark('03_line_dedup', (line_dedup(corpus)
               .select('doc_id', F.col('clean_text').alias('text'))
-              .localCheckpoint())
+              .localCheckpoint()))
 
     # 4. quality gate (auditable per-rule reasons)
     gate = quality_gate(corpus)
-    kept = (corpus.join(gate.where('keep').select('doc_id'), 'doc_id',
-                        'left_semi'))
+    kept = _mark('04_quality_gate',
+                 corpus.join(gate.where('keep').select('doc_id'),
+                             'doc_id', 'left_semi'))
 
     # 4. benchmark decontamination (eval-overlap filter). The benchmark
     #    stands in for the real eval suites; its shingle index broadcasts.
@@ -85,8 +111,9 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
         [('the quick benchmark question about spark shuffles and joins '
           'that must never leak into training',)], 'text string')
     cont = decontaminate(kept, bench, n=8)
-    kept = kept.join(cont.where(~F.col('contaminated')).select('doc_id'),
-                     'doc_id', 'left_semi')
+    kept = _mark('05_decontaminate',
+                 kept.join(cont.where(~F.col('contaminated'))
+                           .select('doc_id'), 'doc_id', 'left_semi'))
 
     # 5. LM tail filter (CCNet policy: drop the least-predictable tail).
     #    The cut comes from a percentile pass — production derives its
@@ -94,8 +121,9 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     #    filter on later corpora.
     nll = unigram_lm_nll(kept).select('doc_id', 'nll_milli')
     tail_cut = nll.approxQuantile('nll_milli', [0.95], 0.01)[0]
-    kept = kept.join(nll.where(F.col('nll_milli') <= tail_cut)
-                     .select('doc_id'), 'doc_id', 'left_semi')
+    kept = _mark('06_lm_tail_filter',
+                 kept.join(nll.where(F.col('nll_milli') <= tail_cut)
+                           .select('doc_id'), 'doc_id', 'left_semi'))
 
     # cut lineage before DSIR: its scoring plan references the corpus
     # more than once, and each percentile/filter action would otherwise
@@ -107,8 +135,9 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     #    percentile pass, then applied as a pure filter, like the LM cut
     dw = dsir_weights(kept).select('doc_id', 'avg_milli')
     dsir_cut = dw.approxQuantile('avg_milli', [0.05], 0.01)[0]
-    kept = kept.join(dw.where(F.col('avg_milli') >= dsir_cut)
-                     .select('doc_id'), 'doc_id', 'left_semi')
+    kept = _mark('07_dsir_select',
+                 kept.join(dw.where(F.col('avg_milli') >= dsir_cut)
+                           .select('doc_id'), 'doc_id', 'left_semi'))
     # materialize the filtered corpus before the iterative downstream
     # stages: near-dup clustering re-scans its input many times, and
     # without this cut each re-scan would replay the decontamination and
@@ -120,21 +149,23 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     #    rates via deterministic (rerun-identical) hash sampling
     lang_mix = lang_mix or {'en': 1000, 'und': 500}
     langs = lang_id_by_script(kept).select('doc_id', 'lang')
-    kept = stratified_sample(kept.join(langs, 'doc_id'), lang_mix,
-                             stratum_col='lang').drop('lang')
+    kept = _mark('08_lang_mix',
+                 stratified_sample(kept.join(langs, 'doc_id'), lang_mix,
+                                   stratum_col='lang').drop('lang'))
 
     # 7. exact dedup: keep each fingerprint's first doc
     groups = exact_dedup_groups(kept)
-    kept = kept.join(
+    kept = _mark('09_exact_dedup', kept.join(
         groups.select(F.col('keeper_doc_id').alias('doc_id')),
-        'doc_id', 'left_semi')
+        'doc_id', 'left_semi'))
 
     # 8. document-level boilerplate filter: drop docs dominated by
     #    corpus-duplicated 3-grams (C4/RefinedWeb policy)
     frac = dup_shingle_fraction(kept, n=3, min_docs=3,
                                 max_dup_permille=900)
-    kept = kept.join(frac.where('keep').select('doc_id'), 'doc_id',
-                     'left_semi')
+    kept = _mark('10_doc_boilerplate',
+                 kept.join(frac.where('keep').select('doc_id'), 'doc_id',
+                           'left_semi'))
 
     # 9. near-dup clusters: drop every member that is not its cluster's
     #    canonical keeper (min doc_id)
@@ -142,17 +173,17 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
         'doc_id', F.xxhash64('doc_id')).select('doc_id', 'text'))
     losers = (clusters.where(F.col('doc_id') != F.col('cluster_id'))
               .select('doc_id'))
-    kept = (kept.withColumn('k', F.xxhash64('doc_id'))
+    kept = _mark('11_near_dup', (kept.withColumn('k', F.xxhash64('doc_id'))
             .join(losers.withColumnRenamed('doc_id', 'k'), 'k',
-                  'left_anti').drop('k'))
+                  'left_anti').drop('k')))
 
     # 10. PII scrub
-    clean = pii_scrub(kept).select(
+    clean = _mark('12_pii_scrub', pii_scrub(kept).select(
         'doc_id', F.col('scrubbed').alias('text'),
-        'n_emails', 'n_ips', 'n_phones')
+        'n_emails', 'n_ips', 'n_phones'))
 
     # 11. pack into training sequences
-    packed = pack_sequences(clean, budget=token_budget)
+    packed = _mark('13_pack', pack_sequences(clean, budget=token_budget))
 
     # 12. write: extraction results, survivors, pack manifest
     results.write.mode('overwrite').parquet(os.path.join(out_dir, 'extracted'))

@@ -1,0 +1,71 @@
+"""At-scale linearity proof for the full pipeline (VERDICT r4 ask #7).
+
+Runs examples/full_pipeline.py's 14-stage chain twice on local[32] —
+at the bench scale (128k docs) and at 10x (1.28M docs) — with per-stage
+materialization walls, and writes BENCH/pipeline_sf1_r5.json with the
+per-stage scale ratios. A stage whose wall grows much faster than the
+10x data factor is a lineage/quadratic trap (this harness pattern
+caught two in r3/r4).
+
+Run:  python tools/pipeline_stage_report.py [small_n] [big_n]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(n_docs: int, out_dir: str) -> dict:
+    from examples.full_pipeline import run_pipeline
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import materialized_docs
+    spark = get_spark('local[32]', app_name=f'pipeline-scale-{n_docs}',
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel('ERROR')
+    report: dict = {}
+    t0 = time.time()
+    docs = materialized_docs(spark, n_docs)
+    stats = run_pipeline(spark, docs, out_dir, stage_report=report)
+    wall = time.time() - t0
+    # zero-error requirement: every input doc must come out as a
+    # non-error row
+    from pyspark.sql import functions as F
+    errors = (spark.read.parquet(os.path.join(out_dir, 'extracted'))
+              .where(F.col('status') == 'error').count())
+    spark.stop()
+    return {'n_docs': n_docs, 'total_wall_s': round(wall, 1),
+            'errors': errors, 'stats': stats, 'stages': report}
+
+
+def main():
+    small_n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
+    big_n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_280_000
+    small = run_at(small_n, '/tmp/pipe_small')
+    big = run_at(big_n, '/tmp/pipe_big')
+    factor = big_n / small_n
+    ratios = {}
+    for k in big['stages']:
+        s = small['stages'].get(k, {}).get('wall_s', 0) or 0.01
+        b = big['stages'][k]['wall_s']
+        ratios[k] = {'small_s': s, 'big_s': b,
+                     'wall_ratio': round(b / s, 2),
+                     'data_factor': factor}
+    out = {'small': small, 'big': big, 'stage_ratios': ratios,
+           'spark': 'local[32] shuffle_partitions=64',
+           'note': ('wall_ratio ~<= data_factor per stage = linear; '
+                    'sub-linear ratios are fixed-overhead amortization')}
+    path = os.path.join(REPO, 'BENCH', 'pipeline_sf1_r5.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(ratios, indent=1))
+    print('total:', small['total_wall_s'], '->', big['total_wall_s'],
+          's; errors:', small['errors'], big['errors'])
+    print('wrote', path)
+
+
+if __name__ == '__main__':
+    main()
