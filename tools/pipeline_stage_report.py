@@ -23,8 +23,11 @@ def run_at(n_docs: int, out_dir: str) -> dict:
     from examples.full_pipeline import run_pipeline
     from mineru_html_spark.plans.session import get_spark
     from mineru_html_spark.sources.synthsource import materialized_docs
+    # more, smaller shuffle tasks at the big scale: bounds per-task
+    # spill and keeps AQE free to coalesce
+    parts = 64 if n_docs <= 200_000 else 192
     spark = get_spark('local[32]', app_name=f'pipeline-scale-{n_docs}',
-                      shuffle_partitions=64)
+                      shuffle_partitions=parts)
     spark.sparkContext.setLogLevel('ERROR')
     report: dict = {}
     t0 = time.time()
@@ -45,7 +48,9 @@ def main():
     small_n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
     big_n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_280_000
     small = run_at(small_n, '/tmp/pipe_small')
+    print('SMALL:', json.dumps(small), flush=True)
     big = run_at(big_n, '/tmp/pipe_big')
+    print('BIG:', json.dumps(big), flush=True)
     factor = big_n / small_n
     ratios = {}
     for k in big['stages']:
