@@ -347,7 +347,10 @@ def _text_density_labels(blocks) -> Dict[int, str]:
                     s[5] += len(_RX_PUNCT.findall(t))
             stats[key] = s
             stack.append((node, in_a, True))
-            for c in node.children:
+            # reversed: LIFO pop then visits children in DOCUMENT
+            # order, so `order` is true pre-order and the documented
+            # first-in-document-order tie-break holds (review finding)
+            for c in reversed(node.children):
                 if not isinstance(c, str):
                     stack.append((c, in_a or c.tag == 'a', False))
             continue

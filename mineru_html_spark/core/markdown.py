@@ -54,11 +54,15 @@ def _collapse(text: str) -> str:
 
 def _collapse_keep_edges(c: str) -> str:
     """Collapse interior whitespace but preserve boundary spaces (they
-    separate adjacent inline runs)."""
+    separate adjacent inline runs). A whitespace-ONLY node between two
+    inline elements is still a separator — returning '' there fuses
+    '<b>a</b> <b>b</b>' into '**a****b**' (review finding)."""
     s = ' '.join(c.split())
-    if c[:1].isspace() and s:
+    if not s:
+        return ' ' if c else ''
+    if c[:1].isspace():
         s = ' ' + s
-    if c[-1:].isspace() and s:
+    if c[-1:].isspace():
         s = s + ' '
     return s
 
@@ -128,11 +132,11 @@ def _pre_text(node: Node) -> str:
 
 
 def _table_blocks(table: Node, opts: MarkdownOptions) -> List[str]:
+    # markdown pipe tables REQUIRE a header row; like html2text, the
+    # first row serves as it whether or not the HTML used <th>
     rows: List[List[str]] = []
-    header_cells = 0
 
     def walk_rows(node):
-        nonlocal header_cells
         for c in node.children:
             if isinstance(c, str):
                 continue
@@ -143,10 +147,6 @@ def _table_blocks(table: Node, opts: MarkdownOptions) -> List[str]:
                          if isinstance(cell, Node)
                          and cell.tag in ('td', 'th')]
                 if cells:
-                    if not rows and any(
-                            isinstance(cell, Node) and cell.tag == 'th'
-                            for cell in c.children):
-                        header_cells = len(cells)
                     rows.append(cells)
             elif c.tag in ('thead', 'tbody', 'tfoot'):
                 walk_rows(c)

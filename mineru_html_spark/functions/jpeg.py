@@ -437,7 +437,13 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
         zz[k] = _extend(br.read_bits(s), s)
         k += 1
     coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = zz * qtab
+    # zz[k] is the k-th ZIGZAG coefficient; its natural position is
+    # ZIGZAG[k], so its quant entry is qtab[ZIGZAG[k]] — dequantizing
+    # with the natural-order qtab[k] scales every AC coefficient by the
+    # wrong entry (review finding: q95 noise round-trip mean error 36
+    # vs 3.3 fixed; smooth-gradient tests masked it because low zigzag
+    # indices nearly coincide with natural order)
+    coef[ZIGZAG] = zz * qtab[ZIGZAG]
     blk = _C.T @ coef.reshape(8, 8) @ _C
     return blk, dc
 
@@ -519,6 +525,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError('SOS before SOF')
             ns = body[0]
+            if ns != len(frame['comps']):
+                # legal baseline files MAY ship one scan per component
+                # (non-interleaved); decoding only the first scan would
+                # silently return a grayscale Y plane as 'ok' — fail
+                # contained instead (review finding)
+                raise ValueError(
+                    f'non-interleaved multi-scan baseline ({ns} of '
+                    f'{len(frame["comps"])} components in first scan) '
+                    f'unsupported')
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + si * 2:3 + si * 2]

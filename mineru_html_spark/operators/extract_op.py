@@ -33,12 +33,17 @@ OUT_SCHEMA = (
 )
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     with_markdown: bool) -> Iterator[pd.DataFrame]:
+    """Shared marshalling for the plain and markdown extraction
+    operators — one place owns the span-tuple conversion and column
+    list, so a schema change cannot drift between the two paths."""
+    extra = ['markdown'] if with_markdown else []
     for pdf in batches:
         rows = [(doc_id,
                  [s if isinstance(s, dict) else dict(s) for s in spans])
                 for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
-        results = extract_rows(rows)   # one batched scorer pass inside
+        results = extract_rows(rows, with_markdown=with_markdown)
         out = [{
             'doc_id': r['doc_id'],
             'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
@@ -48,10 +53,15 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             'n_main': r['n_main'],
             'error': r['error'],
             'proc_us': r['proc_us'],
+            **{k: r[k] for k in extra},
         } for r in results]
         yield pd.DataFrame(
             out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
-                          'error', 'proc_us'])
+                          'error', 'proc_us'] + extra)
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _extract_batches(batches, with_markdown=False)
 
 
 def apply_extract(docs: DataFrame) -> DataFrame:
@@ -64,25 +74,7 @@ MD_SCHEMA = OUT_SCHEMA + ', markdown string'
 
 def extract_markdown_batch(batches: Iterator[pd.DataFrame]) \
         -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = [(doc_id,
-                 [s if isinstance(s, dict) else dict(s) for s in spans])
-                for doc_id, spans in zip(pdf['doc_id'], pdf['spans'])]
-        results = extract_rows(rows, with_markdown=True)
-        out = [{
-            'doc_id': r['doc_id'],
-            'spans': [(s['kind'], s['text'], s['media_ref'], s['offset'])
-                      for s in r['spans']],
-            'status': r['status'],
-            'n_items': r['n_items'],
-            'n_main': r['n_main'],
-            'error': r['error'],
-            'proc_us': r['proc_us'],
-            'markdown': r['markdown'],
-        } for r in results]
-        yield pd.DataFrame(
-            out, columns=['doc_id', 'spans', 'status', 'n_items', 'n_main',
-                          'error', 'proc_us', 'markdown'])
+    return _extract_batches(batches, with_markdown=True)
 
 
 def apply_extract_markdown(docs: DataFrame) -> DataFrame:

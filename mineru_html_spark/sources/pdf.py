@@ -183,9 +183,18 @@ def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
                 raw = data[s0:s0 + ln]
                 pos = s0 + ln
         if raw is None:
-            fm = _STREAM_RE.search(data, sm.start())
+            # fallback is bounded by this object's endobj (the old
+            # per-object containment): without the bound, a corrupted
+            # endstream would match a LATER object's keyword and
+            # swallow every object in between — and a missing match
+            # must skip THIS object only, never abandon the rest of
+            # the file (review finding)
+            bound = data.find(b'endobj', sm.end())
+            region_end = (bound + 9) if bound >= 0 else n
+            fm = _STREAM_RE.search(data, sm.start(), region_end)
             if fm is None:
-                return
+                pos = (bound + 6) if bound >= 0 else n
+                continue
             raw = fm.group(1)
             pos = fm.end()
         yield dict_part, raw

@@ -64,6 +64,41 @@ def test_jpeg_byte_stuffing_roundtrip():
     assert decode_jpeg(data).shape == (16, 16, 3)
 
 
+def test_jpeg_high_frequency_dequant_error_bound():
+    """Noise exercises EVERY zigzag position: dequantizing with the
+    natural-order table instead of qtab[ZIGZAG] read mean error ~36 at
+    q95 (review finding) — the correct indexing reads ~3. Gradient
+    tests cannot catch this (low zigzag indices nearly coincide with
+    natural order), so this bound is the regression guard."""
+    rng = np.random.RandomState(9)
+    noise = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(noise, quality=95))
+    err = np.abs(out.astype(int) - noise.astype(int)).mean()
+    assert err < 8, err
+    # grayscale path too (single quant table)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    out_g = decode_jpeg(encode_jpeg_baseline(g, quality=95))
+    err_g = np.abs(out_g[:, :, 0].astype(int) - g.astype(int)).mean()
+    assert err_g < 8, err_g
+
+
+def test_jpeg_multiscan_rejected_contained():
+    """A baseline file whose first SOS carries only one of three
+    components (legal non-interleaved encoding) must raise — decoding
+    just the Y scan would silently return grayscale as 'ok'."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg_baseline(img, 90))
+    i = data.find(b'\xff\xda')
+    seglen = int.from_bytes(data[i + 2:i + 4], 'big')
+    # rewrite the SOS header to claim 1 component (Y only)
+    new_sos = bytes([1, 1, 0x00, 0, 63, 0])
+    patched = (bytes(data[:i]) + b'\xff\xda'
+               + (len(new_sos) + 2).to_bytes(2, 'big') + new_sos
+               + bytes(data[i + 2 + seglen:]))
+    with pytest.raises(ValueError, match='multi-scan'):
+        decode_jpeg(patched)
+
+
 def test_jpeg_rejects_progressive():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg_baseline(img, 90))

@@ -89,3 +89,13 @@ def test_extract_rows_with_markdown_flag():
     r2 = extract_rows([('d1', spans)])[0]
     assert 'markdown' not in r2
     assert r2['spans'] == r['spans']
+
+
+def test_adjacent_inline_elements_keep_separator():
+    """A whitespace-only text node between two inline elements is a
+    separator — dropping it fuses words and breaks emphasis markup
+    (review finding: '**alpha****beta**')."""
+    assert md('<p><b>alpha</b> <b>beta</b></p>') == '**alpha** **beta**\n'
+    assert md('<p><a href="/x">one</a> <a href="/y">two</a></p>') \
+        == '[one](/x) [two](/y)\n'
+    assert md('<p><em>a</em>\n<em>b</em></p>') == '_a_ _b_\n'

@@ -155,3 +155,20 @@ def test_pdf_mixed_literal_and_hex_in_one_tj():
     from mineru_html_spark.sources.pdf import extract_stream_text
     stream = b'BT [(lit ) -12 <686578> -8 ( done)] TJ ET'
     assert extract_stream_text(stream) == ['lit ', 'hex', ' done']
+
+
+def test_pdf_corrupt_endstream_keeps_later_objects():
+    """A no-/Length object whose endstream keyword is destroyed must
+    cost only ITS OWN text: later objects still extract (review
+    finding: the fallback scan used to either abandon the rest of the
+    file or swallow intermediate objects by matching a later
+    endstream)."""
+    good_tail = b'BT (tail survives) Tj ET'
+    pdf = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n'
+           b'2 0 obj\n<< >>\nstream\nBT (lost text) Tj ET\nENDSTREAM!\n'
+           b'endobj\n'
+           b'3 0 obj\n<< /Length ' + str(len(good_tail)).encode()
+           + b' >>\nstream\n' + good_tail
+           + b'\nendstream\nendobj\n%%EOF\n')
+    text, _, _ = pdf_to_text(pdf)
+    assert text == 'tail survives'

@@ -28,6 +28,7 @@ def run_at(n_docs: int, out_dir: str) -> dict:
     parts = 64 if n_docs <= 200_000 else 192
     spark = get_spark('local[32]', app_name=f'pipeline-scale-{n_docs}',
                       shuffle_partitions=parts)
+    conf = f'local[32] shuffle_partitions={parts}'
     spark.sparkContext.setLogLevel('ERROR')
     report: dict = {}
     t0 = time.time()
@@ -41,7 +42,8 @@ def run_at(n_docs: int, out_dir: str) -> dict:
               .where(F.col('status') == 'error').count())
     spark.stop()
     return {'n_docs': n_docs, 'total_wall_s': round(wall, 1),
-            'errors': errors, 'stats': stats, 'stages': report}
+            'spark': conf, 'errors': errors, 'stats': stats,
+            'stages': report}
 
 
 def main():
@@ -60,9 +62,10 @@ def main():
                      'wall_ratio': round(b / s, 2),
                      'data_factor': factor}
     out = {'small': small, 'big': big, 'stage_ratios': ratios,
-           'spark': 'local[32] shuffle_partitions=64',
            'note': ('wall_ratio ~<= data_factor per stage = linear; '
-                    'sub-linear ratios are fixed-overhead amortization')}
+                    'sub-linear ratios are fixed-overhead amortization; '
+                    'each run records its own spark conf (the big run '
+                    'uses more, smaller shuffle tasks — AQE coalesces)')}
     path = os.path.join(REPO, 'BENCH', 'pipeline_sf1_r5.json')
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
