@@ -55,10 +55,16 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
         if stage_report is None:
             return df
         t0 = _time.time()
-        df = df.persist()
+        # localCheckpoint (not bare persist): CUTS lineage, so the
+        # ContextCleaner can delete upstream shuffle files as stages
+        # retire — with 13 chained stages a plain persist keeps EVERY
+        # shuffle referenced to run end and fills the disk at the
+        # 1.28M-doc scale (measured: >60 GB of dead shuffle spill)
+        df = df.localCheckpoint(eager=True)
         n = df.count()
         stage_report[name] = {'wall_s': round(_time.time() - t0, 2),
                               'rows': n}
+        print(f'  stage {name}: {stage_report[name]}', flush=True)
         # once a stage is materialized its predecessor's cache is dead
         # weight (each stage consumes the one before); keep only the
         # extraction frame, which the final writes/stats re-read

@@ -19,7 +19,8 @@ from pyspark.sql import SparkSession
 
 def get_spark(master: str | None = None,
               app_name: str = 'mineru-html-spark',
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     master = master or f'local[{cpus}]'
     if shuffle_partitions is None:
@@ -39,6 +40,8 @@ def get_spark(master: str | None = None,
         .config('spark.ui.enabled', 'false')
         .config('spark.ui.showConsoleProgress', 'false')
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel('ERROR')
     return spark

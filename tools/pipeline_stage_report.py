@@ -25,10 +25,16 @@ def run_at(n_docs: int, out_dir: str) -> dict:
     from mineru_html_spark.sources.synthsource import materialized_docs
     # more, smaller shuffle tasks at the big scale: bounds per-task
     # spill and keeps AQE free to coalesce
-    parts = 64 if n_docs <= 200_000 else 192
-    spark = get_spark('local[32]', app_name=f'pipeline-scale-{n_docs}',
-                      shuffle_partitions=parts)
-    conf = f'local[32] shuffle_partitions={parts}'
+    parts = 64 if n_docs <= 200_000 else 256
+    import os as _os
+    _os.environ.setdefault('SPARK_DRIVER_MEMORY', '80g')
+    spark = get_spark(
+        'local[32]', app_name=f'pipeline-scale-{n_docs}',
+        shuffle_partitions=parts,
+        # retire dead shuffle files fast (default periodicGC is 30 min
+        # — far too slow for a 14-stage chain's disk footprint)
+        extra_conf={'spark.cleaner.periodicGC.interval': '120s'})
+    conf = f'local[32] shuffle_partitions={parts} periodicGC=120s'
     spark.sparkContext.setLogLevel('ERROR')
     report: dict = {}
     t0 = time.time()
@@ -49,8 +55,14 @@ def run_at(n_docs: int, out_dir: str) -> dict:
 def main():
     small_n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
     big_n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_280_000
-    small = run_at(small_n, '/tmp/pipe_small')
-    print('SMALL:', json.dumps(small), flush=True)
+    reuse = os.environ.get('PIPE_SMALL_JSON')
+    if reuse:
+        small = json.loads(open(reuse).read())
+        assert small['n_docs'] == small_n
+        print('SMALL (reused):', json.dumps(small), flush=True)
+    else:
+        small = run_at(small_n, '/tmp/pipe_small')
+        print('SMALL:', json.dumps(small), flush=True)
     big = run_at(big_n, '/tmp/pipe_big')
     print('BIG:', json.dumps(big), flush=True)
     factor = big_n / small_n
