@@ -392,6 +392,132 @@ def _text_density_labels(blocks) -> Dict[int, str]:
     return labels
 
 
+def _subtree_tag_count(node) -> int:
+    """Element-tag count of ``node``'s subtree, node inclusive (the
+    tag-token side of the BTE/CETR objectives)."""
+    n = 0
+    stack = [node]
+    while stack:
+        nd = stack.pop()
+        n += 1
+        for c in nd.children:
+            if not isinstance(c, str):
+                stack.append(c)
+    return n
+
+
+def _bte_labels(blocks) -> Dict[int, str]:
+    """BTE (Finn, Kushmerick & Smyth 2001, "Fact or fiction: Content
+    classification for digital libraries") — the classic single-window
+    extractor: encode the document as a tag/word token sequence and pick
+    the contiguous window [i, j] maximizing
+    ``T(i,j) = tags before i + words within + tags after j``.
+    Block-granular: with ``w_b`` words and ``g_b`` tags per block,
+    ``T(i,j) = total_tags + sum_{i..j}(w_b - g_b)``, so the optimum is
+    the maximum-sum contiguous run of ``words - tags`` — Kadane, with
+    BTE's deterministic preference for the earliest (then shortest)
+    window on ties. A page with no positive run selects nothing, exactly
+    as BTE's empty optimum does. Strictly contiguous by construction —
+    no image ride-along: out-of-window media is what BTE trades away."""
+    if not blocks:
+        return {}
+    vals = [len(b.text.split()) - _subtree_tag_count(b.node)
+            for b in blocks]
+    best, bi, bj = 0, None, None
+    cur, start = 0, 0
+    for i, v in enumerate(vals):
+        cur += v
+        if cur > best:                    # strict: earliest, shortest
+            best, bi, bj = cur, start, i
+        if cur < 0:
+            cur, start = 0, i + 1
+    labels = {}
+    for i, b in enumerate(blocks):
+        inside = bi is not None and bi <= i <= bj
+        labels[b.item_id] = MAIN if inside else 'other'
+    return labels
+
+
+def _cetr_labels(blocks) -> Dict[int, str]:
+    """CETR (Weninger, Hu & Han, SIGIR'10 "CETR — Content Extraction via
+    Tag Ratios"), block-granular: per block the tag ratio
+    ``TR_b = text chars / max(tags, 1)``; Gaussian-smooth it (sigma=1,
+    radius 3 — the paper's smoothing pass); take the absolute smoothed
+    forward-average derivative (the paper's alpha=3); then k-means the
+    2-D points (TR', |G'|) with k=3 and label the cluster whose centroid
+    lies nearest the ORIGIN as boilerplate — the paper's key insight
+    that content lives away from the (0,0) corner. The paper leaves
+    k-means init unspecified; this build makes it deterministic with
+    farthest-point seeding from the max-norm point and a fixed Lloyd
+    iteration cap. Link-light image blocks ride along (engine
+    convention — the original operates on text lines only)."""
+    import math
+    if not blocks:
+        return {}
+
+    def _keep_flags(flags):
+        labels = {}
+        for b, keep in zip(blocks, flags):
+            if not keep and b.n_imgs > 0 \
+                    and b.link_text_len <= 0.2 * max(b.text_len, 1):
+                keep = True
+            labels[b.item_id] = MAIN if keep else 'other'
+        return labels
+
+    ratios = [b.text_len / max(_subtree_tag_count(b.node), 1)
+              for b in blocks]
+    n = len(ratios)
+    if n < 4:                             # too few points to cluster
+        m = sum(ratios) / n
+        return _keep_flags([r >= m for r in ratios])
+
+    kw = [math.exp(-(d * d) / 2.0) for d in range(-3, 4)]
+
+    def smooth(xs):
+        out = []
+        for i in range(n):
+            num = den = 0.0
+            for d in range(-3, 4):
+                j = i + d
+                if 0 <= j < n:
+                    num += kw[d + 3] * xs[j]
+                    den += kw[d + 3]
+            out.append(num / den)
+        return out
+
+    s = smooth(ratios)
+    alpha = 3
+    deriv = [abs(sum(s[i + 1:i + 1 + alpha])
+                 / max(len(s[i + 1:i + 1 + alpha]), 1) - s[i])
+             for i in range(n)]
+    g = smooth(deriv)
+    pts = list(zip(s, g))
+
+    def d2(p, q):
+        return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+
+    # deterministic farthest-point seeding: max-norm point first
+    c0 = max(pts, key=lambda p: (p[0] * p[0] + p[1] * p[1]))
+    c1 = max(pts, key=lambda p: d2(p, c0))
+    c2 = max(pts, key=lambda p: min(d2(p, c0), d2(p, c1)))
+    cents = [c0, c1, c2]
+    assign = [0] * n
+    for _ in range(32):
+        new = [min(range(3), key=lambda k: d2(p, cents[k]))
+               for p in pts]
+        if new == assign and _ > 0:
+            break
+        assign = new
+        for k in range(3):
+            members = [p for p, a in zip(pts, assign) if a == k]
+            if members:
+                cents[k] = (sum(p[0] for p in members) / len(members),
+                            sum(p[1] for p in members) / len(members))
+    boiler = min(range(3),
+                 key=lambda k: cents[k][0] ** 2 + cents[k][1] ** 2)
+    return _keep_flags([a != boiler for a in assign])
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
@@ -401,6 +527,8 @@ BASELINES = {
     'readability': (None, _readability_labels),
     'justext': (None, _justext_labels),
     'text_density': (None, _text_density_labels),
+    'bte': (None, _bte_labels),
+    'cetr': (None, _cetr_labels),
 }
 
 # backwards-compatible view (labelers only)

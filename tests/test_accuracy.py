@@ -107,11 +107,11 @@ def test_engine_dominates_baselines(spark):
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
                          'regex_cleaner', 'boilerpipe', 'readability',
-                         'justext', 'text_density'}
+                         'justext', 'text_density', 'bte', 'cetr'}
     eng = rows['engine']
     for name in ('passthrough', 'degraded', 'regex_cleaner',
                  'boilerpipe', 'readability', 'justext',
-                 'text_density'):
+                 'text_density', 'bte', 'cetr'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -127,8 +127,10 @@ def test_fused_baselines_equal_solo():
     rows = [(d['doc_id'], d['spans']) for d in
             (gen_doc(i) for i in range(0, 60))]
     fused = baseline_extract_rows_multi(
-        rows, ('passthrough', 'degraded', 'boilerpipe', 'readability'))
-    for name in ('passthrough', 'degraded', 'boilerpipe', 'readability'):
+        rows, ('passthrough', 'degraded', 'boilerpipe', 'readability',
+               'bte', 'cetr'))
+    for name in ('passthrough', 'degraded', 'boilerpipe', 'readability',
+                 'bte', 'cetr'):
         solo = baseline_extract_rows(rows, name)
         got = [r for r in fused if r['extractor'] == name]
         assert len(got) == len(solo)
@@ -188,6 +190,60 @@ def test_justext_labeler_semantics():
     assert any(k.startswith('it was the') for k in good)
     assert by_text.get('short middle') == MAIN      # rescued by context
     assert all(not k.startswith('nav link') for k in good)
+
+
+def test_bte_labeler_window_semantics():
+    """BTE picks the single contiguous max-(words - tags) window: dense
+    article blocks between a tag-heavy nav and footer are kept, both
+    tag-dense edges are dropped, and an all-boilerplate page selects
+    nothing (the empty optimum)."""
+    from mineru_html_spark.core.baselines import _bte_labels
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    para = ('Plenty of running words in this paragraph so the word side '
+            'of the objective clearly wins over its single tag, and then '
+            'some more words for good measure across the line. ')
+    nav = ''.join(f'<div><span><a href="/n{i}">n{i}</a></span></div>'
+                  for i in range(10))
+    html = (f'<html><body><div id="nav">{nav}</div>'
+            f'<p>{para}</p><p>{para} second paragraph differs.</p>'
+            f'<div id="foot">{nav}</div></body></html>')
+    root, blocks, _ = _segment_doc(html)
+    labels = _bte_labels(blocks)
+    kept = [b.text[:6] for b in blocks if labels[b.item_id] == MAIN]
+    assert kept and all(t.startswith('Plenty') for t in kept)
+    assert len(kept) == 2                 # both paragraphs, nothing else
+
+    # all-boilerplate: every block is tag-dominated -> empty selection
+    root2, blocks2, _ = _segment_doc(
+        f'<html><body><div>{nav}</div><div>{nav}</div></body></html>')
+    labels2 = _bte_labels(blocks2)
+    assert all(v != MAIN for v in labels2.values())
+
+
+def test_cetr_labeler_tag_ratio_clusters():
+    """CETR's tag-ratio clustering: high-ratio article blocks land in a
+    far-from-origin cluster (content); the link farm's near-origin
+    cluster is boilerplate. Deterministic across runs (fixed seeding)."""
+    from mineru_html_spark.core.baselines import _cetr_labels
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    para = ('A long flowing paragraph with many characters and almost no '
+            'markup inside it, which drives the per-block tag ratio up '
+            'well beyond anything the navigation chrome can reach. ')
+    farm = ''.join(f'<div><a href="/x{i}">x{i}</a></div>' for i in range(12))
+    html = (f'<html><body><div>{farm}</div>'
+            f'<p>{para}</p><p>{para} and a second, different ending.</p>'
+            f'<p>{para} third body paragraph, also different.</p>'
+            f'<div>{farm}</div></body></html>')
+    root, blocks, _ = _segment_doc(html)
+    labels = _cetr_labels(blocks)
+    by_text = {b.text[:6]: labels[b.item_id] for b in blocks}
+    assert by_text.get('A long') == MAIN
+    root2, blocks2, _ = _segment_doc(html)
+    assert _cetr_labels(blocks2) == labels   # deterministic
 
 
 def test_text_density_labeler_picks_article():
