@@ -1,0 +1,71 @@
+"""Assemble BENCH/pipeline_sf1_r5.json from a (possibly partial) stage
+log plus the recorded small-leg JSON.
+
+The stage harness prints each stage's wall as it completes, so a big leg
+cut short by the session clock still yields per-stage ratios for every
+completed stage; stages missing from the big log are reported as
+``null`` ratios, never silently dropped (no-silent-caps rule).
+
+Usage: python tools/assemble_stage_report.py <small.json> <big_log> \
+           <big_n> [note...]
+"""
+import ast
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_stages(log_path: str, after_small: bool) -> dict:
+    """Stage lines from the log. When ``after_small`` is set, only lines
+    following the SMALL: summary (the big leg's section) count."""
+    stages = {}
+    seen_small = not after_small
+    for line in open(log_path, errors='replace'):
+        if line.startswith('SMALL'):
+            seen_small = True
+            stages = {}
+            continue
+        m = re.match(r"\s*stage (\S+): (\{.*\})", line)
+        if m and seen_small:
+            stages[m.group(1)] = ast.literal_eval(m.group(2))
+    return stages
+
+
+def main():
+    small_path, big_log, big_n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    note_extra = ' '.join(sys.argv[4:])
+    small = json.load(open(small_path))
+    big_stages = parse_stages(big_log, after_small=True)
+    factor = big_n / small['n_docs']
+    ratios = {}
+    for k, sv in small['stages'].items():
+        bv = big_stages.get(k)
+        ratios[k] = {
+            'small_s': sv['wall_s'],
+            'big_s': bv['wall_s'] if bv else None,
+            'big_rows': bv['rows'] if bv else None,
+            'wall_ratio': (round(bv['wall_s'] / max(sv['wall_s'], 0.01), 2)
+                           if bv else None),
+            'data_factor': factor,
+        }
+    done = [k for k, v in ratios.items() if v['big_s'] is not None]
+    big = {'n_docs': big_n, 'stages': big_stages,
+           'total_wall_s': round(sum(v['wall_s']
+                                     for v in big_stages.values()), 1),
+           'completed_stages': len(done), 'of_stages': len(ratios)}
+    out = {'small': small, 'big': big, 'stage_ratios': ratios,
+           'note': ('wall_ratio ~<= data_factor per stage = linear; '
+                    'null big_s = stage not reached before the session '
+                    'clock cut the big leg. ' + note_extra).strip()}
+    path = os.path.join(REPO, 'BENCH', 'pipeline_sf1_r5.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(ratios, indent=1))
+    print('wrote', path, f'({len(done)}/{len(ratios)} big stages)')
+
+
+if __name__ == '__main__':
+    main()

@@ -32,8 +32,15 @@ def run_at(n_docs: int, out_dir: str) -> dict:
         'local[32]', app_name=f'pipeline-scale-{n_docs}',
         shuffle_partitions=parts,
         # retire dead shuffle files fast (default periodicGC is 30 min
-        # — far too slow for a 14-stage chain's disk footprint)
-        extra_conf={'spark.cleaner.periodicGC.interval': '120s'})
+        # — far too slow for a 14-stage chain's disk footprint).
+        # heartbeat/network timeouts widened: the eager per-stage
+        # materialization holds multi-stage corpus copies in the 80g
+        # heap, and full-GC pause storms at the 1.28M-doc scale starved
+        # the default 10s executor heartbeat past its 60-miss budget —
+        # local-mode context teardown mid-chain (measured, r5)
+        extra_conf={'spark.cleaner.periodicGC.interval': '120s',
+                    'spark.executor.heartbeatInterval': '60s',
+                    'spark.network.timeout': '800s'})
     conf = f'local[32] shuffle_partitions={parts} periodicGC=120s'
     spark.sparkContext.setLogLevel('ERROR')
     report: dict = {}
