@@ -1,0 +1,87 @@
+"""Standalone linearity check for the trigram-array pipeline stages.
+
+The r5 stage-report legs showed stages 06 (unigram_lm_nll), 07
+(dsir_weights) and 08 (lang_id_by_script + stratified_sample) growing
+4-7x at 3x data — but those legs ran under the report harness's eager
+cache-every-stage mode, which holds multi-stage corpus copies in the
+heap and turns wall time into GC time at scale. This tool answers the
+algorithmic question: run each operator ALONE over a materialized
+(doc_id, text) parquet input at two sizes, lazy end-to-end, and report
+the wall ratio vs the data factor. Linear (ratio ~<= factor) clears the
+operator; super-linear indicts it.
+
+Usage: python tools/op_linearity_check.py [lo_n] [hi_n]
+Writes BENCH/op_linearity_r5.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mineru_html_spark.functions.corpus import (dsir_weights,
+                                                stratified_sample,
+                                                unigram_lm_nll)
+from mineru_html_spark.functions.text import lang_id_by_script
+from mineru_html_spark.plans.session import get_spark
+from mineru_html_spark.sources.synthsource import materialized_docs
+
+
+def run_ops(spark, n_docs: int) -> dict:
+    from mineru_html_spark.plans.evaluate import span_text
+    docs = (materialized_docs(spark, n_docs)
+            .select('doc_id', span_text('spans').alias('text')))
+    # pin the input to parquet once so every op reads the same bytes and
+    # the scan cost is inside every measurement identically
+    path = f'/tmp/op_lin_{n_docs}'
+    docs.write.mode('overwrite').parquet(path)
+    inp = spark.read.parquet(path)
+    walls = {}
+
+    def timed(name, df):
+        df.count()  # warmup: worker spawn + scan setup out of the wall
+        t0 = time.time()
+        df.count()
+        walls[name] = round(time.time() - t0, 2)
+
+    timed('06_unigram_lm_nll', unigram_lm_nll(inp))
+    timed('07_dsir_weights', dsir_weights(inp))
+    langs = lang_id_by_script(inp).select('doc_id', 'lang')
+    timed('08_lang_id_by_script', langs)
+    timed('08b_stratified_sample',
+          stratified_sample(inp.join(langs, 'doc_id'),
+                            {'en': 1000, 'und': 500}, stratum_col='lang'))
+    return walls
+
+
+def main():
+    lo_n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
+    hi_n = int(sys.argv[2]) if len(sys.argv) > 2 else 384_000
+    spark = get_spark('local[32]', app_name='op-linearity',
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel('ERROR')
+    lo = run_ops(spark, lo_n)
+    hi = run_ops(spark, hi_n)
+    factor = hi_n / lo_n
+    out = {'lo_n': lo_n, 'hi_n': hi_n, 'data_factor': factor,
+           'lo_walls': lo, 'hi_walls': hi,
+           'wall_ratios': {k: round(hi[k] / max(lo[k], 0.01), 2)
+                           for k in lo},
+           'verdict': {k: ('linear' if hi[k] / max(lo[k], 0.01)
+                           <= factor * 1.35 else 'SUPER-LINEAR')
+                       for k in lo},
+           'note': ('lazy single-action walls over pinned parquet input, '
+                    'post-warmup; 1.35x slack for shuffle-partition and '
+                    'co-tenant wobble')}
+    print(json.dumps(out, indent=1))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, 'BENCH', 'op_linearity_r5.json'),
+              'w') as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == '__main__':
+    main()
