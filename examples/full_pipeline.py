@@ -83,8 +83,7 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                                                     unigram_lm_nll)
     from mineru_html_spark.functions.dedup import (exact_dedup_groups,
                                                    near_dup_clusters)
-    from mineru_html_spark.functions.text import (lang_id_by_script,
-                                                  quality_gate)
+    from mineru_html_spark.functions.text import quality_gate, with_lang
     from mineru_html_spark.plans.evaluate import span_text
     from mineru_html_spark.plans.job import run_extraction
 
@@ -152,12 +151,16 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     kept = kept.localCheckpoint()
 
     # 6. language routing + training-mix control: per-language keep
-    #    rates via deterministic (rerun-identical) hash sampling
+    #    rates via deterministic (rerun-identical) hash sampling. The
+    #    lang label is row-local, so it attaches INLINE (with_lang) —
+    #    joining lang_id_by_script's output back on doc_id would
+    #    sort-merge-shuffle the whole corpus text for a 2-char label
+    #    (measured: that join was most of this stage's wall)
     lang_mix = lang_mix or {'en': 1000, 'und': 500}
-    langs = lang_id_by_script(kept).select('doc_id', 'lang')
     kept = _mark('08_lang_mix',
-                 stratified_sample(kept.join(langs, 'doc_id'), lang_mix,
-                                   stratum_col='lang').drop('lang'))
+                 stratified_sample(with_lang(kept).drop('script'),
+                                   lang_mix, stratum_col='lang')
+                 .drop('lang'))
 
     # 7. exact dedup: keep each fingerprint's first doc
     groups = exact_dedup_groups(kept)

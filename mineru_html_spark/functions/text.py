@@ -279,6 +279,15 @@ def lang_id_by_script(documents: DataFrame) -> DataFrame:
     avoid every known Java-vs-RE2 divergence; see marker comments). Labels
     are BCP-47 primary subtags.
     """
+    script, lang = _script_lang_cols()
+    return documents.select('doc_id', script.alias('script'),
+                            lang.alias('lang'))
+
+
+def _script_lang_cols():
+    """(script, lang) expression pair over a ``text`` column — the one
+    formula behind ``lang_id_by_script`` (narrow projection) and
+    ``with_lang`` (inline attach)."""
     def n(pat):
         return F.size(F.regexp_extract_all('text', F.lit(pat), F.lit(0))) \
                 .cast('long')
@@ -313,8 +322,18 @@ def lang_id_by_script(documents: DataFrame) -> DataFrame:
             .when(script == 'devanagari', F.lit('hi'))
             .when(script == 'cjk', cjk_lang)
             .otherwise(F.lit('und')))
-    return documents.select('doc_id', script.alias('script'),
-                            lang.alias('lang'))
+    return script, lang
+
+
+def with_lang(documents: DataFrame) -> DataFrame:
+    """All input columns plus ``script``/``lang`` attached INLINE — the
+    zero-shuffle way to label a corpus. ``lang_id_by_script`` is pure
+    row-local column expressions, so consumers that join its output back
+    to the corpus on doc_id (a sort-merge shuffle of the full text, just
+    to attach a 2-char label) are paying for nothing; at 100 TB that
+    join IS the stage cost. Same formula, same labels, one map stage."""
+    script, lang = _script_lang_cols()
+    return documents.withColumns({'script': script, 'lang': lang})
 
 
 # Languages with learned trigram profiles (order = tie priority, same

@@ -225,6 +225,17 @@ def test_lang_id_by_script(spark):
     for d, _, script, lang in docs:
         assert got[d] == (script, lang), (d, got[d], script, lang)
 
+    # with_lang attaches the identical labels inline, preserves every
+    # input column, and its plan has no Exchange (the whole point: no
+    # corpus-text shuffle for a row-local label)
+    from mineru_html_spark.functions.text import with_lang
+    wdf = with_lang(df.withColumn('extra', df.doc_id + 1))
+    assert wdf.columns == ['doc_id', 'text', 'extra', 'script', 'lang']
+    inline = {r['doc_id']: (r['script'], r['lang']) for r in wdf.collect()}
+    assert inline == got
+    plan = wdf._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
+
 
 def test_media_plumbing(spark):
     from mineru_html_spark.functions.media import (

@@ -46,6 +46,24 @@ def test_quality_classifier_is_shuffle_free(spark, entry):
     assert '*(' in p                      # whole-stage-codegen stage marker
 
 
+def test_lang_mix_stage_is_shuffle_free(spark):
+    """Pipeline stage 08 shape: with_lang (inline row-local labels) +
+    stratified_sample must never shuffle the corpus — the only Exchange
+    allowed is the broadcast of the tiny per-stratum rate dim. The old
+    shape (join lang_id_by_script back on doc_id) sort-merge-shuffled
+    the full corpus text for a 2-char label."""
+    from mineru_html_spark.functions.corpus import stratified_sample
+    from mineru_html_spark.functions.text import with_lang
+    df = spark.createDataFrame([(1, 'the quick and this is that')],
+                               'doc_id long, text string')
+    out = stratified_sample(with_lang(df).drop('script'),
+                            {'en': 1000, 'und': 500}, stratum_col='lang')
+    p = plan_of(out)
+    assert 'Exchange hashpartitioning' not in p
+    assert 'SortMergeJoin' not in p
+    assert 'BroadcastHashJoin' in p
+
+
 def test_psl_joins_stay_broadcast(spark, entry):
     for q in ('psl_domains', 'url_blocklist'):
         p = plan_of(entry.queries()[q](spark, SF))
