@@ -83,7 +83,8 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                                                     unigram_lm_nll)
     from mineru_html_spark.functions.dedup import (exact_dedup_groups,
                                                    near_dup_clusters)
-    from mineru_html_spark.functions.text import quality_gate, with_lang
+    from mineru_html_spark.functions.text import (with_lang,
+                                                  with_quality_gate)
     from mineru_html_spark.plans.evaluate import span_text
     from mineru_html_spark.plans.job import run_extraction
 
@@ -104,11 +105,14 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
               .select('doc_id', F.col('clean_text').alias('text'))
               .localCheckpoint()))
 
-    # 4. quality gate (auditable per-rule reasons)
-    gate = quality_gate(corpus)
+    # 4. quality gate (auditable per-rule reasons). The gate is
+    #    row-local, so it attaches INLINE (with_quality_gate) — the old
+    #    semi-join on doc_id shuffled the whole corpus text for a
+    #    boolean. Per-rule drop rates stay auditable from the attached
+    #    drop_reason before it is projected away.
     kept = _mark('04_quality_gate',
-                 corpus.join(gate.where('keep').select('doc_id'),
-                             'doc_id', 'left_semi'))
+                 with_quality_gate(corpus).where('keep')
+                 .select(*corpus.columns))
 
     # 4. benchmark decontamination (eval-overlap filter). The benchmark
     #    stands in for the real eval suites; its shingle index broadcasts.

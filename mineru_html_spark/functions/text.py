@@ -56,21 +56,44 @@ def quality_gate(documents: DataFrame,
     Returns every doc with its keep decision and first failing reason so
     downstream can audit drop rates per rule (never silently filter).
     """
-    q = quality_features(documents)
-    punct_pm = F.when(q.n_chars == 0, F.lit(0)) \
-        .otherwise(F.floor(F.lit(1000) * q.n_punct / q.n_chars)).cast('int')
-    stop_pm = F.when(q.n_words == 0, F.lit(0)) \
-        .otherwise(F.floor(F.lit(1000) * q.n_stopwords / q.n_words)).cast('int')
-    reason = (F.when(q.n_words < min_words, F.lit('too_short'))
+    cols = _gate_cols(min_words, max_punct_permille, min_stop_permille)
+    return documents.select(
+        'doc_id', *(expr.alias(name) for name, expr in cols.items()))
+
+
+def with_quality_gate(documents: DataFrame,
+                      min_words: int = 5,
+                      max_punct_permille: int = 150,
+                      min_stop_permille: int = 50) -> DataFrame:
+    """All input columns plus the gate decision attached INLINE — the
+    zero-shuffle way to gate a corpus. The gate is pure row-local column
+    expressions, so semi-joining ``quality_gate``'s output back on
+    doc_id (a shuffle of the full corpus text for a boolean) pays for
+    nothing; same decisions, one map stage (the ``with_lang`` policy)."""
+    cols = _gate_cols(min_words, max_punct_permille, min_stop_permille)
+    return documents.withColumns(cols)
+
+
+def _gate_cols(min_words: int, max_punct_permille: int,
+               min_stop_permille: int) -> dict:
+    """Ordered {name: expression} for the gate columns over ``text`` —
+    the one formula behind quality_gate and with_quality_gate, built on
+    the same feature expressions quality_features projects."""
+    q = _feature_cols()
+    punct_pm = F.when(q['n_chars'] == 0, F.lit(0)) \
+        .otherwise(F.floor(F.lit(1000) * q['n_punct'] / q['n_chars'])) \
+        .cast('int')
+    stop_pm = F.when(q['n_words'] == 0, F.lit(0)) \
+        .otherwise(F.floor(F.lit(1000) * q['n_stopwords'] / q['n_words'])) \
+        .cast('int')
+    reason = (F.when(q['n_words'] < min_words, F.lit('too_short'))
               .when(punct_pm > max_punct_permille, F.lit('punct_heavy'))
               .when(stop_pm < min_stop_permille, F.lit('low_stopword'))
               .otherwise(F.lit('')))
-    return q.select(
-        'doc_id',
-        reason.alias('drop_reason'),
-        (reason == '').alias('keep'),
-        punct_pm.alias('punct_permille'),
-        stop_pm.alias('stop_permille'))
+    return {'drop_reason': reason,
+            'keep': reason == '',
+            'punct_permille': punct_pm,
+            'stop_permille': stop_pm}
 
 
 def quality_features(documents: DataFrame) -> DataFrame:
@@ -79,23 +102,27 @@ def quality_features(documents: DataFrame) -> DataFrame:
     n_chars / n_words / n_punct / n_upper / n_stopwords; quality gating is a
     downstream filter on these (kept integral for cross-engine parity).
     """
+    cols = _feature_cols()
+    return documents.select(
+        'doc_id', *(expr.alias(name) for name, expr in cols.items()))
+
+
+def _feature_cols() -> dict:
+    """Ordered {name: expression} for the quality features over ``text``
+    — shared by quality_features and the gate expression builder."""
     words = F.split(F.trim('text'), r'\s+')
     lower_words = F.split(F.lower(F.trim('text')), r'[^a-z]+')
-    return documents.select(
-        'doc_id',
-        F.length('text').alias('n_chars'),
-        F.when(F.length(F.trim('text')) == 0, F.lit(0))
-         .otherwise(F.size(words)).alias('n_words'),
-        (F.length('text')
-         - F.length(F.regexp_replace('text', r'[.,!?;:]', ''))
-         ).alias('n_punct'),
-        (F.length('text')
-         - F.length(F.regexp_replace('text', r'[A-Z]', ''))
-         ).alias('n_upper'),
-        F.size(F.filter(
-            lower_words,
-            lambda w: w.isin(*STOPWORDS))).alias('n_stopwords'),
-    )
+    return {
+        'n_chars': F.length('text'),
+        'n_words': F.when(F.length(F.trim('text')) == 0, F.lit(0))
+                    .otherwise(F.size(words)),
+        'n_punct': (F.length('text')
+                    - F.length(F.regexp_replace('text', r'[.,!?;:]', ''))),
+        'n_upper': (F.length('text')
+                    - F.length(F.regexp_replace('text', r'[A-Z]', ''))),
+        'n_stopwords': F.size(F.filter(
+            lower_words, lambda w: w.isin(*STOPWORDS))),
+    }
 
 
 def lang_id(documents: DataFrame,

@@ -64,6 +64,31 @@ def test_lang_mix_stage_is_shuffle_free(spark):
     assert 'BroadcastHashJoin' in p
 
 
+def test_quality_gate_inline_matches_and_is_shuffle_free(spark):
+    """with_quality_gate must reproduce quality_gate's decisions exactly
+    (same factored expressions) with no Exchange — pipeline stage 04
+    gates inline rather than semi-joining the gate frame back."""
+    from mineru_html_spark.functions.text import (quality_gate,
+                                                  with_quality_gate)
+    df = spark.createDataFrame(
+        [(1, 'The cat and the dog are in the house with all of them'),
+         (2, 'short'),
+         (3, 'a b c ' + '!?.,;:' * 40),
+         (4, 'zz qq ww vv xx yy uu tt ss rr')],
+        'doc_id long, text string')
+    narrow = {r['doc_id']: (r['keep'], r['drop_reason'],
+                            r['punct_permille'], r['stop_permille'])
+              for r in quality_gate(df).collect()}
+    wdf = with_quality_gate(df)
+    assert wdf.columns == ['doc_id', 'text', 'drop_reason', 'keep',
+                           'punct_permille', 'stop_permille']
+    inline = {r['doc_id']: (r['keep'], r['drop_reason'],
+                            r['punct_permille'], r['stop_permille'])
+              for r in wdf.collect()}
+    assert inline == narrow
+    assert 'Exchange' not in plan_of(wdf)
+
+
 def test_psl_joins_stay_broadcast(spark, entry):
     for q in ('psl_domains', 'url_blocklist'):
         p = plan_of(entry.queries()[q](spark, SF))
