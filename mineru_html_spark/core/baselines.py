@@ -518,6 +518,64 @@ def _cetr_labels(blocks) -> Dict[int, str]:
     return _keep_flags([a != boiler for a in assign])
 
 
+def _ccb_labels(blocks) -> Dict[int, str]:
+    """CCB (Gottron, DocEng'08 "Content code blurring: a new approach to
+    content extraction"), ACCB variant, block-granular but char-exact:
+    each block contributes a run of CODE chars (serialized-subtree
+    length minus visible text, plus its anchor text — ACCB's refinement
+    counts linked text as code, which melts nav link lists) followed by
+    its CONTENT chars (unlinked visible text). The binary content(1)/
+    code(0) vector is blurred with a normalized Gaussian (the paper
+    finds Gaussian kernels best and tunes the radius per corpus; this
+    build pins the ACCB operating point r=40, sigma=r/3, one pass,
+    deterministic, edge-normalized), and a block is content iff the mean
+    blurred score over its content run >= 0.5 (a content-free block is
+    judged on its code run). Link-light image blocks ride along (engine
+    convention — the original operates on character streams only)."""
+    import numpy as np
+
+    from .dom import serialize
+    if not blocks:
+        return {}
+    runs = []                            # (code_len, content_len)
+    for b in blocks:
+        markup = len(serialize(b.node))
+        linked = min(b.link_text_len, b.text_len)
+        content = max(b.text_len - linked, 0)
+        code = max(markup - b.text_len, 0) + linked
+        runs.append((code, content))
+    total = sum(c + t for c, t in runs)
+    if total == 0:
+        return {b.item_id: 'other' for b in blocks}
+    sig = np.zeros(total, dtype=np.float64)
+    spans = []
+    pos = 0
+    for code, content in runs:
+        sig[pos + code:pos + code + content] = 1.0
+        spans.append((pos + code, pos + code + content, pos, pos + code))
+        pos += code + content
+    r = 40
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    sigma = r / 3.0
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    blurred = np.convolve(sig, k, mode='same')
+    # edge normalization: divide by the kernel mass inside the document
+    mass = np.convolve(np.ones(total), k, mode='same')
+    blurred /= mass
+    flags = []
+    for cs, ce, ks, ke in spans:
+        seg = blurred[cs:ce] if ce > cs else blurred[ks:ke]
+        flags.append(seg.size > 0 and float(seg.mean()) >= 0.5)
+    labels = {}
+    for b, keep in zip(blocks, flags):
+        if not keep and b.n_imgs > 0 \
+                and b.link_text_len <= 0.2 * max(b.text_len, 1):
+            keep = True
+        labels[b.item_id] = MAIN if keep else 'other'
+    return labels
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
@@ -529,6 +587,7 @@ BASELINES = {
     'text_density': (None, _text_density_labels),
     'bte': (None, _bte_labels),
     'cetr': (None, _cetr_labels),
+    'ccb': (None, _ccb_labels),
 }
 
 # backwards-compatible view (labelers only)

@@ -60,7 +60,8 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
                         extractors=('engine', 'passthrough', 'degraded',
                                     'regex_cleaner', 'boilerpipe',
                                     'readability', 'justext',
-                                    'text_density', 'bte', 'cetr'),
+                                    'text_density', 'bte', 'cetr',
+                                    'ccb'),
                         engine_results: DataFrame | None = None) -> DataFrame:
     """Score the engine AND the baseline comparators against generator
     truth in ONE Spark job (reference pattern: every baseline through one

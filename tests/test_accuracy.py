@@ -107,11 +107,11 @@ def test_engine_dominates_baselines(spark):
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
                          'regex_cleaner', 'boilerpipe', 'readability',
-                         'justext', 'text_density', 'bte', 'cetr'}
+                         'justext', 'text_density', 'bte', 'cetr', 'ccb'}
     eng = rows['engine']
     for name in ('passthrough', 'degraded', 'regex_cleaner',
                  'boilerpipe', 'readability', 'justext',
-                 'text_density', 'bte', 'cetr'):
+                 'text_density', 'bte', 'cetr', 'ccb'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -128,9 +128,9 @@ def test_fused_baselines_equal_solo():
             (gen_doc(i) for i in range(0, 60))]
     fused = baseline_extract_rows_multi(
         rows, ('passthrough', 'degraded', 'boilerpipe', 'readability',
-               'bte', 'cetr'))
+               'bte', 'cetr', 'ccb'))
     for name in ('passthrough', 'degraded', 'boilerpipe', 'readability',
-                 'bte', 'cetr'):
+                 'bte', 'cetr', 'ccb'):
         solo = baseline_extract_rows(rows, name)
         got = [r for r in fused if r['extractor'] == name]
         assert len(got) == len(solo)
@@ -244,6 +244,37 @@ def test_cetr_labeler_tag_ratio_clusters():
     assert by_text.get('A long') == MAIN
     root2, blocks2, _ = _segment_doc(html)
     assert _cetr_labels(blocks2) == labels   # deterministic
+
+
+def test_ccb_labeler_blurred_content_runs():
+    """CCB's blurred content/code signal: long unlinked paragraph runs
+    score near 1 and are kept; the anchor-dominated link farm is code
+    under ACCB (linked text counts as code) and melts away. Deterministic
+    (pure convolution, fixed kernel)."""
+    from mineru_html_spark.core.baselines import _ccb_labels
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    para = ('Content code blurring rewards long uninterrupted stretches '
+            'of visible prose because the blurred ratio stays close to '
+            'one across the whole run of characters in the paragraph. ')
+    farm = ''.join(f'<div><a href="/l{i}">link {i}</a></div>'
+                   for i in range(12))
+    html = (f'<html><body><div>{farm}</div>'
+            f'<p>{para}</p><p>{para} with a different second ending.</p>'
+            f'<div>{farm}</div></body></html>')
+    root, blocks, _ = _segment_doc(html)
+    labels = _ccb_labels(blocks)
+    by_text = {b.text[:7]: labels[b.item_id] for b in blocks}
+    assert by_text.get('Content') == MAIN
+    farm_blocks = [b for b in blocks if b.text.startswith('link')
+                   or 'link 0' in b.text]
+    assert farm_blocks and all(
+        labels[b.item_id] != MAIN for b in farm_blocks)
+    root2, blocks2, _ = _segment_doc(html)
+    assert _ccb_labels(blocks2) == labels   # deterministic
+
+    assert _ccb_labels([]) == {}            # empty page
 
 
 def test_text_density_labeler_picks_article():
