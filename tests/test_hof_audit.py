@@ -154,6 +154,11 @@ def test_trigram_build_is_array_based(spark):
     plan = (lang_id_by_script_learned(df)
             ._jdf.queryExecution().optimizedPlan().toString())
     low = plan.lower()
-    assert low.count('regexp_replace') == 1        # cleaned once, not per-element
+    # the trigram CLEAN (its [^a-z]+ collapse) must appear exactly once
+    # — materialized as a column, not re-evaluated per element. (The
+    # script router also uses regexp_replace now — the cheap char-class
+    # counting kernel — so counting all regexp_replace calls would
+    # conflate the two.)
+    assert low.count('[^a-z]+') == 1
     assert 'element_at' in low
     assert 'substr' not in low
