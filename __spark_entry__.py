@@ -256,9 +256,11 @@ def q_warc_extract(spark, sf_dir):
 
 def q_pdf_extract(spark, sf_dir):
     """End-to-end PDF path (the north rule's 'PDF/layout parse' tier):
-    a deterministic 28-file gate set (compressed + uncompressed content
+    a deterministic 29-file gate set (compressed + uncompressed content
     streams, 1-3 pages, escape-heavy literal strings, HEX strings,
-    TJ arrays with 40-number kerning runs, a /Length-bound proof file
+    TJ arrays with 40-number kerning runs, Identity-H/ToUnicode CID
+    fonts incl. non-BMP chars, a PDF 1.5 file whose page tree lives in
+    an object stream behind an xref stream, a /Length-bound proof file
     whose stream contains the bytes 'endstream' inside a string, an
     undecodable-Flate file that must COUNT the loss in n_bad_streams,
     and one corrupt file) reads via the one-task-per-file binaryFile
@@ -267,7 +269,7 @@ def q_pdf_extract(spark, sf_dir):
     Committed-output oracle."""
     from mineru_html_spark.sources.pdf import (read_pdfs,
                                                write_synth_pdf_gate_set)
-    d = os.path.join(REPO, '.data', 'pdf_gate_v2')
+    d = os.path.join(REPO, '.data', 'pdf_gate_v3')
     marker = os.path.join(d, '.complete')
     if not os.path.exists(marker):
         write_synth_pdf_gate_set(d)

@@ -18,10 +18,24 @@ final digit zero-padded). Stream bounds honor the dictionary's direct
 the bytes ``endstream``; the regex bound is only the fallback for
 indirect or absent lengths). That covers machine-generated
 report/invoice/article PDFs — the kind a crawl actually yields in bulk.
-CID/Type0 composite fonts, encrypted files and object streams surface
-as contained error or partial rows, never task failures (extracting
-those correctly needs a font/CMap stack — a real library dependency,
-not a parsing trick); undecodable streams are counted into the per-doc
+
+Composite-font tier (PDF 32000-1 §9.7/§9.10): Type0 fonts are decoded
+through their embedded ``/ToUnicode`` CMap — ``begincodespacerange``
+fixes the code byte-width, ``beginbfchar``/``beginbfrange`` (both the
+``<dstStart>`` and the ``[<d1> <d2> ...]`` array form) map codes to
+UTF-16BE targets. Each content stream is scanned with a font-state
+machine over ``Tf`` operators, and page ``/Resources`` (inline or
+indirect) link font NAMES to font objects, so a page mixing a simple
+Type1 font with an Identity-H subset decodes each run with the right
+map. Codes a CMap does not cover decode to U+FFFD — loss is visible,
+never silent. PDF 1.5 object streams (``/Type /ObjStm``) are expanded
+(``/N``+``/First`` header, type-2 objects), so pages, fonts and
+resources that live inside compressed object streams still resolve.
+
+Still contained-error/partial by design: encryption, and CID fonts
+WITHOUT a ToUnicode CMap (a correct CID→GID→glyph→char chain needs an
+embedded-font/CMap stack — a real library dependency, not a parsing
+trick); undecodable streams are counted into the per-doc
 ``n_bad_streams`` warning column instead of vanishing silently.
 
 Spark shape: one task per file via the binaryFile source, Arrow-batched
@@ -32,13 +46,12 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Iterator, List, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 _STREAM_RE = re.compile(rb'stream\r?\n(.*?)\r?\nendstream', re.DOTALL)
 _STREAM_START_RE = re.compile(rb'stream\r?\n')
 _LENGTH_RE = re.compile(rb'/Length\s+(\d+)(?!\s+\d+\s+R)')
 _FLATE_RE = re.compile(rb'/Filter\s*(?:\[\s*)?/FlateDecode')
-_PAGE_COUNT_RE = re.compile(rb'/Type\s*/Page[^s]')
 
 # one text-showing op: literal string followed by Tj / ' / ", or an
 # array followed by TJ — scanned over a DECOMPRESSED content stream
@@ -46,8 +59,10 @@ _ESCAPES = {b'n': b'\n', b'r': b'\r', b't': b'\t', b'b': b'\b',
             b'f': b'\f', b'(': b'(', b')': b')', b'\\': b'\\'}
 
 
-def _decode_literal(body: bytes) -> str:
-    """Decode one PDF literal string body (between unescaped parens)."""
+def _decode_literal_bytes(body: bytes) -> bytes:
+    """Escape-decode one PDF literal string body (between unescaped
+    parens) to its raw string BYTES — a PDF string object is a byte
+    sequence; what the bytes mean depends on the showing font."""
     out = bytearray()
     i = 0
     while i < len(body):
@@ -67,28 +82,41 @@ def _decode_literal(body: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode('latin-1')
+    return bytes(out)
+
+
+def _decode_literal(body: bytes) -> str:
+    """Simple-font view of a literal string (latin-1 byte identity)."""
+    return _decode_literal_bytes(body).decode('latin-1')
 
 
 _WS_ONLY_RE = re.compile(rb'\s+')
 
 
-def _decode_hex(body: bytes) -> str:
-    """Decode one PDF hex string body (between < and >): whitespace is
-    ignored, an odd final digit is zero-padded (PDF 32000-1 §7.3.4.3)."""
+def _decode_hex_bytes(body: bytes) -> bytes:
+    """Decode one PDF hex string body (between < and >) to raw bytes:
+    whitespace is ignored, an odd final digit is zero-padded
+    (PDF 32000-1 §7.3.4.3)."""
     digits = _WS_ONLY_RE.sub(b'', body)
     if len(digits) % 2:
         digits += b'0'
     try:
-        return bytes.fromhex(digits.decode('ascii')).decode('latin-1')
+        return bytes.fromhex(digits.decode('ascii'))
     except (ValueError, UnicodeDecodeError):
-        return ''
+        return b''
 
 
-def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
-    """Yield (decoded string, end position) for every literal ``(...)``
-    and hex ``<...>`` string, respecting escapes and paren nesting;
-    ``<<`` dictionary opens are skipped (not strings)."""
+def _decode_hex(body: bytes) -> str:
+    """Simple-font view of a hex string (latin-1 byte identity)."""
+    return _decode_hex_bytes(body).decode('latin-1')
+
+
+def _scan_strings(stream: bytes) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield (raw string bytes, start, end position) for every literal
+    ``(...)`` and hex ``<...>`` string, respecting escapes and paren
+    nesting; ``<<`` dictionary opens are skipped (not strings). The
+    bytes are escape/hex-decoded but NOT charset-decoded — the active
+    font decides what they mean."""
     i = 0
     n = len(stream)
     while i < n:
@@ -100,7 +128,7 @@ def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
             j = stream.find(b'>', i + 1)
             if j < 0:
                 return
-            yield _decode_hex(stream[i + 1:j]), j + 1
+            yield _decode_hex_bytes(stream[i + 1:j]), i, j + 1
             i = j + 1
             continue
         if c != b'(':
@@ -118,7 +146,7 @@ def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
             elif c == b')':
                 depth -= 1
             j += 1
-        yield _decode_literal(stream[i + 1:j - 1]), j
+        yield _decode_literal_bytes(stream[i + 1:j - 1]), i, j
         i = j
 
 
@@ -128,25 +156,53 @@ def _scan_strings(stream: bytes) -> Iterator[Tuple[str, int]]:
 # a 64-byte lookahead)
 _SHOW_OP_RE = re.compile(rb"\s*(?:[-0-9.\s]*\])?\s*(Tj|TJ|'|\")")
 _TJ_INNER_RE = re.compile(rb"\s*(?:-?[0-9.]+\s*)*(?:\(|<(?!<)|\]\s*TJ)")
+# font selection: /Name size Tf (PDF 32000-1 §9.3.1); the name may use
+# #xx hex escapes per §7.3.5 — rare in font keys, handled on lookup
+_TF_OP_RE = re.compile(rb'/([^\s/<>\[\]()]+)\s+[-0-9.]+\s+Tf')
+
+StrDecoder = Callable[[bytes], str]
 
 
-def extract_stream_text(stream: bytes) -> List[str]:
+def _latin1(raw: bytes) -> str:
+    return raw.decode('latin-1')
+
+
+def extract_stream_text(
+        stream: bytes,
+        font_map: Optional[Dict[str, StrDecoder]] = None) -> List[str]:
     """Text runs shown by one content stream, in stream order: every
     literal or hex string that a Tj / ' / " consumes, and every string
     inside a TJ array. A '-shown string implies a line break before it
-    (the operator moves to the next line)."""
+    (the operator moves to the next line).
+
+    ``font_map`` maps resource font NAMES (the ``F1`` of ``/F1 11 Tf``)
+    to string decoders; a font-state machine over the stream's ``Tf``
+    operators picks the decoder per run, so a page mixing a simple font
+    with an Identity-H/ToUnicode subset decodes each run correctly.
+    Unknown names and text before the first Tf decode as latin-1 (the
+    simple-font byte identity)."""
+    tf_ops: List[Tuple[int, str]] = []
+    if font_map:
+        tf_ops = [(m.start(), m.group(1).decode('latin-1'))
+                  for m in _TF_OP_RE.finditer(stream)]
     runs: List[str] = []
-    for s, end in _scan_strings(stream):
+    decoder: StrDecoder = _latin1
+    tf_i = 0
+    for raw, start, end in _scan_strings(stream):
+        # advance the font state machine to the last Tf before this run
+        while tf_i < len(tf_ops) and tf_ops[tf_i][0] < start:
+            decoder = font_map.get(tf_ops[tf_i][1], _latin1)
+            tf_i += 1
         # the operator follows the string (possibly after an array close
         # + kerning numbers for TJ) — anchored lookahead at `end`
         if _SHOW_OP_RE.match(stream, end):
-            runs.append(s)
+            runs.append(decoder(raw))
             continue
         # inside a TJ array: strings separated by ONE OR MORE kerning
         # numbers before the next string or the closing bracket (legal
         # PDF emits adjacent adjustments: [(He) -10 -20 (llo)] TJ)
         if _TJ_INNER_RE.match(stream, end):
-            runs.append(s)
+            runs.append(decoder(raw))
     return runs
 
 
@@ -154,23 +210,30 @@ _OBJ_HEADER_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj')
 _ENDSTREAM_AFTER_RE = re.compile(rb'\s*endstream')
 
 
-def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
-    """Yield (object dictionary bytes, raw stream bytes) for every
-    stream object.  Stream bounds honor a DIRECT ``/Length n`` entry
-    (verified by the trailing ``endstream`` keyword) — a FlateDecode
-    body may legally contain the bytes ``endstream``/``endobj``, which
-    truncates any purely regex-delimited scan; the non-greedy regex is
-    only the fallback for absent or indirect (``n 0 R``) lengths."""
+def _iter_objects(data: bytes) -> Iterator[Tuple[int, bytes, Optional[bytes]]]:
+    """Yield (object number, dictionary/body bytes, raw stream bytes or
+    None) for every indirect object in document order.  Stream bounds
+    honor a DIRECT ``/Length n`` entry (verified by the trailing
+    ``endstream`` keyword) — a FlateDecode body may legally contain the
+    bytes ``endstream``/``endobj``, which truncates any purely
+    regex-delimited scan; the non-greedy regex is only the fallback for
+    absent or indirect (``n 0 R``) lengths."""
     pos = 0
     n = len(data)
     while pos < n:
         h = _OBJ_HEADER_RE.search(data, pos)
         if not h:
             return
+        num = int(h.group(1))
         em = data.find(b'endobj', h.end())
         sm = _STREAM_START_RE.search(data, h.end())
         if sm is None or (0 <= em < sm.start()):
-            pos = (em + 6) if em >= 0 else h.end()
+            # dictionary-only object (page, font, resources, catalog…)
+            if em >= 0:
+                yield num, data[h.end():em], None
+                pos = em + 6
+            else:
+                pos = h.end()
             continue
         dict_part = data[h.end():sm.start()]
         raw = None
@@ -197,35 +260,276 @@ def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
                 continue
             raw = fm.group(1)
             pos = fm.end()
-        yield dict_part, raw
+        yield num, dict_part, raw
         nxt = data.find(b'endobj', pos)
         pos = (nxt + 6) if nxt >= 0 else pos
 
 
+def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
+    """Back-compat view of :func:`_iter_objects`: stream objects only,
+    as (dict bytes, raw stream bytes)."""
+    for _num, dict_part, raw in _iter_objects(data):
+        if raw is not None:
+            yield dict_part, raw
+
+
+# ---------------------------------------------------------------------------
+# object graph: ObjStm expansion, ToUnicode CMaps, page/font resolution
+# ---------------------------------------------------------------------------
+
+_OBJSTM_RE = re.compile(rb'/Type\s*/ObjStm')
+_XREF_STM_RE = re.compile(rb'/Type\s*/XRef(?![A-Za-z])')
+_OBJSTM_N_RE = re.compile(rb'/N\s+(\d+)')
+_OBJSTM_FIRST_RE = re.compile(rb'/First\s+(\d+)')
+_INT_RE = re.compile(rb'\d+')
+
+
+def _expand_objstm(dict_part: bytes, body: bytes,
+                   objects: Dict[int, bytes]) -> int:
+    """Expand one decompressed object stream (PDF 32000-1 §7.5.7) into
+    ``objects`` (num -> body bytes). The header is ``/N`` pairs of
+    ``objnum offset`` integers; offsets are relative to ``/First``.
+    Returns the number of objects recovered (0 on malformed input —
+    contained, the caller counts it as a bad stream)."""
+    nm = _OBJSTM_N_RE.search(dict_part)
+    fm = _OBJSTM_FIRST_RE.search(dict_part)
+    if not nm or not fm:
+        return 0
+    count, first = int(nm.group(1)), int(fm.group(1))
+    ints = [int(m.group()) for m in _INT_RE.finditer(body[:first])]
+    if len(ints) < 2 * count:
+        return 0
+    pairs = [(ints[2 * i], ints[2 * i + 1]) for i in range(count)]
+    recovered = 0
+    for i, (num, off) in enumerate(pairs):
+        start = first + off
+        end = first + pairs[i + 1][1] if i + 1 < count else len(body)
+        if not 0 <= start <= end <= len(body):
+            continue
+        objects[num] = body[start:end]
+        recovered += 1
+    return recovered
+
+
+_HEX_TOKEN_RE = re.compile(rb'<([0-9A-Fa-f\s]*)>')
+_BFCHAR_RE = re.compile(rb'beginbfchar(.*?)endbfchar', re.DOTALL)
+_BFRANGE_RE = re.compile(rb'beginbfrange(.*?)endbfrange', re.DOTALL)
+_CODESPACE_RE = re.compile(
+    rb'begincodespacerange\s*<([0-9A-Fa-f]+)>', re.DOTALL)
+_BFRANGE_ENTRY_RE = re.compile(
+    rb'<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*'
+    rb'(?:<([0-9A-Fa-f\s]+)>|\[((?:\s*<[0-9A-Fa-f\s]*>)+)\s*\])')
+_BFCHAR_ENTRY_RE = re.compile(
+    rb'<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]*)>')
+
+_MAX_BFRANGE_SPAN = 1 << 16     # cap per entry: full 2-byte space
+
+
+def _hex_int(h: bytes) -> int:
+    return int(_WS_ONLY_RE.sub(b'', h), 16)
+
+
+def _utf16be(h: bytes) -> str:
+    raw = _decode_hex_bytes(h)
+    try:
+        return raw.decode('utf-16-be')
+    except UnicodeDecodeError:
+        return '�'
+
+
+def parse_tounicode_cmap(data: bytes) -> Tuple[Dict[int, str], int]:
+    """Parse a ToUnicode CMap stream (PDF 32000-1 §9.10.3) into
+    (code -> unicode string map, code byte width).
+
+    Handles ``begincodespacerange`` (fixes the width; Identity-H
+    subsets write ``<0000> <FFFF>`` → 2 bytes), ``beginbfchar``
+    (code→UTF-16BE pairs) and ``beginbfrange`` in BOTH forms: a
+    ``<dstStart>`` whose last UTF-16 code unit increments across the
+    range, and the explicit ``[<d1> <d2> ...]`` destination array.
+    Per-entry spans are capped at 64Ki codes (a malformed range cannot
+    allocate unbounded memory)."""
+    cm = _CODESPACE_RE.search(data)
+    width = max(1, len(_WS_ONLY_RE.sub(b'', cm.group(1))) // 2) if cm else 2
+    table: Dict[int, str] = {}
+    for seg in _BFCHAR_RE.finditer(data):
+        for e in _BFCHAR_ENTRY_RE.finditer(seg.group(1)):
+            table[_hex_int(e.group(1))] = _utf16be(e.group(2))
+    for seg in _BFRANGE_RE.finditer(data):
+        for e in _BFRANGE_ENTRY_RE.finditer(seg.group(1)):
+            lo, hi = _hex_int(e.group(1)), _hex_int(e.group(2))
+            if hi < lo:
+                continue
+            hi = min(hi, lo + _MAX_BFRANGE_SPAN - 1)
+            if e.group(4) is not None:          # array form
+                dsts = _HEX_TOKEN_RE.findall(e.group(4))
+                for k, d in enumerate(dsts[:hi - lo + 1]):
+                    table[lo + k] = _utf16be(d)
+            else:                               # incrementing dst form
+                base = _decode_hex_bytes(e.group(3))
+                if len(base) < 2:
+                    base = b'\x00' + base if base else b'\x00\x00'
+                prefix, last = base[:-2], int.from_bytes(base[-2:], 'big')
+                for k in range(hi - lo + 1):
+                    u = prefix + ((last + k) & 0xFFFF).to_bytes(2, 'big')
+                    try:
+                        table[lo + k] = u.decode('utf-16-be')
+                    except UnicodeDecodeError:
+                        table[lo + k] = '�'
+    return table, width
+
+
+def _cmap_decoder(table: Dict[int, str], width: int) -> StrDecoder:
+    """String-bytes -> text through a ToUnicode map: the raw bytes are
+    ``width``-byte big-endian codes; unmapped codes become U+FFFD so
+    loss is visible, never silent."""
+    def decode(raw: bytes) -> str:
+        out: List[str] = []
+        for i in range(0, len(raw) - width + 1, width):
+            out.append(table.get(
+                int.from_bytes(raw[i:i + width], 'big'), '�'))
+        return ''.join(out)
+    return decode
+
+
+_REF_RE_T = r'(\d+)\s+\d+\s+R'
+_TYPE_FONT_RE = re.compile(rb'/Type\s*/Font')
+_TOUNICODE_REF_RE = re.compile(rb'/ToUnicode\s+' + _REF_RE_T.encode())
+_TYPE_PAGE_RE = re.compile(rb'/Type\s*/Page(?![A-Za-z])')
+_CONTENTS_RE = re.compile(
+    rb'/Contents\s+(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)+)\s*\])')
+_RESOURCES_RE = re.compile(rb'/Resources\s*(?:(\d+)\s+\d+\s+R|<<)')
+_FONT_KEY_RE = re.compile(rb'/Font\s*(?:(\d+)\s+\d+\s+R|<<)')
+_FONT_NAME_REF_RE = re.compile(
+    rb'/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R')
+_REF_LIST_RE = re.compile(rb'(\d+)\s+\d+\s+R')
+
+
+def _balanced_dict(data: bytes, open_pos: int) -> bytes:
+    """The bytes of one ``<< ... >>`` dictionary starting at
+    ``open_pos`` (which must point at the ``<<``), nesting-aware."""
+    depth = 0
+    i = open_pos
+    n = len(data)
+    while i < n - 1:
+        two = data[i:i + 2]
+        if two == b'<<':
+            depth += 1
+            i += 2
+        elif two == b'>>':
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[open_pos:i]
+        else:
+            i += 1
+    return data[open_pos:]
+
+
+def _build_fonts(objects: Dict[int, bytes],
+                 streams: Dict[int, bytes]) -> Dict[int, StrDecoder]:
+    """Font object number -> string decoder. Fonts with a ``/ToUnicode``
+    CMap stream decode through it (§9.10.3); all other fonts keep the
+    simple-font latin-1 byte identity (Type1/TrueType with standard
+    encodings — codes are the bytes)."""
+    fonts: Dict[int, StrDecoder] = {}
+    for num, body in objects.items():
+        if not _TYPE_FONT_RE.search(body):
+            continue
+        tm = _TOUNICODE_REF_RE.search(body)
+        if not tm:
+            continue                        # simple font: latin-1 default
+        cmap_raw = streams.get(int(tm.group(1)))
+        if cmap_raw is None:
+            continue
+        table, width = parse_tounicode_cmap(cmap_raw)
+        if table:
+            fonts[num] = _cmap_decoder(table, width)
+    return fonts
+
+
+def _page_font_maps(objects: Dict[int, bytes],
+                    fonts: Dict[int, StrDecoder]
+                    ) -> Dict[int, Dict[str, StrDecoder]]:
+    """content-stream object number -> {font name: decoder} for every
+    ``/Type /Page``; ``/Resources`` and ``/Contents`` may be inline or
+    indirect, ``/Contents`` may be an array of streams."""
+    out: Dict[int, Dict[str, StrDecoder]] = {}
+    for body in objects.values():
+        if not _TYPE_PAGE_RE.search(body):
+            continue
+        cm = _CONTENTS_RE.search(body)
+        if not cm:
+            continue
+        content_ids = ([int(cm.group(1))] if cm.group(1)
+                       else [int(m.group(1)) for m in
+                             _REF_LIST_RE.finditer(cm.group(2))])
+        rm = _RESOURCES_RE.search(body)
+        if not rm:
+            continue
+        res = (objects.get(int(rm.group(1)), b'') if rm.group(1)
+               else _balanced_dict(body, rm.end() - 2))
+        fm = _FONT_KEY_RE.search(res)
+        if not fm:
+            continue
+        fdict = (objects.get(int(fm.group(1)), b'') if fm.group(1)
+                 else _balanced_dict(res, fm.end() - 2))
+        name_map = {m.group(1).decode('latin-1'): fonts[int(m.group(2))]
+                    for m in _FONT_NAME_REF_RE.finditer(fdict)
+                    if int(m.group(2)) in fonts}
+        if name_map:
+            for cid in content_ids:
+                out[cid] = name_map
+    return out
+
+
 def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
     """(extracted text, n_pages, n_bad_streams) for one PDF file.
-    Content streams are located via /Length-verified bounds (regex
-    fallback), inflated when FlateDecode, and scanned for text
-    operators; page count comes from /Type /Page objects. Streams that
-    fail to inflate are COUNTED (``n_bad_streams``), not silently
-    dropped — text loss is visible in the output row. Raises ValueError
-    on non-PDF input."""
+
+    One pass collects the object graph: stream bounds via
+    /Length-verified offsets (regex fallback), FlateDecode inflated
+    once, object streams (``/Type /ObjStm``) expanded so pages, fonts
+    and resources living inside them resolve. ToUnicode-bearing fonts
+    become per-page name→decoder maps; content streams are then scanned
+    in document order with the font-state machine. Streams that fail to
+    inflate (or malformed ObjStm headers) are COUNTED
+    (``n_bad_streams``), not silently dropped — text loss is visible in
+    the output row. Raises ValueError on non-PDF input."""
     if not bytes(data[:5]) == b'%PDF-':
         raise ValueError('not a PDF (missing %PDF- header)')
     data = bytes(data)
-    n_pages = len(_PAGE_COUNT_RE.findall(data))
     n_bad = 0
-    texts: List[str] = []
-    for dict_part, raw in _iter_stream_objects(data):
-        if _FLATE_RE.search(dict_part):
+    objects: Dict[int, bytes] = {}      # dict/body bytes per object
+    streams: Dict[int, bytes] = {}      # DECODED stream bytes
+    order: List[int] = []               # stream objects, document order
+    for num, body, raw in _iter_objects(data):
+        objects[num] = body
+        if raw is None:
+            continue
+        if _FLATE_RE.search(body):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
                 n_bad += 1                  # contained AND counted
                 continue
-        if b'BT' not in raw:
+        streams[num] = raw
+        order.append(num)
+    objstm_ids = {num for num in order
+                  if _OBJSTM_RE.search(objects.get(num, b''))}
+    for num in objstm_ids:                  # PDF 1.5 compressed objects
+        if _expand_objstm(objects[num], streams[num], objects) == 0:
+            n_bad += 1
+    # xref streams (§7.5.8) are binary cross-reference data, never text
+    objstm_ids |= {num for num in order
+                   if _XREF_STM_RE.search(objects.get(num, b''))}
+    n_pages = sum(1 for b in objects.values() if _TYPE_PAGE_RE.search(b))
+    fonts = _build_fonts(objects, streams)
+    page_fonts = _page_font_maps(objects, fonts) if fonts else {}
+    texts: List[str] = []
+    for num in order:
+        raw = streams[num]
+        if num in objstm_ids or b'BT' not in raw:
             continue                        # not a text content stream
-        texts.extend(extract_stream_text(raw))
+        texts.extend(extract_stream_text(raw, page_fonts.get(num)))
     return '\n'.join(texts), n_pages, n_bad
 
 
@@ -238,6 +542,62 @@ def _pdf_escape(s: str) -> bytes:
              .replace(')', r'\)').encode('latin-1', 'replace'))
 
 
+def _synth_cid_assets(lines: List[str]) -> Tuple[Dict[str, int], bytes]:
+    """(char -> 2-byte CID code map, ToUnicode CMap stream bytes) for a
+    deterministic Identity-H synth font. Codes are assigned 0x0100+idx
+    over the sorted charset; the CMap exercises all three mapping
+    shapes the parser supports: incrementing-dst ``bfrange`` for runs
+    of consecutive-unicode chars, ARRAY-form ``bfrange`` for the first
+    such run, and ``bfchar`` for singletons (non-BMP chars emit
+    UTF-16BE surrogate pairs)."""
+    charset = sorted(set(''.join(lines))) or [' ']
+    code = {c: 0x0100 + i for i, c in enumerate(charset)}
+
+    def u16(ch: str) -> bytes:
+        return ch.encode('utf-16-be').hex().encode('ascii')
+
+    # maximal runs of consecutive unicode codepoints (codes are already
+    # consecutive by construction over the sorted charset)
+    runs: List[Tuple[int, int]] = []        # [start_idx, end_idx] incl.
+    s = 0
+    for i in range(1, len(charset) + 1):
+        if (i == len(charset)
+                or ord(charset[i]) != ord(charset[i - 1]) + 1):
+            runs.append((s, i - 1))
+            s = i
+    bfchars: List[bytes] = []
+    bfranges: List[bytes] = []
+    used_array_form = False
+    for a, b in runs:
+        lo, hi = code[charset[a]], code[charset[b]]
+        if b - a + 1 < 3 or len(charset[a].encode('utf-16-be')) > 2:
+            for i in range(a, b + 1):
+                bfchars.append(b'<%04x> <%s>'
+                               % (code[charset[i]], u16(charset[i])))
+        elif not used_array_form:
+            arr = b' '.join(b'<%s>' % u16(charset[i])
+                            for i in range(a, b + 1))
+            bfranges.append(b'<%04x> <%04x> [%s]' % (lo, hi, arr))
+            used_array_form = True
+        else:
+            bfranges.append(b'<%04x> <%04x> <%s>'
+                            % (lo, hi, u16(charset[a])))
+    cmap = (b'/CIDInit /ProcSet findresource begin\n'
+            b'12 dict begin\nbegincmap\n'
+            b'/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n'
+            b'1 begincodespacerange\n<0000> <FFFF>\n'
+            b'endcodespacerange\n')
+    if bfchars:
+        cmap += (b'%d beginbfchar\n' % len(bfchars)
+                 + b'\n'.join(bfchars) + b'\nendbfchar\n')
+    if bfranges:
+        cmap += (b'%d beginbfrange\n' % len(bfranges)
+                 + b'\n'.join(bfranges) + b'\nendbfrange\n')
+    cmap += b'endcmap\nCMapName currentdict /CMap defineresource pop\n'
+    cmap += b'end\nend\n'
+    return code, cmap
+
+
 def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
                     compress: bool = True,
                     string_style: str = 'literal') -> bytes:
@@ -245,19 +605,28 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
     (FlateDecode content streams when ``compress``). Deterministic.
 
     ``string_style``: 'literal' (``(...) Tj``), 'hex' (``<...> Tj`` hex
-    strings with embedded whitespace and an odd-digit final string), or
+    strings with embedded whitespace and an odd-digit final string),
     'tj_kerned' (TJ arrays splitting each line in two with a LONG run
     of kerning adjustments between the halves — the shape that defeats
-    any fixed-size operator lookahead window)."""
+    any fixed-size operator lookahead window), or 'cid' (an Identity-H
+    Type0 font with an embedded ToUnicode CMap: every line is shown as
+    a hex string of 2-byte CID codes — the embedded-subset-font shape
+    real-world PDF generators emit)."""
     pages = [lines[i:i + lines_per_page]
              for i in range(0, max(len(lines), 1), lines_per_page)]
     objs: List[bytes] = []
+    cid_code, cid_cmap = ({}, b'')
+    if string_style == 'cid':
+        cid_code, cid_cmap = _synth_cid_assets(lines)
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)            # 1-based object number
 
     def show(ln: str, first: bool) -> bytes:
+        if string_style == 'cid':
+            hx = b''.join(b'%04x' % cid_code[c] for c in ln)
+            return b'<' + hx + b'> Tj T*'
         if string_style == 'hex':
             hx = ln.encode('latin-1', 'replace').hex().encode('ascii')
             # legal whitespace inside the hex string; odd final digit
@@ -276,7 +645,23 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
         return ((b'(' + _pdf_escape(ln) + b') Tj T*') if first
                 else (b'(' + _pdf_escape(ln) + b") '"))
 
-    font = add(b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>')
+    if string_style == 'cid':
+        cmap_body = zlib.compress(cid_cmap, 6) if compress else cid_cmap
+        cmap_id = add(
+            b'<< /Length ' + str(len(cmap_body)).encode()
+            + (b' /Filter /FlateDecode' if compress else b'')
+            + b' >>\nstream\n' + cmap_body + b'\nendstream')
+        desc = add(b'<< /Type /Font /Subtype /CIDFontType2 '
+                   b'/BaseFont /SynthCID /CIDSystemInfo '
+                   b'<< /Registry (Adobe) /Ordering (Identity) '
+                   b'/Supplement 0 >> >>')
+        font = add(b'<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID '
+                   b'/Encoding /Identity-H /DescendantFonts ['
+                   + str(desc).encode() + b' 0 R] /ToUnicode '
+                   + str(cmap_id).encode() + b' 0 R >>')
+    else:
+        font = add(
+            b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>')
     content_ids, page_ids = [], []
     for pls in pages:
         parts = [b'BT /F1 11 Tf 50 780 Td 14 TL']
@@ -322,6 +707,103 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
     return bytes(out)
 
 
+def write_synth_pdf_objstm(lines: List[str],
+                           lines_per_page: int = 20) -> bytes:
+    """A complete, valid PDF **1.5** file whose page dictionaries, font,
+    page tree and catalog all live inside a FlateDecode object stream
+    (``/Type /ObjStm``), cross-referenced by an xref STREAM (type-2
+    entries for the compressed objects) — the modern generator shape.
+    Content streams stay top-level (the spec forbids streams inside an
+    ObjStm). Deterministic; text shown as literal strings."""
+    pages = [lines[i:i + lines_per_page]
+             for i in range(0, max(len(lines), 1), lines_per_page)]
+    k = len(pages)
+    # numbering: contents 1..k | ObjStm k+1 | compressed: font k+2,
+    # pages tree k+3, page dicts k+4..k+3+k, catalog k+4+k | xref last
+    objstm_id = k + 1
+    font_id, pages_id = k + 2, k + 3
+    page_ids = list(range(k + 4, k + 4 + k))
+    catalog_id = k + 4 + k
+    xref_id = catalog_id + 1
+
+    content_bodies: List[bytes] = []
+    for pls in pages:
+        parts = [b'BT /F1 11 Tf 50 780 Td 14 TL']
+        for i, ln in enumerate(pls):
+            parts.append((b'(' + _pdf_escape(ln) + b') Tj T*') if i == 0
+                         else (b'(' + _pdf_escape(ln) + b") '"))
+        parts.append(b'ET')
+        comp = zlib.compress(b'\n'.join(parts), 6)
+        content_bodies.append(
+            b'<< /Length ' + str(len(comp)).encode()
+            + b' /Filter /FlateDecode >>\nstream\n' + comp
+            + b'\nendstream')
+
+    packed: List[Tuple[int, bytes]] = [
+        (font_id,
+         b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>'),
+        (pages_id,
+         b'<< /Type /Pages /Kids ['
+         + b' '.join(str(p).encode() + b' 0 R' for p in page_ids)
+         + b'] /Count ' + str(k).encode() + b' >>')]
+    for i, pid in enumerate(page_ids):
+        packed.append((pid,
+                       b'<< /Type /Page /Parent ' + str(pages_id).encode()
+                       + b' 0 R /MediaBox [0 0 612 792] /Contents '
+                       + str(i + 1).encode()
+                       + b' 0 R /Resources << /Font << /F1 '
+                       + str(font_id).encode() + b' 0 R >> >> >>'))
+    packed.append((catalog_id, b'<< /Type /Catalog /Pages '
+                   + str(pages_id).encode() + b' 0 R >>'))
+
+    offs, payload = [], bytearray()
+    for num, body in packed:
+        offs.append((num, len(payload)))
+        payload += body + b'\n'
+    header = b' '.join(b'%d %d' % p for p in offs) + b'\n'
+    stm_plain = header + bytes(payload)
+    stm_comp = zlib.compress(stm_plain, 6)
+    objstm_body = (b'<< /Type /ObjStm /N ' + str(len(packed)).encode()
+                   + b' /First ' + str(len(header)).encode()
+                   + b' /Length ' + str(len(stm_comp)).encode()
+                   + b' /Filter /FlateDecode >>\nstream\n' + stm_comp
+                   + b'\nendstream')
+
+    out = bytearray(b'%PDF-1.5\n')
+    top_offsets: Dict[int, int] = {}
+    for num, body in list(enumerate(content_bodies, start=1)) \
+            + [(objstm_id, objstm_body)]:
+        top_offsets[num] = len(out)
+        out += str(num).encode() + b' 0 obj\n' + body + b'\nendobj\n'
+
+    # xref STREAM (§7.5.8): W=[1 2 2]; type 1 = top-level offset,
+    # type 2 = (objstm number, index within)
+    entries = bytearray()                   # W = [1 4 2]: 4-byte offsets
+    entries += bytes([0]) + (0).to_bytes(4, 'big') \
+        + (65535).to_bytes(2, 'big')
+    in_objstm = {num: i for i, (num, _) in enumerate(packed)}
+    for num in range(1, xref_id + 1):
+        if num in top_offsets or num == xref_id:
+            off = top_offsets.get(num, 0)   # xref's own offset patched in
+            entries += bytes([1]) + off.to_bytes(4, 'big') \
+                + (0).to_bytes(2, 'big')
+        else:
+            entries += bytes([2]) + objstm_id.to_bytes(4, 'big') \
+                + in_objstm[num].to_bytes(2, 'big')
+    xref_at = len(out)
+    # patch the xref stream's own offset (last type-1 entry)
+    entries[-6:-2] = xref_at.to_bytes(4, 'big')
+    xcomp = zlib.compress(bytes(entries), 6)
+    out += (str(xref_id).encode() + b' 0 obj\n<< /Type /XRef /Size '
+            + str(xref_id + 1).encode() + b' /W [1 4 2] /Root '
+            + str(catalog_id).encode() + b' 0 R /Length '
+            + str(len(xcomp)).encode()
+            + b' /Filter /FlateDecode >>\nstream\n' + xcomp
+            + b'\nendstream\nendobj\n')
+    out += (b'startxref\n' + str(xref_at).encode() + b'\n%%EOF\n')
+    return bytes(out)
+
+
 def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
     """Deterministic PDF gate corpus: ``n_docs`` files sweeping the
     extractor's surface — compressed and uncompressed streams, 1..3
@@ -331,7 +813,11 @@ def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
     whose uncompressed stream contains the bytes ``endstream`` inside a
     string (only the /Length-honoring bound extracts it whole), a PDF
     with one undecodable FlateDecode stream (must COUNT, not silently
-    drop), and a mixed literal+hex TJ array file."""
+    drop), and a mixed literal+hex TJ array file. Gate v3 adds the
+    composite tier: every 5th doc uses an Identity-H/ToUnicode CID font
+    (one of them with accented + non-BMP chars), and one PDF 1.5 file
+    keeps its page tree inside an object stream behind an xref
+    stream."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     words = ('report table figure total revenue section appendix value '
@@ -345,13 +831,20 @@ def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
             ln = ' '.join(ws)
             if i % 9 == 3 and d % 4 != 2:
                 ln += ' (nested (parens)) and \\ backslash'
+            if d % 10 == 4 and i % 6 == 1:
+                ln += ' déjà-vu Ünïcødé \U0001F600'
             lines.append(f'{ln} #{d}-{i}')
+        style = ('cid' if d % 5 == 4
+                 else styles[d % 4 % 3] if d % 4 != 0 else 'literal')
         data = write_synth_pdf(lines, lines_per_page=15,
                                compress=(d % 3 != 1),
-                               string_style=styles[d % 4 % 3]
-                               if d % 4 != 0 else 'literal')
+                               string_style=style)
         with open(os.path.join(out_dir, f'doc{d:03d}.pdf'), 'wb') as f:
             f.write(data)
+    objstm_lines = [f'compressed-xref page text line {i}'
+                    for i in range(34)]
+    with open(os.path.join(out_dir, 'objstm.pdf'), 'wb') as f:
+        f.write(write_synth_pdf_objstm(objstm_lines, lines_per_page=12))
     with open(os.path.join(out_dir, 'corrupt.pdf'), 'wb') as f:
         f.write(b'this is not a pdf at all \x00\x01\x02')
     # /Length-bound proof: the string content CONTAINS 'endstream' —

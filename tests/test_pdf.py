@@ -172,3 +172,142 @@ def test_pdf_corrupt_endstream_keeps_later_objects():
            + b'\nendstream\nendobj\n%%EOF\n')
     text, _, _ = pdf_to_text(pdf)
     assert text == 'tail survives'
+
+
+# ---------------------------------------------------------------------------
+# composite-font tier: ToUnicode CMaps, Identity-H, ObjStm
+# ---------------------------------------------------------------------------
+
+def test_cmap_parse_bfchar_and_both_bfrange_forms():
+    from mineru_html_spark.sources.pdf import parse_tounicode_cmap
+    cmap = (b'1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n'
+            b'2 beginbfchar\n<0003> <0041>\n<0010> <D83DDE00>\nendbfchar\n'
+            b'2 beginbfrange\n'
+            b'<0020> <0022> <0061>\n'                 # incrementing dst
+            b'<0030> <0032> [<0058> <0059> <005A>]\n'  # array dst
+            b'endbfrange\n')
+    table, width = parse_tounicode_cmap(cmap)
+    assert width == 2
+    assert table[0x0003] == 'A'
+    assert table[0x0010] == '\U0001F600'              # surrogate pair
+    assert (table[0x20], table[0x21], table[0x22]) == ('a', 'b', 'c')
+    assert (table[0x30], table[0x31], table[0x32]) == ('X', 'Y', 'Z')
+
+
+def test_cmap_one_byte_codespace():
+    from mineru_html_spark.sources.pdf import parse_tounicode_cmap
+    cmap = (b'1 begincodespacerange\n<00> <FF>\nendcodespacerange\n'
+            b'1 beginbfchar\n<41> <0042>\nendbfchar\n')
+    table, width = parse_tounicode_cmap(cmap)
+    assert width == 1 and table[0x41] == 'B'
+
+
+def test_cmap_malformed_range_is_capped_and_contained():
+    from mineru_html_spark.sources.pdf import parse_tounicode_cmap
+    # hi < lo: skipped; giant span: capped at 64Ki entries, no hang
+    cmap = (b'2 beginbfrange\n<0010> <0001> <0041>\n'
+            b'<A000> <FFFFFFFF> <0030>\nendbfrange\n')
+    table, _ = parse_tounicode_cmap(cmap)
+    assert 0x0010 not in table               # inverted range skipped
+    assert len(table) <= (1 << 16)           # giant span capped
+
+
+def test_pdf_cid_roundtrip_all_pages():
+    lines = ['Hello CID world 123', 'ranges abcdefg xyz',
+             'Unicode: Ünïcødé',
+             'non-BMP \U0001F600 char', 'punct: ()\\ [] <>!']
+    for compress in (True, False):
+        text, n_pages, n_bad = pdf_to_text(write_synth_pdf(
+            lines, lines_per_page=2, compress=compress,
+            string_style='cid'))
+        assert n_bad == 0 and n_pages == 3
+        assert text == '\n'.join(lines)
+
+
+def test_pdf_unmapped_cid_is_visible_not_silent():
+    """A CID the ToUnicode CMap does not cover must decode to U+FFFD —
+    visible loss, never a silently dropped glyph."""
+    data = write_synth_pdf(['ab'], string_style='cid', compress=False)
+    # code 0x0100 -> 'a'; splice in an unmapped code 0x7777
+    import re as _re
+    m = _re.search(rb'<([0-9a-f]{8})> Tj', data)
+    assert m, 'uncompressed content stream expected'
+    patched = data.replace(m.group(1), b'7777' + m.group(1)[4:], 1)
+    text, _, _ = pdf_to_text(patched)
+    assert text[0] == '�' and text[1:] == 'b'
+
+
+def test_pdf_mixed_simple_and_cid_fonts_one_page():
+    """A page whose resources carry BOTH a simple Type1 font and an
+    Identity-H/ToUnicode font: the Tf state machine must decode each
+    run with its own font's map."""
+    from mineru_html_spark.sources.pdf import _synth_cid_assets
+    code, cmap = _synth_cid_assets(['cid run'])
+    hx = b''.join(b'%04x' % code[c] for c in 'cid run')
+    stream = (b'BT /F1 11 Tf (simple run) Tj\n'
+              b'/F2 11 Tf <' + hx + b'> Tj\n'
+              b'/F1 11 Tf (back to simple) Tj ET')
+    pdf = (b'%PDF-1.4\n'
+           b'1 0 obj\n<< /Type /Font /Subtype /Type1 '
+           b'/BaseFont /Helvetica >>\nendobj\n'
+           b'2 0 obj\n<< /Length ' + str(len(cmap)).encode()
+           + b' >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+           b'3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /S '
+           b'/Encoding /Identity-H /ToUnicode 2 0 R >>\nendobj\n'
+           b'4 0 obj\n<< /Length ' + str(len(stream)).encode()
+           + b' >>\nstream\n' + stream + b'\nendstream\nendobj\n'
+           b'5 0 obj\n<< /Type /Page /Contents 4 0 R /Resources '
+           b'<< /Font << /F1 1 0 R /F2 3 0 R >> >> >>\nendobj\n%%EOF\n')
+    text, n_pages, n_bad = pdf_to_text(pdf)
+    assert text == 'simple run\ncid run\nback to simple'
+    assert n_pages == 1 and n_bad == 0
+
+
+def test_pdf_indirect_resources_and_contents_array():
+    """/Resources as an indirect object and /Contents as an ARRAY of
+    streams — both legal shapes — must still link fonts to content."""
+    from mineru_html_spark.sources.pdf import _synth_cid_assets
+    code, cmap = _synth_cid_assets(['xy'])
+    hx1 = b''.join(b'%04x' % code[c] for c in 'x')
+    hx2 = b''.join(b'%04x' % code[c] for c in 'y')
+    s1 = b'BT /Fz 9 Tf <' + hx1 + b'> Tj ET'
+    s2 = b'BT /Fz 9 Tf <' + hx2 + b'> Tj ET'
+    pdf = (b'%PDF-1.4\n'
+           b'1 0 obj\n<< /Length ' + str(len(cmap)).encode()
+           + b' >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+           b'2 0 obj\n<< /Type /Font /Subtype /Type0 '
+           b'/Encoding /Identity-H /ToUnicode 1 0 R >>\nendobj\n'
+           b'3 0 obj\n<< /Font << /Fz 2 0 R >> >>\nendobj\n'
+           b'4 0 obj\n<< /Length ' + str(len(s1)).encode()
+           + b' >>\nstream\n' + s1 + b'\nendstream\nendobj\n'
+           b'5 0 obj\n<< /Length ' + str(len(s2)).encode()
+           + b' >>\nstream\n' + s2 + b'\nendstream\nendobj\n'
+           b'6 0 obj\n<< /Type /Page /Contents [4 0 R 5 0 R] '
+           b'/Resources 3 0 R >>\nendobj\n%%EOF\n')
+    text, n_pages, _ = pdf_to_text(pdf)
+    assert text == 'x\ny' and n_pages == 1
+
+
+def test_pdf_objstm_roundtrip():
+    from mineru_html_spark.sources.pdf import write_synth_pdf_objstm
+    lines = [f'Objstm line {i} with (parens)' for i in range(50)]
+    data = write_synth_pdf_objstm(lines, lines_per_page=20)
+    text, n_pages, n_bad = pdf_to_text(data)
+    assert n_bad == 0
+    assert n_pages == 3          # pages live INSIDE the object stream
+    assert text == '\n'.join(lines)
+
+
+def test_pdf_malformed_objstm_counts_as_bad():
+    """An ObjStm whose header cannot be parsed is counted into
+    n_bad_streams, never a task failure."""
+    import zlib as _z
+    bogus = _z.compress(b'not an objstm header at all')
+    pdf = (b'%PDF-1.5\n'
+           b'1 0 obj\n<< /Type /ObjStm /N 4 /First 900 /Length '
+           + str(len(bogus)).encode()
+           + b' /Filter /FlateDecode >>\nstream\n' + bogus
+           + b'\nendstream\nendobj\n'
+           b'2 0 obj\n<< /Type /Page >>\nendobj\n%%EOF\n')
+    text, n_pages, n_bad = pdf_to_text(pdf)
+    assert n_bad == 1 and n_pages == 1 and text == ''
