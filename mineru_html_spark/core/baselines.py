@@ -576,6 +576,131 @@ def _ccb_labels(blocks) -> Dict[int, str]:
     return labels
 
 
+def _goose_labels(blocks) -> Dict[int, str]:
+    """Goose gravity scoring (Grangier's Goose, kept alive as goose3 —
+    ``calculate_best_node``): paragraph-like blocks with more than two
+    stopwords and low link density vote their stopword count into the
+    parent (full) and grandparent (half) "gravity" scores, early
+    boostable paragraphs add a decaying ``50/boost`` bonus (a paragraph
+    is boostable when a nearby preceding paragraph has >= 5 stopwords),
+    and on long pages the bottom quarter of paragraphs takes Goose's
+    quadratic negative boost. The top-gravity node wins; siblings
+    clearing 30% of its score join; blocks inside winning subtrees are
+    MAIN. Deviations, stated: link density uses the anchor-char share
+    (> 0.5 = high) because block features keep char counts, not anchor
+    counts; the stoplist is the engine's English list (production swaps
+    per-language lists, exactly as Goose ships stopwords-<lang> files)."""
+    stats = []
+    for b in blocks:
+        words = b.text.lower().split()
+        sw = sum(1 for w in words if w in _JT_STOPSET)
+        ld = b.link_text_len / max(b.text_len, 1)
+        stats.append((b, sw, ld))
+    voters = [(b, sw) for b, sw, ld in stats if sw > 2 and ld <= 0.5]
+    if not voters:
+        return {b.item_id: 'other' for b in blocks}
+
+    score: dict = {}
+    node_of: dict = {}
+    order: dict = {}
+
+    def _touch(nd) -> int:
+        key = id(nd)
+        if key not in score:
+            score[key] = 0.0
+            node_of[key] = nd
+            order[key] = len(order)
+        return key
+
+    n_voters = len(voters)
+    bottom = n_voters * 0.25
+    starting_boost = 1.0
+    sw_of = {id(b): sw for b, sw, _ in stats}
+    block_seq = [b for b, _, _ in stats]
+    pos_of = {id(b): i for i, b in enumerate(block_seq)}
+    for i, (b, sw) in enumerate(voters):
+        boost = 0.0
+        # boostable: a preceding paragraph within distance 3 carrying
+        # >= 5 stopwords (goose's minimum_stopword_count)
+        p0 = pos_of[id(b)]
+        for back in range(1, 4):
+            if p0 - back < 0:
+                break
+            if sw_of[id(block_seq[p0 - back])] >= 5:
+                boost = (1.0 / starting_boost) * 50.0
+                starting_boost += 1.0
+                break
+        if n_voters > 15 and (n_voters - i) <= bottom:
+            booster = bottom - (n_voters - i)
+            boost = -(booster * booster)
+            if abs(boost) > 40:
+                boost = 5.0
+        up = sw + boost
+        p = b.node.parent
+        if p is None:
+            continue
+        score[_touch(p)] += up
+        if p.parent is not None:
+            score[_touch(p.parent)] += up / 2.0
+    if not score:
+        return {b.item_id: 'other' for b in blocks}
+    top = min(score, key=lambda k: (-score[k], order[k]))
+    keep = {top}
+    top_parent = node_of[top].parent
+    base = score[top] * 0.3              # goose's sibling baseline
+    for k, nd in node_of.items():
+        if k != top and nd.parent is top_parent and score[k] >= base:
+            keep.add(k)
+    labels = {}
+    for b in blocks:
+        nd, hit = b.node, False
+        while nd is not None:
+            if id(nd) in keep:
+                hit = True
+                break
+            nd = nd.parent
+        labels[b.item_id] = MAIN if hit else 'other'
+    return labels
+
+
+_SEMANTIC_TAGS = ('article', 'main')
+
+
+def _semantic_labels(blocks) -> Dict[int, str]:
+    """HTML5 semantic-container baseline — the first pass of modern
+    extractors (e.g. trafilatura's bare extraction tries semantic
+    containers before heuristics): keep every block inside an
+    ``<article>``/``<main>`` element or a ``role="main"`` landmark
+    (WAI-ARIA); drop blocks inside ``<nav>``/``<aside>``/``<footer>``/
+    ``<header>`` landmarks even when nested in a container. Pages with
+    no semantic markup keep everything (the honest fallback — this
+    baseline measures exactly what semantic markup alone buys)."""
+    def _is_container(nd) -> bool:
+        return (nd.tag in _SEMANTIC_TAGS
+                or (nd.attrs.get('role') or '').strip().lower() == 'main')
+
+    has_container = False
+    labels = {}
+    neg = ('nav', 'aside', 'footer', 'header')
+    for b in blocks:
+        nd = b.node
+        inside, negative = False, False
+        while nd is not None:
+            if nd.tag in neg:
+                negative = True
+            if _is_container(nd):
+                inside = True
+            nd = nd.parent
+        has_container = has_container or inside
+        labels[b.item_id] = (inside, negative)
+    out = {}
+    for b in blocks:
+        inside, negative = labels[b.item_id]
+        keep = (inside if has_container else True) and not negative
+        out[b.item_id] = MAIN if keep else 'other'
+    return out
+
+
 # name -> (html preprocessor | None, block labeler)
 BASELINES = {
     'passthrough': (None, _passthrough_labels),
@@ -588,6 +713,8 @@ BASELINES = {
     'bte': (None, _bte_labels),
     'cetr': (None, _cetr_labels),
     'ccb': (None, _ccb_labels),
+    'goose': (None, _goose_labels),
+    'semantic': (None, _semantic_labels),
 }
 
 # backwards-compatible view (labelers only)

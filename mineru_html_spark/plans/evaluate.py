@@ -61,7 +61,7 @@ def evaluate_extractors(spark: SparkSession, docs: DataFrame,
                                     'regex_cleaner', 'boilerpipe',
                                     'readability', 'justext',
                                     'text_density', 'bte', 'cetr',
-                                    'ccb'),
+                                    'ccb', 'goose', 'semantic'),
                         engine_results: DataFrame | None = None) -> DataFrame:
     """Score the engine AND the baseline comparators against generator
     truth in ONE Spark job (reference pattern: every baseline through one

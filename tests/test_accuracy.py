@@ -107,11 +107,13 @@ def test_engine_dominates_baselines(spark):
             evaluate_extractors(spark, docs, truth).collect()}
     assert set(rows) == {'engine', 'passthrough', 'degraded',
                          'regex_cleaner', 'boilerpipe', 'readability',
-                         'justext', 'text_density', 'bte', 'cetr', 'ccb'}
+                         'justext', 'text_density', 'bte', 'cetr', 'ccb',
+                         'goose', 'semantic'}
     eng = rows['engine']
     for name in ('passthrough', 'degraded', 'regex_cleaner',
                  'boilerpipe', 'readability', 'justext',
-                 'text_density', 'bte', 'cetr', 'ccb'):
+                 'text_density', 'bte', 'cetr', 'ccb', 'goose',
+                 'semantic'):
         assert eng['mean_f1_micro'] > rows[name]['mean_f1_micro'], name
         assert eng['n_equal'] > rows[name]['n_equal'], name
     assert rows['passthrough']['mean_rec_micro'] >= 999999  # keeps all
@@ -128,9 +130,9 @@ def test_fused_baselines_equal_solo():
             (gen_doc(i) for i in range(0, 60))]
     fused = baseline_extract_rows_multi(
         rows, ('passthrough', 'degraded', 'boilerpipe', 'readability',
-               'bte', 'cetr', 'ccb'))
+               'bte', 'cetr', 'ccb', 'goose', 'semantic'))
     for name in ('passthrough', 'degraded', 'boilerpipe', 'readability',
-                 'bte', 'cetr', 'ccb'):
+                 'bte', 'cetr', 'ccb', 'goose', 'semantic'):
         solo = baseline_extract_rows(rows, name)
         got = [r for r in fused if r['extractor'] == name]
         assert len(got) == len(solo)
