@@ -1910,6 +1910,21 @@ def q_baseline_eval(spark, sf_dir):
         engine_results=_extraction_results(spark, sf_dir))
 
 
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual-hash image near-duplicate detection, REAL end-to-end
+    (the multimodal dedup a training pipeline runs right after decode):
+    a deterministic photo corpus with planted twins — every 5th image
+    is the previous image re-encoded (PNG vs baseline JPEG at different
+    quality/subsampling) or box-resized — goes decode -> pHash (32x32
+    DCT, Zauner 2010) -> 9-band LSH buckets -> exact bit_count Hamming
+    verify. One decode pass, bucket-capped, never all-pairs. The
+    committed golden pins every pair AND its Hamming distance; the
+    planted-twin recall is asserted separately in tests."""
+    n = max(120, docs_for_sf(_sf_of(sf_dir)) // 64)
+    media = md.synth_photo_media_df(spark, n, twin_every=5)
+    return md.image_near_dups(media, max_hamming=8)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap).
     session_start crosses the gate as epoch BIGINT (canonical repr)."""
@@ -1996,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-certified through r4 (rotated to the front) ---
         'extract_markdown': q_extract_markdown,
         'dsv2_sink_roundtrip': q_dsv2_sink_roundtrip,
+        'image_near_dups': q_image_near_dups,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2118,7 +2134,7 @@ def oracle_sql() -> dict[str, str]:
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup', 'pdf_extract',
-                     'extract_markdown',
+                     'extract_markdown', 'image_near_dups',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,13 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-The IMAGE path is REAL end-to-end: payloads are genuine PNG files
-(pure-stdlib codec, ``functions/png.py`` — zlib is all PNG needs, no
-PIL/libjpeg required), decode produces actual pixel arrays, features are
-real image statistics, and resize is a real box-average resample with
-PNG re-encode. JPEG/video decode would need libjpeg/ffmpeg (absent in
-this container) and surfaces as a contained non-ok status row — the
-hash-derived fake kernel remains only as the documented fallback for
-undecodable mimes so the plumbing stays total.
+The IMAGE path is REAL end-to-end: payloads are genuine PNG
+(``functions/png.py``) and baseline-JPEG (``functions/jpeg.py``) files
+— both pure-stdlib codecs — decode produces actual pixel arrays,
+features are real image statistics, resize is a real box-average
+resample with PNG re-encode, and near-duplicate detection is a real
+DCT perceptual hash with banded LSH. WebP/AVIF/video decode would need
+libwebp/ffmpeg (absent in this container) and surfaces as a contained
+non-ok status row — the hash-derived fake kernel remains only as the
+documented fallback for undecodable mimes so the plumbing stays total.
 
 Schema convention:
     media(media_ref string, payload binary, mime string,
@@ -327,3 +328,198 @@ def interleave_pairs(results: DataFrame, window: int = 120) -> DataFrame:
                      F.col('p.img_offset').alias('img_offset'),
                      before.alias('before_text'),
                      a.substr(F.lit(1), F.lit(window)).alias('after_text'))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-duplicates (pHash + banded LSH)
+# ---------------------------------------------------------------------------
+#
+# The operator a multimodal training pipeline runs right after decode:
+# the same photo re-encoded (PNG vs JPEG, different quality/subsampling)
+# or mildly resized must collapse to one copy. pHash (Zauner 2010,
+# "Implementation and benchmarking of perceptual image hash functions";
+# the widely deployed DCT variant): grayscale -> 32x32 box resample ->
+# 2-D DCT-II -> the 8x8 low-frequency corner minus DC -> threshold at
+# the median -> 64 bits. Candidate generation is banded LSH over the
+# hash (never all-pairs): 9 bands (8x 7 bits + 1x 8 bits) guarantee by
+# pigeonhole that any pair within Hamming distance 8 shares at least
+# one exact band; verification is one jvm-side bit_count(a XOR b).
+
+_C32 = None     # 32-point DCT-II basis, built lazily per executor
+
+
+def _dct32() -> np.ndarray:
+    global _C32
+    if _C32 is None:
+        x = np.arange(32, dtype=np.float64)
+        u = x[:, None]
+        m = np.cos((2 * x[None, :] + 1) * u * np.pi / 64)
+        m[0] *= np.sqrt(1.0 / 32)
+        m[1:] *= np.sqrt(2.0 / 32)
+        _C32 = m
+    return _C32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a decoded image (pHash shape):
+    ITU-R 601 luma, 32x32 area resample, DCT-II, 8x8 low-frequency
+    block minus DC, median threshold. Bit 63 is the first (lowest-
+    frequency) coefficient so hashes compare MSB-first."""
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    rgb = img[:, :, :3].astype(np.float64)
+    g = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+         + 0.114 * rgb[:, :, 2])
+    small = resize_to(np.stack([g, g, g], axis=2).astype(np.uint8),
+                      32, 32)[:, :, 0].astype(np.float64)
+    c = _dct32()
+    d = c @ small @ c.T
+    blk = d[:8, :8].ravel()[1:]            # 63 ACs, DC dropped
+    med = np.median(blk)
+    bits = blk > med
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return (v << 1) & 0xFFFFFFFFFFFFFFFF   # pad to 64, MSB-first
+
+
+PHASH_SCHEMA = 'media_ref string, phash long, decode_status string'
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_ref, phash, decode_status) — Arrow-batched real decode +
+    pHash; undecodable payloads surface as status rows with phash 0
+    (contained, counted, never paired: the join below filters them)."""
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload, mime in zip(pdf['media_ref'],
+                                          pdf['payload'], pdf['mime']):
+                try:
+                    h = phash64(decode_image(bytes(payload), mime))
+                    # store as SIGNED 64-bit (Spark long)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append({'media_ref': ref, 'phash': h,
+                                 'decode_status': 'ok'})
+                except Exception as e:
+                    rows.append({'media_ref': ref, 'phash': 0,
+                                 'decode_status':
+                                     f'{type(e).__name__}'[:80]})
+            yield pd.DataFrame(
+                rows, columns=['media_ref', 'phash', 'decode_status'])
+    return media.mapInPandas(batch, PHASH_SCHEMA)
+
+
+# 9 bands tile the 64 bits: 8 bands of 7 bits + 1 band of 8 bits.
+# pigeonhole: hamming <= 8 errors over 9 bands leaves >= 1 band clean.
+_PHASH_BANDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 8,
+                    bucket_cap: int = 256) -> DataFrame:
+    """Near-duplicate image pairs via banded-LSH bucketing + exact
+    Hamming verification — never all-pairs, and the decode+hash stage
+    runs ONCE (bucket idiom, same as dedup.lsh_candidate_pairs: the
+    only shuffle carries (band, band value, ref, hash) — 9 small rows
+    per image; payload bytes never travel past the hash stage). Buckets
+    above ``bucket_cap`` members are dropped as degenerate (flat-color
+    banners hashing alike), the documented MinHash-style cap.
+
+    Returns (ref_a, ref_b, hamming) with ref_a < ref_b, hamming <=
+    ``max_hamming``. Recall is exact for max_hamming <= 8 (pigeonhole
+    over the 9 bands); raising it beyond 8 trades recall guarantees for
+    threshold slack, same as MinHash band tuning in functions/dedup.py."""
+    hashes = (image_phash(media)
+              .where(F.col('decode_status') == 'ok')
+              .select('media_ref', 'phash'))
+    banded = hashes.select(
+        F.struct('media_ref', 'phash').alias('m'),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias('band'),
+                F.shiftrightunsigned('phash', off)
+                 .bitwiseAND((1 << width) - 1).alias('val'))
+            for i, (off, width) in enumerate(_PHASH_BANDS)]))
+        .alias('b'))
+    buckets = (banded
+               .groupBy('b.band', 'b.val')
+               .agg(F.collect_set('m').alias('members'))
+               .where((F.size('members') > 1)
+                      & (F.size('members') <= bucket_cap)))
+    pairs = buckets.select(F.explode(F.filter(
+        F.flatten(F.transform(
+            'members',
+            lambda a: F.transform(
+                'members',
+                lambda b: F.struct(a.alias('a'), b.alias('b'))))),
+        lambda p: p['a']['media_ref'] < p['b']['media_ref'])).alias('p'))
+    return (pairs.select(
+        F.col('p.a.media_ref').alias('ref_a'),
+        F.col('p.b.media_ref').alias('ref_b'),
+        F.bit_count(F.col('p.a.phash').bitwiseXOR(F.col('p.b.phash')))
+         .alias('hamming'))
+        .where(F.col('hamming') <= max_hamming)
+        .distinct())
+
+
+def synth_photo_media_df(spark: SparkSession, n: int,
+                         twin_every: int = 5) -> DataFrame:
+    """Deterministic photo-like media corpus WITH PLANTED NEAR-DUPS (no
+    external data): ``n`` refs named ``photo-<i>``, each a smooth
+    hash-seeded 64x64 'photo' (low-frequency sinusoids + soft blobs —
+    the spectral shape pHash is built for, unlike synth_media_df's
+    hard-edged test patterns); every ``twin_every``-th ref is a TWIN of
+    the previous ref's photo, re-encoded (PNG vs JPEG q80 4:2:0 / q88)
+    or box-resized to 48x48 — the ground truth a near-dup gate asserts
+    against. Distributed: spark.range partitions the id space, images
+    are derived per-row from the id, no driver-side data."""
+    def _photo(ref: str, size: int = 64) -> np.ndarray:
+        h = hashlib.sha256(str(ref).encode()).digest()
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+        img = np.zeros((size, size, 3))
+        for c in range(3):
+            fx = 0.5 + (h[c * 4] % 5) / 2.5
+            fy = 0.5 + (h[c * 4 + 1] % 5) / 2.5
+            ph = h[c * 4 + 2] / 40.0
+            amp = 80 + h[c * 4 + 3] % 100
+            img[:, :, c] = 128 + amp * np.sin(
+                2 * np.pi * (fx * xx / size + fy * yy / size) + ph) / 2
+        for k in range(2):
+            cy, cx = h[12 + k] % size, h[14 + k] % size
+            rr = 6 + h[16 + k] % 10
+            mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < rr * rr
+            img[mask] = np.clip(img[mask] + (h[18 + k] % 120 - 60),
+                                0, 255)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                idx = int(idx)
+                ref = f'photo-{idx:05d}'
+                is_twin = twin_every > 0 and idx % twin_every == twin_every - 1
+                base_idx = idx - 1 if is_twin else idx
+                img = _photo(f'photo-{base_idx}')
+                sel = hashlib.sha256(str(ref).encode()).digest()[13]
+                if is_twin and sel % 3 == 0:
+                    img = resize_to(img, 48, 48)     # resized twin
+                if (is_twin and sel % 3 != 0) or (not is_twin
+                                                  and sel % 3 == 2):
+                    payload = encode_jpeg_baseline(
+                        img, quality=80 + 8 * (sel % 2),
+                        subsample=(sel % 2 == 0),
+                        restart_interval=(sel % 4))
+                    mime = 'image/jpeg'
+                else:
+                    payload = encode_png(img)
+                    mime = 'image/png'
+                rows.append({'media_ref': ref, 'payload': payload,
+                             'mime': mime, 'width': int(img.shape[1]),
+                             'height': int(img.shape[0]), 'n_frames': 1})
+            yield pd.DataFrame(
+                rows, columns=['media_ref', 'payload', 'mime', 'width',
+                               'height', 'n_frames'])
+
+    return spark.range(n).mapInPandas(batch, MEDIA_SCHEMA)

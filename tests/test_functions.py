@@ -1689,3 +1689,83 @@ def test_png_sub_filter_cumsum_wide_raster():
            + _chunk(b'IDAT', zlib.compress(b''.join(rows)))
            + _chunk(b'IEND', b''))
     assert (decode_png(png) == img).all()
+
+
+def test_phash_kernel_separation():
+    """pHash invariants, kernel-level: identical pixels -> identical
+    hash; re-encode (JPEG q80 4:2:0) and box-resize -> small Hamming
+    distance; distinct photos -> large distance. The margins here are
+    what make the 9-band/<=8 LSH operating point sound."""
+    import numpy as np
+
+    from mineru_html_spark.functions.jpeg import (decode_jpeg,
+                                                  encode_jpeg_baseline)
+    from mineru_html_spark.functions.media import (phash64, resize_to,
+                                                   synth_photo_media_df)
+    # reuse the corpus generator's photo shape via a tiny spark-free path
+    import hashlib
+
+    def photo(ref, size=64):
+        h = hashlib.sha256(ref.encode()).digest()
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+        img = np.zeros((size, size, 3))
+        for c in range(3):
+            fx = 0.5 + (h[c * 4] % 5) / 2.5
+            fy = 0.5 + (h[c * 4 + 1] % 5) / 2.5
+            ph = h[c * 4 + 2] / 40.0
+            amp = 80 + h[c * 4 + 3] % 100
+            img[:, :, c] = 128 + amp * np.sin(
+                2 * np.pi * (fx * xx / size + fy * yy / size) + ph) / 2
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count('1')
+
+    imgs = [photo(f'p{i}') for i in range(20)]
+    hs = [phash64(im) for im in imgs]
+    for im, h in zip(imgs, hs):
+        assert phash64(im) == h                      # deterministic
+        rh = phash64(resize_to(im, 48, 48))
+        jh = phash64(decode_jpeg(encode_jpeg_baseline(
+            im, quality=80, subsample=True)))
+        assert ham(h, rh) <= 8, 'resize twin must stay near'
+        assert ham(h, jh) <= 8, 'jpeg twin must stay near'
+    cross = [ham(hs[i], hs[j]) for i in range(20) for j in range(i + 1, 20)]
+    assert min(cross) > 8, 'distinct photos must stay far'
+
+
+def test_image_near_dups_planted_twins(spark):
+    """End-to-end planted-truth gate: every 5th photo is a re-encoded
+    or resized twin of its predecessor — exactly those pairs (and no
+    others) must survive the banded-LSH + Hamming-verify pipeline."""
+    from mineru_html_spark.functions.media import (image_near_dups,
+                                                   synth_photo_media_df)
+    media = synth_photo_media_df(spark, 100, twin_every=5)
+    got = {(r['ref_a'], r['ref_b'])
+           for r in image_near_dups(media, max_hamming=8).collect()}
+    want = {(f'photo-{i-1:05d}', f'photo-{i:05d}')
+            for i in range(100) if i % 5 == 4}
+    assert got == want
+    # hamming column is the exact popcount, so a re-run is value-stable
+    again = {(r['ref_a'], r['ref_b'], r['hamming'])
+             for r in image_near_dups(media, max_hamming=8).collect()}
+    assert {(a, b) for a, b, _ in again} == want
+
+
+def test_image_near_dups_single_decode_no_cartesian(spark):
+    """Plan guard: the bucket idiom decodes ONCE (exactly two
+    MapInPandas stages: corpus synth + phash) and never falls back to a
+    cartesian product."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mineru_html_spark.functions.media import (image_near_dups,
+                                                   synth_photo_media_df)
+    nd = image_near_dups(synth_photo_media_df(spark, 50))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        nd.explain('formatted')
+    plan = buf.getvalue().split('== Initial Plan ==')[0]
+    assert plan.count('MapInPandas') == 2 * 2   # 2 ops x (tree + detail)
+    assert 'CartesianProduct' not in plan
+    assert 'BroadcastNestedLoopJoin' not in plan

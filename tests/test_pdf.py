@@ -51,8 +51,11 @@ def test_read_pdfs_spark_path(spark, tmp_path):
     d = str(tmp_path / 'pdfs')
     write_synth_pdf_gate_set(d, n_docs=6)
     rows = {r['doc_id']: r for r in read_pdfs(spark, d).collect()}
-    # 6 synth + corrupt + 3 adversarial (len_bound/bad_stream/mixed_tj)
-    assert len(rows) == 10
+    # 6 synth + objstm + corrupt + 3 adversarial (len_bound/bad_stream/
+    # mixed_tj)
+    assert len(rows) == 11
+    assert rows['objstm.pdf']['n_pages'] == 3 \
+        and rows['objstm.pdf']['n_chars'] > 0
     assert rows['corrupt.pdf']['error'].startswith('ValueError')
     assert rows['bad_stream.pdf']['n_bad_streams'] == 1
     assert 'endstream inside a string' in rows['len_bound.pdf']['text']
