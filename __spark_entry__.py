@@ -1925,6 +1925,17 @@ def q_image_near_dups(spark, sf_dir):
     return md.image_near_dups(media, max_hamming=8)
 
 
+def q_image_dedup_keep(spark, sf_dir):
+    """Multimodal dedup composed end-to-end: pHash near-dup pairs feed
+    the certified hash-min connected-components operator; every image
+    gets (cluster_id = min member ref, keep = is the canonical copy).
+    With planted twins every 5th photo, clusters are exactly the
+    twin pairs and survivors = n - n_twins. Committed-output oracle."""
+    n = max(120, docs_for_sf(_sf_of(sf_dir)) // 64)
+    media = md.synth_photo_media_df(spark, n, twin_every=5)
+    return md.image_dedup_keep(media, max_hamming=8)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap).
     session_start crosses the gate as epoch BIGINT (canonical repr)."""
@@ -2012,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_markdown': q_extract_markdown,
         'dsv2_sink_roundtrip': q_dsv2_sink_roundtrip,
         'image_near_dups': q_image_near_dups,
+        'image_dedup_keep': q_image_dedup_keep,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2135,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup', 'pdf_extract',
                      'extract_markdown', 'image_near_dups',
+                     'image_dedup_keep',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -523,3 +523,27 @@ def synth_photo_media_df(spark: SparkSession, n: int,
                                'height', 'n_frames'])
 
     return spark.range(n).mapInPandas(batch, MEDIA_SCHEMA)
+
+
+def image_dedup_keep(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Multimodal dedup end-to-end: near-dup pairs -> connected
+    components (functions/dedup.py's certified hash-min operator —
+    labels-only shuffles) -> canonical keep-first survivors.
+
+    Returns (media_ref, cluster_id, keep): cluster_id is the minimum
+    member ref (singletons are their own cluster), keep marks the one
+    canonical copy per cluster — the row a training-shard builder
+    filters on. Same contract as the text-side near_dup_clusters path,
+    so a mixed text+image pipeline dedups both modalities with one
+    downstream idiom."""
+    from .dedup import connected_components
+    pairs = image_near_dups(media, max_hamming).select(
+        F.col('ref_a').alias('a'), F.col('ref_b').alias('b'))
+    cc = connected_components(pairs).withColumnRenamed(
+        'doc_id', 'media_ref')
+    return (media.select('media_ref').join(cc, 'media_ref', 'left')
+            .select('media_ref',
+                    F.coalesce('cluster_id', 'media_ref')
+                     .alias('cluster_id'),
+                    (F.coalesce('cluster_id', 'media_ref')
+                     == F.col('media_ref')).alias('keep')))

@@ -1769,3 +1769,24 @@ def test_image_near_dups_single_decode_no_cartesian(spark):
     assert plan.count('MapInPandas') == 2 * 2   # 2 ops x (tree + detail)
     assert 'CartesianProduct' not in plan
     assert 'BroadcastNestedLoopJoin' not in plan
+
+
+def test_image_dedup_keep_planted_truth(spark):
+    """pairs -> connected components -> keep-first: with twins planted
+    every 5th photo, each twin joins its base's cluster (cluster_id =
+    the base ref, the minimum member) and exactly the bases + all
+    singletons survive."""
+    from mineru_html_spark.functions.media import (image_dedup_keep,
+                                                   synth_photo_media_df)
+    media = synth_photo_media_df(spark, 100, twin_every=5)
+    rows = {r['media_ref']: r for r in image_dedup_keep(media).collect()}
+    assert len(rows) == 100
+    for i in range(100):
+        ref = f'photo-{i:05d}'
+        if i % 5 == 4:                      # twin: clustered, dropped
+            assert rows[ref]['cluster_id'] == f'photo-{i-1:05d}'
+            assert not rows[ref]['keep']
+        else:                               # base or singleton: kept
+            assert rows[ref]['cluster_id'] == ref
+            assert rows[ref]['keep']
+    assert sum(1 for r in rows.values() if r['keep']) == 80
