@@ -208,6 +208,19 @@ def main():
                 [r'Exchange|HashAggregate|Generate|Project|Scan'],
                 max_lines=14)))
 
+    sections.append((
+        'Image near-dups (pHash banded LSH: one decode pass, bucket '
+        'shuffle only)',
+        'The decode+hash MapInPandas chain appears ONCE (bucket idiom '
+        '— no self-join recompute); the only exchanges are the '
+        'groupBy(band, val) buckets and the final pair distinct; the '
+        'Hamming verify is a jvm-side bit_count in the projection; '
+        'payload bytes never travel past the hash stage.',
+        trimmed(plan_of(entry.q_image_near_dups(spark, SF)),
+                [r'MapInPandas|Exchange|ObjectHashAggregate|Generate|'
+                 r'Project|Range'],
+                max_lines=16)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
