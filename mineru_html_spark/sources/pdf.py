@@ -279,6 +279,21 @@ def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
 
 _OBJSTM_RE = re.compile(rb'/Type\s*/ObjStm')
 _XREF_STM_RE = re.compile(rb'/Type\s*/XRef(?![A-Za-z])')
+# /Encrypt N 0 R (the standard security handler reference — §7.6).
+# Matched ONLY inside trailer dictionaries and xref-STREAM dicts — a
+# document whose page TEXT happens to contain the characters
+# "/Encrypt 9 0 R" (a PDF tutorial!) must not trip it.
+_ENCRYPT_RE = re.compile(rb'/Encrypt\s+\d+\s+\d+\s+R')
+_TRAILER_RE = re.compile(rb'trailer\s*<<')
+
+
+def _is_encrypted(data: bytes, objects: Dict[int, bytes],
+                  order: List[int]) -> bool:
+    for m in _TRAILER_RE.finditer(data):
+        if _ENCRYPT_RE.search(_balanced_dict(data, m.end() - 2)):
+            return True
+    return any(_XREF_STM_RE.search(objects[num])
+               and _ENCRYPT_RE.search(objects[num]) for num in order)
 _OBJSTM_N_RE = re.compile(rb'/N\s+(\d+)')
 _OBJSTM_FIRST_RE = re.compile(rb'/First\s+(\d+)')
 _INT_RE = re.compile(rb'\d+')
@@ -513,6 +528,12 @@ def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
                 continue
         streams[num] = raw
         order.append(num)
+    if _is_encrypted(data, objects, order):
+        # standard security handler: streams are RC4/AES-encrypted —
+        # inflating them would just count every stream into n_bad and
+        # emit nothing; say WHY in the error row instead
+        raise ValueError('encrypted PDF (trailer has /Encrypt; '
+                         'decryption needs a crypt handler)')
     objstm_ids = {num for num in order
                   if _OBJSTM_RE.search(objects.get(num, b''))}
     for num in objstm_ids:                  # PDF 1.5 compressed objects

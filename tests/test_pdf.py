@@ -314,3 +314,17 @@ def test_pdf_malformed_objstm_counts_as_bad():
            b'2 0 obj\n<< /Type /Page >>\nendobj\n%%EOF\n')
     text, n_pages, n_bad = pdf_to_text(pdf)
     assert n_bad == 1 and n_pages == 1 and text == ''
+
+
+def test_pdf_encrypted_detected_but_not_text_false_positive():
+    """An /Encrypt reference in the TRAILER surfaces as an explicit
+    contained error; the same characters inside page TEXT must not."""
+    from mineru_html_spark.sources.pdf import pdf_bytes_to_row
+    good = write_synth_pdf(['tutorial: add /Encrypt 9 0 R to the trailer'],
+                           compress=False)
+    r = pdf_bytes_to_row('t.pdf', good)
+    assert r['error'] == '' and '/Encrypt 9 0 R' in r['text']
+    enc = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n'
+           b'trailer\n<< /Size 3 /Root 2 0 R /Encrypt 9 0 R >>\n%%EOF\n')
+    r2 = pdf_bytes_to_row('enc.pdf', enc)
+    assert r2['error'].startswith('ValueError: encrypted PDF')
