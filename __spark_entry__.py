@@ -1936,6 +1936,34 @@ def q_image_dedup_keep(spark, sf_dir):
     return md.image_dedup_keep(media, max_hamming=8)
 
 
+def q_gif_frames(spark, sf_dir):
+    """Animated-GIF frame tier, REAL end-to-end: deterministic
+    multi-frame GIF89a payloads (real LZW, every 3rd interlaced, every
+    4th with transparent holes over keep-previous disposal) decode with
+    full compositing; sample_frames re-emits evenly-spaced frames as
+    standalone PNGs. The gate pins md5 of each DECODED frame raster
+    (deflate bytes are not stable across zlib builds — the media_resize
+    lesson). Committed-output oracle."""
+    from mineru_html_spark.functions.png import decode_png
+    import pandas as _pd
+
+    n = max(60, docs_for_sf(_sf_of(sf_dir)) // 128)
+    media = md.synth_gif_media_df(spark, n)
+    frames = md.sample_frames(media, n_samples=3)
+
+    def raster_md5(it):
+        import hashlib as _hl
+        for pdf in it:
+            md5s = [_hl.md5(decode_png(bytes(p)).tobytes()).hexdigest()
+                    for p in pdf['frame_payload']]
+            yield _pd.DataFrame({'media_ref': pdf['media_ref'],
+                                 'frame_idx': pdf['frame_idx'],
+                                 'raster_md5': md5s})
+
+    return frames.mapInPandas(
+        raster_md5, 'media_ref string, frame_idx int, raster_md5 string')
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap).
     session_start crosses the gate as epoch BIGINT (canonical repr)."""
@@ -2024,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsv2_sink_roundtrip': q_dsv2_sink_roundtrip,
         'image_near_dups': q_image_near_dups,
         'image_dedup_keep': q_image_dedup_keep,
+        'gif_frames': q_gif_frames,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2147,7 +2176,7 @@ def oracle_sql() -> dict[str, str]:
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup', 'pdf_extract',
                      'extract_markdown', 'image_near_dups',
-                     'image_dedup_keep',
+                     'image_dedup_keep', 'gif_frames',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

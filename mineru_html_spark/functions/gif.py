@@ -1,0 +1,368 @@
+"""Animated GIF codec, pure stdlib + numpy.
+
+GIF is the one multi-frame format decodable without a native library
+(LZW + palettes — no DCT, no entropy tables), which makes the frame
+tier REAL end-to-end: ``sources`` carry animated payloads, decode
+produces actual per-frame rasters with correct disposal/transparency
+compositing, and ``functions/media.sample_frames`` emits genuine frame
+images instead of placeholder byte chunks. Everything here is from the
+public GIF89a specification (CompuServe, 1990: logical screen
+descriptor, color tables, graphic control extensions, image
+descriptors, interlacing) and its LZW appendix (variable code width,
+LSB-first packing, CLEAR/EOI, deferred-clear tolerance).
+
+Decoder scope: GIF87a/89a, global and local color tables, interlaced
+images, disposal methods 0-3 (unspecified/keep/restore-background/
+restore-previous), per-frame transparency. Malformed input raises
+ValueError — callers contain it as error rows, same contract as
+``functions/png.py`` / ``functions/jpeg.py``.
+
+The encoder exists to generate deterministic synth payloads (tests and
+gate corpora — no external data): quantizes RGB to a fixed 64-color
+cube inside a 128-entry global table (index 127 = transparent), real
+LZW compression with table growth and 4096-entry resets.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# LZW (GIF appendix: LSB-first bit packing, variable code width)
+# ---------------------------------------------------------------------------
+
+
+def lzw_decode(min_code_size: int, data: bytes) -> List[int]:
+    """Decode one image's LZW stream (sub-blocks already concatenated)
+    to a flat list of palette indices."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f'bad LZW min code size {min_code_size}')
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: List[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    table: List[Tuple[int, ...]] = []
+    cs = min_code_size + 1
+    prev: Tuple[int, ...] = ()
+
+    def reset():
+        nonlocal table, cs, prev
+        table = [(i,) for i in range(clear)] + [(), ()]
+        cs = min_code_size + 1
+        prev = ()
+
+    reset()
+    while True:
+        while nbits < cs:
+            if pos >= n:
+                return out                  # truncated: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]         # the KwKwK case
+        else:
+            raise ValueError(f'bad LZW code {code}')
+        out.extend(entry)
+        if prev and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+
+
+def lzw_encode(min_code_size: int, indices: List[int]) -> bytes:
+    """Real LZW compression — the decoder's exact inverse (round-trip
+    tested through every width bump and past table exhaustion).
+
+    The code WIDTH mirrors the decoder's state machine, which appends
+    its entry one code LATER than the encoder registers it (the decoder
+    cannot build a string until it has read the code that completes
+    it): ``dec_len`` tracks the decoder's table length — bumped after
+    every emitted data code except the first — and the width widens
+    exactly when the decoder's does. At 4096 entries the encoder stops
+    registering and emits with a static table (deferred clear — legal
+    per the spec, and what real decoders must tolerate)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    cs = min_code_size + 1
+    dec_len = clear + 2                 # decoder table: literals+clear+eoi
+    first_data = True
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xff)
+            acc >>= 8
+            nbits -= 8
+
+    def emit_data(code: int):
+        # width bookkeeping AFTER the emit: the decoder appends an entry
+        # (and possibly widens) after READING this code
+        nonlocal cs, dec_len, first_data
+        emit(code)
+        if first_data:
+            first_data = False
+            return
+        if dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << cs) and cs < 12:
+                cs += 1
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: Tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        w = (k,)
+    if w:
+        emit_data(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xff)
+    return bytes(out)
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    """Split a byte stream into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(data: bytes) -> Tuple[np.ndarray, List[int]]:
+    """(frames, delays_cs): frames is (n_frames, H, W, 3) uint8 — every
+    frame fully COMPOSITED onto the logical screen honoring disposal
+    methods 0-3 and transparency; delays are per-frame hundredths of a
+    second (0 when absent). Raises ValueError on malformed input."""
+    data = bytes(data)
+    if data[:6] not in (b'GIF87a', b'GIF89a'):
+        raise ValueError('not a GIF (missing GIF87a/GIF89a signature)')
+    if len(data) < 13:
+        raise ValueError('truncated GIF header')
+    w, h, packed, bg_idx, _aspect = struct.unpack('<HHBBB', data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * sz],
+                            dtype=np.uint8).reshape(-1, 3).copy()
+        if gct.shape[0] != sz:
+            raise ValueError('truncated global color table')
+        pos += 3 * sz
+
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < gct.shape[0]:
+        canvas[:, :] = gct[bg_idx]
+    bg_fill = canvas[0, 0].copy() if h and w else np.zeros(3, np.uint8)
+
+    frames: List[np.ndarray] = []
+    delays: List[int] = []
+    # pending graphic control state for the NEXT image
+    disposal, transparent, delay = 0, -1, 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        pos += 1
+        if b == 0x3b:                       # trailer
+            break
+        if b == 0x21:                       # extension
+            if pos >= n:
+                raise ValueError('truncated extension')
+            label = data[pos]
+            pos += 1
+            if label == 0xf9:               # graphic control
+                blk_sz = data[pos]
+                blk = data[pos + 1:pos + 1 + blk_sz]
+                if blk_sz >= 4:
+                    flags = blk[0]
+                    disposal = (flags >> 2) & 0x07
+                    delay = blk[1] | (blk[2] << 8)
+                    transparent = blk[3] if flags & 0x01 else -1
+                pos += 1 + blk_sz
+            # skip remaining sub-blocks (and the whole chain for
+            # application/comment/plain-text extensions)
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            if pos >= n:
+                raise ValueError('unterminated extension chain')
+            pos += 1
+            continue
+        if b != 0x2c:
+            raise ValueError(f'unexpected GIF block 0x{b:02x}')
+        # image descriptor
+        il, it, iw, ih, ipacked = struct.unpack('<HHHHB',
+                                                data[pos:pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:                  # local color table
+            sz = 2 << (ipacked & 0x07)
+            table = np.frombuffer(data[pos:pos + 3 * sz],
+                                  dtype=np.uint8).reshape(-1, 3).copy()
+            pos += 3 * sz
+        if table is None:
+            raise ValueError('image with no color table')
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < n and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= n:
+            raise ValueError('unterminated image data')
+        pos += 1
+        idx = lzw_decode(mcs, bytes(lzw))
+        if len(idx) < iw * ih:
+            idx = idx + [0] * (iw * ih - len(idx))
+        rect = np.array(idx[:iw * ih], dtype=np.int32).reshape(ih, iw)
+        if ipacked & 0x40:
+            rect = _deinterlace(rect)
+        if int(rect.max(initial=0)) >= table.shape[0]:
+            raise ValueError('palette index out of range')
+        if not (it + ih <= h and il + iw <= w):
+            raise ValueError('frame rect outside logical screen')
+
+        saved = canvas[it:it + ih, il:il + iw].copy() \
+            if disposal == 3 else None
+        region = canvas[it:it + ih, il:il + iw]
+        rgb = table[rect]
+        if transparent >= 0:
+            mask = rect != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:                   # restore to background
+            canvas[it:it + ih, il:il + iw] = bg_fill
+        elif disposal == 3 and saved is not None:
+            canvas[it:it + ih, il:il + iw] = saved
+        disposal, transparent, delay = 0, -1, 0
+    if not frames:
+        raise ValueError('GIF contains no image frames')
+    return np.stack(frames), delays
+
+
+# ---------------------------------------------------------------------------
+# encoder (deterministic synth payloads)
+# ---------------------------------------------------------------------------
+
+# 64-color cube (4 levels/channel) inside a 128-entry table; 127 is the
+# transparent slot
+_LEVELS = np.array([0, 85, 170, 255], dtype=np.uint8)
+_MCS = 7
+
+
+def _palette() -> np.ndarray:
+    pal = np.zeros((128, 3), dtype=np.uint8)
+    i = 0
+    for r in _LEVELS:
+        for g in _LEVELS:
+            for b in _LEVELS:
+                pal[i] = (r, g, b)
+                i += 1
+    return pal
+
+
+_PAL = _palette()
+
+
+def quantize(img: np.ndarray) -> np.ndarray:
+    """RGB -> indices into the fixed 64-color cube (nearest level)."""
+    q = ((img.astype(np.int32) + 42) // 85).clip(0, 3)
+    return (q[..., 0] * 16 + q[..., 1] * 4 + q[..., 2]).astype(np.int32)
+
+
+def encode_gif(frames: List[np.ndarray], delays_cs: int = 4,
+               disposal=1, interlace_first: bool = False,
+               transparent_holes: bool = False) -> bytes:
+    """Animated GIF89a from (h, w, 3) uint8 frames (all one size):
+    quantized to the fixed 64-color cube, real LZW, one GCE per frame.
+    ``disposal`` is an int applied to every frame or a per-frame list;
+    ``interlace_first`` writes frame 0 interlaced; ``transparent_holes``
+    punches a transparent 4x4 block into every frame AFTER the first
+    (exercising the keep-previous compositing path). Deterministic."""
+    if isinstance(disposal, int):
+        disposal = [disposal] * len(frames)
+    h, w = frames[0].shape[:2]
+    out = bytearray(b'GIF89a')
+    out += struct.pack('<HHBBB', w, h, 0x80 | 0x06, 0, 0)  # GCT 128
+    out += _PAL.tobytes()
+    for fi, img in enumerate(frames):
+        if img.shape[:2] != (h, w):
+            raise ValueError('all frames must share one size')
+        idx = quantize(img)
+        trans = -1
+        if transparent_holes and fi > 0:
+            idx = idx.copy()
+            idx[1:5, 1:5] = 127
+            trans = 127
+        flags = ((disposal[fi] & 0x07) << 2) | (0x01 if trans >= 0 else 0)
+        out += bytes([0x21, 0xf9, 4, flags,
+                      delays_cs & 0xff, (delays_cs >> 8) & 0xff,
+                      trans if trans >= 0 else 0, 0])
+        il = interlace_first and fi == 0
+        out += bytes([0x2c]) + struct.pack('<HHHHB', 0, 0, w, h,
+                                           0x40 if il else 0)
+        rows = idx
+        if il:
+            order = []
+            for start, step in _INTERLACE_PASSES:
+                order.extend(range(start, h, step))
+            rows = idx[order]
+        out.append(_MCS)
+        out += _sub_blocks(lzw_encode(_MCS, rows.ravel().tolist()))
+    out.append(0x3b)
+    return bytes(out)

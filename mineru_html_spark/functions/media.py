@@ -25,6 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .gif import decode_gif, encode_gif
 from .jpeg import decode_jpeg, encode_jpeg_baseline
 from .png import decode_png, encode_png
 
@@ -92,8 +93,9 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode for PNG (functions/png.py) and baseline-sequential
-    JPEG (functions/jpeg.py) — the two formats that dominate crawl
+    """Real decode for PNG (functions/png.py), baseline-sequential JPEG
+    (functions/jpeg.py) and GIF (functions/gif.py — first frame of the
+    composited animation) — the three formats that dominate crawl
     media. WebP/AVIF/video need libwebp/ffmpeg — absent here — and
     raise; callers contain the error as a status row."""
     if mime == 'image/png' or bytes(payload[:8]) == b'\x89PNG\r\n\x1a\n':
@@ -101,10 +103,12 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
     if mime in ('image/jpeg', 'image/jpg') \
             or bytes(payload[:2]) == b'\xff\xd8':
         return decode_jpeg(payload)
+    if mime == 'image/gif' or bytes(payload[:4]) == b'GIF8':
+        return decode_gif(payload)[0][0]
     raise NotImplementedError(
         f'decode for {mime} requires libwebp/ffmpeg — not present in '
-        f'this sandbox (PNG + baseline JPEG decode for real via '
-        f'functions/png.py / functions/jpeg.py)')
+        f'this sandbox (PNG, baseline JPEG and GIF decode for real via '
+        f'functions/png.py / jpeg.py / gif.py)')
 
 
 def image_feature_kernel(img: np.ndarray) -> np.ndarray:
@@ -261,15 +265,36 @@ FRAMES_SCHEMA = ('media_ref string, frame_idx int, frame_payload binary')
 
 
 def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
-    """Frame sampling for video payloads: evenly-spaced frame indices,
-    one output row per sampled frame (the explode-shaped stage a video
-    pipeline needs). Decode kernel stubbed; index math and row fan-out
-    are real."""
+    """Frame sampling: evenly-spaced frame indices, one output row per
+    sampled frame (the explode-shaped stage a video pipeline needs).
+
+    REAL for animated GIF payloads (functions/gif.py): the animation is
+    decoded with full disposal/transparency compositing and each
+    sampled frame is re-emitted as a standalone PNG. Video containers
+    (mp4/webm) still need ffmpeg — absent here — so those payloads keep
+    the documented placeholder chunk path (index math and fan-out are
+    real; the bytes are not pixels and are marked by the schema
+    contract, not silently passed off as frames)."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref, payload, nf in zip(pdf['media_ref'], pdf['payload'],
                                         pdf['n_frames']):
+                payload = bytes(payload)
+                if payload[:4] == b'GIF8':
+                    try:
+                        frames, _delays = decode_gif(payload)
+                    except ValueError:
+                        continue            # corrupt: no frame rows
+                    nf = frames.shape[0]
+                    k = min(n_samples, nf)
+                    idxs = sorted({int(i * (nf - 1) / max(k - 1, 1))
+                                   for i in range(k)}) if k > 1 else [0]
+                    for i in idxs:
+                        rows.append({'media_ref': ref, 'frame_idx': i,
+                                     'frame_payload':
+                                         encode_png(frames[i])})
+                    continue
                 nf = max(int(nf), 1)
                 k = min(n_samples, nf)
                 idxs = [int(i * (nf - 1) / max(k - 1, 1)) for i in range(k)] \
@@ -279,14 +304,52 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
                     if i in seen:
                         continue
                     seen.append(i)
-                    chunk = bytes(payload)[i % max(len(payload) // 16, 1)
-                                           * 16:][:16]
+                    chunk = payload[i % max(len(payload) // 16, 1)
+                                    * 16:][:16]
                     rows.append({'media_ref': ref, 'frame_idx': i,
                                  'frame_payload': chunk})
             yield pd.DataFrame(rows, columns=['media_ref', 'frame_idx',
                                               'frame_payload'])
     return media.select('media_ref', 'payload', 'n_frames') \
         .mapInPandas(batch, FRAMES_SCHEMA)
+
+
+def synth_gif_media_df(spark: SparkSession, n: int,
+                       frames_per_gif: int = 6) -> DataFrame:
+    """Deterministic ANIMATED media corpus (no external data): ``n``
+    refs named ``gif-<i>``, each a real multi-frame GIF89a whose frames
+    are hash-seeded moving patterns; every 3rd file is interlaced-first
+    and every 4th punches transparent holes (exercising the
+    keep-previous compositing path). n_frames metadata is real."""
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                idx = int(idx)
+                ref = f'gif-{idx:05d}'
+                h = hashlib.sha256(ref.encode()).digest()
+                size = 24 + h[0] % 17
+                yy, xx = np.mgrid[0:size, 0:size]
+                frames = []
+                for k in range(frames_per_gif):
+                    img = np.stack([
+                        (xx * (2 + h[1] % 3) + k * 11) % 256,
+                        (yy * (2 + h[2] % 3) + k * 7) % 256,
+                        ((xx + yy) * 2 + h[3] + k * 5) % 256],
+                        axis=2).astype(np.uint8)
+                    frames.append(img)
+                payload = encode_gif(
+                    frames, delays_cs=3 + h[4] % 5,
+                    interlace_first=(idx % 3 == 0),
+                    transparent_holes=(idx % 4 == 0))
+                rows.append({'media_ref': ref, 'payload': payload,
+                             'mime': 'image/gif', 'width': size,
+                             'height': size,
+                             'n_frames': frames_per_gif})
+            yield pd.DataFrame(
+                rows, columns=['media_ref', 'payload', 'mime', 'width',
+                               'height', 'n_frames'])
+    return spark.range(n).mapInPandas(batch, MEDIA_SCHEMA)
 
 
 def interleave_pairs(results: DataFrame, window: int = 120) -> DataFrame:

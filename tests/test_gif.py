@@ -1,0 +1,134 @@
+"""GIF codec: LZW round-trips, compositing semantics, corruption
+containment, and the real frame-sampling Spark path."""
+
+import numpy as np
+
+from mineru_html_spark.functions.gif import (_PAL, decode_gif, encode_gif,
+                                             lzw_decode, lzw_encode,
+                                             quantize)
+
+
+def _frames(n=5, h=40, w=56):
+    out = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for k in range(n):
+        out.append(np.stack([(xx * 3 + k * 20) % 256, (yy * 5) % 256,
+                             ((xx + yy) * 2 + k * 10) % 256],
+                            axis=2).astype(np.uint8))
+    return out
+
+
+def test_lzw_roundtrip_every_bump_boundary():
+    rng = np.random.default_rng(3)
+    for mcs in (2, 3, 7):
+        for n in list(range(1, 60)) + [500, 5000]:
+            idx = rng.integers(0, 1 << mcs, n).tolist()
+            assert lzw_decode(mcs, lzw_encode(mcs, idx)) == idx, (mcs, n)
+
+
+def test_lzw_deferred_clear_past_4096_entries():
+    """Table exhaustion: the encoder keeps emitting with a static table
+    (deferred clear, spec-legal); the decoder must not widen past 12
+    bits and must keep decoding."""
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 128, 300_000).tolist()
+    assert lzw_decode(7, lzw_encode(7, big)) == big
+
+
+def test_gif_multiframe_roundtrip_exact():
+    frames = _frames()
+    out, delays = decode_gif(encode_gif(frames, delays_cs=4))
+    assert out.shape == (5, 40, 56, 3)
+    assert delays == [4] * 5
+    for k, img in enumerate(frames):
+        assert np.array_equal(out[k], _PAL[quantize(img)]), k
+
+
+def test_gif_interlace_and_transparency_compositing():
+    frames = _frames()
+    out, _ = decode_gif(encode_gif(frames, interlace_first=True,
+                                   transparent_holes=True))
+    # interlaced first frame reconstructs exactly
+    assert np.array_equal(out[0], _PAL[quantize(frames[0])])
+    # transparent hole in frame 1 shows frame 0's pixels (disposal=1
+    # keeps the canvas; transparency skips the draw)
+    assert np.array_equal(out[1][1:5, 1:5], out[0][1:5, 1:5])
+    assert not np.array_equal(out[1], out[0])
+
+
+def test_gif_disposal_restore_background_and_previous():
+    """Three frames A, B, hole-frame: frame B's disposal decides what
+    the transparent hole in frame 3 reveals — disposal 3 restores the
+    pre-B canvas (= A), disposal 2 clears to background, disposal 1
+    keeps B."""
+    a = np.clip(_frames(1, 16, 16)[0].astype(int) + 100, 0,
+                255).astype(np.uint8)      # non-background in the hole
+    b = np.full((16, 16, 3), 255, np.uint8)
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[:, :] = (170, 0, 85)
+    for disp_b, expect in ((1, 'b'), (2, 'bg'), (3, 'a')):
+        data = encode_gif([a, b, c], disposal=[1, disp_b, 1],
+                          transparent_holes=True)
+        out, _ = decode_gif(data)
+        hole = out[2][1:5, 1:5]
+        if expect == 'a':
+            assert np.array_equal(hole, out[0][1:5, 1:5]), disp_b
+        elif expect == 'b':
+            # frame b itself has a transparent hole showing A there, so
+            # "keep" leaves A in the hole and white around it — check a
+            # pixel OUTSIDE b's hole... b's hole IS [1:5,1:5] too, so
+            # keep shows exactly what frame 2 displays there
+            assert np.array_equal(hole, out[1][1:5, 1:5]), disp_b
+        else:
+            assert (hole == hole[0, 0]).all(), disp_b      # uniform bg
+            assert not np.array_equal(hole, out[0][1:5, 1:5]), disp_b
+
+
+def test_gif_corrupt_contained():
+    frames = _frames(2, 12, 12)
+    good = encode_gif(frames)
+    for bad in (b'nope', b'GIF89a\x00', good[:40],
+                good[:-10],            # truncated image data
+                b'GIF89a' + good[6:13]):
+        try:
+            decode_gif(bad)
+            raise AssertionError(f'decode accepted {bad[:12]!r}')
+        except ValueError:
+            pass
+
+
+def test_gif_87a_signature_accepted():
+    frames = _frames(1, 10, 10)
+    data = b'GIF87a' + encode_gif(frames)[6:]
+    out, _ = decode_gif(data)
+    assert out.shape == (1, 10, 10, 3)
+
+
+def test_sample_frames_real_for_gif(spark):
+    """The frame tier end-to-end: sampled frames are REAL standalone
+    PNGs whose rasters equal the composited GIF frames."""
+    from mineru_html_spark.functions.media import (sample_frames,
+                                                   synth_gif_media_df)
+    from mineru_html_spark.functions.png import decode_png
+    media = synth_gif_media_df(spark, 8, frames_per_gif=6)
+    rows = sample_frames(media, n_samples=3).collect()
+    assert len(rows) == 24                     # 8 gifs x 3 frames
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r['media_ref'], []).append(r)
+    payloads = {r['media_ref']: bytes(r['payload'])
+                for r in media.collect()}
+    for ref, frs in by_ref.items():
+        frames, _ = decode_gif(payloads[ref])
+        assert sorted(f['frame_idx'] for f in frs) == [0, 2, 5]
+        for f in frs:
+            got = decode_png(bytes(f['frame_payload']))
+            assert np.array_equal(got, frames[f['frame_idx']]), ref
+
+
+def test_decode_image_routes_gif_first_frame():
+    from mineru_html_spark.functions.media import decode_image
+    frames = _frames(3, 14, 14)
+    data = encode_gif(frames)
+    img = decode_image(data, 'image/gif')
+    assert np.array_equal(img, _PAL[quantize(frames[0])])
