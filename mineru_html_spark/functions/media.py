@@ -59,22 +59,30 @@ def _synth_image(ref: str) -> np.ndarray:
 def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
     """Deterministic REAL image payloads for a media_ref column (no
     external data): each ref gets a hash-seeded pattern image encoded
-    with one of the stdlib codecs — PNG for two thirds of refs,
-    baseline JPEG (hash-varied 4:4:4 / 4:2:0 / restart-marker
-    variants) for the rest, mirroring a crawl's PNG/JPEG mix — so the
-    decode stage downstream does real pixel work on both formats."""
+    with one of the stdlib codecs — PNG for most refs, baseline JPEG
+    (hash-varied 4:4:4 / 4:2:0 / restart-marker variants) for a third,
+    and a 3-frame animated GIF for a sixth (first frame = the pattern
+    image, quantized — downstream single-image decode composites frame
+    0), mirroring a crawl's PNG/JPEG/GIF mix — so the decode stage does
+    real pixel work on all three formats."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref in pdf['media_ref']:
                 img = _synth_image(ref)
                 sel = hashlib.sha256(str(ref).encode()).digest()[13]
+                n_frames = 1
                 if sel % 3 == 2:
                     payload = encode_jpeg_baseline(
                         img, quality=85 + sel % 11,
                         subsample=(sel % 2 == 0),
                         restart_interval=(sel % 4))
                     mime = 'image/jpeg'
+                elif sel % 6 == 1:
+                    shifted = np.roll(img, 2, axis=1)
+                    payload = encode_gif([img, shifted, img])
+                    mime = 'image/gif'
+                    n_frames = 3
                 else:
                     payload = encode_png(img)
                     mime = 'image/png'
@@ -84,7 +92,7 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
                     'mime': mime,
                     'width': int(img.shape[1]),
                     'height': int(img.shape[0]),
-                    'n_frames': 1,
+                    'n_frames': n_frames,
                 })
             yield pd.DataFrame(rows, columns=['media_ref', 'payload', 'mime',
                                               'width', 'height', 'n_frames'])
