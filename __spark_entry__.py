@@ -1964,6 +1964,38 @@ def q_gif_frames(spark, sf_dir):
         raster_md5, 'media_ref string, frame_idx int, raster_md5 string')
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality, REAL end-to-end: deterministic WAV corpus
+    (hash-seeded sine mixtures + click trains; stereo / 8-bit / corrupt
+    variants planted) decodes to genuine sample arrays; the 12-dim
+    descriptor (duration, RMS, ZCR, spectral centroid/rolloff/
+    bandwidth/flatness, band ratios) is computed from those samples and
+    pinned micro-rounded. Compressed/corrupt payloads are contained
+    error rows. Committed-output oracle."""
+    from mineru_html_spark.functions.audio import (extract_audio_features,
+                                                   synth_audio_df)
+    n = max(60, docs_for_sf(_sf_of(sf_dir)) // 128)
+    feats = extract_audio_features(synth_audio_df(spark, n))
+    return feats.select(
+        'media_ref', F.size('feat').alias('feat_dim'),
+        F.regexp_extract('decode_status', r'^(\w*)', 1)
+         .alias('status_kind'),
+        F.md5(F.concat_ws(',', F.transform(
+            'feat', lambda x: F.round(x * 1000000).cast('long')))
+        ).alias('feat_md5'))
+
+
+def q_audio_resample(spark, sf_dir):
+    """Real resample stage: decode -> linear-interpolate to 8 kHz ->
+    md5 of the int16-quantized samples (quantization makes the hash
+    float-rounding-stable, the raster_md5 lesson). Committed-output
+    oracle."""
+    from mineru_html_spark.functions.audio import (resample_audio,
+                                                   synth_audio_df)
+    n = max(60, docs_for_sf(_sf_of(sf_dir)) // 128)
+    return resample_audio(synth_audio_df(spark, n), dst_rate=8000)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows over the event stream (30-min gap).
     session_start crosses the gate as epoch BIGINT (canonical repr)."""
@@ -2053,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_near_dups': q_image_near_dups,
         'image_dedup_keep': q_image_dedup_keep,
         'gif_frames': q_gif_frames,
+        'audio_features': q_audio_features,
+        'audio_resample': q_audio_resample,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2177,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
                      'streaming_near_dup', 'pdf_extract',
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames',
+                     'audio_features', 'audio_resample',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

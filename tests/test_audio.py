@@ -1,0 +1,111 @@
+"""Audio tier: WAV codec round-trips, feature physics, resampling,
+containment, and the Spark path."""
+
+import numpy as np
+
+from mineru_html_spark.functions.audio import (audio_feature_kernel,
+                                               decode_wav, encode_wav,
+                                               resample_linear)
+
+
+def _tone(freq=440.0, rate=16000, dur=0.5, amp=0.5):
+    t = np.arange(int(rate * dur)) / rate
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def test_wav_roundtrip_mono_stereo():
+    sig = _tone()
+    s, r = decode_wav(encode_wav(sig, 16000))
+    assert r == 16000 and s.shape == (8000, 1)
+    assert np.abs(s[:, 0] - sig).max() < 1 / 32000
+    st = np.stack([sig, -sig], axis=1)
+    s2, _ = decode_wav(encode_wav(st, 16000))
+    assert s2.shape == (8000, 2)
+    assert np.abs(s2[:, 1] + sig).max() < 1 / 32000
+
+
+def test_wav_8bit_and_float32_variants():
+    import struct
+    sig = _tone(dur=0.1)
+    # 8-bit unsigned PCM
+    q = np.clip(np.round(sig * 127.0) + 128, 0, 255).astype(np.uint8)
+    fmt = struct.pack('<HHIIHH', 1, 1, 16000, 16000, 1, 8)
+    wav8 = (b'RIFF' + struct.pack('<I', 4 + 24 + 8 + len(q)) + b'WAVE'
+            + b'fmt ' + struct.pack('<I', 16) + fmt
+            + b'data' + struct.pack('<I', len(q)) + q.tobytes())
+    s, r = decode_wav(wav8)
+    assert r == 16000 and np.abs(s[:, 0] - sig).max() < 1 / 100
+    # IEEE float32 (tag 3)
+    f32 = sig.astype('<f4').tobytes()
+    fmt3 = struct.pack('<HHIIHH', 3, 1, 16000, 64000, 4, 32)
+    wavf = (b'RIFF' + struct.pack('<I', 4 + 24 + 8 + len(f32)) + b'WAVE'
+            + b'fmt ' + struct.pack('<I', 16) + fmt3
+            + b'data' + struct.pack('<I', len(f32)) + f32)
+    s3, _ = decode_wav(wavf)
+    assert np.abs(s3[:, 0] - sig).max() < 1e-6
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+    base = encode_wav(_tone(dur=0.05), 16000)
+    # splice a LIST chunk between WAVE and fmt
+    lst = b'LIST' + struct.pack('<I', 6) + b'INFOab'
+    spliced = base[:12] + lst + base[12:]
+    s, r = decode_wav(spliced)
+    assert r == 16000 and s.shape[0] == 800
+
+
+def test_wav_containment():
+    good = encode_wav(_tone(), 16000)
+    for bad in (b'nope', b'RIFFxxxxWAVE', good[:30], good[:50],
+                good[:-100]):                # truncated data chunk
+        try:
+            decode_wav(bad)
+            raise AssertionError(f'accepted {bad[:12]!r}')
+        except ValueError:
+            pass
+
+
+def test_audio_features_physics():
+    """The descriptor must reflect the signal: a 440 Hz tone's centroid
+    lands at 440; adding a high tone raises it; white-ish clicks raise
+    ZCR and flatness."""
+    rate = 16000
+    lo = _tone(440, rate)
+    f_lo = audio_feature_kernel(lo[:, None], rate)
+    assert abs(f_lo[5] * 8000 - 440) < 10
+    hi = _tone(440, rate) + _tone(3000, rate, amp=0.5)
+    f_hi = audio_feature_kernel(hi[:, None], rate)
+    assert f_hi[5] > f_lo[5] and f_hi[7] > f_lo[7]     # centroid, bw
+    clicks = np.zeros(8000)
+    clicks[::50] = 0.9
+    f_ck = audio_feature_kernel(clicks[:, None], rate)
+    assert f_ck[8] > f_lo[8]                           # flatness
+
+
+def test_resample_preserves_tone():
+    s, _ = decode_wav(encode_wav(_tone(440), 16000))
+    r = resample_linear(s, 16000, 8000)
+    assert r.shape == (4000, 1)
+    f = audio_feature_kernel(r, 8000)
+    assert abs(f[5] * 8000 - 440) < 12
+    # identity when rates match
+    assert np.array_equal(resample_linear(s, 16000, 16000), s)
+
+
+def test_audio_spark_path(spark):
+    from mineru_html_spark.functions.audio import (extract_audio_features,
+                                                   resample_audio,
+                                                   synth_audio_df)
+    media = synth_audio_df(spark, 33)
+    feats = extract_audio_features(media).collect()
+    ok = [r for r in feats if r['decode_status'] == 'ok']
+    bad = [r for r in feats if r['decode_status'] != 'ok']
+    assert len(ok) == 30 and len(bad) == 3          # every 11th corrupt
+    assert all(len(r['feat']) == 12 for r in ok)
+    assert all(r['decode_status'].startswith('ValueError') for r in bad)
+    res = {r['media_ref']: r for r in resample_audio(media, 8000).collect()}
+    for r in ok:
+        row = res[r['media_ref']]
+        assert row['status'] == 'ok' and row['dst_rate'] == 8000
+        assert row['n_samples'] > 0 and row['raster_md5']
