@@ -33,17 +33,30 @@ from pyspark.sql import DataFrame, SparkSession
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
-    """Mono/stereo int16 PCM WAV bytes from (n,) or (n, ch) samples in
-    [-1, 1] float or int16. Deterministic."""
+def encode_wav(samples: np.ndarray, rate: int = 16000,
+               bits: int = 16) -> bytes:
+    """Mono/stereo PCM WAV bytes from (n,) or (n, ch) samples in
+    [-1, 1] float (or int16 for bits=16). ``bits`` is 16 (signed) or 8
+    (unsigned, per spec) — ONE container builder for both widths (the
+    8-bit synth variant used to hand-assemble a second copy of the
+    RIFF layout; review finding). Deterministic."""
+    if bits not in (8, 16):
+        raise ValueError(f'bits must be 8 or 16, got {bits}')
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
-    if s.dtype != np.int16:
-        s = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int16)
     ch = s.shape[1]
-    data = s.astype('<i2').tobytes()
-    fmt = struct.pack('<HHIIHH', 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    if bits == 16:
+        if s.dtype != np.int16:
+            s = np.clip(np.round(s * 32767.0), -32768,
+                        32767).astype(np.int16)
+        data = s.astype('<i2').tobytes()
+    else:
+        data = np.clip(np.round(s * 127.0) + 128, 0,
+                       255).astype(np.uint8).tobytes()
+    bw = bits // 8
+    fmt = struct.pack('<HHIIHH', 1, ch, rate, rate * ch * bw,
+                      ch * bw, bits)
     out = (b'RIFF' + struct.pack('<I', 4 + 8 + len(fmt) + 8 + len(data))
            + b'WAVE'
            + b'fmt ' + struct.pack('<I', len(fmt)) + fmt
@@ -205,21 +218,8 @@ def synth_audio_df(spark: SparkSession, n: int,
                 sig = (sig / max(np.abs(sig).max(), 1.0)) * 0.9
                 ch = 2 if idx % 5 == 4 else 1
                 s = np.stack([sig, -0.5 * sig], axis=1)[:, :ch]
-                if idx % 7 == 6:            # 8-bit variant
-                    q = np.clip(np.round(s * 127.0) + 128,
-                                0, 255).astype(np.uint8)
-                    data = q.tobytes()
-                    fmt = struct.pack('<HHIIHH', 1, ch, rate,
-                                      rate * ch, ch, 8)
-                    payload = (b'RIFF'
-                               + struct.pack(
-                                   '<I', 4 + 16 + 16 + len(data))
-                               + b'WAVE' + b'fmt '
-                               + struct.pack('<I', 16) + fmt
-                               + b'data'
-                               + struct.pack('<I', len(data)) + data)
-                else:
-                    payload = encode_wav(s, rate)
+                payload = encode_wav(
+                    s, rate, bits=8 if idx % 7 == 6 else 16)
                 rows.append({'media_ref': ref, 'payload': payload,
                              'mime': 'audio/wav', 'sample_rate': rate,
                              'n_samples': int(s.shape[0]),

@@ -185,8 +185,21 @@ def decode_gif(data: bytes) -> Tuple[np.ndarray, List[int]]:
     """(frames, delays_cs): frames is (n_frames, H, W, 3) uint8 — every
     frame fully COMPOSITED onto the logical screen honoring disposal
     methods 0-3 and transparency; delays are per-frame hundredths of a
-    second (0 when absent). Raises ValueError on malformed input."""
-    data = bytes(data)
+    second (0 when absent). Raises ValueError on malformed input —
+    ANY malformed input: truncation mid-structure surfaces as
+    struct.error/IndexError internally and is re-raised as ValueError
+    here so callers can rely on one containment type (review
+    finding)."""
+    try:
+        return _decode_gif(bytes(data))
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f'malformed GIF: {type(e).__name__}: {e}') \
+            from None
+
+
+def _decode_gif(data: bytes) -> Tuple[np.ndarray, List[int]]:
     if data[:6] not in (b'GIF87a', b'GIF89a'):
         raise ValueError('not a GIF (missing GIF87a/GIF89a signature)')
     if len(data) < 13:

@@ -135,13 +135,6 @@ def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]
     return out
 
 
-def _build_decoder(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
-    """(length, code) -> symbol lookup (kept for tests/reference; the
-    decode path uses the flat peek-16 LUT below)."""
-    return {(ln, code): sym
-            for sym, (code, ln) in _build_codes(bits, vals).items()}
-
-
 @lru_cache(maxsize=64)
 def _fast_decoder(bits_t: tuple, vals_t: tuple):
     """(symbols list, lengths bytes), both indexed by the NEXT 16 bits

@@ -188,11 +188,18 @@ def extract_stream_text(
     runs: List[str] = []
     decoder: StrDecoder = _latin1
     tf_i = 0
+    prev_end = 0
     for raw, start, end in _scan_strings(stream):
-        # advance the font state machine to the last Tf before this run
+        # advance the font state machine to the last Tf before this
+        # run; a Tf-looking match INSIDE a previously shown string is
+        # text, not an operator — skip it (review finding: '(set /G1
+        # 12 Tf)' in page text must not switch the decoder)
         while tf_i < len(tf_ops) and tf_ops[tf_i][0] < start:
-            decoder = font_map.get(tf_ops[tf_i][1], _latin1)
+            pos_op, name = tf_ops[tf_i]
+            if pos_op >= prev_end:
+                decoder = font_map.get(name, _latin1)
             tf_i += 1
+        prev_end = end
         # the operator follows the string (possibly after an array close
         # + kerning numbers for TJ) — anchored lookahead at `end`
         if _SHOW_OP_RE.match(stream, end):
@@ -210,14 +217,18 @@ _OBJ_HEADER_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj')
 _ENDSTREAM_AFTER_RE = re.compile(rb'\s*endstream')
 
 
-def _iter_objects(data: bytes) -> Iterator[Tuple[int, bytes, Optional[bytes]]]:
+def _iter_objects(data: bytes) -> Iterator[
+        Tuple[int, bytes, Optional[bytes], Optional[Tuple[int, int]]]]:
     """Yield (object number, dictionary/body bytes, raw stream bytes or
-    None) for every indirect object in document order.  Stream bounds
-    honor a DIRECT ``/Length n`` entry (verified by the trailing
-    ``endstream`` keyword) — a FlateDecode body may legally contain the
-    bytes ``endstream``/``endobj``, which truncates any purely
+    None, raw byte span in ``data`` or None) for every indirect object
+    in document order.  Stream bounds honor a DIRECT ``/Length n``
+    entry (verified by the trailing ``endstream`` keyword) — a
+    FlateDecode body may legally contain the bytes
+    ``endstream``/``endobj``, which truncates any purely
     regex-delimited scan; the non-greedy regex is only the fallback for
-    absent or indirect (``n 0 R``) lengths."""
+    absent or indirect (``n 0 R``) lengths. The span lets callers test
+    whether a byte offset lies INSIDE stream data (e.g. the encryption
+    check must ignore trailer-looking bytes shown as page text)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -230,13 +241,14 @@ def _iter_objects(data: bytes) -> Iterator[Tuple[int, bytes, Optional[bytes]]]:
         if sm is None or (0 <= em < sm.start()):
             # dictionary-only object (page, font, resources, catalog…)
             if em >= 0:
-                yield num, data[h.end():em], None
+                yield num, data[h.end():em], None, None
                 pos = em + 6
             else:
                 pos = h.end()
             continue
         dict_part = data[h.end():sm.start()]
         raw = None
+        span = None
         lm = _LENGTH_RE.search(dict_part)
         if lm:
             s0 = sm.end()
@@ -244,6 +256,7 @@ def _iter_objects(data: bytes) -> Iterator[Tuple[int, bytes, Optional[bytes]]]:
             if s0 + ln <= n and _ENDSTREAM_AFTER_RE.match(
                     data, s0 + ln):
                 raw = data[s0:s0 + ln]
+                span = (s0, s0 + ln)
                 pos = s0 + ln
         if raw is None:
             # fallback is bounded by this object's endobj (the old
@@ -259,18 +272,11 @@ def _iter_objects(data: bytes) -> Iterator[Tuple[int, bytes, Optional[bytes]]]:
                 pos = (bound + 6) if bound >= 0 else n
                 continue
             raw = fm.group(1)
+            span = fm.span(1)
             pos = fm.end()
-        yield num, dict_part, raw
+        yield num, dict_part, raw, span
         nxt = data.find(b'endobj', pos)
         pos = (nxt + 6) if nxt >= 0 else pos
-
-
-def _iter_stream_objects(data: bytes) -> Iterator[Tuple[bytes, bytes]]:
-    """Back-compat view of :func:`_iter_objects`: stream objects only,
-    as (dict bytes, raw stream bytes)."""
-    for _num, dict_part, raw in _iter_objects(data):
-        if raw is not None:
-            yield dict_part, raw
 
 
 # ---------------------------------------------------------------------------
@@ -288,12 +294,19 @@ _TRAILER_RE = re.compile(rb'trailer\s*<<')
 
 
 def _is_encrypted(data: bytes, objects: Dict[int, bytes],
-                  order: List[int]) -> bool:
+                  stream_spans: List[Tuple[int, int]]) -> bool:
+    """True when a trailer dict or an xref-STREAM dict carries
+    ``/Encrypt N 0 R``. Trailer matches lying INSIDE a stream object's
+    byte range are ignored — a page whose TEXT renders a whole trailer
+    snippet ('trailer << /Encrypt 9 0 R >>', a PDF tutorial) must not
+    flag the document (review finding)."""
     for m in _TRAILER_RE.finditer(data):
+        if any(s <= m.start() < e for s, e in stream_spans):
+            continue
         if _ENCRYPT_RE.search(_balanced_dict(data, m.end() - 2)):
             return True
-    return any(_XREF_STM_RE.search(objects[num])
-               and _ENCRYPT_RE.search(objects[num]) for num in order)
+    return any(_XREF_STM_RE.search(body) and _ENCRYPT_RE.search(body)
+               for body in objects.values())
 _OBJSTM_N_RE = re.compile(rb'/N\s+(\d+)')
 _OBJSTM_FIRST_RE = re.compile(rb'/First\s+(\d+)')
 _INT_RE = re.compile(rb'\d+')
@@ -395,13 +408,16 @@ def parse_tounicode_cmap(data: bytes) -> Tuple[Dict[int, str], int]:
 
 def _cmap_decoder(table: Dict[int, str], width: int) -> StrDecoder:
     """String-bytes -> text through a ToUnicode map: the raw bytes are
-    ``width``-byte big-endian codes; unmapped codes become U+FFFD so
-    loss is visible, never silent."""
+    ``width``-byte big-endian codes; unmapped codes — and a trailing
+    PARTIAL code when the byte count is not a multiple of the width —
+    become U+FFFD so loss is visible, never silent."""
     def decode(raw: bytes) -> str:
         out: List[str] = []
         for i in range(0, len(raw) - width + 1, width):
             out.append(table.get(
                 int.from_bytes(raw[i:i + width], 'big'), '�'))
+        if len(raw) % width:
+            out.append('�')
         return ''.join(out)
     return decode
 
@@ -413,6 +429,7 @@ _TYPE_PAGE_RE = re.compile(rb'/Type\s*/Page(?![A-Za-z])')
 _CONTENTS_RE = re.compile(
     rb'/Contents\s+(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)+)\s*\])')
 _RESOURCES_RE = re.compile(rb'/Resources\s*(?:(\d+)\s+\d+\s+R|<<)')
+_PARENT_RE = re.compile(rb'/Parent\s+(\d+)\s+\d+\s+R')
 _FONT_KEY_RE = re.compile(rb'/Font\s*(?:(\d+)\s+\d+\s+R|<<)')
 _FONT_NAME_REF_RE = re.compile(
     rb'/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R')
@@ -478,11 +495,21 @@ def _page_font_maps(objects: Dict[int, bytes],
         content_ids = ([int(cm.group(1))] if cm.group(1)
                        else [int(m.group(1)) for m in
                              _REF_LIST_RE.finditer(cm.group(2))])
-        rm = _RESOURCES_RE.search(body)
+        # /Resources may be INHERITED from the /Pages ancestors
+        # (PDF 32000-1 §7.7.3.4) — walk the /Parent chain (bounded)
+        rm, holder = _RESOURCES_RE.search(body), body
+        hops = 0
+        while rm is None and hops < 8:
+            pm = _PARENT_RE.search(holder)
+            if not pm:
+                break
+            holder = objects.get(int(pm.group(1)), b'')
+            rm = _RESOURCES_RE.search(holder)
+            hops += 1
         if not rm:
             continue
         res = (objects.get(int(rm.group(1)), b'') if rm.group(1)
-               else _balanced_dict(body, rm.end() - 2))
+               else _balanced_dict(holder, rm.end() - 2))
         fm = _FONT_KEY_RE.search(res)
         if not fm:
             continue
@@ -514,42 +541,55 @@ def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
     data = bytes(data)
     n_bad = 0
     objects: Dict[int, bytes] = {}      # dict/body bytes per object
-    streams: Dict[int, bytes] = {}      # DECODED stream bytes
-    order: List[int] = []               # stream objects, document order
-    for num, body, raw in _iter_objects(data):
+    streams: Dict[int, bytes] = {}      # DECODED bytes, last occurrence
+    entries: List[Tuple[int, bytes]] = []   # retained, document order
+    spans: List[Tuple[int, int]] = []   # raw stream byte ranges in data
+    for num, body, raw, span in _iter_objects(data):
         objects[num] = body
         if raw is None:
             continue
+        spans.append(span)
         if _FLATE_RE.search(body):
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
                 n_bad += 1                  # contained AND counted
                 continue
-        streams[num] = raw
-        order.append(num)
-    if _is_encrypted(data, objects, order):
+        # retain only streams a later pass can need: ObjStm bodies,
+        # BT-bearing content streams, and small streams (ToUnicode
+        # CMaps). Dropping big image/XObject payloads here keeps
+        # per-task memory proportional to TEXT content, not total
+        # decompressed size (review finding)
+        if (b'BT' in raw or len(raw) <= 65536
+                or _OBJSTM_RE.search(body)):
+            streams[num] = raw
+            entries.append((num, raw))
+    if _is_encrypted(data, objects, spans):
         # standard security handler: streams are RC4/AES-encrypted —
         # inflating them would just count every stream into n_bad and
         # emit nothing; say WHY in the error row instead
         raise ValueError('encrypted PDF (trailer has /Encrypt; '
                          'decryption needs a crypt handler)')
-    objstm_ids = {num for num in order
+    objstm_ids = {num for num, _ in entries
                   if _OBJSTM_RE.search(objects.get(num, b''))}
     for num in objstm_ids:                  # PDF 1.5 compressed objects
         if _expand_objstm(objects[num], streams[num], objects) == 0:
             n_bad += 1
     # xref streams (§7.5.8) are binary cross-reference data, never text
-    objstm_ids |= {num for num in order
+    objstm_ids |= {num for num, _ in entries
                    if _XREF_STM_RE.search(objects.get(num, b''))}
     n_pages = sum(1 for b in objects.values() if _TYPE_PAGE_RE.search(b))
     fonts = _build_fonts(objects, streams)
     page_fonts = _page_font_maps(objects, fonts) if fonts else {}
+    # incremental updates may redefine an object number: the LAST
+    # occurrence supersedes (xref semantics) and must be extracted
+    # exactly once (review finding: per-occurrence iteration emitted
+    # the final version N times and the superseded text never)
+    last_of: Dict[int, int] = {num: i for i, (num, _) in enumerate(entries)}
     texts: List[str] = []
-    for num in order:
-        raw = streams[num]
-        if num in objstm_ids or b'BT' not in raw:
-            continue                        # not a text content stream
+    for i, (num, raw) in enumerate(entries):
+        if last_of[num] != i or num in objstm_ids or b'BT' not in raw:
+            continue                        # superseded / not text
         texts.extend(extract_stream_text(raw, page_fonts.get(num)))
     return '\n'.join(texts), n_pages, n_bad
 

@@ -132,3 +132,44 @@ def test_decode_image_routes_gif_first_frame():
     data = encode_gif(frames)
     img = decode_image(data, 'image/gif')
     assert np.array_equal(img, _PAL[quantize(frames[0])])
+
+
+def test_gif_truncation_fuzz_only_valueerror():
+    """Every truncation point and random corruption of a valid GIF must
+    surface as ValueError — never struct.error/IndexError escaping into
+    a Spark task (review finding)."""
+    frames = [np.full((10, 12, 3), c, np.uint8) for c in (10, 200)]
+    good = encode_gif(frames, transparent_holes=True)
+    for cut in range(1, len(good)):
+        try:
+            decode_gif(good[:cut])
+        except ValueError:
+            pass
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        b = bytearray(good)
+        for _ in range(3):
+            b[rng.integers(6, len(b))] = rng.integers(0, 256)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_sample_frames_contains_corrupt_gif(spark):
+    """A truncated GIF payload in the media frame must yield zero frame
+    rows for that ref, not a failed task (review finding)."""
+    import pandas as pd
+
+    from mineru_html_spark.functions.media import (MEDIA_SCHEMA,
+                                                   sample_frames)
+    good = encode_gif(_frames(2, 10, 10))
+    rows = [('ok-gif', good, 'image/gif', 10, 10, 2),
+            ('bad-gif', good[:25], 'image/gif', 10, 10, 2)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=['media_ref', 'payload', 'mime',
+                                    'width', 'height', 'n_frames']),
+        MEDIA_SCHEMA)
+    out = sample_frames(media, n_samples=2).collect()
+    refs = {r['media_ref'] for r in out}
+    assert 'ok-gif' in refs and 'bad-gif' not in refs

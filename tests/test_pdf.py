@@ -328,3 +328,88 @@ def test_pdf_encrypted_detected_but_not_text_false_positive():
            b'trailer\n<< /Size 3 /Root 2 0 R /Encrypt 9 0 R >>\n%%EOF\n')
     r2 = pdf_bytes_to_row('enc.pdf', enc)
     assert r2['error'].startswith('ValueError: encrypted PDF')
+
+
+def test_pdf_incremental_update_extracts_last_version_once():
+    """Incremental saves redefine an object NUMBER: the last version
+    supersedes (xref semantics) and must extract exactly once — not the
+    new text twice, never the old (review finding)."""
+    s1 = b'BT (original version) Tj ET'
+    s2 = b'BT (updated version) Tj ET'
+    pdf = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\n'
+           b'endobj\n'
+           b'2 0 obj\n<< /Length ' + str(len(s1)).encode()
+           + b' >>\nstream\n' + s1 + b'\nendstream\nendobj\n'
+           # appended incremental section redefining object 2
+           b'2 0 obj\n<< /Length ' + str(len(s2)).encode()
+           + b' >>\nstream\n' + s2 + b'\nendstream\nendobj\n%%EOF\n')
+    text, _, _ = pdf_to_text(pdf)
+    assert text == 'updated version'
+
+
+def test_pdf_tf_inside_shown_string_does_not_switch_font():
+    """'(use /F9 12 Tf here)' rendered as page TEXT must not flip the
+    font state machine (review finding)."""
+    from mineru_html_spark.sources.pdf import _synth_cid_assets
+    code, cmap = _synth_cid_assets(['cid'])
+    hx = b''.join(b'%04x' % code[c] for c in 'cid')
+    stream = (b'BT /F2 11 Tf <' + hx + b'> Tj\n'
+              b'(tutorial: use /F9 12 Tf here) Tj\n'
+              b'<' + hx + b'> Tj ET')
+    pdf = (b'%PDF-1.4\n'
+           b'1 0 obj\n<< /Length ' + str(len(cmap)).encode()
+           + b' >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+           b'2 0 obj\n<< /Type /Font /Subtype /Type0 '
+           b'/Encoding /Identity-H /ToUnicode 1 0 R >>\nendobj\n'
+           b'3 0 obj\n<< /Length ' + str(len(stream)).encode()
+           + b' >>\nstream\n' + stream + b'\nendstream\nendobj\n'
+           b'4 0 obj\n<< /Type /Page /Contents 3 0 R /Resources '
+           b'<< /Font << /F2 2 0 R >> >> >>\nendobj\n%%EOF\n')
+    text, _, _ = pdf_to_text(pdf)
+    # Wait - the literal string is shown while the CID font is active,
+    # so it decodes THROUGH the cmap. The assertion that matters: the
+    # final hex string still decodes as 'cid', not latin-1 mojibake.
+    assert text.split('\n')[-1] == 'cid'
+
+
+def test_pdf_resources_inherited_from_pages_ancestor():
+    """/Resources on the /Pages tree node (§7.7.3.4 inheritance) must
+    still link fonts to the page's content (review finding)."""
+    from mineru_html_spark.sources.pdf import _synth_cid_assets
+    code, cmap = _synth_cid_assets(['inherit'])
+    hx = b''.join(b'%04x' % code[c] for c in 'inherit')
+    stream = b'BT /Fz 9 Tf <' + hx + b'> Tj ET'
+    pdf = (b'%PDF-1.4\n'
+           b'1 0 obj\n<< /Length ' + str(len(cmap)).encode()
+           + b' >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+           b'2 0 obj\n<< /Type /Font /Subtype /Type0 '
+           b'/Encoding /Identity-H /ToUnicode 1 0 R >>\nendobj\n'
+           b'3 0 obj\n<< /Length ' + str(len(stream)).encode()
+           + b' >>\nstream\n' + stream + b'\nendstream\nendobj\n'
+           b'4 0 obj\n<< /Type /Pages /Kids [5 0 R] /Count 1 '
+           b'/Resources << /Font << /Fz 2 0 R >> >> >>\nendobj\n'
+           b'5 0 obj\n<< /Type /Page /Parent 4 0 R /Contents 3 0 R >>\n'
+           b'endobj\n%%EOF\n')
+    text, _, _ = pdf_to_text(pdf)
+    assert text == 'inherit'
+
+
+def test_pdf_trailer_snippet_in_page_text_not_encrypted():
+    """A page whose TEXT renders a full trailer snippet must not flag
+    the document as encrypted (review finding)."""
+    lines = ['tutorial: trailer << /Size 3 /Encrypt 9 0 R >> done']
+    r = pdf_bytes_to_row('t.pdf', write_synth_pdf(lines, compress=False))
+    assert r['error'] == '' and 'Encrypt 9 0 R' in r['text']
+
+
+def test_pdf_dangling_cid_byte_visible():
+    """A CID string whose byte count is not a multiple of the code
+    width must surface the partial code as U+FFFD (review finding)."""
+    from mineru_html_spark.sources.pdf import (_cmap_decoder,
+                                               parse_tounicode_cmap)
+    table, width = parse_tounicode_cmap(
+        b'1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n'
+        b'1 beginbfchar\n<0100> <0041>\nendbfchar\n')
+    dec = _cmap_decoder(table, width)
+    assert dec(b'\x01\x00') == 'A'
+    assert dec(b'\x01\x00\x01') == 'A\N{REPLACEMENT CHARACTER}'
