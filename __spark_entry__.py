@@ -1964,6 +1964,45 @@ def q_gif_frames(spark, sf_dir):
         raster_md5, 'media_ref string, frame_idx int, raster_md5 string')
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame tier, REAL end-to-end: deterministic MJPEG AVI clips
+    (real RIFF container, every frame a baseline JPEG from the repo's
+    codec; hash-varied fps/quality; every 7th clip truncated mid-final-
+    frame exercising the tolerant reader, every 11th a WAV masquerade
+    exercising the placeholder path) decode to genuine pixel frames;
+    sample_frames re-emits evenly-spaced frames as standalone PNGs.
+    The gate pins md5 of each DECODED frame raster; placeholder chunks
+    (non-AVI containers) are labeled, never passed off as pixels.
+    Committed-output oracle."""
+    from mineru_html_spark.functions.png import decode_png
+    import pandas as _pd
+
+    n = max(60, docs_for_sf(_sf_of(sf_dir)) // 128)
+    media = md.synth_video_media_df(spark, n)
+    frames = md.sample_frames(media, n_samples=3)
+
+    def raster_md5(it):
+        import hashlib as _hl
+        for pdf in it:
+            md5s, kinds = [], []
+            for p in pdf['frame_payload']:
+                p = bytes(p)
+                if p[:8] == b'\x89PNG\r\n\x1a\n':
+                    md5s.append(_hl.md5(
+                        decode_png(p).tobytes()).hexdigest())
+                    kinds.append('raster')
+                else:
+                    md5s.append(_hl.md5(p).hexdigest())
+                    kinds.append('placeholder')
+            yield _pd.DataFrame({'media_ref': pdf['media_ref'],
+                                 'frame_idx': pdf['frame_idx'],
+                                 'kind': kinds, 'frame_md5': md5s})
+
+    return frames.mapInPandas(
+        raster_md5,
+        'media_ref string, frame_idx int, kind string, frame_md5 string')
+
+
 def q_audio_features(spark, sf_dir):
     """Audio modality, REAL end-to-end: deterministic WAV corpus
     (hash-seeded sine mixtures + click trains; stereo / 8-bit / corrupt
@@ -2085,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_near_dups': q_image_near_dups,
         'image_dedup_keep': q_image_dedup_keep,
         'gif_frames': q_gif_frames,
+        'video_frames': q_video_frames,
         'audio_features': q_audio_features,
         'audio_resample': q_audio_resample,
         'dsir_select': q_dsir_select,
@@ -2210,7 +2250,7 @@ def oracle_sql() -> dict[str, str]:
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'streaming_near_dup', 'pdf_extract',
                      'extract_markdown', 'image_near_dups',
-                     'image_dedup_keep', 'gif_frames',
+                     'image_dedup_keep', 'gif_frames', 'video_frames',
                      'audio_features', 'audio_resample',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',

@@ -1,0 +1,171 @@
+"""MJPEG-in-AVI video codec, pure stdlib + the repo's JPEG codec.
+
+This makes the VIDEO tier of the media pipeline real: AVI is a plain
+RIFF container (the same chunk grammar as WAV — ``functions/audio.py``)
+and Motion-JPEG stores every frame as a standalone baseline JPEG, which
+``functions/jpeg.py`` decodes for real. So an MJPEG ``.avi`` decodes to
+genuine pixel frames with zero native dependencies — the honest subset
+of "video decode" this sandbox can do. Inter-coded containers
+(H.264/VP9 in mp4/webm) genuinely need ffmpeg and remain the contained
+error path, stated in ``media.decode_video``.
+
+Container scope (Microsoft AVI RIFF spec / OpenDML):
+- writer: ``RIFF('AVI ')`` with ``LIST hdrl`` (``avih`` main header +
+  one ``LIST strl`` video stream: ``strh`` fccType ``vids`` handler
+  ``MJPG``, ``strf`` BITMAPINFOHEADER biCompression ``MJPG``),
+  ``LIST movi`` of ``00dc`` frame chunks (even-padded per RIFF), and a
+  standard ``idx1`` keyframe index;
+- reader: tolerant nested-LIST walk — frames are every ``00dc``/``00db``
+  chunk of stream 00 inside ``movi`` (recursing into ``LIST rec ``
+  groups, the interleave shape some muxers emit); fps from ``strh``
+  dwRate/dwScale with the ``avih`` micro-sec-per-frame as fallback;
+  a corrupt JPEG frame raises (callers contain errors as status rows,
+  the media-stage contract).
+
+Reference parity: the reference pipeline treats video as opaque
+payload + metadata (no decode at all) — this module is part of the
+beyond-reference multimodal tier (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg_baseline
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """One RIFF chunk, even-padded (RIFF sizes exclude the pad byte)."""
+    pad = b'\x00' if len(payload) % 2 else b''
+    return fourcc + struct.pack('<I', len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b'LIST', list_type + payload)
+
+
+def encode_avi_mjpeg(frames: List[np.ndarray], fps: int = 10,
+                     quality: int = 85) -> bytes:
+    """Serialize RGB frames (equal shapes, uint8 HxWx3) as an MJPEG AVI.
+    Deterministic: frame JPEGs come from the repo's baseline encoder
+    with fixed tables. Includes the ``idx1`` index (AVIF_HASINDEX) so
+    strict players seek; the reader below does not require it."""
+    if not frames:
+        raise ValueError('encode_avi_mjpeg: no frames')
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError('encode_avi_mjpeg: frames must share one size')
+    jpegs = [encode_jpeg_baseline(f, quality=quality) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        '<14I',
+        1_000_000 // max(fps, 1),   # dwMicroSecPerFrame
+        max_sz * fps,               # dwMaxBytesPerSec (advisory)
+        0,                          # dwPaddingGranularity
+        0x10,                       # dwFlags: AVIF_HASINDEX
+        len(jpegs),                 # dwTotalFrames
+        0, 1,                       # dwInitialFrames, dwStreams
+        max_sz,                     # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0)           # dwWidth, dwHeight, reserved[4]
+    strh = (b'vids' + b'MJPG'
+            + struct.pack('<IHHIIIIIIII4H',
+                          0, 0, 0,      # dwFlags, wPriority, wLanguage
+                          0,            # dwInitialFrames
+                          1, max(fps, 1),  # dwScale, dwRate
+                          0, len(jpegs),   # dwStart, dwLength
+                          max_sz,          # dwSuggestedBufferSize
+                          10000, 0,        # dwQuality, dwSampleSize
+                          0, 0, w, h))     # rcFrame
+    strf = struct.pack('<IiiHH4sIiiII',
+                       40, w, h, 1, 24, b'MJPG', w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(b'hdrl', _chunk(b'avih', avih)
+                 + _list(b'strl', _chunk(b'strh', strh)
+                         + _chunk(b'strf', strf)))
+
+    movi_payload = bytearray()
+    index = bytearray()
+    for j in jpegs:
+        # idx1 offsets point at the chunk FOURCC, relative to the
+        # 'movi' list-type tag position (the convention players use)
+        index += b'00dc' + struct.pack('<III', 0x10,
+                                       4 + len(movi_payload), len(j))
+        movi_payload += _chunk(b'00dc', j)
+    movi = _list(b'movi', bytes(movi_payload))
+
+    body = b'AVI ' + hdrl + movi + _chunk(b'idx1', bytes(index))
+    return b'RIFF' + struct.pack('<I', len(body)) + body
+
+
+def _walk_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) across one chunk run;
+    tolerant of truncation (stops at the first short header/body)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from('<I', data, pos + 4)
+        body_start = pos + 8
+        if body_start + size > end:
+            size = max(end - body_start, 0)      # truncated final chunk
+        yield fourcc, body_start, size
+        pos = body_start + size + (size & 1)     # RIFF even padding
+
+
+def _collect_frames(data: bytes, start: int, end: int,
+                    out: List[bytes]) -> None:
+    """Append stream-0 video chunk payloads inside a movi/rec run,
+    recursing into ``LIST rec `` interleave groups."""
+    for fourcc, s, ln in _walk_chunks(data, start, end):
+        if fourcc == b'LIST' and data[s:s + 4] == b'rec ':
+            _collect_frames(data, s + 4, s + ln, out)
+        elif fourcc in (b'00dc', b'00db') and ln > 0:
+            out.append(data[s:s + ln])
+
+
+def decode_avi_mjpeg(data: bytes) -> Tuple[np.ndarray, float]:
+    """(frames uint8 [n,h,w,3], fps) for an MJPEG AVI. Raises
+    ValueError on non-AVI input, zero decodable frames, or a corrupt
+    frame JPEG (callers contain errors as status rows)."""
+    data = bytes(data)
+    if data[:4] != b'RIFF' or data[8:12] != b'AVI ':
+        raise ValueError('not an AVI (missing RIFF/AVI header)')
+    fps = 0.0
+    jpegs: List[bytes] = []
+    for fourcc, s, ln in _walk_chunks(data, 12, len(data)):
+        if fourcc != b'LIST':
+            continue
+        ltype = data[s:s + 4]
+        if ltype == b'movi':
+            _collect_frames(data, s + 4, s + ln, jpegs)
+        elif ltype == b'hdrl':
+            for f2, s2, l2 in _walk_chunks(data, s + 4, s + ln):
+                if f2 == b'avih' and l2 >= 4:
+                    (uspf,) = struct.unpack_from('<I', data, s2)
+                    if uspf:
+                        fps = fps or 1e6 / uspf
+                elif f2 == b'LIST' and data[s2:s2 + 4] == b'strl':
+                    for f3, s3, l3 in _walk_chunks(
+                            data, s2 + 4, s2 + l2):
+                        if (f3 == b'strh' and l3 >= 28
+                                and data[s3:s3 + 4] == b'vids'):
+                            scale, rate = struct.unpack_from(
+                                '<II', data, s3 + 20)
+                            if scale and rate:
+                                fps = rate / scale
+    if not jpegs:
+        raise ValueError('AVI has no video frame chunks (00dc/00db)')
+    frames = []
+    for i, j in enumerate(jpegs):
+        try:
+            frames.append(decode_jpeg(j))
+        except Exception as e:
+            if i == len(jpegs) - 1 and frames:
+                break       # truncated FINAL frame: players tolerate it
+            raise ValueError(f'corrupt MJPEG frame {i}: {e}') from e
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError('AVI frames disagree on dimensions')
+    return np.stack(frames), fps or 10.0

@@ -25,6 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .avi import decode_avi_mjpeg, encode_avi_mjpeg
 from .gif import decode_gif, encode_gif
 from .jpeg import decode_jpeg, encode_jpeg_baseline
 from .png import decode_png, encode_png
@@ -102,10 +103,12 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
     """Real decode for PNG (functions/png.py), baseline-sequential JPEG
-    (functions/jpeg.py) and GIF (functions/gif.py — first frame of the
-    composited animation) — the three formats that dominate crawl
-    media. WebP/AVIF/video need libwebp/ffmpeg — absent here — and
-    raise; callers contain the error as a status row."""
+    (functions/jpeg.py), GIF (functions/gif.py — first frame of the
+    composited animation) and MJPEG AVI (functions/avi.py — first
+    frame, the video thumbnail a feature/pHash stage wants) — the
+    formats this sandbox can decode for real. WebP/AVIF and
+    inter-coded video (mp4/webm) need libwebp/ffmpeg — absent here —
+    and raise; callers contain the error as a status row."""
     if mime == 'image/png' or bytes(payload[:8]) == b'\x89PNG\r\n\x1a\n':
         return decode_png(payload)
     if mime in ('image/jpeg', 'image/jpg') \
@@ -113,10 +116,12 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_jpeg(payload)
     if mime == 'image/gif' or bytes(payload[:4]) == b'GIF8':
         return decode_gif(payload)[0][0]
+    if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'AVI ':
+        return decode_avi_mjpeg(payload)[0][0]
     raise NotImplementedError(
         f'decode for {mime} requires libwebp/ffmpeg — not present in '
-        f'this sandbox (PNG, baseline JPEG and GIF decode for real via '
-        f'functions/png.py / jpeg.py / gif.py)')
+        f'this sandbox (PNG, baseline JPEG, GIF and MJPEG-AVI decode '
+        f'for real via functions/png.py / jpeg.py / gif.py / avi.py)')
 
 
 def image_feature_kernel(img: np.ndarray) -> np.ndarray:
@@ -276,22 +281,27 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
     """Frame sampling: evenly-spaced frame indices, one output row per
     sampled frame (the explode-shaped stage a video pipeline needs).
 
-    REAL for animated GIF payloads (functions/gif.py): the animation is
-    decoded with full disposal/transparency compositing and each
-    sampled frame is re-emitted as a standalone PNG. Video containers
-    (mp4/webm) still need ffmpeg — absent here — so those payloads keep
-    the documented placeholder chunk path (index math and fan-out are
-    real; the bytes are not pixels and are marked by the schema
-    contract, not silently passed off as frames)."""
+    REAL for animated GIF payloads (functions/gif.py) and MJPEG AVI
+    video (functions/avi.py): the animation/clip is decoded — GIF with
+    full disposal/transparency compositing, AVI per-frame baseline
+    JPEG — and each sampled frame is re-emitted as a standalone PNG.
+    Inter-coded video containers (mp4/webm H.264/VP9) genuinely need
+    ffmpeg — absent here — so those payloads keep the documented
+    placeholder chunk path (index math and fan-out are real; the bytes
+    are not pixels and are marked by the schema contract, not silently
+    passed off as frames)."""
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for ref, payload, nf in zip(pdf['media_ref'], pdf['payload'],
                                         pdf['n_frames']):
                 payload = bytes(payload)
-                if payload[:4] == b'GIF8':
+                is_avi = (payload[:4] == b'RIFF'
+                          and payload[8:12] == b'AVI ')
+                if payload[:4] == b'GIF8' or is_avi:
                     try:
-                        frames, _delays = decode_gif(payload)
+                        frames = (decode_avi_mjpeg(payload)[0] if is_avi
+                                  else decode_gif(payload)[0])
                     except ValueError:
                         continue            # corrupt: no frame rows
                     nf = frames.shape[0]
@@ -354,6 +364,62 @@ def synth_gif_media_df(spark: SparkSession, n: int,
                              'mime': 'image/gif', 'width': size,
                              'height': size,
                              'n_frames': frames_per_gif})
+            yield pd.DataFrame(
+                rows, columns=['media_ref', 'payload', 'mime', 'width',
+                               'height', 'n_frames'])
+    return spark.range(n).mapInPandas(batch, MEDIA_SCHEMA)
+
+
+def synth_video_media_df(spark: SparkSession, n: int,
+                         frames_per_clip: int = 8) -> DataFrame:
+    """Deterministic VIDEO media corpus (no external data): ``n`` refs
+    named ``vid-<i>``, each a real MJPEG AVI whose frames are
+    hash-seeded moving gradient patterns (per-frame phase shift = real
+    temporal structure), with hash-varied fps/quality. Every 7th
+    payload is truncated mid-final-frame (the tolerant-reader path) and
+    every 11th is a non-AVI RIFF (WAVE magic) so the contained-error
+    path is exercised at the driver. n_frames metadata is real.
+    Distributed: spark.range partitions the id space; clips derive
+    per-row from the id, no driver-side data."""
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                idx = int(idx)
+                ref = f'vid-{idx:05d}'
+                h = hashlib.sha256(ref.encode()).digest()
+                w = 24 + h[0] % 17
+                ht = 20 + h[1] % 13
+                yy, xx = np.mgrid[0:ht, 0:w]
+                frames = []
+                for k in range(frames_per_clip):
+                    img = np.stack([
+                        (xx * (2 + h[2] % 3) + k * 13) % 256,
+                        (yy * (2 + h[3] % 3) + k * 9) % 256,
+                        ((xx + yy) * 2 + h[4] + k * 6) % 256],
+                        axis=2).astype(np.uint8)
+                    frames.append(img)
+                payload = encode_avi_mjpeg(
+                    frames, fps=8 + h[5] % 17, quality=80 + h[6] % 16)
+                nf = frames_per_clip
+                if idx % 11 == 10:
+                    # a WAV masquerading under a video ref: decode must
+                    # surface a contained error row, not crash
+                    payload = (b'RIFF' + payload[4:8] + b'WAVE'
+                               + payload[12:])
+                elif idx % 7 == 6:
+                    # truncate just past the final frame's chunk header
+                    # (partial body, no idx1): the tolerant reader must
+                    # yield exactly the first nf-1 complete frames
+                    # (bounded before idx1 — index entries repeat the
+                    # '00dc' fourcc)
+                    last = payload.rfind(b'00dc', 0,
+                                         payload.rfind(b'idx1'))
+                    payload = payload[:last + 12]
+                    nf = frames_per_clip - 1
+                rows.append({'media_ref': ref, 'payload': payload,
+                             'mime': 'video/x-msvideo', 'width': int(w),
+                             'height': int(ht), 'n_frames': nf})
             yield pd.DataFrame(
                 rows, columns=['media_ref', 'payload', 'mime', 'width',
                                'height', 'n_frames'])

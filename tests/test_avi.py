@@ -1,0 +1,165 @@
+"""MJPEG-in-AVI video codec + the Spark video frame tier.
+
+The reference treats video as opaque payload+metadata (no decode);
+this tier is beyond-reference multimodal coverage (SURVEY.md §2.8) —
+real frames with zero native dependencies because AVI is RIFF and
+MJPEG frames are baseline JPEGs (functions/jpeg.py decodes for real).
+"""
+import hashlib
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.avi import (decode_avi_mjpeg,
+                                             encode_avi_mjpeg)
+
+
+def _frames(n, h, w, seed=0):
+    out = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for k in range(n):
+        img = np.stack([(xx * 3 + k * 11 + seed) % 256,
+                        (yy * 5 + k * 7) % 256,
+                        ((xx + yy) * 2 + k * 5) % 256],
+                       axis=2).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_avi_roundtrip_close_and_fps():
+    frames = _frames(5, 24, 32)
+    avi = encode_avi_mjpeg(frames, fps=12, quality=88)
+    dec, fps = decode_avi_mjpeg(avi)
+    assert dec.shape == (5, 24, 32, 3)
+    assert fps == 12.0
+    for k in range(5):      # lossy but close (JPEG q88)
+        err = np.abs(dec[k].astype(int) - frames[k].astype(int)).mean()
+        assert err < 3.0, (k, err)
+
+
+def test_avi_deterministic_bytes():
+    frames = _frames(3, 16, 16)
+    assert (encode_avi_mjpeg(frames, fps=10)
+            == encode_avi_mjpeg(frames, fps=10))
+
+
+def test_avi_odd_chunk_padding():
+    """A frame JPEG with odd byte length forces the RIFF pad byte; the
+    following frames must still align."""
+    for seed in range(6):
+        frames = _frames(4, 9 + seed, 11)
+        avi = encode_avi_mjpeg(frames, fps=10, quality=80 + seed)
+        dec, _ = decode_avi_mjpeg(avi)
+        assert dec.shape[0] == 4
+
+
+def test_avi_truncated_final_frame_tolerated():
+    frames = _frames(5, 20, 20)
+    avi = encode_avi_mjpeg(frames, fps=10)
+    last = avi.rfind(b'00dc', 0, avi.rfind(b'idx1'))
+    dec, _ = decode_avi_mjpeg(avi[:last + 12])
+    assert dec.shape[0] == 4                 # exactly the complete ones
+
+
+def test_avi_garbage_and_wav_raise_valueerror():
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b'not an avi at all, clearly')
+    frames = _frames(2, 12, 12)
+    avi = bytearray(encode_avi_mjpeg(frames))
+    avi[8:12] = b'WAVE'
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(avi))
+
+
+def test_avi_truncation_fuzz_only_valueerror():
+    """Every truncation point of a valid AVI either decodes (possibly
+    fewer frames) or raises ValueError — never struct.error/IndexError
+    escaping into a Spark task."""
+    frames = _frames(3, 10, 10)
+    avi = encode_avi_mjpeg(frames, fps=10)
+    for cut in range(0, len(avi), 7):
+        try:
+            dec, _ = decode_avi_mjpeg(avi[:cut])
+            assert 1 <= dec.shape[0] <= 3
+        except ValueError:
+            pass
+
+
+def test_avi_rec_list_interleave_groups():
+    """Some muxers wrap frame chunks in ``LIST rec `` groups — the
+    reader must recurse into them."""
+    import struct
+    frames = _frames(3, 14, 14)
+    avi = encode_avi_mjpeg(frames, fps=10)
+    # rebuild the movi payload with each chunk wrapped in a rec group
+    dec0, _ = decode_avi_mjpeg(avi)
+    movi_at = avi.find(b'LIST', 12)
+    while avi[movi_at + 8:movi_at + 12] != b'movi':
+        movi_at = avi.find(b'LIST', movi_at + 4)
+    (movi_sz,) = struct.unpack_from('<I', avi, movi_at + 4)
+    inner = avi[movi_at + 12:movi_at + 8 + movi_sz]
+    wrapped = bytearray()
+    pos = 0
+    while pos + 8 <= len(inner):
+        (sz,) = struct.unpack_from('<I', inner, pos + 4)
+        chunk = inner[pos:pos + 8 + sz + (sz & 1)]
+        wrapped += (b'LIST' + struct.pack('<I', 4 + len(chunk))
+                    + b'rec ' + chunk)
+        pos += 8 + sz + (sz & 1)
+    new_movi = (b'LIST' + struct.pack('<I', 4 + len(wrapped))
+                + b'movi' + bytes(wrapped))
+    rebuilt = avi[:movi_at] + new_movi + avi[movi_at + 8 + movi_sz:]
+    rebuilt = (b'RIFF' + struct.pack('<I', len(rebuilt) - 8)
+               + rebuilt[8:])
+    dec, _ = decode_avi_mjpeg(rebuilt)
+    assert np.array_equal(dec, dec0)
+
+
+def test_decode_image_routes_avi_first_frame():
+    from mineru_html_spark.functions.media import decode_image
+    frames = _frames(4, 18, 18)
+    avi = encode_avi_mjpeg(frames, fps=10)
+    img = decode_image(avi, 'video/x-msvideo')
+    assert np.array_equal(img, decode_avi_mjpeg(avi)[0][0])
+
+
+def test_sample_frames_real_for_avi(spark):
+    """End-to-end video tier: sampled frames are REAL standalone PNGs
+    whose rasters equal the decoded AVI frames; the WAV masquerade
+    keeps the placeholder path; the truncated clip samples from its
+    complete frames only."""
+    from mineru_html_spark.functions.media import (sample_frames,
+                                                   synth_video_media_df)
+    from mineru_html_spark.functions.png import decode_png
+    media = synth_video_media_df(spark, 12, frames_per_clip=8)
+    payloads = {r['media_ref']: bytes(r['payload'])
+                for r in media.collect()}
+    rows = sample_frames(media, n_samples=3).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r['media_ref'], []).append(r)
+    for ref, frs in sorted(by_ref.items()):
+        idx = int(ref.split('-')[1])
+        if idx % 11 == 10:                   # WAV masquerade
+            assert all(bytes(f['frame_payload'])[:8]
+                       != b'\x89PNG\r\n\x1a\n' for f in frs)
+            continue
+        dec, _ = decode_avi_mjpeg(payloads[ref])
+        nf = dec.shape[0]
+        assert nf == (7 if idx % 7 == 6 else 8)
+        want_idx = sorted({int(i * (nf - 1) / 2) for i in range(3)})
+        assert sorted(f['frame_idx'] for f in frs) == want_idx
+        for f in frs:
+            got = decode_png(bytes(f['frame_payload']))
+            assert np.array_equal(got, dec[f['frame_idx']]), ref
+
+
+def test_media_features_ok_for_avi(spark):
+    from mineru_html_spark.functions.media import (
+        extract_media_features, synth_video_media_df)
+    feats = {r['media_ref']: r['decode_status']
+             for r in extract_media_features(
+                 synth_video_media_df(spark, 12)).collect()}
+    for ref, st in feats.items():
+        idx = int(ref.split('-')[1])
+        assert st == ('fake' if idx % 11 == 10 else 'ok'), (ref, st)
