@@ -263,13 +263,17 @@ def q_pdf_extract(spark, sf_dir):
     an object stream behind an xref stream, a /Length-bound proof file
     whose stream contains the bytes 'endstream' inside a string, an
     undecodable-Flate file that must COUNT the loss in n_bad_streams,
-    and one corrupt file) reads via the one-task-per-file binaryFile
-    source, the stdlib text extractor pulls the text operators, and the
-    corrupt file must surface as a contained error row.
-    Committed-output oracle."""
+    one corrupt file, and the gate-v4 encryption tier: owner-restricted
+    files across all four standard-handler generations — RC4-40/128,
+    AES-128 /AESV2, AES-256 R6 — whose text must decrypt EXACTLY, an
+    empty-owner-password file, and a password-locked file that must
+    stay a contained error row) reads via the one-task-per-file
+    binaryFile source, the stdlib text extractor pulls the text
+    operators, and the corrupt/locked files must surface as contained
+    error rows. Committed-output oracle."""
     from mineru_html_spark.sources.pdf import (read_pdfs,
                                                write_synth_pdf_gate_set)
-    d = os.path.join(REPO, '.data', 'pdf_gate_v3')
+    d = os.path.join(REPO, '.data', 'pdf_gate_v4')
     marker = os.path.join(d, '.complete')
     if not os.path.exists(marker):
         write_synth_pdf_gate_set(d)

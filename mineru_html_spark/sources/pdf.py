@@ -32,11 +32,22 @@ never silent. PDF 1.5 object streams (``/Type /ObjStm``) are expanded
 (``/N``+``/First`` header, type-2 objects), so pages, fonts and
 resources that live inside compressed object streams still resolve.
 
-Still contained-error/partial by design: encryption, and CID fonts
-WITHOUT a ToUnicode CMap (a correct CID→GID→glyph→char chain needs an
-embedded-font/CMap stack — a real library dependency, not a parsing
-trick); undecodable streams are counted into the per-doc
-``n_bad_streams`` warning column instead of vanishing silently.
+Encryption tier (§7.6, ``sources/pdfcrypt.py``): documents encrypted
+with the STANDARD security handler open with the empty user password —
+the owner-restriction shape that dominates encrypted files in a crawl —
+across all four generations: RC4 40/128 (V1/V2, R2/R3), AES-128 crypt
+filters (V4/R4 /AESV2) and AES-256 (V5/R6 with the SHA-2 iterated KDF
+of ISO 32000-2); an empty OWNER password is also tried (Algorithm 7).
+Streams decrypt with the per-object (R<=4) or file (R6) key before
+inflation; xref streams are exempt per §7.5.8.2. Genuinely
+password-locked files and non-standard crypt filters surface as a
+contained error row — we do not guess passwords.
+
+Still contained-error/partial by design: CID fonts WITHOUT a ToUnicode
+CMap (a correct CID→GID→glyph→char chain needs an embedded-font/CMap
+stack — a real library dependency, not a parsing trick); undecodable
+streams are counted into the per-doc ``n_bad_streams`` warning column
+instead of vanishing silently.
 
 Spark shape: one task per file via the binaryFile source, Arrow-batched
 parse, errors as rows — identical contract to the WARC reader.
@@ -218,9 +229,10 @@ _ENDSTREAM_AFTER_RE = re.compile(rb'\s*endstream')
 
 
 def _iter_objects(data: bytes) -> Iterator[
-        Tuple[int, bytes, Optional[bytes], Optional[Tuple[int, int]]]]:
-    """Yield (object number, dictionary/body bytes, raw stream bytes or
-    None, raw byte span in ``data`` or None) for every indirect object
+        Tuple[int, int, bytes, Optional[bytes], Optional[Tuple[int, int]]]]:
+    """Yield (object number, generation, dictionary/body bytes, raw
+    stream bytes or None, raw byte span in ``data`` or None) for every
+    indirect object
     in document order.  Stream bounds honor a DIRECT ``/Length n``
     entry (verified by the trailing ``endstream`` keyword) — a
     FlateDecode body may legally contain the bytes
@@ -236,12 +248,13 @@ def _iter_objects(data: bytes) -> Iterator[
         if not h:
             return
         num = int(h.group(1))
+        gen = int(h.group(2))
         em = data.find(b'endobj', h.end())
         sm = _STREAM_START_RE.search(data, h.end())
         if sm is None or (0 <= em < sm.start()):
             # dictionary-only object (page, font, resources, catalog…)
             if em >= 0:
-                yield num, data[h.end():em], None, None
+                yield num, gen, data[h.end():em], None, None
                 pos = em + 6
             else:
                 pos = h.end()
@@ -274,7 +287,7 @@ def _iter_objects(data: bytes) -> Iterator[
             raw = fm.group(1)
             span = fm.span(1)
             pos = fm.end()
-        yield num, dict_part, raw, span
+        yield num, gen, dict_part, raw, span
         nxt = data.find(b'endobj', pos)
         pos = (nxt + 6) if nxt >= 0 else pos
 
@@ -307,6 +320,83 @@ def _is_encrypted(data: bytes, objects: Dict[int, bytes],
             return True
     return any(_XREF_STM_RE.search(body) and _ENCRYPT_RE.search(body)
                for body in objects.values())
+
+
+_ENCRYPT_REF_RE = re.compile(rb'/Encrypt\s+(\d+)\s+\d+\s+R')
+_ID_ARR_RE = re.compile(rb'/ID\s*\[')
+_INT_VAL_RE = {k: re.compile(rb'/' + k + rb'\s+(-?\d+)')
+               for k in (b'V', b'R', b'P', b'Length')}
+_CFM_RE = re.compile(rb'/CFM\s*/(\w+)')
+_FILTER_STD_RE = re.compile(rb'/Filter\s*/Standard')
+_ENC_META_FALSE_RE = re.compile(rb'/EncryptMetadata\s+false')
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes:
+    """The string value of ``/key`` in a dictionary body: the first
+    literal/hex string starting at or after the key token."""
+    m = re.search(rb'/' + key + rb'\s*[(<]', body)
+    if not m:
+        return b''
+    for raw, start, _end in _scan_strings(body[m.end() - 1:]):
+        if start == 0:
+            return raw
+        break
+    return b''
+
+
+def _trailer_dicts(data: bytes, objects: Dict[int, bytes],
+                   stream_spans: List[Tuple[int, int]]) -> List[bytes]:
+    """Candidate trailer dictionaries: classic ``trailer <<...>>``
+    blocks not lying inside stream data, plus xref-STREAM dict bodies
+    (PDF 1.5+). Later entries supersede earlier (incremental update
+    order is preserved by iteration order)."""
+    out = []
+    for m in _TRAILER_RE.finditer(data):
+        if any(s <= m.start() < e for s, e in stream_spans):
+            continue
+        out.append(_balanced_dict(data, m.end() - 2))
+    out.extend(b for b in objects.values() if _XREF_STM_RE.search(b))
+    return out
+
+
+def _build_crypt_handler(data: bytes, objects: Dict[int, bytes],
+                         stream_spans: List[Tuple[int, int]]):
+    """StdSecurityHandler for an encrypted document, opened with the
+    empty user (or owner) password. Raises ValueError (PdfCryptError)
+    when a real password is required or the scheme is outside the
+    standard handler's R2-R6 — the caller contains it as an error row."""
+    from .pdfcrypt import PdfCryptError, StdSecurityHandler
+
+    enc_num = None
+    id0 = b''
+    for tr in _trailer_dicts(data, objects, stream_spans):
+        em = _ENCRYPT_REF_RE.search(tr)
+        if em:
+            enc_num = int(em.group(1))
+        im = _ID_ARR_RE.search(tr)
+        if im:
+            for raw, _s, _e in _scan_strings(tr[im.end():]):
+                id0 = raw
+                break
+    if enc_num is None or enc_num not in objects:
+        raise PdfCryptError('encrypted PDF: /Encrypt object missing')
+    enc = objects[enc_num]
+    if not _FILTER_STD_RE.search(enc):
+        raise PdfCryptError('encrypted PDF: non-standard security '
+                            'handler (custom /Filter)')
+
+    def ival(key: bytes, default: int) -> int:
+        m = _INT_VAL_RE[key].search(enc)
+        return int(m.group(1)) if m else default
+
+    cm = _CFM_RE.search(enc)
+    return StdSecurityHandler(
+        v=ival(b'V', 0), r=ival(b'R', 2),
+        o=_dict_string(enc, b'O'), u=_dict_string(enc, b'U'),
+        p=ival(b'P', -1), length_bits=ival(b'Length', 40), id0=id0,
+        cfm=cm.group(1).decode('ascii') if cm else None,
+        oe=_dict_string(enc, b'OE'), ue=_dict_string(enc, b'UE'),
+        encrypt_metadata=not _ENC_META_FALSE_RE.search(enc))
 _OBJSTM_N_RE = re.compile(rb'/N\s+(\d+)')
 _OBJSTM_FIRST_RE = re.compile(rb'/First\s+(\d+)')
 _INT_RE = re.compile(rb'\d+')
@@ -544,11 +634,26 @@ def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
     streams: Dict[int, bytes] = {}      # DECODED bytes, last occurrence
     entries: List[Tuple[int, bytes]] = []   # retained, document order
     spans: List[Tuple[int, int]] = []   # raw stream byte ranges in data
-    for num, body, raw, span in _iter_objects(data):
+    raw_objs: List[Tuple[int, int, bytes, Optional[bytes]]] = []
+    for num, gen, body, raw, span in _iter_objects(data):
         objects[num] = body
+        raw_objs.append((num, gen, body, raw))
+        if span is not None:
+            spans.append(span)
+    handler = None
+    if _is_encrypted(data, objects, spans):
+        # standard security handler (§7.6.3): open with the EMPTY user
+        # password — the owner-password-only restriction case every
+        # reader opens silently. A real password (or an exotic crypt
+        # filter) raises here; the caller contains it as an error row.
+        handler = _build_crypt_handler(data, objects, spans)
+    for num, gen, body, raw in raw_objs:
         if raw is None:
             continue
-        spans.append(span)
+        if handler is not None and not _XREF_STM_RE.search(body):
+            # xref streams are never encrypted (§7.5.8.2); everything
+            # else decrypts with the per-object (R<=4) or file (R6) key
+            raw = handler.decrypt(num, gen, raw)
         if _FLATE_RE.search(body):
             try:
                 raw = zlib.decompress(raw)
@@ -564,12 +669,7 @@ def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
                 or _OBJSTM_RE.search(body)):
             streams[num] = raw
             entries.append((num, raw))
-    if _is_encrypted(data, objects, spans):
-        # standard security handler: streams are RC4/AES-encrypted —
-        # inflating them would just count every stream into n_bad and
-        # emit nothing; say WHY in the error row instead
-        raise ValueError('encrypted PDF (trailer has /Encrypt; '
-                         'decryption needs a crypt handler)')
+    del raw_objs
     objstm_ids = {num for num, _ in entries
                   if _OBJSTM_RE.search(objects.get(num, b''))}
     for num in objstm_ids:                  # PDF 1.5 compressed objects
@@ -768,6 +868,132 @@ def write_synth_pdf(lines: List[str], lines_per_page: int = 20,
     return bytes(out)
 
 
+_ROOT_REF_RE = re.compile(rb'/Root\s+(\d+)\s+\d+\s+R')
+
+
+def encrypt_pdf(data: bytes, method: str = 'rc4-128',
+                owner_pw: bytes = b'owner-secret',
+                user_pw: bytes = b'') -> bytes:
+    """Re-emit a (classic-xref) PDF encrypted with the standard
+    security handler — the deterministic synth counterpart of the
+    reader's decrypt path, so encryption is testable end-to-end with no
+    external files. With the default empty ``user_pw`` this produces
+    the owner-restriction shape readers open silently; pass a non-empty
+    ``user_pw`` to make a genuinely password-locked file (the reader
+    must error-row it).
+
+    ``method``: ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3), ``aesv2``
+    (V4/R4, AES-128-CBC crypt filter), ``aesv3`` (V5/R6, AES-256 with
+    the SHA-2 KDF of ISO 32000-2). All values (/O /U /OE /UE /Perms,
+    AES IVs, file key) derive from the input bytes — same input, same
+    output. Strings inside non-stream dictionaries are encrypted too
+    (re-emitted as hex strings), as §7.6.2 requires."""
+    from .pdfcrypt import (StdSecurityHandler, _compute_o_r234,
+                           _compute_u_r234, _file_key_r234, _hash_2b,
+                           aes_cbc_encrypt)
+
+    id0 = __import__('hashlib').md5(data).digest()
+    perm = -3904                    # classic print-restricted P value
+    if method in ('rc4-40', 'rc4-128', 'aesv2'):
+        v, r, bits = {'rc4-40': (1, 2, 40), 'rc4-128': (2, 3, 128),
+                      'aesv2': (4, 4, 128)}[method]
+        n = bits // 8
+        o = _compute_o_r234(owner_pw, user_pw, r, n)
+        u = _compute_u_r234(
+            _file_key_r234(user_pw, o, perm, id0, n, r), id0, r)
+        enc_dict = (b'<< /Filter /Standard /V %d /R %d /Length %d'
+                    b' /O <%s> /U <%s> /P %d'
+                    % (v, r, bits, o.hex().encode(),
+                       u[:32].hex().encode(), perm))
+        if method == 'aesv2':
+            enc_dict += (b' /CF << /StdCF << /CFM /AESV2 /AuthEvent'
+                         b' /DocOpen /Length 16 >> >>'
+                         b' /StmF /StdCF /StrF /StdCF')
+        enc_dict += b' >>'
+        # bypass the authenticating constructor: for a locked synth
+        # file (non-empty user_pw) the empty password would rightly be
+        # rejected — we already hold the real file key
+        handler = object.__new__(StdSecurityHandler)
+        handler.v, handler.r = v, r
+        handler.use_aes = (method == 'aesv2')
+        handler.key = _file_key_r234(user_pw, o, perm, id0, n, r)
+    elif method == 'aesv3':
+        import hashlib as _hl
+        file_key = _hl.sha256(b'synth-file-key' + id0).digest()
+        vs = _hl.sha256(b'vs' + id0).digest()[:8]
+        ks = _hl.sha256(b'ks' + id0).digest()[:8]
+        u = _hash_2b(user_pw, vs) + vs + ks
+        ue = aes_cbc_encrypt(_hash_2b(user_pw, ks), b'\x00' * 16,
+                             file_key)
+        ovs = _hl.sha256(b'ovs' + id0).digest()[:8]
+        oks = _hl.sha256(b'oks' + id0).digest()[:8]
+        o = _hash_2b(owner_pw, ovs, u) + ovs + oks
+        oe = aes_cbc_encrypt(_hash_2b(owner_pw, oks, u), b'\x00' * 16,
+                             file_key)
+        perms = aes_cbc_encrypt(
+            file_key, b'\x00' * 16,
+            __import__('struct').pack('<i', perm)
+            + b'\xff\xff\xff\xffTadbsynt')
+        enc_dict = (b'<< /Filter /Standard /V 5 /R 6 /Length 256'
+                    b' /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s>'
+                    b' /P %d /CF << /StdCF << /CFM /AESV3 /AuthEvent'
+                    b' /DocOpen /Length 32 >> >>'
+                    b' /StmF /StdCF /StrF /StdCF >>'
+                    % (o.hex().encode(), u.hex().encode(),
+                       oe.hex().encode(), ue.hex().encode(),
+                       perms.hex().encode(), perm))
+        handler = object.__new__(StdSecurityHandler)
+        handler.v, handler.r = 5, 6
+        handler.use_aes, handler.key = True, file_key
+    else:
+        raise ValueError(f'unknown encryption method {method!r}')
+
+    rm = _ROOT_REF_RE.search(data)
+    if not rm:
+        raise ValueError('encrypt_pdf: input has no classic trailer')
+    root = int(rm.group(1))
+
+    def enc_dict_strings(num: int, gen: int, body: bytes) -> bytes:
+        out = bytearray()
+        pos = 0
+        for raw, s, e in _scan_strings(body):
+            out += body[pos:s]
+            out += b'<' + handler.encrypt(num, gen, raw).hex().encode()                 + b'>'
+            pos = e
+        out += body[pos:]
+        return bytes(out)
+
+    objs: List[Tuple[int, bytes]] = []
+    for num, gen, body, raw, _span in _iter_objects(data):
+        if raw is None:
+            objs.append((num, enc_dict_strings(num, gen, body)))
+            continue
+        enc = handler.encrypt(num, gen, raw)
+        body2 = _LENGTH_RE.sub(b'/Length %d' % len(enc), body, count=1)
+        objs.append((num, body2 + b'stream\n' + enc + b'\nendstream'))
+    enc_num = max(n for n, _ in objs) + 1
+    objs.append((enc_num, enc_dict))
+
+    out = bytearray(b'%PDF-1.6\n' if method != 'rc4-40'
+                    else b'%PDF-1.4\n')
+    offsets: Dict[int, int] = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += b'%d 0 obj\n' % num + body + b'\nendobj\n'
+    xref_at = len(out)
+    size = max(offsets) + 1
+    out += b'xref\n0 %d\n' % size
+    out += b'0000000000 65535 f \n'
+    for i in range(1, size):
+        out += (b'%010d 00000 n \n' % offsets[i] if i in offsets
+                else b'0000000000 65535 f \n')
+    out += (b'trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R'
+            b' /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n'
+            % (size, root, enc_num, id0.hex().encode(),
+               id0.hex().encode(), xref_at))
+    return bytes(out)
+
+
 def write_synth_pdf_objstm(lines: List[str],
                            lines_per_page: int = 20) -> bytes:
     """A complete, valid PDF **1.5** file whose page dictionaries, font,
@@ -878,7 +1104,10 @@ def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
     composite tier: every 5th doc uses an Identity-H/ToUnicode CID font
     (one of them with accented + non-BMP chars), and one PDF 1.5 file
     keeps its page tree inside an object stream behind an xref
-    stream."""
+    stream. Gate v4 adds the encryption tier: owner-restricted files
+    across all four standard-handler generations (RC4-40/128, AES-128,
+    AES-256/R6), an empty-owner-password file (Algorithm 7), and one
+    password-locked file that must stay a contained error row."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     words = ('report table figure total revenue section appendix value '
@@ -946,6 +1175,26 @@ def write_synth_pdf_gate_set(out_dir: str, n_docs: int = 24) -> None:
              b'%%EOF\n')
     with open(os.path.join(out_dir, 'mixed_tj.pdf'), 'wb') as f:
         f.write(mixed)
+    # gate v4: the encryption tier. Four owner-restricted files (empty
+    # user password — every reader opens these silently; the decrypt
+    # path must recover the text EXACTLY) spanning all four standard-
+    # handler generations, one empty-OWNER-password file (Algorithm 7
+    # recovery), and one genuinely password-locked file that must
+    # surface as a contained error row, never garbage text
+    enc_lines = [f'restricted document text line {i} '
+                 f'{words[i % len(words)]}' for i in range(26)]
+    enc_plain = write_synth_pdf(enc_lines, lines_per_page=10)
+    for method in ('rc4-40', 'rc4-128', 'aesv2', 'aesv3'):
+        name = f"enc_{method.replace('-', '')}.pdf"
+        with open(os.path.join(out_dir, name), 'wb') as f:
+            f.write(encrypt_pdf(enc_plain, method=method))
+    hexed = write_synth_pdf(enc_lines[:12], string_style='hex')
+    with open(os.path.join(out_dir, 'enc_owner_empty.pdf'), 'wb') as f:
+        f.write(encrypt_pdf(hexed, method='aesv2',
+                            owner_pw=b'', user_pw=b'gate-user-pw'))
+    with open(os.path.join(out_dir, 'enc_locked.pdf'), 'wb') as f:
+        f.write(encrypt_pdf(enc_plain, method='aesv3',
+                            user_pw=b'correct horse battery'))
 
 
 PDF_ROWS_SCHEMA = ('doc_id string, n_pages int, n_chars long, '

@@ -52,14 +52,23 @@ def test_read_pdfs_spark_path(spark, tmp_path):
     write_synth_pdf_gate_set(d, n_docs=6)
     rows = {r['doc_id']: r for r in read_pdfs(spark, d).collect()}
     # 6 synth + objstm + corrupt + 3 adversarial (len_bound/bad_stream/
-    # mixed_tj)
-    assert len(rows) == 11
+    # mixed_tj) + 6 encryption-tier (4 generations + owner-empty +
+    # locked)
+    assert len(rows) == 17
     assert rows['objstm.pdf']['n_pages'] == 3 \
         and rows['objstm.pdf']['n_chars'] > 0
     assert rows['corrupt.pdf']['error'].startswith('ValueError')
     assert rows['bad_stream.pdf']['n_bad_streams'] == 1
     assert 'endstream inside a string' in rows['len_bound.pdf']['text']
-    good = [r for n, r in rows.items() if n != 'corrupt.pdf']
+    # encryption tier: the four owner-restricted generations all
+    # decrypt to the SAME text; the locked file is a contained error
+    enc_texts = {rows[f'enc_{m}.pdf']['text']
+                 for m in ('rc440', 'rc4128', 'aesv2', 'aesv3')}
+    assert len(enc_texts) == 1 and 'restricted document' in enc_texts.pop()
+    assert rows['enc_owner_empty.pdf']['n_chars'] > 0
+    assert 'password required' in rows['enc_locked.pdf']['error']
+    good = [r for n, r in rows.items()
+            if n not in ('corrupt.pdf', 'enc_locked.pdf')]
     assert all(r['error'] == '' and r['n_chars'] > 0 and r['n_pages'] >= 1
                for r in good)
     # extraction agrees with a direct single-node parse of the same file
@@ -327,7 +336,7 @@ def test_pdf_encrypted_detected_but_not_text_false_positive():
     enc = (b'%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n'
            b'trailer\n<< /Size 3 /Root 2 0 R /Encrypt 9 0 R >>\n%%EOF\n')
     r2 = pdf_bytes_to_row('enc.pdf', enc)
-    assert r2['error'].startswith('ValueError: encrypted PDF')
+    assert 'encrypted PDF' in r2['error']
 
 
 def test_pdf_incremental_update_extracts_last_version_once():

@@ -1,0 +1,143 @@
+"""PDF standard-security-handler decryption (sources/pdfcrypt.py).
+
+Crypto primitives are pinned to PUBLISHED vectors (FIPS-197, NIST
+SP 800-38A, the classic RC4 'Key'/'Plaintext' vector) so the handler
+math can't drift; the handler itself round-trips through the
+deterministic encrypting writer across all four standard-handler
+generations and both string styles, and locked files stay contained.
+"""
+import pytest
+
+from mineru_html_spark.sources.pdf import (encrypt_pdf, pdf_bytes_to_row,
+                                           pdf_to_text, write_synth_pdf)
+from mineru_html_spark.sources.pdfcrypt import (PdfCryptError,
+                                                StdSecurityHandler,
+                                                _decrypt_block,
+                                                _encrypt_block,
+                                                _expand_key, _hash_2b,
+                                                aes_cbc_decrypt,
+                                                aes_cbc_encrypt, rc4)
+
+LINES = [f'Encrypted corpus line {i}: the quick brown fox.'
+         for i in range(30)]
+
+
+# --- published vectors -------------------------------------------------
+
+def test_aes128_fips197_c1():
+    key = bytes.fromhex('000102030405060708090a0b0c0d0e0f')
+    pt = bytes.fromhex('00112233445566778899aabbccddeeff')
+    ct = _encrypt_block(_expand_key(key), pt)
+    assert ct.hex() == '69c4e0d86a7b0430d8cdb78070b4c55a'
+    assert _decrypt_block(_expand_key(key), ct) == pt
+
+
+def test_aes256_fips197_c3():
+    key = bytes.fromhex('000102030405060708090a0b0c0d0e0f'
+                        '101112131415161718191a1b1c1d1e1f')
+    pt = bytes.fromhex('00112233445566778899aabbccddeeff')
+    ct = _encrypt_block(_expand_key(key), pt)
+    assert ct.hex() == '8ea2b7ca516745bfeafc49904b496089'
+    assert _decrypt_block(_expand_key(key), ct) == pt
+
+
+def test_cbc_nist_sp800_38a():
+    k = bytes.fromhex('2b7e151628aed2a6abf7158809cf4f3c')
+    iv = bytes.fromhex('000102030405060708090a0b0c0d0e0f')
+    p = bytes.fromhex('6bc1bee22e409f96e93d7e117393172a')
+    c = aes_cbc_encrypt(k, iv, p)
+    assert c.hex() == '7649abac8119b246cee98e9b12e9197d'
+    assert aes_cbc_decrypt(k, iv, c) == p
+
+
+def test_rc4_classic_vector():
+    assert rc4(b'Key', b'Plaintext').hex() == 'bbf316e8d940af0ad3'
+
+
+def test_hash_2b_terminates_and_is_deterministic():
+    a = _hash_2b(b'', b'saltsalt')
+    assert len(a) == 32
+    assert a == _hash_2b(b'', b'saltsalt')
+    assert a != _hash_2b(b'x', b'saltsalt')
+
+
+# --- handler round-trips ------------------------------------------------
+
+@pytest.mark.parametrize('method', ['rc4-40', 'rc4-128', 'aesv2',
+                                    'aesv3'])
+def test_roundtrip_all_generations(method):
+    plain = write_synth_pdf(LINES, lines_per_page=12)
+    want, n_pages, _ = pdf_to_text(plain)
+    text, pages, n_bad = pdf_to_text(encrypt_pdf(plain, method=method))
+    assert (text, pages, n_bad) == (want, n_pages, 0)
+
+
+@pytest.mark.parametrize('style', ['hex', 'tj_kerned', 'cid'])
+def test_roundtrip_string_styles_aesv2(style):
+    """The CID case proves the ToUnicode CMap STREAM decrypts too."""
+    plain = write_synth_pdf(LINES[:10], string_style=style)
+    want, _, _ = pdf_to_text(plain)
+    text, _, n_bad = pdf_to_text(encrypt_pdf(plain, method='aesv2'))
+    assert text == want and n_bad == 0
+
+
+def test_empty_owner_password_algorithm7():
+    plain = write_synth_pdf(LINES[:5])
+    want, _, _ = pdf_to_text(plain)
+    enc = encrypt_pdf(plain, method='rc4-128',
+                      owner_pw=b'', user_pw=b'the-user-pw')
+    text, _, n_bad = pdf_to_text(enc)
+    assert text == want and n_bad == 0
+
+
+@pytest.mark.parametrize('method', ['rc4-128', 'aesv2', 'aesv3'])
+def test_locked_file_contained(method):
+    plain = write_synth_pdf(LINES[:5])
+    locked = encrypt_pdf(plain, method=method, user_pw=b'hunter2')
+    with pytest.raises(ValueError, match='password required'):
+        pdf_to_text(locked)
+    row = pdf_bytes_to_row('locked.pdf', locked)
+    assert 'password required' in row['error']
+    assert row['text'] == '' and row['n_chars'] == 0
+
+
+def test_deterministic_output():
+    plain = write_synth_pdf(LINES[:8])
+    assert (encrypt_pdf(plain, method='aesv3')
+            == encrypt_pdf(plain, method='aesv3'))
+
+
+def test_unsigned_p_value_accepted():
+    """Some writers store /P as unsigned 32-bit; the handler must
+    normalize before signing into the key hash."""
+    plain = write_synth_pdf(LINES[:4])
+    enc = encrypt_pdf(plain, method='rc4-128')
+    # rewrite /P -3904 as its unsigned twin 4294963392
+    patched = enc.replace(b'/P -3904', b'/P 4294963392')
+    assert patched != enc
+    want, _, _ = pdf_to_text(plain)
+    text, _, n_bad = pdf_to_text(patched)
+    assert text == want and n_bad == 0
+
+
+def test_nonstandard_filter_contained():
+    plain = write_synth_pdf(LINES[:4])
+    enc = encrypt_pdf(plain, method='rc4-128')
+    patched = enc.replace(b'/Filter /Standard', b'/Filter /MyCrypt0')
+    with pytest.raises(ValueError, match='non-standard'):
+        pdf_to_text(patched)
+
+
+def test_trailer_in_page_text_still_not_false_positive():
+    """The encryption check must keep ignoring trailer-looking bytes
+    shown as page TEXT (the PDF-tutorial page)."""
+    plain = write_synth_pdf(
+        ['trailer << /Encrypt 9 0 R >> is how encryption is marked'])
+    text, _, n_bad = pdf_to_text(plain)
+    assert 'Encrypt 9 0 R' in text and n_bad == 0
+
+
+def test_handler_rejects_wrong_empty_password_r6():
+    with pytest.raises(PdfCryptError):
+        StdSecurityHandler(v=5, r=6, o=b'\x00' * 48, u=b'\x01' * 48,
+                           p=-1, length_bits=256, id0=b'', ue=b'\x02' * 32)
