@@ -2007,6 +2007,23 @@ def q_video_frames(spark, sf_dir):
         'media_ref string, frame_idx int, kind string, frame_md5 string')
 
 
+def q_media_probe(spark, sf_dir):
+    """Container probing — typed metadata WITHOUT decode, the routing
+    stage a media pipeline runs first at 100 TB (probe reads headers;
+    decode reads everything): a deterministic mixed corpus cycling
+    png / jpeg / gif / mjpeg-avi / wav / mp4 / webm / junk probes to
+    (container, codec, dims, frames, duration, rate, channels, status).
+    The decodable payloads are REAL files from the repo's codecs;
+    mp4/webm parse their actual ISO-BMFF box / Matroska EBML structure
+    (metadata-real, codec contained — the honest split); junk payloads
+    surface as contained status rows. Committed-output oracle pins
+    every field."""
+    from mineru_html_spark.functions.probe import (probe_media,
+                                                   synth_probe_media_df)
+    n = max(120, docs_for_sf(_sf_of(sf_dir)) // 64)
+    return probe_media(synth_probe_media_df(spark, n))
+
+
 def q_audio_features(spark, sf_dir):
     """Audio modality, REAL end-to-end: deterministic WAV corpus
     (hash-seeded sine mixtures + click trains; stereo / 8-bit / corrupt
@@ -2129,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_dedup_keep': q_image_dedup_keep,
         'gif_frames': q_gif_frames,
         'video_frames': q_video_frames,
+        'media_probe': q_media_probe,
         'audio_features': q_audio_features,
         'audio_resample': q_audio_resample,
         'dsir_select': q_dsir_select,
@@ -2255,7 +2273,7 @@ def oracle_sql() -> dict[str, str]:
                      'streaming_near_dup', 'pdf_extract',
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',
-                     'audio_features', 'audio_resample',
+                     'media_probe', 'audio_features', 'audio_resample',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

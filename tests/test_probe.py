@@ -1,0 +1,147 @@
+"""Container probing (functions/probe.py): metadata without decode.
+
+Every decodable container's probe is checked against ground truth from
+the repo's own codecs; mp4/webm parse real ISO-BMFF / EBML structure
+(the skeleton writers are metadata-true); corrupt payloads stay
+contained status rows.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.probe import (probe_payload,
+                                               write_synth_mp4,
+                                               write_synth_webm)
+
+
+def _img(h=20, w=30):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+
+
+def test_probe_png():
+    from mineru_html_spark.functions.png import encode_png
+    p = probe_payload(encode_png(_img()))
+    assert (p['container'], p['codec']) == ('png', 'png')
+    assert (p['width'], p['height'], p['n_frames']) == (30, 20, 1)
+    assert p['status'] == 'ok'
+
+
+def test_probe_jpeg_baseline_flag():
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+    p = probe_payload(encode_jpeg_baseline(_img(), quality=80))
+    assert (p['container'], p['codec']) == ('jpeg', 'baseline')
+    assert (p['width'], p['height']) == (30, 20)
+
+
+def test_probe_jpeg_progressive_marker():
+    """A SOF2 marker must be reported as progressive — that is exactly
+    the signal the router uses to send a file to the contained path."""
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+    d = bytearray(encode_jpeg_baseline(_img(), quality=80))
+    i = d.find(b'\xff\xc0')
+    d[i + 1] = 0xC2
+    p = probe_payload(bytes(d))
+    assert p['codec'] == 'progressive'
+
+
+def test_probe_gif_frame_count():
+    from mineru_html_spark.functions.gif import encode_gif
+    frames = [np.roll(_img(), k, axis=1) for k in range(4)]
+    p = probe_payload(encode_gif(frames))
+    assert (p['container'], p['n_frames']) == ('gif', 4)
+    assert (p['width'], p['height']) == (30, 20)
+
+
+def test_probe_avi_matches_encoder():
+    from mineru_html_spark.functions.avi import encode_avi_mjpeg
+    p = probe_payload(encode_avi_mjpeg([_img()] * 5, fps=10))
+    assert (p['container'], p['codec']) == ('avi', 'mjpg')
+    assert (p['n_frames'], p['duration_ms']) == (5, 500)
+    assert (p['width'], p['height']) == (30, 20)
+
+
+def test_probe_wav_duration():
+    from mineru_html_spark.functions.audio import encode_wav
+    s = np.zeros(16000, dtype=np.float32)
+    p = probe_payload(encode_wav(s, rate=16000))
+    assert (p['container'], p['sample_rate'], p['channels']) \
+        == ('wav', 16000, 1)
+    assert p['duration_ms'] == 1000
+
+
+def test_probe_mp4_metadata():
+    p = probe_payload(write_synth_mp4(640, 360, 12500, audio=True))
+    assert p['container'] == 'isom' and p['codec'] == 'avc1'
+    assert (p['width'], p['height'], p['duration_ms']) \
+        == (640, 360, 12500)
+    assert (p['sample_rate'], p['channels']) == (44100, 2)
+
+
+def test_probe_mp4_mvhd_version1_and_largesize():
+    """64-bit box sizes and version-1 mvhd (the >4 GiB / post-2038
+    shapes) must parse."""
+    d = bytearray(write_synth_mp4(320, 240, 7000))
+    # rewrite mvhd to version 1: ver byte + 64-bit times/duration
+    i = d.find(b'mvhd')
+    body = i + 4
+    mvhd_v1 = (b'\x01\x00\x00\x00' + b'\x00' * 16
+               + struct.pack('>I', 1000) + struct.pack('>Q', 7000)
+               + b'\x00' * 80)
+    new = struct.pack('>I', 8 + len(mvhd_v1)) + b'mvhd' + mvhd_v1
+    old_len = struct.unpack_from('>I', d, i - 4)[0]
+    patched = bytes(d[:i - 4]) + new + bytes(d[i - 4 + old_len:])
+    # fix the enclosing moov size
+    j = patched.find(b'moov')
+    moov_len = struct.unpack_from('>I', patched, j - 4)[0]
+    patched = (patched[:j - 4]
+               + struct.pack('>I', moov_len + len(new) - old_len)
+               + patched[j:])
+    p = probe_payload(patched)
+    assert p['duration_ms'] == 7000
+    # largesize: rewrite ftyp with size==1 + 64-bit size
+    size0 = struct.unpack_from('>I', patched, 0)[0]
+    body = patched[8:size0]
+    big = (struct.pack('>I', 1) + b'ftyp'
+           + struct.pack('>Q', 16 + len(body)) + body)
+    p2 = probe_payload(big + patched[size0:])
+    assert p2['duration_ms'] == 7000
+
+
+def test_probe_webm_metadata():
+    p = probe_payload(write_synth_webm(1280, 720, 8000, codec='V_VP9'))
+    assert p['container'] == 'webm' and p['codec'] == 'vp9'
+    assert (p['width'], p['height'], p['duration_ms']) \
+        == (1280, 720, 8000)
+
+
+def test_probe_contained_on_garbage_and_truncation():
+    assert probe_payload(b'')['status'].startswith('error')
+    assert probe_payload(b'\x00\x01garbage')['status'].startswith('error')
+    for payload in (write_synth_mp4(64, 64, 100),
+                    write_synth_webm(64, 64, 100)):
+        for cut in range(0, len(payload), 11):
+            p = probe_payload(payload[:cut])
+            assert isinstance(p['status'], str)    # never raises
+
+
+def test_probe_media_spark(spark):
+    from mineru_html_spark.functions.probe import (probe_media,
+                                                   synth_probe_media_df)
+    rows = {r['media_ref']: r for r in probe_media(
+        synth_probe_media_df(spark, 32)).collect()}
+    assert len(rows) == 32
+    kinds = {int(ref.split('-')[1]) % 8: r['container']
+             for ref, r in rows.items()}
+    assert kinds[0] == 'png' and kinds[1] == 'jpeg'
+    assert kinds[2] == 'gif' and kinds[3] == 'avi'
+    assert kinds[4] == 'wav' and kinds[5] == 'isom'
+    assert kinds[6] == 'webm' and kinds[7] == 'unknown'
+    for ref, r in rows.items():
+        idx = int(ref.split('-')[1])
+        if idx % 8 == 7:
+            assert r['status'].startswith('error')
+        else:
+            assert r['status'] == 'ok', (ref, r['status'])

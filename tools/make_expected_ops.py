@@ -25,7 +25,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'near_dup_clusters', 'approx_distinct_users', 'warc_extract',
          'bpe_train', 'bpe_apply', 'streaming_near_dup', 'pdf_extract',
          'extract_markdown', 'image_near_dups', 'image_dedup_keep',
-         'gif_frames', 'video_frames', 'audio_features', 'audio_resample')
+         'gif_frames', 'video_frames', 'media_probe', 'audio_features',
+         'audio_resample')
 
 
 def main():
