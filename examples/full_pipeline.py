@@ -43,7 +43,7 @@ import pyspark.sql.functions as F
 def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  lang_mix: dict | None = None,
                  stage_report: dict | None = None):
-    """Run the 14-stage chain. When ``stage_report`` is a dict, each
+    """Run the 17-stage chain. When ``stage_report`` is a dict, each
     stage is materialized (persist+count) and its wall/rows recorded in
     it — the at-scale linearity proof harness
     (tools/pipeline_stage_report.py); None (default) keeps the lazy
@@ -198,10 +198,34 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     # 11. pack into training sequences
     packed = _mark('13_pack', pack_sequences(clean, budget=token_budget))
 
-    # 12. write: extraction results, survivors, pack manifest
+    # 12-14. multimodal branch: the images the extractor kept. Probe
+    #    routes payloads from container structure alone (no decode);
+    #    decodable images get real feature vectors; pHash near-dup
+    #    clustering marks one canonical copy per visual duplicate —
+    #    the (image, context) training pairs downstream read only
+    #    keep=true refs. synth_media_df is the sandbox stand-in for
+    #    the payload fetch (real crawl: a binaryFile/object-store read).
+    from mineru_html_spark.functions.media import (extract_media_features,
+                                                   image_dedup_keep,
+                                                   media_refs_from_results,
+                                                   synth_media_df)
+    from mineru_html_spark.functions.probe import probe_media
+    media = _mark('14_media_fetch',
+                  synth_media_df(spark, media_refs_from_results(results)))
+    probed = _mark('15_media_probe', probe_media(media))
+    feats = _mark('16_media_features',
+                  extract_media_features(media)
+                  .where(F.col('decode_status') == 'ok'))
+    media_keep = _mark('17_image_dedup', image_dedup_keep(media))
+
+    # 15. write: extraction results, survivors, pack + media manifests
     results.write.mode('overwrite').parquet(os.path.join(out_dir, 'extracted'))
     clean.write.mode('overwrite').parquet(os.path.join(out_dir, 'survivors'))
     packed.write.mode('overwrite').parquet(os.path.join(out_dir, 'packs'))
+    (probed.join(media_keep, 'media_ref')
+     .select('media_ref', 'container', 'codec', 'width', 'height',
+             'cluster_id', 'keep')
+     .write.mode('overwrite').parquet(os.path.join(out_dir, 'media')))
 
     stats = {
         'input_docs': docs.count(),
@@ -210,6 +234,9 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
         'survivors': clean.count(),
         'packs': packed.select('bucket', 'pack_id').distinct().count(),
         'sum_tokens': packed.agg(F.sum('n_tokens')).collect()[0][0],
+        'media_refs': media_keep.count(),
+        'media_decoded_ok': feats.count(),
+        'media_survivors': media_keep.where('keep').count(),
     }
     stats['after_quality_gate_and_exact_dedup'] = stats['survivors']
     results.unpersist()

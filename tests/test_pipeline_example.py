@@ -23,3 +23,16 @@ def test_full_pipeline_example(spark, tmp_path):
     assert survivors.select('doc_id').distinct().count() == stats['survivors']
     packs = spark.read.parquet(out + '/packs')
     assert packs.count() == stats['survivors']   # every survivor packed
+
+    # multimodal branch invariants: every extracted image ref is
+    # probed + clustered; manifests agree; survivors are canonical
+    media = spark.read.parquet(out + '/media')
+    assert media.count() == stats['media_refs'] > 0
+    assert stats['media_survivors'] <= stats['media_refs']
+    assert media.where('keep').count() == stats['media_survivors']
+    kept = media.where('keep').select('media_ref', 'cluster_id').collect()
+    assert all(r['media_ref'] == r['cluster_id'] for r in kept)
+    # probe saw only real decodable containers in this corpus
+    assert {r['container'] for r in
+            media.select('container').distinct().collect()} \
+        <= {'png', 'jpeg', 'gif'}
