@@ -145,6 +145,8 @@ def _fast_decoder(bits_t: tuple, vals_t: tuple):
     syms = np.zeros(65536, dtype=np.int32)
     lens = np.zeros(65536, dtype=np.uint8)
     code = 0
+    if sum(bits_t) > len(vals_t):
+        raise ValueError('malformed Huffman table (counts > values)')
     k = 0
     for ln in range(1, 17):
         for _ in range(bits_t[ln - 1]):
@@ -494,11 +496,12 @@ def _decode_block_zz(br: _BitReader, dc_tab, ac_tab,
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JFIF/JPEG byte stream to an (h,w,3)
-    RGB uint8 array ((h,w) stays 3-channel via gray replication for a
-    uniform downstream contract). Raises ValueError on non-JPEG input
-    and on out-of-scope coding modes (progressive / arithmetic /
-    12-bit)."""
+    """Decode a baseline-sequential OR progressive (T.81 Annex G:
+    spectral selection + successive approximation) JFIF/JPEG byte
+    stream to an (h,w,3) RGB uint8 array ((h,w) stays 3-channel via
+    gray replication for a uniform downstream contract). Raises
+    ValueError on non-JPEG input and on out-of-scope coding modes
+    (arithmetic / hierarchical / 12-bit)."""
     data = bytes(data)
     if data[:2] != b'\xff\xd8':
         raise ValueError('not a JPEG (missing SOI)')
@@ -506,6 +509,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tabs: Dict[int, Dict] = {}
     ac_tabs: Dict[int, Dict] = {}
     frame = None
+    prog = None
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -543,10 +547,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = tuple(body[i + 1:i + 17])
                 nv = sum(bits)
                 vals = tuple(body[i + 17:i + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError('truncated DHT segment')
                 tab = _fast_decoder(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
-        elif marker == 0xc0 or marker == 0xc1:  # SOF0/1 baseline
+        elif marker in (0xc0, 0xc1, 0xc2):     # SOF0/1 + progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError(f'{prec}-bit precision unsupported')
@@ -558,17 +564,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 0x0f,
                               'tq': tq})
-            frame = {'h': fh, 'w': fw, 'comps': comps}
-        elif marker in (0xc2, 0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca,
+            frame = {'h': fh, 'w': fw, 'comps': comps,
+                     'progressive': marker == 0xc2}
+        elif marker in (0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca,
                         0xcb, 0xcd, 0xce, 0xcf):
             raise ValueError(
                 f'SOF{marker - 0xc0}: only baseline sequential '
-                f'(SOF0/1) is supported')
+                f'(SOF0/1) and progressive (SOF2) are supported')
         elif marker == 0xdd:                   # DRI
             restart_interval = int.from_bytes(body[:2], 'big')
         elif marker == 0xda:                   # SOS
             if frame is None:
                 raise ValueError('SOS before SOF')
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError('truncated SOS header')
+            if frame.get('progressive'):
+                if prog is None:
+                    hmax = max(c['h'] for c in frame['comps'])
+                    vmax = max(c['v'] for c in frame['comps'])
+                    if hmax > 2 or vmax > 2:
+                        raise ValueError(
+                            'sampling factors above 2x2 unsupported')
+                    mcux = (frame['w'] + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (frame['h'] + 8 * vmax - 1) // (8 * vmax)
+                    prog = {'hmax': hmax, 'vmax': vmax,
+                            'mcux': mcux, 'mcuy': mcuy,
+                            'stores': [np.zeros(
+                                (mcuy * c['v'], mcux * c['h'], 64),
+                                dtype=np.int32)
+                                for c in frame['comps']]}
+                pos = _decode_prog_scan(
+                    data, pos + 2 + seglen, body, frame, prog,
+                    dc_tabs, ac_tabs, restart_interval)
+                continue
             ns = body[0]
             if ns != len(frame['comps']):
                 # legal baseline files MAY ship one scan per component
@@ -588,6 +616,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 qtables, dc_tabs, ac_tabs,
                                 restart_interval)
         pos += 2 + seglen
+    if prog is not None:
+        return _store_to_rgb(frame, prog, qtables)
     raise ValueError('no SOS scan found')
 
 
@@ -660,3 +690,454 @@ def _decode_scan(data, pos, frame, scan, qtables, dc_tabs, ac_tabs,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (ITU-T T.81 Annex G): spectral selection +
+# successive approximation, both scan directions
+# ---------------------------------------------------------------------------
+#
+# Progressive files transport the SAME quantized coefficients as
+# baseline, split across scans: DC first (point-transformed by Al) then
+# DC refinement bits; per-component AC bands (Ss..Se) first at Al then
+# refinement scans Ah->Al. The decoder accumulates coefficients into a
+# per-component store and reconstructs once at EOI. The scan-state
+# algorithms mirror the spec's G.1.2.2-G.1.2.3 flowcharts (the same
+# shape public decoders implement).
+
+def _comp_block_dims(frame, comp, hmax, vmax):
+    """(block rows, block cols) of one component's OWN grid — the
+    coverage of a non-interleaved scan (§A.2.2: ceil of the scaled
+    component dimensions, NOT the MCU-padded grid)."""
+    cw = (frame['w'] * comp['h'] + hmax - 1) // hmax
+    ch = (frame['h'] * comp['v'] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_prog_scan(data, pos, body, frame, prog, dc_tabs, ac_tabs,
+                      restart_interval):
+    """Process one progressive SOS scan into the coefficient store;
+    returns the byte offset of the next marker."""
+    ns = body[0]
+    scomp = []
+    for si in range(ns):
+        cs, tdta = body[1 + si * 2:3 + si * 2]
+        ci = next(i for i, c in enumerate(frame['comps'])
+                  if c['id'] == cs)
+        scomp.append((ci, tdta >> 4, tdta & 0x0f))
+    ss, se, ahal = body[1 + ns * 2:4 + ns * 2]
+    ah, al = ahal >> 4, ahal & 0x0f
+    if ss > se or se > 63 or (ss == 0 and se != 0):
+        raise ValueError(f'bad spectral selection {ss}..{se}')
+    if ss > 0 and ns != 1:
+        raise ValueError('progressive AC scan must be single-component')
+    br = _BitReader(data, pos)
+    hmax, vmax = prog['hmax'], prog['vmax']
+
+    def refine_nonzero(coef, k):
+        c = int(coef[k])
+        if br.read_bits(1) and (c & prog_p1) == 0:
+            coef[k] = c + (prog_p1 if c >= 0 else prog_m1)
+
+    prog_p1, prog_m1 = 1 << al, -(1 << al)
+
+    if ss == 0:                                 # DC scan
+        units = []                              # (ci, store, by, bx)
+        if ns == 1:
+            ci, td, _ = scomp[0]
+            comp = frame['comps'][ci]
+            bh, bw_ = _comp_block_dims(frame, comp, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw_):
+                    units.append((ci, td, by, bx))
+        else:
+            for my in range(prog['mcuy']):
+                for mx in range(prog['mcux']):
+                    for ci, td, _ in scomp:
+                        comp = frame['comps'][ci]
+                        for by in range(comp['v']):
+                            for bx in range(comp['h']):
+                                units.append((ci, td,
+                                              my * comp['v'] + by,
+                                              mx * comp['h'] + bx))
+        preds = {ci: 0 for ci, _, _ in scomp}
+        count = 0
+        mcu_sz = sum(frame['comps'][ci]['v'] * frame['comps'][ci]['h']
+                     for ci, _, _ in scomp) if ns > 1 else 1
+        for ci, td, by, bx in units:
+            if restart_interval and count \
+                    and count % (restart_interval * mcu_sz) == 0:
+                br.sync_to_restart()
+                preds = {c: 0 for c in preds}
+            count += 1
+            coef = prog['stores'][ci][by, bx]
+            if ah == 0:                         # first DC scan
+                s = _decode_symbol(br, dc_tabs[td])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                preds[ci] += diff
+                coef[0] = preds[ci] << al
+            else:                               # DC refinement: raw bit
+                if br.read_bits(1):
+                    coef[0] = int(coef[0]) | (1 << al)
+    else:                                       # AC scan, ns == 1
+        ci, _, ta = scomp[0]
+        comp = frame['comps'][ci]
+        bh, bw_ = _comp_block_dims(frame, comp, hmax, vmax)
+        store = prog['stores'][ci]
+        eobrun = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and count \
+                        and count % restart_interval == 0:
+                    br.sync_to_restart()
+                    eobrun = 0
+                count += 1
+                coef = store[by, bx]
+                if ah == 0:                     # AC first scan (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_symbol(br, ac_tabs[ta])
+                        r, s = rs >> 4, rs & 0x0f
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError('AC run past band')
+                            coef[k] = _extend(br.read_bits(s), s) << al
+                            k += 1
+                        else:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += 16             # ZRL
+                else:                           # AC refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_symbol(br, ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0f
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        'refinement size != 1')
+                                val = (prog_p1 if br.read_bits(1)
+                                       else prog_m1)
+                            while k <= se:
+                                if int(coef[k]) != 0:
+                                    refine_nonzero(coef, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                coef[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if int(coef[k]) != 0:
+                                refine_nonzero(coef, k)
+                            k += 1
+                        eobrun -= 1
+    # locate the next marker after this scan's entropy data
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xff and data[p + 1] != 0x00 \
+                and not (0xd0 <= data[p + 1] <= 0xd7):
+            return p
+        p += 1
+    return n
+
+
+def _store_to_rgb(frame, prog, qtables):
+    """Dequantize the accumulated coefficient stores, batched IDCT per
+    component plane, upsample, color-convert — the progressive twin of
+    the baseline reconstruction tail."""
+    h, w = frame['h'], frame['w']
+    hmax, vmax = prog['hmax'], prog['vmax']
+    full = []
+    for ci, comp in enumerate(frame['comps']):
+        store = prog['stores'][ci]              # (BY, BX, 64) zigzag
+        by, bx = store.shape[:2]
+        zz = store.reshape(-1, 64).astype(np.float64)
+        qtab = qtables[comp['tq']]
+        coef = np.zeros_like(zz)
+        coef[:, ZIGZAG] = zz[:, :] * qtab[ZIGZAG]
+        blks = np.einsum('ij,njk,kl->nil', _C.T,
+                         coef.reshape(-1, 8, 8), _C, optimize=True)
+        p = (blks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+        ry, rx = vmax // comp['v'], hmax // comp['h']
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _pt_ac(c: int, al: int) -> int:
+    """AC point transform (G.1.2.1): magnitude shift, sign preserved."""
+    return (c >> al) if c >= 0 else -((-c) >> al)
+
+
+def _enc_ac_first(bw: _BitWriter, zz, ss: int, se: int, al: int,
+                  ac_codes) -> None:
+    """One block of an AC first scan (Ah=0): run/size coding of the
+    point-transformed band; EOB emitted per block (eobrun length 1 —
+    legal, keeps the emitter inside the standard Huffman tables)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = _pt_ac(int(zz[k]), al)
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xf0]
+            bw.write(code, ln)
+            r -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        r = 0
+    if r:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, zz, ss: int, se: int, al: int,
+                   ac_codes) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients as (run,1) symbols + sign bit, correction bits for
+    already-nonzero coefficients interleaved in positional order,
+    per-block EOB carrying the tail corrections — the exact inverse of
+    the decoder's G.1.2.3 walk."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in vals]
+    eob = 0
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i + 1
+    r = 0
+    pend: list = []
+    # EAGER emission: a ZRL must flush only the correction bits located
+    # BEFORE its 16th zero-history position — the decoder reads them
+    # during that walk; corrections between the 16th zero and the next
+    # symbol belong to the next flush (a lazy run>15 loop desyncs the
+    # stream exactly there — caught by the 512px smooth-image test)
+    for i in range(eob):
+        a = absv[i]
+        if a == 0:
+            r += 1
+            if r == 16:
+                code, ln = ac_codes[0xf0]      # ZRL: 16 zero-history
+                bw.write(code, ln)
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+                r = 0
+        elif a > 1:
+            pend.append(a & 1)                 # correction bit
+        else:                                  # newly significant
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if vals[i] > 0 else 0, 1)
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+            r = 0
+    tail = [absv[i] & 1 for i in range(eob, len(absv)) if absv[i] > 1]
+    if r or pend or eob < len(absv):
+        code, ln = ac_codes[0x00]              # EOB (run 1)
+        bw.write(code, ln)
+        for b in pend + tail:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False,
+                            al_dc: int = 1, al_ac: int = 1,
+                            bands=((1, 5), (6, 63))) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2): spectral selection over
+    ``bands`` plus successive approximation (``al_dc``/``al_ac`` levels
+    with full refinement scans back to Al=0). Transports exactly the
+    same quantized coefficients as ``encode_jpeg_baseline`` at the same
+    quality — decode of the two is bit-identical, which is the
+    correctness gate. Deterministic; standard Huffman tables (EOB runs
+    are emitted per-block so every symbol exists in them)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    f = img.astype(np.float64)
+    if gray:
+        comps = [f[:, :, 0]]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    sub = bool(subsample) and not gray
+    factors = [(2, 2) if sub and ci == 0 else (1, 1)
+               for ci in range(len(comps))]
+    if sub:
+        ds = []
+        for c in comps[1:]:
+            ph = c if h % 2 == 0 else np.vstack([c, c[-1:, :]])
+            ph = ph if w % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+            ds.append((ph[0::2, 0::2] + ph[1::2, 0::2]
+                       + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0)
+        comps = [comps[0]] + ds
+    ql = _scale_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scale_quant(QUANT_CHROMA, quality).reshape(8, 8)
+    hmax = max(hf for hf, _ in factors)
+    vmax = max(vf for _, vf in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    tables = [ql] + [qc] * (len(comps) - 1)
+    # positional quantized-coefficient stores (BY, BX, 64), zigzag
+    stores = []
+    for ci, (hf, vf) in enumerate(factors):
+        padded = _pad_plane(comps[ci], mcuy * vf, mcux * hf)
+        by, bx = mcuy * vf, mcux * hf
+        st = np.zeros((by, bx, 64), dtype=np.int32)
+        for yy in range(by):
+            for xx in range(bx):
+                blk = padded[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8]
+                q = np.round((_C @ blk @ _C.T) / tables[ci]) \
+                    .astype(np.int32).ravel()
+                st[yy, xx] = q[ZIGZAG]
+        stores.append(st)
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] \
+        + [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] \
+        * (len(comps) - 1)
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] \
+        + [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] \
+        * (len(comps) - 1)
+
+    def comp_dims(ci):
+        hf, vf = factors[ci]
+        cw = (w * hf + hmax - 1) // hmax
+        ch_ = (h * vf + vmax - 1) // vmax
+        return (ch_ + 7) // 8, (cw + 7) // 8
+
+    out = bytearray(b'\xff\xd8')
+    out += _seg(0xe0, b'JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00')
+    out += _seg(0xdb, bytes([0]) + bytes(int(x) for x in
+                                         ql.ravel()[ZIGZAG]))
+    if not gray:
+        out += _seg(0xdb, bytes([1]) + bytes(int(x) for x in
+                                             qc.ravel()[ZIGZAG]))
+    ncomp = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, 'big') + w.to_bytes(2, 'big') \
+        + bytes([ncomp])
+    for ci, (hf, vf) in enumerate(factors):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += _seg(0xc2, sof)                     # SOF2 progressive
+    out += _seg(0xc4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xc4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if not gray:
+        out += _seg(0xc4, _dht_payload(0, 1, DC_CHROMA_BITS,
+                                       DC_CHROMA_VALS))
+        out += _seg(0xc4, _dht_payload(1, 1, AC_CHROMA_BITS,
+                                       AC_CHROMA_VALS))
+
+    def sos(comp_list, ss, se, ah, al, body_writer):
+        nonlocal out
+        hdr = bytes([len(comp_list)])
+        for ci in comp_list:
+            td = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | td])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xda, hdr)
+        bw = _BitWriter()
+        body_writer(bw)
+        bw.flush()
+        out += bw.out
+
+    # scan 1: DC first (interleaved when ncomp > 1), Al = al_dc
+    def dc_first(bw):
+        preds = [0] * ncomp
+        if ncomp == 1:
+            bh, bw_ = comp_dims(0)
+            order = [(0, yy, xx) for yy in range(bh)
+                     for xx in range(bw_)]
+        else:
+            order = [(ci, my * factors[ci][1] + by,
+                      mx * factors[ci][0] + bx)
+                     for my in range(mcuy) for mx in range(mcux)
+                     for ci in range(ncomp)
+                     for by in range(factors[ci][1])
+                     for bx in range(factors[ci][0])]
+        for ci, yy, xx in order:
+            dc = int(stores[ci][yy, xx, 0]) >> al_dc
+            s, bits = _magnitude(dc - preds[ci])
+            code, ln = dc_codes[ci][s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits, s)
+            preds[ci] = dc
+    sos(list(range(ncomp)), 0, 0, 0, al_dc, dc_first)
+
+    # AC first scans per component and band, Al = al_ac
+    for ci in range(ncomp):
+        bh, bw_ = comp_dims(ci)
+        for ss, se in bands:
+            sos([ci], ss, se, 0, al_ac,
+                lambda bw, ci=ci, ss=ss, se=se, bh=bh, bw_=bw_: [
+                    _enc_ac_first(bw, stores[ci][yy, xx], ss, se,
+                                  al_ac, ac_codes[ci])
+                    for yy in range(bh) for xx in range(bw_)])
+
+    # DC refinement scans down to Al = 0 (raw bit per block)
+    for a in range(al_dc - 1, -1, -1):
+        def dc_ref(bw, a=a):
+            if ncomp == 1:
+                bh, bw_ = comp_dims(0)
+                order = [(0, yy, xx) for yy in range(bh)
+                         for xx in range(bw_)]
+            else:
+                order = [(ci, my * factors[ci][1] + by,
+                          mx * factors[ci][0] + bx)
+                         for my in range(mcuy) for mx in range(mcux)
+                         for ci in range(ncomp)
+                         for by in range(factors[ci][1])
+                         for bx in range(factors[ci][0])]
+            for ci, yy, xx in order:
+                bw.write((int(stores[ci][yy, xx, 0]) >> a) & 1, 1)
+        sos(list(range(ncomp)), 0, 0, a + 1, a, dc_ref)
+
+    # AC refinement scans down to Al = 0
+    for a in range(al_ac - 1, -1, -1):
+        for ci in range(ncomp):
+            bh, bw_ = comp_dims(ci)
+            for ss, se in bands:
+                sos([ci], ss, se, a + 1, a,
+                    lambda bw, ci=ci, ss=ss, se=se, bh=bh, bw_=bw_,
+                    a=a: [
+                        _enc_ac_refine(bw, stores[ci][yy, xx], ss, se,
+                                       a, ac_codes[ci])
+                        for yy in range(bh) for xx in range(bw_)])
+
+    out += b'\xff\xd9'
+    return bytes(out)

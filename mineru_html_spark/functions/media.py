@@ -1,8 +1,9 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 The IMAGE path is REAL end-to-end: payloads are genuine PNG
-(``functions/png.py``) and baseline-JPEG (``functions/jpeg.py``) files
-— both pure-stdlib codecs — decode produces actual pixel arrays,
+(``functions/png.py``) and JPEG (``functions/jpeg.py`` — baseline AND
+progressive) files — pure-stdlib codecs — decode produces actual pixel
+arrays,
 features are real image statistics, resize is a real box-average
 resample with PNG re-encode, and near-duplicate detection is a real
 DCT perceptual hash with banded LSH. WebP/AVIF/video decode would need
@@ -27,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .avi import decode_avi_mjpeg, encode_avi_mjpeg
 from .gif import decode_gif, encode_gif
-from .jpeg import decode_jpeg, encode_jpeg_baseline
+from .jpeg import (decode_jpeg, encode_jpeg_baseline,
+                   encode_jpeg_progressive)
 from .png import decode_png, encode_png
 
 MEDIA_SCHEMA = ('media_ref string, payload binary, mime string, '
@@ -60,8 +62,10 @@ def _synth_image(ref: str) -> np.ndarray:
 def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
     """Deterministic REAL image payloads for a media_ref column (no
     external data): each ref gets a hash-seeded pattern image encoded
-    with one of the stdlib codecs — PNG for most refs, baseline JPEG
-    (hash-varied 4:4:4 / 4:2:0 / restart-marker variants) for a third,
+    with one of the stdlib codecs — PNG for most refs, JPEG for a
+    third (hash-varied 4:4:4 / 4:2:0 / restart-marker baselines, half
+    of them PROGRESSIVE with varied spectral-selection/successive-
+    approximation scripts),
     and a 3-frame animated GIF for a sixth (first frame = the pattern
     image, quantized — downstream single-image decode composites frame
     0), mirroring a crawl's PNG/JPEG/GIF mix — so the decode stage does
@@ -73,7 +77,17 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
                 img = _synth_image(ref)
                 sel = hashlib.sha256(str(ref).encode()).digest()[13]
                 n_frames = 1
-                if sel % 3 == 2:
+                if sel % 6 == 5:
+                    # progressive JPEG: spectral selection + successive
+                    # approximation, hash-varied script
+                    payload = encode_jpeg_progressive(
+                        img, quality=85 + sel % 11,
+                        subsample=(sel % 2 == 0),
+                        al_dc=sel % 3, al_ac=sel % 2 + 1,
+                        bands=((1, 5), (6, 63)) if sel % 4 < 2
+                        else ((1, 63),))
+                    mime = 'image/jpeg'
+                elif sel % 3 == 2:
                     payload = encode_jpeg_baseline(
                         img, quality=85 + sel % 11,
                         subsample=(sel % 2 == 0),

@@ -23,7 +23,9 @@ All formats parsed from their public specifications, stdlib-only:
 
 For mp4/webm the probe is the REAL tier (full container parse) while
 frame decode remains the contained path (H.264/VP9 need ffmpeg) — the
-honest split: metadata-real, codec contained.
+honest split: metadata-real, codec contained. The JPEG probe's
+baseline/progressive flag is routing METADATA (both modes decode for
+real via functions/jpeg.py).
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Baseline JPEG codec: round-trips across coding variants, spec-path
+"""JPEG codec: round-trips across coding variants, spec-path
 coverage (subsampling, restart markers, grayscale), contained failures
 on out-of-scope modes and garbage."""
 
@@ -99,12 +99,15 @@ def test_jpeg_multiscan_rejected_contained():
         decode_jpeg(patched)
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_relabeled_sof2_contained():
+    """A BASELINE stream relabeled SOF2 carries a baseline SOS header
+    (Ss=0, Se=63) that is illegal in progressive mode — it must fail
+    contained, never decode to garbage."""
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg_baseline(img, 90))
     i = data.find(b'\xff\xc0')
     data[i + 1] = 0xc2                         # SOF0 -> SOF2
-    with pytest.raises(ValueError, match='baseline'):
+    with pytest.raises(ValueError, match='spectral'):
         decode_jpeg(bytes(data))
 
 
@@ -200,3 +203,87 @@ def test_jpeg_medium_multi_mcu_roundtrip():
             assert out.shape == (120, 88, 3)
             err = np.abs(out.astype(int) - img.astype(int)).mean()
             assert err < 12.0, (subsample, restart, err)
+
+
+# --- progressive mode (T.81 Annex G) -------------------------------------
+
+def _noisy(h, w, seed):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([(xx * 5 + seed) % 256, (yy * 3) % 256,
+                     ((xx + yy) * 2) % 256], axis=2)
+    return np.clip(base + rng.randint(0, 60, (h, w, 3)),
+                   0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize('dims,q,sub,al_dc,al_ac,bands', [
+    ((24, 32), 85, False, 1, 1, ((1, 5), (6, 63))),
+    ((17, 19), 70, False, 2, 2, ((1, 2), (3, 20), (21, 63))),
+    ((40, 40), 95, True, 1, 1, ((1, 63),)),
+    ((8, 8), 50, False, 0, 0, ((1, 63),)),       # pure spectral selection
+    ((33, 15), 85, True, 2, 3, ((1, 9), (10, 63))),
+])
+def test_progressive_bit_exact_vs_baseline(dims, q, sub, al_dc, al_ac,
+                                           bands):
+    """Progressive transports the SAME quantized coefficients as
+    baseline — decoding the two encodings of one image must be
+    BIT-IDENTICAL (the strongest possible correctness gate for the
+    spectral-selection + successive-approximation scan algebra)."""
+    from mineru_html_spark.functions.jpeg import encode_jpeg_progressive
+    h, w = dims
+    im = _noisy(h, w, h * w)
+    base = decode_jpeg(encode_jpeg_baseline(im, quality=q,
+                                            subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        im, quality=q, subsample=sub, al_dc=al_dc, al_ac=al_ac,
+        bands=bands))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_bit_exact():
+    from mineru_html_spark.functions.jpeg import encode_jpeg_progressive
+    im = _noisy(20, 20, 7)[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_baseline(im, quality=80)),
+        decode_jpeg(encode_jpeg_progressive(im, quality=80)))
+
+
+def test_progressive_truncation_fuzz_contained():
+    """Every truncation of a progressive stream raises ValueError or
+    returns an image — never an uncontained IndexError/struct.error."""
+    from mineru_html_spark.functions.jpeg import encode_jpeg_progressive
+    data = encode_jpeg_progressive(_noisy(16, 16, 3), quality=80)
+    for cut in range(2, len(data), 13):
+        try:
+            out = decode_jpeg(data[:cut])
+            assert out.shape == (16, 16, 3)
+        except ValueError:
+            pass
+
+
+def test_progressive_corruption_fuzz_contained():
+    from mineru_html_spark.functions.jpeg import encode_jpeg_progressive
+    data = bytearray(encode_jpeg_progressive(_noisy(16, 16, 4),
+                                             quality=85, al_ac=2))
+    for pos in range(20, len(data) - 2, 31):
+        bad = bytearray(data)
+        bad[pos] ^= 0x5A
+        try:
+            decode_jpeg(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_progressive_long_zero_runs_with_corrections_bit_exact():
+    """Smooth large images produce >16-zero runs with correction bits
+    interleaved BEYOND the 16th zero inside AC refinement scans — a
+    lazy ZRL flush desyncs exactly there (regression: caught at 512px,
+    reproduced here at 256px)."""
+    from mineru_html_spark.functions.jpeg import encode_jpeg_progressive
+    rng = np.random.RandomState(0)
+    im = np.clip(np.cumsum(rng.randint(-3, 4, (256, 256, 3)), axis=1)
+                 % 256, 0, 255).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg_baseline(im, quality=85, subsample=True))
+    b = decode_jpeg(encode_jpeg_progressive(im, quality=85,
+                                            subsample=True))
+    assert np.array_equal(a, b)

@@ -37,8 +37,8 @@ def test_probe_jpeg_baseline_flag():
 
 
 def test_probe_jpeg_progressive_marker():
-    """A SOF2 marker must be reported as progressive — that is exactly
-    the signal the router uses to send a file to the contained path."""
+    """A SOF2 marker must be reported as progressive (routing
+    metadata; both modes decode for real)."""
     from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
     d = bytearray(encode_jpeg_baseline(_img(), quality=80))
     i = d.find(b'\xff\xc0')
