@@ -286,6 +286,34 @@ def q_pdf_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_epub_extract(spark, sf_dir):
+    """End-to-end EPUB path — the book-corpus ingestion tier: a
+    deterministic 7-file gate set (OPF at root and nested with
+    percent-encoded relative hrefs, spine order deliberately different
+    from name order, a non-spine nav item that must be excluded, a
+    spine entry the zip lacks that must COUNT into n_missing, a
+    container-less archive that must fall back flagged, an IDPF
+    font-obfuscation encryption.xml that must still read, a DRM'd book
+    and a corrupt zip that must surface as contained error rows) reads
+    via the one-task-per-file binaryFile source and the stdlib OCF/OPF
+    walk feeds chapters through the engine's repairing DOM parser.
+    Committed-output oracle."""
+    from mineru_html_spark.sources.epub import (read_epubs,
+                                                write_synth_epub_gate_set)
+    d = os.path.join(REPO, '.data', 'epub_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_epub_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_epubs(spark, d)
+    return out.select('doc_id', 'title', 'n_chapters', 'n_missing',
+                      'n_chars', 'used_fallback',
+                      F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def q_token_count(spark, sf_dir):
     return tx.token_count(_docs(spark, sf_dir))
 
@@ -2149,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_probe': q_media_probe,
         'audio_features': q_audio_features,
         'audio_resample': q_audio_resample,
+        'epub_extract': q_epub_extract,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2270,7 +2299,7 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features', 'media_resize',
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
-                     'streaming_near_dup', 'pdf_extract',
+                     'streaming_near_dup', 'pdf_extract', 'epub_extract',
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',

@@ -1,0 +1,363 @@
+"""EPUB source: book-corpus ingestion, pure stdlib.
+
+Books are one of the highest-value slices of a training corpus and EPUB
+is their dominant open container: a ZIP archive (stdlib ``zipfile``)
+holding XHTML chapters listed by an OPF package document, located via
+``META-INF/container.xml`` (OCF, ISO/IEC 23736). That makes EPUB the one
+book format ingestible end-to-end with zero native dependencies — the
+chapters are exactly the HTML this engine already parses
+(``core/dom.py``'s tolerant tree builder), so the source tier is a thin
+container walk in front of the existing DOM machinery. Reference
+analogue: the HTML file-ingestion tier (MinerU-HTML consumes page HTML;
+an EPUB is page HTML in a zip with a declared reading order).
+
+Scope, stated honestly (the same contract style as ``sources/pdf.py``):
+
+* **Container walk** — ``META-INF/container.xml`` names the OPF; the
+  OPF's ``<manifest>`` maps ids to hrefs and its ``<spine>`` gives the
+  linear reading order. Both are parsed with namespace-tolerant regexes
+  (EPUB producers emit wildly inconsistent prefixes; a strict XML parse
+  rejects books that every reader opens). Hrefs resolve relative to the
+  OPF's directory, percent-encoding decoded.
+* **Tolerant fallback** — a zip with no usable container/OPF (common in
+  scraped "epub-like" archives) falls back to every ``.xhtml/.html/
+  .htm`` entry in name order, flagged ``used_fallback`` so downstream
+  can weight accordingly — tolerance is visible, never silent.
+* **Chapter text** — each chapter parses with the engine's repairing
+  DOM builder; ``script``/``style``/``template`` subtrees drop; text
+  nodes join with whitespace normalized per block. Chapters the
+  manifest names but the zip lacks COUNT into ``n_missing`` (loss is
+  visible), as do chapters that fail to decode.
+* **DRM** — ``META-INF/encryption.xml`` listing encrypted resources is
+  the Adobe/LCP DRM shape: a contained ``encrypted`` error row, exactly
+  like the password-locked PDF path (we do not strip DRM). An
+  encryption.xml that only signs fonts (IDPF font obfuscation of
+  ``Filter="http://www.idpf.org/2008/embedding"`` or Adobe's
+  ``ns.adobe.com/pdf/enc#RC``) does NOT block text extraction — fonts
+  are not text — so those books still read.
+* **Corrupt zips** — ``badzip`` error rows.
+
+Spark shape: one task per file via the binaryFile source, Arrow-batched
+parse, errors as rows — identical contract to the WARC/PDF readers.
+A deterministic synth writer (fixed zip timestamps, hash-derived
+content) makes the path testable with no external data.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+from typing import List, Optional, Tuple
+from urllib.parse import unquote
+
+# --------------------------------------------------------------------------
+# container / OPF parsing (namespace-tolerant regexes)
+# --------------------------------------------------------------------------
+
+_ROOTFILE_RE = re.compile(
+    rb'<(?:\w+:)?rootfile\b[^>]*?full-path\s*=\s*["\']([^"\']+)["\']')
+_ITEM_RE = re.compile(
+    rb'<(?:\w+:)?item\b[^>]*?>')
+_ITEMREF_RE = re.compile(
+    rb'<(?:\w+:)?itemref\b[^>]*?idref\s*=\s*["\']([^"\']+)["\']')
+_ATTR_RE = re.compile(rb'([\w-]+)\s*=\s*["\']([^"\']*)["\']')
+_TITLE_RE = re.compile(
+    rb'<(?:\w+:)?title[^>]*>([^<]*)</(?:\w+:)?title>')
+_ENC_DATA_RE = re.compile(
+    rb'<(?:\w+:)?EncryptedData\b.*?</(?:\w+:)?EncryptedData>', re.DOTALL)
+_CIPHER_REF_RE = re.compile(
+    rb'<(?:\w+:)?CipherReference\b[^>]*?URI\s*=\s*["\']([^"\']+)["\']')
+_FONT_OBFUSCATION = (b'idpf.org/2008/embedding', b'ns.adobe.com/pdf/enc#RC')
+
+_CHAPTER_EXTS = ('.xhtml', '.html', '.htm')
+
+
+def _parse_opf(opf_bytes: bytes, opf_dir: str) -> Tuple[str, List[str]]:
+    """(title, ordered chapter hrefs resolved against the OPF dir)."""
+    m = _TITLE_RE.search(opf_bytes)
+    title = m.group(1).decode('utf-8', 'replace').strip() if m else ''
+
+    manifest = {}
+    for im in _ITEM_RE.finditer(opf_bytes):
+        attrs = {k.decode('ascii', 'replace').lower(): v
+                 for k, v in _ATTR_RE.findall(im.group(0))}
+        iid, href = attrs.get('id'), attrs.get('href')
+        if iid and href:
+            manifest[iid.decode('utf-8', 'replace')] = \
+                href.decode('utf-8', 'replace')
+
+    hrefs = []
+    for rm in _ITEMREF_RE.finditer(opf_bytes):
+        href = manifest.get(rm.group(1).decode('utf-8', 'replace'))
+        if href:
+            hrefs.append(posixpath.normpath(
+                posixpath.join(opf_dir, unquote(href))))
+    return title, hrefs
+
+
+def _drm_blocks_text(enc_xml: bytes) -> bool:
+    """True when encryption.xml encrypts CONTENT (DRM); False when every
+    EncryptedData block is font obfuscation (those books still read)."""
+    blocks = _ENC_DATA_RE.findall(enc_xml)
+    if not blocks:
+        return False
+    for b in blocks:
+        if not any(sig in b for sig in _FONT_OBFUSCATION):
+            return True
+    return False
+
+
+def _chapter_text(html_bytes: bytes) -> str:
+    """One chapter's visible text via the engine's repairing DOM parser:
+    script/style/template subtrees drop, text joins space-normalized."""
+    from ..core.dom import parse_html, Node
+    root = parse_html(html_bytes.decode('utf-8', 'replace'))
+    out: List[str] = []
+
+    def walk(node):
+        if node.tag in ('script', 'style', 'template'):
+            return
+        for c in node.children:
+            if isinstance(c, Node):
+                walk(c)
+            else:
+                t = ' '.join(c.split())
+                if t:
+                    out.append(t)
+
+    walk(root)
+    return ' '.join(out)
+
+
+def epub_bytes_to_row(name: str, data: bytes) -> tuple:
+    """One EPUB file -> (doc_id, title, n_chapters, n_missing, n_chars,
+    used_fallback, text, error). Errors/DRM as rows, never raises."""
+    doc_id = name
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (doc_id, '', 0, 0, 0, False, '',
+                f'badzip {type(e).__name__}')
+
+    try:
+        if 'META-INF/encryption.xml' in names and _drm_blocks_text(
+                zf.read('META-INF/encryption.xml')):
+            return (doc_id, '', 0, 0, 0, False, '', 'encrypted drm')
+
+        title, hrefs, used_fallback = '', [], False
+        if 'META-INF/container.xml' in names:
+            m = _ROOTFILE_RE.search(zf.read('META-INF/container.xml'))
+            if m:
+                opf_path = unquote(m.group(1).decode('utf-8', 'replace'))
+                if opf_path in names:
+                    title, hrefs = _parse_opf(
+                        zf.read(opf_path), posixpath.dirname(opf_path))
+        if not hrefs:
+            used_fallback = True
+            hrefs = sorted(n for n in names
+                           if n.lower().endswith(_CHAPTER_EXTS))
+
+        texts, n_missing = [], 0
+        for h in hrefs:
+            if h not in names:
+                n_missing += 1
+                continue
+            try:
+                texts.append(_chapter_text(zf.read(h)))
+            except Exception:  # noqa: BLE001 — count, don't drop the book
+                n_missing += 1
+        text = '\n\n'.join(texts)
+        return (doc_id, title, len(texts), n_missing, len(text),
+                used_fallback, text, '')
+    except Exception as e:  # noqa: BLE001
+        return (doc_id, '', 0, 0, 0, False, '',
+                f'parse {type(e).__name__}')
+
+
+EPUB_ROWS_SCHEMA = ('doc_id string, title string, n_chapters int, '
+                    'n_missing int, n_chars long, used_fallback boolean, '
+                    'text string, error string')
+
+
+def read_epubs(spark, path: str):
+    """Directory of .epub files -> EPUB_ROWS_SCHEMA — one task per file
+    (binaryFile source), Arrow-batched parse, errors as rows. Same
+    contract as the WARC/PDF readers: at 100 TB this is an
+    embarrassingly parallel map over file splits, no shuffle."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.epub').load(path)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows = [epub_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'title', 'n_chapters',
+                               'n_missing', 'n_chars', 'used_fallback',
+                               'text', 'error'])
+
+    return files.mapInPandas(batch, EPUB_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus — no external data)
+# --------------------------------------------------------------------------
+
+def _zwrite(zf: zipfile.ZipFile, name: str, data: bytes,
+            stored: bool = False) -> None:
+    """Deterministic zip entry: fixed timestamp, fixed attrs."""
+    zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+    zi.compress_type = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    zi.external_attr = 0o644 << 16
+    zf.writestr(zi, data)
+
+
+def _container_xml(opf_path: str) -> bytes:
+    return (
+        '<?xml version="1.0"?>\n'
+        '<container version="1.0" '
+        'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">\n'
+        '  <rootfiles><rootfile full-path="%s" '
+        'media-type="application/oebps-package+xml"/></rootfiles>\n'
+        '</container>' % opf_path).encode()
+
+
+def _opf(title: str, chapters: List[str], extra_item: str = '') -> bytes:
+    items = ''.join(
+        '<item id="c%d" href="%s" '
+        'media-type="application/xhtml+xml"/>' % (i, h)
+        for i, h in enumerate(chapters)) + extra_item
+    refs = ''.join('<itemref idref="c%d"/>' % i
+                   for i in range(len(chapters)))
+    return (
+        '<?xml version="1.0"?>\n'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">\n'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<dc:title>%s</dc:title></metadata>\n'
+        '<manifest>%s</manifest>\n<spine>%s</spine>\n'
+        '</package>' % (title, items, refs)).encode()
+
+
+def _chapter_html(seed: int, heading: str) -> bytes:
+    """Deterministic XHTML chapter with text the extractor must keep and
+    script/style it must drop."""
+    paras = ''.join(
+        '<p>Paragraph %d of %s with stable words w%d and w%d.</p>'
+        % (i, heading, (seed * 7 + i) % 97, (seed * 13 + i) % 89)
+        for i in range(4))
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        '<title>%s</title><style>p{color:red}</style></head><body>'
+        '<h1>%s</h1>%s'
+        '<script>var dropped = %d;</script>'
+        '</body></html>' % (heading, heading, paras, seed)).encode()
+
+
+def _build_epub(entries: List[tuple]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        _zwrite(zf, 'mimetype', b'application/epub+zip', stored=True)
+        for name, data in entries:
+            _zwrite(zf, name, data)
+    return buf.getvalue()
+
+
+_DRM_ENC = (b'<?xml version="1.0"?>\n'
+            b'<encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+            b'container" xmlns:enc="http://www.w3.org/2001/04/xmlenc#">'
+            b'<enc:EncryptedData><enc:EncryptionMethod Algorithm='
+            b'"http://www.w3.org/2001/04/xmlenc#aes128-cbc"/>'
+            b'<enc:CipherData><enc:CipherReference URI="OEBPS/ch1.xhtml"/>'
+            b'</enc:CipherData></enc:EncryptedData></encryption>')
+
+_FONT_ENC = (b'<?xml version="1.0"?>\n'
+             b'<encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+             b'container" xmlns:enc="http://www.w3.org/2001/04/xmlenc#">'
+             b'<enc:EncryptedData><enc:EncryptionMethod Algorithm='
+             b'"http://www.idpf.org/2008/embedding"/>'
+             b'<enc:CipherData><enc:CipherReference URI="OEBPS/f.otf"/>'
+             b'</enc:CipherData></enc:EncryptedData></encryption>')
+
+
+def write_synth_epub_gate_set(out_dir: str) -> List[str]:
+    """Deterministic gate corpus covering the contract:
+
+    * ``book_plain`` — OPF at root, 3 chapters, spine order != name
+      order (proves spine is honored);
+    * ``book_nested`` — OPF under ``OEBPS/`` with relative +
+      percent-encoded hrefs and a non-spine extra item (must be
+      excluded);
+    * ``book_missing`` — spine names a chapter the zip lacks
+      (``n_missing`` must count it);
+    * ``book_nocontainer`` — no container.xml: fallback scan, flagged;
+    * ``book_fontenc`` — encryption.xml that only obfuscates a font:
+      must still read;
+    * ``book_drm`` — encryption.xml encrypting a chapter: contained
+      ``encrypted`` error row;
+    * ``book_corrupt`` — not a zip: contained ``badzip`` row.
+    """
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    books = {}
+
+    # spine order c2, c1, c3 while names sort c1 < c2 < c3
+    ch = {i: _chapter_html(i, 'Chapter %d' % i) for i in (1, 2, 3)}
+    books['book_plain.epub'] = _build_epub([
+        ('META-INF/container.xml', _container_xml('content.opf')),
+        ('content.opf', _opf('Plain Book',
+                             ['ch2.xhtml', 'ch1.xhtml', 'ch3.xhtml'])),
+        ('ch1.xhtml', ch[1]), ('ch2.xhtml', ch[2]), ('ch3.xhtml', ch[3]),
+    ])
+
+    extra = ('<item id="nav" href="nav%20x.xhtml" '
+             'media-type="application/xhtml+xml" properties="nav"/>')
+    books['book_nested.epub'] = _build_epub([
+        ('META-INF/container.xml', _container_xml('OEBPS/pkg.opf')),
+        ('OEBPS/pkg.opf', _opf('Nested Book',
+                               ['text/a%20b.xhtml', 'text/c.xhtml'],
+                               extra_item=extra)),
+        ('OEBPS/text/a b.xhtml', _chapter_html(10, 'Alpha Beta')),
+        ('OEBPS/text/c.xhtml', _chapter_html(11, 'Gamma')),
+        ('OEBPS/nav x.xhtml', _chapter_html(12, 'NAV-MUST-NOT-APPEAR')),
+    ])
+
+    books['book_missing.epub'] = _build_epub([
+        ('META-INF/container.xml', _container_xml('content.opf')),
+        ('content.opf', _opf('Missing Chapter',
+                             ['ch1.xhtml', 'ghost.xhtml'])),
+        ('ch1.xhtml', _chapter_html(20, 'Survivor')),
+    ])
+
+    books['book_nocontainer.epub'] = _build_epub([
+        ('b.html', _chapter_html(30, 'Fallback B')),
+        ('a.xhtml', _chapter_html(31, 'Fallback A')),
+        ('notes.txt', b'not a chapter'),
+    ])
+
+    books['book_fontenc.epub'] = _build_epub([
+        ('META-INF/container.xml', _container_xml('content.opf')),
+        ('META-INF/encryption.xml', _FONT_ENC),
+        ('content.opf', _opf('Font Obfuscated', ['ch1.xhtml'])),
+        ('ch1.xhtml', _chapter_html(40, 'Readable Anyway')),
+    ])
+
+    books['book_drm.epub'] = _build_epub([
+        ('META-INF/container.xml', _container_xml('OEBPS/content.opf')),
+        ('META-INF/encryption.xml', _DRM_ENC),
+        ('OEBPS/content.opf', _opf('Locked', ['ch1.xhtml'])),
+        ('OEBPS/ch1.xhtml', b'\x00\x01ciphertext\x02'),
+    ])
+
+    books['book_corrupt.epub'] = b'PK\x03\x04 truncated garbage'
+
+    for name, data in sorted(books.items()):
+        with open(os.path.join(out_dir, name), 'wb') as f:
+            f.write(data)
+    return sorted(books)

@@ -1,0 +1,69 @@
+"""EPUB source: container walk, spine order, tolerance and DRM
+containment over the deterministic synth gate set."""
+
+import os
+
+from mineru_html_spark.sources.epub import (epub_bytes_to_row,
+                                            write_synth_epub_gate_set)
+
+
+def _rows(tmp_path):
+    d = str(tmp_path / 'epubs')
+    names = write_synth_epub_gate_set(d)
+    return {n: epub_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in names}
+
+
+def test_epub_gate_set_shapes(tmp_path):
+    r = _rows(tmp_path)
+    # (doc_id, title, n_chapters, n_missing, n_chars, used_fallback,
+    #  text, error)
+    plain = r['book_plain.epub']
+    assert plain[1] == 'Plain Book' and plain[2] == 3 and plain[7] == ''
+    # spine order c2 < c1 < c3 must be honored, not name order
+    t = plain[6]
+    assert (t.index('Chapter 2') < t.index('Chapter 1')
+            < t.index('Chapter 3'))
+
+    nested = r['book_nested.epub']
+    assert nested[2] == 2 and nested[7] == ''
+    # non-spine manifest item excluded; script/style dropped
+    assert 'NAV-MUST-NOT-APPEAR' not in nested[6]
+    assert 'color:red' not in nested[6] and 'dropped' not in nested[6]
+    # percent-encoded relative href resolved
+    assert 'Alpha Beta' in nested[6]
+
+    missing = r['book_missing.epub']
+    assert missing[2] == 1 and missing[3] == 1 and 'Survivor' in missing[6]
+
+    fb = r['book_nocontainer.epub']
+    assert fb[5] is True and fb[2] == 2
+    # fallback scans in name order: a.xhtml before b.html
+    assert fb[6].index('Fallback A') < fb[6].index('Fallback B')
+
+    assert 'Readable Anyway' in r['book_fontenc.epub'][6]
+    assert r['book_drm.epub'][7] == 'encrypted drm'
+    assert r['book_corrupt.epub'][7].startswith('badzip')
+
+
+def test_epub_determinism(tmp_path):
+    d1 = str(tmp_path / 'a')
+    d2 = str(tmp_path / 'b')
+    for d in (d1, d2):
+        write_synth_epub_gate_set(d)
+    for n in os.listdir(d1):
+        assert (open(os.path.join(d1, n), 'rb').read()
+                == open(os.path.join(d2, n), 'rb').read()), n
+
+
+def test_read_epubs_spark(spark, tmp_path):
+    d = str(tmp_path / 'epubs')
+    write_synth_epub_gate_set(d)
+    from mineru_html_spark.sources.epub import read_epubs
+    out = read_epubs(spark, d).collect()
+    by_id = {r['doc_id']: r for r in out}
+    assert len(by_id) == 7
+    assert by_id['book_plain.epub']['n_chapters'] == 3
+    assert by_id['book_drm.epub']['error'] == 'encrypted drm'
+    ok = [r for r in out if r['error'] == '']
+    assert all(r['n_chars'] == len(r['text']) for r in ok)
