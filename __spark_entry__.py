@@ -396,6 +396,18 @@ def q_top_docs_per_source(spark, sf_dir):
             .select('source', 'doc_id', 'n_chars', 'rnk'))
 
 
+def q_kmeans_topics(spark, sf_dir):
+    """Distributed Lloyd's k-means over the full embeddings table — the
+    topic-clustering / corpus-mixing primitive. INTEGER-EXACT (micro-unit
+    quantization, integer distances, truncating centroid division), so
+    the labels are partitioning-independent and the oracle is an exact
+    unrolled-CTE SQL mirror (the PageRank approach, graph.py:35), not a
+    committed output. Per iteration the corpus never shuffles: centroids
+    ride the plan as broadcast literals and the update is one
+    map-side-combined groupBy carrying k x (dim+1) longs."""
+    return sim.kmeans_labels(_embeddings(spark, sf_dir), k=8, iters=4)
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col('vec_id') == 0).select('embedding').collect()
@@ -2178,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_features': q_audio_features,
         'audio_resample': q_audio_resample,
         'epub_extract': q_epub_extract,
+        'kmeans_topics': q_kmeans_topics,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2287,6 +2300,49 @@ def _expected_parquet(name: str) -> str:
     path = os.path.join(REPO, 'tests', 'goldens',
                         f'expected_{name}_sf001.parquet')
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """Exact unrolled-CTE mirror of kmeans_labels (similarity.py) — the
+    PageRank approach to certifying an iterative operator: every Lloyd's
+    round is one (assign, per-dim sum, rebuild) CTE triple in integer
+    arithmetic; ``min([dist, ci])`` is DuckDB's lexicographic argmin
+    matching Spark's array_min over (d, i) structs, ``//`` is the same
+    truncating division, empty clusters COALESCE to the previous
+    centroid on both sides."""
+    rng = f"range(1, {dim + 1})"
+
+    def dist(vt, ct):
+        return (f"list_sum(list_transform({rng}, j -> "
+                f"({vt}.v[j]-{ct}.cv[j])*({vt}.v[j]-{ct}.cv[j])))")
+
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY md5('km1|' || "
+        f"CAST(vec_id AS VARCHAR)))) - 1 AS ci, v AS cv FROM "
+        f"(SELECT vec_id, v FROM e ORDER BY md5('km1|' || "
+        f"CAST(vec_id AS VARCHAR)) LIMIT {k}))",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS (SELECT e.vec_id, e.v, "
+            f"min([{dist('e', 'c')}, c.ci])[2] AS c "
+            f"FROM e CROSS JOIN c{t} c GROUP BY e.vec_id, e.v)")
+        parts.append(
+            f"s{t} AS (SELECT a.c AS ci, r.j AS j, "
+            f"CAST(SUM(a.v[r.j]) // COUNT(*) AS BIGINT) AS m "
+            f"FROM a{t} a CROSS JOIN {rng} r(j) GROUP BY a.c, r.j)")
+        parts.append(
+            f"c{t + 1} AS (SELECT p.ci, COALESCE(n.cv, p.cv) AS cv "
+            f"FROM c{t} p LEFT JOIN (SELECT ci, list(m ORDER BY j) AS cv "
+            f"FROM s{t} GROUP BY ci) n USING (ci))")
+    final = (f"SELECT e.vec_id, CAST(min([{dist('e', 'c')}, c.ci])[2] "
+             f"AS INT) AS cluster_id, CAST(min([{dist('e', 'c')}, "
+             f"c.ci])[1] AS BIGINT) AS d2 "
+             f"FROM e CROSS JOIN c{iters} c GROUP BY e.vec_id")
+    return parts[0] + ", " + ", ".join(parts[1:]) + " " + final
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3165,4 +3221,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = p.b
         """,
     })
+    oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     return oracles

@@ -418,3 +418,111 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
     return (assigned.groupBy('list_id')
             .applyInPandas(dedup, 'vec_id long, list_id int, '
                                   'max_prev_sim_micro long, keep boolean'))
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (topic clustering): integer-exact Lloyd's
+# --------------------------------------------------------------------------
+
+KMEANS_SALT = 'km1|'
+
+
+def _quantize_micro(vec_col: str):
+    """float vector -> int64 micro-units, the cross-engine-exact
+    arithmetic domain every distributed-deterministic operator here uses
+    (cosine scores, DSIR nats, ROUGE ratios)."""
+    return F.transform(F.col(vec_col),
+                       lambda x: F.round(x.cast('double') * 1000000)
+                                  .cast('long'))
+
+
+def kmeans_labels(embeddings: DataFrame, k: int = 8, iters: int = 4,
+                  vec_col: str = 'embedding') -> DataFrame:
+    """(vec_id, cluster_id, d2): full-corpus Lloyd's k-means — the topic
+    clustering / corpus-mixing primitive (and the honest way to train an
+    IVF coarse quantizer ON ALL the data instead of a driver sample).
+
+    INTEGER-EXACT by construction, so the result is independent of
+    partitioning and mirrorable in an unrolled-CTE SQL oracle (the
+    PageRank approach, graph.py:35): vectors quantize once to int64
+    micro-units; distances are exact integer sums of squares; centroid
+    updates are exact integer sums followed by toward-zero integer
+    division by the cluster count (SQL // semantics). Floating-point never enters after quantization, so
+    executor count, partition order and aggregation tree shape cannot
+    change a single label — the property float Lloyd's lacks.
+
+    Init is sample-free and deterministic: the k rows with the smallest
+    ``md5('km1|' || vec_id)`` (md5 agrees across Spark and DuckDB; a
+    hash order is a uniform draw without a global sort — TakeOrdered
+    keeps it a top-k, never an all-partitions sort).
+
+    Plan shape per iteration (the 100 TB story):
+      * centroids live in the PLAN as broadcast literals (k * dim longs
+        — bytes, not a join);
+      * assignment is k native integer expressions -> argmin via
+        array_min over (dist, idx) structs (codegen, tie -> lowest idx);
+      * the update is ONE groupBy(cluster) with dim+1 sum/count
+        aggregates — partial map-side combine, shuffle carries k rows of
+        dim+1 longs per partition, the corpus itself never shuffles;
+      * driver materializes only the k x (dim+1) sum table per round.
+    Total: iters+1 scans, zero corpus shuffles, zero Python in the loop.
+    Empty clusters keep their previous centroid (mirrored in the SQL
+    oracle via LEFT JOIN + COALESCE).
+    """
+    q = embeddings.select('vec_id', _quantize_micro(vec_col).alias('v'))
+    # iters scans of the same narrow projection — cache it; executors
+    # hold (vec_id, dim longs) per row, spill-safe columnar blocks
+    q = q.persist()
+    dim = int(q.select(F.size('v')).head()[0])
+
+    init = (q.select(
+                'vec_id', 'v',
+                F.md5(F.concat(F.lit(KMEANS_SALT),
+                               F.col('vec_id').cast('string')))
+                 .alias('h'))
+            .orderBy('h').limit(k).collect())
+    cents = [list(r['v']) for r in init]          # k x dim int64
+    k = len(cents)                                # tiny input: k <= n
+
+    def dist_to(c):
+        zipped = F.zip_with(F.col('v'),
+                            F.array(*[F.lit(x).cast('long')
+                                      for x in c]),
+                            lambda x, y: (x - y) * (x - y))
+        return F.aggregate(zipped, F.lit(0).cast('long'),
+                           lambda acc, d: acc + d)
+
+    def assign_col():
+        return F.array_min(F.array(*[
+            F.struct(dist_to(c).alias('d'),
+                     F.lit(i).cast('int').alias('i'))
+            for i, c in enumerate(cents)]))
+
+    for _ in range(iters):
+        sums = (q.select(assign_col()['i'].alias('c'), 'v')
+                .groupBy('c')
+                .agg(F.count('*').alias('n'),
+                     *[F.sum(F.element_at('v', j + 1)).alias(f's{j}')
+                       for j in range(dim)])
+                .collect())
+        by_c = {r['c']: r for r in sums}
+
+        def tdiv(a: int, b: int) -> int:
+            # divide truncating toward zero — SQL integer-division
+            # semantics (DuckDB //), NOT Python's floor //, so negative
+            # dimension sums mirror exactly in the oracle
+            return -((-a) // b) if a < 0 else a // b
+
+        cents = [
+            [tdiv(int(by_c[i][f's{j}']), int(by_c[i]['n']))
+             for j in range(dim)] if i in by_c else cents[i]
+            for i in range(k)]
+
+    # the returned plan re-reads the cached projection lazily; the cache
+    # stays for the caller's action (unpersisting here would just force
+    # a cold re-scan — Spark evicts LRU under pressure).  The argmin
+    # struct materializes behind its own projection so the k-way
+    # distance scan runs ONCE per row, not once per output column.
+    return (q.select('vec_id', assign_col().alias('m'))
+            .select('vec_id', F.col('m.i').alias('cluster_id'),
+                    F.col('m.d').alias('d2')))

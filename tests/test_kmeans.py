@@ -1,0 +1,105 @@
+"""Distributed integer-exact k-means: numpy-mirror equality,
+partitioning independence, duplicate/empty-cluster handling."""
+
+import hashlib
+
+import numpy as np
+
+
+def _mirror(ids, V, k, iters):
+    """Independent reference with the operator's exact integer
+    semantics: md5-order init, (d, idx) argmin, truncating division,
+    empty clusters keep the previous centroid."""
+    h = np.array([hashlib.md5(b'km1|' + str(int(i)).encode()).hexdigest()
+                  for i in ids])
+    cents = V[np.argsort(h)[:k]].astype('int64').copy()
+    k = len(cents)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for _ in range(iters):
+        d = ((V[:, None, :].astype('int64')
+              - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = V[assign == c]
+            if len(m):
+                s = m.astype(object).sum(axis=0)
+                cents[c] = np.array([tdiv(int(x), len(m)) for x in s],
+                                    dtype='int64')
+    d = ((V[:, None, :].astype('int64') - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def _synth(n, dim, dups=0):
+    rng = np.random.RandomState(7)
+    V = rng.randint(-900_000, 900_000, size=(n, dim)).astype('int64')
+    for i in range(dups):                       # planted duplicates
+        V[n - 1 - i] = V[i]
+    return np.arange(n, dtype='int64'), V
+
+
+def test_kmeans_matches_mirror_and_partitioning(spark):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.similarity import kmeans_labels
+
+    ids, V = _synth(80, 6, dups=8)
+    rows = [(int(i), [float(x) / 1e6 for x in v]) for i, v in zip(ids, V)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    # float32 storage perturbs the micro values; recover the EXACT ints
+    # the operator will see by re-quantizing the float32 round-trip
+    V = np.array([[int(np.round(float(np.float32(x / 1e6)) * 1e6))
+                   for x in v] for v in V], dtype='int64')
+
+    exp_c, exp_d = _mirror(ids, V, k=5, iters=3)
+    got = {r['vec_id']: (r['cluster_id'], r['d2'])
+           for r in kmeans_labels(df, k=5, iters=3).collect()}
+    for i in range(len(ids)):
+        assert got[i] == (int(exp_c[i]), int(exp_d[i])), i
+
+    # identical labels under a different partitioning (the property
+    # float Lloyd's lacks)
+    got17 = {r['vec_id']: (r['cluster_id'], r['d2'])
+             for r in kmeans_labels(df.repartition(17), k=5,
+                                    iters=3).collect()}
+    assert got == got17
+
+
+def test_kmeans_k_exceeding_rows(spark):
+    from mineru_html_spark.functions.similarity import kmeans_labels
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = kmeans_labels(df, k=8, iters=2).collect()
+    assert len(out) == 3
+    assert {r['cluster_id'] for r in out} <= {0, 1, 2}
+
+
+def test_kmeans_oracle_sql_mirrors(spark):
+    """The unrolled-CTE DuckDB oracle reproduces the Spark labels on a
+    small synthetic table (the driver gate then re-proves it at sf0.01
+    on the real embeddings)."""
+    import duckdb
+    import pandas as pd
+    from mineru_html_spark.functions.similarity import kmeans_labels
+    import __spark_entry__ as entry
+
+    ids, V = _synth(40, 4, dups=4)
+    pdf = pd.DataFrame({
+        'vec_id': ids,
+        'embedding': [np.asarray(v / 1e6, dtype='float32') for v in V]})
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in e])
+         for i, e in zip(pdf['vec_id'], pdf['embedding'])],
+        'vec_id long, embedding array<float>')
+
+    got = (kmeans_labels(df, k=3, iters=2).toPandas()
+           .sort_values('vec_id').reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register('embeddings', pdf)
+    sql = entry._kmeans_oracle_sql(k=3, iters=2, dim=4)
+    ref = con.sql(sql).df().sort_values('vec_id').reset_index(drop=True)
+    assert (got['cluster_id'].to_numpy()
+            == ref['cluster_id'].to_numpy()).all()
+    assert (got['d2'].to_numpy() == ref['d2'].to_numpy()).all()
