@@ -396,6 +396,25 @@ def q_top_docs_per_source(spark, sf_dir):
             .select('source', 'doc_id', 'n_chars', 'rnk'))
 
 
+def q_hashed_embed(spark, sf_dir):
+    """Feature-hashing text embedding (Weinberger et al. 2009) over the
+    documents table — the engine's model-free text->vector tier; signed
+    buckets from disjoint md5 substrings, all-integer, one explode +
+    one map-side-combined groupBy. Gated on per-doc summary stats plus
+    an md5 of the full vector so any bucket/sign drift flips the gate;
+    the oracle mirrors every component sum exactly."""
+    from mineru_html_spark.functions.corpus import hashed_embedding
+    e = hashed_embedding(_docs(spark, sf_dir), dim=64, salt='he1')
+    s = F.col('emb')
+    return e.select(
+        'doc_id', 'n_words',
+        F.size(F.filter(s, lambda x: x != 0)).cast('int').alias('nnz'),
+        F.aggregate(s, F.lit(0).cast('long'),
+                    lambda acc, x: acc + F.abs(x)).alias('l1'),
+        F.md5(F.concat_ws(',', F.transform(s, lambda x: x.cast('string'))))
+         .alias('emb_md5'))
+
+
 def q_kmeans_topics(spark, sf_dir):
     """Distributed Lloyd's k-means over the full embeddings table — the
     topic-clustering / corpus-mixing primitive. INTEGER-EXACT (micro-unit
@@ -2191,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_resample': q_audio_resample,
         'epub_extract': q_epub_extract,
         'kmeans_topics': q_kmeans_topics,
+        'hashed_embed': q_hashed_embed,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2300,6 +2320,41 @@ def _expected_parquet(name: str) -> str:
     path = os.path.join(REPO, 'tests', 'goldens',
                         f'expected_{name}_sf001.parquet')
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _hashed_embed_oracle_sql(dim: int = 64, salt: str = 'he1') -> str:
+    """Exact mirror of hashed_embedding + q_hashed_embed's rollup: the
+    same md5-substring bucket/sign per word, one CASE-sum per component
+    (md5 int from 8 hex chars is non-negative, so ``%`` == pmod)."""
+    sums = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN hb % {dim} = {j} THEN sg "
+        f"ELSE 0 END), 0) AS BIGINT) AS e{j}" for j in range(dim))
+    # the LEFT JOIN below leaves every e{j} NULL for wordless docs, so
+    # coalesce per ELEMENT (a list of NULLs is not NULL)
+    lst = ("[" + ", ".join(f"coalesce(e{j}, 0)" for j in range(dim))
+           + "]")
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+        ex AS (
+          SELECT doc_id, word,
+                 CAST('0x' || substring(md5(word || ':{salt}'), 1, 8)
+                      AS BIGINT) AS hb,
+                 2 * (CAST('0x' || substring(md5(word || ':{salt}'), 9, 8)
+                      AS BIGINT) % 2) - 1 AS sg
+          FROM (SELECT doc_id, unnest(w) AS word FROM w)),
+        s AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id),
+        v AS (
+          SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+                 {lst} AS emb
+          FROM w LEFT JOIN s ON w.doc_id = s.doc_id)
+        SELECT doc_id, n_words,
+               CAST(len(list_filter(emb, x -> x != 0)) AS INT) AS nnz,
+               CAST(list_sum(list_transform(emb, x -> abs(x)))
+                    AS BIGINT) AS l1,
+               md5(array_to_string(list_transform(emb,
+                   x -> CAST(x AS VARCHAR)), ',')) AS emb_md5
+        FROM v
+    """
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
@@ -3222,4 +3277,5 @@ def oracle_sql() -> dict[str, str]:
         """,
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
+    oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
     return oracles

@@ -774,3 +774,41 @@ def score_proportional_sample(documents: DataFrame,
     rate = F.greatest(F.lit(0), F.least(F.lit(1000),
                                         permille.cast('long')))
     return sample_key(F.col(key_col), salt) < rate
+
+
+def hashed_embedding(documents: DataFrame, dim: int = 64,
+                     salt: str = 'he1') -> DataFrame:
+    """(doc_id, n_words, emb): feature-hashing text embedding
+    (Weinberger et al. 2009, the "hashing trick") — the engine's own
+    text -> fixed-dim vector path, needing no trained model:
+    ``emb[j] = sum over words of sign(word) * [bucket(word) == j]``
+    with bucket and sign drawn from disjoint md5 substrings (signed
+    hashing keeps the inner product unbiased, §3 of the paper). The
+    output feeds the whole embedding-side toolchain — kmeans_labels,
+    cosine top-k, LSH near-dup — giving a text corpus a vector tier
+    without an external encoder.
+
+    ALL-INTEGER (counts, not tf-idf floats), so the DuckDB oracle is
+    exact and the vector is engine-portable; md5 is the same
+    cross-engine-stable hash every sampler/classifier here uses.
+
+    Scale shape: words explode ONCE with their (bucket, sign); the
+    embedding is a single groupBy(doc_id) with ``dim`` conditional-sum
+    aggregates — partial map-side combine, so the exchange carries one
+    dim-column row per doc per partition, never the exploded words.
+    Empty documents survive via explode_outer (zero vector)."""
+    d = documents.select('doc_id', _words().alias('w'))
+    ex = d.select('doc_id', F.size('w').cast('long').alias('n_words'),
+                  F.explode_outer('w').alias('word'))
+    md = F.md5(F.concat(F.col('word'), F.lit(':' + salt)))
+    hb = F.conv(F.substring(md, 1, 8), 16, 10).cast('long')
+    hs = F.conv(F.substring(md, 9, 8), 16, 10).cast('long')
+    bucket = F.pmod(hb, F.lit(dim))
+    sign = F.lit(2) * F.pmod(hs, F.lit(2)) - 1
+    agg = ex.groupBy('doc_id', 'n_words').agg(
+        *[F.coalesce(F.sum(F.when(bucket == j, sign).otherwise(0)),
+                     F.lit(0)).cast('long').alias(f'_e{j}')
+          for j in range(dim)])
+    return agg.select(
+        'doc_id', 'n_words',
+        F.array(*[F.col(f'_e{j}') for j in range(dim)]).alias('emb'))

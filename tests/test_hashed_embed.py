@@ -1,0 +1,59 @@
+"""Feature-hashing embedding: determinism, empty-doc survival,
+sign/bucket distribution sanity, and composition with the vector tier."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark):
+    rows = [
+        (0, 'the quick brown fox jumps over the lazy dog'),
+        (1, 'pack my box with five dozen liquor jugs'),
+        (2, ''),                               # wordless -> zero vector
+        (3, '!!! ???'),                        # punctuation-only
+        (4, 'the quick brown fox jumps over the lazy dog'),  # dup of 0
+    ]
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_hashed_embedding_basics(spark):
+    from mineru_html_spark.functions.corpus import hashed_embedding
+    out = {r['doc_id']: r
+           for r in hashed_embedding(_docs(spark), dim=16).collect()}
+    assert len(out) == 5
+    assert all(len(r['emb']) == 16 for r in out.values())
+    # wordless docs survive as zero vectors
+    assert out[2]['n_words'] == 0 and set(out[2]['emb']) == {0}
+    assert out[3]['n_words'] == 0 and set(out[3]['emb']) == {0}
+    # identical text -> identical vector; total mass == n_words
+    assert list(out[0]['emb']) == list(out[4]['emb'])
+    assert sum(abs(x) for x in out[0]['emb']) <= out[0]['n_words']
+    assert any(x != 0 for x in out[0]['emb'])
+
+
+def test_hashed_embedding_feeds_kmeans(spark):
+    """The text->vector tier composes with the vector toolchain: the
+    hashed vectors cluster through kmeans_labels unchanged (cast only)."""
+    from mineru_html_spark.functions.corpus import hashed_embedding
+    from mineru_html_spark.functions.similarity import kmeans_labels
+    e = hashed_embedding(_docs(spark), dim=16).select(
+        F.col('doc_id').alias('vec_id'),
+        F.transform('emb', lambda x: x.cast('float')).alias('embedding'))
+    labels = {r['vec_id']: r['cluster_id']
+              for r in kmeans_labels(e, k=2, iters=2).collect()}
+    assert len(labels) == 5
+    # identical documents land in the same cluster
+    assert labels[0] == labels[4]
+
+
+def test_hashed_embed_exchange_carries_sums_not_words(spark):
+    """The only exchange aggregates partial component sums per doc —
+    the exploded words must never cross the wire."""
+    import __spark_entry__ as entry
+    p = entry.q_hashed_embed(spark, '/root/testdata/sf0.01') \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for line in p.splitlines():
+        if 'Exchange hashpartitioning' in line:
+            # the exploded column prints as `word#N` (n_words is fine)
+            assert not re.search(r'(?<!n_)word#', line), line
+    assert 'partial' in p.lower()        # map-side combine present

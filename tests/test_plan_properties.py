@@ -153,3 +153,13 @@ def test_line_dedup_shuffles_are_hash_only(spark, entry):
     for line in p.splitlines():
         if 'Exchange hashpartitioning' in line:
             assert 'text' not in line, line
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, entry):
+    # the returned label plan must be a map-only projection over the
+    # cached narrow relation: centroids are plan literals, the k-way
+    # argmin is codegen — no join, no exchange, no Python
+    p = plan_of(entry.q_kmeans_topics(spark, SF))
+    assert 'Exchange' not in p
+    assert 'Join' not in p and 'CartesianProduct' not in p
+    assert 'InMemoryTableScan' in p       # iters reuse the cached ints
