@@ -396,6 +396,48 @@ def q_top_docs_per_source(spark, sf_dir):
             .select('source', 'doc_id', 'n_chars', 'rnk'))
 
 
+def q_robots_gate(spark, sf_dir):
+    """RFC 9309 robots.txt access decisions over a planted URL corpus —
+    the crawl-politeness tier. 40 deterministic hosts cycle through five
+    robots shapes (absent file; private-dir with an Allow carve-out;
+    stacked agent groups with $-anchored wildcards plus a disallow-all
+    star group; an empty-disallow group that must pre-empt star; the
+    RFC's own longest-match example set), and every doc contributes one
+    URL whose path varies over matching and non-matching shapes. The
+    rules side parses Python-side (one row per HOST) and broadcasts;
+    the URL side is decided by a native LIKE longest-match — no corpus
+    shuffle. Committed-output oracle."""
+    from mineru_html_spark.functions.robots import robots_allowed
+    d = F.col('doc_id')
+    url = F.concat(
+        F.lit('http://site'), (d % 40).cast('string'), F.lit('.example'),
+        F.when(d % 7 == 0, F.lit('/private/')).otherwise(F.lit('/')),
+        F.when(d % 3 == 0, F.lit('ok.html'))
+         .when(d % 3 == 1, F.concat(F.lit('page'), (d % 11).cast('string'),
+                                    F.lit('.php')))
+         .otherwise(F.concat(F.lit('dir/item'), (d % 13).cast('string'))))
+    urls = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+
+    bodies = [
+        None,                                             # no robots.txt
+        ('User-agent: *\nDisallow: /private/\n'
+         'Allow: /private/ok.html\n'),
+        ('User-agent: testbot\nUser-agent: otherbot\n'
+         'Disallow: /*.php$\nAllow: /private/\n\n'
+         'User-agent: *\nDisallow: /\n'),
+        ('USER-AGENT: TestBot # comment\nDISALLOW:\n\n'
+         'User-agent: *\nDisallow: /\n'),
+        ('User-agent: *\nAllow: /p\nDisallow: /\n'
+         'Allow: /dir\nDisallow: /dir\nDisallow: /*.php\n'),
+    ]
+    rows = [(f'site{m}.example', bodies[m % 5])
+            for m in range(40) if bodies[m % 5] is not None]
+    robots = spark.createDataFrame(rows, 'host string, robots_txt string')
+    out = robots_allowed(urls, robots, agent='testbot')
+    return out.select('doc_id', 'host', 'path', 'allowed',
+                      'matched_pattern')
+
+
 def q_hashed_embed(spark, sf_dir):
     """Feature-hashing text embedding (Weinberger et al. 2009) over the
     documents table — the engine's model-free text->vector tier; signed
@@ -2211,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'epub_extract': q_epub_extract,
         'kmeans_topics': q_kmeans_topics,
         'hashed_embed': q_hashed_embed,
+        'robots_gate': q_robots_gate,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2414,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
+                     'robots_gate',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,183 @@
+"""robots.txt compliance (RFC 9309) — the crawl-politeness operator.
+
+A crawl pipeline's very first filter is "may we fetch this URL at all":
+every fetched robots.txt (one tiny file per host) determines the fate of
+every URL on that host. The cardinality asymmetry IS the design: the
+rules side is one row per host — small at any corpus scale — while the
+URL side is the trillions-row table, so the rules parse in Python
+(Arrow-batched, small side only), reduce to one rule-array per host,
+and BROADCAST; the URL corpus never shuffles and its per-row decision
+is a native higher-order longest-match (whole-stage codegen, dynamic
+LIKE per rule).
+
+Semantics implemented (RFC 9309 §2.2, the published spec):
+
+* **Groups** — consecutive ``User-agent`` lines stack onto the group
+  that follows; rules before any user-agent line are ignored. Keys are
+  case-insensitive; ``#`` comments strip anywhere on a line.
+* **Group selection** — a crawler uses the group(s) whose user-agent
+  token equals its product token case-insensitively; only if none
+  exists does the ``*`` group apply (§2.2.1).
+* **Rule matching** — patterns anchor at the path start, ``*`` matches
+  any octets, a TRAILING ``$`` anchors the end (§2.2.3). The most
+  specific match wins = longest PATTERN in octets; on a tie, Allow
+  wins (§2.2.2). An empty ``Disallow:`` value places no restriction.
+* **Default allow** — no robots.txt, no matching group, or no matching
+  rule means the URL is crawlable (§2.3.1).
+* ``Sitemap``/``Crawl-delay``/unknown keys are ignored for access
+  decisions, per the spec's extensibility rule.
+
+Pattern translation: each robots pattern compiles ONCE at parse time to
+a SQL LIKE pattern (``*`` -> ``%``, literals escaped, trailing ``$``
+drops the implicit suffix wildcard), so the hot path is JVM LIKE — no
+per-row Python, no regex compilation on the URL side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_LIKE_ESCAPE = '\\'
+
+
+def _to_like(pattern: str) -> Tuple[str, int, bool]:
+    """(like_pattern, match_len, valid): one robots path pattern ->
+    anchored SQL LIKE. match_len is the RFC's specificity measure — the
+    pattern's length in octets (trailing ``$`` included, making
+    '/p$' more specific than '/p' exactly as octet-length implies)."""
+    if not pattern:
+        return '', 0, False
+    n = len(pattern.encode('utf-8'))
+    anchored = pattern.endswith('$')
+    if anchored:
+        pattern = pattern[:-1]
+    out = []
+    for ch in pattern:
+        if ch == '*':
+            out.append('%')
+        elif ch in ('%', '_', _LIKE_ESCAPE):
+            out.append(_LIKE_ESCAPE + ch)
+        else:
+            out.append(ch)
+    if not anchored:
+        out.append('%')
+    return ''.join(out), n, True
+
+
+def parse_robots_txt(body: str) -> List[Tuple[str, bool, str, int, str]]:
+    """One robots.txt body -> [(agent, allow, like_pat, match_len,
+    raw_pattern)] — the RFC 9309 §2.2 line grammar: stacked user-agent
+    lines, case-insensitive keys, comment stripping, rule-before-group
+    dropping, empty-disallow elision. Each user-agent line also emits a
+    group-presence sentinel (like_pat NULL) so group selection can see
+    groups whose every rule was elided."""
+    rules = []
+    agents: List[str] = []
+    last_was_ua = False
+    for raw in body.splitlines():
+        line = raw.split('#', 1)[0].strip()
+        if not line or ':' not in line:
+            continue
+        key, _, val = line.partition(':')
+        key = key.strip().lower()
+        val = val.strip()
+        if key == 'user-agent':
+            if not last_was_ua:
+                agents = []
+            agents.append(val.lower())
+            # group-PRESENCE sentinel (like_pat NULL never matches a
+            # path): a crawler-specific group with zero usable rules
+            # still pre-empts the '*' group per §2.2.1 — existence and
+            # rules are different facts
+            rules.append((val.lower(), True, None, 0, ''))
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if key not in ('allow', 'disallow') or not agents:
+            continue
+        if not val:                      # empty Disallow: = no rule
+            continue
+        like, n, ok = _to_like(val)
+        if ok:
+            for a in agents:
+                rules.append((a, key == 'allow', like, n, val))
+    return rules
+
+
+ROBOTS_RULES_SCHEMA = ('host string, agent string, allow boolean, '
+                       'like_pat string, match_len int, pattern string')
+
+
+def robots_rules(robots: DataFrame, host_col: str = 'host',
+                 body_col: str = 'robots_txt') -> DataFrame:
+    """(host, agent, allow, like_pat, match_len, pattern): parsed rule
+    rows. Arrow-batched Python parse — correct side of the asymmetry:
+    one row per HOST, not per URL."""
+    import pandas as pd
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                for a, allow, like, n, pat in parse_robots_txt(b or ''):
+                    out.append((h, a, allow, like, n, pat))
+            yield pd.DataFrame(out, columns=['host', 'agent', 'allow',
+                                             'like_pat', 'match_len',
+                                             'pattern'])
+
+    return robots.select(host_col, body_col).mapInPandas(
+        batch, ROBOTS_RULES_SCHEMA)
+
+
+def _url_parts(url):
+    host = F.lower(F.regexp_extract(url, r'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+    # strip a default-port suffix and userinfo for host keying
+    host = F.regexp_replace(F.regexp_replace(host, r'^.*@', ''),
+                            r':(80|443)$', '')
+    path = F.regexp_extract(url, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)
+    path = F.when(path == '', F.lit('/')).otherwise(path)
+    return host, path
+
+
+def robots_allowed(urls: DataFrame, robots: DataFrame,
+                   agent: str = '*', url_col: str = 'url') -> DataFrame:
+    """All input columns plus (host, path, allowed, matched_pattern):
+    the RFC 9309 access decision for every URL.
+
+    Plan shape: rules parse and group-select on the per-host side, fold
+    to ONE array-of-structs row per host sorted by (specificity desc,
+    allow) so ties resolve before the join, then BROADCAST; the URL
+    table takes a broadcast LEFT join on host and evaluates a native
+    filter+array_max longest-match per row. The big side never
+    shuffles; hosts without robots (or without any matching rule)
+    default to allowed."""
+    rules = robots_rules(robots)
+    a = agent.lower()
+    exact = rules.where(F.col('agent') == a)
+    star = (rules.where(F.col('agent') == '*')
+            .join(exact.select('host').distinct(), 'host', 'left_anti'))
+    eff = exact.unionByName(star) if a != '*' else \
+        rules.where(F.col('agent') == '*')
+    per_host = (eff.groupBy('host')
+                .agg(F.collect_list(
+                    F.struct('like_pat', 'match_len', 'allow',
+                             'pattern')).alias('rules')))
+
+    host, path = _url_parts(F.col(url_col))
+    u = urls.withColumns({'host': host, 'path': path})
+    j = u.join(F.broadcast(per_host), 'host', 'left')
+
+    cands = F.filter('rules', lambda r: F.like(
+        F.col('path'), r['like_pat'], F.lit(_LIKE_ESCAPE)))
+    best = F.array_max(F.transform(cands, lambda r: F.struct(
+        r['match_len'].alias('l'), r['allow'].alias('a'),
+        r['pattern'].alias('p'))))
+    allowed = F.when(F.col('rules').isNull(), F.lit(True)) \
+        .otherwise(F.coalesce(best['a'], F.lit(True)))
+    return (j.withColumns({'allowed': allowed,
+                           'matched_pattern':
+                               F.coalesce(best['p'], F.lit(''))})
+            .drop('rules'))

@@ -1,0 +1,120 @@
+"""robots.txt (RFC 9309): parser grammar, the spec's worked
+longest-match examples, group selection, and the broadcast plan."""
+
+import pyspark.sql.functions as F
+
+from mineru_html_spark.functions.robots import (parse_robots_txt,
+                                                robots_allowed)
+
+
+def test_parser_grammar():
+    body = (
+        'Disallow: /ignored-before-group\n'
+        'User-agent: a\n'
+        'User-Agent: b\n'          # stacked, case-insensitive key
+        'Disallow: /x # trailing comment\n'
+        'Allow: /x/y\n'
+        'Crawl-delay: 10\n'        # ignored key
+        '\n'
+        'user-agent: *\n'
+        'disallow:\n'              # empty value -> no rule
+        'Disallow: /*.gif$\n')
+    rules = [r for r in parse_robots_txt(body) if r[2] is not None]
+    by_agent = {}
+    for a, allow, like, n, pat in rules:
+        by_agent.setdefault(a, []).append((allow, like, n, pat))
+    # the pre-group rule is dropped; stacking applies /x rules to both
+    assert by_agent['a'] == by_agent['b']
+    assert (False, '/x%', 2, '/x') in by_agent['a']
+    assert (True, '/x/y%', 4, '/x/y') in by_agent['a']
+    # $ anchor drops the suffix wildcard; * -> %
+    assert by_agent['*'] == [(False, '/%.gif', 7, '/*.gif$')]
+    # presence sentinels exist for all three groups
+    sent = {r[0] for r in parse_robots_txt(body) if r[2] is None}
+    assert sent == {'a', 'b', '*'}
+
+
+def _decide(spark, robots_body, paths, agent='*'):
+    urls = spark.createDataFrame(
+        [(i, f'http://h.example{p}') for i, p in enumerate(paths)],
+        'doc_id long, url string')
+    robots = spark.createDataFrame(
+        [('h.example', robots_body)], 'host string, robots_txt string')
+    out = robots_allowed(urls, robots, agent=agent)
+    return {r['doc_id']: (r['allowed'], r['matched_pattern'])
+            for r in out.collect()}
+
+
+def test_rfc_longest_match_examples(spark):
+    # RFC 9309 §2.2.2 / §5.2-style worked examples
+    body = ('User-agent: *\n'
+            'Allow: /p\n'
+            'Disallow: /\n'
+            'Allow: /folder\n'
+            'Disallow: /folder\n'
+            'Allow: /page\n'
+            'Disallow: /*.htm\n'
+            'Disallow: /*.gif$\n')
+    d = _decide(spark, body, [
+        '/page',            # /page (5) beats /*.htm? no .htm -> allow
+        '/folder/page',     # tie /folder vs /folder -> Allow wins
+        '/page.htm',        # /*.htm (6) beats /page (5) -> disallow
+        '/a.gif',           # anchored -> disallow
+        '/a.gifs',          # $ anchor must NOT match -> / rules: /p? no
+        '/p.anything',      # /p (2) beats / (1) -> allow
+        '/q',               # only / matches -> disallow
+    ])
+    assert d[0] == (True, '/page')
+    assert d[1] == (True, '/folder')
+    assert d[2] == (False, '/*.htm')
+    assert d[3] == (False, '/*.gif$')
+    assert d[4] == (False, '/')       # falls back to Disallow: /
+    assert d[5] == (True, '/p')
+    assert d[6] == (False, '/')
+
+
+def test_group_selection_and_defaults(spark):
+    body = ('User-agent: SpecialBot\n'
+            'Disallow: /only-special\n'
+            '\n'
+            'User-agent: *\n'
+            'Disallow: /\n')
+    # specialbot uses ITS group (case-insensitive), not *
+    d = _decide(spark, body, ['/only-special/x', '/other'],
+                agent='specialbot')
+    assert d[0][0] is False and d[1][0] is True
+    # unknown bot falls back to *
+    d = _decide(spark, body, ['/other'], agent='nobody')
+    assert d[0][0] is False
+    # a PRESENT group with zero usable rules pre-empts * (allow all)
+    body2 = ('User-agent: SpecialBot\nDisallow:\n\n'
+             'User-agent: *\nDisallow: /\n')
+    d = _decide(spark, body2, ['/anything'], agent='specialbot')
+    assert d[0][0] is True
+    # no robots row at all -> default allow
+    urls = spark.createDataFrame([(0, 'http://norobots.example/x')],
+                                 'doc_id long, url string')
+    robots = spark.createDataFrame([('h.example', 'User-agent: *\nDisallow: /')],
+                                   'host string, robots_txt string')
+    out = robots_allowed(urls, robots).collect()
+    assert out[0]['allowed'] is True and out[0]['matched_pattern'] == ''
+
+
+def test_url_parts_and_broadcast_plan(spark):
+    urls = spark.createDataFrame(
+        [(0, 'HTTP://User@H.Example:80/A/b?q=1#frag'),
+         (1, 'https://h.example'),],
+        'doc_id long, url string')
+    robots = spark.createDataFrame(
+        [('h.example', 'User-agent: *\nDisallow: /A/b?q=1\nDisallow: /$\n')],
+        'host string, robots_txt string')
+    out = robots_allowed(urls, robots)
+    rows = {r['doc_id']: r for r in out.collect()}
+    # host lowercases, strips userinfo + default port; path keeps the
+    # query (rules may target it), drops the fragment; empty path -> /
+    assert rows[0]['host'] == 'h.example' and rows[0]['path'] == '/A/b?q=1'
+    assert rows[0]['allowed'] is False
+    assert rows[1]['path'] == '/' and rows[1]['allowed'] is False
+    # the URL side must take a broadcast join — never shuffle
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in p and 'SortMergeJoin' not in p
