@@ -438,6 +438,41 @@ def q_robots_gate(spark, sf_dir):
                       'matched_pattern')
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap-protocol URL discovery: the deterministic gate corpus
+    (plain urlset with entities/lastmod/changefreq/priority variants, a
+    gzipped urlset, a namespace-prefixed sitemapindex, malformed
+    priorities that must take the protocol default, and a corrupt gzip
+    that must error as a row) reads one-task-per-file and parses
+    Python-side — the small per-host side of the crawl asymmetry.
+    Committed-output oracle."""
+    from mineru_html_spark.sources.sitemap import (
+        read_sitemaps, write_synth_sitemap_gate_set)
+    d = os.path.join(REPO, '.data', 'sitemap_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_sitemap_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return read_sitemaps(spark, d)
+
+
+def q_frontier_waves(spark, sf_dir):
+    """Crawl-frontier politeness schedule over planted per-host URLs:
+    rank within host by (priority desc, url), then wave/slot integer
+    arithmetic — one window after one hash exchange on host; exact SQL
+    oracle (the window mirrors 1:1 in DuckDB)."""
+    from mineru_html_spark.functions.frontier import frontier_waves
+    d = F.col('doc_id')
+    urls = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.concat(F.lit('http://h'), (d % 23).cast('string'),
+                 F.lit('.example/p'), d.cast('string')).alias('url'),
+        ((d * 37) % 1000).cast('int').alias('priority_milli'))
+    out = frontier_waves(urls, per_host=2)
+    return out.select('doc_id', 'host', 'rank', 'wave', 'slot')
+
+
 def q_hashed_embed(spark, sf_dir):
     """Feature-hashing text embedding (Weinberger et al. 2009) over the
     documents table — the engine's model-free text->vector tier; signed
@@ -2254,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kmeans_topics': q_kmeans_topics,
         'hashed_embed': q_hashed_embed,
         'robots_gate': q_robots_gate,
+        'sitemap_extract': q_sitemap_extract,
+        'frontier_waves': q_frontier_waves,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2457,7 +2494,7 @@ def oracle_sql() -> dict[str, str]:
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
-                     'robots_gate',
+                     'robots_gate', 'sitemap_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')
@@ -3322,4 +3359,25 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['frontier_waves'] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                   || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                 CAST((doc_id * 37) % 1000 AS INT) AS priority_milli
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 CAST(row_number() OVER (
+                   PARTITION BY lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                   ORDER BY priority_milli DESC, url ASC) AS INT) AS rank
+          FROM u)
+        SELECT doc_id, host, rank,
+               CAST((rank - 1) // 2 AS INT) AS wave,
+               CAST((rank - 1) % 2 AS INT) AS slot
+        FROM r
+    """
     return oracles

@@ -1,0 +1,42 @@
+"""Crawl-frontier scheduling: per-host politeness waves.
+
+After discovery (sitemaps) and permission (robots.txt), a crawler must
+ORDER its frontier: fetch at most ``per_host`` URLs from any host per
+wave (politeness / rate limiting), highest-value URLs first. That is a
+pure window computation — rank within host by priority — and windows
+are the right tool, not a driver loop: the frontier stays distributed,
+each host's rank sequence is computed where its rows live after one
+hash exchange on host.
+
+Skew honesty: a mega-host (10M URLs) serializes ITS OWN ranking into
+one partition — that is inherent to the semantics (the host's fetch
+order is a serial sequence by definition), and the windowed rows carry
+only (url, priority), never content. Hosts are independent, so the
+stage scales with the number of hosts regardless of the biggest one.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def frontier_waves(urls: DataFrame, per_host: int = 2,
+                   url_col: str = 'url',
+                   priority_col: str = 'priority_milli') -> DataFrame:
+    """All input columns plus (host, rank, wave, slot): the politeness
+    schedule. ``rank`` orders a host's URLs by (priority desc, url asc
+    — deterministic tie-break); ``wave`` = (rank-1) // per_host is the
+    fetch round; ``slot`` the position within the round. Exactly
+    mirrorable in SQL (one window, integer arithmetic)."""
+    from .robots import _url_parts
+    host, _ = _url_parts(F.col(url_col))
+    w = Window.partitionBy('host').orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc())
+    rank = F.row_number().over(w)
+    return (urls.withColumn('host', host)
+            .withColumn('rank', rank)
+            .withColumns({
+                'wave': ((F.col('rank') - 1) / per_host)
+                    .cast('int'),
+                'slot': ((F.col('rank') - 1) % per_host).cast('int')}))

@@ -1,0 +1,181 @@
+"""Sitemap source (sitemaps.org XML protocol) — crawl URL discovery.
+
+The discovery-side complement to robots.txt: a crawl seeds its frontier
+from sitemaps, which are small per-host XML files listing URLs with
+optional freshness metadata. Like the robots operator, the asymmetry is
+the design: sitemap FILES are one row per (host, file) — tiny — while
+the URL rows they yield join the trillions-row frontier, so files parse
+Python-side (Arrow-batched, tolerant regex over the XML — real-world
+sitemaps are full of namespace/prefix inconsistencies a strict parser
+rejects) and the output is plain rows for the frontier.
+
+Scope:
+* ``<urlset>`` entries: ``loc`` (required; entity-unescaped),
+  ``lastmod`` (W3C datetime, kept verbatim), ``changefreq``,
+  ``priority`` (parsed to integer MILLI units — 0.5 -> 500 — so
+  downstream ordering is engine-exact; default 500 per the protocol).
+* ``<sitemapindex>`` entries become ``kind='index'`` rows pointing at
+  child sitemaps (the caller fetches and re-reads — a driver loop over
+  index DEPTH, which the protocol caps at one level in practice).
+* gzip payloads (``.xml.gz``, the protocol's standard compression)
+  decompress transparently; undecodable files surface as error rows.
+* The 50k-URLs-per-file protocol cap is enforced LOUDLY: files over
+  the cap emit their URLs plus an error marker instead of silently
+  truncating or silently accepting.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_URL_BLOCK_RE = re.compile(
+    rb'<(?:\w+:)?(url|sitemap)\b[^>]*>(.*?)</(?:\w+:)?\1>',
+    re.DOTALL | re.IGNORECASE)
+_FIELD_RES = {
+    'loc': re.compile(rb'<(?:\w+:)?loc\s*>\s*(.*?)\s*</(?:\w+:)?loc>',
+                      re.DOTALL | re.IGNORECASE),
+    'lastmod': re.compile(
+        rb'<(?:\w+:)?lastmod\s*>\s*(.*?)\s*</(?:\w+:)?lastmod>',
+        re.DOTALL | re.IGNORECASE),
+    'changefreq': re.compile(
+        rb'<(?:\w+:)?changefreq\s*>\s*(.*?)\s*</(?:\w+:)?changefreq>',
+        re.DOTALL | re.IGNORECASE),
+    'priority': re.compile(
+        rb'<(?:\w+:)?priority\s*>\s*(.*?)\s*</(?:\w+:)?priority>',
+        re.DOTALL | re.IGNORECASE),
+}
+
+PROTOCOL_URL_CAP = 50_000
+
+
+def _text(m) -> str:
+    return unescape(m.group(1).decode('utf-8', 'replace')) if m else ''
+
+
+def parse_sitemap(data: bytes) -> Tuple[List[tuple], str]:
+    """bytes -> ([(kind, loc, lastmod, changefreq, priority_milli)],
+    error). Transparent gzip; tolerant namespace-prefixed matching."""
+    if data[:2] == b'\x1f\x8b':
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except Exception as e:  # noqa: BLE001 — tolerant reader
+            return [], f'badgzip {type(e).__name__}'
+    rows = []
+    for m in _URL_BLOCK_RE.finditer(data):
+        kind = 'url' if m.group(1).lower() == b'url' else 'index'
+        body = m.group(2)
+        loc = _text(_FIELD_RES['loc'].search(body))
+        if not loc:
+            continue
+        pr = _text(_FIELD_RES['priority'].search(body))
+        try:
+            pr_milli = int(round(float(pr) * 1000)) if pr else 500
+        except ValueError:
+            pr_milli = 500
+        rows.append((kind, loc,
+                     _text(_FIELD_RES['lastmod'].search(body)),
+                     _text(_FIELD_RES['changefreq'].search(body)),
+                     pr_milli))
+    if not rows and b'<' not in data:
+        return [], 'notxml'
+    err = ''
+    if sum(1 for r in rows if r[0] == 'url') > PROTOCOL_URL_CAP:
+        err = f'overcap {len(rows)}'
+    return rows, err
+
+
+SITEMAP_ROWS_SCHEMA = ('sitemap string, kind string, loc string, '
+                       'lastmod string, changefreq string, '
+                       'priority_milli int, error string')
+
+
+def read_sitemaps(spark, path: str):
+    """Directory of .xml/.xml.gz sitemap files -> SITEMAP_ROWS_SCHEMA:
+    one task per file (binaryFile source), errors as rows — the same
+    contract as the WARC/PDF/EPUB readers."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.xml*').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                name = p.rsplit('/', 1)[-1]
+                rows, err = parse_sitemap(bytes(c))
+                if not rows:
+                    out.append((name, 'none', '', '', '', 500,
+                                err or 'empty'))
+                for kind, loc, lastmod, cf, pr in rows:
+                    out.append((name, kind, loc, lastmod, cf, pr, err))
+            yield pd.DataFrame(out, columns=['sitemap', 'kind', 'loc',
+                                             'lastmod', 'changefreq',
+                                             'priority_milli', 'error'])
+
+    return files.mapInPandas(batch, SITEMAP_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def _urlset(entries: List[tuple]) -> bytes:
+    body = ''.join(
+        '<url><loc>%s</loc>%s%s%s</url>' % (
+            loc,
+            f'<lastmod>{lm}</lastmod>' if lm else '',
+            f'<changefreq>{cf}</changefreq>' if cf else '',
+            f'<priority>{pr}</priority>' if pr else '')
+        for loc, lm, cf, pr in entries)
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            '%s</urlset>' % body).encode()
+
+
+def write_synth_sitemap_gate_set(out_dir: str) -> List[str]:
+    """Deterministic sitemap gate corpus: a plain urlset (entities,
+    priorities, lastmod variants), a gzipped urlset, a namespace-
+    prefixed sitemapindex, a malformed-priority file, and a corrupt
+    gzip that must error as a row."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    files['plain.xml'] = _urlset([
+        (f'http://site{i}.example/page{i}?a=1&amp;b=2',
+         '2020-01-%02d' % (i % 28 + 1),
+         ['daily', 'weekly', ''][i % 3],
+         ['0.8', '0.25', ''][i % 3]) for i in range(12)])
+
+    gz = io.BytesIO()
+    with gzip.GzipFile(fileobj=gz, mode='wb', mtime=0) as f:
+        f.write(_urlset([(f'http://gz.example/x{i}', '', '', '0.9')
+                         for i in range(5)]))
+    files['compressed.xml.gz'] = gz.getvalue()
+
+    files['index.xml'] = (
+        '<?xml version="1.0"?>\n'
+        '<sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/'
+        'sitemap/0.9">'
+        '<sm:sitemap><sm:loc>http://a.example/s1.xml</sm:loc>'
+        '<sm:lastmod>2021-06-01</sm:lastmod></sm:sitemap>'
+        '<sm:sitemap><sm:loc>http://a.example/s2.xml.gz</sm:loc>'
+        '</sm:sitemap></sm:sitemapindex>').encode()
+
+    files['badpriority.xml'] = _urlset([
+        ('http://b.example/ok', '', '', 'high'),   # -> default 500
+        ('http://b.example/neg', '', '', '-0.5'),  # kept: -500
+    ])
+
+    files['corrupt.xml.gz'] = b'\x1f\x8b garbage not gzip'
+
+    for name, data in sorted(files.items()):
+        with open(os.path.join(out_dir, name), 'wb') as f:
+            f.write(data)
+    return sorted(files)

@@ -1,0 +1,86 @@
+"""Sitemap source + frontier scheduler: parser shapes, gzip, index
+files, priority parsing, politeness-wave semantics, and the
+discovery -> permission -> schedule composition."""
+
+import os
+
+from mineru_html_spark.sources.sitemap import (parse_sitemap,
+                                               write_synth_sitemap_gate_set)
+
+
+def test_parse_sitemap_shapes(tmp_path):
+    d = str(tmp_path / 'maps')
+    write_synth_sitemap_gate_set(d)
+
+    def rows(name):
+        return parse_sitemap(open(os.path.join(d, name), 'rb').read())
+
+    plain, err = rows('plain.xml')
+    assert err == '' and len(plain) == 12
+    # entity unescape + priority milli + protocol default
+    k, loc, lm, cf, pr = plain[0]
+    assert k == 'url' and loc.endswith('page0?a=1&b=2')
+    assert pr == 800 and cf == 'daily' and lm == '2020-01-01'
+    assert plain[2][4] == 500 and plain[2][3] == ''   # defaults
+
+    gz, err = rows('compressed.xml.gz')
+    assert err == '' and len(gz) == 5 and gz[0][4] == 900
+
+    idx, err = rows('index.xml')
+    assert err == '' and [r[0] for r in idx] == ['index', 'index']
+    assert idx[0][1] == 'http://a.example/s1.xml'
+    assert idx[0][2] == '2021-06-01'
+
+    bad, err = rows('badpriority.xml')
+    assert bad[0][4] == 500       # unparseable -> protocol default
+    assert bad[1][4] == -500      # parseable stays, even if odd
+
+    corrupt, err = rows('corrupt.xml.gz')
+    assert corrupt == [] and err.startswith('badgzip')
+
+
+def test_frontier_waves_semantics(spark):
+    from mineru_html_spark.functions.frontier import frontier_waves
+    rows = [
+        # one busy host, priorities force a known order
+        (0, 'http://a.example/p0', 900),
+        (1, 'http://a.example/p1', 900),   # tie -> url asc
+        (2, 'http://a.example/p2', 100),
+        (3, 'http://a.example/p3', 500),
+        # an independent host schedules from wave 0
+        (4, 'http://b.example/x', 1),
+    ]
+    df = spark.createDataFrame(
+        rows, 'doc_id long, url string, priority_milli int')
+    out = {r['doc_id']: (r['rank'], r['wave'], r['slot'])
+           for r in frontier_waves(df, per_host=2).collect()}
+    assert out[0] == (1, 0, 0) and out[1] == (2, 0, 1)
+    assert out[3] == (3, 1, 0) and out[2] == (4, 1, 1)
+    assert out[4] == (1, 0, 0)
+
+
+def test_discovery_permission_schedule_composition(spark, tmp_path):
+    """The three crawl tiers compose: sitemap rows -> robots filter ->
+    frontier waves, all on one session."""
+    import pyspark.sql.functions as F
+    from mineru_html_spark.sources.sitemap import read_sitemaps
+    from mineru_html_spark.functions.robots import robots_allowed
+    from mineru_html_spark.functions.frontier import frontier_waves
+
+    d = str(tmp_path / 'maps')
+    write_synth_sitemap_gate_set(d)
+    discovered = (read_sitemaps(spark, d)
+                  .where("kind = 'url'")
+                  .select(F.col('loc').alias('url'), 'priority_milli'))
+    robots = spark.createDataFrame(
+        [('gz.example', 'User-agent: *\nDisallow: /x1$\n')],
+        'host string, robots_txt string')
+    permitted = (robots_allowed(discovered, robots)
+                 .where('allowed').drop('allowed', 'matched_pattern'))
+    sched = frontier_waves(permitted, per_host=2)
+    got = {r['url']: r['wave'] for r in sched.collect()}
+    assert 'http://gz.example/x1' not in got          # robots-blocked
+    assert 'http://gz.example/x0' in got
+    # 4 surviving gz urls at 2/wave -> waves 0..1
+    gz_waves = sorted(v for k, v in got.items() if 'gz.example' in k)
+    assert gz_waves == [0, 0, 1, 1]

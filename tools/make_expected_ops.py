@@ -26,7 +26,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'bpe_train', 'bpe_apply', 'streaming_near_dup', 'pdf_extract',
          'extract_markdown', 'image_near_dups', 'image_dedup_keep',
          'gif_frames', 'video_frames', 'media_probe', 'audio_features',
-         'audio_resample', 'epub_extract', 'robots_gate')
+         'audio_resample', 'epub_extract', 'robots_gate',
+         'sitemap_extract')
 
 
 def main():
