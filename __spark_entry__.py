@@ -1755,6 +1755,30 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, n_merges=50))
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): the
+    corpus-scale part is the SAME one word-type aggregate BPE uses; EM
+    (exact lattice forward-backward) + expected-count pruning run
+    driver-side over the pruned type dictionary, exactly how
+    SentencePiece consumes a type-frequency file. Scores quantize to
+    integer milli-nats; committed-output oracle."""
+    from mineru_html_spark.functions.unigram import (unigram_train,
+                                                     pieces_df)
+    return pieces_df(spark, unigram_train(_docs(spark, sf_dir),
+                                          vocab_size=400))
+
+
+def q_unigram_apply(spark, sf_dir):
+    """Viterbi-tokenize the corpus with the trained unigram table:
+    broadcast integer scores, Arrow-batched, deterministic tie-breaks,
+    capped word memo. Per-doc piece counts + total milli-nat score +
+    piece-sequence md5 cross the gate (committed-output oracle)."""
+    from mineru_html_spark.functions.unigram import (unigram_apply,
+                                                     unigram_train)
+    docs = _docs(spark, sf_dir)
+    return unigram_apply(docs, unigram_train(docs, vocab_size=400))
+
+
 _BM25_TERMS = ('spark', 'vector', 'window')
 
 
@@ -2291,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_gate': q_robots_gate,
         'sitemap_extract': q_sitemap_extract,
         'frontier_waves': q_frontier_waves,
+        'unigram_train': q_unigram_train,
+        'unigram_apply': q_unigram_apply,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2490,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
                      'rouge_self', 'media_features', 'media_resize',
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
+                     'unigram_train', 'unigram_apply',
                      'streaming_near_dup', 'pdf_extract', 'epub_extract',
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',

@@ -1,0 +1,226 @@
+"""Unigram-LM tokenizer training + application (Kudo 2018, the
+SentencePiece unigram model) — the OTHER dominant subword tokenizer
+next to BPE (T5/ALBERT/XLNet family), with the same pipeline split as
+``bpe.py``:
+
+  * the CORPUS-SCALE part is the one word-type frequency aggregate
+    (shared with BPE — the corpus is touched exactly once);
+  * EM + pruning run driver-side over the pruned type dictionary (how
+    SentencePiece itself trains: its input is a type-frequency file);
+  * APPLICATION is distributed: Viterbi segmentation per word in an
+    Arrow-batched pass with broadcast INTEGER milli-nat piece scores
+    and a capped per-task memo (same shape as ``bpe_apply``).
+
+Training follows the paper's loop: seed the vocabulary with the most
+frequent substrings (plus all single characters, which are never
+pruned — coverage guarantee), run EM where the E-step computes expected
+piece counts with forward-backward over each word's segmentation
+lattice, the M-step re-normalizes, and between rounds prune the
+lowest-expected-count multi-char pieces until the target size. The
+paper prunes by likelihood loss; expected-count pruning is the standard
+simplification (they order near-identically because loss ~ count x
+score) and is stated here rather than hidden.
+
+Determinism: EM is driver-side float math (single-threaded, fixed
+iteration counts, inputs sorted by (cnt desc, word asc)), and the
+OUTPUT quantizes to integer milli-nats — distributed Viterbi then runs
+in pure integer arithmetic with a stated tie-break, so applying the
+committed piece table is exactly reproducible at any parallelism. The
+committed-output oracle certifies both halves.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .bpe import bpe_word_counts
+
+MAX_PIECE_LEN = 6
+UNK_MILLI = -20_000        # per-char fallback score (unknown coverage)
+
+
+def _forward_backward(word: str, cnt: int, logp: Dict[str, float],
+                      exp: Dict[str, float]) -> float:
+    """Accumulate expected piece counts for one word type (lattice
+    forward-backward); returns the word's log-likelihood."""
+    n = len(word)
+    # alpha[i]: log prob of prefix word[:i]; beta[i]: of suffix word[i:]
+    alpha = [-math.inf] * (n + 1)
+    beta = [-math.inf] * (n + 1)
+    alpha[0] = 0.0
+    beta[n] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] > -math.inf:
+                a = alpha[j] + lp
+                alpha[i] = a if alpha[i] == -math.inf else \
+                    max(alpha[i], a) + math.log1p(
+                        math.exp(-abs(alpha[i] - a)))
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None and beta[j] > -math.inf:
+                b = beta[j] + lp
+                beta[i] = b if beta[i] == -math.inf else \
+                    max(beta[i], b) + math.log1p(
+                        math.exp(-abs(beta[i] - b)))
+    z = alpha[n]
+    if z == -math.inf:
+        return 0.0
+    for i in range(n):
+        for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None and alpha[i] > -math.inf \
+                    and beta[j] > -math.inf:
+                post = math.exp(alpha[i] + lp + beta[j] - z)
+                exp[word[i:j]] = exp.get(word[i:j], 0.0) + cnt * post
+    return cnt * z
+
+
+def unigram_train(documents: DataFrame, vocab_size: int = 400,
+                  top_types: int = 20000, seed_size: int = 3000,
+                  em_iters: int = 2, prune_rounds: int = 3) -> list:
+    """[(piece, score_milli)]: the learned unigram piece table, scores
+    in integer milli-nats (log-probs x 1000, rounded half-away-from-
+    zero). Single chars are never pruned (coverage)."""
+    rows = (bpe_word_counts(documents)
+            .orderBy(F.desc('cnt'), F.asc('word'))
+            .limit(top_types).collect())
+    types: List[Tuple[str, int]] = [(r['word'], int(r['cnt']))
+                                    for r in rows]
+
+    # seed: frequent substrings (freq x len score, the SentencePiece
+    # seed heuristic) + all single chars
+    sub_freq: Dict[str, int] = {}
+    for w, c in types:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + MAX_PIECE_LEN) + 1):
+                s = w[i:j]
+                sub_freq[s] = sub_freq.get(s, 0) + c
+    chars = {s for s in sub_freq if len(s) == 1}
+    multi = sorted((s for s in sub_freq if len(s) > 1),
+                   key=lambda s: (-sub_freq[s] * len(s), s))
+    vocab = sorted(chars) + multi[:max(0, seed_size - len(chars))]
+
+    # init probs from seed frequencies
+    tot = sum(sub_freq[s] for s in vocab)
+    logp = {s: math.log(sub_freq[s] / tot) for s in vocab}
+
+    for _round in range(prune_rounds):
+        for _ in range(em_iters):
+            exp: Dict[str, float] = {}
+            for w, c in types:
+                _forward_backward(w, c, logp, exp)
+            z = sum(exp.values()) or 1.0
+            floor = math.log(1e-12)
+            logp = {s: (math.log(exp[s] / z) if exp.get(s, 0.0) > 0
+                        else floor) for s in logp}
+        if len(logp) > vocab_size:
+            # prune lowest-expected-mass multi-char pieces toward the
+            # target (keep all single chars); deterministic tie-break
+            keep_n = max(vocab_size,
+                         int(len(logp) * 0.6))   # shrink 40% per round
+            multi_sorted = sorted(
+                ((s, lp) for s, lp in logp.items() if len(s) > 1),
+                key=lambda kv: (-kv[1], kv[0]))
+            singles = {s: lp for s, lp in logp.items() if len(s) == 1}
+            kept = dict(multi_sorted[:max(0, keep_n - len(singles))])
+            kept.update(singles)
+            logp = kept
+
+    def milli(x: float) -> int:
+        return int(math.floor(x * 1000 + 0.5))
+
+    return sorted(((s, milli(lp)) for s, lp in logp.items()),
+                  key=lambda kv: (-kv[1], kv[0]))
+
+
+def pieces_df(spark: SparkSession, pieces: list) -> DataFrame:
+    return spark.createDataFrame(pieces, 'piece string, score_milli long')
+
+
+def viterbi_segment(word: str, scores: Dict[str, int]) -> tuple:
+    """Best segmentation under integer milli-nat scores. DP ties break
+    deterministically: strict improvement only, candidates scanned with
+    the LONGEST piece first — so an equal-score alternative never
+    displaces the longer-piece solution. Unknown chars segment as
+    single-char UNK_MILLI pieces (visible in the score, never dropped)."""
+    n = len(word)
+    NEG = -(1 << 60)
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            if best[j] == NEG:
+                continue
+            s = scores.get(word[j:i])
+            if s is None:
+                if i - j == 1:
+                    s = UNK_MILLI
+                else:
+                    continue
+            cand = best[j] + s
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return tuple(reversed(out))
+
+
+def unigram_apply(documents: DataFrame, pieces: list) -> DataFrame:
+    """(doc_id, n_words, n_pieces, score_milli, pieces_md5): Viterbi-
+    tokenize the corpus with the broadcast piece table — Arrow-batched,
+    integer scoring, capped per-task word memo (same scale shape as
+    ``bpe_apply``)."""
+    scores = {p: int(s) for p, s in pieces}
+    spark = documents.sparkSession
+    b_scores = spark.sparkContext.broadcast(scores)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        sc = b_scores.value
+        memo: dict = {}
+        word_re = re.compile(r'[^a-z0-9]+')
+        for pdf in it:
+            out = {'doc_id': [], 'n_words': [], 'n_pieces': [],
+                   'score_milli': [], 'pieces_md5': []}
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                words = [w for w in
+                         word_re.split(str(text).lower().strip()) if w]
+                pieces_seq: List[str] = []
+                total = 0
+                for w in words:
+                    hit = memo.get(w)
+                    if hit is None:
+                        seg = viterbi_segment(w, sc)
+                        s = sum(sc.get(p, UNK_MILLI) for p in seg)
+                        if len(memo) >= 65536:
+                            memo.clear()
+                        memo[w] = hit = (seg, s)
+                    pieces_seq.extend(hit[0])
+                    total += hit[1]
+                out['doc_id'].append(doc_id)
+                out['n_words'].append(len(words))
+                out['n_pieces'].append(len(pieces_seq))
+                out['score_milli'].append(total)
+                out['pieces_md5'].append(hashlib.md5(
+                    '\x1f'.join(pieces_seq).encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return documents.select('doc_id', 'text').mapInPandas(
+        run, 'doc_id long, n_words long, n_pieces long, '
+             'score_milli long, pieces_md5 string')

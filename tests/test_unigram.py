@@ -1,0 +1,75 @@
+"""Unigram-LM tokenizer (Kudo 2018): E-step exactness, Viterbi
+semantics, pruning/coverage invariants, and distributed determinism."""
+
+import math
+
+from mineru_html_spark.functions.unigram import (UNK_MILLI,
+                                                 _forward_backward,
+                                                 unigram_apply,
+                                                 unigram_train,
+                                                 viterbi_segment)
+
+
+def test_forward_backward_exact_posteriors():
+    # vocab {a, b, ab}: P(ab as [ab]) = .2, P([a][b]) = .16, Z = .36
+    logp = {'a': math.log(0.4), 'b': math.log(0.4), 'ab': math.log(0.2)}
+    exp = {}
+    _forward_backward('ab', 10, logp, exp)
+    assert abs(exp['ab'] - 10 * 0.2 / 0.36) < 1e-9
+    assert abs(exp['a'] - 10 * 0.16 / 0.36) < 1e-9
+    assert abs(exp['a'] - exp['b']) < 1e-12
+
+
+def test_viterbi_semantics():
+    sc = {'a': -916, 'b': -916, 'ab': -1609, 'abc': -5000, 'c': -916}
+    assert viterbi_segment('ab', sc) == ('ab',)       # -1609 > -1832
+    assert viterbi_segment('abc', sc) == ('ab', 'c')  # -2525 > -5000
+    # unknown chars fall back to visible single-char pieces
+    assert viterbi_segment('axb', sc) == ('a', 'x', 'b')
+    # tie (equal scores) keeps the longer-piece solution
+    sc2 = {'a': -1000, 'b': -1000, 'ab': -2000}
+    assert viterbi_segment('ab', sc2) == ('ab',)
+
+
+def _corpus(spark):
+    rows = [(i, 'the cat sat on the mat and the cat ran') for i in range(6)]
+    rows += [(6 + i, 'running runner runs rerun') for i in range(6)]
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_train_coverage_and_pruning(spark):
+    pieces = unigram_train(_corpus(spark), vocab_size=20,
+                           seed_size=200)
+    vocab = {p for p, _ in pieces}
+    # every single character of the corpus survives pruning (coverage)
+    for ch in set('thecatsonmadrunigrens'):
+        assert ch in vocab, ch
+    # pruning actually engaged: well under the 200-piece seed
+    assert len(pieces) <= 20 + len([p for p in vocab if len(p) == 1])
+    # scores are negative log-probs in milli-nats
+    assert all(s < 0 for _, s in pieces)
+    # deterministic: retrain gives the identical table
+    assert pieces == unigram_train(_corpus(spark), vocab_size=20,
+                                   seed_size=200)
+
+
+def test_apply_reconstructs_and_is_partition_independent(spark):
+    docs = _corpus(spark)
+    pieces = unigram_train(docs, vocab_size=30, seed_size=200)
+    out = unigram_apply(docs, pieces).collect()
+    assert len(out) == 12
+    by_id = {r['doc_id']: r for r in out}
+    # identical docs tokenize identically
+    assert by_id[0]['pieces_md5'] == by_id[5]['pieces_md5']
+    assert by_id[0]['n_pieces'] >= by_id[0]['n_words']
+    # distributed determinism: different partitioning, same output
+    out17 = unigram_apply(docs.repartition(17), pieces).collect()
+    assert ({(r['doc_id'], r['pieces_md5'], r['score_milli'])
+             for r in out} ==
+            {(r['doc_id'], r['pieces_md5'], r['score_milli'])
+             for r in out17})
+    # unknown-char text survives with the stated fallback
+    weird = spark.createDataFrame([(0, 'zzzqqq 9x9')],
+                                  'doc_id long, text string')
+    w = unigram_apply(weird, pieces).collect()[0]
+    assert w['n_pieces'] > 0 and w['score_milli'] <= UNK_MILLI
