@@ -1755,6 +1755,24 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, n_merges=50))
 
 
+def q_cdx_fetch_plan(spark, sf_dir):
+    """Common Crawl cc-index tier: CDXJ lines (plain + gzipped files,
+    planted malformed lines that must survive as parse_ok=false) parse
+    fully JVM-side (text source + from_json — zero Python), then the
+    WARC fetch plan selects 200/text-html/eng records, dedups to one
+    representative per content digest, and sequences range reads per
+    archive file by offset. Committed-output oracle."""
+    from mineru_html_spark.sources.cdx import (cdx_fetch_plan, read_cdx,
+                                               write_synth_cdx_gate_set)
+    d = os.path.join(REPO, '.data', 'cdx_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_cdx_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return cdx_fetch_plan(read_cdx(spark, d))
+
+
 def q_unigram_train(spark, sf_dir):
     """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): the
     corpus-scale part is the SAME one word-type aggregate BPE uses; EM
@@ -2317,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'frontier_waves': q_frontier_waves,
         'unigram_train': q_unigram_train,
         'unigram_apply': q_unigram_apply,
+        'cdx_fetch_plan': q_cdx_fetch_plan,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2521,7 +2540,7 @@ def oracle_sql() -> dict[str, str]:
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
-                     'robots_gate', 'sitemap_extract',
+                     'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,133 @@
+"""Common Crawl index (CDXJ) source + WARC fetch planning.
+
+Training-data pipelines over Common Crawl do not scan WARCs blindly:
+they query the cc-index — CDXJ text files of ``urlkey timestamp JSON``
+lines, ~300 GB per crawl — to select records worth fetching (status
+200, text/html, language, one representative per content digest), then
+issue RANGE reads into the WARC files. This module is that tier:
+
+* **Parsing is fully JVM-side** — the CDXJ line grammar is two
+  space-delimited tokens + a JSON object, so ``spark.read.text``
+  (gzip-transparent, splittable per file) + ``from_json`` keep the
+  whole parse in whole-stage codegen; there is no Python in this path
+  at all, which matters at 300 GB x N crawls.
+* **Selection** is a plain filter (pushable predicates).
+* **Digest dedup** keeps ONE representative per content digest (the
+  cc-index's sha1) — the cheap exact-dedup a CC pipeline runs BEFORE
+  fetching bytes; keep-first on (url asc) for determinism.
+* **Fetch planning** groups survivors by WARC filename and orders by
+  offset, so each task's range reads hit one archive file sequentially
+  — the I/O locality that makes the fetch stage feasible; the plan is
+  one window over (filename) ordered by offset.
+
+Malformed lines survive as error rows (``parse_ok = false``) — the
+cc-index does contain them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+CDX_JSON_SCHEMA = ('url string, mime string, status string, '
+                   'digest string, length string, offset string, '
+                   'filename string, languages string')
+
+_LINE_RE = r'^(\S+) (\d+) (\{.*\})\s*$'
+
+
+def read_cdx(spark, path: str) -> DataFrame:
+    """CDXJ files (.cdx/.cdx.gz) -> typed rows. Gzip decompression is
+    the text source's own; the grammar splits with one regexp and the
+    JSON parses with from_json — zero Python, fully splittable."""
+    lines = (spark.read.text(path)
+             .where(F.length('value') > 0))
+    urlkey = F.regexp_extract('value', _LINE_RE, 1)
+    ts = F.regexp_extract('value', _LINE_RE, 2)
+    js = F.from_json(F.regexp_extract('value', _LINE_RE, 3),
+                     CDX_JSON_SCHEMA)
+    d = lines.select(
+        F.when(urlkey == '', None).otherwise(urlkey).alias('urlkey'),
+        F.when(ts == '', None).otherwise(ts).alias('timestamp'),
+        js.alias('j'))
+    return d.select(
+        'urlkey', 'timestamp',
+        F.col('j.url').alias('url'),
+        F.col('j.mime').alias('mime'),
+        F.col('j.status').cast('int').alias('status'),
+        F.col('j.digest').alias('digest'),
+        F.col('j.length').cast('long').alias('length'),
+        F.col('j.offset').cast('long').alias('offset'),
+        F.col('j.filename').alias('filename'),
+        F.col('j.languages').alias('languages'),
+        (F.col('urlkey').isNotNull() & F.col('j.url').isNotNull()
+         & F.col('j.offset').isNotNull()).alias('parse_ok'))
+
+
+def cdx_fetch_plan(cdx: DataFrame, mime: str = 'text/html',
+                   lang: str = 'eng') -> DataFrame:
+    """(digest, url, timestamp, filename, offset, length, fetch_seq):
+    the WARC range-read plan — 200/text-html/language selection, one
+    representative per digest (keep-first on url asc, timestamp asc),
+    then per-WARC-file sequencing by offset so each task reads one
+    archive forward. Selection prunes BEFORE the dedup shuffle, and the
+    dedup exchange carries keys + coordinates only (no page bytes exist
+    at this tier at all)."""
+    sel = (cdx.where('parse_ok')
+           .where(F.col('status') == 200)
+           .where(F.col('mime') == mime)
+           .where(F.col('languages').contains(lang)))
+    w = Window.partitionBy('digest').orderBy(
+        F.col('url').asc(), F.col('timestamp').asc())
+    rep = (sel.withColumn('_rn', F.row_number().over(w))
+           .where(F.col('_rn') == 1).drop('_rn'))
+    seq = Window.partitionBy('filename').orderBy(
+        F.col('offset').asc(), F.col('url').asc())
+    return (rep.select('digest', 'url', 'timestamp', 'filename',
+                       'offset', 'length')
+            .withColumn('fetch_seq', F.row_number().over(seq)))
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def write_synth_cdx_gate_set(out_dir: str, n: int = 120) -> int:
+    """Deterministic CDXJ gate files (one plain, one gzipped):
+    status/mime/language variety, duplicate digests across files,
+    multi-fetch WARC filenames, and malformed lines that must survive
+    as parse_ok=false rows."""
+    import gzip
+    import json
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+
+    def line(i: int) -> str:
+        host = f'site{i % 9}.example'
+        url = f'http://{host}/p{i}'
+        rec = {
+            'url': url,
+            'mime': ['text/html', 'text/html', 'application/pdf',
+                     'text/html'][i % 4],
+            'status': ['200', '200', '200', '301'][i % 4],
+            # every 5th record repeats the digest of i-5 (dup content)
+            'digest': f'SHA1DIG{(i - 5 if i % 5 == 0 and i >= 5 else i):05d}',
+            'length': str(1000 + i * 7),
+            'offset': str((i * 104729) % 900_000),
+            'filename': f'crawl-00{i % 3}.warc.gz',
+            'languages': ['eng', 'eng,deu', 'fra', 'eng'][i % 4],
+        }
+        key = f'example,{host.split(".")[0]})/p{i}'
+        return f'{key} 2024010100{i % 10:04d} {json.dumps(rec, sort_keys=True)}'
+
+    lines = [line(i) for i in range(n)]
+    lines.insert(7, 'malformed line without json')
+    lines.insert(23, 'key 20240101 {"broken json')
+
+    half = len(lines) // 2
+    with open(os.path.join(out_dir, 'part-a.cdx'), 'w') as f:
+        f.write('\n'.join(lines[:half]) + '\n')
+    with gzip.open(os.path.join(out_dir, 'part-b.cdx.gz'), 'wt',
+                   encoding='utf-8') as f:
+        f.write('\n'.join(lines[half:]) + '\n')
+    return len(lines)

@@ -1,0 +1,52 @@
+"""cc-index (CDXJ) source: JVM-side parse, malformed-line survival,
+digest dedup and per-WARC fetch sequencing."""
+
+import pyspark.sql.functions as F
+
+from mineru_html_spark.sources.cdx import (cdx_fetch_plan, read_cdx,
+                                           write_synth_cdx_gate_set)
+
+
+def test_cdx_parse_and_plan(spark, tmp_path):
+    d = str(tmp_path / 'cdx')
+    n = write_synth_cdx_gate_set(d)
+    rows = read_cdx(spark, d)
+    assert rows.count() == n
+    bad = rows.where('NOT parse_ok')
+    assert bad.count() == 2                      # both planted malformed
+    ok = rows.where('parse_ok')
+    # gzip and plain parts both parsed
+    assert ok.count() == n - 2
+
+    plan = cdx_fetch_plan(rows)
+    got = plan.collect()
+    # selection: only 200 + text/html + eng survive
+    sel = {r['url'] for r in got}
+    assert all('/p' in u for u in sel)
+    src = {r['url']: r for r in ok.collect()}
+    for u in sel:
+        assert src[u]['status'] == 200
+        assert src[u]['mime'] == 'text/html'
+        assert 'eng' in src[u]['languages']
+    # digest dedup: one representative per digest, keep-first by url
+    digs = [r['digest'] for r in got]
+    assert len(digs) == len(set(digs))
+    # planted dup: i=25 repeats digest of i=20 — only one survives
+    assert sum(1 for r in got if r['digest'] == 'SHA1DIG00020') == 1
+    # fetch_seq is dense + ordered by offset within each archive file
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r['filename'], []).append(r)
+    for f, rs in by_file.items():
+        rs = sorted(rs, key=lambda r: r['fetch_seq'])
+        assert [r['fetch_seq'] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r['offset'] for r in rs] == sorted(r['offset'] for r in rs)
+
+
+def test_cdx_parse_is_python_free(spark, tmp_path):
+    d = str(tmp_path / 'cdx')
+    write_synth_cdx_gate_set(d)
+    p = read_cdx(spark, d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'BatchEvalPython' not in p and 'ArrowEvalPython' not in p
+    assert 'MapInPandas' not in p

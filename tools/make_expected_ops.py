@@ -27,7 +27,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'extract_markdown', 'image_near_dups', 'image_dedup_keep',
          'gif_frames', 'video_frames', 'media_probe', 'audio_features',
          'audio_resample', 'epub_extract', 'robots_gate',
-         'sitemap_extract', 'unigram_train', 'unigram_apply')
+         'sitemap_extract', 'unigram_train', 'unigram_apply',
+         'cdx_fetch_plan')
 
 
 def main():
