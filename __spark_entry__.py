@@ -1755,6 +1755,29 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, n_merges=50))
 
 
+def q_link_graph(spark, sf_dir):
+    """Outlink extraction over the extraction corpus (the anchor tier
+    feeding frontier discovery and anchor-text retrieval): every <a
+    href> in document order via the engine's repairing DOM parser, with
+    kind classification and rel=nofollow honoring, rolled up per doc
+    with order-sensitive md5s so any walk/classification drift flips
+    the gate. Committed-output oracle."""
+    from mineru_html_spark.functions.links import extract_links
+    from mineru_html_spark.sources.synthsource import materialized_docs
+    n = docs_for_sf(_sf_of(sf_dir))
+    links = extract_links(materialized_docs(spark, n))
+    return (links.groupBy('doc_id').agg(
+        F.count('*').cast('int').alias('n_links'),
+        F.sum(F.when(F.col('kind') == 'rel', 1).otherwise(0))
+         .cast('int').alias('n_rel'),
+        F.sum(F.when(F.col('nofollow'), 1).otherwise(0))
+         .cast('int').alias('n_nofollow'),
+        F.md5(F.concat_ws('\x1f', F.array_sort(F.collect_list(
+            F.concat_ws('\x1e', F.col('link_idx').cast('string'),
+                        'href', 'anchor', 'kind')))))
+         .alias('links_md5')))
+
+
 def q_cdx_fetch_plan(spark, sf_dir):
     """Common Crawl cc-index tier: CDXJ lines (plain + gzipped files,
     planted malformed lines that must survive as parse_ok=false) parse
@@ -2336,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'unigram_train': q_unigram_train,
         'unigram_apply': q_unigram_apply,
         'cdx_fetch_plan': q_cdx_fetch_plan,
+        'link_graph': q_link_graph,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2541,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
+                     'link_graph',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,104 @@
+"""Hyperlink extraction: the anchor tier of a crawl pipeline.
+
+Outlinks drive two consumers downstream of extraction: the FRONTIER
+(every crawl's URL discovery beyond sitemaps is page anchors) and
+RETRIEVAL/ranking (anchor text is the classic external description of a
+target page; the link graph feeds PageRank — ``graph.py``). This
+operator walks the SAME repairing DOM the extraction engine uses
+(``core/dom.py``) and emits every ``<a href>`` in document order with
+its visible anchor text, a ``nofollow`` flag (rel scanning, the value a
+polite crawler must honor), and a coarse kind:
+
+  * ``abs``      — absolute http(s) URL (frontier-ready)
+  * ``rel``      — site-relative or path-relative (resolve vs base)
+  * ``frag``     — pure fragment (never fetched)
+  * ``other``    — mailto:/javascript:/data:/etc (never fetched)
+
+Scale shape: one Arrow-batched pass, one output row per link — the
+exploded shape downstream joins want (host grouping, anchor-text
+aggregation per target). Parsing failures yield zero links, never a
+task failure. Reference analogue: link handling in the simplify tier
+(MinerU-HTML keeps anchors as content; the reference never builds the
+outlink table — this is a beyond-reference crawl component).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+LINK_ROWS_SCHEMA = ('doc_id string, link_idx int, href string, '
+                    'anchor string, kind string, nofollow boolean')
+
+
+def _kind(href: str) -> str:
+    h = href.strip()
+    low = h.lower()
+    if low.startswith(('http://', 'https://')):
+        return 'abs'
+    if low.startswith('#'):
+        return 'frag'
+    if ':' in h.split('/', 1)[0].split('?', 1)[0].split('#', 1)[0]:
+        return 'other'                    # mailto:, javascript:, data:
+    return 'rel'
+
+
+def links_from_html(html: str) -> List[Tuple[str, str, str, bool]]:
+    """[(href, anchor_text, kind, nofollow)] in document order, via the
+    engine's repairing parser."""
+    from ..core.dom import Node, parse_html
+    root = parse_html(html)
+    out: List[Tuple[str, str, str, bool]] = []
+
+    def text_of(node) -> str:
+        buf: List[str] = []
+
+        def walk(n):
+            for c in n.children:
+                if isinstance(c, Node):
+                    walk(c)
+                else:
+                    buf.append(c)
+        walk(node)
+        return ' '.join(' '.join(buf).split())
+
+    def visit(node):
+        if node.tag == 'a':
+            href = (node.attrs.get('href') or '').strip()
+            if href:
+                rel = (node.attrs.get('rel') or '').lower()
+                out.append((href, text_of(node), _kind(href),
+                            'nofollow' in rel.split()))
+        for c in node.children:
+            if isinstance(c, Node):
+                visit(c)
+
+    visit(root)
+    return out
+
+
+def extract_links(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> one row per anchor (LINK_ROWS_SCHEMA). The
+    doc's HTML is the concatenation of its text spans (the docs-table
+    contract); parse failures emit zero rows for that doc."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+                html = ''.join(s['text'] for s in spans
+                               if s['kind'] == 'text')
+                try:
+                    links = links_from_html(html)
+                except Exception:  # noqa: BLE001 — tolerant contract
+                    links = []
+                for i, (href, anchor, kind, nf) in enumerate(links):
+                    rows.append((doc_id, i, href, anchor, kind, nf))
+            yield pd.DataFrame(rows, columns=['doc_id', 'link_idx',
+                                              'href', 'anchor', 'kind',
+                                              'nofollow'])
+
+    return docs.select('doc_id', 'spans').mapInPandas(
+        batch, LINK_ROWS_SCHEMA)

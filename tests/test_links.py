@@ -1,0 +1,48 @@
+"""Outlink extraction: kinds, nofollow, document order, tolerance."""
+
+from mineru_html_spark.functions.links import links_from_html
+
+
+def test_links_from_html_kinds_and_order():
+    html = (
+        '<html><body>'
+        '<a href="https://x.example/a">Abs <b>Link</b></a>'
+        '<a href="/rel/path">Rel</a>'
+        '<a href="sub/page.html">Sub</a>'
+        '<a href="#sec">Frag</a>'
+        '<a href="mailto:a@b.c">Mail</a>'
+        '<a href="javascript:void(0)">JS</a>'
+        '<a rel="NoFollow sponsored" href="/paid">Paid</a>'
+        '<a href="">empty skipped</a>'
+        '<a>no href skipped</a>'
+        '</body></html>')
+    links = links_from_html(html)
+    assert [k for _, _, k, _ in links] == \
+        ['abs', 'rel', 'rel', 'frag', 'other', 'other', 'rel']
+    assert links[0][1] == 'Abs Link'            # nested text flattens
+    assert links[6][3] is True                  # rel token, any case
+    assert all(nf is False for _, _, _, nf in links[:6])
+
+
+def test_links_survive_bad_html():
+    assert links_from_html('<a href="/x">unclosed') == \
+        [('/x', 'unclosed', 'rel', False)]
+    assert links_from_html('') == []
+
+
+def test_extract_links_spark(spark):
+    from mineru_html_spark.functions.links import extract_links
+    from mineru_html_spark.sources.synthsource import synth_docs_df
+    docs = synth_docs_df(spark, 60)
+    out = extract_links(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    # synth pages carry nav/related/footer anchors -> rel links dominate
+    kinds = {r['kind'] for r in rows}
+    assert 'rel' in kinds
+    # link_idx is dense per doc from 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r['doc_id'], []).append(r['link_idx'])
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs))), doc
