@@ -1755,6 +1755,37 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, n_merges=50))
 
 
+def q_near_dup_incremental(spark, sf_dir):
+    """Incremental near-dup: the documents table plays the EXISTING
+    corpus — its banded MinHash signatures materialize once into a
+    band-partitioned parquet index — and a planted incoming slice
+    (every 7th doc's text with a short tail appended, i.e. true
+    near-dups, plus fresh synthetic texts that must NOT match) probes
+    it. The new slice's bands BROADCAST; the index streams through one
+    broadcast hash join; old text is never re-read (signature-agreement
+    verify, integer milli units). Committed-output oracle."""
+    from mineru_html_spark.functions.dedup import (minhash_index,
+                                                   near_dup_vs_index)
+    docs = _docs(spark, sf_dir)
+    d = os.path.join(REPO, '.data', 'minhash_index_v1')
+    marker = os.path.join(d, '_done_' + str(_sf_of(sf_dir)))
+    if not os.path.exists(marker):
+        minhash_index(docs, d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    dd = F.col('doc_id')
+    new_docs = (
+        docs.where(dd % 7 == 0)
+        .select((dd + 1_000_000).alias('doc_id'),
+                F.concat('text', F.lit(' incoming tail')).alias('text'))
+        .unionByName(docs.where(dd % 7 == 3).select(
+            (dd + 2_000_000).alias('doc_id'),
+            F.concat_ws(' ', F.lit('entirely fresh slice row number'),
+                        dd.cast('string'), F.lit('with novel words'),
+                        F.md5(dd.cast('string'))).alias('text'))))
+    return near_dup_vs_index(new_docs, d)
+
+
 def q_link_graph(spark, sf_dir):
     """Outlink extraction over the extraction corpus (the anchor tier
     feeding frontier discovery and anchor-text retrieval): every <a
@@ -2360,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'unigram_apply': q_unigram_apply,
         'cdx_fetch_plan': q_cdx_fetch_plan,
         'link_graph': q_link_graph,
+        'near_dup_incremental': q_near_dup_incremental,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2565,7 +2597,7 @@ def oracle_sql() -> dict[str, str]:
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
-                     'link_graph',
+                     'link_graph', 'near_dup_incremental',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

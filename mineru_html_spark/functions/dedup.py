@@ -149,22 +149,11 @@ def lsh_candidate_pairs(documents: DataFrame, k: int = 3,
     bucket is bounded by bucket size; production adds a bucket-size cap
     (drop degenerate buckets — boilerplate shingles) which we apply at 64.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(documents, k, num_hashes)
-    banded = sigs.select(
-        'doc_id',
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bd).alias('band_id'),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice('sig', bd * rows + 1, rows),
-                            lambda x: x.cast('string')), ','),
-                    F.lit(bd)).alias('band_hash'))
-            for bd in range(bands)])).alias('band'))
-    buckets = (banded
-               .groupBy('band.band_id', 'band.band_hash')
+    # shared banding projection (Catalyst prunes the sig column before
+    # the exchange — the shuffle still carries hashes + ids only)
+    buckets = (banded(sigs, num_hashes, bands)
+               .groupBy('band_id', 'band_hash')
                .agg(F.collect_set('doc_id').alias('members'))
                .where((F.size('members') > 1) & (F.size('members') <= 64)))
     pairs = buckets.select(
@@ -464,3 +453,89 @@ def near_dup_clusters(documents: DataFrame, k: int = 3,
     return comp.select(
         'doc_id', 'cluster_id',
         F.count('*').over(size).alias('cluster_size'))
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup: new slice vs a MATERIALIZED corpus index
+# --------------------------------------------------------------------------
+
+def banded(sigs: DataFrame, num_hashes: int = 64,
+           bands: int = 16) -> DataFrame:
+    """(doc_id, sig, band_id, band_hash): the LSH banding projection,
+    shared by within-corpus pairing and the materialized index."""
+    rows = num_hashes // bands
+    return sigs.select(
+        'doc_id', 'sig',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bd).alias('band_id'),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice('sig', bd * rows + 1, rows),
+                            lambda x: x.cast('string')), ','),
+                    F.lit(bd)).alias('band_hash'))
+            for bd in range(bands)])).alias('b')
+    ).select('doc_id', 'sig', 'b.band_id', 'b.band_hash')
+
+
+def minhash_index(documents: DataFrame, index_dir: str, k: int = 3,
+                  num_hashes: int = 64, bands: int = 16) -> None:
+    """Materialize the near-dup index of an EXISTING corpus:
+    (band_id, band_hash, doc_id, sig) parquet, partitioned by band_id.
+    This is the artifact that makes dedup INCREMENTAL — the 100 TB
+    corpus is minhashed exactly once; every later crawl slice probes
+    the index instead of re-reading old text. Signatures (64 longs) are
+    stored so the verify stage needs no second pass over old bytes."""
+    sigs = minhash_signatures(documents, k, num_hashes)
+    (banded(sigs, num_hashes, bands)
+     .write.mode('overwrite').partitionBy('band_id')
+     .parquet(index_dir))
+
+
+def near_dup_vs_index(new_docs: DataFrame, index_dir: str, k: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold_permille: int = 700) -> DataFrame:
+    """(doc_id, is_dup, best_match, best_est_milli, n_candidates): dedup
+    an incoming slice against the materialized index of the existing
+    corpus.
+
+    Plan shape — the incremental-ingest asymmetry: the NEW slice is
+    orders of magnitude smaller than the index, so its banded
+    signatures BROADCAST and the index streams through a broadcast hash
+    join on (band_id, band_hash); the old corpus text is never read
+    (signature-agreement verify: est_jaccard = matching components /
+    num_hashes — the standard MinHash estimator, integer milli units).
+    Every input row survives: sub-k docs (no signature) and
+    bucket-missless docs return is_dup=false with n_candidates=0.
+    Tie-break: highest estimate, then lowest old doc_id."""
+    spark = new_docs.sparkSession
+    sigs = minhash_signatures(new_docs, k, num_hashes)
+    nb = banded(sigs, num_hashes, bands).withColumnsRenamed(
+        {'doc_id': 'new_id', 'sig': 'new_sig'})
+    idx = spark.read.parquet(index_dir)
+    j = idx.join(F.broadcast(nb), ['band_id', 'band_hash'])
+    agree = F.size(F.filter(
+        F.zip_with('new_sig', 'sig', lambda a, b: a == b),
+        lambda x: x))
+    est = (F.lit(1000) * agree / num_hashes).cast('int')
+    cand = (j.select(F.col('new_id').alias('doc_id'),
+                     F.col('doc_id').alias('old_id'),
+                     est.alias('est_milli'))
+            .distinct())
+    best = (cand.groupBy('doc_id').agg(
+        F.count('*').cast('int').alias('n_candidates'),
+        F.max(F.struct(F.col('est_milli').alias('e'),
+                       (-F.col('old_id')).alias('negid'))).alias('m')))
+    # `best` is bounded by the slice size (one row per new doc), so the
+    # every-row-survives attach join broadcasts too — the whole operator
+    # runs without a single shuffle of either corpus
+    out = new_docs.select('doc_id').join(F.broadcast(best),
+                                         'doc_id', 'left')
+    return out.select(
+        'doc_id',
+        F.coalesce(F.col('m.e') >= threshold_permille,
+                   F.lit(False)).alias('is_dup'),
+        F.coalesce(-F.col('m.negid'), F.lit(-1)).alias('best_match'),
+        F.coalesce(F.col('m.e'), F.lit(0)).alias('best_est_milli'),
+        F.coalesce('n_candidates', F.lit(0)).alias('n_candidates'))

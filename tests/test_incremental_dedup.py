@@ -1,0 +1,40 @@
+"""Incremental near-dup vs a materialized MinHash index: planted
+copies flag, fresh docs don't, short docs survive, plan broadcasts."""
+
+import pyspark.sql.functions as F
+
+
+def _corpus(spark, n=40):
+    rows = [(i, ' '.join(f'w{(i * 17 + j * 5) % 97}'
+                         for j in range(60))) for i in range(n)]
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_near_dup_vs_index(spark, tmp_path):
+    from mineru_html_spark.functions.dedup import (minhash_index,
+                                                   near_dup_vs_index)
+    old = _corpus(spark)
+    idx = str(tmp_path / 'mh_index')
+    minhash_index(old, idx)
+
+    new_rows = [
+        # near-copy of old doc 3 (tail appended)
+        (1003, old.where('doc_id = 3').head()['text'] + ' tiny tail'),
+        # fresh content -> no match
+        (2000, ' '.join(f'fresh{j}' for j in range(60))),
+        # sub-k doc -> no signature, must STILL return a row
+        (3000, 'xy'),
+    ]
+    new = spark.createDataFrame(new_rows, 'doc_id long, text string')
+    out = near_dup_vs_index(new, idx, threshold_permille=700)
+    got = {r['doc_id']: r for r in out.collect()}
+    assert len(got) == 3
+    assert got[1003]['is_dup'] and got[1003]['best_match'] == 3
+    assert got[1003]['best_est_milli'] >= 700
+    assert not got[2000]['is_dup'] and got[2000]['n_candidates'] == 0
+    assert not got[3000]['is_dup'] and got[3000]['best_match'] == -1
+
+    # the new slice broadcasts; the index side must not sort-merge
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p
