@@ -1786,6 +1786,31 @@ def q_near_dup_incremental(spark, sf_dir):
     return near_dup_vs_index(new_docs, d)
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot diff between two crawls (re-crawl planning): one full
+    outer join co-partitioned on urlkey, exchanges carry (key, digest)
+    pairs only. Old/new snapshots plant every change kind from doc_id
+    (removals, additions, digest changes, unchanged); the oracle mirrors
+    the synthesis and the join exactly in SQL."""
+    from mineru_html_spark.sources.cdx import crawl_delta
+    docs = _docs(spark, sf_dir)
+    d = F.col('doc_id')
+    key = F.concat(F.lit('u'), d.cast('string'))
+    old = docs.select(key.alias('urlkey'),
+                      F.md5(F.concat(F.lit('a'), d.cast('string')))
+                       .alias('digest'))
+    new = docs.where(d % 9 != 8).select(
+        key.alias('urlkey'),
+        F.when(d % 6 == 0,
+               F.md5(F.concat(F.lit('b'), d.cast('string'))))
+         .otherwise(F.md5(F.concat(F.lit('a'), d.cast('string'))))
+         .alias('digest'))
+    added = docs.where(d % 11 == 0).select(
+        F.concat(F.lit('u'), (d + 100000).cast('string')).alias('urlkey'),
+        F.md5(F.concat(F.lit('n'), d.cast('string'))).alias('digest'))
+    return crawl_delta(old, new.unionByName(added))
+
+
 def q_link_graph(spark, sf_dir):
     """Outlink extraction over the extraction corpus (the anchor tier
     feeding frontier discovery and anchor-text retrieval): every <a
@@ -2392,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_fetch_plan': q_cdx_fetch_plan,
         'link_graph': q_link_graph,
         'near_dup_incremental': q_near_dup_incremental,
+        'crawl_delta': q_crawl_delta,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3462,6 +3488,31 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['crawl_delta'] = """
+        WITH old AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS k,
+                 md5('a' || CAST(doc_id AS VARCHAR)) AS old_digest
+          FROM documents),
+        new AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS k,
+                 CASE WHEN doc_id % 6 = 0
+                      THEN md5('b' || CAST(doc_id AS VARCHAR))
+                      ELSE md5('a' || CAST(doc_id AS VARCHAR)) END
+                   AS new_digest
+          FROM documents WHERE doc_id % 9 != 8
+          UNION ALL
+          SELECT 'u' || CAST(doc_id + 100000 AS VARCHAR) AS k,
+                 md5('n' || CAST(doc_id AS VARCHAR)) AS new_digest
+          FROM documents WHERE doc_id % 11 = 0)
+        SELECT COALESCE(old.k, new.k) AS urlkey,
+               CASE WHEN old.k IS NULL THEN 'added'
+                    WHEN new.k IS NULL THEN 'removed'
+                    WHEN old_digest != new_digest THEN 'changed'
+                    ELSE 'same' END AS change,
+               COALESCE(old_digest, '') AS old_digest,
+               COALESCE(new_digest, '') AS new_digest
+        FROM old FULL OUTER JOIN new ON old.k = new.k
+    """
     oracles['frontier_waves'] = """
         WITH u AS (
           SELECT doc_id,

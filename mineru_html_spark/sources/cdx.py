@@ -131,3 +131,29 @@ def write_synth_cdx_gate_set(out_dir: str, n: int = 120) -> int:
                    encoding='utf-8') as f:
         f.write('\n'.join(lines[half:]) + '\n')
     return len(lines)
+
+
+def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(urlkey, change, old_digest, new_digest): what changed between
+    two crawl snapshots — the re-crawl planning primitive (fetch only
+    ``added``/``changed``, retire ``removed``, skip ``same``; change
+    detection by content digest, the cc-index's own identity).
+
+    Scale shape: both snapshots are corpus-scale, so this is the one
+    operator here that EARNS its shuffle — a single full outer join
+    co-partitioned on urlkey, exchanges carrying (urlkey, digest) pairs
+    only. With both snapshots bucketed by urlkey at write time (the
+    index layout a recurring crawl should use) even that exchange
+    disappears."""
+    o = old.select(F.col('urlkey').alias('k'),
+                   F.col('digest').alias('old_digest'))
+    n = new.select(F.col('urlkey').alias('k'),
+                   F.col('digest').alias('new_digest'))
+    j = o.join(n, 'k', 'full_outer')
+    change = (F.when(F.col('old_digest').isNull(), 'added')
+              .when(F.col('new_digest').isNull(), 'removed')
+              .when(F.col('old_digest') != F.col('new_digest'), 'changed')
+              .otherwise('same'))
+    return j.select(F.col('k').alias('urlkey'), change.alias('change'),
+                    F.coalesce('old_digest', F.lit('')).alias('old_digest'),
+                    F.coalesce('new_digest', F.lit('')).alias('new_digest'))

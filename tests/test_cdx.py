@@ -50,3 +50,15 @@ def test_cdx_parse_is_python_free(spark, tmp_path):
         .executedPlan().toString()
     assert 'BatchEvalPython' not in p and 'ArrowEvalPython' not in p
     assert 'MapInPandas' not in p
+
+
+def test_crawl_delta(spark):
+    from mineru_html_spark.sources.cdx import crawl_delta
+    old = spark.createDataFrame(
+        [('a', 'd1'), ('b', 'd2'), ('c', 'd3')], 'urlkey string, digest string')
+    new = spark.createDataFrame(
+        [('a', 'd1'), ('b', 'dX'), ('d', 'd4')], 'urlkey string, digest string')
+    got = {r['urlkey']: r['change']
+           for r in crawl_delta(old, new).collect()}
+    assert got == {'a': 'same', 'b': 'changed', 'c': 'removed',
+                   'd': 'added'}
