@@ -221,6 +221,55 @@ def main():
                  r'Project|Range'],
                 max_lines=16)))
 
+    sections.append((
+        'Distributed k-means assignment (map-only over cached ints)',
+        'Centroids are PLAN LITERALS (broadcast by value); the k-way '
+        'integer argmin is one codegen projection over the cached '
+        'quantized vectors — no join, no exchange, no Python in the '
+        'label plan; each training iteration adds only one map-side-'
+        'combined groupBy of k x (dim+1) longs.',
+        trimmed(plan_of(entry.q_kmeans_topics(spark, SF)),
+                [r'InMemoryTableScan|Project|Scan'], max_lines=8)))
+
+    sections.append((
+        'Feature-hashing embeddings (exchange carries sums, not words)',
+        'Words explode row-local; the single exchange aggregates 64 '
+        'partial component sums per doc (HashAggregate partial/final) — '
+        'the exploded words never cross the wire.',
+        trimmed(plan_of(entry.q_hashed_embed(spark, SF)),
+                [r'HashAggregate|Exchange|Generate|Scan'],
+                max_lines=10)))
+
+    sections.append((
+        'robots.txt decisions (broadcast rules, codegen longest-match)',
+        'The per-host rule arrays BROADCAST (one tiny row per host); '
+        'the URL side takes a broadcast LEFT join and decides with a '
+        'native filter+array_max LIKE longest-match — the URL corpus '
+        'never shuffles.',
+        trimmed(plan_of(entry.q_robots_gate(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|Project|Scan|'
+                 r'MapInPandas'], max_lines=10)))
+
+    sections.append((
+        'Incremental near-dup vs materialized index (double broadcast)',
+        'The incoming slice\'s banded signatures broadcast against the '
+        'streaming band-partitioned index; the every-row-survives '
+        'attach join broadcasts too — zero shuffles of either corpus, '
+        'old text never read (signature-agreement verify).',
+        trimmed(plan_of(entry.q_near_dup_incremental(spark, SF)),
+                [r'BroadcastHashJoin|BroadcastExchange|Scan|'
+                 r'HashAggregate'], max_lines=12)))
+
+    sections.append((
+        'cc-index parse + fetch plan (zero Python, window sequencing)',
+        'CDXJ parses entirely JVM-side (text scan + regexp + from_json '
+        '— no Python evaluator nodes anywhere); digest dedup and '
+        'per-WARC offset sequencing are two windows whose exchanges '
+        'carry keys + coordinates only.',
+        trimmed(plan_of(entry.q_cdx_fetch_plan(spark, SF)),
+                [r'Window|Exchange|Filter|Scan|Project'],
+                max_lines=12)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
