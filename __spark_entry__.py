@@ -1786,6 +1786,29 @@ def q_near_dup_incremental(spark, sf_dir):
     return near_dup_vs_index(new_docs, d)
 
 
+def q_docx_extract(spark, sf_dir):
+    """OOXML (.docx) text extraction — the third document format after
+    HTML and PDF a crawl yields in bulk: stdlib zip + tolerant part
+    matching (paragraph/run/w:t walk incl. preserve-space, tab/break
+    tokens, entities; table cells via the same walk; core.xml title).
+    CFB payloads (legacy .doc / encrypted OOXML) and corrupt/missing-
+    part zips surface as contained error rows. One task per file,
+    committed-output oracle."""
+    from mineru_html_spark.sources.docx import (read_docx,
+                                                write_synth_docx_gate_set)
+    d = os.path.join(REPO, '.data', 'docx_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_docx_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_docx(spark, d)
+    return out.select('doc_id', 'title', 'n_paragraphs', 'n_tables',
+                      'n_chars', F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def q_crawl_delta(spark, sf_dir):
     """Snapshot diff between two crawls (re-crawl planning): one full
     outer join co-partitioned on urlkey, exchanges carry (key, digest)
@@ -2418,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'link_graph': q_link_graph,
         'near_dup_incremental': q_near_dup_incremental,
         'crawl_delta': q_crawl_delta,
+        'docx_extract': q_docx_extract,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2623,7 +2647,7 @@ def oracle_sql() -> dict[str, str]:
                      'image_dedup_keep', 'gif_frames', 'video_frames',
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
-                     'link_graph', 'near_dup_incremental',
+                     'link_graph', 'near_dup_incremental', 'docx_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,208 @@
+"""DOCX source: Office documents without a native dependency.
+
+After HTML and PDF, Word documents are the next most common document
+payload in a crawl, and the modern format (OOXML, ECMA-376) is a ZIP of
+XML parts — readable with stdlib ``zipfile`` + tolerant pattern
+matching, the same zero-dependency stance as the EPUB source. The text
+lives in ``word/document.xml`` as ``<w:p>`` paragraphs of ``<w:r>``
+runs holding ``<w:t>`` text elements; tabs/breaks are explicit empty
+elements; tables nest ``<w:p>`` inside cells (so a linear paragraph
+walk already yields cell text in reading order).
+
+Scope, stated honestly:
+
+* paragraphs, runs, ``<w:t>`` (incl. ``xml:space="preserve"``),
+  ``<w:tab/>`` -> tab, ``<w:br/>``/``<w:cr/>`` -> newline inside a
+  paragraph, entity unescape, namespace-prefix tolerance;
+* ``docProps/core.xml`` title;
+* tables counted (``n_tables``) and their cell text included via the
+  paragraph walk;
+* OLE/CFB payloads (magic ``D0 CF 11 E0``) are LEGACY .doc or
+  encrypted OOXML — both need a CFB/crypto stack, so they surface as a
+  contained ``cfb`` error row (same stance as password-locked PDFs);
+* zips without ``word/document.xml`` -> ``nodoc``; non-zips ->
+  ``badzip``.
+
+Spark shape: one task per file (binaryFile), Arrow-batched parse,
+errors as rows — the WARC/PDF/EPUB contract.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_PARA_RE = re.compile(rb'<w:p[ >].*?</w:p>|<w:p/>', re.DOTALL)
+_RUNTOK_RE = re.compile(
+    rb'<w:t(?:[ >].*?</w:t>|/>)|<w:tab/>|<w:br[ /][^>]*>|<w:br>|<w:cr/>',
+    re.DOTALL)
+_T_BODY_RE = re.compile(rb'<w:t[^>]*>(.*?)</w:t>', re.DOTALL)
+_TBL_RE = re.compile(rb'<w:tbl[ >]')
+_TITLE_RE = re.compile(
+    rb'<dc:title[^>]*>([^<]*)</dc:title>')
+_CFB_MAGIC = b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1'
+
+
+def _para_text(block: bytes) -> str:
+    out: List[str] = []
+    for m in _RUNTOK_RE.finditer(block):
+        tok = m.group(0)
+        if tok.startswith(b'<w:tab'):     # before <w:t — shared prefix
+            out.append('\t')
+        elif tok.startswith(b'<w:t'):
+            b = _T_BODY_RE.match(tok)
+            if b:
+                out.append(unescape(b.group(1).decode('utf-8', 'replace')))
+        else:                                    # <w:br .../> or <w:cr/>
+            out.append('\n')
+    return ''.join(out)
+
+
+def docx_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, title, n_paragraphs, n_tables, n_chars, text, error) —
+    errors as rows, never raises."""
+    if data[:8] == _CFB_MAGIC:
+        return (name, '', 0, 0, 0, '', 'cfb legacy-or-encrypted')
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (name, '', 0, 0, 0, '', f'badzip {type(e).__name__}')
+    try:
+        if 'word/document.xml' not in names:
+            return (name, '', 0, 0, 0, '', 'nodoc')
+        doc = zf.read('word/document.xml')
+        title = ''
+        if 'docProps/core.xml' in names:
+            m = _TITLE_RE.search(zf.read('docProps/core.xml'))
+            if m:
+                title = unescape(
+                    m.group(1).decode('utf-8', 'replace')).strip()
+        paras = [_para_text(p.group(0))
+                 for p in _PARA_RE.finditer(doc)]
+        paras = [p for p in paras if p.strip()]
+        text = '\n'.join(paras)
+        return (name, title, len(paras), len(_TBL_RE.findall(doc)),
+                len(text), text, '')
+    except Exception as e:  # noqa: BLE001
+        return (name, '', 0, 0, 0, '', f'parse {type(e).__name__}')
+
+
+DOCX_ROWS_SCHEMA = ('doc_id string, title string, n_paragraphs int, '
+                    'n_tables int, n_chars long, text string, '
+                    'error string')
+
+
+def read_docx(spark, path: str):
+    """Directory of .docx files -> DOCX_ROWS_SCHEMA — one task per file,
+    Arrow-batched, errors as rows (the WARC/PDF/EPUB contract)."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.docx').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [docx_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'title', 'n_paragraphs',
+                               'n_tables', 'n_chars', 'text', 'error'])
+
+    return files.mapInPandas(batch, DOCX_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+_CT = (b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+       b'.org/package/2006/content-types"><Default Extension="xml" '
+       b'ContentType="application/xml"/><Override PartName="/word/'
+       b'document.xml" ContentType="application/vnd.openxmlformats-'
+       b'officedocument.wordprocessingml.document.main+xml"/></Types>')
+
+_RELS = (b'<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+         b'openxmlformats.org/package/2006/relationships">'
+         b'<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+         b'.org/officeDocument/2006/relationships/officeDocument" '
+         b'Target="word/document.xml"/></Relationships>')
+
+
+def _wdoc(body: str) -> bytes:
+    return ('<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+            'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+            + body + '</w:body></w:document>').encode()
+
+
+def _wp(runs: str) -> str:
+    return '<w:p><w:r>' + runs + '</w:r></w:p>'
+
+
+def _core(title: str) -> bytes:
+    return ('<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://'
+            'schemas.openxmlformats.org/package/2006/metadata/core-'
+            'properties" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            '<dc:title>%s</dc:title></cp:coreProperties>'
+            % title).encode()
+
+
+def _build_docx(entries: List[Tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for n, d in entries:
+            zi = zipfile.ZipInfo(n, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, d)
+    return buf.getvalue()
+
+
+def write_synth_docx_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: plain paragraphs, preserve-space/tab/break runs with
+    entities, a table whose cell text must appear, empty paragraphs that
+    must not count, a titled doc, a no-document.xml zip, a CFB payload
+    and a corrupt zip."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    body = ''.join(_wp('<w:t>Paragraph %d with words w%d and w%d.</w:t>'
+                       % (i, (i * 7) % 31, (i * 11) % 29))
+                   for i in range(5)) + '<w:p/>'
+    files['plain.docx'] = _build_docx([
+        ('[Content_Types].xml', _CT), ('_rels/.rels', _RELS),
+        ('word/document.xml', _wdoc(body)),
+        ('docProps/core.xml', _core('Plain Doc')),
+    ])
+
+    runs = ('<w:t xml:space="preserve"> lead </w:t><w:tab/>'
+            '<w:t>a &amp; b &lt;tag&gt;</w:t><w:br/>'
+            '<w:t>after break</w:t><w:cr/><w:t/>')
+    files['runs.docx'] = _build_docx([
+        ('[Content_Types].xml', _CT), ('_rels/.rels', _RELS),
+        ('word/document.xml', _wdoc(_wp(runs))),
+    ])
+
+    tbl = ('<w:tbl><w:tr><w:tc>' + _wp('<w:t>cell one</w:t>')
+           + '</w:tc><w:tc>' + _wp('<w:t>cell two</w:t>')
+           + '</w:tc></w:tr></w:tbl>' + _wp('<w:t>after table</w:t>'))
+    files['table.docx'] = _build_docx([
+        ('[Content_Types].xml', _CT), ('_rels/.rels', _RELS),
+        ('word/document.xml', _wdoc(tbl)),
+    ])
+
+    files['nodoc.docx'] = _build_docx([
+        ('[Content_Types].xml', _CT), ('_rels/.rels', _RELS),
+    ])
+    files['legacy.docx'] = _CFB_MAGIC + b'\x00' * 64
+    files['corrupt.docx'] = b'PK\x03\x04 truncated'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

@@ -1,0 +1,46 @@
+"""DOCX source: run/paragraph walk, preserve-space/tab/break, tables,
+title, CFB/corrupt containment."""
+
+import os
+
+from mineru_html_spark.sources.docx import (docx_bytes_to_row,
+                                            write_synth_docx_gate_set)
+
+
+def _rows(tmp_path):
+    d = str(tmp_path / 'docx')
+    return {n: docx_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in write_synth_docx_gate_set(d)}
+
+
+def test_docx_gate_shapes(tmp_path):
+    r = _rows(tmp_path)
+    # (doc_id, title, n_paragraphs, n_tables, n_chars, text, error)
+    plain = r['plain.docx']
+    assert plain[1] == 'Plain Doc' and plain[2] == 5 and plain[6] == ''
+    assert plain[5].startswith('Paragraph 0 with words')
+    # the empty <w:p/> must not count as a paragraph
+    assert plain[5].count('\n') == 4
+
+    runs = r['runs.docx']
+    assert runs[5] == ' lead \ta & b <tag>\nafter break\n'
+    assert runs[2] == 1                          # one paragraph
+
+    tbl = r['table.docx']
+    assert tbl[3] == 1 and 'cell one' in tbl[5] and 'cell two' in tbl[5]
+    assert tbl[5].index('cell one') < tbl[5].index('after table')
+
+    assert r['nodoc.docx'][6] == 'nodoc'
+    assert r['legacy.docx'][6] == 'cfb legacy-or-encrypted'
+    assert r['corrupt.docx'][6].startswith('badzip')
+
+
+def test_read_docx_spark(spark, tmp_path):
+    d = str(tmp_path / 'docx')
+    write_synth_docx_gate_set(d)
+    from mineru_html_spark.sources.docx import read_docx
+    out = {r['doc_id']: r for r in read_docx(spark, d).collect()}
+    assert len(out) == 6
+    assert out['plain.docx']['n_paragraphs'] == 5
+    ok = [r for r in out.values() if r['error'] == '']
+    assert all(r['n_chars'] == len(r['text']) for r in ok)

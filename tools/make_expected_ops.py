@@ -28,7 +28,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'gif_frames', 'video_frames', 'media_probe', 'audio_features',
          'audio_resample', 'epub_extract', 'robots_gate',
          'sitemap_extract', 'unigram_train', 'unigram_apply',
-         'cdx_fetch_plan', 'link_graph', 'near_dup_incremental')
+         'cdx_fetch_plan', 'link_graph', 'near_dup_incremental',
+         'docx_extract')
 
 
 def main():
