@@ -1809,6 +1809,17 @@ def q_docx_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity scoring (the CCNet /
+    KenLM smoothing family with real context, upgrading the unigram
+    lm_bucket estimator): D=3/4 makes every probability an integer
+    rational, so each bigram contributes exact integer milli-nats and
+    the oracle mirrors the whole model — vocab cap, <unk> closure,
+    discount, continuation counts — in SQL."""
+    from mineru_html_spark.functions.corpus import kn_bigram_nll
+    return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
+
+
 def q_crawl_delta(spark, sf_dir):
     """Snapshot diff between two crawls (re-crawl planning): one full
     outer join co-partitioned on urlkey, exchanges carry (key, digest)
@@ -2442,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'near_dup_incremental': q_near_dup_incremental,
         'crawl_delta': q_crawl_delta,
         'docx_extract': q_docx_extract,
+        'kn_bigram': q_kn_bigram,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3512,6 +3524,45 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['kn_bigram'] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+        vt AS (SELECT word FROM (SELECT unnest(w) AS word FROM w) t
+               GROUP BY word ORDER BY count(*) DESC, word LIMIT 4096),
+        bg0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                         i -> {{'a': w[i], 'b': w[i+1]}})) AS p
+                FROM w),
+        bg AS (SELECT doc_id,
+                 CASE WHEN p.a IN (SELECT word FROM vt) THEN p.a
+                      ELSE '<unk>' END AS a,
+                 CASE WHEN p.b IN (SELECT word FROM vt) THEN p.b
+                      ELSE '<unk>' END AS b
+               FROM bg0),
+        c12 AS (SELECT a, b, count(*) AS c12 FROM bg GROUP BY a, b),
+        c1n1 AS (SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+                        count(*) AS n1 FROM c12 GROUP BY a),
+        n1r AS (SELECT b, count(*) AS n1r FROM c12 GROUP BY b),
+        ncc AS (SELECT count(*) AS ncc FROM c12),
+        probe AS (
+          SELECT bg.doc_id,
+            CAST(floor(1000 * ln(CAST(
+              4 * coalesce(c1n1.c1, 1) * ncc.ncc AS DOUBLE))) AS BIGINT)
+          - CAST(floor(1000 * ln(CAST(greatest(
+              greatest(4 * coalesce(c12.c12, 0) - 3, 0) * ncc.ncc
+              + 3 * coalesce(c1n1.n1, 0) * coalesce(n1r.n1r, 0),
+              1) AS DOUBLE))) AS BIGINT) AS m
+          FROM bg LEFT JOIN c12 USING (a, b)
+                  LEFT JOIN c1n1 USING (a)
+                  LEFT JOIN n1r USING (b)
+                  CROSS JOIN ncc),
+        agg AS (SELECT doc_id, count(*) AS nb, sum(m) AS s
+                FROM probe GROUP BY doc_id)
+        SELECT w.doc_id,
+               CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN agg.nb IS NULL THEN -1
+                    ELSE floor(s / agg.nb) END AS BIGINT) AS nll_milli
+        FROM w LEFT JOIN agg USING (doc_id)
+    """
     oracles['crawl_delta'] = """
         WITH old AS (
           SELECT 'u' || CAST(doc_id AS VARCHAR) AS k,

@@ -812,3 +812,103 @@ def hashed_embedding(documents: DataFrame, dim: int = 64,
     return agg.select(
         'doc_id', 'n_words',
         F.array(*[F.col(f'_e{j}') for j in range(dim)]).alias('emb'))
+
+
+def kn_bigram_nll(documents: DataFrame, vocab: int = 4096,
+                  lists: 'tuple | None' = None) -> DataFrame:
+    """(doc_id, n_bigrams, nll_milli): interpolated Kneser-Ney bigram
+    perplexity scoring (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.24)
+    — the smoothing family CCNet's KenLM actually uses, upgrading the
+    unigram ``lm_bucket`` estimator with real context:
+
+        P(w2|w1) = (max(c12 - D, 0) + D*N1(w1)*Pcont(w2)) / c1,
+        Pcont(w2) = N1r(w2) / Ncc,   D = 3/4
+
+    With D = 3/4 the probability is the INTEGER rational
+
+        num = max(4*c12 - 3, 0)*Ncc + 3*N1(w1)*N1r(w2)
+        den = 4*c1*Ncc
+
+    so each bigram contributes floor(1000*ln(den)) - floor(1000*ln(num))
+    integer milli-nats and the per-doc aggregate is an exact long sum —
+    the same engine-portability policy as ``unigram_lm_nll`` (the only
+    cross-engine assumption is ln() of the same double). Words outside
+    the top-``vocab`` types map to '<unk>' BEFORE counting, closing the
+    vocabulary; a word never seen as a left context gets num
+    floored to 1 (finite penalty, never ln(0)).
+
+    Integer-width honesty: 4*c1*Ncc must stay under 2^63 — with a 4096
+    vocab that holds to ~10^11 occurrences of the most frequent token
+    per ~10^7 distinct bigrams; beyond that, evaluate the SAME num/den
+    expressions in doubles (the +-1 milli-nat determinism is what you
+    give up, not the math).
+
+    Scale shape: vocabulary cap via TakeOrdered (no global sort); all
+    model tables are bounded by vocab (c1/N1: <=V rows; N1r: <=V; c12:
+    <=V^2 observed) and BROADCAST to the probe; the corpus explodes its
+    bigrams once and partial-aggregates per doc map-side. Pass
+    ``lists=(c12, c1n1, n1r, ncc)`` to reuse a materialized model (the
+    production path — CCNet's LM is a static artifact)."""
+    w = documents.select('doc_id', _words().alias('w'))
+    spark = documents.sparkSession
+
+    def bigrams(df):
+        pairs = F.when(F.size('w') < 2, F.array()).otherwise(
+            F.transform(F.sequence(F.lit(0), F.size('w') - 2),
+                        lambda i: F.struct(
+                            F.element_at('w', i + 1).alias('a'),
+                            F.element_at('w', i + 2).alias('b'))))
+        return df.select('doc_id', F.explode_outer(pairs).alias('p')) \
+            .select('doc_id', F.col('p.a').alias('a'),
+                    F.col('p.b').alias('b'))
+
+    if lists is None:
+        vtab = (w.select(F.explode('w').alias('word'))
+                .groupBy('word').agg(F.count('*').alias('cnt'))
+                .orderBy(F.desc('cnt'), F.asc('word')).limit(vocab)
+                .select('word'))
+        bv = F.broadcast(vtab)
+        bg = bigrams(w)
+        # map OOV -> <unk> on both positions via broadcast joins
+        va = bv.withColumnRenamed('word', 'a').withColumn('_ka', F.lit(1))
+        vb = bv.withColumnRenamed('word', 'b').withColumn('_kb', F.lit(1))
+        bg = (bg.join(F.broadcast(va), 'a', 'left')
+              .join(F.broadcast(vb), 'b', 'left')
+              .select('doc_id',
+                      F.when(F.col('_ka').isNull() & F.col('a').isNotNull(),
+                             F.lit('<unk>')).otherwise(F.col('a')).alias('a'),
+                      F.when(F.col('_kb').isNull() & F.col('b').isNotNull(),
+                             F.lit('<unk>')).otherwise(F.col('b')).alias('b')))
+        train = bg.where(F.col('a').isNotNull())
+        c12 = train.groupBy('a', 'b').agg(F.count('*').alias('c12'))
+        c1n1 = c12.groupBy('a').agg(F.sum('c12').alias('c1'),
+                                    F.count('*').alias('n1'))
+        n1r = c12.groupBy('b').agg(F.count('*').alias('n1r'))
+        ncc = c12.agg(F.count('*').alias('ncc'))
+    else:
+        c12, c1n1, n1r, ncc = lists
+        bg = bigrams(w)                      # caller pre-mapped vocab
+
+    probe = (bg
+             .join(F.broadcast(c12), ['a', 'b'], 'left')
+             .join(F.broadcast(c1n1), 'a', 'left')
+             .join(F.broadcast(n1r), 'b', 'left')
+             .crossJoin(F.broadcast(ncc)))
+    num = (F.greatest(F.lit(4) * F.coalesce('c12', F.lit(0)) - 3,
+                      F.lit(0)) * F.col('ncc')
+           + F.lit(3) * F.coalesce('n1', F.lit(0))
+           * F.coalesce('n1r', F.lit(0)))
+    num = F.greatest(num, F.lit(1)).cast('long')
+    den = (F.lit(4) * F.coalesce('c1', F.lit(1)) * F.col('ncc')) \
+        .cast('long')
+    mln = lambda c: F.floor(F.lit(1000) * F.log(c.cast('double'))) \
+        .cast('long')  # noqa: E731
+    contrib = F.when(F.col('a').isNull(), None) \
+        .otherwise(mln(den) - mln(num))
+    agg = (probe.groupBy('doc_id')
+           .agg(F.count('a').alias('n_bigrams'),
+                F.sum(contrib).alias('_s')))
+    nll = F.when(F.col('n_bigrams') == 0, F.lit(-1)).otherwise(
+        F.floor(F.col('_s') / F.col('n_bigrams'))).cast('long')
+    return agg.select('doc_id', F.col('n_bigrams').cast('long')
+                      .alias('n_bigrams'), nll.alias('nll_milli'))

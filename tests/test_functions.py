@@ -1797,3 +1797,48 @@ def test_image_dedup_keep_planted_truth(spark):
             assert rows[ref]['cluster_id'] == ref
             assert rows[ref]['keep']
     assert sum(1 for r in rows.values() if r['keep']) == 80
+
+
+def test_kn_bigram_nll_matches_reference(spark):
+    """Interpolated Kneser-Ney (D=3/4) against an independent
+    hand-rolled reference implementing Chen & Goodman eq. 4.24 with the
+    same integer-rational formulation."""
+    import math
+    from collections import Counter
+    from mineru_html_spark.functions.corpus import kn_bigram_nll
+
+    rows = [(0, 'a b a b a c'), (1, 'a b a b'), (2, 'c c c c'),
+            (3, 'x'), (4, '')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: (r['n_bigrams'], r['nll_milli'])
+           for r in kn_bigram_nll(df, vocab=10).collect()}
+    assert len(out) == 5
+
+    bgs = []
+    for _, t in rows:
+        ws = t.split()
+        bgs += list(zip(ws, ws[1:]))
+    c12 = Counter(bgs)
+    c1, n1, n1r = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1[a] += 1
+        n1r[b] += 1
+    ncc = len(c12)
+
+    def contrib(a, b):
+        num = (max(4 * c12.get((a, b), 0) - 3, 0) * ncc
+               + 3 * n1.get(a, 0) * n1r.get(b, 0))
+        den = 4 * c1.get(a, 1) * ncc
+        return (math.floor(1000 * math.log(den))
+                - math.floor(1000 * math.log(max(num, 1))))
+
+    for did, t in rows:
+        ws = t.split()
+        bb = list(zip(ws, ws[1:]))
+        exp = (0, -1) if not bb else (
+            len(bb), math.floor(sum(contrib(a, b) for a, b in bb)
+                                / len(bb)))
+        assert out[did] == exp, (did, out[did], exp)
+    # repetitive text scores most predictable; empty/short get -1
+    assert out[2][1] < out[0][1] and out[3] == (0, -1)
