@@ -1809,6 +1809,33 @@ def q_docx_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_feed_extract(spark, sf_dir):
+    """RSS/Atom feed discovery — the fresh-content crawl channel: a
+    CDATA/entity RSS feed, a gzipped namespace-prefixed Atom feed whose
+    rel=alternate links must win over rel=self and whose link-less entry
+    must drop, and a corrupt gzip that must error as a row. One task per
+    file; committed-output oracle."""
+    from mineru_html_spark.sources.feeds import (read_feeds,
+                                                 write_synth_feed_gate_set)
+    d = os.path.join(REPO, '.data', 'feed_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_feed_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return read_feeds(spark, d)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window document chunking (embedding/retrieval training
+    prep): 128-word windows, 16-word overlap, short tail kept. Pure
+    row-local transform+explode — zero shuffle; exact SQL oracle."""
+    from mineru_html_spark.functions.corpus import chunk_documents
+    out = chunk_documents(_docs(spark, sf_dir), 128, 16)
+    return out.select('doc_id', 'chunk_idx', 'n_words',
+                      F.md5('chunk_text').alias('chunk_md5'))
+
+
 def q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity scoring (the CCNet /
     KenLM smoothing family with real context, upgrading the unigram
@@ -2454,6 +2481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_delta': q_crawl_delta,
         'docx_extract': q_docx_extract,
         'kn_bigram': q_kn_bigram,
+        'feed_extract': q_feed_extract,
+        'chunk_docs': q_chunk_docs,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2660,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
+                     'feed_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')
@@ -3524,6 +3554,23 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['chunk_docs'] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                CASE WHEN len(w) <= 0 THEN 0
+                     ELSE CAST(floor((greatest(len(w) - 16, 1) + 111)
+                               / 112) AS INT) END AS nc
+              FROM w),
+        ex AS (SELECT doc_id, w, unnest(range(0, nc)) AS i
+               FROM p WHERE nc > 0)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(len(list_slice(w, i*112 + 1, i*112 + 128)) AS INT)
+                 AS n_words,
+               md5(array_to_string(
+                   list_slice(w, i*112 + 1, i*112 + 128), ' '))
+                 AS chunk_md5
+        FROM ex
+    """
     oracles['kn_bigram'] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
         vt AS (SELECT word FROM (SELECT unnest(w) AS word FROM w) t

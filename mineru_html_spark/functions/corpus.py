@@ -912,3 +912,41 @@ def kn_bigram_nll(documents: DataFrame, vocab: int = 4096,
         F.floor(F.col('_s') / F.col('n_bigrams'))).cast('long')
     return agg.select('doc_id', F.col('n_bigrams').cast('long')
                       .alias('n_bigrams'), nll.alias('nll_milli'))
+
+
+def chunk_documents(documents: DataFrame, chunk_words: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """(doc_id, chunk_idx, n_words, chunk_text): sliding-window document
+    chunking — the preprocessing step embedding/retrieval training runs
+    before anything touches a model (fixed-size windows with overlap so
+    no boundary context is lost; the last window is short rather than
+    dropped, so every word lands in >=1 chunk). ``seq_pack`` solves the
+    complementary problem (packing many SHORT docs into one sequence);
+    this splits LONG docs into many sequences.
+
+    Row-local and exactly SQL-mirrorable: words materialize as a column
+    (the HOF-audit rule), windows are one transform over a sequence of
+    start offsets + explode — no shuffle at all; cost is
+    O(n * chunk/step) per doc, i.e. ~1.14n at the 128/16 defaults."""
+    if overlap >= chunk_words:
+        raise ValueError('overlap must be < chunk_words')
+    step = chunk_words - overlap
+    d = documents.select('doc_id', _words().alias('w'))
+    n = F.size('w')
+    # integer ceil-div ((x + step-1) div step) — mirrors exactly in SQL
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - overlap, F.lit(1)) + (step - 1)) / step)
+    ).cast('int')
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast('int').alias('chunk_idx'),
+            F.slice('w', i * step + 1, chunk_words).alias('cw')))
+    ex = d.select('doc_id', F.explode(
+        F.when(n_chunks == 0, F.array().cast(
+            'array<struct<chunk_idx:int,cw:array<string>>>'))
+        .otherwise(chunks)).alias('c'))
+    return ex.select(
+        'doc_id', F.col('c.chunk_idx').alias('chunk_idx'),
+        F.size('c.cw').cast('int').alias('n_words'),
+        F.array_join('c.cw', ' ').alias('chunk_text'))

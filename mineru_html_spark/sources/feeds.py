@@ -1,0 +1,173 @@
+"""RSS 2.0 / Atom feed source — the third crawl-discovery channel.
+
+Next to sitemaps (bulk) and page anchors (organic), feeds are how a
+crawl finds FRESH content: news/blog publishers push new URLs through
+RSS/Atom long before sitemaps regenerate. Same asymmetry and same
+treatment as the sitemap source: feed files are one tiny row per
+(host, feed), parse Python-side with namespace-tolerant regexes (real
+feeds are even less well-formed than sitemaps), and yield frontier
+rows.
+
+Scope:
+* RSS 2.0 ``<item>``: link, title, pubDate, guid;
+* Atom ``<entry>``: ``<link href>`` (rel="alternate" preferred, the
+  spec's default), title, updated/published, id;
+* CDATA and entity unescape on titles; gzip transparency; undecodable
+  files as error rows;
+* feed kind reported (``rss``/``atom``) so downstream can weight.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_ITEM_RE = re.compile(rb'<(?:\w+:)?(item|entry)[ >](.*?)</(?:\w+:)?\1>',
+                      re.DOTALL | re.IGNORECASE)
+_CDATA_RE = re.compile(rb'<!\[CDATA\[(.*?)\]\]>', re.DOTALL)
+
+
+def _field(body: bytes, tag: str) -> str:
+    m = re.search(rb'<(?:\w+:)?' + tag.encode()
+                  + rb'[^>]*>(.*?)</(?:\w+:)?' + tag.encode() + rb'>',
+                  body, re.DOTALL | re.IGNORECASE)
+    if not m:
+        return ''
+    v = m.group(1).strip()
+    c = _CDATA_RE.search(v)
+    if c:
+        v = c.group(1).strip()
+    return unescape(v.decode('utf-8', 'replace'))
+
+
+_ATOM_LINK_RE = re.compile(rb'<(?:\w+:)?link\b[^>]*>', re.IGNORECASE)
+_HREF_RE = re.compile(rb'href\s*=\s*["\']([^"\']+)["\']')
+_REL_RE = re.compile(rb'rel\s*=\s*["\']([^"\']+)["\']')
+
+
+def _atom_link(body: bytes) -> str:
+    fallback = ''
+    for m in _ATOM_LINK_RE.finditer(body):
+        tag = m.group(0)
+        h = _HREF_RE.search(tag)
+        if not h:
+            continue
+        href = unescape(h.group(1).decode('utf-8', 'replace'))
+        r = _REL_RE.search(tag)
+        rel = r.group(1).decode('ascii', 'replace').lower() if r else ''
+        if rel in ('', 'alternate'):          # spec default wins
+            return href
+        fallback = fallback or href
+    return fallback
+
+
+def parse_feed(data: bytes) -> Tuple[List[tuple], str, str]:
+    """bytes -> ([(link, title, published, guid)], kind, error)."""
+    if data[:2] == b'\x1f\x8b':
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except Exception as e:  # noqa: BLE001 — tolerant reader
+            return [], '', f'badgzip {type(e).__name__}'
+    kind = ''
+    rows = []
+    for m in _ITEM_RE.finditer(data):
+        tag = m.group(1).lower()
+        body = m.group(2)
+        if tag == b'item':
+            kind = kind or 'rss'
+            link = _field(body, 'link')
+            pub = _field(body, 'pubDate')
+            guid = _field(body, 'guid')
+        else:
+            kind = kind or 'atom'
+            link = _atom_link(body)
+            pub = _field(body, 'updated') or _field(body, 'published')
+            guid = _field(body, 'id')
+        if link:
+            rows.append((link, _field(body, 'title'), pub, guid))
+    if not rows and b'<' not in data:
+        return [], '', 'notxml'
+    return rows, kind, ''
+
+
+FEED_ROWS_SCHEMA = ('feed string, kind string, link string, '
+                    'title string, published string, guid string, '
+                    'error string')
+
+
+def read_feeds(spark, path: str):
+    """Directory of feed files (.xml/.xml.gz/.rss/.atom) ->
+    FEED_ROWS_SCHEMA — one task per file, errors as rows (the
+    WARC/PDF/EPUB/sitemap contract)."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.*ml*').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                name = p.rsplit('/', 1)[-1]
+                rows, kind, err = parse_feed(bytes(c))
+                if not rows:
+                    out.append((name, kind, '', '', '', '',
+                                err or 'empty'))
+                for link, title, pub, guid in rows:
+                    out.append((name, kind, link, title, pub, guid, err))
+            yield pd.DataFrame(out, columns=['feed', 'kind', 'link',
+                                             'title', 'published',
+                                             'guid', 'error'])
+
+    return files.mapInPandas(batch, FEED_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def write_synth_feed_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: an RSS feed (CDATA title, entities, guid), a gzipped
+    Atom feed (rel=alternate preference, namespace prefixes), a
+    link-less entry that must drop, and a corrupt gzip error row."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    rss_items = ''.join(
+        '<item><title><![CDATA[Story %d <b>bold</b>]]></title>'
+        '<link>http://news.example/s%d</link>'
+        '<pubDate>Mon, 0%d Jan 2024 00:00:00 GMT</pubDate>'
+        '<guid>tag:news,%d</guid></item>' % (i, i, i % 9 + 1, i)
+        for i in range(6))
+    files['news.xml'] = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        '<title>News &amp; Views</title>%s</channel></rss>'
+        % rss_items).encode()
+
+    atom_entries = ''.join(
+        '<a:entry><a:title>Post %d</a:title>'
+        '<a:link rel="self" href="http://blog.example/self%d"/>'
+        '<a:link rel="alternate" href="http://blog.example/p%d"/>'
+        '<a:updated>2024-02-0%dT00:00:00Z</a:updated>'
+        '<a:id>urn:p%d</a:id></a:entry>' % (i, i, i, i % 9 + 1, i)
+        for i in range(4))
+    atom = ('<?xml version="1.0"?><a:feed xmlns:a='
+            '"http://www.w3.org/2005/Atom">%s'
+            '<a:entry><a:title>No link</a:title></a:entry>'
+            '</a:feed>' % atom_entries).encode()
+    gz = io.BytesIO()
+    with gzip.GzipFile(fileobj=gz, mode='wb', mtime=0) as f:
+        f.write(atom)
+    files['blog.xml.gz'] = gz.getvalue()
+
+    files['corrupt.xml.gz'] = b'\x1f\x8b not gzip at all'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

@@ -1,0 +1,59 @@
+"""Feed source + document chunking: parser shapes and window math."""
+
+import os
+
+from mineru_html_spark.sources.feeds import (parse_feed,
+                                             write_synth_feed_gate_set)
+
+
+def test_feed_shapes(tmp_path):
+    d = str(tmp_path / 'feeds')
+    names = write_synth_feed_gate_set(d)
+
+    def rows(n):
+        return parse_feed(open(os.path.join(d, n), 'rb').read())
+
+    rss, kind, err = rows('news.xml')
+    assert kind == 'rss' and err == '' and len(rss) == 6
+    assert rss[0][0] == 'http://news.example/s0'
+    assert rss[0][1] == 'Story 0 <b>bold</b>'        # CDATA kept raw
+    assert rss[0][3] == 'tag:news,0'
+
+    atom, kind, err = rows('blog.xml.gz')
+    assert kind == 'atom' and len(atom) == 4          # link-less dropped
+    # rel=alternate beats rel=self regardless of order
+    assert all(l.startswith('http://blog.example/p') for l, *_ in atom)
+    assert atom[0][2] == '2024-02-01T00:00:00Z'
+
+    bad, kind, err = rows('corrupt.xml.gz')
+    assert bad == [] and err.startswith('badgzip')
+
+
+def test_chunk_documents(spark):
+    from mineru_html_spark.functions.corpus import chunk_documents
+    import pytest
+    rows = [
+        (0, ' '.join(f'w{i}' for i in range(300))),   # 3 chunks
+        (1, ' '.join(f'w{i}' for i in range(128))),   # exactly 1
+        (2, ' '.join(f'w{i}' for i in range(129))),   # 2 (tail window)
+        (3, 'short doc'),                             # 1 short chunk
+        (4, ''),                                      # 0 chunks
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = chunk_documents(df, chunk_words=128, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r['doc_id'], []).append(r)
+    assert len(by_doc.get(0, [])) == 3
+    assert len(by_doc.get(1, [])) == 1
+    assert len(by_doc.get(2, [])) == 2
+    assert len(by_doc.get(3, [])) == 1 and by_doc[3][0]['n_words'] == 2
+    assert 4 not in by_doc
+    # overlap: chunk k starts at k*112 — word 112 appears in chunks 0+1
+    c0, c1, c2 = sorted(by_doc[0], key=lambda r: r['chunk_idx'])
+    assert c0['chunk_text'].split()[112] == c1['chunk_text'].split()[0]
+    # every word of doc 0 lands in >= 1 chunk; the tail chunk is short
+    assert c2['chunk_text'].split()[-1] == 'w299'
+    assert c2['n_words'] == 300 - 2 * 112
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=16, overlap=16)
