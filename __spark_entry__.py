@@ -1895,6 +1895,21 @@ def q_link_graph(spark, sf_dir):
          .alias('links_md5')))
 
 
+def q_anchor_index(spark, sf_dir):
+    """Anchor-text index over the extraction corpus' outlinks: per link
+    target — reference counts, distinct referrers, and the top-5 anchor
+    words (nofollow excluded, exactly as a ranker would). Gated on a
+    stable rollup (terms joined, arrays hashed via concat) so any
+    ranking/tie-break drift flips the gate. Committed-output oracle."""
+    from mineru_html_spark.functions.links import (anchor_text_index,
+                                                   extract_links)
+    from mineru_html_spark.sources.synthsource import materialized_docs
+    n = docs_for_sf(_sf_of(sf_dir))
+    idx = anchor_text_index(extract_links(materialized_docs(spark, n)))
+    return idx.select('href', 'n_refs', 'n_docs',
+                      F.concat_ws(' ', 'top_terms').alias('top_terms_s'))
+
+
 def q_cdx_fetch_plan(spark, sf_dir):
     """Common Crawl cc-index tier: CDXJ lines (plain + gzipped files,
     planted malformed lines that must survive as parse_ok=false) parse
@@ -2483,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'chunk_docs': q_chunk_docs,
+        'anchor_index': q_anchor_index,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2689,7 +2705,7 @@ def oracle_sql() -> dict[str, str]:
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
-                     'feed_extract',
+                     'feed_extract', 'anchor_index',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

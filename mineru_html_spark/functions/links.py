@@ -102,3 +102,43 @@ def extract_links(docs: DataFrame) -> DataFrame:
 
     return docs.select('doc_id', 'spans').mapInPandas(
         batch, LINK_ROWS_SCHEMA)
+
+
+def anchor_text_index(links: DataFrame, k_terms: int = 5) -> DataFrame:
+    """(href, n_refs, n_docs, top_terms): the anchor-text index — for
+    every link target, how often it is referenced, by how many distinct
+    documents, and the k most frequent anchor words (the classic
+    external description of a page, the signal web search has ranked
+    with since anchor-text retrieval began; nofollow links are excluded
+    from the counts exactly as a ranker would exclude them).
+
+    Scale shape: one (href, word) partial-aggregated count, one
+    row_number window bounded to k per target (never a collect of all
+    anchors for a popular target — a million-ref target contributes k
+    rows past the window), one per-href rollup. All exchanges carry
+    (href, word, count) triples."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    base = links.where(~FF.col('nofollow'))
+    refs = base.groupBy('href').agg(
+        FF.count('*').cast('long').alias('n_refs'),
+        FF.countDistinct('doc_id').cast('long').alias('n_docs'))
+    words = base.select(
+        'href',
+        FF.explode(FF.filter(
+            FF.split(FF.lower(FF.col('anchor')), r'[^a-z0-9]+'),
+            lambda w: FF.length(w) > 0)).alias('word'))
+    wc = words.groupBy('href', 'word').agg(FF.count('*').alias('c'))
+    w = Window.partitionBy('href').orderBy(FF.desc('c'), FF.asc('word'))
+    top = (wc.withColumn('_rn', FF.row_number().over(w))
+           .where(FF.col('_rn') <= k_terms))
+    terms = top.groupBy('href').agg(
+        FF.array_sort(FF.collect_list(FF.struct('_rn', 'word')))
+        .alias('_t'))
+    terms = terms.select(
+        'href', FF.transform('_t', lambda s: s['word']).alias('top_terms'))
+    return refs.join(terms, 'href', 'left').select(
+        'href', 'n_refs', 'n_docs',
+        FF.coalesce('top_terms', FF.array().cast('array<string>'))
+        .alias('top_terms'))

@@ -46,3 +46,23 @@ def test_extract_links_spark(spark):
         by_doc.setdefault(r['doc_id'], []).append(r['link_idx'])
     for doc, idxs in by_doc.items():
         assert sorted(idxs) == list(range(len(idxs))), doc
+
+
+def test_anchor_text_index(spark):
+    from mineru_html_spark.functions.links import anchor_text_index
+    rows = [
+        (0, 0, '/a', 'Spark Engine', 'rel', False),
+        (1, 0, '/a', 'spark engine docs', 'rel', False),
+        (2, 0, '/a', 'paid spam', 'rel', True),     # nofollow excluded
+        (0, 1, '/b', '', 'rel', False),             # empty anchor ok
+    ]
+    df = spark.createDataFrame(
+        rows, 'doc_id long, link_idx int, href string, anchor string, '
+              'kind string, nofollow boolean')
+    got = {r['href']: r for r in anchor_text_index(df, k_terms=2).collect()}
+    a = got['/a']
+    assert a['n_refs'] == 2 and a['n_docs'] == 2
+    # top-2 by count desc then word asc: engine(2), spark(2) -> e < s
+    assert a['top_terms'] == ['engine', 'spark']
+    assert 'spam' not in a['top_terms']
+    assert got['/b']['top_terms'] == []
