@@ -1895,6 +1895,29 @@ def q_link_graph(spark, sf_dir):
          .alias('links_md5')))
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap directives out of robots.txt (RFC 9309 §2.2.4 — the
+    robots -> discovery hand-off): pure native line grammar
+    (regexp_extract_all + explode, no Python), so the oracle mirrors
+    synthesis AND extraction exactly in SQL. Planted bodies cover
+    multiple directives per file, case/indentation variance, and
+    directive-less files that must yield no rows."""
+    from mineru_html_spark.functions.robots import robots_sitemaps
+    d = F.col('doc_id')
+    host = F.concat(F.lit('h'), d.cast('string'), F.lit('.example'))
+    body = (F.when(d % 3 == 0,
+                   F.concat(F.lit('User-agent: *\nDisallow: /x\n'
+                                  'Sitemap: http://'), host,
+                            F.lit('/s.xml\nSiteMap: http://'), host,
+                            F.lit('/extra.xml.gz\n')))
+            .when(d % 3 == 1, F.lit('User-agent: *\nAllow: /\n'))
+            .otherwise(F.concat(F.lit('  sitemap :  http://'), host,
+                                F.lit('/indented.xml\n# comment'))))
+    robots = _docs(spark, sf_dir).select(
+        host.alias('host'), body.alias('robots_txt'))
+    return robots_sitemaps(robots)
+
+
 def q_anchor_index(spark, sf_dir):
     """Anchor-text index over the extraction corpus' outlinks: per link
     target — reference counts, distinct referrers, and the top-5 anchor
@@ -2499,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'feed_extract': q_feed_extract,
         'chunk_docs': q_chunk_docs,
         'anchor_index': q_anchor_index,
+        'robots_sitemaps': q_robots_sitemaps,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3570,6 +3594,30 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['robots_sitemaps'] = r"""
+        WITH r AS (
+          SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN
+                     'User-agent: *' || chr(10) || 'Disallow: /x'
+                     || chr(10) || 'Sitemap: http://h'
+                     || CAST(doc_id AS VARCHAR) || '.example/s.xml'
+                     || chr(10) || 'SiteMap: http://h'
+                     || CAST(doc_id AS VARCHAR)
+                     || '.example/extra.xml.gz' || chr(10)
+                   WHEN doc_id % 3 = 1 THEN
+                     'User-agent: *' || chr(10) || 'Allow: /' || chr(10)
+                   ELSE
+                     '  sitemap :  http://h' || CAST(doc_id AS VARCHAR)
+                     || '.example/indented.xml' || chr(10) || '# comment'
+                 END AS robots_txt
+          FROM documents)
+        SELECT host,
+               unnest(regexp_extract_all(robots_txt,
+                      '(?im)^\s*sitemap\s*:\s*(\S+)', 1))
+                 AS sitemap_url
+        FROM r
+    """
     oracles['chunk_docs'] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
         p AS (SELECT doc_id, w,

@@ -181,3 +181,18 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
                            'matched_pattern':
                                F.coalesce(best['p'], F.lit(''))})
             .drop('rules'))
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = 'host',
+                    body_col: str = 'robots_txt') -> DataFrame:
+    """(host, sitemap_url): the ``Sitemap:`` directives of every robots
+    file — RFC 9309 §2.2.4 allows them anywhere in the file, outside
+    any group, case-insensitive, multiple per file. This is the
+    robots -> discovery hand-off (crawlers seed sitemap fetching from
+    exactly these lines), and unlike rule parsing it is pure line
+    grammar, so it stays NATIVE: one regexp_extract_all + explode, no
+    Python, exactly SQL-mirrorable."""
+    urls = F.regexp_extract_all(
+        F.col(body_col), F.lit(r'(?im)^\s*sitemap\s*:\s*(\S+)'), 1)
+    return (robots.select(F.col(host_col).alias('host'),
+                          F.explode(urls).alias('sitemap_url')))

@@ -118,3 +118,16 @@ def test_url_parts_and_broadcast_plan(spark):
     # the URL side must take a broadcast join — never shuffle
     p = out._jdf.queryExecution().executedPlan().toString()
     assert 'BroadcastHashJoin' in p and 'SortMergeJoin' not in p
+
+
+def test_robots_sitemaps(spark):
+    from mineru_html_spark.functions.robots import robots_sitemaps
+    df = spark.createDataFrame([
+        ('a', 'User-agent: *\nDisallow: /\nSitemap: http://a/s.xml\n'
+              'SITEMAP:  http://a/t.xml.gz\n  sitemap : http://a/u.xml'),
+        ('b', 'User-agent: *\nAllow: /\n'),
+    ], 'host string, robots_txt string')
+    got = sorted((r['host'], r['sitemap_url'])
+                 for r in robots_sitemaps(df).collect())
+    assert got == [('a', 'http://a/s.xml'), ('a', 'http://a/t.xml.gz'),
+                   ('a', 'http://a/u.xml')]
