@@ -1847,6 +1847,28 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_odt_extract(spark, sf_dir):
+    """OpenDocument (.odt) text extraction — the office-format sibling
+    of docx_extract: content.xml paragraph/heading walk with ODF's
+    explicit whitespace elements (text:s counts, tabs, line breaks),
+    span flattening, table cells in reading order, meta.xml title;
+    encrypted manifests and corrupt/part-less zips contained as error
+    rows. Committed-output oracle."""
+    from mineru_html_spark.sources.odt import (read_odt,
+                                               write_synth_odt_gate_set)
+    d = os.path.join(REPO, '.data', 'odt_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_odt_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_odt(spark, d)
+    return out.select('doc_id', 'title', 'n_paragraphs', 'n_tables',
+                      'n_chars', F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def q_crawl_delta(spark, sf_dir):
     """Snapshot diff between two crawls (re-crawl planning): one full
     outer join co-partitioned on urlkey, exchanges carry (key, digest)
@@ -2523,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'chunk_docs': q_chunk_docs,
         'anchor_index': q_anchor_index,
         'robots_sitemaps': q_robots_sitemaps,
+        'odt_extract': q_odt_extract,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2729,7 +2752,7 @@ def oracle_sql() -> dict[str, str]:
                      'media_probe', 'audio_features', 'audio_resample',
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
-                     'feed_extract', 'anchor_index',
+                     'feed_extract', 'anchor_index', 'odt_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

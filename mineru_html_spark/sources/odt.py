@@ -1,0 +1,198 @@
+"""ODT source: OpenDocument text, the OOXML pattern's sibling.
+
+OpenDocument (ISO/IEC 26300 — LibreOffice/OpenOffice) is the other
+office format a crawl yields in volume, and like OOXML it is a ZIP of
+XML parts: the text lives in ``content.xml`` as ``<text:p>`` /
+``<text:h>`` paragraphs whose runs carry explicit whitespace elements —
+``<text:s text:c="N"/>`` (N spaces), ``<text:tab/>``,
+``<text:line-break/>`` — because ODF collapses literal whitespace.
+Same zero-dependency stance and row contract as the DOCX/EPUB sources.
+
+Scope:
+* ``text:p`` and ``text:h`` paragraphs (heading level reported in the
+  paragraph count only — the text tier is format-flattened here, like
+  the DOCX reader);
+* nested spans/links flatten in document order; whitespace elements
+  expand exactly (``text:s`` honoring ``text:c``, default 1);
+* entity unescape, namespace-prefix tolerance;
+* ``meta.xml`` title;
+* tables: ODF nests ``text:p`` inside cells, so the paragraph walk
+  already yields cell text in order; ``table:table`` elements counted;
+* encrypted ODF (manifest ``manifest:encryption-data``) -> contained
+  ``encrypted`` error row; zips without content.xml -> ``nodoc``;
+  non-zips -> ``badzip``.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_PARA_RE = re.compile(
+    rb'<text:(p|h)(?:[ >].*?</text:\1>|/>)', re.DOTALL)
+_TOK_RE = re.compile(
+    rb'<text:s\b[^>]*/?>|<text:tab/>|<text:line-break/>|<[^>]+>|[^<]+',
+    re.DOTALL)
+_SCOUNT_RE = re.compile(rb'text:c\s*=\s*["\'](\d+)["\']')
+_TBL_RE = re.compile(rb'<table:table[ >]')
+_TITLE_RE = re.compile(rb'<dc:title[^>]*>([^<]*)</dc:title>')
+_ENCRYPT_RE = re.compile(rb'manifest:encryption-data')
+
+
+def _para_text(block: bytes) -> str:
+    # strip the enclosing <text:p ...> tag, then token-walk the body
+    inner = re.sub(rb'^<text:[ph][^>]*>|</text:[ph]>$', b'', block)
+    out: List[str] = []
+    for m in _TOK_RE.finditer(inner):
+        tok = m.group(0)
+        if tok.startswith(b'<text:s') and tok[7:8] in (b' ', b'/', b'>'):
+            # exactly <text:s .../> — NOT <text:span> (shared prefix,
+            # the same trap the DOCX reader hit with <w:tab>/<w:t>)
+            c = _SCOUNT_RE.search(tok)
+            out.append(' ' * (int(c.group(1)) if c else 1))
+        elif tok.startswith(b'<text:tab'):
+            out.append('\t')
+        elif tok.startswith(b'<text:line-break'):
+            out.append('\n')
+        elif tok.startswith(b'<'):
+            continue                      # other markup: spans flatten
+        else:
+            out.append(unescape(tok.decode('utf-8', 'replace')))
+    return ''.join(out)
+
+
+def odt_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, title, n_paragraphs, n_tables, n_chars, text, error)."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (name, '', 0, 0, 0, '', f'badzip {type(e).__name__}')
+    try:
+        if ('META-INF/manifest.xml' in names and _ENCRYPT_RE.search(
+                zf.read('META-INF/manifest.xml'))):
+            return (name, '', 0, 0, 0, '', 'encrypted')
+        if 'content.xml' not in names:
+            return (name, '', 0, 0, 0, '', 'nodoc')
+        doc = zf.read('content.xml')
+        title = ''
+        if 'meta.xml' in names:
+            m = _TITLE_RE.search(zf.read('meta.xml'))
+            if m:
+                title = unescape(
+                    m.group(1).decode('utf-8', 'replace')).strip()
+        paras = [_para_text(p.group(0)) for p in _PARA_RE.finditer(doc)]
+        paras = [p for p in paras if p.strip()]
+        text = '\n'.join(paras)
+        return (name, title, len(paras), len(_TBL_RE.findall(doc)),
+                len(text), text, '')
+    except Exception as e:  # noqa: BLE001
+        return (name, '', 0, 0, 0, '', f'parse {type(e).__name__}')
+
+
+ODT_ROWS_SCHEMA = ('doc_id string, title string, n_paragraphs int, '
+                   'n_tables int, n_chars long, text string, '
+                   'error string')
+
+
+def read_odt(spark, path: str):
+    """Directory of .odt files -> ODT_ROWS_SCHEMA — one task per file,
+    Arrow-batched, errors as rows (the WARC/PDF/EPUB/DOCX contract)."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.odt').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [odt_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'title', 'n_paragraphs',
+                               'n_tables', 'n_chars', 'text', 'error'])
+
+    return files.mapInPandas(batch, ODT_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def _content(body: str) -> bytes:
+    return ('<?xml version="1.0"?><office:document-content '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:'
+            'office:1.0" xmlns:text="urn:oasis:names:tc:opendocument:'
+            'xmlns:text:1.0" xmlns:table="urn:oasis:names:tc:'
+            'opendocument:xmlns:table:1.0"><office:body><office:text>'
+            + body + '</office:text></office:body>'
+            '</office:document-content>').encode()
+
+
+def _meta(title: str) -> bytes:
+    return ('<?xml version="1.0"?><office:document-meta '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:'
+            'office:1.0" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            '<office:meta><dc:title>%s</dc:title></office:meta>'
+            '</office:document-meta>' % title).encode()
+
+
+def _build(entries: List[Tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for n, d in entries:
+            zi = zipfile.ZipInfo(n, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, d)
+    return buf.getvalue()
+
+
+def write_synth_odt_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: headings+paragraphs with nested spans, explicit
+    whitespace elements (text:s with counts, tabs, line breaks),
+    entities, a table whose cell text must appear, a titled doc, an
+    encrypted manifest, a content-less zip and a corrupt zip."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    body = ('<text:h text:outline-level="1">Heading One</text:h>'
+            + ''.join('<text:p>Para %d with <text:span text:style-name='
+                      '"T1">styled w%d</text:span> words.</text:p>'
+                      % (i, (i * 3) % 17) for i in range(4))
+            + '<text:p/>')
+    files['plain.odt'] = _build([
+        ('content.xml', _content(body)),
+        ('meta.xml', _meta('Plain ODT')),
+    ])
+
+    ws = ('<text:p>a<text:s text:c="3"/>b<text:tab/>c'
+          '<text:line-break/>d &amp; e<text:s/></text:p>')
+    files['whitespace.odt'] = _build([('content.xml', _content(ws))])
+
+    tbl = ('<table:table table:name="T"><table:table-row>'
+           '<table:table-cell><text:p>cell one</text:p>'
+           '</table:table-cell><table:table-cell>'
+           '<text:p>cell two</text:p></table:table-cell>'
+           '</table:table-row></table:table>'
+           '<text:p>after table</text:p>')
+    files['table.odt'] = _build([('content.xml', _content(tbl))])
+
+    files['encrypted.odt'] = _build([
+        ('META-INF/manifest.xml',
+         b'<manifest:manifest><manifest:file-entry manifest:full-path='
+         b'"content.xml"><manifest:encryption-data/>'
+         b'</manifest:file-entry></manifest:manifest>'),
+        ('content.xml', b'\x00ciphertext'),
+    ])
+    files['nodoc.odt'] = _build([('meta.xml', _meta('Empty'))])
+    files['corrupt.odt'] = b'PK\x03\x04 truncated'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

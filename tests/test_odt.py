@@ -1,0 +1,46 @@
+"""ODT source: paragraph/heading walk, ODF whitespace elements,
+span flattening, tables, encryption/corruption containment."""
+
+import os
+
+from mineru_html_spark.sources.odt import (odt_bytes_to_row,
+                                           write_synth_odt_gate_set)
+
+
+def _rows(tmp_path):
+    d = str(tmp_path / 'odt')
+    return {n: odt_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in write_synth_odt_gate_set(d)}
+
+
+def test_odt_gate_shapes(tmp_path):
+    r = _rows(tmp_path)
+    plain = r['plain.odt']
+    assert plain[1] == 'Plain ODT' and plain[6] == ''
+    # heading + 4 paragraphs; the empty <text:p/> must not count
+    assert plain[2] == 5
+    assert plain[5].startswith('Heading One\n')
+    # <text:span> flattens WITHOUT injecting whitespace (prefix trap)
+    assert 'with styled w0 words.' in plain[5]
+
+    ws = r['whitespace.odt']
+    assert ws[5] == 'a   b\tc\nd & e '      # s c=3, tab, br, entity, s
+
+    tbl = r['table.odt']
+    assert tbl[3] == 1 and 'cell one' in tbl[5]
+    assert tbl[5].index('cell two') < tbl[5].index('after table')
+
+    assert r['encrypted.odt'][6] == 'encrypted'
+    assert r['nodoc.odt'][6] == 'nodoc'
+    assert r['corrupt.odt'][6].startswith('badzip')
+
+
+def test_read_odt_spark(spark, tmp_path):
+    d = str(tmp_path / 'odt')
+    write_synth_odt_gate_set(d)
+    from mineru_html_spark.sources.odt import read_odt
+    out = {r['doc_id']: r for r in read_odt(spark, d).collect()}
+    assert len(out) == 6
+    assert out['plain.odt']['n_paragraphs'] == 5
+    ok = [r for r in out.values() if r['error'] == '']
+    assert all(r['n_chars'] == len(r['text']) for r in ok)
