@@ -1847,6 +1847,26 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_rtf_extract(spark, sf_dir):
+    """RTF text extraction (legacy mail/export archives): faithful
+    tokenizer over control words/symbols/groups — destination tables
+    and {\\*\\...} ignorables never leak, \\'hh decodes cp1252, \\uN
+    honors the group-scoped \\ucN fallback skip, \\binN hard-skips raw
+    bytes, truncation tolerated, not-RTF contained. Committed-output
+    oracle."""
+    from mineru_html_spark.sources.rtf import (read_rtf,
+                                               write_synth_rtf_gate_set)
+    d = os.path.join(REPO, '.data', 'rtf_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_rtf_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_rtf(spark, d)
+    return out.select('doc_id', 'n_chars',
+                      F.md5('text').alias('text_md5'), 'error')
+
+
 def q_odt_extract(spark, sf_dir):
     """OpenDocument (.odt) text extraction — the office-format sibling
     of docx_extract: content.xml paragraph/heading walk with ODF's
@@ -2546,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'anchor_index': q_anchor_index,
         'robots_sitemaps': q_robots_sitemaps,
         'odt_extract': q_odt_extract,
+        'rtf_extract': q_rtf_extract,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2753,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
                      'feed_extract', 'anchor_index', 'odt_extract',
+                     'rtf_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

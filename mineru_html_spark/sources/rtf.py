@@ -1,0 +1,190 @@
+"""RTF source: the legacy rich-text format, decoded stdlib-only.
+
+RTF keeps showing up in document dumps (old mail attachments, export
+archives, government corpora), and unlike the zip-based office formats
+it is a flat token stream — control words (``\\word`` with an optional
+numeric parameter), control symbols, ``{}`` groups, and literal text —
+decodable with a small faithful tokenizer (spec: Microsoft RTF 1.9.1):
+
+* destination groups that hold NO document text skip wholesale
+  (fonttbl/colortbl/stylesheet/info/pict/field instructions/headers),
+  and ``{\\*\\...}`` ignorable destinations skip per the spec rule;
+* ``\\par``/``\\line`` -> newline, ``\\tab`` -> tab, ``\\~`` -> NBSP,
+  ``\\emdash`` etc. mapped; ``\\'hh`` hex bytes decode via cp1252 (the
+  overwhelmingly dominant legacy charset);
+* ``\\uN`` unicode escapes honor the current ``\\ucN`` skip-count
+  (fallback chars after ``\\uN`` are consumed, per spec), negative N
+  wraps mod 65536;
+* binary runs (``\\binN``) skip exactly N bytes so embedded objects
+  can never leak into text;
+* not-RTF payloads (no ``{\\rtf`` magic) and truncated groups surface
+  as contained error rows.
+
+Spark shape: one task per file (binaryFile), Arrow-batched, errors as
+rows — the standard source contract.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List
+
+_CW_RE = re.compile(rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})"
+                    rb"|\\([^a-zA-Z])|([{}])|([^\\{}]+)", re.DOTALL)
+
+# destinations whose content is never document text
+_SKIP_DESTS = {
+    b'fonttbl', b'colortbl', b'stylesheet', b'info', b'pict',
+    b'header', b'footer', b'headerl', b'headerr', b'headerf',
+    b'footerl', b'footerr', b'footerf', b'fldinst', b'themedata',
+    b'colorschememapping', b'datastore', b'latentstyles', b'xmlnstbl',
+    b'listtable', b'listoverridetable', b'revtbl', b'generator',
+}
+
+_CW_TEXT = {b'par': '\n', b'line': '\n', b'tab': '\t',
+            b'emdash': '\u2014', b'endash': '\u2013',
+            b'lquote': '\u2018', b'rquote': '\u2019',
+            b'ldblquote': '\u201c', b'rdblquote': '\u201d',
+            b'bullet': '\u2022', b'sect': '\n', b'page': '\n'}
+_SYM_TEXT = {b'~': '\u00a0', b'-': '', b'_': '\u2011',
+             b'\\': '\\', b'{': '{', b'}': '}', b'\n': '\n', b'\r': ''}
+
+
+def rtf_to_text(data: bytes) -> str:
+    """One RTF byte payload -> plain text. Raises ValueError on
+    not-RTF input; tolerates truncation (EOF closes open groups)."""
+    if not data.lstrip()[:5].startswith(b'{\\rtf'):
+        raise ValueError('notrtf')
+    out: List[str] = []
+    # group state: (skipping, uc_count) — inherited on '{'
+    stack: List[tuple] = []
+    skipping, uc = False, 1
+    pending_uc_skip = 0
+    i = 0
+    n = len(data)
+    while i < n:
+        m = _CW_RE.match(data, i)
+        if not m:
+            i += 1
+            continue
+        i = m.end()
+        word, param, hexb, sym, brace, text = m.groups()
+        if brace == b'{':
+            stack.append((skipping, uc))
+            # {\*\dest ...}: ignorable destination — skip unless known
+            if not skipping and data[i:i + 2] == b'\\*':
+                skipping = True
+            continue
+        if brace == b'}':
+            if stack:
+                skipping, uc = stack.pop()
+            continue
+        if word is not None:
+            w = word
+            if w == b'bin':
+                i += max(int(param or 0), 0)      # raw bytes: hard skip
+                continue
+            if w == b'uc':
+                uc = max(int(param or 1), 0)
+                continue
+            if w == b'u':
+                if not skipping:
+                    cp = int(param or 0) % 65536
+                    out.append(chr(cp))
+                pending_uc_skip = uc
+                continue
+            if w in _SKIP_DESTS:
+                skipping = True
+                continue
+            if not skipping and w in _CW_TEXT:
+                out.append(_CW_TEXT[w])
+            continue
+        if hexb is not None:
+            if pending_uc_skip:
+                pending_uc_skip -= 1
+            elif not skipping:
+                out.append(bytes([int(hexb, 16)]).decode('cp1252',
+                                                         'replace'))
+            continue
+        if sym is not None:
+            if not skipping and sym in _SYM_TEXT:
+                out.append(_SYM_TEXT[sym])
+            continue
+        if text is not None and not skipping:
+            t = text.replace(b'\r', b'').replace(b'\n', b'')
+            if pending_uc_skip:
+                drop = min(pending_uc_skip, len(t))
+                t = t[drop:]
+                pending_uc_skip -= drop
+            if t:
+                out.append(t.decode('cp1252', 'replace'))
+    return ''.join(out)
+
+
+def rtf_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, n_chars, text, error) — errors as rows."""
+    try:
+        text = rtf_to_text(data)
+        return (name, len(text), text, '')
+    except ValueError:
+        return (name, 0, '', 'notrtf')
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (name, 0, '', f'parse {type(e).__name__}')
+
+
+RTF_ROWS_SCHEMA = 'doc_id string, n_chars long, text string, error string'
+
+
+def read_rtf(spark, path: str):
+    """Directory of .rtf files -> RTF_ROWS_SCHEMA — one task per file,
+    Arrow-batched, errors as rows (the standard source contract)."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.rtf').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [rtf_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'n_chars', 'text', 'error'])
+
+    return files.mapInPandas(batch, RTF_ROWS_SCHEMA)
+
+
+def write_synth_rtf_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: a font/color/stylesheet-laden document whose tables
+    must not leak, hex and unicode escapes with uc skip-counts, an
+    ignorable {\\*\\...} destination, a \\bin run hiding '}' bytes, a
+    truncated file that must still extract, and a not-RTF payload."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    files['plain.rtf'] = (
+        rb'{\rtf1\ansi\deff0'
+        rb'{\fonttbl{\f0\fswiss Helvetica;}{\f1 Courier;}}'
+        rb'{\colortbl;\red255\green0\blue0;}'
+        rb'{\stylesheet{\s0 Normal;}}'
+        rb'{\info{\title Secret Title}}'
+        rb'\f0\fs24 Hello \b bold\b0  world.\par'
+        rb" Caf\'e9 costs 3 \'80.\par"
+        rb'{\*\generator Synth 1.0;}Visible tail.}')
+
+    files['unicode.rtf'] = (
+        rb'{\rtf1\ansi\uc1 Greek \u945?\u946? ok\par'
+        rb'\uc2 Wide \u8364 AB after\par'
+        rb'\uc0 Bare \u10003  check}')
+
+    files['binrun.rtf'] = (
+        rb'{\rtf1 Before\bin6 }}}}}} After}')
+
+    files['truncated.rtf'] = rb'{\rtf1 Begin \b unclosed'
+    files['notrtf.rtf'] = b'just plain text, no magic'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

@@ -1,0 +1,53 @@
+"""RTF source: destination skipping, hex/unicode escapes with uc
+skip-counts, binary runs, truncation tolerance."""
+
+import os
+
+from mineru_html_spark.sources.rtf import (rtf_bytes_to_row, rtf_to_text,
+                                           write_synth_rtf_gate_set)
+
+
+def _rows(tmp_path):
+    d = str(tmp_path / 'rtf')
+    return {n: rtf_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in write_synth_rtf_gate_set(d)}
+
+
+def test_rtf_gate_shapes(tmp_path):
+    r = _rows(tmp_path)
+    plain = r['plain.rtf']
+    assert plain[2] == 'Hello bold world.\nCafé costs 3 €.\nVisible tail.'
+    # font/color/stylesheet/info/ignorable destinations never leak
+    for leak in ('Helvetica', 'Courier', 'Normal', 'Secret Title',
+                 'Synth'):
+        assert leak not in plain[2], leak
+
+    uni = r['unicode.rtf']
+    assert uni[2] == 'Greek αβ ok\nWide € after\nBare ✓ check'
+
+    # \bin bytes (including '}' chars) are hard-skipped
+    assert r['binrun.rtf'][2] == 'Before After'
+    # truncation tolerated, magic required
+    assert r['truncated.rtf'][2] == 'Begin unclosed'
+    assert r['notrtf.rtf'][3] == 'notrtf'
+
+
+def test_rtf_group_state_restores():
+    # formatting state is lexically scoped: a skip inside a group must
+    # not leak past its closing brace
+    t = rtf_to_text(rb'{\rtf1 A{\fonttbl hidden}B{\*\junk no}C}')
+    assert t == 'ABC'
+    # \uc applies per group
+    t = rtf_to_text(rb'{\rtf1{\uc3\u65 xyzK}\u66 ?Z}')
+    assert t == 'AKB' + 'Z'
+
+
+def test_read_rtf_spark(spark, tmp_path):
+    d = str(tmp_path / 'rtf')
+    write_synth_rtf_gate_set(d)
+    from mineru_html_spark.sources.rtf import read_rtf
+    out = {r['doc_id']: r for r in read_rtf(spark, d).collect()}
+    assert len(out) == 5
+    assert out['notrtf.rtf']['error'] == 'notrtf'
+    ok = [r for r in out.values() if r['error'] == '']
+    assert all(r['n_chars'] == len(r['text']) for r in ok)
