@@ -1847,6 +1847,27 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_mbox_extract(spark, sf_dir):
+    """Email/mbox MIME extraction (mailing-list / disclosure corpora):
+    mboxrd splitting, RFC-2047 header decode, part policy (text/plain
+    preferred, HTML fallback through the engine's DOM walk, attachments
+    counted never decoded), charset/transfer-encoding honesty, and the
+    PII-conscious header drop (only subject/from/date survive).
+    Committed-output oracle."""
+    from mineru_html_spark.sources.mail import (read_mbox,
+                                                write_synth_mbox_gate_set)
+    d = os.path.join(REPO, '.data', 'mbox_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_mbox_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_mbox(spark, d)
+    return out.select('doc_id', 'subject', 'sender', 'n_parts',
+                      'n_attachments', 'used_html', 'n_chars',
+                      F.md5('text').alias('text_md5'), 'error')
+
+
 def q_rtf_extract(spark, sf_dir):
     """RTF text extraction (legacy mail/export archives): faithful
     tokenizer over control words/symbols/groups — destination tables
@@ -2567,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_sitemaps': q_robots_sitemaps,
         'odt_extract': q_odt_extract,
         'rtf_extract': q_rtf_extract,
+        'mbox_extract': q_mbox_extract,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2774,7 +2796,7 @@ def oracle_sql() -> dict[str, str]:
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
                      'feed_extract', 'anchor_index', 'odt_extract',
-                     'rtf_extract',
+                     'rtf_extract', 'mbox_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

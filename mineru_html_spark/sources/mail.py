@@ -1,0 +1,208 @@
+"""Email source: mbox/RFC-5322 MIME messages, stdlib-decoded.
+
+Mail archives are a classic LLM-corpus slice (public mailing lists,
+disclosure dumps), and Python's stdlib ``email`` package is a complete
+RFC-5322/MIME parser — so this tier is policy, not parsing:
+
+* **mbox splitting** — messages delimited by ``From `` lines (mboxrd
+  ``>From`` unstuffing applied to body lines);
+* **part selection** — walk the MIME tree; prefer ``text/plain`` parts,
+  fall back to ``text/html`` rendered through the engine's repairing
+  DOM parser (the same text walk the EPUB source uses); attachments and
+  non-text parts are counted, never decoded into text;
+* **header policy** — subject/from/date surface as columns (RFC 2047
+  encoded-words decoded); everything else — received chains, message
+  ids, addresses in transit — is DROPPED, which matters: headers are
+  where mail PII concentrates, and the downstream ``pii_scrub``
+  operator handles what remains in bodies;
+* **charset honesty** — part charsets are honored via the stdlib
+  decoder with replacement (never a crash on a mislabeled part);
+  base64/quoted-printable transfer encodings decode transparently.
+
+Spark shape: one task per mbox FILE, Arrow-batched, one row per
+message, errors as rows.
+"""
+
+from __future__ import annotations
+
+import email
+import email.policy
+from typing import Iterator, List
+
+from email.header import decode_header, make_header
+
+
+def _hdr(msg, name: str) -> str:
+    raw = msg.get(name, '')
+    if not raw:
+        return ''
+    try:
+        return str(make_header(decode_header(raw))).strip()
+    except Exception:  # noqa: BLE001 — mislabeled encoded-words exist
+        return str(raw).strip()
+
+
+def _part_text(part) -> str:
+    payload = part.get_payload(decode=True)
+    if payload is None:
+        return ''
+    charset = part.get_content_charset() or 'utf-8'
+    try:
+        return payload.decode(charset, 'replace')
+    except LookupError:                       # unknown charset label
+        return payload.decode('utf-8', 'replace')
+
+
+def message_to_row(name: str, idx: int, raw: bytes) -> tuple:
+    """(doc_id, subject, sender, date, n_parts, n_attachments,
+    used_html, n_chars, text, error)."""
+    doc_id = f'{name}#{idx}'
+    try:
+        msg = email.message_from_bytes(raw)
+        plain: List[str] = []
+        html: List[str] = []
+        n_parts = 0
+        n_attach = 0
+        for part in msg.walk():
+            if part.is_multipart():
+                continue
+            n_parts += 1
+            ctype = part.get_content_type()
+            dispo = str(part.get('Content-Disposition', '')).lower()
+            if 'attachment' in dispo or not ctype.startswith('text/'):
+                n_attach += 1
+                continue
+            if ctype == 'text/plain':
+                plain.append(_part_text(part))
+            elif ctype == 'text/html':
+                html.append(_part_text(part))
+        used_html = False
+        if plain:
+            text = '\n'.join(t.strip() for t in plain if t.strip())
+        elif html:
+            used_html = True
+            from .epub import _chapter_text
+            text = '\n'.join(
+                _chapter_text(h.encode('utf-8')) for h in html)
+        else:
+            text = ''
+        return (doc_id, _hdr(msg, 'Subject'), _hdr(msg, 'From'),
+                _hdr(msg, 'Date'), n_parts, n_attach, used_html,
+                len(text), text, '')
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (doc_id, '', '', '', 0, 0, False, 0, '',
+                f'parse {type(e).__name__}')
+
+
+def split_mbox(data: bytes) -> List[bytes]:
+    """mbox bytes -> raw message byte blocks (mboxrd unstuffing)."""
+    msgs: List[List[bytes]] = []
+    for line in data.split(b'\n'):
+        if line.startswith(b'From '):
+            msgs.append([])
+            continue
+        if msgs:
+            if line.startswith(b'>') and line.lstrip(b'>').startswith(
+                    b'From '):
+                line = line[1:]               # mboxrd unstuff
+            msgs[-1].append(line)
+    return [b'\n'.join(m) for m in msgs if any(m)]
+
+
+MAIL_ROWS_SCHEMA = ('doc_id string, subject string, sender string, '
+                    'date string, n_parts int, n_attachments int, '
+                    'used_html boolean, n_chars long, text string, '
+                    'error string')
+
+
+def read_mbox(spark, path: str):
+    """Directory of .mbox files -> MAIL_ROWS_SCHEMA — one task per
+    file, one row per message, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.mbox').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'subject', 'sender', 'date', 'n_parts',
+                'n_attachments', 'used_html', 'n_chars', 'text',
+                'error']
+        for pdf in it:
+            rows = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                name = p.rsplit('/', 1)[-1]
+                try:
+                    blocks = split_mbox(bytes(c))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((f'{name}#0', '', '', '', 0, 0, False,
+                                 0, '', f'badmbox {type(e).__name__}'))
+                    continue
+                if not blocks:
+                    rows.append((f'{name}#0', '', '', '', 0, 0, False,
+                                 0, '', 'empty'))
+                for i, b in enumerate(blocks):
+                    rows.append(message_to_row(name, i, b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(batch, MAIL_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def write_synth_mbox_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: plain 7-bit mail, quoted-printable latin-1,
+    base64 UTF-8, RFC-2047 encoded subject, multipart/alternative whose
+    text/plain must win, an HTML-only mail that must render through the
+    DOM walk, an attachment that must count but never leak, and an
+    mboxrd-stuffed body line."""
+    import base64
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+
+    m1 = (b'From alice Mon Jan  1 00:00:00 2024\n'
+          b'From: alice@example.com\nSubject: Plain hello\n'
+          b'Date: Mon, 1 Jan 2024 00:00:00 +0000\n\n'
+          b'Simple seven bit body.\n>From stuffed line survives.\n')
+
+    m2 = (b'From bob Mon Jan  1 00:01:00 2024\n'
+          b'From: bob@example.com\n'
+          b'Subject: =?utf-8?B?' + base64.b64encode(
+              'Encoded – subject'.encode()) + b'?=\n'
+          b'Content-Type: text/plain; charset="iso-8859-1"\n'
+          b'Content-Transfer-Encoding: quoted-printable\n\n'
+          b'Caf=E9 au lait =80? No, =E9toile.\n')
+
+    html_part = (b'<html><body><h1>Report</h1><p>Visible '
+                 b'<b>content</b>.</p><script>drop()</script>'
+                 b'</body></html>')
+    m3 = (b'From carol Mon Jan  1 00:02:00 2024\n'
+          b'From: carol@example.com\nSubject: Multipart\n'
+          b'MIME-Version: 1.0\n'
+          b'Content-Type: multipart/alternative; boundary="BB"\n\n'
+          b'--BB\nContent-Type: text/plain\n\n'
+          b'The plain alternative wins.\n'
+          b'--BB\nContent-Type: text/html\n\n' + html_part +
+          b'\n--BB--\n')
+
+    m4 = (b'From dave Mon Jan  1 00:03:00 2024\n'
+          b'From: dave@example.com\nSubject: HTML only + attachment\n'
+          b'MIME-Version: 1.0\n'
+          b'Content-Type: multipart/mixed; boundary="CC"\n\n'
+          b'--CC\nContent-Type: text/html\n'
+          b'Content-Transfer-Encoding: base64\n\n'
+          + base64.encodebytes(html_part) +
+          b'--CC\nContent-Type: application/octet-stream\n'
+          b'Content-Disposition: attachment; filename="blob.bin"\n'
+          b'Content-Transfer-Encoding: base64\n\n'
+          + base64.encodebytes(b'SECRETBYTES' * 4) +
+          b'--CC--\n')
+
+    files = {'corpus.mbox': m1 + m2 + m3 + m4,
+             'empty.mbox': b'\n\n'}
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

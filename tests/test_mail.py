@@ -1,0 +1,45 @@
+"""mbox/MIME source: splitting, encodings, part policy, header drop."""
+
+import os
+
+from mineru_html_spark.sources.mail import (message_to_row, split_mbox,
+                                            write_synth_mbox_gate_set)
+
+
+def test_mbox_messages(tmp_path):
+    d = str(tmp_path / 'mail')
+    write_synth_mbox_gate_set(d)
+    blocks = split_mbox(open(os.path.join(d, 'corpus.mbox'), 'rb').read())
+    assert len(blocks) == 4
+    rows = [message_to_row('corpus.mbox', i, b)
+            for i, b in enumerate(blocks)]
+
+    # plain 7-bit + mboxrd unstuffing
+    assert rows[0][1] == 'Plain hello'
+    assert 'From stuffed line survives.' in rows[0][8]
+    assert '>From' not in rows[0][8]
+
+    # RFC 2047 subject + quoted-printable latin-1 body
+    assert rows[1][1] == 'Encoded – subject'
+    assert 'Café au lait' in rows[1][8] and 'étoile' in rows[1][8]
+
+    # multipart/alternative: plain wins, html ignored
+    assert rows[2][8] == 'The plain alternative wins.'
+    assert rows[2][6] is False
+
+    # html-only renders through the DOM walk; attachment counted only
+    assert rows[3][6] is True and rows[3][5] == 1
+    assert 'Report' in rows[3][8] and 'drop()' not in rows[3][8]
+    assert 'SECRETBYTES' not in rows[3][8]
+
+
+def test_read_mbox_spark(spark, tmp_path):
+    d = str(tmp_path / 'mail')
+    write_synth_mbox_gate_set(d)
+    from mineru_html_spark.sources.mail import read_mbox
+    out = read_mbox(spark, d).collect()
+    by_id = {r['doc_id']: r for r in out}
+    assert len([k for k in by_id if k.startswith('corpus')]) == 4
+    assert by_id['empty.mbox#0']['error'] == 'empty'
+    ok = [r for r in out if r['error'] == '']
+    assert all(r['n_chars'] == len(r['text']) for r in ok)
