@@ -1,0 +1,88 @@
+"""End-to-end crawl-planning demo: the discovery -> permission ->
+selection -> scheduling chain, composed from the engine's crawl-tier
+operators on one Spark session.
+
+    python examples/crawl_plan.py
+
+Stages (each one is a gated operator — see __spark_entry__.py):
+
+  1. DISCOVER   robots.txt Sitemap directives + sitemap files + feeds
+                (functions/robots.py, sources/sitemap.py, sources/feeds.py)
+  2. PERMIT     RFC 9309 robots decisions over the discovered URLs
+                (functions/robots.py — broadcast rules, codegen match)
+  3. AUGMENT    cc-index selection + per-WARC fetch plan for the slice
+                already archived (sources/cdx.py)
+  4. SCHEDULE   per-host politeness waves over the permitted frontier
+                (functions/frontier.py — one window)
+
+Everything is deterministic synthetic data; at production scale only
+stage 3's index and stage 4's window shuffle — discovery and permission
+are broadcast-side."""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main():
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.functions.robots import (robots_allowed,
+                                                    robots_sitemaps)
+    from mineru_html_spark.functions.frontier import frontier_waves
+    from mineru_html_spark.sources.sitemap import (
+        read_sitemaps, write_synth_sitemap_gate_set)
+    from mineru_html_spark.sources.feeds import (read_feeds,
+                                                 write_synth_feed_gate_set)
+    from mineru_html_spark.sources.cdx import (cdx_fetch_plan, read_cdx,
+                                               write_synth_cdx_gate_set)
+
+    spark = get_spark('local[8]', app_name='crawl-plan',
+                      shuffle_partitions=8)
+    tmp = tempfile.mkdtemp()
+
+    # -- 1. DISCOVER ------------------------------------------------------
+    smdir = os.path.join(tmp, 'sitemaps')
+    write_synth_sitemap_gate_set(smdir)
+    from_sitemaps = (read_sitemaps(spark, smdir)
+                     .where("kind = 'url' AND error = ''")
+                     .select(F.col('loc').alias('url'), 'priority_milli'))
+    fddir = os.path.join(tmp, 'feeds')
+    write_synth_feed_gate_set(fddir)
+    from_feeds = (read_feeds(spark, fddir).where("error = ''")
+                  .select(F.col('link').alias('url'),
+                          F.lit(700).alias('priority_milli')))
+    robots = spark.createDataFrame(
+        [('site0.example', 'User-agent: *\nDisallow: /page3\n'
+                           'Sitemap: http://site0.example/more.xml\n'),
+         ('gz.example', 'User-agent: *\nDisallow: /x1$\n')],
+        'host string, robots_txt string')
+    print('sitemap pointers in robots:',
+          robots_sitemaps(robots).count())
+    frontier = from_sitemaps.unionByName(from_feeds).distinct()
+    print('discovered URLs:', frontier.count())
+
+    # -- 2. PERMIT --------------------------------------------------------
+    permitted = (robots_allowed(frontier, robots)
+                 .where('allowed').drop('allowed', 'matched_pattern'))
+    print('permitted URLs:', permitted.count())
+
+    # -- 3. AUGMENT: already-archived slice -> WARC range reads -----------
+    cdxdir = os.path.join(tmp, 'cdx')
+    write_synth_cdx_gate_set(cdxdir)
+    plan = cdx_fetch_plan(read_cdx(spark, cdxdir))
+    print('archived fetch plan:',
+          plan.groupBy('filename').count().orderBy('filename').collect())
+
+    # -- 4. SCHEDULE ------------------------------------------------------
+    waves = frontier_waves(permitted, per_host=2)
+    summary = (waves.groupBy('wave').count().orderBy('wave').collect())
+    print('politeness waves:', [(r['wave'], r['count']) for r in summary])
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
