@@ -1847,6 +1847,14 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
+    md5-integer hashes, w-window minima, sorted-distinct fingerprint —
+    row-local, zero shuffle, exact SQL mirror of the full algorithm."""
+    from mineru_html_spark.functions.text import winnow_fingerprint
+    return winnow_fingerprint(_docs(spark, sf_dir), k=5, w=4)
+
+
 def q_mbox_extract(spark, sf_dir):
     """Email/mbox MIME extraction (mailing-list / disclosure corpora):
     mboxrd splitting, RFC-2047 header decode, part policy (text/plain
@@ -2589,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'odt_extract': q_odt_extract,
         'rtf_extract': q_rtf_extract,
         'mbox_extract': q_mbox_extract,
+        'winnow_fp': q_winnow,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3661,6 +3670,29 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['winnow_fp'] = """
+        WITH c AS (SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+               FROM documents),
+        h AS (SELECT doc_id,
+                CASE WHEN length(s) < 5 THEN CAST([] AS BIGINT[])
+                ELSE list_transform(range(0, length(s) - 4), i ->
+                  CAST('0x' || substring(md5(substring(s, i + 1, 5)),
+                       1, 8) AS BIGINT)) END AS hs
+              FROM c),
+        m AS (SELECT doc_id, hs,
+                CASE WHEN len(hs) < 4 THEN hs
+                ELSE list_transform(range(0, len(hs) - 3), j ->
+                  list_min(list_slice(hs, j + 1, j + 4))) END AS mins
+              FROM h)
+        SELECT doc_id,
+               CAST(len(hs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(mins)) AS BIGINT) AS n_selected,
+               md5(array_to_string(list_transform(
+                   list_sort(list_distinct(mins)),
+                   x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+        FROM m
+    """
     oracles['robots_sitemaps'] = r"""
         WITH r AS (
           SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,

@@ -608,3 +608,50 @@ def doc_stats_by_source(documents: DataFrame) -> DataFrame:
                  F.sum('n_chars').alias('sum_chars'),
                  (F.sum('n_chars') / F.count('*')).alias('avg_chars'))
             .orderBy('source'))
+
+
+def winnow_fingerprint(documents: DataFrame, k: int = 5,
+                       w: int = 4) -> DataFrame:
+    """(doc_id, n_grams, n_selected, fp_md5): winnowing document
+    fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    algorithm): hash every character ``k``-gram of the normalized text
+    (lowercased, non-alphanumerics removed — the paper's
+    noise-insensitivity step), then keep the MINIMUM hash of every
+    ``w``-window of consecutive gram hashes. The guarantee (paper §4):
+    any shared substring of length >= k+w-1 contributes at least one
+    IDENTICAL selected hash to both documents, so overlap detection
+    needs only fingerprint intersection — at a density of ~2/(w+1)
+    instead of every gram.
+
+    Engine-portable by construction: gram hashes are md5-substring
+    integers (the repo's cross-engine hash idiom), selection is pure
+    integer min, and the output fingerprint is the md5 of the sorted
+    distinct selected hashes — one value per doc, exact SQL mirror.
+
+    Plan shape: entirely row-local (normalize -> char array ONCE (the
+    substr-is-O(i) trap from the trigram router applies here too) ->
+    gram hashes -> window minima -> sorted distinct), O(n*w) per doc,
+    no shuffle, no Python."""
+    norm = F.regexp_replace(F.lower(F.col('text')), '[^a-z0-9]', '')
+    d = documents.select('doc_id', F.split(norm, '').alias('ch'))
+    ch = F.col('ch')
+    gram = lambda i: F.concat(*[F.element_at(ch, i + j + 1)  # noqa: E731
+                                for j in range(k)])
+    hs = F.when(F.size(ch) < k, F.array().cast('array<long>')) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.size(ch) - k),
+            lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10)
+                       .cast('long')))
+    d2 = d.select('doc_id', hs.alias('hs'))
+    mins = F.when(F.size('hs') < w, F.col('hs')) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.size('hs') - w),
+            lambda j: F.array_min(F.slice('hs', j + 1, w))))
+    sel = F.array_sort(F.array_distinct(mins))
+    return d2.select(
+        'doc_id',
+        F.size('hs').cast('long').alias('n_grams'),
+        F.size(sel).cast('long').alias('n_selected'),
+        F.md5(F.concat_ws(',', F.transform(sel, lambda x:
+                                           x.cast('string'))))
+         .alias('fp_md5'))

@@ -1842,3 +1842,48 @@ def test_kn_bigram_nll_matches_reference(spark):
         assert out[did] == exp, (did, out[did], exp)
     # repetitive text scores most predictable; empty/short get -1
     assert out[2][1] < out[0][1] and out[3] == (0, -1)
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """The paper's core guarantee: documents sharing a substring of
+    length >= k+w-1 (= 8 at k=5,w=4) share at least one selected hash;
+    tiny docs degrade gracefully."""
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.text import winnow_fingerprint
+
+    shared = 'xqzjvkpwm'                      # 9 normalized chars > 8
+    rows = [(0, f'left padding {shared} trailing words here'),
+            (1, f'completely different prefix {shared} and suffix'),
+            (2, 'no overlap with the others at all dissimilar'),
+            (3, 'ab'),                        # shorter than k
+            (4, '')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    # recompute selected-hash SETS via the same operator pieces
+    norm = F.regexp_replace(F.lower(F.col('text')), '[^a-z0-9]', '')
+    d = df.select('doc_id', F.split(norm, '').alias('ch'))
+    ch = F.col('ch')
+    gram = lambda i: F.concat(*[F.element_at(ch, i + j + 1)  # noqa: E731
+                                for j in range(5)])
+    hs = F.when(F.size(ch) < 5, F.array().cast('array<long>')) \
+        .otherwise(F.transform(F.sequence(F.lit(0), F.size(ch) - 5),
+                   lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8),
+                                    16, 10).cast('long')))
+    d2 = d.select('doc_id', hs.alias('hs'))
+    mins = F.when(F.size('hs') < 4, F.col('hs')).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size('hs') - 4),
+                    lambda j: F.array_min(F.slice('hs', j + 1, 4))))
+    sets = {r['doc_id']: set(r['s']) for r in
+            d2.select('doc_id', F.array_distinct(mins).alias('s'))
+            .collect()}
+    assert sets[0] & sets[1], 'shared substring must share a hash'
+    assert not (sets[0] & sets[2] & sets[1]) or True  # no constraint
+
+    out = {r['doc_id']: r for r in winnow_fingerprint(df).collect()}
+    assert out[0]['n_selected'] <= out[0]['n_grams']
+    assert out[3]['n_grams'] == 0 and out[4]['n_grams'] == 0
+    # identical text -> identical fingerprint
+    df2 = spark.createDataFrame([(7, rows[0][1])],
+                                'doc_id long, text string')
+    fp2 = winnow_fingerprint(df2).head()['fp_md5']
+    assert fp2 == out[0]['fp_md5']
