@@ -1847,6 +1847,25 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_corpus_quantiles(spark, sf_dir):
+    """Per-source length quantiles — the first profiling query a corpus
+    curator runs (p50/p90/p99 doc length drives chunking, packing and
+    skew decisions). Spark's EXACT interpolated ``percentile`` and
+    DuckDB's ``quantile_cont`` implement the same formula, so this is
+    an exact mirror (verified bit-equal; emitted in milli-units for
+    hash robustness). Single partial-aggregated groupBy; at 10^12 rows
+    production swaps in approx_percentile — same plan shape, bounded
+    memory — and the oracle's exactness is what certifies the exact
+    variant here."""
+    q = F.expr('percentile(n_chars, array(0.5, 0.9, 0.99))')
+    d = _docs(spark, sf_dir).groupBy('source').agg(
+        F.count('*').alias('n_docs'),
+        F.round(q[0] * 1000).cast('long').alias('p50_milli'),
+        F.round(q[1] * 1000).cast('long').alias('p90_milli'),
+        F.round(q[2] * 1000).cast('long').alias('p99_milli'))
+    return d
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
     md5-integer hashes, w-window minima, sorted-distinct fingerprint —
@@ -2598,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rtf_extract': q_rtf_extract,
         'mbox_extract': q_mbox_extract,
         'winnow_fp': q_winnow,
+        'corpus_quantiles': q_corpus_quantiles,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3670,6 +3690,17 @@ def oracle_sql() -> dict[str, str]:
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
+    oracles['corpus_quantiles'] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(quantile_cont(n_chars, 0.5) * 1000)
+                    AS BIGINT) AS p50_milli,
+               CAST(round(quantile_cont(n_chars, 0.9) * 1000)
+                    AS BIGINT) AS p90_milli,
+               CAST(round(quantile_cont(n_chars, 0.99) * 1000)
+                    AS BIGINT) AS p99_milli
+        FROM documents GROUP BY source
+    """
     oracles['winnow_fp'] = """
         WITH c AS (SELECT doc_id,
                  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
