@@ -1,0 +1,65 @@
+"""Every document source feeds the corpus tier: texts extracted from
+EPUB/DOCX/ODT/RTF/mbox flow through dedup/embedding/quality operators
+on one session — the 'switch a source, keep the pipeline' contract."""
+
+import pyspark.sql.functions as F
+
+
+def test_all_sources_feed_corpus_operators(spark, tmp_path):
+    from mineru_html_spark.sources.epub import (read_epubs,
+                                                write_synth_epub_gate_set)
+    from mineru_html_spark.sources.docx import (read_docx,
+                                                write_synth_docx_gate_set)
+    from mineru_html_spark.sources.odt import (read_odt,
+                                               write_synth_odt_gate_set)
+    from mineru_html_spark.sources.rtf import (read_rtf,
+                                               write_synth_rtf_gate_set)
+    from mineru_html_spark.sources.mail import (read_mbox,
+                                                write_synth_mbox_gate_set)
+
+    dirs = {}
+    for name, writer in [('epub', write_synth_epub_gate_set),
+                         ('docx', write_synth_docx_gate_set),
+                         ('odt', write_synth_odt_gate_set),
+                         ('rtf', write_synth_rtf_gate_set),
+                         ('mbox', write_synth_mbox_gate_set)]:
+        d = str(tmp_path / name)
+        writer(d)
+        dirs[name] = d
+
+    parts = [
+        read_epubs(spark, dirs['epub']).select('doc_id', 'text'),
+        read_docx(spark, dirs['docx']).select('doc_id', 'text'),
+        read_odt(spark, dirs['odt']).select('doc_id', 'text'),
+        read_rtf(spark, dirs['rtf']).select('doc_id', 'text'),
+        read_mbox(spark, dirs['mbox']).select('doc_id', 'text'),
+    ]
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    docs = (docs.where(F.length('text') > 0)
+            .select(F.monotonically_increasing_id().alias('doc_id'),
+                    'text').persist())
+    n = docs.count()
+    assert n >= 15                     # every format contributed rows
+
+    # dedup tier accepts them
+    from mineru_html_spark.functions.dedup import exact_dedup
+    assert exact_dedup(docs).count() <= n
+
+    # vector tier accepts them
+    from mineru_html_spark.functions.corpus import hashed_embedding
+    emb = hashed_embedding(docs, dim=16)
+    assert emb.count() == n
+    assert emb.where(F.col('n_words') > 0).count() > 0
+
+    # quality tier accepts them
+    from mineru_html_spark.functions.corpus import hashed_linear_score
+    scored = hashed_linear_score(docs)
+    assert scored.count() == n
+
+    # fingerprint tier accepts them
+    from mineru_html_spark.functions.text import winnow_fingerprint
+    fp = winnow_fingerprint(docs)
+    assert fp.count() == n
+    docs.unpersist()
