@@ -1767,7 +1767,10 @@ def q_near_dup_incremental(spark, sf_dir):
     from mineru_html_spark.functions.dedup import (minhash_index,
                                                    near_dup_vs_index)
     docs = _docs(spark, sf_dir)
-    d = os.path.join(REPO, '.data', 'minhash_index_v1')
+    # one index dir PER SCALE FACTOR: the bench (sf0.1) and the gate
+    # (sf0.01) must never share an index — whichever wrote last would
+    # silently decide what the other probes
+    d = os.path.join(REPO, '.data', f'minhash_index_v1_{_sf_of(sf_dir)}')
     marker = os.path.join(d, '_done_' + str(_sf_of(sf_dir)))
     if not os.path.exists(marker):
         minhash_index(docs, d)
