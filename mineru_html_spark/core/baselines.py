@@ -225,7 +225,23 @@ _JT_STOPSET = frozenset(
      'she', 'do', 'how'))
 
 
-def _justext_labels(blocks) -> Dict[int, str]:
+def justext_stopset(lang: str = 'en') -> frozenset:
+    """Per-language jusText stoplist — exactly how jusText ships
+    per-language stoplist files. 'en' is the engine's frozen English
+    list; de/fr/es load from the committed
+    ``data/justext_stoplists.tsv`` (standard function words; production
+    extends the file, never the code). Unknown languages fall back to
+    English, stated rather than silent."""
+    if lang == 'en':
+        return _JT_STOPSET
+    from ..data import read_text
+    words = frozenset(
+        w for ln in read_text('justext_stoplists.tsv').splitlines()
+        for lg, w in [ln.split('\t')] if lg == lang)
+    return words or _JT_STOPSET
+
+
+def _justext_labels(blocks, stopset: frozenset = None) -> Dict[int, str]:
     """jusText two-stage classification, block-granular:
 
     Context-free (the published classify_paragraphs thresholds):
@@ -239,10 +255,12 @@ def _justext_labels(blocks) -> Dict[int, str]:
     neargood neighbours agree good (or a bad side is shielded by an
     adjacent neargood); 'neargood' becomes bad only between two bads.
     Image blocks ride along when link-light (engine convention)."""
+    if stopset is None:
+        stopset = _JT_STOPSET
     raw = []
     for b in blocks:
         words = b.text.lower().split()
-        sd = (sum(1 for w in words if w in _JT_STOPSET)
+        sd = (sum(1 for w in words if w in stopset)
               / max(len(words), 1))
         ld = b.link_text_len / max(b.text_len, 1)
         if ld > _JT_MAX_LINK_DENSITY:

@@ -297,3 +297,31 @@ def test_text_density_labeler_picks_article():
     labels = _text_density_labels(blocks)
     kept = [b.text[:10] for b in blocks if labels[b.item_id] == MAIN]
     assert kept and all(t.startswith('Real sente') for t in kept)
+
+
+def test_justext_per_language_stoplists():
+    """The documented caveat closed: a German stopword-rich paragraph
+    classifies good with the de stoplist and bad with English — same
+    code path, swapped data file, exactly how jusText ships languages."""
+    from mineru_html_spark.core.baselines import (_justext_labels,
+                                                  justext_stopset)
+    from mineru_html_spark.core.extract import _segment_doc
+    from mineru_html_spark.core.score import MAIN
+
+    german = ('der Hund lief in den Garten und die Katze war auch da '
+              'mit dem Ball von der Nachbarin und es ist nicht klar ob '
+              'sie auf das Wetter warten oder ein Spiel aus der Stadt '
+              'holen werden als auch die Kinder noch an dem Zaun sind '
+              'und über die Blumen bei der alten Eiche sprechen ')
+    html = f'<html><body><div><p>{german}</p></div></body></html>'
+    root, blocks, _ = _segment_doc(html)
+
+    en = _justext_labels(blocks)
+    de = _justext_labels(blocks, stopset=justext_stopset('de'))
+    assert MAIN not in set(en.values())        # English list: bad
+    assert MAIN in set(de.values())            # German list: good
+
+    assert 'der' in justext_stopset('de')
+    assert 'que' in justext_stopset('fr') and 'para' in justext_stopset('es')
+    # unknown language falls back to English, never empty
+    assert justext_stopset('xx') == justext_stopset('en')
