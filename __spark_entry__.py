@@ -1850,6 +1850,77 @@ def q_kn_bigram(spark, sf_dir):
     return kn_bigram_nll(_docs(spark, sf_dir), vocab=4096)
 
 
+def q_webp_decode(spark, sf_dir):
+    """WebP lossless (VP8L, RFC 9649) decoded for REAL — the last
+    mainstream crawl image format off the contained path: 24
+    deterministic payloads sweep every encoder variant (plain literals,
+    LZ77 runs, subtract-green, predictor, palette with sub-byte
+    bundling) plus a lossy-VP8 stub that must stay a contained error
+    row; the gate pins the md5 of each DECODED raster (never encoder
+    bytes). Committed-output oracle."""
+    import pandas as pd
+    from mineru_html_spark.functions.vp8l import encode_vp8l
+
+    def synth(i: int):
+        rng = (i * 2654435761) & 0xffffffff
+        w, h = 5 + i % 9, 4 + i % 7
+
+        def px(x, y):
+            v = (rng ^ (x * 73856093) ^ (y * 19349663)) & 0xffffffff
+            return bytes(((v >> 16) & 0xff, (v >> 8) & 0xff,
+                          v & 0xff, 255))
+        tf = ('none', 'subtract_green', 'predictor_left',
+              'palette')[i % 4]
+        if tf == 'palette':
+            colors = [px(k, 0) for k in range(2 + i % 12)]
+            rows = [b''.join(colors[(x * y + x + i) % len(colors)]
+                             for x in range(w)) for y in range(h)]
+        elif i % 3 == 0:                      # run-heavy (LZ77 path)
+            rows = [px(0, y) * w for y in range(h)]
+        else:
+            rows = [b''.join(px(x, y) for x in range(w))
+                    for y in range(h)]
+        return (f'webp-{i:03d}', tf,
+                encode_vp8l(rows, transform=tf, use_lz77=(i % 2 == 0)))
+
+    rows = [synth(i) for i in range(24)]
+    rows.append(('webp-lossy', 'vp8-lossy',
+                 b'RIFF\x14\x00\x00\x00WEBPVP8 \x08\x00\x00\x00'
+                 + b'\x00' * 8))
+    pdf = pd.DataFrame(rows, columns=['media_ref', 'transform',
+                                      'payload'])
+    df = spark.createDataFrame(pdf)
+
+    def batch(it):
+        import hashlib
+        from mineru_html_spark.functions.vp8l import decode_vp8l
+        for b in it:
+            out = {'media_ref': [], 'transform': [], 'width': [],
+                   'height': [], 'raster_md5': [], 'error': []}
+            for ref, tf, payload in zip(b['media_ref'], b['transform'],
+                                        b['payload']):
+                try:
+                    w, h, rws = decode_vp8l(bytes(payload))
+                    md = hashlib.md5(
+                        b''.join(bytes(r) for r in rws)).hexdigest()
+                    out['width'].append(w)
+                    out['height'].append(h)
+                    out['raster_md5'].append(md)
+                    out['error'].append('')
+                except (ValueError, NotImplementedError) as e:
+                    out['width'].append(0)
+                    out['height'].append(0)
+                    out['raster_md5'].append('')
+                    out['error'].append(str(e)[:40])
+                out['media_ref'].append(ref)
+                out['transform'].append(tf)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batch, 'media_ref string, transform string, width int, '
+               'height int, raster_md5 string, error string')
+
+
 def q_corpus_quantiles(spark, sf_dir):
     """Per-source length quantiles — the first profiling query a corpus
     curator runs (p50/p90/p99 doc length drives chunking, packing and
@@ -2624,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mbox_extract': q_mbox_extract,
         'winnow_fp': q_winnow,
         'corpus_quantiles': q_corpus_quantiles,
+        'webp_decode': q_webp_decode,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2829,7 +2901,7 @@ def oracle_sql() -> dict[str, str]:
                      'robots_gate', 'sitemap_extract', 'cdx_fetch_plan',
                      'link_graph', 'near_dup_incremental', 'docx_extract',
                      'feed_extract', 'anchor_index', 'odt_extract',
-                     'rtf_extract', 'mbox_extract',
+                     'rtf_extract', 'mbox_extract', 'webp_decode',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -132,10 +132,20 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_gif(payload)[0][0]
     if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'AVI ':
         return decode_avi_mjpeg(payload)[0][0]
+    if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'WEBP':
+        # lossless (VP8L) decodes for real (functions/vp8l.py, RFC
+        # 9649); lossy VP8 raises inside and stays the contained path
+        from .vp8l import decode_vp8l
+        w, h, rows = decode_vp8l(bytes(payload))
+        arr = np.frombuffer(b''.join(bytes(r) for r in rows),
+                            dtype=np.uint8).reshape(h, w, 4)
+        return arr[:, :, :3].copy()
     raise NotImplementedError(
         f'decode for {mime} requires libwebp/ffmpeg — not present in '
-        f'this sandbox (PNG, baseline JPEG, GIF and MJPEG-AVI decode '
-        f'for real via functions/png.py / jpeg.py / gif.py / avi.py)')
+        f'this sandbox (PNG, baseline JPEG, GIF, MJPEG-AVI and '
+        f'LOSSLESS WebP decode for real via functions/png.py / '
+        f'jpeg.py / gif.py / avi.py / vp8l.py; lossy VP8 is a video '
+        f'intra-frame codec and stays contained)')
 
 
 def image_feature_kernel(img: np.ndarray) -> np.ndarray:

@@ -1,0 +1,857 @@
+"""WebP lossless (VP8L) codec — pure stdlib, per RFC 9649 §3.
+
+WebP is the one mainstream crawl image format this engine still routed
+to the contained-error path; its LOSSLESS variant (VP8L) is a
+self-contained bitstream — LSB-first bit packing, canonical prefix
+codes with a DEFLATE-style code-length code, LZ77 over pixels with a
+2D distance map, an optional color cache, and four invertible
+transforms — all implementable the way PNG/GIF/JPEG were here.
+
+DECODER scope (complete per the spec):
+  * RIFF/WEBP/VP8L container + header;
+  * prefix-code groups (simple 1-2-symbol and normal, incl. repeat
+    codes 16/17/18 and the max_symbol limit field);
+  * LZ77 literals/length-distance (2D neighbor map, 120 entries) and
+    color-cache references;
+  * meta prefix (Huffman image) selection for multi-group images;
+  * all four transforms inverted in reverse order: PREDICTOR (14
+    modes), COLOR (ColorTransformDelta), SUBTRACT_GREEN,
+    COLOR_INDEXING (incl. sub-byte pixel bundling).
+
+ENCODER scope (deterministic synth payloads + path coverage): literal
+coding with REAL canonical prefix codes built from frequencies and
+emitted through the code-length code (so the normal-code read path is
+exercised, not just "simple"), optional dist-1 LZ77 run emission,
+optional SUBTRACT_GREEN / PREDICTOR(mode L) / COLOR_INDEXING
+transforms. Lossy VP8 (intra-frame video coding) remains the honest
+contained path — that is a video codec, not a parsing trick.
+
+Round-trips are bit-exact by construction and verified in tests over
+random and structured rasters; decoder-only features the encoder does
+not emit (color cache, meta prefix, COLOR transform) are covered by
+handcrafted bitstreams in the test suite, never shipped untested.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+# --------------------------------------------------------------------------
+# bit I/O (LSB-first, per spec §3.2)
+# --------------------------------------------------------------------------
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0            # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError('vp8l: truncated bitstream')
+            bit = (self.data[byte] >> (self.pos & 7)) & 1
+            v |= bit << i
+            self.pos += 1
+        return v
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# canonical prefix codes (DEFLATE-style assignment; MSB-first walk)
+# --------------------------------------------------------------------------
+
+def canonical_codes(lengths: Sequence[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) for canonical codes (shorter codes
+    first, ties by symbol order) — the spec's assignment."""
+    pairs = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes = {}
+    code = 0
+    prev_len = pairs[0][0] if pairs else 0
+    for l, s in pairs:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class PrefixCode:
+    """Decoder for one canonical prefix code."""
+
+    def __init__(self, lengths: Sequence[int]):
+        nz = [l for l in lengths if l > 0]
+        self.single: Optional[int] = None
+        if len(nz) == 1:                 # 0-bit code: always that symbol
+            self.single = next(s for s, l in enumerate(lengths) if l > 0)
+            return
+        self.table = {(l, c): s
+                      for s, (c, l) in canonical_codes(lengths).items()}
+        self.max_len = max(nz) if nz else 0
+
+    def decode(self, br: BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, length = 0, 0
+        while length <= self.max_len:
+            code = (code << 1) | br.read(1)
+            length += 1
+            s = self.table.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError('vp8l: bad prefix code')
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15)
+
+
+def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
+    """One prefix code: 'simple' (1-2 symbols) or normal (code-length
+    coded), spec §3.5.2."""
+    if br.read(1):                       # simple
+        lengths = [0] * alphabet_size
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        s0 = br.read(8 if first_8bits else 1)
+        lengths[s0] = 1
+        if num_symbols == 2:
+            s1 = br.read(8)
+            lengths[s1] = 1
+        return PrefixCode(lengths)
+    # normal: code lengths themselves prefix-coded
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = PrefixCode(clc_lengths)
+    if br.read(1):                       # use max_symbol limit
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.decode(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s != 0:
+                prev = s
+        elif s == 16:
+            for _ in range(3 + br.read(2)):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:                            # 18
+            i += 11 + br.read(7)
+    return PrefixCode(lengths)
+
+
+def _write_prefix_code(bw: BitWriter, lengths: Sequence[int]) -> None:
+    """Emit a prefix code: simple form when <=2 symbols of length 1,
+    else the full code-length-coded normal form (with 17/18 zero-run
+    compression so the repeat paths get exercised)."""
+    nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+    # the simple form carries 8-bit symbols only — symbols >= 256 (the
+    # green alphabet is 280 wide) must go through the normal form
+    if (1 <= len(nz) <= 2 and all(l == 1 for _, l in nz)
+            and all(s < 256 for s, _ in nz)):
+        bw.write(1, 1)                               # simple
+        bw.write(len(nz) - 1, 1)
+        s0 = nz[0][0]
+        if s0 < 2 and len(nz) == 1:
+            bw.write(0, 1)                           # 1-bit first symbol
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)                           # 8-bit first symbol
+            bw.write(s0, 8)
+        if len(nz) == 2:
+            bw.write(nz[1][0], 8)
+        return
+    bw.write(0, 1)                                   # normal
+    # tokens over the length array: literals + zero runs (17/18)
+    tokens: List[Tuple[int, int]] = []               # (symbol, extra)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i                  # trailing zeros emit too: the
+            # reader fills the whole alphabet unless max_symbol is used
+            while run >= 11:
+                r = min(run, 138)
+                tokens.append((18, r - 11))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                tokens.append((17, r - 3))
+                run -= r
+            for _ in range(run):
+                tokens.append((0, 0))
+            i = j
+        else:
+            tokens.append((lengths[i], 0))
+            i += 1
+    # code-length code: build canonical code over token symbols
+    freq = [0] * 19
+    for s, _ in tokens:
+        freq[s] += 1
+    clc_lengths = _build_lengths(freq, 7)
+    num_clc = 19
+    while num_clc > 4 and clc_lengths[_CLC_ORDER[num_clc - 1]] == 0:
+        num_clc -= 1
+    bw.write(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.write(clc_lengths[_CLC_ORDER[i]], 3)
+    bw.write(0, 1)                                   # no max_symbol
+    codes = canonical_codes(clc_lengths)
+    for s, extra in tokens:
+        c, l = codes[s]
+        for k in range(l - 1, -1, -1):               # MSB-first
+            bw.write((c >> k) & 1, 1)
+        if s == 17:
+            bw.write(extra, 3)
+        elif s == 18:
+            bw.write(extra, 7)
+
+
+def _build_lengths(freq: Sequence[int], max_len: int) -> List[int]:
+    """Huffman code lengths from frequencies (package-merge-free greedy
+    with a depth cap: build Huffman, then flatten overlong codes by
+    length-limited rebalance — adequate and deterministic)."""
+    import heapq
+    syms = [s for s, f in enumerate(freq) if f > 0]
+    if not syms:
+        return [0] * len(freq)
+    if len(syms) == 1:
+        out = [0] * len(freq)
+        out[syms[0]] = 1
+        return out
+    cnt = 0
+    heap = [(f, (cnt := cnt + 1), ('leaf', s))
+            for s, f in enumerate(freq) if f > 0]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, (cnt := cnt + 1), ('node', n1, n2)))
+    lengths = [0] * len(freq)
+
+    def walk(node, depth):
+        if node[0] == 'leaf':
+            lengths[node[1]] = max(depth, 1)
+        else:
+            walk(node[1], depth + 1)
+            walk(node[2], depth + 1)
+
+    walk(heap[0][2], 0)
+    # depth-cap: push overlong codes up (simple rebalance)
+    while max(lengths) > max_len:
+        over = lengths.index(max(lengths))
+        donor = min((l, s) for s, l in enumerate(lengths)
+                    if 0 < l < max_len - 1)[1]
+        lengths[over] = lengths[donor] + 1
+        lengths[donor] = lengths[donor] + 1
+    return lengths
+
+
+# --------------------------------------------------------------------------
+# LZ77 prefix-value coding (spec §3.6.2.2) and the 2D distance map
+# --------------------------------------------------------------------------
+
+def _prefix_value(code: int, br: BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_encode(value: int) -> Tuple[int, int, int]:
+    """value -> (code, n_extra_bits, extra_value): inverse of
+    _prefix_value."""
+    if value <= 4:
+        return value - 1, 0, 0
+    u = value - 1
+    k = u.bit_length() - 1
+    extra = k - 1
+    second = (u >> extra) & 1
+    code = 2 * k + second
+    offset = (2 + second) << extra
+    return code, extra, u - offset
+
+
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+
+def _map_distance(value: int, xsize: int) -> int:
+    if value > 120:
+        return value - 120
+    dx, dy = _DIST_MAP[value - 1]
+    return max(dy * xsize + dx, 1)
+
+
+# --------------------------------------------------------------------------
+# entropy-coded image decoding (spec §3.7)
+# --------------------------------------------------------------------------
+
+_ALPHABETS = (280, 256, 256, 256, 40)   # G+len+cache, R, B, A, dist
+
+
+def _read_groups(br: BitReader, n_groups: int,
+                 cache_bits: int) -> List[List[PrefixCode]]:
+    groups = []
+    for _ in range(n_groups):
+        sizes = list(_ALPHABETS)
+        sizes[0] += (1 << cache_bits) if cache_bits else 0
+        groups.append([_read_prefix_code(br, s) for s in sizes])
+    return groups
+
+
+def _decode_entropy_image(br: BitReader, w: int, h: int,
+                          allow_meta: bool) -> List[int]:
+    """One entropy-coded image -> flat ARGB list (len w*h)."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError('vp8l: bad cache bits')
+    meta_codes: Optional[List[int]] = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta_codes = [((p >> 8) & 0xffff) for p in meta_img]
+        n_groups = max(meta_codes) + 1
+        self_mw = mw
+    groups = _read_groups(br, n_groups, cache_bits)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_limit = 256 + 24
+
+    out: List[int] = [0] * (w * h)
+    pos = 0
+    total = w * h
+    while pos < total:
+        x, y = pos % w, pos // w
+        if meta_codes is not None:
+            g = groups[meta_codes[(y >> meta_bits) * self_mw
+                                  + (x >> meta_bits)]]
+        else:
+            g = groups[0]
+        sym = g[0].decode(br)
+        if sym < 256:                            # literal
+            r = g[1].decode(br)
+            b = g[2].decode(br)
+            a = g[3].decode(br)
+            px = (a << 24) | (r << 16) | (sym << 8) | b
+            out[pos] = px
+            pos += 1
+        elif sym < cache_limit:                  # LZ77 backref
+            length = _prefix_value(sym - 256, br)
+            dsym = g[4].decode(br)
+            dist = _map_distance(_prefix_value(dsym, br), w)
+            if dist > pos:
+                raise ValueError('vp8l: backref before start')
+            for _ in range(length):
+                if pos >= total:
+                    raise ValueError('vp8l: backref overrun')
+                px = out[pos - dist]
+                out[pos] = px
+                if cache is not None:
+                    cache[(0x1e35a7bd * px & 0xffffffff)
+                          >> (32 - cache_bits)] = px
+                pos += 1
+            continue
+        else:                                    # color cache
+            if cache is None:
+                raise ValueError('vp8l: cache ref without cache')
+            px = cache[sym - cache_limit]
+            out[pos] = px
+            pos += 1
+        if cache is not None:
+            cache[(0x1e35a7bd * px & 0xffffffff)
+                  >> (32 - cache_bits)] = px
+    return out
+
+
+# --------------------------------------------------------------------------
+# transforms (spec §4): inverse application, reverse read order
+# --------------------------------------------------------------------------
+
+def _avg2(a: int, b: int) -> int:
+    return ((((a ^ b) & 0xfefefefe) >> 1) + (a & b)) & 0xffffffff
+
+
+def _add_px(a: int, b: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) + (b >> sh)) & 0xff) << sh
+    return out
+
+
+def _sub_px(a: int, b: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= (((a >> sh) - (b >> sh)) & 0xff) << sh
+    return out
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xff) + ((b >> sh) & 0xff) - ((c >> sh) & 0xff)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _clamp_add_sub_half(a: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        av = (a >> sh) & 0xff
+        v = av + (av - ((c >> sh) & 0xff)) // 2
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    pl = pt = 0
+    for sh in (0, 8, 16, 24):
+        p = ((l >> sh) & 0xff) + ((t >> sh) & 0xff) - ((tl >> sh) & 0xff)
+        pl += abs(p - ((l >> sh) & 0xff))
+        pt += abs(p - ((t >> sh) & 0xff))
+    return l if pl < pt else t
+
+
+def _predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xff000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(l, t), tl)
+    raise ValueError('vp8l: bad predictor mode')
+
+
+def _inv_predictor(px: List[int], w: int, h: int, bits: int,
+                   modes: List[int]) -> None:
+    mw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xff000000
+            elif y == 0:
+                pred = px[i - 1]               # L
+            elif x == 0:
+                pred = px[i - w]               # T
+            else:
+                mode = (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xff
+                l = px[i - 1]
+                t = px[i - w]
+                tl = px[i - w - 1]
+                tr = px[i - w + 1] if x + 1 < w else px[y * w]
+                pred = _predict(mode, l, t, tr, tl)
+            px[i] = _add_px(px[i], pred)
+
+
+def _ctdelta(t: int, c: int) -> int:
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(px: List[int], w: int, h: int, bits: int,
+                         ctes: List[int]) -> None:
+    mw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = ctes[(y >> bits) * mw + (x >> bits)]
+            g2r = cte & 0xff                   # blue channel
+            g2b = (cte >> 8) & 0xff            # green channel
+            r2b = (cte >> 16) & 0xff           # red channel
+            p = px[i]
+            a = (p >> 24) & 0xff
+            r = (p >> 16) & 0xff
+            g = (p >> 8) & 0xff
+            b = p & 0xff
+            r = (r + _ctdelta(g2r, g)) & 0xff
+            b = (b + _ctdelta(g2b, g)) & 0xff
+            b = (b + _ctdelta(r2b, r)) & 0xff
+            px[i] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _inv_subtract_green(px: List[int]) -> None:
+    for i, p in enumerate(px):
+        g = (p >> 8) & 0xff
+        r = (((p >> 16) & 0xff) + g) & 0xff
+        b = ((p & 0xff) + g) & 0xff
+        px[i] = (p & 0xff00ff00) | (r << 16) | b
+
+
+def _inv_color_indexing(px: List[int], w: int, h: int,
+                        palette: List[int], width_bits: int) -> List[int]:
+    out = [0] * (w * h)
+    if width_bits == 0:
+        for i, p in enumerate(px):
+            idx = (p >> 8) & 0xff
+            out[i] = palette[idx] if idx < len(palette) else 0
+        return out
+    per = 1 << width_bits                      # pixels per packed byte
+    ibits = 8 >> width_bits                    # bits per index
+    mask = (1 << ibits) - 1
+    pw = (w + per - 1) // per
+    for y in range(h):
+        for x in range(w):
+            packed = px[y * pw + (x // per)]
+            g = (packed >> 8) & 0xff
+            idx = (g >> ((x % per) * ibits)) & mask
+            out[y * w + x] = (palette[idx] if idx < len(palette) else 0)
+    return out
+
+
+# --------------------------------------------------------------------------
+# top-level decode
+# --------------------------------------------------------------------------
+
+def decode_vp8l(data: bytes):
+    """WebP bytes -> (width, height, rows) with rows = list of RGBA
+    bytearrays. Raises ValueError on non-lossless or corrupt input
+    (the caller contains it, per the media contract)."""
+    if data[:4] != b'RIFF' or data[8:12] != b'WEBP':
+        raise ValueError('vp8l: not a WEBP RIFF')
+    chunk = data[12:16]
+    if chunk == b'VP8 ' or chunk == b'VP8X':
+        raise ValueError('vp8l: lossy/extended WebP (contained path)')
+    if chunk != b'VP8L':
+        raise ValueError('vp8l: unknown chunk')
+    size = int.from_bytes(data[16:20], 'little')
+    payload = data[20:20 + size]
+    if not payload or payload[0] != 0x2f:
+        raise ValueError('vp8l: bad signature byte')
+    br = BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                 # alpha hint
+    if br.read(3) != 0:
+        raise ValueError('vp8l: bad version')
+
+    transforms = []                            # (kind, payload...)
+    xsize = w
+    seen = set()
+    while br.read(1):
+        kind = br.read(2)
+        if kind in seen:
+            raise ValueError('vp8l: repeated transform')
+        seen.add(kind)
+        if kind == 0:                          # PREDICTOR
+            bits = br.read(3) + 2
+            mw = (xsize + (1 << bits) - 1) >> bits
+            mh = (h + (1 << bits) - 1) >> bits
+            modes = _decode_entropy_image(br, mw, mh, False)
+            transforms.append(('predictor', bits, modes, xsize))
+        elif kind == 1:                        # COLOR
+            bits = br.read(3) + 2
+            mw = (xsize + (1 << bits) - 1) >> bits
+            mh = (h + (1 << bits) - 1) >> bits
+            ctes = _decode_entropy_image(br, mw, mh, False)
+            transforms.append(('color', bits, ctes, xsize))
+        elif kind == 2:                        # SUBTRACT_GREEN
+            transforms.append(('subtract_green',))
+        else:                                  # COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            pal_deltas = _decode_entropy_image(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for d in pal_deltas:
+                prev = _add_px(prev, d)
+                palette.append(prev)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(('indexing', palette, width_bits, xsize))
+            per = 1 << width_bits
+            xsize = (xsize + per - 1) // per
+
+    px = _decode_entropy_image(br, xsize, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == 'indexing':
+            _, palette, width_bits, full_w = t
+            px = _inv_color_indexing(px, full_w, h, palette, width_bits)
+        elif t[0] == 'subtract_green':
+            _inv_subtract_green(px)
+        elif t[0] == 'color':
+            _, bits, ctes, tw = t
+            _inv_color_transform(px, tw, h, bits, ctes)
+        else:
+            _, bits, modes, tw = t
+            _inv_predictor(px, tw, h, bits, modes)
+
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            p = px[y * w + x]
+            row += bytes(((p >> 16) & 0xff, (p >> 8) & 0xff,
+                          p & 0xff, (p >> 24) & 0xff))
+        rows.append(row)
+    return w, h, rows
+
+
+# --------------------------------------------------------------------------
+# encoder (deterministic synth payloads + decoder path coverage)
+# --------------------------------------------------------------------------
+
+def _emit_symbol(bw: BitWriter, codes: Dict[int, Tuple[int, int]],
+                 single: bool, sym: int) -> None:
+    if single:
+        return                                  # 0-bit code
+    c, l = codes[sym]
+    for k in range(l - 1, -1, -1):
+        bw.write((c >> k) & 1, 1)
+
+
+def _code_for(freq: List[int]):
+    lengths = _build_lengths(freq, 15)
+    nz = sum(1 for l in lengths if l)
+    return lengths, canonical_codes(lengths), nz == 1
+
+
+def _write_entropy_data(bw: BitWriter, tokens: List[tuple]) -> None:
+    """tokens: ('lit', g, r, b, a) | ('copy', length, dist_value)."""
+    freqs = [[0] * n for n in _ALPHABETS]
+    for t in tokens:
+        if t[0] == 'lit':
+            _, g, r, b, a = t
+            freqs[0][g] += 1
+            freqs[1][r] += 1
+            freqs[2][b] += 1
+            freqs[3][a] += 1
+        else:
+            _, length, dv = t
+            lc, _, _ = _prefix_encode(length)
+            dc, _, _ = _prefix_encode(dv)
+            freqs[0][256 + lc] += 1
+            freqs[4][dc] += 1
+    plans = [_code_for(f) for f in freqs]
+    for lengths, _, _ in plans:
+        if not any(lengths):
+            # unused alphabet (e.g. distances without LZ77): emit a
+            # 1-symbol simple code for symbol 0
+            lengths[0] = 1
+        _write_prefix_code(bw, lengths)
+    for t in tokens:
+        if t[0] == 'lit':
+            _, g, r, b, a = t
+            for gi, sym in ((0, g), (1, r), (2, b), (3, a)):
+                _, codes, single = plans[gi]
+                _emit_symbol(bw, codes, single, sym)
+        else:
+            _, length, dv = t
+            lc, ln, lx = _prefix_encode(length)
+            _, codes, single = plans[0]
+            _emit_symbol(bw, codes, single, 256 + lc)
+            bw.write(lx, ln)
+            dc, dn, dx = _prefix_encode(dv)
+            _, dcodes, dsingle = plans[4]
+            _emit_symbol(bw, dcodes, dsingle, dc)
+            bw.write(dx, dn)
+
+
+def _tokens_for(px: List[int], use_lz77: bool) -> List[tuple]:
+    tokens: List[tuple] = []
+    i = 0
+    n = len(px)
+    while i < n:
+        if use_lz77 and i > 0 and px[i] == px[i - 1]:
+            run = 1
+            while (i + run < n and run < 4096
+                   and px[i + run] == px[i - 1]):
+                run += 1
+            if run >= 3:
+                # dist 1 = neighbor-map entry (1, 0) = prefix value 2
+                tokens.append(('copy', run, 2))
+                i += run
+                continue
+        p = px[i]
+        tokens.append(('lit', (p >> 8) & 0xff, (p >> 16) & 0xff,
+                       p & 0xff, (p >> 24) & 0xff))
+        i += 1
+    return tokens
+
+
+def _write_subimage(bw: BitWriter, px: List[int]) -> None:
+    """Entropy-coded sub-image (transform data): no cache, literals."""
+    bw.write(0, 1)                              # no color cache
+    _write_entropy_data(bw, _tokens_for(px, use_lz77=False))
+
+
+def encode_vp8l(rows: Sequence[bytes], transform: str = 'none',
+                use_lz77: bool = True) -> bytes:
+    """RGBA rows -> WebP lossless bytes. transform in {'none',
+    'subtract_green', 'predictor_left', 'palette'} ('palette' requires
+    <= 256 distinct pixels and exercises bundling below 17 colors)."""
+    h = len(rows)
+    w = len(rows[0]) // 4
+    px = []
+    for row in rows:
+        for x in range(w):
+            r, g, b, a = row[4 * x:4 * x + 4]
+            px.append((a << 24) | (r << 16) | (g << 8) | b)
+
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)                              # alpha hint
+    bw.write(0, 3)                              # version
+
+    if transform == 'subtract_green':
+        bw.write(1, 1)
+        bw.write(2, 2)
+        px = [((p & 0xff00ff00)
+               | ((((p >> 16) & 0xff) - ((p >> 8) & 0xff)) & 0xff) << 16
+               | ((p & 0xff) - ((p >> 8) & 0xff)) & 0xff) for p in px]
+    elif transform == 'predictor_left':
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bits = 9                                # one block up to 512 px
+        bw.write(bits - 2, 3)
+        mw = (w + (1 << bits) - 1) >> bits
+        mh = (h + (1 << bits) - 1) >> bits
+        _write_subimage(bw, [0xff000000 | (1 << 8)] * (mw * mh))
+        res = []
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xff000000
+                elif y == 0:
+                    pred = px[i - 1]
+                elif x == 0:
+                    pred = px[i - w]
+                else:
+                    pred = px[i - 1]            # mode 1 = L
+                res.append(_sub_px(px[i], pred))
+        px = res
+    elif transform == 'palette':
+        palette: List[int] = []
+        index: Dict[int, int] = {}
+        for p in px:
+            if p not in index:
+                index[p] = len(palette)
+                palette.append(p)
+        if len(palette) > 256:
+            raise ValueError('palette transform needs <= 256 colors')
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(len(palette) - 1, 8)
+        deltas = [palette[0]] + [_sub_px(palette[i], palette[i - 1])
+                                 for i in range(1, len(palette))]
+        _write_subimage(bw, deltas)
+        n_colors = len(palette)
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        per = 1 << width_bits
+        ibits = 8 >> width_bits
+        pw = (w + per - 1) // per
+        packed = []
+        for y in range(h):
+            for bx in range(pw):
+                g = 0
+                for k in range(per):
+                    x = bx * per + k
+                    if x < w:
+                        g |= index[px[y * w + x]] << (k * ibits)
+                packed.append(0xff000000 | (g << 8))
+        px = packed
+        w_coded = pw
+    if transform != 'palette':
+        w_coded = w
+
+    bw.write(0, 1)                              # no more transforms
+    bw.write(0, 1)                              # no color cache
+    bw.write(0, 1)                              # no meta prefix
+    _write_entropy_data(bw, _tokens_for(px, use_lz77))
+    del w_coded
+
+    payload = b'\x2f' + bw.bytes()
+    chunk = b'VP8L' + len(payload).to_bytes(4, 'little') + payload
+    if len(payload) & 1:
+        chunk += b'\x00'
+    riff = b'WEBP' + chunk
+    return b'RIFF' + len(riff).to_bytes(4, 'little') + riff

@@ -1,0 +1,178 @@
+"""WebP lossless (VP8L): encoder/decoder round-trips over every
+transform, plus handcrafted bitstreams for the decoder-only features
+(color cache, meta prefix selection, COLOR transform) so no shipped
+path is untested."""
+
+import random
+
+from mineru_html_spark.functions.vp8l import (BitWriter, _ALPHABETS,
+                                              _write_entropy_data,
+                                              _write_prefix_code,
+                                              _tokens_for, _ctdelta,
+                                              decode_vp8l, encode_vp8l)
+
+
+def _rand_rows(rng, w, h):
+    return [bytes(rng.randrange(256) for _ in range(4 * w))
+            for _ in range(h)]
+
+
+def test_round_trips_all_transforms():
+    rng = random.Random(11)
+    cases = [(1, 1, 'none', False), (7, 5, 'none', True),
+             (16, 16, 'none', True), (33, 9, 'subtract_green', True),
+             (20, 20, 'predictor_left', False),
+             (13, 11, 'predictor_left', True)]
+    for w, h, tf, lz in cases:
+        rows = _rand_rows(rng, w, h)
+        out = decode_vp8l(encode_vp8l(rows, transform=tf, use_lz77=lz))
+        assert out[0] == w and out[1] == h
+        assert [bytes(r) for r in out[2]] == rows, (w, h, tf, lz)
+
+
+def test_palette_bundling_all_widths():
+    rng = random.Random(12)
+    for n_colors in (2, 4, 12, 40):          # 1/2/4/8-bit indices
+        colors = [bytes((rng.randrange(256), rng.randrange(256),
+                         rng.randrange(256), 255))
+                  for _ in range(n_colors)]
+        w, h = 19, 7                          # non-multiple of bundle
+        rows = [b''.join(colors[rng.randrange(n_colors)]
+                         for _ in range(w)) for _ in range(h)]
+        out = decode_vp8l(encode_vp8l(rows, transform='palette'))
+        assert [bytes(r) for r in out[2]] == rows, n_colors
+
+
+def test_lz77_runs_and_determinism():
+    # two colors in long runs: codes are not single-symbol, so the
+    # LZ77 copies genuinely shrink the stream
+    row = (b'\x10\x20\x30\xff' * 40) + (b'\x99\x88\x77\xff' * 40)
+    rows = [row] * 5
+    d1 = encode_vp8l(rows, use_lz77=True)
+    d2 = encode_vp8l(rows, use_lz77=True)
+    assert d1 == d2                           # deterministic bytes
+    assert len(d1) < len(encode_vp8l(rows, use_lz77=False))
+    assert [bytes(r) for r in decode_vp8l(d1)[2]] == [row] * 5
+
+
+def _wrap(bw):
+    payload = b'\x2f' + bw.bytes()
+    chunk = b'VP8L' + len(payload).to_bytes(4, 'little') + payload
+    if len(payload) & 1:
+        chunk += b'\x00'
+    riff = b'WEBP' + chunk
+    return b'RIFF' + len(riff).to_bytes(4, 'little') + riff
+
+
+def _header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)
+    bw.write(0, 3)
+
+
+def test_color_cache_handcrafted():
+    """lit P then a cache reference -> two identical pixels."""
+    from mineru_html_spark.functions.vp8l import (canonical_codes,
+                                                  _build_lengths,
+                                                  _emit_symbol)
+    P = (0xaa << 24) | (0x11 << 16) | (0x22 << 8) | 0x33
+    cache_bits = 2
+    idx = ((0x1e35a7bd * P) & 0xffffffff) >> (32 - cache_bits)
+    bw = BitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)                            # no transforms
+    bw.write(1, 1)                            # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)                            # no meta prefix
+    sizes = list(_ALPHABETS)
+    sizes[0] += 1 << cache_bits
+    plans = []
+    use = [{0x22, 280 + idx}, {0x11}, {0x33}, {0xaa}, {0}]
+    for gi, n in enumerate(sizes):
+        freq = [0] * n
+        for s in use[gi]:
+            freq[s] = 1
+        lengths = _build_lengths(freq, 15)
+        _write_prefix_code(bw, lengths)
+        plans.append((canonical_codes(lengths),
+                      sum(1 for l in lengths if l) == 1))
+    def emit(gi, s):
+        codes, single = plans[gi]
+        _emit_symbol(bw, codes, single, s)
+    emit(0, 0x22)                             # green
+    emit(1, 0x11)                             # red
+    emit(2, 0x33)                             # blue
+    emit(3, 0xaa)                             # alpha
+    emit(0, 280 + idx)                        # cache hit
+    w, h, rows = decode_vp8l(_wrap(bw))
+    assert (w, h) == (2, 1)
+    assert bytes(rows[0]) == bytes((0x11, 0x22, 0x33, 0xaa)) * 2
+
+
+def test_meta_prefix_handcrafted():
+    """8x1 image, meta_bits=2 -> two groups; each group can emit only
+    its own pixel, so correct decode proves per-block group routing."""
+    bw = BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)                            # no transforms
+    bw.write(0, 1)                            # no color cache
+    bw.write(1, 1)                            # meta prefix present
+    bw.write(0, 3)                            # meta_bits = 2
+    # meta image 2x1: group ids 0, 1 in (red<<8)|green — a sub-image
+    # carries its own cache bit
+    from mineru_html_spark.functions.vp8l import _write_subimage
+    _write_subimage(bw, [0xff000000 | (0 << 8), 0xff000000 | (1 << 8)])
+    # group 0: pixel A; group 1: pixel B — single-symbol codes
+    for g, r, b, a in ((1, 2, 3, 4), (5, 6, 7, 8)):
+        for n, s in zip(_ALPHABETS, (g, r, b, a, 0)):
+            lengths = [0] * n
+            lengths[s] = 1
+            _write_prefix_code(bw, lengths)
+    # all codes are single-symbol: the data section is empty bits
+    w, h, rows = decode_vp8l(_wrap(bw))
+    assert (w, h) == (8, 1)
+    assert bytes(rows[0][:4]) == bytes((2, 1, 3, 4))       # group 0
+    # blocks of 4: x<4 group0, x>=4 group1
+    assert bytes(rows[0][12:16]) == bytes((2, 1, 3, 4))
+    assert bytes(rows[0][16:20]) == bytes((6, 5, 7, 8))
+    assert bytes(rows[0][28:32]) == bytes((6, 5, 7, 8))
+
+
+def test_color_transform_handcrafted():
+    """Forward-compute coded pixels for a fixed ColorTransformElement
+    and check the decoder inverts them to the target raster."""
+    g2r, g2b, r2b = 16, 8, 4
+    target = [(0xff, 0x80, 0x40, 0x20), (0xff, 0x01, 0xfe, 0x7f)]
+    coded = []
+    for a, r, g, b in target:
+        rc = (r - _ctdelta(g2r, g)) & 0xff
+        bc = (b - _ctdelta(r2b, r) - _ctdelta(g2b, g)) & 0xff
+        coded.append((a << 24) | (rc << 16) | (g << 8) | bc)
+    bw = BitWriter()
+    _header(bw, 2, 1)
+    bw.write(1, 1)                            # transform present
+    bw.write(1, 2)                            # COLOR
+    bw.write(7, 3)                            # bits = 9 (one block)
+    cte = (r2b << 16) | (g2b << 8) | g2r
+    from mineru_html_spark.functions.vp8l import _write_subimage
+    _write_subimage(bw, [0xff000000 | cte])
+    bw.write(0, 1)                            # no more transforms
+    bw.write(0, 1)                            # no cache
+    bw.write(0, 1)                            # no meta
+    _write_entropy_data(bw, _tokens_for(coded, False))
+    w, h, rows = decode_vp8l(_wrap(bw))
+    got = [(rows[0][4 * i + 3], rows[0][4 * i], rows[0][4 * i + 1],
+            rows[0][4 * i + 2]) for i in range(2)]
+    assert got == target
+
+
+def test_container_errors_contained():
+    import pytest
+    with pytest.raises(ValueError):
+        decode_vp8l(b'RIFF\x00\x00\x00\x00WEBPVP8 ' + b'\x00' * 8)
+    with pytest.raises(ValueError):
+        decode_vp8l(b'not webp at all')
+    good = encode_vp8l([b'\x01\x02\x03\xff' * 4])
+    with pytest.raises(ValueError):
+        decode_vp8l(good[:24])                # truncated

@@ -30,7 +30,7 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'sitemap_extract', 'unigram_train', 'unigram_apply',
          'cdx_fetch_plan', 'link_graph', 'near_dup_incremental',
          'docx_extract', 'feed_extract', 'anchor_index', 'odt_extract',
-         'rtf_extract', 'mbox_extract')
+         'rtf_extract', 'mbox_extract', 'webp_decode')
 
 
 def main():
