@@ -2655,10 +2655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries per round.  Entries are rotated so queries that
     # have never appeared in a driver snapshot come first; the union of
     # driver rows across rounds covers the registry.  This round the
-    # never-certified set is 52 (> the 50-row cap): tpch_q3/q5 are the
-    # two deferred to the next rotation — they carry exact SQL oracles
-    # and the full local gate (tools/check_oracles.py, FAILURES: none)
-    # covers them every round regardless of order.
+    # never-certified set is 53 (> the 50-row cap): tpch_q1/q3/q5 are
+    # the three deferred to the next rotation — they carry exact SQL
+    # oracles and the full local gate (tools/check_oracles.py,
+    # FAILURES: none) covers them every round regardless of order.
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'extract_markdown': q_extract_markdown,
