@@ -579,13 +579,17 @@ def _inv_color_indexing(px: List[int], w: int, h: int,
 
 def decode_vp8l(data: bytes):
     """WebP bytes -> (width, height, rows) with rows = list of RGBA
-    bytearrays. Raises ValueError on non-lossless or corrupt input
-    (the caller contains it, per the media contract)."""
+    bytearrays. Raises NotImplementedError for VALID WebP whose codec
+    this sandbox cannot decode (lossy VP8 / extended VP8X — the media
+    tier routes those to its documented hash-kernel fallback, status
+    'fake') and ValueError on corrupt input (the caller contains it as
+    an error row, per the media contract)."""
     if data[:4] != b'RIFF' or data[8:12] != b'WEBP':
         raise ValueError('vp8l: not a WEBP RIFF')
     chunk = data[12:16]
     if chunk == b'VP8 ' or chunk == b'VP8X':
-        raise ValueError('vp8l: lossy/extended WebP (contained path)')
+        raise NotImplementedError(
+            'vp8l: lossy/extended WebP (contained path)')
     if chunk != b'VP8L':
         raise ValueError('vp8l: unknown chunk')
     size = int.from_bytes(data[16:20], 'little')

@@ -169,7 +169,9 @@ def test_color_transform_handcrafted():
 
 def test_container_errors_contained():
     import pytest
-    with pytest.raises(ValueError):
+    # valid container, unimplemented codec -> NotImplementedError (the
+    # media tier's 'fake'-fallback signal, distinct from corruption)
+    with pytest.raises(NotImplementedError):
         decode_vp8l(b'RIFF\x00\x00\x00\x00WEBPVP8 ' + b'\x00' * 8)
     with pytest.raises(ValueError):
         decode_vp8l(b'not webp at all')
