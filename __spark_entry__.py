@@ -2139,6 +2139,31 @@ def q_unigram_apply(spark, sf_dir):
     return unigram_apply(docs, unigram_train(docs, vocab_size=400))
 
 
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece tokenizer training (Schuster & Nakajima 2012, the BERT
+    tokenizer) — the THIRD dominant subword family: same single
+    word-type corpus aggregate as BPE/Unigram, driver-side merge loop
+    on the likelihood-gain rule count(ab)/(count(a)*count(b)) compared
+    by exact integer cross-multiplication (no float ties). Vocabulary
+    in merge order crosses the gate (committed-output oracle)."""
+    from mineru_html_spark.functions.wordpiece import (vocab_df,
+                                                       wordpiece_train)
+    return vocab_df(spark, wordpiece_train(_docs(spark, sf_dir),
+                                           n_merges=60))
+
+
+def q_wordpiece_apply(spark, sf_dir):
+    """Greedy longest-match-first WordPiece application (BERT's
+    WordpieceTokenizer — NOT merge replay): broadcast vocab set,
+    Arrow-batched, capped word memo, whole-word [UNK] on coverage gaps.
+    Per-doc piece/UNK counts + piece-sequence md5 cross the gate
+    (committed-output oracle)."""
+    from mineru_html_spark.functions.wordpiece import (wordpiece_apply,
+                                                       wordpiece_train)
+    docs = _docs(spark, sf_dir)
+    return wordpiece_apply(docs, wordpiece_train(docs, n_merges=60))
+
+
 _BM25_TERMS = ('spark', 'vector', 'window')
 
 
@@ -2714,6 +2739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q1': q_tpch_q1,
         'tpch_q3': q_tpch_q3,
         'tpch_q5': q_tpch_q5,
+        # --- new this window (never certified; rotate into r6's 50) ---
+        'wordpiece_train': q_wordpiece_train,
+        'wordpiece_apply': q_wordpiece_apply,
         # --- certified in r3 but rotated out of r4's 50 ---
         'seq_pack': q_seq_pack,
         'gopher_quality': q_gopher_quality,
@@ -2894,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
                      'embedding_near_dups', 'semantic_dedup',
                      'ann_ivf_topk', 'bpe_train', 'bpe_apply',
                      'unigram_train', 'unigram_apply',
+                     'wordpiece_train', 'wordpiece_apply',
                      'streaming_near_dup', 'pdf_extract', 'epub_extract',
                      'extract_markdown', 'image_near_dups',
                      'image_dedup_keep', 'gif_frames', 'video_frames',

@@ -1,0 +1,209 @@
+"""WordPiece tokenizer training + application (Schuster & Nakajima
+2012; the BERT tokenizer) — the THIRD dominant subword family next to
+BPE (``bpe.py``) and Unigram-LM (``unigram.py``), with the same
+pipeline split all three share:
+
+  * the CORPUS-SCALE part is the one word-type frequency aggregate
+    (``bpe_word_counts`` — the corpus is touched exactly once and the
+    aggregate is shared across all three trainers);
+  * the MERGE LOOP runs driver-side over the pruned type dictionary.
+    WordPiece differs from BPE only in the merge objective: instead of
+    the most FREQUENT pair it merges the pair maximizing the
+    likelihood gain  score(a,b) = count(ab) / (count(a) * count(b))
+    — exactly the rule HuggingFace ``tokenizers`` implements for its
+    WordPiece trainer. Continuation symbols carry the ``##`` prefix
+    (BERT's convention), so 'ing' word-initial and '##ing' word-internal
+    are distinct vocabulary entries.
+  * APPLICATION is distributed and is NOT merge-replay: BERT's
+    WordpieceTokenizer is greedy longest-match-first against the final
+    vocabulary — for each word take the longest prefix present in the
+    vocab, then continue matching with the ``##`` prefix; any word that
+    cannot be fully covered becomes a single ``[UNK]`` (the published
+    behaviour — partial coverage is discarded, not patched). Runs as an
+    Arrow-batched pass with a broadcast vocab set and a capped per-task
+    word memo (same shape as ``bpe_apply``).
+
+Determinism: the score comparison is exact INTEGER cross-multiplication
+— score(p1) > score(p2) iff c1*ca2*cb2 > c2*ca1*cb1 over int64 counts —
+so there is no float tie ambiguity; remaining ties break on the pair
+lexicographically ascending. The committed-output oracle certifies both
+halves at any parallelism.
+
+Reference analogue: none (the reference ships no tokenizer) — this is
+part of the beyond-reference training-data tier, sitting beside
+``bpe.py``/``unigram.py`` so a pipeline can tokenize for any of the
+three dominant model families.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .bpe import bpe_word_counts
+
+UNK = '[UNK]'
+CONT = '##'
+
+
+def _pair_scores(seqs: dict, sym_cnt: dict) -> dict:
+    """pair -> joint count; scores derive from this + sym_cnt."""
+    pc: dict = {}
+    for seq, cnt in seqs.values():
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            pc[p] = pc.get(p, 0) + cnt
+    return pc
+
+
+def _merge_sym(a: str, b: str) -> str:
+    """Join two pieces; the right piece always carries ## which the
+    merged symbol keeps only word-internally."""
+    return a + (b[len(CONT):] if b.startswith(CONT) else b)
+
+
+def wordpiece_train(documents: DataFrame, n_merges: int = 60,
+                    top_types: int = 20000) -> list:
+    """[(rank, piece)]: the learned vocabulary in merge order —
+    single characters (word-initial and ##-continuation forms seen in
+    the type dict) first, then one merged piece per round of the
+    likelihood-gain loop.
+
+    Merge rule per round: argmax over adjacent pairs of
+    count(ab)/(count(a)*count(b)), compared by integer
+    cross-multiplication (no float), ties broken (pair asc).
+    """
+    rows = (bpe_word_counts(documents)
+            .orderBy(F.desc('cnt'), F.asc('word'))
+            .limit(top_types).collect())
+    # word -> (symbol sequence, count); BERT convention: first char
+    # bare, the rest ##-prefixed
+    seqs: Dict[str, Tuple[tuple, int]] = {}
+    for r in rows:
+        w = r['word']
+        if not w:
+            continue
+        seq = (w[0],) + tuple(CONT + c for c in w[1:])
+        seqs[w] = (seq, r['cnt'])
+
+    def sym_counts() -> dict:
+        sc: dict = {}
+        for seq, cnt in seqs.values():
+            for s in seq:
+                sc[s] = sc.get(s, 0) + cnt
+        return sc
+
+    sc = sym_counts()
+    vocab: List[str] = sorted(sc)          # all seed characters
+    for _ in range(n_merges):
+        pc = _pair_scores(seqs, sc)
+        if not pc:
+            break
+        best = None
+        for pair, c in pc.items():
+            ca, cb = sc[pair[0]], sc[pair[1]]
+            if best is None:
+                best = (pair, c, ca, cb)
+                continue
+            bp, bc, bca, bcb = best
+            # c/(ca*cb) vs bc/(bca*bcb)  ==  c*bca*bcb vs bc*ca*cb
+            lhs, rhs = c * bca * bcb, bc * ca * cb
+            if lhs > rhs or (lhs == rhs and pair < bp):
+                best = (pair, c, ca, cb)
+        pair = best[0]
+        merged = _merge_sym(pair[0], pair[1])
+        vocab.append(merged)
+        new_seqs: Dict[str, Tuple[tuple, int]] = {}
+        for w, (seq, cnt) in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i < len(seq) - 1 and (seq[i], seq[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = (tuple(out), cnt)
+        seqs = new_seqs
+        sc = sym_counts()
+    return [(i, p) for i, p in enumerate(vocab)]
+
+
+def vocab_df(spark: SparkSession, vocab: list) -> DataFrame:
+    return spark.createDataFrame(vocab, 'rank int, piece string')
+
+
+def wordpiece_segment(word: str, vocab: set,
+                      max_chars: int = 100) -> tuple:
+    """BERT WordpieceTokenizer: greedy longest-match-first; whole word
+    becomes [UNK] on any coverage gap or when longer than max_chars."""
+    if len(word) > max_chars:
+        return (UNK,)
+    pieces: List[str] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = CONT + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return (UNK,)
+        pieces.append(cur)
+        start = end
+    return tuple(pieces)
+
+
+def wordpiece_apply(documents: DataFrame, vocab: list) -> DataFrame:
+    """(doc_id, n_words, n_pieces, n_unk, pieces_md5): tokenize with the
+    trained vocabulary. Arrow-batched, broadcast vocab set, capped
+    per-task word memo (cleared at 2^16 entries — same bound as
+    ``bpe_apply``)."""
+    vset = {p for _, p in vocab}
+    spark = documents.sparkSession
+    b_vocab = spark.sparkContext.broadcast(vset)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        vs = b_vocab.value
+        memo: dict = {}
+        word_re = re.compile(r'[^a-z0-9]+')
+        for pdf in it:
+            out = {'doc_id': [], 'n_words': [], 'n_pieces': [],
+                   'n_unk': [], 'pieces_md5': []}
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                words = [w for w in word_re.split(str(text).lower().strip())
+                         if w]
+                pieces: List[str] = []
+                n_unk = 0
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = wordpiece_segment(w, vs)
+                        if len(memo) >= 65536:
+                            memo.clear()
+                        memo[w] = enc
+                    if enc == (UNK,):
+                        n_unk += 1
+                    pieces.extend(enc)
+                out['doc_id'].append(doc_id)
+                out['n_words'].append(len(words))
+                out['n_pieces'].append(len(pieces))
+                out['n_unk'].append(n_unk)
+                out['pieces_md5'].append(hashlib.md5(
+                    '\x1f'.join(pieces).encode('utf-8')).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(run, 'doc_id long, n_words long, n_pieces long, '
+                              'n_unk long, pieces_md5 string'))

@@ -1,0 +1,87 @@
+"""WordPiece tokenizer (Schuster & Nakajima 2012 / BERT): training on
+the likelihood-gain merge rule, greedy longest-match application."""
+
+import pytest
+
+from mineru_html_spark.functions.wordpiece import (CONT, UNK,
+                                                   wordpiece_apply,
+                                                   wordpiece_segment,
+                                                   wordpiece_train)
+
+
+def _hf_corpus(spark):
+    """The HuggingFace course's published WordPiece worked example:
+    {'hug':10, 'pug':5, 'pun':12, 'bun':4, 'hugs':5}."""
+    rows = ([(i, 'hug') for i in range(10)]
+            + [(100 + i, 'pug') for i in range(5)]
+            + [(200 + i, 'pun') for i in range(12)]
+            + [(300 + i, 'bun') for i in range(4)]
+            + [(400 + i, 'hugs') for i in range(5)])
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_wordpiece_first_merge_matches_published_example(spark):
+    """HF course worked example: all pairs score 1/36 except
+    ('##g','##s') at 1/20 — so '##gs' must be the first learned piece."""
+    vocab = wordpiece_train(_hf_corpus(spark), n_merges=1)
+    pieces = [p for _, p in vocab]
+    # seed chars: b, h, p word-initial; ##g ##n ##s ##u continuations
+    assert pieces[:7] == ['##g', '##n', '##s', '##u', 'b', 'h', 'p']
+    assert pieces[7] == '##gs'
+    # determinism: retraining yields the identical vocabulary
+    assert wordpiece_train(_hf_corpus(spark), n_merges=1) == vocab
+
+
+def test_wordpiece_segment_greedy_longest_match():
+    vocab = {'un', '##aff', '##able', 'aff', '##b', 'b', 'hug', '##s',
+             'h', '##u', '##g'}
+    # BERT's own docstring example shape: longest prefix first
+    assert wordpiece_segment('unaffable', vocab) == \
+        ('un', '##aff', '##able')
+    assert wordpiece_segment('hugs', vocab) == ('hug', '##s')
+    # coverage gap anywhere -> whole word is [UNK], never partial
+    assert wordpiece_segment('unfix', vocab) == (UNK,)
+    assert wordpiece_segment('x' * 101, {'x', '##x'}) == (UNK,)
+
+
+def test_wordpiece_apply_counts_and_repartition_invariance(spark):
+    docs = _hf_corpus(spark)
+    vocab = wordpiece_train(docs, n_merges=6)
+    probe = spark.createDataFrame(
+        [(1, 'hugs pug'), (2, 'zebra!'), (3, '')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in wordpiece_apply(probe, vocab).collect()}
+    assert got[1]['n_unk'] == 0
+    assert got[1]['n_pieces'] >= 2 and got[1]['n_words'] == 2
+    # 'zebra' has chars (z, e, r, a as ##) outside the seed vocab -> UNK
+    assert got[2]['n_unk'] == 1 and got[2]['n_pieces'] == 1
+    assert got[3]['n_words'] == 0 and got[3]['n_pieces'] == 0
+    # distributed application is partitioning-independent
+    a = sorted((r['doc_id'], r['pieces_md5'])
+               for r in wordpiece_apply(docs, vocab).collect())
+    b = sorted((r['doc_id'], r['pieces_md5'])
+               for r in wordpiece_apply(docs.repartition(7),
+                                        vocab).collect())
+    assert a == b
+
+
+def test_wordpiece_segment_is_partition_property():
+    """Invariant: a non-UNK segmentation concatenates (## stripped)
+    back to the word, for any vocab (hypothesis over random cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word_st = st.text(alphabet='abc01', min_size=1, max_size=10)
+
+    @settings(max_examples=80, deadline=None)
+    @given(word_st, st.sets(word_st, max_size=12))
+    def prop(probe, extra):
+        vocab = set(extra) | {CONT + w for w in extra}
+        vocab |= set(probe[0]) | {CONT + c for c in probe}
+        pieces = wordpiece_segment(probe, vocab)
+        if pieces != (UNK,):
+            flat = pieces[0] + ''.join(p[len(CONT):] for p in pieces[1:])
+            assert flat == probe
+            assert all(p in vocab for p in pieces)
+
+    prop()

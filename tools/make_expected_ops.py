@@ -28,6 +28,7 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'gif_frames', 'video_frames', 'media_probe', 'audio_features',
          'audio_resample', 'epub_extract', 'robots_gate',
          'sitemap_extract', 'unigram_train', 'unigram_apply',
+         'wordpiece_train', 'wordpiece_apply',
          'cdx_fetch_plan', 'link_graph', 'near_dup_incremental',
          'docx_extract', 'feed_extract', 'anchor_index', 'odt_extract',
          'rtf_extract', 'mbox_extract', 'webp_decode')
