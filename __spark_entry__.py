@@ -1812,6 +1812,55 @@ def q_docx_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_ipynb_extract(spark, sf_dir):
+    """Jupyter notebooks — code+prose+figures as INTERLEAVED spans (the
+    engine's native payload): nbformat 4 and legacy v3 worksheets,
+    source-as-string vs line-list, stream/result/error outputs (ANSI
+    stripped), embedded base64 images magic-validated (real PNG from
+    the engine's own codec) with bad media COUNTED not dropped, an
+    end-truncated notebook recovered through the engine's JSON-repair
+    cascade, and unrecoverable garbage as a contained row. One task per
+    file, committed-output oracle; spans digest pins (kind, text,
+    media_ref, offset) sequence equality."""
+    from mineru_html_spark.sources.ipynb import (read_ipynb,
+                                                 write_synth_ipynb_gate_set)
+    d = os.path.join(REPO, '.data', 'ipynb_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_ipynb_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_ipynb(spark, d)
+    return out.select('doc_id', 'language', 'nbformat', 'n_cells',
+                      'n_code', 'n_markdown', 'n_media', 'n_bad_media',
+                      F.md5(F.to_json('spans')).alias('spans_md5'),
+                      F.md5('text').alias('text_md5'), 'error')
+
+
+def q_latex_extract(spark, sf_dir):
+    """arXiv-style LaTeX — the science slice of a training corpus,
+    detexed by a brace-aware walker into interleaved text / heading /
+    math / image / code spans: comments stripped (\\%% survives),
+    verbatim lifted before the strip, display math kept verbatim as
+    its own span, \\includegraphics -> media span (so figure-bearing
+    papers are interleaved documents), cite/ref -> stable markers,
+    \\input counted, unclosed environments surfaced as anomalies. One
+    task per file, committed-output oracle."""
+    from mineru_html_spark.sources.latex import (read_latex,
+                                                 write_synth_latex_gate_set)
+    d = os.path.join(REPO, '.data', 'latex_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_latex_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_latex(spark, d)
+    return out.select('doc_id', 'title', 'n_sections', 'n_math',
+                      'n_figures', 'n_cites', 'n_inputs',
+                      F.md5(F.to_json('spans')).alias('spans_md5'),
+                      F.md5('text').alias('text_md5'), 'error')
+
+
 def q_feed_extract(spark, sf_dir):
     """RSS/Atom feed discovery — the fresh-content crawl channel: a
     CDATA/entity RSS feed, a gzipped namespace-prefixed Atom feed whose
@@ -2710,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'near_dup_incremental': q_near_dup_incremental,
         'crawl_delta': q_crawl_delta,
         'docx_extract': q_docx_extract,
+        'ipynb_extract': q_ipynb_extract,
+        'latex_extract': q_latex_extract,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'chunk_docs': q_chunk_docs,
@@ -2931,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
                      'link_graph', 'near_dup_incremental', 'docx_extract',
                      'feed_extract', 'anchor_index', 'odt_extract',
                      'rtf_extract', 'mbox_extract', 'webp_decode',
+                     'ipynb_extract', 'latex_extract',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

@@ -1,0 +1,324 @@
+"""Jupyter notebook source: code+prose+figures as INTERLEAVED spans.
+
+Notebooks are the canonical interleaved document: markdown prose, code,
+textual results and embedded figures alternate in a single authored
+order — exactly the engine's span contract
+(``ARRAY<STRUCT<kind,text,media_ref,offset>>``, BASELINE.json
+input_hint). GitHub-crawled ``.ipynb`` files are a major training-data
+slice (code-with-explanation), and the format is plain JSON — zero
+native dependencies.
+
+Scope, stated honestly:
+
+* **nbformat 4** (the modern format): ``cells[]`` with ``cell_type``
+  markdown/code/raw, ``source`` as string or line list; code-cell
+  ``outputs[]`` of type ``stream`` (text), ``execute_result`` /
+  ``display_data`` (mime bundle: ``text/plain`` kept, ``image/png`` /
+  ``image/jpeg`` / ``image/gif`` validated by magic sniff and emitted
+  as media spans), ``error`` (ename/evalue with ANSI escapes stripped);
+* **nbformat 3** (legacy): ``worksheets[0].cells`` with code-cell
+  ``input`` and output keys ``text`` / ``png`` / ``jpeg`` — still
+  common in old repos, parsed through the same span emitter;
+* truncated JSON (the dominant crawl corruption) recovers through the
+  engine's repair cascade (``core.jsonrepair.parse_tolerant`` — the
+  same T6/T7 cascade the scorer uses, reference
+  MinerU-HTML json repair tier) and is marked ``repaired``;
+  unrecoverable payloads surface as contained ``badjson`` rows;
+* undecodable embedded media (bad base64 / unknown magic) COUNT into
+  ``n_bad_media`` instead of vanishing — the PDF ``n_bad_streams``
+  stance.
+
+Span kinds: ``markdown``, ``code``, ``stream``, ``result``, ``error``
+(text spans) and ``image`` (media span, ``media_ref`` =
+``{doc_id}#out{k}.{ext}``). Offsets are the authored order, so
+span-sequence equality is meaningful downstream.
+
+Spark shape: one task per file (binaryFile), Arrow-batched parse,
+errors as rows — the WARC/PDF/EPUB/DOCX contract.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import re
+from typing import Iterator, List, Tuple
+
+from mineru_html_spark.core.jsonrepair import JsonRepairError, parse_tolerant
+
+_ANSI_RE = re.compile(r'\x1b\[[0-9;]*[A-Za-z]')
+
+# magic -> extension; anything else counts as bad media
+_MAGICS: List[Tuple[bytes, str]] = [
+    (b'\x89PNG\r\n\x1a\n', 'png'),
+    (b'\xff\xd8\xff', 'jpg'),
+    (b'GIF87a', 'gif'),
+    (b'GIF89a', 'gif'),
+]
+
+# nbformat-3 output keys -> mime names (v4 uses the mime bundle directly)
+_V3_MIME = {'text': 'text/plain', 'png': 'image/png',
+            'jpeg': 'image/jpeg', 'html': 'text/html'}
+
+
+def _join(src) -> str:
+    """``source`` may be a string or a list of line strings."""
+    if isinstance(src, str):
+        return src
+    if isinstance(src, list):
+        return ''.join(s for s in src if isinstance(s, str))
+    return ''
+
+
+def _sniff(b64) -> str:
+    """base64 -> extension by magic, '' if undecodable/unknown."""
+    try:
+        raw = base64.b64decode(_join(b64), validate=False)
+    except (binascii.Error, ValueError, TypeError):
+        return ''
+    for magic, ext in _MAGICS:
+        if raw[:len(magic)] == magic:
+            return ext
+    return ''
+
+
+class _Emitter:
+    def __init__(self, doc_id: str):
+        self.doc_id = doc_id
+        self.spans: List[tuple] = []
+        self.n_media = 0
+        self.n_bad_media = 0
+
+    def text(self, kind: str, s: str) -> None:
+        s = s.strip('\n')
+        if s.strip():
+            self.spans.append((kind, s, '', len(self.spans)))
+
+    def media(self, b64) -> None:
+        ext = _sniff(b64)
+        if not ext:
+            self.n_bad_media += 1
+            return
+        ref = '%s#out%d.%s' % (self.doc_id, self.n_media, ext)
+        self.spans.append(('image', '', ref, len(self.spans)))
+        self.n_media += 1
+
+    def mime_bundle(self, data: dict) -> None:
+        """v4 ``data`` dict: images first (figure precedes its repr in
+        authored intent), then the text/plain repr."""
+        if not isinstance(data, dict):
+            return
+        for mime in ('image/png', 'image/jpeg', 'image/gif'):
+            if mime in data:
+                self.media(data[mime])
+        if 'text/plain' in data:
+            self.text('result', _join(data['text/plain']))
+
+    def output(self, out: dict) -> None:
+        otype = out.get('output_type', '')
+        if otype == 'stream':
+            self.text('stream', _join(out.get('text', '')))
+        elif otype in ('execute_result', 'display_data'):
+            if 'data' in out:                       # nbformat 4
+                self.mime_bundle(out['data'])
+            else:                                   # nbformat 3
+                self.mime_bundle({_V3_MIME[k]: v for k, v in out.items()
+                                  if k in _V3_MIME})
+        elif otype in ('error', 'pyerr'):
+            msg = '%s: %s' % (out.get('ename', ''), out.get('evalue', ''))
+            self.text('error', _ANSI_RE.sub('', msg))
+        elif otype == 'pyout':                      # nbformat 3 result
+            self.mime_bundle({_V3_MIME[k]: v for k, v in out.items()
+                              if k in _V3_MIME})
+
+
+def ipynb_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, language, nbformat, n_cells, n_code, n_markdown,
+    n_media, n_bad_media, spans, text, error) — errors as rows."""
+    raw = data.decode('utf-8', 'replace')
+    error = ''
+    try:
+        nb = json.loads(raw)
+        if not isinstance(nb, dict):
+            raise ValueError('not an object')
+    except Exception:  # noqa: BLE001 — crawl payloads truncate
+        try:
+            nb = parse_tolerant(raw, max_steps=4096)
+            error = 'repaired truncated-json'
+        except JsonRepairError:
+            return (name, '', 0, 0, 0, 0, 0, 0, [], '', 'badjson')
+
+    fmt = nb.get('nbformat', 0)
+    fmt = fmt if isinstance(fmt, int) else 0
+    # shape by keys, not the nbformat field: Jupyter writes `cells`
+    # first and `nbformat` LAST, so end-truncated files lose the
+    # version marker while their cells survive the repair cascade
+    if 'cells' in nb:
+        cells = nb.get('cells')
+    else:
+        ws = nb.get('worksheets', [])
+        cells = ws[0].get('cells', []) if (
+            isinstance(ws, list) and ws and isinstance(ws[0], dict)
+        ) else []
+    if not isinstance(cells, list):
+        cells = []
+
+    meta = nb.get('metadata', {}) if isinstance(nb.get('metadata'), dict) \
+        else {}
+    lang = ''
+    ks = meta.get('kernelspec', {})
+    if isinstance(ks, dict):
+        lang = str(ks.get('language', '') or '')
+    if not lang and isinstance(meta.get('language_info'), dict):
+        lang = str(meta['language_info'].get('name', '') or '')
+    if not lang:
+        lang = str(meta.get('language', '') or '')
+
+    em = _Emitter(name)
+    n_code = n_md = 0
+    for cell in cells:
+        if not isinstance(cell, dict):
+            continue
+        ctype = cell.get('cell_type', '')
+        if ctype == 'markdown':
+            n_md += 1
+            em.text('markdown', _join(cell.get('source', '')))
+        elif ctype == 'code':
+            n_code += 1
+            src = cell.get('source', cell.get('input', ''))  # v4 / v3
+            em.text('code', _join(src))
+            outs = cell.get('outputs', [])
+            if isinstance(outs, list):
+                for out in outs:
+                    if isinstance(out, dict):
+                        em.output(out)
+        elif ctype in ('raw', 'heading'):
+            em.text('markdown', _join(cell.get('source', '')))
+
+    text = '\n\n'.join(s[1] for s in em.spans if s[0] != 'image')
+    return (name, lang, fmt, len(cells), n_code, n_md,
+            em.n_media, em.n_bad_media, em.spans, text, error)
+
+
+IPYNB_ROWS_SCHEMA = (
+    'doc_id string, language string, nbformat int, n_cells int, '
+    'n_code int, n_markdown int, n_media int, n_bad_media int, '
+    'spans array<struct<kind:string,text:string,media_ref:string,'
+    'offset:int>>, text string, error string')
+
+
+def read_ipynb(spark, path: str):
+    """Directory of .ipynb files -> IPYNB_ROWS_SCHEMA — one task per
+    file, Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.ipynb').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [ipynb_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'language', 'nbformat',
+                               'n_cells', 'n_code', 'n_markdown',
+                               'n_media', 'n_bad_media', 'spans',
+                               'text', 'error'])
+
+    return files.mapInPandas(batch, IPYNB_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def _png_b64(seed: int) -> str:
+    """Real PNG bytes from the engine's own codec, base64-wrapped with
+    the 76-col line breaks Jupyter emits."""
+    import numpy as np
+    from mineru_html_spark.functions.png import encode_png
+    rng = np.arange(6 * 4 * 3, dtype=np.int64)
+    arr = ((rng * (seed * 2654435761 + 97)) % 251).astype(np.uint8)
+    b = base64.b64encode(encode_png(arr.reshape(4, 6, 3))).decode()
+    return '\n'.join(b[i:i + 76] for i in range(0, len(b), 76))
+
+
+def write_synth_ipynb_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: a v4 notebook with markdown/code/stream/result, one
+    with real embedded PNG figures plus a bad-base64 image, source-as-
+    string vs line-list, an ANSI-colored error traceback, a legacy v3
+    worksheet notebook, an end-truncated notebook the repair cascade
+    must recover, and unrecoverable garbage."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    def nb4(cells, lang='python'):
+        # key order mirrors real Jupyter output: cells first,
+        # nbformat last (what makes end-truncation interesting)
+        return json.dumps({
+            'cells': cells,
+            'metadata': {'kernelspec': {'language': lang,
+                                        'name': lang}},
+            'nbformat': 4, 'nbformat_minor': 5}).encode()
+
+    def md(src):
+        return {'cell_type': 'markdown', 'metadata': {}, 'source': src}
+
+    def code(src, outputs=()):
+        return {'cell_type': 'code', 'execution_count': 1,
+                'metadata': {}, 'source': src, 'outputs': list(outputs)}
+
+    files['plain.ipynb'] = nb4([
+        md(['# Title\n', 'Prose paragraph one.']),
+        code(['x = 1\n', 'print(x * 7)'],
+             [{'output_type': 'stream', 'name': 'stdout', 'text': '7\n'},
+              {'output_type': 'execute_result', 'execution_count': 1,
+               'data': {'text/plain': ['7']}, 'metadata': {}}]),
+        md('Closing *remark* as a bare string.'),
+        {'cell_type': 'raw', 'metadata': {}, 'source': 'raw block'},
+    ])
+
+    files['figures.ipynb'] = nb4([
+        md('Figure demo'),
+        code('plot()',
+             [{'output_type': 'display_data', 'metadata': {},
+               'data': {'image/png': _png_b64(1),
+                        'text/plain': ['<Figure 640x480>']}},
+              {'output_type': 'display_data', 'metadata': {},
+               'data': {'image/png': '!!!not-base64!!!'}},
+              {'output_type': 'display_data', 'metadata': {},
+               'data': {'image/png': _png_b64(2)}}]),
+        code('raise ValueError("boom")',
+             [{'output_type': 'error', 'ename': 'ValueError',
+               'evalue': '\x1b[31mboom\x1b[0m',
+               'traceback': ['\x1b[31mTraceback\x1b[0m']}]),
+    ])
+
+    files['legacy_v3.ipynb'] = json.dumps({
+        'nbformat': 3, 'nbformat_minor': 0,
+        'metadata': {'language': 'python'},
+        'worksheets': [{'cells': [
+            {'cell_type': 'markdown', 'metadata': {},
+             'source': ['v3 prose']},
+            {'cell_type': 'code', 'language': 'python', 'metadata': {},
+             'input': ['y = 2\ny'], 'collapsed': False,
+             'outputs': [
+                 {'output_type': 'pyout', 'prompt_number': 1,
+                  'text': ['2']},
+                 {'output_type': 'display_data',
+                  'png': _png_b64(3)}]}]}]}, sort_keys=True).encode()
+
+    full = nb4([md('Recoverable prose'),
+                code('z = 3', [{'output_type': 'stream',
+                                'name': 'stdout', 'text': 'ok\n'}])])
+    files['truncated.ipynb'] = full[:-1]          # cascade re-closes
+    files['garbage.ipynb'] = b'\x00\x01 not json at all ['
+    files['empty_cells.ipynb'] = nb4([], lang='')
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

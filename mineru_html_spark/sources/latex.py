@@ -1,0 +1,521 @@
+"""LaTeX source: arXiv-style .tex to clean text + interleaved spans.
+
+arXiv is the canonical high-quality science slice of a training corpus
+(the RedPajama / Pile pipelines both carry a LaTeX-detex stage), and
+the format is plain text with a command grammar — parseable with a
+brace-aware walker, zero native dependencies.
+
+Pipeline (single pass over the source, no regex-over-everything):
+
+1. verbatim-family environments (``verbatim``/``lstlisting``/
+   ``Verbatim``/``alltt``) are lifted out FIRST so their ``%`` bytes
+   survive comment stripping, then re-emitted verbatim as code text;
+2. comments strip to end-of-line (``\\%`` stays literal);
+3. the ``\\begin{document}`` body is walked when present (preamble
+   ``\\title`` still captured), else the whole file;
+4. display math (``$$``/``\\[``/``equation``/``align``/``gather``/
+   ``eqnarray``/``multline``/``displaymath`` + starred) becomes its
+   own ``math`` span, source kept VERBATIM (the arXiv-pipeline
+   convention — math is signal, not noise); inline ``$...$`` /
+   ``\\(...\\)`` stays inside the running text;
+5. sectioning commands become ``heading`` spans with a level prefix;
+   ``\\includegraphics`` becomes an ``image`` span whose media_ref is
+   the graphics path — so a figure-bearing paper is an INTERLEAVED
+   text+media document, the engine's native payload;
+6. text-wrapping commands keep their argument (``\\emph{x}`` -> x),
+   reference-like commands collapse to stable markers (``[CIT]`` /
+   ``[REF]``), floats contribute their captions, tabular cells
+   separate with spaces / rows with newlines, escapes unescape
+   (``\\%`` -> %, ``~`` -> space, ``\\ldots`` -> ...);
+7. unknown ``\\cmd[opt]{arg}`` keeps the braced argument text (the
+   detex stance: most unknown commands wrap prose), unknown bare
+   ``\\cmd`` drops.
+
+``\\input``/``\\include`` are COUNTED (``n_inputs``) but not resolved
+— a single-blob source can't read sibling files; multi-file papers
+surface the count so downstream can route them. Undecodable bytes
+replace; the walker never raises: parse anomalies surface in the
+``error`` column (errors-as-rows, the WARC/PDF/DOCX contract).
+
+Spark shape: one task per file (binaryFile), Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Tuple
+
+_VERB_RE = re.compile(
+    r'\\begin\{(verbatim\*?|lstlisting|Verbatim|alltt)\}'
+    r'(.*?)\\end\{\1\}', re.DOTALL)
+_COMMENT_RE = re.compile(r'(?<!\\)%[^\n]*')
+_BODY_RE = re.compile(r'\\begin\{document\}(.*?)(?:\\end\{document\}|\Z)',
+                      re.DOTALL)
+_CMD_RE = re.compile(r'\\([A-Za-z]+\*?|.)')
+_WS_RE = re.compile(r'[ \t]+')
+_PARA_RE = re.compile(r'\n{2,}')
+
+_MATH_ENVS = {'equation', 'align', 'gather', 'eqnarray', 'multline',
+              'displaymath', 'math'}
+_HEADINGS = {'chapter': 1, 'section': 1, 'subsection': 2,
+             'subsubsection': 3, 'paragraph': 4, 'subparagraph': 5}
+_KEEP_ARG = {'emph', 'textbf', 'textit', 'texttt', 'textsc', 'textrm',
+             'textsf', 'textsl', 'underline', 'mbox', 'text', 'hbox',
+             'textsuperscript', 'textsubscript', 'uppercase', 'caption'}
+_DROP_ARGS = {'label': 1, 'usepackage': 1, 'documentclass': 1,
+              'bibliography': 1, 'bibliographystyle': 1, 'date': 1,
+              'vspace': 1, 'hspace': 1, 'graphicspath': 1,
+              'setlength': 2, 'newcommand': 2, 'renewcommand': 2,
+              'newenvironment': 3, 'pagestyle': 1, 'thispagestyle': 1,
+              'author': 1, 'hypersetup': 1, 'setcounter': 2,
+              'addtocounter': 2, 'numberwithin': 2, 'email': 1,
+              'affiliation': 1, 'institute': 1, 'keywords': 1}
+_CITE_LIKE = {'cite', 'citep', 'citet', 'citealp', 'citeauthor',
+              'citeyear'}
+_REF_LIKE = {'ref', 'eqref', 'pageref', 'autoref', 'cref', 'Cref'}
+_SPACE_CMDS = {',', ';', '!', ' ', 'quad', 'qquad', 'hfill', 'noindent',
+               'indent', 'smallskip', 'medskip', 'bigskip', 'centering',
+               'raggedright', 'raggedleft', 'maketitle',
+               'tableofcontents', 'clearpage', 'newpage', 'hline',
+               'toprule', 'midrule', 'bottomrule', 'footnotesize',
+               'small', 'normalsize', 'large', 'Large', 'LARGE', 'huge',
+               'Huge', 'tiny', 'itshape', 'bfseries', 'ttfamily',
+               'rmfamily', 'sffamily', 'limits'}
+_LITERALS = {'%': '%', '&': '&', '#': '#', '_': '_', '$': '$',
+             '{': '{', '}': '}', '\\': '\n', 'ldots': '...',
+             'dots': '...', 'textendash': '-', 'textemdash': '--',
+             'LaTeX': 'LaTeX', 'TeX': 'TeX', '~': '~', '^': '^',
+             "'": '', '`': '', '"': '', 'S': 'S'}
+
+
+def _read_group(s: str, i: int) -> Tuple[str, int]:
+    """Read a {...} group starting at s[i]=='{'; brace-depth aware,
+    EOF-tolerant. Returns (content, index-after-group)."""
+    depth = 0
+    j = i
+    while j < len(s):
+        c = s[j]
+        if c == '\\' and j + 1 < len(s):
+            j += 2
+            continue
+        if c == '{':
+            depth += 1
+        elif c == '}':
+            depth -= 1
+            if depth == 0:
+                return s[i + 1:j], j + 1
+        j += 1
+    return s[i + 1:], len(s)                      # unclosed: take tail
+
+
+def _skip_opt(s: str, i: int) -> int:
+    """Skip a [...] optional argument if present at s[i]."""
+    if i < len(s) and s[i] == '[':
+        j = s.find(']', i)
+        return len(s) if j == -1 else j + 1
+    return i
+
+
+class _Walker:
+    """Emits interleaved (kind, text, media_ref, offset) spans."""
+
+    def __init__(self):
+        self.spans: List[tuple] = []
+        self.buf: List[str] = []
+        self.n_math = 0
+        self.n_figures = 0
+        self.n_cites = 0
+        self.n_inputs = 0
+        self.n_sections = 0
+        self.title = ''
+        self.anomalies: List[str] = []
+
+    # -- emitter ---------------------------------------------------------
+    def _flush(self) -> None:
+        raw = ''.join(self.buf)
+        self.buf = []
+        paras = []
+        for p in _PARA_RE.split(raw):
+            # LaTeX line-wrapping: a single newline is a space — but
+            # keep explicit structural newlines (\\ and \item emit
+            # '\x01') as real line breaks
+            p = _WS_RE.sub(' ', p.replace('\n', ' '))
+            p = re.sub(r' ?\x01 ?', '\n', p).strip()
+            if p:
+                paras.append(p)
+        text = '\n\n'.join(paras)
+        if text:
+            self.spans.append(('text', text, '', len(self.spans)))
+
+    def _span(self, kind: str, text: str, ref: str = '') -> None:
+        self._flush()
+        self.spans.append((kind, text, ref, len(self.spans)))
+
+    # -- walker ----------------------------------------------------------
+    def walk(self, s: str) -> None:
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == '\\':
+                i = self._command(s, i)
+            elif c == '$':
+                if i + 1 < n and s[i + 1] == '$':        # display $$..$$
+                    j = s.find('$$', i + 2)
+                    j = n if j == -1 else j
+                    self._math(s[i + 2:j])
+                    i = min(n, j + 2)
+                else:                                     # inline $..$
+                    j = i + 1
+                    while j < n and (s[j] != '$' or s[j - 1] == '\\'):
+                        j += 1
+                    self.buf.append(s[i:min(n, j + 1)])
+                    i = j + 1
+            elif c == '~':
+                self.buf.append(' ')
+                i += 1
+            elif c == '&':                               # tabular cell sep
+                self.buf.append('  ')
+                i += 1
+            else:
+                self.buf.append(c)
+                i += 1
+
+    def _math(self, body: str) -> None:
+        self.n_math += 1
+        self._span('math', body.strip())
+
+    def _command(self, s: str, i: int) -> int:
+        m = _CMD_RE.match(s, i)
+        if not m:
+            return i + 1
+        name = m.group(1)
+        j = m.end()
+        base = name.rstrip('*')
+
+        if name == '[':                                   # \[ .. \]
+            k = s.find('\\]', j)
+            k = len(s) if k == -1 else k
+            self._math(s[j:k])
+            return min(len(s), k + 2)
+        if name == '(':                                   # \( .. \) inline
+            k = s.find('\\)', j)
+            k = len(s) if k == -1 else k
+            self.buf.append('$' + s[j:k] + '$')
+            return min(len(s), k + 2)
+
+        if base == 'begin':
+            return self._environment(s, j)
+        if base == 'end':                                 # stray \end{..}
+            if j < len(s) and s[j] == '{':
+                _, j = _read_group(s, j)
+            return j
+
+        if base in _HEADINGS:
+            j = _skip_opt(s, j)
+            if j < len(s) and s[j] == '{':
+                head, j = _read_group(s, j)
+                sub = _Walker()
+                sub.walk(head)
+                sub._flush()
+                txt = ' '.join(sp[1] for sp in sub.spans
+                               if sp[0] == 'text')
+                self.n_sections += 1
+                self._span('heading', '#' * _HEADINGS[base] + ' ' + txt)
+            return j
+
+        if base == 'title':
+            if j < len(s) and s[j] == '{':
+                t, j = _read_group(s, j)
+                sub = _Walker()
+                sub.walk(t)
+                sub._flush()
+                self.title = ' '.join(sp[1] for sp in sub.spans
+                                      if sp[0] == 'text')
+            return j
+
+        if base == 'includegraphics':
+            j = _skip_opt(s, j)
+            ref = ''
+            if j < len(s) and s[j] == '{':
+                ref, j = _read_group(s, j)
+            self.n_figures += 1
+            self._span('image', '', ref.strip())
+            return j
+
+        if base in _CITE_LIKE:
+            j = _skip_opt(s, j)
+            j = _skip_opt(s, j)
+            if j < len(s) and s[j] == '{':
+                _, j = _read_group(s, j)
+            self.n_cites += 1
+            self.buf.append('[CIT]')
+            return j
+        if base in _REF_LIKE:
+            if j < len(s) and s[j] == '{':
+                _, j = _read_group(s, j)
+            self.buf.append('[REF]')
+            return j
+
+        if base in ('input', 'include'):
+            if j < len(s) and s[j] == '{':
+                _, j = _read_group(s, j)
+            self.n_inputs += 1
+            return j
+
+        if base in ('url', 'href', 'path'):
+            tgt = ''
+            if j < len(s) and s[j] == '{':
+                tgt, j = _read_group(s, j)
+            if base == 'href':                            # second = label
+                if j < len(s) and s[j] == '{':
+                    lbl, j = _read_group(s, j)
+                    sub = _Walker()
+                    sub.walk(lbl)
+                    sub._flush()
+                    lbl_t = ' '.join(sp[1] for sp in sub.spans
+                                     if sp[0] == 'text')
+                    self.buf.append('%s (%s)' % (lbl_t, tgt))
+                    return j
+            self.buf.append(tgt)
+            return j
+
+        if base == 'footnote':
+            if j < len(s) and s[j] == '{':
+                note, j = _read_group(s, j)
+                sub = _Walker()
+                sub.walk(note)
+                sub._flush()
+                t = ' '.join(sp[1] for sp in sub.spans if sp[0] == 'text')
+                self.buf.append(' (%s)' % t)
+            return j
+
+        if base in _KEEP_ARG:
+            j = _skip_opt(s, j)
+            if j < len(s) and s[j] == '{':
+                body, j = _read_group(s, j)
+                self.walk(body)                  # inline, same buffer
+            return j
+
+        if base == 'item':
+            j = _skip_opt(s, j)
+            self.buf.append('\n- ')
+            return j
+
+        if base in _DROP_ARGS:
+            j = _skip_opt(s, j)
+            for _ in range(_DROP_ARGS[base]):
+                j = _skip_opt(s, j)
+                if j < len(s) and s[j] == '{':
+                    _, j = _read_group(s, j)
+            return j
+
+        if name in _LITERALS:
+            self.buf.append(_LITERALS[name])
+            return j
+        if base in _SPACE_CMDS or name in _SPACE_CMDS:
+            self.buf.append(' ')
+            return j
+
+        # unknown command: skip opts, keep braced arg text (detex stance)
+        j = _skip_opt(s, j)
+        if j < len(s) and s[j] == '{':
+            body, j = _read_group(s, j)
+            self.walk(body)
+        return j
+
+    def _environment(self, s: str, j: int) -> int:
+        if j >= len(s) or s[j] != '{':
+            return j
+        env, j = _read_group(s, j)
+        env = env.strip()
+        base = env.rstrip('*')
+        if base in _MATH_ENVS:
+            end = '\\end{%s}' % env
+            k = s.find(end, j)
+            if k == -1:
+                self.anomalies.append('unclosed-env:%s' % env)
+                k = len(s)
+            self._math(s[j:k])
+            return min(len(s), k + len(end))
+        if base in ('figure', 'table', 'wrapfigure'):
+            # recurse: caption/includegraphics inside contribute
+            return _skip_opt(s, j)
+        if base in ('tabular', 'array', 'tabularx'):
+            j = _skip_opt(s, j)
+            if j < len(s) and s[j] == '{':    # column spec
+                _, j = _read_group(s, j)
+            return j
+        if base == 'thebibliography':
+            end = '\\end{thebibliography}'
+            k = s.find(end, j)
+            if k == -1:
+                k = len(s)
+            return min(len(s), k + len(end))
+        # itemize/enumerate/abstract/center/quote/... : walk content
+        return _skip_opt(s, j)
+
+
+def latex_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, title, n_sections, n_math, n_figures, n_cites,
+    n_inputs, spans, text, error) — never raises."""
+    try:
+        src = data.decode('utf-8', 'replace')
+
+        # 1. lift verbatim blocks out before comment stripping
+        verbs: List[str] = []
+
+        def _stash(m: re.Match) -> str:
+            verbs.append(m.group(2))
+            return '\x00V%d\x00' % (len(verbs) - 1)
+
+        src = _VERB_RE.sub(_stash, src)
+        # 2. strip comments
+        src = _COMMENT_RE.sub('', src)
+        # 3. body
+        mb = _BODY_RE.search(src)
+        pre = src[:mb.start()] if mb else ''
+        body = mb.group(1) if mb else src
+
+        w = _Walker()
+        if pre:                           # capture \title from preamble
+            pw = _Walker()
+            pw.walk(pre)
+            w.title = pw.title
+        w.walk(body)
+        w._flush()
+        if not w.title:
+            w.title = next((sp[1].lstrip('# ') for sp in w.spans
+                            if sp[0] == 'heading'), '')
+
+        # 4. re-inject verbatim blocks as code spans (placeholders sit
+        # inside text spans; split them back out preserving order)
+        spans: List[tuple] = []
+        for kind, text, ref, _ in w.spans:
+            if kind != 'text' or '\x00V' not in text:
+                spans.append((kind, text, ref, len(spans)))
+                continue
+            parts = re.split(r'\x00V(\d+)\x00', text)
+            for pi, part in enumerate(parts):
+                if pi % 2 == 1:
+                    spans.append(('code', verbs[int(part)].strip('\n'),
+                                  '', len(spans)))
+                elif part.strip():
+                    spans.append(('text', part.strip(), '', len(spans)))
+
+        text = '\n\n'.join(sp[1] for sp in spans if sp[0] != 'image')
+        err = ';'.join(sorted(set(w.anomalies)))
+        return (name, w.title, w.n_sections, w.n_math, w.n_figures,
+                w.n_cites, w.n_inputs, spans, text, err)
+    except Exception as e:  # noqa: BLE001 — tolerant reader contract
+        return (name, '', 0, 0, 0, 0, 0, [], '',
+                'parse %s' % type(e).__name__)
+
+
+LATEX_ROWS_SCHEMA = (
+    'doc_id string, title string, n_sections int, n_math int, '
+    'n_figures int, n_cites int, n_inputs int, '
+    'spans array<struct<kind:string,text:string,media_ref:string,'
+    'offset:int>>, text string, error string')
+
+
+def read_latex(spark, path: str):
+    """Directory of .tex files -> LATEX_ROWS_SCHEMA — one task per
+    file, Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.tex').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [latex_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'title', 'n_sections',
+                               'n_math', 'n_figures', 'n_cites',
+                               'n_inputs', 'spans', 'text', 'error'])
+
+    return files.mapInPandas(batch, LATEX_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def write_synth_latex_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: a full paper shape (preamble title, abstract,
+    sections, inline+display math, figure with caption, cites/refs,
+    itemize, verbatim with a literal %, tabular, footnote, href),
+    a body-less fragment, a multi-file main with \\input, an
+    unclosed-environment anomaly, and a mojibake payload."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    files['paper.tex'] = rb"""\documentclass[11pt]{article}
+\usepackage{graphicx}
+\title{Scaling Laws for \emph{Synthetic} Corpora}
+\author{A.\ Author \and B.\ Author}
+\begin{document}
+\maketitle
+\begin{abstract}
+We study corpora. % trailing comment must vanish
+Escaped 100\% stays.
+\end{abstract}
+\section{Introduction}
+Inline math $e = mc^2$ flows with text~here \citep{kn:one}, see
+\ref{sec:m}. Display:
+$$\sum_{i=1}^{n} x_i$$
+\subsection{Method}\label{sec:m}
+\begin{itemize}
+\item first \textbf{bold} point
+\item second with a footnote\footnote{the fine print}
+\end{itemize}
+\begin{equation}
+  y = \alpha x + \beta
+\end{equation}
+\begin{figure}[t]
+  \centering
+  \includegraphics[width=0.8\linewidth]{plots/loss_curve.pdf}
+  \caption{Loss vs tokens.}
+\end{figure}
+\begin{verbatim}
+x = 3 % not a comment here
+\end{verbatim}
+\begin{tabular}{ll}
+a & b \\
+c & d \\
+\end{tabular}
+See \href{https://example.org}{the website} or \url{https://ex.org/x}.
+Unknown \fancybox{wrapped text} survives; bare \fancybreak drops.
+\end{document}
+Trailing junk after end must vanish.
+"""
+
+    files['fragment.tex'] = rb"""\section{Standalone}
+No document environment $a+b$ at all \cite{x}.
+"""
+
+    files['multifile.tex'] = rb"""\documentclass{book}
+\begin{document}
+\chapter{One}
+\input{chapters/ch1}
+\include{chapters/ch2}
+Glue text.
+\end{document}
+"""
+
+    files['unclosed.tex'] = rb"""\begin{document}
+Before math.
+\begin{align}
+  a &= b
+"""  # unclosed align: anomaly + tail as math
+
+    files['mojibake.tex'] = b'\xff\xfe\x00garbage \\section{Still' \
+                            b' parses}\ntext'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

@@ -1,0 +1,139 @@
+"""Notebook + LaTeX sources: interleaved-span emission, format
+tolerance (v3/v4, truncation repair, mojibake), media validation,
+command/environment semantics, containment."""
+
+import json
+import os
+
+from mineru_html_spark.sources.ipynb import (ipynb_bytes_to_row,
+                                             write_synth_ipynb_gate_set)
+from mineru_html_spark.sources.latex import (latex_bytes_to_row,
+                                             write_synth_latex_gate_set)
+
+
+def _nb_rows(tmp_path):
+    d = str(tmp_path / 'nb')
+    return {n: ipynb_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in write_synth_ipynb_gate_set(d)}
+
+
+def _tex_rows(tmp_path):
+    d = str(tmp_path / 'tex')
+    return {n: latex_bytes_to_row(n, open(os.path.join(d, n), 'rb').read())
+            for n in write_synth_latex_gate_set(d)}
+
+
+# ---------------------------------------------------------------- ipynb --
+
+def test_ipynb_v4_interleave_order(tmp_path):
+    r = _nb_rows(tmp_path)['plain.ipynb']
+    kinds = [s[0] for s in r[8]]
+    assert kinds == ['markdown', 'code', 'stream', 'result',
+                     'markdown', 'markdown']
+    assert [s[3] for s in r[8]] == list(range(6))  # offsets contiguous
+    assert r[1] == 'python' and r[2] == 4
+    assert r[4] == 1 and r[5] == 2                 # code / markdown counts
+
+
+def test_ipynb_media_validated_and_bad_counted(tmp_path):
+    r = _nb_rows(tmp_path)['figures.ipynb']
+    imgs = [s for s in r[8] if s[0] == 'image']
+    assert len(imgs) == 2 and r[6] == 2 and r[7] == 1   # 2 good, 1 bad
+    assert imgs[0][2] == 'figures.ipynb#out0.png'
+    # error output: ANSI escapes stripped
+    err_span = next(s for s in r[8] if s[0] == 'error')
+    assert err_span[1] == 'ValueError: boom' and '\x1b' not in err_span[1]
+    # figure precedes its text/plain repr (authored order)
+    ks = [s[0] for s in r[8]]
+    assert ks.index('image') < ks.index('result')
+
+
+def test_ipynb_v3_worksheets(tmp_path):
+    r = _nb_rows(tmp_path)['legacy_v3.ipynb']
+    assert r[2] == 3 and r[4] == 1 and r[5] == 1 and r[6] == 1
+    assert [s[0] for s in r[8]] == ['markdown', 'code', 'result', 'image']
+
+
+def test_ipynb_truncation_repair_and_containment(tmp_path):
+    r = _nb_rows(tmp_path)
+    trunc = r['truncated.ipynb']
+    assert trunc[10] == 'repaired truncated-json'
+    assert [s[0] for s in trunc[8]] == ['markdown', 'code', 'stream']
+    assert r['garbage.ipynb'][10] == 'badjson'
+    assert r['empty_cells.ipynb'][10] == '' and r['empty_cells.ipynb'][3] == 0
+
+
+def test_ipynb_source_string_or_list():
+    nb = json.dumps({'cells': [
+        {'cell_type': 'markdown', 'source': 'one string'},
+        {'cell_type': 'markdown', 'source': ['two ', 'lines']},
+        {'cell_type': 'markdown', 'source': ['bad', 7, 'mix']},
+    ], 'nbformat': 4}).encode()
+    row = ipynb_bytes_to_row('x.ipynb', nb)
+    assert [s[1] for s in row[8]] == ['one string', 'two lines', 'badmix']
+
+
+def test_read_ipynb_spark(spark, tmp_path):
+    d = str(tmp_path / 'nb')
+    write_synth_ipynb_gate_set(d)
+    from mineru_html_spark.sources.ipynb import read_ipynb
+    out = {r['doc_id']: r for r in read_ipynb(spark, d).collect()}
+    assert len(out) == 6
+    fig = out['figures.ipynb']
+    assert fig['n_media'] == 2 and fig['n_bad_media'] == 1
+    assert fig['spans'][2]['kind'] == 'image'
+    assert fig['spans'][2]['media_ref'] == 'figures.ipynb#out0.png'
+
+
+# ---------------------------------------------------------------- latex --
+
+def test_latex_paper_structure(tmp_path):
+    r = _tex_rows(tmp_path)['paper.tex']
+    assert r[1] == 'Scaling Laws for Synthetic Corpora'   # \emph unwrapped
+    assert r[2] == 2 and r[3] == 2 and r[4] == 1 and r[5] == 1
+    kinds = [s[0] for s in r[7]]
+    assert 'image' in kinds and 'math' in kinds and 'code' in kinds
+    img = next(s for s in r[7] if s[0] == 'image')
+    assert img[2] == 'plots/loss_curve.pdf'
+    # caption text lands right after its figure image (interleave)
+    assert r[7][kinds.index('image') + 1][1] == 'Loss vs tokens.'
+
+
+def test_latex_comment_and_verbatim(tmp_path):
+    r = _tex_rows(tmp_path)['paper.tex']
+    assert 'trailing comment' not in r[8]
+    assert 'Escaped 100% stays.' in r[8]          # \% survives the strip
+    code = next(s for s in r[7] if s[0] == 'code')
+    assert code[1] == 'x = 3 % not a comment here'
+    assert 'Trailing junk' not in r[8]            # after \end{document}
+
+
+def test_latex_math_and_markers(tmp_path):
+    r = _tex_rows(tmp_path)['paper.tex']
+    maths = [s[1] for s in r[7] if s[0] == 'math']
+    assert maths == ['\\sum_{i=1}^{n} x_i', 'y = \\alpha x + \\beta']
+    assert 'Inline math $e = mc^2$ flows with text here [CIT]' in r[8]
+    assert '[REF]' in r[8]
+    assert 'the website (https://example.org)' in r[8]
+    assert '(the fine print)' in r[8]             # footnote inlined
+
+
+def test_latex_fragment_multifile_unclosed(tmp_path):
+    r = _tex_rows(tmp_path)
+    assert r['fragment.tex'][2] == 1 and '[CIT]' in r['fragment.tex'][8]
+    assert r['multifile.tex'][6] == 2             # n_inputs counted
+    u = r['unclosed.tex']
+    assert u[9] == 'unclosed-env:align' and u[3] == 1
+    assert r['mojibake.tex'][1] == 'Still parses'
+
+
+def test_read_latex_spark(spark, tmp_path):
+    d = str(tmp_path / 'tex')
+    write_synth_latex_gate_set(d)
+    from mineru_html_spark.sources.latex import read_latex
+    out = {r['doc_id']: r for r in read_latex(spark, d).collect()}
+    assert len(out) == 5
+    p = out['paper.tex']
+    assert p['n_figures'] == 1 and p['spans'][0]['kind'] == 'text'
+    offs = [s['offset'] for s in p['spans']]
+    assert offs == list(range(len(offs)))
