@@ -1861,6 +1861,106 @@ def q_latex_extract(spark, sf_dir):
                       F.md5('text').alias('text_md5'), 'error')
 
 
+def q_table_extract(spark, sf_dir):
+    """HTML tables materialized as normalized grids over the extraction
+    corpus (the table-QA / table-to-text mining operator): colspan/
+    rowspan expand by the standard formatting algorithm, headers split
+    via thead or leading all-<th> runs, captions kept, nested tables
+    emitted separately with their text excluded from enclosing cells.
+    The synth corpus plants both data tables (caption+thead) and layout
+    tables, so the gate pins real structural variety. Committed-output
+    oracle; cells digest pins the full grid."""
+    from mineru_html_spark.functions.tables import extract_tables
+    from mineru_html_spark.sources.synthsource import materialized_docs
+    n = docs_for_sf(_sf_of(sf_dir))
+    out = extract_tables(materialized_docs(spark, n))
+    return out.select('doc_id', 'table_idx', 'depth', 'n_rows',
+                      'n_cols', 'n_header_rows', 'caption',
+                      F.md5(F.to_json('header')).alias('header_md5'),
+                      F.md5(F.to_json('cells')).alias('cells_md5'))
+
+
+def _meta_gate_docs(spark, n: int):
+    """Deterministic metadata-rich page corpus: synth-doc bodies wrapped
+    in heads that sweep the field space — full OG + JSON-LD (@graph,
+    list @type), duplicated OG tags (first must win), uppercase attr
+    names, canonical links, TRUNCATED JSON-LD (repair-cascade path),
+    head-less fragments, and entity-escaped titles."""
+    import pandas as pd
+    from mineru_html_spark.core.synth import gen_doc
+
+    rows = []
+    for i in range(n):
+        body = ''.join(s['text'] for s in gen_doc(i)['spans']
+                       if s['kind'] == 'text')
+        v = i % 6
+        if v == 0:
+            head = (
+                '<html lang="en"><head><title>Page %d &amp; Co</title>'
+                '<meta name="description" content="Desc %d">'
+                '<meta property="og:title" content="OG %d">'
+                '<meta property="og:title" content="dup loses">'
+                '<meta property="og:type" content="article">'
+                '<meta property="og:image" content="https://cdn.ex/%d.png">'
+                '<meta property="article:published_time" '
+                'content="2024-0%d-01T00:00:00Z">'
+                '<link rel="canonical" href="https://ex.org/p/%d">'
+                '</head><body>' % (i, i, i, i, i % 9 + 1, i))
+        elif v == 1:
+            head = (
+                '<html LANG="de"><HEAD><TITLE>Seite %d</TITLE>'
+                '<META NAME="Description" CONTENT="Beschreibung %d">'
+                '<LINK REL="Canonical" HREF="https://ex.de/%d">'
+                '</HEAD><body>' % (i, i, i))
+        elif v == 2:
+            ld = ('{"@context":"https://schema.org","@graph":[{"@type":'
+                  '["Article","NewsArticle"],"headline":"Head %d",'
+                  '"datePublished":"2023-1%d-02"}]}' % (i, i % 3))
+            head = ('<html><head><title>LD %d</title>'
+                    '<script type="application/ld+json">%s</script>'
+                    '</head><body>' % (i, ld))
+        elif v == 3:
+            ld_full = ('{"@type": "Recipe", "headline": "Soup %d", '
+                       '"datePublished": "2022-05-0%d", '
+                       '"pad": {"deep": {"x": %d}}}' % (i, i % 9 + 1, i))
+            head = ('<html><head>'
+                    '<script type="application/ld+json">%s</script>'
+                    '</head><body>' % ld_full[:len(ld_full) * 2 // 3])
+        elif v == 4:
+            head = ''                                  # head-less
+        else:
+            head = ('<html><head><meta charset="utf-8">'
+                    '<meta property="og:url" '
+                    'content="https://ex.org/u/%d"></head><body>' % i)
+        html = head + body
+        rows.append({'doc_id': 'meta-%04d' % i,
+                     'spans': [{'kind': 'text', 'text': html,
+                                'media_ref': '', 'offset': 0}]})
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        'doc_id string, spans array<struct<kind:string,text:string,'
+        'media_ref:string,offset:int>>')
+
+
+def q_html_meta(spark, sf_dir):
+    """Page-metadata extraction (the structured-data tier a crawl mines
+    before content: canonical collapses URL aliases pre-dedup, OG cards
+    feed previews, JSON-LD carries publisher-typed headline/date):
+    title/lang/description/canonical/OG fields/published_time/JSON-LD
+    types+headline via the engine's repairing DOM, first-occurrence-
+    wins, truncated JSON-LD through the repair cascade. Committed-
+    output oracle over a head-variant sweep corpus."""
+    from mineru_html_spark.functions.meta import extract_page_meta
+    sf = _sf_of(sf_dir)
+    n = max(48, int(docs_for_sf(sf) // 20))
+    out = extract_page_meta(_meta_gate_docs(spark, n))
+    return out.select(
+        'doc_id', 'title', 'lang', 'canonical', 'description',
+        'og_title', 'og_type', 'og_image', 'og_url', 'published_time',
+        F.to_json('jsonld_types').alias('jsonld_types_json'),
+        'jsonld_headline', 'n_meta_tags')
+
+
 def q_feed_extract(spark, sf_dir):
     """RSS/Atom feed discovery — the fresh-content crawl channel: a
     CDATA/entity RSS feed, a gzipped namespace-prefixed Atom feed whose
@@ -2761,6 +2861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'docx_extract': q_docx_extract,
         'ipynb_extract': q_ipynb_extract,
         'latex_extract': q_latex_extract,
+        'table_extract': q_table_extract,
+        'html_meta': q_html_meta,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'chunk_docs': q_chunk_docs,
@@ -2983,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
                      'feed_extract', 'anchor_index', 'odt_extract',
                      'rtf_extract', 'mbox_extract', 'webp_decode',
                      'ipynb_extract', 'latex_extract',
+                     'table_extract', 'html_meta',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract')

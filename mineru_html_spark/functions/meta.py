@@ -1,0 +1,186 @@
+"""Page metadata extraction: the structured-data tier of a crawl.
+
+Upstream of content extraction, every production crawl pipeline mines
+the document HEAD: titles/descriptions feed retrieval and dedup keys,
+OpenGraph cards feed preview rendering, ``rel=canonical`` collapses URL
+aliases before dedup, ``lang`` routes language pipelines ahead of
+content-based lang-ID, and JSON-LD carries the publisher's own typed
+description (headline, datePublished) — the highest-precision metadata
+available. (The reference extracts body content only; this is a
+beyond-reference crawl component, same stance as the outlink tier in
+``links.py``.)
+
+Semantics:
+
+* walks the SAME repairing DOM as the extraction engine
+  (``core/dom.py``) — truncated/misnested crawl HTML still yields its
+  surviving head fields;
+* first occurrence wins per field (document order — the rule preview
+  renderers apply to duplicated OG tags);
+* attribute names/values are matched case-insensitively where HTML is
+  case-insensitive (tag/attr names, ``rel`` tokens), values unescape;
+* ``<script type="application/ld+json">`` parses with ``json.loads``
+  first and falls back to the engine's JSON-repair cascade
+  (``core/jsonrepair.parse_tolerant``) — truncated JSON-LD is the
+  single most common structured-data corruption in a crawl; ``@graph``
+  wrappers and top-level arrays unwrap; ``@type`` may be a list;
+* emitted fields: title, lang, canonical, description, og_title,
+  og_type, og_image, og_url, published_time (OG ``article:
+  published_time`` or JSON-LD ``datePublished``, OG wins), jsonld_types
+  (sorted distinct), jsonld_headline, n_meta_tags.
+
+Scale shape: one Arrow-batched pass, one row per document, fixed-width
+output (no content columns) — the shuffle-free profile of the other
+per-doc text functions.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.dom import Node, parse_html
+from ..core.jsonrepair import JsonRepairError, parse_tolerant
+
+META_ROWS_SCHEMA = (
+    'doc_id string, title string, lang string, canonical string, '
+    'description string, og_title string, og_type string, '
+    'og_image string, og_url string, published_time string, '
+    'jsonld_types array<string>, jsonld_headline string, '
+    'n_meta_tags int')
+
+_OG_FIELDS = {'og:title': 'og_title', 'og:type': 'og_type',
+              'og:image': 'og_image', 'og:url': 'og_url'}
+
+
+def _text_of(node: Node) -> str:
+    buf: List[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, Node):
+                walk(c)
+            else:
+                buf.append(c)
+
+    walk(node)
+    return ' '.join(' '.join(buf).split())
+
+
+def _jsonld_docs(raw: str) -> List[dict]:
+    """Parse a ld+json script body; unwrap @graph / top-level arrays;
+    repair-cascade fallback for truncated payloads."""
+    try:
+        got = json.loads(raw)
+    except Exception:  # noqa: BLE001 — crawl JSON-LD truncates
+        try:
+            got = parse_tolerant(raw, max_steps=4096)
+        except JsonRepairError:
+            return []
+    items = got if isinstance(got, list) else [got]
+    out: List[dict] = []
+    for it in items:
+        if not isinstance(it, dict):
+            continue
+        graph = it.get('@graph')
+        if isinstance(graph, list):
+            out.extend(g for g in graph if isinstance(g, dict))
+        else:
+            out.append(it)
+    return out
+
+
+def page_meta_from_html(html: str) -> dict:
+    """One metadata record from raw HTML (never raises)."""
+    rec = {k: None for k in ('title', 'lang', 'canonical', 'description',
+                             'og_title', 'og_type', 'og_image', 'og_url',
+                             'published_time', 'jsonld_headline')}
+    rec['jsonld_types'] = []
+    rec['n_meta_tags'] = 0
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001 — tolerant contract
+        return rec
+    og_published: Optional[str] = None
+    ld_published: Optional[str] = None
+    types: List[str] = []
+
+    def visit(node: Node) -> None:
+        nonlocal og_published, ld_published
+        tag = node.tag.lower()
+        attrs = {k.lower(): (v or '') for k, v in node.attrs.items()}
+        if tag == 'html' and rec['lang'] is None and attrs.get('lang'):
+            rec['lang'] = attrs['lang'].strip()
+        elif tag == 'title' and rec['title'] is None:
+            t = _text_of(node)
+            if t:
+                rec['title'] = t
+        elif tag == 'meta':
+            rec['n_meta_tags'] += 1
+            name = attrs.get('name', '').lower()
+            prop = attrs.get('property', '').lower()
+            content = attrs.get('content', '').strip()
+            if content:
+                if name == 'description' and rec['description'] is None:
+                    rec['description'] = content
+                key = _OG_FIELDS.get(prop)
+                if key and rec[key] is None:
+                    rec[key] = content
+                if prop == 'article:published_time' \
+                        and og_published is None:
+                    og_published = content
+        elif tag == 'link':
+            rel = attrs.get('rel', '').lower().split()
+            if 'canonical' in rel and rec['canonical'] is None \
+                    and attrs.get('href', '').strip():
+                rec['canonical'] = attrs['href'].strip()
+        elif tag == 'script' \
+                and attrs.get('type', '').lower() == 'application/ld+json':
+            raw = ''.join(c for c in node.children if isinstance(c, str))
+            for item in _jsonld_docs(raw):
+                t = item.get('@type')
+                for tv in (t if isinstance(t, list) else [t]):
+                    if isinstance(tv, str) and tv:
+                        types.append(tv)
+                h = item.get('headline')
+                if isinstance(h, str) and h \
+                        and rec['jsonld_headline'] is None:
+                    rec['jsonld_headline'] = h
+                d = item.get('datePublished')
+                if isinstance(d, str) and d and ld_published is None:
+                    ld_published = d
+        for c in node.children:
+            if isinstance(c, Node):
+                visit(c)
+
+    visit(root)
+    rec['published_time'] = og_published or ld_published
+    rec['jsonld_types'] = sorted(set(types))
+    return rec
+
+
+def extract_page_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> META_ROWS_SCHEMA, one row per document. The
+    doc's HTML is the concatenation of its text spans (the docs-table
+    contract)."""
+
+    cols = ['doc_id', 'title', 'lang', 'canonical', 'description',
+            'og_title', 'og_type', 'og_image', 'og_url',
+            'published_time', 'jsonld_types', 'jsonld_headline',
+            'n_meta_tags']
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+                html = ''.join(s['text'] for s in spans
+                               if s['kind'] == 'text')
+                rec = page_meta_from_html(html)
+                rows.append((doc_id,) + tuple(rec[c] for c in cols[1:]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select('doc_id', 'spans').mapInPandas(
+        batch, META_ROWS_SCHEMA)

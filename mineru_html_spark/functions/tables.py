@@ -1,0 +1,180 @@
+"""HTML table extraction: data tables as normalized grids.
+
+Tables are the structured slice of a web crawl — table-QA / table-to-
+text training sets (WikiTables, ToTTo, TaPas-style corpora) are all
+mined by exactly this operator: find ``<table>`` elements, normalize
+``colspan``/``rowspan`` into a rectangular grid, split the header row,
+and keep the provenance (doc, position, caption). The extraction
+engine already DETECTS data tables (``core/simplify.is_data_table`` —
+the reference keeps data tables as content, simplify_html.py); this
+operator goes one step further and materializes their content as rows
+a downstream trainer can consume.
+
+Semantics:
+
+* each ``<table>`` in document order is one output row; nested tables
+  are their OWN rows (marked ``depth``>0) and their text is EXCLUDED
+  from the enclosing cell (no double counting);
+* the grid algorithm is the standard HTML table-formatting one: cells
+  place left-to-right skipping slots occupied by earlier ``rowspan``/
+  ``colspan``, spans replicate the cell text into every covered slot,
+  ragged rows pad with '' to the widest row;
+* the header is the leading run of rows whose cells are all ``<th>``
+  (or the ``<thead>`` rows when present); spans capped at 64 so a
+  malformed ``rowspan="99999"`` cannot allocate a giant grid (worst
+  case one cell contributes 64x64 slots — bounded per authored cell);
+* ``<caption>`` text is kept — it is the table's natural-language
+  description (the ToTTo supervision signal).
+
+Scale shape: one Arrow-batched pass, one row per table — fixed small
+output per input doc; parse failures yield zero rows, never a task
+failure (the links.py contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.dom import Node, parse_html
+
+TABLE_ROWS_SCHEMA = (
+    'doc_id string, table_idx int, depth int, n_rows int, n_cols int, '
+    'n_header_rows int, caption string, header array<string>, '
+    'cells array<array<string>>')
+
+_MAX_SPAN = 64
+
+
+def _own_text(node: Node) -> str:
+    """Whitespace-normalized text of a cell, nested tables excluded."""
+    buf: List[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, Node):
+                if c.tag != 'table':
+                    walk(c)
+            else:
+                buf.append(c)
+
+    walk(node)
+    return ' '.join(' '.join(buf).split())
+
+
+def _int_attr(attrs: dict, key: str) -> int:
+    try:
+        v = int(str(attrs.get(key, '1')).strip() or 1)
+    except ValueError:
+        v = 1
+    return max(1, min(v, _MAX_SPAN))
+
+
+def _table_grid(table: Node) -> Tuple[List[List[str]], int, str]:
+    """(rows-as-grid, n_header_rows, caption) for one <table> node."""
+    caption = ''
+    trs: List[Tuple[Node, bool]] = []          # (tr, in_thead)
+
+    def collect(n: Node, in_thead: bool) -> None:
+        nonlocal caption
+        for c in n.children:
+            if not isinstance(c, Node):
+                continue
+            if c.tag == 'caption' and not caption:
+                caption = _own_text(c)
+            elif c.tag == 'tr':
+                trs.append((c, in_thead))
+            elif c.tag in ('thead', 'tbody', 'tfoot'):
+                collect(c, c.tag == 'thead')
+            # nested <table> is NOT descended: it emits separately
+
+    collect(table, False)
+
+    grid: dict = {}
+    all_th: List[bool] = []
+    thead_rows = 0
+    r = 0
+    for tr, in_thead in trs:
+        cells = [c for c in tr.children
+                 if isinstance(c, Node) and c.tag in ('td', 'th')]
+        c_pos = 0
+        row_all_th = bool(cells)
+        for cell in cells:
+            while (r, c_pos) in grid:
+                c_pos += 1
+            attrs = {k.lower(): v for k, v in cell.attrs.items()}
+            cs = _int_attr(attrs, 'colspan')
+            rs = _int_attr(attrs, 'rowspan')
+            text = _own_text(cell)
+            for dr in range(rs):
+                for dc in range(cs):
+                    grid[(r + dr, c_pos + dc)] = text
+            if cell.tag != 'th':
+                row_all_th = False
+            c_pos += cs
+        all_th.append(row_all_th)
+        if in_thead:
+            thead_rows += 1
+        r += 1
+
+    n_rows = max((k[0] for k in grid), default=-1) + 1
+    n_cols = max((k[1] for k in grid), default=-1) + 1
+    rows = [[grid.get((ri, ci), '') for ci in range(n_cols)]
+            for ri in range(n_rows)]
+
+    if thead_rows:
+        n_header = thead_rows
+    else:                        # leading run of all-<th> rows
+        n_header = 0
+        for flag in all_th[:n_rows]:
+            if not flag:
+                break
+            n_header += 1
+    return rows, n_header, caption
+
+
+def tables_from_html(html: str) -> List[tuple]:
+    """[(table_idx, depth, n_rows, n_cols, n_header_rows, caption,
+    header, cells)] in document order; never raises."""
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001 — tolerant contract
+        return []
+    out: List[tuple] = []
+
+    def visit(n: Node, depth: int) -> None:
+        if n.tag == 'table':
+            rows, n_header, caption = _table_grid(n)
+            header = rows[0] if n_header else []
+            out.append((len(out), depth, len(rows),
+                        len(rows[0]) if rows else 0, n_header,
+                        caption, header, rows))
+            depth += 1
+        for c in n.children:
+            if isinstance(c, Node):
+                visit(c, depth)
+
+    visit(root, 0)
+    return out
+
+
+def extract_tables(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> TABLE_ROWS_SCHEMA, one row per table found."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+                html = ''.join(s['text'] for s in spans
+                               if s['kind'] == 'text')
+                for t in tables_from_html(html):
+                    rows.append((doc_id,) + t)
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'table_idx', 'depth', 'n_rows',
+                               'n_cols', 'n_header_rows', 'caption',
+                               'header', 'cells'])
+
+    return docs.select('doc_id', 'spans').mapInPandas(
+        batch, TABLE_ROWS_SCHEMA)

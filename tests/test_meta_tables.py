@@ -1,0 +1,112 @@
+"""Page-metadata + HTML-table extraction: field semantics, first-wins,
+JSON-LD repair, grid normalization (colspan/rowspan/thead/nesting),
+span capping, Spark shape."""
+
+from mineru_html_spark.functions.meta import page_meta_from_html
+from mineru_html_spark.functions.tables import tables_from_html
+
+FULL = '''<!DOCTYPE html><html lang="en-US"><head>
+<title>The &amp; Title</title>
+<meta name="Description" content="A test page">
+<meta property="og:title" content="OG Title">
+<meta property="og:title" content="dup must lose">
+<meta property="og:image" content="https://x/img.png">
+<meta property="article:published_time" content="2024-01-02T03:04:05Z">
+<link rel="Canonical" href="https://example.org/a">
+<script type="application/ld+json">{"@context":"https://schema.org",
+"@graph":[{"@type":["Article","NewsArticle"],"headline":"LD Head",
+"datePublished":"2024-01-01"}]}</script>
+</head><body><p>hi</p></body></html>'''
+
+
+def test_meta_full_page_fields():
+    m = page_meta_from_html(FULL)
+    assert m['title'] == 'The & Title'            # entity unescaped
+    assert m['lang'] == 'en-US'
+    assert m['description'] == 'A test page'      # name case-insensitive
+    assert m['og_title'] == 'OG Title'            # first occurrence wins
+    assert m['canonical'] == 'https://example.org/a'   # rel case-insens
+    assert m['published_time'] == '2024-01-02T03:04:05Z'   # OG beats LD
+    assert m['jsonld_types'] == ['Article', 'NewsArticle']
+    assert m['jsonld_headline'] == 'LD Head'
+    assert m['n_meta_tags'] == 5                  # dup og:title counts
+
+
+def test_meta_truncated_jsonld_repairs():
+    ld = ('{"@type": "Recipe", "headline": "Soup", '
+          '"datePublished": "2022-05-01", "pad": {"deep": 1}}')
+    h = ('<html><head><script type="application/ld+json">%s'
+         '</script></head></html>' % ld[:56])    # cut inside datePub
+    m = page_meta_from_html(h)
+    assert m['jsonld_types'] == ['Recipe']
+    assert m['jsonld_headline'] == 'Soup'
+    assert m['published_time'] is None            # truncated away
+    # fully unparseable LD contributes nothing, never raises
+    h2 = ('<html><head><script type="application/ld+json">not json'
+          '</script></head></html>')
+    assert page_meta_from_html(h2)['jsonld_types'] == []
+
+
+def test_meta_headless_and_ld_published_fallback():
+    m = page_meta_from_html('<p>no head here')
+    assert m['title'] is None and m['n_meta_tags'] == 0
+    h = ('<html><head><script type="application/ld+json">'
+         '{"@type":"Article","datePublished":"2021-03-04"}'
+         '</script></head></html>')
+    assert page_meta_from_html(h)['published_time'] == '2021-03-04'
+
+
+NESTED = ('<table><caption>Outer</caption>'
+          '<thead><tr><th>K</th><th colspan=2>Pair</th></tr></thead>'
+          '<tr><td rowspan=2>a</td><td>1</td><td>2</td></tr>'
+          '<tr><td>3</td><td>4</td>'
+          '<tr><td>b</td><td><table><tr><td>inner</td></tr></table>'
+          'outer text</td><td>5</td></tr></table>')
+
+
+def test_table_grid_normalization():
+    ts = tables_from_html(NESTED)
+    assert len(ts) == 2
+    idx, depth, n_rows, n_cols, n_head, cap, header, cells = ts[0]
+    assert (depth, n_rows, n_cols, n_head) == (0, 4, 3, 1)
+    assert cap == 'Outer'
+    assert header == ['K', 'Pair', 'Pair']        # colspan replicates
+    assert cells[1] == ['a', '1', '2']
+    assert cells[2] == ['a', '3', '4']            # rowspan fills down
+    assert cells[3] == ['b', 'outer text', '5']   # nested text excluded
+    assert ts[1][:4] == (1, 1, 1, 1) and ts[1][7] == [['inner']]
+
+
+def test_table_span_cap_and_tolerance():
+    ts = tables_from_html(
+        '<table><tr><td colspan="99999" rowspan="bad">x</td></tr></table>')
+    assert ts[0][3] == 64 and ts[0][2] == 1       # cap / bad attr -> 1
+    assert tables_from_html('no tables') == []
+    # ragged rows pad to the widest
+    ts = tables_from_html(
+        '<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>')
+    assert ts[0][7] == [['a', 'b'], ['c', '']]
+
+
+def test_meta_tables_spark(spark):
+    import pandas as pd
+    docs = spark.createDataFrame(
+        pd.DataFrame([
+            {'doc_id': 'd1', 'spans': [
+                {'kind': 'text', 'text': FULL, 'media_ref': '',
+                 'offset': 0}]},
+            {'doc_id': 'd2', 'spans': [
+                {'kind': 'text', 'text': NESTED, 'media_ref': '',
+                 'offset': 0}]},
+        ]),
+        'doc_id string, spans array<struct<kind:string,text:string,'
+        'media_ref:string,offset:int>>')
+    from mineru_html_spark.functions.meta import extract_page_meta
+    from mineru_html_spark.functions.tables import extract_tables
+    meta = {r['doc_id']: r for r in extract_page_meta(docs).collect()}
+    assert meta['d1']['og_title'] == 'OG Title'
+    assert meta['d2']['title'] is None
+    tabs = extract_tables(docs).collect()
+    assert {(r['doc_id'], r['table_idx']) for r in tabs} == \
+        {('d2', 0), ('d2', 1)}
+    assert all(r['cells'] for r in tabs)
