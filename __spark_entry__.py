@@ -1542,6 +1542,32 @@ def q_gopher_quality(spark, sf_dir):
     return tx.gopher_signals(docs)
 
 
+def q_code_quality(spark, sf_dir):
+    """Source-code quality screens (The Stack / StarCoder): line-length
+    rules, alphabetic-character floor, longest-token screen, autogen
+    header markers — all native integer expressions, zero Python, zero
+    shuffle. Four plants isolate each rule (generated header, minified
+    one-liner, digit table, base64 blob token); the rest of the corpus
+    is line-ified word salad so every formula sees real variety. Exact
+    SQL oracle."""
+    from mineru_html_spark.functions.code import code_quality_features
+    d = F.col('doc_id')
+    text = (
+        F.when(d % 11 == 1, F.concat(
+            F.lit('// Code auto-generated by protoc. DO NOT EDIT.\n'),
+            F.repeat(F.lit('int x = 1;\n'), 20)))
+        .when(d % 11 == 2, F.repeat(F.lit('x=1;y=2;'), 200))
+        .when(d % 11 == 3, F.repeat(F.lit('0123456789 '), 120))
+        .when(d % 11 == 4, F.concat(
+            F.lit('normal line one\n'),
+            F.repeat(F.lit('QmFzZTY0'), 500),
+            F.lit('\nnormal tail')))
+        .otherwise(F.regexp_replace(
+            'text', r'(\S+ \S+ \S+ \S+ \S+) ', '$1\n')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return code_quality_features(docs)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary profile: top-100 words by occurrence (ties broken by
     word) with per-word document frequency — explode, map-side partial
@@ -2863,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'latex_extract': q_latex_extract,
         'table_extract': q_table_extract,
         'html_meta': q_html_meta,
+        'code_quality': q_code_quality,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'chunk_docs': q_chunk_docs,
@@ -3690,6 +3717,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens,
                    cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
+        """,
+        'code_quality': """
+            WITH d AS (
+              SELECT doc_id, CASE CAST(doc_id % 11 AS INT)
+                WHEN 1 THEN '// Code auto-generated by protoc. DO NOT '
+                            || 'EDIT.' || chr(10)
+                            || repeat('int x = 1;' || chr(10), 20)
+                WHEN 2 THEN repeat('x=1;y=2;', 200)
+                WHEN 3 THEN repeat('0123456789 ', 120)
+                WHEN 4 THEN 'normal line one' || chr(10)
+                            || repeat('QmFzZTY0', 500) || chr(10)
+                            || 'normal tail'
+                ELSE regexp_replace(text,
+                       '(\\S+ \\S+ \\S+ \\S+ \\S+) ',
+                       '\\1' || chr(10), 'g')
+              END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM d),
+            m AS (
+              SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(coalesce(list_max(list_transform(lines,
+                     x -> length(x))), 0) AS BIGINT) AS max_line_len,
+                CAST(floor(100.0 * coalesce(list_sum(list_transform(
+                     lines, x -> length(x))), 0) / len(lines))
+                     AS BIGINT) AS mean_line_len_centi,
+                CAST(floor(1000.0 * length(regexp_replace(text,
+                     '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) AS BIGINT)
+                     AS alpha_permille,
+                CAST(floor(1000.0 * length(regexp_replace(text,
+                     '[^A-Za-z0-9]', '', 'g'))
+                     / greatest(length(text), 1)) AS BIGINT)
+                     AS alnum_permille,
+                CAST(coalesce(list_max(list_transform(toks,
+                     x -> length(x))), 0) AS BIGINT) AS max_token_len,
+                regexp_matches(lower(array_to_string(
+                     list_slice(lines, 1, 5), chr(10))),
+                     'auto-?generated|generated by|do not edit')
+                     AS autogen
+              FROM l)
+            SELECT *,
+              (NOT autogen AND max_line_len <= 1000
+               AND mean_line_len_centi <= 10000
+               AND alpha_permille >= 250
+               AND max_token_len <= 3000) AS keep
+            FROM m
         """,
         'gopher_quality': f"""
             WITH d AS (
