@@ -2877,13 +2877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hashed_embed': q_hashed_embed,
         'robots_gate': q_robots_gate,
         'sitemap_extract': q_sitemap_extract,
-        'frontier_waves': q_frontier_waves,
+        'bpe_train': q_bpe_train,
         'unigram_train': q_unigram_train,
         'unigram_apply': q_unigram_apply,
         'cdx_fetch_plan': q_cdx_fetch_plan,
         'link_graph': q_link_graph,
         'near_dup_incremental': q_near_dup_incremental,
-        'crawl_delta': q_crawl_delta,
+        'bpe_apply': q_bpe_apply,
         'docx_extract': q_docx_extract,
         'ipynb_extract': q_ipynb_extract,
         'latex_extract': q_latex_extract,
@@ -2892,14 +2892,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'code_quality': q_code_quality,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
-        'chunk_docs': q_chunk_docs,
+        'wordpiece_train': q_wordpiece_train,
         'anchor_index': q_anchor_index,
         'robots_sitemaps': q_robots_sitemaps,
         'odt_extract': q_odt_extract,
         'rtf_extract': q_rtf_extract,
         'mbox_extract': q_mbox_extract,
         'winnow_fp': q_winnow,
-        'corpus_quantiles': q_corpus_quantiles,
+        'wordpiece_apply': q_wordpiece_apply,
         'webp_decode': q_webp_decode,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
@@ -2911,8 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
-        'bpe_train': q_bpe_train,
-        'bpe_apply': q_bpe_apply,
+        'frontier_waves': q_frontier_waves,
+        'crawl_delta': q_crawl_delta,
         'pagerank': q_pagerank,
         'asof_purchase': q_asof_purchase,
         'rolling_value_7d': q_rolling_value_7d,
@@ -2920,8 +2920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q3': q_tpch_q3,
         'tpch_q5': q_tpch_q5,
         # --- new this window (never certified; rotate into r6's 50) ---
-        'wordpiece_train': q_wordpiece_train,
-        'wordpiece_apply': q_wordpiece_apply,
+        'chunk_docs': q_chunk_docs,
+        'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
         'seq_pack': q_seq_pack,
         'gopher_quality': q_gopher_quality,

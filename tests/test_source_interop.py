@@ -1,6 +1,7 @@
 """Every document source feeds the corpus tier: texts extracted from
-EPUB/DOCX/ODT/RTF/mbox flow through dedup/embedding/quality operators
-on one session — the 'switch a source, keep the pipeline' contract."""
+EPUB/DOCX/ODT/RTF/mbox/ipynb/LaTeX flow through dedup/embedding/quality
+operators on one session — the 'switch a source, keep the pipeline'
+contract."""
 
 import pyspark.sql.functions as F
 
@@ -16,13 +17,19 @@ def test_all_sources_feed_corpus_operators(spark, tmp_path):
                                                write_synth_rtf_gate_set)
     from mineru_html_spark.sources.mail import (read_mbox,
                                                 write_synth_mbox_gate_set)
+    from mineru_html_spark.sources.ipynb import (read_ipynb,
+                                                 write_synth_ipynb_gate_set)
+    from mineru_html_spark.sources.latex import (read_latex,
+                                                 write_synth_latex_gate_set)
 
     dirs = {}
     for name, writer in [('epub', write_synth_epub_gate_set),
                          ('docx', write_synth_docx_gate_set),
                          ('odt', write_synth_odt_gate_set),
                          ('rtf', write_synth_rtf_gate_set),
-                         ('mbox', write_synth_mbox_gate_set)]:
+                         ('mbox', write_synth_mbox_gate_set),
+                         ('ipynb', write_synth_ipynb_gate_set),
+                         ('latex', write_synth_latex_gate_set)]:
         d = str(tmp_path / name)
         writer(d)
         dirs[name] = d
@@ -33,6 +40,8 @@ def test_all_sources_feed_corpus_operators(spark, tmp_path):
         read_odt(spark, dirs['odt']).select('doc_id', 'text'),
         read_rtf(spark, dirs['rtf']).select('doc_id', 'text'),
         read_mbox(spark, dirs['mbox']).select('doc_id', 'text'),
+        read_ipynb(spark, dirs['ipynb']).select('doc_id', 'text'),
+        read_latex(spark, dirs['latex']).select('doc_id', 'text'),
     ]
     docs = parts[0]
     for p in parts[1:]:
