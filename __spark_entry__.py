@@ -1568,6 +1568,28 @@ def q_code_quality(spark, sf_dir):
     return code_quality_features(docs)
 
 
+def q_mix_plan(spark, sf_dir):
+    """Training-mix assembly (the Gopher/LLaMA mixture table /DoReMi
+    budget stage): per-source token targets -> keep rates -> realized
+    selection stats, ONE corpus pass (a source x key%1000 histogram
+    carries availability, rate and realized counts). Targets derive
+    from a fixed rule over the source name so the gate sweeps all three
+    regimes — oversubscribed (down-sampled), undersubscribed (full keep
+    + deficit), and not-in-mix (rate 0). Exact SQL oracle."""
+    import hashlib
+    from mineru_html_spark.functions.corpus import training_mix_plan
+    docs = _docs(spark, sf_dir)
+    sources = [r['source'] for r in docs.select('source')
+               .distinct().collect()]
+
+    def _h(s):                       # md5-derived: mirrors in DuckDB
+        return int(hashlib.md5((s + ':tgt').encode()).hexdigest()[:4],
+                   16)
+    targets = {s: 200 + 173 * (_h(s) % 17) for s in sources
+               if _h(s) % 5 != 2}    # %5==2 sources: not in mix
+    return training_mix_plan(docs, targets)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary profile: top-100 words by occurrence (ties broken by
     word) with per-word document frequency — explode, map-side partial
@@ -2890,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'table_extract': q_table_extract,
         'html_meta': q_html_meta,
         'code_quality': q_code_quality,
+        'mix_plan': q_mix_plan,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'wordpiece_train': q_wordpiece_train,
@@ -3717,6 +3740,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens,
                    cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
+        """,
+        'mix_plan': """
+            WITH b AS (
+              SELECT source,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS t,
+                CAST(concat('0x', substring(
+                    md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))
+                  AS BIGINT) % 1000 AS k
+              FROM documents),
+            p AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS available_docs,
+                CAST(sum(t) AS BIGINT) AS available_tokens,
+                CAST(CASE WHEN CAST(concat('0x', substring(
+                         md5(source || ':tgt'), 1, 4)) AS BIGINT)
+                         % 5 = 2 THEN 0
+                     ELSE 200 + 173 * (CAST(concat('0x', substring(
+                         md5(source || ':tgt'), 1, 4)) AS BIGINT) % 17)
+                     END AS BIGINT) AS target_tokens
+              FROM b GROUP BY source),
+            r AS (
+              SELECT *, CAST(CASE WHEN available_tokens <= 0 THEN 0
+                ELSE least(1000,
+                           (1000 * target_tokens) // available_tokens)
+                END AS BIGINT) AS rate_permille
+              FROM p),
+            s AS (
+              SELECT b.source,
+                CAST(count(*) AS BIGINT) AS selected_docs,
+                CAST(sum(b.t) AS BIGINT) AS selected_tokens
+              FROM b JOIN r ON b.source = r.source
+              WHERE b.k < r.rate_permille
+              GROUP BY b.source)
+            SELECT r.source, r.available_docs, r.available_tokens,
+              r.target_tokens, r.rate_permille,
+              CAST(coalesce(s.selected_docs, 0) AS BIGINT)
+                AS selected_docs,
+              CAST(coalesce(s.selected_tokens, 0) AS BIGINT)
+                AS selected_tokens,
+              CAST(greatest(0, r.target_tokens
+                   - coalesce(s.selected_tokens, 0)) AS BIGINT)
+                AS deficit_tokens
+            FROM r LEFT JOIN s ON r.source = s.source
         """,
         'code_quality': """
             WITH d AS (

@@ -950,3 +950,105 @@ def chunk_documents(documents: DataFrame, chunk_words: int = 128,
         'doc_id', F.col('c.chunk_idx').alias('chunk_idx'),
         F.size('c.cw').cast('int').alias('n_words'),
         F.array_join('c.cw', ' ').alias('chunk_text'))
+
+
+def training_mix_plan(documents: DataFrame, targets: dict,
+                      stratum_col: str = 'source',
+                      key_col: str = 'doc_id',
+                      salt: str = 'mix1') -> DataFrame:
+    """Training-mix assembly plan: per-source token budgets -> rates ->
+    realized selection, in ONE corpus pass.
+
+    The last stage of every pretraining-data pipeline is the mix: "this
+    many tokens of books, this many of crawl, this many of code"
+    (Gopher/LLaMA-style mixture tables; DoReMi emits exactly these
+    per-domain token budgets). Given ``targets`` (stratum ->
+    target_tokens), each source's keep rate is
+    ``min(1000, 1000*target // available)`` permille — oversubscribed
+    sources are down-sampled by the engine-portable salted-md5 key
+    (``sample_key``: the same doc keeps/drops on every engine, rerun
+    and cluster size), undersubscribed sources keep everything and
+    report their shortfall as ``deficit_tokens`` (epoch/up-sampling is
+    the caller's policy decision, stated rather than silently applied).
+
+    Scale shape: the corpus is touched ONCE — a map-side-combined
+    ``groupBy(stratum, key%1000)`` histogram (<= 1000 rows per source)
+    carries everything; availability, rate, and realized
+    selected_docs/tokens all derive from that tiny table, so the
+    planner costs one aggregate regardless of corpus size, and the
+    actual selection filter reuses the same key (a pure scan-side
+    predicate, no shuffle). Sources absent from ``targets`` get rate 0
+    (not in the mix); integer arithmetic throughout (exact SQL
+    oracle)."""
+    spark = documents.sparkSession
+    toks = F.when(F.length(F.trim('text')) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim('text'), r'\s+'))).cast('long')
+    base = documents.select(
+        F.col(stratum_col).alias('stratum'),
+        toks.alias('_t'),
+        sample_key(F.col(key_col), salt).alias('_k'))
+    # materialize the histogram ONCE (localCheckpoint, the repo's
+    # lineage-cut idiom): availability and realized-selection both
+    # derive from it, and without the cut Spark re-plans the corpus
+    # scan under each branch (identical Exchanges don't reuse across
+    # exprId-renumbered subtrees) — i.e. TWO corpus passes at 100 TB
+    hist = base.groupBy('stratum', '_k').agg(
+        F.count('*').cast('long').alias('_n'),
+        F.sum('_t').cast('long').alias('_tok')).localCheckpoint()
+
+    tdf = spark.createDataFrame(
+        [(s, int(t)) for s, t in sorted(targets.items())],
+        'stratum string, target_tokens long')
+    avail = hist.groupBy('stratum').agg(
+        F.sum('_n').cast('long').alias('available_docs'),
+        F.sum('_tok').cast('long').alias('available_tokens'))
+    plan = (avail.join(F.broadcast(tdf), 'stratum', 'left')
+            .withColumn('target_tokens',
+                        F.coalesce('target_tokens', F.lit(0))
+                        .cast('long'))
+            .withColumn('rate_permille', F.when(
+                F.col('available_tokens') <= 0, F.lit(0)
+            ).otherwise(F.least(
+                F.lit(1000),
+                F.expr('(1000 * target_tokens) div available_tokens')))
+                .cast('long')))
+
+    sel = (hist.join(F.broadcast(plan.select('stratum', 'rate_permille')),
+                     'stratum')
+           .where(F.col('_k') < F.col('rate_permille'))
+           .groupBy('stratum').agg(
+               F.sum('_n').cast('long').alias('selected_docs'),
+               F.sum('_tok').cast('long').alias('selected_tokens')))
+    return (plan.join(F.broadcast(sel), 'stratum', 'left')
+            .select(F.col('stratum').alias(stratum_col),
+                    'available_docs', 'available_tokens',
+                    'target_tokens', 'rate_permille',
+                    F.coalesce('selected_docs', F.lit(0)).cast('long')
+                    .alias('selected_docs'),
+                    F.coalesce('selected_tokens', F.lit(0)).cast('long')
+                    .alias('selected_tokens'),
+                    F.greatest(
+                        F.lit(0),
+                        F.col('target_tokens')
+                        - F.coalesce('selected_tokens', F.lit(0)))
+                    .cast('long').alias('deficit_tokens')))
+
+
+def training_mix_select(documents: DataFrame, targets: dict,
+                        stratum_col: str = 'source',
+                        key_col: str = 'doc_id',
+                        salt: str = 'mix1') -> DataFrame:
+    """Apply a training-mix plan: the selection filter companion to
+    ``training_mix_plan`` — same key, same rates, so the selected set
+    is exactly the one the plan's ``selected_*`` columns count. The
+    rate table is tiny and broadcasts; the corpus never shuffles."""
+    plan = training_mix_plan(documents, targets, stratum_col, key_col,
+                             salt)
+    rates = plan.select(F.col(stratum_col).alias('stratum'),
+                        'rate_permille')
+    out = (documents
+           .join(F.broadcast(rates),
+                 documents[stratum_col] == F.col('stratum'))
+           .where(sample_key(F.col(key_col), salt)
+                  < F.col('rate_permille')))
+    return out.drop('stratum', 'rate_permille')

@@ -1,0 +1,84 @@
+"""Training-mix planner: regime semantics (oversubscribed /
+undersubscribed / not-in-mix), plan<->selection consistency,
+determinism across partitioning, and the one-pass/broadcast plan."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from mineru_html_spark.functions.corpus import (training_mix_plan,
+                                                training_mix_select)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(300):
+        src = ('books', 'crawl', 'code')[i % 3]
+        # books: 10-token docs; crawl: 20; code: 5
+        n = {'books': 10, 'crawl': 20, 'code': 5}[src]
+        rows.append({'doc_id': i, 'source': src,
+                     'text': ' '.join(f'w{i}x{j}' for j in range(n))})
+    return spark.createDataFrame(
+        pd.DataFrame(rows), 'doc_id long, source string, text string')
+
+
+def test_mix_regimes(spark):
+    docs = _docs(spark)
+    # availability: books 1000, crawl 2000, code 500 tokens
+    targets = {'books': 250,      # oversubscribed: rate 250‰
+               'code': 9999}      # undersubscribed: rate 1000 + deficit
+    # crawl absent -> rate 0
+    plan = {r['source']: r for r in
+            training_mix_plan(docs, targets).collect()}
+    assert plan['books']['available_tokens'] == 1000
+    assert plan['books']['rate_permille'] == 250
+    assert plan['crawl']['rate_permille'] == 0
+    assert plan['crawl']['selected_docs'] == 0
+    assert plan['code']['rate_permille'] == 1000
+    assert plan['code']['selected_docs'] == 100      # full keep
+    assert plan['code']['selected_tokens'] == 500
+    assert plan['code']['deficit_tokens'] == 9999 - 500
+    assert plan['books']['deficit_tokens'] == max(
+        0, 250 - plan['books']['selected_tokens'])
+    # realized selection is close to the rate (salted-hash uniformity)
+    assert 0 < plan['books']['selected_docs'] < 100
+
+
+def test_mix_select_matches_plan(spark):
+    docs = _docs(spark)
+    targets = {'books': 250, 'code': 9999}
+    plan = {r['source']: r for r in
+            training_mix_plan(docs, targets).collect()}
+    sel = training_mix_select(docs, targets)
+    got = {r['source']: r for r in
+           sel.groupBy('source').agg(
+               F.count('*').alias('n'),
+               F.sum(F.size(F.split(F.trim('text'), r'\s+')))
+               .alias('t')).collect()}
+    for s in ('books', 'code'):
+        assert got[s]['n'] == plan[s]['selected_docs']
+        assert got[s]['t'] == plan[s]['selected_tokens']
+    assert 'crawl' not in got
+    # selection is repartition-invariant (deterministic key)
+    ids1 = sorted(r['doc_id'] for r in sel.collect())
+    ids2 = sorted(r['doc_id'] for r in
+                  training_mix_select(docs.repartition(13), targets)
+                  .collect())
+    assert ids1 == ids2
+
+
+def test_mix_plan_shape(spark):
+    docs = _docs(spark)
+    plan_df = training_mix_plan(docs, {'books': 100})
+    phys = plan_df._jdf.queryExecution().executedPlan().toString()
+    # the rate/target dims broadcast; nothing sort-merges
+    assert 'BroadcastHashJoin' in phys
+    assert 'SortMergeJoin' not in phys
+    # ONE corpus pass: downstream reads the checkpointed histogram,
+    # not a re-planned corpus scan
+    assert 'LocalTableScan' not in phys and 'Scan ExistingRDD' in phys
+    # empty-text docs count zero tokens
+    docs2 = spark.createDataFrame(
+        pd.DataFrame([{'doc_id': 1, 'source': 's', 'text': '  '}]),
+        'doc_id long, source string, text string')
+    r = training_mix_plan(docs2, {'s': 10}).collect()[0]
+    assert r['available_tokens'] == 0 and r['rate_permille'] == 0
