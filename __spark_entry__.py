@@ -1568,6 +1568,25 @@ def q_code_quality(spark, sf_dir):
     return code_quality_features(docs)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading-Ease / Flesch-Kincaid grade in integer milli units
+    (the published 1948/1975 coefficients, floor division) — the classic
+    readability screens of a heuristic quality stack. Plants cover
+    multi-sentence prose, vowel-less tokens (syllable floor), empty
+    text, and polysyllabic runs; the rest is word salad (one sentence).
+    Native projection, zero shuffle; exact SQL oracle."""
+    d = F.col('doc_id')
+    text = (F.when(d % 7 == 1, F.lit(
+        'The cat sat. The dog ran! Did it run? Yes.'))
+        .when(d % 7 == 2, F.lit('xyzzy brr tsk pfft'))
+        .when(d % 7 == 3, F.lit('   '))
+        .when(d % 7 == 4, F.repeat(
+            F.lit('Incomprehensibility notwithstanding, '), 10))
+        .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return tx.readability(docs)
+
+
 def q_mix_plan(spark, sf_dir):
     """Training-mix assembly (the Gopher/LLaMA mixture table /DoReMi
     budget stage): per-source token targets -> keep rates -> realized
@@ -2913,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_meta': q_html_meta,
         'code_quality': q_code_quality,
         'mix_plan': q_mix_plan,
+        'readability': q_readability,
         'kn_bigram': q_kn_bigram,
         'feed_extract': q_feed_extract,
         'wordpiece_train': q_wordpiece_train,
@@ -3740,6 +3760,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens,
                    cast((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
             FROM c
+        """,
+        'readability': """
+            WITH d AS (
+              SELECT doc_id, lower(trim(CASE CAST(doc_id % 7 AS INT)
+                WHEN 1 THEN 'The cat sat. The dog ran! Did it run? Yes.'
+                WHEN 2 THEN 'xyzzy brr tsk pfft'
+                WHEN 3 THEN '   '
+                WHEN 4 THEN repeat(
+                    'Incomprehensibility notwithstanding, ', 10)
+                ELSE text END)) AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(t, '\\s+'),
+                            w -> len(w) > 0) AS words,
+                len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+                                s -> len(trim(s)) > 0)) AS raw_sents,
+                len(regexp_extract_all(t, '[aeiouy]+')) AS vg
+              FROM d),
+            m AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_raw_words,
+                CAST(greatest(len(words), 1) AS BIGINT) AS n_words,
+                CAST(greatest(raw_sents, 1) AS BIGINT) AS n_sentences,
+                CAST(vg + len(list_filter(words,
+                     w -> NOT regexp_matches(w, '[aeiouy]')))
+                     AS BIGINT) AS n_syllables
+              FROM c)
+            SELECT doc_id, n_raw_words, n_words, n_sentences,
+              n_syllables,
+              CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT)
+                AS fre_milli,
+              CAST((390 * n_words) // n_sentences
+                   + (11800 * n_syllables) // n_words - 15590 AS BIGINT)
+                AS fkg_milli
+            FROM m
         """,
         'mix_plan': """
             WITH b AS (

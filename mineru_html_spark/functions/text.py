@@ -655,3 +655,51 @@ def winnow_fingerprint(documents: DataFrame, k: int = 5,
         F.md5(F.concat_ws(',', F.transform(sel, lambda x:
                                            x.cast('string'))))
          .alias('fp_md5'))
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch Reading-Ease + Flesch-Kincaid grade (Flesch 1948; Kincaid
+    et al. 1975) — the classic readability screens a quality stack runs
+    next to length/stopword signals (simple-English routing, child-
+    content detection, FineWeb-style heuristic stacks).
+
+    Counts are the standard approximations, integer-exact so the SQL
+    oracle mirrors them verbatim:
+
+    * words: whitespace tokens;
+    * sentences: non-empty ``[.!?]+``-delimited segments (min 1 — a
+      fragment is one sentence);
+    * syllables: vowel-group runs ``[aeiouy]+`` per word, min 1 per
+      word (vowel-less tokens count one syllable);
+    * ``fre_milli``  = 206835 - 1015*W div S - 84600*Syl div W
+      ``fkg_milli``  = 390*W div S + 11800*Syl div W - 15590
+      (the published coefficients in milli units, floor division).
+
+    One native projection — no shuffle, no Python."""
+    text = F.lower(F.trim('text'))
+    words = F.filter(F.split(text, r'\s+'), lambda w: F.length(w) > 0)
+    n_words = F.greatest(F.size(words), F.lit(1)).cast('long')
+    sents = F.filter(F.split(text, r'[.!?]+'),
+                     lambda s: F.length(F.trim(s)) > 0)
+    n_sents = F.greatest(F.size(sents), F.lit(1)).cast('long')
+    vowel_groups = F.size(F.regexp_extract_all(text, F.lit('[aeiouy]+'),
+                                               0)).cast('long')
+    no_vowel_words = F.size(F.filter(
+        words, lambda w: ~w.rlike('[aeiouy]'))).cast('long')
+    n_syll = (vowel_groups + no_vowel_words).alias('n_syllables')
+
+    wps = F.expr('(1015 * n_words) div n_sentences')
+    spw = F.expr('(84600 * n_syllables) div n_words')
+    g_wps = F.expr('(390 * n_words) div n_sentences')
+    g_spw = F.expr('(11800 * n_syllables) div n_words')
+
+    base = documents.select(
+        'doc_id',
+        F.size(words).cast('long').alias('n_raw_words'),
+        n_words.alias('n_words'),
+        n_sents.alias('n_sentences'),
+        n_syll)
+    return base.select(
+        'doc_id', 'n_raw_words', 'n_words', 'n_sentences', 'n_syllables',
+        (F.lit(206835) - wps - spw).cast('long').alias('fre_milli'),
+        (g_wps + g_spw - F.lit(15590)).cast('long').alias('fkg_milli'))

@@ -1,0 +1,56 @@
+"""Flesch/Kincaid readability: hand-computed milli values, floors,
+edge cases, zero-shuffle plan."""
+
+import pandas as pd
+
+from mineru_html_spark.functions.text import readability
+
+
+def _run(spark, cases):
+    df = spark.createDataFrame(
+        pd.DataFrame([{'doc_id': k, 'text': v}
+                      for k, v in cases.items()]),
+        'doc_id string, text string')
+    return {r['doc_id']: r for r in readability(df).collect()}
+
+
+def test_hand_computed_values(spark):
+    r = _run(spark, {
+        'cat': 'The cat sat on the mat.',
+        'multi': 'The cat sat. The dog ran! Did it run? Yes.',
+        'poly': 'Incomprehensibility notwithstanding.',
+    })
+    cat = r['cat']
+    # W=6 S=1 Syl=6: FRE = 206835 - 1015*6 - 84600 = 116145
+    assert (cat['n_words'], cat['n_sentences'], cat['n_syllables']) \
+        == (6, 1, 6)
+    assert cat['fre_milli'] == 116145
+    assert cat['fkg_milli'] == 390 * 6 + 11800 - 15590       # -1450
+    m = r['multi']
+    assert m['n_sentences'] == 4 and m['n_words'] == 10
+    poly = r['poly']
+    # in-com-pre-hen-si-bi-li-ty = vowel groups: i,o,e,e,i,i,i,y = 8
+    # not-with-stan-ding: o,i,a,i = 4 -> 12 total
+    assert poly['n_syllables'] == 12 and poly['n_words'] == 2
+    assert poly['fkg_milli'] > 10000                         # grad-level
+
+
+def test_floors_and_edges(spark):
+    r = _run(spark, {'novowel': 'xyzzy brr', 'empty': '   ',
+                     'frag': 'no terminal punctuation here'})
+    nv = r['novowel']
+    # y counts as a vowel: 'xyzzy' has groups y,y -> 2; 'brr' -> floor 1
+    assert nv['n_syllables'] == 3
+    e = r['empty']
+    assert e['n_raw_words'] == 0 and e['n_words'] == 1 \
+        and e['n_sentences'] == 1
+    assert r['frag']['n_sentences'] == 1                     # min 1
+
+
+def test_plan_shuffle_free(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{'doc_id': 'x', 'text': 'A b.'}]),
+        'doc_id string, text string')
+    phys = readability(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert 'Exchange' not in phys and 'BatchEvalPython' not in phys
