@@ -270,6 +270,29 @@ def main():
                 [r'Window|Exchange|Filter|Scan|Project'],
                 max_lines=12)))
 
+    sections.append((
+        'Code-quality + readability screens (zero-shuffle codegen)',
+        'The Stack/StarCoder line-length, alpha-fraction, token and '
+        'autogen screens plus Flesch/Kincaid: ONE whole-stage-codegen '
+        'Project per operator over the scan — no Python evaluator, no '
+        'exchange; at 100 TB these prune at scan speed before any '
+        'expensive operator runs.',
+        trimmed(plan_of(entry.q_code_quality(spark, SF)),
+                [r'WholeStageCodegen|Project|Scan|Exchange'],
+                max_lines=8)))
+
+    sections.append((
+        'Training-mix planner (one corpus pass, checkpointed histogram)',
+        'The corpus is aggregated ONCE into a source x key%1000 '
+        'histogram (map-side partial agg) that is localCheckpointed; '
+        'availability, rates and realized selection all read the '
+        'checkpoint (Scan ExistingRDD below — no second corpus scan), '
+        'and every join is a broadcast of a tiny dim.',
+        trimmed(plan_of(entry.q_mix_plan(spark, SF)),
+                [r'BroadcastHashJoin|HashAggregate|Exchange|'
+                 r'ExistingRDD|Scan'],
+                max_lines=16)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
