@@ -1705,6 +1705,33 @@ def q_decontaminate_spans(spark, sf_dir):
     return decontaminate_spans(docs, bench, n=8, dirty_permille=800)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination — the CONSTANT-MEMORY scale path of
+    the eval-overlap filter (Dolma's bloom stage; ``decontaminate`` is
+    the exact-index twin): the benchmark folds into a 1024-bit filter
+    (m_bits/8 bytes regardless of benchmark size) that rides the plan
+    as a packed literal, and the probe is a pure row-local map — ZERO
+    exchanges of any kind over the corpus. Same contamination plants as
+    ``decontaminate`` (doc_id % 23 in {7, 11}); m is sized small here
+    ON PURPOSE so the gate certifies the false-positive arithmetic too
+    (deterministic given the salt — the oracle mirrors every md5
+    probe); the no-false-negative Bloom guarantee is unit-tested
+    against the exact operator."""
+    from mineru_html_spark.functions.corpus import (bloom_bits,
+                                                    bloom_decontaminate)
+    d = F.col('doc_id')
+    text = (F.when(d % 23 == 7,
+                   F.concat('text', F.lit(' ' + _BENCH_TEXTS[0])))
+            .when(d % 23 == 11,
+                  F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
+                                  'text string')
+    bits = bloom_bits(bench, n=8, m_bits=1024, k_hashes=2)
+    return bloom_decontaminate(docs, bits, n=8, k_hashes=2)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed-linear quality classifier (GPT-3/Llama
     curation shape): all-integer hashing-trick scoring as one native
@@ -2944,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'winnow_fp': q_winnow,
         'wordpiece_apply': q_wordpiece_apply,
         'webp_decode': q_webp_decode,
+        # --- new this window (never certified; front of the cap) ---
+        'bloom_decontaminate': q_bloom_decontaminate,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3501,6 +3530,58 @@ def oracle_sql() -> dict[str, str]:
                         s -> list_contains(bl.hs, md5(s)))) > 0
                        AS contaminated
             FROM sh, bl
+        """,
+        'bloom_decontaminate': f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 7 THEN text || ' {_BENCH_TEXTS[0]}'
+                          WHEN doc_id % 23 = 11 THEN text || ' {_BENCH_TEXTS[1]}'
+                          ELSE text END AS text
+              FROM documents),
+            w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM d),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 8 THEN []
+                          ELSE list_distinct(list_transform(
+                            range(0, len(w) - 7),
+                            i -> array_to_string(list_slice(w, i+1, i+8), ' ')))
+                     END AS ss
+              FROM w),
+            bw AS (
+              SELECT list_filter(regexp_split_to_array(lower(trim(bt)),
+                       '[^a-z0-9]+'), x -> len(x) > 0) AS w
+              FROM (VALUES ('{_BENCH_TEXTS[0]}'), ('{_BENCH_TEXTS[1]}')) v(bt)),
+            -- the Bloom bit positions: 2 disjoint 8-hex substrings of ONE
+            -- salted md5 per distinct benchmark shingle, mod 1024 (8-hex
+            -- ints are non-negative, so % == pmod on both engines); the
+            -- position SET is decision-equal to the packed bitmap the
+            -- Spark side broadcasts as a plan literal
+            bpos AS (
+              SELECT DISTINCT
+                     CAST('0x' || substring(md5(s || ':bl1'), 1 + 8 * t.t, 8)
+                          AS BIGINT) % 1024 AS p
+              FROM (SELECT DISTINCT unnest(list_transform(
+                      range(0, len(w) - 7),
+                      i -> array_to_string(list_slice(w, i+1, i+8), ' ')))
+                      AS s
+                    FROM bw) bs,
+                   (VALUES (0), (1)) t(t)),
+            bl AS (SELECT list(p) AS ps FROM bpos),
+            probed AS (
+              SELECT doc_id,
+                     CAST(len(ss) AS BIGINT) AS n_shingles,
+                     CAST(len(list_filter(ss, s ->
+                        list_contains(bl.ps,
+                          CAST('0x' || substring(md5(s || ':bl1'), 1, 8)
+                               AS BIGINT) % 1024)
+                        AND list_contains(bl.ps,
+                          CAST('0x' || substring(md5(s || ':bl1'), 9, 8)
+                               AS BIGINT) % 1024)))
+                       AS BIGINT) AS n_bloom_hits
+              FROM sh, bl)
+            SELECT doc_id, n_shingles, n_bloom_hits,
+                   n_bloom_hits > 0 AS contaminated
+            FROM probed
         """,
         'decontaminate_spans': f"""
             WITH d AS (

@@ -1052,3 +1052,111 @@ def training_mix_select(documents: DataFrame, targets: dict,
            .where(sample_key(F.col(key_col), salt)
                   < F.col('rate_permille')))
     return out.drop('stratum', 'rate_permille')
+
+
+def bloom_bits(benchmark: DataFrame, n: int = 8, m_bits: int = 1 << 20,
+               k_hashes: int = 4, salt: str = 'bl1') -> list:
+    """Build a Bloom-filter bit array (python list of 0/1 ints, length
+    ``m_bits``) over a benchmark corpus' distinct word-``n``-grams.
+
+    The ``k_hashes`` (<= 4) probe positions of a shingle are disjoint
+    8-hex-digit substrings of ONE salted md5 — one hash computation per
+    shingle, identical arithmetic on any engine (an 8-hex int is
+    non-negative, so ``%`` == pmod everywhere).
+
+    The collect is bounded by m_bits DISTINCT positions (the benchmark
+    is the small side by construction — every public eval suite together
+    is a few hundred MB); the bit array itself is m_bits/8 bytes
+    CONSTANT regardless of benchmark size, which is the entire point: an
+    exact shingle index grows O(#shingles x 32B) and eventually stops
+    broadcasting; the Bloom filter never does. False-positive rate
+    ~ (1 - e^(-k*s/m))^k for s shingles — size m for the target rate.
+    Bloom guarantee: NO false negatives — every truly contaminated
+    document flags (tested against the exact operator)."""
+    if not 1 <= k_hashes <= 4:
+        raise ValueError('k_hashes must be in 1..4 (one md5 yields four '
+                         'independent 32-bit probe positions)')
+    wb = benchmark.select(_words().alias('w'))
+    sh = (wb.select(F.explode(_distinct_shingles(F.col('w'), n))
+                    .alias('s'))
+          .select(F.md5(F.concat(F.col('s'), F.lit(':' + salt)))
+                  .alias('md')).distinct())
+    pos = sh.select(F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda t: F.conv(F.col('md').substr(t * 8 + 1, F.lit(8)),
+                         16, 10).cast('long') % m_bits)).alias('p'))
+    bits = [0] * m_bits
+    for r in pos.distinct().collect():
+        bits[int(r['p'])] = 1
+    return bits
+
+
+# bit masks 1 << 0..31 as a plan literal, so the bit test needs no
+# shift-by-column (element_at + bitwiseAND stay whole-stage codegen)
+_BIT_MASKS_32 = [1 << i for i in range(32)]
+
+
+def _bloom_probe(s: Column, words_lit: Column, m_bits: int,
+                 k_hashes: int, salt: str) -> Column:
+    """All-k-bits-set test for one shingle string column: k disjoint
+    8-hex substrings of one salted md5 pick the positions; the bit
+    array is a PACKED 32-bits-per-word plan literal (64x smaller in the
+    serialized plan than an unpacked 0/1 array) indexed with element_at
+    + a mask-table bitwiseAND."""
+    md = F.md5(F.concat(s, F.lit(':' + salt)))
+    masks = F.lit(_BIT_MASKS_32).cast('array<long>')
+    cond = None
+    for t in range(k_hashes):
+        p = (F.conv(md.substr(F.lit(t * 8 + 1), F.lit(8)), 16, 10)
+             .cast('long') % m_bits)
+        w = F.element_at(words_lit,
+                         (F.shiftright(p, 5) + 1).cast('int'))
+        m = F.element_at(masks, (p.bitwiseAND(F.lit(31)) + 1)
+                         .cast('int'))
+        c = w.bitwiseAND(m) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_decontaminate(documents: DataFrame, bits: list, n: int = 8,
+                        k_hashes: int = 4,
+                        salt: str = 'bl1') -> DataFrame:
+    """(doc_id, n_shingles, n_bloom_hits, contaminated): Bloom-filter
+    decontamination — the constant-memory scale path of the GPT-3 /
+    Llama eval-overlap filter (``decontaminate`` is the exact-index
+    twin; Dolma ships the same idea as its bloom-filter dedup stage).
+    A document flags when any of its distinct word-``n``-grams probes
+    all ``k_hashes`` set bits of ``bits`` (built by ``bloom_bits`` with
+    the SAME n/k/salt).
+
+    Scale shape — the best in the family: the bit array rides along as
+    a PLAN LITERAL (m_bits/8 bytes, constant), the probe is a native
+    higher-order ``filter`` over the row's own shingle array, and the
+    output is one row per input row — ZERO exchanges of any kind: a
+    100 TB corpus runs this as a pure map with no shuffle, no join, no
+    aggregate (plan-guarded). False positives are inherent to the
+    filter (deterministic given the salt, so the value gate still
+    hashes exactly); false negatives are impossible."""
+    m_bits = len(bits)
+    packed = [0] * ((m_bits + 31) // 32)
+    for i, b in enumerate(bits):
+        if b:
+            packed[i >> 5] |= 1 << (i & 31)
+    # words materialized as a column BEFORE shingling (the HOF-lambda
+    # O(n^2) trap), then shingles materialized before probing — each
+    # md5 sees a short shingle string, never the document
+    docs = documents.select('doc_id', _words().alias('w'))
+    docs = docs.select('doc_id',
+                       _distinct_shingles(F.col('w'), n).alias('sh'))
+    wlit = F.lit(packed).cast('array<long>')
+    hits = F.size(F.filter(
+        F.col('sh'),
+        lambda s: _bloom_probe(s, wlit, m_bits, k_hashes, salt)))
+    # hits computed ONCE into a named column (the literal bit words
+    # would otherwise inline into the plan per downstream reference)
+    out = docs.select(
+        'doc_id',
+        F.size('sh').cast('long').alias('n_shingles'),
+        hits.cast('long').alias('n_bloom_hits'))
+    return out.select('doc_id', 'n_shingles', 'n_bloom_hits',
+                      (F.col('n_bloom_hits') > 0).alias('contaminated'))

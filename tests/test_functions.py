@@ -1887,3 +1887,45 @@ def test_winnow_fingerprint_guarantee(spark):
                                 'doc_id long, text string')
     fp2 = winnow_fingerprint(df2).head()['fp_md5']
     assert fp2 == out[0]['fp_md5']
+
+
+def test_bloom_decontaminate_no_false_negatives_vs_exact(spark):
+    """The Bloom guarantee: every document the EXACT index flags, the
+    Bloom filter flags too (false positives allowed, never negatives) —
+    enforced against the exact operator on plants plus clean docs."""
+    from mineru_html_spark.functions.corpus import (bloom_bits,
+                                                    bloom_decontaminate,
+                                                    decontaminate)
+    bench = spark.createDataFrame(
+        [('alpha beta gamma delta epsilon zeta eta theta iota kappa',)],
+        'text string')
+    docs = spark.createDataFrame([
+        (1, 'intro words then alpha beta gamma delta epsilon zeta eta '
+            'theta trailing'),
+        (2, 'alpha beta gamma delta epsilon zeta eta banana'),
+        (3, 'totally unrelated content about rivers and owls flowing '
+            'south today'),
+        (4, 'tiny'),
+    ], 'doc_id long, text string')
+    bits = bloom_bits(bench, n=8, m_bits=256, k_hashes=3)
+    assert len(bits) == 256 and 1 <= sum(bits) <= 9  # 3 distinct shingles x 3
+    got = {r['doc_id']: r
+           for r in bloom_decontaminate(docs, bits, n=8,
+                                        k_hashes=3).collect()}
+    exact = {r['doc_id']: r for r in decontaminate(docs, bench,
+                                                   n=8).collect()}
+    assert len(got) == 4                  # every doc survives
+    for d in exact:
+        if exact[d]['contaminated']:
+            assert got[d]['contaminated']  # no false negatives, ever
+        assert got[d]['n_bloom_hits'] >= exact[d]['n_bench_hits']
+    assert got[1]['contaminated']
+    assert got[4]['n_shingles'] == 0 and not got[4]['contaminated']
+
+
+def test_bloom_bits_rejects_bad_k(spark):
+    import pytest as _pytest
+    from mineru_html_spark.functions.corpus import bloom_bits
+    bench = spark.createDataFrame([('a b c',)], 'text string')
+    with _pytest.raises(ValueError):
+        bloom_bits(bench, k_hashes=5)

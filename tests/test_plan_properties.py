@@ -163,3 +163,14 @@ def test_kmeans_assignment_is_shuffle_free(spark, entry):
     assert 'Exchange' not in p
     assert 'Join' not in p and 'CartesianProduct' not in p
     assert 'InMemoryTableScan' in p       # iters reuse the cached ints
+
+
+def test_bloom_decontaminate_is_exchange_free(spark, entry):
+    """The Bloom probe's whole point at 100 TB: the filter is a packed
+    plan literal and the probe a row-local map — NO exchange, join, or
+    aggregate anywhere in the corpus path."""
+    p = plan_of(entry.q_bloom_decontaminate(spark, SF))
+    assert 'Exchange' not in p
+    assert 'Join' not in p
+    assert 'Aggregate' not in p
+    assert '*(' in p                      # whole-stage codegen
