@@ -1732,6 +1732,37 @@ def q_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(docs, bits, n=8, k_hashes=2)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustered write layout (the OPTIMIZE ZORDER stage):
+    Morton-interleave min-max-scaled (user_id, value_milli) over the
+    events table into 64 file buckets and publish the per-file min/max
+    statistics a reader's data-skipping consults. All-integer
+    literal-shift arithmetic — whole-stage codegen, exact SQL mirror;
+    the corpus path is one broadcast of a single stats row plus a map,
+    and the report is a 64-row map-side-combined aggregate."""
+    from mineru_html_spark.functions.layout import zorder_layout_report
+    ev = _events(spark, sf_dir).select(
+        'user_id',
+        F.round(F.col('value') * 1000).cast('long').alias('value_milli'))
+    return zorder_layout_report(ev, 'user_id', 'value_milli',
+                                bits=16, n_files=64)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (the Iceberg/Delta bin-pack
+    stage): pack each source partition's files into ~4 KB output
+    groups by cumulative start offset — deterministic, order
+    preserving, one metadata-only window per partition. The file
+    inventory is derived from the documents table (file per doc,
+    size = n_chars) so the gate runs on driver data."""
+    from mineru_html_spark.functions.layout import compaction_plan
+    inv = _docs(spark, sf_dir).select(
+        F.col('source').alias('part'),
+        F.col('doc_id').alias('file_id'),
+        F.col('n_chars').cast('long').alias('size_bytes'))
+    return compaction_plan(inv, target_bytes=4096)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed-linear quality classifier (GPT-3/Llama
     curation shape): all-integer hashing-trick scoring as one native
@@ -2973,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'webp_decode': q_webp_decode,
         # --- new this window (never certified; front of the cap) ---
         'bloom_decontaminate': q_bloom_decontaminate,
+        'zorder_layout': q_zorder_layout,
+        'compaction_plan': q_compaction_plan,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3582,6 +3615,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_shingles, n_bloom_hits,
                    n_bloom_hits > 0 AS contaminated
             FROM probed
+        """,
+        'zorder_layout': """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events),
+            s AS (
+              SELECT CAST(min(user_id) AS BIGINT) AS xmin,
+                     CAST(max(user_id) AS BIGINT) AS xmax,
+                     min(value_milli) AS ymin,
+                     max(value_milli) AS ymax
+              FROM e),
+            -- min-max scale to 16 bits (floor==trunc: operands are
+            -- non-negative), then Morton-interleave: x at even bit
+            -- positions, y at odd — identical literal-shift arithmetic
+            -- to the Spark side
+            k AS (
+              SELECT e.user_id, e.value_milli,
+                     ((e.user_id - s.xmin) * 65535)
+                        // greatest(s.xmax - s.xmin, 1) AS sx,
+                     ((e.value_milli - s.ymin) * 65535)
+                        // greatest(s.ymax - s.ymin, 1) AS sy
+              FROM e, s),
+            z AS (
+              SELECT user_id, value_milli,
+                     CAST(list_sum(list_transform(range(0, 16), b ->
+                          ((sx >> b) & 1) * (CAST(1 AS BIGINT) << (2*b))
+                        + ((sy >> b) & 1) * (CAST(1 AS BIGINT) << (2*b + 1))))
+                       AS BIGINT) AS zkey
+              FROM k)
+            SELECT CAST((zkey * 64) // 4294967296 AS INT) AS file_id,
+                   count(*) AS n_rows,
+                   CAST(min(user_id) AS BIGINT) AS x_min,
+                   CAST(max(user_id) AS BIGINT) AS x_max,
+                   min(value_milli) AS y_min,
+                   max(value_milli) AS y_max
+            FROM z GROUP BY 1
+        """,
+        'compaction_plan': """
+            WITH f AS (
+              SELECT source AS part, doc_id AS file_id,
+                     CAST(n_chars AS BIGINT) AS size_bytes
+              FROM documents),
+            p AS (
+              SELECT part, file_id, size_bytes,
+                     COALESCE(SUM(size_bytes) OVER (
+                         PARTITION BY part ORDER BY file_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS prefix
+              FROM f)
+            SELECT part,
+                   CAST(prefix // 4096 AS BIGINT) AS group_id,
+                   count(*) AS n_files,
+                   CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+                   min(file_id) AS first_file,
+                   max(file_id) AS last_file
+            FROM p GROUP BY 1, 2
         """,
         'decontaminate_spans': f"""
             WITH d AS (

@@ -1,0 +1,135 @@
+"""Data-layout operators: Z-order clustering keys and small-file
+compaction planning.
+
+At 100 TB the dominant cost of a table is not computing over it but
+SCANNING it; both operators here exist to make scans cheaper:
+
+- ``zorder_keys``/``zorder_layout_report``: the write-layout stage
+  behind Delta/Iceberg ``OPTIMIZE ZORDER BY (x, y)`` — a space-filling
+  Morton curve interleaves the bits of two min-max-scaled dimensions,
+  so rows close in BOTH dimensions land in the same output file and
+  per-file min/max statistics prune scans filtered on EITHER dimension
+  (a plain sort only prunes its leading column). Everything is integer
+  arithmetic over literal-shift expressions — whole-stage codegen, no
+  UDF — and the key is deterministic, so the layout report mirrors in
+  exact SQL.
+
+- ``compaction_plan``: the small-files problem — streaming ingestion
+  and per-executor writes leave thousands of KB-scale files per
+  partition; a 100 TB table read at 128 MB per task dies on file-open
+  overhead long before bandwidth. The planner assigns each file to an
+  output group by the bin its cumulative START offset falls in
+  (offset-based sequential packing — the deterministic cousin of
+  Iceberg's greedy bin-pack, chosen because it mirrors in one window
+  expression), preserving within-partition file order so readers keep
+  locality.
+
+Scale shapes: the z-order path is one tiny global min/max aggregate
+broadcast back over the corpus (single-row BroadcastNestedLoopJoin, the
+engine's standard stats idiom) plus a map — the per-file report is a
+map-side-combined groupBy of n_files rows. The compaction planner
+windows over FILE METADATA (one row per file, millions of rows for a
+100 TB table — not data rows), partitioned by the table partition key,
+so it parallelizes across partitions and never touches content.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Bit-interleave two non-negative ``bits``-wide integer columns
+    into a ``2*bits``-wide Z-order key (x at even bit positions, y at
+    odd). Built as a sum of literal-shift terms so the whole expression
+    compiles into one whole-stage-codegen projection — no UDF, no loop
+    at runtime."""
+    z = None
+    for b in range(bits):
+        tx = (F.shiftright(x, b).bitwiseAND(F.lit(1))
+              * F.lit(1 << (2 * b)))
+        ty = (F.shiftright(y, b).bitwiseAND(F.lit(1))
+              * F.lit(1 << (2 * b + 1)))
+        t = tx + ty
+        z = t if z is None else z + t
+    return z.cast('long')
+
+
+def zorder_keys(df: DataFrame, x_col: str, y_col: str,
+                bits: int = 16, n_files: int = 64) -> DataFrame:
+    """Input rows + (zkey, file_id): min-max scale both dimensions to
+    ``bits``-bit integers (truncating div — exact and engine-agnostic),
+    interleave into the Morton key, and cut the key space into
+    ``n_files`` equal-width buckets. Constant dimensions scale to 0
+    (greatest(span, 1) guards the zero-range div). The actual write is
+    ``df.repartitionByRange(n_files, 'zkey').sortWithinPartitions(
+    'zkey').write...`` — range partitioning by zkey IS the clustered
+    layout; this function owns the key arithmetic so the report (and
+    its oracle) certify it."""
+    stats = df.agg(F.min(x_col).cast('long').alias('_xmin'),
+                   F.max(x_col).cast('long').alias('_xmax'),
+                   F.min(y_col).cast('long').alias('_ymin'),
+                   F.max(y_col).cast('long').alias('_ymax'))
+    j = df.crossJoin(F.broadcast(stats))
+    span = (1 << bits) - 1
+    sx = F.expr(f'(({x_col} - _xmin) * {span}) div '
+                f'greatest(_xmax - _xmin, 1)')
+    sy = F.expr(f'(({y_col} - _ymin) * {span}) div '
+                f'greatest(_ymax - _ymin, 1)')
+    out = j.withColumn('zkey', morton_key(sx, sy, bits))
+    file_id = F.expr(f'(zkey * {n_files}) div {1 << (2 * bits)}')
+    return (out.withColumn('file_id', file_id.cast('int'))
+            .drop('_xmin', '_xmax', '_ymin', '_ymax'))
+
+
+def zorder_layout_report(df: DataFrame, x_col: str, y_col: str,
+                         bits: int = 16,
+                         n_files: int = 64) -> DataFrame:
+    """(file_id, n_rows, x_min, x_max, y_min, y_max): the per-file
+    min/max statistics the clustered layout would publish — exactly
+    what a reader's data-skipping consults, so narrow per-file ranges
+    on BOTH columns are the direct measure that the layout works. One
+    map-side-combined aggregate of ``n_files`` output rows."""
+    keyed = zorder_keys(df, x_col, y_col, bits, n_files)
+    return (keyed.groupBy('file_id')
+            .agg(F.count('*').alias('n_rows'),
+                 F.min(x_col).cast('long').alias('x_min'),
+                 F.max(x_col).cast('long').alias('x_max'),
+                 F.min(y_col).cast('long').alias('y_min'),
+                 F.max(y_col).cast('long').alias('y_max')))
+
+
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    part_col: str = 'part', file_col: str = 'file_id',
+                    size_col: str = 'size_bytes') -> DataFrame:
+    """(part, group_id, n_files, total_bytes, first_file, last_file):
+    assign every input file to a compaction output group of roughly
+    ``target_bytes``, preserving file order within each table
+    partition.
+
+    Rule (deterministic, one window expression): a file belongs to the
+    bin its cumulative START offset falls in —
+    ``group_id = (prefix_bytes_before_file) div target_bytes`` — so
+    group boundaries land exactly every ``target_bytes`` of input and a
+    file straddling a boundary stays with the bin it starts in (groups
+    may overshoot by at most one file, the same tolerance greedy
+    bin-packers accept). Oversized single files get a group of their
+    own automatically.
+
+    The window is partitioned by the table partition key and ordered by
+    file id — per-partition parallelism, metadata-only rows. Skew note:
+    a partition with millions of files is itself the pathology this
+    operator deletes; the window carries (id, size) longs only."""
+    w = (Window.partitionBy(part_col).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    g = (files.withColumn('_prefix', prefix)
+         .withColumn('group_id',
+                     F.expr(f'_prefix div {target_bytes}')
+                     .cast('long')))
+    return (g.groupBy(F.col(part_col).alias('part'), 'group_id')
+            .agg(F.count('*').alias('n_files'),
+                 F.sum(size_col).cast('long').alias('total_bytes'),
+                 F.min(file_col).alias('first_file'),
+                 F.max(file_col).alias('last_file')))

@@ -1,0 +1,53 @@
+"""Data-layout operators: Morton/Z-order keys and compaction planning."""
+
+import pyspark.sql.functions as F
+
+
+def test_morton_key_known_values(spark):
+    from mineru_html_spark.functions.layout import morton_key
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (5, 3), (65535, 65535)], 'x long, y long')
+    got = {(r['x'], r['y']): r['z'] for r in df.select(
+        'x', 'y', morton_key(F.col('x'), F.col('y')).alias('z'))
+        .collect()}
+    # x fills even bit positions, y odd
+    assert got[(0, 0)] == 0
+    assert got[(3, 1)] == 0b111          # x0->1, y0->2, x1->4
+    assert got[(5, 3)] == 0b11011        # x:{0,2}->1+16, y:{0,1}->2+8
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    """The point of the curve: every file bucket's min/max range is a
+    small fraction of the global range in BOTH dimensions (a plain sort
+    would leave the trailing dimension's range at ~100% per file)."""
+    from mineru_html_spark.functions.layout import zorder_layout_report
+    pts = [(x * 100, y * 100) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, 'u long, v long')
+    rep = zorder_layout_report(df, 'u', 'v', bits=16, n_files=64)
+    rows = rep.collect()
+    assert sum(r['n_rows'] for r in rows) == 1024
+    for r in rows:
+        assert r['x_max'] - r['x_min'] <= 3100 // 4   # global range 3100
+        assert r['y_max'] - r['y_min'] <= 3100 // 4
+
+
+def test_compaction_plan_offset_binning(spark):
+    from mineru_html_spark.functions.layout import compaction_plan
+    inv = spark.createDataFrame(
+        [('a', 1, 3000), ('a', 2, 2000), ('a', 3, 1500),
+         ('a', 4, 5000), ('a', 5, 100),
+         ('b', 1, 10000), ('b', 2, 50)],
+        'part string, file_id long, size_bytes long')
+    got = {(r['part'], r['group_id']): r
+           for r in compaction_plan(inv, target_bytes=4096).collect()}
+    # partition a prefixes: 0, 3000, 5000, 6500, 11500
+    assert got[('a', 0)]['n_files'] == 2
+    assert got[('a', 0)]['total_bytes'] == 5000   # straddles, stays
+    assert got[('a', 1)]['first_file'] == 3
+    assert got[('a', 1)]['last_file'] == 4
+    assert got[('a', 2)]['n_files'] == 1 and got[('a', 2)]['total_bytes'] == 100
+    # oversized first file pushes the next file two bins ahead
+    assert got[('b', 0)]['n_files'] == 1
+    assert got[('b', 2)]['first_file'] == 2
+    assert ('b', 1) not in got

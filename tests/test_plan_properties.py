@@ -174,3 +174,14 @@ def test_bloom_decontaminate_is_exchange_free(spark, entry):
     assert 'Join' not in p
     assert 'Aggregate' not in p
     assert '*(' in p                      # whole-stage codegen
+
+
+def test_zorder_corpus_path_has_no_shuffle_join(spark, entry):
+    """Z-order keys: the stats row broadcasts (single-row nested-loop),
+    the key is a codegen projection, and the only hash exchange is the
+    64-row report aggregate — the event rows themselves never
+    sort-merge or repartition."""
+    p = plan_of(entry.q_zorder_layout(spark, SF))
+    assert 'SortMergeJoin' not in p
+    assert 'BroadcastNestedLoopJoin' in p
+    assert p.count('Exchange hashpartitioning') <= 1
