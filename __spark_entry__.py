@@ -1861,6 +1861,68 @@ def _pagerank_oracle(iters: int = 10) -> str:
         """
 
 
+def q_hits(spark, sf_dir):
+    """Integer-exact HITS hubs/authorities over the same deterministic
+    link graph as ``pagerank`` (doc -> (7d+3) % N and (13d+5) % N): the
+    crawl-side companion score that separates portal pages (hubs) from
+    content pages (authorities). L1-renormalized power iteration in
+    millionths, truncating div — four iterations are bit-identical
+    across engines, so the oracle is an exact unrolled CTE chain."""
+    from mineru_html_spark.functions.graph import hits_integer
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    d = F.col('doc_id')
+    edges = (docs.select(d.alias('src'), ((d * 7 + 3) % n).alias('dst'))
+             .unionByName(
+                 docs.select(d.alias('src'),
+                             ((d * 13 + 5) % n).alias('dst'))))
+    nodes = docs.select(d.alias('node'))
+    return hits_integer(edges, nodes, iters=4)
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """HITS unrolled: per iteration, an in-sum + L1 renorm (authority)
+    then an out-sum + L1 renorm (hub) — every value a BIGINT, so the
+    chain is an exact mirror of hits_integer."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""a{k}r AS (
+              SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS v
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.v) AS s
+                FROM e JOIN h{k - 1} p ON e.src = p.node
+                GROUP BY 1) s USING (node))""")
+        its.append(f"""a{k} AS (
+              SELECT node, CAST(v * 1000000 // tt.t AS BIGINT) AS v
+              FROM a{k}r, (SELECT SUM(v) AS t FROM a{k}r) tt)""")
+        its.append(f"""h{k}r AS (
+              SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS v
+              FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, SUM(p.v) AS s
+                FROM e JOIN a{k} p ON e.dst = p.node
+                GROUP BY 1) s USING (node))""")
+        its.append(f"""h{k} AS (
+              SELECT node, CAST(v * 1000000 // tt.t AS BIGINT) AS v
+              FROM h{k}r, (SELECT SUM(v) AS t FROM h{k}r) tt)""")
+    chain = ',\n            '.join(its)
+    return f"""
+            WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                        FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM documents, nn),
+            h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v
+                   FROM nodes),
+            {chain}
+            SELECT a.node, a.v AS auth_micro, h.v AS hub_micro
+            FROM a{iters} a JOIN h{iters} h USING (node)
+        """
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (Sennrich 2016): the corpus-scale part is
     ONE word-type frequency aggregate; the 50-round merge loop runs
@@ -3006,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bloom_decontaminate': q_bloom_decontaminate,
         'zorder_layout': q_zorder_layout,
         'compaction_plan': q_compaction_plan,
+        'hits_scores': q_hits,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3802,6 +3865,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'bm25_topk': _bm25_oracle(_BM25_TERMS, k=20),
         'pagerank': _pagerank_oracle(iters=10),
+        'hits_scores': _hits_oracle(iters=4),
         'phrase_detect': f"""
             WITH w AS (SELECT {_WORDS_AZ09} AS w FROM documents),
             uni AS (SELECT unnest(w) AS a FROM w),

@@ -59,3 +59,54 @@ def pagerank_integer(edges: DataFrame, nodes: DataFrame,
                          .alias('rank_micro'))
                  .localCheckpoint(eager=False))
     return ranks
+
+
+def hits_integer(edges: DataFrame, nodes: DataFrame,
+                 iters: int = 4) -> DataFrame:
+    """(node, auth_micro, hub_micro): Kleinberg's HITS (hubs &
+    authorities) — the second canonical link-analysis fixed point after
+    PageRank: an authority is pointed at by good hubs, a hub points at
+    good authorities. Crawl pipelines use the pair to separate
+    directory/portal pages (hubs) from content pages (authorities),
+    which PageRank's single score conflates.
+
+    Same integer-exactness trick as ``pagerank_integer``, with one
+    published-variant note: each half-step renormalizes by the L1 sum
+    (``x * SCALE div sum(x)``, truncating) instead of Kleinberg's L2 —
+    sqrt can never be integer-exact, and power iteration converges to
+    the same principal-eigenvector DIRECTION under any norm, so the
+    RANKING is the textbook one while every intermediate stays a plain
+    BIGINT and the oracle unrolls as per-iteration CTEs.
+
+    Scale shape per iteration: two shuffles (sum of in-contributions on
+    dst, then out-contributions on src — both map-side partial) and two
+    single-row L1 totals broadcast back (BroadcastNestedLoopJoin over
+    one row, the engine's stats idiom); localCheckpoint cuts the
+    growing plan exactly like the CC/PageRank loops."""
+    hub = nodes.select('node', F.lit(SCALE).cast('long').alias('v'))
+    auth = None
+    for _ in range(iters):
+        a = (nodes.join(
+                edges.join(hub, edges.src == hub.node)
+                     .groupBy(F.col('dst').alias('node'))
+                     .agg(F.sum('v').alias('s')),
+                'node', 'left')
+             .select('node', F.coalesce('s', F.lit(0)).cast('long')
+                     .alias('v')))
+        at = a.agg(F.sum('v').alias('t'))
+        auth = (a.crossJoin(F.broadcast(at))
+                .select('node', F.expr(f'v * {SCALE} div t').alias('v'))
+                .localCheckpoint(eager=False))
+        h = (nodes.join(
+                edges.join(auth, edges.dst == auth.node)
+                     .groupBy(F.col('src').alias('node'))
+                     .agg(F.sum('v').alias('s')),
+                'node', 'left')
+             .select('node', F.coalesce('s', F.lit(0)).cast('long')
+                     .alias('v')))
+        ht = h.agg(F.sum('v').alias('t'))
+        hub = (h.crossJoin(F.broadcast(ht))
+               .select('node', F.expr(f'v * {SCALE} div t').alias('v'))
+               .localCheckpoint(eager=False))
+    return (auth.withColumnRenamed('v', 'auth_micro')
+            .join(hub.withColumnRenamed('v', 'hub_micro'), 'node'))

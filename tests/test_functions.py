@@ -1929,3 +1929,26 @@ def test_bloom_bits_rejects_bad_k(spark):
     bench = spark.createDataFrame([('a b c',)], 'text string')
     with _pytest.raises(ValueError):
         bloom_bits(bench, k_hashes=5)
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """Directory page 0 links to BOTH strong authorities (4 and 5);
+    pages 1 and 2 each link to one — 0 must be strictly the best hub,
+    4/5 the (tied) best authorities, and the pure roles score zero on
+    the other axis (nothing points at 0; 4/5 point at nothing)."""
+    from mineru_html_spark.functions.graph import hits_integer
+    edges = spark.createDataFrame(
+        [(0, 4), (0, 5), (1, 4), (2, 5)], 'src long, dst long')
+    nodes = spark.createDataFrame([(i,) for i in range(6)], 'node long')
+    got = {r['node']: r for r in hits_integer(edges, nodes,
+                                              iters=3).collect()}
+    assert len(got) == 6
+    assert got[0]['auth_micro'] == 0
+    assert got[4]['hub_micro'] == 0 and got[5]['hub_micro'] == 0
+    hubs = sorted(got, key=lambda i: -got[i]['hub_micro'])
+    assert hubs[0] == 0                   # strictly the best hub
+    assert got[0]['hub_micro'] > got[1]['hub_micro'] > 0
+    assert got[1]['hub_micro'] == got[2]['hub_micro']
+    amax = max(r['auth_micro'] for r in got.values())
+    assert got[4]['auth_micro'] == got[5]['auth_micro'] == amax
+    assert got[3]['auth_micro'] == 0 and got[3]['hub_micro'] == 0
