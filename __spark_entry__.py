@@ -1748,6 +1748,28 @@ def q_zorder_layout(spark, sf_dir):
                                 bits=16, n_files=64)
 
 
+def q_rp_project(spark, sf_dir):
+    """Signed random projection (Achlioptas/JL): 64-dim embeddings down
+    to 16 integer components with pairwise structure preserved — the
+    cheap front-end for every downstream vector operator at scale. The
+    ±1 sign matrix regenerates deterministically from the salt on both
+    engines, so the oracle is an exact SQL mirror; the operator itself
+    is one row-local codegen projection (zero exchanges,
+    plan-guarded)."""
+    from mineru_html_spark.functions.similarity import random_projection
+    out = random_projection(_embeddings(spark, sf_dir), in_dim=64,
+                            out_dim=16)
+    return out.select(
+        'vec_id',
+        F.size(F.filter('proj', lambda x: x != 0)).alias('nnz'),
+        F.aggregate(F.transform('proj', F.abs),
+                    F.lit(0).cast('long'),
+                    lambda acc, x: acc + x).alias('l1'),
+        F.md5(F.array_join(
+            F.transform('proj', lambda x: x.cast('string')),
+            ',')).alias('proj_md5'))
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (the Iceberg/Delta bin-pack
     stage): pack each source partition's files into ~4 KB output
@@ -3069,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zorder_layout': q_zorder_layout,
         'compaction_plan': q_compaction_plan,
         'hits_scores': q_hits,
+        'rp_project': q_rp_project,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3864,6 +3887,34 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         'bm25_topk': _bm25_oracle(_BM25_TERMS, k=20),
+        'rp_project': """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(round(CAST(x AS DOUBLE) * 1000000)
+                            AS BIGINT)) AS q
+              FROM embeddings),
+            -- the +-1 sign matrix regenerated from the salt: sign(j,i)
+            -- = 2*(md5('rp1|j|i') first 8 hex % 2) - 1, exactly the
+            -- Spark side's rp_signs
+            p AS (
+              SELECT vec_id,
+                     list_transform(range(0, 16), j ->
+                       list_sum(list_transform(range(0, 64), i ->
+                         q[i+1] * (2 * (CAST('0x' || substring(
+                             md5('rp1|' || CAST(j AS VARCHAR) || '|'
+                                 || CAST(i AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 2) - 1)))) AS proj
+              FROM e)
+            SELECT vec_id,
+                   CAST(len(list_filter(proj, x -> x != 0)) AS INT)
+                       AS nnz,
+                   CAST(list_sum(list_transform(proj, x -> abs(x)))
+                       AS BIGINT) AS l1,
+                   md5(array_to_string(list_transform(proj,
+                       x -> CAST(x AS VARCHAR)), ',')) AS proj_md5
+            FROM p
+        """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),
         'phrase_detect': f"""

@@ -1952,3 +1952,28 @@ def test_hits_separates_hubs_from_authorities(spark):
     amax = max(r['auth_micro'] for r in got.values())
     assert got[4]['auth_micro'] == got[5]['auth_micro'] == amax
     assert got[3]['auth_micro'] == 0 and got[3]['hub_micro'] == 0
+
+
+def test_random_projection_structure_preserved(spark):
+    """JL sanity on plants: projection is linear (proj(-v) == -proj(v),
+    proj(v) == proj(v)) and a near-duplicate pair stays far more
+    similar in the projected space than an orthogonal pair."""
+    import math
+    from mineru_html_spark.functions.similarity import random_projection
+    base = [1.0 if i % 3 == 0 else -0.5 for i in range(64)]
+    near = list(base)
+    near[0] += 0.01
+    ortho = [(-1.0) ** i * (0.3 + (i % 7) / 10) for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, [-x for x in base]), (3, ortho)],
+        'vec_id long, embedding array<float>')
+    got = {r['vec_id']: r['proj']
+           for r in random_projection(df, 64, 16).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+    assert got[2] == [-x for x in got[0]]          # linearity
+    assert cos(got[0], got[1]) > 0.99              # near-dup survives
+    assert abs(cos(got[0], got[3])) < 0.6          # unrelated stays far

@@ -185,3 +185,11 @@ def test_zorder_corpus_path_has_no_shuffle_join(spark, entry):
     assert 'SortMergeJoin' not in p
     assert 'BroadcastNestedLoopJoin' in p
     assert p.count('Exchange hashpartitioning') <= 1
+
+
+def test_rp_project_is_exchange_free(spark, entry):
+    """Random projection is a pure row-local codegen projection — the
+    sign matrix is plan literals, never a join side."""
+    p = plan_of(entry.q_rp_project(spark, SF))
+    assert 'Exchange' not in p and 'Join' not in p
+    assert '*(' in p
