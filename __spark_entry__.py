@@ -1748,6 +1748,35 @@ def q_zorder_layout(spark, sf_dir):
                                 bits=16, n_files=64)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located (bucketed) join — the 100 TB join story made
+    concrete: two derived tables are written ``bucketBy(8, doc_id)``
+    + ``sortBy`` into the session catalog, then sort-merge-joined with
+    a MERGE hint; the bucketed scans already satisfy the join's
+    required distribution, so the physical plan contains ZERO Exchange
+    operators (plan-guarded). The write-time shuffle is paid once and
+    amortized over every future join on the key — the planner-level
+    counterpart of the DSv2 sink's partitioned commits. Exact SQL
+    oracle (the join recomputes both sides from documents)."""
+    from mineru_html_spark.functions.corpus import _words
+    from mineru_html_spark.functions.layout import (bucketed_join,
+                                                    write_bucketed)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'bucketed', sfkey)
+    docs = _docs(spark, sf_dir)
+    left = docs.select('doc_id', 'source',
+                       F.col('n_chars').cast('long').alias('n_chars'))
+    right = docs.select('doc_id',
+                        F.size(_words()).cast('long').alias('n_words'))
+    write_bucketed(left, f'bj_left_{sfkey}', 'doc_id', 8,
+                   path=os.path.join(base, 'left'))
+    write_bucketed(right, f'bj_right_{sfkey}', 'doc_id', 8,
+                   path=os.path.join(base, 'right'))
+    j = bucketed_join(spark, f'bj_left_{sfkey}', f'bj_right_{sfkey}',
+                      'doc_id')
+    return j.select('doc_id', 'source', 'n_chars', 'n_words')
+
+
 def q_rp_project(spark, sf_dir):
     """Signed random projection (Achlioptas/JL): 64-dim embeddings down
     to 16 integer components with pairwise structure preserved — the
@@ -3092,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'compaction_plan': q_compaction_plan,
         'hits_scores': q_hits,
         'rp_project': q_rp_project,
+        'bucketed_join': q_bucketed_join,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3914,6 +3944,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_transform(proj,
                        x -> CAST(x AS VARCHAR)), ',')) AS proj_md5
             FROM p
+        """,
+        'bucketed_join': f"""
+            SELECT doc_id, source,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len({_WORDS_AZ09}) AS BIGINT) AS n_words
+            FROM documents
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

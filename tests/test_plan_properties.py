@@ -193,3 +193,14 @@ def test_rp_project_is_exchange_free(spark, entry):
     p = plan_of(entry.q_rp_project(spark, SF))
     assert 'Exchange' not in p and 'Join' not in p
     assert '*(' in p
+
+
+def test_bucketed_join_has_zero_exchanges(spark, entry):
+    """The whole point of bucketing: both scans already satisfy the
+    join's required distribution, so the sort-merge join runs with NO
+    Exchange anywhere — the one-time write shuffle replaced every
+    future join shuffle."""
+    p = plan_of(entry.q_bucketed_join(spark, SF))
+    assert 'SortMergeJoin' in p
+    assert 'Exchange' not in p
+    assert 'Bucketed: true' in p or 'SelectedBucketsCount' in p
