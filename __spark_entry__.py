@@ -1748,6 +1748,37 @@ def q_zorder_layout(spark, sf_dir):
                                 bits=16, n_files=64)
 
 
+def q_streaming_attribution(spark, sf_dir):
+    """Stream-stream watermarked range join driven as a REAL stream:
+    views and clicks drain from file streams through the two-watermark
+    event-time join (AvailableNow, parquet sink), and the gated output
+    is the sink read back. Single input file per side -> one
+    micro-batch -> the inner join equals the batch join of the same
+    inputs, so the oracle is the exact SQL mirror."""
+    import shutil
+
+    from mineru_html_spark.streaming.ingest import streaming_attribution
+    ev = _events(spark, sf_dir).select('event_id', 'user_id',
+                                       'event_type', 'ts')
+    tmp = os.path.join(REPO, '.data', 'attr_gate_v1',
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    v_dir, c_dir = os.path.join(tmp, 'views'), os.path.join(tmp, 'clicks')
+    out_dir, ck = os.path.join(tmp, 'out'), os.path.join(tmp, 'ck')
+    (ev.where(F.col('event_type') == 'view').repartition(1)
+       .write.parquet(v_dir))
+    (ev.where(F.col('event_type') == 'click').repartition(1)
+       .write.parquet(c_dir))
+    schema = 'event_id long, user_id long, event_type string, ts timestamp'
+    vs = spark.readStream.schema(schema).parquet(v_dir)
+    cs = spark.readStream.schema(schema).parquet(c_dir)
+    q = (streaming_attribution(vs, cs).writeStream.format('parquet')
+         .option('path', out_dir).option('checkpointLocation', ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located (bucketed) join — the 100 TB join story made
     concrete: two derived tables are written ``bucketBy(8, doc_id)``
@@ -3122,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hits_scores': q_hits,
         'rp_project': q_rp_project,
         'bucketed_join': q_bucketed_join,
+        'streaming_attribution': q_streaming_attribution,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3950,6 +3982,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(len({_WORDS_AZ09}) AS BIGINT) AS n_words
             FROM documents
+        """,
+        'streaming_attribution': """
+            WITH v AS (SELECT event_id AS view_id, user_id, ts
+                       FROM events WHERE event_type = 'view'),
+            c AS (SELECT event_id AS click_id, user_id, ts
+                  FROM events WHERE event_type = 'click')
+            -- floor each timestamp to whole seconds BEFORE differencing
+            -- (Spark's unix_timestamp truncates; casting the fractional
+            -- difference would round-half-even and drift by 1s)
+            SELECT v.user_id, v.view_id, c.click_id,
+                   CAST(floor(epoch(c.ts)) AS BIGINT)
+                   - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+            FROM v JOIN c
+              ON v.user_id = c.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 60 MINUTE
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -248,3 +248,44 @@ def streaming_near_dup(docs: DataFrame, k: int = 3, num_hashes: int = 64,
                 stateStructType='first long',
                 outputMode='update',
                 timeoutConf=timeout_conf))
+
+
+def streaming_attribution(views: DataFrame, clicks: DataFrame,
+                          attr_window: str = '60 minutes',
+                          watermark: str = '2 hours') -> DataFrame:
+    """Stream-stream event-time range join (click attribution): every
+    click joins every view by the same user whose timestamp falls in
+    [click_ts - attr_window, click_ts] — the canonical two-stream
+    Structured Streaming shape (ad impression->conversion, fetch->
+    parse lineage, request->response pairing).
+
+    State story, the part that matters at 100 TB/day: BOTH inputs carry
+    watermarks and the join condition bounds event-time range in BOTH
+    directions, so Spark derives a state-eviction bound for each side —
+    views older than (click watermark - attr_window) and clicks older
+    than the view watermark drop from the state store every trigger.
+    Without the range bound the view state would grow forever; this is
+    the documented requirement for unbounded-stream joins, encoded here
+    rather than left to the caller.
+
+    Inner join => results are exactly the batch join of the drained
+    inputs (watermarks bound STATE, not results, when each micro-batch
+    arrives within the watermark), so the gate certifies the streamed
+    output against an exact SQL mirror."""
+    v = views.select(F.col('user_id').alias('v_user'),
+                     F.col('event_id').alias('view_id'),
+                     F.col('ts').alias('view_ts')) \
+             .withWatermark('view_ts', watermark)
+    c = clicks.select(F.col('user_id').alias('c_user'),
+                      F.col('event_id').alias('click_id'),
+                      F.col('ts').alias('click_ts')) \
+              .withWatermark('click_ts', watermark)
+    cond = ((v.v_user == c.c_user)
+            & (c.click_ts >= v.view_ts)
+            & (c.click_ts <= v.view_ts + F.expr(f'INTERVAL {attr_window}')))
+    return (v.join(c, cond, 'inner')
+            .select(F.col('v_user').alias('user_id'),
+                    'view_id', 'click_id',
+                    (F.unix_timestamp('click_ts')
+                     - F.unix_timestamp('view_ts')).cast('long')
+                    .alias('gap_s')))

@@ -282,3 +282,42 @@ def test_streaming_near_dup_ttl_evicts_and_readmits(spark, tmp_path):
     # every one of doc 2's buckets was evicted and re-claimed
     assert r2.where('NOT is_first').count() == 0
     assert {r['first_doc_id'] for r in r2.collect()} == {2}
+
+
+def test_streaming_attribution_joins_across_micro_batches(spark, tmp_path):
+    """The join STATE must survive micro-batch boundaries: views and
+    clicks land in separate single-file batches (maxFilesPerTrigger=1),
+    and a click still attributes to a view it never shared a batch
+    with. Out-of-window and cross-user clicks must not join."""
+    import pyspark.sql.functions as F
+    from mineru_html_spark.streaming.ingest import streaming_attribution
+
+    views = spark.createDataFrame(
+        [(1, 10, 'view', '2024-01-01 10:00:00'),
+         (2, 20, 'view', '2024-01-01 10:00:00')],
+        'event_id long, user_id long, event_type string, ts_s string'
+    ).select('event_id', 'user_id', 'event_type',
+             F.to_timestamp('ts_s').alias('ts'))
+    clicks = spark.createDataFrame(
+        [(3, 10, 'click', '2024-01-01 10:30:00'),    # attributes to 1
+         (4, 10, 'click', '2024-01-01 12:30:00'),    # out of window
+         (5, 30, 'click', '2024-01-01 10:10:00')],   # no such viewer
+        'event_id long, user_id long, event_type string, ts_s string'
+    ).select('event_id', 'user_id', 'event_type',
+             F.to_timestamp('ts_s').alias('ts'))
+    v_dir, c_dir = str(tmp_path / 'v'), str(tmp_path / 'c')
+    views.repartition(1).write.parquet(v_dir)
+    clicks.repartition(1).write.parquet(c_dir)
+    schema = 'event_id long, user_id long, event_type string, ts timestamp'
+    vs = (spark.readStream.schema(schema)
+          .option('maxFilesPerTrigger', 1).parquet(v_dir))
+    cs = (spark.readStream.schema(schema)
+          .option('maxFilesPerTrigger', 1).parquet(c_dir))
+    q = (streaming_attribution(vs, cs, attr_window='60 minutes')
+         .writeStream.format('memory').queryName('attr_out')
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql('select * from attr_out').collect()
+    assert len(rows) == 1
+    assert (rows[0]['user_id'], rows[0]['view_id'],
+            rows[0]['click_id'], rows[0]['gap_s']) == (10, 1, 3, 1800)
