@@ -1748,6 +1748,26 @@ def q_zorder_layout(spark, sf_dir):
                                 bits=16, n_files=64)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigated join: 30% of events are remapped onto user 0 (the
+    hot-key histogram every host/domain/user key has at crawl scale),
+    then joined to a per-user cohort dim through the salted operator —
+    the hot key's rows spread across 8 (key, salt) reducers instead of
+    melting one. Result-identical to the plain join (the salt derives
+    from row content, not randomness), so the oracle is the plain SQL
+    join."""
+    from mineru_html_spark.functions.relational import salted_join
+    ev = _events(spark, sf_dir).select(
+        'event_id',
+        F.when(F.col('event_id') % 10 < 3, F.lit(0))
+         .otherwise(F.col('user_id')).alias('user_id'),
+        F.round(F.col('value') * 1000).cast('long').alias('value_milli'))
+    users = (_events(spark, sf_dir).select('user_id').distinct()
+             .select('user_id', (F.col('user_id') % 5).alias('cohort')))
+    out = salted_join(ev, users.hint('merge'), 'user_id')
+    return out.select('event_id', 'user_id', 'cohort', 'value_milli')
+
+
 def q_streaming_attribution(spark, sf_dir):
     """Stream-stream watermarked range join driven as a REAL stream:
     views and clicks drain from file streams through the two-watermark
@@ -3154,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rp_project': q_rp_project,
         'bucketed_join': q_bucketed_join,
         'streaming_attribution': q_streaming_attribution,
+        'salted_join': q_salted_join,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -3998,6 +4019,18 @@ def oracle_sql() -> dict[str, str]:
               ON v.user_id = c.user_id
              AND c.ts >= v.ts
              AND c.ts <= v.ts + INTERVAL 60 MINUTE
+        """,
+        'salted_join': """
+            WITH e AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 10 < 3 THEN 0
+                          ELSE user_id END AS user_id,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events),
+            u AS (SELECT DISTINCT user_id, user_id % 5 AS cohort
+                  FROM events)
+            SELECT e.event_id, e.user_id, u.cohort, e.value_milli
+            FROM e JOIN u USING (user_id)
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -60,3 +60,36 @@ def rolling_sum(df: DataFrame, by: str, epoch_col: str, value_col: str,
     w = (Window.partitionBy(by).orderBy(F.col(epoch_col).cast('long'))
          .rangeBetween(-window_sec, 0))
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8) -> DataFrame:
+    """Skew-mitigating inner equi-join, result-identical to
+    ``left.join(right, key)``: the large/skewed LEFT side appends a
+    deterministic per-row salt (xxhash64 of the whole row, mod
+    ``n_salts``) and the RIGHT side replicates once per salt value, so
+    the join shuffles on (key, salt) and a hot key's rows spread across
+    ``n_salts`` reducers instead of melting one.
+
+    When to reach for it at 100 TB: both sides too big to broadcast AND
+    the key histogram has a head (host/domain/user keys always do). AQE
+    skew-join splits oversized PARTITIONS after the fact; salting fixes
+    the single-hot-KEY case AQE's split cannot help (one key's rows
+    still hash to one reducer without a salt). Cost, stated honestly:
+    the right side duplicates n_salts x — size it so
+    right * n_salts << left's hot-key mass.
+
+    The salt derives from the left row's full content (xxhash64 —
+    Spark-native, deterministic per run), never randomness, so the gate
+    can certify result-equivalence against a plain SQL join; identical
+    duplicate rows share a salt, which spreads nothing for a
+    pathological all-duplicate input but changes no semantics."""
+    lcols = left.columns
+    salted_l = left.withColumn(
+        '_salt', F.pmod(F.xxhash64(*[F.col(c) for c in lcols]),
+                        F.lit(n_salts)).cast('int'))
+    salted_r = (right.withColumn(
+        '_salt', F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))
+                           .cast('array<int>'))))
+    out = salted_l.join(salted_r, [key, '_salt'], 'inner')
+    return out.drop('_salt')

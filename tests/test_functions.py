@@ -1977,3 +1977,22 @@ def test_random_projection_structure_preserved(spark):
     assert got[2] == [-x for x in got[0]]          # linearity
     assert cos(got[0], got[1]) > 0.99              # near-dup survives
     assert abs(cos(got[0], got[3])) < 0.6          # unrelated stays far
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    """Salting must be invisible in the result: on a hot-key input
+    (80% of left rows share one key) the salted join returns exactly
+    the plain join's multiset, including keys missing from either
+    side."""
+    from mineru_html_spark.functions.relational import salted_join
+    left = spark.createDataFrame(
+        [(i, 0 if i % 5 != 4 else i % 17, f'p{i}') for i in range(200)],
+        'row_id long, k long, payload string')
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 15)], 'k long, attr long')
+    got = sorted((r['row_id'], r['k'], r['attr'])
+                 for r in salted_join(left, right, 'k', n_salts=4)
+                 .collect())
+    want = sorted((r['row_id'], r['k'], r['attr'])
+                  for r in left.join(right, 'k').collect())
+    assert got == want and len(got) > 150

@@ -204,3 +204,15 @@ def test_bucketed_join_has_zero_exchanges(spark, entry):
     assert 'SortMergeJoin' in p
     assert 'Exchange' not in p
     assert 'Bucketed: true' in p or 'SelectedBucketsCount' in p
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, entry):
+    """The skew fix must be visible in the plan: the join's exchanges
+    hash on (user_id, _salt) — the hot key spreads across salts — and
+    the merge hint keeps the demonstration on the sort-merge path."""
+    p = plan_of(entry.q_salted_join(spark, SF))
+    assert 'SortMergeJoin' in p
+    assert '_salt' in p
+    import re
+    parts = re.findall(r'hashpartitioning\(([^)]*)\)', p)
+    assert any('user_id' in x and '_salt' in x for x in parts)
