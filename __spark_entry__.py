@@ -1748,6 +1748,72 @@ def q_zorder_layout(spark, sf_dir):
                                 bits=16, n_files=64)
 
 
+def q_events_cube(spark, sf_dir):
+    """OLAP CUBE / grouping sets: one pass emits the full lattice of
+    (event_type, cohort) aggregates — per-cell, per-type, per-cohort
+    and grand total — with grouping_id disambiguating planted NULLs
+    from rollup NULLs. Spark computes a cube as a single Expand +
+    aggregate (each input row fans to its 4 grouping sets map-side,
+    then one shuffle) — the OLAP-parity operator a reporting layer
+    needs. Exact SQL oracle (DuckDB GROUP BY CUBE + GROUPING())."""
+    ev = _events(spark, sf_dir).select(
+        'event_type', (F.col('user_id') % 5).alias('cohort'),
+        F.round(F.col('value') * 1000).cast('long').alias('value_milli'))
+    out = (ev.cube('event_type', 'cohort')
+           .agg(F.count('*').alias('n_events'),
+                F.sum('value_milli').cast('long')
+                 .alias('sum_value_milli'),
+                F.grouping_id().cast('long').alias('gid')))
+    # rollup NULLs stringify to a sentinel: a nullable int column round
+    # -trips through pandas as float64 and the value gate would compare
+    # '0' vs '0.0'; gid already disambiguates planted vs rollup NULLs
+    return out.select(
+        F.coalesce('event_type', F.lit('(all)')).alias('event_type'),
+        F.coalesce(F.col('cohort').cast('string'), F.lit('(all)'))
+         .alias('cohort'),
+        'n_events', 'sum_value_milli', 'gid')
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: per-cohort event counts spread across one column per
+    event type (the reporting-layer wide shape). The pivot value list
+    is EXPLICIT — at scale an implicit pivot runs a distinct-scan
+    planning job over the corpus first; pinning the list keeps it one
+    aggregate. Exact SQL oracle (CASE-sum mirror)."""
+    ev = _events(spark, sf_dir).select(
+        'event_type', (F.col('user_id') % 5).alias('cohort'))
+    piv = (ev.groupBy('cohort')
+           .pivot('event_type',
+                  ['click', 'error', 'purchase', 'signup', 'view'])
+           .agg(F.count(F.lit(1))))
+    # absent (cohort, type) combos pivot to NULL; the report wants 0
+    return piv.select('cohort', *[
+        F.coalesce(t, F.lit(0)).alias(f'n_{t}')
+        for t in ('click', 'error', 'purchase', 'signup', 'view')])
+
+
+def q_snapshot_upsert(spark, sf_dir):
+    """MERGE INTO / upsert semantics over crawl snapshots: the previous
+    snapshot (docs with doc_id % 3 != 0, stale digests planted on
+    doc_id % 5 == 0) merges with the fresh crawl (doc_id % 2 == 0) —
+    source rows win on key, unmatched target rows survive, and every
+    output row is labeled inserted/updated/kept. One full-outer join
+    keyed on doc_id (hash-only: digests travel, text stays in place),
+    the companion APPLY step to ``crawl_delta``'s diff. Exact SQL
+    oracle."""
+    from mineru_html_spark.functions.relational import merge_upsert
+    docs = _docs(spark, sf_dir)
+    target = (docs.where(F.col('doc_id') % 3 != 0)
+              .select('doc_id',
+                      F.when(F.col('doc_id') % 5 == 0, F.lit('stale'))
+                       .otherwise(F.md5('text')).alias('digest'),
+                      F.lit(1).alias('gen')))
+    source = (docs.where(F.col('doc_id') % 2 == 0)
+              .select('doc_id', F.md5('text').alias('digest'),
+                      F.lit(2).alias('gen')))
+    return merge_upsert(target, source, 'doc_id', ['digest', 'gen'])
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-mitigated join: 30% of events are remapped onto user 0 (the
     hot-key histogram every host/domain/user key has at crawl scale),
@@ -3175,6 +3241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bucketed_join': q_bucketed_join,
         'streaming_attribution': q_streaming_attribution,
         'salted_join': q_salted_join,
+        'events_cube': q_events_cube,
+        'events_pivot': q_events_pivot,
+        'snapshot_upsert': q_snapshot_upsert,
         'dsir_select': q_dsir_select,
         'dup_doc_filter': q_dup_doc_filter,
         'remove_dup_spans': q_remove_dup_spans,
@@ -4031,6 +4100,51 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             SELECT e.event_id, e.user_id, u.cohort, e.value_milli
             FROM e JOIN u USING (user_id)
+        """,
+        'events_cube': """
+            WITH ev AS (
+              SELECT event_type, user_id % 5 AS cohort,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events)
+            SELECT COALESCE(event_type, '(all)') AS event_type,
+                   COALESCE(CAST(cohort AS VARCHAR), '(all)') AS cohort,
+                   count(*) AS n_events,
+                   CAST(sum(value_milli) AS BIGINT) AS sum_value_milli,
+                   CAST(GROUPING(event_type) * 2 + GROUPING(cohort)
+                        AS BIGINT) AS gid
+            FROM ev GROUP BY CUBE (event_type, cohort)
+        """,
+        'events_pivot': """
+            WITH ev AS (SELECT event_type, user_id % 5 AS cohort
+                        FROM events)
+            SELECT cohort,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM ev GROUP BY cohort
+        """,
+        'snapshot_upsert': """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'stale'
+                          ELSE md5(text) END AS digest,
+                     1 AS gen
+              FROM documents WHERE doc_id % 3 != 0),
+            s AS (
+              SELECT doc_id, md5(text) AS digest, 2 AS gen
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+                   COALESCE(s.digest, t.digest) AS digest,
+                   CAST(COALESCE(s.gen, t.gen) AS INT) AS gen,
+                   CASE WHEN t.doc_id IS NULL THEN 'inserted'
+                        WHEN s.doc_id IS NOT NULL
+                             AND (s.digest != t.digest OR s.gen != t.gen)
+                            THEN 'updated'
+                        ELSE 'kept' END AS action
+            FROM t FULL OUTER JOIN s USING (doc_id)
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

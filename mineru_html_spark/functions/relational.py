@@ -93,3 +93,35 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
                            .cast('array<int>'))))
     out = salted_l.join(salted_r, [key, '_salt'], 'inner')
     return out.drop('_salt')
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str,
+                 cols: list) -> DataFrame:
+    """MERGE INTO semantics as a plain join (the apply step after a
+    snapshot diff): source rows win on ``key``, unmatched target rows
+    survive, and each output row carries an ``action`` label —
+    'inserted' (source-only key), 'updated' (both sides, any ``cols``
+    value differs), 'kept' (target-only, or both sides identical).
+
+    One full-outer hash join on the key — the comparison columns ride
+    along, bulky payloads should be joined back afterwards. This is
+    what a Delta/Iceberg MERGE compiles to before write amplification
+    tricks; expressed directly it runs on any table format."""
+    # explicit presence markers — a NULL in a payload column must not
+    # read as "row absent on that side"
+    t = target.select(key, F.lit(1).alias('_t_present'),
+                      *[F.col(c).alias(f'_t_{c}') for c in cols])
+    s = source.select(key, F.lit(1).alias('_s_present'),
+                      *[F.col(c).alias(f'_s_{c}') for c in cols])
+    j = t.join(s, key, 'full_outer')
+    has_s = F.col('_s_present').isNotNull()
+    has_t = F.col('_t_present').isNotNull()
+    differs = None
+    for c in cols:
+        d = ~F.col(f'_s_{c}').eqNullSafe(F.col(f'_t_{c}'))
+        differs = d if differs is None else (differs | d)
+    action = (F.when(has_s & ~has_t, F.lit('inserted'))
+              .when(has_s & has_t & differs, F.lit('updated'))
+              .otherwise(F.lit('kept')))
+    picked = [F.coalesce(f'_s_{c}', f'_t_{c}').alias(c) for c in cols]
+    return j.select(key, *picked, action.alias('action'))

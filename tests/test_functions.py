@@ -1996,3 +1996,24 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     want = sorted((r['row_id'], r['k'], r['attr'])
                   for r in left.join(right, 'k').collect())
     assert got == want and len(got) > 150
+
+
+def test_merge_upsert_actions_and_null_payloads(spark):
+    """MERGE semantics: source wins on key, unmatched target survives,
+    actions label correctly — and a NULL payload value must not read as
+    'row absent' (presence markers, not column null-checks)."""
+    from mineru_html_spark.functions.relational import merge_upsert
+    target = spark.createDataFrame(
+        [(1, 'a', 1), (2, 'b', 1), (3, None, 1)],
+        'k long, v string, gen int')
+    source = spark.createDataFrame(
+        [(2, 'B', 2), (3, None, 2), (4, 'd', 2)],
+        'k long, v string, gen int')
+    got = {r['k']: r for r in merge_upsert(target, source, 'k',
+                                           ['v', 'gen']).collect()}
+    assert got[1]['action'] == 'kept' and got[1]['v'] == 'a'
+    assert got[2]['action'] == 'updated' and got[2]['v'] == 'B'
+    # NULL v on both sides, but gen changed -> updated, v stays NULL
+    assert got[3]['action'] == 'updated' and got[3]['v'] is None
+    assert got[3]['gen'] == 2
+    assert got[4]['action'] == 'inserted' and got[4]['v'] == 'd'

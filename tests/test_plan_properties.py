@@ -216,3 +216,11 @@ def test_salted_join_shuffles_on_key_and_salt(spark, entry):
     import re
     parts = re.findall(r'hashpartitioning\(([^)]*)\)', p)
     assert any('user_id' in x and '_salt' in x for x in parts)
+
+
+def test_events_cube_is_single_expand_aggregate(spark, entry):
+    """CUBE must compile to one Expand + one aggregate (rows fan to
+    their grouping sets map-side), not one scan per grouping set."""
+    p = plan_of(entry.q_events_cube(spark, SF))
+    assert p.count('Expand') == 1
+    assert p.count('Scan parquet') == 1
