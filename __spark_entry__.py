@@ -3232,7 +3232,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'winnow_fp': q_winnow,
         'wordpiece_apply': q_wordpiece_apply,
         'webp_decode': q_webp_decode,
-        # --- new this window (never certified; front of the cap) ---
+        'dsir_select': q_dsir_select,
+        'dup_doc_filter': q_dup_doc_filter,
+        'remove_dup_spans': q_remove_dup_spans,
+        'decontaminate': q_decontaminate,
+        'decontaminate_spans': q_decontaminate_spans,
+        'quality_classifier': q_quality_classifier,
+        'soft_quality_sample': q_soft_quality_sample,
+        'lm_bucket': q_lm_bucket,
+        # --- new this sixth window (queue for r6's rotation; all have
+        # exact SQL oracles and the full local gate covers them now —
+        # the 50-row cap stays on the r4-era never-certified set) ---
         'bloom_decontaminate': q_bloom_decontaminate,
         'zorder_layout': q_zorder_layout,
         'compaction_plan': q_compaction_plan,
@@ -3244,14 +3254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_cube': q_events_cube,
         'events_pivot': q_events_pivot,
         'snapshot_upsert': q_snapshot_upsert,
-        'dsir_select': q_dsir_select,
-        'dup_doc_filter': q_dup_doc_filter,
-        'remove_dup_spans': q_remove_dup_spans,
-        'decontaminate': q_decontaminate,
-        'decontaminate_spans': q_decontaminate_spans,
-        'quality_classifier': q_quality_classifier,
-        'soft_quality_sample': q_soft_quality_sample,
-        'lm_bucket': q_lm_bucket,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
