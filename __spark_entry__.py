@@ -2091,6 +2091,49 @@ def _hits_oracle(iters: int = 4) -> str:
         """
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Record linkage by blocking + edit distance: every doc_id % 20
+    == 1 gets a twin (id + 1,000,000) with a 3-edit splice at char 10,
+    records block on their first word, and Levenshtein over the
+    60-char prefix key decides matches — the fuzzy complement to the
+    hash/shingle dedup family (typo-class near-dups). Blocks above 100
+    records are excluded by the certified cap. Exact SQL oracle
+    (Spark and DuckDB compute the same standard Levenshtein —
+    cross-checked in tests)."""
+    from mineru_html_spark.functions.dedup import fuzzy_block_match
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    twins = (docs.where(F.col('doc_id') % 20 == 1)
+             .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                     F.concat(F.substring('text', 1, 9), F.lit('zq'),
+                              F.expr('substring(text, 12)'))
+                     .alias('text')))
+    recs = (docs.unionByName(twins)
+            .select('doc_id',
+                    F.substring('text', 1, 60).alias('k'),
+                    F.split(F.lower(F.trim('text')), '[^a-z0-9]+')
+                     .getItem(0).alias('block')))
+    return fuzzy_block_match(recs, 'doc_id', 'k', 'block',
+                             max_dist=5, max_block=100)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the deterministic link graph
+    (edges doc -> (7d+3) % N and (13d+5) % N, treated undirected) —
+    the local-clustering / link-farm signal. Canonical a<b<c
+    orientation finds each triangle once; exact SQL oracle repeats the
+    same two joins."""
+    from mineru_html_spark.functions.graph import triangle_counts
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    d = F.col('doc_id')
+    edges = (docs.select(d.alias('src'), ((d * 7 + 3) % n).alias('dst'))
+             .unionByName(
+                 docs.select(d.alias('src'),
+                             ((d * 13 + 5) % n).alias('dst'))))
+    nodes = docs.select(d.alias('node'))
+    return triangle_counts(edges, nodes)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (Sennrich 2016): the corpus-scale part is
     ONE word-type frequency aggregate; the 50-round merge loop runs
@@ -3254,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_cube': q_events_cube,
         'events_pivot': q_events_pivot,
         'snapshot_upsert': q_snapshot_upsert,
+        'triangle_count': q_triangle_count,
+        'fuzzy_match': q_fuzzy_match,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -4147,6 +4192,59 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'updated'
                         ELSE 'kept' END AS action
             FROM t FULL OUTER JOIN s USING (doc_id)
+        """,
+        'triangle_count': """
+            WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                        FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            ed AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM documents, nn),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM ed WHERE src != dst),
+            tris AS (
+              SELECT w.x, w.y, w.z
+              FROM (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1 JOIN und e2 ON e1.b = e2.a) w
+              JOIN und c ON c.a = w.x AND c.b = w.z),
+            per_node AS (
+              SELECT node, count(*) AS n FROM (
+                SELECT x AS node FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris)
+              GROUP BY node)
+            SELECT nodes.node,
+                   CAST(coalesce(per_node.n, 0) AS BIGINT)
+                       AS n_triangles
+            FROM nodes LEFT JOIN per_node USING (node)
+        """,
+        'fuzzy_match': """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substring(text, 1, 9) || 'zq' || substring(text, 12)
+              FROM documents WHERE doc_id % 20 = 1),
+            r AS (
+              SELECT doc_id AS id, substring(text, 1, 60) AS k,
+                     regexp_split_to_array(lower(trim(text)),
+                                           '[^a-z0-9]+')[1] AS block
+              FROM base),
+            capped AS (
+              SELECT * FROM (
+                SELECT id, k, block,
+                       count(*) OVER (PARTITION BY block) AS bn
+                FROM r) WHERE bn <= 100)
+            SELECT a.id AS id_a, b.id AS id_b, a.block,
+                   CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+            FROM capped a JOIN capped b
+              ON a.block = b.block AND a.id < b.id
+            WHERE levenshtein(a.k, b.k) <= 5
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -539,3 +539,43 @@ def near_dup_vs_index(new_docs: DataFrame, index_dir: str, k: int = 3,
         F.coalesce(-F.col('m.negid'), F.lit(-1)).alias('best_match'),
         F.coalesce(F.col('m.e'), F.lit(0)).alias('best_est_milli'),
         F.coalesce('n_candidates', F.lit(0)).alias('n_candidates'))
+
+
+def fuzzy_block_match(records: DataFrame, id_col: str, key_col: str,
+                      block_col: str, max_dist: int = 5,
+                      max_block: int = 1000) -> DataFrame:
+    """(id_a, id_b, block, dist): record linkage / entity resolution by
+    blocking + edit distance — the classic two-stage shape (Fellegi-
+    Sunter lineage): a cheap BLOCKING key collapses the O(n^2) pair
+    space to within-block pairs, then Levenshtein over a bounded
+    comparison key decides matches. The fuzzy complement to the
+    hash-exact and shingle-set dedup family: edit distance catches the
+    one-typo / suffix-tweak near-duplicates MinHash needs long shingles
+    to see.
+
+    Scale shape: one shuffle on the block key (the comparison keys ride
+    along, bounded strings); pairs enumerate per block with the a<b
+    canonical order, NEVER across blocks — all-pairs never happens.
+    Blocks larger than ``max_block`` are excluded entirely (the
+    LSH-bucket cap idiom: a degenerate block — empty title, boilerplate
+    key — would quadratically explode exactly where matching is
+    meaningless); the cap is mirrored in the oracle, so the exclusions
+    are certified, not silent. Levenshtein cost is O(len^2) per pair —
+    keep ``key_col`` a bounded prefix/sort-key, not the document."""
+    from pyspark.sql.window import Window
+    r = records.select(F.col(id_col).alias('id'),
+                       F.col(key_col).alias('k'),
+                       F.col(block_col).alias('block'))
+    w = Window.partitionBy('block')
+    r = r.withColumn('_bn', F.count('*').over(w)) \
+         .where(F.col('_bn') <= max_block).drop('_bn')
+    a = r.select('block', F.col('id').alias('id_a'),
+                 F.col('k').alias('k_a'))
+    b = r.select('block', F.col('id').alias('id_b'),
+                 F.col('k').alias('k_b'))
+    pairs = (a.join(b, 'block')
+             .where(F.col('id_a') < F.col('id_b'))
+             .withColumn('dist', F.levenshtein('k_a', 'k_b'))
+             .where(F.col('dist') <= max_dist))
+    return pairs.select('id_a', 'id_b', 'block',
+                        F.col('dist').cast('long').alias('dist'))

@@ -110,3 +110,35 @@ def hits_integer(edges: DataFrame, nodes: DataFrame,
                .localCheckpoint(eager=False))
     return (auth.withColumnRenamed('v', 'auth_micro')
             .join(hub.withColumnRenamed('v', 'hub_micro'), 'node'))
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node, n_triangles): triangles through each node — the local
+    clustering signal (link farms and boilerplate nav cliques score
+    high; organic content links don't). Input edges are treated as
+    UNDIRECTED; self-loops and duplicate/reverse pairs collapse first.
+
+    Algorithm: canonical orientation (a < b), then one join extends
+    wedges a<b<c and a second checks the closing edge (a, c) — each
+    triangle found exactly once, never enumerated per permutation. Two
+    shuffle joins on node ids (integers only), the standard
+    node-iterator shape. Skew note, stated honestly: id-ordering bounds
+    the wedge fan-out by out-orientation degree; for power-law graphs
+    the production upgrade is DEGREE-ordered orientation (orient toward
+    the higher-degree endpoint), which caps fan-out at O(sqrt(m)) —
+    same joins, one extra degree aggregate."""
+    und = (edges.select(F.least('src', 'dst').alias('a'),
+                        F.greatest('src', 'dst').alias('b'))
+           .where(F.col('a') != F.col('b')).distinct())
+    e1 = und.select(F.col('a').alias('x'), F.col('b').alias('y'))
+    e2 = und.select(F.col('a').alias('y'), F.col('b').alias('z'))
+    wedges = e1.join(e2, 'y')                     # x < y < z
+    closing = und.select(F.col('a').alias('x'), F.col('b').alias('z'))
+    tris = wedges.join(closing, ['x', 'z'])
+    per_node = (tris.select(F.col('x').alias('node'))
+                .unionAll(tris.select(F.col('y').alias('node')))
+                .unionAll(tris.select(F.col('z').alias('node')))
+                .groupBy('node').agg(F.count('*').alias('n')))
+    return (nodes.join(per_node, 'node', 'left')
+            .select('node', F.coalesce('n', F.lit(0)).cast('long')
+                    .alias('n_triangles')))

@@ -2017,3 +2017,38 @@ def test_merge_upsert_actions_and_null_payloads(spark):
     assert got[3]['action'] == 'updated' and got[3]['v'] is None
     assert got[3]['gen'] == 2
     assert got[4]['action'] == 'inserted' and got[4]['v'] == 'd'
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes 0-3 fully connected except (2,3) ->
+    two triangles (0,1,2) and (0,1,3); duplicate/reverse edges and
+    self-loops must collapse first; isolated node scores 0."""
+    from mineru_html_spark.functions.graph import triangle_counts
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (1, 2), (1, 3),
+         (2, 2)],                         # reverse dups + self-loop
+        'src long, dst long')
+    nodes = spark.createDataFrame([(i,) for i in range(5)], 'node long')
+    got = {r['node']: r['n_triangles']
+           for r in triangle_counts(edges, nodes).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1, 4: 0}
+
+
+def test_fuzzy_block_match_planted_and_cap(spark):
+    from mineru_html_spark.functions.dedup import fuzzy_block_match
+    recs = spark.createDataFrame(
+        [(1, 'alpha contract signed june', 'alpha'),
+         (2, 'alpha contrakt signed june', 'alpha'),   # 1 edit from 1
+         (3, 'alpha totally different text', 'alpha'),
+         (4, 'beta lone record here', 'beta'),
+         # a degenerate block that must be cap-excluded
+         *[(100 + i, f'junk {i}', 'junk') for i in range(10)]],
+        'id long, k string, block string')
+    got = fuzzy_block_match(recs, 'id', 'k', 'block',
+                            max_dist=2, max_block=5).collect()
+    pairs = {(r['id_a'], r['id_b']): r['dist'] for r in got}
+    assert pairs == {(1, 2): 1}           # the typo twin, nothing else
+    # raising the cap admits the junk block's short-key pairs
+    got2 = fuzzy_block_match(recs, 'id', 'k', 'block',
+                             max_dist=2, max_block=50).collect()
+    assert any(r['block'] == 'junk' for r in got2)
