@@ -293,6 +293,53 @@ def main():
                  r'ExistingRDD|Scan'],
                 max_lines=16)))
 
+    sections.append((
+        'Bloom decontamination (zero exchanges of any kind)',
+        'The packed filter is a plan literal and the probe a row-local '
+        'higher-order filter: Project chain straight off the scan — no '
+        'Exchange, no Join, no Aggregate over the corpus.',
+        trimmed(plan_of(entry.q_bloom_decontaminate(spark, SF)),
+                [r'Project \(|Scan parquet|Exchange|Join'],
+                max_lines=8)))
+
+    sections.append((
+        'Bucketed co-located join (zero-Exchange SMJ)',
+        'Both scans are bucketed on the join key, so the MERGE-hinted '
+        'sort-merge join runs with NO Exchange on either side — the '
+        'write-time shuffle amortized over every future join.',
+        trimmed(plan_of(entry.q_bucketed_join(spark, SF)),
+                [r'SortMergeJoin|Sort |Scan parquet|Bucketed|'
+                 r'SelectedBucketsCount|Exchange'],
+                max_lines=12)))
+
+    sections.append((
+        'Salted skew join (hot key spread across reducers)',
+        'The exchanges hash on (user_id, _salt): one hot key occupies '
+        'n_salts reducers instead of melting one — the fix AQE '
+        'partition-splitting cannot make for a single key.',
+        trimmed(plan_of(entry.q_salted_join(spark, SF)),
+                [r'SortMergeJoin|hashpartitioning|Exchange'],
+                max_lines=8)))
+
+    sections.append((
+        'OLAP CUBE (one Expand, one scan)',
+        'The full grouping-set lattice fans out map-side (Expand) into '
+        'a single aggregate — not one scan per grouping set.',
+        trimmed(plan_of(entry.q_events_cube(spark, SF)),
+                [r'Expand|HashAggregate|Exchange|Scan parquet'],
+                max_lines=10)))
+
+    sections.append((
+        'Z-order layout report (broadcast stats, map-side key)',
+        'Global min/max is one tiny aggregate broadcast back over the '
+        'rows (single-row BroadcastNestedLoopJoin); the Morton key is '
+        'a literal-shift codegen projection; the only hash exchange is '
+        'the 64-row report aggregate.',
+        trimmed(plan_of(entry.q_zorder_layout(spark, SF)),
+                [r'BroadcastNestedLoopJoin|HashAggregate|Exchange|'
+                 r'Scan parquet'],
+                max_lines=10)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
