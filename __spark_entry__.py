@@ -2091,6 +2091,72 @@ def _hits_oracle(iters: int = 4) -> str:
         """
 
 
+def q_table_profile(spark, sf_dir):
+    """Data profiling — the first query anyone runs on an unknown 100 TB
+    table: per-column null count, exact distinct count, min/max (as
+    strings) and average value length, computed in ONE pass (a single
+    multi-distinct aggregate — Spark plans the distincts via one Expand,
+    the same map-side fan-out CUBE uses) and UNPIVOTed to one row per
+    column with the stack() melt operator. Exact SQL oracle (per-column
+    UNION mirror)."""
+    docs = _docs(spark, sf_dir)
+    cols = ['doc_id', 'text', 'lang', 'source', 'n_chars']
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast('string')
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast('long').alias(f'{c}__nulls'),
+            F.countDistinct(c).alias(f'{c}__distinct'),
+            F.min(s).alias(f'{c}__min'),
+            F.max(s).alias(f'{c}__max'),
+            F.sum(F.coalesce(F.length(s), F.lit(0))).cast('long')
+             .alias(f'{c}__len'),
+        ]
+    one = _docs(spark, sf_dir).agg(*aggs)
+    stack_args = ', '.join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__len"
+        for c in cols)
+    return one.select(F.expr(
+        f'stack({len(cols)}, {stack_args}) AS '
+        f'(column, n_nulls, n_distinct, min_s, max_s, sum_len)'))
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    reaches a stage only via events in order — the first click AT OR
+    AFTER the first view, the first purchase at or after that click.
+    Three chained (aggregate, join) steps keyed on user_id — every
+    exchange carries (user_id, epoch) longs only, content never moves;
+    the per-user stage tables are |users|-sized, so they JOIN rather
+    than broadcast (a user dim at crawl scale is not a broadcast
+    candidate). Exact SQL oracle (same chained-CTE shape)."""
+    ev = _events(spark, sf_dir).select(
+        'user_id', 'event_type',
+        F.unix_timestamp('ts').cast('long').alias('t'))
+    v = (ev.where(F.col('event_type') == 'view')
+         .groupBy('user_id').agg(F.min('t').alias('t_view')))
+    c = (ev.join(v, 'user_id')
+         .where((F.col('event_type') == 'click')
+                & (F.col('t') >= F.col('t_view')))
+         .groupBy('user_id').agg(F.min('t').alias('t_click')))
+    p = (ev.join(c, 'user_id')
+         .where((F.col('event_type') == 'purchase')
+                & (F.col('t') >= F.col('t_click')))
+         .groupBy('user_id').agg(F.min('t').alias('t_purchase')))
+    out = (v.join(c, 'user_id', 'left').join(p, 'user_id', 'left')
+           .select('user_id',
+                   F.lit(1).alias('reached_view'),
+                   F.col('t_click').isNotNull().cast('int')
+                    .alias('reached_click'),
+                   F.col('t_purchase').isNotNull().cast('int')
+                    .alias('reached_purchase')))
+    return (out.agg(
+        F.count('*').alias('n_view'),
+        F.sum('reached_click').cast('long').alias('n_click'),
+        F.sum('reached_purchase').cast('long').alias('n_purchase')))
+
+
 def q_fuzzy_match(spark, sf_dir):
     """Record linkage by blocking + edit distance: every doc_id % 20
     == 1 gets a twin (id + 1,000,000) with a 3-edit splice at char 10,
@@ -3299,6 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'snapshot_upsert': q_snapshot_upsert,
         'triangle_count': q_triangle_count,
         'fuzzy_match': q_fuzzy_match,
+        'table_profile': q_table_profile,
+        'funnel_stages': q_funnel_stages,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -4245,6 +4313,68 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.block = b.block AND a.id < b.id
             WHERE levenshtein(a.k, b.k) <= 5
+        """,
+        'table_profile': """
+            WITH p AS (
+              SELECT 'doc_id' AS clm,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     count(DISTINCT doc_id) AS n_distinct,
+                     min(CAST(doc_id AS VARCHAR)) AS min_s,
+                     max(CAST(doc_id AS VARCHAR)) AS max_s,
+                     CAST(sum(coalesce(len(CAST(doc_id AS VARCHAR)), 0)) AS BIGINT) AS sum_len
+              FROM documents
+              UNION ALL
+              SELECT 'text',
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT text), min(text), max(text),
+                     CAST(sum(coalesce(len(text), 0)) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'lang',
+                     CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT lang), min(lang), max(lang),
+                     CAST(sum(coalesce(len(lang), 0)) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'source',
+                     CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT source), min(source), max(source),
+                     CAST(sum(coalesce(len(source), 0)) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars',
+                     CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT n_chars),
+                     min(CAST(n_chars AS VARCHAR)),
+                     max(CAST(n_chars AS VARCHAR)),
+                     CAST(sum(coalesce(len(CAST(n_chars AS VARCHAR)), 0)) AS BIGINT)
+              FROM documents)
+            SELECT clm AS \"column\", n_nulls, n_distinct, min_s, max_s,
+                   sum_len
+            FROM p
+        """,
+        'funnel_stages': """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events),
+            v AS (SELECT user_id, min(t) AS t_view FROM ev
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT ev.user_id, min(ev.t) AS t_click
+                  FROM ev JOIN v USING (user_id)
+                  WHERE ev.event_type = 'click' AND ev.t >= v.t_view
+                  GROUP BY ev.user_id),
+            p AS (SELECT ev.user_id, min(ev.t) AS t_purchase
+                  FROM ev JOIN c USING (user_id)
+                  WHERE ev.event_type = 'purchase' AND ev.t >= c.t_click
+                  GROUP BY ev.user_id)
+            SELECT count(*) AS n_view,
+                   CAST(sum(CASE WHEN c.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN p.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+            FROM v LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -2052,3 +2052,31 @@ def test_fuzzy_block_match_planted_and_cap(spark):
     got2 = fuzzy_block_match(recs, 'id', 'k', 'block',
                              max_dist=2, max_block=50).collect()
     assert any(r['block'] == 'junk' for r in got2)
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the user's first view must not count — the funnel
+    is ordered, not a bag of event types."""
+    import __spark_entry__ as e
+    import os
+    import pyspark.sql.functions as F
+    rows = [
+        (1, 'view', '2024-01-01 10:00:00'),
+        (1, 'click', '2024-01-01 11:00:00'),
+        (1, 'purchase', '2024-01-01 12:00:00'),   # full funnel
+        (2, 'click', '2024-01-01 09:00:00'),      # click precedes view
+        (2, 'view', '2024-01-01 10:00:00'),
+        (2, 'purchase', '2024-01-01 11:00:00'),   # but no ordered click
+        (3, 'view', '2024-01-01 10:00:00'),       # view only
+    ]
+    ev = spark.createDataFrame(rows, 'user_id long, event_type string, '
+                               'ts_s string') \
+        .select('user_id', 'event_type', F.to_timestamp('ts_s').alias('ts'))
+    d = os.path.join('/tmp', 'funnel_unit')
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
+    ev.withColumn('event_id', F.lit(0)).withColumn('value', F.lit(0.0)) \
+      .withColumn('props', F.lit('{}')) \
+      .write.parquet(os.path.join(d, 'events.parquet'))
+    got = e.queries()['funnel_stages'](spark, d).collect()[0]
+    assert (got['n_view'], got['n_click'], got['n_purchase']) == (3, 1, 1)
