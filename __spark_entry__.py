@@ -2091,6 +2091,63 @@ def _hits_oracle(iters: int = 4) -> str:
         """
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resample + forward fill: per-user hourly grid over
+    [first, last] event hour, carrying the last observed value across
+    silent hours (the gauge-metric shape: a dashboard needs a value for
+    every bucket, not just active ones). Grid generation is a row-local
+    sequence explode off one per-user aggregate; the fill is one
+    last-value window over (user, hour) — integer epochs throughout.
+    Capped by construction: the events table spans 7 days (<=168 rows
+    per user); a production variant bounds the grid the same way a
+    watermark bounds state. Exact SQL oracle (generate_series +
+    last_value IGNORE NULLS)."""
+    ev = _events(spark, sf_dir).select(
+        'user_id',
+        (F.floor(F.unix_timestamp('ts') / 3600) * 3600).cast('long')
+         .alias('hour'),
+        F.round(F.col('value') * 1000).cast('long').alias('value_milli'))
+    hourly = (ev.groupBy('user_id', 'hour')
+              .agg(F.max('value_milli').alias('v')))
+    span = (ev.groupBy('user_id')
+            .agg(F.min('hour').alias('h0'), F.max('hour').alias('h1')))
+    grid = span.select(
+        'user_id',
+        F.explode(F.sequence('h0', 'h1', F.lit(3600))).alias('hour'))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy('user_id').orderBy('hour')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = (grid.join(hourly, ['user_id', 'hour'], 'left')
+              .withColumn('v_filled',
+                          F.last('v', ignorenulls=True).over(w))
+              .withColumn('observed',
+                          F.col('v').isNotNull().cast('int')))
+    return filled.select('user_id', 'hour',
+                         F.col('v_filled').alias('value_milli'),
+                         'observed')
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the canonical growth-analytics query:
+    users cohort by their first-activity DAY, and each (cohort,
+    day_offset) cell counts distinct users active that many days later.
+    Two integer aggregates (first-day per user, then the matrix) and
+    one join on user_id — epochs only on the exchanges. Exact SQL
+    oracle."""
+    ev = _events(spark, sf_dir).select(
+        'user_id',
+        (F.floor(F.unix_timestamp('ts') / 86400)).cast('long')
+         .alias('day'))
+    first = ev.groupBy('user_id').agg(F.min('day').alias('cohort_day'))
+    return (ev.join(first, 'user_id')
+            .select('user_id', 'cohort_day',
+                    (F.col('day') - F.col('cohort_day')).alias('offset'))
+            .distinct()
+            .groupBy('cohort_day', 'offset')
+            .agg(F.count('*').alias('n_users'))
+            .withColumnRenamed('offset', 'day_offset'))
+
+
 def q_table_profile(spark, sf_dir):
     """Data profiling — the first query anyone runs on an unknown 100 TB
     table: per-column null count, exact distinct count, min/max (as
@@ -3367,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'fuzzy_match': q_fuzzy_match,
         'table_profile': q_table_profile,
         'funnel_stages': q_funnel_stages,
+        'resample_ffill': q_resample_ffill,
+        'retention_cohorts': q_retention_cohorts,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -4375,6 +4434,46 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
             FROM v LEFT JOIN c USING (user_id)
                    LEFT JOIN p USING (user_id)
+        """,
+        'resample_ffill': """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                         AS hour,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events),
+            hourly AS (SELECT user_id, hour, max(value_milli) AS v
+                       FROM ev GROUP BY user_id, hour),
+            span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                     FROM ev GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     CAST(unnest(generate_series(h0, h1, 3600)) AS BIGINT)
+                         AS hour
+              FROM span)
+            SELECT g.user_id, g.hour,
+                   last_value(h.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_milli,
+                   CASE WHEN h.v IS NOT NULL THEN 1 ELSE 0 END
+                       AS observed
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hour = h.hour
+        """,
+        'retention_cohorts': """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events),
+            first AS (SELECT user_id, min(day) AS cohort_day
+                      FROM ev GROUP BY user_id),
+            act AS (
+              SELECT DISTINCT ev.user_id, f.cohort_day,
+                     ev.day - f.cohort_day AS day_offset
+              FROM ev JOIN first f USING (user_id))
+            SELECT cohort_day, day_offset, count(*) AS n_users
+            FROM act GROUP BY cohort_day, day_offset
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),
