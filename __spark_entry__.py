@@ -2148,6 +2148,90 @@ def q_retention_cohorts(spark, sf_dir):
             .withColumnRenamed('offset', 'day_offset'))
 
 
+def q_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities over the deterministic
+    link graph (doc -> (7d+3) % N and (13d+5) % N, same graph as
+    pagerank/hits/triangles) — 4 rounds, min-label tie-break, exact
+    unrolled-CTE oracle. The community ids feed domain-level dedup:
+    mirror farms propagate to one label and dedup once per community,
+    not once per URL."""
+    from mineru_html_spark.functions.graph import label_propagation
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    nodes = docs.select(F.col('doc_id').alias('node'))
+    edges = (docs.select(F.col('doc_id').alias('src'),
+                         ((F.col('doc_id') * 7 + 3) % n).alias('dst'))
+             .unionAll(docs.select(
+                 F.col('doc_id').alias('src'),
+                 ((F.col('doc_id') * 13 + 5) % n).alias('dst'))))
+    return label_propagation(edges, nodes, iters=4)
+
+
+def _label_prop_oracle(iters: int = 4) -> str:
+    """Synchronous LPA unrolled as per-round CTEs: vote counts, a
+    row_number argmax with (cnt DESC, label ASC) tie order, and the
+    label carry for isolated nodes — integer labels end to end."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""c{k} AS (
+              SELECT nb.node, l.label, count(*) AS cnt
+              FROM nbrs nb JOIN l{k - 1} l ON nb.nbr = l.node
+              GROUP BY 1, 2),
+            b{k} AS (
+              SELECT node, label AS new_label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node
+                    ORDER BY cnt DESC, label ASC) AS rn
+                FROM c{k}) WHERE rn = 1),
+            l{k} AS (
+              SELECT p.node,
+                     CAST(coalesce(b.new_label, p.label) AS BIGINT)
+                         AS label
+              FROM l{k - 1} p LEFT JOIN b{k} b USING (node))""")
+    chain = ',\n            '.join(its)
+    return f"""
+            WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                        FROM documents),
+            ed AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM documents, nn),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM ed WHERE src <> dst),
+            nbrs AS (SELECT a AS node, b AS nbr FROM und
+                     UNION ALL
+                     SELECT b, a FROM und),
+            l0 AS (SELECT doc_id AS node,
+                          CAST(doc_id AS BIGINT) AS label
+                   FROM documents),
+            {chain}
+            SELECT node, label FROM l{iters}
+        """
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch-certified heavy hitters: exact top-32 tokens
+    with their sketch estimates riding along (est_cnt >= exact_cnt by
+    the one-sided guarantee). The sketch is the 100 TB shape — a fixed
+    12,288-cell aggregate that map-side-combines per partition and
+    merges additively across corpora; the exact side exists to certify
+    it at gate scale."""
+    from mineru_html_spark.functions.sketch import cms_heavy_hitters
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=32)
+
+
+def q_skew_profile(spark, sf_dir):
+    """Hot-key pre-flight on events.user_id: top-20 keys by row count
+    with integer-permille share and cumulative share — the report that
+    decides plain shuffle vs AQE skew split vs salted_join before a
+    100 TB exchange is committed."""
+    from mineru_html_spark.functions.relational import skew_profile
+    return skew_profile(_events(spark, sf_dir), 'user_id', k=20)
+
+
 def q_table_profile(spark, sf_dir):
     """Data profiling — the first query anyone runs on an unknown 100 TB
     table: per-column null count, exact distinct count, min/max (as
@@ -3066,6 +3150,50 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 analog (order-priority checking): orders placed in one
+    quarter with AT LEAST ONE slow lineitem (shipped > 60 days after
+    the order date), counted by priority. The existence test is a
+    LEFT SEMI join — each order contributes once no matter how many
+    late lines — with the date predicate evaluated inside the join
+    condition so the probe side never materializes the multiplicity.
+    (The synthetic lineitem carries no commit/receipt dates; ship-lag
+    vs o_orderdate is the analog's lateness predicate.)"""
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1996-04-01 00:00:00'").select(
+        'o_orderkey', 'o_orderdate', 'o_orderpriority')
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_orderkey', 'l_shipdate')
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col('o_orderdate')
+           + F.expr('interval 60 days')), 'left_semi')
+    return (late.groupBy('o_orderpriority')
+            .agg(F.count('*').alias('order_count')))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 analog (promotion effect): PROMO-type revenue vs total
+    revenue for one ship-month. Part dim BROADCASTS into the lineitem
+    scan; both sums land in integer centi-units per row, and the
+    result exposes numerator and denominator instead of the float
+    ratio — division is the consumer's one cheap op, exactness on the
+    exchange is the engine's job."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate >= timestamp '1996-03-01 00:00:00' AND "
+        "l_shipdate < timestamp '1996-04-01 00:00:00'").select(
+        'l_partkey', 'l_extendedprice', 'l_discount')
+    part = _table(spark, sf_dir, 'part').select('p_partkey', 'p_type')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col('p_type') == 'PROMO', rev).otherwise(0))
+         .alias('promo_centi'),
+        F.sum(rev).alias('total_centi'))
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -3426,6 +3554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'funnel_stages': q_funnel_stages,
         'resample_ffill': q_resample_ffill,
         'retention_cohorts': q_retention_cohorts,
+        'label_prop': q_label_prop,
+        'cms_heavy_hitters': q_cms_heavy_hitters,
+        'skew_profile': q_skew_profile,
+        'tpch_q4': q_tpch_q4,
+        'tpch_q14': q_tpch_q14,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -4474,6 +4607,74 @@ def oracle_sql() -> dict[str, str]:
               FROM ev JOIN first f USING (user_id))
             SELECT cohort_day, day_offset, count(*) AS n_users
             FROM act GROUP BY cohort_day, day_offset
+        """,
+        'label_prop': _label_prop_oracle(iters=4),
+        'cms_heavy_hitters': f"""
+            WITH tok AS (
+              SELECT unnest({_WORDS_AZ09}) AS w FROM documents),
+            cells AS (
+              SELECT r.r,
+                     substr(md5(CAST(r.r AS VARCHAR) || ':' || w),
+                            1, 3) AS bucket
+              FROM tok, (VALUES (0), (1), (2)) r(r)),
+            sketch AS (
+              SELECT r AS rw, bucket, count(*) AS cnt
+              FROM cells GROUP BY 1, 2),
+            exact AS (
+              SELECT w AS word, count(*) AS exact_cnt
+              FROM tok GROUP BY 1),
+            top AS (
+              SELECT word, exact_cnt FROM exact
+              ORDER BY exact_cnt DESC, word ASC LIMIT 32),
+            probes AS (
+              SELECT word, exact_cnt, r.r,
+                     substr(md5(CAST(r.r AS VARCHAR) || ':' || word),
+                            1, 3) AS bucket
+              FROM top, (VALUES (0), (1), (2)) r(r))
+            SELECT p.word, p.exact_cnt,
+                   CAST(min(s.cnt) AS BIGINT) AS est_cnt
+            FROM probes p JOIN sketch s
+              ON p.r = s.rw AND p.bucket = s.bucket
+            GROUP BY p.word, p.exact_cnt
+        """,
+        'skew_profile': """
+            WITH c AS (SELECT user_id, count(*) AS cnt
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM events),
+            top AS (SELECT user_id, cnt FROM c
+                    ORDER BY cnt DESC, user_id ASC LIMIT 20)
+            SELECT user_id, cnt,
+                   CAST(cnt * 1000 // total AS BIGINT)
+                       AS share_permille,
+                   CAST(CAST(sum(cnt) OVER (
+                       ORDER BY cnt DESC, user_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT)
+                       * 1000 // total AS BIGINT) AS cum_permille
+            FROM top, t
+        """,
+        'tpch_q4': """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        'tpch_q14': """
+            SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice
+                                 * (1 - l.l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_centi,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                 * (1 - l.l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS total_centi
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01'
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -142,3 +142,48 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return (nodes.join(per_node, 'node', 'left')
             .select('node', F.coalesce('n', F.lit(0)).cast('long')
                     .alias('n_triangles')))
+
+
+def label_propagation(edges: DataFrame, nodes: DataFrame,
+                      iters: int = 4) -> DataFrame:
+    """(node, label): synchronous label propagation (Raghavan et al.
+    2007) — the near-linear community detector crawl pipelines use to
+    group mutually-linking hosts (mirror farms, template networks)
+    before domain-level dedup. Each round every node adopts the most
+    frequent label among its neighbors; ties break on the SMALLEST
+    label, and all nodes update simultaneously from the previous
+    round's labels, so the result after a fixed number of rounds is
+    fully deterministic — no RNG order, no async races — and the
+    DuckDB oracle is an exact unrolled-CTE chain (the PageRank/HITS
+    approach; asynchronous LPA could never cross a value-hash gate).
+
+    Edges are treated as UNDIRECTED with duplicate/reverse pairs and
+    self-loops collapsed first, so a vote is per NEIGHBOR, not per
+    parallel edge. Per round: one shuffle join (neighbor labels), one
+    count aggregate on (node, label), one max-of-struct argmax — all
+    integer columns; plan growth across rounds is cut with
+    localCheckpoint like the CC/PageRank loops. Isolated nodes keep
+    their own label."""
+    und = (edges.select(F.least('src', 'dst').alias('a'),
+                        F.greatest('src', 'dst').alias('b'))
+           .where(F.col('a') != F.col('b')).distinct())
+    nbrs = (und.select(F.col('a').alias('node'), F.col('b').alias('nbr'))
+            .unionAll(und.select(F.col('b').alias('node'),
+                                 F.col('a').alias('nbr'))))
+    labels = nodes.select('node', F.col('node').cast('long')
+                          .alias('label'))
+    for _ in range(iters):
+        votes = (nbrs.join(labels.withColumnRenamed('node', 'nbr'),
+                           'nbr')
+                 .groupBy('node', 'label').agg(F.count('*').alias('cnt')))
+        # argmax with min-label tie-break: max of (cnt, -label)
+        best = (votes.groupBy('node')
+                .agg((-F.max(F.struct(F.col('cnt'),
+                                      (-F.col('label')).alias('nl')))
+                      .getField('nl')).alias('new_label')))
+        labels = (labels.join(best, 'node', 'left')
+                  .select('node',
+                          F.coalesce('new_label', 'label')
+                          .cast('long').alias('label'))
+                  .localCheckpoint(eager=False))
+    return labels

@@ -125,3 +125,32 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str,
               .otherwise(F.lit('kept')))
     picked = [F.coalesce(f'_s_{c}', f'_t_{c}').alias(c) for c in cols]
     return j.select(key, *picked, action.alias('action'))
+
+
+def skew_profile(df: DataFrame, key: str, k: int = 20) -> DataFrame:
+    """(key, cnt, share_permille, cum_permille): the k heaviest keys
+    with their integer-permille share of all rows and the running
+    cumulative share — the PRE-FLIGHT for every shuffle decision in
+    this engine. Before a join or aggregation on ``key`` at 100 TB,
+    this report answers the only question that matters: is the key
+    space flat (plain shuffle), heavy-tailed (AQE skew splitting), or
+    single-hot-key (``salted_join``)? Running it costs one map-side-
+    combined count aggregate + a TakeOrdered of k rows — reading the
+    answer is O(scan); guessing wrong costs a straggler executor that
+    runs for hours.
+
+    Integer permille (floor) against a broadcast single-row total;
+    cumulative share from a k-row window on the driver-sized result.
+    Ties order by key for cross-engine determinism."""
+    counts = df.groupBy(key).agg(F.count('*').alias('cnt'))
+    total = df.select(F.count('*').alias('total'))
+    top = (counts.orderBy(F.desc('cnt'), F.asc(key)).limit(k)
+           .crossJoin(F.broadcast(total)))
+    w = (Window.orderBy(F.desc('cnt'), F.asc(key))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (top.withColumn('cum', F.sum('cnt').over(w))
+            .select(key, 'cnt',
+                    F.expr('cnt * 1000 div total')
+                    .alias('share_permille'),
+                    F.expr('cum * 1000 div total')
+                    .alias('cum_permille')))

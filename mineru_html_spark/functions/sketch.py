@@ -1,0 +1,94 @@
+"""Mergeable frequency sketches — count-min heavy hitters.
+
+At 100 TB the exact token-frequency table is itself a big-data problem:
+the full vocabulary shuffle behind ``vocab_topk`` moves one row per
+distinct token, and a web corpus has billions of them (typos, ids,
+numbers). The count-min sketch (Cormode & Muthukrishnan 2005) is the
+standard constant-memory answer: ``d`` hash rows of ``w`` counters,
+updated additively — so the sketch is MERGEABLE (sum two sketches
+cell-wise) and builds as ONE map-side-combined aggregate over a fixed
+``d*w`` key space, never a per-token shuffle. Point estimates take the
+min over the d rows and are guaranteed >= the true count (one-sided
+error <= eps*N with prob 1-delta for w=e/eps, d=ln(1/delta)).
+
+The reference has no sketches (it never aggregates across documents —
+the closest thing is the eval harness's pandas means,
+eval_baselines/base.py:232); this is infrastructure the Spark engine
+needs that a per-request pipeline never did.
+
+Engine-portability: bucket ids are HEX PREFIXES of md5 (row-salted), so
+the DuckDB oracle mirrors every placement with the same ``md5`` call —
+no cross-engine integer-hash agreement needed. Width is therefore a
+power of 16 (3 hex chars = 4096 buckets).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .corpus import _words
+
+#: hex chars per bucket id -> sketch width 16**HEX_CHARS (4096)
+HEX_CHARS = 3
+#: independent hash rows (delta = e^-3 ~ 5%)
+DEPTH = 3
+
+
+def _bucket(row: int, token: Column) -> Column:
+    """Row-salted md5 hex-prefix bucket — identical text in both
+    engines: substr(md5('<row>:' || token), 1, 3)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f'{row}:'), token)), 1, HEX_CHARS)
+
+
+def cms_build(documents: DataFrame, depth: int = DEPTH) -> DataFrame:
+    """(row, bucket, cnt): the count-min sketch of the corpus's token
+    stream as a DataFrame of at most depth * 16^HEX_CHARS rows.
+
+    Plan shape: explode tokens -> row-local d-way bucket explode ->
+    ONE hash aggregate over a key space of fixed size (d * w keys), so
+    the partial (map-side) aggregation collapses each input partition
+    to <= d*w rows before the exchange — the shuffle moves sketch
+    cells, not tokens. Merging two corpora's sketches is a union + the
+    same aggregate (additivity), which is what makes this the
+    incremental-ingest shape: yesterday's sketch + today's delta
+    without touching yesterday's tokens."""
+    tok = documents.select(F.explode(_words()).alias('w'))
+    cells = tok.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias('row'), _bucket(r, F.col('w'))
+                 .alias('bucket'))
+        for r in range(depth)])).alias('c'))
+    return (cells.groupBy('c.row', 'c.bucket')
+            .agg(F.count('*').alias('cnt')))
+
+
+def cms_heavy_hitters(documents: DataFrame, k: int = 32,
+                      depth: int = DEPTH) -> DataFrame:
+    """(word, exact_cnt, est_cnt): the exact top-k tokens with their
+    count-min estimates riding along — the certification query for the
+    sketch. est_cnt >= exact_cnt ALWAYS (count-min is one-sided); at
+    production scale the exact side is dropped and candidate words are
+    probed against the sketch alone.
+
+    The estimate join is sketch-side broadcast: the sketch is <= d*w
+    rows by construction (12,288 here) regardless of corpus size, so
+    probing N candidate words is a broadcast hash join, never a
+    shuffle. Ordering ties break on the word for cross-engine
+    determinism."""
+    sketch = cms_build(documents, depth)
+    tok = documents.select(F.explode(_words()).alias('word'))
+    exact = tok.groupBy('word').agg(F.count('*').alias('exact_cnt'))
+    top = (exact.orderBy(F.desc('exact_cnt'), F.asc('word')).limit(k))
+    probes = top.select(
+        'word', 'exact_cnt',
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias('row'),
+                     _bucket(r, F.col('word')).alias('bucket'))
+            for r in range(depth)])).alias('p'))
+    est = (probes.join(F.broadcast(sketch),
+                       (F.col('p.row') == F.col('row'))
+                       & (F.col('p.bucket') == F.col('bucket')))
+           .groupBy('word', 'exact_cnt')
+           .agg(F.min('cnt').alias('est_cnt')))
+    return est.select('word', 'exact_cnt', 'est_cnt')

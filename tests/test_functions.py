@@ -2080,3 +2080,73 @@ def test_funnel_requires_stage_order(spark):
       .write.parquet(os.path.join(d, 'events.parquet'))
     got = e.queries()['funnel_stages'](spark, d).collect()[0]
     assert (got['n_view'], got['n_click'], got['n_purchase']) == (3, 1, 1)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: every node adopts its
+    clique's minimum id; the bridge does not merge the communities
+    (each endpoint has 3 in-clique votes vs 1 across)."""
+    from mineru_html_spark.functions.graph import label_propagation
+    import itertools
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)] + [(1, 0), (0, 0)],  # dup/reverse/self noise
+        'src long, dst long')
+    nodes = spark.createDataFrame(
+        [(n,) for n in [0, 1, 2, 3, 10, 11, 12, 13]], 'node long')
+    got = {r['node']: r['label']
+           for r in label_propagation(edges, nodes, iters=4).collect()}
+    assert all(got[n] == 0 for n in (0, 1, 2, 3))
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from mineru_html_spark.functions.graph import label_propagation
+    edges = spark.createDataFrame([(0, 1)], 'src long, dst long')
+    nodes = spark.createDataFrame([(0,), (1,), (7,)], 'node long')
+    got = {r['node']: r['label']
+           for r in label_propagation(edges, nodes, iters=3).collect()}
+    assert got[7] == 7
+    # the 2-node component label-swaps every synchronous round (the
+    # known bipartite oscillation) — the invariant is the label SET
+    assert {got[0], got[1]} == {0, 1}
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """Count-min invariants: every estimate >= the exact count
+    (one-sided error), and the sketch of a union equals the cell-wise
+    sum of the parts' sketches (mergeability — the incremental-ingest
+    contract)."""
+    from mineru_html_spark.functions.sketch import (cms_build,
+                                                    cms_heavy_hitters)
+    rows = [(i, ('alpha ' * 30 + 'beta ' * 10 + f'tail{i} junk{i % 7}'))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    hh = {r['word']: r for r in cms_heavy_hitters(docs, k=8).collect()}
+    assert set(hh) >= {'alpha', 'beta'}
+    assert hh['alpha']['exact_cnt'] == 1200
+    for r in hh.values():
+        assert r['est_cnt'] >= r['exact_cnt']
+    half1 = docs.where('doc_id < 20')
+    half2 = docs.where('doc_id >= 20')
+    import pyspark.sql.functions as F
+    merged = {(r['row'], r['bucket']): r['cnt'] for r in
+              (cms_build(half1).unionAll(cms_build(half2))
+               .groupBy('row', 'bucket')
+               .agg(F.sum('cnt').alias('cnt')).collect())}
+    whole = {(r['row'], r['bucket']): r['cnt']
+             for r in cms_build(docs).collect()}
+    assert merged == whole
+
+
+def test_skew_profile_shares(spark):
+    """9 rows on one key, 1 on another: shares are integer permille of
+    the total and the cumulative column is monotone to 1000."""
+    from mineru_html_spark.functions.relational import skew_profile
+    df = spark.createDataFrame(
+        [(1,)] * 9 + [(2,)], 'user_id long')
+    got = skew_profile(df, 'user_id', k=5).collect()
+    assert [(r['user_id'], r['cnt'], r['share_permille'],
+             r['cum_permille']) for r in got] == \
+        [(1, 9, 900, 900), (2, 1, 100, 1000)]
