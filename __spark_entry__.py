@@ -2232,6 +2232,43 @@ def q_skew_profile(spark, sf_dir):
     return skew_profile(_events(spark, sf_dir), 'user_id', k=20)
 
 
+def q_hll_registers(spark, sf_dir):
+    """The HyperLogLog register file of events.user_id as a plain
+    (register, max_rho) DataFrame — the persistable, max-mergeable,
+    externally-certifiable distinct sketch (one file per day, merge 7
+    for WAU). Every register placement is mirrored md5/bin arithmetic
+    in the oracle; the float estimate stays driver-side
+    (sketch.hll_estimate) off the gated integer registers."""
+    from mineru_html_spark.functions.sketch import hll_registers
+    return hll_registers(_events(spark, sf_dir), 'user_id')
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts of the event stream
+    (event_type -> next event_type per user, (ts, event_id)-ordered) —
+    the clickstream matrix behind funnels and improbable-transition
+    bot scoring."""
+    from mineru_html_spark.functions.sessions import event_transitions
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build over each user's
+    event_type stream: gaps-and-islands collapse, integer-epoch
+    validity intervals, NULL valid_to + is_current marker on the open
+    island."""
+    from mineru_html_spark.functions.sessions import scd2_history
+    return scd2_history(_events(spark, sf_dir))
+
+
+def q_dau_rolling(spark, sf_dir):
+    """DAU + trailing-7-day distinct actives per day, exact at the
+    (user, day) grain; the hll_registers max-merge is the documented
+    sketch path when the day-grain exchange itself is too big."""
+    from mineru_html_spark.functions.sessions import rolling_active_users
+    return rolling_active_users(_events(spark, sf_dir), window_days=7)
+
+
 def q_table_profile(spark, sf_dir):
     """Data profiling — the first query anyone runs on an unknown 100 TB
     table: per-column null count, exact distinct count, min/max (as
@@ -3557,6 +3594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'label_prop': q_label_prop,
         'cms_heavy_hitters': q_cms_heavy_hitters,
         'skew_profile': q_skew_profile,
+        'hll_registers': q_hll_registers,
+        'event_transitions': q_event_transitions,
+        'scd2_history': q_scd2_history,
+        'dau_rolling': q_dau_rolling,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'phrase_detect': q_phrase_detect,
@@ -4652,6 +4693,73 @@ def oracle_sql() -> dict[str, str]:
                             AND CURRENT ROW) AS BIGINT)
                        * 1000 // total AS BIGINT) AS cum_permille
             FROM top, t
+        """,
+        'hll_registers': """
+            WITH h AS (
+              SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+            cells AS (
+              SELECT CAST(CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT)
+                         AS INTEGER) AS register,
+                     CAST(concat('0x', substr(hx, 3, 12)) AS BIGINT)
+                         AS v
+              FROM h)
+            SELECT register,
+                   max(CASE WHEN v = 0 THEN 49
+                       ELSE 49 - CAST(length(bin(v)) AS INTEGER)
+                       END) AS max_rho
+            FROM cells GROUP BY register
+        """,
+        'event_transitions': """
+            SELECT event_type, next_type, count(*) AS n FROM (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS next_type
+              FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        """,
+        'scd2_history': """
+            WITH o AS (
+              SELECT user_id, event_type AS value, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT user_id, value, ep,
+                     CAST(sum(chg) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS version
+              FROM o),
+            i AS (
+              SELECT user_id, version, min(ep) AS valid_from,
+                     min(value) AS value
+              FROM r GROUP BY 1, 2)
+            SELECT user_id, value, valid_from,
+                   coalesce(lead(valid_from) OVER wv,
+                            CAST(253402300799 AS BIGINT)) AS valid_to,
+                   version,
+                   CASE WHEN lead(valid_from) OVER wv IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'dau_rolling': """
+            WITH act AS (
+              SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                         AS day, user_id
+              FROM events),
+            days AS (SELECT DISTINCT day AS d FROM act)
+            SELECT days.d AS day,
+                   count(DISTINCT CASE WHEN act.day = days.d
+                                  THEN user_id END) AS n_dau,
+                   count(DISTINCT user_id) AS n_rolling
+            FROM days JOIN act
+              ON act.day <= days.d AND act.day > days.d - 7
+            GROUP BY 1
         """,
         'tpch_q4': """
             SELECT o_orderpriority, count(*) AS order_count

@@ -33,3 +33,99 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     return (numbered.groupBy('user_id', 'session_id')
             .agg(F.count('*').alias('n_events'),
                  F.min('ts').alias('session_start')))
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(event_type, next_type, n): the first-order Markov transition
+    counts of the event stream — per user, each event paired with the
+    user's NEXT event by time. The clickstream transition matrix is
+    what funnels, next-action prediction priors and bot detection
+    (improbable-transition scoring) all read.
+
+    Ordering inside a user is (ts, event_id) — the event_id tiebreak
+    makes same-timestamp rows deterministic on every engine. One
+    window (partitionBy user) + one small aggregate over the
+    type-pair key space; the shuffle key is user_id, so the window
+    never sees cross-user data and skew follows the events table's
+    user skew (pre-flight with skew_profile)."""
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    nxt = events.select(
+        'user_id', 'event_type',
+        F.lead('event_type').over(w).alias('next_type'))
+    return (nxt.where(F.col('next_type').isNotNull())
+            .groupBy('event_type', 'next_type')
+            .agg(F.count('*').alias('n')))
+
+
+#: epoch of 9999-12-31 23:59:59 UTC — the open-interval high-date
+SCD2_OPEN_END = 253402300799
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """(user_id, value, valid_from, valid_to, version, is_current):
+    the type-2 slowly-changing-dimension history of each user's
+    event_type stream — consecutive equal values collapse into one
+    validity interval (gaps-and-islands), valid_to is the next
+    island's start (high-date while current), version numbers the
+    islands.
+    This is the warehouse-side primitive behind "attribute history"
+    tables; at crawl scale the same shape tracks per-domain robots/
+    quality-tier changes across snapshots. Open intervals carry the
+    standard high-date sentinel (9999-12-31 = epoch 253402300799)
+    rather than NULL — the convention that keeps BETWEEN-range lookups
+    sargable AND keeps the column a pure BIGINT on every engine (a
+    nullable int degrades to float in Arrow/pandas round-trips).
+
+    Integer epoch seconds on every exchanged column. Two windows over
+    the SAME (user_id x (ts, event_id)) sort — Catalyst plans one
+    exchange + one sort for both — then a per-island aggregate and a
+    third window over islands (tiny: one row per island)."""
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    ep = F.unix_timestamp('ts').cast('long')
+    flagged = events.select(
+        'user_id', F.col('event_type').alias('value'), ep.alias('ep'),
+        'ts', 'event_id',
+        F.when(F.lag('event_type').over(w).isNull()
+               | (F.lag('event_type').over(w) != F.col('event_type')),
+               1).otherwise(0).alias('chg'))
+    runs = flagged.withColumn(
+        'version', F.sum('chg').over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast('long'))
+    islands = (runs.groupBy('user_id', 'version')
+               .agg(F.min('ep').alias('valid_from'),
+                    F.min('value').alias('value')))
+    wv = Window.partitionBy('user_id').orderBy('version')
+    nxt = F.lead('valid_from').over(wv)
+    return islands.select(
+        'user_id', 'value', 'valid_from',
+        F.coalesce(nxt, F.lit(SCD2_OPEN_END)).alias('valid_to'),
+        'version', nxt.isNull().cast('int').alias('is_current'))
+
+
+def rolling_active_users(events: DataFrame,
+                         window_days: int = 7) -> DataFrame:
+    """(day, n_dau, n_rolling): distinct active users per day and over
+    the trailing ``window_days``-day window (the DAU/WAU report).
+
+    Shape honesty at 100 TB: the exact rolling-distinct requires each
+    day's USER SET, not its count — this implementation pre-aggregates
+    to one row per (user, day) (the only full-size exchange), then
+    range-joins the small day grid against day-grain activity, so the
+    join blowup is bounded by window_days x active-(user,day) rows.
+    The sketch path for when that is still too big is ``hll_registers``
+    per day + a register max-merge over the window — same report,
+    fixed memory, ~2% error."""
+    act = (events.select(
+        F.floor(F.unix_timestamp('ts') / 86400).cast('long')
+        .alias('day'), 'user_id').distinct())
+    days = act.select('day').distinct() \
+        .select(F.col('day').alias('d'))
+    j = days.join(
+        act, (F.col('day') <= F.col('d'))
+        & (F.col('day') > F.col('d') - window_days))
+    return (j.groupBy('d')
+            .agg(F.count_distinct(
+                     F.when(F.col('day') == F.col('d'),
+                            F.col('user_id'))).alias('n_dau'),
+                 F.count_distinct('user_id').alias('n_rolling'))
+            .withColumnRenamed('d', 'day'))

@@ -92,3 +92,65 @@ def cms_heavy_hitters(documents: DataFrame, k: int = 32,
            .groupBy('word', 'exact_cnt')
            .agg(F.min('cnt').alias('est_cnt')))
     return est.select('word', 'exact_cnt', 'est_cnt')
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers — mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+
+#: hex chars addressing the register file -> 16^2 = 256 registers
+HLL_REG_CHARS = 2
+#: hex chars of rank material after the register address (48 bits)
+HLL_RANK_CHARS = 12
+#: rho when the 48 rank bits are all zero (max leading-zeros + 1)
+HLL_RHO_CAP = 4 * HLL_RANK_CHARS + 1
+
+
+def hll_registers(df: DataFrame, key: str) -> DataFrame:
+    """(register, max_rho): the HyperLogLog register file (Flajolet et
+    al. 2007) of ``df[key]``'s distinct values — 256 registers, 48 rank
+    bits, one row per OBSERVED register.
+
+    Why this exists next to ``approx_count_distinct``: Spark's built-in
+    HLL++ is a black-box aggregate whose sketch never leaves the JVM,
+    so it can't be persisted per-partition, merged across days, or
+    certified by an external engine. This register file is a PLAIN
+    DATAFRAME: union two of them and take max(max_rho) per register and
+    you have the sketch of the union (the rolling-window distinct-users
+    shape — one register file per day, merge 7 for WAU, 30 for MAU,
+    never re-reading the raw events). Every placement is mirrorable
+    SQL: register = first 2 md5 hex chars, rank material = next 12, and
+    rho derives from ``bin()`` (no leading zeros in BOTH engines), so
+    leading-zero counting is pure integer string length — no float
+    log2 anywhere near the gate.
+
+    Plan: one narrow projection + one 256-key max aggregate
+    (map-side-combined; the exchange moves <= 256 rows per partition).
+    """
+    h = F.md5(F.col(key).cast('string'))
+    reg = F.conv(F.substring(h, 1, HLL_REG_CHARS), 16, 10).cast('int')
+    v = F.conv(F.substring(h, HLL_REG_CHARS + 1, HLL_RANK_CHARS),
+               16, 10).cast('long')
+    rho = F.when(v == 0, F.lit(HLL_RHO_CAP)) \
+        .otherwise(F.lit(HLL_RHO_CAP) - F.length(F.bin(v)))
+    return (df.select(reg.alias('register'), rho.alias('rho'))
+            .groupBy('register').agg(F.max('rho').alias('max_rho')))
+
+
+def hll_estimate(registers, m: int = 16 ** HLL_REG_CHARS) -> float:
+    """Driver-side bias-corrected estimate from a collected register
+    file (list of Rows or (register, max_rho) tuples). Floats are fine
+    HERE — the estimate is a consumer-side readout; the gate certifies
+    the integer register file it reads from. Standard HLL: alpha_256 *
+    m^2 / sum(2^-rho) with empty registers counting 2^0, plus the
+    small-range linear-counting correction."""
+    import math
+    rows = [tuple(r) for r in registers]
+    rhos = {int(r): int(x) for r, x in rows}
+    zeros = m - len(rhos)
+    s = zeros * 1.0 + sum(2.0 ** -x for x in rhos.values())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

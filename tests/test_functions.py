@@ -2150,3 +2150,71 @@ def test_skew_profile_shares(spark):
     assert [(r['user_id'], r['cnt'], r['share_permille'],
              r['cum_permille']) for r in got] == \
         [(1, 9, 900, 900), (2, 1, 100, 1000)]
+
+
+def test_hll_registers_estimate_and_merge(spark):
+    """Register file: max-merge of two halves equals the whole (the
+    day-merge contract), and the bias-corrected estimate lands within
+    5% of the true distinct count at n >> m."""
+    from mineru_html_spark.functions.sketch import (hll_estimate,
+                                                    hll_registers)
+    import pyspark.sql.functions as F
+    df = spark.range(20000).select((F.col('id') % 5000).alias('k'))
+    regs = hll_registers(df, 'k').collect()
+    est = hll_estimate(regs)
+    assert abs(est - 5000) / 5000 < 0.05
+    h1 = hll_registers(df.where('k < 2500'), 'k')
+    h2 = hll_registers(df.where('k >= 2500'), 'k')
+    merged = {(r['register'], r['max_rho']) for r in
+              (h1.unionAll(h2).groupBy('register')
+               .agg(F.max('max_rho').alias('max_rho')).collect())}
+    assert merged == {(r['register'], r['max_rho']) for r in regs}
+
+
+def test_event_transitions_counts(spark):
+    from mineru_html_spark.functions.sessions import event_transitions
+    import datetime
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [  # user 1: a->b->a ; user 2: b->b
+        (1, 1, t(0), 'a'), (2, 1, t(1), 'b'), (3, 1, t(2), 'a'),
+        (4, 2, t(0), 'b'), (5, 2, t(5), 'b')]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp, '
+              'event_type string')
+    got = {(r['event_type'], r['next_type']): r['n']
+           for r in event_transitions(ev).collect()}
+    assert got == {('a', 'b'): 1, ('b', 'a'): 1, ('b', 'b'): 1}
+
+
+def test_scd2_history_islands(spark):
+    """a,a,b,a collapses to three versioned intervals; each valid_to
+    is the next valid_from, the open island carries the high-date
+    sentinel and the is_current marker."""
+    from mineru_html_spark.functions.sessions import (SCD2_OPEN_END,
+                                                      scd2_history)
+    import datetime
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 7, t(0), 'a'), (2, 7, t(10), 'a'),
+         (3, 7, t(20), 'b'), (4, 7, t(30), 'a')],
+        'event_id long, user_id long, ts timestamp, event_type string')
+    got = sorted(scd2_history(ev).collect(), key=lambda r: r['version'])
+    assert [(r['value'], r['version'], r['is_current']) for r in got] \
+        == [('a', 1, 0), ('b', 2, 0), ('a', 3, 1)]
+    assert got[0]['valid_to'] == got[1]['valid_from']
+    assert got[1]['valid_to'] == got[2]['valid_from']
+    assert got[2]['valid_to'] == SCD2_OPEN_END
+
+
+def test_rolling_active_users_window(spark):
+    """user 1 active day 0 and 2, user 2 active day 2 only: DAU counts
+    per day, rolling-7d unions the trailing window."""
+    from mineru_html_spark.functions.sessions import rolling_active_users
+    import datetime
+    d = lambda n: datetime.datetime(2024, 1, 1 + n)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 1, d(0), 'x'), (2, 1, d(2), 'x'), (3, 2, d(2), 'x')],
+        'event_id long, user_id long, ts timestamp, event_type string')
+    got = {r['day'] - 19723: (r['n_dau'], r['n_rolling'])
+           for r in rolling_active_users(ev, window_days=7).collect()}
+    assert got == {0: (1, 1), 2: (2, 2)}
