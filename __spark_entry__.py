@@ -3187,6 +3187,81 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_k_core(spark, sf_dir):
+    """3-core of the deterministic link graph after 4 bounded peeling
+    rounds (dense-subgraph / link-farm detector; `converged` certifies
+    whether the survivors are the exact core). Exact unrolled-CTE
+    oracle, one round per CTE."""
+    from mineru_html_spark.functions.graph import k_core
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    nodes = docs.select(F.col('doc_id').alias('node'))
+    edges = (docs.select(F.col('doc_id').alias('src'),
+                         ((F.col('doc_id') * 7 + 3) % n).alias('dst'))
+             .unionAll(docs.select(
+                 F.col('doc_id').alias('src'),
+                 ((F.col('doc_id') * 13 + 5) % n).alias('dst'))))
+    return k_core(edges, nodes, k=3, rounds=4)
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 4) -> str:
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""d{r} AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM e{r - 1}
+                UNION ALL SELECT b FROM e{r - 1})
+              GROUP BY node),
+            s{r} AS (SELECT node FROM d{r} WHERE degree >= {k}),
+            e{r} AS (
+              SELECT e.a, e.b FROM e{r - 1} e
+              WHERE e.a IN (SELECT node FROM s{r})
+                AND e.b IN (SELECT node FROM s{r}))""")
+    chain = ',\n            '.join(its)
+    return f"""
+            WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                        FROM documents),
+            ed AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM documents, nn),
+            e0 AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM ed WHERE src <> dst),
+            {chain},
+            fin AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM e{rounds}
+                UNION ALL SELECT b FROM e{rounds})
+              GROUP BY node),
+            v AS (SELECT count(*) AS nv FROM fin WHERE degree < {k})
+            SELECT fin.node, fin.degree,
+                   CASE WHEN v.nv = 0 THEN 1 ELSE 0 END AS converged
+            FROM fin, v
+        """
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-runtime-filtered semi join: lineitem rows of PROMO-type
+    parts, pre-filtered in the scan stage by the packed bloom literal
+    of the promo partkeys, then exactness restored by the real semi
+    join — result identical to the plain semi join (the oracle),
+    shuffle input cut to ~selectivity of the big side."""
+    from mineru_html_spark.functions.relational import bloom_semi_join
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_orderkey', 'l_partkey', 'l_quantity')
+    promo = (_table(spark, sf_dir, 'part')
+             .where("p_type = 'PROMO'")
+             .select(F.col('p_partkey').alias('l_partkey')))
+    j = bloom_semi_join(li, promo, 'l_partkey', m_bits=1 << 16)
+    return (j.groupBy('l_partkey')
+            .agg(F.count('*').alias('n_lines'),
+                 F.sum(F.round(F.col('l_quantity') * 100).cast('long'))
+                 .alias('sum_qty_centi')))
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 analog (order-priority checking): orders placed in one
     quarter with AT LEAST ONE slow lineitem (shipped > 60 days after
@@ -3598,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'event_transitions': q_event_transitions,
         'scd2_history': q_scd2_history,
         'dau_rolling': q_dau_rolling,
+        'k_core': q_k_core,
+        'bloom_semi_join': q_bloom_semi_join,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'phrase_detect': q_phrase_detect,
@@ -4746,6 +4823,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lead(valid_from) OVER wv IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'k_core': _k_core_oracle(k=3, rounds=4),
+        'bloom_semi_join': """
+            SELECT l_partkey, count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_centi
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'PROMO')
+            GROUP BY l_partkey
         """,
         'dau_rolling': """
             WITH act AS (

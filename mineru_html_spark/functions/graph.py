@@ -187,3 +187,51 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
                           .cast('long').alias('label'))
                   .localCheckpoint(eager=False))
     return labels
+
+
+def k_core(edges: DataFrame, nodes: DataFrame, k: int = 3,
+           rounds: int = 4) -> DataFrame:
+    """(node, degree, converged): the nodes surviving ``rounds`` of
+    k-core peeling — repeatedly delete every node whose degree within
+    the surviving subgraph is < k. The k-core is the dense-subgraph
+    detector crawl analytics reach for after triangles: link farms and
+    mutual-promotion rings sit in high cores; organic pages fall out in
+    the first round or two.
+
+    Bounded rounds keep the operator deterministic AND oracle-exact
+    (one unrolled CTE per round, the PageRank/HITS/LPA discipline).
+    ``converged`` (same value on every row) reports whether the LAST
+    round deleted nothing — i.e. whether the survivors ARE the true
+    k-core rather than a superset; production reruns with more rounds
+    when it reads 0. Peeling removes a constant fraction of the
+    periphery per round on web-shaped graphs, so single-digit rounds
+    converge in practice.
+
+    Per round: one degree aggregate over surviving edges + two semi
+    joins to shrink the edge set — all on integer node ids, plan
+    growth cut per round with localCheckpoint. Edges are undirected
+    with self-loops/duplicates collapsed."""
+    und = (edges.select(F.least('src', 'dst').alias('a'),
+                        F.greatest('src', 'dst').alias('b'))
+           .where(F.col('a') != F.col('b')).distinct())
+    cur = und
+    deg = None
+    for _ in range(rounds):
+        deg = (cur.select(F.col('a').alias('node'))
+               .unionAll(cur.select(F.col('b').alias('node')))
+               .groupBy('node').agg(F.count('*').alias('degree')))
+        keep = deg.where(F.col('degree') >= k).select('node')
+        cur = (cur.join(keep.withColumnRenamed('node', 'a'), 'a',
+                        'left_semi')
+               .join(keep.withColumnRenamed('node', 'b'), 'b',
+                     'left_semi')
+               .localCheckpoint(eager=False))
+    final = (cur.select(F.col('a').alias('node'))
+             .unionAll(cur.select(F.col('b').alias('node')))
+             .groupBy('node').agg(F.count('*').alias('degree')))
+    # converged iff no survivor of the last peel now falls below k
+    viol = final.where(F.col('degree') < k) \
+        .agg(F.count('*').alias('nv'))
+    return (final.crossJoin(F.broadcast(viol))
+            .select('node', 'degree',
+                    (F.col('nv') == 0).cast('int').alias('converged')))

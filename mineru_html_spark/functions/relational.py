@@ -154,3 +154,53 @@ def skew_profile(df: DataFrame, key: str, k: int = 20) -> DataFrame:
                     .alias('share_permille'),
                     F.expr('cum * 1000 div total')
                     .alias('cum_permille')))
+
+
+def key_bloom_bits(small: DataFrame, key: str, m_bits: int = 1 << 20,
+                   k_hashes: int = 4, salt: str = 'bj1') -> list:
+    """Bloom bit array over ``small[key]``'s distinct values (stringified
+    md5 probes, k disjoint 8-hex positions per key — the shingle-bloom
+    arithmetic from functions/corpus.py applied to plain join keys).
+    The collect is bounded by min(distinct keys, m_bits) positions; the
+    array is m_bits/8 bytes constant."""
+    md = (small.select(F.md5(F.concat(F.col(key).cast('string'),
+                                      F.lit(':' + salt))).alias('md'))
+          .distinct())
+    pos = md.select(F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda t: F.conv(F.col('md').substr(t * 8 + 1, F.lit(8)),
+                         16, 10).cast('long') % m_bits)).alias('p'))
+    bits = [0] * m_bits
+    for r in pos.distinct().collect():
+        bits[int(r['p'])] = 1
+    return bits
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    salt: str = 'bj1') -> DataFrame:
+    """``big LEFT SEMI JOIN small ON key`` with a Bloom pre-filter on
+    the big side — the runtime-filter pattern (Spark's own
+    InjectRuntimeFilter, made explicit and portable). The packed bit
+    array of the small side's keys rides the plan as a LITERAL and
+    drops most non-matching big-side rows in the SCAN stage, BEFORE the
+    exchange; the real semi join then removes the Bloom's false
+    positives. Result is therefore EXACTLY the plain semi join (the
+    oracle), but the shuffle moves ~selectivity x |big| rows instead of
+    |big| — at 100 TB against a 0.1% small side, that is the difference
+    between a full-corpus exchange and a rounding error.
+
+    Use when the small side is too big to broadcast as a hash relation
+    but its BLOOM fits the plan (1 MiB here covers ~1M keys at 4 bits
+    FP < 3%); below broadcast threshold just broadcast, above ~10M
+    distinct keys shuffle both sides and let AQE work."""
+    from .corpus import _bloom_probe
+    bits = key_bloom_bits(small, key, m_bits, k_hashes, salt)
+    packed = [0] * ((m_bits + 31) // 32)
+    for i, b in enumerate(bits):
+        if b:
+            packed[i >> 5] |= 1 << (i & 31)
+    wlit = F.lit(packed).cast('array<long>')
+    pre = big.where(_bloom_probe(F.col(key).cast('string'), wlit,
+                                 m_bits, k_hashes, salt))
+    return pre.join(small.select(key).distinct(), key, 'left_semi')

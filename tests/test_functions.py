@@ -2218,3 +2218,48 @@ def test_rolling_active_users_window(spark):
     got = {r['day'] - 19723: (r['n_dau'], r['n_rolling'])
            for r in rolling_active_users(ev, window_days=7).collect()}
     assert got == {0: (1, 1), 2: (2, 2)}
+
+
+def test_k_core_peels_periphery(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the
+    clique; the pendants peel within two rounds and converged reads
+    1."""
+    from mineru_html_spark.functions.graph import k_core
+    import itertools
+    clique = list(itertools.combinations([0, 1, 2, 3], 2))
+    pendants = [(3, 4), (4, 5), (0, 6)]
+    edges = spark.createDataFrame(clique + pendants,
+                                  'src long, dst long')
+    nodes = spark.createDataFrame([(n,) for n in range(7)], 'node long')
+    got = {r['node']: (r['degree'], r['converged'])
+           for r in k_core(edges, nodes, k=3, rounds=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == (3, 1) for v in got.values())
+
+
+def test_k_core_unconverged_flag(spark):
+    """One round on a chain cannot finish peeling: survivors still
+    carry degree < k and converged reads 0 on every row."""
+    from mineru_html_spark.functions.graph import k_core
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], 'src long, dst long')
+    nodes = spark.createDataFrame([(n,) for n in range(5)], 'node long')
+    rows = k_core(edges, nodes, k=2, rounds=1).collect()
+    assert rows and all(r['converged'] == 0 for r in rows)
+
+
+def test_bloom_semi_join_equals_plain(spark):
+    """Result identity vs the plain left-semi join on a key mix where
+    most big-side rows miss — the bloom may pass false positives into
+    the join but never changes the output."""
+    from mineru_html_spark.functions.relational import bloom_semi_join
+    big = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], 'row_id long, k long')
+    small = spark.createDataFrame(
+        [(3,), (7,), (97,)], 'k long')
+    got = sorted(r['row_id'] for r in
+                 bloom_semi_join(big, small, 'k',
+                                 m_bits=1 << 12).collect())
+    want = sorted(r['row_id'] for r in
+                  big.join(small, 'k', 'left_semi').collect())
+    assert got == want and len(got) == 60

@@ -224,3 +224,31 @@ def test_events_cube_is_single_expand_aggregate(spark, entry):
     p = plan_of(entry.q_events_cube(spark, SF))
     assert p.count('Expand') == 1
     assert p.count('Scan parquet') == 1
+
+
+def test_bloom_semi_join_filters_before_exchange(spark, entry):
+    """The runtime-filter claim: the packed-bloom probe (conv over md5
+    substrings against the literal word array) must run in the big
+    side's SCAN stage — i.e. appear as a Filter BELOW the first
+    Exchange on the lineitem branch — so the shuffle moves only
+    bloom-surviving rows."""
+    p = plan_of(entry.q_bloom_semi_join(spark, SF))
+    assert 'conv(' in p and 'md5(' in p
+    lines = p.splitlines()
+    probe_at = min(i for i, ln in enumerate(lines)
+                   if 'md5(' in ln and 'Filter' in ln)
+    scan_at = max(i for i, ln in enumerate(lines)
+                  if 'Scan parquet' in ln and 'lineitem' in ln)
+    # tree prints root-first: the probe Filter must sit between the
+    # lineitem scan (deepest) and any Exchange above it
+    exchanges_between = [i for i, ln in enumerate(lines)
+                         if 'Exchange' in ln and probe_at < i < scan_at]
+    assert probe_at < scan_at and not exchanges_between
+
+
+def test_cms_probe_broadcasts_sketch(spark, entry):
+    """The sketch side of the heavy-hitter probe must broadcast (it is
+    <= d*w rows by construction) — a shuffle join here would move the
+    token stream."""
+    p = plan_of(entry.q_cms_heavy_hitters(spark, SF))
+    assert 'BroadcastHashJoin' in p
