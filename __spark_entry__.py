@@ -3187,6 +3187,63 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_hdr_histogram(spark, sf_dir):
+    """Log-bucket (HDR-style) histogram of events.value in milli
+    units: constant bucket space, map-side-combined build, add-to-
+    merge — the quantile leg of the sketch family (count-min:
+    frequencies, HLL: distincts). Bucket ids are bin()-string prefixes,
+    so the oracle mirrors placement with pure string arithmetic."""
+    from mineru_html_spark.functions.sketch import hdr_histogram
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col('value') * 1000).cast('long').alias('vm'))
+    return hdr_histogram(ev, 'vm')
+
+
+def q_hdr_quantiles(spark, sf_dir):
+    """p50/p90/p99 readout from the log-bucket histogram: the first
+    bucket whose cumulative count reaches the integer-ceiling rank,
+    with exact integer bucket bounds [lo, hi] bracketing the true
+    quantile within 6.25% — a certified approximation, vs
+    corpus_quantiles' exact percentile (same report, full-width
+    shuffle)."""
+    from mineru_html_spark.functions.sketch import hdr_quantiles
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col('value') * 1000).cast('long').alias('vm'))
+    return hdr_quantiles(ev, 'vm', q_permille=(500, 900, 990))
+
+
+def q_constraint_audit(spark, sf_dir):
+    """Deequ/dbt-style declarative data-quality audit over the TPC-H
+    slice: row-level checks fused one-aggregate-per-table (not-null,
+    accepted values, ranges), PK uniqueness as n_nonnull - n_distinct,
+    FK orphans as counted anti joins — one integer report row per
+    constraint, exact SQL oracle."""
+    from mineru_html_spark.functions.audit import (constraint_audit,
+                                                   fk_check, row_checks,
+                                                   unique_check)
+    orders = _table(spark, sf_dir, 'orders')
+    li = _table(spark, sf_dir, 'lineitem')
+    cust = _table(spark, sf_dir, 'customer')
+    parts = [
+        row_checks(orders, 'orders', {
+            'custkey_not_null': F.col('o_custkey').isNull(),
+            'status_accepted': ~F.col('o_orderstatus')
+                .isin('O', 'F', 'P'),
+            'totalprice_positive': F.col('o_totalprice') <= 0}),
+        row_checks(li, 'lineitem', {
+            'discount_range': (F.col('l_discount') < 0)
+                | (F.col('l_discount') > 1),
+            'quantity_positive': F.col('l_quantity') <= 0,
+            'shipdate_not_null': F.col('l_shipdate').isNull()}),
+        unique_check(orders, 'orders', 'o_orderkey'),
+        fk_check(orders, 'o_custkey', cust, 'c_custkey',
+                 'orders.custkey_references_customer'),
+        fk_check(li, 'l_orderkey', orders, 'o_orderkey',
+                 'lineitem.orderkey_references_orders'),
+    ]
+    return constraint_audit(parts)
+
+
 def q_k_core(spark, sf_dir):
     """3-core of the deterministic link graph after 4 bounded peeling
     rounds (dense-subgraph / link-farm detector; `converged` certifies
@@ -3675,6 +3732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dau_rolling': q_dau_rolling,
         'k_core': q_k_core,
         'bloom_semi_join': q_bloom_semi_join,
+        'hdr_histogram': q_hdr_histogram,
+        'hdr_quantiles': q_hdr_quantiles,
+        'constraint_audit': q_constraint_audit,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'phrase_detect': q_phrase_detect,
@@ -4823,6 +4883,119 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lead(valid_from) OVER wv IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'hdr_histogram': """
+            WITH v AS (SELECT CAST(round(value * 1000) AS BIGINT) AS vm
+                       FROM events)
+            SELECT CASE WHEN vm = 0 THEN 0
+                   ELSE CAST(length(bin(vm)) AS INTEGER) END AS e,
+                   CASE WHEN vm = 0 THEN '0'
+                   ELSE substr(bin(vm), 1, 5) END AS prefix,
+                   count(*) AS cnt
+            FROM v GROUP BY 1, 2
+        """,
+        'hdr_quantiles': """
+            WITH v AS (SELECT CAST(round(value * 1000) AS BIGINT) AS vm
+                       FROM events),
+            h AS (
+              SELECT CASE WHEN vm = 0 THEN 0
+                     ELSE CAST(length(bin(vm)) AS INTEGER) END AS e,
+                     CASE WHEN vm = 0 THEN '0'
+                     ELSE substr(bin(vm), 1, 5) END AS prefix,
+                     count(*) AS cnt
+              FROM v GROUP BY 1, 2),
+            c AS (
+              SELECT e, prefix, cnt,
+                     CAST(sum(cnt) OVER (
+                         ORDER BY e, prefix
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum
+              FROM h),
+            p AS (
+              SELECT e, prefix, cum,
+                     CAST(list_sum(list_transform(
+                         range(1, CAST(length(prefix) + 1 AS BIGINT)),
+                         i -> CASE WHEN substr(prefix,
+                                        CAST(i AS INTEGER), 1) = '1'
+                              THEN (CAST(1 AS BIGINT)
+                                    << (length(prefix) - i))
+                              ELSE 0 END)) AS BIGINT) AS p_int
+              FROM c),
+            d AS (
+              SELECT e, prefix, cum,
+                     CASE WHEN e = 0 THEN 0
+                     ELSE (p_int << (e - length(prefix))) END AS lo,
+                     CASE WHEN e = 0 THEN 0
+                     ELSE (((p_int + 1) << (e - length(prefix))) - 1)
+                     END AS hi
+              FROM p),
+            nn AS (SELECT count(*) AS n FROM v)
+            SELECT * FROM (
+              (SELECT 500 AS q_permille, lo, hi, cum, nn.n AS n
+               FROM d, nn WHERE cum >= (nn.n * 500 + 999) // 1000
+               ORDER BY e, prefix LIMIT 1)
+              UNION ALL
+              (SELECT 900, lo, hi, cum, nn.n FROM d, nn
+               WHERE cum >= (nn.n * 900 + 999) // 1000
+               ORDER BY e, prefix LIMIT 1)
+              UNION ALL
+              (SELECT 990, lo, hi, cum, nn.n FROM d, nn
+               WHERE cum >= (nn.n * 990 + 999) // 1000
+               ORDER BY e, prefix LIMIT 1))
+        """,
+        'constraint_audit': """
+            SELECT c AS "constraint", n_rows, n_violations,
+                   CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                       AS passed
+            FROM (
+              SELECT 'orders.custkey_not_null' AS c,
+                     (SELECT count(*) FROM orders) AS n_rows,
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey IS NULL) AS n_violations
+              UNION ALL
+              SELECT 'orders.status_accepted',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+              UNION ALL
+              SELECT 'orders.totalprice_positive',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders
+                      WHERE o_totalprice <= 0)
+              UNION ALL
+              SELECT 'lineitem.discount_range',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_discount < 0 OR l_discount > 1)
+              UNION ALL
+              SELECT 'lineitem.quantity_positive',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_quantity <= 0)
+              UNION ALL
+              SELECT 'lineitem.shipdate_not_null',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_shipdate IS NULL)
+              UNION ALL
+              SELECT 'orders.unique_o_orderkey',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(o_orderkey)
+                             - count(DISTINCT o_orderkey) FROM orders)
+              UNION ALL
+              SELECT 'orders.custkey_references_customer',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                        AND o.o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+              UNION ALL
+              SELECT 'lineitem.orderkey_references_orders',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE l.l_orderkey IS NOT NULL
+                        AND l.l_orderkey NOT IN
+                            (SELECT o_orderkey FROM orders)))
         """,
         'k_core': _k_core_oracle(k=3, rounds=4),
         'bloom_semi_join': """

@@ -154,3 +154,79 @@ def hll_estimate(registers, m: int = 16 ** HLL_REG_CHARS) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket histogram — mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+#: mantissa bits kept after the MSB -> relative error <= 2^-4 = 6.25%
+HDR_SUB_BITS = 4
+
+
+def hdr_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """(e, prefix, cnt): an HDR-style log-bucket histogram of a
+    non-negative integer column — the third leg of the sketch family
+    (count-min: frequencies, HLL: distincts, this: quantiles). Buckets
+    are (MSB position, first 1+HDR_SUB_BITS bits), giving <= 6.25%
+    relative value error with ~64 buckets per decade and CONSTANT key
+    space, so the build is one map-side-combined aggregate and two
+    histograms merge by adding counts — percentile readouts over a
+    100 TB table or a month of daily histograms cost the same.
+
+    The trick that keeps the gate exact: the bucket id is a PREFIX OF
+    ``bin(value)`` plus its length — both engines print binary
+    MSB-first without leading zeros, so bucket placement is pure
+    string arithmetic, no float log2, no variable-width bit shifts.
+    Numeric bucket order == (e ASC, prefix ASC) because equal-length
+    binary strings compare lexicographically as numbers. Zero values
+    get the reserved (0, '0') bucket."""
+    v = F.col(value_col)
+    b = F.bin(v)
+    return (df.select(
+        F.when(v == 0, F.lit(0)).otherwise(F.length(b)).alias('e'),
+        F.when(v == 0, F.lit('0'))
+        .otherwise(F.substring(b, 1, 1 + HDR_SUB_BITS)).alias('prefix'))
+        .groupBy('e', 'prefix').agg(F.count('*').alias('cnt')))
+
+
+def hdr_quantiles(df: DataFrame, value_col: str,
+                  q_permille: tuple = (500, 900, 990)) -> DataFrame:
+    """(q_permille, lo, hi, cum, n): quantile readout from the
+    log-bucket histogram — for each requested permille rank, the FIRST
+    bucket (numeric order) whose cumulative count reaches
+    ceil(q * n / 1000), with the bucket's exact integer value bounds
+    [lo, hi]. The true q-quantile lies in [lo, hi] by construction
+    (hi < lo * 1.0625) — certified approximation, not a float estimate.
+
+    Everything is integer: cum from a window over the <= few-hundred-row
+    histogram, lo = prefix-as-int scaled by a power of two that both
+    engines compute exactly in doubles (2^k is representable; the
+    product stays < 2^53 for any 48-bit input)."""
+    from pyspark.sql.window import Window
+    h = hdr_histogram(df, value_col)
+    n_tot = df.where(F.col(value_col).isNotNull()) \
+        .select(F.count('*').alias('n'))
+    w = (Window.orderBy('e', 'prefix')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    plen = F.length('prefix')
+    scale = F.pow(F.lit(2.0), (F.col('e') - plen).cast('double'))
+    lo = (F.conv('prefix', 2, 10).cast('long')
+          * scale).cast('long')
+    hi = ((F.conv('prefix', 2, 10).cast('long') + 1)
+          * scale).cast('long') - 1
+    cum = (h.withColumn('cum', F.sum('cnt').over(w))
+           .withColumn('lo', F.when(F.col('e') == 0, F.lit(0))
+                       .otherwise(lo))
+           .withColumn('hi', F.when(F.col('e') == 0, F.lit(0))
+                       .otherwise(hi)))
+    qs = None
+    for q in q_permille:
+        rank = F.expr(f'(n * {q} + 999) div 1000')
+        pick = (cum.crossJoin(F.broadcast(n_tot))
+                .where(F.col('cum') >= rank)
+                .orderBy('e', 'prefix').limit(1)
+                .select(F.lit(q).alias('q_permille'), 'lo', 'hi',
+                        'cum', 'n'))
+        qs = pick if qs is None else qs.unionAll(pick)
+    return qs

@@ -2263,3 +2263,61 @@ def test_bloom_semi_join_equals_plain(spark):
     want = sorted(r['row_id'] for r in
                   big.join(small, 'k', 'left_semi').collect())
     assert got == want and len(got) == 60
+
+
+def test_hdr_quantiles_bracket_exact_quantile(spark):
+    """The certified-approximation contract: for each q the true exact
+    quantile value lies inside the reported [lo, hi] bucket bounds,
+    and hi/lo stays within the 6.25% design error."""
+    from mineru_html_spark.functions.sketch import hdr_quantiles
+    import pyspark.sql.functions as F
+    df = spark.range(1, 10001).select((F.col('id') * 7 % 9973 + 1)
+                                      .alias('v'))
+    vals = sorted(r['v'] for r in df.collect())
+    got = {r['q_permille']: r for r in
+           hdr_quantiles(df, 'v', (500, 900, 990)).collect()}
+    import math
+    for q, r in got.items():
+        true_q = vals[math.ceil(len(vals) * q / 1000) - 1]
+        assert r['lo'] <= true_q <= r['hi'], (q, r, true_q)
+        assert r['hi'] - r['lo'] <= max(1, r['lo'] // 16)
+
+
+def test_hdr_histogram_merge_and_zero_bucket(spark):
+    from mineru_html_spark.functions.sketch import hdr_histogram
+    import pyspark.sql.functions as F
+    df = spark.range(0, 1000).select(F.col('id').alias('v'))
+    whole = {(r['e'], r['prefix']): r['cnt']
+             for r in hdr_histogram(df, 'v').collect()}
+    assert whole[(0, '0')] == 1          # the reserved zero bucket
+    h1 = hdr_histogram(df.where('v < 500'), 'v')
+    h2 = hdr_histogram(df.where('v >= 500'), 'v')
+    merged = {(r['e'], r['prefix']): r['cnt'] for r in
+              (h1.unionAll(h2).groupBy('e', 'prefix')
+               .agg(F.sum('cnt').alias('cnt')).collect())}
+    assert merged == whole
+
+
+def test_constraint_audit_counts_planted_violations(spark):
+    """Planted nulls, dup keys and orphans are counted exactly; clean
+    constraints read passed=1."""
+    from mineru_html_spark.functions.audit import (constraint_audit,
+                                                   fk_check, row_checks,
+                                                   unique_check)
+    import pyspark.sql.functions as F
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None), (4, 99), (4, 10)],
+        'id long, fk long')
+    parent = spark.createDataFrame([(10,), (11,)], 'pk long')
+    rep = {r['constraint']: (r['n_rows'], r['n_violations'], r['passed'])
+           for r in constraint_audit([
+               row_checks(child, 'child',
+                          {'fk_not_null': F.col('fk').isNull(),
+                           'id_positive': F.col('id') <= 0}),
+               unique_check(child, 'child', 'id'),
+               fk_check(child, 'fk', parent, 'pk', 'child.fk_ref'),
+           ]).collect()}
+    assert rep['child.fk_not_null'] == (5, 1, 0)
+    assert rep['child.id_positive'] == (5, 0, 1)
+    assert rep['child.unique_id'] == (5, 1, 0)
+    assert rep['child.fk_ref'] == (5, 1, 0)
