@@ -3187,6 +3187,59 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_props_extract(spark, sf_dir):
+    """Semi-structured tier: events.props is a JSON string column (the
+    VARIANT/properties-bag shape every event pipeline carries);
+    extract $.k row-locally with get_json_object, count parse misses
+    honestly, and aggregate integer stats per event_type. The extract
+    is a pure map — path evaluation never shuffles, and at 100 TB the
+    right upgrade is the same expression over a shredded/VARIANT
+    column, not a different plan."""
+    ev = _events(spark, sf_dir).select(
+        'event_type',
+        F.get_json_object('props', '$.k').cast('long').alias('k'))
+    return (ev.groupBy('event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.count('k').alias('n_parsed'),
+                 F.sum('k').alias('sum_k'),
+                 F.min('k').alias('min_k'),
+                 F.max('k').alias('max_k'),
+                 F.count_distinct('k').alias('n_distinct_k')))
+
+
+def q_window_rank_suite(spark, sf_dir):
+    """Window-function surface parity in one pass: row_number / rank /
+    dense_rank / ntile(4) / lag / lead over the same (user_id,
+    value_milli DESC, event_id) window — Catalyst plans ONE exchange +
+    ONE sort for all six — plus rank-arithmetic cume_permille
+    ((rank * 1000) div n) so the fractional functions stay
+    integer-exact on every engine."""
+    from pyspark.sql.window import Window
+    ev = _events(spark, sf_dir).select(
+        'user_id', 'event_id',
+        F.round(F.col('value') * 1000).cast('long').alias('vm'))
+    w = Window.partitionBy('user_id').orderBy(F.desc('vm'), 'event_id')
+    n = Window.partitionBy('user_id')
+    return ev.select(
+        'user_id', 'event_id', 'vm',
+        F.row_number().over(w).alias('rn'),
+        F.rank().over(w).alias('rk'),
+        F.dense_rank().over(w).alias('drk'),
+        F.ntile(4).over(w).alias('quartile'),
+        # -1 sentinel at partition edges: a nullable BIGINT degrades to
+        # float64 in the pandas round-trip on the oracle side
+        F.coalesce(F.lag('event_id').over(w), F.lit(-1))
+        .alias('prev_id'),
+        F.coalesce(F.lead('event_id').over(w), F.lit(-1))
+        .alias('next_id'),
+        F.expr('rank() over (partition by user_id '
+               'order by vm desc, event_id) * 1000')
+        .alias('_r1000'),
+        F.count('*').over(n).alias('_n')) \
+        .withColumn('cume_permille', F.expr('_r1000 div _n')) \
+        .drop('_r1000', '_n')
+
+
 def q_hdr_histogram(spark, sf_dir):
     """Log-bucket (HDR-style) histogram of events.value in milli
     units: constant bucket space, map-side-combined build, add-to-
@@ -3735,6 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hdr_histogram': q_hdr_histogram,
         'hdr_quantiles': q_hdr_quantiles,
         'constraint_audit': q_constraint_audit,
+        'props_extract': q_props_extract,
+        'window_rank_suite': q_window_rank_suite,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'phrase_detect': q_phrase_detect,
@@ -4883,6 +4938,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lead(valid_from) OVER wv IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'props_extract': """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, count(*) AS n_events,
+                   count(k) AS n_parsed,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   count(DISTINCT k) AS n_distinct_k
+            FROM e GROUP BY event_type
+        """,
+        'window_rank_suite': """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 1000) AS BIGINT) AS vm
+              FROM events)
+            SELECT user_id, event_id, vm,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   CAST(rank() OVER w AS INTEGER) AS rk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drk,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   coalesce(lag(event_id) OVER w, -1) AS prev_id,
+                   coalesce(lead(event_id) OVER w, -1) AS next_id,
+                   CAST((rank() OVER w * 1000)
+                        // (count(*) OVER (PARTITION BY user_id))
+                        AS BIGINT) AS cume_permille
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY vm DESC, event_id)
         """,
         'hdr_histogram': """
             WITH v AS (SELECT CAST(round(value * 1000) AS BIGINT) AS vm
