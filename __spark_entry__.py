@@ -3416,6 +3416,85 @@ def q_tpch_q14(spark, sf_dir):
         F.sum(rev).alias('total_centi'))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 analog (volume shipping): bilateral trade between two
+    nations by ship year — the five-table join graph (lineitem x
+    orders x customer x supplier x nation x nation). The fact-to-fact
+    lineitem⨝orders join shuffles on orderkey; every dimension
+    (customer, supplier, both nation legs) BROADCASTS; the nation-pair
+    predicate prunes before the aggregate. Revenue in integer centi
+    units, year via the engine's own date part."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate >= timestamp '1996-01-01 00:00:00' AND "
+        "l_shipdate < timestamp '1998-01-01 00:00:00'").select(
+        'l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount',
+        F.year('l_shipdate').alias('l_year'))
+    orders = _table(spark, sf_dir, 'orders').select(
+        'o_orderkey', 'o_custkey')
+    cust = _table(spark, sf_dir, 'customer').select(
+        'c_custkey', 'c_nationkey')
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_nationkey')
+    nation = _table(spark, sf_dir, 'nation')
+    n1 = nation.select(F.col('n_nationkey').alias('s_nationkey'),
+                       F.col('n_name').alias('supp_nation'))
+    n2 = nation.select(F.col('n_nationkey').alias('c_nationkey'),
+                       F.col('n_name').alias('cust_nation'))
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), 's_nationkey')
+         .join(F.broadcast(n2), 'c_nationkey')
+         .where("(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+                " OR (supp_nation = 'NATION_2'"
+                " AND cust_nation = 'NATION_1')"))
+    return (j.groupBy('supp_nation', 'cust_nation', 'l_year')
+            .agg(F.sum(rev).alias('revenue_centi')))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 analog (national market share): of all PROMO-part
+    revenue delivered into one region's customers per order year, the
+    share supplied from one nation — numerator and denominator as
+    integer centi sums (the float ratio is the consumer's division).
+    Part, customer-side region chain and supplier-nation leg all
+    broadcast; the only big exchange is lineitem⨝orders."""
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_orderkey', 'l_partkey', 'l_suppkey', 'l_extendedprice',
+        'l_discount')
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_type = 'PROMO'").select('p_partkey'))
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1998-01-01 00:00:00'").select(
+        'o_orderkey', 'o_custkey',
+        F.year('o_orderdate').alias('o_year'))
+    cust = _table(spark, sf_dir, 'customer').select(
+        'c_custkey', 'c_nationkey')
+    nation = _table(spark, sf_dir, 'nation').select(
+        'n_nationkey', 'n_regionkey')
+    region = _table(spark, sf_dir, 'region').where(
+        "r_name = 'ASIA'").select('r_regionkey')
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_nationkey')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region),
+               nation.n_regionkey == region.r_regionkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey))
+    return (j.groupBy('o_year')
+            .agg(F.sum(F.when(F.col('s_nationkey') == 7, rev)
+                       .otherwise(0)).alias('nation_centi'),
+                 F.sum(rev).alias('total_centi')))
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -3792,6 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'window_rank_suite': q_window_rank_suite,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
+        'tpch_q7': q_tpch_q7,
+        'tpch_q8': q_tpch_q8,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -5129,6 +5210,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
               AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        'tpch_q7': """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_centi
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        'tpch_q8': """
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CASE WHEN s.s_nationkey = 7
+                        THEN CAST(round(l.l_extendedprice
+                             * (1 - l.l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS nation_centi,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS total_centi
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),
