@@ -3187,6 +3187,37 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (800/100/100
+    permille) by salted-md5 key — pinned before any cleaning so
+    pipeline changes can never leak validation docs into training;
+    row-local, zero shuffle, stable under corpus growth."""
+    from mineru_html_spark.functions.corpus import dataset_split
+    return dataset_split(_docs(spark, sf_dir)) \
+        .select('doc_id', 'source', 'split')
+
+
+def q_histogram_drift(spark, sf_dir):
+    """Distribution-drift monitor: integer L1 permille distance
+    between the log-bucket value histograms of the week's first three
+    days and the rest — two constant-size sketches compared, the raw
+    events never re-read. Drift ~0 here (same generator both halves);
+    the gate certifies the metric's arithmetic, production alerts on
+    its trend."""
+    from mineru_html_spark.functions.sketch import (hdr_histogram,
+                                                    histogram_drift)
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col('value') * 1000).cast('long').alias('vm'),
+        F.floor(F.unix_timestamp('ts') / 86400).cast('long')
+        .alias('day'))
+    d0 = ev.agg(F.min('day').alias('min_day'))
+    ev = ev.crossJoin(F.broadcast(d0))
+    a = ev.where(F.col('day') - F.col('min_day') < 3)
+    b = ev.where(F.col('day') - F.col('min_day') >= 3)
+    return histogram_drift(hdr_histogram(a, 'vm'),
+                           hdr_histogram(b, 'vm'))
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured tier: events.props is a JSON string column (the
     VARIANT/properties-bag shape every event pipeline carries);
@@ -3869,6 +3900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'constraint_audit': q_constraint_audit,
         'props_extract': q_props_extract,
         'window_rank_suite': q_window_rank_suite,
+        'dataset_split': q_dataset_split,
+        'histogram_drift': q_histogram_drift,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'tpch_q7': q_tpch_q7,
@@ -5019,6 +5052,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lead(valid_from) OVER wv IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'dataset_split': """
+            SELECT doc_id, source,
+                   CASE WHEN k < 800 THEN 'train'
+                        WHEN k < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, source,
+                     CAST(concat('0x', substring(
+                         md5(CAST(doc_id AS VARCHAR) || ':sp1'),
+                         1, 8)) AS BIGINT) % 1000 AS k
+              FROM documents)
+        """,
+        'histogram_drift': """
+            WITH ev AS (
+              SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events),
+            d0 AS (SELECT min(day) AS min_day FROM ev),
+            ha AS (
+              SELECT CASE WHEN vm = 0 THEN 0
+                     ELSE CAST(length(bin(vm)) AS INTEGER) END AS e,
+                     CASE WHEN vm = 0 THEN '0'
+                     ELSE substr(bin(vm), 1, 5) END AS prefix,
+                     count(*) AS cnt
+              FROM ev, d0 WHERE day - min_day < 3 GROUP BY 1, 2),
+            hb AS (
+              SELECT CASE WHEN vm = 0 THEN 0
+                     ELSE CAST(length(bin(vm)) AS INTEGER) END AS e,
+                     CASE WHEN vm = 0 THEN '0'
+                     ELSE substr(bin(vm), 1, 5) END AS prefix,
+                     count(*) AS cnt
+              FROM ev, d0 WHERE day - min_day >= 3 GROUP BY 1, 2),
+            na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_a FROM ha),
+            nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_b FROM hb),
+            u AS (
+              SELECT coalesce(ha.cnt, 0) AS ca,
+                     coalesce(hb.cnt, 0) AS cb
+              FROM ha FULL OUTER JOIN hb USING (e, prefix))
+            SELECT max(na.n_a) AS n_a, max(nb.n_b) AS n_b,
+                   count(*) AS n_buckets,
+                   CAST(sum(abs(ca * 1000 // na.n_a
+                                - cb * 1000 // nb.n_b)) AS BIGINT)
+                       AS l1_permille
+            FROM u, na, nb
         """,
         'props_extract': """
             WITH e AS (

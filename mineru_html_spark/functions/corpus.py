@@ -1160,3 +1160,22 @@ def bloom_decontaminate(documents: DataFrame, bits: list, n: int = 8,
         hits.cast('long').alias('n_bloom_hits'))
     return out.select('doc_id', 'n_shingles', 'n_bloom_hits',
                       (F.col('n_bloom_hits') > 0).alias('contaminated'))
+
+
+def dataset_split(documents: DataFrame, key_col: str = 'doc_id',
+                  train_permille: int = 800, valid_permille: int = 100,
+                  salt: str = 'sp1') -> DataFrame:
+    """All input columns plus ``split`` in {'train','valid','test'} —
+    the deterministic train/validation/test assignment every training
+    run needs pinned BEFORE any filtering happens (assigning after a
+    mutable cleaning pipeline leaks validation docs into training when
+    the pipeline changes). Same salted-md5 key as stratified_sample:
+    the assignment is a pure row-local projection — zero shuffle, and
+    stable across engines, reruns, cluster sizes AND corpus growth
+    (adding documents never reassigns existing ones, which no
+    row_number()-based split can promise)."""
+    k = sample_key(F.col(key_col), salt)
+    split = (F.when(k < train_permille, 'train')
+             .when(k < train_permille + valid_permille, 'valid')
+             .otherwise('test'))
+    return documents.withColumn('split', split)

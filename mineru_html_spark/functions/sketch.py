@@ -230,3 +230,32 @@ def hdr_quantiles(df: DataFrame, value_col: str,
                         'cum', 'n'))
         qs = pick if qs is None else qs.unionAll(pick)
     return qs
+
+
+def histogram_drift(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """One row (n_a, n_b, n_buckets, l1_permille): integer L1
+    distribution drift between two log-bucket histograms — the
+    monitoring primitive that catches "this week's crawl looks nothing
+    like last week's" from two constant-size sketches, never from the
+    raw data. Defined metric (exactly mirrorable, no floats):
+
+        l1_permille = sum over union buckets
+                      | cnt_a*1000 div n_a  -  cnt_b*1000 div n_b |
+
+    0 = identical shape, <= 2000 by construction. The full-outer union
+    of two <= few-hundred-row histograms is plan-level noise; at
+    production scale the histograms come from ``hdr_histogram`` runs
+    that were already paid for by quantile monitoring."""
+    a = hist_a.groupBy('e', 'prefix').agg(F.sum('cnt').alias('ca'))
+    b = hist_b.groupBy('e', 'prefix').agg(F.sum('cnt').alias('cb'))
+    na = hist_a.agg(F.sum('cnt').alias('n_a'))
+    nb = hist_b.agg(F.sum('cnt').alias('n_b'))
+    u = (a.join(b, ['e', 'prefix'], 'full_outer')
+         .select(F.coalesce('ca', F.lit(0)).alias('ca'),
+                 F.coalesce('cb', F.lit(0)).alias('cb'))
+         .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)))
+    term = F.abs(F.expr('ca * 1000 div n_a')
+                 - F.expr('cb * 1000 div n_b'))
+    return (u.agg(F.max('n_a').alias('n_a'), F.max('n_b').alias('n_b'),
+                  F.count('*').alias('n_buckets'),
+                  F.sum(term).alias('l1_permille')))

@@ -2321,3 +2321,36 @@ def test_constraint_audit_counts_planted_violations(spark):
     assert rep['child.id_positive'] == (5, 0, 1)
     assert rep['child.unique_id'] == (5, 1, 0)
     assert rep['child.fk_ref'] == (5, 1, 0)
+
+
+def test_dataset_split_stable_under_growth(spark):
+    """Adding documents never reassigns existing ones (the row_number
+    split cannot promise this), and the realized fractions track
+    800/100/100 permille."""
+    from mineru_html_spark.functions.corpus import dataset_split
+    import pyspark.sql.functions as F
+    full = spark.range(5000).select(F.col('id').alias('doc_id'))
+    half = full.where('doc_id < 2500')
+    a = {r['doc_id']: r['split']
+         for r in dataset_split(full, 'doc_id').collect()}
+    b = {r['doc_id']: r['split']
+         for r in dataset_split(half, 'doc_id').collect()}
+    assert all(a[k] == v for k, v in b.items())
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c['train'] - 4000) < 200
+    assert abs(c['valid'] - 500) < 120 and abs(c['test'] - 500) < 120
+
+
+def test_histogram_drift_zero_self_and_bounded_disjoint(spark):
+    from mineru_html_spark.functions.sketch import (hdr_histogram,
+                                                    histogram_drift)
+    import pyspark.sql.functions as F
+    lo = spark.range(1, 1000).select(F.col('id').alias('v'))
+    hi = spark.range(100000, 200000).select(F.col('id').alias('v'))
+    same = histogram_drift(hdr_histogram(lo, 'v'),
+                           hdr_histogram(lo, 'v')).collect()[0]
+    assert same['l1_permille'] == 0
+    far = histogram_drift(hdr_histogram(lo, 'v'),
+                          hdr_histogram(hi, 'v')).collect()[0]
+    assert 1800 <= far['l1_permille'] <= 2000
