@@ -340,6 +340,38 @@ def main():
                  r'Scan parquet'],
                 max_lines=10)))
 
+    sections.append((
+        'Bloom-filtered semi join (explicit runtime filter)',
+        'The packed-bloom probe (conv over md5 substrings vs the plan-'
+        'literal word array) runs as a Filter directly over the '
+        'lineitem scan — BELOW the first Exchange — so the shuffle '
+        'moves only bloom survivors; the left-semi join above restores '
+        'exactness.',
+        trimmed(plan_of(entry.q_bloom_semi_join(spark, SF)),
+                [r'Filter|Exchange|Join|Scan parquet'],
+                max_lines=12)))
+
+    sections.append((
+        'Count-min heavy hitters (sketch broadcasts, tokens never '
+        'shuffle twice)',
+        'The d*4096-cell sketch aggregate map-side-combines each scan '
+        'partition down to sketch cells; the probe joins the candidate '
+        'words against the constant-size sketch via BroadcastHashJoin.',
+        trimmed(plan_of(entry.q_cms_heavy_hitters(spark, SF)),
+                [r'BroadcastHashJoin|HashAggregate|Exchange|'
+                 r'TakeOrdered|Generate'],
+                max_lines=12)))
+
+    sections.append((
+        'Window-function suite (six functions, one exchange + one '
+        'sort)',
+        'row_number/rank/dense_rank/ntile/lag/lead share the (user_id '
+        'x vm DESC, event_id) window spec, so Catalyst plans a single '
+        'hashpartitioning exchange and a single sort for all of them.',
+        trimmed(plan_of(entry.q_window_rank_suite(spark, SF)),
+                [r'Window|Exchange|Sort|Scan parquet'],
+                max_lines=10)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
