@@ -3187,6 +3187,28 @@ def q_tpch_q10(spark, sf_dir):
             .limit(20))
 
 
+def q_hll_rolling_merge(spark, sf_dir):
+    """The sketch path of the DAU/WAU report, EXECUTED: one HLL
+    register file per day, max-merged over each trailing 7-day window
+    — (day, register, max_rho) — so rolling distinct users reads
+    30 x 256 sketch rows instead of re-shuffling (user, day) activity.
+    The float estimate stays a driver-side readout off these gated
+    integer registers; the merge-vs-exact accuracy is pinned by a unit
+    test against dau_rolling."""
+    from mineru_html_spark.functions.sketch import hll_registers_grouped
+    ev = _events(spark, sf_dir).select(
+        'user_id',
+        F.floor(F.unix_timestamp('ts') / 86400).cast('long')
+        .alias('day'))
+    daily = hll_registers_grouped(ev, 'user_id', ['day'])
+    days = daily.select(F.col('day').alias('d')).distinct()
+    j = days.join(daily, (F.col('day') <= F.col('d'))
+                  & (F.col('day') > F.col('d') - 7))
+    return (j.groupBy('d', 'register')
+            .agg(F.max('max_rho').alias('max_rho'))
+            .withColumnRenamed('d', 'day'))
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/valid/test assignment (800/100/100
     permille) by salted-md5 key — pinned before any cleaning so
@@ -3902,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'window_rank_suite': q_window_rank_suite,
         'dataset_split': q_dataset_split,
         'histogram_drift': q_histogram_drift,
+        'hll_rolling_merge': q_hll_rolling_merge,
         'tpch_q4': q_tpch_q4,
         'tpch_q14': q_tpch_q14,
         'tpch_q7': q_tpch_q7,
@@ -5052,6 +5075,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lead(valid_from) OVER wv IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        """,
+        'hll_rolling_merge': """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     md5(CAST(user_id AS VARCHAR)) AS hx
+              FROM events),
+            cells AS (
+              SELECT day,
+                     CAST(CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT)
+                         AS INTEGER) AS register,
+                     CAST(concat('0x', substr(hx, 3, 12)) AS BIGINT)
+                         AS v
+              FROM ev),
+            daily AS (
+              SELECT day, register,
+                     max(CASE WHEN v = 0 THEN 49
+                         ELSE 49 - CAST(length(bin(v)) AS INTEGER)
+                         END) AS max_rho
+              FROM cells GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day AS d FROM daily)
+            SELECT days.d AS day, daily.register,
+                   max(daily.max_rho) AS max_rho
+            FROM days JOIN daily
+              ON daily.day <= days.d AND daily.day > days.d - 7
+            GROUP BY 1, 2
         """,
         'dataset_split': """
             SELECT doc_id, source,

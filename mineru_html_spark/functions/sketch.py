@@ -137,6 +137,25 @@ def hll_registers(df: DataFrame, key: str) -> DataFrame:
             .groupBy('register').agg(F.max('rho').alias('max_rho')))
 
 
+def hll_registers_grouped(df: DataFrame, key: str,
+                          group_cols: list) -> DataFrame:
+    """(group_cols..., register, max_rho): one register file PER GROUP
+    (per day, per source...) — the persistable unit of the rolling-
+    window distinct story. Same placement arithmetic as
+    ``hll_registers``; the aggregate key space is |groups| x 256, still
+    map-side-combined."""
+    h = F.md5(F.col(key).cast('string'))
+    reg = F.conv(F.substring(h, 1, HLL_REG_CHARS), 16, 10).cast('int')
+    v = F.conv(F.substring(h, HLL_REG_CHARS + 1, HLL_RANK_CHARS),
+               16, 10).cast('long')
+    rho = F.when(v == 0, F.lit(HLL_RHO_CAP)) \
+        .otherwise(F.lit(HLL_RHO_CAP) - F.length(F.bin(v)))
+    return (df.select(*group_cols, reg.alias('register'),
+                      rho.alias('rho'))
+            .groupBy(*group_cols, 'register')
+            .agg(F.max('rho').alias('max_rho')))
+
+
 def hll_estimate(registers, m: int = 16 ** HLL_REG_CHARS) -> float:
     """Driver-side bias-corrected estimate from a collected register
     file (list of Rows or (register, max_rho) tuples). Floats are fine

@@ -2354,3 +2354,28 @@ def test_histogram_drift_zero_self_and_bounded_disjoint(spark):
     far = histogram_drift(hdr_histogram(lo, 'v'),
                           hdr_histogram(hi, 'v')).collect()[0]
     assert 1800 <= far['l1_permille'] <= 2000
+
+
+def test_hll_rolling_merge_tracks_exact_rolling(spark):
+    """The sketch path vs the exact path on the same events slice:
+    the estimate from each day's merged trailing-window register file
+    lands within 15% of dau_rolling's exact n_rolling (m=256 -> ~6.5%
+    standard error)."""
+    import importlib
+    import sys
+    sys.path.insert(0, '/root/repo')
+    se = importlib.import_module('__spark_entry__')
+    from mineru_html_spark.functions.sketch import hll_estimate
+    sf = '/root/testdata/sf0.01'
+    exact = {r['day']: r['n_rolling']
+             for r in se.queries()['dau_rolling'](spark, sf).collect()}
+    merged = se.queries()['hll_rolling_merge'](spark, sf).collect()
+    by_day = {}
+    for r in merged:
+        by_day.setdefault(r['day'], []).append(
+            (r['register'], r['max_rho']))
+    assert set(by_day) == set(exact)
+    for day, regs in by_day.items():
+        est = hll_estimate(regs)
+        assert abs(est - exact[day]) / exact[day] < 0.15, (
+            day, est, exact[day])
