@@ -1,0 +1,102 @@
+"""Warehouse analytics on the events stream — one job, eight reports.
+
+The operational side of a crawl/training platform is an event pipeline
+(fetches, extractions, user actions); this example chains the engine's
+events-tier operators into the daily analytics job a platform team
+schedules:
+
+  1. skew pre-flight           -> which keys would melt a reducer
+  2. sessionize                -> gap-based sessions per user
+  3. Markov transition matrix  -> clickstream structure
+  4. ordered funnel            -> view -> click -> purchase conversion
+  5. cohort retention matrix   -> day-N return rates
+  6. DAU + rolling 7-day       -> exact at (user, day) grain
+  7. per-day HLL registers     -> the same report as a mergeable sketch
+  8. value-distribution drift  -> log-bucket histogram L1 between the
+                                  week's halves
+
+Every report is a small DataFrame; the only full-size exchanges are the
+per-user window sort (shared by 2-4) and the (user, day) distinct (6).
+The sketch legs (7, 8) are the 100 TB path: constant-size state,
+mergeable across days/clusters.
+
+Run:  python examples/events_analytics.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
+    import __spark_entry__ as entry
+    from mineru_html_spark.functions.sessions import sessionize
+    from mineru_html_spark.functions.sketch import hll_estimate
+
+    events = entry._events(spark, sf_dir)
+    reports = {}
+
+    # 1. skew pre-flight: decides the shuffle strategy for everything
+    #    below before anything runs
+    skew = entry.q_skew_profile(spark, sf_dir).collect()
+    reports['skew_top_key_permille'] = int(skew[0]['share_permille'])
+
+    # 2-4. the per-user event-order family (one exchange shape shared)
+    sess = sessionize(events)
+    reports['n_sessions'] = sess.count()
+    trans = entry.q_event_transitions(spark, sf_dir).collect()
+    reports['transition_pairs'] = len(trans)
+    funnel = entry.q_funnel_stages(spark, sf_dir).collect()[0]
+    reports['funnel'] = {'view': int(funnel['n_view']),
+                         'click': int(funnel['n_click']),
+                         'purchase': int(funnel['n_purchase'])}
+
+    # 5. retention
+    ret = entry.q_retention_cohorts(spark, sf_dir)
+    reports['retention_cells'] = ret.count()
+
+    # 6. exact rolling actives
+    dau = {r['day']: r for r in
+           entry.q_dau_rolling(spark, sf_dir).collect()}
+    last_day = max(dau)
+    reports['last_day_dau'] = int(dau[last_day]['n_dau'])
+    reports['last_day_rolling7'] = int(dau[last_day]['n_rolling'])
+
+    # 7. the same rolling report from merged per-day sketches
+    merged = entry.q_hll_rolling_merge(spark, sf_dir).collect()
+    regs = [(r['register'], r['max_rho']) for r in merged
+            if r['day'] == last_day]
+    est = hll_estimate(regs)
+    exact = reports['last_day_rolling7']
+    reports['last_day_rolling7_hll'] = round(est, 1)
+    reports['hll_rel_err_pct'] = round(100 * abs(est - exact) / exact, 2)
+
+    # 8. drift between the week's halves (same generator -> near zero)
+    drift = entry.q_histogram_drift(spark, sf_dir).collect()[0]
+    reports['value_drift_l1_permille'] = int(drift['l1_permille'])
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, 'events_report.json'), 'w') as f:
+            json.dump(reports, f, indent=2, sort_keys=True)
+    return reports
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    from mineru_html_spark.plans.session import get_spark
+    spark = get_spark('local[8]', app_name='events-analytics',
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel('ERROR')
+    reports = run(spark, sf_dir, out_dir)
+    print(json.dumps(reports, indent=2, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

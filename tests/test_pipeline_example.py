@@ -36,3 +36,18 @@ def test_full_pipeline_example(spark, tmp_path):
     assert {r['container'] for r in
             media.select('container').distinct().collect()} \
         <= {'png', 'jpeg', 'gif'}
+
+
+def test_events_analytics_example(spark):
+    """The events-analytics example runs end-to-end and its reports
+    are internally consistent: funnel monotone, sketch estimate near
+    exact, drift bounded."""
+    import importlib
+    mod = importlib.import_module('examples.events_analytics')
+    r = mod.run(spark, '/root/testdata/sf0.01')
+    f = r['funnel']
+    assert f['view'] >= f['click'] >= f['purchase'] > 0
+    assert r['n_sessions'] > 0 and r['retention_cells'] > 0
+    assert r['last_day_rolling7'] >= r['last_day_dau'] > 0
+    assert r['hll_rel_err_pct'] < 15
+    assert 0 <= r['value_drift_l1_permille'] <= 2000
