@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from mineru_html_spark.core.synth import docs_for_sf
 from mineru_html_spark.functions import dedup as dd
 from mineru_html_spark.functions.corpus import (LM_HEAD_MILLI,
-                                                LM_TAIL_MILLI)
+                                                LM_TAIL_MILLI,
+                                                NB_POS_SOURCES)
 from mineru_html_spark.functions import media as md
 from mineru_html_spark.functions import rouge as rg
 from mineru_html_spark.functions import similarity as sim
@@ -1972,6 +1973,17 @@ def q_lm_bucket(spark, sf_dir):
     policy)."""
     from mineru_html_spark.functions.corpus import unigram_lm_nll
     return unigram_lm_nll(_docs(spark, sf_dir))
+
+
+def q_nb_quality(spark, sf_dir):
+    """Multinomial Naive Bayes quality classifier trained on a fixed
+    reference-source slice (the GPT-3/DCLM quality-filter recipe:
+    curated-positive vs crawl-negative) and applied to every document.
+    Integer milli-nat arithmetic end to end, so the DuckDB oracle is
+    exact: every probability is a ratio of integer counts under the
+    shared floor(1000*ln(x)) idiom."""
+    from mineru_html_spark.functions.corpus import nb_classify
+    return nb_classify(_docs(spark, sf_dir))
 
 
 def q_pagerank(spark, sf_dir):
@@ -3940,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q3': q_tpch_q3,
         'tpch_q5': q_tpch_q5,
         # --- new this window (never certified; rotate into r6's 50) ---
+        'nb_quality': q_nb_quality,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4687,6 +4700,67 @@ def oracle_sql() -> dict[str, str]:
                         CAST(doc_id AS VARCHAR) || ':sp1'), 1, 8)
                       AS BIGINT) % 1000) < keep_permille AS kept
             FROM p
+        """,
+        'nb_quality': f"""
+            WITH w AS (
+              SELECT doc_id,
+                     source IN ('src0', 'src1', 'src2', 'src3') AS p,
+                     {_WORDS_AZ09} AS w
+              FROM documents),
+            ex AS (SELECT CAST(p AS BIGINT) AS pos, unnest(w) AS word
+                   FROM w),
+            c AS (
+              SELECT word,
+                     CAST(sum(pos) AS BIGINT) AS cnt_pos,
+                     CAST(sum(1 - pos) AS BIGINT) AS cnt_neg
+              FROM ex GROUP BY 1),
+            wt AS (
+              SELECT word, cnt_pos, cnt_neg,
+                     CAST(floor(1000 * ln((cnt_pos + 1)::DOUBLE))
+                          AS BIGINT)
+                     - CAST(floor(1000 * ln((cnt_neg + 1)::DOUBLE))
+                            AS BIGINT) AS w_milli
+              FROM c),
+            tot AS (
+              SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp,
+                     CAST(sum(cnt_neg) AS BIGINT) AS tn,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM wt),
+            pri AS (
+              SELECT CAST(sum(CASE WHEN p THEN 1 ELSE 0 END)
+                          AS BIGINT) AS np,
+                     CAST(sum(CASE WHEN p THEN 0 ELSE 1 END)
+                          AS BIGINT) AS nn
+              FROM w),
+            exd AS (SELECT doc_id, unnest(w) AS word FROM w),
+            a AS (
+              SELECT exd.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(coalesce(sum(wt.w_milli), 0) AS BIGINT) AS sw
+              FROM exd LEFT JOIN wt USING (word) GROUP BY 1),
+            f AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                     CAST(coalesce(a.sw, 0) AS BIGINT) AS sw
+              FROM documents d LEFT JOIN a USING (doc_id)),
+            s AS (
+              SELECT doc_id, n_words,
+                     CAST((SELECT CAST(floor(1000 * ln(np::DOUBLE))
+                                       AS BIGINT)
+                                  - CAST(floor(1000 * ln(nn::DOUBLE))
+                                         AS BIGINT) FROM pri)
+                          + sw
+                          + n_words
+                          * (SELECT
+                               CAST(floor(1000 * ln((tn + v)::DOUBLE))
+                                    AS BIGINT)
+                               - CAST(floor(1000 * ln((tp + v)::DOUBLE))
+                                      AS BIGINT) FROM tot)
+                          AS BIGINT) AS score_milli
+              FROM f)
+            SELECT doc_id, n_words, score_milli,
+                   score_milli > 0 AS nb_label
+            FROM s
         """,
         'lm_bucket': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

@@ -1179,3 +1179,100 @@ def dataset_split(documents: DataFrame, key_col: str = 'doc_id',
              .when(k < train_permille + valid_permille, 'valid')
              .otherwise('test'))
     return documents.withColumn('split', split)
+
+
+# Reference-corpus source list for the Naive Bayes quality classifier.
+# A fixed constant by design: the GPT-3/DCLM quality-filter recipe
+# labels a curated slice (WebText / OpenHermes) positive and the raw
+# crawl negative, then scores the crawl against the trained model.
+# The synthetic documents table stands in with a fixed source subset.
+NB_POS_SOURCES = ('src0', 'src1', 'src2', 'src3')
+
+
+def _mln(x: Column) -> Column:
+    """floor(1000 * ln(x)) as BIGINT over an integer-valued column —
+    the repo-wide milli-nat idiom (unigram_lm_nll, kn_bigram_nll): both
+    engines take ln() of the SAME integral double, so the floored
+    result is representation-stable cross-engine."""
+    return F.floor(F.lit(1000) * F.log(x.cast('double'))).cast('long')
+
+
+def nb_train(documents: DataFrame,
+             pos_sources: tuple = NB_POS_SOURCES) -> DataFrame:
+    """(word, cnt_pos, cnt_neg, w_milli): multinomial Naive Bayes word
+    weights — w_milli = mln(cnt_pos+1) - mln(cnt_neg+1), the Laplace-
+    smoothed per-word log-likelihood ratio in integer milli-nats. The
+    per-class normalizers ln(total+V) are per-TOKEN constants, so they
+    are not baked into the table; ``nb_classify`` applies them as
+    n_words * (B - A), keeping this table reusable when the corpus
+    grows (retrain = re-aggregate; the table is a static artifact like
+    the CCNet LM).
+
+    Scale shape: one explode + ONE hash aggregate keyed on word
+    (map-side partial combine carries one row per distinct word per
+    task) — the same shuffle profile as unigram_lm_table. No sort, no
+    join, corpus text never shuffles."""
+    is_pos = F.col('source').isin(*pos_sources)
+    ex = documents.select(
+        is_pos.cast('long').alias('pos'),
+        F.explode(_words()).alias('word'))
+    counts = ex.groupBy('word').agg(
+        F.sum('pos').alias('cnt_pos'),
+        F.sum(F.lit(1) - F.col('pos')).alias('cnt_neg'))
+    return counts.select(
+        'word', 'cnt_pos', 'cnt_neg',
+        (_mln(F.col('cnt_pos') + 1)
+         - _mln(F.col('cnt_neg') + 1)).alias('w_milli'))
+
+
+def nb_classify(documents: DataFrame,
+                pos_sources: tuple = NB_POS_SOURCES,
+                weights: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_words, score_milli, nb_label): multinomial Naive
+    Bayes quality scoring — the counts-based sibling of the fastText-
+    style ``hashed_linear_score``, with a genuinely TRAINED model (not
+    hash-derived weights) that stays integer-exact because every
+    probability is a ratio of integer counts under the milli-nat floor.
+
+    score = prior + sum_tokens[ w_milli(word) ] + n_words * (B - A)
+    where A = mln(total_pos_tokens + V), B = mln(total_neg_tokens + V)
+    (the Laplace normalizers) and prior = mln(n_pos_docs) -
+    mln(n_neg_docs). nb_label = score > 0 ("more likely drawn from the
+    reference corpus than the crawl").
+
+    Scale shape: train is one word-keyed hash aggregate; the scorer
+    explodes the corpus once and joins the weight table (broadcast at
+    gate scale; a web-scale vocabulary flips to a shuffle hash join on
+    word — the corpus side shuffles hashed words, never text); the
+    class totals and document prior are single-row broadcast
+    crossJoins. Zero global sorts. Pass a materialized ``weights``
+    (``nb_train`` output) to skip the training scan — the production
+    path where the model is a static artifact."""
+    is_pos = F.col('source').isin(*pos_sources)
+    if weights is None:
+        weights = nb_train(documents, pos_sources)
+    totals = weights.agg(
+        F.sum('cnt_pos').alias('tp'), F.sum('cnt_neg').alias('tn'),
+        F.count('*').alias('v'))
+    prior = documents.agg(
+        F.sum(is_pos.cast('long')).alias('np'),
+        F.sum((~is_pos).cast('long')).alias('nn'))
+    ex = documents.select(
+        'doc_id', F.explode_outer(_words()).alias('word'))
+    agg = (ex.join(F.broadcast(weights.select('word', 'w_milli')),
+                   'word', 'left')
+           .groupBy('doc_id')
+           .agg(F.count('word').alias('n_words'),
+                F.coalesce(F.sum('w_milli'), F.lit(0)).alias('_sum_w')))
+    scored = (agg
+              .crossJoin(F.broadcast(totals))
+              .crossJoin(F.broadcast(prior)))
+    score = (_mln(F.col('np')) - _mln(F.col('nn'))
+             + F.col('_sum_w')
+             + F.col('n_words')
+             * (_mln(F.col('tn') + F.col('v'))
+                - _mln(F.col('tp') + F.col('v')))).cast('long')
+    return scored.select(
+        'doc_id', F.col('n_words').cast('long').alias('n_words'),
+        score.alias('score_milli'),
+        (score > 0).alias('nb_label'))

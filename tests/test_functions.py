@@ -2379,3 +2379,46 @@ def test_hll_rolling_merge_tracks_exact_rolling(spark):
         est = hll_estimate(regs)
         assert abs(est - exact[day]) / exact[day] < 0.15, (
             day, est, exact[day])
+
+
+def test_nb_quality_hand_computed(spark):
+    """Multinomial NB quality classifier: integer milli-nat score checked
+    against a fully hand-computed 5-doc corpus (vocab of 4, Laplace
+    smoothing, document prior), including the empty-doc and pre-trained
+    weights paths."""
+    from mineru_html_spark.functions.corpus import nb_classify, nb_train
+    docs = spark.createDataFrame([
+        (1, 'pos', 'alpha alpha beta'),
+        (2, 'pos', 'alpha gamma'),
+        (3, 'neg', 'delta delta gamma'),
+        (4, 'neg', 'delta beta'),
+        (5, 'neg', ''),
+    ], 'doc_id long, source string, text string')
+
+    def mln(x):
+        return math.floor(1000 * math.log(x))
+
+    wt = {r['word']: r for r in nb_train(docs, ('pos',)).collect()}
+    assert set(wt) == {'alpha', 'beta', 'gamma', 'delta'}
+    assert wt['alpha']['cnt_pos'] == 3 and wt['alpha']['cnt_neg'] == 0
+    assert wt['alpha']['w_milli'] == mln(4) - mln(1)
+    assert wt['beta']['w_milli'] == 0 and wt['gamma']['w_milli'] == 0
+    assert wt['delta']['w_milli'] == mln(1) - mln(4)
+
+    rows = {r['doc_id']: r for r in nb_classify(docs, ('pos',)).collect()}
+    assert len(rows) == 5
+    prior = mln(2) - mln(3)
+    # tp = tn = 5, v = 4 -> per-token normalizer mln(9) - mln(9) = 0
+    assert rows[1]['n_words'] == 3
+    assert rows[1]['score_milli'] == prior + 2 * (mln(4) - mln(1))
+    assert rows[1]['nb_label']
+    assert rows[3]['score_milli'] == prior + 2 * (mln(1) - mln(4))
+    assert not rows[3]['nb_label']
+    # empty doc: no tokens, prior only
+    assert rows[5]['n_words'] == 0
+    assert rows[5]['score_milli'] == prior and not rows[5]['nb_label']
+
+    # production path: a pre-trained weights table gives identical output
+    pre = nb_classify(docs, ('pos',), weights=nb_train(docs, ('pos',)))
+    assert sorted(map(tuple, pre.collect())) == \
+        sorted(map(tuple, (rows[d] for d in rows)))
