@@ -536,6 +536,15 @@ def q_simhash_dups(spark, sf_dir):
     return dd.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_allpairs_jaccard(spark, sf_dir):
+    """Exact-threshold Jaccard set-similarity self-join via AllPairs
+    prefix filtering (Bayardo WWW'07) — recall 1.0 by theorem, so the
+    oracle is the EXACT brute self-join: every pair the prefix path
+    could possibly miss would fail the gate."""
+    return dd.allpairs_join(_docs(spark, sf_dir), k=3,
+                            threshold_permille=700)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (non-SQL: rows-only check)."""
     emb = _embeddings(spark, sf_dir)
@@ -3953,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q5': q_tpch_q5,
         # --- new this window (never certified; rotate into r6's 50) ---
         'nb_quality': q_nb_quality,
+        'allpairs_jaccard': q_allpairs_jaccard,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4761,6 +4771,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, score_milli,
                    score_milli > 0 AS nb_label
             FROM s
+        """,
+        # AllPairs oracle is the brute-force EXACT threshold join (no
+        # prefix filter): a hash-match certifies the prefix path's
+        # recall-1.0 claim, not just its self-consistency.
+        'allpairs_jaccard': f"""
+            WITH wd AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3 THEN []
+                       ELSE list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' ')) END) AS s
+              FROM wd),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            n AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+            p AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(count(*) AS BIGINT) AS inter_sz
+              FROM ex x JOIN ex y
+                ON x.sg = y.sg AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT p.a, p.b, inter_sz,
+                     CAST(na.n + nb.n - inter_sz AS BIGINT) AS union_sz
+              FROM p JOIN n na ON p.a = na.doc_id
+                     JOIN n nb ON p.b = nb.doc_id)
+            SELECT a, b, inter_sz, union_sz,
+                   CAST(1000 * inter_sz // union_sz AS BIGINT)
+                       AS jaccard_permille
+            FROM j
+            WHERE 1000 * inter_sz >= 700 * union_sz
         """,
         'lm_bucket': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

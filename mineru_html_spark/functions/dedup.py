@@ -579,3 +579,76 @@ def fuzzy_block_match(records: DataFrame, id_col: str, key_col: str,
              .where(F.col('dist') <= max_dist))
     return pairs.select('id_a', 'id_b', 'block',
                         F.col('dist').cast('long').alias('dist'))
+
+
+# --------------------------------------------------------------------------
+# AllPairs: exact-threshold set-similarity self-join (prefix filtering)
+# --------------------------------------------------------------------------
+
+def allpairs_join(documents: DataFrame, k: int = 3,
+                  threshold_permille: int = 700) -> DataFrame:
+    """(a, b, inter_sz, union_sz, jaccard_permille): EVERY document pair
+    whose k-shingle-set Jaccard >= threshold — the exact-threshold
+    complement to MinHash LSH (recall 1.0 by construction, not by
+    banding probability), via prefix filtering (Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    The prefix theorem: order every set by one global total order and
+    keep each set's first ``n - ceil(t*n) + 1`` elements; two sets with
+    Jaccard >= t MUST share a prefix element, so joining on prefix
+    elements loses no true pair and the exact verify step removes the
+    (few, when the order is rarity-first) false candidates.
+
+    Scale shape — exchanges never carry text: shingles project to md5
+    immediately (the repo-wide hash-as-identity idiom of exact_dedup),
+    so the document-frequency aggregate, the rarity-order regroup, the
+    prefix self-join and the verify join all move 32-byte hashes + ids
+    only. The global element order is (df, md5) — rarity-first shrinks
+    candidate fan-out on skewed vocabularies (boilerplate shingles sort
+    last and rarely enter a prefix), and md5 tie-break makes it total.
+    The length filter (min_n * 1000 >= t * max_n, a Jaccard necessary
+    condition) prunes before the distinct. Candidate verification is
+    row-local array_intersect over the joined hash sets.
+    """
+    t = threshold_permille
+    sh = shingle_sets(documents, k)
+    hs = (sh.select('doc_id',
+                    F.array_distinct(
+                        F.transform('shingles', F.md5)).alias('hs'))
+            .withColumn('n', F.size('hs'))
+            .where(F.col('n') > 0))
+    ex = hs.select('doc_id', 'n', F.explode('hs').alias('h'))
+    dfreq = ex.groupBy('h').agg(F.count('*').alias('df'))
+    # rarity-first total order: sort each doc's hashes by (df, h)
+    ordered = (ex.join(dfreq, 'h')
+                 .groupBy('doc_id', 'n')
+                 .agg(F.sort_array(
+                     F.collect_list(F.struct('df', 'h'))).alias('os')))
+    # prefix length p = n - ceil(t*n/1000) + 1, all-integer
+    p = (F.col('n') - F.floor((F.col('n') * F.lit(t) + F.lit(999))
+                              / F.lit(1000)) + F.lit(1)).cast('int')
+    pref = (ordered.select('doc_id', 'n',
+                           F.explode(F.slice('os', F.lit(1), p)).alias('s'))
+                   .select('doc_id', 'n', F.col('s.h').alias('h')))
+    a = pref.select('h', F.col('doc_id').alias('a'), F.col('n').alias('na'))
+    b = pref.select('h', F.col('doc_id').alias('b'), F.col('n').alias('nb'))
+    cand = (a.join(b, 'h')
+             .where((F.col('a') < F.col('b'))
+                    & (F.least('na', 'nb') * F.lit(1000)
+                       >= F.greatest('na', 'nb') * F.lit(t)))
+             .select('a', 'b').distinct())
+    sa = hs.select(F.col('doc_id').alias('a'), F.col('hs').alias('ha'),
+                   F.col('n').alias('na'))
+    sb = hs.select(F.col('doc_id').alias('b'), F.col('hs').alias('hb'),
+                   F.col('n').alias('nb'))
+    v = cand.join(sa, 'a').join(sb, 'b')
+    inter = F.size(F.array_intersect('ha', 'hb'))
+    union = F.col('na') + F.col('nb') - inter
+    return (v.select('a', 'b',
+                     inter.cast('long').alias('inter_sz'),
+                     union.cast('long').alias('union_sz'))
+             .where(F.col('inter_sz') * 1000 >= F.lit(t) * F.col('union_sz'))
+             .select('a', 'b', 'inter_sz', 'union_sz',
+                     F.floor(F.lit(1000) * F.col('inter_sz')
+                             / F.col('union_sz'))
+                      .cast('long').alias('jaccard_permille')))

