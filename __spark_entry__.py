@@ -1995,6 +1995,16 @@ def q_nb_quality(spark, sf_dir):
     return nb_classify(_docs(spark, sf_dir))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Codepoint Shannon entropy in integer milli-nats — the junk
+    detector for machine-repeated filler (low tail) and base64/
+    compressed payloads masquerading as text (high tail). Exact SQL
+    oracle: both engines sum c_i * (mln(n) - mln(c_i)) over the
+    codepoint histogram."""
+    from mineru_html_spark.functions.text import char_entropy
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-exact PageRank over a deterministic synthetic link graph
     (two out-edges per doc: doc -> (7*doc+3) mod N and (13*doc+5) mod N).
@@ -3963,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this window (never certified; rotate into r6's 50) ---
         'nb_quality': q_nb_quality,
         'allpairs_jaccard': q_allpairs_jaccard,
+        'char_entropy': q_char_entropy,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4771,6 +4782,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, score_milli,
                    score_milli > 0 AS nb_label
             FROM s
+        """,
+        'char_entropy': """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM ch WHERE c <> '' GROUP BY 1, 2),
+            n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+                  FROM cnt GROUP BY 1),
+            h AS (
+              SELECT cnt.doc_id,
+                     CAST(sum(cnt *
+                       (CAST(floor(1000 * ln(n.n::DOUBLE)) AS BIGINT)
+                        - CAST(floor(1000 * ln(cnt::DOUBLE)) AS BIGINT)))
+                       AS BIGINT) AS h_sum
+              FROM cnt JOIN n USING (doc_id) GROUP BY 1),
+            f AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(n.n, 0) AS BIGINT) AS n_chars,
+                     CAST(CASE WHEN coalesce(n.n, 0) = 0 THEN 0
+                          ELSE h.h_sum // n.n END AS BIGINT)
+                         AS entropy_milli
+              FROM documents d LEFT JOIN n USING (doc_id)
+                               LEFT JOIN h USING (doc_id))
+            SELECT doc_id, n_chars, entropy_milli,
+                   CASE WHEN n_chars = 0 THEN 'empty'
+                        WHEN entropy_milli < 1500 THEN 'low'
+                        WHEN entropy_milli > 4000 THEN 'high'
+                        ELSE 'ok' END AS entropy_class
+            FROM f
         """,
         # AllPairs oracle is the brute-force EXACT threshold join (no
         # prefix filter): a hash-match certifies the prefix path's

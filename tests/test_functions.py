@@ -2487,3 +2487,32 @@ def test_allpairs_prefix_length_math(spark):
     rows = allpairs_join(df, k=3, threshold_permille=1000).collect()
     assert [(r['a'], r['b'], r['jaccard_permille']) for r in rows] == \
         [(1, 2, 1000)]
+
+
+def test_char_entropy_hand_and_tails(spark):
+    """Entropy in milli-nats: hand-computed uniform case, plus the two
+    junk tails (repeated filler -> low, base64-ish noise -> high)."""
+    import random
+    from mineru_html_spark.functions.text import char_entropy
+    rng = random.Random(7)
+    noise = ''.join(rng.choice(
+        'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/')
+        for _ in range(4000))
+    df = spark.createDataFrame([
+        (1, 'aabb'),                       # 2 symbols, uniform: ln 2
+        (2, 'zzzzzzzzzzzzzzzzzzzzzzzz'),   # single symbol: zero
+        (3, noise),                        # ~ln 64 = 4.16 nats
+        (4, ''),                           # empty
+        (5, 'the quick brown fox jumps over the lazy dog and then some '
+            'more ordinary english prose with usual letter frequencies'),
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in char_entropy(df).collect()}
+    assert rows[1]['n_chars'] == 4 and rows[1]['entropy_milli'] == \
+        math.floor(1000 * math.log(4)) - math.floor(1000 * math.log(2))
+    assert rows[2]['entropy_milli'] == 0
+    assert rows[2]['entropy_class'] == 'low'
+    assert 4000 < rows[3]['entropy_milli'] <= 4170   # ln(64) = 4158
+    assert rows[3]['entropy_class'] == 'high'
+    assert rows[4]['n_chars'] == 0 and rows[4]['entropy_class'] == 'empty'
+    assert rows[5]['entropy_class'] == 'ok'
+    assert 2500 <= rows[5]['entropy_milli'] <= 3300
