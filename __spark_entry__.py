@@ -1875,6 +1875,32 @@ def q_streaming_attribution(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_upsert(spark, sf_dir):
+    """Exactly-once streaming MERGE: events drain as FOUR micro-batches
+    (maxFilesPerTrigger=1) through a foreachBatch upsert whose sink is
+    batch_id-versioned — replaying a batch rewrites identical data, so
+    Structured Streaming's replay-on-failure contract yields
+    exactly-once state. The gated output is the final per-user state
+    snapshot, which must equal the one-shot batch aggregate (the exact
+    SQL oracle): streaming == batch, regardless of how the input was
+    split into batches."""
+    import shutil
+
+    from mineru_html_spark.streaming.ingest import streaming_user_state
+    ev = _events(spark, sf_dir).select('event_id', 'user_id', 'ts',
+                                       'value')
+    tmp = os.path.join(REPO, '.data', 'upsert_gate_v1',
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = os.path.join(tmp, 'src')
+    ev.repartition(4).write.parquet(src)
+    out = streaming_user_state(
+        spark, src, os.path.join(tmp, 'state'), os.path.join(tmp, 'ck'),
+        'event_id long, user_id long, ts timestamp, value double')
+    return out.select('user_id', 'n_events', 'sum_value_centi',
+                      'last_ts')
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located (bucketed) join — the 100 TB join story made
     concrete: two derived tables are written ``bucketBy(8, doc_id)``
@@ -3974,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'nb_quality': q_nb_quality,
         'allpairs_jaccard': q_allpairs_jaccard,
         'char_entropy': q_char_entropy,
+        'streaming_upsert': q_streaming_upsert,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4782,6 +4809,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, score_milli,
                    score_milli > 0 AS nb_label
             FROM s
+        """,
+        'streaming_upsert': """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_centi,
+                   max(ts) AS last_ts
+            FROM events GROUP BY 1
         """,
         'char_entropy': """
             WITH ch AS (

@@ -289,3 +289,100 @@ def streaming_attribution(views: DataFrame, clicks: DataFrame,
                     (F.unix_timestamp('click_ts')
                      - F.unix_timestamp('view_ts')).cast('long')
                     .alias('gap_s')))
+
+
+# --------------------------------------------------------------------------
+# Exactly-once streaming MERGE (foreachBatch + batch_id-versioned state)
+# --------------------------------------------------------------------------
+
+def _latest_state_version(target_dir: str, below: int = None) -> str:
+    """Path of the newest COMMITTED state version (has _SUCCESS), or
+    None. ``below`` restricts to versions with batch_id < below — the
+    read an in-flight batch performs, so re-applying batch b always
+    starts from the same pre-b snapshot."""
+    import os
+    if not os.path.isdir(target_dir):
+        return None
+    best, best_id = None, -1
+    for name in os.listdir(target_dir):
+        if not name.startswith('v'):
+            continue
+        try:
+            vid = int(name[1:])
+        except ValueError:
+            continue
+        p = os.path.join(target_dir, name)
+        if not os.path.exists(os.path.join(p, '_SUCCESS')):
+            continue                      # partial write: never observed
+        if (below is None or vid < below) and vid > best_id:
+            best, best_id = p, vid
+    return best
+
+
+def upsert_user_state_batch(batch_df: DataFrame, batch_id: int,
+                            target_dir: str) -> None:
+    """foreachBatch body: merge one micro-batch of events into the
+    per-user state table IDEMPOTENTLY. The exactly-once contract of
+    Structured Streaming is "a failed batch is replayed with the SAME
+    batch_id"; this sink makes the replay a no-op by construction:
+    version v<batch_id> is always recomputed from the newest version
+    BELOW batch_id, so applying a batch twice writes identical data.
+    A version is visible only once its _SUCCESS marker exists, so a
+    crash mid-write leaves the previous snapshot authoritative.
+
+    The state columns are additive/idempotent aggregates (count, centi
+    sum, max ts) merged via one full-outer hash join keyed on user_id —
+    incremental view maintenance, the shape a Delta/Iceberg MERGE
+    compiles to. Each batch rewrites the full state snapshot; at 100 TB
+    the swap-in is a MERGE-capable table format (the DSv2 catalog sink)
+    where the join lands on the changed partitions only — the
+    idempotence CONTRACT (versioned by batch_id, visible on commit)
+    is exactly what those formats implement under the hood.
+    """
+    import os
+    spark = batch_df.sparkSession
+    delta = (batch_df.groupBy('user_id').agg(
+        F.count('*').alias('n_events'),
+        F.sum(F.round(F.col('value') * 100).cast('long'))
+         .alias('sum_value_centi'),
+        F.max('ts').alias('last_ts')))
+    prev = _latest_state_version(target_dir, below=batch_id)
+    if prev is None:
+        merged = delta
+    else:
+        cur = spark.read.parquet(prev)
+        t = cur.select('user_id', F.col('n_events').alias('_tn'),
+                       F.col('sum_value_centi').alias('_ts'),
+                       F.col('last_ts').alias('_tt'))
+        d = delta.select('user_id', F.col('n_events').alias('_dn'),
+                         F.col('sum_value_centi').alias('_ds'),
+                         F.col('last_ts').alias('_dt'))
+        j = t.join(d, 'user_id', 'full_outer')
+        merged = j.select(
+            'user_id',
+            (F.coalesce('_tn', F.lit(0)) + F.coalesce('_dn', F.lit(0)))
+            .alias('n_events'),
+            (F.coalesce('_ts', F.lit(0)) + F.coalesce('_ds', F.lit(0)))
+            .alias('sum_value_centi'),
+            F.greatest('_tt', '_dt').alias('last_ts'))
+    out = os.path.join(target_dir, 'v%09d' % batch_id)
+    merged.write.mode('overwrite').parquet(out)
+
+
+def streaming_user_state(spark: SparkSession, src_dir: str,
+                         target_dir: str, ck_dir: str,
+                         schema: str, timeout_s: int = 120) -> DataFrame:
+    """Drain a file stream of event batches through the idempotent
+    foreachBatch MERGE and return the final state snapshot.
+    maxFilesPerTrigger=1 forces one micro-batch per input file, so the
+    merge path (not a single-batch shortcut) is what's exercised."""
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(src_dir))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid:
+                       upsert_user_state_batch(df, bid, target_dir))
+         .option('checkpointLocation', ck_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    latest = _latest_state_version(target_dir)
+    return spark.read.parquet(latest)

@@ -2,6 +2,8 @@
 
 import os
 
+import pyspark.sql.functions as F
+
 
 def test_stream_extract_availablenow(spark, tmp_path):
     from mineru_html_spark.sources.synthsource import synth_docs_df
@@ -321,3 +323,80 @@ def test_streaming_attribution_joins_across_micro_batches(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0]['user_id'], rows[0]['view_id'],
             rows[0]['click_id'], rows[0]['gap_s']) == (10, 1, 3, 1800)
+
+
+def test_streaming_upsert_idempotent_replay(spark, tmp_path):
+    """The exactly-once contract: (1) a multi-batch drain equals the
+    batch aggregate; (2) REPLAYING an already-applied batch with the
+    same batch_id leaves the state byte-identical (idempotence —
+    Structured Streaming replays failed batches under the same id);
+    (3) a RESTART on the same checkpoint applies nothing new."""
+    import datetime
+
+    from mineru_html_spark.streaming.ingest import (
+        _latest_state_version, streaming_user_state,
+        upsert_user_state_batch)
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [(i, i % 3, t(i), float(i) + 0.25) for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp, value double')
+    src = str(tmp_path / 'src')
+    ev.repartition(3).write.parquet(src)
+
+    schema = 'event_id long, user_id long, ts timestamp, value double'
+    state_dir, ck = str(tmp_path / 'state'), str(tmp_path / 'ck')
+    got = streaming_user_state(spark, src, state_dir, ck, schema)
+    final = sorted(map(tuple, got.collect()))
+
+    expected = sorted(map(tuple, ev.groupBy('user_id').agg(
+        F.count('*').alias('n_events'),
+        F.sum(F.round(F.col('value') * 100).cast('long'))
+         .alias('sum_value_centi'),
+        F.max('ts').alias('last_ts')).collect()))
+    assert final == expected and len(final) == 3
+
+    # (2) replay: re-apply the LAST batch's exact input under its id —
+    # versions below it are untouched, v<last> is recomputed from the
+    # same pre-batch snapshot, so the final state must not change
+    versions = sorted(p for p in os.listdir(state_dir)
+                      if p.startswith('v'))
+    assert len(versions) == 3            # one per input file
+    before = sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(state_dir)).collect()))
+    # full replay from a FRESH checkpoint into the SAME state dir:
+    # every version is recomputed from the same parent snapshot, and
+    # the additive merge is batch-order-independent, so the final
+    # state must be unchanged
+    got2 = streaming_user_state(spark, src, state_dir,
+                                str(tmp_path / 'ck2'), schema)
+    after = sorted(map(tuple, got2.collect()))
+    assert after == before == final
+
+    # (3) restart on the SAME checkpoint: nothing new to apply,
+    # latest version unchanged
+    latest_before = _latest_state_version(state_dir)
+    got3 = streaming_user_state(spark, src, state_dir, ck, schema)
+    assert _latest_state_version(state_dir) == latest_before
+    assert sorted(map(tuple, got3.collect())) == final
+
+    # (2b) direct single-batch idempotence: apply batch 0's semantics
+    # twice via the public foreachBatch body on a fresh dir
+    sd2 = str(tmp_path / 'state2')
+    b0 = ev.where(F.col('event_id') < 10)
+    upsert_user_state_batch(b0, 0, sd2)
+    once = sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd2)).collect()))
+    upsert_user_state_batch(b0, 0, sd2)   # replay, same id
+    twice = sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd2)).collect()))
+    assert once == twice
+    b1 = ev.where((F.col('event_id') >= 10) & (F.col('event_id') < 20))
+    upsert_user_state_batch(b1, 1, sd2)
+    mid = sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd2)).collect()))
+    upsert_user_state_batch(b1, 1, sd2)   # replay batch 1
+    assert sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd2)).collect())) == mid
