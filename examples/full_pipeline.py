@@ -114,6 +114,16 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  with_quality_gate(corpus).where('keep')
                  .select(*corpus.columns))
 
+    # 4b. entropy screen: the junk tails the ratio gate misses —
+    #     machine-repeated filler (low) and base64/compressed payloads
+    #     masquerading as text (high). Attached INLINE (with_ variant):
+    #     one Arrow pass, zero exchanges.
+    from mineru_html_spark.functions.text import with_char_entropy
+    kept = _mark('04b_entropy_screen',
+                 with_char_entropy(kept)
+                 .where("entropy_class in ('ok', 'empty')")
+                 .select(*kept.columns))
+
     # 4. benchmark decontamination (eval-overlap filter). The benchmark
     #    stands in for the real eval suites; its shingle index broadcasts.
     bench = spark.createDataFrame(

@@ -762,3 +762,54 @@ def char_entropy(documents: DataFrame,
             .otherwise('ok'))
     return out.select('doc_id', 'n_chars', 'entropy_milli',
                       cls.alias('entropy_class'))
+
+
+def with_char_entropy(documents: DataFrame,
+                      low_milli: int = 1500,
+                      high_milli: int = 4000) -> DataFrame:
+    """All input columns plus (n_chars_ent, entropy_milli,
+    entropy_class) attached INLINE — the zero-shuffle way to screen a
+    corpus on the entropy signal (the ``with_lang`` /
+    ``with_quality_gate`` policy: semi-joining ``char_entropy`` back on
+    doc_id would shuffle the whole corpus text for a label). Same
+    integer milli-nat formula as ``char_entropy``."""
+    import numpy as np
+    import pandas as pd
+
+    fields = ('n_chars_ent long, entropy_milli long, '
+              'entropy_class string')
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in documents.schema.fields)
+    out_schema += ', ' + fields
+
+    def batch(it):
+        for pdf in it:
+            ns, ents, cls = [], [], []
+            for s in pdf['text']:
+                arr = np.frombuffer(
+                    str(s).encode('utf-32-le'), dtype=np.uint32)
+                n = int(arr.size)
+                if n == 0:
+                    ns.append(0)
+                    ents.append(0)
+                    cls.append('empty')
+                    continue
+                _, counts = np.unique(arr, return_counts=True)
+                mln_c = np.floor(
+                    1000.0 * np.log(counts.astype(np.float64))
+                ).astype(np.int64)
+                mln_n = int(np.floor(1000.0 * np.log(float(n))))
+                e = int((counts * (mln_n - mln_c)).sum()) // n
+                ns.append(n)
+                ents.append(e)
+                cls.append('low' if e < low_milli
+                           else 'high' if e > high_milli else 'ok')
+            pdf = pdf.copy()
+            pdf['n_chars_ent'] = pd.Series(ns, index=pdf.index,
+                                           dtype='int64')
+            pdf['entropy_milli'] = pd.Series(ents, index=pdf.index,
+                                             dtype='int64')
+            pdf['entropy_class'] = cls
+            yield pdf
+
+    return documents.mapInPandas(batch, out_schema)

@@ -2516,3 +2516,23 @@ def test_char_entropy_hand_and_tails(spark):
     assert rows[4]['n_chars'] == 0 and rows[4]['entropy_class'] == 'empty'
     assert rows[5]['entropy_class'] == 'ok'
     assert 2500 <= rows[5]['entropy_milli'] <= 3300
+
+
+def test_with_char_entropy_matches_standalone(spark):
+    """Inline attach agrees with the standalone operator and preserves
+    all input columns."""
+    from mineru_html_spark.functions.text import (char_entropy,
+                                                  with_char_entropy)
+    df = spark.createDataFrame(
+        [(1, 'aabb', 'x'), (2, '', 'y'),
+         (3, 'the quick brown fox jumps over the lazy dog', 'z')],
+        'doc_id long, text string, extra string')
+    inline = {r['doc_id']: r for r in with_char_entropy(df).collect()}
+    standalone = {r['doc_id']: r for r in char_entropy(df).collect()}
+    for d in (1, 2, 3):
+        assert inline[d]['entropy_milli'] == \
+            standalone[d]['entropy_milli']
+        assert inline[d]['entropy_class'] == \
+            standalone[d]['entropy_class']
+        assert inline[d]['n_chars_ent'] == standalone[d]['n_chars']
+    assert inline[1]['extra'] == 'x'     # input columns survive
