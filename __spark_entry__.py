@@ -2300,6 +2300,14 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(_events(spark, sf_dir), 'user_id')
 
 
+def q_daily_anomalies(spark, sf_dir):
+    """k-sigma daily-volume anomaly days vs a trailing 7-day baseline —
+    all-integer ((n*x - s)^2 vs k^2(n*q - s^2)), so the SQL oracle
+    mirrors the RANGE window verbatim."""
+    from mineru_html_spark.functions.sessions import daily_anomalies
+    return daily_anomalies(_events(spark, sf_dir))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition counts of the event stream
     (event_type -> next event_type per user, (ts, event_id)-ordered) —
@@ -4001,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'allpairs_jaccard': q_allpairs_jaccard,
         'char_entropy': q_char_entropy,
         'streaming_upsert': q_streaming_upsert,
+        'daily_anomalies': q_daily_anomalies,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4809,6 +4818,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, score_milli,
                    score_milli > 0 AS nb_label
             FROM s
+        """,
+        'daily_anomalies': """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            w AS (
+              SELECT day, cnt,
+                     CAST(count(cnt) OVER tw AS BIGINT) AS n,
+                     CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) AS s,
+                     CAST(coalesce(sum(cnt * cnt) OVER tw, 0)
+                          AS BIGINT) AS q
+              FROM daily
+              WINDOW tw AS (ORDER BY day
+                            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT day, cnt,
+                   n AS n_window,
+                   CASE WHEN n < 3 THEN 'cold_start'
+                        WHEN (n * cnt - s) * (n * cnt - s)
+                             > 9 * (n * q - s * s)
+                        THEN CASE WHEN n * cnt - s > 0
+                                  THEN 'high' ELSE 'low' END
+                        ELSE 'ok' END AS direction
+            FROM w
         """,
         'streaming_upsert': """
             SELECT user_id,

@@ -129,3 +129,44 @@ def rolling_active_users(events: DataFrame,
                             F.col('user_id'))).alias('n_dau'),
                  F.count_distinct('user_id').alias('n_rolling'))
             .withColumnRenamed('d', 'day'))
+
+
+def daily_anomalies(events: DataFrame, window_days: int = 7,
+                    k: int = 3) -> DataFrame:
+    """(day, cnt, n_window, direction): volume-anomaly detection over
+    the daily event counts — each day is compared against its trailing
+    ``window_days`` baseline and flagged when it sits more than ``k``
+    standard deviations from the baseline mean, the ops-dashboard
+    check that catches a broken ingest (low) or a bot flood (high).
+
+    Integer-exact: the k-sigma test (x - mean)^2 > k^2 * var over the
+    trailing counts {c_i} (n of them, sum s, sum-of-squares q) rewrites
+    as (n*x - s)^2 > k^2 * (n*q - s^2) — every term BIGINT, no
+    division, no sqrt, so the DuckDB oracle mirrors the window
+    verbatim. Days with fewer than 3 trailing observations report
+    'cold_start'. BIGINT bound: safe to ~3e9 events/day with the
+    default window (the squares approach 2^63 beyond that — swap the
+    test to DECIMAL or milli-scaled doubles past that volume).
+
+    Scale shape: one map-side-combined count per day (the only corpus
+    exchange), then a RANGE window over the tiny day table — the
+    window input is O(days), not O(events).
+    """
+    daily = (events.select(
+        F.floor(F.unix_timestamp('ts') / 86400).cast('long').alias('day'))
+        .groupBy('day').agg(F.count('*').alias('cnt')))
+    w = (Window.orderBy('day')
+         .rangeBetween(-window_days, -1))
+    n = F.count('cnt').over(w)
+    s = F.sum('cnt').over(w)
+    q = F.sum(F.col('cnt') * F.col('cnt')).over(w)
+    dev = n * F.col('cnt') - s               # n * (x - mean), scaled
+    var_n = n * q - s * s                    # n^2 * var, scaled
+    direction = (F.when(n < 3, 'cold_start')
+                  .when(dev * dev > F.lit(k * k) * var_n,
+                        F.when(dev > 0, 'high').otherwise('low'))
+                  .otherwise('ok'))
+    return daily.select(
+        'day', 'cnt',
+        n.cast('long').alias('n_window'),
+        direction.alias('direction'))

@@ -2536,3 +2536,33 @@ def test_with_char_entropy_matches_standalone(spark):
             standalone[d]['entropy_class']
         assert inline[d]['n_chars_ent'] == standalone[d]['n_chars']
     assert inline[1]['extra'] == 'x'     # input columns survive
+
+
+def test_daily_anomalies_planted_spike_and_outage(spark):
+    """Planted bot-flood day and dead-ingest day get flagged against a
+    steady baseline; steady days and the cold-start head do not."""
+    import datetime
+    from mineru_html_spark.functions.sessions import daily_anomalies
+    rows = []
+    eid = 0
+    for d in range(20):
+        # steady 10/day; day 12 floods to 200; day 16 drops to 0 events
+        n = 200 if d == 12 else 0 if d == 16 else 10 + (d % 2)
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 3, 1 + d,
+                                                8 + i // 60, i % 60)))
+            eid += 1
+    ev = spark.createDataFrame(rows, 'event_id long, ts timestamp')
+    out = {r['day']: r for r in daily_anomalies(ev).collect()}
+    day0 = min(out)
+    assert out[day0]['direction'] == 'cold_start'
+    assert out[day0 + 12]['direction'] == 'high'
+    # day 16 has zero events -> absent from the daily table entirely
+    # (an ingest gap shows as a missing day; the RANGE window still
+    # baselines later days correctly over the true trailing days)
+    assert day0 + 16 not in out
+    # the day after the flood is measured against a window containing
+    # the flood -> inflated variance, still 'ok'
+    assert out[day0 + 13]['direction'] == 'ok'
+    steady = [out[day0 + d]['direction'] for d in (5, 8, 10, 18)]
+    assert steady == ['ok', 'ok', 'ok', 'ok']
