@@ -536,6 +536,29 @@ def q_simhash_dups(spark, sf_dir):
     return dd.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_revisit_dedup(spark, sf_dir):
+    """Cross-dump temporal dedup with stored-copy (last-kept) refresh
+    semantics. The corpus has no duplicate fingerprints, so the gate
+    synthesizes the re-fetch stream deterministically: every document
+    is fetched three times (day d0 = doc_id % 60, then d0+17, then
+    d0+45; distinct fetch ids doc_id*4+r), so with window 30 every
+    chain exercises keep (d0), drop-inside-window (+17), and
+    refresh-outside-window (+45 — measured from the STORED copy at d0,
+    not from the dropped +17 fetch). Exact recursive-CTE oracle (the
+    keep chain is a linear recursion plain window functions cannot
+    express)."""
+    from mineru_html_spark.functions.text import fingerprint
+    base = (fingerprint(_docs(spark, sf_dir))
+            .withColumn('d0', (F.col('doc_id') % 60).cast('long')))
+    occ = None
+    for r, off in ((0, 0), (1, 17), (2, 45)):
+        o = base.select(
+            (F.col('doc_id') * 4 + F.lit(r)).alias('doc_id'), 'fp',
+            (F.col('d0') + F.lit(off)).cast('long').alias('day'))
+        occ = o if occ is None else occ.unionByName(o)
+    return dd.revisit_dedup(occ, window_days=30)
+
+
 def q_allpairs_jaccard(spark, sf_dir):
     """Exact-threshold Jaccard set-similarity self-join via AllPairs
     prefix filtering (Bayardo WWW'07) — recall 1.0 by theorem, so the
@@ -4010,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'char_entropy': q_char_entropy,
         'streaming_upsert': q_streaming_upsert,
         'daily_anomalies': q_daily_anomalies,
+        'revisit_dedup': q_revisit_dedup,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4818,6 +4842,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, score_milli,
                    score_milli > 0 AS nb_label
             FROM s
+        """,
+        # the keep chain is a linear recursion on row_number per fp —
+        # the semantics LAG cannot express (decision i depends on which
+        # earlier occurrences were themselves kept)
+        'revisit_dedup': f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, md5({_NORM_TEXT}) AS fp,
+                     CAST(doc_id % 60 AS BIGINT) AS d0
+              FROM documents),
+            occ AS (
+              SELECT doc_id * 4 + 0 AS doc_id, fp, d0 AS day FROM base
+              UNION ALL
+              SELECT doc_id * 4 + 1, fp, d0 + 17 FROM base
+              UNION ALL
+              SELECT doc_id * 4 + 2, fp, d0 + 45 FROM base),
+            rnk AS (
+              SELECT doc_id, fp, day,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY day, doc_id) AS rn
+              FROM occ),
+            chain AS (
+              SELECT doc_id, fp, day, rn, TRUE AS kept,
+                     day AS last_kept
+              FROM rnk WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.fp, o.day, o.rn,
+                     o.day - c.last_kept > 30 AS kept,
+                     CASE WHEN o.day - c.last_kept > 30
+                          THEN o.day ELSE c.last_kept END
+              FROM chain c JOIN rnk o
+                ON o.fp = c.fp AND o.rn = c.rn + 1)
+            SELECT doc_id, fp, day, kept FROM chain
         """,
         'daily_anomalies': """
             WITH daily AS (

@@ -652,3 +652,53 @@ def allpairs_join(documents: DataFrame, k: int = 3,
                      F.floor(F.lit(1000) * F.col('inter_sz')
                              / F.col('union_sz'))
                       .cast('long').alias('jaccard_permille')))
+
+
+# --------------------------------------------------------------------------
+# revisit dedup: cross-dump temporal dedup with stored-copy semantics
+# --------------------------------------------------------------------------
+
+def revisit_dedup(occurrences: DataFrame,
+                  window_days: int = 30) -> DataFrame:
+    """(doc_id, fp, day, kept): fetch-level dedup ACROSS crawl dumps —
+    a re-fetch whose content fingerprint was already stored within the
+    trailing ``window_days`` is dropped; one outside the window is kept
+    again (content refresh). The clock semantics are LAST-KEPT (the
+    stored-copy model): a dropped re-fetch does NOT extend the stored
+    copy's freshness, so a page re-crawled daily is re-stored exactly
+    every ``window_days+1`` days, not never. That chain dependency is
+    what plain LAG cannot express — the keep decision at occurrence i
+    depends on which earlier occurrences were themselves kept.
+
+    Input: one row per fetch with columns (doc_id, fp, day) — the
+    fingerprint is computed row-local upstream (``fingerprint``), so
+    the shuffle here carries (id, 32-byte hash, int) only, never text.
+    Per-fingerprint chains run as a sequential greedy scan inside
+    applyInPandas (O(group), deterministic (day, doc_id) order);
+    groups are duplicate chains — tiny almost everywhere. A degenerate
+    fingerprint (the empty page) can be a giant group: production
+    pre-splits those by capping per-(fp, day) occurrences to one
+    representative before the scan, which preserves keep decisions for
+    the survivors.
+
+    Oracle: an exact recursive-CTE mirror (the chain is a linear
+    recursion on row_number per fp).
+    """
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(['day', 'doc_id']).reset_index(drop=True)
+        kept, last = [], None
+        for d in pdf['day']:
+            if last is None or d - last > window_days:
+                kept.append(True)
+                last = int(d)
+            else:
+                kept.append(False)
+        pdf['kept'] = kept
+        return pdf[['doc_id', 'fp', 'day', 'kept']]
+
+    return (occurrences.select('doc_id', 'fp', 'day')
+            .groupBy('fp')
+            .applyInPandas(fn, 'doc_id long, fp string, day long, '
+                               'kept boolean'))

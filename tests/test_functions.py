@@ -2566,3 +2566,24 @@ def test_daily_anomalies_planted_spike_and_outage(spark):
     assert out[day0 + 13]['direction'] == 'ok'
     steady = [out[day0 + d]['direction'] for d in (5, 8, 10, 18)]
     assert steady == ['ok', 'ok', 'ok', 'ok']
+
+
+def test_revisit_dedup_stored_copy_semantics(spark):
+    """The last-KEPT clock: a page re-fetched daily re-stores every
+    window+1 days; a dropped re-fetch does not extend freshness."""
+    from mineru_html_spark.functions.dedup import revisit_dedup
+    # fp 'x' fetched on days 0..9 (ids 1..10); window 3 ->
+    # kept at days 0, 4, 8 (re-store when day - last_kept > 3)
+    rows = [(i + 1, 'x', i) for i in range(10)]
+    # fp 'y': two fetches inside the window, one far outside
+    rows += [(101, 'y', 5), (102, 'y', 6), (103, 'y', 50)]
+    # same fp same day: min doc_id wins
+    rows += [(201, 'z', 7), (200, 'z', 7)]
+    df = spark.createDataFrame(rows, 'doc_id long, fp string, day long')
+    out = {r['doc_id']: r['kept']
+           for r in revisit_dedup(df, window_days=3).collect()}
+    assert [out[i + 1] for i in range(10)] == \
+        [True, False, False, False, True, False, False, False, True,
+         False]
+    assert (out[101], out[102], out[103]) == (True, False, True)
+    assert out[200] and not out[201]
