@@ -518,6 +518,14 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per probe, the 5
+    nearest vectors with a different label. Broadcast probes, one base
+    scan, exact micro-cosine SQL oracle."""
+    emb = _embeddings(spark, sf_dir)
+    return sim.hard_negative_mine(emb, [0, 1, 2, 3, 4], k=5)
+
+
 def q_jaccard_sample(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = (docs.where(F.col('doc_id') % 97 == 0)
@@ -4034,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_upsert': q_streaming_upsert,
         'daily_anomalies': q_daily_anomalies,
         'revisit_dedup': q_revisit_dedup,
+        'hard_negatives': q_hard_negatives,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4393,6 +4402,23 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY {_COS_EXPR} DESC, e.vec_id ASC) AS rank
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        'hard_negatives': f"""
+            SELECT qid, q_label, vec_id, neg_label, cos_micro, rank
+            FROM (
+              SELECT q.vec_id AS qid,
+                     CAST(q.label AS BIGINT) AS q_label,
+                     e.vec_id AS vec_id,
+                     CAST(e.label AS BIGINT) AS neg_label,
+                     {_COS_EXPR} AS cos_micro,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                        ORDER BY {_COS_EXPR} DESC,
+                                                 e.vec_id ASC) AS rank
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id IN (0,1,2,3,4)
+                AND e.vec_id <> q.vec_id
+                AND e.label <> q.label)
             WHERE rank <= 5
         """,
         'sessionize': """

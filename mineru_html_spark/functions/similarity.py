@@ -578,3 +578,46 @@ def random_projection(embeddings: DataFrame, in_dim: int = 64,
             F.zip_with('_q', slit, lambda a, b: a * b),
             F.lit(0).cast('long'), lambda acc, x: acc + x))
     return q.select(id_col, F.array(*comps).alias('proj'))
+
+
+def hard_negative_mine(embeddings: DataFrame, sample_ids: List[int],
+                       k: int = 5,
+                       vec_col: str = 'embedding') -> DataFrame:
+    """(qid, q_label, vec_id, neg_label, cos_micro, rank): for each
+    probe vector, the k most-similar vectors carrying a DIFFERENT
+    label — hard-negative mining, the contrastive-training data stage
+    (the negatives that actually move an embedding model are the ones
+    nearest the anchor, not random draws).
+
+    Same broadcast shape as ``knn_self_join``: probes broadcast, the
+    base table is scanned once, the label inequality prunes before
+    scoring, and the per-probe TopK is a row_number window over the
+    probe partition (at web scale the candidate source swaps to the
+    IVF/LSH bucketed path — ``ann_ivf_topk`` — with the label filter
+    applied in the bucket; the mining contract is unchanged).
+    Integer micro-cosines keep the oracle exact.
+    """
+    probes = (embeddings
+              .where(F.col('vec_id').isin(sample_ids))
+              .select(F.col('vec_id').alias('qid'),
+                      F.col('label').alias('q_label'),
+                      F.col(vec_col).alias('qvec')))
+    j = (embeddings.crossJoin(F.broadcast(probes))
+         .where((F.col('vec_id') != F.col('qid'))
+                & (F.col('label') != F.col('q_label'))))
+    va = F.transform(F.col(vec_col), lambda x: x.cast('double'))
+    vb = F.transform(F.col('qvec'), lambda x: x.cast('double'))
+    cos = _dot(va, vb) / (
+        (F.when(_norm(va) == 0, F.lit(1.0)).otherwise(_norm(va)))
+        * (F.when(_norm(vb) == 0, F.lit(1.0)).otherwise(_norm(vb))))
+    scored = j.select(
+        'qid', 'q_label', 'vec_id',
+        F.col('label').cast('long').alias('neg_label'),
+        F.round(cos * 1000000).cast('long').alias('cos_micro'))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy('qid').orderBy(F.desc('cos_micro'),
+                                          F.asc('vec_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= k)
+            .select('qid', F.col('q_label').cast('long').alias('q_label'),
+                    'vec_id', 'neg_label', 'cos_micro', 'rank'))

@@ -2587,3 +2587,26 @@ def test_revisit_dedup_stored_copy_semantics(spark):
          False]
     assert (out[101], out[102], out[103]) == (True, False, True)
     assert out[200] and not out[201]
+
+
+def test_hard_negative_mine_label_and_order(spark):
+    """Negatives exclude the probe's own label; ranking is by cosine
+    with vec_id tie-break; top-1 is the planted near-identical
+    different-label vector."""
+    from mineru_html_spark.functions.similarity import hard_negative_mine
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),      # probe, label 1
+        (1, [0.999, 0.04, 0.0], 2),   # near-identical, other label
+        (2, [0.9, 0.3, 0.0], 1),      # nearer but SAME label: excluded
+        (3, [0.7, 0.7, 0.0], 2),
+        (4, [0.0, 1.0, 0.0], 3),
+        (5, [-1.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<float>, label int')
+    out = hard_negative_mine(df, [0], k=3).collect()
+    assert [r['vec_id'] for r in out] == [1, 3, 4]
+    assert all(r['neg_label'] != r['q_label'] for r in out)
+    assert [r['rank'] for r in out] == [1, 2, 3]
+    assert out[0]['cos_micro'] > out[1]['cos_micro'] > \
+        out[2]['cos_micro']
