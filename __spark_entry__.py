@@ -518,6 +518,23 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_embedding_audit(spark, sf_dir):
+    """Vector-table QA before ANN/clustering consumes it. The sf table
+    is clean, so the gate unions five deterministic planted faults
+    (NaN element, zero vector, wrong width, NULL vector, NULL element)
+    — every status branch fires. Exact SQL oracle mirrors the planted
+    rows and the audit formula."""
+    emb = _embeddings(spark, sf_dir).select('vec_id', 'embedding')
+    bad = spark.createDataFrame([
+        (10000001, [float('nan')] + [0.5] * 63),
+        (10000002, [0.0] * 64),
+        (10000003, [0.5] * 10),
+        (10000004, None),
+        (10000005, [None] + [0.5] * 63),
+    ], 'vec_id long, embedding array<float>')
+    return sim.embedding_audit(emb.unionByName(bad), dim=64)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per probe, the 5
     nearest vectors with a different label. Broadcast probes, one base
@@ -4043,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'daily_anomalies': q_daily_anomalies,
         'revisit_dedup': q_revisit_dedup,
         'hard_negatives': q_hard_negatives,
+        'embedding_audit': q_embedding_audit,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4403,6 +4421,49 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'embedding_audit': """
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT 10000001,
+                list_concat(['NaN'::FLOAT],
+                            list_transform(range(63), i -> 0.5::FLOAT))
+              UNION ALL SELECT 10000002,
+                list_transform(range(64), i -> 0.0::FLOAT)
+              UNION ALL SELECT 10000003,
+                list_transform(range(10), i -> 0.5::FLOAT)
+              UNION ALL SELECT 10000004, NULL
+              UNION ALL SELECT 10000005,
+                list_concat([NULL::FLOAT],
+                            list_transform(range(63), i -> 0.5::FLOAT))),
+            a AS (
+              SELECT vec_id,
+                CAST(CASE WHEN embedding IS NULL THEN 0
+                     ELSE len(embedding) END AS BIGINT) AS n_dims,
+                CAST(CASE WHEN embedding IS NULL THEN 0
+                     ELSE len(list_filter(embedding, x -> isnan(x)))
+                     END AS BIGINT) AS n_nan,
+                CAST(CASE WHEN embedding IS NULL THEN 0
+                     ELSE len(list_filter(embedding, x -> x IS NULL))
+                     END AS BIGINT) AS n_null,
+                list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE)) AS sumsq
+              FROM emb),
+            s AS (
+              SELECT vec_id, n_dims, n_nan, n_null, sumsq,
+                     (n_dims = 64 AND n_nan = 0 AND n_null = 0)
+                         AS sound
+              FROM a)
+            SELECT vec_id, n_dims, n_nan, n_null,
+                   CAST(CASE WHEN sound
+                        THEN round(sqrt(sumsq) * 1000000)
+                        ELSE 0 END AS BIGINT) AS norm_micro,
+                   CASE WHEN n_dims <> 64 THEN 'bad_dims'
+                        WHEN n_nan > 0 THEN 'has_nan'
+                        WHEN n_null > 0 THEN 'has_null'
+                        WHEN sound AND sumsq = 0 THEN 'zero'
+                        ELSE 'ok' END AS status
+            FROM s
         """,
         'hard_negatives': f"""
             SELECT qid, q_label, vec_id, neg_label, cos_micro, rank

@@ -621,3 +621,44 @@ def hard_negative_mine(embeddings: DataFrame, sample_ids: List[int],
             .where(F.col('rank') <= k)
             .select('qid', F.col('q_label').cast('long').alias('q_label'),
                     'vec_id', 'neg_label', 'cos_micro', 'rank'))
+
+
+def embedding_audit(embeddings: DataFrame, dim: int,
+                    vec_col: str = 'embedding') -> DataFrame:
+    """(vec_id, n_dims, n_nan, n_null, norm_micro, status): per-vector
+    QA before any ANN / clustering / dedup consumes the table — NaNs
+    poison every cosine they touch, zero vectors break normalization,
+    and a wrong-width row breaks zip_with silently (it truncates).
+    status is the first failing rule: bad_dims | has_nan | has_null |
+    zero | ok; norm_micro is reported only for structurally sound rows
+    (0 otherwise) so the column stays NaN-free.
+
+    Row-local higher-order functions end to end — zero exchanges; the
+    report aggregate downstream is one map-side-combined groupBy.
+    """
+    v = F.col(vec_col)
+    n_dims = F.when(v.isNull(), F.lit(0)).otherwise(F.size(v))
+    n_nan = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: F.isnan(x))))
+    n_null = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: x.isNull())))
+    sumsq = F.aggregate(
+        F.transform(v, lambda x: x.cast('double') * x.cast('double')),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sound = ((n_dims == dim) & (n_nan == 0) & (n_null == 0))
+    is_zero = sound & (sumsq == 0.0)
+    status = (F.when(n_dims != dim, 'bad_dims')
+               .when(n_nan > 0, 'has_nan')
+               .when(n_null > 0, 'has_null')
+               .when(is_zero, 'zero')
+               .otherwise('ok'))
+    norm_micro = F.when(sound,
+                        F.round(F.sqrt(sumsq) * 1000000).cast('long')) \
+                  .otherwise(F.lit(0).cast('long'))
+    return embeddings.select(
+        'vec_id',
+        n_dims.cast('long').alias('n_dims'),
+        n_nan.cast('long').alias('n_nan'),
+        n_null.cast('long').alias('n_null'),
+        norm_micro.alias('norm_micro'),
+        status.alias('status'))

@@ -2610,3 +2610,25 @@ def test_hard_negative_mine_label_and_order(spark):
     assert [r['rank'] for r in out] == [1, 2, 3]
     assert out[0]['cos_micro'] > out[1]['cos_micro'] > \
         out[2]['cos_micro']
+
+
+def test_embedding_audit_status_branches(spark):
+    """Every status branch plus the norm value on a sound row."""
+    import math
+    from mineru_html_spark.functions.similarity import embedding_audit
+    df = spark.createDataFrame([
+        (1, [3.0, 4.0, 0.0]),            # ok, norm 5
+        (2, [float('nan'), 1.0, 1.0]),   # has_nan
+        (3, [0.0, 0.0, 0.0]),            # zero
+        (4, [1.0, 2.0]),                 # bad_dims
+        (5, None),                       # null vector -> bad_dims
+        (6, [None, 1.0, 1.0]),           # has_null
+    ], 'vec_id long, embedding array<float>')
+    out = {r['vec_id']: r for r in embedding_audit(df, dim=3).collect()}
+    assert out[1]['status'] == 'ok' and out[1]['norm_micro'] == 5000000
+    assert out[2]['status'] == 'has_nan' and out[2]['n_nan'] == 1
+    assert out[3]['status'] == 'zero' and out[3]['norm_micro'] == 0
+    assert out[4]['status'] == 'bad_dims' and out[4]['n_dims'] == 2
+    assert out[5]['status'] == 'bad_dims' and out[5]['n_dims'] == 0
+    assert out[6]['status'] == 'has_null' and out[6]['n_null'] == 1
+    assert all(out[i]['norm_micro'] == 0 for i in (2, 3, 4, 5, 6))
