@@ -518,6 +518,17 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_global_row_ids(spark, sf_dir):
+    """Contiguous global row numbering in (n_chars, doc_id) order
+    without a single-reducer sort: range repartition + per-range local
+    ranks + tiny offset window. Oracle: the global row_number the
+    operator replaces."""
+    from mineru_html_spark.functions.layout import global_row_ids
+    docs = _docs(spark, sf_dir).select('doc_id', 'n_chars')
+    return (global_row_ids(docs, ['n_chars', 'doc_id'])
+            .select('doc_id', 'n_chars', 'row_id'))
+
+
 def q_embedding_audit(spark, sf_dir):
     """Vector-table QA before ANN/clustering consumes it. The sf table
     is clean, so the gate unions five deterministic planted faults
@@ -4061,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'revisit_dedup': q_revisit_dedup,
         'hard_negatives': q_hard_negatives,
         'embedding_audit': q_embedding_audit,
+        'global_row_ids': q_global_row_ids,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4421,6 +4433,12 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'global_row_ids': """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        - 1 AS BIGINT) AS row_id
+            FROM documents
         """,
         'embedding_audit': """
             WITH emb AS (

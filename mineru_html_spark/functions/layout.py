@@ -170,3 +170,56 @@ def bucketed_join(spark, left_name: str, right_name: str,
     left = spark.table(left_name)
     right = spark.table(right_name)
     return left.hint('merge').join(right, key)
+
+
+def global_row_ids(df: DataFrame, key_cols: list,
+                   id_col: str = 'row_id',
+                   num_ranges: int = None) -> DataFrame:
+    """All input columns plus ``id_col``: contiguous 0-based global row
+    numbers in ``key_cols`` order WITHOUT the single-reducer global
+    sort that ``row_number() OVER (ORDER BY ...)`` plans — the scale
+    primitive behind shard manifests, token-offset indexes and
+    stable example numbering.
+
+    Plan: (1) range-repartition on the key (disjoint ORDERED ranges,
+    the same exchange a global sort would pay — but it is the ONLY
+    full-size exchange and it is parallel); (2) per-range local
+    row_number (the window partitions by spark_partition_id, so its
+    hash exchange is balanced by construction); (3) per-range counts
+    cumulative-summed into range offsets — a single-partition window
+    over num_ranges rows, bounded and tiny; (4) broadcast the offsets
+    back. id = offset[range] + local_rank - 1.
+
+    Correct because range partitions are ordered by partition id and
+    disjoint; AQE coalescing merges ADJACENT ranges so order survives.
+    ``key_cols`` must be a UNIQUE composite (append the primary key) —
+    equal keys could straddle a range boundary and make the order, and
+    therefore the ids, ambiguous. Range-boundary sampling is not
+    byte-deterministic across runs, but the OUTPUT is: offsets come
+    from actual counts and ranks from the local sort, so ids equal the
+    global row_number regardless of where the boundaries fell.
+    """
+    spark = df.sparkSession
+    n = num_ranges or int(
+        spark.conf.get('spark.sql.shuffle.partitions'))
+    parts = (df.repartitionByRange(n, *key_cols)
+               .withColumn('_pid', F.spark_partition_id()))
+    w = Window.partitionBy('_pid').orderBy(*key_cols)
+    # materialize ONCE: the ranks and the counts below both consume
+    # this frame, and without the cut each branch would re-run the
+    # range exchange with an independently SAMPLED set of boundaries —
+    # pids would then disagree between the two branches and the ids
+    # would silently misalign (the mix-planner lesson, corpus.py)
+    local = parts.withColumn('_rn', F.row_number().over(w)) \
+                 .localCheckpoint(eager=False)
+    counts = local.groupBy('_pid').agg(F.count('*').alias('_cnt'))
+    wo = (Window.orderBy('_pid')
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        '_pid', F.coalesce(F.sum('_cnt').over(wo), F.lit(0))
+                 .alias('_off'))
+    out = local.join(F.broadcast(offsets), '_pid')
+    return (out.withColumn(id_col,
+                           (F.col('_off') + F.col('_rn') - 1)
+                           .cast('long'))
+               .drop('_pid', '_rn', '_off'))

@@ -2632,3 +2632,28 @@ def test_embedding_audit_status_branches(spark):
     assert out[5]['status'] == 'bad_dims' and out[5]['n_dims'] == 0
     assert out[6]['status'] == 'has_null' and out[6]['n_null'] == 1
     assert all(out[i]['norm_micro'] == 0 for i in (2, 3, 4, 5, 6))
+
+
+def test_global_row_ids_matches_global_sort(spark):
+    """Ids equal row_number over the global order for several range
+    counts (including more ranges than rows), on a shuffled input with
+    a non-trivial key; the plan contains no GLOBAL sort and the only
+    single-partition exchange feeds the tiny offsets window."""
+    from mineru_html_spark.functions.layout import global_row_ids
+    df = (spark.range(0, 311)
+          .select(F.col('id').alias('doc_id'),
+                  (F.col('id') * 37 % 97).alias('k'))
+          .repartition(7))
+    expected = {r['doc_id']: r['rid'] for r in df.select(
+        'doc_id',
+        (F.row_number().over(
+            __import__('pyspark.sql.window', fromlist=['Window'])
+            .Window.orderBy('k', 'doc_id')) - 1).alias('rid')).collect()}
+    for n in (1, 5, 64, 500):
+        out = global_row_ids(df, ['k', 'doc_id'], num_ranges=n)
+        got = {r['doc_id']: r['row_id'] for r in out.collect()}
+        assert got == expected, n
+    plan = (global_row_ids(df, ['k', 'doc_id'], num_ranges=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    sorts = [l for l in plan.splitlines() if 'Sort [' in l]
+    assert sorts and all(', false, 0' in l for l in sorts)
