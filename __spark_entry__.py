@@ -518,6 +518,31 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on a raw-parquet table: generation 1 files lack
+    the ``lang`` column, generation 2 files carry it; a mergeSchema
+    read unions the file schemas and null-fills the missing column —
+    the add-a-column migration every long-lived ingest directory goes
+    through before it graduates to a real table format (the DSv2
+    catalog sink), where the schema lives in table metadata instead of
+    being re-derived from footers (a full-listing cost this gate pays
+    deliberately). Exact SQL oracle reconstructs the null-fill from the
+    generation rule."""
+    import shutil
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'schema_evo_v1', sfkey)
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    (docs.where(F.col('doc_id') % 2 == 0)
+         .select('doc_id', 'n_chars')
+         .write.mode('overwrite').parquet(base))
+    (docs.where(F.col('doc_id') % 2 == 1)
+         .select('doc_id', 'n_chars', 'lang')
+         .write.mode('append').parquet(base))
+    merged = spark.read.option('mergeSchema', 'true').parquet(base)
+    return merged.select('doc_id', 'n_chars', 'lang')
+
+
 def q_global_row_ids(spark, sf_dir):
     """Contiguous global row numbering in (n_chars, doc_id) order
     without a single-reducer sort: range repartition + per-range local
@@ -4073,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hard_negatives': q_hard_negatives,
         'embedding_audit': q_embedding_audit,
         'global_row_ids': q_global_row_ids,
+        'schema_evolution': q_schema_evolution,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4433,6 +4459,12 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'schema_evolution': """
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END
+                       AS lang
+            FROM documents
         """,
         'global_row_ids': """
             SELECT doc_id, n_chars,
