@@ -518,6 +518,15 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poissonized bootstrap distribution of the corpus mean n_chars —
+    200 deterministic resamples from the frozen Poisson(1) CDF table
+    probed with salted md5, one corpus pass, exchange of B rows per
+    task. Exact SQL oracle mirrors the hash and the threshold table."""
+    from mineru_html_spark.functions.corpus import poisson_bootstrap
+    return poisson_bootstrap(_docs(spark, sf_dir), 'n_chars', 200)
+
+
 def q_schema_evolution(spark, sf_dir):
     """Schema evolution on a raw-parquet table: generation 1 files lack
     the ``lang`` column, generation 2 files carry it; a mergeSchema
@@ -4099,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_audit': q_embedding_audit,
         'global_row_ids': q_global_row_ids,
         'schema_evolution': q_schema_evolution,
+        'bootstrap_ci': q_bootstrap_ci,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4459,6 +4469,42 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'bootstrap_ci': """
+            WITH ex AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                     unnest(range(200)) AS r
+              FROM documents),
+            u AS (
+              SELECT r, x,
+                     CAST('0x' || substring(md5(
+                         CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(r AS VARCHAR) || ':bs1'), 1, 8)
+                       AS BIGINT) % 100000 AS u
+              FROM ex),
+            w AS (
+              SELECT r, x,
+                     CAST((CASE WHEN u >= 36787 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 73575 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 91969 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 98101 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 99634 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 99940 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 99991 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 99998 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u >= 99999 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS w
+              FROM u),
+            a AS (
+              SELECT r, CAST(sum(w * x) AS BIGINT) AS swx,
+                     CAST(sum(w) AS BIGINT) AS sw
+              FROM w GROUP BY 1)
+            SELECT CAST(r AS BIGINT) AS resample,
+                   sw AS n_eff,
+                   CAST(CASE WHEN sw = 0 THEN -1
+                        ELSE 1000 * swx // sw END AS BIGINT)
+                       AS mean_milli
+            FROM a
         """,
         'schema_evolution': """
             SELECT doc_id, n_chars,

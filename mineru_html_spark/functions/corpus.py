@@ -1276,3 +1276,58 @@ def nb_classify(documents: DataFrame,
         'doc_id', F.col('n_words').cast('long').alias('n_words'),
         score.alias('score_milli'),
         (score > 0).alias('nb_label'))
+
+
+# Cumulative Poisson(1) thresholds in 1e5 units, floored — frozen and
+# shared verbatim with the SQL oracle. w = #{t : u >= t} reproduces
+# Poisson(1) resampling weights from a uniform integer u in [0, 1e5).
+POISSON1_CDF_1E5 = (36787, 73575, 91969, 98101, 99634,
+                    99940, 99991, 99998, 99999)
+
+
+def poisson_bootstrap(documents: DataFrame, value_col: str = 'n_chars',
+                      n_resamples: int = 200,
+                      salt: str = 'bs1') -> DataFrame:
+    """(resample, n_eff, mean_milli): bootstrap resampling distribution
+    of the corpus mean of ``value_col`` — the error bar behind every
+    "quality went up 0.3%" claim. Classic with-replacement bootstrap
+    needs n draws per resample (O(n*B) random access — undistributable);
+    the Poissonized bootstrap replaces each row's draw count with an
+    independent Poisson(1) weight, which is exact in distribution as
+    n grows and needs ONE corpus pass: every row emits its B weights
+    row-local, partial aggregation folds them map-side, and the only
+    exchange carries B rows per task (resample id, sum_wx, sum_w).
+
+    Deterministic + engine-portable: the weight for (row, resample) is
+    the frozen Poisson(1) CDF table probed with a salted-md5 uniform —
+    no RNG state, so every engine, rerun and cluster size draws the
+    SAME resamples (the ``sample_key`` policy), and the DuckDB oracle
+    matches hash-for-hash. mean_milli is floor(1000 * sum_wx / sum_w);
+    empty resamples (never seen in practice at n >= ~30) report -1.
+    The 2.5%/97.5% CI is an ORDER BY over the B output rows.
+    """
+    u = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col('doc_id').cast('string'),
+                           F.lit(':'), F.col('_r').cast('string'),
+                           F.lit(':' + salt))), 1, 8), 16, 10)
+        .cast('long'),
+        F.lit(100000))
+    w = None
+    for t in POISSON1_CDF_1E5:
+        c = (u >= t).cast('long')
+        w = c if w is None else w + c
+    ex = (documents
+          .select(F.col('doc_id'),
+                  F.col(value_col).cast('long').alias('_x'),
+                  F.explode(F.sequence(
+                      F.lit(0), F.lit(n_resamples - 1))).alias('_r'))
+          .select('_r', (w * F.col('_x')).alias('_wx'), w.alias('_w')))
+    agg = (ex.groupBy('_r')
+             .agg(F.sum('_wx').alias('_swx'), F.sum('_w').alias('_sw')))
+    return agg.select(
+        F.col('_r').cast('long').alias('resample'),
+        F.col('_sw').cast('long').alias('n_eff'),
+        F.when(F.col('_sw') == 0, F.lit(-1))
+         .otherwise(F.floor(F.lit(1000) * F.col('_swx') / F.col('_sw')))
+         .cast('long').alias('mean_milli'))

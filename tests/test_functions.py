@@ -2657,3 +2657,29 @@ def test_global_row_ids_matches_global_sort(spark):
             ._jdf.queryExecution().executedPlan().toString())
     sorts = [l for l in plan.splitlines() if 'Sort [' in l]
     assert sorts and all(', false, 0' in l for l in sorts)
+
+
+def test_poisson_bootstrap_statistics(spark):
+    """The resampling distribution behaves like a bootstrap: Poisson
+    weights give n_eff ~ n, the 95% CI brackets the true mean, and the
+    CI tightens when the corpus grows 16x (roughly 1/sqrt scaling)."""
+    from mineru_html_spark.functions.corpus import poisson_bootstrap
+
+    def run(n_docs, b=120):
+        df = spark.range(n_docs).select(
+            F.col('id').alias('doc_id'),
+            (100 + (F.col('id') * 17) % 50).alias('v'))
+        true_mean = df.agg(F.avg('v')).collect()[0][0]
+        rows = poisson_bootstrap(df, 'v', b).collect()
+        assert len(rows) == b
+        assert all(abs(r['n_eff'] - n_docs) < 4 * n_docs ** 0.5 + 10
+                   for r in rows)
+        means = sorted(r['mean_milli'] for r in rows)
+        lo, hi = means[int(0.025 * b)], means[int(0.975 * b) - 1]
+        return lo, hi, 1000 * true_mean
+
+    lo_s, hi_s, mu_s = run(200)
+    lo_l, hi_l, mu_l = run(3200)
+    assert lo_s <= mu_s <= hi_s
+    assert lo_l <= mu_l <= hi_l
+    assert (hi_l - lo_l) < (hi_s - lo_s)     # 16x data -> tighter CI
