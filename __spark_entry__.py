@@ -187,6 +187,36 @@ def _ensure_tiny_catalog(spark) -> None:
     spark.conf.set('spark.sql.catalog.tiny.warehouse', wh)
 
 
+def q_dsv2_days_partition(spark, sf_dir):
+    """HIDDEN partitioning on the DSv2 catalog — the Iceberg signature
+    feature: events commit through ``writeTo().partitionedBy(days(ts))``
+    so the partition value (epoch day) is DERIVED from the timestamp at
+    write time, never stored as a column, and dynamic overwrite
+    operates at day granularity (contract-tested in
+    test_tiny_catalog). The gated output is the per-day aggregate of
+    the catalog READBACK; the oracle computes the same aggregate from
+    the raw events — catalog-out == catalog-in through the timestamp
+    codec (micros-exact)."""
+    _ensure_tiny_catalog(spark)
+    try:
+        from pyspark.sql.functions.partitioning import days as days_fn
+    except ImportError:
+        from pyspark.sql.functions import days as days_fn
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    tbl = f'tiny.default.events_by_day_{sfkey}'
+    ev = _events(spark, sf_dir).select('event_id', 'ts', 'user_id')
+    spark.sql(f'DROP TABLE IF EXISTS {tbl}')
+    ev.writeTo(tbl).partitionedBy(days_fn(ev.ts)).create()
+    back = spark.table(tbl)
+    return (back.groupBy(F.floor(F.unix_timestamp('ts') / 86400)
+                          .cast('long').alias('day'))
+                .agg(F.count('*').alias('n_events'),
+                     F.min('event_id').alias('min_event'),
+                     F.max('event_id').alias('max_event'),
+                     F.sum(F.col('user_id') * F.col('event_id'))
+                      .cast('long').alias('payload_chk')))
+
+
 def q_dsv2_sink_roundtrip(spark, sf_dir):
     """The IcebergSink commit path as a GATED query (it was test-only
     before): a wave derived from the documents table commits through
@@ -4109,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'global_row_ids': q_global_row_ids,
         'schema_evolution': q_schema_evolution,
         'bootstrap_ci': q_bootstrap_ci,
+        'dsv2_days_partition': q_dsv2_days_partition,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4469,6 +4500,15 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'dsv2_days_partition': """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS min_event,
+                   max(event_id) AS max_event,
+                   CAST(sum(user_id * event_id) AS BIGINT)
+                       AS payload_chk
+            FROM events GROUP BY 1
         """,
         'bootstrap_ci': """
             WITH ex AS (

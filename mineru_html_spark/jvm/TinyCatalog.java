@@ -12,9 +12,14 @@
 // COMMIT PROTOCOL, not a storage engine: rows serialize as URL-encoded
 // TSV, one directory per table, one data file per (task, partition).
 //
-// Supported column types: int, long, string, double, boolean — enough for
-// the sink contract frames (part_id, ids, counters, payload strings).
-// At most one identity partition column.
+// Supported column types: int, long, string, double, boolean, timestamp
+// and timestamp_ntz (both serialized as micros-since-epoch longs) —
+// enough for the sink contract frames (part_id, ids, counters, payload
+// strings, event times). At most one partition column, either identity
+// or the HIDDEN days(ts) transform (partition value = epoch day derived
+// from the timestamp at write time, never stored as a data column —
+// the Iceberg-signature behavior, with dynamic overwrite at day
+// granularity).
 //
 // Build: tools/build_tiny_catalog.sh (javac against the pyspark jars).
 // Register:
@@ -140,8 +145,18 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
       throw new UnsupportedOperationException("at most one partition col");
     }
     if (partitions.length == 1) {
-      // identity transform only: reference its single column name
-      partCol = partitions[0].references()[0].fieldNames()[0];
+      // identity or days(ts) — days is HIDDEN partitioning: the
+      // partition value is derived from the column at write time and
+      // never stored as a data column (the Iceberg signature feature)
+      String fn = partitions[0].name();
+      String col = partitions[0].references()[0].fieldNames()[0];
+      if (fn.equals("identity")) {
+        partCol = col;
+      } else if (fn.equals("days")) {
+        partCol = "days(" + col + ")";
+      } else {
+        throw new UnsupportedOperationException("transform: " + fn);
+      }
     }
     try (BufferedWriter w = new BufferedWriter(
         new FileWriter(new File(dir, "_schema"), StandardCharsets.UTF_8))) {
@@ -212,6 +227,8 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     if (t.equals(DataTypes.StringType)) return "string";
     if (t.equals(DataTypes.DoubleType)) return "double";
     if (t.equals(DataTypes.BooleanType)) return "boolean";
+    if (t.equals(DataTypes.TimestampType)) return "timestamp";
+    if (t.equals(DataTypes.TimestampNTZType)) return "timestamp_ntz";
     throw new UnsupportedOperationException("type: " + t);
   }
 
@@ -222,6 +239,8 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
       case "string": return DataTypes.StringType;
       case "double": return DataTypes.DoubleType;
       case "boolean": return DataTypes.BooleanType;
+      case "timestamp": return DataTypes.TimestampType;
+      case "timestamp_ntz": return DataTypes.TimestampNTZType;
       default: throw new UnsupportedOperationException("type: " + n);
     }
   }
@@ -290,8 +309,12 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public Transform[] partitioning() {
-      return partCol.isEmpty() ? new Transform[0]
-          : new Transform[] { Expressions.identity(partCol) };
+      if (partCol.isEmpty()) return new Transform[0];
+      if (partCol.startsWith("days(")) {
+        return new Transform[] { Expressions.days(
+            partCol.substring(5, partCol.length() - 1)) };
+      }
+      return new Transform[] { Expressions.identity(partCol) };
     }
 
     @Override
@@ -443,6 +466,7 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     final String dirPath;
     final StructType schema;
     final int partIdx;              // -1 when unpartitioned
+    final boolean daysPart;         // hidden days(ts) partitioning
     final long taskId;
     final HashMap<String, BufferedWriter> open = new HashMap<>();
     final HashMap<String, String> files = new HashMap<>();
@@ -451,8 +475,10 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
                    long taskId) {
       this.dirPath = dirPath;
       this.schema = schema;
-      this.partIdx = partCol.isEmpty() ? -1
-          : schema.fieldIndex(partCol);
+      this.daysPart = partCol.startsWith("days(");
+      String col = daysPart
+          ? partCol.substring(5, partCol.length() - 1) : partCol;
+      this.partIdx = partCol.isEmpty() ? -1 : schema.fieldIndex(col);
       this.taskId = taskId;
     }
 
@@ -467,12 +493,27 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
       if (t.equals(DataTypes.BooleanType)) {
         return String.valueOf(row.getBoolean(i));
       }
+      if (t.equals(DataTypes.TimestampType)
+          || t.equals(DataTypes.TimestampNTZType)) {
+        // internal micros-since-epoch long
+        return String.valueOf(row.getLong(i));
+      }
       return enc(row.getUTF8String(i).toString());
+    }
+
+    // hidden-partition value: epoch day derived from the micros value;
+    // null timestamps land in a dedicated null partition
+    private String partValue(InternalRow row) {
+      if (partIdx < 0) return "x";
+      if (!daysPart) return hexEnc(cell(row, partIdx));
+      if (row.isNullAt(partIdx)) return hexEnc("%00N");
+      return hexEnc(String.valueOf(
+          Math.floorDiv(row.getLong(partIdx), 86400000000L)));
     }
 
     @Override
     public void write(InternalRow row) throws IOException {
-      String part = partIdx < 0 ? "x" : hexEnc(cell(row, partIdx));
+      String part = partValue(row);
       BufferedWriter w = open.get(part);
       if (w == null) {
         File f = File.createTempFile("tiny-" + taskId + "-", ".tsv",
@@ -601,7 +642,10 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
         DataType t = schema.fields()[i].dataType();
         if (t.equals(DataTypes.IntegerType)) vals[i] = Integer.parseInt(c);
         else if (t.equals(DataTypes.LongType)) vals[i] = Long.parseLong(c);
-        else if (t.equals(DataTypes.DoubleType)) {
+        else if (t.equals(DataTypes.TimestampType)
+                 || t.equals(DataTypes.TimestampNTZType)) {
+          vals[i] = Long.parseLong(c);          // micros-since-epoch
+        } else if (t.equals(DataTypes.DoubleType)) {
           vals[i] = Double.parseDouble(c);
         } else if (t.equals(DataTypes.BooleanType)) {
           vals[i] = Boolean.parseBoolean(c);

@@ -81,6 +81,40 @@ spark.createDataFrame([('run_1', 9)], 'run string, v int') \
     .writeTo('tiny.default.by_run').overwritePartitions()
 got = sorted(map(tuple, spark.table('tiny.default.by_run').collect()))
 assert got == [('run_1', 9), ('run_2', 3)], got
+
+# HIDDEN days(ts) partitioning: the partition value derives from the
+# timestamp at write time and is never stored as a data column (the
+# Iceberg signature); dynamic overwrite operates at DAY granularity
+import datetime, glob, os
+from pyspark.sql import functions as F
+try:
+    from pyspark.sql.functions.partitioning import days as days_fn
+except ImportError:
+    from pyspark.sql.functions import days as days_fn
+spark.conf.set('spark.sql.session.timeZone', 'UTC')
+t = lambda d, h: datetime.datetime(2024, 5, d, h)
+ev = spark.createDataFrame(
+    [(1, t(1, 8), 10.5), (2, t(1, 20), 20.5), (3, t(2, 9), 30.5)],
+    'event_id long, ts timestamp, value double')
+ev.writeTo('tiny.default.ev_by_day') \
+  .partitionedBy(days_fn(ev.ts)).create()
+back = sorted(map(tuple,
+                  spark.table('tiny.default.ev_by_day').collect()))
+assert back == [(1, t(1, 8), 10.5), (2, t(1, 20), 20.5),
+                (3, t(2, 9), 30.5)], back          # exact roundtrip
+names = [os.path.basename(p) for p in
+         glob.glob(os.path.join(wh, 'default.ev_by_day', 'd_*.tsv'))]
+parts = {n.split('_', 2)[1] for n in names}
+epoch = datetime.datetime(1970, 1, 1)
+exp = {str((t(d, 0) - epoch).days).encode().hex() for d in (1, 2)}
+assert parts == exp, (parts, exp)                  # two DAY partitions
+# overwrite replaces exactly the days present in the frame
+spark.createDataFrame([(9, t(1, 12), 90.5)],
+                      'event_id long, ts timestamp, value double') \
+    .writeTo('tiny.default.ev_by_day').overwritePartitions()
+ids = sorted(r['event_id']
+             for r in spark.table('tiny.default.ev_by_day').collect())
+assert ids == [3, 9], ids
 spark.stop()
 print('TINY-CATALOG-CONTRACT-OK')
 '''
