@@ -252,3 +252,63 @@ def test_cms_probe_broadcasts_sketch(spark, entry):
     token stream."""
     p = plan_of(entry.q_cms_heavy_hitters(spark, SF))
     assert 'BroadcastHashJoin' in p
+
+
+def test_nb_classify_weight_join_broadcasts(spark, entry):
+    """The NB weight table must broadcast to the exploded corpus — a
+    sort-merge join on word would shuffle the token stream."""
+    p = plan_of(entry.q_nb_quality(spark, SF))
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_allpairs_exchanges_carry_hashes_not_text(spark, entry):
+    """AllPairs moves md5 hashes only: no exchange (or its child
+    projection) may reference the text or shingle-string columns —
+    hashing happens below the FIRST exchange."""
+    p = plan_of(entry.q_allpairs_jaccard(spark, SF))
+    assert 'CartesianProduct' not in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if 'Exchange hashpartitioning' in ln:
+            # the exchange's immediate child row must not carry text
+            nxt = lines[i + 1] if i + 1 < len(lines) else ''
+            assert 'text#' not in ln and 'text#' not in nxt, ln
+
+
+def test_hard_negatives_broadcasts_probes(spark, entry):
+    p = plan_of(entry.q_hard_negatives(spark, SF))
+    assert 'BroadcastNestedLoopJoin' in p or 'BroadcastExchange' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_embedding_audit_is_exchange_free(spark, entry):
+    p = plan_of(entry.q_embedding_audit(spark, SF))
+    assert 'Exchange' not in p.replace('BroadcastExchange', '')
+
+
+def test_daily_anomalies_single_corpus_exchange(spark, entry):
+    """One map-side-combined count per day is the ONLY corpus-sized
+    exchange; the RANGE window runs over the tiny day table (its
+    exchange is SinglePartition over O(days) rows, which is the
+    documented bounded shape)."""
+    p = plan_of(entry.q_daily_anomalies(spark, SF))
+    assert 'partial_count' in p           # map-side combine before shuffle
+    assert p.count('Exchange hashpartitioning') == 1
+
+
+def test_char_entropy_zero_exchanges(spark, entry):
+    p = plan_of(entry.q_char_entropy(spark, SF))
+    assert 'Exchange' not in p
+    assert 'MapInPandas' in p
+
+
+def test_bootstrap_folds_weights_map_side(spark, entry):
+    """The bootstrap exchange must carry partially-aggregated (r, sums)
+    rows — partial_sum BELOW the exchange — never the exploded corpus."""
+    p = plan_of(entry.q_bootstrap_ci(spark, SF))
+    lines = p.splitlines()
+    ex = min(i for i, ln in enumerate(lines)
+             if 'Exchange hashpartitioning' in ln)
+    assert any('partial_sum' in ln for ln in lines[ex:]), p
+    assert p.count('Exchange hashpartitioning') == 1
