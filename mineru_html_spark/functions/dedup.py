@@ -611,12 +611,42 @@ def allpairs_join(documents: DataFrame, k: int = 3,
     row-local array_intersect over the joined hash sets.
     """
     t = threshold_permille
-    sh = shingle_sets(documents, k)
-    hs = (sh.select('doc_id',
-                    F.array_distinct(
-                        F.transform('shingles', F.md5)).alias('hs'))
-            .withColumn('n', F.size('hs'))
-            .where(F.col('n') > 0))
+    # hashed shingle sets in ONE Arrow batch (the minhash_signatures
+    # policy: Spark's higher-order array lambdas are interpreted, not
+    # codegen'd — the HOF version of this projection measured ~10s of
+    # the operator's 13s at sf0.1, the Arrow kernel ~2s), materialized
+    # ONCE because four plan branches consume it (the df aggregate,
+    # the ordered regroup, and both verify sides)
+    import hashlib
+    import re as _re
+
+    split_re = _re.compile(r'[^a-z0-9]+')
+
+    def hash_sets(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sets = [], []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                ws = [w for w in split_re.split(str(text).lower().strip())
+                      if w]
+                seen = dict.fromkeys(
+                    ' '.join(ws[i:i + k])
+                    for i in range(len(ws) - k + 1))
+                if not seen:
+                    continue
+                ids.append(doc_id)
+                sets.append([hashlib.md5(s.encode()).hexdigest()
+                             for s in seen])
+            if not ids:       # empty object column breaks Arrow inference
+                continue
+            yield pd.DataFrame(
+                {'doc_id': pd.Series(ids, dtype='int64'),
+                 'hs': pd.Series(sets, dtype='object')})
+
+    hs = (documents.select('doc_id', 'text')
+          .mapInPandas(hash_sets, 'doc_id long, hs array<string>')
+          .withColumn('n', F.size('hs'))
+          .localCheckpoint(eager=False))
     ex = hs.select('doc_id', 'n', F.explode('hs').alias('h'))
     dfreq = ex.groupBy('h').agg(F.count('*').alias('df'))
     # rarity-first total order: sort each doc's hashes by (df, h)
@@ -673,32 +703,41 @@ def revisit_dedup(occurrences: DataFrame,
     Input: one row per fetch with columns (doc_id, fp, day) — the
     fingerprint is computed row-local upstream (``fingerprint``), so
     the shuffle here carries (id, 32-byte hash, int) only, never text.
-    Per-fingerprint chains run as a sequential greedy scan inside
-    applyInPandas (O(group), deterministic (day, doc_id) order);
-    groups are duplicate chains — tiny almost everywhere. A degenerate
-    fingerprint (the empty page) can be a giant group: production
-    pre-splits those by capping per-(fp, day) occurrences to one
-    representative before the scan, which preserves keep decisions for
-    the survivors.
+    Per-fingerprint chains run as a sequential greedy scan: rows
+    hash-partition on fp and sort (fp, day, doc_id) within partitions,
+    then ONE mapInPandas pass walks each partition's contiguous groups
+    carrying (fp, last_kept) across Arrow batch boundaries — one
+    Python roundtrip per PARTITION, not per group (the applyInPandas
+    version paid per-group pandas construction: ~20s -> ~1s at sf0.1's
+    8k chains). A degenerate fingerprint (the empty page) can be a
+    giant group: production pre-splits those by capping per-(fp, day)
+    occurrences to one representative before the scan, which preserves
+    keep decisions for the survivors.
 
     Oracle: an exact recursive-CTE mirror (the chain is a linear
     recursion on row_number per fp).
     """
-    import pandas as pd
+    parts = (occurrences.select('doc_id', 'fp', 'day')
+             .repartition('fp')
+             .sortWithinPartitions('fp', 'day', 'doc_id'))
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(['day', 'doc_id']).reset_index(drop=True)
-        kept, last = [], None
-        for d in pdf['day']:
-            if last is None or d - last > window_days:
-                kept.append(True)
-                last = int(d)
-            else:
-                kept.append(False)
-        pdf['kept'] = kept
-        return pdf[['doc_id', 'fp', 'day', 'kept']]
+    def scan(batches):
+        cur_fp, last = None, None
+        for pdf in batches:
+            fps = pdf['fp'].to_numpy()
+            days = pdf['day'].to_numpy()
+            kept = np.empty(len(pdf), dtype=bool)
+            for i in range(len(pdf)):
+                if fps[i] != cur_fp:
+                    cur_fp, last = fps[i], None
+                if last is None or days[i] - last > window_days:
+                    kept[i] = True
+                    last = int(days[i])
+                else:
+                    kept[i] = False
+            out = pdf.copy()
+            out['kept'] = kept
+            yield out
 
-    return (occurrences.select('doc_id', 'fp', 'day')
-            .groupBy('fp')
-            .applyInPandas(fn, 'doc_id long, fp string, day long, '
-                               'kept boolean'))
+    return parts.mapInPandas(
+        scan, 'doc_id long, fp string, day long, kept boolean')
