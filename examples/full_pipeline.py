@@ -208,6 +208,18 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
     # 11. pack into training sequences
     packed = _mark('13_pack', pack_sequences(clean, budget=token_budget))
 
+    # 13b. shard manifest: contiguous global example numbers in
+    #    (bucket, pack_id, doc_id) order WITHOUT a single-reducer sort
+    #    (layout.global_row_ids), folded to equal contiguous shards —
+    #    the training-reader contract (shard s holds rows
+    #    [s*total/S, (s+1)*total/S) in global order).
+    from mineru_html_spark.functions.layout import global_row_ids
+    n_shards = 8
+    numbered = global_row_ids(packed, ['bucket', 'pack_id', 'doc_id'])
+    total = numbered.count()
+    packed = _mark('13b_shards', numbered.withColumn(
+        'shard', F.expr(f'(row_id * {n_shards}) div {max(total, 1)}')))
+
     # 12-14. multimodal branch: the images the extractor kept. Probe
     #    routes payloads from container structure alone (no decode);
     #    decodable images get real feature vectors; pHash near-dup

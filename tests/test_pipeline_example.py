@@ -24,6 +24,22 @@ def test_full_pipeline_example(spark, tmp_path):
     packs = spark.read.parquet(out + '/packs')
     assert packs.count() == stats['survivors']   # every survivor packed
 
+    # shard manifest invariants: row_id is a contiguous 0..n-1 global
+    # numbering in (bucket, pack_id, doc_id) order; shards are equal
+    # within 1 and contiguous over row_id
+    import pyspark.sql.functions as F
+    n = packs.count()
+    mm = packs.agg(F.min('row_id'), F.max('row_id'),
+                   F.countDistinct('row_id')).collect()[0]
+    assert tuple(mm) == (0, n - 1, n)
+    sizes = [r['count'] for r in
+             packs.groupBy('shard').count().collect()]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == n
+    rows = packs.select('bucket', 'pack_id', 'doc_id', 'row_id') \
+                .orderBy('row_id').collect()
+    assert [(r['bucket'], r['pack_id'], r['doc_id']) for r in rows] == \
+        sorted((r['bucket'], r['pack_id'], r['doc_id']) for r in rows)
+
     # multimodal branch invariants: every extracted image ref is
     # probed + clustered; manifests agree; survivors are canonical
     media = spark.read.parquet(out + '/media')
