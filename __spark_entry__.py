@@ -548,6 +548,32 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_corrupt_file_skip(spark, sf_dir):
+    """Scan-level resilience (the errors-as-rows philosophy applied to
+    the file listing): a landing directory contains one valid parquet
+    generation plus a truncated-garbage '.parquet' (the half-uploaded
+    file every long-lived ingest dir eventually grows); the read sets
+    ignoreCorruptFiles so the bad footer is skipped instead of failing
+    the job. Oracle = the valid generation — proving the corrupt file
+    contributed nothing and aborted nothing. Production pairs this
+    with a listing audit that COUNTS skipped files (silent skips hide
+    data loss); here the count is pinned by construction (exactly one
+    plant)."""
+    import shutil
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'corrupt_skip_v1', sfkey)
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    (docs.where(F.col('doc_id') % 3 == 0)
+         .select('doc_id', 'n_chars', 'source')
+         .write.mode('overwrite').parquet(base))
+    with open(os.path.join(base, 'part-corrupt.parquet'), 'wb') as f:
+        f.write(b'PAR1 this is not a parquet footer \x00\x01\x02')
+    merged = (spark.read.option('ignoreCorruptFiles', 'true')
+              .parquet(base))
+    return merged.select('doc_id', 'n_chars', 'source')
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Poissonized bootstrap distribution of the corpus mean n_chars —
     200 deterministic resamples from the frozen Poisson(1) CDF table
@@ -4140,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'schema_evolution': q_schema_evolution,
         'bootstrap_ci': q_bootstrap_ci,
         'dsv2_days_partition': q_dsv2_days_partition,
+        'corrupt_file_skip': q_corrupt_file_skip,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4500,6 +4527,10 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'corrupt_file_skip': """
+            SELECT doc_id, n_chars, source
+            FROM documents WHERE doc_id % 3 = 0
         """,
         'dsv2_days_partition': """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
