@@ -386,3 +386,42 @@ def streaming_user_state(spark: SparkSession, src_dir: str,
     q.awaitTermination(timeout_s)
     latest = _latest_state_version(target_dir)
     return spark.read.parquet(latest)
+
+
+def vacuum_state_versions(target_dir: str, keep_last: int = 2) -> dict:
+    """Retention for the batch_id-versioned state sink: drop all but
+    the newest ``keep_last`` COMMITTED versions (plus any uncommitted
+    partials, which are dead by definition). The versions-per-batch
+    idempotence contract only needs the newest committed snapshot to
+    merge from — older versions exist for time-travel/debug and grow
+    linearly with batch count, the same economics as a table format's
+    expire_snapshots. Returns {kept: [...], removed: [...]}.
+
+    Never removes the newest committed version, so a vacuum racing a
+    reader of the CURRENT snapshot is safe; a reader pinned to an
+    older version must finish before its retention lapses — the same
+    contract Iceberg documents for expire_snapshots."""
+    import os
+    import shutil
+    if not os.path.isdir(target_dir):
+        return {'kept': [], 'removed': []}
+    committed, partial = [], []
+    for name in sorted(os.listdir(target_dir)):
+        if not name.startswith('v'):
+            continue
+        try:
+            int(name[1:])
+        except ValueError:
+            continue
+        p = os.path.join(target_dir, name)
+        (committed if os.path.exists(os.path.join(p, '_SUCCESS'))
+         else partial).append(name)
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    removed = []
+    for name in committed + partial:
+        if name in keep:
+            continue
+        shutil.rmtree(os.path.join(target_dir, name),
+                      ignore_errors=True)
+        removed.append(name)
+    return {'kept': sorted(keep), 'removed': removed}

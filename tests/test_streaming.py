@@ -400,3 +400,36 @@ def test_streaming_upsert_idempotent_replay(spark, tmp_path):
     upsert_user_state_batch(b1, 1, sd2)   # replay batch 1
     assert sorted(map(tuple, spark.read.parquet(
         _latest_state_version(sd2)).collect())) == mid
+
+
+def test_vacuum_state_versions(spark, tmp_path):
+    """Vacuum keeps the newest K committed snapshots, removes older
+    ones AND uncommitted partials, and the surviving state still reads
+    back identically."""
+    import datetime
+
+    from mineru_html_spark.streaming.ingest import (
+        _latest_state_version, streaming_user_state,
+        upsert_user_state_batch, vacuum_state_versions)
+
+    rows = [(i, i % 2, datetime.datetime(2024, 2, 1, 0, i), 1.0 * i)
+            for i in range(12)]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp, value double')
+    sd = str(tmp_path / 'state')
+    for b in range(4):
+        upsert_user_state_batch(
+            ev.where((F.col('event_id') >= 3 * b)
+                     & (F.col('event_id') < 3 * (b + 1))), b, sd)
+    final = sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd)).collect()))
+    # plant an uncommitted partial (no _SUCCESS)
+    os.makedirs(os.path.join(sd, 'v000000099'))
+    rep = vacuum_state_versions(sd, keep_last=2)
+    assert rep['kept'] == ['v000000002', 'v000000003']
+    assert set(rep['removed']) == \
+        {'v000000000', 'v000000001', 'v000000099'}
+    assert sorted(map(tuple, spark.read.parquet(
+        _latest_state_version(sd)).collect())) == final
+    # idempotent: second vacuum removes nothing
+    assert vacuum_state_versions(sd, keep_last=2)['removed'] == []
