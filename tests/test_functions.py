@@ -2683,3 +2683,41 @@ def test_poisson_bootstrap_statistics(spark):
     assert lo_s <= mu_s <= hi_s
     assert lo_l <= mu_l <= hi_l
     assert (hi_l - lo_l) < (hi_s - lo_s)     # 16x data -> tighter CI
+
+
+def test_lsh_recall_certified_against_allpairs_truth(spark):
+    """Cross-algorithm certification (the CC hash-min-vs-star policy):
+    AllPairs is exact ground truth for threshold Jaccard, so the
+    MinHash-LSH pipeline's recall is MEASURED, not assumed — every
+    strongly-similar pair (comfortably above the banding S-curve knee)
+    must be recovered, and LSH must never emit a below-threshold pair
+    (the verify stage guarantees precision 1.0)."""
+    from mineru_html_spark.functions.dedup import (allpairs_join,
+                                                   minhash_dedup)
+    base = ('the quick brown fox jumps over the lazy dog and then '
+            'walks along the winding river bank toward the old mill '
+            'where seven ravens watch the miller grind the grain')
+    words = base.split()
+    docs = []
+    for i in range(30):
+        ws = list(words)
+        ws[i % len(ws)] = 'tok%d' % i          # one-word mutation: j ~ 0.9
+        docs.append((i, ' '.join(ws)))
+    for i in range(30, 60):                     # unrelated corpus
+        docs.append((i, ' '.join('w%d%d' % (i, j) for j in range(25))))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    truth = {(r['a'], r['b']): r['jaccard_permille']
+             for r in allpairs_join(df, k=3, threshold_permille=800)
+             .collect()}
+    lsh = {(r['a'], r['b']): r['jaccard_permille']
+           for r in minhash_dedup(df, k=3, threshold_permille=800)
+           .collect()}
+    strong = {p for p, j in truth.items() if j >= 850}
+    assert strong, 'plant failed: no strong pairs'
+    missed = strong - set(lsh)
+    assert not missed, f'LSH missed strong pairs: {sorted(missed)[:5]}'
+    # precision 1.0: every LSH pair is a true >= threshold pair
+    assert set(lsh) <= set(truth)
+    for p in lsh:
+        assert lsh[p] == truth[p]              # same exact verify values
