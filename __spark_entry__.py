@@ -548,6 +548,33 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_pyds_jsonl_scan(spark, sf_dir):
+    """The Spark 4 PYTHON Data Source surface (pyspark.sql.datasource)
+    driven end-to-end: documents round-trip through JSONL files read
+    by the registered ``jsonldocs`` source — one task per file,
+    source-side filter pushdown (enabled dynamically), and a planted
+    malformed line that must survive as a quarantined error row
+    instead of failing the scan. Oracle = the documents table plus the
+    quarantine literal."""
+    import shutil
+
+    from mineru_html_spark.sources.pyds import register_jsonl_docs
+    register_jsonl_docs(spark)
+    spark.conf.set('spark.sql.python.filterPushdown.enabled', 'true')
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'pyds_jsonl_v1', sfkey)
+    shutil.rmtree(base, ignore_errors=True)
+    (_docs(spark, sf_dir)
+     .select(F.to_json(F.struct('doc_id', 'text', 'lang', 'source',
+                                'n_chars')).alias('value'))
+     .repartition(3).write.mode('overwrite').text(base))
+    with open(os.path.join(base, 'extra.jsonl'), 'w') as fh:
+        fh.write('{broken\n')
+    return (spark.read.format('jsonldocs').option('path', base).load()
+            .select('doc_id', 'text', 'lang', 'source', 'n_chars',
+                    'status'))
+
+
 def q_corrupt_file_skip(spark, sf_dir):
     """Scan-level resilience (the errors-as-rows philosophy applied to
     the file listing): a landing directory contains one valid parquet
@@ -4167,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bootstrap_ci': q_bootstrap_ci,
         'dsv2_days_partition': q_dsv2_days_partition,
         'corrupt_file_skip': q_corrupt_file_skip,
+        'pyds_jsonl_scan': q_pyds_jsonl_scan,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4527,6 +4555,13 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'pyds_jsonl_scan': """
+            SELECT doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars, 'ok' AS status
+            FROM documents
+            UNION ALL
+            SELECT -1, '{broken', '', '', 0, 'error'
         """,
         'corrupt_file_skip': """
             SELECT doc_id, n_chars, source

@@ -1,0 +1,132 @@
+"""Spark 4 Python Data Source: a JSONL document source with per-file
+partitions, source-side filter pushdown, and corrupt-line quarantine.
+
+The engine's other readers run as mapInPandas over a file listing; this
+one implements the NATIVE Python DataSource V2 surface
+(``pyspark.sql.datasource``, Spark 4) so a documents landing directory
+is a first-class ``spark.read.format('jsonldocs')`` source:
+
+  * one InputPartition per file — the planner schedules one task per
+    file, the same parallelism contract a parquet scan derives from
+    splits;
+  * ``pushFilters`` (4.1) accepts EqualTo/GreaterThan[OrEqual]/
+    LessThan[OrEqual] on the ``source`` and ``doc_id`` columns and
+    applies them WHILE STREAMING each file, so a selective query never
+    materializes non-matching rows into Arrow batches (the Python
+    analog of PushedFilters on a parquet scan — the remaining filters
+    are returned to Spark, which re-applies them, so pushdown can
+    never change results);
+  * malformed JSON lines quarantine as error rows (``status`` column),
+    never abort the scan — the repo-wide errors-as-rows contract.
+
+Registration is per-session: ``register_jsonl_docs(spark)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualTo, Filter, GreaterThan,
+                                    GreaterThanOrEqual, InputPartition,
+                                    LessThan, LessThanOrEqual)
+
+DOCS_DDL = ('doc_id bigint, text string, lang string, source string, '
+            'n_chars bigint, status string')
+
+_PUSHABLE_COLS = {('doc_id',), ('source',)}
+
+
+def _compile(f: Filter):
+    """Filter -> (col, predicate) or None when not pushable."""
+    if not isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                          LessThan, LessThanOrEqual)):
+        return None
+    if f.attribute not in _PUSHABLE_COLS:
+        return None
+    col, v = f.attribute[0], f.value
+    op = {EqualTo: lambda x: x == v,
+          GreaterThan: lambda x: x > v,
+          GreaterThanOrEqual: lambda x: x >= v,
+          LessThan: lambda x: x < v,
+          LessThanOrEqual: lambda x: x <= v}[type(f)]
+    return col, op
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class JsonlDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("jsonldocs requires .option('path', dir)")
+        self.preds = []                      # [(col, fn)]
+
+    def pushFilters(self, filters):          # noqa: N802 (Spark API)
+        for f in filters:
+            c = _compile(f)
+            if c is None:
+                yield f                      # Spark re-applies
+            else:
+                self.preds.append(c)
+                # pushed filters are ALSO yielded back: re-applying is
+                # free and keeps the source trivially correct even if a
+                # predicate here drifted from Catalyst semantics
+                yield f
+
+    def partitions(self):
+        # Spark-style listing: skip hidden/metadata files (_SUCCESS,
+        # .crc) so a directory written by df.write.text scans directly
+        files = sorted(
+            os.path.join(self.path, n) for n in os.listdir(self.path)
+            if not n.startswith(('_', '.'))
+            and (n.endswith('.jsonl') or n.endswith('.txt')))
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, 'r', encoding='utf-8',
+                  errors='replace') as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    d = json.loads(line)
+                    row = (int(d['doc_id']), d.get('text', ''),
+                           d.get('lang', ''), d.get('source', ''),
+                           int(d.get('n_chars', len(d.get('text', '')))),
+                           'ok')
+                except (ValueError, KeyError, TypeError):
+                    # quarantine: the malformed payload survives as an
+                    # error row instead of killing the task
+                    row = (-1, line[:1000], '', '', 0, 'error')
+                vals = {'doc_id': row[0], 'source': row[3]}
+                if all(fn(vals[col]) for col, fn in self.preds):
+                    yield row
+
+
+class JsonlDocsSource(DataSource):
+    @classmethod
+    def name(cls):
+        return 'jsonldocs'
+
+    def schema(self):
+        return DOCS_DDL
+
+    def reader(self, schema):
+        return JsonlDocsReader(self.options)
+
+
+def register_jsonl_docs(spark) -> None:
+    """Register the source AND enable the pushdown conf: a reader that
+    implements pushFilters hard-errors at plan time under a disabled
+    ``spark.sql.python.filterPushdown.enabled`` (4.1 API contract), so
+    registration without the conf would arm a delayed failure."""
+    spark.conf.set('spark.sql.python.filterPushdown.enabled', 'true')
+    spark.dataSource.register(JsonlDocsSource)
