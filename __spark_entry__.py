@@ -575,6 +575,36 @@ def q_pyds_jsonl_scan(spark, sf_dir):
                     'status'))
 
 
+def q_pyds_stream_feed(spark, sf_dir):
+    """The Python STREAMING data source surface
+    (SimpleDataSourceStreamReader) driven as a real stream: documents
+    land as JSONL files, the ``docfeed`` source tracks files-consumed
+    offsets, and an AvailableNow drain writes the feed to parquet. The
+    gated output is the sink readback — streaming == batch for the
+    same files (exact SQL oracle), and the offset/replay contract is
+    unit-tested (incremental restart, idempotent re-drain)."""
+    import shutil
+
+    from mineru_html_spark.sources.pyds import register_doc_feed
+    register_doc_feed(spark)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    tmp = os.path.join(REPO, '.data', 'pyds_feed_v1', sfkey)
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, ck = (os.path.join(tmp, p) for p in ('src', 'out', 'ck'))
+    (_docs(spark, sf_dir)
+     .select(F.to_json(F.struct('doc_id', 'text', 'lang', 'source',
+                                'n_chars')).alias('value'))
+     .repartition(4).write.mode('overwrite').text(src))
+    q = (spark.readStream.format('docfeed').option('path', src).load()
+         .writeStream.format('parquet').option('path', out)
+         .option('checkpointLocation', ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .select('doc_id', 'text', 'lang', 'source', 'n_chars',
+                    'status'))
+
+
 def q_corrupt_file_skip(spark, sf_dir):
     """Scan-level resilience (the errors-as-rows philosophy applied to
     the file listing): a landing directory contains one valid parquet
@@ -4195,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsv2_days_partition': q_dsv2_days_partition,
         'corrupt_file_skip': q_corrupt_file_skip,
         'pyds_jsonl_scan': q_pyds_jsonl_scan,
+        'pyds_stream_feed': q_pyds_stream_feed,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4555,6 +4586,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'pyds_stream_feed': """
+            SELECT doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars, 'ok' AS status
+            FROM documents
         """,
         'pyds_jsonl_scan': """
             SELECT doc_id, text, lang, source,

@@ -32,7 +32,8 @@ from typing import Iterator
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     EqualTo, Filter, GreaterThan,
                                     GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual)
+                                    LessThan, LessThanOrEqual,
+                                    SimpleDataSourceStreamReader)
 
 DOCS_DDL = ('doc_id bigint, text string, lang string, source string, '
             'n_chars bigint, status string')
@@ -130,3 +131,83 @@ def register_jsonl_docs(spark) -> None:
     registration without the conf would arm a delayed failure."""
     spark.conf.set('spark.sql.python.filterPushdown.enabled', 'true')
     spark.dataSource.register(JsonlDocsSource)
+
+
+# --------------------------------------------------------------------------
+# streaming twin: a replayable JSONL file feed (SimpleDataSourceStreamReader)
+# --------------------------------------------------------------------------
+
+class DocFeedStreamReader(SimpleDataSourceStreamReader):
+    """Offsets = count of files consumed, in sorted-name order — the
+    landing-directory feed contract: files are immutable once present,
+    new files only sort later (timestamped names). read() consumes
+    everything beyond the start offset; readBetweenOffsets() REPLAYS a
+    committed range deterministically, which is what Structured
+    Streaming calls on recovery — the exactly-once guarantee reduces
+    to this replay being byte-stable, and it is, because the file list
+    slice is pinned by the two offsets."""
+
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("docfeed requires .option('path', dir)")
+
+    def _files(self):
+        return sorted(
+            os.path.join(self.path, n) for n in os.listdir(self.path)
+            if not n.startswith(('_', '.'))
+            and (n.endswith('.jsonl') or n.endswith('.txt')))
+
+    @staticmethod
+    def _parse(files):
+        for p in files:
+            with open(p, 'r', encoding='utf-8', errors='replace') as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        d = json.loads(line)
+                        yield (int(d['doc_id']), d.get('text', ''),
+                               d.get('lang', ''), d.get('source', ''),
+                               int(d.get('n_chars',
+                                         len(d.get('text', '')))), 'ok')
+                    except (ValueError, KeyError, TypeError):
+                        yield (-1, line[:1000], '', '', 0, 'error')
+
+    def initialOffset(self):
+        return {'idx': 0}
+
+    def read(self, start):
+        # materialized (not a generator): Spark's prefetch cache
+        # copy.copy()s the returned iterator, which generators do not
+        # support — a list iterator does. The Simple reader runs on
+        # the driver by API design ("lightweight use cases"); the
+        # batch twin above is the executor-parallel path.
+        files = self._files()
+        lo = int(start.get('idx', 0))
+        return iter(list(self._parse(files[lo:]))), {'idx': len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return iter(list(
+            self._parse(files[int(start['idx']):int(end['idx'])])))
+
+    def commit(self, end):
+        pass                      # retention is the directory's concern
+
+
+class DocFeedSource(DataSource):
+    @classmethod
+    def name(cls):
+        return 'docfeed'
+
+    def schema(self):
+        return DOCS_DDL
+
+    def simpleStreamReader(self, schema):
+        return DocFeedStreamReader(self.options)
+
+
+def register_doc_feed(spark) -> None:
+    spark.dataSource.register(DocFeedSource)

@@ -64,3 +64,40 @@ def test_pyds_pushdown_parity_with_ground_truth(spark, tmp_path):
             if 5 <= doc['doc_id'] < 25 and doc['source'] == 'src0':
                 truth.append(doc['doc_id'])
     assert got == sorted(truth) and len(got) > 0
+
+
+def test_pyds_stream_feed_incremental_and_idempotent(spark, tmp_path):
+    """The streaming twin: files-consumed offsets — a drain picks up
+    everything, a restart after a new file lands picks up ONLY the
+    delta, and a restart with nothing new writes nothing."""
+    from mineru_html_spark.sources.pyds import register_doc_feed
+    register_doc_feed(spark)
+    d = str(tmp_path / 'feed')
+    out, ck = str(tmp_path / 'out'), str(tmp_path / 'ck')
+    os.makedirs(d)
+
+    def write_file(f, lo, hi):
+        with open(os.path.join(d, 'f%03d.jsonl' % f), 'w') as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps(
+                    {'doc_id': i, 'text': 't', 'lang': 'en',
+                     'source': 's', 'n_chars': 1}) + '\n')
+
+    def drain():
+        q = (spark.readStream.format('docfeed').option('path', d).load()
+             .writeStream.format('parquet').option('path', out)
+             .option('checkpointLocation', ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_file(0, 0, 5)
+    write_file(1, 5, 9)
+    drain()
+    assert spark.read.parquet(out).count() == 9
+    write_file(2, 9, 12)
+    drain()                                   # only the delta file
+    df = spark.read.parquet(out)
+    assert df.count() == 12
+    assert df.select('doc_id').distinct().count() == 12
+    drain()                                   # nothing new
+    assert spark.read.parquet(out).count() == 12
