@@ -605,6 +605,30 @@ def q_pyds_stream_feed(spark, sf_dir):
                     'status'))
 
 
+def q_pyds_write_roundtrip(spark, sf_dir):
+    """The Python Data Source WRITER surface: documents commit through
+    df.write.format('jsonldocs') — per-task temp files published by
+    the driver at commit (the TinyCatalog protocol in Python) — then
+    read back through the same source's reader. Oracle = the documents
+    table: sink-out == sink-in through the whole Python DSv2 write
+    path. Overwrite mode keeps the gate idempotent across re-runs."""
+    import shutil
+
+    from mineru_html_spark.sources.pyds import register_jsonl_docs
+    register_jsonl_docs(spark)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'pyds_write_v1', sfkey)
+    shutil.rmtree(base, ignore_errors=True)
+    (_docs(spark, sf_dir)
+     .select('doc_id', 'text', 'lang', 'source', 'n_chars')
+     .repartition(4)
+     .write.format('jsonldocs').option('path', base)
+     .mode('overwrite').save())
+    return (spark.read.format('jsonldocs').option('path', base).load()
+            .select('doc_id', 'text', 'lang', 'source', 'n_chars',
+                    'status'))
+
+
 def q_corrupt_file_skip(spark, sf_dir):
     """Scan-level resilience (the errors-as-rows philosophy applied to
     the file listing): a landing directory contains one valid parquet
@@ -4226,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corrupt_file_skip': q_corrupt_file_skip,
         'pyds_jsonl_scan': q_pyds_jsonl_scan,
         'pyds_stream_feed': q_pyds_stream_feed,
+        'pyds_write_roundtrip': q_pyds_write_roundtrip,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4586,6 +4611,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'pyds_write_roundtrip': """
+            SELECT doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars, 'ok' AS status
+            FROM documents
         """,
         'pyds_stream_feed': """
             SELECT doc_id, text, lang, source,

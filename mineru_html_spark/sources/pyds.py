@@ -30,10 +30,12 @@ from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, Filter, GreaterThan,
-                                    GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceWriter, EqualTo, Filter,
+                                    GreaterThan, GreaterThanOrEqual,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 DOCS_DDL = ('doc_id bigint, text string, lang string, source string, '
             'n_chars bigint, status string')
@@ -123,6 +125,9 @@ class JsonlDocsSource(DataSource):
     def reader(self, schema):
         return JsonlDocsReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return JsonlDocsWriter(self.options, overwrite)
+
 
 def register_jsonl_docs(spark) -> None:
     """Register the source AND enable the pushdown conf: a reader that
@@ -211,3 +216,61 @@ class DocFeedSource(DataSource):
 
 def register_doc_feed(spark) -> None:
     spark.dataSource.register(DocFeedSource)
+
+
+# --------------------------------------------------------------------------
+# batch writer: JSONL sink with a temp-file + driver-publish commit
+# --------------------------------------------------------------------------
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """The TinyCatalog commit protocol in Python: each task streams its
+    rows to a TEMP file (invisible: leading '_tmp-') and returns its
+    path in the commit message; the DRIVER publishes all temp files
+    atomically-per-file via rename at commit, or deletes them at
+    abort — a half-failed write never leaves a readable partial
+    generation, the same visibility rule as the versioned streaming
+    state sink."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("jsonldocs requires .option('path', dir)")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _WroteFile:
+        import uuid
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, '_tmp-%s.jsonl' % uuid.uuid4())
+        n = 0
+        with open(tmp, 'w', encoding='utf-8') as fh:
+            for r in rows:
+                fh.write(json.dumps(
+                    {'doc_id': r.doc_id, 'text': r.text,
+                     'lang': r.lang, 'source': r.source,
+                     'n_chars': r.n_chars}) + '\n')
+                n += 1
+        return _WroteFile(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if not name.startswith(('_', '.')) \
+                        and name.endswith('.jsonl'):
+                    os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dst = os.path.join(
+                self.path, 'part-%05d.jsonl' % i)
+            os.replace(m.tmp_path, dst)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

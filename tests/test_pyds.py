@@ -101,3 +101,39 @@ def test_pyds_stream_feed_incremental_and_idempotent(spark, tmp_path):
     assert df.select('doc_id').distinct().count() == 12
     drain()                                   # nothing new
     assert spark.read.parquet(out).count() == 12
+
+
+def test_pyds_writer_commit_protocol(spark, tmp_path):
+    """Writer protocol: temp files are invisible to the reader until
+    the driver publishes them; overwrite replaces the generation with
+    no duplicates; abort removes temp files."""
+    from mineru_html_spark.sources.pyds import (JsonlDocsWriter,
+                                                register_jsonl_docs)
+    register_jsonl_docs(spark)
+    d = str(tmp_path / 'sink')
+    df = spark.createDataFrame(
+        [(i, 't%d' % i, 'en', 's', 2) for i in range(20)],
+        'doc_id long, text string, lang string, source string, '
+        'n_chars long').repartition(3)
+    df.write.format('jsonldocs').option('path', d).mode('append').save()
+    back = spark.read.format('jsonldocs').option('path', d).load()
+    assert back.count() == 20
+    # a straggler temp file must be invisible to the reader
+    with open(os.path.join(d, '_tmp-straggler.jsonl'), 'w') as fh:
+        fh.write(json.dumps({'doc_id': 999, 'text': 'x', 'lang': '',
+                             'source': '', 'n_chars': 1}) + '\n')
+    assert spark.read.format('jsonldocs').option('path', d) \
+        .load().count() == 20
+    # overwrite: same rows again, still exactly 20
+    df.write.format('jsonldocs').option('path', d) \
+      .mode('overwrite').save()
+    assert spark.read.format('jsonldocs').option('path', d) \
+        .load().count() == 20
+    # abort cleanup: write() produced a temp file; abort removes it
+    w = JsonlDocsWriter({'path': d}, overwrite=False)
+    from pyspark.sql import Row
+    msg = w.write(iter([Row(doc_id=1, text='t', lang='', source='',
+                            n_chars=1)]))
+    assert os.path.exists(msg.tmp_path)
+    w.abort([msg])
+    assert not os.path.exists(msg.tmp_path)
