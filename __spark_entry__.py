@@ -629,6 +629,39 @@ def q_pyds_write_roundtrip(spark, sf_dir):
                     'status'))
 
 
+def q_pyds_full_circle(spark, sf_dir):
+    """The full Python-DSv2 circle: documents land as JSONL files, the
+    docfeed STREAMING source reads them with file-count offsets, the
+    jsonldocs STREAMING writer publishes each micro-batch under
+    batch-scoped names (replay-idempotent), and the batch reader scans
+    the sink back. Every hop is the pyspark.sql.datasource surface;
+    the oracle certifies source-in == sink-out through all of it."""
+    import shutil
+
+    from mineru_html_spark.sources.pyds import (register_doc_feed,
+                                                register_jsonl_docs)
+    register_jsonl_docs(spark)
+    register_doc_feed(spark)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    tmp = os.path.join(REPO, '.data', 'pyds_circle_v1', sfkey)
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, ck = (os.path.join(tmp, p) for p in ('src', 'out', 'ck'))
+    (_docs(spark, sf_dir)
+     .select(F.to_json(F.struct('doc_id', 'text', 'lang', 'source',
+                                'n_chars')).alias('value'))
+     .repartition(4).write.mode('overwrite').text(src))
+    os.makedirs(out)
+    q = (spark.readStream.format('docfeed').option('path', src).load()
+         .select('doc_id', 'text', 'lang', 'source', 'n_chars')
+         .writeStream.format('jsonldocs').option('path', out)
+         .option('checkpointLocation', ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.read.format('jsonldocs').option('path', out).load()
+            .select('doc_id', 'text', 'lang', 'source', 'n_chars',
+                    'status'))
+
+
 def q_corrupt_file_skip(spark, sf_dir):
     """Scan-level resilience (the errors-as-rows philosophy applied to
     the file listing): a landing directory contains one valid parquet
@@ -4251,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pyds_jsonl_scan': q_pyds_jsonl_scan,
         'pyds_stream_feed': q_pyds_stream_feed,
         'pyds_write_roundtrip': q_pyds_write_roundtrip,
+        'pyds_full_circle': q_pyds_full_circle,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4611,6 +4645,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'pyds_full_circle': """
+            SELECT doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars, 'ok' AS status
+            FROM documents
         """,
         'pyds_write_roundtrip': """
             SELECT doc_id, text, lang, source,

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition, LessThan,
                                     LessThanOrEqual,
                                     SimpleDataSourceStreamReader,
+                                    DataSourceStreamWriter,
                                     WriterCommitMessage)
 
 DOCS_DDL = ('doc_id bigint, text string, lang string, source string, '
@@ -127,6 +128,9 @@ class JsonlDocsSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlDocsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlDocsStreamWriter(self.options)
 
 
 def register_jsonl_docs(spark) -> None:
@@ -271,6 +275,48 @@ class JsonlDocsWriter(DataSourceWriter):
             os.replace(m.tmp_path, dst)
 
     def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+# --------------------------------------------------------------------------
+# streaming writer: per-batch idempotent publish (replay-safe)
+# --------------------------------------------------------------------------
+
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """The streaming quadrant of the sink: tasks write temp files
+    exactly like the batch writer; the driver publishes them under
+    batch-scoped names ``b<batchId>-p<idx>.jsonl`` and records the
+    batch in ``_batches``. A REPLAYED batch (same batchId after a
+    failure — Structured Streaming's recovery contract) first clears
+    any files of that batch id and re-publishes, so the sink holds
+    exactly one copy of every batch no matter how many attempts ran —
+    the same replay-idempotence the versioned state sink gets from
+    version-per-batch recompute."""
+
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("jsonldocs requires .option('path', dir)")
+
+    def write(self, rows) -> _WroteFile:
+        return JsonlDocsWriter({'path': self.path}, False).write(rows)
+
+    def commit(self, messages, batchId):
+        prefix = 'b%09d-' % batchId
+        for name in os.listdir(self.path):
+            if name.startswith(prefix):      # replayed batch: clear
+                os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(m.tmp_path, os.path.join(
+                self.path, '%sp%05d.jsonl' % (prefix, i)))
+        with open(os.path.join(self.path, '_batches'), 'a') as fh:
+            fh.write('%d\n' % batchId)
+
+    def abort(self, messages, batchId):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)

@@ -137,3 +137,24 @@ def test_pyds_writer_commit_protocol(spark, tmp_path):
     assert os.path.exists(msg.tmp_path)
     w.abort([msg])
     assert not os.path.exists(msg.tmp_path)
+
+
+def test_pyds_stream_writer_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batchId) replaces its own files
+    instead of duplicating them — commit() clears the batch prefix
+    before publishing."""
+    from pyspark.sql import Row
+    from mineru_html_spark.sources.pyds import JsonlDocsStreamWriter
+    d = str(tmp_path / 'sink')
+    os.makedirs(d)
+    w = JsonlDocsStreamWriter({'path': d})
+    rows = [Row(doc_id=i, text='t', lang='', source='', n_chars=1)
+            for i in range(4)]
+    m1 = w.write(iter(rows[:2]))
+    w.commit([m1], batchId=7)
+    m2 = w.write(iter(rows))          # replay of batch 7, more rows
+    w.commit([m2], batchId=7)
+    published = [n for n in os.listdir(d) if n.startswith('b')]
+    assert published == ['b000000007-p00000.jsonl']
+    n_lines = sum(1 for _ in open(os.path.join(d, published[0])))
+    assert n_lines == 4               # the replay's content, once
