@@ -548,6 +548,29 @@ def q_knn_probe(spark, sf_dir):
             .select('qid', 'vec_id', 'cos_micro', 'rank'))
 
 
+def q_udtf_sentences(spark, sf_dir):
+    """The Python UDTF surface (Spark 4 ``@udtf``) driven through SQL
+    LATERAL: sentence segmentation of every document under the frozen
+    split-trim-drop rule, mirrored verbatim by the DuckDB oracle. The
+    hot-path twin of this row-at-a-time UDTF is a native
+    split+posexplode — the gate certifies the rule, the UDTF
+    certifies the SQL extension surface. The synth corpus carries no
+    sentence punctuation, so the gate plants it deterministically
+    (identical expression in both engines): every doc becomes 3+
+    sentences plus a trailing empty split that must be dropped."""
+    from mineru_html_spark.functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.concat(F.substring('text', 1, 180), F.lit('. Alpha beta! '),
+                 F.col('source'), F.lit(' gamma? ')).alias('text'))
+    docs.createOrReplaceTempView('udtf_docs_v')
+    return spark.sql(
+        'SELECT s.doc_id, s.sent_idx, s.sentence, s.n_words '
+        'FROM udtf_docs_v t, '
+        'LATERAL sentence_split(t.doc_id, t.text) s')
+
+
 def q_pyds_jsonl_scan(spark, sf_dir):
     """The Spark 4 PYTHON Data Source surface (pyspark.sql.datasource)
     driven end-to-end: documents round-trip through JSONL files read
@@ -4285,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pyds_stream_feed': q_pyds_stream_feed,
         'pyds_write_roundtrip': q_pyds_write_roundtrip,
         'pyds_full_circle': q_pyds_full_circle,
+        'udtf_sentences': q_udtf_sentences,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4645,6 +4669,34 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'udtf_sentences': """
+            WITH d2 AS (
+              SELECT doc_id,
+                     substring(text, 1, 180) || '. Alpha beta! '
+                     || source || ' gamma? ' AS text
+              FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text, '[.!?]+') AS parts
+              FROM d2),
+            ex AS (
+              SELECT doc_id,
+                     trim(parts[i], ' ' || chr(9) || chr(13)
+                          || chr(10)) AS sentence,
+                     i
+              FROM sp, unnest(range(1, len(parts) + 1)) AS u(i)),
+            f AS (
+              SELECT doc_id, sentence,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY i) - 1 AS sent_idx
+              FROM ex WHERE sentence <> '')
+            SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+                   sentence,
+                   CAST(len(list_filter(regexp_split_to_array(
+                       sentence, '[ \\t\\r\\n]+'), w -> w <> ''))
+                       AS INTEGER) AS n_words
+            FROM f
         """,
         'pyds_full_circle': """
             SELECT doc_id, text, lang, source,

@@ -1,0 +1,48 @@
+"""Python user-defined table functions (Spark 3.5+/4 ``@udtf``).
+
+The UDTF surface is the row-to-many-rows extension point SQL users
+reach for when an explode over a computed array is awkward to express;
+this module ships the corpus one that matters: sentence segmentation,
+usable directly in SQL via LATERAL. The segmentation rule is frozen
+and mirrored verbatim in the DuckDB oracle: split on ``[.!?]+`` runs,
+trim ASCII whitespace, drop empties, index from 0.
+
+Scale note: a UDTF runs row-at-a-time Python — fine for the lateral
+SQL surface it exists to serve, but the Arrow-batched equivalent for
+hot paths is a native split+posexplode (shown in the oracle's Spark
+twin inside ``q_udtf_sentences``'s docstring); the gate certifies the
+two agree by construction of the shared rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+_SENT_RE = re.compile(r'[.!?]+')
+# frozen ASCII whitespace class — Python's \s is Unicode-aware, the
+# oracle's RE2 \s is not; an explicit class keeps both engines equal
+_WORD_RE = re.compile(r'[ \t\r\n]+')
+_WS = ' \t\r\n'
+
+
+@udtf(returnType='doc_id bigint, sent_idx int, sentence string, '
+                 'n_words int')
+class SentenceSplit:
+    """(doc_id, sent_idx, sentence, n_words) per sentence of ``text``."""
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        idx = 0
+        for raw in _SENT_RE.split(text):
+            s = raw.strip(_WS)
+            if not s:
+                continue
+            yield doc_id, idx, s, len([w for w in _WORD_RE.split(s) if w])
+            idx += 1
+
+
+def register_udtfs(spark) -> None:
+    spark.udtf.register('sentence_split', SentenceSplit)

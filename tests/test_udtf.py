@@ -1,0 +1,25 @@
+"""Python UDTF (Spark 4 @udtf): sentence segmentation via SQL LATERAL."""
+
+
+def test_sentence_split_udtf(spark):
+    from mineru_html_spark.functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    spark.createDataFrame([
+        (1, 'Hello world. How are you?  Fine!'),
+        (2, '...'),                # only delimiters: zero sentences
+        (3, None),                 # null text: zero sentences
+        (4, 'no punctuation at all'),
+        (5, 'tab\tsep words. second'),
+    ], 'doc_id long, text string').createOrReplaceTempView('udtf_t')
+    rows = spark.sql(
+        'SELECT s.* FROM udtf_t t, '
+        'LATERAL sentence_split(t.doc_id, t.text) s').collect()
+    got = {(r['doc_id'], r['sent_idx']): (r['sentence'], r['n_words'])
+           for r in rows}
+    assert got[(1, 0)] == ('Hello world', 2)
+    assert got[(1, 1)] == ('How are you', 3)
+    assert got[(1, 2)] == ('Fine', 1)
+    assert not any(d in (2, 3) for d, _ in got)
+    assert got[(4, 0)] == ('no punctuation at all', 4)
+    assert got[(5, 0)] == ('tab\tsep words', 3)   # tab splits words
+    assert got[(5, 1)] == ('second', 1)
