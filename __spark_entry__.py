@@ -3611,6 +3611,29 @@ def q_props_extract(spark, sf_dir):
                  F.count_distinct('k').alias('n_distinct_k')))
 
 
+def q_variant_props(spark, sf_dir):
+    """The Spark 4 VARIANT type driven for real: props parse into
+    variant via try_parse_json (a planted malformed row must yield
+    NULL, not an error), paths extract typed via try_variant_get, and
+    the per-type aggregate mirrors in DuckDB over raw JSON with
+    json_valid guarding the plant. VARIANT is the shredded upgrade
+    path q_props_extract's docstring points at — this gate certifies
+    the type's semantics match plain-JSON extraction value-for-value."""
+    ev = _events(spark, sf_dir).select('event_type', 'props')
+    bad = spark.createDataFrame([('corrupt', '{oops'), ('corrupt', None)],
+                                'event_type string, props string')
+    u = ev.unionByName(bad)
+    v = F.try_parse_json('props')
+    k = F.try_variant_get(v, '$.k', 'long')
+    return (u.select('event_type', k.alias('k'))
+            .groupBy('event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.count('k').alias('n_parsed'),
+                 F.coalesce(F.sum('k'), F.lit(0)).alias('sum_k'),
+                 F.coalesce(F.min('k'), F.lit(-1)).alias('min_k'),
+                 F.coalesce(F.max('k'), F.lit(-1)).alias('max_k')))
+
+
 def q_window_rank_suite(spark, sf_dir):
     """Window-function surface parity in one pass: row_number / rank /
     dense_rank / ntile(4) / lag / lead over the same (user_id,
@@ -4309,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pyds_write_roundtrip': q_pyds_write_roundtrip,
         'pyds_full_circle': q_pyds_full_circle,
         'udtf_sentences': q_udtf_sentences,
+        'variant_props': q_variant_props,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4669,6 +4693,24 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'variant_props': """
+            WITH u AS (
+              SELECT event_type, props FROM events
+              UNION ALL SELECT 'corrupt', '{oops'
+              UNION ALL SELECT 'corrupt', NULL),
+            x AS (
+              SELECT event_type,
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN CAST(props->>'$.k' AS BIGINT) END AS k
+              FROM u)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_parsed,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   CAST(coalesce(min(k), -1) AS BIGINT) AS min_k,
+                   CAST(coalesce(max(k), -1) AS BIGINT) AS max_k
+            FROM x GROUP BY 1
         """,
         'udtf_sentences': """
             WITH d2 AS (
