@@ -3611,6 +3611,28 @@ def q_props_extract(spark, sf_dir):
                  F.count_distinct('k').alias('n_distinct_k')))
 
 
+def q_collated_dedup(spark, sf_dir):
+    """Spark 4 COLLATIONS driven for real: case-insensitive duplicate
+    grouping via ``collate(text, 'UTF8_LCASE')`` — the GROUP BY itself
+    runs under the collation (no lower() in the grouping key on the
+    Spark side). The corpus has no case-variant duplicates, so the
+    gate plants an upper-cased twin for every doc_id % 50 == 0; the
+    oracle mirrors with lower(text) grouping (plants are ASCII, where
+    the two semantics provably coincide). Output keys are md5 of the
+    lowered text so no raw text rides the result."""
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    twins = (docs.where(F.col('doc_id') % 50 == 0)
+             .select((F.col('doc_id') + 10000000).alias('doc_id'),
+                     F.upper('text').alias('text')))
+    u = docs.unionByName(twins)
+    gk = F.expr("collate(text, 'UTF8_LCASE')")
+    return (u.groupBy(gk.alias('gk'))
+            .agg(F.min('doc_id').alias('keeper_doc_id'),
+                 F.count('*').alias('n_variants'))
+            .select(F.md5(F.lower(F.col('gk'))).alias('fp_lower'),
+                    'keeper_doc_id', 'n_variants'))
+
+
 def q_variant_props(spark, sf_dir):
     """The Spark 4 VARIANT type driven for real: props parse into
     variant via try_parse_json (a planted malformed row must yield
@@ -4333,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pyds_full_circle': q_pyds_full_circle,
         'udtf_sentences': q_udtf_sentences,
         'variant_props': q_variant_props,
+        'collated_dedup': q_collated_dedup,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4693,6 +4716,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'collated_dedup': """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, upper(text)
+              FROM documents WHERE doc_id % 50 = 0)
+            SELECT md5(lower(text)) AS fp_lower,
+                   min(doc_id) AS keeper_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_variants
+            FROM u GROUP BY lower(text)
         """,
         'variant_props': """
             WITH u AS (
