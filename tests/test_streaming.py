@@ -433,3 +433,50 @@ def test_vacuum_state_versions(spark, tmp_path):
         _latest_state_version(sd)).collect())) == final
     # idempotent: second vacuum removes nothing
     assert vacuum_state_versions(sd, keep_last=2)['removed'] == []
+
+
+def test_streaming_user_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas running totals == batch aggregate.
+    Skips where google.protobuf (the state-server protocol dependency)
+    is absent; the contained-ImportError contract is asserted instead."""
+    import datetime
+
+    import pytest
+
+    from mineru_html_spark.streaming.ingest import \
+        streaming_user_totals_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+
+    rows = [(i, i % 3, datetime.datetime(2024, 1, 1, 0, i % 60),
+             float(i) + 0.25) for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp, value double')
+
+    if not has_pb:
+        with pytest.raises(ImportError, match='protobuf'):
+            streaming_user_totals_tws(ev)
+        pytest.skip('google.protobuf absent: transformWithState '
+                    'state-server protocol unavailable in this sandbox')
+
+    src, out, ck = (str(tmp_path / p) for p in ('src', 'out', 'ck'))
+    ev.repartition(3).write.parquet(src)
+    s = (spark.readStream
+         .schema('event_id long, user_id long, ts timestamp, '
+                 'value double')
+         .option('maxFilesPerTrigger', 1).parquet(src))
+    q = (streaming_user_totals_tws(s).writeStream.format('parquet')
+         .option('path', out).option('checkpointLocation', ck)
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    final = sorted(map(tuple, res.groupBy('user_id').agg(
+        F.max('n_events'), F.max('sum_value_centi')).collect()))
+    exp = sorted(map(tuple, ev.groupBy('user_id').agg(
+        F.count('*'), F.sum(F.round(F.col('value') * 100)
+                            .cast('long'))).collect()))
+    assert final == exp
