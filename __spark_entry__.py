@@ -685,6 +685,29 @@ def q_pyds_full_circle(spark, sf_dir):
                     'status'))
 
 
+def q_compaction_apply(spark, sf_dir):
+    """The compaction plan EXECUTED on a real small-files directory:
+    documents write as 12 tiny parquet files, compact_parquet_dir
+    rewrites each offset-bin group as one file, and the gated output
+    is the compacted readback — content identical to the source table
+    (the oracle), while the file-count collapse is pinned in the unit
+    test (the oracle cannot see the filesystem)."""
+    import shutil
+
+    from mineru_html_spark.functions.layout import compact_parquet_dir
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    base = os.path.join(REPO, '.data', 'compact_v1', sfkey)
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = os.path.join(base, 'src'), os.path.join(base, 'dst')
+    docs = _docs(spark, sf_dir).select('doc_id', 'n_chars', 'source')
+    docs.repartition(12).write.parquet(src)
+    total = sum(os.path.getsize(os.path.join(src, n))
+                for n in os.listdir(src) if n.endswith('.parquet'))
+    compact_parquet_dir(spark, src, dst, target_bytes=total // 3 + 1)
+    return (spark.read.parquet(os.path.join(dst, '*'))
+            .select('doc_id', 'n_chars', 'source'))
+
+
 def q_corrupt_file_skip(spark, sf_dir):
     """Scan-level resilience (the errors-as-rows philosophy applied to
     the file listing): a landing directory contains one valid parquet
@@ -4356,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'udtf_sentences': q_udtf_sentences,
         'variant_props': q_variant_props,
         'collated_dedup': q_collated_dedup,
+        'compaction_apply': q_compaction_apply,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4716,6 +4740,9 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id IN (0,1,2,3,4) AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
+        """,
+        'compaction_apply': """
+            SELECT doc_id, n_chars, source FROM documents
         """,
         'collated_dedup': """
             WITH u AS (

@@ -223,3 +223,41 @@ def global_row_ids(df: DataFrame, key_cols: list,
                            (F.col('_off') + F.col('_rn') - 1)
                            .cast('long'))
                .drop('_pid', '_rn', '_off'))
+
+
+def compact_parquet_dir(spark, src_dir: str, dst_dir: str,
+                        target_bytes: int) -> dict:
+    """EXECUTE the compaction plan on a real parquet directory: list the
+    small files, assign each to its ``compaction_plan`` group, and
+    rewrite every group as ONE output file. Returns
+    {'n_input_files': ..., 'n_output_files': ..., 'groups': [...]}.
+
+    The rewrite loops over groups on the driver — a bounded
+    metadata-scale loop (group count = total_bytes / target_bytes, the
+    same budget class as the BPE merge loop), with each iteration a
+    fully parallel read of that group's files. Content is preserved
+    exactly: every input row lands in exactly one group because every
+    input FILE does. A production table format wraps this rewrite in a
+    snapshot commit (the DSv2 catalog's overwrite path); on a raw
+    directory the caller swaps dst for src after validation.
+    """
+    import os
+    names = sorted(n for n in os.listdir(src_dir)
+                   if n.endswith('.parquet') and not n.startswith('_'))
+    files = spark.createDataFrame(
+        [('-', i, os.path.getsize(os.path.join(src_dir, n)), n)
+         for i, n in enumerate(names)],
+        'part string, file_id long, size_bytes long, name string')
+    plan = compaction_plan(files, target_bytes)
+    groups = sorted((r['group_id'], r['first_file'], r['last_file'])
+                    for r in plan.collect())
+    out_n = 0
+    for gid, lo, hi in groups:
+        paths = [os.path.join(src_dir, names[i])
+                 for i in range(int(lo), int(hi) + 1)]
+        (spark.read.parquet(*paths).coalesce(1)
+         .write.mode('overwrite')
+         .parquet(os.path.join(dst_dir, 'g%05d' % gid)))
+        out_n += 1
+    return {'n_input_files': len(names), 'n_output_files': out_n,
+            'groups': groups}

@@ -37,3 +37,27 @@ def test_giants_not_colocated(spark):
     if giants:
         # ~6 giants over 12 partitions: no partition should hold most
         assert max(r['count'] for r in giants) <= 3
+
+
+def test_compact_parquet_dir_collapses_files(spark, tmp_path):
+    """Executing the compaction plan: 12 tiny files collapse to the
+    plan's group count, one output file per group, content identical."""
+    import os
+    from mineru_html_spark.functions.layout import compact_parquet_dir
+    src, dst = str(tmp_path / 'src'), str(tmp_path / 'dst')
+    df = spark.range(0, 1200).selectExpr('id AS doc_id',
+                                         'id * 7 AS payload')
+    df.repartition(12).write.parquet(src)
+    total = sum(os.path.getsize(os.path.join(src, n))
+                for n in os.listdir(src) if n.endswith('.parquet'))
+    rep = compact_parquet_dir(spark, src, dst,
+                              target_bytes=total // 4 + 1)
+    assert rep['n_input_files'] == 12
+    assert 3 <= rep['n_output_files'] <= 5      # ~4 offset bins
+    out_files = [os.path.join(r, n)
+                 for r, _, ns in os.walk(dst) for n in ns
+                 if n.endswith('.parquet')]
+    assert len(out_files) == rep['n_output_files']   # ONE file per group
+    back = spark.read.parquet(dst + '/*')
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
