@@ -685,6 +685,23 @@ def q_pyds_full_circle(spark, sf_dir):
                     'status'))
 
 
+def q_badwords_screen(spark, sf_dir):
+    """C4-style badwords document filter. The corpus is clean, so the
+    gate plants blocklisted words deterministically (doc_id % 40 == 0
+    gets a flagged tail, % 40 == 20 gets a SUBSTRING-only decoy that
+    must NOT match — the word-boundary rule under test). Exact SQL
+    oracle shares the alternation verbatim."""
+    from mineru_html_spark.functions.text import badwords_screen
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(F.col('doc_id') % 40 == 0,
+               F.concat('text', F.lit(' visit CASINO jackpot now')))
+         .when(F.col('doc_id') % 40 == 20,
+               F.concat('text', F.lit(' xxxylophone encasinoed')))
+         .otherwise(F.col('text')).alias('text'))
+    return badwords_screen(docs)
+
+
 def q_compaction_apply(spark, sf_dir):
     """The compaction plan EXECUTED on a real small-files directory:
     documents write as 12 tiny parquet files, compact_parquet_dir
@@ -4380,6 +4397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'variant_props': q_variant_props,
         'collated_dedup': q_collated_dedup,
         'compaction_apply': q_compaction_apply,
+        'badwords_screen': q_badwords_screen,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4743,6 +4761,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         'compaction_apply': """
             SELECT doc_id, n_chars, source FROM documents
+        """,
+        'badwords_screen': """
+            WITH d2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 40 = 0
+                          THEN text || ' visit CASINO jackpot now'
+                          WHEN doc_id % 40 = 20
+                          THEN text || ' xxxylophone encasinoed'
+                          ELSE text END AS text
+              FROM documents),
+            x AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text),
+                       '\\b(?:porn|xxx|viagra|casino|jackpot|escort|nude|betting)\\b'))
+                       AS BIGINT) AS n_hits,
+                     coalesce(regexp_extract(lower(text),
+                       '\\b(?:porn|xxx|viagra|casino|jackpot|escort|nude|betting)\\b'),
+                       '') AS first_hit
+              FROM d2)
+            SELECT doc_id, n_hits, first_hit, n_hits = 0 AS keep
+            FROM x
         """,
         'collated_dedup': """
             WITH u AS (

@@ -813,3 +813,32 @@ def with_char_entropy(documents: DataFrame,
             yield pdf
 
     return documents.mapInPandas(batch, out_schema)
+
+
+# Frozen demonstrative spam/adult wordlist — deliberately a SMALL,
+# printable stand-in for the full per-language blocklists the C4
+# pipeline ships (the "badwords" filter); production swaps the file,
+# the operator and oracle are list-agnostic.
+BADWORDS = ('porn', 'xxx', 'viagra', 'casino', 'jackpot', 'escort',
+            'nude', 'betting')
+
+
+def badwords_screen(documents: DataFrame,
+                    words: tuple = BADWORDS) -> DataFrame:
+    """(doc_id, n_hits, first_hit, keep): the C4 badwords rule — drop
+    any document containing a blocklisted WORD (word-boundary match on
+    the lowercased text; substrings inside longer words do not count,
+    so 'scunthorpe'-class false positives are structurally excluded
+    for list entries that are whole words). Native regexp_count /
+    regexp_extract over one alternation — zero shuffles, and the
+    pattern is shared verbatim with the SQL oracle (RE2 \\b in both
+    engines)."""
+    pat = r'\b(?:' + '|'.join(words) + r')\b'
+    low = F.lower('text')
+    n_hits = F.regexp_count(low, F.lit(pat))
+    first = F.regexp_extract(low, pat, 0)
+    return documents.select(
+        'doc_id',
+        n_hits.cast('long').alias('n_hits'),
+        first.alias('first_hit'),
+        (n_hits == 0).alias('keep'))

@@ -2721,3 +2721,22 @@ def test_lsh_recall_certified_against_allpairs_truth(spark):
     assert set(lsh) <= set(truth)
     for p in lsh:
         assert lsh[p] == truth[p]              # same exact verify values
+
+
+def test_badwords_screen_word_boundaries(spark):
+    """The C4 rule: whole-word hits drop the doc; substrings inside
+    longer words never do (scunthorpe-class decoys)."""
+    from mineru_html_spark.functions.text import badwords_screen
+    df = spark.createDataFrame([
+        (1, 'ordinary page about gardening'),
+        (2, 'win at the CASINO tonight'),          # case-insensitive hit
+        (3, 'the encasinoed xxxylophone'),         # substrings only: keep
+        (4, 'porn'),                               # bare word
+        (5, 'jackpot! betting... nude?'),          # punctuation-adjacent
+    ], 'doc_id long, text string')
+    out = {r['doc_id']: r for r in badwords_screen(df).collect()}
+    assert out[1]['keep'] and out[1]['n_hits'] == 0
+    assert not out[2]['keep'] and out[2]['first_hit'] == 'casino'
+    assert out[3]['keep'] and out[3]['n_hits'] == 0
+    assert not out[4]['keep']
+    assert out[5]['n_hits'] == 3 and out[5]['first_hit'] == 'jackpot'
