@@ -685,6 +685,27 @@ def q_pyds_full_circle(spark, sf_dir):
                     'status'))
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized containment join: event value-centi points land in
+    deterministic tier intervals (uneven widths incl. one overlap, so
+    multi-match semantics are exercised) via bucket equi-join + exact
+    re-check — never a nested loop over the fact table (plan-guarded).
+    Oracle is the plain theta join."""
+    from mineru_html_spark.functions.relational import interval_join
+    ev = _events(spark, sf_dir).select(
+        'event_id',
+        F.round(F.col('value') * 100).cast('long').alias('vc'))
+    tiers = spark.createDataFrame(
+        [(1, 0, 1000), (2, 1000, 3000), (3, 3000, 6000),
+         (4, 6000, 10001), (5, 2500, 3500)],   # 5 overlaps 2 and 3
+        'tier_id int, lo long, hi long')
+    out = interval_join(ev, tiers, 'vc', bucket_size=1000)
+    return (out.groupBy('tier_id')
+            .agg(F.count('*').alias('n_events'),
+                 F.sum('vc').alias('sum_vc'),
+                 F.min('event_id').alias('min_event')))
+
+
 def q_badwords_screen(spark, sf_dir):
     """C4-style badwords document filter. The corpus is clean, so the
     gate plants blocklisted words deterministically (doc_id % 40 == 0
@@ -4398,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'collated_dedup': q_collated_dedup,
         'compaction_apply': q_compaction_apply,
         'badwords_screen': q_badwords_screen,
+        'interval_join': q_interval_join,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4761,6 +4783,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         'compaction_apply': """
             SELECT doc_id, n_chars, source FROM documents
+        """,
+        'interval_join': """
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events),
+            tiers(tier_id, lo, hi) AS (VALUES
+              (1, 0, 1000), (2, 1000, 3000), (3, 3000, 6000),
+              (4, 6000, 10001), (5, 2500, 3500))
+            SELECT tier_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vc) AS BIGINT) AS sum_vc,
+                   min(event_id) AS min_event
+            FROM ev JOIN tiers ON ev.vc >= tiers.lo AND ev.vc < tiers.hi
+            GROUP BY 1
         """,
         'badwords_screen': """
             WITH d2 AS (

@@ -204,3 +204,34 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
     pre = big.where(_bloom_probe(F.col(key).cast('string'), wlit,
                                  m_bits, k_hashes, salt))
     return pre.join(small.select(key).distinct(), key, 'left_semi')
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  val_col: str, lo_col: str = 'lo', hi_col: str = 'hi',
+                  bucket_size: int = 1000) -> DataFrame:
+    """Containment join point IN [lo, hi) WITHOUT the nested-loop plan
+    a naive theta join gets — the IP-geolocation / value-tier shape.
+    Each interval EXPANDS to the fixed-width buckets it overlaps (a
+    row-local sequence explode on the small side), points map to their
+    single bucket, and the join becomes an equi-join on bucket id with
+    the exact containment predicate re-applied — so correctness never
+    depends on the bucketing, only the pruning does.
+
+    Scale shape: the expanded interval table is |intervals| *
+    (width/bucket_size) rows — broadcast below the usual dim sizes; the
+    point side gains one integer column and hash-joins. Pick
+    bucket_size near the MEDIAN interval width: too small explodes the
+    dim, too large puts many intervals in one bucket (more re-check
+    work), and either extreme still returns exact results. Overlapping
+    intervals emit one row per containing interval (no dedup — that is
+    the theta join's semantics)."""
+    b_lo = F.floor(F.col(lo_col) / bucket_size).cast('long')
+    b_hi = F.floor((F.col(hi_col) - 1) / bucket_size).cast('long')
+    buckets = intervals.select(
+        '*', F.explode(F.sequence(b_lo, b_hi)).alias('_b'))
+    p = points.withColumn(
+        '_b', F.floor(F.col(val_col) / bucket_size).cast('long'))
+    return (p.join(F.broadcast(buckets), '_b')
+             .where((F.col(val_col) >= F.col(lo_col))
+                    & (F.col(val_col) < F.col(hi_col)))
+             .drop('_b'))

@@ -2740,3 +2740,30 @@ def test_badwords_screen_word_boundaries(spark):
     assert out[3]['keep'] and out[3]['n_hits'] == 0
     assert not out[4]['keep']
     assert out[5]['n_hits'] == 3 and out[5]['first_hit'] == 'jackpot'
+
+
+def test_interval_join_exact_and_no_nested_loop(spark):
+    """Bucketized containment equals the brute theta join on uneven +
+    overlapping intervals across bucket sizes, and the fact side never
+    enters a nested-loop join."""
+    from mineru_html_spark.functions.relational import interval_join
+    pts = spark.range(0, 500).select(
+        F.col('id').alias('pid'), ((F.col('id') * 37) % 997).alias('v'))
+    iv = spark.createDataFrame(
+        [(1, 0, 100), (2, 100, 500), (3, 450, 700), (4, 700, 997),
+         (5, 0, 997)],
+        'tier int, lo long, hi long')
+    brute = sorted((r['pid'], r['tier']) for r in
+                   pts.crossJoin(iv)
+                   .where('v >= lo AND v < hi')
+                   .select('pid', 'tier').collect())
+    for b in (10, 100, 2000):
+        got = sorted((r['pid'], r['tier']) for r in
+                     interval_join(pts, iv, 'v', bucket_size=b)
+                     .select('pid', 'tier').collect())
+        assert got == brute, b
+    plan = interval_join(pts, iv, 'v', bucket_size=100) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert 'CartesianProduct' not in plan
