@@ -217,6 +217,35 @@ def q_dsv2_days_partition(spark, sf_dir):
                       .cast('long').alias('payload_chk')))
 
 
+def q_dsv2_time_travel(spark, sf_dir):
+    """TIME TRAVEL on the DSv2 catalog: data files are immutable and
+    every commit appends a snapshot manifest, so a reader pinned to
+    ``option('snapshot-id', '1')`` sees the pre-overwrite table exactly
+    while the latest read sees the overwrite — both certified in ONE
+    gated frame (snap column 1/2) against an exact SQL reconstruction.
+    Snapshot EXPIRATION (keep-current, loud error on expired reads) is
+    exercised in the contract test, where the filesystem is visible."""
+    _ensure_tiny_catalog(spark)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    tbl = f'tiny.default.tt_docs_{sfkey}'
+    spark.sql(f'DROP TABLE IF EXISTS {tbl}')
+    w1 = _docs(spark, sf_dir).select(
+        (F.col('doc_id') % 8).cast('int').alias('part_id'),
+        'doc_id', F.md5('text').alias('payload'))
+    w1.writeTo(tbl).partitionedBy(F.col('part_id')).create()  # snap 1
+    (w1.where(F.col('part_id') < 4)
+       .withColumn('payload', F.md5('payload'))
+       .writeTo(tbl).overwritePartitions())                   # snap 2
+    s1 = (spark.read.option('snapshot-id', '1').table(tbl)
+          .withColumn('snap', F.lit(1)))
+    s2 = spark.table(tbl).withColumn('snap', F.lit(2))
+    return (s1.unionByName(s2)
+            .groupBy('snap', 'part_id')
+            .agg(F.count('*').alias('n_docs'),
+                 F.min('payload').alias('min_payload'),
+                 F.max('payload').alias('max_payload')))
+
+
 def q_dsv2_sink_roundtrip(spark, sf_dir):
     """The IcebergSink commit path as a GATED query (it was test-only
     before): a wave derived from the documents table commits through
@@ -4420,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'compaction_apply': q_compaction_apply,
         'badwords_screen': q_badwords_screen,
         'interval_join': q_interval_join,
+        'dsv2_time_travel': q_dsv2_time_travel,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4783,6 +4813,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         'compaction_apply': """
             SELECT doc_id, n_chars, source FROM documents
+        """,
+        'dsv2_time_travel': """
+            WITH base AS (
+              SELECT CAST(doc_id % 8 AS INTEGER) AS part_id, doc_id,
+                     md5(text) AS payload
+              FROM documents),
+            s1 AS (SELECT 1 AS snap, part_id, payload FROM base),
+            s2 AS (
+              SELECT 2 AS snap, part_id,
+                     CASE WHEN part_id < 4 THEN md5(payload)
+                          ELSE payload END AS payload
+              FROM base),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+            SELECT snap, part_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(payload) AS min_payload,
+                   max(payload) AS max_payload
+            FROM u GROUP BY 1, 2
         """,
         'interval_join': """
             WITH ev AS (

@@ -257,6 +257,71 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     } catch (IOException e) { throw new RuntimeException(e); }
   }
 
+  // ----- snapshot manifest (time travel) ---------------------------------
+  // _snapshots: one line per snapshot, "<id>:<comma-joined d_*.tsv names>".
+  // Data files are IMMUTABLE once published; a commit appends a new line
+  // instead of deleting replaced files, so any still-referenced snapshot
+  // reads back exactly (snapshot isolation). expire (driver-side python
+  // maintenance) drops old lines and the files only they reference.
+
+  static List<String[]> readSnapshots(File dir) {
+    File f = new File(dir, "_snapshots");
+    List<String[]> out = new ArrayList<>();
+    if (!f.exists()) return out;
+    try (BufferedReader r = new BufferedReader(
+        new FileReader(f, StandardCharsets.UTF_8))) {
+      String line;
+      while ((line = r.readLine()) != null) {
+        if (line.isEmpty()) continue;
+        int c = line.indexOf(':');
+        String id = line.substring(0, c);
+        String rest = line.substring(c + 1);
+        List<String> names = new ArrayList<>();
+        names.add(id);
+        if (!rest.isEmpty()) {
+          names.addAll(Arrays.asList(rest.split(",")));
+        }
+        out.add(names.toArray(new String[0]));
+      }
+    } catch (IOException e) { throw new RuntimeException(e); }
+    return out;
+  }
+
+  static void appendSnapshot(File dir, long id, List<String> files) {
+    try (BufferedWriter w = new BufferedWriter(new FileWriter(
+        new File(dir, "_snapshots"), StandardCharsets.UTF_8, true))) {
+      w.write(id + ":" + String.join(",", files) + "\n");
+    } catch (IOException e) { throw new RuntimeException(e); }
+  }
+
+  // files of the newest snapshot; directory-listing fallback for a table
+  // directory that predates the manifest (never both: the first commit
+  // on a legacy dir snapshots the listing it replaces)
+  static List<String> currentFiles(File dir) {
+    List<String[]> snaps = readSnapshots(dir);
+    if (!snaps.isEmpty()) {
+      String[] last = snaps.get(snaps.size() - 1);
+      return new ArrayList<>(
+          Arrays.asList(last).subList(1, last.length));
+    }
+    File[] fs = dir.listFiles(
+        (d, n) -> n.startsWith("d_") && n.endsWith(".tsv"));
+    List<String> out = new ArrayList<>();
+    if (fs != null) for (File f : fs) out.add(f.getName());
+    java.util.Collections.sort(out);
+    return out;
+  }
+
+  static List<String> snapshotFiles(File dir, String id) {
+    for (String[] s : readSnapshots(dir)) {
+      if (s[0].equals(id)) {
+        return new ArrayList<>(Arrays.asList(s).subList(1, s.length));
+      }
+    }
+    throw new IllegalArgumentException(
+        "snapshot not found (expired?): " + id);
+  }
+
   // partition values are embedded in data-file names between '_'
   // separators; URL-encoding leaves '_' unescaped, so a value like
   // "run_1" would truncate at parse time — hex-encode instead
@@ -328,7 +393,8 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-      return new TinyScanBuilder(dir, schema);
+      return new TinyScanBuilder(dir, schema,
+          options.get("snapshot-id"));
     }
 
     @Override
@@ -401,37 +467,40 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public void commit(WriterCommitMessage[] messages) {
-      // the snapshot commit: collect touched partitions, drop their old
-      // files under dynamic overwrite (or all files under truncate),
-      // then publish the new files — all driver-side, like a real
-      // table-format metadata swap at directory granularity
+      // the snapshot commit, Iceberg-style: data files are IMMUTABLE —
+      // instead of deleting replaced files, the new snapshot's manifest
+      // simply stops referencing them (truncate drops all, dynamic
+      // drops the touched partitions), so older snapshots keep reading
+      // exactly (time travel) until an explicit expire. All
+      // driver-side: one manifest append is the whole metadata swap.
       Set<String> touched = new HashSet<>();
       for (WriterCommitMessage m : messages) {
         if (m != null) touched.addAll(((TinyCommitMessage) m).files.values());
       }
-      File[] existing = dir.listFiles(
-          (d, n) -> n.startsWith("d_") && n.endsWith(".tsv"));
-      if (existing != null) {
-        for (File f : existing) {
-          String part = f.getName().split("_", 3)[1];
-          if (mode.equals("truncate")
-              || (mode.equals("dynamic") && touched.contains(part))) {
-            f.delete();
-          }
-        }
+      List<String> next = new ArrayList<>();
+      for (String name : currentFiles(dir)) {
+        String part = name.split("_", 3)[1];
+        boolean replaced = mode.equals("truncate")
+            || (mode.equals("dynamic") && touched.contains(part));
+        if (!replaced) next.add(name);
       }
       for (WriterCommitMessage m : messages) {
         if (m == null) continue;
         for (Map.Entry<String, String> e
             : ((TinyCommitMessage) m).files.entrySet()) {
           File src = new File(e.getKey());
-          File dst = new File(dir, "d_" + e.getValue() + "_"
-              + UUID.randomUUID() + ".tsv");
-          if (!src.renameTo(dst)) {
+          String name = "d_" + e.getValue() + "_"
+              + UUID.randomUUID() + ".tsv";
+          if (!src.renameTo(new File(dir, name))) {
             throw new RuntimeException("publish failed: " + src);
           }
+          next.add(name);
         }
       }
+      List<String[]> snaps = readSnapshots(dir);
+      long id = snaps.isEmpty() ? 1
+          : Long.parseLong(snaps.get(snaps.size() - 1)[0]) + 1;
+      appendSnapshot(dir, id, next);
     }
 
     @Override
@@ -553,22 +622,25 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
   static class TinyScanBuilder implements ScanBuilder {
     final File dir;
     final StructType schema;
+    final String snapshotId;        // null = latest
 
-    TinyScanBuilder(File dir, StructType schema) {
+    TinyScanBuilder(File dir, StructType schema, String snapshotId) {
       this.dir = dir;
       this.schema = schema;
+      this.snapshotId = snapshotId;
     }
 
     @Override
     public Scan build() {
       final File d = dir;
       final StructType s = schema;
+      final String snap = snapshotId;
       return new Scan() {
         @Override
         public StructType readSchema() { return s; }
 
         @Override
-        public Batch toBatch() { return new TinyBatch(d, s); }
+        public Batch toBatch() { return new TinyBatch(d, s, snap); }
       };
     }
   }
@@ -581,21 +653,26 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
   static class TinyBatch implements Batch {
     final File dir;
     final StructType schema;
+    final String snapshotId;
 
-    TinyBatch(File dir, StructType schema) {
+    TinyBatch(File dir, StructType schema, String snapshotId) {
       this.dir = dir;
       this.schema = schema;
+      this.snapshotId = snapshotId;
     }
 
     @Override
     public InputPartition[] planInputPartitions() {
-      File[] fs = dir.listFiles(
-          (d, n) -> n.startsWith("d_") && n.endsWith(".tsv"));
-      if (fs == null) return new InputPartition[0];
-      Arrays.sort(fs);
-      InputPartition[] out = new InputPartition[fs.length];
-      for (int i = 0; i < fs.length; i++) {
-        out[i] = new TinyInputPartition(fs[i].getAbsolutePath());
+      // snapshot-scoped planning: the manifest (latest, or the
+      // requested snapshot-id) decides the file set — published files
+      // a newer snapshot replaced stay on disk but are not planned
+      List<String> names = snapshotId == null
+          ? currentFiles(dir) : snapshotFiles(dir, snapshotId);
+      java.util.Collections.sort(names);
+      InputPartition[] out = new InputPartition[names.size()];
+      for (int i = 0; i < names.size(); i++) {
+        out[i] = new TinyInputPartition(
+            new File(dir, names.get(i)).getAbsolutePath());
       }
       return out;
     }

@@ -129,3 +129,43 @@ class IcebergSink(ResultSink):
 
     def read_results(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.results_table)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Iceberg-style snapshot expiration for a TinyCatalog table
+    directory: keep the newest ``keep_last`` manifest lines (snapshot
+    ids are stable — lines carry explicit ids), delete every data file
+    referenced ONLY by expired snapshots, and rewrite ``_snapshots``.
+    Returns {'kept_ids': [...], 'removed_files': n}.
+
+    The safety contract mirrors the real thing: the CURRENT snapshot
+    is never expirable (keep_last >= 1 enforced), files shared with a
+    kept snapshot survive, and a reader pinned to an expired id gets a
+    loud 'snapshot not found (expired?)' from the scan — never silent
+    partial data."""
+    import os
+    keep_last = max(1, keep_last)
+    mf = os.path.join(table_dir, '_snapshots')
+    if not os.path.exists(mf):
+        return {'kept_ids': [], 'removed_files': 0}
+    lines = [ln for ln in open(mf, encoding='utf-8').read().splitlines()
+             if ln]
+    kept, expired = lines[-keep_last:], lines[:-keep_last]
+
+    def files_of(ln):
+        rest = ln.split(':', 1)[1]
+        return set(rest.split(',')) if rest else set()
+
+    keep_files = set().union(*(files_of(ln) for ln in kept)) \
+        if kept else set()
+    removed = 0
+    for ln in expired:
+        for name in files_of(ln) - keep_files:
+            p = os.path.join(table_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+    with open(mf, 'w', encoding='utf-8') as fh:
+        fh.write('\n'.join(kept) + '\n')
+    return {'kept_ids': [ln.split(':', 1)[0] for ln in kept],
+            'removed_files': removed}

@@ -115,6 +115,30 @@ spark.createDataFrame([(9, t(1, 12), 90.5)],
 ids = sorted(r['event_id']
              for r in spark.table('tiny.default.ev_by_day').collect())
 assert ids == [3, 9], ids
+
+# TIME TRAVEL + EXPIRATION: the overwrite above appended snapshot 2;
+# snapshot 1 must still read the pre-overwrite table exactly, expire
+# keeps the current snapshot and physically removes files only older
+# snapshots referenced, and a pinned read of the expired id fails LOUD
+tt1 = sorted(r['event_id'] for r in
+             spark.read.option('snapshot-id', '1')
+             .table('tiny.default.ev_by_day').collect())
+assert tt1 == [1, 2, 3], tt1
+from mineru_html_spark.plans.sinks import expire_snapshots
+tdir = os.path.join(wh, 'default.ev_by_day')
+n_before = len([n for n in os.listdir(tdir) if n.startswith('d_')])
+rep = expire_snapshots(tdir, keep_last=1)
+assert rep['kept_ids'] == ['2'], rep
+n_after = len([n for n in os.listdir(tdir) if n.startswith('d_')])
+assert rep['removed_files'] >= 1 and n_after < n_before
+assert sorted(r['event_id'] for r in
+              spark.table('tiny.default.ev_by_day').collect()) == [3, 9]
+try:
+    spark.read.option('snapshot-id', '1') \
+        .table('tiny.default.ev_by_day').collect()
+    raise SystemExit('expired snapshot read must fail')
+except Exception as e:
+    assert 'snapshot not found' in str(e), str(e)[:200]
 spark.stop()
 print('TINY-CATALOG-CONTRACT-OK')
 '''
