@@ -246,6 +246,35 @@ def q_dsv2_time_travel(spark, sf_dir):
                  F.max('payload').alias('max_payload')))
 
 
+def q_dsv2_incremental_read(spark, sf_dir):
+    """INCREMENTAL (append-CDC) reads on the DSv2 catalog: wave A
+    creates snapshot 1, wave B appends snapshot 2, and a reader passing
+    ``start-snapshot-id=1`` plans ONLY the files snapshot 2 added — the
+    Iceberg incremental-scan contract that lets a downstream consumer
+    process each ingest wave exactly once without its own bookkeeping.
+    The gate unions the incremental read (labeled) with the full read,
+    certified against an exact SQL reconstruction of both."""
+    _ensure_tiny_catalog(spark)
+    sfkey = os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')
+    tbl = f'tiny.default.inc_docs_{sfkey}'
+    spark.sql(f'DROP TABLE IF EXISTS {tbl}')
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', (F.col('doc_id') % 2 == 0).alias('is_a'),
+        F.col('n_chars'))
+    a = docs.where('is_a').select('doc_id', 'n_chars')
+    b = docs.where('NOT is_a').select('doc_id', 'n_chars')
+    a.writeTo(tbl).create()                      # snapshot 1
+    b.writeTo(tbl).append()                      # snapshot 2
+    inc = (spark.read.option('start-snapshot-id', '1').table(tbl)
+           .withColumn('which', F.lit('delta')))
+    full = spark.table(tbl).withColumn('which', F.lit('full'))
+    return (inc.unionByName(full)
+            .groupBy('which')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('doc_id').alias('sum_ids'),
+                 F.sum('n_chars').alias('sum_chars')))
+
+
 def q_dsv2_sink_roundtrip(spark, sf_dir):
     """The IcebergSink commit path as a GATED query (it was test-only
     before): a wave derived from the documents table commits through
@@ -4450,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'badwords_screen': q_badwords_screen,
         'interval_join': q_interval_join,
         'dsv2_time_travel': q_dsv2_time_travel,
+        'dsv2_incremental_read': q_dsv2_incremental_read,
         'chunk_docs': q_chunk_docs,
         'corpus_quantiles': q_corpus_quantiles,
         # --- certified in r3 but rotated out of r4's 50 ---
@@ -4813,6 +4843,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         'compaction_apply': """
             SELECT doc_id, n_chars, source FROM documents
+        """,
+        'dsv2_incremental_read': """
+            WITH labeled AS (
+              SELECT 'delta' AS which, doc_id, n_chars
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT 'full', doc_id, n_chars FROM documents)
+            SELECT which,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM labeled GROUP BY 1
         """,
         'dsv2_time_travel': """
             WITH base AS (

@@ -394,7 +394,8 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     @Override
     public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
       return new TinyScanBuilder(dir, schema,
-          options.get("snapshot-id"));
+          options.get("snapshot-id"),
+          options.get("start-snapshot-id"));
     }
 
     @Override
@@ -622,12 +623,15 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
   static class TinyScanBuilder implements ScanBuilder {
     final File dir;
     final StructType schema;
-    final String snapshotId;        // null = latest
+    final String snapshotId;        // null = latest (as-of read)
+    final String startSnapshotId;   // non-null = incremental read
 
-    TinyScanBuilder(File dir, StructType schema, String snapshotId) {
+    TinyScanBuilder(File dir, StructType schema, String snapshotId,
+                    String startSnapshotId) {
       this.dir = dir;
       this.schema = schema;
       this.snapshotId = snapshotId;
+      this.startSnapshotId = startSnapshotId;
     }
 
     @Override
@@ -635,12 +639,13 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
       final File d = dir;
       final StructType s = schema;
       final String snap = snapshotId;
+      final String start = startSnapshotId;
       return new Scan() {
         @Override
         public StructType readSchema() { return s; }
 
         @Override
-        public Batch toBatch() { return new TinyBatch(d, s, snap); }
+        public Batch toBatch() { return new TinyBatch(d, s, snap, start); }
       };
     }
   }
@@ -654,20 +659,30 @@ public class TinyCatalog implements TableCatalog, SupportsNamespaces {
     final File dir;
     final StructType schema;
     final String snapshotId;
+    final String startSnapshotId;
 
-    TinyBatch(File dir, StructType schema, String snapshotId) {
+    TinyBatch(File dir, StructType schema, String snapshotId,
+              String startSnapshotId) {
       this.dir = dir;
       this.schema = schema;
       this.snapshotId = snapshotId;
+      this.startSnapshotId = startSnapshotId;
     }
 
     @Override
     public InputPartition[] planInputPartitions() {
       // snapshot-scoped planning: the manifest (latest, or the
       // requested snapshot-id) decides the file set — published files
-      // a newer snapshot replaced stay on disk but are not planned
+      // a newer snapshot replaced stay on disk but are not planned.
+      // start-snapshot-id flips to an INCREMENTAL read: only the files
+      // the end snapshot added relative to the start (append-CDC; for
+      // overwrites this is the newly written data, not a diff of rows)
       List<String> names = snapshotId == null
           ? currentFiles(dir) : snapshotFiles(dir, snapshotId);
+      if (startSnapshotId != null) {
+        names = new ArrayList<>(names);
+        names.removeAll(snapshotFiles(dir, startSnapshotId));
+      }
       java.util.Collections.sort(names);
       InputPartition[] out = new InputPartition[names.size()];
       for (int i = 0; i < names.size(); i++) {
