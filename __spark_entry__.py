@@ -2059,6 +2059,17 @@ def q_dup_doc_filter(spark, sf_dir):
                                 max_dup_permille=500)
 
 
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr (Lee et al. 2022): maximal MERGED duplicate word
+    spans — every 10-word window occurring >= 2 times corpus-wide,
+    overlapping windows fused into one interval per doc. Hash+int-only
+    shuffles; the merge is gaps-and-islands over per-doc ints. The
+    synthetic corpus's shared template boilerplate yields real spans."""
+    from mineru_html_spark.functions.corpus import exact_substr_spans
+    return exact_substr_spans(_docs(spark, sf_dir), k=10,
+                              min_occurrences=2)
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """C4's exact-duplication TRANSFORM: every word covered by a
     10-gram occurring >= 2 times corpus-wide is deleted (not the doc —
@@ -4353,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FAILURES: none) covers them every round regardless of order.
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
+        'exact_substr_spans': q_exact_substr_spans,
         'extract_markdown': q_extract_markdown,
         'tpch_q6': q_tpch_q6,
         'tpch_q10': q_tpch_q10,
@@ -6747,6 +6759,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(1000 * n_dup / n_shingles) <= 500
                    END AS keep
             FROM r
+        """,
+        'exact_substr_spans': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            e AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(list_slice(w, i+1, i+10), ' '))
+                         AS h
+              FROM (SELECT doc_id, w,
+                           unnest(range(0, greatest(len(w) - 9, 0))) AS i
+                    FROM w)),
+            dup AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+            hit AS (SELECT DISTINCT e.doc_id, e.i
+                    FROM e JOIN dup USING (h)),
+            g AS (SELECT doc_id, i,
+                         CASE WHEN i - lag(i) OVER (
+                                PARTITION BY doc_id ORDER BY i) > 10
+                              THEN 1 ELSE 0 END AS brk
+                  FROM hit),
+            isl AS (SELECT doc_id, i,
+                           sum(brk) OVER (
+                             PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS island
+                    FROM g)
+            SELECT doc_id,
+                   CAST(min(i) AS BIGINT) AS span_start,
+                   CAST(max(i) + 9 AS BIGINT) AS span_end,
+                   CAST(max(i) + 10 - min(i) AS BIGINT) AS span_words
+            FROM isl GROUP BY doc_id, island
         """,
         'remove_dup_spans': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

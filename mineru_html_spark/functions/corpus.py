@@ -619,6 +619,66 @@ def remove_dup_spans(documents: DataFrame, n: int = 10,
          .alias('clean_text'))
 
 
+def exact_substr_spans(documents: DataFrame, k: int = 10,
+                       min_occurrences: int = 2) -> DataFrame:
+    """(doc_id, span_start, span_end, span_words): MAXIMAL duplicated
+    word spans — the ExactSubstr pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", §3.1) re-expressed over
+    word windows: any length-``k`` word window whose text occurs
+    >= ``min_occurrences`` times corpus-wide is duplicated, and all
+    overlapping-or-touching duplicated windows in a document MERGE into
+    one maximal span (the paper removes exactly these maximal spans;
+    its suffix-array machinery is a single-node way to find them — the
+    windowed-hash + interval-merge shape below is the distributed one).
+    Distinct from ``remove_dup_spans`` (C4), which emits a word-drop
+    MASK; this emits the span intervals themselves — what you feed a
+    span-removal writer, an audit UI, or a contamination report.
+
+    Scale shape: windows are hashed row-local and exploded as
+    (doc_id, i:int, h:md5) — hash+position only, text never leaves its
+    row; the duplicate set is one count aggregate on h (map-side
+    partial); hits come back through a LEFT SEMI join (hash-only);
+    the interval merge is gaps-and-islands over a per-doc window of
+    INTEGERS (break where i - lag(i) > k, i.e. coverage would leave an
+    uncovered word), so the one per-doc exchange carries two ints per
+    duplicated window — at 10^12 docs this is the smallest shuffle in
+    the family. No HOF captures any O(len) expression (the audit's
+    rule): the word array is materialized behind a select boundary.
+    """
+    docs = documents.select('doc_id', _words().alias('w'))
+    w = F.col('w')
+    wins = F.when(
+        F.size(w) < k, F.array().cast('array<struct<i:int,h:string>>')
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(w) - k),
+                    lambda i: F.struct(
+                        i.cast('int').alias('i'),
+                        F.md5(F.array_join(F.slice(w, i + 1, k), ' '))
+                         .alias('h'))))
+    ex = (docs.select('doc_id', F.explode(wins).alias('x'))
+          .select('doc_id', F.col('x.i').alias('i'),
+                  F.col('x.h').alias('h')))
+    dup = (ex.groupBy('h').agg(F.count('*').alias('_n'))
+           .where(F.col('_n') >= min_occurrences).select('h'))
+    hits = ex.join(dup, 'h', 'left_semi').select('doc_id', 'i')
+    win = Window.partitionBy('doc_id').orderBy('i')
+    marked = hits.select(
+        'doc_id', 'i',
+        F.when(F.col('i') - F.lag('i').over(win) > k, F.lit(1))
+         .otherwise(F.lit(0)).alias('brk'))
+    isl = marked.select(
+        'doc_id', 'i',
+        F.sum('brk').over(
+            win.rowsBetween(Window.unboundedPreceding, 0))
+         .alias('island'))
+    return (isl.groupBy('doc_id', 'island')
+            .agg(F.min('i').cast('long').alias('span_start'),
+                 (F.max('i') + k - 1).cast('long').alias('span_end'),
+                 (F.max('i') + k - F.min('i')).cast('long')
+                  .alias('span_words'))
+            .select('doc_id', 'span_start', 'span_end', 'span_words'))
+
+
 def phrase_detect(documents: DataFrame, delta: int = 5, k: int = 100,
                   min_count: int = 5) -> DataFrame:
     """(bigram, n_ab, n_a, n_b, score_micro): Mikolov et al. (2013)

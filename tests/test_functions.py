@@ -818,6 +818,39 @@ def test_remove_dup_spans(spark):
     assert rows[4]['clean_text'] == 'twice in one doc'
 
 
+def test_exact_substr_spans_merges_maximal(spark):
+    """ExactSubstr interval semantics: overlapping duplicated windows
+    merge into ONE maximal span; disjoint duplicated regions stay
+    separate spans; clean docs emit nothing."""
+    from mineru_html_spark.functions.corpus import exact_substr_spans
+    boiler = ('w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15')
+    other = 'x1 x2 x3 x4 x5 x6 x7 x8 x9 x10'
+    df = spark.createDataFrame([
+        # 15 shared words => windows at i=0..5 of the boiler region all
+        # duplicated => one maximal span of 15 words
+        (1, f'{boiler} tail unique alpha'),
+        (2, f'head {boiler} more unique beta'),
+        # two disjoint duplicated regions => two spans
+        (3, f'{boiler} gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 '
+            f'gap10 gap11 {other}'),
+        (4, f'{other} closing words'),
+        (5, 'entirely novel text with no shared ten gram at all'),
+    ], 'doc_id long, text string')
+    spans = exact_substr_spans(df, k=10, min_occurrences=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r['doc_id'], []).append(
+            (r['span_start'], r['span_end'], r['span_words']))
+    # doc 1: boiler at words 0..14 -> one merged span of 15 words
+    assert by_doc[1] == [(0, 14, 15)]
+    # doc 2: boiler shifted by the 1-word head
+    assert by_doc[2] == [(1, 15, 15)]
+    # doc 3: boiler span then the disjoint 10-word `other` span
+    assert sorted(by_doc[3]) == [(0, 14, 15), (26, 35, 10)]
+    assert by_doc[4] == [(0, 9, 10)]
+    assert 5 not in by_doc
+
+
 def test_asof_join(spark):
     """Union + carry-forward-window as-of semantics: most recent right
     row at-or-before each left timestamp, per key; equal timestamps are
