@@ -2059,6 +2059,31 @@ def q_dup_doc_filter(spark, sf_dir):
                                 max_dup_permille=500)
 
 
+# deterministic mojibake plant for the encoding-repair gate: 2-, 3- and
+# 4-byte UTF-8 sequences (em-dash family, accented latin, curly quotes,
+# ellipsis, an astral emoji) — every byte class of the RFC 3629 table
+_MOJI_SUFFIX = ' — café naïve “quotes” … déjà vu 🚀'
+_MOJI_MARKERS = sum(1 for c in _MOJI_SUFFIX if ord(c) > 127)
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-core encoding repair (UTF-8 read as Latin-1), gated on a
+    deterministic plant: 2/3 of docs get an ASCII corpus row mojibake'd
+    with a suffix covering 2-/3-/4-byte sequences; repair must restore
+    the exact original (md5), leave clean docs untouched, and never
+    false-positive. Pure native projection — zero UDFs, zero shuffles."""
+    from mineru_html_spark.functions.text import fix_mojibake
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    corrupted = F.when(
+        F.col('doc_id') % 3 != 0,
+        F.decode(F.encode(F.concat('text', F.lit(_MOJI_SUFFIX)),
+                          'UTF-8'), 'ISO-8859-1')
+    ).otherwise(F.col('text'))
+    out = fix_mojibake(docs.select('doc_id', corrupted.alias('text')))
+    return out.select('doc_id', 'was_mojibake', 'n_markers',
+                      F.md5('text_fixed').alias('repaired_md5'))
+
+
 def q_exact_substr_spans(spark, sf_dir):
     """ExactSubstr (Lee et al. 2022): maximal MERGED duplicate word
     spans — every 10-word window occurring >= 2 times corpus-wide,
@@ -4365,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'exact_substr_spans': q_exact_substr_spans,
+        'mojibake_repair': q_mojibake_repair,
         'extract_markdown': q_extract_markdown,
         'tpch_q6': q_tpch_q6,
         'tpch_q10': q_tpch_q10,
@@ -6759,6 +6785,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(1000 * n_dup / n_shingles) <= 500
                    END AS keep
             FROM r
+        """,
+        'mojibake_repair': f"""
+            SELECT doc_id,
+                   (doc_id % 3 != 0) AS was_mojibake,
+                   CAST(CASE WHEN doc_id % 3 != 0
+                             THEN {_MOJI_MARKERS} ELSE 0 END
+                        AS BIGINT) AS n_markers,
+                   md5(CASE WHEN doc_id % 3 != 0
+                            THEN text || '{_MOJI_SUFFIX}'
+                            ELSE text END) AS repaired_md5
+            FROM documents
         """,
         'exact_substr_spans': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

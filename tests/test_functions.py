@@ -818,6 +818,32 @@ def test_remove_dup_spans(spark):
     assert rows[4]['clean_text'] == 'twice in one doc'
 
 
+def test_fix_mojibake(spark):
+    """Encoding repair: UTF-8-as-Latin-1 restores byte-exactly across
+    2/3/4-byte sequences; genuine accented prose, pure ASCII and
+    non-UTF-8 Latin-1 byte salad are all left untouched (and the
+    strict guard keeps Spark 4's charset kernels from throwing)."""
+    from mineru_html_spark.functions.text import fix_mojibake
+    orig = 'café — naïve “q” … déjà 🚀 end'
+    moji = orig.encode('utf-8').decode('latin-1')
+    rows = {r['doc_id']: r for r in fix_mojibake(spark.createDataFrame([
+        (1, moji),
+        (2, 'plain ascii only'),
+        (3, 'genuine café résumé, real accents'),   # é + ASCII follower
+        (4, 'ÿþ broken lead bytes'),      # not UTF-8
+        (5, 'mixed — em-dash plus moji Ã©'),        # >U+00FF char present
+    ], 'doc_id long, text string')).collect()}
+    assert rows[1]['was_mojibake'] and rows[1]['text_fixed'] == orig
+    # one marker per multibyte char: —, ï, “, ”, …, é, à, 🚀
+    n_multi = sum(1 for c in orig if ord(c) > 127)
+    assert rows[1]['n_markers'] == n_multi
+    for d in (2, 3, 4, 5):
+        assert not rows[d]['was_mojibake']
+        assert rows[d]['n_markers'] == 0
+    assert rows[3]['text_fixed'] == 'genuine café résumé, real accents'
+    assert rows[4]['text_fixed'].endswith('broken lead bytes')
+
+
 def test_exact_substr_spans_merges_maximal(spark):
     """ExactSubstr interval semantics: overlapping duplicated windows
     merge into ONE maximal span; disjoint duplicated regions stay
