@@ -312,3 +312,25 @@ def test_bootstrap_folds_weights_map_side(spark, entry):
              if 'Exchange hashpartitioning' in ln)
     assert any('partial_sum' in ln for ln in lines[ex:]), p
     assert p.count('Exchange hashpartitioning') == 1
+
+
+def test_mojibake_repair_is_exchange_free(spark, entry):
+    """The encoding repair is a pure projection: no exchange of any
+    kind, no Python stage — it must run at scan speed."""
+    p = plan_of(entry.q_mojibake_repair(spark, SF))
+    assert 'Exchange' not in p
+    assert 'MapInPandas' not in p and 'ArrowEvalPython' not in p
+
+
+def test_exact_substr_exchanges_carry_ints_not_text(spark, entry):
+    """ExactSubstr's exchanges move (hash, doc_id, position int) rows
+    only — document text never crosses a stage boundary — and the
+    duplicate filter joins back LEFT SEMI, never a full join."""
+    p = plan_of(entry.q_exact_substr_spans(spark, SF))
+    assert 'CartesianProduct' not in p
+    assert 'LeftSemi' in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if 'Exchange hashpartitioning' in ln:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ''
+            assert 'text#' not in ln and 'text#' not in nxt, ln
