@@ -26,6 +26,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..core.tokens import BPE_TOKEN_PATTERN
 from .avi import decode_avi_mjpeg, encode_avi_mjpeg
 from .gif import decode_gif, encode_gif
 from .jpeg import (decode_jpeg, encode_jpeg_baseline,
@@ -489,6 +490,89 @@ def interleave_pairs(results: DataFrame, window: int = 120) -> DataFrame:
                      F.col('p.img_offset').alias('img_offset'),
                      before.alias('before_text'),
                      a.substr(F.lit(1), F.lit(window)).alias('after_text'))
+
+
+def assemble_interleaved_sequences(results: DataFrame,
+                                   budget: int = 2048,
+                                   image_tokens: int = 64) -> DataFrame:
+    """(doc_id, seq_id, n_spans, n_images, n_text_tokens, total_tokens):
+    cut each document's ordered interleaved span sequence into
+    consecutive TRAINING SEQUENCES under a token budget — the
+    OBELICS/MMC4-style sample-assembly step that turns extracted
+    interleaved documents into what a multimodal trainer actually
+    consumes. Text spans cost their BPE-ish token count; every image
+    span costs a fixed ``image_tokens`` slot (the vision encoder's
+    patch-token budget). The cut is GREEDY at span boundaries: a span
+    that would overflow a non-empty sequence starts the next one; an
+    oversized single span occupies a sequence alone (flagged by
+    total_tokens > budget, never silently split or dropped — chunking
+    oversized text is ``chunk_docs``' job upstream).
+
+    Precondition: ``spans`` is offset-ordered (the engine's O1
+    invariant — offsets are the emission order by construction).
+
+    Scale shape: the greedy fold runs ROW-LOCAL as one native
+    ``F.aggregate`` over the spans array (the per-span token count is
+    computed on the lambda ELEMENT, not a captured column — no O(n^2)
+    recompute), followed by one posexplode. Zero UDFs, zero shuffles,
+    zero joins: sample assembly runs at scan speed on 10^12 docs. The
+    running ``concat`` of per-sequence summaries copies O(n_seqs) per
+    span — quadratic only in SEQUENCE count, bounded by
+    tokens/budget (a 2.5M-token outlier at budget 2048 is ~1.2k
+    4-long structs — noise)."""
+    cost = lambda s: F.when(  # noqa: E731
+        s['kind'] == 'image', F.lit(image_tokens).cast('long')
+    ).otherwise(F.size(F.regexp_extract_all(
+        F.coalesce(s['text'], F.lit('')),
+        F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast('long'))
+    seq_t = ('array<struct<n_spans:bigint,n_images:bigint,'
+             'n_text_tokens:bigint,total_tokens:bigint>>')
+    zero = F.struct(
+        F.expr(f"CAST(array() AS {seq_t})").alias('done'),
+        F.lit(0).cast('long').alias('cur_n'),
+        F.lit(0).cast('long').alias('cur_img'),
+        F.lit(0).cast('long').alias('cur_txt'),
+        F.lit(0).cast('long').alias('cur_tot'))
+
+    def merge(acc, s):
+        c = cost(s)
+        is_img = (s['kind'] == 'image').cast('long')
+        brk = (acc['cur_n'] > 0) & (acc['cur_tot'] > 0) \
+            & (acc['cur_tot'] + c > budget)
+        closed = F.struct(acc['cur_n'].alias('n_spans'),
+                          acc['cur_img'].alias('n_images'),
+                          acc['cur_txt'].alias('n_text_tokens'),
+                          acc['cur_tot'].alias('total_tokens'))
+        return F.struct(
+            F.when(brk, F.concat(acc['done'], F.array(closed)))
+             .otherwise(acc['done']).alias('done'),
+            F.when(brk, F.lit(1).cast('long'))
+             .otherwise(acc['cur_n'] + 1).alias('cur_n'),
+            F.when(brk, is_img)
+             .otherwise(acc['cur_img'] + is_img).alias('cur_img'),
+            F.when(brk, c - is_img * image_tokens)
+             .otherwise(acc['cur_txt'] + c - is_img * image_tokens)
+             .alias('cur_txt'),
+            F.when(brk, c).otherwise(acc['cur_tot'] + c)
+             .alias('cur_tot'))
+
+    def finish(acc):
+        tail = F.struct(acc['cur_n'].alias('n_spans'),
+                        acc['cur_img'].alias('n_images'),
+                        acc['cur_txt'].alias('n_text_tokens'),
+                        acc['cur_tot'].alias('total_tokens'))
+        return F.when(acc['cur_n'] > 0,
+                      F.concat(acc['done'], F.array(tail))) \
+            .otherwise(acc['done'])
+
+    seqs = F.aggregate('spans', zero, merge, finish)
+    ex = results.select('doc_id', F.posexplode(seqs).alias('seq_id', 'q'))
+    return ex.select(
+        'doc_id', F.col('seq_id').cast('long').alias('seq_id'),
+        F.col('q.n_spans').alias('n_spans'),
+        F.col('q.n_images').alias('n_images'),
+        F.col('q.n_text_tokens').alias('n_text_tokens'),
+        F.col('q.total_tokens').alias('total_tokens'))
 
 
 # ---------------------------------------------------------------------------

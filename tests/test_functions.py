@@ -818,6 +818,37 @@ def test_remove_dup_spans(spark):
     assert rows[4]['clean_text'] == 'twice in one doc'
 
 
+def test_assemble_interleaved_sequences(spark):
+    """OBELICS-style sample assembly: greedy budget cut at span
+    boundaries; image spans cost the fixed vision slot; an oversized
+    span sits alone (never split/dropped); empty docs emit nothing."""
+    from mineru_html_spark.functions.media import \
+        assemble_interleaved_sequences
+    rows = [
+        ('d1', [('text', 'one two three four five', None, 0),
+                ('image', None, 'img://a', 1),
+                ('text', 'six seven eight', None, 2)]),
+        ('d2', [('text', ' '.join(f'w{i}' for i in range(30)), None, 0)]),
+        ('d3', []),
+    ]
+    df = spark.createDataFrame(
+        rows, 'doc_id string, spans array<struct<kind:string,'
+              'text:string,media_ref:string,offset:int>>')
+    out = {(r['doc_id'], r['seq_id']):
+           (r['n_spans'], r['n_images'], r['n_text_tokens'],
+            r['total_tokens'])
+           for r in assemble_interleaved_sequences(
+               df, budget=10, image_tokens=4).collect()}
+    # d1: 5-token text + 4-token image fill seq 0 (9 <= 10); the next
+    # 3-token text would overflow -> seq 1
+    assert out[('d1', 0)] == (2, 1, 5, 9)
+    assert out[('d1', 1)] == (1, 0, 3, 3)
+    # d2: 'w0'..'w29' tokenize 2 tokens each (letters+digits) = 60 > 10,
+    # oversized span occupies one sequence alone
+    assert out[('d2', 0)] == (1, 0, 60, 60)
+    assert not any(k[0] == 'd3' for k in out)
+
+
 def test_fix_mojibake(spark):
     """Encoding repair: UTF-8-as-Latin-1 restores byte-exactly across
     2/3/4-byte sequences; genuine accented prose, pure ASCII and

@@ -334,3 +334,18 @@ def test_exact_substr_exchanges_carry_ints_not_text(spark, entry):
         if 'Exchange hashpartitioning' in ln:
             nxt = lines[i + 1] if i + 1 < len(lines) else ''
             assert 'text#' not in ln and 'text#' not in nxt, ln
+
+
+def test_interleaved_seqs_fold_is_row_local(spark, entry):
+    """Sample assembly adds NO exchange beyond the extraction stage it
+    consumes: the greedy fold is a native row-local aggregate + one
+    posexplode — no join, no added Python stage, no cartesian."""
+    import __spark_entry__ as e
+    res = e._extraction_results(spark, SF)
+    from mineru_html_spark.functions.media import \
+        assemble_interleaved_sequences
+    base = plan_of(res)
+    p = plan_of(assemble_interleaved_sequences(res))
+    for op in ('Exchange', 'Join', 'CartesianProduct'):
+        assert p.count(op) == base.count(op), op
+    assert p.count('MapInPandas') == base.count('MapInPandas')
