@@ -372,6 +372,31 @@ def main():
                 [r'Window|Exchange|Sort|Scan parquet'],
                 max_lines=10)))
 
+    sections.append((
+        'Interleaved training-sequence assembly (row-local fold, '
+        'zero added exchanges)',
+        'The OBELICS-style greedy budget cut over each doc\'s ordered '
+        'text+image spans is one native aggregate + posexplode on top '
+        'of the extraction output — no join, no exchange, no Python '
+        'stage beyond the extraction itself; sample assembly is free '
+        'at any scale.',
+        trimmed(plan_of(__import__(
+            'mineru_html_spark.functions.media',
+            fromlist=['assemble_interleaved_sequences'])
+            .assemble_interleaved_sequences(
+                run_extraction(spark, docs, num_partitions=8))),
+            [r'Generate|Project|MapInPandas|Exchange|Scan'],
+            max_lines=12)))
+
+    sections.append((
+        'Mojibake repair (pure whole-stage-codegen projection)',
+        'The encoding fix is regex guards + one encode/decode — the '
+        'plan is a single codegen span over the scan: zero exchanges, '
+        'zero Python.',
+        trimmed(plan_of(entry.q_mojibake_repair(spark, SF)),
+                [r'Project|Scan|WholeStageCodegen|Exchange'],
+                max_lines=8)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
