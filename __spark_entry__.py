@@ -2095,6 +2095,45 @@ def q_exact_substr_spans(spark, sf_dir):
                               min_occurrences=2)
 
 
+# site-template gate plants: a per-host nav/footer line on EVERY page of
+# the host (df ratio 1.0 -> stripped everywhere), and a newsletter line on
+# exactly 5 of each host's 25 sf0.01 docs (20% < the 50% ratio threshold
+# and its ceil(0.5*25)=13 floor -> kept on all 5, proving the filter is
+# frequency-thresholded rather than any-repeat)
+_ST_TMPL = 'home about contact privacy terms sitemap'
+_ST_RARE = 'subscribe to the weekly newsletter digest'
+
+
+def q_site_template(spark, sf_dir):
+    """Per-SITE template removal by cross-document line frequency (the
+    CCNet/Trafilatura site-boilerplate pass): lines on >= max(3,
+    ceil(50% of host docs)) distinct documents of a host vanish from
+    EVERY document — unlike line_dedup's keep-first. Gate: each doc's
+    words regroup into 10-word lines; a host-tagged nav line planted on
+    all pages is removed everywhere, a 20%-frequency newsletter line
+    survives. Hash-only exchanges; rebuild is the O(n+m) line_dedup
+    idiom."""
+    from mineru_html_spark.functions.corpus import site_template_filter
+    d = F.col('doc_id')
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', 'source', F.split('text', ' ').alias('_w'))
+    wr = F.col('_w')
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(wr) - 1) / 10)
+                       .cast('int')),
+            lambda i: F.array_join(F.slice(wr, i * 10 + 1, 10), ' ')),
+        '\n')
+    text2 = F.concat(
+        F.lit(_ST_TMPL + ' '), F.col('source'), F.lit('\n'), body,
+        F.when(d % 100 < 20, F.lit('\n' + _ST_RARE)).otherwise(F.lit('')))
+    docs = wdf.select('doc_id', 'source', text2.alias('text'))
+    out = site_template_filter(docs, host_col='source', min_df=3,
+                               max_ratio_milli=500)
+    return out.select('doc_id', 'n_lines', 'n_removed',
+                      F.md5('clean_text').alias('clean_md5'))
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """C4's exact-duplication TRANSFORM: every word covered by a
     10-gram occurring >= 2 times corpus-wide is deleted (not the doc —
@@ -4402,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FAILURES: none) covers them every round regardless of order.
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
+        'site_template': q_site_template,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6845,6 +6885,56 @@ def oracle_sql() -> dict[str, str]:
                             THEN text || '{_MOJI_SUFFIX}'
                             ELSE text END) AS repaired_md5
             FROM documents
+        """,
+        'site_template': f"""
+            WITH wr AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents),
+            d AS (
+              SELECT doc_id, source,
+                '{_ST_TMPL} ' || source || chr(10) ||
+                array_to_string(list_transform(
+                  range(0, (len(w) - 1) // 10 + 1),
+                  i -> array_to_string(
+                    list_slice(w, i * 10 + 1, i * 10 + 10), ' ')), chr(10))
+                || CASE WHEN doc_id % 100 < 20
+                        THEN chr(10) || '{_ST_RARE}' ELSE '' END AS text
+              FROM wr),
+            dl AS (
+              SELECT doc_id, source, string_split(text, chr(10)) AS lines
+              FROM d),
+            ln AS (
+              SELECT doc_id, source, g.idx AS idx, g.h AS h
+              FROM (SELECT doc_id, source,
+                      unnest(list_transform(range(1, len(lines) + 1),
+                        i -> struct_pack(idx := i - 1,
+                               h := md5(lower(trim(lines[i])))))) AS g
+                    FROM dl)),
+            hd AS (SELECT source, count(DISTINCT doc_id) AS hd
+                   FROM d GROUP BY 1),
+            dfq AS (SELECT source, h, count(DISTINCT doc_id) AS df
+                    FROM ln GROUP BY 1, 2),
+            tmpl AS (
+              SELECT dfq.source, dfq.h
+              FROM dfq JOIN hd USING (source)
+              WHERE df >= greatest(3, (500 * hd + 999) // 1000)),
+            dr AS (SELECT ln.doc_id, ln.idx
+                   FROM ln JOIN tmpl
+                     ON ln.source = tmpl.source AND ln.h = tmpl.h),
+            di AS (SELECT doc_id, list(idx) AS idxs, count(*) AS n
+                   FROM dr GROUP BY 1)
+            SELECT dl.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(coalesce(di.n, 0) AS BIGINT) AS n_removed,
+                   md5(coalesce(array_to_string(list_transform(list_filter(
+                     list_transform(range(1, len(lines) + 1),
+                       i -> struct_pack(ln := lines[i],
+                              dropped := list_contains(
+                                coalesce(di.idxs, CAST([] AS INT[])),
+                                i - 1))),
+                     s -> NOT s.dropped), s -> s.ln), chr(10)), ''))
+                     AS clean_md5
+            FROM dl LEFT JOIN di USING (doc_id)
         """,
         'exact_substr_spans': f"""
             WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

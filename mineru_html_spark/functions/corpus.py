@@ -1391,3 +1391,65 @@ def poisson_bootstrap(documents: DataFrame, value_col: str = 'n_chars',
         F.when(F.col('_sw') == 0, F.lit(-1))
          .otherwise(F.floor(F.lit(1000) * F.col('_swx') / F.col('_sw')))
          .cast('long').alias('mean_milli'))
+
+
+def site_template_filter(documents: DataFrame, host_col: str = 'source',
+                         min_df: int = 3,
+                         max_ratio_milli: int = 500) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_text): per-SITE template
+    removal by cross-document line frequency — the site-level
+    boilerplate pass of web-corpus pipelines (CCNet's shard-frequency
+    stripping, Trafilatura's cross-document "global" dedup option):
+    a line is TEMPLATE on a host when it appears in at least
+    ``max(min_df, ceil(max_ratio_milli/1000 * host_docs))`` distinct
+    documents of that host, and template lines are removed from EVERY
+    document. Distinct from ``line_dedup`` (CCNet keep-FIRST: one
+    instance survives globally): a nav header on 80% of a site's pages
+    vanishes everywhere here, while a quote legitimately repeated on two
+    pages of a large site stays on both.
+
+    Scale shape: line hashes explode row-local with position; the
+    document-frequency aggregate exchanges only (host, md5) pairs with
+    map-side partial distinct — line TEXT never leaves its row. Host
+    doc-counts are a tiny one-row-per-host aggregate joined broadcast.
+    The template set (host, md5) flows back through one hash-only join;
+    the rebuild is the ``line_dedup`` O(n_lines + n_drops) idiom
+    (order-preserving array_except + element_at over the materialized
+    lines column). At 10^12 docs: two hash-only exchanges, one
+    broadcast, one row-local projection.
+    """
+    host = F.col(host_col)
+    hashed = documents.select(
+        'doc_id', host.alias('_host'),
+        F.posexplode(F.transform(
+            F.split('text', '\n'),
+            lambda ln: F.md5(F.lower(F.trim(ln))))).alias('idx', 'h'))
+    host_docs = (documents.groupBy(host.alias('_host'))
+                 .agg(F.countDistinct('doc_id').alias('_hd')))
+    df_tbl = (hashed.groupBy('_host', 'h')
+              .agg(F.countDistinct('doc_id').alias('_df')))
+    # ceil(max_ratio_milli * host_docs / 1000) in pure BIGINT
+    thr = F.greatest(
+        F.lit(int(min_df)).cast('long'),
+        F.expr(f'({int(max_ratio_milli)} * _hd + 999) div 1000'))
+    templates = (df_tbl.join(F.broadcast(host_docs), '_host')
+                 .where(F.col('_df') >= thr)
+                 .select('_host', 'h'))
+    drops = (hashed.join(templates, ['_host', 'h'], 'left_semi')
+             .groupBy('doc_id')
+             .agg(F.collect_list('idx').alias('drop_idxs')))
+    j = (documents.join(drops, 'doc_id', 'left')
+         .withColumn('drop_idxs',
+                     F.coalesce('drop_idxs', F.array().cast('array<int>')))
+         .withColumn('_lines', F.split('text', '\n')))
+    lines = F.col('_lines')
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(lines) - 1).cast('array<int>'),
+        'drop_idxs')
+    return j.select(
+        'doc_id',
+        F.size(lines).cast('long').alias('n_lines'),
+        F.size('drop_idxs').cast('long').alias('n_removed'),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(lines, i + 1)),
+            '\n').alias('clean_text'))

@@ -1,0 +1,74 @@
+"""site_template_filter: per-host frequency-thresholded boilerplate
+removal (the CCNet/Trafilatura site-template pass) — distinct from
+line_dedup's global keep-first."""
+from mineru_html_spark.functions.corpus import site_template_filter
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, 'doc_id long, source string, '
+                                       'text string')
+
+
+def test_template_removed_everywhere_rare_kept(spark):
+    # host A: 4 docs, nav line on all 4 (ratio 1.0 >= 50%, df 4 >= 3);
+    # a quote on 2 docs of A stays (df 2 < min_df 3)
+    nav = 'home about contact'
+    rows = [(i, 'a', f'{nav}\nbody {i} unique words here'
+             + ('\nshared quote line' if i < 2 else ''))
+            for i in range(4)]
+    out = {r['doc_id']: r for r in
+           site_template_filter(_mk(spark, rows), min_df=3,
+                                max_ratio_milli=500).collect()}
+    for i in range(4):
+        assert out[i]['n_removed'] == 1          # only the nav line
+        assert nav not in out[i]['clean_text']
+    assert 'shared quote line' in out[0]['clean_text']
+    assert 'shared quote line' in out[1]['clean_text']
+
+
+def test_host_scoping(spark):
+    # the same line is template on host a (3/3 docs) but rare on host b
+    # (1/3 docs) — removal must be per-host, never global
+    ln = 'winter sale banner'
+    rows = ([(i, 'a', f'{ln}\ndoc {i} of host a') for i in range(3)]
+            + [(10, 'b', f'{ln}\ndoc ten of host b')]
+            + [(11, 'b', 'doc eleven of host b'),
+               (12, 'b', 'doc twelve of host b')])
+    out = {r['doc_id']: r for r in
+           site_template_filter(_mk(spark, rows), min_df=3,
+                                max_ratio_milli=500).collect()}
+    assert all(out[i]['n_removed'] == 1 for i in range(3))
+    assert out[10]['n_removed'] == 0
+    assert ln in out[10]['clean_text']
+
+
+def test_ratio_threshold_ceil(spark):
+    # 5 docs, min_df=2, ratio 500 milli -> threshold max(2, ceil(2.5))=3:
+    # a line on 2 docs stays, a line on 3 docs goes
+    two = 'on two docs'
+    three = 'on three docs'
+    rows = [(i, 'h',
+             ('\n'.join([three] * (i < 3) + [two] * (i < 2)
+                        + [f'unique body {i}'])))
+            for i in range(5)]
+    out = {r['doc_id']: r for r in
+           site_template_filter(_mk(spark, rows), min_df=2,
+                                max_ratio_milli=500).collect()}
+    assert out[0]['n_removed'] == 1 and three not in out[0]['clean_text']
+    assert two in out[0]['clean_text']
+    assert out[4]['n_removed'] == 0
+
+
+def test_within_doc_duplicate_template_instances_all_drop(spark):
+    # a template line appearing TWICE in one doc loses both instances
+    nav = 'nav bar'
+    rows = [(0, 'h', f'{nav}\nmiddle text\n{nav}'),
+            (1, 'h', f'{nav}\nother text'),
+            (2, 'h', f'{nav}\nthird text')]
+    out = {r['doc_id']: r for r in
+           site_template_filter(_mk(spark, rows), min_df=3,
+                                max_ratio_milli=500).collect()}
+    assert out[0]['n_removed'] == 2
+    assert out[0]['clean_text'] == 'middle text'
+    # order of surviving lines is preserved
+    assert out[1]['clean_text'] == 'other text'
