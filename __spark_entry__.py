@@ -2134,6 +2134,28 @@ def q_site_template(spark, sf_dir):
                       F.md5('clean_text').alias('clean_md5'))
 
 
+def q_lz78_quality(spark, sf_dir):
+    """LZ78 phrase-complexity junk filter — the build-independent form
+    of the zlib compression-ratio screen (zlib bytes are not pinned
+    across zlib builds, the LZ78 parse is). Plants: every 9th doc (+2)
+    becomes ~1.3kchars of a repeated sales phrase (class 'repetitive'),
+    every 9th (+5) a 640-char md5-hex noise blob (class
+    'high_entropy'); the rest keep their corpus text ('ok'/'short').
+    One Arrow-batched projection, zero exchanges."""
+    from mineru_html_spark.functions.text import lz78_complexity
+    d = F.col('doc_id')
+    noise = F.concat_ws('', F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.md5(F.concat(d.cast('string'), F.lit('-'),
+                                 i.cast('string')))))
+    text = (F.when(d % 9 == 2,
+                   F.repeat(F.lit('limited offer buy now click here '), 40))
+            .when(d % 9 == 5, noise)
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return lz78_complexity(docs)
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """C4's exact-duplication TRANSFORM: every word covered by a
     10-gram occurring >= 2 times corpus-wide is deleted (not the doc —
@@ -4442,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'site_template': q_site_template,
+        'lz78_quality': q_lz78_quality,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6885,6 +6908,10 @@ def oracle_sql() -> dict[str, str]:
                             THEN text || '{_MOJI_SUFFIX}'
                             ELSE text END) AS repaired_md5
             FROM documents
+        """,
+        'lz78_quality': """
+            SELECT * FROM read_parquet(
+                '/root/repo/tests/goldens/expected_lz78_quality_sf001.parquet')
         """,
         'site_template': f"""
             WITH wr AS (

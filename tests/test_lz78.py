@@ -1,0 +1,48 @@
+"""lz78_complexity: build-independent compression-ratio junk screen."""
+from mineru_html_spark.functions.text import lz78_complexity
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    return {r['doc_id']: r for r in lz78_complexity(df).collect()}
+
+
+def test_hand_computed_phrase_counts(spark):
+    # 'aaaa' -> phrases a | aa | a = 3; 'abab' -> a | b | ab = 3
+    out = _run(spark, [(0, 'aaaa'), (1, 'abab'), (2, ''), (3, None)])
+    assert out[0]['n_phrases'] == 3
+    assert out[1]['n_phrases'] == 3
+    assert out[2]['n_phrases'] == 0 and out[2]['lz_class'] == 'short'
+    assert out[3]['n_phrases'] == 0 and out[3]['n_chars'] == 0
+
+
+def test_classes_fire_and_short_guard(spark):
+    rep = 'limited offer buy now click here ' * 40     # ~1.3k chars
+    import hashlib
+    noise = ''.join(hashlib.md5(f'x{i}'.encode()).hexdigest()
+                    for i in range(20))                 # 640 hex chars
+    prose = ('the quick brown fox jumps over the lazy dog and then '
+             'walks back home across the quiet river bridge at dusk '
+             'while the city slowly turns its evening lights on ') * 4
+    out = _run(spark, [(0, rep), (1, noise), (2, prose), (3, 'tiny')])
+    assert out[0]['lz_class'] == 'repetitive'
+    assert out[1]['lz_class'] == 'high_entropy'
+    assert out[2]['lz_class'] == 'ok'
+    assert out[3]['lz_class'] == 'short'
+    # normalized measure orders the three regimes
+    assert (out[0]['norm_milli'] < out[2]['norm_milli']
+            < out[1]['norm_milli'])
+
+
+def test_norm_is_length_stable_for_random(spark):
+    # the normalization's point: doubling a noise blob's length moves
+    # norm_milli only slightly (raw phrases/char would drop ~18%)
+    import hashlib
+    n1 = ''.join(hashlib.md5(f'a{i}'.encode()).hexdigest()
+                 for i in range(20))
+    n2 = ''.join(hashlib.md5(f'a{i}'.encode()).hexdigest()
+                 for i in range(80))
+    out = _run(spark, [(0, n1), (1, n2)])
+    a, b = out[0]['norm_milli'], out[1]['norm_milli']
+    assert abs(a - b) < 300
+    assert out[0]['lz_class'] == out[1]['lz_class'] == 'high_entropy'

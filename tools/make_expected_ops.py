@@ -32,7 +32,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'cdx_fetch_plan', 'link_graph', 'near_dup_incremental',
          'docx_extract', 'feed_extract', 'anchor_index', 'odt_extract',
          'rtf_extract', 'mbox_extract', 'webp_decode',
-         'ipynb_extract', 'latex_extract', 'table_extract', 'html_meta')
+         'ipynb_extract', 'latex_extract', 'table_extract', 'html_meta',
+         'lz78_quality')
 
 
 def main():
