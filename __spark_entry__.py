@@ -343,6 +343,32 @@ def q_warc_extract(spark, sf_dir):
     return out.unionByName(errs)
 
 
+def q_pdf_layout(spark, sf_dir):
+    """PDF LAYOUT tier (the north rule's 'PDF/layout parse'): positioned
+    text runs via an integer-millipoint Tm/Td/TD/T*/TL interpreter +
+    recursive XY-cut reading order. The 12-file gate set's two-column
+    pages emit rows ACROSS the page in the content stream — stream
+    order provably interleaves the columns (unit-tested) — and the
+    layout path must return header -> left column -> right column;
+    single-column controls prove the cut does nothing when there is
+    nothing to cut. All geometry is integer millipoints, so the
+    committed-output oracle pins cut decisions bit-exactly."""
+    from mineru_html_spark.sources.pdflayout import (
+        read_pdfs_layout, write_synth_layout_gate_set)
+    d = os.path.join(REPO, '.data', 'pdf_layout_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_layout_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_pdfs_layout(spark, d)
+    return out.select('doc_id', 'n_pages', 'n_runs', 'n_blocks',
+                      'n_chars', 'n_bad_streams',
+                      F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def q_pdf_extract(spark, sf_dir):
     """End-to-end PDF path (the north rule's 'PDF/layout parse' tier):
     a deterministic 29-file gate set (compressed + uncompressed content
@@ -4465,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-certified through r4 (rotated to the front) ---
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
+        'pdf_layout': q_pdf_layout,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6912,6 +6939,10 @@ def oracle_sql() -> dict[str, str]:
         'lz78_quality': """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_lz78_quality_sf001.parquet')
+        """,
+        'pdf_layout': """
+            SELECT * FROM read_parquet(
+                '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'site_template': f"""
             WITH wr AS (

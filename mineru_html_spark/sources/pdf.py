@@ -614,18 +614,18 @@ def _page_font_maps(objects: Dict[int, bytes],
     return out
 
 
-def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
-    """(extracted text, n_pages, n_bad_streams) for one PDF file.
-
-    One pass collects the object graph: stream bounds via
-    /Length-verified offsets (regex fallback), FlateDecode inflated
-    once, object streams (``/Type /ObjStm``) expanded so pages, fonts
-    and resources living inside them resolve. ToUnicode-bearing fonts
-    become per-page name→decoder maps; content streams are then scanned
-    in document order with the font-state machine. Streams that fail to
-    inflate (or malformed ObjStm headers) are COUNTED
-    (``n_bad_streams``), not silently dropped — text loss is visible in
-    the output row. Raises ValueError on non-PDF input."""
+def _text_stream_graph(data: bytes):
+    """Shared object-graph pass behind ``pdf_to_text`` and the layout
+    tier (``pdflayout.pdf_to_layout_text``): stream bounds via
+    /Length-verified offsets (regex fallback), decryption with the
+    empty user/owner password where a standard security handler is
+    present, FlateDecode inflated once, object streams
+    (``/Type /ObjStm``) expanded so pages/fonts/resources inside them
+    resolve, per-page font->decoder maps built. Returns
+    ``(scan_list, n_pages, n_bad)`` where scan_list is
+    [(content stream bytes, font_map or None)] in document order with
+    incremental-update last-occurrence-wins semantics, and streams that
+    fail to inflate are COUNTED, never silently dropped."""
     if not bytes(data[:5]) == b'%PDF-':
         raise ValueError('not a PDF (missing %PDF- header)')
     data = bytes(data)
@@ -686,11 +686,23 @@ def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
     # exactly once (review finding: per-occurrence iteration emitted
     # the final version N times and the superseded text never)
     last_of: Dict[int, int] = {num: i for i, (num, _) in enumerate(entries)}
-    texts: List[str] = []
+    scan_list: List[Tuple[bytes, Optional[Dict[str, StrDecoder]]]] = []
     for i, (num, raw) in enumerate(entries):
         if last_of[num] != i or num in objstm_ids or b'BT' not in raw:
             continue                        # superseded / not text
-        texts.extend(extract_stream_text(raw, page_fonts.get(num)))
+        scan_list.append((raw, page_fonts.get(num)))
+    return scan_list, n_pages, n_bad
+
+
+def pdf_to_text(data: bytes) -> Tuple[str, int, int]:
+    """(extracted text, n_pages, n_bad_streams) for one PDF file:
+    the shared object-graph pass (``_text_stream_graph``), then each
+    content stream scanned in document order with the font-state
+    machine. Raises ValueError on non-PDF input."""
+    scan_list, n_pages, n_bad = _text_stream_graph(data)
+    texts: List[str] = []
+    for raw, font_map in scan_list:
+        texts.extend(extract_stream_text(raw, font_map))
     return '\n'.join(texts), n_pages, n_bad
 
 

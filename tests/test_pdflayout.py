@@ -1,0 +1,107 @@
+"""PDF layout tier: positioned runs, XY-cut reading order."""
+from mineru_html_spark.sources.pdflayout import (
+    Run, _milli, extract_stream_runs, layout_bytes_to_row,
+    pdf_to_layout_text, write_synth_pdf_two_column, xy_cut)
+from mineru_html_spark.sources.pdf import pdf_to_text
+
+
+def test_milli_parse():
+    assert _milli(b'12.345') == 12345
+    assert _milli(b'-.5') == -500
+    assert _milli(b'7') == 7000
+    assert _milli(b'0.1') == 100
+    assert _milli(b'-3.0015') == -3001      # truncated, not rounded
+
+
+def test_positions_tm_td_tstar_quote():
+    s = (b"BT /F1 12 Tf 10 TL 1 0 0 1 100 700 Tm (a) Tj "
+         b"5 -20 Td (b) Tj T* (c) Tj (d) ' ET")
+    runs = extract_stream_runs(s)
+    assert [(r.x, r.y, r.text) for r in runs] == [
+        (100000, 700000, 'a'),
+        (105000, 680000, 'b'),      # Td relative to line matrix
+        (105000, 670000, 'c'),      # T* = Td(0, -TL)
+        (105000, 660000, 'd'),      # ' implies T* before showing
+    ]
+    assert runs[0].size == 12000
+
+
+def test_td_affine_under_scale():
+    # Tm with 2x horizontal scale: Td(10, 0) moves 20pt in device x
+    s = b'BT 2 0 0 1 50 700 Tm (a) Tj 10 0 Td (b) Tj ET'
+    runs = extract_stream_runs(s)
+    assert runs[0].x == 50000
+    assert runs[1].x == 70000
+
+
+def test_td_sets_leading_TD():
+    s = b'BT 1 0 0 1 50 700 Tm 0 -15 TD (a) Tj T* (b) Tj ET'
+    runs = extract_stream_runs(s)
+    assert runs[0].y == 685000          # the TD itself moved
+    assert runs[1].y == 670000          # T* reuses its leading
+
+
+def test_consecutive_shows_merge():
+    s = b'BT 1 0 0 1 50 700 Tm (Hel) Tj (lo) Tj ET'
+    runs = extract_stream_runs(s)
+    assert len(runs) == 1 and runs[0].text == 'Hello'
+
+
+def test_ops_inside_strings_ignored():
+    # positioning-operator-looking text inside a shown string must not
+    # move the cursor (the pdf.py font-state review finding, again)
+    s = b'BT 1 0 0 1 50 700 Tm (use 0 0 Td and T* wisely) Tj (x) Tj ET'
+    runs = extract_stream_runs(s)
+    assert len(runs) == 1
+    assert runs[0].text == 'use 0 0 Td and T* wiselyx'
+    assert runs[0].y == 700000
+
+
+def test_xy_cut_two_columns_and_header():
+    mk = lambda x, y, t: Run(x * 1000, y * 1000, 11000, t)
+    runs = [mk(50, 780, 'HEADER SPANNING THE WHOLE PAGE WIDTH OK')]
+    for i in range(4):
+        runs.append(mk(50, 740 - 14 * i, f'L{i} aaaaaaaaaaaaaaaaaa'))
+        runs.append(mk(320, 740 - 14 * i, f'R{i} bbbbbbbbbbbbbbbbbb'))
+    blocks = xy_cut(runs)
+    texts = [[r.text.split()[0] for r in b] for b in blocks]
+    assert texts == [['HEADER'], ['L0', 'L1', 'L2', 'L3'],
+                     ['R0', 'R1', 'R2', 'R3']]
+
+
+def test_xy_cut_single_column_is_one_block():
+    mk = lambda y, t: Run(50000, y * 1000, 11000, t)
+    runs = [mk(740 - 14 * i, f'line{i} word word word') for i in range(6)]
+    blocks = xy_cut(runs)
+    assert len(blocks) == 1
+    assert [r.text.split()[0] for r in blocks[0]] == [
+        f'line{i}' for i in range(6)]
+
+
+def test_stream_order_interleaves_layout_recovers():
+    left = [f'left {i} aaaa bbbb cccc dddd' for i in range(6)]
+    right = [f'right {i} eeee ffff gggg' for i in range(6)]
+    pdf = write_synth_pdf_two_column(left, right)
+    stream_lines = pdf_to_text(pdf)[0].split('\n')
+    assert stream_lines[:3] == [left[0], right[0], left[1]]  # interleaved
+    text, n_pages, n_bad, n_runs, n_blocks = pdf_to_layout_text(pdf)
+    assert text == '\n'.join(left) + '\n\n' + '\n'.join(right)
+    assert (n_pages, n_bad, n_runs, n_blocks) == (1, 0, 12, 2)
+
+
+def test_td_mode_and_header_variant():
+    left = [f'l{i} aa bb cc dd ee' for i in range(5)]
+    right = [f'r{i} ff gg hh' for i in range(5)]
+    pdf = write_synth_pdf_two_column(left, right, header='The Title',
+                                     use_td=True)
+    text = pdf_to_layout_text(pdf)[0]
+    parts = text.split('\n\n')
+    assert parts[0] == 'The Title'
+    assert parts[1] == '\n'.join(left)
+    assert parts[2] == '\n'.join(right)
+
+
+def test_corrupt_contained_as_error_row():
+    row = layout_bytes_to_row('x.pdf', b'not a pdf at all')
+    assert row['error'].startswith('ValueError')
+    assert row['text'] == '' and row['n_blocks'] == 0
