@@ -2160,6 +2160,28 @@ def q_site_template(spark, sf_dir):
                       F.md5('clean_text').alias('clean_md5'))
 
 
+def q_chrf_eval(spark, sf_dir):
+    """chrF2 (Popović 2015) — character n-gram F-score, the
+    tokenization-robust complement to the ROUGE yardstick. Gate pairs
+    every doc's text (hyp) against a deterministic degradation (ref =
+    every 7th word dropped), so scores spread below 1000 and every
+    per-order integer division's floor is pinned by an EXACT SQL
+    mirror of the whole metric (n-gram explode + clipped-min overlap
+    in DuckDB). Arrow-batched row-local scoring, zero exchanges."""
+    from mineru_html_spark.functions.rouge import chrf_eval
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    ref = F.array_join(
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(w)),
+                     lambda i: i % 7 != 4),
+            lambda i: F.element_at(w, i)), ' ')
+    pairs = wdf.select('doc_id', F.array_join(w, ' ').alias('hyp'),
+                       ref.alias('ref'))
+    return chrf_eval(pairs)
+
+
 def q_lz78_quality(spark, sf_dir):
     """LZ78 phrase-complexity junk filter — the build-independent form
     of the zlib compression-ratio screen (zlib bytes are not pinned
@@ -4492,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
+        'chrf_eval': q_chrf_eval,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6943,6 +6966,64 @@ def oracle_sql() -> dict[str, str]:
         'pdf_layout': """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
+        """,
+        'chrf_eval': """
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            p AS (
+              SELECT doc_id,
+                regexp_replace(array_to_string(w, ' '),
+                               '\\s+', '', 'g') AS h,
+                regexp_replace(array_to_string(list_transform(
+                  list_filter(range(1, len(w) + 1), i -> i % 7 != 4),
+                  i -> w[i]), ' '), '\\s+', '', 'g') AS r
+              FROM wr),
+            hg AS (
+              SELECT doc_id, n, substring(h, i + 1, n) AS g
+              FROM (SELECT doc_id, n, h,
+                      unnest(range(0, greatest(len(h) - n + 1, 0))) AS i
+                    FROM (SELECT doc_id, h, unnest(range(1, 7)) AS n
+                          FROM p))),
+            rg AS (
+              SELECT doc_id, n, substring(r, i + 1, n) AS g
+              FROM (SELECT doc_id, n, r,
+                      unnest(range(0, greatest(len(r) - n + 1, 0))) AS i
+                    FROM (SELECT doc_id, r, unnest(range(1, 7)) AS n
+                          FROM p))),
+            hc AS (SELECT doc_id, n, g, count(*) AS c
+                   FROM hg GROUP BY 1, 2, 3),
+            rc AS (SELECT doc_id, n, g, count(*) AS c
+                   FROM rg GROUP BY 1, 2, 3),
+            mt AS (
+              SELECT hc.doc_id, hc.n,
+                     CAST(sum(least(hc.c, rc.c)) AS BIGINT) AS m
+              FROM hc JOIN rc USING (doc_id, n, g) GROUP BY 1, 2),
+            tot AS (
+              SELECT doc_id, n,
+                     greatest(len(h) - n + 1, 0) AS hn,
+                     greatest(len(r) - n + 1, 0) AS rn
+              FROM (SELECT doc_id, h, r, unnest(range(1, 7)) AS n
+                    FROM p)),
+            per AS (
+              SELECT tot.doc_id, tot.n, coalesce(mt.m, 0) AS m, hn, rn
+              FROM tot LEFT JOIN mt USING (doc_id, n)
+              WHERE hn > 0 OR rn > 0),
+            agg AS (
+              SELECT doc_id, count(*) AS n_orders,
+                     CAST(sum(CASE WHEN 4 * rn + hn > 0
+                              THEN (5000 * m) // (4 * rn + hn)
+                              ELSE 0 END) AS BIGINT) AS tot_milli,
+                     CAST(sum(m) AS BIGINT) AS sm,
+                     CAST(sum(hn) AS BIGINT) AS sh,
+                     CAST(sum(rn) AS BIGINT) AS sr
+              FROM per GROUP BY 1)
+            SELECT p.doc_id,
+                   CAST(coalesce(agg.tot_milli // agg.n_orders, 0)
+                        AS BIGINT) AS chrf2_milli,
+                   CAST(coalesce(sm, 0) AS BIGINT) AS n_match,
+                   CAST(coalesce(sh, 0) AS BIGINT) AS n_hyp,
+                   CAST(coalesce(sr, 0) AS BIGINT) AS n_ref
+            FROM p LEFT JOIN agg USING (doc_id)
         """,
         'site_template': f"""
             WITH wr AS (

@@ -46,3 +46,42 @@ def test_norm_is_length_stable_for_random(spark):
     a, b = out[0]['norm_milli'], out[1]['norm_milli']
     assert abs(a - b) < 300
     assert out[0]['lz_class'] == out[1]['lz_class'] == 'high_entropy'
+
+
+# ---------------------------------------------------------------------------
+# chrF2 (lives here to avoid a new Spark-session file: both are the
+# window-12 quality/eval closers)
+# ---------------------------------------------------------------------------
+
+def test_chrf2_hand_computed():
+    from mineru_html_spark.functions.rouge import chrf2
+    # hyp='abcd', ref='abed' (ws-stripped already):
+    # n=1: grams both {a,b,d} + hyp c / ref e -> m=3, h=4, r=4 ->
+    #      5000*3//20 = 750
+    # n=2: hyp {ab,bc,cd}, ref {ab,be,ed} -> m=1, h=3, r=3 ->
+    #      5000*1//15 = 333
+    # n=3: hyp {abc,bcd}, ref {abe,bed} -> m=0 -> 0
+    # n=4: m=0 -> 0 ; n=5,6: hn=rn=0 -> skipped
+    # score = (750+333+0+0)//4 = 270
+    s, m, h, r = chrf2('abcd', 'abed')
+    assert (s, m, h, r) == (270, 4, 4 + 3 + 2 + 1, 4 + 3 + 2 + 1)
+
+
+def test_chrf2_identity_and_edges():
+    from mineru_html_spark.functions.rouge import chrf2
+    assert chrf2('same text here', 'same text here')[0] == 1000
+    assert chrf2('', '')[0] == 0
+    assert chrf2('abc', '')[0] == 0
+    assert chrf2(None, 'abc')[0] == 0
+    # whitespace is stripped before shingling (sacrebleu default):
+    assert chrf2('a b c', 'abc')[0] == 1000
+
+
+def test_chrf2_recall_weighted():
+    from mineru_html_spark.functions.rouge import chrf2
+    # beta=2 weights recall: a hyp MISSING half the ref scores lower
+    # than a hyp with the ref plus the same amount of extra text
+    ref = 'the quick brown fox jumps over the lazy dog'
+    missing = chrf2('the quick brown fox', ref)[0]
+    extra = chrf2(ref + ' and runs far away home', ref)[0]
+    assert extra > missing
