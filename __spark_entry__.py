@@ -2160,6 +2160,29 @@ def q_site_template(spark, sf_dir):
                       F.md5('clean_text').alias('clean_md5'))
 
 
+# AC gate blocklist: nested ('win' in 'winner'), overlapping ('he' in
+# 'she'/'hers') and multi-word patterns; the corpus's own text matches
+# 'he' (inside 'the') naturally, the plant adds the exotic ones
+_AC_PATS = ('he', 'she', 'hers', 'win', 'winner', 'free money')
+_AC_PLANT = ' ushers win free money winners welcome'
+
+
+def q_ac_blocklist(spark, sf_dir):
+    """Aho–Corasick multi-pattern scan — the 100k-entry blocklist scale
+    path (one automaton pass per doc, cost independent of pattern
+    count; regex alternation is the small-list tool). Counts ALL
+    substring occurrences incl. overlapping/nested; earliest match
+    reported with (start, longest, pattern-order) tie-break. The SQL
+    oracle mirrors every position by brute substring comparison, so
+    the automaton's failure links are value-certified."""
+    from mineru_html_spark.functions.aho import ac_blocklist_screen
+    d = F.col('doc_id')
+    text = F.concat('text', F.when(d % 6 == 1, F.lit(_AC_PLANT))
+                    .otherwise(F.lit('')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return ac_blocklist_screen(docs, _AC_PATS)
+
+
 def q_chrf_eval(spark, sf_dir):
     """chrF2 (Popović 2015) — character n-gram F-score, the
     tokenization-robust complement to the ROUGE yardstick. Gate pairs
@@ -4515,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
         'chrf_eval': q_chrf_eval,
+        'ac_blocklist': q_ac_blocklist,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6966,6 +6990,42 @@ def oracle_sql() -> dict[str, str]:
         'pdf_layout': """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
+        """,
+        'ac_blocklist': f"""
+            WITH pats(pi, p, pl) AS (VALUES
+              {', '.join(f"({i}, '{p}', {len(p)})"
+                         for i, p in enumerate(_AC_PATS))}),
+            t AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 6 = 1
+                                  THEN '{_AC_PLANT}' ELSE '' END AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+              FROM t),
+            occ AS (
+              SELECT pos.doc_id, pats.pi, pats.p, pats.pl, pos.i
+              FROM pos CROSS JOIN pats
+              WHERE pos.i + pats.pl - 1 <= len(pos.t)
+                AND substring(pos.t, pos.i, pats.pl) = pats.p),
+            agg AS (SELECT doc_id, count(*) AS n,
+                           count(DISTINCT pi) AS nd
+                    FROM occ GROUP BY 1),
+            fst AS (SELECT doc_id,
+                           min(i * 1000000 + (1000 - pl) * 1000 + pi)
+                             AS k
+                    FROM occ GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(coalesce(agg.n, 0) AS BIGINT) AS n_matches,
+                   CAST(coalesce(agg.nd, 0) AS BIGINT)
+                     AS n_distinct_patterns,
+                   coalesce(p2.p, '') AS first_pattern,
+                   CAST(coalesce(fst.k // 1000000 - 1, -1) AS BIGINT)
+                     AS first_pos
+            FROM t
+            LEFT JOIN agg USING (doc_id)
+            LEFT JOIN fst USING (doc_id)
+            LEFT JOIN pats p2 ON p2.pi = fst.k % 1000
         """,
         'chrf_eval': """
             WITH wr AS (

@@ -1,0 +1,124 @@
+"""Aho–Corasick multi-pattern scan: the large-blocklist scale path.
+
+``badwords_screen`` compiles its list into one regex alternation — right
+for tens of patterns, hopeless for the 100k-entry URL/phrase blocklists
+real crawl pipelines ship (regex alternation compiles O(total pattern
+bytes) state into every task and Java's Pattern backtracks per
+alternative; scan cost grows with the list). Aho & Corasick 1975 builds
+a failure-link automaton ONCE (driver-side, O(total pattern chars)),
+broadcasts it, and scans each document in O(n_chars + n_matches) —
+INDEPENDENT of pattern count. This module is that operator: automaton
+on the driver, pickled into the Arrow-batched closure (Spark broadcasts
+task binaries once per executor), one zero-exchange pass over the
+corpus.
+
+Semantics (shared verbatim with the SQL oracle): case-sensitive
+SUBSTRING occurrences, ALL of them — overlapping matches and patterns
+nested inside other patterns all count ('he' and 'she' both fire on
+'she'). Word-boundary screening stays ``badwords_screen``'s job; this
+is the raw multi-pattern kernel (blocklists, PII trigger phrases,
+eval-benchmark canaries).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterator, List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AC_SCHEMA = ('doc_id long, n_matches long, n_distinct_patterns long, '
+             'first_pattern string, first_pos long')
+
+
+def build_automaton(patterns: Sequence[str]):
+    """Goto/fail/output tables for the pattern set (Aho–Corasick 1975,
+    classic BFS construction). Returns (goto: list[dict char->state],
+    fail: list[int], out: list[tuple pattern-index ...]); empty
+    patterns are rejected loudly — they would match at every position.
+    """
+    pats = list(patterns)
+    if any(not p for p in pats):
+        raise ValueError('empty pattern in blocklist')
+    goto: List[dict] = [{}]
+    out: List[Tuple[int, ...]] = [()]
+    for pi, p in enumerate(pats):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s] = out[s] + (pi,)
+    fail = [0] * len(goto)
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)
+    while q:
+        u = q.popleft()
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != v else 0
+            out[v] = out[v] + out[fail[v]]
+    return goto, fail, out
+
+
+def scan(text: str, automaton) -> List[Tuple[int, int]]:
+    """All (end-index, pattern-index) matches in ``text`` — end is the
+    0-based index of the occurrence's LAST character (the automaton
+    reports on the closing char; callers derive start as
+    ``end - len(pattern) + 1``)."""
+    goto, fail, out = automaton
+    s = 0
+    hits: List[Tuple[int, int]] = []
+    for i, ch in enumerate(text):
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            for pi in out[s]:
+                hits.append((i, pi))
+    return hits
+
+
+def ac_blocklist_screen(documents: DataFrame,
+                        patterns: Sequence[str]) -> DataFrame:
+    """(doc_id, n_matches, n_distinct_patterns, first_pattern,
+    first_pos): every occurrence of every blocklist pattern, counted
+    per document; first_* identify the earliest match (ties broken by
+    the longest pattern, then pattern order — stated so the oracle can
+    mirror it). One Arrow-batched projection; the automaton rides the
+    serialized task closure, the corpus never shuffles; at 10^12 docs
+    the cost is O(corpus chars), flat in blocklist size."""
+    pats = list(patterns)
+    automaton = build_automaton(pats)
+    lens = [len(p) for p in pats]
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                hits = scan(text or '', automaton)
+                n = len(hits)
+                firsts = sorted(
+                    ((end - lens[pi] + 1, -lens[pi], pi)
+                     for end, pi in hits))
+                fp, fpos = ('', -1)
+                if firsts:
+                    start, neglen, pi = firsts[0]
+                    fp, fpos = pats[pi], start
+                rows.append((doc_id, n, len({pi for _, pi in hits}),
+                             fp, fpos))
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'n_matches', 'n_distinct_patterns',
+                'first_pattern', 'first_pos'])
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(batch, AC_SCHEMA))

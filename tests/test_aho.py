@@ -1,0 +1,76 @@
+"""Aho–Corasick multi-pattern scan kernel + Spark operator."""
+import pytest
+
+from mineru_html_spark.functions.aho import (ac_blocklist_screen,
+                                             build_automaton, scan)
+
+PATS = ['he', 'she', 'his', 'hers']
+
+
+def _starts(text, pats):
+    a = build_automaton(pats)
+    return sorted((e - len(pats[p]) + 1, pats[p]) for e, p in scan(text, a))
+
+
+def test_classic_ushers():
+    assert _starts('ushers', PATS) == [(1, 'she'), (2, 'he'), (2, 'hers')]
+
+
+def test_overlapping_same_pattern():
+    a = build_automaton(['aa'])
+    assert [e for e, _ in scan('aaaa', a)] == [1, 2, 3]
+
+
+def test_failure_links_cross_patterns():
+    # 'abcab' then 'cabd': after failing on 'abcabd' the automaton must
+    # recover via the fail chain and still find 'cabd'
+    assert _starts('abcabd', ['abcabe', 'cabd']) == [(2, 'cabd')]
+
+
+def test_brute_force_equivalence():
+    import hashlib
+    pats = ['ab', 'ba', 'aab', 'bba', 'abab', 'a']
+    texts = [hashlib.md5(str(i).encode()).hexdigest()
+             .translate(str.maketrans('0123456789cdef', 'ababababababab'))
+             for i in range(30)]
+    a = build_automaton(pats)
+    for t in texts:
+        got = sorted((e - len(pats[p]) + 1, pats[p])
+                     for e, p in scan(t, a))
+        want = sorted((i, p) for p in pats
+                      for i in range(len(t) - len(p) + 1)
+                      if t[i:i + len(p)] == p)
+        assert got == want
+
+
+def test_empty_pattern_rejected():
+    with pytest.raises(ValueError):
+        build_automaton(['ok', ''])
+
+
+def test_spark_operator_counts_and_first(spark):
+    df = spark.createDataFrame(
+        [(0, 'ushers win winners'), (1, 'clean text'), (2, None)],
+        'doc_id long, text string')
+    out = {r['doc_id']: r for r in
+           ac_blocklist_screen(
+               df, ['he', 'she', 'hers', 'win', 'winner']).collect()}
+    # ushers: she,he,hers; win@7; win@11 + winner@11 -> 6 matches
+    assert out[0]['n_matches'] == 6
+    assert out[0]['n_distinct_patterns'] == 5
+    # earliest match: 'she' starts at 1; 'he' also effectively at 2 —
+    # tie-break start first, so she wins
+    assert out[0]['first_pattern'] == 'she'
+    assert out[0]['first_pos'] == 1
+    assert out[1]['n_matches'] == 0
+    assert out[1]['first_pattern'] == '' and out[1]['first_pos'] == -1
+    assert out[2]['n_matches'] == 0
+
+
+def test_longest_wins_start_tie(spark):
+    df = spark.createDataFrame([(0, 'winner takes all')],
+                               'doc_id long, text string')
+    out = ac_blocklist_screen(df, ['win', 'winner']).collect()[0]
+    # both start at 0: the longer pattern is reported
+    assert out['first_pattern'] == 'winner'
+    assert out['first_pos'] == 0
