@@ -2160,6 +2160,30 @@ def q_site_template(spark, sf_dir):
                       F.md5('clean_text').alias('clean_md5'))
 
 
+# NFC gate plant: decomposed accent (e+COMBINING ACUTE), tilde, Hangul
+# jamo (must compose to a syllable), and a combining-class reordering
+# case (dot-above before dot-below must swap) — every UAX #15 mechanism
+_NFC_SUFFIX = (' cafe\u0301 n\u0303o \u1100\u1161\u11a8 q\u0307\u0323')
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization, cross-IMPLEMENTATION gated: the Spark
+    side normalizes with CPython unicodedata, the oracle with DuckDB's
+    utf8proc nfc_normalize — two independent UAX #15 codebases must
+    agree byte-for-byte on composition, Hangul syllables and
+    combining-class reordering. Every 4th doc gets the decomposed
+    plant (was_changed fires); clean ASCII docs must pass through
+    untouched."""
+    from mineru_html_spark.functions.text import nfc_normalize_docs
+    d = F.col('doc_id')
+    text = F.concat('text', F.when(d % 4 == 1, F.lit(_NFC_SUFFIX))
+                    .otherwise(F.lit('')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    out = nfc_normalize_docs(docs)
+    return out.select('doc_id', 'was_changed', 'n_chars_before',
+                      'n_chars_after', F.md5('text_nfc').alias('nfc_md5'))
+
+
 # AC gate blocklist: nested ('win' in 'winner'), overlapping ('he' in
 # 'she'/'hers') and multi-word patterns; the corpus's own text matches
 # 'he' (inside 'the') naturally, the plant adds the exotic ones
@@ -4539,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pdf_layout': q_pdf_layout,
         'chrf_eval': q_chrf_eval,
         'ac_blocklist': q_ac_blocklist,
+        'nfc_normalize': q_nfc_normalize,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -6990,6 +7015,19 @@ def oracle_sql() -> dict[str, str]:
         'pdf_layout': """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
+        """,
+        'nfc_normalize': f"""
+            SELECT doc_id,
+                   (nfc_normalize(t) != t) AS was_changed,
+                   CAST(len(t) AS BIGINT) AS n_chars_before,
+                   CAST(len(nfc_normalize(t)) AS BIGINT)
+                     AS n_chars_after,
+                   md5(nfc_normalize(t)) AS nfc_md5
+            FROM (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 1
+                                      THEN '{_NFC_SUFFIX}'
+                                      ELSE '' END AS t
+                  FROM documents)
         """,
         'ac_blocklist': f"""
             WITH pats(pi, p, pl) AS (VALUES

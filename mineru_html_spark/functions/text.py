@@ -980,3 +980,38 @@ def lz78_complexity(documents: DataFrame,
 
     return (documents.select('doc_id', 'text')
             .mapInPandas(batch, out_schema))
+
+
+def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, was_changed, n_chars_before, n_chars_after, text_nfc):
+    Unicode NFC canonical normalization — the first text-cleaning pass
+    of every multilingual pipeline (decomposed accents from mac
+    filesystems / OCR / legacy editors make 'café' != 'café' in every
+    downstream hash, dedup key and tokenizer). Spark SQL has no
+    normalization kernel, so this is an Arrow-batched projection over
+    CPython's unicodedata (UAX #15: canonical decomposition +
+    composition incl. Hangul and combining-class reordering); the gate
+    oracle runs DuckDB's independent utf8proc ``nfc_normalize`` on the
+    same plants — two unrelated UAX #15 implementations must agree
+    byte-for-byte for the row to pass, which is a stronger check than
+    a committed golden. Zero exchanges; (id, flag, 2 ints, text) out.
+    """
+    out_schema = ('doc_id long, was_changed boolean, '
+                  'n_chars_before long, n_chars_after long, '
+                  'text_nfc string')
+
+    def batch(frames):
+        import unicodedata
+        import pandas as pd
+        for pdf in frames:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                s = text or ''
+                t = unicodedata.normalize('NFC', s)
+                rows.append((doc_id, t != s, len(s), len(t), t))
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'was_changed', 'n_chars_before',
+                'n_chars_after', 'text_nfc'])
+
+    return documents.select('doc_id', 'text').mapInPandas(batch,
+                                                          out_schema)

@@ -85,3 +85,18 @@ def test_chrf2_recall_weighted():
     missing = chrf2('the quick brown fox', ref)[0]
     extra = chrf2(ref + ' and runs far away home', ref)[0]
     assert extra > missing
+
+
+def test_nfc_normalize_docs(spark):
+    from mineru_html_spark.functions.text import nfc_normalize_docs
+    df = spark.createDataFrame(
+        [(0, 'café'), (1, 'plain ascii'), (2, None),
+         (3, '각'), (4, 'q̣̇')],
+        'doc_id long, text string')
+    out = {r['doc_id']: r for r in nfc_normalize_docs(df).collect()}
+    assert out[0]['text_nfc'] == 'caf\xe9' and out[0]['was_changed']
+    assert out[0]['n_chars_before'] == 5 and out[0]['n_chars_after'] == 4
+    assert not out[1]['was_changed']
+    assert out[2]['text_nfc'] == '' and not out[2]['was_changed']
+    assert out[3]['text_nfc'] == '각'          # Hangul composition
+    assert out[4]['text_nfc'] == 'q̣̇'   # ccc reordering
