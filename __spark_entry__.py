@@ -2166,6 +2166,19 @@ def q_site_template(spark, sf_dir):
 _NFC_SUFFIX = (' cafe\u0301 n\u0303o \u1100\u1161\u11a8 q\u0307\u0323')
 
 
+def q_t5_spans(spark, sf_dir):
+    """T5 span corruption (Raffel et al. 2020): 15% of words masked in
+    3-word runs, sentinel tokens in document order, targets terminated
+    by the final sentinel — the pretraining-example prep stage,
+    deterministic via per-block salted md5 offsets so the ENTIRE
+    objective mirrors in exact SQL. Pure native HOFs, zero exchanges."""
+    from mineru_html_spark.functions.corpus import span_corrupt
+    out = span_corrupt(_docs(spark, sf_dir))
+    return out.select('doc_id', 'n_words', 'n_masked',
+                      F.md5('inputs').alias('inputs_md5'),
+                      F.md5('targets').alias('targets_md5'))
+
+
 def q_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization, cross-IMPLEMENTATION gated: the Spark
     side normalizes with CPython unicodedata, the oracle with DuckDB's
@@ -4564,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'chrf_eval': q_chrf_eval,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
+        't5_spans': q_t5_spans,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7015,6 +7029,53 @@ def oracle_sql() -> dict[str, str]:
         'pdf_layout': """
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
+        """,
+        't5_spans': """
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, len(w) AS n, len(w) // 20 AS nb
+              FROM wr),
+            tk AS (
+              SELECT doc_id, n, nb,
+                array_to_string(list_filter(
+                  list_transform(range(0, n), i ->
+                    CASE
+                      WHEN i // 20 >= nb THEN w[i + 1]
+                      WHEN i % 20 = CAST('0x' || substring(md5(
+                             doc_id || ':t5sc:' || (i // 20)), 1, 8)
+                             AS BIGINT) % 18
+                        THEN '<extra_id_' || (i // 20) || '>'
+                      WHEN i % 20 > CAST('0x' || substring(md5(
+                             doc_id || ':t5sc:' || (i // 20)), 1, 8)
+                             AS BIGINT) % 18
+                       AND i % 20 < CAST('0x' || substring(md5(
+                             doc_id || ':t5sc:' || (i // 20)), 1, 8)
+                             AS BIGINT) % 18 + 3
+                        THEN NULL
+                      ELSE w[i + 1]
+                    END),
+                  t -> t IS NOT NULL), ' ') AS inputs,
+                CASE WHEN nb = 0 THEN '<extra_id_0>'
+                     ELSE array_to_string(list_transform(range(0, nb),
+                       b -> '<extra_id_' || b || '> ' ||
+                            array_to_string(list_slice(w,
+                              b * 20 + CAST('0x' || substring(md5(
+                                doc_id || ':t5sc:' || b), 1, 8)
+                                AS BIGINT) % 18 + 1,
+                              b * 20 + CAST('0x' || substring(md5(
+                                doc_id || ':t5sc:' || b), 1, 8)
+                                AS BIGINT) % 18 + 3), ' ')), ' ')
+                          || ' <extra_id_' || nb || '>'
+                END AS targets
+              FROM base)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   CAST(nb * 3 AS BIGINT) AS n_masked,
+                   md5(inputs) AS inputs_md5,
+                   md5(targets) AS targets_md5
+            FROM tk
         """,
         'nfc_normalize': f"""
             SELECT doc_id,

@@ -100,3 +100,38 @@ def test_nfc_normalize_docs(spark):
     assert out[2]['text_nfc'] == '' and not out[2]['was_changed']
     assert out[3]['text_nfc'] == '각'          # Hangul composition
     assert out[4]['text_nfc'] == 'q̣̇'   # ccc reordering
+
+
+def test_t5_span_corrupt(spark):
+    import hashlib
+    from mineru_html_spark.functions.corpus import span_corrupt
+    words = [f'w{i}' for i in range(25)]          # 1 full block + 5
+    df = spark.createDataFrame([(7, ' '.join(words)),
+                                (8, 'tiny doc here')],
+                               'doc_id long, text string')
+    out = {r['doc_id']: r for r in span_corrupt(df).collect()}
+    o = int(hashlib.md5(b'7:t5sc:0').hexdigest()[:8], 16) % 18
+    expected_inputs = (words[:o] + ['<extra_id_0>'] + words[o + 3:])
+    assert out[7]['inputs'] == ' '.join(expected_inputs)
+    assert out[7]['targets'] == ('<extra_id_0> ' + ' '.join(
+        words[o:o + 3]) + ' <extra_id_1>')
+    assert out[7]['n_words'] == 25 and out[7]['n_masked'] == 3
+    # short doc: no full block -> untouched inputs, terminal-only target
+    assert out[8]['inputs'] == 'tiny doc here'
+    assert out[8]['targets'] == '<extra_id_0>'
+    assert out[8]['n_masked'] == 0
+
+
+def test_t5_round_trip_reconstruction(spark):
+    # inputs + targets jointly contain every original word exactly once
+    from mineru_html_spark.functions.corpus import span_corrupt
+    words = [f'tok{i}' for i in range(100)]
+    df = spark.createDataFrame([(3, ' '.join(words))],
+                               'doc_id long, text string')
+    r = span_corrupt(df).collect()[0]
+    inp = [t for t in r['inputs'].split(' ')
+           if not t.startswith('<extra_id_')]
+    tgt = [t for t in r['targets'].split(' ')
+           if not t.startswith('<extra_id_')]
+    assert sorted(inp + tgt) == sorted(words)
+    assert len(tgt) == r['n_masked'] == 15      # 5 blocks x 3
