@@ -2166,6 +2166,97 @@ def q_site_template(spark, sf_dir):
 _NFC_SUFFIX = (' cafe\u0301 n\u0303o \u1100\u1161\u11a8 q\u0307\u0323')
 
 
+from mineru_html_spark.functions.frontier import _ln_milli_table as _lnt
+
+_LN_MILLI = _lnt()
+
+
+def _recrawl_oracle() -> str:
+    ln = '[' + ', '.join(str(v) for v in _LN_MILLI) + ']'
+    c = {0: '0'}
+    for j in range(1, 4):
+        c[j] = ' + '.join(
+            "CASE WHEN CAST('0x' || substring(md5(doc_id || ':rc:%d'), "
+            "1, 4) AS INT) %% 3 = 0 THEN 1 ELSE 0 END" % k
+            for k in range(1, j + 1))
+    selects = ' UNION ALL '.join(
+        f"SELECT url, CAST({j * 86400} + doc_id % 7 AS BIGINT) AS ts, "
+        f"md5(doc_id || ':d:' || ({c[j]})) AS digest FROM t"
+        for j in range(4))
+    return f'''
+            WITH t AS (
+              SELECT doc_id, 'u' || doc_id AS url FROM documents),
+            f AS ({selects}),
+            m AS (
+              SELECT url, ts, digest,
+                     CASE WHEN lag(digest) OVER
+                              (PARTITION BY url ORDER BY ts) IS NOT NULL
+                           AND digest != lag(digest) OVER
+                              (PARTITION BY url ORDER BY ts)
+                          THEN 1 ELSE 0 END AS chg
+              FROM f),
+            a AS (
+              SELECT url, count(*) AS nf,
+                     CAST(sum(chg) AS BIGINT) AS nc,
+                     min(ts) AS t0, max(ts) AS t1
+              FROM m GROUP BY 1),
+            b AS (
+              SELECT url, nf, nc,
+                     nf - 1 AS n_raw,
+                     least(nf - 1, 31) AS n,
+                     least((nc * least(nf - 1, 31)) // (nf - 1),
+                           least(nf - 1, 31)) AS xs,
+                     (t1 - t0) // (nf - 1) AS gap
+              FROM a),
+            sched AS (
+              SELECT url, nf, nc, n_raw, gap,
+                     ({ln}[CAST(2 * n + 1 AS INT)]
+                      - {ln}[CAST(2 * (n - xs) + 1 AS INT)]) AS lam,
+                     xs
+              FROM b)
+            SELECT url,
+                   CAST(nf AS BIGINT) AS n_fetches,
+                   CAST(nc AS BIGINT) AS n_changes,
+                   CAST(CASE WHEN n_raw < 1 THEN -1 ELSE gap END
+                        AS BIGINT) AS mean_gap_s,
+                   CAST(CASE WHEN n_raw < 1 THEN -1 ELSE lam END
+                        AS BIGINT) AS lambda_milli,
+                   CAST(CASE WHEN n_raw < 1 THEN -1
+                             WHEN xs = 0 THEN 8 * gap
+                             ELSE least(8 * gap, (693 * gap) // lam)
+                        END AS BIGINT) AS next_interval_s
+            FROM sched
+        '''
+
+
+def q_recrawl(spark, sf_dir):
+    """Cho & Garcia-Molina re-crawl scheduling: a synthesized 4-fetch
+    history per URL (digest changes planted by salted md5, ~1/3 rate),
+    the bias-corrected Poisson change-rate estimator over the shared
+    integer milli-nat ln table, and the 50%-staleness next-fetch
+    interval with a static-page cap. One url exchange serves window +
+    aggregate; the exact SQL oracle replays estimator and schedule."""
+    from mineru_html_spark.functions.frontier import recrawl_schedule
+    d = F.col('doc_id')
+    pieces = []
+    for j in range(4):
+        c_j = sum((F.conv(F.substring(F.md5(F.concat(
+                      d.cast('string'), F.lit(f':rc:{k}'))), 1, 4),
+                      16, 10).cast('long') % 3 == 0).cast('int')
+                  for k in range(1, j + 1)) if j else F.lit(0)
+        pieces.append(F.struct(
+            (F.lit(j * 86400) + d % 7).cast('long').alias('ts'),
+            F.md5(F.concat(d.cast('string'), F.lit(':d:'),
+                           c_j.cast('string'))).alias('digest')))
+    fetches = (_docs(spark, sf_dir)
+               .select(F.concat(F.lit('u'), d.cast('string'))
+                       .alias('url'),
+                       F.explode(F.array(*pieces)).alias('x'))
+               .select('url', F.col('x.ts').alias('ts'),
+                       F.col('x.digest').alias('digest')))
+    return recrawl_schedule(fetches)
+
+
 def q_t5_spans(spark, sf_dir):
     """T5 span corruption (Raffel et al. 2020): 15% of words masked in
     3-word runs, sentinel tokens in document order, targets terminated
@@ -4578,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
+        'recrawl_schedule': q_recrawl,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7030,6 +7122,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM read_parquet(
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
+        'recrawl_schedule': _recrawl_oracle(),
         't5_spans': """
             WITH wr AS (
               SELECT doc_id, string_split(text, ' ') AS w

@@ -135,3 +135,41 @@ def test_t5_round_trip_reconstruction(spark):
            if not t.startswith('<extra_id_')]
     assert sorted(inp + tgt) == sorted(words)
     assert len(tgt) == r['n_masked'] == 15      # 5 blocks x 3
+
+
+def test_recrawl_schedule(spark):
+    from mineru_html_spark.functions.frontier import (_ln_milli_table,
+                                                      recrawl_schedule)
+    ln = _ln_milli_table()
+    day = 86400
+    rows = []
+    # url A: changes every fetch (X=3, n=3) -> lam = ln7 - ln1 = ln7
+    for j, dg in enumerate(['a', 'b', 'c', 'd']):
+        rows.append(('A', j * day, dg))
+    # url B: never changes -> static cap 8 * gap
+    for j in range(4):
+        rows.append(('B', j * day, 'same'))
+    # url C: single fetch -> -1 sentinels
+    rows.append(('C', 0, 'x'))
+    df = spark.createDataFrame(rows, 'url string, ts long, digest string')
+    out = {r['url']: r for r in recrawl_schedule(df).collect()}
+    lam7 = ln[6]                                   # ln(7) milli
+    assert out['A']['lambda_milli'] == lam7
+    assert out['A']['next_interval_s'] == 693 * day // lam7
+    assert out['A']['n_changes'] == 3
+    assert out['B']['n_changes'] == 0
+    assert out['B']['next_interval_s'] == 8 * day
+    assert out['C']['next_interval_s'] == -1
+    assert out['C']['mean_gap_s'] == -1
+
+
+def test_recrawl_faster_change_shorter_interval(spark):
+    from mineru_html_spark.functions.frontier import recrawl_schedule
+    day = 86400
+    rows = ([('fast', j * day, f'v{j}') for j in range(4)]       # X=3
+            + [('slow', j * day, 'vv' if j < 3 else 'w')         # X=1
+               for j in range(4)])
+    df = spark.createDataFrame(rows, 'url string, ts long, digest string')
+    out = {r['url']: r for r in recrawl_schedule(df).collect()}
+    assert (out['fast']['next_interval_s']
+            < out['slow']['next_interval_s'])
