@@ -2229,6 +2229,22 @@ def _recrawl_oracle() -> str:
         '''
 
 
+def q_semantic_decon(spark, sf_dir):
+    """Embedding-space decontamination: corpus items whose cosine to
+    any benchmark probe reaches the threshold are dropped — the
+    semantic complement of the lexical decontaminate family. Probes
+    broadcast as ONE folded row; the corpus never shuffles; keep/argmax
+    are row-local folds. tau = 0.45 here because the synthetic
+    embeddings are near-orthogonal randoms (top natural pair 0.51);
+    production uses ~0.9 — the operator is threshold-agnostic and the
+    oracle mirrors every division."""
+    from mineru_html_spark.functions.similarity import (
+        semantic_decontaminate)
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    return semantic_decontaminate(emb, [169, 7, 338, 156],
+                                  threshold_micro=450000)
+
+
 def q_recrawl(spark, sf_dir):
     """Cho & Garcia-Molina re-crawl scheduling: a synthesized 4-fetch
     history per URL (digest changes planted by salted md5, ~1/3 rate),
@@ -4670,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
         'recrawl_schedule': q_recrawl,
+        'semantic_decontaminate': q_semantic_decon,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7123,6 +7140,45 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'recrawl_schedule': _recrawl_oracle(),
+        'semantic_decontaminate': """
+            WITH q AS (
+              SELECT vec_id AS pid, embedding FROM embeddings
+              WHERE vec_id IN (169, 7, 338, 156)),
+            s AS (
+              SELECT e.vec_id, q.pid,
+                cast(round(1000000 * (
+                  list_sum(list_transform(range(0, len(e.embedding)),
+                    i -> e.embedding[i+1]::DOUBLE
+                         * q.embedding[i+1]::DOUBLE))
+                  / ((CASE WHEN sqrt(list_sum(list_transform(
+                            e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                           = 0 THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(
+                            e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      END)
+                     * (CASE WHEN sqrt(list_sum(list_transform(
+                            q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                           = 0 THEN 1.0
+                      ELSE sqrt(list_sum(list_transform(
+                            q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      END)))) AS BIGINT) AS c
+              FROM embeddings e CROSS JOIN q),
+            a AS (
+              SELECT vec_id, max(c) AS mx,
+                     CAST(sum(CASE WHEN c >= 450000 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nh
+              FROM s GROUP BY 1),
+            n AS (
+              SELECT s.vec_id, min(s.pid) AS np
+              FROM s JOIN a ON s.vec_id = a.vec_id AND s.c = a.mx
+              GROUP BY 1)
+            SELECT a.vec_id,
+                   nh AS n_probe_hits,
+                   mx AS max_cos_micro,
+                   CAST(np AS BIGINT) AS nearest_probe,
+                   (nh = 0) AS keep
+            FROM a JOIN n USING (vec_id)
+        """,
         't5_spans': """
             WITH wr AS (
               SELECT doc_id, string_split(text, ' ') AS w

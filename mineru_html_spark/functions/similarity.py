@@ -662,3 +662,67 @@ def embedding_audit(embeddings: DataFrame, dim: int,
         n_null.cast('long').alias('n_null'),
         norm_micro.alias('norm_micro'),
         status.alias('status'))
+
+
+def semantic_decontaminate(embeddings: DataFrame, probe_ids: List[int],
+                           threshold_micro: int = 900000,
+                           vec_col: str = 'embedding') -> DataFrame:
+    """(vec_id, n_probe_hits, max_cos_micro, nearest_probe, keep):
+    embedding-space decontamination — the semantic complement of the
+    lexical ``decontaminate`` family (n-gram/Bloom): a corpus item is
+    contaminated when its cosine to ANY benchmark probe reaches
+    ``threshold_micro`` (paraphrased eval questions that share no
+    8-gram still land at cosine ~0.9+). The named stage of modern
+    pipelines (e.g. the phi-family 'semantic dedup against benchmarks'
+    and SemDeDup-style screens applied probe-side).
+
+    Scale shape: probes BROADCAST (a benchmark is thousands of rows,
+    never corpus-scale); the corpus is scanned ONCE and never
+    shuffles — scoring and the keep decision are row-local (max/argmax
+    fold over the broadcast probe list via one aggregate expression per
+    row). Probes themselves report keep = false rows (they match
+    themselves at 10^6) — exclude probe ids downstream exactly as the
+    lexical decontaminate does. Integer micro-cosines keep the oracle
+    exact; ties on max break toward the smaller probe id (stated)."""
+    probes = (embeddings
+              .where(F.col('vec_id').isin(list(probe_ids)))
+              .select(F.col('vec_id').alias('pid'),
+                      F.col(vec_col).alias('pvec')))
+    plist = F.broadcast(
+        probes.groupBy().agg(F.sort_array(F.collect_list(
+            F.struct('pid', 'pvec'))).alias('ps')))
+    va0 = F.transform(F.col(vec_col), lambda x: x.cast('double'))
+    # materialize the cast vector and its norm ONCE per row (the
+    # HOF-audit rule: the per-probe lambda below must not re-derive a
+    # whole-row expression per probe — the dot product is inherently
+    # O(dim) per probe, the norm is not)
+    j = (embeddings.crossJoin(plist)
+         .select('vec_id', va0.alias('_va'),
+                 F.when(_norm(va0) == 0, F.lit(1.0))
+                  .otherwise(_norm(va0)).alias('_na'), 'ps'))
+    va = F.col('_va')
+
+    def cos_to(p):
+        vb = F.transform(p, lambda x: x.cast('double'))
+        return F.round(
+            (_dot(va, vb) / (
+                F.col('_na')
+                * (F.when(_norm(vb) == 0, F.lit(1.0))
+                    .otherwise(_norm(vb))))) * 1000000).cast('long')
+
+    scored = F.transform(
+        F.col('ps'), lambda s: F.struct(
+            cos_to(s['pvec']).alias('c'), s['pid'].alias('pid')))
+    # argmax with smaller-pid tie-break: sort by (c desc, pid asc) via
+    # max over (c, -pid)
+    best = F.array_max(F.transform(
+        scored, lambda s: F.struct(s['c'].alias('c'),
+                                   (-s['pid']).alias('npid'))))
+    nhits = F.size(F.filter(scored,
+                            lambda s: s['c'] >= threshold_micro))
+    return j.select(
+        'vec_id',
+        nhits.cast('long').alias('n_probe_hits'),
+        best['c'].alias('max_cos_micro'),
+        (-best['npid']).cast('long').alias('nearest_probe'),
+        (nhits == 0).alias('keep'))

@@ -173,3 +173,30 @@ def test_recrawl_faster_change_shorter_interval(spark):
     out = {r['url']: r for r in recrawl_schedule(df).collect()}
     assert (out['fast']['next_interval_s']
             < out['slow']['next_interval_s'])
+
+
+def test_semantic_decontaminate(spark):
+    from mineru_html_spark.functions.similarity import (
+        semantic_decontaminate)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),        # probe
+        (1, [0.99, 0.14, 0.0], 0),      # paraphrase of probe 0 (~.990)
+        (2, [0.0, 1.0, 0.0], 0),        # probe
+        (3, [0.0, 0.0, 1.0], 0),        # orthogonal -> clean
+        (4, [0.7, 0.7, 0.0], 0),        # cos .707 to BOTH probes
+    ]
+    df = spark.createDataFrame(rows,
+                               'vec_id long, embedding array<float>, '
+                               'label int')
+    out = {r['vec_id']: r for r in
+           semantic_decontaminate(df, [0, 2],
+                                  threshold_micro=900000).collect()}
+    assert not out[1]['keep'] and out[1]['nearest_probe'] == 0
+    assert out[1]['n_probe_hits'] == 1
+    assert out[3]['keep'] and out[3]['n_probe_hits'] == 0
+    assert out[4]['keep']                       # .707 < .9
+    assert out[4]['max_cos_micro'] == 707107
+    # probes hit themselves at exactly 1.0 (excluded downstream by id)
+    assert out[0]['max_cos_micro'] == 1000000 and not out[0]['keep']
+    # tie on max (doc 4 equidistant): smaller probe id wins
+    assert out[4]['nearest_probe'] == 0
