@@ -2229,6 +2229,36 @@ def _recrawl_oracle() -> str:
         '''
 
 
+# crawl-delay gate bodies, cycled over 40 hosts (m % 6): every branch
+# of the de-facto extension fires — wildcard, agent-beats-wildcard with
+# a fractional delay, invalid value, last-line-wins, negative-invalid
+_CD_BODIES = [
+    'User-agent: *\nDisallow: /tmp/\n',                    # no delay
+    'User-agent: *\nCrawl-delay: 2\n',                     # wildcard 2s
+    ('User-agent: minerubot\nCrawl-delay: 0.5\n\n'
+     'User-agent: *\nCrawl-delay: 9\n'),                   # agent 500ms
+    'User-agent: *\nCrawl-delay: abc\n',                   # invalid
+    'User-agent: *\nCrawl-delay: 1.25\nCrawl-delay: 3\n',  # last wins
+    'User-agent: minerubot\nUser-agent: otherbot\nCrawl-delay: -4\n',
+]
+_CD_EXPECT = [(1000, 'default'), (2000, 'wildcard'), (500, 'agent'),
+              (1000, 'default'), (3000, 'wildcard'), (1000, 'default')]
+
+
+def q_crawl_delay(spark, sf_dir):
+    """Crawl-delay politeness extension (Bing/Yandex de-facto): per-host
+    effective delay for the crawler agent — RFC group grammar, agent
+    group pre-empts '*', fractional seconds exact in millis, invalid /
+    negative values fall to the default, last line in a group wins. The
+    oracle is ground truth BY CONSTRUCTION (each host's body — and so
+    its expected delay — is a function of its index)."""
+    from mineru_html_spark.functions.robots import crawl_delays
+    rows = [(f'site{m}.example', _CD_BODIES[m % 6]) for m in range(40)]
+    robots = spark.createDataFrame(rows,
+                                   'host string, robots_txt string')
+    return crawl_delays(robots, agent='minerubot')
+
+
 def q_semantic_decon(spark, sf_dir):
     """Embedding-space decontamination: corpus items whose cosine to
     any benchmark probe reaches the threshold are dropped — the
@@ -4687,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         't5_spans': q_t5_spans,
         'recrawl_schedule': q_recrawl,
         'semantic_decontaminate': q_semantic_decon,
+        'crawl_delay': q_crawl_delay,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7140,6 +7171,18 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'recrawl_schedule': _recrawl_oracle(),
+        'crawl_delay': f"""
+            SELECT 'site' || m || '.example' AS host,
+                   CAST(CASE m % 6
+                     {' '.join(f"WHEN {i} THEN {d}"
+                               for i, (d, _) in enumerate(_CD_EXPECT))}
+                   END AS BIGINT) AS delay_milli,
+                   CASE m % 6
+                     {' '.join(f"WHEN {i} THEN '{s}'"
+                               for i, (_, s) in enumerate(_CD_EXPECT))}
+                   END AS source
+            FROM (SELECT unnest(range(0, 40)) AS m)
+        """,
         'semantic_decontaminate': """
             WITH q AS (
               SELECT vec_id AS pid, embedding FROM embeddings

@@ -196,3 +196,78 @@ def robots_sitemaps(robots: DataFrame, host_col: str = 'host',
         F.col(body_col), F.lit(r'(?im)^\s*sitemap\s*:\s*(\S+)'), 1)
     return (robots.select(F.col(host_col).alias('host'),
                           F.explode(urls).alias('sitemap_url')))
+
+
+def parse_crawl_delays(body: str) -> List[Tuple[str, int]]:
+    """One robots.txt body -> [(agent, delay_milli)] — the de-facto
+    ``Crawl-delay`` extension (not in RFC 9309 but honored by Bing,
+    Yandex and most polite crawlers): a group's crawl-delay in integer
+    MILLISECONDS, fractional seconds kept exactly via the millipoint
+    parse (``Crawl-delay: 0.5`` -> 500). Invalid/negative values are
+    ignored (the de-facto consensus: unparseable delay = no delay);
+    the LAST delay in a group wins (later line supersedes). Group
+    grammar (stacked user-agents, comments, case-insensitive keys) is
+    exactly ``parse_robots_txt``'s."""
+    out = {}
+    agents: List[str] = []
+    last_was_ua = False
+    for raw in body.splitlines():
+        line = raw.split('#', 1)[0].strip()
+        if not line or ':' not in line:
+            continue
+        key, _, val = line.partition(':')
+        key = key.strip().lower()
+        val = val.strip()
+        if key == 'user-agent':
+            if not last_was_ua:
+                agents = []
+            agents.append(val.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if key != 'crawl-delay' or not agents:
+            continue
+        neg = val.startswith('-')
+        core = val[1:] if neg else val
+        ip, _, fp = core.partition('.')
+        if neg or not (ip or fp) or not (ip or '0').isdigit() \
+                or (fp and not fp.isdigit()):
+            continue
+        milli = int(ip or '0') * 1000 + int((fp + '000')[:3] or '0')
+        for a in agents:
+            out[a] = milli
+    return [(a, m) for a, m in out.items()]
+
+
+def crawl_delays(robots: DataFrame, agent: str = 'minerubot',
+                 default_milli: int = 1000,
+                 host_col: str = 'host',
+                 body_col: str = 'robots_txt') -> DataFrame:
+    """(host, delay_milli, source): effective crawl-delay per host for
+    ``agent`` — the group selection rule of RFC 9309 §2.2.1 applied to
+    the delay extension: the crawler-specific group's delay wins over
+    ``*``'s; neither present -> ``default_milli`` (source says which
+    fired: 'agent' / 'wildcard' / 'default'). One row per host in, one
+    out — Arrow-batched parse on the tiny side, broadcastable into
+    ``frontier_waves`` pacing; the URL corpus is never touched."""
+    import pandas as pd
+    ag = agent.lower()
+    out_schema = 'host string, delay_milli long, source string'
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                ds = dict(parse_crawl_delays(body or ''))
+                if ag in ds:
+                    rows.append((host, ds[ag], 'agent'))
+                elif '*' in ds:
+                    rows.append((host, ds['*'], 'wildcard'))
+                else:
+                    rows.append((host, int(default_milli), 'default'))
+            yield pd.DataFrame(rows, columns=['host', 'delay_milli',
+                                              'source'])
+
+    return (robots.select(F.col(host_col).alias(host_col),
+                          F.col(body_col).alias(body_col))
+            .mapInPandas(batch, out_schema))

@@ -200,3 +200,16 @@ def test_semantic_decontaminate(spark):
     assert out[0]['max_cos_micro'] == 1000000 and not out[0]['keep']
     # tie on max (doc 4 equidistant): smaller probe id wins
     assert out[4]['nearest_probe'] == 0
+
+
+def test_parse_crawl_delays_unit():
+    from mineru_html_spark.functions.robots import parse_crawl_delays
+    body = ('User-agent: a\nUser-agent: b\nCrawl-delay: 1.5\n\n'
+            'User-agent: *\nCrawl-delay: 10 # comment\n'
+            'Crawl-delay: 2\n'           # last wins
+            'User-agent: c\nCrawl-delay: nope\n')
+    d = dict(parse_crawl_delays(body))
+    assert d['a'] == 1500 and d['b'] == 1500
+    assert d['*'] == 2000
+    assert 'c' not in d
+    assert parse_crawl_delays('Crawl-delay: 5\n') == []   # no group
