@@ -105,3 +105,25 @@ def test_corrupt_contained_as_error_row():
     row = layout_bytes_to_row('x.pdf', b'not a pdf at all')
     assert row['error'].startswith('ValueError')
     assert row['text'] == '' and row['n_blocks'] == 0
+
+
+def test_xy_cut_giant_page_bounded():
+    # 5000 runs in dense two-column shape: one vertical cut, fast; and
+    # a 3000-isolated-lines page hits the depth cap gracefully — block
+    # granularity coarsens but reading ORDER stays exact top-down
+    import time
+    runs = []
+    for i in range(5000):
+        y = 1000000 - (i % 2500) * 400
+        runs.append(Run(50000 + (i % 2) * 270000, y, 11000, f'l{i}'))
+    t0 = time.time()
+    blocks = xy_cut(runs)
+    assert time.time() - t0 < 5
+    assert len(blocks) == 2
+    iso = [Run(50000, 1000000 - i * 20000, 11000, f'p{i}')
+           for i in range(3000)]
+    t0 = time.time()
+    b2 = xy_cut(iso)
+    assert time.time() - t0 < 5
+    flat = [r.text for blk in b2 for r in blk]
+    assert flat == [f'p{i}' for i in range(3000)]     # order exact
