@@ -124,6 +124,20 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  .where("entropy_class in ('ok', 'empty')")
                  .select(*kept.columns))
 
+    # 4c. compression screen: LZ78 normalized complexity — the
+    #     build-independent compression-ratio filter. Catches the
+    #     repetitive/noise tails entropy sees differently (entropy is
+    #     distribution-only; LZ78 sees SEQUENCE structure, e.g. a
+    #     shuffled spam page keeps its char distribution but loses its
+    #     phrase repetition). Attached INLINE (with_ variant): one
+    #     Arrow pass, zero exchanges. 'short' passes — the length
+    #     floor is stage 04's job.
+    from mineru_html_spark.functions.text import with_lz78_complexity
+    kept = _mark('04c_lz78_screen',
+                 with_lz78_complexity(kept)
+                 .where("lz_class in ('ok', 'short')")
+                 .select(*kept.columns))
+
     # 4. benchmark decontamination (eval-overlap filter). The benchmark
     #    stands in for the real eval suites; its shingle index broadcasts.
     bench = spark.createDataFrame(

@@ -1015,3 +1015,57 @@ def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
 
     return documents.select('doc_id', 'text').mapInPandas(batch,
                                                           out_schema)
+
+
+def with_lz78_complexity(documents: DataFrame,
+                         low_milli: int = 3000,
+                         high_milli: int = 4200,
+                         min_chars: int = 400,
+                         text_col: str = 'text') -> DataFrame:
+    """All input columns plus (n_phrases, norm_milli, lz_class)
+    attached INLINE — the zero-shuffle way to screen a corpus on the
+    compression signal (the ``with_char_entropy`` policy: semi-joining
+    ``lz78_complexity`` back on doc_id would shuffle the whole corpus
+    text for a label). Same parse and band as ``lz78_complexity``."""
+    import pandas as pd
+
+    low, high, floor_n = int(low_milli), int(high_milli), int(min_chars)
+    out_schema = ', '.join(f'{f.name} {f.dataType.simpleString()}'
+                           for f in documents.schema.fields)
+    out_schema += ', n_phrases long, norm_milli long, lz_class string'
+
+    def batch(it):
+        for pdf in it:
+            nps, norms, cls = [], [], []
+            for text in pdf[text_col]:
+                s = text or ''
+                n = len(s)
+                dic = {}
+                phrases = 0
+                i = 0
+                while i < n:
+                    node = dic
+                    j = i
+                    while j < n and s[j] in node:
+                        node = node[s[j]]
+                        j += 1
+                    phrases += 1
+                    if j < n:
+                        node[s[j]] = {}
+                        j += 1
+                    i = j
+                norm = 1000 * phrases * n.bit_length() // max(n, 1)
+                nps.append(phrases)
+                norms.append(norm)
+                cls.append('short' if n < floor_n
+                           else 'repetitive' if norm < low
+                           else 'high_entropy' if norm > high else 'ok')
+            out = pdf.copy()
+            out['n_phrases'] = pd.Series(nps, index=out.index,
+                                         dtype='int64')
+            out['norm_milli'] = pd.Series(norms, index=out.index,
+                                          dtype='int64')
+            out['lz_class'] = cls
+            yield out
+
+    return documents.mapInPandas(batch, out_schema)

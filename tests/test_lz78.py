@@ -213,3 +213,18 @@ def test_parse_crawl_delays_unit():
     assert d['*'] == 2000
     assert 'c' not in d
     assert parse_crawl_delays('Crawl-delay: 5\n') == []   # no group
+
+
+def test_with_lz78_inline_matches_operator(spark):
+    from mineru_html_spark.functions.text import (lz78_complexity,
+                                                  with_lz78_complexity)
+    rows = [(0, 'limited offer buy now click here ' * 40, 'src0'),
+            (1, 'plain short doc', 'src1')]
+    df = spark.createDataFrame(rows,
+                               'doc_id long, text string, source string')
+    op = {r['doc_id']: r for r in lz78_complexity(df).collect()}
+    inl = {r['doc_id']: r for r in with_lz78_complexity(df).collect()}
+    for k in (0, 1):
+        assert inl[k]['norm_milli'] == op[k]['norm_milli']
+        assert inl[k]['lz_class'] == op[k]['lz_class']
+        assert inl[k]['source'] == f'src{k}'     # columns pass through
