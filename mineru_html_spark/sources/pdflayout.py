@@ -46,12 +46,16 @@ from .pdf import (StrDecoder, _latin1, _scan_strings, _SHOW_OP_RE,
 # regex; matches inside shown strings are filtered via the string-span
 # mask, same review finding as the font-state machine)
 _NUM = rb'(-?(?:\d+\.?\d*|\.\d+))'
-_TD_RE = re.compile(_NUM + rb'\s+' + _NUM + rb'\s+(Td|TD)(?![\w*])')
-_TM_RE = re.compile((rb'\s+'.join([_NUM] * 6)) + rb'\s+Tm(?![\w*])')
-_TL_RE = re.compile(_NUM + rb'\s+TL(?![\w*])')
-_TSTAR_RE = re.compile(rb'T\*')
-_BT_RE = re.compile(rb'BT(?![\w*])')
-_TF_SZ_RE = re.compile(rb'/([^\s/<>\[\]()]+)\s+' + _NUM + rb'\s+Tf(?![\w*])')
+# every operator token is guarded on BOTH sides ((?<![\w*]) ... (?![\w*]))
+# so a longer identifier containing the letters (e.g. a hypothetical
+# 'ABT' or 'TdX') can never fire an event; strings are already masked
+_TD_RE = re.compile(_NUM + rb'\s+' + _NUM + rb'\s+(?<![\w*])(Td|TD)(?![\w*])')
+_TM_RE = re.compile((rb'\s+'.join([_NUM] * 6)) + rb'\s+(?<![\w*])Tm(?![\w*])')
+_TL_RE = re.compile(_NUM + rb'\s+(?<![\w*])TL(?![\w*])')
+_TSTAR_RE = re.compile(rb'(?<![\w*])T\*')
+_BT_RE = re.compile(rb'(?<![\w*])BT(?![\w*])')
+_TF_SZ_RE = re.compile(
+    rb'/([^\s/<>\[\]()]+)\s+' + _NUM + rb'\s+(?<![\w*])Tf(?![\w*])')
 
 
 def _milli(tok: bytes) -> int:

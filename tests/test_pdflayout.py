@@ -127,3 +127,15 @@ def test_xy_cut_giant_page_bounded():
     assert time.time() - t0 < 5
     flat = [r.text for blk in b2 for r in blk]
     assert flat == [f'p{i}' for i in range(3000)]     # order exact
+
+
+def test_operator_tokens_need_boundaries():
+    # 'BT' inside a longer identifier must not reset the matrix, and
+    # 'T*'-like tails of identifiers must not line-feed
+    s = b'BT 1 0 0 1 50 700 Tm (a) Tj /XABT 9 Tf (b) Tj ET'
+    runs = extract_stream_runs(s)
+    # the /XABT name must not fire a BT reset between the shows; the
+    # Tf IS legitimate (name XABT, size 9) so a new run opens at the
+    # same position with the new size
+    assert [(r.x, r.y) for r in runs] == [(50000, 700000)] * len(runs)
+    assert ''.join(r.text for r in runs) == 'ab'
