@@ -2245,6 +2245,28 @@ _CD_EXPECT = [(1000, 'default'), (2000, 'wildcard'), (500, 'agent'),
               (1000, 'default'), (3000, 'wildcard'), (1000, 'default')]
 
 
+def q_squad_eval(spark, sf_dir):
+    """SQuAD exact-match / token-F1 (Rajpurkar et al. 2016) — the QA
+    answer-scoring standard, completing the eval family next to ROUGE
+    and chrF. Gate pairs a punctuation/article-noised prediction
+    against three gold shapes (identical -> EM fires through the
+    normalizer; truncated and shifted -> partial F1); the oracle
+    mirrors normalization, article drop, clipped token overlap and the
+    single collapsed F1 division exactly."""
+    from mineru_html_spark.functions.rouge import squad_eval
+    d = F.col('doc_id')
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    pred = F.concat(F.lit('The '),
+                    F.array_join(F.slice(w, 1, 8), ' '), F.lit('!'))
+    gold = (F.when(d % 3 == 0, F.array_join(F.slice(w, 1, 8), ' '))
+            .when(d % 3 == 1, F.array_join(F.slice(w, 1, 6), ' '))
+            .otherwise(F.array_join(F.slice(w, 3, 8), ' ')))
+    pairs = wdf.select('doc_id', pred.alias('pred'), gold.alias('gold'))
+    return squad_eval(pairs)
+
+
 def q_crawl_delay(spark, sf_dir):
     """Crawl-delay politeness extension (Bing/Yandex de-facto): per-host
     effective delay for the crawler agent — RFC group grammar, agent
@@ -4718,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'recrawl_schedule': q_recrawl,
         'semantic_decontaminate': q_semantic_decon,
         'crawl_delay': q_crawl_delay,
+        'squad_eval': q_squad_eval,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7171,6 +7194,53 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'recrawl_schedule': _recrawl_oracle(),
+        'squad_eval': """
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            pg AS (
+              SELECT doc_id,
+                'The ' || array_to_string(list_slice(w, 1, 8), ' ')
+                       || '!' AS pred,
+                CASE WHEN doc_id % 3 = 0
+                       THEN array_to_string(list_slice(w, 1, 8), ' ')
+                     WHEN doc_id % 3 = 1
+                       THEN array_to_string(list_slice(w, 1, 6), ' ')
+                     ELSE array_to_string(list_slice(w, 3, 10), ' ')
+                END AS gold
+              FROM wr),
+            norm AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(regexp_replace(
+                  lower(pred), '[^a-z0-9\\s]', '', 'g'), '\\s+'),
+                  t -> len(t) > 0 AND t NOT IN ('a', 'an', 'the')) AS p,
+                list_filter(regexp_split_to_array(regexp_replace(
+                  lower(gold), '[^a-z0-9\\s]', '', 'g'), '\\s+'),
+                  t -> len(t) > 0 AND t NOT IN ('a', 'an', 'the')) AS g
+              FROM pg),
+            pc AS (SELECT doc_id, t, count(*) AS c
+                   FROM (SELECT doc_id, unnest(p) AS t FROM norm)
+                   GROUP BY 1, 2),
+            gc AS (SELECT doc_id, t, count(*) AS c
+                   FROM (SELECT doc_id, unnest(g) AS t FROM norm)
+                   GROUP BY 1, 2),
+            mt AS (SELECT pc.doc_id,
+                          CAST(sum(least(pc.c, gc.c)) AS BIGINT) AS m
+                   FROM pc JOIN gc USING (doc_id, t) GROUP BY 1)
+            SELECT n.doc_id,
+                   (len(p) = 0 AND len(g) = 0)
+                     OR (array_to_string(p, ' ') = array_to_string(g, ' ')
+                         AND len(p) + len(g) > 0) AS em,
+                   CAST(CASE WHEN len(p) = 0 AND len(g) = 0 THEN 1000
+                        WHEN len(p) + len(g) = 0 THEN 0
+                        ELSE (2000 * coalesce(mt.m, 0))
+                             // (len(p) + len(g)) END AS BIGINT)
+                     AS f1_milli,
+                   CAST(coalesce(mt.m, 0) AS BIGINT) AS n_common,
+                   CAST(len(p) AS BIGINT) AS n_pred,
+                   CAST(len(g) AS BIGINT) AS n_gold
+            FROM norm n LEFT JOIN mt USING (doc_id)
+        """,
         'crawl_delay': f"""
             SELECT 'site' || m || '.example' AS host,
                    CAST(CASE m % 6

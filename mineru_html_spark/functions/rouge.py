@@ -200,3 +200,61 @@ def chrf_eval(pairs: DataFrame, max_n: int = 6,
 
     return (pairs.select('doc_id', hyp_col, ref_col)
             .mapInPandas(batch, CHRF_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# SQuAD exact-match / token-F1 (Rajpurkar et al. 2016) — the standard QA
+# answer-scoring pair; completes the eval family next to ROUGE and chrF.
+# ---------------------------------------------------------------------------
+
+EMF1_SCHEMA = ('doc_id long, em boolean, f1_milli long, n_common long, '
+               'n_pred long, n_gold long')
+
+_ARTICLES = ('a', 'an', 'the')
+
+
+def squad_normalize(s: str) -> list:
+    """The published SQuAD answer normalization, as a token list:
+    lowercase, strip punctuation, drop English articles, split on
+    whitespace. Shared semantics with the SQL oracle (same regex class,
+    same article set)."""
+    s = re.sub(r'[^a-z0-9\s]', '', (s or '').lower())
+    return [t for t in s.split() if t not in _ARTICLES]
+
+
+def squad_em_f1(pred: str, gold: str) -> tuple:
+    """(em, f1_milli, n_common, n_pred, n_gold) — exact match on the
+    normalized token sequence; F1 over the clipped token multiset
+    overlap, ``floor(2000 * common / (n_pred + n_gold))`` (the harmonic
+    mean collapses to one integer division, the chrF trick). Both-empty
+    scores EM true / F1 1000 per the reference implementation."""
+    p = squad_normalize(pred)
+    g = squad_normalize(gold)
+    if not p and not g:
+        return True, 1000, 0, 0, 0
+    pc = Counter(p)
+    gc = Counter(g)
+    common = sum(min(c, gc[t]) for t, c in pc.items() if t in gc)
+    denom = len(p) + len(g)
+    f1 = 2000 * common // denom if denom else 0
+    return p == g, f1, common, len(p), len(g)
+
+
+def squad_eval(pairs: DataFrame, pred_col: str = 'pred',
+               gold_col: str = 'gold') -> DataFrame:
+    """(doc_id, em, f1_milli, n_common, n_pred, n_gold) per row of a
+    (doc_id, pred, gold) frame — Arrow-batched row-local scoring, zero
+    exchanges (the chrf_eval shape)."""
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for doc_id, pr, gd in zip(pdf['doc_id'], pdf[pred_col],
+                                      pdf[gold_col]):
+                em, f1, c, np_, ng = squad_em_f1(pr, gd)
+                rows.append((doc_id, em, f1, c, np_, ng))
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'em', 'f1_milli', 'n_common', 'n_pred',
+                'n_gold'])
+
+    return (pairs.select('doc_id', pred_col, gold_col)
+            .mapInPandas(batch, EMF1_SCHEMA))

@@ -228,3 +228,19 @@ def test_with_lz78_inline_matches_operator(spark):
         assert inl[k]['norm_milli'] == op[k]['norm_milli']
         assert inl[k]['lz_class'] == op[k]['lz_class']
         assert inl[k]['source'] == f'src{k}'     # columns pass through
+
+
+def test_squad_em_f1_unit():
+    from mineru_html_spark.functions.rouge import squad_em_f1
+    # published-behavior cases: articles + punctuation + case ignored
+    assert squad_em_f1('The Eiffel Tower!', 'eiffel tower')[:2] == \
+        (True, 1000)
+    # partial overlap: pred {paris, france}, gold {paris} ->
+    # f1 = 2*1/(2+1) = 666 milli (floor)
+    em, f1, c, np_, ng = squad_em_f1('paris france', 'Paris')
+    assert (em, f1, c, np_, ng) == (False, 666, 1, 2, 1)
+    # multiset clipping: repeated token counts once per gold instance
+    assert squad_em_f1('x x', 'x')[2] == 1
+    assert squad_em_f1('', '')[:2] == (True, 1000)
+    assert squad_em_f1('a an the', '')[:2] == (True, 1000)  # all articles
+    assert squad_em_f1('word', '')[:2] == (False, 0)
