@@ -2245,6 +2245,25 @@ _CD_EXPECT = [(1000, 'default'), (2000, 'wildcard'), (500, 'agent'),
               (1000, 'default'), (3000, 'wildcard'), (1000, 'default')]
 
 
+def q_citation_graph(spark, sf_dir):
+    """Citation-frequency table over a LaTeX paper corpus: cite keys
+    extracted by the same verbatim-lift + comment-strip walker as the
+    detexer (a cite in a comment or verbatim must NOT edge — both
+    planted), multi-key \\cite{a,b} split, repeated keys keep raw
+    mention count vs distinct-doc in-degree. One (key, doc) aggregate;
+    committed-output oracle."""
+    from mineru_html_spark.sources.latex import (
+        citation_graph, read_latex_citations,
+        write_synth_citation_gate_set)
+    d = os.path.join(REPO, '.data', 'citation_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_citation_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return citation_graph(read_latex_citations(spark, d))
+
+
 def q_squad_eval(spark, sf_dir):
     """SQuAD exact-match / token-F1 (Rajpurkar et al. 2016) — the QA
     answer-scoring standard, completing the eval family next to ROUGE
@@ -4741,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semantic_decontaminate': q_semantic_decon,
         'crawl_delay': q_crawl_delay,
         'squad_eval': q_squad_eval,
+        'citation_graph': q_citation_graph,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7194,6 +7214,7 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'recrawl_schedule': _recrawl_oracle(),
+        'citation_graph': _expected_parquet('citation_graph'),
         'squad_eval': """
             WITH wr AS (
               SELECT doc_id, string_split(text, ' ') AS w

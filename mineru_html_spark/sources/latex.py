@@ -125,6 +125,7 @@ class _Walker:
         self.n_math = 0
         self.n_figures = 0
         self.n_cites = 0
+        self.cite_keys: List[str] = []
         self.n_inputs = 0
         self.n_sections = 0
         self.title = ''
@@ -246,7 +247,9 @@ class _Walker:
             j = _skip_opt(s, j)
             j = _skip_opt(s, j)
             if j < len(s) and s[j] == '{':
-                _, j = _read_group(s, j)
+                keys, j = _read_group(s, j)
+                self.cite_keys.extend(
+                    k.strip() for k in keys.split(',') if k.strip())
             self.n_cites += 1
             self.buf.append('[CIT]')
             return j
@@ -519,3 +522,93 @@ Before math.
         with open(os.path.join(out_dir, n), 'wb') as f:
             f.write(d)
     return sorted(files)
+
+
+def latex_bytes_to_citations(name: str, data: bytes) -> List[tuple]:
+    """(doc_id, position, cite_key) rows for one .tex file, in citation
+    order — the SAME verbatim-lift + comment-strip + walk as
+    ``latex_bytes_to_row`` (a cite inside a comment or a verbatim block
+    must not edge), keys split on ',' per the \\cite{a,b} grammar.
+    Never raises; unparseable files contribute no edges."""
+    try:
+        src = data.decode('utf-8', 'replace')
+        src = _VERB_RE.sub(lambda m: '', src)
+        src = _COMMENT_RE.sub('', src)
+        mb = _BODY_RE.search(src)
+        body = mb.group(1) if mb else src
+        w = _Walker()
+        w.walk(body)
+        w._flush()
+        return [(name, i, k) for i, k in enumerate(w.cite_keys)]
+    except Exception:  # noqa: BLE001 — tolerant reader contract
+        return []
+
+
+CITATIONS_SCHEMA = 'doc_id string, pos int, cite_key string'
+
+
+def read_latex_citations(spark, path: str):
+    """Directory of .tex files -> (doc_id, pos, cite_key) edge rows —
+    the paper-graph twin of links.read_outlinks: one task per file,
+    Arrow-batched, document order preserved via pos."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.tex').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                rows.extend(latex_bytes_to_citations(
+                    p.rsplit('/', 1)[-1], bytes(c)))
+            yield pd.DataFrame(rows, columns=['doc_id', 'pos',
+                                              'cite_key'])
+
+    return files.mapInPandas(batch, CITATIONS_SCHEMA)
+
+
+def citation_graph(cites) -> 'DataFrame':
+    """(cite_key, n_citing_docs, n_total_cites, first_doc): the
+    citation-frequency table a paper corpus feeds into ranking /
+    dedup-canonicalization — in-degree by distinct citing doc, raw
+    mention count, and the lexicographically first citing doc (a
+    stable exemplar). One map-side-combined aggregate; the exchange
+    carries (key, doc_id) pairs only."""
+    import pyspark.sql.functions as F
+    return (cites.groupBy('cite_key')
+            .agg(F.countDistinct('doc_id').alias('n_citing_docs'),
+                 F.count('*').alias('n_total_cites'),
+                 F.min('doc_id').alias('first_doc'))
+            .select('cite_key',
+                    F.col('n_citing_docs').cast('long')
+                     .alias('n_citing_docs'),
+                    F.col('n_total_cites').cast('long')
+                     .alias('n_total_cites'),
+                    'first_doc'))
+
+
+def write_synth_citation_gate_set(out_dir: str) -> None:
+    """Citation-graph gate corpus: four papers over a shared key pool —
+    multi-key \\cite{a,b}, \\citet/\\citep variants with optional
+    arguments, a repeated key within one paper (n_total > n_docs), a
+    cite inside a comment and one inside verbatim (neither may edge),
+    and one unparseable payload (contributes nothing)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    papers = {
+        'p0.tex': ('\\begin{document}\nIntro \\cite{kn:alpha, kn:beta} '
+                   'then \\citet[p.~3]{kn:gamma} and again '
+                   '\\cite{kn:alpha}.\n\\end{document}\n'),
+        'p1.tex': ('\\begin{document}\nWe follow \\citep{kn:alpha}. '
+                   '% hidden \\cite{kn:ghost}\n'
+                   '\\begin{verbatim}\\cite{kn:verb}\\end{verbatim}\n'
+                   '\\end{document}\n'),
+        'p2.tex': ('\\begin{document}\nOnly \\cite{kn:beta}.'
+                   '\n\\end{document}\n'),
+        'p3.tex': 'no document env \\cite{kn:frag}\n',
+    }
+    for name, body in papers.items():
+        with open(os.path.join(out_dir, name), 'w') as f:
+            f.write(body)

@@ -137,3 +137,18 @@ def test_read_latex_spark(spark, tmp_path):
     assert p['n_figures'] == 1 and p['spans'][0]['kind'] == 'text'
     offs = [s['offset'] for s in p['spans']]
     assert offs == list(range(len(offs)))
+
+
+def test_latex_citations_masking_and_multikey():
+    from mineru_html_spark.sources.latex import latex_bytes_to_citations
+    src = (b'\\begin{document}\n'
+           b'A \\cite{k1, k2} B \\citet[p.~3]{k3} C \\cite{k1}\n'
+           b'% comment \\cite{ghost}\n'
+           b'\\begin{verbatim}\\cite{verb}\\end{verbatim}\n'
+           b'\\end{document}\n')
+    rows = latex_bytes_to_citations('d.tex', src)
+    keys = [k for _, _, k in rows]
+    assert keys == ['k1', 'k2', 'k3', 'k1']      # order + repeats
+    assert 'ghost' not in keys and 'verb' not in keys
+    assert [p for _, p, _ in rows] == [0, 1, 2, 3]
+    assert latex_bytes_to_citations('bad.tex', b'\xff\xfe') == []
