@@ -2245,6 +2245,36 @@ _CD_EXPECT = [(1000, 'default'), (2000, 'wildcard'), (500, 'agent'),
               (1000, 'default'), (3000, 'wildcard'), (1000, 'default')]
 
 
+# paragraph-filter plants: a symbol-run divider, a too-short crumb and
+# an all-numeric line — each must drop; the 10-word salad lines survive
+_PF_JUNK = '#### ==== ####\nhome\n12 34 56 78 90'
+
+
+def q_paragraph_filter(spark, sf_dir):
+    """Line/paragraph-level QUALITY pruning (RefinedWeb line-wise
+    corrections / Dolma paragraph rules): docs survive, junk lines do
+    not. Gate regroups words into 10-word lines and plants a symbol
+    divider, a one-word crumb and a numeric line — 3 planted drops per
+    doc (plus any natural <4-word trailing line); the exact SQL oracle
+    mirrors every per-line predicate."""
+    from mineru_html_spark.functions.corpus import paragraph_filter
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    wr = F.col('_w')
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(wr) - 1) / 10)
+                       .cast('int')),
+            lambda i: F.array_join(F.slice(wr, i * 10 + 1, 10), ' ')),
+        '\n')
+    docs = wdf.select(
+        'doc_id',
+        F.concat(body, F.lit('\n' + _PF_JUNK)).alias('text'))
+    out = paragraph_filter(docs)
+    return out.select('doc_id', 'n_lines', 'n_dropped', 'n_words_kept',
+                      F.md5('clean_text').alias('clean_md5'))
+
+
 def q_citation_graph(spark, sf_dir):
     """Citation-frequency table over a LaTeX paper corpus: cite keys
     extracted by the same verbatim-lift + comment-strip walker as the
@@ -4761,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_delay': q_crawl_delay,
         'squad_eval': q_squad_eval,
         'citation_graph': q_citation_graph,
+        'paragraph_filter': q_paragraph_filter,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
@@ -7214,6 +7245,49 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/tests/goldens/expected_pdf_layout_sf001.parquet')
         """,
         'recrawl_schedule': _recrawl_oracle(),
+        'paragraph_filter': f"""
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, (len(w) - 1) // 10 + 1),
+                  i -> array_to_string(
+                    list_slice(w, i * 10 + 1, i * 10 + 10), ' ')),
+                  chr(10))
+                || chr(10) || '#### ==== ####'
+                || chr(10) || 'home'
+                || chr(10) || '12 34 56 78 90' AS text
+              FROM wr),
+            dl AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM d),
+            k AS (
+              SELECT doc_id, lines,
+                list_filter(lines, ln ->
+                  len(list_filter(regexp_split_to_array(trim(ln),
+                        '\\s+'), t -> len(t) > 0)) >= 4
+                  AND len(list_filter(list_filter(
+                        regexp_split_to_array(trim(ln), '\\s+'),
+                        t -> len(t) > 0),
+                        t -> regexp_matches(t, '[A-Za-z]'))) * 1000
+                      >= 500 * len(list_filter(regexp_split_to_array(
+                        trim(ln), '\\s+'), t -> len(t) > 0))
+                  AND (len(ln) - len(regexp_replace(ln,
+                        '[#*|=~\\\\]', '', 'g'))) * 1000
+                      <= 300 * len(ln)) AS kept
+              FROM dl)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(list_sum(list_transform(kept,
+                     ln -> len(list_filter(regexp_split_to_array(
+                       trim(ln), '\\s+'), t -> len(t) > 0)))), 0)
+                     AS BIGINT) AS n_words_kept,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM k
+        """,
         'citation_graph': _expected_parquet('citation_graph'),
         'squad_eval': """
             WITH wr AS (

@@ -1533,3 +1533,53 @@ def span_corrupt(documents: DataFrame, block: int = 20, span: int = 3,
         (nb * spn).cast('long').alias('n_masked'),
         inputs.alias('inputs'),
         targets.alias('targets'))
+
+
+def paragraph_filter(documents: DataFrame,
+                     min_words: int = 4,
+                     min_alpha_permille: int = 500,
+                     max_symbol_permille: int = 300) -> DataFrame:
+    """(doc_id, n_lines, n_dropped, n_words_kept, clean_text):
+    line/paragraph-level QUALITY pruning — the within-document filter
+    stage of RefinedWeb ("line-wise corrections") and Dolma's paragraph
+    rules: a document survives, but its junk lines (short fragments,
+    symbol runs, nav crumbs) do not. Complements ``line_dedup``
+    (global keep-first) and ``site_template_filter`` (per-host
+    frequency): those drop REPEATED lines, this drops BAD lines,
+    repeated or not.
+
+    A line is kept when it has >= ``min_words`` whitespace tokens,
+    >= ``min_alpha_permille`` of its tokens contain a letter, and
+    <= ``max_symbol_permille`` of its characters are symbol-class
+    (#, *, |, =, ~, backslash — the ASCII decoration set). All
+    integer permille; the whole operator is ONE native projection —
+    split, per-line higher-order predicate, order-preserving filter,
+    rejoin — zero UDFs, zero shuffles, scan speed at 10^12 docs.
+    """
+    mw, ap, sp = int(min_words), int(min_alpha_permille), \
+        int(max_symbol_permille)
+    docs = documents.withColumn('_lines', F.split('text', '\n'))
+    lines = F.col('_lines')
+
+    def keep(ln):
+        toks = F.filter(F.split(F.trim(ln), r'\s+'),
+                        lambda t: F.length(t) > 0)
+        nw = F.size(toks)
+        n_alpha = F.size(F.filter(toks, lambda t: t.rlike('[A-Za-z]')))
+        n_sym = F.length(ln) - F.length(
+            F.regexp_replace(ln, r'[#*|=~\\]', ''))
+        return ((nw >= mw)
+                & (n_alpha * 1000 >= F.lit(ap) * nw)
+                & (n_sym * 1000 <= F.lit(sp) * F.length(ln)))
+
+    kept = F.filter(lines, keep)
+    kept_words = F.aggregate(
+        kept, F.lit(0),
+        lambda acc, ln: acc + F.size(F.filter(
+            F.split(F.trim(ln), r'\s+'), lambda t: F.length(t) > 0)))
+    return docs.select(
+        'doc_id',
+        F.size(lines).cast('long').alias('n_lines'),
+        (F.size(lines) - F.size(kept)).cast('long').alias('n_dropped'),
+        kept_words.cast('long').alias('n_words_kept'),
+        F.array_join(kept, '\n').alias('clean_text'))

@@ -244,3 +244,19 @@ def test_squad_em_f1_unit():
     assert squad_em_f1('', '')[:2] == (True, 1000)
     assert squad_em_f1('a an the', '')[:2] == (True, 1000)  # all articles
     assert squad_em_f1('word', '')[:2] == (False, 0)
+
+
+def test_paragraph_filter(spark):
+    from mineru_html_spark.functions.corpus import paragraph_filter
+    good = 'this line has plenty of proper english words here'
+    rows = [(0, f'{good}\n#### ==== ####\nhome\n12 34 56 78 90\n{good}'),
+            (1, '#### only junk ####'),
+            (2, good)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r for r in paragraph_filter(df).collect()}
+    assert out[0]['n_lines'] == 5 and out[0]['n_dropped'] == 3
+    assert out[0]['clean_text'] == f'{good}\n{good}'
+    assert out[0]['n_words_kept'] == 18
+    # symbol-heavy line with words still drops on the symbol rule
+    assert out[1]['n_dropped'] == 1 and out[1]['clean_text'] == ''
+    assert out[2]['n_dropped'] == 0 and out[2]['clean_text'] == good
