@@ -43,7 +43,7 @@ import pyspark.sql.functions as F
 def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
                  lang_mix: dict | None = None,
                  stage_report: dict | None = None):
-    """Run the 17-stage chain. When ``stage_report`` is a dict, each
+    """Run the 18-stage chain. When ``stage_report`` is a dict, each
     stage is materialized (persist+count) and its wall/rows recorded in
     it — the at-scale linearity proof harness
     (tools/pipeline_stage_report.py); None (default) keeps the lazy

@@ -1,6 +1,6 @@
 """At-scale linearity proof for the full pipeline (VERDICT r4 ask #7).
 
-Runs examples/full_pipeline.py's 17-stage chain twice on local[32] —
+Runs examples/full_pipeline.py's 18-stage chain twice on local[32] —
 at the bench scale (128k docs) and at 10x (1.28M docs) — with per-stage
 materialization walls, and writes BENCH/pipeline_sf1_r5.json with the
 per-stage scale ratios. A stage whose wall grows much faster than the
@@ -32,7 +32,7 @@ def run_at(n_docs: int, out_dir: str) -> dict:
         'local[32]', app_name=f'pipeline-scale-{n_docs}',
         shuffle_partitions=parts,
         # retire dead shuffle files fast (default periodicGC is 30 min
-        # — far too slow for a 17-stage chain's disk footprint).
+        # — far too slow for a 18-stage chain's disk footprint).
         # heartbeat/network timeouts widened: the eager per-stage
         # materialization holds multi-stage corpus copies in the 80g
         # heap, and full-GC pause storms at the 1.28M-doc scale starved
