@@ -2450,6 +2450,31 @@ def q_chrf_eval(spark, sf_dir):
     return chrf_eval(pairs)
 
 
+def q_bleu_eval(spark, sf_dir):
+    """BLEU (Papineni et al. 2002) sufficient statistics — the n-gram
+    PRECISION member of the eval trio next to ROUGE (recall) and chrF
+    (char F-score). Gate pairs every doc's text (hyp) against the same
+    deterministic degradation chrf_eval uses (ref = every 7th word
+    dropped), and gates the ALL-INTEGER per-doc statistics (clipped
+    matches + totals for n=1..4, both lengths) that corpus BLEU sums —
+    the float composition (4th root, exp) is irrational so it is
+    unit-tested, never hash-gated. Arrow-batched row-local Counter
+    fold, zero exchanges; the EXACT SQL mirror replays the word n-gram
+    explode and clipped-min overlap in DuckDB."""
+    from mineru_html_spark.functions.rouge import bleu_eval
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    ref = F.array_join(
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(w)),
+                     lambda i: i % 7 != 4),
+            lambda i: F.element_at(w, i)), ' ')
+    pairs = wdf.select('doc_id', F.array_join(w, ' ').alias('hyp'),
+                       ref.alias('ref'))
+    return bleu_eval(pairs)
+
+
 def q_lz78_quality(spark, sf_dir):
     """LZ78 phrase-complexity junk filter — the build-independent form
     of the zlib compression-ratio screen (zlib bytes are not pinned
@@ -4783,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
         'chrf_eval': q_chrf_eval,
+        'bleu_eval': q_bleu_eval,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -7539,6 +7565,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sm, 0) AS BIGINT) AS n_match,
                    CAST(coalesce(sh, 0) AS BIGINT) AS n_hyp,
                    CAST(coalesce(sr, 0) AS BIGINT) AS n_ref
+            FROM p LEFT JOIN agg USING (doc_id)
+        """,
+        'bleu_eval': """
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            p AS (
+              SELECT doc_id, w AS hw,
+                list_transform(
+                  list_filter(range(1, len(w) + 1), i -> i % 7 != 4),
+                  i -> w[i]) AS rw
+              FROM wr),
+            hg AS (
+              SELECT doc_id, n,
+                     array_to_string(list_slice(hw, i, i + n - 1), ' ')
+                       AS g
+              FROM (SELECT doc_id, n, hw,
+                      unnest(range(1, greatest(len(hw) - n + 2, 1))) AS i
+                    FROM (SELECT doc_id, hw, unnest([1, 2, 3, 4]) AS n
+                          FROM p))),
+            rg AS (
+              SELECT doc_id, n,
+                     array_to_string(list_slice(rw, i, i + n - 1), ' ')
+                       AS g
+              FROM (SELECT doc_id, n, rw,
+                      unnest(range(1, greatest(len(rw) - n + 2, 1))) AS i
+                    FROM (SELECT doc_id, rw, unnest([1, 2, 3, 4]) AS n
+                          FROM p))),
+            hc AS (SELECT doc_id, n, g, count(*) AS c
+                   FROM hg GROUP BY 1, 2, 3),
+            rc AS (SELECT doc_id, n, g, count(*) AS c
+                   FROM rg GROUP BY 1, 2, 3),
+            mt AS (
+              SELECT hc.doc_id, hc.n,
+                     CAST(sum(least(hc.c, rc.c)) AS BIGINT) AS m
+              FROM hc JOIN rc USING (doc_id, n, g) GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT)
+                  AS m1,
+                CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT)
+                  AS m2,
+                CAST(sum(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT)
+                  AS m3,
+                CAST(sum(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT)
+                  AS m4
+              FROM mt GROUP BY 1)
+            SELECT p.doc_id,
+                   coalesce(m1, 0) AS m1, coalesce(m2, 0) AS m2,
+                   coalesce(m3, 0) AS m3, coalesce(m4, 0) AS m4,
+                   CAST(greatest(len(hw), 0) AS BIGINT) AS h1,
+                   CAST(greatest(len(hw) - 1, 0) AS BIGINT) AS h2,
+                   CAST(greatest(len(hw) - 2, 0) AS BIGINT) AS h3,
+                   CAST(greatest(len(hw) - 3, 0) AS BIGINT) AS h4,
+                   CAST(len(hw) AS BIGINT) AS hyp_len,
+                   CAST(len(rw) AS BIGINT) AS ref_len
             FROM p LEFT JOIN agg USING (doc_id)
         """,
         'site_template': f"""

@@ -258,3 +258,84 @@ def squad_eval(pairs: DataFrame, pred_col: str = 'pred',
 
     return (pairs.select('doc_id', pred_col, gold_col)
             .mapInPandas(batch, EMF1_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# BLEU (Papineni et al. 2002) — the remaining member of the standard MT/eval
+# trio next to ROUGE and chrF. Reference parity: the reference's eval tier
+# scores extraction output against goldens (eval_baselines/base.py); BLEU is
+# the n-gram-precision complement of that ROUGE recall view.
+# ---------------------------------------------------------------------------
+
+BLEU_SCHEMA = ('doc_id long, m1 long, m2 long, m3 long, m4 long, '
+               'h1 long, h2 long, h3 long, h4 long, '
+               'hyp_len long, ref_len long')
+
+
+def bleu_stats(hyp: str, ref: str) -> tuple:
+    """Per-pair BLEU sufficient statistics over SINGLE-SPACE tokens
+    (stated determinization — sacrebleu's '13a' tokenizer adds
+    punctuation splitting; the single-space delimiter is exactly
+    Spark ``split`` / DuckDB ``string_split`` semantics incl. empty
+    tokens from runs of spaces, so both engines tokenize identically;
+    pre-normalize whitespace upstream — ``normalize_text`` exists):
+    for n in 1..4, m_n = clipped n-gram matches and
+    h_n = hypothesis n-gram total, plus the two lengths the brevity
+    penalty needs. ALL INTEGERS — the gated values carry no float;
+    the float composition lives in :func:`corpus_bleu` and is
+    unit-tested, not hash-gated (a 4th root is irrational, so it can
+    never be engine-exact the way these counts are)."""
+    hw = (hyp or '').split(' ')
+    rw = (ref or '').split(' ')
+    out = []
+    for n in range(1, 5):
+        hc = Counter(tuple(hw[i:i + n]) for i in range(len(hw) - n + 1))
+        rc = Counter(tuple(rw[i:i + n]) for i in range(len(rw) - n + 1))
+        m = sum(min(c, rc[g]) for g, c in hc.items() if g in rc)
+        out.append((m, max(len(hw) - n + 1, 0)))
+    ms = tuple(m for m, _ in out)
+    hs = tuple(h for _, h in out)
+    return ms + hs + (len(hw), len(rw))
+
+
+def bleu_eval(pairs: DataFrame, hyp_col: str = 'hyp',
+              ref_col: str = 'ref') -> DataFrame:
+    """(doc_id, m1..m4, h1..h4, hyp_len, ref_len) per row of a
+    (doc_id, hyp, ref) frame — Arrow-batched row-local Counter fold
+    (the chrf_eval shape): embarrassingly parallel, zero exchanges,
+    only (id, 10 ints) leave the stage. Corpus BLEU is then ONE tiny
+    sum over these rows (:func:`corpus_bleu`), so at 10^12 documents
+    the metric costs a map stage plus an 11-long aggregate."""
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'm1', 'm2', 'm3', 'm4',
+                'h1', 'h2', 'h3', 'h4', 'hyp_len', 'ref_len']
+        for pdf in frames:
+            rows = []
+            for doc_id, hyp, ref in zip(pdf['doc_id'], pdf[hyp_col],
+                                        pdf[ref_col]):
+                rows.append((doc_id,) + bleu_stats(hyp, ref))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (pairs.select('doc_id', hyp_col, ref_col)
+            .mapInPandas(batch, BLEU_SCHEMA))
+
+
+def corpus_bleu(stats: DataFrame) -> float:
+    """Corpus-level BLEU from a bleu_eval frame: one 10-column sum
+    (map-side combined — the only exchange is 10 longs), then the
+    published composition driver-side: BP * exp(mean ln p_n) with
+    p_n = sum(m_n)/sum(h_n), BP = min(1, exp(1 - R/H)). Returns 0.0
+    when any order has zero matches (the unsmoothed definition)."""
+    import math
+    from pyspark.sql import functions as F
+    row = stats.agg(*[F.sum(c).alias(c) for c in
+                      ('m1', 'm2', 'm3', 'm4', 'h1', 'h2', 'h3', 'h4',
+                       'hyp_len', 'ref_len')]).collect()[0]
+    ms = [row[f'm{n}'] or 0 for n in range(1, 5)]
+    hs = [row[f'h{n}'] or 0 for n in range(1, 5)]
+    if any(m == 0 or h == 0 for m, h in zip(ms, hs)):
+        return 0.0
+    log_p = sum(math.log(m / h) for m, h in zip(ms, hs)) / 4.0
+    hl, rl = row['hyp_len'] or 0, row['ref_len'] or 0
+    bp = 1.0 if hl >= rl else math.exp(1.0 - rl / max(hl, 1))
+    return bp * math.exp(log_p)

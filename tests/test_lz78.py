@@ -260,3 +260,66 @@ def test_paragraph_filter(spark):
     # symbol-heavy line with words still drops on the symbol rule
     assert out[1]['n_dropped'] == 1 and out[1]['clean_text'] == ''
     assert out[2]['n_dropped'] == 0 and out[2]['clean_text'] == good
+
+
+# ---------------------------------------------------------------------------
+# BLEU (window-14 eval closer — lives here with its trio siblings)
+# ---------------------------------------------------------------------------
+
+def test_bleu_stats_hand_computed():
+    from mineru_html_spark.functions.rouge import bleu_stats
+    # hyp has 'the' twice, ref once -> unigram clip fires: m1=5 not 6
+    st = bleu_stats('the cat sat on the mat', 'the cat sat on a mat')
+    assert st == (5, 3, 2, 1, 6, 5, 4, 3, 6, 6)
+    # identity: everything matches
+    assert bleu_stats('a b c d e', 'a b c d e') == \
+        (5, 4, 3, 2, 5, 4, 3, 2, 5, 5)
+    # single-space tokenizer: empty/None is ONE empty token (both
+    # engines' split semantics), stated in the docstring
+    assert bleu_stats('', '')[:1] == (1,)
+    assert bleu_stats(None, 'a')[8:] == (1, 1)
+
+
+def test_bleu_clipping_papineni():
+    from mineru_html_spark.functions.rouge import bleu_stats
+    # the famous degenerate candidate from Papineni et al. 2002 §2.1:
+    # 'the the the the the the the' vs 'the cat is on the mat' --
+    # modified unigram precision must clip to 2/7
+    st = bleu_stats('the the the the the the the',
+                    'the cat is on the mat')
+    assert st[0] == 2 and st[4] == 7          # m1=2, h1=7
+    assert st[1] == 0                          # no bigram survives
+
+
+def test_corpus_bleu_composition(spark):
+    import math
+    from mineru_html_spark.functions.rouge import bleu_eval, corpus_bleu
+    pairs = spark.createDataFrame(
+        [(0, 'the cat sat on the mat', 'the cat sat on a mat'),
+         (1, 'a b c d', 'a b c d')],
+        'doc_id long, hyp string, ref string')
+    stats = bleu_eval(pairs)
+    got = corpus_bleu(stats)
+    # hand-fold the same sums: m=(5+4,3+3,2+2,1+1) h=(6+4,5+3,4+2,3+1)
+    ms, hs = (9, 6, 4, 2), (10, 8, 6, 4)
+    exp = math.exp(sum(math.log(m / h) for m, h in zip(ms, hs)) / 4)
+    assert abs(got - exp) < 1e-12              # hyp_len == ref_len -> BP=1
+    # identity corpus scores exactly 1.0
+    same = spark.createDataFrame([(0, 'x y z w', 'x y z w')],
+                                 'doc_id long, hyp string, ref string')
+    assert corpus_bleu(bleu_eval(same)) == 1.0
+
+
+def test_corpus_bleu_brevity_and_zero(spark):
+    import math
+    from mineru_html_spark.functions.rouge import bleu_eval, corpus_bleu
+    # short hyp (subset of ref) -> BP = exp(1 - r/h) fires
+    pairs = spark.createDataFrame(
+        [(0, 'a b c d', 'a b c d e f g h')],
+        'doc_id long, hyp string, ref string')
+    got = corpus_bleu(bleu_eval(pairs))
+    assert abs(got - math.exp(1 - 8 / 4)) < 1e-12   # p_n all 1.0
+    # any zero-match order -> unsmoothed BLEU is 0
+    none = spark.createDataFrame([(0, 'p q r s', 'w x y z')],
+                                 'doc_id long, hyp string, ref string')
+    assert corpus_bleu(bleu_eval(none)) == 0.0
