@@ -2475,6 +2475,18 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training prep (Bavarian et al. 2022): 50% of
+    docs split at two salted-md5 word cuts into prefix/middle/suffix
+    and serialize as PSM or SPM (hash-bit choice, the joint-training
+    recipe); the rest pass through. Gate pins the cut points, the mode
+    decision and md5 of the FULL transformed text per doc — the EXACT
+    SQL mirror replays every hash, slice and sentinel join in DuckDB.
+    Pure native row-local expressions, zero exchanges, zero UDFs."""
+    from mineru_html_spark.functions.corpus import fim_transform
+    return fim_transform(_docs(spark, sf_dir)).drop('text_out')
+
+
 def q_lz78_quality(spark, sf_dir):
     """LZ78 phrase-complexity junk filter — the build-independent form
     of the zlib compression-ratio screen (zlib bytes are not pinned
@@ -4809,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pdf_layout': q_pdf_layout,
         'chrf_eval': q_chrf_eval,
         'bleu_eval': q_bleu_eval,
+        'fim_transform': q_fim_transform,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -7621,6 +7634,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(hw) AS BIGINT) AS hyp_len,
                    CAST(len(rw) AS BIGINT) AS ref_len
             FROM p LEFT JOIN agg USING (doc_id)
+        """,
+        'fim_transform': """
+            WITH wr AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id, w, len(w) AS n,
+                CAST('0x' || substring(md5(doc_id || ':fim1:apply'),
+                     1, 8) AS BIGINT) % 1000 < 500 AS applied,
+                CAST('0x' || substring(md5(doc_id || ':fim1:cut1'),
+                     1, 8) AS BIGINT) % (len(w) + 1) AS o1,
+                CAST('0x' || substring(md5(doc_id || ':fim1:cut2'),
+                     1, 8) AS BIGINT) % (len(w) + 1) AS o2,
+                CAST('0x' || substring(md5(doc_id || ':fim1:mode'),
+                     1, 8) AS BIGINT) % 2 = 1 AS spm
+              FROM wr),
+            c AS (
+              SELECT doc_id, w, n, applied, spm,
+                     least(o1, o2) AS lo, greatest(o1, o2) AS hi
+              FROM b),
+            t AS (
+              SELECT doc_id, n, applied, spm, lo, hi,
+                -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                coalesce(array_to_string(list_slice(w, 1, lo), ' '),
+                         '') AS p,
+                coalesce(array_to_string(list_slice(w, lo + 1, hi),
+                         ' '), '') AS m,
+                coalesce(array_to_string(list_slice(w, hi + 1, n),
+                         ' '), '') AS s,
+                coalesce(array_to_string(w, ' '), '') AS orig
+              FROM c)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   applied AS fim_applied,
+                   CASE WHEN NOT applied THEN 'none'
+                        WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+                   CAST(CASE WHEN applied THEN lo ELSE -1 END
+                        AS BIGINT) AS cut1,
+                   CAST(CASE WHEN applied THEN hi ELSE -1 END
+                        AS BIGINT) AS cut2,
+                   md5(CASE WHEN NOT applied THEN orig
+                        WHEN spm THEN '<fim_prefix> <fim_suffix> ' || s
+                          || ' <fim_middle> ' || p || ' ' || m
+                        ELSE '<fim_prefix> ' || p || ' <fim_suffix> '
+                          || s || ' <fim_middle> ' || m
+                       END) AS out_md5
+            FROM t
         """,
         'site_template': f"""
             WITH wr AS (

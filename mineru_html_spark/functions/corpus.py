@@ -1583,3 +1583,73 @@ def paragraph_filter(documents: DataFrame,
         (F.size(lines) - F.size(kept)).cast('long').alias('n_dropped'),
         kept_words.cast('long').alias('n_words_kept'),
         F.array_join(kept, '\n').alias('clean_text'))
+
+
+def fim_transform(documents: DataFrame, rate_milli: int = 500,
+                  salt: str = 'fim1') -> DataFrame:
+    """(doc_id, n_words, fim_applied, mode, cut1, cut2, out_md5,
+    text_out): fill-in-the-middle training prep (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle") made
+    DETERMINISTIC and engine-mirrorable:
+
+    a document transforms iff its salted md5 lands under ``rate_milli``
+    (the paper's 50% FIM rate by default); two more salted hashes pick
+    the cut points o1,o2 in [0, n_words] (lo/hi ordered), splitting the
+    word stream into prefix/middle/suffix; a fourth hash bit picks the
+    serialization the joint-training recipe alternates between —
+
+      PSM  ``<fim_prefix> P <fim_suffix> S <fim_middle> M``
+      SPM  ``<fim_prefix> <fim_suffix> S <fim_middle> P M``
+
+    (SPM in the paper's appendix-D "PSM-compatible sentinel" form, the
+    variant SantaCoder/StarCoder ship). WORD-level cuts are the stated
+    determinization of the paper's character-level split — sentinels
+    stay standalone space-delimited tokens, so the output remains a
+    plain token stream the tokenizer tier (bpe/unigram/wordpiece apply)
+    consumes unchanged. Untransformed docs pass through with
+    mode='none', cuts -1.
+
+    Scale shape: pure row-local native expressions — the word array is
+    materialized behind a select boundary (HOF-audit rule), each slice
+    is O(segment), zero exchanges, zero UDFs; at 10^12 docs this is a
+    map-only stage in front of packing/sharding, exactly where the FIM
+    papers place it (applied once over the corpus, not per epoch)."""
+    rm = int(rate_milli)
+    if not 0 <= rm <= 1000:
+        raise ValueError('rate_milli must be in [0, 1000]')
+    docs = documents.select('doc_id',
+                            F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    n = F.size(w)
+
+    def h(tag, mod):
+        return F.conv(F.substring(F.md5(F.concat_ws(
+            ':', F.col('doc_id').cast('string'), F.lit(salt),
+            F.lit(tag))), 1, 8), 16, 10).cast('long') % mod
+
+    applied = h('apply', 1000) < rm
+    o1 = h('cut1', n + 1)
+    o2 = h('cut2', n + 1)
+    lo = F.least(o1, o2)
+    hi = F.greatest(o1, o2)
+    seg = (lambda a, b:                       # words (a, b] 1-indexed
+           F.array_join(F.slice(w, (a + 1).cast('int'),
+                                (b - a).cast('int')), ' '))
+    p, m, s = seg(F.lit(0), lo), seg(lo, hi), seg(hi, n)
+    spm = h('mode', 2) == 1
+    out = (F.when(~applied, F.array_join(w, ' '))
+           .when(spm, F.concat(F.lit('<fim_prefix> <fim_suffix> '), s,
+                               F.lit(' <fim_middle> '), p,
+                               F.lit(' '), m))
+           .otherwise(F.concat(F.lit('<fim_prefix> '), p,
+                               F.lit(' <fim_suffix> '), s,
+                               F.lit(' <fim_middle> '), m)))
+    return docs.select(
+        'doc_id', n.cast('long').alias('n_words'),
+        applied.alias('fim_applied'),
+        (F.when(~applied, 'none').when(spm, 'spm')
+         .otherwise('psm')).alias('mode'),
+        F.when(applied, lo).otherwise(-1).cast('long').alias('cut1'),
+        F.when(applied, hi).otherwise(-1).cast('long').alias('cut2'),
+        F.md5(out).alias('out_md5'),
+        out.alias('text_out'))

@@ -323,3 +323,56 @@ def test_corpus_bleu_brevity_and_zero(spark):
     none = spark.createDataFrame([(0, 'p q r s', 'w x y z')],
                                  'doc_id long, hyp string, ref string')
     assert corpus_bleu(bleu_eval(none)) == 0.0
+
+
+def test_fim_transform_reconstruction(spark):
+    from mineru_html_spark.functions.corpus import fim_transform
+    words = ' '.join(f'w{i}' for i in range(40))
+    df = spark.createDataFrame([(i, words) for i in range(30)],
+                               'doc_id long, text string')
+    out = {r['doc_id']: r
+           for r in fim_transform(df, rate_milli=1000).collect()}
+    for r in out.values():
+        assert r['fim_applied'] and r['mode'] in ('psm', 'spm')
+        assert 0 <= r['cut1'] <= r['cut2'] <= 40
+        t = r['text_out']
+        # sentinels are standalone space-delimited tokens, exactly once
+        for s in ('<fim_prefix>', '<fim_suffix>', '<fim_middle>'):
+            assert t.split(' ').count(s) == 1
+        # segments reassemble to the original word stream
+        toks = t.split(' ')
+        ip, isuf, imid = (toks.index('<fim_prefix>'),
+                          toks.index('<fim_suffix>'),
+                          toks.index('<fim_middle>'))
+        if r['mode'] == 'psm':
+            p = toks[ip + 1:isuf]
+            s_ = toks[isuf + 1:imid]
+            m = toks[imid + 1:]
+        else:
+            assert (ip, isuf) == (0, 1)
+            s_ = toks[2:imid]
+            rest = toks[imid + 1:]
+            p = rest[:r['cut1']]
+            m = rest[r['cut1']:]
+        joined = [w for w in p + m + s_ if w]
+        assert joined == words.split(' ')
+
+
+def test_fim_transform_rate_and_passthrough(spark):
+    from mineru_html_spark.functions.corpus import fim_transform
+    df = spark.createDataFrame(
+        [(i, f'alpha beta gamma delta{i}') for i in range(60)],
+        'doc_id long, text string')
+    off = fim_transform(df, rate_milli=0).collect()
+    assert all(r['mode'] == 'none' and r['cut1'] == -1
+               and not r['fim_applied'] for r in off)
+    assert all(r['text_out'] == f'alpha beta gamma delta{r["doc_id"]}'
+               for r in off)
+    half = fim_transform(df).collect()
+    n_app = sum(r['fim_applied'] for r in half)
+    assert 10 < n_app < 50            # ~50% rate, salted-hash spread
+    modes = {r['mode'] for r in half if r['fim_applied']}
+    assert modes == {'psm', 'spm'}    # both serializations exercised
+    import pytest
+    with pytest.raises(ValueError):
+        fim_transform(df, rate_milli=1001)
