@@ -343,6 +343,39 @@ def q_warc_extract(spark, sf_dir):
     return out.unionByName(errs)
 
 
+def q_wet_extract(spark, sf_dir):
+    """WET path (Common Crawl's pre-extracted text sibling of WARC):
+    synthesize a 3-archive set (plain / member-gzip — CC's actual WET
+    layout — / corrupt), read via the one-task-per-archive conversion-
+    record source, and gate per-doc text digests plus word/char counts
+    — WET output feeds the corpus tier directly, so the gated columns
+    are exactly what dedup/quality consume. The leading warcinfo
+    record must be skipped and the corrupt archive must quarantine as
+    one error row. Committed-output oracle (fixed 80-doc corpus)."""
+    from mineru_html_spark.sources.warc import (read_wet,
+                                                write_synth_wet_gate_set)
+    d = os.path.join(REPO, '.data', 'wet_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_wet_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    docs = read_wet(spark, d)
+    good = docs.where(F.col('error') == '').select(
+        'doc_id',
+        F.length('text').cast('long').alias('n_chars'),
+        F.size(F.split('text', r'\s+')).cast('long').alias('n_words'),
+        F.md5('text').alias('text_md5'),
+        F.lit('').alias('error'))
+    errs = docs.where(F.col('error') != '').select(
+        F.regexp_extract('wet_file', r'([^/]+)$', 1).alias('doc_id'),
+        F.lit(0).cast('long').alias('n_chars'),
+        F.lit(0).cast('long').alias('n_words'),
+        F.lit('').alias('text_md5'),
+        'error')
+    return good.unionByName(errs)
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF LAYOUT tier (the north rule's 'PDF/layout parse'): positioned
     text runs via an integer-millipoint Tm/Td/TD/T*/TL interpreter +
@@ -4822,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'chrf_eval': q_chrf_eval,
         'bleu_eval': q_bleu_eval,
         'fim_transform': q_fim_transform,
+        'wet_extract': q_wet_extract,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -5156,7 +5190,8 @@ def oracle_sql() -> dict[str, str]:
                      'table_extract', 'html_meta',
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
-                     'approx_distinct_users', 'warc_extract')
+                     'approx_distinct_users', 'warc_extract',
+                     'wet_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

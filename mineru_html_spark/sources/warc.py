@@ -233,3 +233,133 @@ def write_synth_warc_gate_set(dir_path: str) -> int:
     with open(os.path.join(dir_path, 'corrupt.warc.gz'), 'wb') as f:
         f.write(b'\x1f\x8b\x08\x00corrupted-not-a-gzip-stream\x00\x00')
     return n
+
+
+# -- WET (WARC conversion records) -----------------------------------------
+#
+# Common Crawl ships three files per segment: .warc.gz (raw responses),
+# .wat.gz (metadata JSON) and .wet.gz (EXTRACTED PLAIN TEXT as
+# 'conversion' records with no HTTP envelope). A training pipeline that
+# trusts the crawl's own extraction starts from WET — so the engine reads
+# it natively, same one-task-per-archive shape as read_warc.
+
+WET_DOCS_SCHEMA = ('doc_id string, text string, url string, '
+                   'refers_to string, wet_file string, error string')
+
+
+def wet_bytes_to_doc_rows(wet_file: str, payload: bytes) -> List[dict]:
+    """One WET file's bytes -> (doc_id, text, url, refers_to) rows.
+    'warcinfo' headers are skipped (file metadata, not content);
+    anything that is neither warcinfo nor conversion is skipped the way
+    read_warc skips non-responses; malformed records and corrupt
+    archives quarantine as error rows (S7 policy, archive-level fence
+    identical to warc_bytes_to_doc_rows)."""
+    rows = []
+    n_records = 0
+    try:
+        for headers, body in parse_warc_records(payload):
+            n_records += 1
+            if '_error' in headers:
+                rows.append({'doc_id': '', 'text': '', 'url': '',
+                             'refers_to': '', 'wet_file': wet_file,
+                             'error': headers['_error']})
+                continue
+            if headers.get('warc-type') != 'conversion':
+                continue
+            rid = headers.get('warc-record-id', '') or \
+                headers.get('warc-target-uri', '')
+            rows.append({
+                'doc_id': rid,
+                'text': body.decode('utf-8', 'replace'),
+                'url': headers.get('warc-target-uri', ''),
+                'refers_to': headers.get('warc-refers-to', ''),
+                'wet_file': wet_file,
+                'error': '',
+            })
+    except Exception as e:
+        rows.append({'doc_id': '', 'text': '', 'url': '',
+                     'refers_to': '', 'wet_file': wet_file,
+                     'error': f'archive decode failed: {e}'})
+    if n_records == 0 and not rows and payload:
+        rows.append({'doc_id': '', 'text': '', 'url': '',
+                     'refers_to': '', 'wet_file': wet_file,
+                     'error': 'archive decode failed: no WET records'})
+    return rows
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET files -> (doc_id, text, ...) frame, one binaryFile task per
+    archive. The output is already-extracted text, so it feeds the
+    corpus tier (dedup/quality/tokenize) DIRECTLY — the extraction
+    stage is exactly what a WET file has pre-applied."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'text', 'url', 'refers_to', 'wet_file',
+                'error']
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf['path'], pdf['content']):
+                rows.extend(wet_bytes_to_doc_rows(str(path),
+                                                  bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(batch, WET_DOCS_SCHEMA)
+
+
+def write_synth_wet(path: str, doc_indices, gzip_members: bool = False,
+                    gzip_file: bool = False) -> int:
+    """Deterministic WET file: a leading warcinfo record (real WET files
+    start with one — readers must skip it), then one conversion record
+    per synthetic doc whose body is the doc's text spans joined by
+    blank lines (what a crawl-side extractor emits)."""
+    from ..core.synth import gen_doc
+
+    def rec(rtype: str, extra: str, body: bytes) -> bytes:
+        hdr = (f'WARC/1.0\r\n'
+               f'WARC-Type: {rtype}\r\n'
+               f'{extra}'
+               f'Content-Length: {len(body)}\r\n'
+               f'\r\n').encode('ascii')
+        return hdr + body
+
+    out = [rec('warcinfo', 'WARC-Filename: synth.wet\r\n',
+               b'software: mineru-html-spark synth\r\n')]
+    n = 0
+    for idx in doc_indices:
+        d = gen_doc(int(idx))
+        text = '\n\n'.join(s['text'] for s in d['spans']
+                           if s['kind'] == 'text').encode('utf-8')
+        extra = (f'WARC-Record-ID: {d["doc_id"]}\r\n'
+                 f'WARC-Refers-To: <urn:warc:{d["doc_id"]}>\r\n'
+                 f'WARC-Target-URI: '
+                 f'http://synth.example/{d["doc_id"]}\r\n')
+        out.append(rec('conversion', extra, text))
+        n += 1
+    if gzip_members:
+        blob = b''.join(gzip.compress(r) for r in out)
+    else:
+        blob = b''.join(out)
+        if gzip_file:
+            blob = gzip.compress(blob)
+    with open(path, 'wb') as f:
+        f.write(blob)
+    return n
+
+
+def write_synth_wet_gate_set(dir_path: str) -> int:
+    """3-file WET set mirroring the WARC gate: plain / member-gzip
+    (Common Crawl's actual WET layout) / corrupt."""
+    import os
+    os.makedirs(dir_path, exist_ok=True)
+    n = 0
+    n += write_synth_wet(os.path.join(dir_path, 'plain.wet'),
+                         range(0, 40))
+    n += write_synth_wet(os.path.join(dir_path, 'members.wet.gz'),
+                         range(40, 80), gzip_members=True)
+    with open(os.path.join(dir_path, 'corrupt.wet.gz'), 'wb') as f:
+        f.write(b'\x1f\x8b\x08\x00not-a-wet-archive\x00\x00\x00\x00')
+    return n

@@ -93,3 +93,48 @@ def test_warc_per_record_gzip_members(spark, tmp_path):
     ok = docs.where("error = ''")
     assert ok.count() == 12
     assert ok.select('doc_id').distinct().count() == 12
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion records — window-14)
+# ---------------------------------------------------------------------------
+
+def test_wet_roundtrip_and_warcinfo_skip(spark, tmp_path):
+    """Conversion bodies come back verbatim; the leading warcinfo
+    record is metadata, never a doc row."""
+    from mineru_html_spark.core.synth import gen_doc
+    from mineru_html_spark.sources.warc import read_wet, write_synth_wet
+    w = tmp_path / 'wet'
+    w.mkdir()
+    n = write_synth_wet(str(w / 'a.wet'), range(0, 6))
+    assert n == 6
+    docs = read_wet(spark, str(w))
+    rows = {r['doc_id']: r for r in docs.where("error = ''").collect()}
+    assert len(rows) == 6
+    d3 = gen_doc(3)
+    exp = '\n\n'.join(s['text'] for s in d3['spans']
+                      if s['kind'] == 'text')
+    assert rows[d3['doc_id']]['text'] == exp
+    assert rows[d3['doc_id']]['refers_to'] == \
+        f'<urn:warc:{d3["doc_id"]}>'
+    assert rows[d3['doc_id']]['url'].startswith('http://synth.example/')
+
+
+def test_wet_member_gzip_and_corrupt(spark, tmp_path):
+    from mineru_html_spark.sources.warc import (read_wet,
+                                                write_synth_wet,
+                                                wet_bytes_to_doc_rows)
+    rows = wet_bytes_to_doc_rows(
+        'bad.wet.gz', b'\x1f\x8b\x08\x00not-a-real-gzip-stream')
+    assert len(rows) == 1
+    assert rows[0]['error'].startswith('archive decode failed')
+
+    w = tmp_path / 'wet'
+    w.mkdir()
+    write_synth_wet(str(w / 'm.wet.gz'), range(10, 25),
+                    gzip_members=True)
+    (w / 'bad.wet.gz').write_bytes(b'\x1f\x8b\x08\x00broken')
+    docs = read_wet(spark, str(w))
+    assert docs.where("error = ''").count() == 15
+    errs = docs.where("error != ''").collect()
+    assert len(errs) == 1 and errs[0]['wet_file'].endswith('bad.wet.gz')
