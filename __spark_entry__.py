@@ -376,6 +376,42 @@ def q_wet_extract(spark, sf_dir):
     return good.unionByName(errs)
 
 
+def q_wat_extract(spark, sf_dir):
+    """WAT path — the metadata member completing the Common Crawl
+    triple (WARC raw / WAT metadata / WET text) next to the cc-index
+    source: one task per archive splits records, then the JSON
+    envelope parses JVM-SIDE via from_json with a title+links
+    projected schema (the cdx pattern — Python never parses payloads).
+    Gate pins per-doc title, link count and a links digest; planted
+    TRUNCATED envelopes (every 17th doc) must surface as
+    'bad envelope json' rows and the corrupt archive as one error row.
+    Committed-output oracle (fixed 80-doc corpus)."""
+    from mineru_html_spark.sources.warc import (read_wat,
+                                                write_synth_wat_gate_set)
+    d = os.path.join(REPO, '.data', 'wat_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_wat_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    wat = read_wat(spark, d)
+    good = wat.where(F.col('error') == '').select(
+        'doc_id', 'title', 'n_links',
+        F.md5(F.concat_ws('\x1f', F.transform(
+            'links', lambda l: F.concat_ws('\x1e', l['url'], l['text'])
+        ))).alias('links_md5'),
+        F.lit('').alias('error'))
+    errs = wat.where(F.col('error') != '').select(
+        F.when(F.col('doc_id') != '', F.col('doc_id'))
+         .otherwise(F.regexp_extract('wat_file', r'([^/]+)$', 1))
+         .alias('doc_id'),
+        F.lit('').alias('title'),
+        F.lit(0).cast('long').alias('n_links'),
+        F.lit('').alias('links_md5'),
+        'error')
+    return good.unionByName(errs)
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF LAYOUT tier (the north rule's 'PDF/layout parse'): positioned
     text runs via an integer-millipoint Tm/Td/TD/T*/TL interpreter +
@@ -4856,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pdf_layout': q_pdf_layout,
         'chrf_eval': q_chrf_eval,
         'wet_extract': q_wet_extract,
+        'wat_extract': q_wat_extract,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -5193,7 +5230,7 @@ def oracle_sql() -> dict[str, str]:
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract',
-                     'wet_extract')
+                     'wet_extract', 'wat_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -363,3 +363,170 @@ def write_synth_wet_gate_set(dir_path: str) -> int:
     with open(os.path.join(dir_path, 'corrupt.wet.gz'), 'wb') as f:
         f.write(b'\x1f\x8b\x08\x00not-a-wet-archive\x00\x00\x00\x00')
     return n
+
+
+# -- WAT (WARC metadata records) --------------------------------------------
+#
+# The third member of the Common Crawl triple: .wat.gz files carry one
+# 'metadata' record per crawled page whose body is JSON (envelope headers,
+# HTTP response metadata, extracted title + outlinks). Pipelines that need
+# the LINK GRAPH or head metadata without touching page bytes read WAT —
+# it is ~1/10 the size of the WARC. Record scanning reuses the tolerant
+# WARC scanner; the JSON body is parsed JVM-SIDE with from_json (the cdx
+# pattern — Python only splits records, never parses payloads).
+
+WAT_RAW_SCHEMA = ('doc_id string, url string, refers_to string, '
+                  'wat_file string, json string, error string')
+
+# the envelope subset a link-graph/metadata consumer needs; extra JSON
+# fields are ignored by from_json (schema-projected parse)
+WAT_JSON_SCHEMA = (
+    'struct<Envelope: struct<`Payload-Metadata`: struct<'
+    '`HTTP-Response-Metadata`: struct<`HTML-Metadata`: struct<'
+    'Head: struct<Title: string>, '
+    'Links: array<struct<path: string, url: string, text: string>>'
+    '>>>>>')
+
+
+def wat_bytes_to_rows(wat_file: str, payload: bytes) -> List[dict]:
+    """One WAT file's bytes -> raw (doc_id, url, json) rows. 'warcinfo'
+    skipped; non-metadata records skipped; malformed records and
+    corrupt archives quarantine as error rows (S7, archive-level fence
+    identical to the WARC/WET readers). The JSON body is NOT parsed
+    here — from_json does that JVM-side in read_wat."""
+    rows = []
+    n_records = 0
+    try:
+        for headers, body in parse_warc_records(payload):
+            n_records += 1
+            if '_error' in headers:
+                rows.append({'doc_id': '', 'url': '', 'refers_to': '',
+                             'wat_file': wat_file, 'json': '',
+                             'error': headers['_error']})
+                continue
+            if headers.get('warc-type') != 'metadata':
+                continue
+            rid = headers.get('warc-record-id', '') or \
+                headers.get('warc-target-uri', '')
+            rows.append({
+                'doc_id': rid,
+                'url': headers.get('warc-target-uri', ''),
+                'refers_to': headers.get('warc-refers-to', ''),
+                'wat_file': wat_file,
+                'json': body.decode('utf-8', 'replace'),
+                'error': '',
+            })
+    except Exception as e:
+        rows.append({'doc_id': '', 'url': '', 'refers_to': '',
+                     'wat_file': wat_file, 'json': '',
+                     'error': f'archive decode failed: {e}'})
+    if n_records == 0 and not rows and payload:
+        rows.append({'doc_id': '', 'url': '', 'refers_to': '',
+                     'wat_file': wat_file, 'json': '',
+                     'error': 'archive decode failed: no WAT records'})
+    return rows
+
+
+def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WAT files -> (doc_id, url, title, links, n_links, error) frame.
+    One binaryFile task per archive for record splitting; the JSON
+    envelope parses JVM-side via ``from_json`` with a projected schema
+    (title + links only — from_json prunes everything else), so the
+    metadata/link-graph tier never runs Python over payload bytes.
+    A metadata record whose body fails to parse surfaces with
+    error='bad envelope json' — never silently null-rowed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'url', 'refers_to', 'wat_file', 'json',
+                'error']
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf['path'], pdf['content']):
+                rows.extend(wat_bytes_to_rows(str(path),
+                                              bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = files.mapInPandas(batch, WAT_RAW_SCHEMA)
+    env = F.from_json('json', WAT_JSON_SCHEMA)
+    html_md = env['Envelope']['Payload-Metadata'][
+        'HTTP-Response-Metadata']['HTML-Metadata']
+    parsed = raw.select(
+        'doc_id', 'url', 'refers_to', 'wat_file',
+        html_md['Head']['Title'].alias('title'),
+        F.coalesce(html_md['Links'],
+                   F.expr('array()').cast(
+                       'array<struct<path:string,url:string,'
+                       'text:string>>')).alias('links'),
+        F.when((F.col('error') == '') & html_md.isNull(),
+               F.lit('bad envelope json'))
+         .otherwise(F.col('error')).alias('error'))
+    return parsed.withColumn(
+        'n_links', F.size('links').cast('long'))
+
+
+def write_synth_wat(path: str, doc_indices,
+                    gzip_members: bool = False) -> int:
+    """Deterministic WAT file: warcinfo head record, then one metadata
+    record per doc with the Common Crawl envelope shape (title + the
+    doc's deterministic outlinks — 2 + idx%3 links to neighbor docs).
+    One doc in ~17 gets a deliberately TRUNCATED JSON body so the
+    bad-envelope containment path is always exercised."""
+    import json as _json
+    from ..core.synth import gen_doc
+
+    def rec(rtype: str, extra: str, body: bytes) -> bytes:
+        hdr = (f'WARC/1.0\r\n'
+               f'WARC-Type: {rtype}\r\n'
+               f'{extra}'
+               f'Content-Length: {len(body)}\r\n'
+               f'\r\n').encode('ascii')
+        return hdr + body
+
+    out = [rec('warcinfo', 'WARC-Filename: synth.wat\r\n',
+               b'software: mineru-html-spark synth\r\n')]
+    n = 0
+    for idx in doc_indices:
+        idx = int(idx)
+        d = gen_doc(idx)
+        links = [{'path': 'A@/href',
+                  'url': f'http://synth.example/doc-{(idx + k + 1) % 1000:08d}',
+                  'text': f'neighbor {k}'}
+                 for k in range(2 + idx % 3)]
+        body_obj = {'Envelope': {'Payload-Metadata': {
+            'HTTP-Response-Metadata': {'HTML-Metadata': {
+                'Head': {'Title': f'Synth page {idx}'},
+                'Links': links}}}}}
+        body = _json.dumps(body_obj, sort_keys=True).encode('utf-8')
+        if idx % 17 == 9:
+            body = body[:len(body) // 2]        # truncated envelope
+        extra = (f'WARC-Record-ID: {d["doc_id"]}\r\n'
+                 f'WARC-Refers-To: <urn:warc:{d["doc_id"]}>\r\n'
+                 f'WARC-Target-URI: '
+                 f'http://synth.example/{d["doc_id"]}\r\n')
+        out.append(rec('metadata', extra, body))
+        n += 1
+    blob = b''.join(gzip.compress(r) for r in out) if gzip_members \
+        else b''.join(out)
+    with open(path, 'wb') as f:
+        f.write(blob)
+    return n
+
+
+def write_synth_wat_gate_set(dir_path: str) -> int:
+    """3-file WAT set: plain / member-gzip / corrupt (the WET gate
+    shape)."""
+    import os
+    os.makedirs(dir_path, exist_ok=True)
+    n = 0
+    n += write_synth_wat(os.path.join(dir_path, 'plain.wat'),
+                         range(0, 40))
+    n += write_synth_wat(os.path.join(dir_path, 'members.wat.gz'),
+                         range(40, 80), gzip_members=True)
+    with open(os.path.join(dir_path, 'corrupt.wat.gz'), 'wb') as f:
+        f.write(b'\x1f\x8b\x08\x00not-a-wat-archive\x00\x00\x00\x00')
+    return n

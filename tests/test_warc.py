@@ -138,3 +138,51 @@ def test_wet_member_gzip_and_corrupt(spark, tmp_path):
     assert docs.where("error = ''").count() == 15
     errs = docs.where("error != ''").collect()
     assert len(errs) == 1 and errs[0]['wet_file'].endswith('bad.wet.gz')
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata records — window-14)
+# ---------------------------------------------------------------------------
+
+def test_wat_parse_and_links(spark, tmp_path):
+    """Envelope parses JVM-side; links and title come back typed; the
+    planted truncated-JSON docs surface as bad-envelope rows."""
+    from mineru_html_spark.sources.warc import read_wat, write_synth_wat
+    w = tmp_path / 'wat'
+    w.mkdir()
+    n = write_synth_wat(str(w / 'a.wat'), range(0, 20))
+    assert n == 20
+    out = read_wat(spark, str(w))
+    good = {r['doc_id']: r for r in out.where("error = ''").collect()}
+    bad = out.where("error = 'bad envelope json'").collect()
+    # idx 9 is the one truncated doc in [0, 20)
+    assert len(bad) == 1 and len(good) == 19
+    r = good['doc-00000004']
+    assert r['title'] == 'Synth page 4'
+    assert r['n_links'] == 2 + 4 % 3 == 3
+    assert r['links'][0]['url'].startswith('http://synth.example/doc-')
+    assert r['links'][0]['text'] == 'neighbor 0'
+    # from_json is in the plan (JVM-side parse, the cdx pattern)
+    assert 'from_json' in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_wat_member_gzip_and_corrupt(spark, tmp_path):
+    from mineru_html_spark.sources.warc import (read_wat,
+                                                write_synth_wat,
+                                                wat_bytes_to_rows)
+    rows = wat_bytes_to_rows('bad.wat.gz',
+                             b'\x1f\x8b\x08\x00not-a-real-gzip')
+    assert len(rows) == 1
+    assert rows[0]['error'].startswith('archive decode failed')
+
+    w = tmp_path / 'wat'
+    w.mkdir()
+    write_synth_wat(str(w / 'm.wat.gz'), range(100, 117),
+                    gzip_members=True)
+    (w / 'bad.wat.gz').write_bytes(b'\x1f\x8b\x08\x00broken')
+    out = read_wat(spark, str(w))
+    # idx 111 is truncated (111 % 17 == 9); 16 good, 1 bad-envelope
+    assert out.where("error = ''").count() == 16
+    assert out.where("error = 'bad envelope json'").count() == 1
+    errs = out.where("error like 'archive decode failed%'").collect()
+    assert len(errs) == 1

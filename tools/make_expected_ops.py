@@ -33,7 +33,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'docx_extract', 'feed_extract', 'anchor_index', 'odt_extract',
          'rtf_extract', 'mbox_extract', 'webp_decode',
          'ipynb_extract', 'latex_extract', 'table_extract', 'html_meta',
-         'lz78_quality', 'pdf_layout', 'citation_graph', 'wet_extract')
+         'lz78_quality', 'pdf_layout', 'citation_graph', 'wet_extract',
+         'wat_extract')
 
 
 def main():
