@@ -2544,6 +2544,31 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L (Lin 2004) — LCS F-measure, the sentence-structure
+    member of the eval family. Gate pairs every doc's text against a
+    REPLACEMENT degradation (every 5th word becomes a position-unique
+    'repl<i>' token — unlike the drop degradation, the ref is NOT a
+    subsequence of the hyp, so the LCS is nontrivial). LCS is exact
+    Hunt-Szymanski (O((n+r) log n), certified against the textbook DP
+    in tests); both sides capped at 400 words (ROUGE's own -l limit
+    convention). Committed-output oracle — LCS DP is not expressible
+    in DuckDB SQL at document length."""
+    from mineru_html_spark.functions.rouge import rouge_l_eval
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    ref = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w)),
+            lambda i: F.when(i % 5 == 2,
+                             F.concat(F.lit('repl'), i.cast('string')))
+            .otherwise(F.element_at(w, i))), ' ')
+    pairs = wdf.select('doc_id', F.array_join(w, ' ').alias('hyp'),
+                       ref.alias('ref'))
+    return rouge_l_eval(pairs)
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-the-middle training prep (Bavarian et al. 2022): 50% of
     docs split at two salted-md5 word cuts into prefix/middle/suffix
@@ -4893,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'chrf_eval': q_chrf_eval,
         'wet_extract': q_wet_extract,
         'wat_extract': q_wat_extract,
+        'rouge_l': q_rouge_l,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -5230,7 +5256,7 @@ def oracle_sql() -> dict[str, str]:
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract',
-                     'wet_extract', 'wat_extract')
+                     'wet_extract', 'wat_extract', 'rouge_l')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -339,3 +339,74 @@ def corpus_bleu(stats: DataFrame) -> float:
     hl, rl = row['hyp_len'] or 0, row['ref_len'] or 0
     bp = 1.0 if hl >= rl else math.exp(1.0 - rl / max(hl, 1))
     return bp * math.exp(log_p)
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (Lin 2004 §3) — LCS-based F-measure; the sentence-structure-
+# sensitive member next to ROUGE-N/chrF/BLEU. Reference parity: the
+# reference's eval tier is ROUGE-N (eval_baselines/base.py); ROUGE-L is the
+# standard companion every published extraction benchmark also reports.
+# ---------------------------------------------------------------------------
+
+ROUGEL_SCHEMA = ('doc_id long, lcs long, hyp_len long, ref_len long, '
+                 'f1_milli long')
+
+
+def _lcs_len(a: list, b: list) -> int:
+    """Exact LCS length via Hunt–Szymanski: matches projected to
+    positions, longest strictly-increasing subsequence by patience
+    bisection — O((n + r) log n) where r = number of matching word
+    pairs, vs the O(n*m) DP (1.4B cells for a pair of 37k-word docs).
+    Exactness is certified against the textbook DP in tests."""
+    import bisect
+    pos = {}
+    for j, w in enumerate(b):
+        pos.setdefault(w, []).append(j)
+    # scan a left->right; for each token, its b-positions DESCENDING so
+    # at most one can extend within the same a-index (the classic
+    # LIS-reduction ordering)
+    tails = []
+    for w in a:
+        if w not in pos:
+            continue
+        for j in reversed(pos[w]):
+            k = bisect.bisect_left(tails, j)
+            if k == len(tails):
+                tails.append(j)
+            else:
+                tails[k] = j
+    return len(tails)
+
+
+def rouge_l(hyp: str, ref: str, limit: int = 400) -> tuple:
+    """(lcs, hyp_len, ref_len, f1_milli) over SINGLE-SPACE tokens,
+    both sides truncated to ``limit`` words (stated determinization —
+    the original ROUGE ships -l/-b length limits; the cap also bounds
+    the r term of Hunt–Szymanski on stopword-heavy documents).
+    F collapses to one integer division ``2000*lcs // (h + r)``
+    (the beta=1 form of Lin's F_lcs, the chrF/SQuAD trick)."""
+    hw = (hyp or '').split(' ')[:limit]
+    rw = (ref or '').split(' ')[:limit]
+    lcs = _lcs_len(hw, rw)
+    denom = len(hw) + len(rw)
+    f1 = 2000 * lcs // denom if denom else 0
+    return lcs, len(hw), len(rw), f1
+
+
+def rouge_l_eval(pairs: DataFrame, limit: int = 400,
+                 hyp_col: str = 'hyp', ref_col: str = 'ref') -> DataFrame:
+    """(doc_id, lcs, hyp_len, ref_len, f1_milli) per row — Arrow-batched
+    row-local scoring, zero exchanges (the chrf_eval shape)."""
+    lim = int(limit)
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for doc_id, hyp, ref in zip(pdf['doc_id'], pdf[hyp_col],
+                                        pdf[ref_col]):
+                rows.append((doc_id,) + rouge_l(hyp, ref, lim))
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'lcs', 'hyp_len', 'ref_len', 'f1_milli'])
+
+    return (pairs.select('doc_id', hyp_col, ref_col)
+            .mapInPandas(batch, ROUGEL_SCHEMA))

@@ -376,3 +376,42 @@ def test_fim_transform_rate_and_passthrough(spark):
     import pytest
     with pytest.raises(ValueError):
         fim_transform(df, rate_milli=1001)
+
+
+def test_rouge_l_lcs_exact_vs_dp():
+    """Hunt-Szymanski must equal the textbook DP on random word
+    sequences (incl. heavy repetition) — exactness, not approximation."""
+    import random
+    from mineru_html_spark.functions.rouge import _lcs_len
+
+    def dp(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i, x in enumerate(a):
+            for j, y in enumerate(b):
+                m[i + 1][j + 1] = m[i][j] + 1 if x == y else \
+                    max(m[i][j + 1], m[i + 1][j])
+        return m[-1][-1]
+
+    rng = random.Random(42)
+    for _ in range(200):
+        a = [rng.choice('abcde') for _ in range(rng.randint(0, 16))]
+        b = [rng.choice('abcde') for _ in range(rng.randint(0, 16))]
+        assert _lcs_len(a, b) == dp(a, b), (a, b)
+
+
+def test_rouge_l_semantics():
+    from mineru_html_spark.functions.rouge import rouge_l
+    # identity
+    assert rouge_l('a b c d', 'a b c d') == (4, 4, 4, 1000)
+    # subsequence ref: LCS = ref length
+    assert rouge_l('a b c d e f', 'b d f')[:1] == (3,)
+    # ROUGE-L vs ROUGE-2 separation: same bag of words, broken order
+    lcs_good = rouge_l('the cat sat on the mat', 'the cat sat on the mat')[0]
+    lcs_perm = rouge_l('mat the on sat cat the', 'the cat sat on the mat')[0]
+    assert lcs_perm < lcs_good
+    # cap applies to both sides
+    long = ' '.join(f'w{i}' for i in range(1000))
+    lcs, h, r, f1 = rouge_l(long, long)
+    assert (lcs, h, r, f1) == (400, 400, 400, 1000)
+    # empties: single-space tokenizer semantics ('' -> one empty token)
+    assert rouge_l('', '')[3] == 1000
