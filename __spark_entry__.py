@@ -2544,6 +2544,18 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted-index build — the persistent structure the
+    search tier materializes once (vs bm25_topk's scan-time scoring).
+    Gate pins, per term: df, total tf, and md5 of the canonicalized
+    postings string (zero-padded doc ids + 0-based token positions),
+    so every posting and every position is value-certified by the
+    EXACT SQL mirror. Two map-side-combined exchanges, text never
+    shuffles."""
+    from mineru_html_spark.functions.retrieval import inverted_index
+    return inverted_index(_docs(spark, sf_dir))
+
+
 def q_rouge_l(spark, sf_dir):
     """ROUGE-L (Lin 2004) — LCS F-measure, the sentence-structure
     member of the eval family. Gate pairs every doc's text against a
@@ -4919,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wet_extract': q_wet_extract,
         'wat_extract': q_wat_extract,
         'rouge_l': q_rouge_l,
+        'inverted_index': q_inverted_index,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -7679,6 +7692,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sh, 0) AS BIGINT) AS n_hyp,
                    CAST(coalesce(sr, 0) AS BIGINT) AS n_ref
             FROM p LEFT JOIN agg USING (doc_id)
+        """,
+        'inverted_index': f"""
+            WITH w AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+            e AS (
+              SELECT doc_id, w[i] AS term, i - 1 AS pos
+              FROM (SELECT doc_id, w,
+                      unnest(range(1, len(w) + 1)) AS i
+                    FROM w)),
+            pd AS (
+              SELECT term, doc_id, count(*) AS tf,
+                     string_agg(CAST(pos AS VARCHAR), '.'
+                                ORDER BY pos) AS plist
+              FROM e GROUP BY 1, 2),
+            post AS (
+              SELECT term, tf,
+                     lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+                       || plist AS entry
+              FROM pd)
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total,
+                   md5(string_agg(entry, ',' ORDER BY entry))
+                     AS postings_md5
+            FROM post GROUP BY 1 HAVING count(*) >= 2
         """,
         'bleu_eval': """
             WITH wr AS (

@@ -68,3 +68,46 @@ def bm25_topk(documents: DataFrame, terms: list, k: int = 20,
                    F.round(F.lit(1000000) * score).cast('long')
                     .alias('score_micro'))
     return out.orderBy(F.desc('score_micro'), F.asc('doc_id')).limit(k)
+
+
+def inverted_index(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """(term, df, tf_total, postings_md5): the PERSISTENT index build
+    that complements bm25_topk's scan-time scoring — positional
+    postings per term, the structure a search tier materializes once
+    and serves many queries from (and the "different trade" the bm25
+    docstring defers to).
+
+    Postings are canonicalized for engine-exact gating: each entry is
+    ``lpad(doc_id, 12, '0') || ':' || pos.pos.pos`` (zero-padding makes
+    lexicographic order == numeric doc order), entries joined sorted —
+    md5 of that string pins every document id AND every 0-based token
+    position in the index. ``min_df`` drops hapax terms (the classic
+    index-size lever; stated).
+
+    Scale shape: posexplode -> two key-partitioned aggregates — the
+    FIRST shuffle carries (term, doc_id, pos) triples, the second one
+    row per (term, doc). Both are map-side combined; nothing ever
+    carries document text. At 10^12 docs the term key is zipfian —
+    stopword postings are giant, which is WHY min_df/stopword policy
+    and per-term bucketing exist in real indexers; the gated build
+    keeps the skew honest (one reducer per term) and the plan has
+    exactly the two exchanges the semantics require."""
+    md = int(min_df)
+    toks = documents.select(
+        'doc_id', F.posexplode(_words()).alias('pos', 'term'))
+    per_doc = toks.groupBy('term', 'doc_id').agg(
+        F.sort_array(F.collect_list('pos')).alias('positions'))
+    entry = F.concat_ws(
+        ':',
+        F.lpad(F.col('doc_id').cast('string'), 12, '0'),
+        F.array_join(F.transform('positions',
+                                 lambda p: p.cast('string')), '.'))
+    return (per_doc
+            .select('term', F.size('positions').cast('long').alias('tf'),
+                    entry.alias('entry'))
+            .groupBy('term')
+            .agg(F.count('*').cast('long').alias('df'),
+                 F.sum('tf').cast('long').alias('tf_total'),
+                 F.md5(F.array_join(F.array_sort(F.collect_list('entry')),
+                                    ',')).alias('postings_md5'))
+            .where(F.col('df') >= md))

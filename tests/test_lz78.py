@@ -415,3 +415,24 @@ def test_rouge_l_semantics():
     assert (lcs, h, r, f1) == (400, 400, 400, 1000)
     # empties: single-space tokenizer semantics ('' -> one empty token)
     assert rouge_l('', '')[3] == 1000
+
+
+def test_inverted_index_postings(spark):
+    import hashlib
+    from mineru_html_spark.functions.retrieval import inverted_index
+    df = spark.createDataFrame(
+        [(7, 'apple banana apple cherry'),
+         (12, 'banana banana date'),
+         (3, 'Apple!  cherry-date')],       # tokenizer: lower + [a-z0-9]+
+        'doc_id long, text string')
+    out = {r['term']: r for r in inverted_index(df, min_df=1).collect()}
+    assert out['apple']['df'] == 2 and out['apple']['tf_total'] == 3
+    # positions are 0-based token indexes; doc order via zero-padding
+    exp = ','.join(['000000000003:0', '000000000007:0.2'])
+    assert out['apple']['postings_md5'] == \
+        hashlib.md5(exp.encode()).hexdigest()
+    assert out['banana']['tf_total'] == 3 and out['banana']['df'] == 2
+    assert out['date']['df'] == 2
+    # min_df drops hapax terms
+    kept = {r['term'] for r in inverted_index(df, min_df=2).collect()}
+    assert kept == {'apple', 'banana', 'cherry', 'date'}
