@@ -2544,6 +2544,19 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (Mihalcea & Tarau 2004) — per-doc top-10 by
+    co-occurrence PageRank (window 4, d=0.85, 30 fixed iterations,
+    sorted node order => deterministic). Row-local Arrow batches over
+    10^12 tiny independent graphs — the distributed PageRank operator
+    would be the wrong shape here. Committed-output oracle (per-doc
+    power iteration is not SQL-expressible); determinism +
+    repartition-invariance unit-tested, and the implementation
+    reproduces the paper's own abstract keywords (test)."""
+    from mineru_html_spark.functions.textrank import textrank_eval
+    return textrank_eval(_docs(spark, sf_dir))
+
+
 def q_inverted_index(spark, sf_dir):
     """Positional inverted-index build — the persistent structure the
     search tier materializes once (vs bm25_topk's scan-time scoring).
@@ -4932,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wat_extract': q_wat_extract,
         'rouge_l': q_rouge_l,
         'inverted_index': q_inverted_index,
+        'textrank_keywords': q_textrank,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -5269,7 +5283,8 @@ def oracle_sql() -> dict[str, str]:
                      'accuracy_summary', 'heldout_accuracy',
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract',
-                     'wet_extract', 'wat_extract', 'rouge_l')
+                     'wet_extract', 'wat_extract', 'rouge_l',
+                     'textrank_keywords')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

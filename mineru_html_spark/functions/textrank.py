@@ -1,0 +1,96 @@
+"""TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004).
+
+The unsupervised keyword tier a corpus platform runs per document —
+topic tagging, index enrichment, dataset cards — implemented exactly as
+the paper describes: candidate words vote for each other through
+co-occurrence edges and PageRank converges on the most central ones.
+Per-document graphs are tiny (vocabulary of one page), so the right
+distribution shape is ROW-LOCAL: an Arrow-batched mapInPandas where
+each row builds its own graph and runs its own power iteration —
+embarrassingly parallel, zero exchanges, nothing but (doc_id, word,
+score) ints leave the stage. A distributed PageRank (graph.py) would be
+WRONG here: 10^12 tiny independent graphs, not one big one.
+
+Determinizations (stated):
+- candidate filter = non-stopword [a-z0-9]+ tokens of length >= 3 (the
+  paper filters by POS tag; no tagger ships in this sandbox — the
+  stopword+length filter is the standard degradation, e.g. in gensim's
+  summarization module).
+- undirected co-occurrence window W=4 (the paper's best window is 2-4)
+  with edge weight = co-occurrence count (the weighted variant, §4.1).
+- 30 fixed power iterations at d=0.85 from uniform 1.0 (the paper's
+  init), node order sorted — deterministic across runs and partitions;
+  float64 internally, scores micro-floored on emit.
+- top-k by (score desc, word asc), k=10.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .text import STOPWORDS
+
+TEXTRANK_SCHEMA = ('doc_id long, rank long, word string, '
+                   'score_micro long')
+
+_STOPSET = frozenset(STOPWORDS)
+
+
+def textrank_keywords(text: str, k: int = 10, window: int = 4,
+                      d: float = 0.85, iters: int = 30) -> list:
+    """[(word, score_micro)] — top-k TextRank keywords of one document.
+    Pure function so tests (and a future keyphrase-join stage) can call
+    it off-Spark."""
+    import re
+    toks = [w for w in re.findall(r'[a-z0-9]+', (text or '').lower())
+            if len(w) >= 3 and w not in _STOPSET]
+    if not toks:
+        return []
+    # undirected weighted co-occurrence graph within the window
+    adj: dict = {}
+    for i, w1 in enumerate(toks):
+        for j in range(i + 1, min(i + window, len(toks))):
+            w2 = toks[j]
+            if w1 == w2:
+                continue
+            adj.setdefault(w1, {})[w2] = adj.get(w1, {}).get(w2, 0) + 1
+            adj.setdefault(w2, {})[w1] = adj.get(w2, {}).get(w1, 0) + 1
+    nodes = sorted(set(toks))
+    if not adj:                      # single candidate / no edges
+        return [(w, 1_000_000) for w in nodes[:k]]
+    wsum = {w: float(sum(nb.values())) for w, nb in adj.items()}
+    score = {w: 1.0 for w in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for w in nodes:
+            s = 0.0
+            for v, cnt in adj.get(w, {}).items():
+                s += score[v] * cnt / wsum[v]
+            nxt[w] = (1.0 - d) + d * s
+        score = nxt
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(w, int(s * 1_000_000)) for w, s in ranked]
+
+
+def textrank_eval(documents: DataFrame, k: int = 10,
+                  window: int = 4) -> DataFrame:
+    """(doc_id, rank, word, score_micro) — top-k keywords per document,
+    rank 0-based in (score desc, word asc) order. Row-local Arrow
+    batches; zero exchanges; repartition-invariant by construction."""
+    kk, ww = int(k), int(window)
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                for r, (w, s) in enumerate(
+                        textrank_keywords(text, kk, ww)):
+                    rows.append((doc_id, r, w, s))
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'rank', 'word', 'score_micro'])
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(batch, TEXTRANK_SCHEMA))

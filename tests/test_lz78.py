@@ -436,3 +436,39 @@ def test_inverted_index_postings(spark):
     # min_df drops hapax terms
     kept = {r['term'] for r in inverted_index(df, min_df=2).collect()}
     assert kept == {'apple', 'banana', 'cherry', 'date'}
+
+
+def test_textrank_paper_abstract():
+    """The implementation must reproduce the TextRank paper's own
+    running example: the §2 abstract's reported keywords dominate."""
+    from mineru_html_spark.functions.textrank import textrank_keywords
+    doc = ('compatibility of systems of linear constraints over the set '
+           'of natural numbers criteria of compatibility of a system of '
+           'linear diophantine equations strict inequations and '
+           'nonstrict inequations are considered upper bounds for '
+           'components of a minimal set of solutions and algorithms of '
+           'construction of minimal generating sets of solutions for '
+           'all types of systems are given')
+    top = [w for w, _ in textrank_keywords(doc, k=8)]
+    # the paper's assigned keywords that survive the word tokenizer
+    for kw in ('linear', 'compatibility', 'systems', 'set', 'minimal'):
+        assert kw in top, (kw, top)
+    # stopwords and short tokens never appear
+    assert not set(top) & {'the', 'of', 'and', 'are', 'for', 'a'}
+
+
+def test_textrank_edges_and_determinism(spark):
+    from mineru_html_spark.functions.textrank import (textrank_eval,
+                                                      textrank_keywords)
+    assert textrank_keywords('') == []
+    assert textrank_keywords('the of and') == []          # all stopwords
+    assert textrank_keywords('hello') == [('hello', 1000000)]
+    rows = [(i, f'alpha beta gamma alpha beta word{i} delta epsilon '
+                f'alpha gamma') for i in range(40)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    a = sorted(map(tuple, textrank_eval(df).collect()))
+    b = sorted(map(tuple, textrank_eval(df.repartition(13)).collect()))
+    assert a == b and len(a) > 0                          # partition-invariant
+    per_doc = [r for r in a if r[0] == 5]
+    assert [r[1] for r in per_doc] == list(range(len(per_doc)))
+    assert per_doc[0][2] == 'alpha'                       # most central word
