@@ -2544,6 +2544,41 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Crawler-trap screening — the frontier-protection families from
+    Mercator/IRLbot (path cycles, infinite calendars, session ids,
+    faceted-search param blowup, deep paths, overlong URLs) as native
+    expressions, zero UDFs/shuffles. URLs plant one class per
+    doc_id%8 (two clean classes included), so every rule fires AND
+    every rule's negative fires; the EXACT SQL oracle replays both
+    the planting and every threshold."""
+    from mineru_html_spark.functions.urls import trap_screen
+    d = F.col('doc_id')
+    base = F.concat(F.lit('http://site'), (d % 50).cast('string'),
+                    F.lit('.example.com'))
+    cls = d % 8
+    url = (F.when(cls == 1, F.concat(base,
+                                     F.lit('/cat/page/cat/page/cat')))
+           .when(cls == 2, F.concat(
+               base, F.lit('/archive/2020/'),
+               (d % 12 + 1).cast('string'), F.lit('/'),
+               (d % 28 + 1).cast('string')))
+           .when(cls == 3, F.concat(base, F.lit('/p?sid=abc'),
+                                    d.cast('string')))
+           .when(cls == 4, F.concat(
+               base,
+               F.lit('/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13')))
+           .when(cls == 5, F.concat(
+               base,
+               F.lit('/q?a1=1&a2=2&a3=3&a4=4&a5=5&a6=6&a7=7&a8=8')))
+           .when(cls == 6, F.concat(base, F.lit('/long/'),
+                                    F.repeat(F.lit('x'), 520)))
+           .when(cls == 7, F.concat(base, F.lit('/doc?page=2')))
+           .otherwise(F.concat(base, F.lit('/home'))))
+    urls = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    return trap_screen(urls).drop('url')
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004) — per-doc top-10 by
     co-occurrence PageRank (window 4, d=0.85, 30 fixed iterations,
@@ -4946,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rouge_l': q_rouge_l,
         'inverted_index': q_inverted_index,
         'textrank_keywords': q_textrank,
+        'crawl_traps': q_crawl_traps,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -7731,6 +7767,54 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(entry, ',' ORDER BY entry))
                      AS postings_md5
             FROM post GROUP BY 1 HAVING count(*) >= 2
+        """,
+        'crawl_traps': """
+            WITH u AS (
+              SELECT doc_id,
+                'http://site' || (doc_id % 50) || '.example.com' ||
+                CASE doc_id % 8
+                  WHEN 1 THEN '/cat/page/cat/page/cat'
+                  WHEN 2 THEN '/archive/2020/' || (doc_id % 12 + 1)
+                              || '/' || (doc_id % 28 + 1)
+                  WHEN 3 THEN '/p?sid=abc' || doc_id
+                  WHEN 4 THEN
+                    '/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13'
+                  WHEN 5 THEN
+                    '/q?a1=1&a2=2&a3=3&a4=4&a5=5&a6=6&a7=7&a8=8'
+                  WHEN 6 THEN '/long/' || repeat('x', 520)
+                  WHEN 7 THEN '/doc?page=2'
+                  ELSE '/home'
+                END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                regexp_extract(url,
+                  '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u),
+            s AS (
+              SELECT doc_id, url, path, query,
+                list_filter(string_split(path, '/'),
+                            x -> len(x) > 0) AS segs
+              FROM p),
+            fl AS (
+              SELECT doc_id,
+                len(segs) > 12 AS deep_path,
+                len(segs) - len(list_distinct(segs)) >= 2 AS cycle,
+                regexp_matches(path, '(/[0-9]+){3}') AS calendar,
+                regexp_matches(query,
+                  '(?i)(^|&)(phpsessid|jsessionid|sessionid|sid)=')
+                  AS session_id,
+                CASE WHEN query = '' THEN 0
+                     ELSE len(string_split(query, '&')) END >= 8
+                  AS param_blowup,
+                len(url) > 512 AS overlong
+              FROM s)
+            SELECT doc_id, deep_path, cycle, calendar, session_id,
+                   param_blowup, overlong,
+                   deep_path OR cycle OR calendar OR session_id
+                     OR param_blowup OR overlong AS is_trap
+            FROM fl
         """,
         'bleu_eval': """
             WITH wr AS (

@@ -274,3 +274,49 @@ def url_blocklist_filter(df: DataFrame, url_col: str = 'url',
     return (j.withColumn('drop_reason', reason)
             .withColumn('keep', reason == '')
             .drop('_blk'))
+
+
+def trap_screen(urls: DataFrame, url_col: str = 'url') -> DataFrame:
+    """Crawler-trap screening (the frontier-protection pass every
+    production crawler runs — Heydon & Najork's Mercator and IRLbot
+    both document these families): adds one boolean per trap class
+    plus the is_trap verdict, all NATIVE column expressions — zero
+    UDFs, zero shuffles, scan speed on a 10^12-row frontier.
+
+    Classes (thresholds stated):
+    - ``deep_path``: > 12 path segments;
+    - ``cycle``: path segments repeat — >= 2 surplus occurrences
+      (``size - size(distinct) >= 2``, catching /a/b/a/b/a cycles);
+    - ``calendar``: >= 3 consecutive all-numeric segments (the
+      infinite-calendar shape);
+    - ``session_id``: phpsessid/jsessionid/sessionid/sid keys in the
+      query string;
+    - ``param_blowup``: >= 8 query parameters (faceted-search
+      explosion);
+    - ``overlong``: > 512 chars total.
+    A flagged URL is not fetched; the frontier keeps the row with its
+    reason, S7-style, so trap statistics stay observable."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r'^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)
+    query = F.regexp_extract(u, r'\?([^#]*)', 1)
+    segs = F.filter(F.split(path, '/'), lambda s: F.length(s) > 0)
+    deep = F.size(segs) > 12
+    cycle = (F.size(segs) - F.size(F.array_distinct(segs))) >= 2
+    calendar = path.rlike(r'(/[0-9]+){3}')
+    session = query.rlike(
+        r'(?i)(^|&)(phpsessid|jsessionid|sessionid|sid)=')
+    params = F.when(query == '', F.lit(0)) \
+        .otherwise(F.size(F.split(query, '&')))
+    blowup = params >= 8
+    overlong = F.length(u) > 512
+    out = (urls
+           .withColumn('deep_path', deep)
+           .withColumn('cycle', cycle)
+           .withColumn('calendar', calendar)
+           .withColumn('session_id', session)
+           .withColumn('param_blowup', blowup)
+           .withColumn('overlong', overlong))
+    return out.withColumn(
+        'is_trap', F.col('deep_path') | F.col('cycle') |
+        F.col('calendar') | F.col('session_id') |
+        F.col('param_blowup') | F.col('overlong'))

@@ -472,3 +472,36 @@ def test_textrank_edges_and_determinism(spark):
     per_doc = [r for r in a if r[0] == 5]
     assert [r[1] for r in per_doc] == list(range(len(per_doc)))
     assert per_doc[0][2] == 'alpha'                       # most central word
+
+
+def test_trap_screen_rules(spark):
+    from mineru_html_spark.functions.urls import trap_screen
+    cases = [
+        (0, 'http://a.com/home', None),
+        (1, 'http://a.com/x/y/x/y/x', 'cycle'),
+        (2, 'http://a.com/2020/07/15', 'calendar'),
+        (3, 'http://a.com/p?q=1&sid=deadbeef', 'session_id'),
+        (4, 'http://a.com/' + '/'.join(f's{i}' for i in range(13)),
+         'deep_path'),
+        (5, 'http://a.com/f?' + '&'.join(f'k{i}={i}' for i in range(8)),
+         'param_blowup'),
+        (6, 'http://a.com/l/' + 'x' * 520, 'overlong'),
+        # negatives that look close: 2 numeric segs, 7 params, sid as
+        # VALUE not key, benign repeated-once segment
+        (7, 'http://a.com/2020/07/post', None),
+        (8, 'http://a.com/f?' + '&'.join(f'k{i}={i}' for i in range(7)),
+         None),
+        (9, 'http://a.com/p?q=sid', None),
+        (10, 'http://a.com/a/b/a/c', None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               'doc_id long, url string')
+    out = {r['doc_id']: r for r in trap_screen(df).collect()}
+    flags = ('deep_path', 'cycle', 'calendar', 'session_id',
+             'param_blowup', 'overlong')
+    for i, _, expect in cases:
+        fired = [f for f in flags if out[i][f]]
+        if expect is None:
+            assert not out[i]['is_trap'] and not fired, (i, fired)
+        else:
+            assert out[i]['is_trap'] and fired == [expect], (i, fired)
