@@ -2544,6 +2544,36 @@ def q_bleu_eval(spark, sf_dir):
     return bleu_eval(pairs)
 
 
+def q_meta_robots(spark, sf_dir):
+    """Page-level robots META directives — the compliance gate
+    robots.txt cannot express (a noindex page is FETCHED but must not
+    be indexed; nofollow bars its outlinks from the link graph).
+    Pages plant one directive shape per doc_id%6 (absent / noindex /
+    mixed-case pair / none-alias / crawler-specific decoy that must
+    NOT fire / all+noarchive), parsed through the engine's repairing
+    DOM; the oracle recomputes every flag from the planting arithmetic
+    — ground truth by construction."""
+    from mineru_html_spark.functions.meta import robots_meta
+    d = F.col('doc_id')
+    cls = d % 6
+    tag = (F.when(cls == 1, F.lit(
+               '<meta name="robots" content="noindex">'))
+           .when(cls == 2, F.lit(
+               '<META NAME="Robots" CONTENT="NoIndex , NOFOLLOW">'))
+           .when(cls == 3, F.lit('<meta name=robots content=none>'))
+           .when(cls == 4, F.lit(
+               '<meta name="googlebot" content="noindex">'))
+           .when(cls == 5, F.lit(
+               '<meta name="robots" content="all, noarchive">'))
+           .otherwise(F.lit('')))
+    html = F.concat(F.lit('<html><head><title>t</title>'), tag,
+                    F.lit('</head><body><p>'),
+                    F.substring('text', 1, 80),
+                    F.lit('</p></body></html>'))
+    docs = _docs(spark, sf_dir).select('doc_id', html.alias('html'))
+    return robots_meta(docs)
+
+
 def q_crawl_traps(spark, sf_dir):
     """Crawler-trap screening — the frontier-protection families from
     Mercator/IRLbot (path cycles, infinite calendars, session ids,
@@ -4982,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'inverted_index': q_inverted_index,
         'textrank_keywords': q_textrank,
         'crawl_traps': q_crawl_traps,
+        'meta_robots': q_meta_robots,
         'ac_blocklist': q_ac_blocklist,
         'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
@@ -7815,6 +7846,15 @@ def oracle_sql() -> dict[str, str]:
                    deep_path OR cycle OR calendar OR session_id
                      OR param_blowup OR overlong AS is_trap
             FROM fl
+        """,
+        'meta_robots': """
+            SELECT doc_id,
+                   doc_id % 6 IN (1, 2, 3, 5) AS has_robots_meta,
+                   doc_id % 6 IN (1, 2, 3) AS noindex,
+                   doc_id % 6 IN (2, 3) AS nofollow,
+                   doc_id % 6 = 5 AS noarchive,
+                   FALSE AS nosnippet
+            FROM documents
         """,
         'bleu_eval': """
             WITH wr AS (

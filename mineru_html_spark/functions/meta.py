@@ -184,3 +184,77 @@ def extract_page_meta(docs: DataFrame) -> DataFrame:
 
     return docs.select('doc_id', 'spans').mapInPandas(
         batch, META_ROWS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# robots META directives (the page-level complement to robots.txt):
+# <meta name="robots" content="noindex, nofollow"> — RFC 9309's sibling
+# convention (Google/Bing "robots meta tag" spec). A corpus pipeline MUST
+# honor noindex before indexing/retrieval tiers, and the link-graph tier
+# must honor nofollow; robots.txt (functions/robots.py) cannot express
+# either (a disallowed page is unfetched; a noindex page is fetched but
+# unindexable).
+# ---------------------------------------------------------------------------
+
+ROBOTS_META_SCHEMA = ('doc_id long, has_robots_meta boolean, '
+                      'noindex boolean, nofollow boolean, '
+                      'noarchive boolean, nosnippet boolean')
+
+
+def robots_meta_from_html(html: str) -> dict:
+    """Directive flags from one page's <meta name="robots"> tags via
+    the engine's repairing DOM (never raises). Semantics per the
+    published spec: names/content case-insensitive, comma-separated
+    directive list, ``none`` == noindex+nofollow, ``all`` == no
+    restriction; MULTIPLE robots tags union (most-restrictive-wins,
+    Google's documented rule). Crawler-specific tags (e.g.
+    name="googlebot") are out of scope for the generic flags
+    (stated)."""
+    rec = {'has_robots_meta': False, 'noindex': False,
+           'nofollow': False, 'noarchive': False, 'nosnippet': False}
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001 — tolerant contract
+        return rec
+
+    def visit(node: Node) -> None:
+        if node.tag.lower() == 'meta':
+            attrs = {k.lower(): (v or '') for k, v in node.attrs.items()}
+            if attrs.get('name', '').lower() == 'robots':
+                rec['has_robots_meta'] = True
+                for tok in attrs.get('content', '').lower().split(','):
+                    tok = tok.strip()
+                    if tok == 'none':
+                        rec['noindex'] = rec['nofollow'] = True
+                    elif tok in ('noindex', 'nofollow', 'noarchive',
+                                 'nosnippet'):
+                        rec[tok] = True
+        for c in node.children:
+            if isinstance(c, Node):
+                visit(c)
+
+    visit(root)
+    return rec
+
+
+def robots_meta(docs: DataFrame, html_col: str = 'html') -> DataFrame:
+    """(doc_id, has_robots_meta, noindex, nofollow, noarchive,
+    nosnippet) per page — Arrow-batched row-local DOM walk, zero
+    exchanges. Downstream: ``where(~noindex)`` before index builds,
+    ``where(~nofollow)`` before link-graph edges."""
+    import pandas as pd
+
+    def batch(it):
+        cols = ['doc_id', 'has_robots_meta', 'noindex', 'nofollow',
+                'noarchive', 'nosnippet']
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf['doc_id'], pdf[html_col]):
+                r = robots_meta_from_html(html)
+                rows.append((doc_id, r['has_robots_meta'], r['noindex'],
+                             r['nofollow'], r['noarchive'],
+                             r['nosnippet']))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (docs.select('doc_id', html_col)
+            .mapInPandas(batch, ROBOTS_META_SCHEMA))

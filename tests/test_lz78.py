@@ -505,3 +505,28 @@ def test_trap_screen_rules(spark):
             assert not out[i]['is_trap'] and not fired, (i, fired)
         else:
             assert out[i]['is_trap'] and fired == [expect], (i, fired)
+
+
+def test_robots_meta_semantics(spark):
+    from mineru_html_spark.functions.meta import (robots_meta,
+                                                  robots_meta_from_html)
+    # union across multiple tags (most-restrictive-wins)
+    r = robots_meta_from_html(
+        '<meta name=robots content=noindex>'
+        '<meta name=robots content=nofollow>')
+    assert r['noindex'] and r['nofollow']
+    # 'all' alone restricts nothing; unknown directives ignored
+    r = robots_meta_from_html('<meta name=robots content="all, max-snippet:50">')
+    assert r['has_robots_meta'] and not any(
+        r[k] for k in ('noindex', 'nofollow', 'noarchive', 'nosnippet'))
+    # broken HTML never raises; repairing parser still finds the tag
+    r = robots_meta_from_html('<html><meta name=robots content=noindex><p>x')
+    assert r['noindex']
+    df = spark.createDataFrame(
+        [(1, '<html><head><meta name="robots" '
+             'content="nosnippet"></head></html>'),
+         (2, None)],
+        'doc_id long, html string')
+    out = {x['doc_id']: x for x in robots_meta(df).collect()}
+    assert out[1]['nosnippet'] and not out[1]['noindex']
+    assert not out[2]['has_robots_meta']
