@@ -4989,6 +4989,35 @@ def q_interleaved_seqs(spark, sf_dir):
         _extraction_results(spark, sf_dir), budget=512, image_tokens=64)
 
 
+def q_repetition_signals(spark, sf_dir):
+    """The COMPLETE Gopher repetition-filter table (Rae et al. 2021,
+    Table A1): duplicate line/paragraph fractions by count and by char
+    mass, top-{2,3,4}-gram char fractions, duplicated-{5..10}-gram
+    positional char coverage — 13 integer-permille signals per doc in
+    one Arrow-batched zero-exchange map stage. The corpus text is
+    single-line word salad, so the gate builds a deterministic
+    multi-line document per row (8-word lines, two 2-line paragraphs)
+    and PLANTS a duplicate paragraph on doc_id%2=0 (fires the line+para
+    duplicate branches) and a third copy of line 0 with a unique tail
+    on doc_id%3=0 (fires dup-line-without-dup-para); word-level n-gram
+    signals fire naturally from the salad's repetition. The oracle
+    re-implements every signal clause-for-clause in SQL over the same
+    constructed text."""
+    from mineru_html_spark.functions.text import repetition_signals
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    w = F.split('text', ' ')
+    L = [F.array_join(F.slice(w, 8 * j + 1, 8), ' ') for j in range(4)]
+    p1 = F.concat(L[0], F.lit('\n'), L[1])
+    p2 = F.concat(L[2], F.lit('\n'), L[3])
+    t = F.concat(p1, F.lit('\n\n'), p2)
+    t = F.when(F.col('doc_id') % 2 == 0,
+               F.concat(t, F.lit('\n\n'), p1)).otherwise(t)
+    t = F.when(F.col('doc_id') % 3 == 0,
+               F.concat(t, F.lit('\n\n'), L[0],
+                        F.lit('\ntail marker line'))).otherwise(t)
+    return repetition_signals(docs.select('doc_id', t.alias('text')))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5213,6 +5242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'secrets_scrub': q_secrets_scrub,
         'line_dedup': q_line_dedup,
+        # --- new this fifteenth window (queue for r6's rotation; all
+        #     have exact SQL oracles the full local gate certifies) ---
+        'repetition_signals': q_repetition_signals,
     }
 
 
@@ -8344,5 +8376,173 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # exact clause-for-clause mirror of repetition_stats() over the gate's
+    # constructed multi-line text (see q_repetition_signals): WS is the
+    # Python str.strip() character set so trimmed-piece semantics match.
+    oracles['repetition_signals'] = """
+        WITH wr AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        tl AS (
+          -- DuckDB array_to_string([]) is NULL where Spark array_join
+          -- is '' — coalesce so short docs don't NULL the whole text
+          SELECT doc_id,
+            coalesce(array_to_string(list_slice(w, 1, 8), ' '), '')
+              AS l0,
+            coalesce(array_to_string(list_slice(w, 9, 16), ' '), '')
+              AS l1,
+            coalesce(array_to_string(list_slice(w, 17, 24), ' '), '')
+              AS l2,
+            coalesce(array_to_string(list_slice(w, 25, 32), ' '), '')
+              AS l3
+          FROM wr),
+        doc AS (
+          SELECT doc_id,
+            l0 || chr(10) || l1 || chr(10) || chr(10)
+               || l2 || chr(10) || l3
+            || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || chr(10) || l0 || chr(10) || l1
+                 ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || l0 || chr(10)
+                      || 'tail marker line'
+                 ELSE '' END AS t
+          FROM tl),
+        ln AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id,
+                   trim(unnest(string_split(t, chr(10))),
+                        ' ' || chr(9) || chr(10) || chr(13)) AS p
+            FROM doc)
+          WHERE p != ''),
+        lng AS (SELECT doc_id, p, count(*) AS c FROM ln GROUP BY 1, 2),
+        lstat AS (
+          SELECT doc_id,
+            CAST(1000 * (sum(c) - count(*)) // sum(c) AS BIGINT)
+              AS dup_line_pm,
+            CAST(1000 * sum((c - 1) * len(p)) // sum(c * len(p))
+                 AS BIGINT) AS dup_line_char_pm
+          FROM lng GROUP BY 1),
+        pa AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id,
+                   trim(unnest(string_split(t, chr(10) || chr(10))),
+                        ' ' || chr(9) || chr(10) || chr(13)) AS p
+            FROM doc)
+          WHERE p != ''),
+        png_ AS (SELECT doc_id, p, count(*) AS c FROM pa GROUP BY 1, 2),
+        pstat AS (
+          SELECT doc_id,
+            CAST(1000 * (sum(c) - count(*)) // sum(c) AS BIGINT)
+              AS dup_para_pm,
+            CAST(1000 * sum((c - 1) * len(p)) // sum(c * len(p))
+                 AS BIGINT) AS dup_para_char_pm
+          FROM png_ GROUP BY 1),
+        wl AS (SELECT doc_id,
+                 list_filter(string_split_regex(t, '\\s+'),
+                             x -> x != '') AS ws
+               FROM doc),
+        wt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS m,
+                 CAST(coalesce(list_sum(list_transform(ws,
+                      x -> len(x))), 0) AS BIGINT) AS wtotal
+               FROM wl),
+        tg AS (
+          SELECT doc_id, n,
+                 array_to_string(list_slice(ws, i, i + n - 1), ' ') AS g
+          FROM (SELECT doc_id, n, ws,
+                  unnest(range(1, greatest(len(ws) - n + 2, 1))) AS i
+                FROM (SELECT doc_id, ws, unnest([2, 3, 4]) AS n
+                      FROM wl))),
+        tgc AS (SELECT doc_id, n, g, count(*) AS c
+                FROM tg GROUP BY 1, 2, 3),
+        tgr AS (SELECT doc_id, n, g, c,
+                  row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY c DESC, g DESC) AS rn
+                FROM tgc),
+        tmass AS (
+          SELECT doc_id,
+            CAST(coalesce(max(CASE WHEN n = 2 AND c >= 2
+                 THEN c * len(g) END), 0) AS BIGINT) AS t2,
+            CAST(coalesce(max(CASE WHEN n = 3 AND c >= 2
+                 THEN c * len(g) END), 0) AS BIGINT) AS t3,
+            CAST(coalesce(max(CASE WHEN n = 4 AND c >= 2
+                 THEN c * len(g) END), 0) AS BIGINT) AS t4
+          FROM tgr WHERE rn = 1 GROUP BY 1),
+        dg AS (
+          SELECT doc_id, n, i,
+                 array_to_string(list_slice(ws, i, i + n - 1), ' ') AS g
+          FROM (SELECT doc_id, n, ws,
+                  unnest(range(1, greatest(len(ws) - n + 2, 1))) AS i
+                FROM (SELECT doc_id, ws,
+                        unnest([5, 6, 7, 8, 9, 10]) AS n
+                      FROM wl))),
+        dgc AS (SELECT doc_id, n, i,
+                  count(*) OVER (PARTITION BY doc_id, n, g) AS c
+                FROM dg),
+        cov AS (SELECT DISTINCT doc_id, n, pos FROM (
+                  SELECT doc_id, n, unnest(range(i, i + n)) AS pos
+                  FROM dgc WHERE c >= 2)),
+        wp AS (SELECT doc_id, pos, len(ws[pos]) AS wlen FROM
+                (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+                 FROM wl)),
+        cm AS (SELECT cov.doc_id, cov.n, CAST(sum(wp.wlen) AS BIGINT)
+                 AS mass
+               FROM cov JOIN wp ON wp.doc_id = cov.doc_id
+                              AND wp.pos = cov.pos
+               GROUP BY 1, 2),
+        dmass AS (SELECT doc_id,
+            CAST(coalesce(max(CASE WHEN n = 5 THEN mass END), 0)
+                 AS BIGINT) AS d5,
+            CAST(coalesce(max(CASE WHEN n = 6 THEN mass END), 0)
+                 AS BIGINT) AS d6,
+            CAST(coalesce(max(CASE WHEN n = 7 THEN mass END), 0)
+                 AS BIGINT) AS d7,
+            CAST(coalesce(max(CASE WHEN n = 8 THEN mass END), 0)
+                 AS BIGINT) AS d8,
+            CAST(coalesce(max(CASE WHEN n = 9 THEN mass END), 0)
+                 AS BIGINT) AS d9,
+            CAST(coalesce(max(CASE WHEN n = 10 THEN mass END), 0)
+                 AS BIGINT) AS d10
+          FROM cm GROUP BY 1)
+        SELECT w.doc_id,
+          coalesce(l.dup_line_pm, 0) AS dup_line_pm,
+          coalesce(l.dup_line_char_pm, 0) AS dup_line_char_pm,
+          coalesce(p.dup_para_pm, 0) AS dup_para_pm,
+          coalesce(p.dup_para_char_pm, 0) AS dup_para_char_pm,
+          CAST(CASE WHEN w.wtotal + greatest(w.m - 1, 0) > 0
+               THEN 1000 * coalesce(t.t2, 0)
+                    // (w.wtotal + greatest(w.m - 1, 0))
+               ELSE 0 END AS BIGINT) AS top2_pm,
+          CAST(CASE WHEN w.wtotal + greatest(w.m - 1, 0) > 0
+               THEN 1000 * coalesce(t.t3, 0)
+                    // (w.wtotal + greatest(w.m - 1, 0))
+               ELSE 0 END AS BIGINT) AS top3_pm,
+          CAST(CASE WHEN w.wtotal + greatest(w.m - 1, 0) > 0
+               THEN 1000 * coalesce(t.t4, 0)
+                    // (w.wtotal + greatest(w.m - 1, 0))
+               ELSE 0 END AS BIGINT) AS top4_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d5, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup5_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d6, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup6_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d7, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup7_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d8, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup8_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d9, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup9_pm,
+          CAST(CASE WHEN w.wtotal > 0
+               THEN 1000 * coalesce(d.d10, 0) // w.wtotal
+               ELSE 0 END AS BIGINT) AS dup10_pm
+        FROM wt w
+        LEFT JOIN lstat l USING (doc_id)
+        LEFT JOIN pstat p USING (doc_id)
+        LEFT JOIN tmass t USING (doc_id)
+        LEFT JOIN dmass d USING (doc_id)
     """
     return oracles

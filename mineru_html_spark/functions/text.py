@@ -1069,3 +1069,128 @@ def with_lz78_complexity(documents: DataFrame,
             yield out
 
     return documents.mapInPandas(batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Table A1) — the COMPLETE
+# published repetition-filter table, not just the dup-3-gram fraction that
+# gopher_signals carries. Reference parity: the reference has no corpus
+# quality tier at all (it extracts); this is the beyond-reference
+# training-data family the engine ships as first-class.
+# ---------------------------------------------------------------------------
+
+REPETITION_SCHEMA = (
+    'doc_id long, dup_line_pm long, dup_line_char_pm long, '
+    'dup_para_pm long, dup_para_char_pm long, '
+    'top2_pm long, top3_pm long, top4_pm long, '
+    'dup5_pm long, dup6_pm long, dup7_pm long, dup8_pm long, '
+    'dup9_pm long, dup10_pm long')
+
+#: the n of the "most frequent n-gram" signals and of the
+#: "duplicated n-gram coverage" signals, per the published table
+TOP_NGRAM_NS = (2, 3, 4)
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_stats(text: str) -> tuple:
+    """The 13 Gopher repetition signals of one document, all integer
+    permille (floor division — exactly mirrorable in SQL). Stated
+    definitions (each matches the DuckDB oracle clause-for-clause):
+
+    * lines = trimmed non-empty pieces of ``split(text, '\\n')``;
+      paragraphs = same over ``'\\n\\n'``. ``dup_*_pm`` = occurrences
+      beyond the first of an identical piece, over total pieces;
+      ``dup_*_char_pm`` = their character mass over total piece chars.
+    * words = non-empty pieces of ``split(text, r'\\s+')``.
+      ``topN_pm`` (n=2,3,4) = count*len(gram) of the most frequent word
+      n-gram over ``len(' '.join(words))``, 0 unless count >= 2; ties
+      break to the lexicographically greatest gram (stated, mirrored
+      as ORDER BY c DESC, g DESC).
+    * ``dupN_pm`` (n=5..10) = POSITIONAL coverage: the char mass of
+      words covered by any occurrence of an n-gram that occurs >= 2
+      times in the doc, over total word char mass (overlaps counted
+      once — the union-of-intervals form, not the per-occurrence sum
+      that can exceed 1).
+
+    One linear pass per document (Counter folds; the coverage mark is
+    O(words * 6)), so a 10 MB outlier page costs milliseconds, not the
+    quadratic blowup the HOF-audit exists to prevent.
+    """
+    from collections import Counter
+
+    def dup_fracs(pieces):
+        pieces = [p.strip() for p in pieces]
+        pieces = [p for p in pieces if p]
+        if not pieces:
+            return 0, 0
+        c = Counter(pieces)
+        n = len(pieces)
+        total = sum(len(p) for p in pieces)
+        dup_mass = sum((k - 1) * len(v) for v, k in c.items())
+        pm = 1000 * (n - len(c)) // n
+        cpm = 1000 * dup_mass // total if total else 0
+        return pm, cpm
+
+    dl, dlc = dup_fracs(text.split('\n'))
+    dp, dpc = dup_fracs(text.split('\n\n'))
+
+    words = text.split()
+    m = len(words)
+    wlen = [len(w) for w in words]
+    wtotal = sum(wlen)
+    joined_len = wtotal + max(m - 1, 0)
+
+    top = []
+    for n in TOP_NGRAM_NS:
+        if m < n or joined_len == 0:
+            top.append(0)
+            continue
+        grams = Counter(' '.join(words[i:i + n]) for i in range(m - n + 1))
+        g, c = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+        top.append(1000 * c * len(g) // joined_len if c >= 2 else 0)
+
+    dups = []
+    for n in DUP_NGRAM_NS:
+        if m < n or wtotal == 0:
+            dups.append(0)
+            continue
+        grams = [' '.join(words[i:i + n]) for i in range(m - n + 1)]
+        cnt = Counter(grams)
+        covered = bytearray(m)
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered[i:i + n] = b'\x01' * n
+        num = sum(l for l, cov in zip(wlen, covered) if cov)
+        dups.append(1000 * num // wtotal)
+
+    return (dl, dlc, dp, dpc, *top, *dups)
+
+
+def repetition_signals(documents: DataFrame,
+                       text_col: str = 'text') -> DataFrame:
+    """(doc_id, 13 permille signals): the full Gopher repetition table
+    per document — duplicate line/paragraph fractions by count and by
+    character mass, most-frequent-{2,3,4}-gram character fractions, and
+    duplicated-{5..10}-gram positional character coverage.
+
+    Scale shape: Arrow-batched ``mapInPandas`` row-local fold —
+    embarrassingly parallel, ZERO exchanges (plan-guarded in tests);
+    only (doc_id, 13 longs) leave the stage. At 10^12 documents this is
+    one map stage over the scan, the same cost class as the other
+    zero-shuffle quality screens (gopher_signals, char_entropy, lz78).
+    Downstream filtering composes with quality_gate: Gopher drops a doc
+    when ANY signal exceeds its published threshold."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = REPETITION_SCHEMA.replace(' long', '').split(', ')
+        for pdf in frames:
+            rows = [(did,) + repetition_stats(txt if txt is not None
+                                              else '')
+                    for did, txt in zip(pdf['doc_id'], pdf[text_col])]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (documents.select('doc_id', text_col)
+            .mapInPandas(batch, REPETITION_SCHEMA))

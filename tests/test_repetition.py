@@ -1,0 +1,93 @@
+"""Gopher repetition-signal table (Rae et al. 2021, Table A1).
+
+Covers: hand-computed signals for every branch, the empty/degenerate
+edges, zero-exchange plan shape, and a giant-doc torture probe (the
+kernel is one linear Counter pass — the HOF-audit trap class cannot
+apply, but the probe pins the linearity claim anyway).
+"""
+import time
+
+from mineru_html_spark.functions.text import (repetition_signals,
+                                              repetition_stats)
+
+COLS = ('dup_line_pm', 'dup_line_char_pm', 'dup_para_pm',
+        'dup_para_char_pm', 'top2_pm', 'top3_pm', 'top4_pm',
+        'dup5_pm', 'dup6_pm', 'dup7_pm', 'dup8_pm', 'dup9_pm',
+        'dup10_pm')
+
+
+def test_line_and_para_duplicates_hand_computed():
+    # lines: ['a b', 'a b', 'c d']  -> 1 dup of 3 (333), chars 3/9
+    # paras: ['a b\na b', 'c d']    -> distinct -> 0
+    r = dict(zip(COLS, repetition_stats('a b\na b\n\nc d')))
+    assert r['dup_line_pm'] == 333
+    assert r['dup_line_char_pm'] == 333
+    assert r['dup_para_pm'] == 0 and r['dup_para_char_pm'] == 0
+
+
+def test_para_duplicates_weighted_by_chars():
+    # paras: ['xx yy', 'xx yy', 'z'] -> dup count 1/3=333;
+    # dup char mass 5 over 11 -> 454
+    r = dict(zip(COLS, repetition_stats('xx yy\n\nxx yy\n\nz')))
+    assert r['dup_para_pm'] == 333
+    assert r['dup_para_char_pm'] == 454
+
+
+def test_top_ngram_needs_two_occurrences_and_tiebreak():
+    # 'a b a b c d': top 2-gram 'a b' (count 2, len 3) over
+    # len('a b a b c d')=11 -> 545; all 3-grams unique -> 0
+    r = dict(zip(COLS, repetition_stats('a b a b c d')))
+    assert r['top2_pm'] == 545
+    assert r['top3_pm'] == 0 and r['top4_pm'] == 0
+    # tie at count 1 is never scored even for the max gram
+    assert repetition_stats('q w e r t y')[4:7] == (0, 0, 0)
+
+
+def test_dup_ngram_positional_coverage_counts_overlap_once():
+    # words: the 5-gram 'a b c d e' occurs twice (positions 0 and 5),
+    # covering word positions 0..9 of 11; word char mass covered 10
+    # of 11 -> 909.  The union form: overlapping duplicated grams
+    # cannot push coverage past 1000.
+    txt = 'a b c d e a b c d e z'
+    r = dict(zip(COLS, repetition_stats(txt)))
+    assert r['dup5_pm'] == 909
+    # every 6..10-gram window of this text is unique except n=6?
+    # 'a b c d e a' occurs once; so higher orders are 0
+    assert r['dup6_pm'] == 0
+
+    # fully-repeated text saturates at 1000 for every order it fits
+    sat = repetition_stats(' '.join(['a b c d e f g h i j'] * 3))
+    d = dict(zip(COLS, sat))
+    for c in ('dup5_pm', 'dup6_pm', 'dup7_pm', 'dup8_pm', 'dup9_pm',
+              'dup10_pm'):
+        assert d[c] == 1000
+
+
+def test_degenerate_inputs_all_zero():
+    assert repetition_stats('') == (0,) * 13
+    assert repetition_stats('one') == (0,) * 13
+    assert repetition_stats('  \n\n  ') == (0,) * 13
+
+
+def test_spark_matches_kernel_and_plan_has_no_exchange(spark):
+    rows = [(0, 'a b\na b\n\nc d'), (1, 'xx yy\n\nxx yy\n\nz'),
+            (2, ''), (3, 'a b c d e a b c d e z')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = repetition_signals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, plan
+    got = {r['doc_id']: tuple(r[c] for c in COLS)
+           for r in out.collect()}
+    for did, txt in rows:
+        assert got[did] == repetition_stats(txt), did
+
+
+def test_torture_linear_in_doc_length():
+    words = [f'w{i % 997}' for i in range(40_000)]
+    words += words[:5_000]  # plant long-range duplication
+    big = ' '.join(words)
+    t0 = time.time()
+    out = repetition_stats(big)
+    dt = time.time() - t0
+    assert dt < 5.0, f'{dt:.1f}s for a 45k-word doc — not linear'
+    assert out[7] > 0  # dup5_pm fired on the planted repeat
