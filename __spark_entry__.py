@@ -5018,6 +5018,55 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(docs.select('doc_id', t.alias('text')))
 
 
+def q_exif_probe(spark, sf_dir):
+    """EXIF metadata probe over a deterministic JPEG corpus: per sampled
+    doc a real baseline JPEG (doc-derived dims) gets an APP1 Exif
+    segment with doc-derived orientation/endianness/make/model/
+    timestamp/pixel-dims/GPS — except doc_id%3==2 rows ship bare (web
+    JPEGs are usually stripped: has_exif=false is NOT an error) and
+    doc_id%100==75 rows carry a TRUNCATED TIFF (contained error row).
+    Every field is a pure function of doc_id, so the oracle is
+    construction truth (the frontier_waves idiom) — any parser drift on
+    endianness, inline-vs-offset values, sub-IFD walks or bounds checks
+    breaks the hash."""
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import (build_exif_app1,
+                                                  exif_probe, insert_app1)
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0) \
+        .select('doc_id')
+
+    def batch(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did in pdf['doc_id']:
+                did = int(did)
+                w, h = 16 + (did % 3) * 4, 12 + (did % 2) * 4
+                img = ((np.arange(h * w * 3, dtype=np.uint32)
+                        * (7 + did % 11)) % 256).astype(
+                    np.uint8).reshape(h, w, 3)
+                payload = encode_jpeg_baseline(img, quality=90)
+                if did % 3 != 2:
+                    app1 = build_exif_app1(
+                        'II' if did % 2 == 0 else 'MM',
+                        f'maker{did % 5}', f'model{did % 7}',
+                        1 + did % 8,
+                        f'2026:01:{did % 28 + 1:02d} 12:00:00',
+                        w, h, gps=(did % 4 == 0))
+                    if did % 100 == 75:
+                        app1 = app1[:14]      # cut before the IFD count
+                    payload = insert_app1(payload, app1)
+                rows.append({'media_ref': f'media://doc/{did}',
+                             'payload': payload})
+            yield pd.DataFrame(rows, columns=['media_ref', 'payload'])
+
+    media = docs.mapInPandas(batch, 'media_ref string, payload binary')
+    return exif_probe(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5245,6 +5294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this fifteenth window (queue for r6's rotation; all
         #     have exact SQL oracles the full local gate certifies) ---
         'repetition_signals': q_repetition_signals,
+        'exif_probe': q_exif_probe,
     }
 
 
@@ -8376,6 +8426,38 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # construction-truth oracle for the EXIF probe (the frontier_waves
+    # idiom): every gated field is a pure function of doc_id, so the SQL
+    # states the truth the parser must recover from real APP1 bytes
+    oracles['exif_probe'] = """
+        WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        f AS (SELECT doc_id,
+                (doc_id % 3 != 2) AS wrote,
+                (doc_id % 3 != 2 AND doc_id % 100 = 75) AS trunc
+              FROM s)
+        SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+          (wrote AND NOT trunc) AS has_exif,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          CAST(CASE WHEN NOT wrote OR trunc THEN 0
+               ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               ELSE 'maker' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               ELSE 'model' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               ELSE '2026:01:'
+                    || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                    || ' 12:00:00' END AS taken_at,
+          CAST(CASE WHEN NOT wrote OR trunc THEN 0
+               ELSE 16 + (doc_id % 3) * 4 END AS INT) AS pixel_x,
+          CAST(CASE WHEN NOT wrote OR trunc THEN 0
+               ELSE 12 + (doc_id % 2) * 4 END AS INT) AS pixel_y,
+          (wrote AND NOT trunc AND doc_id % 4 = 0) AS has_gps,
+          CASE WHEN trunc THEN 'error: truncated ifd'
+               ELSE 'ok' END AS status
+        FROM f
     """
     # exact clause-for-clause mirror of repetition_stats() over the gate's
     # constructed multi-line text (see q_repetition_signals): WS is the

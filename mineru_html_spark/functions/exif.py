@@ -1,0 +1,272 @@
+"""EXIF (APP1/TIFF) metadata for JPEG payloads — pure stdlib.
+
+The metadata tier real crawl JPEGs carry: orientation (which a resize
+stage must honor), camera make/model, capture time, Exif pixel
+dimensions, GPS presence (a privacy flag — pipelines strip or drop
+geotagged media). Parsing is a bounds-checked TIFF IFD walk over the
+APP1 segment (TIFF 6.0 layout: endian mark, IFD entry table,
+inline-or-offset values); the writer emits deterministic segments for
+the synth gate corpus, same policy as the PNG/JPEG/GIF codecs
+(functions/png.py etc.).
+
+Reference parity: the reference never reads media bytes at all
+(eval_baselines feeds HTML only); this extends the engine's
+beyond-reference multimodal tier (probe/decode/features/pHash) with the
+metadata stage that in production routes rotation and geotag scrubbing.
+
+Scale shape: Arrow-batched ``mapInPandas`` row-local parse, ZERO
+exchanges — ~60 bytes of metadata leave the stage, payloads don't.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# TIFF value types: id -> byte size
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
+
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_EXIF_IFD = 0x8769
+_TAG_GPS_IFD = 0x8825
+_TAG_PIXEL_X = 0xA002
+_TAG_PIXEL_Y = 0xA003
+
+_EMPTY = dict(has_exif=False, byte_order='', orientation=0, make='',
+              model='', taken_at='', pixel_x=0, pixel_y=0,
+              has_gps=False, status='ok')
+
+
+# ---------------------------------------------------------------------------
+# writer (deterministic — the synth-gate corpus generator)
+# ---------------------------------------------------------------------------
+
+def _entry_value(endian: str, vtype: int, count: int, value) -> bytes:
+    """Serialize one entry's raw value bytes (pre-padding)."""
+    e = '<' if endian == 'II' else '>'
+    if vtype == _ASCII:
+        return value.encode('ascii') + b'\x00'
+    if vtype == _SHORT:
+        return struct.pack(f'{e}{count}H', *([value] if count == 1
+                                             else value))
+    if vtype == _LONG:
+        return struct.pack(f'{e}{count}I', *([value] if count == 1
+                                             else value))
+    if vtype == _RATIONAL:
+        flat = [x for pair in value for x in pair]
+        return struct.pack(f'{e}{2 * count}I', *flat)
+    raise ValueError(f'unsupported type {vtype}')
+
+
+def _build_ifd(endian: str, tags: list, ifd_offset: int) -> bytes:
+    """One IFD block (entry table + out-of-line data) laid out at
+    ``ifd_offset`` inside the TIFF. ``tags`` = [(tag, type, count,
+    value)] with counts pre-computed (ASCII count includes NUL)."""
+    e = '<' if endian == 'II' else '>'
+    tags = sorted(tags)                       # TIFF: ascending tag order
+    table_size = 2 + 12 * len(tags) + 4
+    data_off = ifd_offset + table_size
+    head = struct.pack(f'{e}H', len(tags))
+    data = b''
+    for tag, vtype, count, value in tags:
+        raw = _entry_value(endian, vtype, count, value)
+        if len(raw) <= 4:
+            val4 = raw + b'\x00' * (4 - len(raw))
+        else:
+            val4 = struct.pack(f'{e}I', data_off + len(data))
+            data += raw + (b'\x00' if len(raw) % 2 else b'')
+        head += struct.pack(f'{e}HHI', tag, vtype, count) + val4
+    return head + struct.pack(f'{e}I', 0) + data
+
+
+def build_exif_app1(endian: str, make: str, model: str, orientation: int,
+                    taken_at: str, pixel_x: int, pixel_y: int,
+                    gps: bool = False) -> bytes:
+    """A complete APP1 Exif payload (``Exif\\0\\0`` + TIFF): IFD0 with
+    Make/Model/Orientation/DateTime + Exif sub-IFD pointer (+ GPS IFD
+    pointer when ``gps``); Exif IFD with PixelX/YDimension; GPS IFD
+    with LatitudeRef + a 3-rational Latitude. Deterministic bytes for
+    deterministic args."""
+    e = '<' if endian == 'II' else '>'
+
+    def ifd_size(tags):
+        table = 2 + 12 * len(tags) + 4
+        d = 0
+        for tag, vtype, count, value in tags:
+            raw = _entry_value(endian, vtype, count, value)
+            if len(raw) > 4:
+                d += len(raw) + (1 if len(raw) % 2 else 0)
+        return table + d
+
+    ifd0 = [
+        (_TAG_MAKE, _ASCII, len(make) + 1, make),
+        (_TAG_MODEL, _ASCII, len(model) + 1, model),
+        (_TAG_ORIENTATION, _SHORT, 1, orientation),
+        (_TAG_DATETIME, _ASCII, len(taken_at) + 1, taken_at),
+        (_TAG_EXIF_IFD, _LONG, 1, 0),         # patched below
+    ]
+    if gps:
+        ifd0.append((_TAG_GPS_IFD, _LONG, 1, 0))
+    exif_off = 8 + ifd_size(ifd0)
+    exif_ifd = [
+        (_TAG_PIXEL_X, _LONG, 1, pixel_x),
+        (_TAG_PIXEL_Y, _LONG, 1, pixel_y),
+    ]
+    gps_off = exif_off + ifd_size(exif_ifd)
+    ifd0 = [(t, vt, c, exif_off if t == _TAG_EXIF_IFD else
+             gps_off if t == _TAG_GPS_IFD else v)
+            for t, vt, c, v in ifd0]
+    tiff = (endian.encode('ascii') + struct.pack(f'{e}H', 42)
+            + struct.pack(f'{e}I', 8))
+    tiff += _build_ifd(endian, ifd0, 8)
+    assert len(tiff) == exif_off, (len(tiff), exif_off)
+    tiff += _build_ifd(endian, exif_ifd, exif_off)
+    if gps:
+        assert len(tiff) == gps_off, (len(tiff), gps_off)
+        gps_ifd = [
+            (0x0001, _ASCII, 2, 'N'),
+            (0x0002, _RATIONAL, 3, [(40, 1), (26, 1), (4600, 100)]),
+        ]
+        tiff += _build_ifd(endian, gps_ifd, gps_off)
+    return b'Exif\x00\x00' + tiff
+
+
+def insert_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Splice an APP1 segment directly after SOI (JFIF §B.2 allows
+    APPn in any order there; real cameras put Exif first)."""
+    if jpeg[:2] != b'\xff\xd8':
+        raise ValueError('not a JPEG')
+    seg = b'\xff\xe1' + struct.pack('>H', len(app1_payload) + 2) \
+        + app1_payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _read_ifd(d: bytes, off: int, e: str) -> dict:
+    """{tag: python_value} for one IFD — bounds-checked; raises
+    ValueError('truncated ifd') past any edge."""
+    if off + 2 > len(d):
+        raise ValueError('truncated ifd')
+    (n,) = struct.unpack_from(f'{e}H', d, off)
+    if off + 2 + 12 * n + 4 > len(d):
+        raise ValueError('truncated ifd')
+    out = {}
+    for k in range(n):
+        pos = off + 2 + 12 * k
+        tag, vtype, count = struct.unpack_from(f'{e}HHI', d, pos)
+        size = _TYPE_SIZE.get(vtype)
+        if size is None or count > len(d):
+            continue                          # unknown type: skip, don't die
+        total = size * count
+        if total <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(f'{e}I', d, pos + 8)
+        if voff + total > len(d):
+            raise ValueError('truncated ifd value')
+        if vtype == _ASCII:
+            raw = d[voff:voff + count]
+            out[tag] = raw.split(b'\x00', 1)[0].decode('ascii', 'replace')
+        elif vtype == _SHORT:
+            out[tag] = struct.unpack_from(f'{e}H', d, voff)[0]
+        elif vtype == _LONG:
+            out[tag] = struct.unpack_from(f'{e}I', d, voff)[0]
+        else:                                 # BYTE / RATIONAL: presence
+            out[tag] = True
+    return out
+
+
+def parse_exif(app1_payload: bytes) -> dict:
+    """Typed metadata from one APP1 Exif payload. Never raises —
+    malformed structure comes back as a contained error status."""
+    d = bytes(app1_payload or b'')
+    if d[:6] != b'Exif\x00\x00':
+        return dict(_EMPTY, status='error: not an exif app1')
+    d = d[6:]
+    try:
+        if len(d) < 8:
+            raise ValueError('truncated ifd')
+        bo = d[:2].decode('ascii', 'replace')
+        if bo not in ('II', 'MM'):
+            raise ValueError(f'bad byte order {bo!r}')
+        e = '<' if bo == 'II' else '>'
+        (magic,) = struct.unpack_from(f'{e}H', d, 2)
+        if magic != 42:
+            raise ValueError(f'bad tiff magic {magic}')
+        (ifd0_off,) = struct.unpack_from(f'{e}I', d, 4)
+        ifd0 = _read_ifd(d, ifd0_off, e)
+        out = dict(_EMPTY, has_exif=True, byte_order=bo,
+                   orientation=int(ifd0.get(_TAG_ORIENTATION, 0)),
+                   make=ifd0.get(_TAG_MAKE, ''),
+                   model=ifd0.get(_TAG_MODEL, ''),
+                   taken_at=ifd0.get(_TAG_DATETIME, ''),
+                   has_gps=_TAG_GPS_IFD in ifd0)
+        if _TAG_EXIF_IFD in ifd0:
+            sub = _read_ifd(d, int(ifd0[_TAG_EXIF_IFD]), e)
+            out['pixel_x'] = int(sub.get(_TAG_PIXEL_X, 0))
+            out['pixel_y'] = int(sub.get(_TAG_PIXEL_Y, 0))
+        if out['has_gps']:
+            _read_ifd(d, int(ifd0[_TAG_GPS_IFD]), e)  # must be walkable
+        return out
+    except (ValueError, struct.error) as ex:
+        return dict(_EMPTY, status=f'error: {ex}'[:120])
+
+
+def exif_from_jpeg(jpeg: bytes) -> dict:
+    """Walk a JPEG's segment chain to the first APP1 Exif segment and
+    parse it; absence of EXIF is NOT an error (has_exif=false,
+    status='ok' — most web JPEGs are re-encoded without metadata)."""
+    d = bytes(jpeg or b'')
+    if d[:2] != b'\xff\xd8':
+        return dict(_EMPTY, status='error: not a jpeg')
+    i = 2
+    while i + 4 <= len(d):
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        marker = d[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xDA or marker == 0xD9:
+            break                             # scan data: no more APPn
+        (seg_len,) = struct.unpack_from('>H', d, i + 2)
+        if marker == 0xE1 and d[i + 4:i + 10] == b'Exif\x00\x00':
+            return parse_exif(d[i + 4:i + 2 + seg_len])
+        i += 2 + seg_len
+    return dict(_EMPTY)
+
+
+EXIF_SCHEMA = ('media_ref string, has_exif boolean, byte_order string, '
+               'orientation int, make string, model string, '
+               'taken_at string, pixel_x int, pixel_y int, '
+               'has_gps boolean, status string')
+
+
+def exif_probe(media: DataFrame) -> DataFrame:
+    """media(media_ref, payload) -> one EXIF metadata row per payload.
+    Row-local Arrow batches, zero exchanges — the stage a production
+    pipeline runs between probe (container routing) and decode, to
+    honor Orientation and to flag geotagged media for scrubbing."""
+    cols = ['media_ref', 'has_exif', 'byte_order', 'orientation',
+            'make', 'model', 'taken_at', 'pixel_x', 'pixel_y',
+            'has_gps', 'status']
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf['media_ref'], pdf['payload']):
+                rows.append(dict(exif_from_jpeg(payload), media_ref=ref))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select('media_ref', 'payload').mapInPandas(
+        batch, EXIF_SCHEMA)

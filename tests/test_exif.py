@@ -1,0 +1,92 @@
+"""EXIF APP1/TIFF metadata tier (functions/exif.py)."""
+import struct
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.exif import (build_exif_app1,
+                                              exif_from_jpeg, insert_app1,
+                                              parse_exif)
+from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+
+
+@pytest.fixture(scope='module')
+def jpeg():
+    img = ((np.arange(16 * 24 * 3, dtype=np.uint32) * 7) % 256) \
+        .astype(np.uint8).reshape(16, 24, 3)
+    return encode_jpeg_baseline(img, quality=90)
+
+
+@pytest.mark.parametrize('endian', ['II', 'MM'])
+@pytest.mark.parametrize('gps', [False, True])
+def test_roundtrip(jpeg, endian, gps):
+    app1 = build_exif_app1(endian, 'maker2', 'model3', 6,
+                           '2026:01:05 12:00:00', 24, 16, gps=gps)
+    out = exif_from_jpeg(insert_app1(jpeg, app1))
+    assert out == dict(has_exif=True, byte_order=endian, orientation=6,
+                       make='maker2', model='model3',
+                       taken_at='2026:01:05 12:00:00', pixel_x=24,
+                       pixel_y=16, has_gps=gps, status='ok')
+
+
+def test_inline_ascii_value(jpeg):
+    # 'abc' + NUL = exactly 4 bytes -> stored INLINE in the entry, the
+    # other TIFF value path
+    app1 = build_exif_app1('II', 'abc', 'm', 1,
+                           '2026:01:01 00:00:00', 1, 1)
+    out = exif_from_jpeg(insert_app1(jpeg, app1))
+    assert out['make'] == 'abc' and out['model'] == 'm'
+
+
+def test_absence_is_not_an_error(jpeg):
+    out = exif_from_jpeg(jpeg)
+    assert out['has_exif'] is False and out['status'] == 'ok'
+
+
+def test_truncation_contained(jpeg):
+    app1 = build_exif_app1('MM', 'x', 'y', 3, '2026:01:01 00:00:00',
+                           8, 8)
+    for cut in (7, 14, 20, len(app1) - 3):
+        out = exif_from_jpeg(insert_app1(jpeg, app1[:cut]))
+        assert out['has_exif'] is False
+        assert out['status'].startswith('error:'), (cut, out)
+
+
+def test_bad_magic_and_garbage():
+    assert parse_exif(b'junk')['status'] == 'error: not an exif app1'
+    bad = b'Exif\x00\x00XX' + b'\x00' * 8
+    assert parse_exif(bad)['status'].startswith('error: bad byte order')
+    bad42 = b'Exif\x00\x00II' + struct.pack('<H', 41) + b'\x00' * 4
+    assert parse_exif(bad42)['status'].startswith('error: bad tiff magic')
+    assert exif_from_jpeg(b'not jpeg')['status'] == 'error: not a jpeg'
+
+
+def test_unknown_tag_type_skipped_not_fatal():
+    # entry with type 99: parser must skip it and keep the rest
+    e = '<'
+    entries = [
+        (0x0112, 3, 1, struct.pack(f'{e}H', 5) + b'\x00\x00'),  # orient
+        (0x9999, 99, 1, b'\x00\x00\x00\x00'),                   # unknown
+    ]
+    head = struct.pack(f'{e}H', len(entries))
+    for tag, vtype, count, val4 in entries:
+        head += struct.pack(f'{e}HHI', tag, vtype, count) + val4
+    tiff = b'II' + struct.pack(f'{e}H', 42) + struct.pack(f'{e}I', 8) \
+        + head + struct.pack(f'{e}I', 0)
+    out = parse_exif(b'Exif\x00\x00' + tiff)
+    assert out['has_exif'] is True and out['orientation'] == 5
+
+
+def test_spark_probe_zero_exchange(spark, jpeg):
+    from mineru_html_spark.functions.exif import exif_probe
+    app1 = build_exif_app1('II', 'mk', 'md', 8, '2026:02:02 01:02:03',
+                           24, 16, gps=True)
+    rows = [('a', bytearray(insert_app1(jpeg, app1))),
+            ('b', bytearray(jpeg))]
+    df = spark.createDataFrame(rows, 'media_ref string, payload binary')
+    out = exif_probe(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, plan
+    got = {r['media_ref']: r.asDict() for r in out.collect()}
+    assert got['a']['orientation'] == 8 and got['a']['has_gps'] is True
+    assert got['b']['has_exif'] is False and got['b']['status'] == 'ok'
