@@ -5067,6 +5067,36 @@ def q_exif_probe(spark, sf_dir):
     return exif_probe(media)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC SINK certified by the reader: wrap each corpus doc in an
+    HTML page, sink to member-gzip WARC archives (one per partition,
+    publish-by-rename), then read them back with read_warc — the gated
+    rows are the READBACK, so record framing, Content-Length byte
+    math, the HTTP envelope and member-gzip boundaries all sit on the
+    verified path. Oracle is construction truth from the documents
+    table (sink-out == source). Idempotent: overwrite clears the
+    previous generation."""
+    import tempfile
+
+    from mineru_html_spark.sources.warc import read_warc, write_warc
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    wrapped = docs.select(
+        F.concat(F.lit('urn:doc:'), 'doc_id').alias('doc_id'),
+        F.concat(F.lit('http://h'), F.col('doc_id') % 23,
+                 F.lit('.example/p'), 'doc_id').alias('url'),
+        F.concat(F.lit('<html><body>'), 'text',
+                 F.lit('</body></html>')).alias('html'))
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f'mineru_warc_sink_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    write_warc(wrapped.repartition(4, 'doc_id'), out_dir)
+    back = read_warc(spark, os.path.join(out_dir, 'part-*.warc.gz'))
+    return back.select(
+        'doc_id', 'url',
+        F.md5(F.element_at('spans', 1)['text']).alias('html_md5'),
+        'error')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5295,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     have exact SQL oracles the full local gate certifies) ---
         'repetition_signals': q_repetition_signals,
         'exif_probe': q_exif_probe,
+        'warc_roundtrip': q_warc_roundtrip,
     }
 
 
@@ -8426,6 +8457,16 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # WARC sink roundtrip: the readback must reproduce the source table
+    oracles['warc_roundtrip'] = """
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS doc_id,
+               'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+               md5('<html><body>' || text || '</body></html>')
+                 AS html_md5,
+               '' AS error
+        FROM documents
     """
     # construction-truth oracle for the EXIF probe (the frontier_waves
     # idiom): every gated field is a pure function of doc_id, so the SQL

@@ -530,3 +530,82 @@ def write_synth_wat_gate_set(dir_path: str) -> int:
     with open(os.path.join(dir_path, 'corrupt.wat.gz'), 'wb') as f:
         f.write(b'\x1f\x8b\x08\x00not-a-wat-archive\x00\x00\x00\x00')
     return n
+
+
+# -- WARC sink (the write side of the Common Crawl triple) -----------------
+
+def doc_to_warc_record(doc_id: str, url: str, html: str,
+                       date: str = '2026-01-01T00:00:00Z') -> bytes:
+    """One ISO 28500 response record: WARC headers + an HTTP/1.1
+    response envelope around the HTML body. Content-Length counts
+    BYTES (the body may be multi-byte UTF-8), and the record ends with
+    the spec's two CRLF pairs. Deterministic for deterministic args —
+    WARC-Date is caller-provided, never wall clock."""
+    body = (b'HTTP/1.1 200 OK\r\n'
+            b'Content-Type: text/html; charset=utf-8\r\n\r\n'
+            + html.encode('utf-8'))
+    hdr = (f'WARC/1.0\r\n'
+           f'WARC-Type: response\r\n'
+           f'WARC-Record-ID: {doc_id}\r\n'
+           f'WARC-Target-URI: {url}\r\n'
+           f'WARC-Date: {date}\r\n'
+           f'Content-Type: application/http; msgtype=response\r\n'
+           f'Content-Length: {len(body)}\r\n\r\n').encode('ascii')
+    return hdr + body + b'\r\n\r\n'
+
+
+def write_warc(docs: DataFrame, out_dir: str,
+               gzip_members: bool = True, overwrite: bool = True,
+               date: str = '2026-01-01T00:00:00Z') -> list:
+    """Sink a (doc_id, url, html) frame to WARC files, one archive per
+    partition — the inverse of :func:`read_warc`, completing the
+    Common Crawl triple's write side (a recrawl/refresh pipeline that
+    emits fetched pages back into archive form).
+
+    Commit protocol is the engine's publish-by-rename (TinyCatalog /
+    pyds.py policy): each task writes ``.tmp-<partition>-<attempt>``
+    then ``os.replace``s it to ``part-<partition>.warc.gz`` — atomic on
+    one filesystem, so a retried task republishes the SAME name and the
+    last attempt wins (no torn files, no duplicates). With ``overwrite``
+    the driver clears previous ``part-*`` first. ``gzip_members``
+    writes one gzip member PER RECORD (Common Crawl's actual layout —
+    an index-driven reader can seek straight to a record; mtime pinned
+    to 0 so bytes are run-independent).
+
+    Returns the manifest (one dict per written file: warc_file,
+    n_records, n_bytes) — tiny, driver-side, the lineage row a
+    production run appends to its catalog."""
+    import os
+
+    if overwrite and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith('part-') and '.warc' in name:
+                os.remove(os.path.join(out_dir, name))
+    os.makedirs(out_dir, exist_ok=True)
+    ext = '.warc.gz' if gzip_members else '.warc'
+
+    def sink(it):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.attemptNumber()
+        recs = []
+        for row in it:
+            rec = doc_to_warc_record(str(row['doc_id']), row['url'],
+                                     row['html'], date=date)
+            if gzip_members:
+                rec = gzip.compress(rec, mtime=0)
+            recs.append(rec)
+        if not recs:
+            return iter(())
+        payload = b''.join(recs)
+        final = os.path.join(out_dir, f'part-{pid:05d}{ext}')
+        tmp = os.path.join(out_dir, f'.tmp-{pid:05d}-{att}')
+        with open(tmp, 'wb') as f:
+            f.write(payload)
+        os.replace(tmp, final)
+        return iter([(final, len(recs), len(payload))])
+
+    manifest = (docs.select('doc_id', 'url', 'html').rdd
+                .mapPartitions(sink).collect())
+    return [dict(warc_file=f, n_records=n, n_bytes=b)
+            for f, n, b in manifest]

@@ -186,3 +186,58 @@ def test_wat_member_gzip_and_corrupt(spark, tmp_path):
     assert out.where("error = 'bad envelope json'").count() == 1
     errs = out.where("error like 'archive decode failed%'").collect()
     assert len(errs) == 1
+
+
+# -- WARC sink ------------------------------------------------------------
+
+def test_write_warc_roundtrip_multibyte_content_length(spark, tmp_path):
+    """Content-Length must count BYTES: a multi-byte UTF-8 body framed
+    by character count would desync the record scanner and corrupt
+    every later record in the archive."""
+    from mineru_html_spark.sources.warc import read_warc, write_warc
+    rows = [('urn:doc:0', 'http://a.example/0',
+             '<html><body>café — déjà vu \U0001f680</body></html>'),
+            ('urn:doc:1', 'http://a.example/1',
+             '<html><body>plain ascii follows the emoji record</body></html>')]
+    df = spark.createDataFrame(
+        rows, 'doc_id string, url string, html string').coalesce(1)
+    d = tmp_path / 'sink'
+    m = write_warc(df, str(d))
+    assert len(m) == 1 and m[0]['n_records'] == 2
+    back = {r['doc_id']: r for r in
+            read_warc(spark, str(d / 'part-*.warc.gz')).collect()}
+    assert len(back) == 2
+    for did, url, html in rows:
+        assert back[did]['spans'][0]['text'] == html
+        assert back[did]['url'] == url and back[did]['error'] == ''
+
+
+def test_write_warc_overwrite_clears_previous_generation(spark, tmp_path):
+    from mineru_html_spark.sources.warc import read_warc, write_warc
+    d = tmp_path / 'sink'
+
+    def frame(n, parts):
+        rows = [(f'urn:doc:{i}', f'http://h.example/{i}',
+                 f'<html><body>{i}</body></html>') for i in range(n)]
+        return spark.createDataFrame(
+            rows, 'doc_id string, url string, html string') \
+            .repartition(parts)
+
+    write_warc(frame(20, 4), str(d))
+    write_warc(frame(6, 2), str(d))       # fewer partitions: old
+    back = read_warc(spark, str(d / 'part-*.warc.gz'))
+    assert back.count() == 6              # part-00002/3 must be gone
+
+
+def test_write_warc_plain_and_empty_partitions(spark, tmp_path):
+    from mineru_html_spark.sources.warc import read_warc, write_warc
+    rows = [('urn:doc:0', 'http://a.example/0',
+             '<html><body>x</body></html>')]
+    df = spark.createDataFrame(
+        rows, 'doc_id string, url string, html string').repartition(8)
+    d = tmp_path / 'plain'
+    m = write_warc(df, str(d), gzip_members=False)
+    assert len(m) == 1                    # 7 empty partitions: no files
+    assert m[0]['warc_file'].endswith('.warc')
+    back = read_warc(spark, str(d / 'part-*.warc'))
+    assert back.count() == 1 and back.first()['error'] == ''
