@@ -5097,6 +5097,62 @@ def q_warc_roundtrip(spark, sf_dir):
         'error')
 
 
+# charset-gate plants: one suffix/wrapper per evidence tier, shared
+# verbatim with the SQL oracle (the _MOJI_SUFFIX pattern). The cp1252
+# and shift_jis strings are chosen inside those charsets' repertoires
+# so encode->sniff->decode must restore the exact original.
+_CS_SUFFIX = ' — café'
+_CS_1252_WRAP = ('<html><head><meta charset="windows-1252"></head><body>',
+                 ' café — dash</body></html>')
+_CS_SJIS_WRAP = ('<html><head><meta charset="shift_jis"></head><body>',
+                 ' 日本語テキスト</body></html>')
+
+
+def q_charset_decode(spark, sf_dir):
+    """WHATWG charset sniff + decode over a seven-way planted byte
+    corpus: plain UTF-8, UTF-8/16LE/16BE BOMs, cp1252 and shift_jis
+    declared by <meta charset>, and undeclared broken-UTF-8 bytes that
+    must land in the windows-1252 fallback. Every payload is built by
+    ENCODING a known string, so the oracle states the exact decoded
+    text (md5), encoding name and evidence tier per doc — any sniff-
+    order or strictness drift breaks the hash."""
+    from mineru_html_spark.functions.charset import decode_documents
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+
+    def batch(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf['doc_id'], pdf['text']):
+                did, k = int(did), int(did) % 7
+                if k == 0:
+                    p = text.encode('utf-8')
+                elif k == 1:
+                    p = b'\xef\xbb\xbf' + (text + _CS_SUFFIX) \
+                        .encode('utf-8')
+                elif k == 2:
+                    p = b'\xff\xfe' + (text + _CS_SUFFIX) \
+                        .encode('utf-16-le')
+                elif k == 3:
+                    p = b'\xfe\xff' + (text + _CS_SUFFIX) \
+                        .encode('utf-16-be')
+                elif k == 4:
+                    p = (_CS_1252_WRAP[0] + text + _CS_1252_WRAP[1]) \
+                        .encode('cp1252')
+                elif k == 5:
+                    p = (_CS_SJIS_WRAP[0] + text + _CS_SJIS_WRAP[1]) \
+                        .encode('shift_jis')
+                else:
+                    p = text.encode('utf-8') + b' \x97\xe9'
+                rows.append((did, p))
+            yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
+
+    raw = docs.mapInPandas(batch, 'doc_id long, payload binary')
+    out = decode_documents(raw)
+    return out.select('doc_id', 'encoding', 'evidence',
+                      F.md5('text').alias('text_md5'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5326,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_signals': q_repetition_signals,
         'exif_probe': q_exif_probe,
         'warc_roundtrip': q_warc_roundtrip,
+        'charset_decode': q_charset_decode,
     }
 
 
@@ -8457,6 +8514,27 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # charset sniff/decode: construction truth — every payload encodes a
+    # known string, so the decoded md5/encoding/evidence are stated
+    oracles['charset_decode'] = f"""
+        SELECT doc_id,
+          CASE doc_id % 7
+            WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+            WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'shift_jis'
+            WHEN 6 THEN 'windows-1252' ELSE 'utf-8' END AS encoding,
+          CASE doc_id % 7
+            WHEN 0 THEN 'utf8' WHEN 4 THEN 'meta' WHEN 5 THEN 'meta'
+            WHEN 6 THEN 'fallback' ELSE 'bom' END AS evidence,
+          md5(CASE doc_id % 7
+            WHEN 0 THEN text
+            WHEN 4 THEN '{_CS_1252_WRAP[0]}' || text
+                        || '{_CS_1252_WRAP[1]}'
+            WHEN 5 THEN '{_CS_SJIS_WRAP[0]}' || text
+                        || '{_CS_SJIS_WRAP[1]}'
+            WHEN 6 THEN text || ' —é'
+            ELSE text || '{_CS_SUFFIX}' END) AS text_md5
+        FROM documents
     """
     # WARC sink roundtrip: the readback must reproduce the source table
     oracles['warc_roundtrip'] = """

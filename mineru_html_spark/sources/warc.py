@@ -102,14 +102,25 @@ def parse_warc_records(payload: bytes) -> Iterator[Tuple[dict, bytes]]:
 
 
 def _http_html_body(payload: bytes) -> str | None:
-    """Body of an HTTP response payload when it is HTML, else None."""
+    """Body of an HTTP response payload when it is HTML, else None.
+    Decoding goes through the WHATWG charset sniff (functions/charset):
+    BOM > the HTTP Content-Type charset parameter (transport evidence)
+    > <meta charset> > strict UTF-8 > windows-1252 fallback — so
+    legacy-encoded pages arrive as correct text, not mojibake."""
+    import re as _re
+
+    from ..functions.charset import decode_html_bytes
     sep = payload.find(b'\r\n\r\n')
     if sep == -1:
         return None
     head = payload[:sep].decode('latin-1', 'replace').lower()
     if 'content-type:' in head and 'html' not in head:
         return None
-    return payload[sep + 4:].decode('utf-8', 'replace')
+    m = _re.search(r'content-type:[^\n]*;\s*charset\s*=\s*'
+                   r'"?([a-z0-9._\-]+)', head)
+    text, _enc, _ev = decode_html_bytes(payload[sep + 4:],
+                                        m.group(1) if m else '')
+    return text
 
 
 def warc_bytes_to_doc_rows(warc_file: str, payload: bytes) -> List[dict]:

@@ -1,0 +1,88 @@
+"""WHATWG charset sniff + decode (functions/charset.py)."""
+from mineru_html_spark.functions.charset import (decode_html_bytes,
+                                                 resolve_label,
+                                                 sniff_meta_charset)
+
+
+def test_bom_beats_everything():
+    # a UTF-8 BOM page whose meta LIES about being shift_jis
+    raw = b'\xef\xbb\xbf<meta charset="shift_jis">caf\xc3\xa9'
+    text, enc, ev = decode_html_bytes(raw, transport_label='euc-kr')
+    assert (enc, ev) == ('utf-8', 'bom') and text.endswith('café')
+
+
+def test_transport_beats_meta():
+    body = '<meta charset="utf-8">café—'.encode('cp1252')
+    text, enc, ev = decode_html_bytes(body, transport_label='cp1252')
+    assert (enc, ev) == ('windows-1252', 'transport')
+    assert text.endswith('café—')
+
+
+def test_lying_transport_falls_through_to_meta():
+    # transport says utf-8 but bytes are invalid UTF-8; meta is right
+    body = '<meta charset="windows-1252">café—'.encode('cp1252')
+    text, enc, ev = decode_html_bytes(body, transport_label='utf-8')
+    assert (enc, ev) == ('windows-1252', 'meta')
+    assert text.endswith('café—')
+
+
+def test_lying_meta_falls_through_to_utf8():
+    body = '<meta charset="shift_jis">naïve — text'.encode('utf-8')
+    # 0xE2 0x80 0x94 (em dash) is invalid shift_jis, strict fails
+    text, enc, ev = decode_html_bytes(body)
+    assert (enc, ev) == ('utf-8', 'utf8')
+    assert 'naïve' in text
+
+
+def test_unknown_label_ignored():
+    assert resolve_label('x-weird-charset') is None
+    body = b'<meta charset="x-weird-charset">plain ascii'
+    _, enc, ev = decode_html_bytes(body)
+    assert (enc, ev) == ('utf-8', 'utf8')
+
+
+def test_meta_prescan_window_is_1024_bytes():
+    far = b'x' * 1100 + b'<meta charset="shift_jis">'
+    assert sniff_meta_charset(far) is None
+    near = b'<html><head><META CHARSET=WINDOWS-1252></head>'
+    assert sniff_meta_charset(near) == 'windows-1252'
+
+
+def test_fallback_never_raises_on_any_byte():
+    raw = bytes(range(256))
+    text, enc, ev = decode_html_bytes(raw)
+    assert (enc, ev) == ('windows-1252', 'fallback')
+    assert isinstance(text, str) and len(text) == 256
+
+
+def test_utf16_both_orders():
+    s = 'utf sixteen — テスト'
+    for bo, enc in ((b'\xff\xfe', 'utf-16-le'), (b'\xfe\xff',
+                                                 'utf-16-be')):
+        text, e, ev = decode_html_bytes(
+            bo + s.encode(enc))
+        assert (e, ev) == (enc, 'bom') and text == s
+
+
+def test_warc_http_charset_header_is_transport_evidence(spark, tmp_path):
+    """Integration: a WARC response whose HTTP header declares cp1252
+    decodes through the transport tier inside read_warc."""
+    from mineru_html_spark.sources.warc import (doc_to_warc_record,
+                                                read_warc)
+    html = '<html><body>café — legacy page</body></html>'
+    body = (b'HTTP/1.1 200 OK\r\n'
+            b'Content-Type: text/html; charset=windows-1252\r\n\r\n'
+            + html.encode('cp1252'))
+    hdr = (f'WARC/1.0\r\nWARC-Type: response\r\n'
+           f'WARC-Record-ID: urn:doc:0\r\n'
+           f'WARC-Target-URI: http://a.example/\r\n'
+           f'WARC-Date: 2026-01-01T00:00:00Z\r\n'
+           f'Content-Type: application/http; msgtype=response\r\n'
+           f'Content-Length: {len(body)}\r\n\r\n').encode('ascii')
+    p = tmp_path / 'legacy.warc'
+    p.write_bytes(hdr + body + b'\r\n\r\n')
+    out = read_warc(spark, str(p)).collect()
+    assert len(out) == 1 and out[0]['error'] == ''
+    assert out[0]['spans'][0]['text'] == html
+    # sanity: the ascii sink record helper still roundtrips unchanged
+    assert b'caf' in doc_to_warc_record('u', 'http://x/', 'caf')
