@@ -5153,6 +5153,31 @@ def q_charset_decode(spark, sf_dir):
                       F.md5('text').alias('text_md5'))
 
 
+def q_wer_eval(spark, sf_dir):
+    """WER — the edit-distance member of the eval family. Gate pairs
+    each doc's text (hyp) against a degradation exercising BOTH edit
+    classes: every 7th word dropped (deletions, the bleu/chrf plant)
+    AND every 11th surviving-position word uppercased (substitutions).
+    The Arrow DP's distance is mirrored EXACTLY in SQL via the word ->
+    codepoint trick: per-doc vocab indexes words into CJK-plane chars
+    (DuckDB levenshtein is codepoint-aware, verified in tests) so
+    char-level levenshtein computes the word-level distance."""
+    from mineru_html_spark.functions.rouge import wer_eval
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('_w'))
+    w = F.col('_w')
+    ref = F.array_join(
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(w)),
+                     lambda i: i % 7 != 4),
+            lambda i: F.when((i % 11) == 6,
+                             F.upper(F.element_at(w, i)))
+                       .otherwise(F.element_at(w, i))), ' ')
+    pairs = wdf.select('doc_id', F.array_join(w, ' ').alias('hyp'),
+                       ref.alias('ref'))
+    return wer_eval(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5383,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exif_probe': q_exif_probe,
         'warc_roundtrip': q_warc_roundtrip,
         'charset_decode': q_charset_decode,
+        'wer_eval': q_wer_eval,
     }
 
 
@@ -8514,6 +8540,44 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # WER: word-level Levenshtein mirrored exactly via the word ->
+    # codepoint trick. DuckDB's levenshtein is BYTE-based (measured:
+    # a 4-byte-char mapping returned the utf-8 byte distance), so the
+    # per-doc vocab maps into SINGLE-BYTE codepoints chr(2..122) —
+    # valid because the gate corpus has <=62 distinct words per doc
+    # (measured 31 + uppercase twins); the error() guard makes any
+    # violation LOUD instead of silently wrong (the line_dedup
+    # overflow idiom)
+    oracles['wer_eval'] = """
+        WITH wr AS (
+          SELECT doc_id, string_split(text, ' ') AS hw FROM documents),
+        p AS (
+          SELECT doc_id, hw,
+            list_transform(
+              list_filter(range(1, len(hw) + 1), i -> i % 7 != 4),
+              i -> CASE WHEN i % 11 = 6 THEN upper(hw[i])
+                        ELSE hw[i] END) AS rw
+          FROM wr),
+        v AS (SELECT doc_id, hw, rw,
+                CASE WHEN len(list_distinct(hw || rw)) > 120
+                     THEN error('wer oracle: per-doc vocab > 120')
+                     ELSE list_distinct(hw || rw) END AS vocab
+              FROM p),
+        s AS (SELECT doc_id,
+                array_to_string(list_transform(hw,
+                  w -> chr(1 + list_position(vocab, w))), '') AS hs,
+                array_to_string(list_transform(rw,
+                  w -> chr(1 + list_position(vocab, w))), '') AS rs,
+                len(hw) AS hl, len(rw) AS rl
+              FROM v)
+        SELECT doc_id,
+               CAST(levenshtein(hs, rs) AS BIGINT) AS edit_distance,
+               CAST(hl AS BIGINT) AS hyp_len,
+               CAST(rl AS BIGINT) AS ref_len,
+               CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
+                    AS BIGINT) AS wer_milli
+        FROM s
     """
     # charset sniff/decode: construction truth — every payload encodes a
     # known string, so the decoded md5/encoding/evidence are stated

@@ -410,3 +410,68 @@ def rouge_l_eval(pairs: DataFrame, limit: int = 400,
 
     return (pairs.select('doc_id', hyp_col, ref_col)
             .mapInPandas(batch, ROUGEL_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# WER (word error rate) — the edit-distance member of the eval family,
+# next to ROUGE-N/ROUGE-L/chrF/BLEU/SQuAD. Standard ASR/MT definition:
+# word-level Levenshtein distance over the reference length.
+# ---------------------------------------------------------------------------
+
+WER_SCHEMA = ('doc_id long, edit_distance long, hyp_len long, '
+              'ref_len long, wer_milli long')
+
+
+def word_edit_distance(hyp: list, ref: list) -> int:
+    """Exact word-level Levenshtein (unit costs), two-row DP —
+    O(len(hyp) * len(ref)) time, O(len(ref)) memory. Eval-tier pairs
+    are benchmark-sized; for giant pairs the banded variant is the
+    upgrade path (same caveat class as ROUGE-L's Hunt–Szymanski note)."""
+    if not hyp:
+        return len(ref)
+    if not ref:
+        return len(hyp)
+    prev = list(range(len(ref) + 1))
+    for i, hw in enumerate(hyp, 1):
+        cur = [i] + [0] * len(ref)
+        for j, rw in enumerate(ref, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (hw != rw))
+        prev = cur
+    return prev[-1]
+
+
+def wer_eval(pairs: DataFrame, hyp_col: str = 'hyp',
+             ref_col: str = 'ref') -> DataFrame:
+    """(doc_id, edit_distance, hyp_len, ref_len, wer_milli) per
+    (doc_id, hyp, ref) row — Arrow-batched row-local DP, zero
+    exchanges; only 4 longs leave the stage. Tokenization is the
+    single-space split shared with bleu_eval (stated so Spark split /
+    DuckDB string_split / Python str.split(' ') agree exactly,
+    including the ['']-for-empty-string convention). wer_milli =
+    1000 * distance // max(ref_len, 1) — integer, so the oracle hash
+    is exact; corpus WER composes driver-side from the sums."""
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'edit_distance', 'hyp_len', 'ref_len',
+                'wer_milli']
+        for pdf in frames:
+            rows = []
+            for doc_id, hyp, ref in zip(pdf['doc_id'], pdf[hyp_col],
+                                        pdf[ref_col]):
+                hw, rw = str(hyp).split(' '), str(ref).split(' ')
+                d = word_edit_distance(hw, rw)
+                rows.append((doc_id, d, len(hw), len(rw),
+                             1000 * d // max(len(rw), 1)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (pairs.select('doc_id', hyp_col, ref_col)
+            .mapInPandas(batch, WER_SCHEMA))
+
+
+def corpus_wer(stats: DataFrame) -> float:
+    """Corpus WER = sum(edit_distance) / sum(ref_len): one 2-long
+    aggregate (map-side combined) over a wer_eval frame."""
+    from pyspark.sql import functions as F
+    row = stats.agg(F.sum('edit_distance').alias('d'),
+                    F.sum('ref_len').alias('r')).collect()[0]
+    return (row['d'] or 0) / max(row['r'] or 0, 1)

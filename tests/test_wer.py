@@ -1,0 +1,59 @@
+"""WER — word-level edit distance (functions/rouge.py wer_eval)."""
+import duckdb
+
+from mineru_html_spark.functions.rouge import (corpus_wer,
+                                               wer_eval,
+                                               word_edit_distance)
+
+
+def test_hand_computed_distances():
+    assert word_edit_distance([], []) == 0
+    assert word_edit_distance(['a'], []) == 1
+    assert word_edit_distance([], ['a', 'b']) == 2
+    assert word_edit_distance('a b c'.split(), 'a x c'.split()) == 1
+    assert word_edit_distance('a b c d'.split(), 'b c'.split()) == 2
+    assert word_edit_distance('the cat sat'.split(),
+                              'the cat sat'.split()) == 0
+    # transposition costs 2 under unit sub/ins/del
+    assert word_edit_distance('a b'.split(), 'b a'.split()) == 2
+
+
+def test_distance_is_word_level_not_char_level():
+    # one substituted word of very different length is ONE edit
+    assert word_edit_distance(['supercalifragilistic'], ['a']) == 1
+
+
+def test_duckdb_levenshtein_is_byte_based_so_oracle_maps_single_byte():
+    """Pins the discovery the oracle design depends on: DuckDB's
+    levenshtein counts BYTES, so multi-byte codepoint mappings corrupt
+    word distances while single-byte mappings are exact."""
+    con = duckdb.connect()
+    # chr(131073) is 4 utf-8 bytes; vs 'a' a codepoint-aware distance
+    # is 1, a byte-based one is 4 (one sub + three deletes)
+    multi = con.execute(
+        "select levenshtein(chr(131073), 'a')").fetchone()[0]
+    assert multi == 4, 'levenshtein became codepoint-aware: the ' \
+        'wer_eval oracle can move back to the CJK mapping'
+    single = con.execute(
+        'select levenshtein(chr(2)||chr(3), chr(2)||chr(4))') \
+        .fetchone()[0]
+    assert single == 1
+
+
+def test_spark_wer_and_corpus_composition(spark):
+    pairs = [(0, 'a b c d', 'a b c d'),        # 0 edits
+             (1, 'a b c d', 'a x c'),          # 1 sub + 1 del = 2
+             (2, '', 'a b')]                   # ['' ] vs [a, b]
+    df = spark.createDataFrame(pairs, 'doc_id long, hyp string, '
+                                      'ref string')
+    out = wer_eval(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, plan
+    got = {r['doc_id']: r.asDict() for r in out.collect()}
+    assert got[0]['edit_distance'] == 0 and got[0]['wer_milli'] == 0
+    assert got[1]['edit_distance'] == 2
+    assert got[1]['wer_milli'] == 1000 * 2 // 3
+    # ''.split(' ') == [''] convention, shared with the SQL mirror
+    assert got[2]['hyp_len'] == 1 and got[2]['edit_distance'] == 2
+    w = corpus_wer(out)
+    assert abs(w - (0 + 2 + 2) / (4 + 3 + 2)) < 1e-12
