@@ -5178,6 +5178,30 @@ def q_wer_eval(spark, sf_dir):
     return wer_eval(pairs)
 
 
+def q_pptx_extract(spark, sf_dir):
+    """PresentationML (.pptx) extraction completing the office family:
+    slide text in sldIdLst ORDER resolved through the relationship part
+    (the gate deck's filenames are shuffled against presentation order,
+    so a name-sorted reader emits wrong text), DrawingML runs with
+    entities and breaks, speaker notes counted but never inlined
+    (leak-planted), CFB/corrupt/empty contained as error rows. One task
+    per file, committed-output oracle."""
+    from mineru_html_spark.sources.pptx import (read_pptx,
+                                                write_synth_pptx_gate_set)
+    d = os.path.join(REPO, '.data', 'pptx_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_pptx_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_pptx(spark, d)
+    return out.select('doc_id', 'title', 'n_slides', 'n_notes',
+                      'n_paragraphs', 'n_chars',
+                      F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5409,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'warc_roundtrip': q_warc_roundtrip,
         'charset_decode': q_charset_decode,
         'wer_eval': q_wer_eval,
+        'pptx_extract': q_pptx_extract,
     }
 
 
@@ -5547,7 +5572,7 @@ def oracle_sql() -> dict[str, str]:
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract',
                      'wet_extract', 'wat_extract', 'rouge_l',
-                     'textrank_keywords')
+                     'textrank_keywords', 'pptx_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -1,0 +1,255 @@
+"""PPTX source: presentations without a native dependency.
+
+PowerPoint's modern format (OOXML PresentationML, ECMA-376) is a ZIP of
+XML parts like DOCX — stdlib ``zipfile`` + tolerant pattern matching,
+completing the office family (docx/odt/rtf). Slide text lives in
+``ppt/slides/slideN.xml`` as ``<a:t>`` runs inside ``<a:p>`` DrawingML
+paragraphs; SLIDE ORDER is NOT the filename order — it is the
+``<p:sldIdLst>`` sequence in ``ppt/presentation.xml`` resolved through
+the relationship part (``ppt/_rels/presentation.xml.rels``), and the
+gate set plants out-of-order filenames to prove the walk follows the
+relationship graph (the EPUB spine-order lesson).
+
+Scope, stated honestly:
+
+* ``<a:t>`` runs (entity-unescaped), ``<a:br/>`` -> newline inside a
+  paragraph; empty paragraphs dropped; slides joined by blank lines in
+  sldIdLst order (filename-numeric order as the fallback when the
+  presentation part is absent/unparseable);
+* speaker notes (``ppt/notesSlides/``) are COUNTED, never inlined —
+  notes are authoring metadata, not slide content (planted in the
+  gate: their text must not appear);
+* ``docProps/core.xml`` title, same as docx;
+* CFB payloads (legacy .ppt / encrypted OOXML) -> contained ``cfb``
+  error row; zips without slides -> ``noslides``; non-zips ->
+  ``badzip``.
+
+Spark shape: one task per file (binaryFile), Arrow-batched parse,
+errors as rows — the WARC/PDF/EPUB/DOCX contract.
+"""
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_AP_RE = re.compile(rb'<a:p>.*?</a:p>|<a:p/>', re.DOTALL)
+_ATOK_RE = re.compile(rb'<a:t(?:[ >].*?</a:t>|/>)|<a:br/>', re.DOTALL)
+_AT_BODY_RE = re.compile(rb'<a:t[^>]*>(.*?)</a:t>', re.DOTALL)
+_TITLE_RE = re.compile(rb'<dc:title[^>]*>([^<]*)</dc:title>')
+_SLDID_RE = re.compile(rb'<p:sldId [^>]*r:id="([^"]+)"')
+_REL_RE = re.compile(rb'<Relationship [^>]*Id="([^"]+)"[^>]*'
+                     rb'Target="([^"]+)"[^>]*/>')
+_SLIDE_NUM_RE = re.compile(r'slide(\d+)\.xml$')
+_CFB_MAGIC = b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1'
+
+
+def _para_text(block: bytes) -> str:
+    out: List[str] = []
+    for m in _ATOK_RE.finditer(block):
+        tok = m.group(0)
+        if tok.startswith(b'<a:br'):
+            out.append('\n')
+        else:
+            b = _AT_BODY_RE.match(tok)
+            if b:
+                out.append(unescape(b.group(1).decode('utf-8',
+                                                      'replace')))
+    return ''.join(out)
+
+
+def _slide_order(zf: zipfile.ZipFile, names: set) -> List[str]:
+    """Slide part names in presentation order: sldIdLst r:ids resolved
+    through the rels part; filename-numeric order as the fallback."""
+    slides = [n for n in names
+              if n.startswith('ppt/slides/slide') and n.endswith('.xml')]
+
+    def numkey(n):
+        m = _SLIDE_NUM_RE.search(n)
+        return (int(m.group(1)) if m else 1 << 30, n)
+
+    fallback = sorted(slides, key=numkey)
+    pres, rels = 'ppt/presentation.xml', 'ppt/_rels/presentation.xml.rels'
+    if pres not in names or rels not in names:
+        return fallback
+    try:
+        rid_to_target = {rid.decode('ascii', 'replace'):
+                         tgt.decode('utf-8', 'replace')
+                         for rid, tgt in _REL_RE.findall(zf.read(rels))}
+        ordered = []
+        for rid in _SLDID_RE.findall(zf.read(pres)):
+            tgt = rid_to_target.get(rid.decode('ascii', 'replace'), '')
+            part = 'ppt/' + tgt.lstrip('/') if not tgt.startswith('ppt/') \
+                else tgt
+            if part in names:
+                ordered.append(part)
+        return ordered if ordered else fallback
+    except Exception:  # noqa: BLE001 — tolerant reader contract
+        return fallback
+
+
+def pptx_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, title, n_slides, n_notes, n_paragraphs, n_chars, text,
+    error) — errors as rows, never raises."""
+    if data[:8] == _CFB_MAGIC:
+        return (name, '', 0, 0, 0, 0, '', 'cfb legacy-or-encrypted')
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except Exception as e:  # noqa: BLE001
+        return (name, '', 0, 0, 0, 0, '', f'badzip {type(e).__name__}')
+    try:
+        order = _slide_order(zf, names)
+        if not order:
+            return (name, '', 0, 0, 0, 0, '', 'noslides')
+        title = ''
+        if 'docProps/core.xml' in names:
+            m = _TITLE_RE.search(zf.read('docProps/core.xml'))
+            if m:
+                title = unescape(
+                    m.group(1).decode('utf-8', 'replace')).strip()
+        n_paras = 0
+        slide_texts = []
+        for part in order:
+            paras = [_para_text(p.group(0))
+                     for p in _AP_RE.finditer(zf.read(part))]
+            paras = [p for p in paras if p.strip()]
+            n_paras += len(paras)
+            if paras:
+                slide_texts.append('\n'.join(paras))
+        n_notes = sum(1 for n in names
+                      if n.startswith('ppt/notesSlides/')
+                      and n.endswith('.xml'))
+        text = '\n\n'.join(slide_texts)
+        return (name, title, len(order), n_notes, n_paras, len(text),
+                text, '')
+    except Exception as e:  # noqa: BLE001
+        return (name, '', 0, 0, 0, 0, '', f'parse {type(e).__name__}')
+
+
+PPTX_ROWS_SCHEMA = ('doc_id string, title string, n_slides int, '
+                    'n_notes int, n_paragraphs int, n_chars long, '
+                    'text string, error string')
+
+
+def read_pptx(spark, path: str):
+    """Directory of .pptx files -> PPTX_ROWS_SCHEMA — one task per
+    file, Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.pptx').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [pptx_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'title', 'n_slides', 'n_notes',
+                               'n_paragraphs', 'n_chars', 'text',
+                               'error'])
+
+    return files.mapInPandas(batch, PPTX_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def _slide_xml(paras: List[str]) -> bytes:
+    body = ''.join(
+        '<a:p><a:r>' + runs + '</a:r></a:p>' for runs in paras)
+    return ('<?xml version="1.0"?><p:sld xmlns:p="http://schemas.'
+            'openxmlformats.org/presentationml/2006/main" xmlns:a='
+            '"http://schemas.openxmlformats.org/drawingml/2006/main">'
+            '<p:cSld><p:spTree><p:sp><p:txBody>' + body
+            + '</p:txBody></p:sp></p:spTree></p:cSld></p:sld>').encode()
+
+
+def _pres_xml(rids: List[str]) -> bytes:
+    lst = ''.join(f'<p:sldId id="{256 + i}" r:id="{r}"/>'
+                  for i, r in enumerate(rids))
+    return ('<?xml version="1.0"?><p:presentation xmlns:p="http://'
+            'schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument'
+            '/2006/relationships"><p:sldIdLst>' + lst
+            + '</p:sldIdLst></p:presentation>').encode()
+
+
+def _pres_rels(pairs: List[Tuple[str, str]]) -> bytes:
+    rels = ''.join(
+        f'<Relationship Id="{rid}" Type="http://schemas.openxmlformats'
+        f'.org/officeDocument/2006/relationships/slide" '
+        f'Target="{tgt}"/>' for rid, tgt in pairs)
+    return ('<?xml version="1.0"?><Relationships xmlns="http://schemas'
+            '.openxmlformats.org/package/2006/relationships">' + rels
+            + '</Relationships>').encode()
+
+
+def _core(title: str) -> bytes:
+    return ('<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://'
+            'schemas.openxmlformats.org/package/2006/metadata/core-'
+            'properties" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            '<dc:title>%s</dc:title></cp:coreProperties>'
+            % title).encode()
+
+
+def _build_zip(entries: List[Tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for n, d in entries:
+            zi = zipfile.ZipInfo(n, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, d)
+    return buf.getvalue()
+
+
+def write_synth_pptx_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: a titled 3-slide deck whose FILENAMES are shuffled
+    against sldIdLst order (slide3.xml is presented first — name-sorted
+    readers emit the wrong text order), entity/break runs, a notesSlide
+    whose text must never appear, a rels-less deck (filename fallback),
+    a no-slides zip, a CFB payload and a corrupt zip."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    # presentation order: slide3 (intro), slide1 (middle), slide2 (end)
+    files['deck.pptx'] = _build_zip([
+        ('ppt/presentation.xml', _pres_xml(['rId3', 'rId1', 'rId2'])),
+        ('ppt/_rels/presentation.xml.rels', _pres_rels(
+            [('rId1', 'slides/slide1.xml'), ('rId2', 'slides/slide2.xml'),
+             ('rId3', 'slides/slide3.xml')])),
+        ('ppt/slides/slide1.xml', _slide_xml(
+            ['<a:t>middle slide point one</a:t>',
+             '<a:t>middle slide point two</a:t>'])),
+        ('ppt/slides/slide2.xml', _slide_xml(
+            ['<a:t>closing remarks</a:t>'])),
+        ('ppt/slides/slide3.xml', _slide_xml(
+            ['<a:t>opening title text</a:t>'])),
+        ('ppt/notesSlides/notesSlide1.xml', _slide_xml(
+            ['<a:t>SPEAKER NOTE must not leak</a:t>'])),
+        ('docProps/core.xml', _core('Quarterly Deck')),
+    ])
+
+    files['runs.pptx'] = _build_zip([
+        ('ppt/slides/slide1.xml', _slide_xml(
+            ['<a:t>a &amp; b &lt;tag&gt;</a:t><a:br/>'
+             '<a:t>after break</a:t><a:t/>',
+             ''])),
+    ])
+
+    files['noslides.pptx'] = _build_zip([
+        ('docProps/core.xml', _core('Empty')),
+    ])
+    files['legacy.pptx'] = _CFB_MAGIC + b'\x00' * 64
+    files['corrupt.pptx'] = b'PK\x03\x04 truncated'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

@@ -1,0 +1,66 @@
+"""PPTX source (sources/pptx.py)."""
+import os
+
+import pytest
+
+from mineru_html_spark.sources.pptx import (pptx_bytes_to_row, read_pptx,
+                                            write_synth_pptx_gate_set)
+
+
+@pytest.fixture(scope='module')
+def gate_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('pptx'))
+    write_synth_pptx_gate_set(d)
+    return d
+
+
+def _row(gate_dir, name):
+    with open(os.path.join(gate_dir, name), 'rb') as f:
+        return pptx_bytes_to_row(name, f.read())
+
+
+def test_slide_order_follows_sldidlst_not_filenames(gate_dir):
+    r = _row(gate_dir, 'deck.pptx')
+    assert r[7] == ''
+    text = r[6]
+    # slide3.xml is FIRST in presentation order
+    assert text.startswith('opening title text')
+    assert text.index('middle slide') < text.index('closing remarks')
+    assert r[1] == 'Quarterly Deck' and r[2] == 3 and r[4] == 4
+
+
+def test_speaker_notes_counted_never_inlined(gate_dir):
+    r = _row(gate_dir, 'deck.pptx')
+    assert r[3] == 1                      # n_notes
+    assert 'SPEAKER NOTE' not in r[6]
+
+
+def test_runs_entities_breaks_and_empty_paragraphs(gate_dir):
+    r = _row(gate_dir, 'runs.pptx')
+    assert r[6] == 'a & b <tag>\nafter break'
+    assert r[4] == 1                      # the empty <a:p> dropped
+
+
+def test_contained_errors(gate_dir):
+    assert _row(gate_dir, 'noslides.pptx')[7] == 'noslides'
+    assert _row(gate_dir, 'legacy.pptx')[7].startswith('cfb')
+    assert _row(gate_dir, 'corrupt.pptx')[7].startswith('badzip')
+
+
+def test_filename_fallback_without_rels():
+    from mineru_html_spark.sources.pptx import _build_zip, _slide_xml
+    data = _build_zip([
+        ('ppt/slides/slide10.xml', _slide_xml(['<a:t>ten</a:t>'])),
+        ('ppt/slides/slide2.xml', _slide_xml(['<a:t>two</a:t>'])),
+    ])
+    r = pptx_bytes_to_row('x.pptx', data)
+    # numeric sort: slide2 before slide10 (lexicographic would invert)
+    assert r[6] == 'two\n\nten' and r[7] == ''
+
+
+def test_spark_read(spark, gate_dir):
+    out = read_pptx(spark, gate_dir)
+    rows = {r['doc_id']: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows['deck.pptx']['n_slides'] == 3
+    assert rows['corrupt.pptx']['error'].startswith('badzip')
