@@ -5202,6 +5202,30 @@ def q_pptx_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_xlsx_extract(spark, sf_dir):
+    """SpreadsheetML (.xlsx) extraction — the office quartet's last
+    member. The shared-string indirection is the gate's core plant
+    (string cells store table indexes; scraping <v> values directly
+    yields integers, breaking the hash); sheet order follows workbook
+    order against shuffled filenames; inline strings, rich-text run
+    concatenation, booleans, raw-text numbers, a dangling shared index
+    and an empty row are planted; CFB/corrupt/empty contained. One task
+    per file, committed-output oracle."""
+    from mineru_html_spark.sources.xlsx import (read_xlsx,
+                                                write_synth_xlsx_gate_set)
+    d = os.path.join(REPO, '.data', 'xlsx_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_xlsx_gate_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_xlsx(spark, d)
+    return out.select('doc_id', 'n_sheets', 'n_rows', 'n_cells',
+                      'n_chars', F.md5('text').alias('text_md5'),
+                      F.regexp_extract('error', r'^(\w*)', 1)
+                       .alias('error_kind'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5434,6 +5458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'charset_decode': q_charset_decode,
         'wer_eval': q_wer_eval,
         'pptx_extract': q_pptx_extract,
+        'xlsx_extract': q_xlsx_extract,
     }
 
 
@@ -5572,7 +5597,8 @@ def oracle_sql() -> dict[str, str]:
                      'baseline_eval', 'near_dup_clusters',
                      'approx_distinct_users', 'warc_extract',
                      'wet_extract', 'wat_extract', 'rouge_l',
-                     'textrank_keywords', 'pptx_extract')
+                     'textrank_keywords', 'pptx_extract',
+                     'xlsx_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -1,0 +1,289 @@
+"""XLSX source: spreadsheets without a native dependency.
+
+SpreadsheetML (ECMA-376) is the fourth OOXML family member after
+docx/pptx (and odt/rtf on the OpenDocument/legacy side): a ZIP whose
+cell VALUES mostly live in a shared-string table (``xl/
+sharedStrings.xml``) that sheet cells reference by index — the format's
+signature indirection, and the thing a naive text scrape gets wrong
+(every string cell scrapes as an integer). Sheet ORDER is the
+``<sheet>`` sequence in ``xl/workbook.xml`` resolved through the
+relationship part, not filename order (the pptx sldIdLst lesson — the
+gate shuffles filenames).
+
+Scope, stated honestly:
+
+* cell types: ``t="s"`` shared strings (plain ``<t>`` and rich-text
+  ``<r>`` runs), ``t="inlineStr"``, ``t="str"`` (formula results),
+  ``t="b"`` booleans (TRUE/FALSE), numeric cells kept as their RAW
+  ``<v>`` text (no float re-formatting, so the gate hash is engine-
+  independent); date cells are therefore raw serials — converting
+  needs the style table, stated out of scope;
+* layout: per sheet, cells of a ``<row>`` joined by TAB in document
+  order (column GAPS are not padded — stated), rows by newline,
+  sheets by a blank line;
+* empty rows/sheets dropped; n_sheets counts workbook entries;
+* CFB payloads (legacy .xls / encrypted) -> contained ``cfb`` row;
+  zips without sheets -> ``nosheets``; non-zips -> ``badzip``.
+
+Spark shape: one task per file (binaryFile), Arrow-batched, errors as
+rows — the WARC/PDF/EPUB/DOCX/PPTX contract.
+"""
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from html import unescape
+from typing import Iterator, List, Tuple
+
+_SI_RE = re.compile(rb'<si>(.*?)</si>', re.DOTALL)
+_T_RE = re.compile(rb'<t[^>]*>(.*?)</t>|<t[^>]*/>', re.DOTALL)
+_ROW_RE = re.compile(rb'<row[ >].*?</row>|<row[^>]*/>', re.DOTALL)
+_CELL_RE = re.compile(rb'<c [^>]*>.*?</c>|<c [^>]*/>', re.DOTALL)
+_CT_ATTR_RE = re.compile(rb'<c [^>]*?t="([^"]+)"')
+_V_RE = re.compile(rb'<v[^>]*>(.*?)</v>', re.DOTALL)
+_IS_RE = re.compile(rb'<is>(.*?)</is>', re.DOTALL)
+_SHEET_RE = re.compile(rb'<sheet [^>]*r:id="([^"]+)"[^>]*/>')
+_REL_RE = re.compile(rb'<Relationship [^>]*Id="([^"]+)"[^>]*'
+                     rb'Target="([^"]+)"[^>]*/>')
+_SHEET_NUM_RE = re.compile(r'sheet(\d+)\.xml$')
+_CFB_MAGIC = b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1'
+
+
+def _text_of(block: bytes) -> str:
+    """Concatenated <t> bodies of an <si>/<is> block (rich-text runs
+    concatenate per spec)."""
+    out = []
+    for m in _T_RE.finditer(block):
+        if m.group(1) is not None:
+            out.append(unescape(m.group(1).decode('utf-8', 'replace')))
+    return ''.join(out)
+
+
+def _shared_strings(zf: zipfile.ZipFile, names: set) -> List[str]:
+    if 'xl/sharedStrings.xml' not in names:
+        return []
+    return [_text_of(m.group(1))
+            for m in _SI_RE.finditer(zf.read('xl/sharedStrings.xml'))]
+
+
+def _sheet_order(zf: zipfile.ZipFile, names: set) -> List[str]:
+    sheets = [n for n in names
+              if n.startswith('xl/worksheets/sheet')
+              and n.endswith('.xml')]
+
+    def numkey(n):
+        m = _SHEET_NUM_RE.search(n)
+        return (int(m.group(1)) if m else 1 << 30, n)
+
+    fallback = sorted(sheets, key=numkey)
+    wb, rels = 'xl/workbook.xml', 'xl/_rels/workbook.xml.rels'
+    if wb not in names or rels not in names:
+        return fallback
+    try:
+        rid_to_target = {rid.decode('ascii', 'replace'):
+                         tgt.decode('utf-8', 'replace')
+                         for rid, tgt in _REL_RE.findall(zf.read(rels))}
+        ordered = []
+        for rid in _SHEET_RE.findall(zf.read(wb)):
+            tgt = rid_to_target.get(rid.decode('ascii', 'replace'), '')
+            part = 'xl/' + tgt.lstrip('/') if not tgt.startswith('xl/') \
+                else tgt
+            if part in names:
+                ordered.append(part)
+        return ordered if ordered else fallback
+    except Exception:  # noqa: BLE001 — tolerant reader contract
+        return fallback
+
+
+def _cell_text(cell: bytes, shared: List[str]) -> str:
+    m = _CT_ATTR_RE.match(cell)
+    ctype = m.group(1).decode('ascii', 'replace') if m else ''
+    if ctype == 'inlineStr':
+        i = _IS_RE.search(cell)
+        return _text_of(i.group(1)) if i else ''
+    v = _V_RE.search(cell)
+    if not v:
+        return ''
+    raw = unescape(v.group(1).decode('utf-8', 'replace'))
+    if ctype == 's':
+        try:
+            return shared[int(raw)]
+        except (ValueError, IndexError):
+            return ''                      # dangling index: visible gap
+    if ctype == 'b':
+        return 'TRUE' if raw.strip() == '1' else 'FALSE'
+    return raw                             # number / t="str" / t="e"
+
+
+def xlsx_bytes_to_row(name: str, data: bytes) -> tuple:
+    """(doc_id, n_sheets, n_rows, n_cells, n_chars, text, error) —
+    errors as rows, never raises."""
+    if data[:8] == _CFB_MAGIC:
+        return (name, 0, 0, 0, 0, '', 'cfb legacy-or-encrypted')
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except Exception as e:  # noqa: BLE001
+        return (name, 0, 0, 0, 0, '', f'badzip {type(e).__name__}')
+    try:
+        order = _sheet_order(zf, names)
+        if not order:
+            return (name, 0, 0, 0, 0, '', 'nosheets')
+        shared = _shared_strings(zf, names)
+        n_rows = n_cells = 0
+        sheet_texts = []
+        for part in order:
+            data_x = zf.read(part)
+            lines = []
+            for rm in _ROW_RE.finditer(data_x):
+                cells = [_cell_text(c.group(0), shared)
+                         for c in _CELL_RE.finditer(rm.group(0))]
+                n_cells += len(cells)
+                line = '\t'.join(cells)
+                if line.strip():
+                    n_rows += 1
+                    lines.append(line)
+            if lines:
+                sheet_texts.append('\n'.join(lines))
+        text = '\n\n'.join(sheet_texts)
+        return (name, len(order), n_rows, n_cells, len(text), text, '')
+    except Exception as e:  # noqa: BLE001
+        return (name, 0, 0, 0, 0, '', f'parse {type(e).__name__}')
+
+
+XLSX_ROWS_SCHEMA = ('doc_id string, n_sheets int, n_rows int, '
+                    'n_cells int, n_chars long, text string, '
+                    'error string')
+
+
+def read_xlsx(spark, path: str):
+    """Directory of .xlsx files -> XLSX_ROWS_SCHEMA — one task per
+    file, Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.xlsx').load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [xlsx_bytes_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'n_sheets', 'n_rows', 'n_cells',
+                               'n_chars', 'text', 'error'])
+
+    return files.mapInPandas(batch, XLSX_ROWS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synth writer (gate corpus)
+# --------------------------------------------------------------------------
+
+def _sheet_xml(rows: List[List[str]]) -> bytes:
+    body = ''
+    for i, row in enumerate(rows, 1):
+        cells = ''.join(c for c in row)
+        body += f'<row r="{i}">{cells}</row>'
+    return ('<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+            + body + '</sheetData></worksheet>').encode()
+
+
+def _wb_xml(rids: List[str]) -> bytes:
+    lst = ''.join(f'<sheet name="S{i}" sheetId="{i + 1}" r:id="{r}"/>'
+                  for i, r in enumerate(rids))
+    return ('<?xml version="1.0"?><workbook xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
+            '"http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships"><sheets>' + lst
+            + '</sheets></workbook>').encode()
+
+
+def _wb_rels(pairs: List[Tuple[str, str]]) -> bytes:
+    rels = ''.join(
+        f'<Relationship Id="{rid}" Type="http://schemas.openxmlformats'
+        f'.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="{tgt}"/>' for rid, tgt in pairs)
+    return ('<?xml version="1.0"?><Relationships xmlns="http://schemas'
+            '.openxmlformats.org/package/2006/relationships">' + rels
+            + '</Relationships>').encode()
+
+
+def _sst_xml(strings: List[str]) -> bytes:
+    body = ''.join(f'<si><t>{s}</t></si>' for s in strings)
+    return ('<?xml version="1.0"?><sst xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main">' + body
+            + '</sst>').encode()
+
+
+def _build_zip(entries: List[Tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for n, d in entries:
+            zi = zipfile.ZipInfo(n, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, d)
+    return buf.getvalue()
+
+
+def write_synth_xlsx_gate_set(out_dir: str) -> List[str]:
+    """Gate corpus: a two-sheet book whose FILENAMES are shuffled
+    against workbook order, exercising shared strings (incl. a
+    rich-text run), inline strings, raw numbers, booleans, a dangling
+    shared index, an empty row; a rels-less book (numeric fallback);
+    no-sheets / CFB / corrupt containment."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {}
+
+    sst = _sst_xml(['alpha cell', 'beta &amp; gamma'])
+    # rich-text si appended by hand (two <r> runs concatenate)
+    sst = sst.replace(
+        b'</sst>',
+        b'<si><r><t>rich-</t></r><r><t>text</t></r></si></sst>')
+    s_first = _sheet_xml([
+        ['<c r="A1" t="s"><v>0</v></c>',
+         '<c r="B1"><v>42</v></c>',
+         '<c r="C1" t="b"><v>1</v></c>'],
+        ['<c r="A2" t="inlineStr"><is><t>inline &lt;x&gt;</t></is></c>',
+         '<c r="B2" t="str"><v>SUMMED</v></c>'],
+        [],                                   # empty row must drop
+        ['<c r="A4" t="s"><v>2</v></c>',
+         '<c r="B4" t="s"><v>99</v></c>'],    # dangling index
+    ])
+    s_second = _sheet_xml([
+        ['<c r="A1" t="s"><v>1</v></c>',
+         '<c r="B1"><v>3.5</v></c>',
+         '<c r="C1" t="b"><v>0</v></c>'],
+    ])
+    # workbook order: sheet2.xml FIRST, then sheet1.xml
+    files['book.xlsx'] = _build_zip([
+        ('xl/workbook.xml', _wb_xml(['rId2', 'rId1'])),
+        ('xl/_rels/workbook.xml.rels', _wb_rels(
+            [('rId1', 'worksheets/sheet1.xml'),
+             ('rId2', 'worksheets/sheet2.xml')])),
+        ('xl/sharedStrings.xml', sst),
+        ('xl/worksheets/sheet1.xml', s_second),
+        ('xl/worksheets/sheet2.xml', s_first),
+    ])
+
+    files['norels.xlsx'] = _build_zip([
+        ('xl/worksheets/sheet10.xml', _sheet_xml(
+            [['<c r="A1"><v>10</v></c>']])),
+        ('xl/worksheets/sheet2.xml', _sheet_xml(
+            [['<c r="A1"><v>2</v></c>']])),
+    ])
+
+    files['nosheets.xlsx'] = _build_zip([
+        ('xl/workbook.xml', _wb_xml([])),
+    ])
+    files['legacy.xlsx'] = _CFB_MAGIC + b'\x00' * 64
+    files['corrupt.xlsx'] = b'PK\x03\x04 truncated'
+
+    for n, d in sorted(files.items()):
+        with open(os.path.join(out_dir, n), 'wb') as f:
+            f.write(d)
+    return sorted(files)

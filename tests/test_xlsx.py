@@ -1,0 +1,65 @@
+"""XLSX source (sources/xlsx.py)."""
+import os
+
+import pytest
+
+from mineru_html_spark.sources.xlsx import (read_xlsx, xlsx_bytes_to_row,
+                                            write_synth_xlsx_gate_set)
+
+
+@pytest.fixture(scope='module')
+def gate_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('xlsx'))
+    write_synth_xlsx_gate_set(d)
+    return d
+
+
+def _row(gate_dir, name):
+    with open(os.path.join(gate_dir, name), 'rb') as f:
+        return xlsx_bytes_to_row(name, f.read())
+
+
+def test_shared_strings_resolve_and_workbook_order(gate_dir):
+    r = _row(gate_dir, 'book.xlsx')
+    assert r[6] == ''
+    text = r[5]
+    # workbook lists sheet2.xml first: its shared-string cell leads
+    assert text.startswith('alpha cell\t42\tTRUE')
+    # second sheet (sheet1.xml) comes after the blank separator
+    assert '\n\nbeta & gamma\t3.5\tFALSE' in text
+    # a naive <v> scrape would have produced '0', '1', '2' here
+    assert '\n0\t' not in text
+
+
+def test_cell_type_zoo(gate_dir):
+    text = _row(gate_dir, 'book.xlsx')[5]
+    assert 'inline <x>\tSUMMED' in text     # inlineStr + t="str"
+    assert 'rich-text\t' in text            # <r> runs concatenate
+    assert 'TRUE' in text and 'FALSE' in text
+    assert '3.5' in text                    # raw number text, no reformat
+
+
+def test_dangling_shared_index_is_visible_gap(gate_dir):
+    r = _row(gate_dir, 'book.xlsx')
+    # row 4 = 'rich-text' + dangling index 99 -> empty cell after tab
+    assert 'rich-text\t\n' in r[5] + '\n'
+    assert r[2] == 4                        # empty row 3 dropped
+
+
+def test_numeric_filename_fallback(gate_dir):
+    r = _row(gate_dir, 'norels.xlsx')
+    assert r[5] == '2\n\n10'                # sheet2 before sheet10
+
+
+def test_contained_errors(gate_dir):
+    assert _row(gate_dir, 'nosheets.xlsx')[6] == 'nosheets'
+    assert _row(gate_dir, 'legacy.xlsx')[6].startswith('cfb')
+    assert _row(gate_dir, 'corrupt.xlsx')[6].startswith('badzip')
+
+
+def test_spark_read(spark, gate_dir):
+    out = read_xlsx(spark, gate_dir)
+    rows = {r['doc_id']: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows['book.xlsx']['n_sheets'] == 2
+    assert rows['book.xlsx']['n_cells'] == 10

@@ -34,7 +34,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'rtf_extract', 'mbox_extract', 'webp_decode',
          'ipynb_extract', 'latex_extract', 'table_extract', 'html_meta',
          'lz78_quality', 'pdf_layout', 'citation_graph', 'wet_extract',
-         'wat_extract', 'rouge_l', 'textrank_keywords', 'pptx_extract')
+         'wat_extract', 'rouge_l', 'textrank_keywords', 'pptx_extract',
+         'xlsx_extract')
 
 
 def main():
