@@ -5226,6 +5226,22 @@ def q_xlsx_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+# phrase-search gate queries: a corpus-frequent trigram (multi-match
+# docs) and a repeated-term bigram (exercises distinct-INDEX counting)
+_PHRASES = ('slow hash batch', 'a a')
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase query (the inverted_index consumer):
+    adjusted-offset intersection with a broadcast term list — only
+    (doc_id, start, idx) int triples shuffle. Gated on a trigram the
+    synthetic corpus actually repeats plus the degenerate repeated-term
+    bigram 'a a'; the oracle re-derives every match by brute-force
+    window comparison in SQL."""
+    from mineru_html_spark.functions.retrieval import phrase_search
+    return phrase_search(_docs(spark, sf_dir), list(_PHRASES))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5459,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'wer_eval': q_wer_eval,
         'pptx_extract': q_pptx_extract,
         'xlsx_extract': q_xlsx_extract,
+        'phrase_search': q_phrase_search,
     }
 
 
@@ -8591,6 +8608,27 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # phrase search: brute-force window-equality mirror over the same
+    # tokenization; starts are 0-based like Spark's posexplode
+    oracles['phrase_search'] = f"""
+        WITH wr AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+        ph AS (SELECT * FROM (VALUES ('{_PHRASES[0]}', 3),
+                                     ('{_PHRASES[1]}', 2))
+               AS t(phrase, k)),
+        c AS (SELECT phrase, k, doc_id, w FROM wr CROSS JOIN ph),
+        e AS (SELECT phrase, k, doc_id, w,
+                unnest(range(1, greatest(len(w) - k + 2, 1))) AS i
+              FROM c),
+        m AS (SELECT phrase, doc_id, i - 1 AS start
+              FROM e
+              WHERE array_to_string(list_slice(w, i, i + k - 1), ' ')
+                    = phrase)
+        SELECT phrase, doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(start) AS BIGINT) AS first_pos,
+               CAST(max(start) AS BIGINT) AS last_pos
+        FROM m GROUP BY 1, 2
     """
     # WER: word-level Levenshtein mirrored exactly via the word ->
     # codepoint trick. DuckDB's levenshtein is BYTE-based (measured:

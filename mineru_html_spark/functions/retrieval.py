@@ -111,3 +111,42 @@ def inverted_index(documents: DataFrame, min_df: int = 2) -> DataFrame:
                  F.md5(F.array_join(F.array_sort(F.collect_list('entry')),
                                     ',')).alias('postings_md5'))
             .where(F.col('df') >= md))
+
+
+def phrase_search(documents: DataFrame, phrases: list,
+                  text_col: str = 'text') -> DataFrame:
+    """(phrase, doc_id, n_matches, first_pos, last_pos): exact phrase
+    query — the positional-intersection algorithm every search engine
+    runs over the postings that :func:`inverted_index` materializes
+    (term i of the phrase at position p+i for one start p; the classic
+    adjusted-offset merge). Here the postings come from the scan
+    (posexplode filtered by a BROADCAST of the phrase terms — predicate
+    applied map-side, so only matching (doc_id, start, idx) INT triples
+    ever shuffle); a production deployment feeds the same merge from
+    the materialized index instead of the scan, same downstream plan.
+
+    Repeated phrase terms are handled by distinct-INDEX counting, not
+    distinct-term ('a a' needs BOTH offsets to hit, and 'a a a' yields
+    two overlapping starts — tested). Tokenization is the corpus-wide
+    ``_words`` definition shared with bm25/inverted_index."""
+    spark = documents.sparkSession
+    terms = [(p, i, t) for p in phrases
+             for i, t in enumerate(p.split(' '))]
+    q = spark.createDataFrame(terms, 'phrase string, idx int, term string')
+    kdf = spark.createDataFrame(
+        [(p, len(p.split(' '))) for p in phrases], 'phrase string, k int')
+    toks = documents.select(
+        'doc_id', F.posexplode(_words(text_col)).alias('pos', 'term'))
+    starts = (toks.join(F.broadcast(q), 'term')
+              .select('phrase', 'doc_id',
+                      (F.col('pos') - F.col('idx')).alias('start'),
+                      'idx')
+              .where(F.col('start') >= 0))
+    hits = (starts.groupBy('phrase', 'doc_id', 'start')
+            .agg(F.countDistinct('idx').alias('n_idx'))
+            .join(F.broadcast(kdf), 'phrase')
+            .where(F.col('n_idx') == F.col('k')))
+    return (hits.groupBy('phrase', 'doc_id')
+            .agg(F.count('*').alias('n_matches'),
+                 F.min('start').cast('long').alias('first_pos'),
+                 F.max('start').cast('long').alias('last_pos')))

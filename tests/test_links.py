@@ -66,3 +66,34 @@ def test_anchor_text_index(spark):
     assert a['top_terms'] == ['engine', 'spark']
     assert 'spam' not in a['top_terms']
     assert got['/b']['top_terms'] == []
+
+
+# -- phrase search ----------------------------------------------------------
+
+def test_phrase_search_hand_corpus(spark):
+    from mineru_html_spark.functions.retrieval import phrase_search
+    rows = [(0, 'the quick brown fox jumps over the quick brown dog'),
+            (1, 'quick brown'),
+            (2, 'the the the'),              # repeated-term overlap
+            (3, 'brown quick'),              # reversed: no match
+            (4, '')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = phrase_search(df, ['quick brown', 'the the'])
+    got = {(r['phrase'], r['doc_id']):
+           (r['n_matches'], r['first_pos'], r['last_pos'])
+           for r in out.collect()}
+    assert got[('quick brown', 0)] == (2, 1, 7)
+    assert got[('quick brown', 1)] == (1, 0, 0)
+    # overlapping starts for a repeated-term phrase: 'the the the'
+    assert got[('the the', 2)] == (2, 0, 1)
+    assert ('quick brown', 3) not in got
+    assert ('quick brown', 4) not in got
+
+
+def test_phrase_search_term_list_broadcasts(spark):
+    from mineru_html_spark.functions.retrieval import phrase_search
+    df = spark.createDataFrame([(0, 'a b c')], 'doc_id long, text string')
+    out = phrase_search(df, ['a b'])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan, plan
+    assert 'SortMergeJoin' not in plan, plan
