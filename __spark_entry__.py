@@ -5242,6 +5242,68 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_docs(spark, sf_dir), list(_PHRASES))
 
 
+def q_exif_orient(spark, sf_dir):
+    """Orientation-honoring decode across all 8 EXIF tags: each sampled
+    doc's upright pattern image is stored the way a camera with
+    orientation tag 1+doc_id%8 would store it (the inverse display
+    transform), JPEG-encoded with a real APP1 tag, and decoded through
+    decode_image — the gated raster md5 is of the ORIENTED pixels, so
+    any drift in the display transforms, the tag plumbing or the JPEG
+    codec breaks the hash. Committed-output oracle (rasters are not
+    SQL-expressible)."""
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import (auto_orient,
+                                                  build_exif_app1,
+                                                  insert_app1)
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+    from mineru_html_spark.functions.media import decode_image
+
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 40 == 0) \
+        .select('doc_id')
+    # camera-storage transform per tag = inverse of the display one
+    store = {1: lambda x: x, 2: lambda x: x[:, ::-1],
+             3: lambda x: x[::-1, ::-1], 4: lambda x: x[::-1, :],
+             5: lambda x: x.transpose(1, 0, 2),
+             6: lambda x: np.rot90(x, 1),
+             7: lambda x: x.transpose(1, 0, 2)[::-1, ::-1],
+             8: lambda x: np.rot90(x, -1)}
+
+    def batch(it):
+        import hashlib
+
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did in pdf['doc_id']:
+                did = int(did)
+                # did is a multiple of 40, so did % 8 == 0 always —
+                # derive the tag from did//40 to cover all 8 values
+                tag = 1 + (did // 40) % 8
+                h, w = 12 + (did % 2) * 4, 16 + (did % 3) * 4
+                up = ((np.arange(h * w * 3, dtype=np.uint32)
+                       * (5 + did % 13)) % 256).astype(
+                    np.uint8).reshape(h, w, 3)
+                stored = np.ascontiguousarray(store[tag](up))
+                jp = encode_jpeg_baseline(stored, quality=92)
+                jp = insert_app1(jp, build_exif_app1(
+                    'MM' if did % 2 else 'II', 'mk', 'md', tag,
+                    '2026:03:01 00:00:00', stored.shape[1],
+                    stored.shape[0]))
+                img = decode_image(jp, 'image/jpeg')
+                rows.append((f'media://doc/{did}', tag,
+                             int(img.shape[1]), int(img.shape[0]),
+                             hashlib.md5(img.tobytes()).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                'media_ref', 'orientation', 'width', 'height',
+                'raster_md5'])
+
+    _ = auto_orient  # imported for parity with the decode path
+    return docs.mapInPandas(
+        batch, 'media_ref string, orientation int, width int, '
+               'height int, raster_md5 string')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5476,6 +5538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pptx_extract': q_pptx_extract,
         'xlsx_extract': q_xlsx_extract,
         'phrase_search': q_phrase_search,
+        'exif_orient': q_exif_orient,
     }
 
 
@@ -5615,7 +5678,7 @@ def oracle_sql() -> dict[str, str]:
                      'approx_distinct_users', 'warc_extract',
                      'wet_extract', 'wat_extract', 'rouge_l',
                      'textrank_keywords', 'pptx_extract',
-                     'xlsx_extract')
+                     'xlsx_extract', 'exif_orient')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -270,3 +270,36 @@ def exif_probe(media: DataFrame) -> DataFrame:
 
     return media.select('media_ref', 'payload').mapInPandas(
         batch, EXIF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# orientation honoring — the decode-side consumer of the probe above
+# ---------------------------------------------------------------------------
+
+def auto_orient(img, orientation: int):
+    """Apply the display transform for an EXIF Orientation tag (TIFF
+    274) to a decoded HxWxC array — the fix a pipeline MUST run before
+    features/pHash (a rotated/mirrored twin otherwise hashes far from
+    its upright original). Tag semantics per EXIF 2.3 §4.6.4: 2 mirror,
+    3 rot180, 4 flip, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    8 rotate 270 CW; 0/1/unknown pass through. Returns a contiguous
+    copy (negative-stride views break downstream Arrow/hash kernels)."""
+    import numpy as np
+    if orientation == 2:
+        out = img[:, ::-1]
+    elif orientation == 3:
+        out = img[::-1, ::-1]
+    elif orientation == 4:
+        out = img[::-1, :]
+    elif orientation == 5:
+        out = img.transpose(1, 0, 2) if img.ndim == 3 else img.T
+    elif orientation == 6:
+        out = np.rot90(img, -1)
+    elif orientation == 7:
+        t = img.transpose(1, 0, 2) if img.ndim == 3 else img.T
+        out = t[::-1, ::-1]
+    elif orientation == 8:
+        out = np.rot90(img, 1)
+    else:
+        return img
+    return np.ascontiguousarray(out)

@@ -128,7 +128,13 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_png(payload)
     if mime in ('image/jpeg', 'image/jpg') \
             or bytes(payload[:2]) == b'\xff\xd8':
-        return decode_jpeg(payload)
+        # honor EXIF Orientation BEFORE features/pHash — a rotated
+        # twin otherwise hashes far from its upright original; absent
+        # or tag<=1 EXIF is the identity (synth goldens unaffected)
+        from .exif import auto_orient, exif_from_jpeg
+        img = decode_jpeg(payload)
+        o = exif_from_jpeg(bytes(payload)).get('orientation', 0)
+        return auto_orient(img, o) if 2 <= o <= 8 else img
     if mime == 'image/gif' or bytes(payload[:4]) == b'GIF8':
         return decode_gif(payload)[0][0]
     if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'AVI ':

@@ -90,3 +90,52 @@ def test_spark_probe_zero_exchange(spark, jpeg):
     got = {r['media_ref']: r.asDict() for r in out.collect()}
     assert got['a']['orientation'] == 8 and got['a']['has_gps'] is True
     assert got['b']['has_exif'] is False and got['b']['status'] == 'ok'
+
+
+# -- orientation honoring ---------------------------------------------------
+
+def test_auto_orient_inverts_every_camera_storage_transform():
+    """For each tag t, store the upright image the way a camera with
+    that orientation would (S_t), then assert the display transform
+    recovers the EXACT upright array."""
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import auto_orient
+    u = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    store = {
+        1: lambda x: x,
+        2: lambda x: x[:, ::-1],
+        3: lambda x: x[::-1, ::-1],
+        4: lambda x: x[::-1, :],
+        5: lambda x: x.transpose(1, 0, 2),
+        6: lambda x: np.rot90(x, 1),          # display rotates 90 CW
+        7: lambda x: x.transpose(1, 0, 2)[::-1, ::-1],
+        8: lambda x: np.rot90(x, -1),         # display rotates 270 CW
+    }
+    for tag, s in store.items():
+        out = auto_orient(np.ascontiguousarray(s(u)), tag)
+        assert out.shape == u.shape, tag
+        assert (out == u).all(), tag
+        assert out.flags['C_CONTIGUOUS'], tag
+    # unknown/absent tags pass through untouched
+    assert auto_orient(u, 0) is u and auto_orient(u, 9) is u
+
+
+def test_decode_image_honors_orientation(jpeg):
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import build_exif_app1
+    from mineru_html_spark.functions.media import decode_image
+    upright = decode_image(jpeg, 'image/jpeg')
+    app1 = build_exif_app1('II', 'm', 'm', 6, '2026:01:01 00:00:00',
+                           24, 16)
+    rotated = insert_app1(jpeg, app1)
+    out = decode_image(rotated, 'image/jpeg')
+    # stored 16x24 displays as 24x16 after the 90 CW display transform
+    assert out.shape[:2] == (upright.shape[1], upright.shape[0])
+    assert (out == np.rot90(upright, -1)).all()
+    # orientation 1 and absent EXIF are the identity
+    app1_1 = build_exif_app1('II', 'm', 'm', 1, '2026:01:01 00:00:00',
+                             24, 16)
+    assert (decode_image(insert_app1(jpeg, app1_1), 'image/jpeg')
+            == upright).all()
