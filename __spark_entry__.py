@@ -5304,6 +5304,42 @@ def q_exif_orient(spark, sf_dir):
                'height int, raster_md5 string')
 
 
+# license-gate plants, shared between the Spark construction and the SQL
+# oracle: SPDX tags (incl. an unknown id and a tag+fingerprint combo
+# where the tag must win), the dominant fingerprints, and clean rows
+_LIC_PLANTS = (
+    (16, 8, ' SPDX-License-Identifier: WTFPL'),
+    (8, 0, ' SPDX-License-Identifier: MIT'),
+    (8, 1, ' SPDX-License-Identifier: Apache-2.0'),
+    (8, 2, ' Permission is hereby granted, free of charge, to any '
+           'person'),
+    (8, 3, ' Licensed under the Apache License, Version 2.0 (the '
+           'License)'),
+    (8, 4, ' distributed under the GNU General Public License'),
+    (8, 5, ' Creative Commons Attribution-NonCommercial 4.0 terms'),
+    (8, 6, ' SPDX-License-Identifier: GPL-3.0-only Permission is '
+           'hereby granted, free of charge'),
+)
+
+
+def q_license_detect(spark, sf_dir):
+    """SPDX + fingerprint license detection (The Stack's other gate:
+    keep permissive, drop copyleft/NC). Plants cover explicit tags, an
+    UNKNOWN tag (visible, conservative non-permissive), each dominant
+    fingerprint, a tag+fingerprint combo where the tag must pre-empt,
+    and clean rows. One native projection, zero exchanges; the oracle
+    replays tag regex, ordered fingerprint chain and the id table
+    clause-for-clause."""
+    from mineru_html_spark.functions.code import license_detect
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    plant = F.lit('')
+    for mod, rem, s in reversed(_LIC_PLANTS):
+        plant = F.when(F.col('doc_id') % mod == rem,
+                       F.lit(s)).otherwise(plant)
+    return license_detect(
+        docs.select('doc_id', F.concat('text', plant).alias('text')))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5539,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'xlsx_extract': q_xlsx_extract,
         'phrase_search': q_phrase_search,
         'exif_orient': q_exif_orient,
+        'license_detect': q_license_detect,
     }
 
 
@@ -8671,6 +8708,51 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # license detect: replay plant construction, tag regex, ordered
+    # fingerprint chain and the id table — all generated from the SAME
+    # Python constants the operator uses (lockstep by construction)
+    from mineru_html_spark.functions.code import (LICENSE_FINGERPRINTS,
+                                                  SPDX_TABLE)
+    _plant_sql = ' '.join(
+        f"WHEN doc_id % {m} = {r} THEN '{s}'" for m, r, s in _LIC_PLANTS)
+    _fp_sql = ' '.join(
+        f"WHEN contains(lt, '{needle}') THEN '{lid}'"
+        for needle, lid in LICENSE_FINGERPRINTS)
+    _canon_sql = ' '.join(f"WHEN '{k}' THEN '{v[0]}'"
+                          for k, v in sorted(SPDX_TABLE.items()))
+    _fam_sql = ' '.join(f"WHEN '{k}' THEN '{v[1]}'"
+                        for k, v in sorted(SPDX_TABLE.items()))
+    _perm_sql = ' '.join(f"WHEN '{k}' THEN {str(v[2]).upper()}"
+                         for k, v in sorted(SPDX_TABLE.items()))
+    oracles['license_detect'] = f"""
+        WITH d AS (
+          SELECT doc_id, lower(text || CASE {_plant_sql} ELSE '' END)
+                 AS lt
+          FROM documents),
+        t AS (SELECT doc_id, lt,
+                regexp_extract(lt,
+                  'spdx-license-identifier:\\s*([a-z0-9.+\\-]+)', 1)
+                  AS tag
+              FROM d),
+        f AS (SELECT doc_id, tag,
+                CASE {_fp_sql} ELSE '' END AS fp
+              FROM t),
+        l AS (SELECT doc_id, tag, fp,
+                CASE WHEN tag != '' THEN tag ELSE fp END AS lid
+              FROM f)
+        SELECT doc_id,
+          CASE WHEN lid = '' THEN ''
+               ELSE coalesce(CASE lid {_canon_sql} END, lid)
+               END AS spdx_id,
+          CASE WHEN lid = '' THEN 'none'
+               ELSE coalesce(CASE lid {_fam_sql} END, 'unknown')
+               END AS family,
+          coalesce(CASE lid {_perm_sql} END, FALSE) AS permissive,
+          CASE WHEN tag != '' THEN 'spdx'
+               WHEN fp != '' THEN 'fingerprint'
+               ELSE 'none' END AS evidence
+        FROM l
     """
     # phrase search: brute-force window-equality mirror over the same
     # tokenization; starts are 0-based like Spark's posexplode
