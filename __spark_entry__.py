@@ -5340,6 +5340,42 @@ def q_license_detect(spark, sf_dir):
         docs.select('doc_id', F.concat('text', plant).alias('text')))
 
 
+# PII plant appended to every non-empty span text in the scrub gate —
+# one hit per rule per span, shared verbatim with the SQL oracle
+_SCRUB_SUFFIX = '@example.com ip 10.0.0.7 call 555-123-4567'
+
+
+def q_scrub_spans(spark, sf_dir):
+    """PII masking INSIDE the interleaved span sequences: every
+    non-empty span text of the distributed extraction output gets a
+    deterministic email/IP/phone plant, then scrub_spans masks them
+    in place — the gated md5 serializes the FULL scrubbed span
+    sequence (kind~text~media_ref~offset), so masking the wrong span,
+    disturbing order or touching offsets all break the hash. The
+    oracle replays plant + scrub over the committed reference spans
+    (extraction == committed is separately certified by
+    extract_main)."""
+    from mineru_html_spark.functions.media import scrub_spans
+    res = _extraction_results(spark, sf_dir).select('doc_id', 'spans')
+    did = F.col('doc_id')
+    planted = res.select('doc_id', F.transform(
+        'spans', lambda s: F.struct(
+            s['kind'].alias('kind'),
+            F.when(F.coalesce(s['text'], F.lit('')) == '', s['text'])
+             .otherwise(F.concat(s['text'], F.lit(' contact u'), did,
+                                 F.lit(_SCRUB_SUFFIX))).alias('text'),
+            s['media_ref'].alias('media_ref'),
+            s['offset'].alias('offset'))).alias('spans'))
+    out = scrub_spans(planted)
+    ser = F.md5(F.concat_ws('|', F.transform(
+        'spans', lambda s: F.concat_ws(
+            '~', s['kind'], F.coalesce(s['text'], F.lit('')),
+            F.coalesce(s['media_ref'], F.lit('')),
+            s['offset'].cast('string')))))
+    return out.select('doc_id', 'n_spans', 'n_redactions',
+                      ser.alias('spans_md5'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5576,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'phrase_search': q_phrase_search,
         'exif_orient': q_exif_orient,
         'license_detect': q_license_detect,
+        'scrub_spans': q_scrub_spans,
     }
 
 
@@ -8708,6 +8745,45 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) // 2 AS INT) AS wave,
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
+    """
+    # scrub_spans: replay plant + mask + full-sequence serialization
+    # over the committed reference spans; patterns interpolated from
+    # the operator's own constants
+    from mineru_html_spark.functions.corpus import (EMAIL_RE, IPV4_RE,
+                                                    PHONE_RE)
+    _scrubbed = f"""CASE WHEN coalesce(s."text", '') = '' THEN s."text"
+            ELSE regexp_replace(regexp_replace(regexp_replace(
+                   s."text" || ' contact u' || doc_id || '{_SCRUB_SUFFIX}',
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') END"""
+    _planted = f"""CASE WHEN coalesce(s."text", '') = '' THEN s."text"
+            ELSE s."text" || ' contact u' || doc_id || '{_SCRUB_SUFFIX}'
+            END"""
+    oracles['scrub_spans'] = f"""
+        WITH r AS (SELECT doc_id, spans
+                   FROM read_parquet('{SPANS_SF001}')),
+        scr AS (
+          SELECT doc_id,
+            CAST(len(spans) AS INT) AS n_spans,
+            CAST(coalesce(list_sum(list_transform(spans, s ->
+                len(regexp_extract_all(coalesce({_planted}, ''),
+                                       '{EMAIL_RE}'))
+              + len(regexp_extract_all(coalesce({_planted}, ''),
+                                       '{IPV4_RE}'))
+              + len(regexp_extract_all(coalesce({_planted}, ''),
+                                       '{PHONE_RE}')))), 0) AS BIGINT)
+              AS n_redactions,
+            list_transform(spans, s ->
+                s.kind || '~' || coalesce({_scrubbed}, '') || '~'
+                || coalesce(s.media_ref, '') || '~'
+                || CAST(s."offset" AS VARCHAR)) AS parts
+          FROM r)
+        SELECT doc_id, n_spans, n_redactions,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               md5(coalesce(array_to_string(parts, '|'), ''))
+                 AS spans_md5
+        FROM scr
     """
     # license detect: replay plant construction, tag regex, ordered
     # fingerprint chain and the id table — all generated from the SAME

@@ -806,3 +806,48 @@ def image_dedup_keep(media: DataFrame, max_hamming: int = 8) -> DataFrame:
                      .alias('cluster_id'),
                     (F.coalesce('cluster_id', 'media_ref')
                      == F.col('media_ref')).alias('keep')))
+
+
+def scrub_spans(results: DataFrame, spans_col: str = 'spans') -> DataFrame:
+    """(doc_id, n_spans, n_redactions, spans): PII masking INSIDE the
+    interleaved span contract — emails/IPv4s/phones replaced in every
+    span's text (image spans carry alt/caption text, so kind does not
+    exempt a span) while (kind, media_ref, offset) and span ORDER stay
+    byte-identical, preserving the engine's span-sequence invariants
+    (offset contiguity, kind vocabulary) for downstream consumers like
+    interleave_pairs / assemble_interleaved_sequences.
+
+    Patterns and replacement order are the corpus-level pii_scrub's
+    (email before phone, shared constants — lockstep by import).
+    Everything is one native projection: a higher-order transform
+    rebuilds the struct array in place and a higher-order aggregate
+    counts matches on the ORIGINAL texts; zero UDFs, zero exchanges."""
+    from .corpus import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    def scrub(t):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, '<EMAIL>'),
+                IPV4_RE, '<IP>'),
+            PHONE_RE, '<PHONE>')
+
+    def hits(t):
+        return (
+            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+            + F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+            + F.size(F.regexp_extract_all(t, F.lit(PHONE_RE),
+                                          F.lit(0))))
+
+    sp = F.col(spans_col)
+    scrubbed = F.transform(sp, lambda s: F.struct(
+        s['kind'].alias('kind'),
+        F.when(F.coalesce(s['text'], F.lit('')) == '', s['text'])
+         .otherwise(scrub(s['text'])).alias('text'),
+        s['media_ref'].alias('media_ref'),
+        s['offset'].alias('offset')))
+    n_red = F.aggregate(
+        sp, F.lit(0).cast('long'),
+        lambda acc, s: acc + hits(F.coalesce(s['text'], F.lit(''))))
+    return results.select(
+        'doc_id', F.size(sp).cast('int').alias('n_spans'),
+        n_red.alias('n_redactions'), scrubbed.alias(spans_col))

@@ -2857,3 +2857,34 @@ def test_interval_join_exact_and_no_nested_loop(spark):
     assert 'BroadcastHashJoin' in plan
     assert 'BroadcastNestedLoopJoin' not in plan
     assert 'CartesianProduct' not in plan
+
+
+def test_scrub_spans_masks_in_place_preserving_contract(spark):
+    from mineru_html_spark.functions.media import scrub_spans
+    rows = [
+        {'doc_id': 'a', 'spans': [
+            {'kind': 'text', 'text': 'mail bob@x.co now', 'media_ref': '',
+             'offset': 0},
+            {'kind': 'image', 'text': 'cap 10.0.0.7', 'media_ref': 'm:1',
+             'offset': 1},
+            {'kind': 'text', 'text': None, 'media_ref': '', 'offset': 2},
+        ]},
+        {'doc_id': 'b', 'spans': []},
+    ]
+    schema = ('doc_id string, spans array<struct<kind:string,text:string,'
+              'media_ref:string,offset:int>>')
+    out = scrub_spans(spark.createDataFrame(rows, schema))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, plan
+    got = {r['doc_id']: r for r in out.collect()}
+    a = got['a']
+    assert a['n_spans'] == 3 and a['n_redactions'] == 2
+    texts = [s['text'] for s in a['spans']]
+    assert texts[0] == 'mail <EMAIL> now'
+    assert texts[1] == 'cap <IP>'          # image alt text scrubbed too
+    assert texts[2] is None                # null text passes through
+    # contract fields untouched, order preserved
+    assert [(s['kind'], s['media_ref'], s['offset'])
+            for s in a['spans']] == [('text', '', 0), ('image', 'm:1', 1),
+                                     ('text', '', 2)]
+    assert got['b']['n_spans'] == 0 and got['b']['n_redactions'] == 0
