@@ -87,7 +87,27 @@ def _audit_function(path, fn):
             for ref in ast.walk(arg.body):
                 if isinstance(ref, ast.Name) and ref.id not in params \
                         and ref.id in bindings:
-                    heavy = _heavy_calls(bindings[ref.id])
+                    bound = bindings[ref.id]
+                    if isinstance(bound, ast.Lambda):
+                        # a HELPER LAMBDA applied to the element is the
+                        # linear idiom (the kernel runs once per
+                        # element on that element's own value — e.g.
+                        # the priced-spans cost() in
+                        # assemble_interleaved_sequences). Only its
+                        # own CAPTURES can reintroduce the trap:
+                        inner = {a.arg for a in bound.args.args}
+                        for r2 in ast.walk(bound.body):
+                            if isinstance(r2, ast.Name) \
+                                    and r2.id not in inner \
+                                    and r2.id in bindings \
+                                    and not isinstance(bindings[r2.id],
+                                                       ast.Lambda):
+                                heavy = _heavy_calls(bindings[r2.id])
+                                if heavy:
+                                    yield (path.name, fn.name, r2.id,
+                                           heavy, n.lineno)
+                        continue
+                    heavy = _heavy_calls(bound)
                     if heavy:
                         yield (path.name, fn.name, ref.id, heavy,
                                n.lineno)
@@ -162,3 +182,28 @@ def test_trigram_build_is_array_based(spark):
     assert low.count('[^a-z]+') == 1
     assert 'element_at' in low
     assert 'substr' not in low
+
+
+def test_audit_allows_helper_lambda_but_catches_its_captures():
+    # a helper lambda APPLIED to the element is linear (kernel runs on
+    # the element's own value) and must pass...
+    ok = '''
+def fine(documents):
+    cost = lambda s: F.size(F.regexp_extract_all(s['text'], PAT, F.lit(0)))
+    priced = F.transform('spans', lambda s: cost(s))
+    return documents.select(priced)
+'''
+    fn = ast.parse(ok).body[0]
+    assert not list(_audit_function(pathlib.Path('x.py'), fn))
+    # ...but a helper lambda that itself CAPTURES a heavy expression
+    # reintroduces the per-element recompute and must still flag
+    bad = '''
+def broken(documents):
+    clean = F.regexp_replace(F.lower(F.col('text')), '[^a-z]+', ' ')
+    sub = lambda i: clean.substr(i, F.lit(3))
+    tri = F.transform(F.sequence(F.lit(0), F.lit(9)), lambda i: sub(i))
+    return documents.select(tri)
+'''
+    fn = ast.parse(bad).body[0]
+    issues = list(_audit_function(pathlib.Path('x.py'), fn))
+    assert issues and issues[0][2] == 'clean'
