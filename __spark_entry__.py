@@ -5376,6 +5376,26 @@ def q_scrub_spans(spark, sf_dir):
                       ser.alias('spans_md5'))
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Distance-based embedding outlier screen (the QA stage after
+    embedding_audit's structural checks): vec_id%97==0 rows are planted
+    8x-scaled — they must flag; everything else must not. Integer-exact
+    end to end: quantized components, truncating-division centroid
+    (DuckDB // truncates toward zero, matched explicitly), divisionless
+    k-sigma flag n*d2 > k*sum(d2). Vectors never shuffle — two
+    single-row aggregates ride back as plan literals."""
+    from mineru_html_spark.functions.similarity import embedding_outliers
+    emb = _embeddings(spark, sf_dir)
+    planted = emb.select(
+        'vec_id',
+        F.when(F.col('vec_id') % 97 == 0,
+               F.transform('embedding', lambda x: x * F.lit(8.0)))
+         .otherwise(F.transform('embedding',
+                                lambda x: x.cast('double')))
+         .alias('embedding'))
+    return embedding_outliers(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5613,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exif_orient': q_exif_orient,
         'license_detect': q_license_detect,
         'scrub_spans': q_scrub_spans,
+        'embedding_outliers': q_embedding_outliers,
     }
 
 
@@ -5723,6 +5744,37 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
              f"c.ci])[1] AS BIGINT) AS d2 "
              f"FROM e CROSS JOIN c{iters} c GROUP BY e.vec_id")
     return parts[0] + ", " + ", ".join(parts[1:]) + " " + final
+
+
+def _embedding_outliers_oracle(dim: int = 64, scale: int = 10_000,
+                               k: int = 4) -> str:
+    """Exact mirror of embedding_outliers + q_embedding_outliers's
+    plant: quantize (with the 8x plant folded in), per-component
+    truncating-division centroid (DuckDB // truncates toward zero —
+    matched by the operator's trunc_div), integer d2, divisionless
+    flag."""
+    sums = ", ".join(f"CAST(sum(v[{j + 1}]) AS BIGINT) AS s{j}"
+                     for j in range(dim))
+    means = "[" + ", ".join(f"s{j} // n" for j in range(dim)) + "]"
+    return f"""
+        WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(round(
+              CAST(x AS DOUBLE)
+              * (CASE WHEN vec_id % 97 = 0 THEN 8 ELSE 1 END)
+              * {scale}) AS BIGINT)) AS v
+          FROM embeddings),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums} FROM e),
+        m AS (SELECT n, {means} AS mv FROM s),
+        d AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(1, {dim + 1}),
+                  j -> (v[j] - mv[j]) * (v[j] - mv[j]))) AS BIGINT)
+                  AS d2
+              FROM e CROSS JOIN m),
+        t AS (SELECT CAST(sum(d2) AS BIGINT) AS sd2,
+                     CAST(count(*) AS BIGINT) AS nn FROM d)
+        SELECT vec_id, d2, (t.nn * d2 > {k} * t.sd2) AS is_outlier
+        FROM d CROSS JOIN t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8746,6 +8798,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - 1) % 2 AS INT) AS slot
         FROM r
     """
+    oracles['embedding_outliers'] = _embedding_outliers_oracle()
     # scrub_spans: replay plant + mask + full-sequence serialization
     # over the committed reference spans; patterns interpolated from
     # the operator's own constants

@@ -726,3 +726,56 @@ def semantic_decontaminate(embeddings: DataFrame, probe_ids: List[int],
         best['c'].alias('max_cos_micro'),
         (-best['npid']).cast('long').alias('nearest_probe'),
         (nhits == 0).alias('keep'))
+
+
+def embedding_outliers(embeddings: DataFrame, dim: int = 64,
+                       scale: int = 10_000, k: int = 4,
+                       vec_col: str = 'embedding') -> DataFrame:
+    """(vec_id, d2, is_outlier): distance-based outlier screen for an
+    embedding table — the QA stage after :func:`embedding_audit`'s
+    structural checks: vectors far from the corpus mean are mislabeled
+    payloads, collapsed encoders or corrupt rows, and they poison
+    k-means seeds and IVF quantizers downstream.
+
+    Integer-exact (hash-gateable): components quantize to ``scale``
+    units (the kmeans idiom), the mean is the per-component
+    TRUNCATING-division centroid (Python trunc == DuckDB ``//`` —
+    which truncates toward zero, NOT Python's floor ``//``; measured),
+    d2 is the integer squared distance, and the flag is the
+    divisionless comparison ``n * d2 > k * sum(d2)`` (the
+    daily_anomalies idiom) so no ratio ever floats. With |x| <= ~1,
+    scale 1e4 and dim 64, d2 <= ~5e11 and the flag terms stay below
+    int64 even at 10^6 vectors.
+
+    Scale shape: two corpus scans, each ending in ONE map-side-combined
+    single-row aggregate (64 component sums; then sum of d2) whose
+    result rides back as plan literals — vectors never shuffle; the
+    final projection is row-local. The same two-pass shape as the
+    corpus-stats broadcasts in bm25/quality."""
+    q = F.transform(
+        vec_col,
+        lambda x: F.round(x.cast('double') * scale).cast('long'))
+    ev = embeddings.select('vec_id', q.alias('v'))
+
+    row = ev.agg(
+        F.count('*').alias('n'),
+        *[F.sum(F.element_at('v', j + 1)).alias(f's{j}')
+          for j in range(dim)]).collect()[0]
+    n = row['n']
+
+    def trunc_div(s: int, d: int) -> int:
+        s = int(s or 0)
+        return s // d if s >= 0 else -((-s) // d)
+
+    mean = [trunc_div(row[f's{j}'], max(n, 1)) for j in range(dim)]
+    mlit = F.array(*[F.lit(m).cast('long') for m in mean])
+    d2 = F.aggregate(
+        F.zip_with('v', mlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast('long'), lambda acc, x: acc + x)
+    dd = ev.select('vec_id', d2.alias('d2'))
+    tot = dd.agg(F.sum('d2').alias('sd2')).collect()[0]
+    sd2 = int(tot['sd2'] or 0)
+    return dd.select(
+        'vec_id', 'd2',
+        (F.lit(n).cast('long') * F.col('d2')
+         > F.lit(k * sd2).cast('long')).alias('is_outlier'))

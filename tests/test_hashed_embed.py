@@ -57,3 +57,39 @@ def test_hashed_embed_exchange_carries_sums_not_words(spark):
             # the exploded column prints as `word#N` (n_words is fine)
             assert not re.search(r'(?<!n_)word#', line), line
     assert 'partial' in p.lower()        # map-side combine present
+
+
+def test_embedding_outliers_flags_planted_far_vectors(spark):
+    from mineru_html_spark.functions.similarity import embedding_outliers
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-0.4, 0.4) for _ in range(8)]
+        if i in (13, 47):                    # planted far points
+            base = [x * 9 for x in base]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    out = embedding_outliers(df, dim=8)
+    got = {r['vec_id']: r for r in out.collect()}
+    assert got[13]['is_outlier'] and got[47]['is_outlier']
+    flagged = [v for v, r in got.items() if r['is_outlier']]
+    assert set(flagged) == {13, 47}
+    # d2 is integer and non-negative everywhere
+    assert all(r['d2'] >= 0 for r in got.values())
+
+
+def test_embedding_outliers_trunc_div_matches_duckdb(spark):
+    """The centroid uses TRUNCATING division because DuckDB's // on
+    negatives truncates toward zero (-7//2 == -3), unlike Python's
+    floor (-4) — pinned so the oracle pairing cannot drift."""
+    import duckdb
+    assert duckdb.connect().execute(
+        'select CAST(-7 AS BIGINT) // CAST(2 AS BIGINT)'
+    ).fetchone()[0] == -3
+    from mineru_html_spark.functions.similarity import embedding_outliers
+    # all-negative components force negative sums through the mean
+    rows = [(i, [-0.3 - 0.01 * i] * 4) for i in range(5)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    out = embedding_outliers(df, dim=4).collect()
+    assert len(out) == 5 and all(r['d2'] >= 0 for r in out)
