@@ -5396,6 +5396,30 @@ def q_embedding_outliers(spark, sf_dir):
     return embedding_outliers(planted)
 
 
+# accent-fold plant: combining-mark compositions that MUST fold plus
+# standalone letters (ß æ œ ø) that must NOT — shared with the oracle
+_FOLD_SUFFIX = ' Crème BRÛLÉE façade Ångström naïve ñoño ß æ œ ø'
+
+
+def q_accent_fold(spark, sf_dir):
+    """Accent folding cross-IMPLEMENTATION gate (the nfc_normalize
+    pattern): CPython unicodedata's NFD/strip-Mn/NFC/lower must agree
+    byte-for-byte with DuckDB's independent utf8proc strip_accents +
+    lower — on docs planted with composed accents (must fold) and
+    standalone letters ß/æ/œ/ø (must NOT fold; transliteration is a
+    different operation). Half the docs stay clean to pin identity."""
+    from mineru_html_spark.functions.text import fold_accents
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    planted = docs.select(
+        'doc_id',
+        F.when(F.col('doc_id') % 2 == 0,
+               F.concat('text', F.lit(_FOLD_SUFFIX)))
+         .otherwise(F.col('text')).alias('text'))
+    out = fold_accents(planted)
+    return out.select('doc_id', F.md5('folded').alias('folded_md5'),
+                      'n_chars')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5634,6 +5658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'license_detect': q_license_detect,
         'scrub_spans': q_scrub_spans,
         'embedding_outliers': q_embedding_outliers,
+        'accent_fold': q_accent_fold,
     }
 
 
@@ -8799,6 +8824,18 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     oracles['embedding_outliers'] = _embedding_outliers_oracle()
+    # accent fold: two INDEPENDENT Unicode implementations must agree
+    # byte-for-byte (utf8proc strip_accents vs CPython unicodedata)
+    oracles['accent_fold'] = f"""
+        SELECT doc_id,
+               md5(lower(strip_accents(
+                 CASE WHEN doc_id % 2 = 0 THEN text || '{_FOLD_SUFFIX}'
+                      ELSE text END))) AS folded_md5,
+               CAST(len(lower(strip_accents(
+                 CASE WHEN doc_id % 2 = 0 THEN text || '{_FOLD_SUFFIX}'
+                      ELSE text END))) AS BIGINT) AS n_chars
+        FROM documents
+    """
     # scrub_spans: replay plant + mask + full-sequence serialization
     # over the committed reference spans; patterns interpolated from
     # the operator's own constants

@@ -1194,3 +1194,40 @@ def repetition_signals(documents: DataFrame,
 
     return (documents.select('doc_id', text_col)
             .mapInPandas(batch, REPETITION_SCHEMA))
+
+
+def fold_accents(documents: DataFrame,
+                 text_col: str = 'text') -> DataFrame:
+    """(doc_id, folded, n_chars): search-normalization accent folding —
+    NFD decompose, drop combining marks (category Mn), NFC recompose,
+    lowercase. The canonicalization a retrieval tier applies to both
+    index and query so 'Ångström' matches 'angstrom'; base letters
+    that are NOT combining-mark compositions (ß æ œ ø đ) are correctly
+    left alone — folding those is a transliteration decision, not a
+    normalization one (stated; the ICU-style transliterator is the
+    production upgrade path).
+
+    CPython unicodedata inside an Arrow batch (Spark has no native
+    kernel); the DuckDB oracle uses the INDEPENDENT utf8proc
+    ``strip_accents`` + ``lower``, so the gate cross-checks two
+    unrelated Unicode implementations against each other — the
+    nfc_normalize_docs pattern. Zero exchanges."""
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+
+    def fold(t: str) -> str:
+        d = unicodedata.normalize('NFD', t)
+        stripped = ''.join(c for c in d
+                           if unicodedata.category(c) != 'Mn')
+        return unicodedata.normalize('NFC', stripped).lower()
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            f = pdf[text_col].map(lambda s: fold(str(s)))
+            yield pd.DataFrame({'doc_id': pdf['doc_id'], 'folded': f,
+                                'n_chars': f.map(len).astype('int64')})
+
+    return documents.select('doc_id', text_col).mapInPandas(
+        batch, 'doc_id long, folded string, n_chars long')

@@ -530,3 +530,20 @@ def test_robots_meta_semantics(spark):
     out = {x['doc_id']: x for x in robots_meta(df).collect()}
     assert out[1]['nosnippet'] and not out[1]['noindex']
     assert not out[2]['has_robots_meta']
+
+
+def test_fold_accents_semantics(spark):
+    from mineru_html_spark.functions.text import fold_accents
+    rows = [(0, 'Crème BRÛLÉE Ångström'),
+            (1, 'straße æon œuvre øre'),       # no combining marks
+            (2, 'plain ascii stays put'),
+            (3, 'ańo composed vs à')]  # explicit NFD input
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r for r in fold_accents(df).collect()}
+    assert out[0]['folded'] == 'creme brulee angstrom'
+    # standalone letters are NOT transliterated, only lowercased
+    assert out[1]['folded'] == 'straße æon œuvre øre'
+    assert out[2]['folded'] == 'plain ascii stays put'
+    # combining acute/grave dropped regardless of composition form
+    assert out[3]['folded'] == 'ano composed vs a'
+    assert out[3]['n_chars'] == len('ano composed vs a')
