@@ -5420,6 +5420,41 @@ def q_accent_fold(spark, sf_dir):
                       'n_chars')
 
 
+def q_streaming_politeness(spark, sf_dir):
+    """Streaming crawl-delay admission through a REAL AvailableNow
+    drain: synthesized fetch requests (7 hosts, pseudo-random event
+    times dense enough that ~3/4 of each host's requests fall inside
+    the 1000 ms interval) flow through the stateful per-host greedy
+    gate; the oracle replays the admitted-chain as a per-host
+    recursive CTE — any drift in ordering, the greedy update rule or
+    state handling breaks the hash."""
+    import shutil
+
+    from mineru_html_spark.streaming.ingest import streaming_politeness
+    reqs = _docs(spark, sf_dir).select(
+        F.concat(F.lit('h'), F.col('doc_id') % 7).alias('host'),
+        F.concat(F.lit('http://h'), F.col('doc_id') % 7,
+                 F.lit('.example/p'), 'doc_id').alias('url'),
+        ((F.col('doc_id') * 137) % 4096).cast('long').alias('ts_ms'))
+    tmp = os.path.join(REPO, '.data', 'polite_gate_v1')
+    shutil.rmtree(tmp, ignore_errors=True)
+    in_dir, out_dir = os.path.join(tmp, 'in'), os.path.join(tmp, 'out')
+    reqs.repartition(1).write.parquet(in_dir)
+    stream = (spark.readStream
+              .schema('host string, url string, ts_ms long')
+              .parquet(in_dir))
+    q = (streaming_politeness(stream).writeStream
+         .foreachBatch(lambda df, _:
+                       df.write.mode('append').parquet(out_dir))
+         .option('checkpointLocation', os.path.join(tmp, 'ckpt'))
+         .outputMode('update').trigger(availableNow=True).start())
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            'streaming_politeness drain did not finish within 180s')
+    return spark.read.parquet(out_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5659,6 +5694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'scrub_spans': q_scrub_spans,
         'embedding_outliers': q_embedding_outliers,
         'accent_fold': q_accent_fold,
+        'streaming_politeness': q_streaming_politeness,
     }
 
 
@@ -8824,6 +8860,31 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     oracles['embedding_outliers'] = _embedding_outliers_oracle()
+    # streaming politeness: per-host greedy admitted-chain replayed as
+    # a recursive CTE (the revisit_dedup oracle approach)
+    oracles['streaming_politeness'] = """
+        WITH RECURSIVE req AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                 CAST((doc_id * 137) % 4096 AS BIGINT) AS ts_ms
+          FROM documents),
+        r AS (SELECT host, url, ts_ms,
+                row_number() OVER (PARTITION BY host
+                                   ORDER BY ts_ms, url) AS rn
+              FROM req),
+        walk AS (
+          SELECT host, url, ts_ms, rn, TRUE AS admitted,
+                 ts_ms AS last
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.host, r.url, r.ts_ms, r.rn,
+                 r.ts_ms >= w.last + 1000,
+                 CASE WHEN r.ts_ms >= w.last + 1000 THEN r.ts_ms
+                      ELSE w.last END
+          FROM walk w JOIN r ON r.host = w.host AND r.rn = w.rn + 1)
+        SELECT host, url, ts_ms, admitted FROM walk
+    """
     # accent fold: two INDEPENDENT Unicode implementations must agree
     # byte-for-byte (utf8proc strip_accents vs CPython unicodedata)
     oracles['accent_fold'] = f"""

@@ -492,3 +492,51 @@ def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
                 Totals(),
                 'user_id long, n_events long, sum_value_centi long',
                 'Update', 'None'))
+
+
+def streaming_politeness(requests, min_interval_ms: int = 1000):
+    """Per-host crawl-delay ADMISSION over a fetch-request stream — the
+    streaming enforcement of the robots crawl-delay / frontier
+    politeness contract: a request is admitted when at least
+    ``min_interval_ms`` of event time has passed since the host's LAST
+    ADMITTED request, else it comes back ``admitted=false`` for
+    re-queue by the frontier.
+
+    Determinism contract: within a micro-batch each host group
+    processes in (ts_ms, url) order (stated replay order, the
+    frontier_waves tie-break); across micro-batches the state — ONE
+    long per host, the last admitted timestamp — carries the chain, so
+    a restart or a different batch slicing yields the same admissions
+    (tested with maxFilesPerTrigger=1).
+
+    Scale shape: state is 8 bytes per host regardless of traffic;
+    request text never enters state. Mega-host skew is inherent to
+    politeness semantics (one group per host IS the serialization the
+    contract demands — the frontier_waves precedent)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        last = state.get[0] if state.exists else None
+        frames = list(pdfs)
+        pdf = pd.concat(frames).sort_values(['ts_ms', 'url'])
+        rows = []
+        for ts, url in zip(pdf['ts_ms'], pdf['url']):
+            ts = int(ts)
+            ok = last is None or ts >= last + min_interval_ms
+            if ok:
+                last = ts
+            rows.append((key[0], url, ts, ok))
+        state.update((int(last),))
+        yield pd.DataFrame(rows, columns=['host', 'url', 'ts_ms',
+                                          'admitted'])
+
+    return (requests
+            .groupBy('host')
+            .applyInPandasWithState(
+                update,
+                outputStructType='host string, url string, ts_ms long, '
+                                 'admitted boolean',
+                stateStructType='last long',
+                outputMode='update',
+                timeoutConf=GroupStateTimeout.NoTimeout))

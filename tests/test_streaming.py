@@ -480,3 +480,35 @@ def test_streaming_user_totals_tws(spark, tmp_path):
         F.count('*'), F.sum(F.round(F.col('value') * 100)
                             .cast('long'))).collect()))
     assert final == exp
+
+
+def test_streaming_politeness_state_survives_micro_batches(spark, tmp_path):
+    """Two files drained with maxFilesPerTrigger=1: the second batch's
+    first request lands 400 ms after the first batch's last ADMITTED
+    one, so it must be deferred — only carried state can know that."""
+    from mineru_html_spark.streaming.ingest import streaming_politeness
+    in_dir = str(tmp_path / 'in')
+    out_dir = str(tmp_path / 'out')
+    b1 = [('a.example', 'u1', 0), ('a.example', 'u2', 500),
+          ('a.example', 'u3', 1200)]
+    b2 = [('a.example', 'u4', 1600),      # 400ms after admitted u3
+          ('a.example', 'u5', 2300),      # 1100ms after u3: admit
+          ('b.example', 'u6', 10)]        # fresh host: admit
+    schema = 'host string, url string, ts_ms long'
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(in_dir + '/f1')
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(in_dir + '/f2')
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1)
+              .parquet(in_dir + '/f*'))
+    q = (streaming_politeness(stream).writeStream
+         .foreachBatch(lambda df, _:
+                       df.write.mode('append').parquet(out_dir))
+         .option('checkpointLocation', str(tmp_path / 'ckpt'))
+         .outputMode('update').trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r['url']: r['admitted']
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {'u1': True, 'u2': False, 'u3': True,
+                   'u4': False, 'u5': True, 'u6': True}
