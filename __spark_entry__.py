@@ -5455,6 +5455,20 @@ def q_streaming_politeness(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+_KWIC_TERMS = ('spark', 'merge')
+
+
+def q_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (the search stack's rendering
+    stage): every corpus occurrence of two query terms with ±3 words
+    of context, edge-clipped. Zero joins/aggregates — matches are the
+    only rows that leave the scan stage. Exact SQL oracle slices the
+    same windows."""
+    from mineru_html_spark.functions.retrieval import kwic_snippets
+    return kwic_snippets(_docs(spark, sf_dir), list(_KWIC_TERMS),
+                         window=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5695,6 +5709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_outliers': q_embedding_outliers,
         'accent_fold': q_accent_fold,
         'streaming_politeness': q_streaming_politeness,
+        'kwic_snippets': q_kwic_snippets,
     }
 
 
@@ -8860,6 +8875,19 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     oracles['embedding_outliers'] = _embedding_outliers_oracle()
+    # KWIC snippets: same tokenization, same edge-clipped window slice
+    oracles['kwic_snippets'] = f"""
+        WITH wr AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),
+        t AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+              FROM wr),
+        m AS (SELECT doc_id, w, i, w[i] AS term FROM t
+              WHERE w[i] IN ('{_KWIC_TERMS[0]}', '{_KWIC_TERMS[1]}'))
+        SELECT term, doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(
+                 list_slice(w, greatest(i - 3, 1), i + 3), ' ')
+                 AS snippet
+        FROM m
+    """
     # streaming politeness: per-host greedy admitted-chain replayed as
     # a recursive CTE (the revisit_dedup oracle approach)
     oracles['streaming_politeness'] = """

@@ -150,3 +150,29 @@ def phrase_search(documents: DataFrame, phrases: list,
             .agg(F.count('*').alias('n_matches'),
                  F.min('start').cast('long').alias('first_pos'),
                  F.max('start').cast('long').alias('last_pos')))
+
+
+def kwic_snippets(documents: DataFrame, terms: list, window: int = 3,
+                  text_col: str = 'text') -> DataFrame:
+    """(term, doc_id, pos, snippet): keyword-in-context — the
+    result-rendering stage of the search stack (inverted_index -> bm25
+    -> phrase_search -> THIS): every occurrence of a query term with
+    its ±``window``-word context joined by single spaces, clipped at
+    document edges.
+
+    Row-local: posexplode over the scan, a literal isin filter (pushed
+    to the generate output — terms are a query-sized list, no join at
+    all), and a slice of the words array already in the row. Zero
+    joins, zero aggregates; the only rows that survive the stage are
+    actual matches. Tokenization is the corpus-wide ``_words``."""
+    w = F.col('_ws')
+    start = F.greatest(F.col('pos') + 1 - window, F.lit(1))
+    length = F.col('pos') + 1 + window - start + 1
+    return (documents
+            .select('doc_id', _words(text_col).alias('_ws'))
+            .select('doc_id', '_ws',
+                    F.posexplode('_ws').alias('pos', 'term'))
+            .where(F.col('term').isin(*terms))
+            .select('term', 'doc_id', F.col('pos').cast('long').alias('pos'),
+                    F.array_join(F.slice(w, start, length), ' ')
+                     .alias('snippet')))

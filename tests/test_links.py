@@ -97,3 +97,20 @@ def test_phrase_search_term_list_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'BroadcastHashJoin' in plan, plan
     assert 'SortMergeJoin' not in plan, plan
+
+
+def test_kwic_snippets_edges_and_matches(spark):
+    from mineru_html_spark.functions.retrieval import kwic_snippets
+    rows = [(0, 'alpha beta gamma delta epsilon zeta eta'),
+            (1, 'beta at the start'),
+            (2, 'no hits here at all')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = kwic_snippets(df, ['beta', 'zeta'], window=2)
+    got = {(r['term'], r['doc_id']): (r['pos'], r['snippet'])
+           for r in out.collect()}
+    assert got[('beta', 0)] == (1, 'alpha beta gamma delta')  # left clip
+    assert got[('zeta', 0)] == (5, 'delta epsilon zeta eta')  # right clip
+    assert got[('beta', 1)] == (0, 'beta at the')
+    assert not [k for k in got if k[1] == 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Join' not in plan and 'Exchange' not in plan, plan
