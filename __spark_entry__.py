@@ -5469,6 +5469,34 @@ def q_kwic_snippets(spark, sf_dir):
                          window=3)
 
 
+def q_dehyphenate(spark, sf_dir):
+    """Line-break hyphen repair (the PDF-corpus cleanup): every 6th
+    corpus word is split mid-word across a hyphen+newline — lowercase
+    continuations (must rejoin, hyphen dropped) and every 12th word
+    with an UPPERCASED tail (lexical-hyphen signal: hyphen kept, break
+    dropped). The oracle rebuilds the identical broken text and
+    replays both rules with RE2's global replace; join counts and the
+    repaired md5 must match hash-for-hash."""
+    from mineru_html_spark.functions.text import dehyphenate
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    w = F.split('text', ' ')
+
+    def piece(i):
+        x = F.element_at(w, i)
+        h = (F.length(x) / 2).cast('int')
+        head = x.substr(F.lit(1), h)
+        tail = x.substr(h + 1, F.length(x))
+        tail = F.when(i % 12 == 0, F.upper(tail)).otherwise(tail)
+        return F.when((i % 6 == 0) & (F.length(x) >= 4),
+                      F.concat(head, F.lit('-\n'), tail)).otherwise(x)
+
+    broken = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.size(w)), piece), ' ')
+    out = dehyphenate(docs.select('doc_id', broken.alias('text')))
+    return out.select('doc_id', 'n_joins',
+                      F.md5('text_fixed').alias('fixed_md5'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5710,6 +5738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'accent_fold': q_accent_fold,
         'streaming_politeness': q_streaming_politeness,
         'kwic_snippets': q_kwic_snippets,
+        'dehyphenate': q_dehyphenate,
     }
 
 
@@ -8875,6 +8904,36 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     oracles['embedding_outliers'] = _embedding_outliers_oracle()
+    # dehyphenation: rebuild the same broken text, replay both rules
+    # with RE2 global replace ('g'; Spark's regexp_replace is global by
+    # default). The constructed text has no CR, so the LF-only mirror
+    # of the operator's \r?-tolerant patterns is behavior-exact.
+    oracles['dehyphenate'] = """
+        WITH wr AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        p AS (SELECT doc_id,
+          array_to_string(list_transform(range(1, len(w) + 1), i ->
+            CASE WHEN i % 6 = 0 AND len(w[i]) >= 4 THEN
+              substr(w[i], 1, CAST(len(w[i]) // 2 AS INT)) || '-'
+              || chr(10) ||
+              CASE WHEN i % 12 = 0
+                   THEN upper(substr(w[i],
+                          CAST(len(w[i]) // 2 AS INT) + 1))
+                   ELSE substr(w[i], CAST(len(w[i]) // 2 AS INT) + 1)
+              END
+            ELSE w[i] END), ' ') AS t
+          FROM wr)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+                 '[a-z]-' || chr(10) || '[a-z]'))
+               + len(regexp_extract_all(t,
+                 '[a-z]-' || chr(10) || '[A-Z]')) AS BIGINT) AS n_joins,
+          md5(regexp_replace(regexp_replace(t,
+            '([a-z])-' || chr(10) || '([a-z])', '\\1\\2', 'g'),
+            '([a-z])-' || chr(10) || '([A-Z])', '\\1-\\2', 'g'))
+            AS fixed_md5
+        FROM p
+    """
     # KWIC snippets: same tokenization, same edge-clipped window slice
     oracles['kwic_snippets'] = f"""
         WITH wr AS (SELECT doc_id, {_WORDS_AZ09} AS w FROM documents),

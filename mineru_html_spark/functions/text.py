@@ -1231,3 +1231,34 @@ def fold_accents(documents: DataFrame,
 
     return documents.select('doc_id', text_col).mapInPandas(
         batch, 'doc_id long, folded string, n_chars long')
+
+
+def dehyphenate(documents: DataFrame,
+                text_col: str = 'text') -> DataFrame:
+    """(doc_id, n_joins, text_fixed): repair line-break hyphenation —
+    the cleanup every PDF/print-derived corpus needs before
+    tokenization ('exam-\\nple' is two garbage tokens until rejoined).
+    Two stated rules, applied in order:
+
+    * lowercase-to-lowercase breaks drop the hyphen AND the break
+      ('exam-\\nple' -> 'example' — a soft hyphen inserted by
+      justification);
+    * lowercase-to-UPPERCASE breaks keep the hyphen, drop the break
+      ('state-\\nOf' -> 'state-Of' — a real compound split at the
+      hyphen; without a dictionary the capital is the cheap signal the
+      hyphen is lexical).
+
+    Replacement scans are non-overlapping left-to-right in BOTH
+    engines (Java Matcher and RE2 continue after the match end), so a
+    chain 'a-\\nb-\\nc' resolves identically: first join wins, second
+    break survives. Pure native projection, zero exchanges."""
+    t = F.col(text_col)
+    n1 = F.size(F.regexp_extract_all(
+        t, F.lit('[a-z]-\r?\n[a-z]'), F.lit(0))).cast('long')
+    n2 = F.size(F.regexp_extract_all(
+        t, F.lit('[a-z]-\r?\n[A-Z]'), F.lit(0))).cast('long')
+    fixed = F.regexp_replace(
+        F.regexp_replace(t, '([a-z])-\r?\n([a-z])', '$1$2'),
+        '([a-z])-\r?\n([A-Z])', '$1-$2')
+    return documents.select('doc_id', (n1 + n2).alias('n_joins'),
+                            fixed.alias('text_fixed'))

@@ -547,3 +547,22 @@ def test_fold_accents_semantics(spark):
     # combining acute/grave dropped regardless of composition form
     assert out[3]['folded'] == 'ano composed vs a'
     assert out[3]['n_chars'] == len('ano composed vs a')
+
+
+def test_dehyphenate_rules_and_chains(spark):
+    from mineru_html_spark.functions.text import dehyphenate
+    rows = [(0, 'an exam-\nple of hyphen-\nation'),
+            (1, 'keep state-\nOf compound'),       # lexical signal
+            (2, 'a-\nb-\nc chain'),                # non-overlap scan
+            (3, 'no breaks here'),
+            (4, 'crlf exam-\r\nple too')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in dehyphenate(df).collect()}
+    assert got[0]['text_fixed'] == 'an example of hyphenation'
+    assert got[0]['n_joins'] == 2
+    assert got[1]['text_fixed'] == 'keep state-Of compound'
+    assert got[1]['n_joins'] == 1
+    # first join consumes 'b': the second break survives untouched
+    assert got[2]['text_fixed'] == 'ab-\nc chain'
+    assert got[3]['n_joins'] == 0 and got[3]['text_fixed'] == rows[3][1]
+    assert got[4]['text_fixed'] == 'crlf example too'
