@@ -112,8 +112,20 @@ def synth_media_df(spark: SparkSession, media_refs: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(rows, columns=['media_ref', 'payload', 'mime',
                                               'width', 'height', 'n_frames'])
-    return media_refs.select('media_ref').distinct().mapInPandas(
-        batch, MEDIA_SCHEMA)
+    # repartition AFTER the distinct: its output is tiny ref rows, so
+    # AQE coalesces the exchange to a handful of partitions — and the
+    # Python-heavy stages downstream (this payload build, feature
+    # decode, the ~13 ms/image pHash) inherit that width. Measured on
+    # the pipeline harness: stage 17 ran 3-wide on a 32-core session
+    # (~14 min instead of ~90 s) until this widen. At 100 TB the same
+    # knob is repartitioning the ref list before the object-store
+    # fetch — cheap-shuffle-before-expensive-UDF is the one case where
+    # AQE's coalescing is actively wrong.
+    spark_ = media_refs.sparkSession
+    width = max(spark_.sparkContext.defaultParallelism * 2, 8)
+    return (media_refs.select('media_ref').distinct()
+            .repartition(width, 'media_ref')
+            .mapInPandas(batch, MEDIA_SCHEMA))
 
 
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
@@ -241,22 +253,31 @@ RESIZED_SCHEMA = ('media_ref string, width int, height int, '
 def resize_to(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
     """Real area-average resample to (nh, nw): each output pixel is the
     mean of its source box (the antialias-correct choice for
-    downsampling, which is what a media pipeline does)."""
+    downsampling, which is what a media pipeline does).
+
+    Vectorized via an integral image — BIT-EXACT vs the per-pixel
+    reference loop (and parity-tested against it): box sums of uint8
+    values are exact integers in float64 (<= 255 * h * w << 2^53), so
+    summation order cannot change the sum, and round(sum/area) is the
+    same arithmetic the loop's mean().round() performed. The loop form
+    cost ~13 ms per 32x32 target (the pHash hot path — 2,600 core-s
+    over a 185k-image pipeline run); this is ~100x cheaper. Boxes are
+    clamped non-empty so upscaling duplicates edge pixels instead of
+    averaging an empty slice into NaN (unchanged semantics)."""
     h, w = img.shape[:2]
     ys = (np.arange(nh + 1) * h / nh).round().astype(int)
     xs = (np.arange(nw + 1) * w / nw).round().astype(int)
-    out = np.zeros((nh, nw) + img.shape[2:], dtype=np.uint8)
-    f = img.astype(np.float64)
-    for i in range(nh):
-        # clamp so the box is never empty: upscaling duplicates edge
-        # pixels instead of averaging an empty slice into NaN
-        y0 = min(int(ys[i]), h - 1)
-        y1 = min(max(int(ys[i + 1]), y0 + 1), h)
-        for j in range(nw):
-            x0 = min(int(xs[j]), w - 1)
-            x1 = min(max(int(xs[j + 1]), x0 + 1), w)
-            out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
-    return out
+    y0 = np.minimum(ys[:-1], h - 1)
+    y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)
+    x0 = np.minimum(xs[:-1], w - 1)
+    x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
+    flat = img.astype(np.float64).reshape(h, w, -1)
+    s = np.zeros((h + 1, w + 1, flat.shape[2]))
+    s[1:, 1:] = flat.cumsum(0).cumsum(1)
+    box = (s[y1][:, x1] - s[y0][:, x1] - s[y1][:, x0] + s[y0][:, x0])
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    out = np.round(box / area[..., None]).astype(np.uint8)
+    return out.reshape((nh, nw) + img.shape[2:])
 
 
 def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:

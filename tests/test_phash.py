@@ -1,0 +1,34 @@
+
+
+def test_resize_to_vectorized_matches_reference_loop_bit_exact():
+    """The integral-image resample must be BIT-EXACT vs the per-pixel
+    reference loop: box sums of uint8 are exact integers in float64,
+    so summation order cannot change them — fuzzed across shapes,
+    channels, up- and down-scaling."""
+    import numpy as np
+
+    from mineru_html_spark.functions.media import resize_to
+
+    def ref(img, nw, nh):
+        h, w = img.shape[:2]
+        ys = (np.arange(nh + 1) * h / nh).round().astype(int)
+        xs = (np.arange(nw + 1) * w / nw).round().astype(int)
+        out = np.zeros((nh, nw) + img.shape[2:], dtype=np.uint8)
+        f = img.astype(np.float64)
+        for i in range(nh):
+            y0 = min(int(ys[i]), h - 1)
+            y1 = min(max(int(ys[i + 1]), y0 + 1), h)
+            for j in range(nw):
+                x0 = min(int(xs[j]), w - 1)
+                x1 = min(max(int(xs[j + 1]), x0 + 1), w)
+                out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
+        return out
+
+    rng = np.random.RandomState(11)
+    for _ in range(120):
+        h, w = rng.randint(1, 70), rng.randint(1, 70)
+        shape = (h, w, 3) if rng.randint(2) else (h, w)
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        nw, nh = rng.randint(1, 40), rng.randint(1, 40)
+        a, b = resize_to(img, nw, nh), ref(img, nw, nh)
+        assert a.shape == b.shape and (a == b).all(), (shape, nw, nh)
