@@ -5497,6 +5497,46 @@ def q_dehyphenate(spark, sf_dir):
                       F.md5('text_fixed').alias('fixed_md5'))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST exact dedup (the cross-snapshot practice): every 3rd
+    corpus doc gets a planted re-fetch — identical after whitespace
+    normalization, higher priority (n_chars+7, doc_id+1e6) — and the
+    dedup must keep the re-fetch, not the original, while untouched
+    docs survive unchanged. Oracle replays the plant and picks
+    row_number()=1 over (n_chars DESC, doc_id DESC) per normalized-md5
+    group."""
+    from mineru_html_spark.functions.dedup import exact_dedup_keep_best
+    docs = _docs(spark, sf_dir)
+    copies = (docs.filter(F.col('doc_id') % 3 == 0)
+              .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                      F.concat('text', F.lit(' \t ')).alias('text'),
+                      'lang', 'source',
+                      (F.col('n_chars') + 7).alias('n_chars')))
+    kept = exact_dedup_keep_best(docs.unionByName(copies))
+    return kept.select('doc_id', 'source', 'n_chars')
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Exact containment self-join (prefix filtering): every 5th corpus
+    doc gets a planted quote — its first 2/5 of words as a new doc —
+    and the join must surface every (inner, outer) ordered pair with
+    shingle containment >= 0.8, quote->source pairs included, at their
+    exact integer counts. Oracle is the brute-force shingle self-join
+    over the same planted corpus (recall proof: prefix filtering loses
+    nothing)."""
+    from mineru_html_spark.functions.dedup import containment_join
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    w = F.filter(F.split(F.lower(F.trim('text')), r'[^a-z0-9]+'),
+                 lambda t: F.length(t) > 0)
+    qlen = F.greatest(F.floor(F.size(w) * 2 / 5).cast('int'), F.lit(3))
+    quotes = (docs.filter(F.col('doc_id') % 5 == 0)
+              .select((F.col('doc_id') + 2000000).alias('doc_id'),
+                      F.array_join(F.slice(w, 1, qlen), ' ')
+                      .alias('text')))
+    return containment_join(docs.unionByName(quotes), k=3,
+                            t_permille=800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5739,6 +5779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_politeness': q_streaming_politeness,
         'kwic_snippets': q_kwic_snippets,
         'dehyphenate': q_dehyphenate,
+        'dedup_keep_best': q_dedup_keep_best,
+        'containment_pairs': q_containment_pairs,
     }
 
 
@@ -9357,5 +9399,49 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pstat p USING (doc_id)
         LEFT JOIN tmass t USING (doc_id)
         LEFT JOIN dmass d USING (doc_id)
+    """
+    # keep-best dedup: replay the re-fetch plant, then rank inside each
+    # normalized-md5 group by the same (n_chars, doc_id) priority
+    oracles['dedup_keep_best'] = f"""
+        WITH all_docs AS (
+          SELECT doc_id, text, source, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' ' || chr(9) || ' ',
+                 source, n_chars + 7
+          FROM documents WHERE doc_id % 3 = 0),
+        r AS (
+          SELECT doc_id, source, n_chars, row_number() OVER (
+                   PARTITION BY md5({_NORM_TEXT})
+                   ORDER BY n_chars DESC, doc_id DESC) AS rn
+          FROM all_docs)
+        SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+    """
+    # containment join: brute-force distinct-shingle self-join over the
+    # identical quote-planted corpus — the exact truth prefix filtering
+    # must reproduce pair-for-pair, count-for-count
+    oracles['containment_pairs'] = f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        quotes AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(list_slice(
+                   w, 1, greatest(2 * len(w) // 5, 3)), ' ') AS text
+          FROM (SELECT doc_id, {_WORDS_AZ09} AS w FROM base)
+          WHERE doc_id % 5 = 0),
+        ad AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+        sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM (SELECT doc_id,
+                       unnest({_SHINGLES3}) AS s
+                FROM (SELECT doc_id, {_WORDS_AZ09} AS w FROM ad))),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ob, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia AS inner_doc_id, ob AS outer_doc_id,
+               n AS n_inner, c AS n_common,
+               1000 * c // n AS containment_permille
+        FROM pairs JOIN sz ON sz.doc_id = pairs.ia
+        WHERE 1000 * c >= 800 * n
     """
     return oracles

@@ -741,3 +741,110 @@ def revisit_dedup(occurrences: DataFrame,
 
     return parts.mapInPandas(
         scan, 'doc_id long, fp string, day long, kept boolean')
+
+
+# --------------------------------------------------------------------------
+# keep-best exact dedup (cross-snapshot priority dedup)
+# --------------------------------------------------------------------------
+
+def exact_dedup_keep_best(documents: DataFrame,
+                          priority_cols=('n_chars', 'doc_id')) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per duplicate group, not the
+    first — the cross-snapshot practice (CCNet / RefinedWeb keep the
+    newest or highest-quality fetch of a page, never just the lowest id;
+    reference parity: the per-case keep-set semantics of
+    eval_baselines/base.py choose by score, not arrival).
+
+    ``priority_cols`` is a descending-lexicographic priority tuple; the
+    LAST element must be a per-row unique key (doc_id) so the winner is
+    total-ordered and deterministic under any partitioning.
+
+    Scale shape: identical to :func:`exact_dedup` — one shuffle on the
+    32-byte fingerprint carrying only (fp, priority ints); the winner
+    comes out of a single map-side-combinable ``max(struct(...))``
+    aggregate, and the semi-join back re-uses the fp exchange. Text
+    never shuffles; swapping the tie-break does not change the plan.
+    """
+    norm = F.trim(F.regexp_replace(F.lower('text'), r'\s+', ' '))
+    w = documents.withColumn('fp', F.md5(norm))
+    pr = F.struct(*[F.col(c) for c in priority_cols])
+    winners = (w.groupBy('fp')
+               .agg(F.max(pr).alias('win'))
+               .select('fp', F.col(f'win.{priority_cols[-1]}')
+                       .alias(priority_cols[-1])))
+    return (w.join(winners, ['fp', priority_cols[-1]], 'left_semi')
+            .drop('fp'))
+
+
+# --------------------------------------------------------------------------
+# exact containment join via prefix filtering (AllPairs / PPJoin family)
+# --------------------------------------------------------------------------
+
+def containment_join(documents: DataFrame, k: int = 3,
+                     t_permille: int = 800) -> DataFrame:
+    """EXACT set-containment self-join: all ordered pairs (inner, outer)
+    with ``C(A,B) = |S_A ∩ S_B| / |S_A| >= t`` over distinct k-word
+    shingle sets — the quote / mirror / doc-in-doc detector that
+    resemblance MinHash structurally misses (a 200-word quote inside a
+    5000-word page has Jaccard ~0.04 but containment 1.0).
+
+    Algorithm: prefix filtering (AllPairs, Bayardo et al. WWW'07;
+    SSJoin, Chaudhuri et al. ICDE'06), the published exact
+    set-similarity join. If B holds >= ceil(t*n_A) of A's n_A shingles,
+    A misses at most m = n_A - ceil(t*n_A) of them, so ANY m+1 shingles
+    of A must hit B — index only that prefix on the query side, rarest
+    (lowest document frequency) first so prefix postings are the
+    shortest lists. Ordering is a performance heuristic only;
+    correctness holds for any total order, so the df tie-break by
+    shingle text keeps the plan deterministic.
+
+    Scale shape: after the one shingle projection, every exchange
+    carries (md5-shingle, doc_id, small ints) — the full text never
+    shuffles. Stages: df count (map-side combined), df attach (hash
+    join on shingle), per-doc rank (one window on doc_id), prefix
+    filter row-local, candidate generation = prefix ⋈ postings on the
+    shingle key (AQE skew-join absorbs a stop-shingle hot key), then an
+    exact verify that touches candidate pairs only. At 100 TB the next
+    lever is positional filtering (PPJoin proper) on top of the same
+    plan — noted, not needed at current candidate volumes.
+
+    Emits (inner_doc_id, outer_doc_id, n_inner, n_common,
+    containment_permille), integer-exact for the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    sh = (shingle_sets(documents, k)
+          .select('doc_id', F.explode('shingles').alias('s'))
+          .select('doc_id', F.md5('s').alias('sh')))
+    dfreq = sh.groupBy('sh').agg(F.count('*').alias('df'))
+    win = Window.partitionBy('doc_id').orderBy('df', 'sh')
+    ranked = (sh.join(dfreq, 'sh')
+              .select('doc_id', 'sh',
+                      F.row_number().over(win).alias('rk'),
+                      F.count('*').over(
+                          Window.partitionBy('doc_id')).alias('n')))
+    # m+1 where m = n - ceil(t*n/1000): misses m shingles at most
+    plen = (F.col('n')
+            - ((F.lit(t_permille) * F.col('n') + 999)
+               / 1000).cast('long') + 1)
+    prefix = ranked.filter(F.col('rk') <= plen).select(
+        F.col('doc_id').alias('a'), 'sh')
+    postings = sh.select(F.col('doc_id').alias('b'), 'sh')
+    cand = (prefix.join(postings, 'sh')
+            .filter(F.col('a') != F.col('b'))
+            .select('a', 'b').distinct())
+    # exact verify over candidate pairs only
+    sh_a = sh.select(F.col('doc_id').alias('a'), 'sh')
+    sh_b = sh.select(F.col('doc_id').alias('b'), 'sh')
+    common = (cand.join(sh_a, 'a').join(sh_b, ['b', 'sh'])
+              .groupBy('a', 'b').agg(F.count('*').alias('n_common')))
+    sizes = sh.groupBy('doc_id').agg(F.count('*').alias('n_inner'))
+    return (common
+            .join(sizes, common.a == sizes.doc_id)
+            .filter(F.lit(1000) * F.col('n_common')
+                    >= F.lit(t_permille) * F.col('n_inner'))
+            .select(F.col('a').alias('inner_doc_id'),
+                    F.col('b').alias('outer_doc_id'),
+                    'n_inner', 'n_common',
+                    (F.lit(1000) * F.col('n_common') / F.col('n_inner'))
+                    .cast('long').alias('containment_permille')))

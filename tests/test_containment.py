@@ -1,0 +1,127 @@
+"""Keep-best exact dedup + prefix-filter containment join.
+
+The containment tests certify the PUBLISHED guarantee (AllPairs prefix
+filtering finds every pair above threshold — no recall loss vs brute
+force) on adversarial shapes: full quotes, partial overlap straddling
+the threshold, and asymmetry (inner⊂outer qualifies, outer⊄inner does
+not).
+"""
+import pyspark.sql.functions as F
+import pytest
+
+from mineru_html_spark.functions.dedup import (
+    containment_join, exact_dedup_keep_best, shingle_sets)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, 'doc_id long, text string, '
+                                       'n_chars long')
+
+
+# --------------------------------------------------------------------------
+# keep-best dedup
+# --------------------------------------------------------------------------
+
+def test_keep_best_prefers_priority_then_id(spark):
+    rows = [
+        (1, 'hello world', 11),
+        (2, 'Hello   world  ', 99),   # same normalized text, higher prio
+        (3, 'hello world', 99),       # ties prio with 2 -> higher id wins
+        (4, 'unrelated text', 5),
+    ]
+    kept = exact_dedup_keep_best(_docs(spark, rows))
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [3, 4]
+
+
+def test_keep_best_matches_exact_dedup_group_count(spark):
+    rows = [(i, f'doc {i % 4} body', i) for i in range(12)]
+    kept = exact_dedup_keep_best(_docs(spark, rows))
+    assert kept.count() == 4
+    # keep-newest: the max doc_id of each residue class survives
+    assert sorted(r.doc_id for r in kept.collect()) == [8, 9, 10, 11]
+
+
+# --------------------------------------------------------------------------
+# containment join
+# --------------------------------------------------------------------------
+
+WORDS = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+         'lam mu nu xi omicron pi rho sigma tau upsilon').split()
+
+
+def test_containment_finds_full_quote(spark):
+    outer = ' '.join(WORDS)                       # 20 words, 18 shingles
+    inner = ' '.join(WORDS[4:10])                 # strictly inside outer
+    other = 'one two three four five six seven'
+    out = containment_join(
+        _docs(spark, [(1, inner, 1), (2, outer, 1), (3, other, 1)]),
+        k=3, t_permille=800).collect()
+    pairs = {(r.inner_doc_id, r.outer_doc_id): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.n_inner == 4 and r.n_common == 4
+    assert r.containment_permille == 1000
+    # asymmetry: outer is NOT contained in inner (4/18 << 0.8)
+    assert (2, 1) not in pairs
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_containment_threshold_is_exact(spark):
+    # inner has 10 shingles (12 words); overlap region shares exactly 8
+    inner_words = WORDS[:12]
+    outer_words = WORDS[:10] + ['zzz', 'yyy', 'xxx']
+    inner = ' '.join(inner_words)                 # shingles w[0..9]
+    outer = ' '.join(outer_words)                 # shares w[0..7] -> 8
+    out = containment_join(
+        _docs(spark, [(1, inner, 1), (2, outer, 1)]),
+        k=3, t_permille=800).collect()
+    pairs = {(r.inner_doc_id, r.outer_doc_id): r for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)].containment_permille == 800
+    below = containment_join(
+        _docs(spark, [(1, inner, 1), (2, outer, 1)]),
+        k=3, t_permille=801).collect()
+    assert not [r for r in below
+                if (r.inner_doc_id, r.outer_doc_id) == (1, 2)]
+
+
+def test_containment_matches_brute_force(spark):
+    # 12 docs built from a tiny vocabulary so cross-doc overlap is rich;
+    # prefix filtering must reproduce brute force EXACTLY (recall proof)
+    rows = []
+    for i in range(12):
+        ws = [WORDS[(i * 3 + j * (1 + i % 3)) % 13] for j in range(10)]
+        rows.append((i, ' '.join(ws), 1))
+    docs = _docs(spark, rows)
+    got = {(r.inner_doc_id, r.outer_doc_id, r.n_common)
+           for r in containment_join(docs, k=3, t_permille=500).collect()}
+    sets = {r.doc_id: set(r.shingles)
+            for r in shingle_sets(docs, 3).collect()}
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa and 1000 * len(sa & sb) >= 500 * len(sa):
+                want.add((a, b, len(sa & sb)))
+    assert got == want
+
+
+def test_containment_short_docs_emit_nothing(spark):
+    out = containment_join(
+        _docs(spark, [(1, 'one two', 1), (2, 'one two', 1)]),
+        k=3).collect()
+    assert out == []
+
+
+def test_containment_plan_never_shuffles_text(spark):
+    df = containment_join(_docs(spark, [(1, 'a b c d e', 1)]), k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every exchange is over hash/int columns; text appears only in the
+    # scan-side projections below the first exchange
+    for line in plan.splitlines():
+        if 'Exchange hashpartitioning' in line:
+            assert 'text' not in line
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(pytest.main([__file__, '-q']))
