@@ -5537,6 +5537,50 @@ def q_containment_pairs(spark, sf_dir):
                             t_permille=800)
 
 
+def _outline_docs(spark, sf_dir):
+    """Construction corpus for the outline gates: four heading shapes
+    per doc_id%4 over every corpus doc — nested-inline title, stack
+    pop (h2 after h3's ancestor), case-insensitive tags, and an empty
+    trailing section — all pure doc_id arithmetic so the oracle states
+    every row."""
+    d = F.col('doc_id')
+    cls = d % 4
+    part = F.concat(F.lit('Part '), (d % 7).cast('string'))
+    body = F.repeat(F.lit('go '), (d % 9 + 1).cast('int'))
+    tail = (F.when(cls == 0, F.lit('<h4>Empty</h4>'))
+            .when(cls == 1, F.lit('<h3>Deep</h3>one'))
+            .when(cls == 2, F.lit('<h2>Next</h2>two two'))
+            .otherwise(F.lit('<H2 CLASS="q">Loud</H2>three three three')))
+    html = F.concat(F.lit('<html><body>lead in<h1>'), part,
+                    F.lit('</h1>'), body,
+                    F.lit('<h2>Sub <em>A</em></h2>alpha beta'),
+                    tail, F.lit('</body></html>'))
+    return _docs(spark, sf_dir).select('doc_id', html.alias('html'))
+
+
+def q_outline_extract(spark, sf_dir):
+    """Document outline (h1-h6 hierarchy) through the repairing DOM:
+    level, title, full ancestor-heading path (HTML5 outline pop rule)
+    and per-section word count, one Arrow pass, zero exchanges. The
+    oracle restates every planted section from the doc_id arithmetic
+    — ground truth by construction."""
+    from mineru_html_spark.functions.outline import extract_outline
+    return extract_outline(_outline_docs(spark, sf_dir))
+
+
+def q_section_chunks(spark, sf_dir):
+    """Structure-aware chunk plan: greedy packing of consecutive
+    sections under a word budget that never cuts mid-section —
+    RAG/training chunks that respect headings, vs chunk_documents'
+    blind windows. Single exchange (the doc_id groupBy serves the
+    chunk aggregate too). Oracle replays the greedy fold as a
+    recursive CTE over the identical planted outline."""
+    from mineru_html_spark.functions.outline import (
+        extract_outline, section_chunks)
+    return section_chunks(extract_outline(_outline_docs(spark, sf_dir)),
+                          budget_words=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5781,6 +5825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dehyphenate': q_dehyphenate,
         'dedup_keep_best': q_dedup_keep_best,
         'containment_pairs': q_containment_pairs,
+        'outline_extract': q_outline_extract,
+        'section_chunks': q_section_chunks,
     }
 
 
@@ -9399,6 +9445,62 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pstat p USING (doc_id)
         LEFT JOIN tmass t USING (doc_id)
         LEFT JOIN dmass d USING (doc_id)
+    """
+    # outline: every planted section restated from doc_id arithmetic
+    _OUTLINE_ROWS = """
+        d AS (SELECT doc_id, doc_id % 4 AS cls,
+                     'Part ' || CAST(doc_id % 7 AS VARCHAR) AS part,
+                     doc_id % 9 + 1 AS k
+              FROM documents),
+        o AS (
+          SELECT doc_id, CAST(0 AS INTEGER) AS sec_idx,
+                 CAST(0 AS INTEGER) AS level, '' AS title, '' AS path,
+                 CAST(2 AS BIGINT) AS n_words FROM d
+          UNION ALL SELECT doc_id, 1, 1, part, part, k FROM d
+          UNION ALL SELECT doc_id, 2, 2, 'Sub A',
+                           part || ' > Sub A', 2 FROM d
+          UNION ALL SELECT doc_id, 3, 4, 'Empty',
+                           part || ' > Sub A > Empty', 0
+                    FROM d WHERE cls = 0
+          UNION ALL SELECT doc_id, 3, 3, 'Deep',
+                           part || ' > Sub A > Deep', 1
+                    FROM d WHERE cls = 1
+          UNION ALL SELECT doc_id, 3, 2, 'Next',
+                           part || ' > Next', 2 FROM d WHERE cls = 2
+          UNION ALL SELECT doc_id, 3, 2, 'Loud',
+                           part || ' > Loud', 3 FROM d WHERE cls = 3)
+    """
+    oracles['outline_extract'] = f"""
+        WITH {_OUTLINE_ROWS}
+        SELECT doc_id, sec_idx, level, title, path, n_words FROM o
+    """
+    # section chunks: the greedy fold replayed as a recursive CTE over
+    # the identical planted outline (budget 6)
+    oracles['section_chunks'] = f"""
+        WITH RECURSIVE {_OUTLINE_ROWS},
+        r AS (SELECT doc_id, sec_idx, n_words, path,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY sec_idx) AS rn
+              FROM o),
+        walk AS (
+          SELECT doc_id, rn, sec_idx, n_words, path,
+                 0 AS cid, n_words AS w
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.doc_id, r.rn, r.sec_idx, r.n_words, r.path,
+                 CASE WHEN w.w + r.n_words > 6 AND w.w > 0
+                      THEN w.cid + 1 ELSE w.cid END,
+                 CASE WHEN w.w + r.n_words > 6 AND w.w > 0
+                      THEN r.n_words ELSE w.w + r.n_words END
+          FROM walk w JOIN r ON r.doc_id = w.doc_id
+                            AND r.rn = w.rn + 1)
+        SELECT doc_id, CAST(cid AS INTEGER) AS chunk_idx,
+               CAST(min(sec_idx) AS INTEGER) AS sec_start,
+               CAST(max(sec_idx) AS INTEGER) AS sec_end,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               arg_min(path, sec_idx) AS path,
+               CAST(sum(n_words) AS BIGINT) > 6 AS oversize
+        FROM walk GROUP BY doc_id, cid
     """
     # keep-best dedup: replay the re-fetch plant, then rank inside each
     # normalized-md5 group by the same (n_chars, doc_id) priority

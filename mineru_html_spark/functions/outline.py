@@ -1,0 +1,172 @@
+"""Document outline extraction + section-aware chunking.
+
+The structure tier between main-content extraction and sequence
+packing: recover the h1–h6 heading hierarchy of a page (reference
+parity: MinerU-HTML keeps heading blocks as first-class items —
+mineru_html/simplify_html.py's heading tags survive simplification —
+but never materializes the TREE they imply), then cut
+training/RAG chunks at SECTION boundaries instead of blind fixed-word
+windows (`corpus.chunk_documents`), so a chunk never straddles two
+topics and every chunk carries its heading path as context.
+
+Scale shape: both operators are row-local Arrow-batched passes over
+the repairing DOM (`core.dom.parse_html` — the same parser the
+extractor uses, so malformed crawl HTML is repaired identically);
+zero joins, zero exchanges beyond the final explode. The heading
+stack per document is bounded (depth 6), section counts are page-
+bounded, and nothing leaves the executor but (ints, title strings).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_HEADINGS = {'h1': 1, 'h2': 2, 'h3': 3, 'h4': 4, 'h5': 5, 'h6': 6}
+_SKIP_SUBTREES = {'script', 'style', 'noscript', 'template'}
+
+OUTLINE_SCHEMA = ('doc_id long, sec_idx int, level int, title string, '
+                  'path string, n_words long')
+
+
+def _text_words(s: str) -> int:
+    return len(s.split())
+
+
+def _doc_sections(html: str) -> List[tuple]:
+    """Flat section list: (sec_idx, level, title, path, n_words).
+
+    Section 0 is the implicit preamble (text before the first heading,
+    level 0, empty title) and is emitted only when non-empty. ``path``
+    joins the ancestor-heading titles via the document-outline
+    algorithm: a level-k heading pops every open heading with level
+    >= k (the HTML5 outline's sibling/ancestor rule), then pushes
+    itself.
+    """
+    from ..core.dom import parse_html
+
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001 — tolerant contract
+        return []
+    sections: List[List] = []   # [level, title, path, n_words]
+    stack: List[tuple] = []     # (level, title)
+
+    def heading_text(node) -> str:
+        out: List[str] = []
+
+        def rec(n):
+            for c in n.children:
+                if isinstance(c, str):
+                    out.append(c)
+                elif c.tag.lower() not in _SKIP_SUBTREES:
+                    rec(c)
+        rec(node)
+        return ' '.join(''.join(out).split())
+
+    def visit(node) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                w = _text_words(c)
+                if w:
+                    if not sections:
+                        sections.append([0, '', '', 0])
+                    sections[-1][3] += w
+                continue
+            tag = c.tag.lower()
+            if tag in _SKIP_SUBTREES:
+                continue
+            lvl = _HEADINGS.get(tag)
+            if lvl:
+                title = heading_text(c)
+                while stack and stack[-1][0] >= lvl:
+                    stack.pop()
+                stack.append((lvl, title))
+                path = ' > '.join(t for _, t in stack)
+                sections.append([lvl, title, path, 0])
+            else:
+                visit(c)
+
+    visit(root)
+    out = []
+    idx = 0
+    for lvl, title, path, n_words in sections:
+        if lvl == 0 and n_words == 0:
+            continue
+        out.append((idx, lvl, title, path, n_words))
+        idx += 1
+    return out
+
+
+def extract_outline(docs: DataFrame, html_col: str = 'html') -> DataFrame:
+    """One row per section: heading level/title, full ancestor-heading
+    path, and the word count of the section body (text until the next
+    heading at ANY level — the flat reading-order segmentation the
+    chunker consumes). Headings found inside repaired/malformed markup
+    count exactly like well-formed ones."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf['doc_id'], pdf[html_col]):
+                for sec in _doc_sections(str(html)):
+                    rows.append((int(doc_id),) + sec)
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'sec_idx', 'level', 'title', 'path',
+                'n_words'])
+
+    return (docs.select('doc_id', html_col)
+            .mapInPandas(batches, OUTLINE_SCHEMA))
+
+
+def section_chunks(outline: DataFrame, budget_words: int = 256) -> DataFrame:
+    """Structure-aware chunk plan over an :func:`extract_outline`
+    result: consecutive sections pack greedily into chunks of at most
+    ``budget_words`` words, but a chunk NEVER starts mid-section — the
+    cut points are section boundaries, so no chunk straddles a heading.
+    A single section larger than the budget becomes its own chunk
+    (split-inside-section is the tokenizer tier's job; the plan keeps
+    it visible via ``oversize``).
+
+    Pure native expressions: one groupBy(doc_id) into a sorted
+    higher-order fold — the same single-exchange shape as
+    ``corpus.pack_sequences``; no UDFs, no window cascade.
+    """
+    secs = outline.groupBy('doc_id').agg(
+        F.sort_array(F.collect_list(F.struct(
+            'sec_idx', 'n_words', 'path'))).alias('secs'))
+    # fold: (chunk_id, words_in_chunk, acc array of per-sec chunk ids)
+    fold = F.aggregate(
+        'secs',
+        F.struct(F.lit(0).alias('cid'), F.lit(0).cast('long').alias('w'),
+                 F.array().cast('array<int>').alias('ids')),
+        lambda acc, s: F.when(
+            (acc['w'] + s['n_words'] > budget_words) & (acc['w'] > 0),
+            F.struct((acc['cid'] + 1).alias('cid'),
+                     s['n_words'].alias('w'),
+                     F.concat(acc['ids'],
+                              F.array(acc['cid'] + 1)).alias('ids')))
+         .otherwise(
+            F.struct(acc['cid'].alias('cid'),
+                     (acc['w'] + s['n_words']).alias('w'),
+                     F.concat(acc['ids'],
+                              F.array(acc['cid'])).alias('ids'))),
+        lambda acc: acc['ids'])
+    assigned = secs.select(
+        'doc_id', F.arrays_zip(F.col('secs'), fold.alias('cid'))
+        .alias('z'))
+    ex = assigned.select(
+        'doc_id', F.explode('z').alias('e')).select(
+        'doc_id',
+        F.col('e.secs.sec_idx').alias('sec_idx'),
+        F.col('e.secs.n_words').alias('n_words'),
+        F.col('e.secs.path').alias('path'),
+        F.col('e.cid').alias('chunk_idx'))
+    return (ex.groupBy('doc_id', 'chunk_idx')
+            .agg(F.min('sec_idx').alias('sec_start'),
+                 F.max('sec_idx').alias('sec_end'),
+                 F.sum('n_words').alias('n_words'),
+                 F.min_by('path', 'sec_idx').alias('path'),
+                 (F.sum('n_words') > budget_words).alias('oversize')))

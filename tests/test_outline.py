@@ -1,0 +1,84 @@
+"""Outline extraction + section-aware chunking."""
+import pyspark.sql.functions as F
+import pytest
+
+from mineru_html_spark.functions.outline import (
+    _doc_sections, extract_outline, section_chunks)
+
+HTML = ('<html><body>lead in'
+        '<h1>Part 3</h1>go go go '
+        '<h2>Sub <em>A</em></h2>alpha beta'
+        '<h3>Deep</h3>one'
+        '<h2>Next</h2>two two'
+        '<h4>Empty</h4>'
+        '</body></html>')
+
+
+def test_outline_levels_paths_and_counts():
+    assert _doc_sections(HTML) == [
+        (0, 0, '', '', 2),
+        (1, 1, 'Part 3', 'Part 3', 3),
+        (2, 2, 'Sub A', 'Part 3 > Sub A', 2),
+        (3, 3, 'Deep', 'Part 3 > Sub A > Deep', 1),
+        (4, 2, 'Next', 'Part 3 > Next', 2),      # h2 pops Sub A AND Deep
+        (5, 4, 'Empty', 'Part 3 > Next > Empty', 0),
+    ]
+
+
+def test_outline_skips_script_and_empty_preamble():
+    secs = _doc_sections('<body><script>var a = 1;</script>'
+                         '<h1>T</h1>w</body>')
+    # script words never count; empty preamble is dropped, so the
+    # first emitted section is the heading at sec_idx 0
+    assert secs == [(0, 1, 'T', 'T', 1)]
+
+
+def test_outline_malformed_heading_is_deterministic():
+    # unclosed h2: the repairing parser nests the p INSIDE the heading
+    secs = _doc_sections('<body><h2>Unclosed<p>x y z</p>')
+    assert secs == [(0, 2, 'Unclosedx y z', 'Unclosedx y z', 0)]
+
+
+def test_extract_outline_spark(spark):
+    docs = spark.createDataFrame([(1, HTML), (2, '<body>plain only')],
+                                 'doc_id long, html string')
+    rows = extract_outline(docs).orderBy('doc_id', 'sec_idx').collect()
+    assert [(r.doc_id, r.sec_idx, r.level) for r in rows] == [
+        (1, 0, 0), (1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 2), (1, 5, 4),
+        (2, 0, 0)]
+    assert rows[4].path == 'Part 3 > Next'
+
+
+def test_section_chunks_cut_at_boundaries(spark):
+    docs = spark.createDataFrame([(1, HTML)], 'doc_id long, html string')
+    out = section_chunks(extract_outline(docs), budget_words=6) \
+        .orderBy('chunk_idx').collect()
+    # word runs per section: [2,3,2,1,2,0] budget 6 ->
+    # chunk0 = secs 0..1 (5), chunk1 = secs 2..5 (5)
+    assert [(r.chunk_idx, r.sec_start, r.sec_end, r.n_words)
+            for r in out] == [(0, 0, 1, 5), (1, 2, 5, 5)]
+    assert out[0].path == '' and out[1].path == 'Part 3 > Sub A'
+    assert not any(r.oversize for r in out)
+
+
+def test_section_chunks_oversize_section_is_own_chunk(spark):
+    big = '<body>' + 'w ' * 20 + '<h1>T</h1>x y</body>'
+    docs = spark.createDataFrame([(7, big)], 'doc_id long, html string')
+    out = section_chunks(extract_outline(docs), budget_words=6) \
+        .orderBy('chunk_idx').collect()
+    assert [(r.chunk_idx, r.n_words, bool(r.oversize)) for r in out] == [
+        (0, 20, True), (1, 2, False)]
+
+
+def test_section_chunks_single_exchange(spark):
+    docs = spark.createDataFrame([(1, HTML)], 'doc_id long, html string')
+    plan = section_chunks(extract_outline(docs), 6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the doc_id exchange from the collect_list groupBy must satisfy the
+    # (doc_id, chunk_idx) aggregate too: exactly one shuffle
+    assert plan.count('Exchange hashpartitioning') == 1
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(pytest.main([__file__, '-q']))
