@@ -243,11 +243,17 @@ def test_media_plumbing(spark):
     refs = spark.createDataFrame([(f'media://x/{i}',) for i in range(7)],
                                  'media_ref string')
     media = synth_media_df(spark, refs)
-    assert media.count() == 7
-    row = media.first()
-    # payloads are genuine PNG files now
-    assert row['mime'] == 'image/png'
-    assert bytes(row['payload'][:8]) == b'\x89PNG\r\n\x1a\n'
+    rows = media.collect()
+    assert len(rows) == 7
+    # payloads are genuine files whose magic matches the declared mime
+    # (the synth mixes PNG/JPEG/GIF per-ref by hash — don't assume the
+    # first row's format)
+    magic = {'image/png': b'\x89PNG\r\n\x1a\n', 'image/jpeg': b'\xff\xd8',
+             'image/gif': b'GIF8'}
+    for row in rows:
+        m = magic[row['mime']]
+        assert bytes(row['payload'][:len(m)]) == m
+    assert any(r['mime'] == 'image/png' for r in rows)
     feats = extract_media_features(media).collect()
     assert all(r['decode_status'] == 'ok' and len(r['feat']) == 16
                for r in feats)
