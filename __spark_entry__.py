@@ -5581,6 +5581,27 @@ def q_section_chunks(spark, sf_dir):
                           budget_words=6)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """FastCDC content-defined chunking over a deterministic binary
+    corpus (shared 2KB blocks flanking a unique middle, pure doc_id
+    arithmetic): vectorized gear-hash candidates (exactly the textbook
+    per-byte walk — equivalence unit-proven), normalized two-mask
+    cuts. Committed-output golden: the distributed run must reproduce
+    every (offset, length, chunk_md5) byte-for-byte."""
+    from mineru_html_spark.functions.cdc import cdc_chunks, synth_cdc_media
+    return cdc_chunks(synth_cdc_media(_docs(spark, sf_dir)))
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Chunk-store dedup ledger over the CDC chunks: per distinct
+    chunk hash, reference count and bytes saved. Oracle is EXACT SQL
+    over the committed chunk golden, so this certifies both the
+    aggregate and chunking determinism."""
+    from mineru_html_spark.functions.cdc import (
+        cdc_chunks, cdc_dedup_stats, synth_cdc_media)
+    return cdc_dedup_stats(cdc_chunks(synth_cdc_media(_docs(spark, sf_dir))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5827,6 +5848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'containment_pairs': q_containment_pairs,
         'outline_extract': q_outline_extract,
         'section_chunks': q_section_chunks,
+        'cdc_chunks': q_cdc_chunks,
+        'cdc_dedup': q_cdc_dedup,
     }
 
 
@@ -9445,6 +9468,20 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pstat p USING (doc_id)
         LEFT JOIN tmass t USING (doc_id)
         LEFT JOIN dmass d USING (doc_id)
+    """
+    # CDC: committed chunk golden; the dedup ledger derives from it in
+    # exact SQL (count/min/multiply all BIGINT — no HUGEINT leak)
+    oracles['cdc_chunks'] = """
+        SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_cdc_chunks_sf001.parquet')
+    """
+    oracles['cdc_dedup'] = """
+        SELECT chunk_md5, count(*) AS n_refs,
+               min(length) AS length,
+               min(length) * (count(*) - 1) AS bytes_saved
+        FROM read_parquet(
+            '/root/repo/tests/goldens/expected_cdc_chunks_sf001.parquet')
+        GROUP BY chunk_md5
     """
     # outline: every planted section restated from doc_id arithmetic
     _OUTLINE_ROWS = """

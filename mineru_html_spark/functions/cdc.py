@@ -1,0 +1,162 @@
+"""Content-defined chunking (FastCDC) for the binary/media tier.
+
+At 100 TB the media columns dominate storage, and near-identical
+binaries (same image re-encoded with new EXIF, same PDF with one page
+changed, mirrored archives) defeat whole-file hashing: one flipped
+byte changes the file md5. Content-defined chunking cuts payloads at
+content-derived boundaries, so an insertion only perturbs the chunks
+around it and every untouched region keeps its chunk hashes —
+chunk-level dedup then recovers the cross-file redundancy that
+file-level exact dedup (``dedup.exact_dedup``) structurally cannot
+see. This is the published FastCDC scheme (Xia et al., USENIX ATC'16)
+with normalized chunking: a harder cut mask before the target size
+and an easier one after, tightening the chunk-size distribution.
+
+Vectorization proof (why this is NOT a per-byte Python loop): the
+Gear rolling hash is h_i = (h_{i-1} << 1) + G[b_i] mod 2^64, which
+expands to the linear form h_i = sum_j 2^j * G[b_{i-j}] mod 2^64.
+Every term with j >= 64 vanishes (2^j = 0 mod 2^64), so h_i depends
+on EXACTLY the last 64 bytes — boundary resets cannot influence any
+position more than 64 bytes past the boundary, and with min_size >=
+64 no cut decision ever looks at a position closer to its boundary
+than that. Candidate cut positions are therefore position-independent
+and computable as 64 shifted numpy adds over the whole payload; the
+greedy boundary walk then touches only the ~n/2^mask_bits candidates
+(np.searchsorted per chunk), never the bytes.
+
+Scale shape: one Arrow-batched pass over payload bytes; only
+(doc_id, ints, 32-byte chunk md5s) leave the executor. The dedup
+stat is a map-side-combinable aggregate over chunk hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# deterministic gear table: 256 x uint64 from md5(i) — no RNG, stable
+# across runs/executors/build environments
+_GEAR = np.frombuffer(
+    b''.join(hashlib.md5(b'cdc-gear-%d' % i).digest()[:8]
+             for i in range(256)),
+    dtype='<u8').copy()
+
+MIN_SIZE, AVG_SIZE, MAX_SIZE = 64, 256, 1024
+# normalized chunking: log2(avg)+2 bits before the target, -2 after;
+# masks sit in the high half so all 64 window bytes participate
+_MASK_S = np.uint64(((1 << 10) - 1) << 53)
+_MASK_L = np.uint64(((1 << 6) - 1) << 53)
+
+CHUNK_SCHEMA = ('doc_id long, chunk_idx int, offset long, length long, '
+                'chunk_md5 string')
+
+
+def _gear_hashes(data: bytes) -> np.ndarray:
+    """h_i for every position i (uint64): 64 shifted adds, vectorized."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[b]
+    h = np.zeros(len(b), dtype=np.uint64)
+    for j in range(min(64, len(b))):
+        # contribution of the byte j positions back, weighted 2^j
+        shifted = g[:len(b) - j] << np.uint64(j)
+        h[j:] += shifted
+    return h
+
+
+def cut_points(data: bytes, min_size: int = MIN_SIZE,
+               avg_size: int = AVG_SIZE,
+               max_size: int = MAX_SIZE) -> List[int]:
+    """FastCDC boundary offsets (exclusive ends) for one payload."""
+    n = len(data)
+    if n == 0:
+        return []
+    h = _gear_hashes(data)
+    cand_s = np.flatnonzero((h & _MASK_S) == 0)
+    cand_l = np.flatnonzero((h & _MASK_L) == 0)
+    cuts: List[int] = []
+    b = 0
+    while n - b > max_size:
+        # harder mask in [b+min, b+avg), easier in [b+avg, b+max)
+        lo = np.searchsorted(cand_s, b + min_size)
+        hi = np.searchsorted(cand_s, b + avg_size)
+        if lo < hi:
+            cut = int(cand_s[lo]) + 1
+        else:
+            lo = np.searchsorted(cand_l, b + avg_size)
+            hi = np.searchsorted(cand_l, b + max_size)
+            cut = (int(cand_l[lo]) + 1) if lo < hi else b + max_size
+        cuts.append(cut)
+        b = cut
+    cuts.append(n)
+    return cuts
+
+
+def cdc_chunks(media: DataFrame, payload_col: str = 'payload',
+               min_size: int = MIN_SIZE, avg_size: int = AVG_SIZE,
+               max_size: int = MAX_SIZE) -> DataFrame:
+    """One row per content-defined chunk: (doc_id, chunk_idx, offset,
+    length, chunk_md5). Reassembling chunks in chunk_idx order is the
+    exact payload; equal md5s across rows are byte-equal regions."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf['doc_id'], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b''
+                prev = 0
+                for idx, cut in enumerate(cut_points(
+                        data, min_size, avg_size, max_size)):
+                    rows.append((int(doc_id), idx, prev, cut - prev,
+                                 hashlib.md5(data[prev:cut]).hexdigest()))
+                    prev = cut
+            yield pd.DataFrame(rows, columns=[
+                'doc_id', 'chunk_idx', 'offset', 'length', 'chunk_md5'])
+
+    return (media.select('doc_id', payload_col)
+            .mapInPandas(batches, CHUNK_SCHEMA))
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Chunk-store view: per distinct chunk, how many references and
+    how many bytes the store saves vs storing every reference — the
+    dedup-ratio ledger. One map-side-combinable aggregate over
+    (chunk_md5, length); payload bytes never shuffle."""
+    return (chunks.groupBy('chunk_md5')
+            .agg(F.count('*').alias('n_refs'),
+                 F.min('length').alias('length'),
+                 (F.min('length') * (F.count('*') - 1))
+                 .alias('bytes_saved')))
+
+
+def synth_cdc_media(docs: DataFrame) -> DataFrame:
+    """Deterministic binary corpus for the CDC gates: payload =
+    shared_block(doc_id%4) + unique(doc_id) + shared_block((doc_id+1)%4)
+    — md5-chain bytes, pure doc_id arithmetic, no external data. The
+    shared blocks create genuine cross-doc chunk redundancy for the
+    dedup ledger."""
+    def _chain(seed: bytes, n: int) -> bytes:
+        out, block = bytearray(), seed
+        while len(out) < n:
+            block = hashlib.md5(block).digest()
+            out += block
+        return bytes(out[:n])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shared = [_chain(b'cdc-shared-%d' % k, 2000) for k in range(4)]
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf['doc_id']:
+                d = int(doc_id)
+                payloads.append(shared[d % 4]
+                                + _chain(b'cdc-u-%d' % d,
+                                         500 + (d % 7) * 200)
+                                + shared[(d + 1) % 4])
+            yield pd.DataFrame({'doc_id': pdf['doc_id'],
+                                'payload': payloads})
+
+    return (docs.select('doc_id')
+            .mapInPandas(batches, 'doc_id long, payload binary'))

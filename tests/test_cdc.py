@@ -1,0 +1,117 @@
+"""FastCDC content-defined chunking: equivalence, locality, dedup."""
+import hashlib
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.cdc import (
+    _GEAR, _MASK_L, _MASK_S, AVG_SIZE, MAX_SIZE, MIN_SIZE, cdc_chunks,
+    cdc_dedup_stats, cut_points)
+
+
+def _payload(seed: bytes, n: int) -> bytes:
+    out = bytearray()
+    block = seed
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out += block
+    return bytes(out[:n])
+
+
+def _sequential_cuts(data: bytes) -> list:
+    """Textbook FastCDC: per-byte gear hash RESET at each boundary —
+    the reference implementation the vectorized path must reproduce."""
+    cuts, b, n = [], 0, len(data)
+    while n - b > MAX_SIZE:
+        h = np.uint64(0)
+        cut = None
+        for i in range(b, min(b + MAX_SIZE, n)):
+            h = (h << np.uint64(1)) + _GEAR[data[i]]  # wraps mod 2^64
+            if i < b + MIN_SIZE:
+                continue
+            mask = _MASK_S if i < b + AVG_SIZE else _MASK_L
+            if (h & mask) == 0:
+                cut = i + 1
+                break
+        cuts.append(cut if cut is not None else b + MAX_SIZE)
+        b = cuts[-1]
+    cuts.append(n)
+    return cuts
+
+
+def test_vectorized_matches_sequential_reference():
+    np.seterr(over='ignore')
+    data = _payload(b'eq', 20000)
+    assert cut_points(data) == _sequential_cuts(data)
+
+
+def test_chunks_reassemble_and_respect_bounds():
+    data = _payload(b'bounds', 30000)
+    cuts = cut_points(data)
+    assert cuts[-1] == len(data)
+    prev = 0
+    for c in cuts[:-1]:
+        assert MIN_SIZE < c - prev <= MAX_SIZE
+        prev = c
+    assert all(a < b for a, b in zip(cuts, cuts[1:]))
+
+
+def test_insertion_locality():
+    """THE content-defined property: inserting bytes mid-payload leaves
+    every chunk outside the edit neighborhood with an identical hash
+    (fixed-size blocking would shift-invalidate everything after)."""
+    base = _payload(b'local', 40000)
+    edited = base[:17000] + b'INSERTED-BYTES-xyz' + base[17000:]
+
+    def hashes(d):
+        out, prev = [], 0
+        for c in cut_points(d):
+            out.append(hashlib.md5(d[prev:c]).hexdigest())
+            prev = c
+        return out
+
+    a, b = hashes(base), hashes(edited)
+    # prefix chunks identical until the edit, suffix realigns after it
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 4
+    assert a[0] == b[0] and a[-1] == b[-1]
+
+
+def test_spark_chunks_and_dedup_stats(spark):
+    shared = _payload(b'shared-block', 3000)
+    rows = [(1, shared + _payload(b'u1', 2000)),
+            (2, shared + _payload(b'u2', 2000)),
+            (3, _payload(b'solo', 2500))]
+    media = spark.createDataFrame(rows, 'doc_id long, payload binary')
+    chunks = cdc_chunks(media).collect()
+    # reassembly: contiguous offsets, lengths sum to payload size
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, payload in rows:
+        cs = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert cs[0].offset == 0
+        assert all(x.offset + x.length == y.offset
+                   for x, y in zip(cs, cs[1:]))
+        assert sum(c.length for c in cs) == len(payload)
+    # the shared 3000-byte prefix must yield shared chunk hashes
+    stats = {r.chunk_md5: r for r in
+             cdc_dedup_stats(cdc_chunks(media)).collect()}
+    saved = sum(r.bytes_saved for r in stats.values())
+    assert saved > 1500  # most of the shared prefix deduped
+    assert all(r.bytes_saved == r.length * (r.n_refs - 1)
+               for r in stats.values())
+
+
+def test_empty_and_tiny_payloads(spark):
+    media = spark.createDataFrame(
+        [(1, b''), (2, b'tiny'), (3, None)],
+        'doc_id long, payload binary')
+    out = cdc_chunks(media).collect()
+    got = {(r.doc_id, r.chunk_idx, r.length) for r in out}
+    assert got == {(2, 0, 4)}  # empty/None payloads emit nothing
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(pytest.main([__file__, '-q']))
