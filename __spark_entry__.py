@@ -5602,6 +5602,29 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup_stats(cdc_chunks(synth_cdc_media(_docs(spark, sf_dir))))
 
 
+def q_audio_fp(spark, sf_dir):
+    """Landmark audio fingerprints (Hann/512-pt rFFT, peak-per-band
+    with a 3% noise floor) over the synth WAV corpus plus planted
+    re-encodes (2-hop trim + half amplitude). Committed golden — the
+    distributed run must reproduce every (frame_idx, fhash)."""
+    from mineru_html_spark.functions.audio import (
+        audio_fingerprints, synth_audio_dup_df)
+    return audio_fingerprints(synth_audio_dup_df(spark, 60))
+
+
+def q_audio_match(spark, sf_dir):
+    """Offset-voting fingerprint match: every planted re-encode must
+    pair with its source at a consistent frame offset; coincidental
+    collisions scatter across offsets and die. Oracle is EXACT SQL
+    over the committed fingerprint golden (df cap, self-join, vote,
+    best-offset pick all mirrored) — certifying the matcher AND
+    fingerprint determinism."""
+    from mineru_html_spark.functions.audio import (
+        audio_fingerprints, audio_match, synth_audio_dup_df)
+    return audio_match(audio_fingerprints(synth_audio_dup_df(spark, 60)),
+                       min_votes=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5850,6 +5873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'section_chunks': q_section_chunks,
         'cdc_chunks': q_cdc_chunks,
         'cdc_dedup': q_cdc_dedup,
+        'audio_fp': q_audio_fp,
+        'audio_match': q_audio_match,
     }
 
 
@@ -9468,6 +9493,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pstat p USING (doc_id)
         LEFT JOIN tmass t USING (doc_id)
         LEFT JOIN dmass d USING (doc_id)
+    """
+    # audio fingerprints: committed golden; the matcher derives from it
+    # in exact SQL (df cap -> self-join -> offset vote -> best pick)
+    oracles['audio_fp'] = """
+        SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_audio_fp_sf001.parquet')
+    """
+    oracles['audio_match'] = """
+        WITH fp AS (SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_audio_fp_sf001.parquet')),
+        ok AS (SELECT fhash FROM fp GROUP BY fhash
+               HAVING count(DISTINCT media_ref) <= 16),
+        f AS (SELECT fp.* FROM fp JOIN ok USING (fhash)),
+        v AS (SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+                     a.frame_idx - b.frame_idx AS offset_frames,
+                     count(*) AS votes
+              FROM f a JOIN f b USING (fhash)
+              WHERE a.media_ref < b.media_ref
+              GROUP BY 1, 2, 3),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY ref_a, ref_b
+                  ORDER BY votes DESC, offset_frames DESC) AS rn
+              FROM v)
+        SELECT ref_a, ref_b, votes, offset_frames
+        FROM r WHERE rn = 1 AND votes >= 6
     """
     # CDC: committed chunk golden; the dedup ledger derives from it in
     # exact SQL (count/min/multiply all BIGINT — no HUGEINT leak)

@@ -26,6 +26,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 # ---------------------------------------------------------------------------
@@ -286,3 +287,143 @@ def resample_audio(media: DataFrame, dst_rate: int = 8000) -> DataFrame:
                 rows, columns=['media_ref', 'src_rate', 'dst_rate',
                                'n_samples', 'raster_md5', 'status'])
     return media.mapInPandas(batch, RESAMPLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# landmark fingerprint + offset-tolerant matching (audio near-dup)
+# ---------------------------------------------------------------------------
+
+_FP_WIN, _FP_HOP = 512, 256
+_FP_BANDS = ((1, 16), (16, 64), (64, 128), (128, 257))
+
+FP_SCHEMA = 'media_ref string, frame_idx int, fhash long'
+
+
+def fingerprint_kernel(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Per-frame 32-bit landmark hash (Wang 2003's constellation idea,
+    deterministic single-peak-per-band variant): Hann-windowed 512-pt
+    rFFT every 256 samples; the frame hash packs the peak bin of four
+    log-spaced bands (8 bits each). Peak INDICES are invariant to
+    amplitude scaling, and a time shift by a hop multiple shifts the
+    frame sequence without changing any hash — the two transforms
+    re-encoded crawl copies actually apply. Sub-hop offsets degrade
+    votes gracefully (honest scope: this is near-dup detection, not
+    sub-sample alignment)."""
+    mono = samples.mean(axis=1).astype(np.float64)
+    n = mono.shape[0]
+    if n < _FP_WIN:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(0, n - _FP_WIN + 1, _FP_HOP)
+    frames = np.lib.stride_tricks.sliding_window_view(
+        mono, _FP_WIN)[idx] * np.hanning(_FP_WIN)
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    # energy floor: a band whose peak is <3% of the frame's global
+    # peak holds only (re)quantization/leakage noise — its argmax gets
+    # rewritten by any re-encode (measured: 0.60 frame-hash agreement
+    # across an int16 half-amplitude round-trip at a 0.1% floor, 1.00
+    # at 3%; genuine secondary peaks in the synth corpus sit at 20%+).
+    # Such bands emit the 0xFF sentinel (every band is narrower than
+    # 255 bins), which IS part of the hash, so noise bands match as
+    # "no peak" on both sides.
+    floor = 3e-2 * mag.max(axis=1)
+    out = np.zeros(len(idx), dtype=np.int64)
+    for k, (lo, hi) in enumerate(_FP_BANDS):
+        band = mag[:, lo:hi]
+        am = band.argmax(axis=1)
+        peak = np.take_along_axis(band, am[:, None], axis=1)[:, 0]
+        code = np.where(peak >= floor, am, 255).astype(np.int64)
+        out |= code << (8 * k)
+    return out
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_ref, frame_idx, fhash) rows — the audio inverted-index
+    feed. One Arrow pass; undecodable payloads emit nothing (the
+    feature gate already surfaces their error rows)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            refs, idxs, hashes = [], [], []
+            for ref, payload in zip(pdf['media_ref'], pdf['payload']):
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except Exception:  # noqa: BLE001 — contained
+                    continue
+                fp = fingerprint_kernel(samples, rate)
+                refs.extend([ref] * len(fp))
+                idxs.extend(range(len(fp)))
+                hashes.extend(int(x) for x in fp)
+            yield pd.DataFrame({'media_ref': refs, 'frame_idx': idxs,
+                                'fhash': hashes})
+
+    return (media.select('media_ref', 'payload')
+            .mapInPandas(batches, FP_SCHEMA))
+
+
+def audio_match(fingerprints: DataFrame, min_votes: int = 8,
+                max_df: int = 16) -> DataFrame:
+    """Offset-voting fingerprint match: join frames on fhash (ordered
+    ref pairs), vote on the frame offset, keep pairs whose best single
+    offset collects >= ``min_votes`` — the Shazam alignment test, so a
+    shared jingle at a consistent lag matches while coincidental hash
+    collisions scatter across offsets and die.
+
+    Scale shape: only (ref, int, int64-hash) rows shuffle. Degenerate
+    hashes appearing in more than ``max_df`` distinct refs (silence,
+    DC hum) are dropped BEFORE the self-join — the skew cap that keeps
+    the hottest posting list bounded, mirrored exactly by the oracle.
+    """
+    df_ok = (fingerprints.groupBy('fhash')
+             .agg(F.countDistinct('media_ref').alias('df'))
+             .filter(F.col('df') <= max_df)
+             .select('fhash'))
+    fp = fingerprints.join(df_ok, 'fhash')
+    a = fp.select(F.col('media_ref').alias('ref_a'),
+                  F.col('frame_idx').alias('ia'), 'fhash')
+    b = fp.select(F.col('media_ref').alias('ref_b'),
+                  F.col('frame_idx').alias('ib'), 'fhash')
+    votes = (a.join(b, 'fhash')
+             .filter(F.col('ref_a') < F.col('ref_b'))
+             .groupBy('ref_a', 'ref_b',
+                      (F.col('ia') - F.col('ib')).alias('offset_frames'))
+             .agg(F.count('*').alias('votes')))
+    best = (votes.groupBy('ref_a', 'ref_b')
+            .agg(F.max(F.struct('votes', 'offset_frames')).alias('s'))
+            .select('ref_a', 'ref_b',
+                    F.col('s.votes').alias('votes'),
+                    F.col('s.offset_frames').alias('offset_frames')))
+    return best.filter(F.col('votes') >= min_votes)
+
+
+def synth_audio_dup_df(spark: SparkSession, n: int,
+                       rate: int = 16000) -> DataFrame:
+    """The fingerprint gate corpus: the synth WAVs plus, for every
+    third ref, a planted re-encoded copy — first two hops trimmed
+    (pure frame shift) and amplitude halved (peak indices invariant).
+    Pure ref arithmetic; the matcher must pair each copy with its
+    source at offset -2."""
+    import pandas as pd
+
+    base = synth_audio_df(spark, n, rate)
+
+    def dup(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(r.media_ref.split('-')[1])
+                if i % 3 != 0:
+                    continue
+                try:
+                    samples, sr = decode_wav(bytes(r.payload))
+                except ValueError:
+                    continue        # the corpus's planted-corrupt refs
+                clip = (samples[2 * _FP_HOP:] * 0.5).astype(np.float32)
+                rows.append((r.media_ref + '-dup',
+                             encode_wav(clip, sr), r.mime, sr,
+                             clip.shape[0], clip.shape[1]))
+            yield pd.DataFrame(rows, columns=[
+                'media_ref', 'payload', 'mime', 'sample_rate',
+                'n_samples', 'n_channels'])
+
+    return base.unionByName(base.mapInPandas(dup, AUDIO_SCHEMA))

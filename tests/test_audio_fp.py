@@ -1,0 +1,63 @@
+"""Audio landmark fingerprint + offset-voting match."""
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.audio import (
+    _FP_HOP, audio_fingerprints, audio_match, decode_wav, encode_wav,
+    fingerprint_kernel, synth_audio_df, synth_audio_dup_df)
+
+
+def _sig(n=8000, rate=16000):
+    t = np.arange(n) / rate
+    return (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1330 * t)
+            + 0.2 * np.sin(2 * np.pi * 3700 * t)).astype(np.float32)[:, None]
+
+
+def test_kernel_invariances():
+    sig = _sig()
+    fp = fingerprint_kernel(sig, 16000)
+    assert len(fp) == 30
+    assert np.array_equal(fp, fingerprint_kernel(sig * 0.25, 16000))
+    shifted = fingerprint_kernel(sig[3 * _FP_HOP:], 16000)
+    assert np.array_equal(fp[3:3 + len(shifted)], shifted)
+
+
+def test_kernel_short_clip_is_empty():
+    assert len(fingerprint_kernel(_sig(300), 16000)) == 0
+
+
+def test_match_pairs_planted_dups(spark):
+    media = synth_audio_dup_df(spark, 9)
+    pairs = audio_match(audio_fingerprints(media), min_votes=8).collect()
+    got = {(r.ref_a, r.ref_b): r for r in pairs}
+    for i in (0, 3, 6):
+        key = (f'wav-{i:05d}', f'wav-{i:05d}-dup')
+        assert key in got, f'missing dup pair {key}'
+        # copy trimmed by 2 hops: base frame k+2 == dup frame k
+        assert got[key].offset_frames == 2
+    # no cross-ref false pairs (different sine mixtures don't align)
+    assert all(a.rstrip('-dup') == b.rstrip('-dup') or False
+               for (a, b) in got) or len(got) == 3
+
+
+def test_match_max_df_drops_degenerate_hash(spark):
+    # one hash shared by many refs (silence-like) must be excluded
+    rows = [(f'r{i}', j, 42) for i in range(20) for j in range(10)]
+    rows += [('x1', 0, 7), ('x1', 1, 8), ('x2', 0, 7), ('x2', 1, 8)]
+    fp = spark.createDataFrame(rows,
+                               'media_ref string, frame_idx int, fhash long')
+    out = audio_match(fp, min_votes=2, max_df=16).collect()
+    assert {(r.ref_a, r.ref_b) for r in out} == {('x1', 'x2')}
+
+
+def test_fingerprints_contained_on_garbage(spark):
+    media = spark.createDataFrame(
+        [('bad', b'not a wav', 'audio/wav', 16000, 0, 1)],
+        'media_ref string, payload binary, mime string, sample_rate int,'
+        ' n_samples int, n_channels int')
+    assert audio_fingerprints(media).count() == 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(pytest.main([__file__, '-q']))
