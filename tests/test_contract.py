@@ -26,9 +26,13 @@ def test_committed_output_oracles_exist_and_regenerate():
     # near_dup_clusters_star deliberately reuses hash-min's file;
     # ann_ivf_indexed deliberately reuses the inline IVF path's file
     # (the gate certifies index==inline); extract_main's golden
-    # regenerates through tools/make_expected.py
+    # regenerates through tools/make_expected.py; audio_match and
+    # cdc_dedup DERIVE in exact SQL from another gate's committed
+    # golden (audio_fp / cdc_chunks) — regenerating that golden
+    # regenerates them, so they don't appear in NAMES themselves
     assert committed - {'near_dup_clusters_star', 'ann_ivf_indexed',
-                        'extract_main'} == set(NAMES), (committed, NAMES)
+                        'extract_main', 'audio_match',
+                        'cdc_dedup'} == set(NAMES), (committed, NAMES)
     for name, sql in entry.oracle_sql().items():
         m = re.search(r"read_parquet\('([^']+)'\)", sql)
         if m and 'expected_' in m.group(1):
