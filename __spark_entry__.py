@@ -5625,6 +5625,56 @@ def q_audio_match(spark, sf_dir):
                        min_votes=6)
 
 
+def _archive_gate_ids(spark, sf_dir):
+    """The sampled archive doc_ids (doc_id%37==0 — prime stride so
+    every plant-class residue fires) — a tiny driver-side id list, the
+    same idiom as the quantizer sample."""
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 37 == 0)
+    return sorted(int(r[0]) for r in docs.select('doc_id').collect())
+
+
+def q_tar_extract(spark, sf_dir):
+    """Generic TAR source over a deterministic gate corpus (member
+    names/contents pure doc_id arithmetic): text/binary members, a
+    gzip-wrapped .tar.gz class, an over-cap member (cap=64 here) that
+    must truncate not OOM, tar-slip ``..`` names and symlinks flagged
+    without extraction, a not-a-tar payload contained as an error row,
+    and a mid-data-cut tar whose first member is SALVAGED before the
+    truncated-archive row. Construction-truth exact-SQL oracle."""
+    from mineru_html_spark.sources.archive import (read_tar,
+                                                   write_synth_tar_gate_set)
+    d = os.path.join(REPO, '.data',
+                     f'tar_gate_v1_{os.path.basename(sf_dir.rstrip("/"))}')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_tar_gate_set(d, _archive_gate_ids(spark, sf_dir))
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_tar(spark, d, max_member_bytes=64)
+    return out.select('archive_id', 'member', 'n_bytes', 'is_text',
+                      'content_md5', 'flag', 'error')
+
+
+def q_zip_extract(spark, sf_dir):
+    """Generic ZIP source over a deterministic gate corpus: deflated
+    text members (real inflate path), stored binaries, an over-cap
+    member, encrypted-bit entries flagged without a decrypt attempt,
+    absolute-path names flagged as zip-slip, and a not-a-zip payload
+    contained. Construction-truth exact-SQL oracle."""
+    from mineru_html_spark.sources.archive import (read_zip,
+                                                   write_synth_zip_gate_set)
+    d = os.path.join(REPO, '.data',
+                     f'zip_gate_v1_{os.path.basename(sf_dir.rstrip("/"))}')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_zip_gate_set(d, _archive_gate_ids(spark, sf_dir))
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_zip(spark, d, max_member_bytes=64)
+    return out.select('archive_id', 'member', 'n_bytes', 'is_text',
+                      'content_md5', 'flag', 'error')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5875,6 +5925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdc_dedup': q_cdc_dedup,
         'audio_fp': q_audio_fp,
         'audio_match': q_audio_match,
+        'tar_extract': q_tar_extract,
+        'zip_extract': q_zip_extract,
     }
 
 
@@ -9632,5 +9684,85 @@ def oracle_sql() -> dict[str, str]:
                1000 * c // n AS containment_permille
         FROM pairs JOIN sz ON sz.doc_id = pairs.ia
         WHERE 1000 * c >= 800 * n
+    """
+    # archive sources: construction truth — member names, contents,
+    # flags and salvage semantics all restated from doc_id arithmetic
+    # (binary-member md5s are literals: their content is fixed bytes
+    # DuckDB's VARCHAR-only md5 can't reach)
+    oracles['tar_extract'] = """
+        WITH s AS (SELECT doc_id AS did FROM documents
+                   WHERE doc_id % 37 = 0),
+        c AS (SELECT did,
+                CASE WHEN did % 11 = 3 THEN 'bad'
+                     WHEN did % 13 = 5 THEN 'cut'
+                     ELSE 'ok' END AS cls,
+                'arch_' || CAST(did AS VARCHAR) ||
+                CASE WHEN did % 11 != 3 AND did % 13 != 5
+                          AND did % 5 = 2
+                     THEN '.tar.gz' ELSE '.tar' END AS aid
+              FROM s)
+        SELECT aid AS archive_id, '' AS member,
+               CAST(0 AS BIGINT) AS n_bytes, false AS is_text,
+               '' AS content_md5, '' AS flag, 'bad archive' AS error
+        FROM c WHERE cls = 'bad'
+        UNION ALL
+        SELECT aid, 'src/a_' || did || '.py',
+               CAST((8 + length(CAST(did AS VARCHAR)))
+                    * (did % 5 + 1) AS BIGINT), true,
+               md5(repeat('print(' || did || ')' || chr(10),
+                          did % 5 + 1)), '', ''
+        FROM c WHERE cls != 'bad'
+        UNION ALL
+        SELECT aid, '', 0, false, '', '', 'truncated archive'
+        FROM c WHERE cls = 'cut'
+        UNION ALL
+        SELECT aid, 'data/bin_' || did || '.dat', 2, false,
+               'e224580aa65579130b9ea72fe66bbb34', '', ''
+        FROM c WHERE cls = 'ok'
+        UNION ALL
+        SELECT aid, 'big_' || did || '.txt', 64, true,
+               'c1bb4f81d892b2d57947682aeb252456', 'truncated', ''
+        FROM c WHERE cls = 'ok'
+        UNION ALL
+        SELECT aid, '../evil_' || did || '.txt', 0, false, '',
+               'unsafe_path', ''
+        FROM c WHERE cls = 'ok' AND did % 3 = 0
+        UNION ALL
+        SELECT aid, 'ln_' || did, 0, false, '', 'non_regular', ''
+        FROM c WHERE cls = 'ok' AND did % 4 = 0
+    """
+    oracles['zip_extract'] = """
+        WITH s AS (SELECT doc_id AS did FROM documents
+                   WHERE doc_id % 37 = 0),
+        c AS (SELECT did, (did % 11 = 7) AS bad,
+                'arch_' || CAST(did AS VARCHAR) || '.zip' AS aid
+              FROM s)
+        SELECT aid AS archive_id, '' AS member,
+               CAST(0 AS BIGINT) AS n_bytes, false AS is_text,
+               '' AS content_md5, '' AS flag, 'bad archive' AS error
+        FROM c WHERE bad
+        UNION ALL
+        SELECT aid, 'doc_' || did || '.md',
+               CAST((7 + length(CAST(did AS VARCHAR)))
+                    * (did % 4 + 1) AS BIGINT), true,
+               md5(repeat('# doc ' || did || chr(10), did % 4 + 1)),
+               '', ''
+        FROM c WHERE NOT bad
+        UNION ALL
+        SELECT aid, 'blob_' || did || '.bin', 3, false,
+               '46d8a425466115bb9b4ba96e659ebdc1', '', ''
+        FROM c WHERE NOT bad
+        UNION ALL
+        SELECT aid, 'big_' || did || '.txt', 64, true,
+               'b0c4864f4e28d2d76929c38d87db7ed5', 'truncated', ''
+        FROM c WHERE NOT bad
+        UNION ALL
+        SELECT aid, 'sec_' || did || '.txt', 0, false, '',
+               'encrypted', ''
+        FROM c WHERE NOT bad AND did % 3 = 1
+        UNION ALL
+        SELECT aid, '/abs_' || did || '.txt', 0, false, '',
+               'unsafe_path', ''
+        FROM c WHERE NOT bad AND did % 4 = 2
     """
     return oracles

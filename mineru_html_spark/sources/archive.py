@@ -1,0 +1,350 @@
+"""Generic archive sources: TAR (incl. tar.gz) and ZIP member extraction.
+
+Code and document datasets overwhelmingly arrive as archives — The
+Stack-style repo tarballs, Kaggle/export zips, software-heritage dumps —
+so the ingest tier needs a member-level reader with the same contract as
+every other source here (one task per archive, Arrow-batched, errors as
+rows) plus the guards an UNTRUSTED 100 TB crawl demands:
+
+* **zip-slip / tar-slip**: member paths that are absolute or contain a
+  ``..`` segment are flagged ``unsafe_path`` and their content is never
+  extracted (CVE-class path traversal; we don't write members to disk,
+  but a flagged row keeps downstream consumers from trusting the name);
+* **zip-bomb**: per-member decompressed output is hard-capped
+  (``max_member_bytes``); oversize members surface truncated with a
+  ``truncated`` flag instead of OOMing an executor — at 10^12 documents
+  a single 4 GiB-from-42 KiB bomb per million archives is a certainty;
+* **member-count cap**: pathological archives stop emitting after
+  ``max_members`` with one ``member_cap`` row, bounding row blowup;
+* **encrypted zip entries** are flagged ``encrypted`` (no content — we
+  never attempt passwords);
+* **non-regular tar members** (symlinks, hard links, devices, FIFOs)
+  are flagged ``non_regular`` with no content — link targets are
+  attack surface, not data;
+* corrupt / truncated archives contain as error rows; members decoded
+  before the corruption point are kept (salvage semantics, same as the
+  WARC reader).
+
+Flag precedence (one flag per row, first match wins):
+``unsafe_path`` > ``non_regular`` > ``encrypted`` > ``truncated``.
+
+Text detection is a strict UTF-8 decode of the (possibly truncated)
+member bytes: clean decode -> ``is_text=true`` and the text rides the
+row; otherwise the payload stays binary-opaque and only its md5 does.
+``content_md5`` is the md5 of the EXTRACTED bytes (post-cap), so the
+oracle never depends on compressor output bytes — only on member
+content, which the gate constructs deterministically.
+
+Spark shape: ``binaryFile`` (one task per archive — archives are the
+natural parallelism unit; a directory of a million tarballs fans out a
+million tasks), ``mapInPandas`` with everything row-local, zero
+shuffles. Partition skew from giant archives is bounded by the member
+and byte caps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import tarfile
+import zipfile
+from typing import Iterator, List, Tuple
+
+ARCHIVE_ROWS_SCHEMA = ('archive_id string, member string, n_bytes long, '
+                       'is_text boolean, text string, content_md5 string, '
+                       'flag string, error string')
+
+_COLS = ['archive_id', 'member', 'n_bytes', 'is_text', 'text',
+         'content_md5', 'flag', 'error']
+
+DEFAULT_MEMBER_CAP_BYTES = 16 * 1024 * 1024
+DEFAULT_MAX_MEMBERS = 10_000
+
+
+def _is_unsafe_path(name: str) -> bool:
+    """Absolute paths, drive-letter paths and any ``..`` segment."""
+    if name.startswith('/') or name.startswith('\\'):
+        return True
+    if len(name) >= 2 and name[1] == ':':          # C:\evil
+        return True
+    return any(seg == '..' for seg in name.replace('\\', '/').split('/'))
+
+
+def _content_row(archive_id: str, member: str, data: bytes,
+                 truncated: bool) -> tuple:
+    md5 = hashlib.md5(data).hexdigest()
+    try:
+        text = data.decode('utf-8', 'strict')
+        is_text = True
+    except UnicodeDecodeError:
+        text, is_text = '', False
+    return (archive_id, member, len(data), is_text, text, md5,
+            'truncated' if truncated else '', '')
+
+
+def _flag_row(archive_id: str, member: str, flag: str) -> tuple:
+    return (archive_id, member, 0, False, '', '', flag, '')
+
+
+def _error_row(archive_id: str, error: str) -> tuple:
+    return (archive_id, '', 0, False, '', '', '', error)
+
+
+def tar_rows(archive_id: str, data: bytes,
+             max_member_bytes: int = DEFAULT_MEMBER_CAP_BYTES,
+             max_members: int = DEFAULT_MAX_MEMBERS) -> List[tuple]:
+    """One tar payload (plain or gz/bz2/xz via ``r:*``) -> member rows.
+    Members read before a corruption point are salvaged; the corruption
+    itself becomes one ``truncated archive`` error row."""
+    rows: List[tuple] = []
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(data), mode='r:*')
+    except (tarfile.TarError, EOFError, OSError):
+        return [_error_row(archive_id, 'bad archive')]
+    try:
+        n_emitted = 0
+        while True:
+            member = tf.next()
+            if member is None:
+                break
+            if member.isdir():
+                continue
+            if n_emitted >= max_members:
+                rows.append(_flag_row(archive_id, '', 'member_cap'))
+                break
+            n_emitted += 1
+            name = member.name
+            if _is_unsafe_path(name):
+                rows.append(_flag_row(archive_id, name, 'unsafe_path'))
+            elif not member.isreg():
+                rows.append(_flag_row(archive_id, name, 'non_regular'))
+            else:
+                f = tf.extractfile(member)
+                raw = f.read(max_member_bytes + 1) if f else b''
+                truncated = len(raw) > max_member_bytes
+                rows.append(_content_row(
+                    archive_id, name, raw[:max_member_bytes], truncated))
+    except (tarfile.TarError, EOFError, OSError):
+        rows.append(_error_row(archive_id, 'truncated archive'))
+    finally:
+        tf.close()
+    return rows
+
+
+def zip_rows(archive_id: str, data: bytes,
+             max_member_bytes: int = DEFAULT_MEMBER_CAP_BYTES,
+             max_members: int = DEFAULT_MAX_MEMBERS) -> List[tuple]:
+    """One zip payload -> member rows. Encrypted entries flag without a
+    decrypt attempt; per-member corruption (bad CRC, truncated stream)
+    contains to that member's row, not the archive."""
+    rows: List[tuple] = []
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        infos = zf.infolist()
+    except (zipfile.BadZipFile, OSError, EOFError, ValueError):
+        return [_error_row(archive_id, 'bad archive')]
+    with zf:
+        n_emitted = 0
+        for info in infos:
+            if info.is_dir():
+                continue
+            if n_emitted >= max_members:
+                rows.append(_flag_row(archive_id, '', 'member_cap'))
+                break
+            n_emitted += 1
+            name = info.filename
+            if _is_unsafe_path(name):
+                rows.append(_flag_row(archive_id, name, 'unsafe_path'))
+            elif info.flag_bits & 0x1:
+                rows.append(_flag_row(archive_id, name, 'encrypted'))
+            else:
+                try:
+                    with zf.open(info) as f:
+                        raw = f.read(max_member_bytes + 1)
+                except Exception:  # noqa: BLE001 — tolerant reader
+                    rows.append(
+                        (archive_id, name, 0, False, '', '', '',
+                         'bad member'))
+                    continue
+                truncated = len(raw) > max_member_bytes
+                rows.append(_content_row(
+                    archive_id, name, raw[:max_member_bytes], truncated))
+    return rows
+
+
+def _read_archives(spark, path: str, glob: str, kernel,
+                   max_member_bytes: int, max_members: int):
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', glob).load(path)
+             .select('path', 'content'))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: List[tuple] = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                rows.extend(kernel(p.rsplit('/', 1)[-1], bytes(c),
+                                   max_member_bytes, max_members))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.mapInPandas(batch, ARCHIVE_ROWS_SCHEMA)
+
+
+def read_tar(spark, path: str, glob: str = '*.tar*',
+             max_member_bytes: int = DEFAULT_MEMBER_CAP_BYTES,
+             max_members: int = DEFAULT_MAX_MEMBERS):
+    """Directory of tarballs (.tar / .tar.gz / .tgz picked up by the
+    default glob) -> ARCHIVE_ROWS_SCHEMA, one task per archive."""
+    return _read_archives(spark, path, glob, tar_rows,
+                          max_member_bytes, max_members)
+
+
+def read_zip(spark, path: str, glob: str = '*.zip',
+             max_member_bytes: int = DEFAULT_MEMBER_CAP_BYTES,
+             max_members: int = DEFAULT_MAX_MEMBERS):
+    """Directory of zip files -> ARCHIVE_ROWS_SCHEMA, one task per
+    archive."""
+    return _read_archives(spark, path, glob, zip_rows,
+                          max_member_bytes, max_members)
+
+
+# ---------------------------------------------------------------------------
+# deterministic gate-corpus writers (construction truth: every member
+# name/content below is a pure function of the archive's doc_id, so the
+# oracle restates the reader's full output in exact SQL)
+
+def _tar_bytes(members: List[Tuple], pax: bool = False) -> bytes:
+    buf = io.BytesIO()
+    fmt = tarfile.PAX_FORMAT if pax else tarfile.USTAR_FORMAT
+    with tarfile.open(fileobj=buf, mode='w', format=fmt) as tf:
+        for name, data, ftype in members:
+            ti = tarfile.TarInfo(name)
+            ti.mtime, ti.uid, ti.gid, ti.mode = 0, 0, 0, 0o644
+            if ftype == 'sym':
+                ti.type = tarfile.SYMTYPE
+                ti.linkname = 'target'
+                tf.addfile(ti)
+            else:
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def synth_tar_members(did: int) -> List[Tuple]:
+    """The member spec for archive ``did`` — mirrored verbatim by the
+    SQL oracle (names, contents, types all doc_id arithmetic)."""
+    members = [
+        (f'src/a_{did}.py',
+         (f'print({did})\n' * (did % 5 + 1)).encode(), 'reg'),
+        (f'data/bin_{did}.dat', b'\x80\xff', 'reg'),
+        (f'big_{did}.txt', b'x' * 200, 'reg'),
+    ]
+    if did % 3 == 0:
+        members.append((f'../evil_{did}.txt', b'gotcha', 'reg'))
+    if did % 4 == 0:
+        members.append((f'ln_{did}', b'', 'sym'))
+    return members
+
+
+def write_synth_tar_gate_set(out_dir: str, doc_ids: List[int]) -> None:
+    """Gate corpus: per sampled doc_id a deterministic tarball with a
+    text member, a binary member, an over-cap member (cap=64 in the
+    gate), plus per-class plants — a ``..`` traversal name (did%3==0),
+    a symlink (did%4==0); did%11==3 ships a not-a-tar payload,
+    did%13==5 a tar cut mid-data (salvage + truncated-archive row),
+    and did%5==2 wraps the tar in gzip (.tar.gz path)."""
+    import gzip
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for did in doc_ids:
+        if did % 11 == 3:
+            payload, name = b'NOT A TAR ' * 8, f'arch_{did}.tar'
+        elif did % 13 == 5:
+            full = _tar_bytes(synth_tar_members(did))
+            # cut inside the FIRST member's data region: header(512)+64
+            payload, name = full[:512 + 64], f'arch_{did}.tar'
+        elif did % 5 == 2:
+            raw = _tar_bytes(synth_tar_members(did))
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode='wb', mtime=0) as gz:
+                gz.write(raw)
+            payload, name = buf.getvalue(), f'arch_{did}.tar.gz'
+        else:
+            payload, name = _tar_bytes(synth_tar_members(did)), \
+                f'arch_{did}.tar'
+        with open(os.path.join(out_dir, name), 'wb') as f:
+            f.write(payload)
+
+
+def _zip_bytes(entries: List[Tuple], encrypt_names: List[str]) -> bytes:
+    """Deterministic zip (fixed date_time, STORED for binaries, DEFLATE
+    for text so the inflate path is exercised). Entries named in
+    ``encrypt_names`` get their general-purpose bit 0 patched on in BOTH
+    the local and central headers after writing — the reader must flag
+    them off the bit without touching the (unencrypted) payload."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for name, data, method in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = method
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, data)
+    raw = bytearray(buf.getvalue())
+    for name in encrypt_names:
+        nb = name.encode()
+        # local header: PK\x03\x04 | ver(2) | flags(2) ... name at +30
+        i = 0
+        while True:
+            i = raw.find(b'PK\x03\x04', i)
+            if i < 0:
+                break
+            nlen = int.from_bytes(raw[i + 26:i + 28], 'little')
+            if raw[i + 30:i + 30 + nlen] == nb:
+                raw[i + 6] |= 0x1
+            i += 4
+        # central header: PK\x01\x02 | ver(4) | flags(2) ... name at +46
+        i = 0
+        while True:
+            i = raw.find(b'PK\x01\x02', i)
+            if i < 0:
+                break
+            nlen = int.from_bytes(raw[i + 28:i + 30], 'little')
+            if raw[i + 46:i + 46 + nlen] == nb:
+                raw[i + 8] |= 0x1
+            i += 4
+    return bytes(raw)
+
+
+def synth_zip_entries(did: int) -> Tuple[List[Tuple], List[str]]:
+    """(entries, encrypted-names) for archive ``did`` — oracle-mirrored."""
+    entries = [
+        (f'doc_{did}.md',
+         (f'# doc {did}\n' * (did % 4 + 1)).encode(), zipfile.ZIP_DEFLATED),
+        (f'blob_{did}.bin', b'\x80\xff\x00', zipfile.ZIP_STORED),
+        (f'big_{did}.txt', b'y' * 200, zipfile.ZIP_DEFLATED),
+    ]
+    encrypted = []
+    if did % 3 == 1:
+        entries.append((f'sec_{did}.txt', b'secret', zipfile.ZIP_STORED))
+        encrypted.append(f'sec_{did}.txt')
+    if did % 4 == 2:
+        entries.append((f'/abs_{did}.txt', b'gotcha', zipfile.ZIP_STORED))
+    return entries, encrypted
+
+
+def write_synth_zip_gate_set(out_dir: str, doc_ids: List[int]) -> None:
+    """Gate corpus: per sampled doc_id a deterministic zip with deflated
+    text, stored binary, an over-cap member, an encrypted-bit plant
+    (did%3==1), an absolute-path plant (did%4==2); did%11==7 ships a
+    not-a-zip payload ('bad archive' row)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for did in doc_ids:
+        if did % 11 == 7:
+            payload = b'NOT A ZIP ' * 8
+        else:
+            entries, enc = synth_zip_entries(did)
+            payload = _zip_bytes(entries, enc)
+        with open(os.path.join(out_dir, f'arch_{did}.zip'), 'wb') as f:
+            f.write(payload)

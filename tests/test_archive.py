@@ -1,0 +1,111 @@
+"""Archive source kernels: guards an untrusted crawl demands —
+traversal names, bombs, encrypted entries, corruption salvage."""
+
+import hashlib
+import io
+import tarfile
+import zipfile
+
+from mineru_html_spark.sources.archive import (
+    _is_unsafe_path, _tar_bytes, _zip_bytes, synth_zip_entries,
+    tar_rows, zip_rows)
+
+
+def test_unsafe_path_variants():
+    assert _is_unsafe_path('/etc/passwd')
+    assert _is_unsafe_path('..\\win\\style')
+    assert _is_unsafe_path('a/../../b')
+    assert _is_unsafe_path('C:/drive')
+    assert not _is_unsafe_path('a/b..c/d')      # '..' inside a segment
+    assert not _is_unsafe_path('normal/file.txt')
+
+
+def test_tar_member_cap_emits_sentinel_and_stops():
+    members = [(f'f{i}.txt', b'x', 'reg') for i in range(10)]
+    rows = tar_rows('a', _tar_bytes(members), max_members=3)
+    assert [r[1] for r in rows] == ['f0.txt', 'f1.txt', 'f2.txt', '']
+    assert rows[-1][6] == 'member_cap'
+
+
+def test_tar_bomb_truncates_at_cap():
+    rows = tar_rows('a', _tar_bytes([('big', b'z' * 1000, 'reg')]),
+                    max_member_bytes=100)
+    (_, name, n, is_text, text, md5, flag, err) = rows[0]
+    assert (n, flag, err) == (100, 'truncated', '')
+    assert md5 == hashlib.md5(b'z' * 100).hexdigest()
+    assert text == 'z' * 100 and is_text
+
+
+def test_tar_salvages_members_before_corruption():
+    full = _tar_bytes([('ok.txt', b'hello', 'reg'),
+                       ('late.txt', b'world', 'reg')])
+    rows = tar_rows('a', full[:512 + 16])        # cut inside ok.txt data
+    assert rows[0][1] == 'ok.txt' and rows[0][4] == 'hello'
+    assert rows[-1][7] == 'truncated archive'
+
+
+def test_tar_non_regular_and_dirs():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode='w') as tf:
+        d = tarfile.TarInfo('dir/')
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ln = tarfile.TarInfo('link')
+        ln.type = tarfile.LNKTYPE
+        ln.linkname = 'dir'
+        tf.addfile(ln)
+    rows = tar_rows('a', buf.getvalue())
+    assert [(r[1], r[6]) for r in rows] == [('link', 'non_regular')]
+
+
+def test_tar_binary_member_not_text():
+    rows = tar_rows('a', _tar_bytes([('b.bin', b'\xff\xfe\x00', 'reg')]))
+    assert rows[0][3] is False and rows[0][4] == ''
+    assert rows[0][5] == hashlib.md5(b'\xff\xfe\x00').hexdigest()
+
+
+def test_zip_encrypted_bit_flags_without_decrypt():
+    entries, enc = synth_zip_entries(37)         # 37 % 3 == 1 -> sec_37
+    data = _zip_bytes(entries, enc)
+    rows = zip_rows('a', data)
+    flags = {r[1]: r[6] for r in rows}
+    assert flags['sec_37.txt'] == 'encrypted'
+    # the same payload WITHOUT the patch extracts normally
+    rows2 = zip_rows('a', _zip_bytes(entries, []))
+    sec = [r for r in rows2 if r[1] == 'sec_37.txt'][0]
+    assert sec[4] == 'secret' and sec[6] == ''
+
+
+def test_zip_bad_member_contains_to_that_row():
+    entries = [('good.txt', b'fine', zipfile.ZIP_DEFLATED),
+               ('broken.txt', b'x' * 50, zipfile.ZIP_DEFLATED)]
+    raw = bytearray(_zip_bytes(entries, []))
+    # corrupt broken.txt's deflate stream: flip bytes just after its
+    # local header (name ends, data begins)
+    i = raw.find(b'broken.txt') + len(b'broken.txt')
+    raw[i + 2:i + 6] = b'\x00\x00\x00\x00'
+    rows = zip_rows('a', bytes(raw))
+    by_name = {r[1]: r for r in rows}
+    assert by_name['good.txt'][4] == 'fine'
+    assert by_name['broken.txt'][7] == 'bad member'
+
+
+def test_zip_member_cap():
+    entries = [(f'f{i}.txt', b'x', zipfile.ZIP_STORED) for i in range(5)]
+    rows = zip_rows('a', _zip_bytes(entries, []), max_members=2)
+    assert rows[-1][6] == 'member_cap' and len(rows) == 3
+
+
+def test_whole_archive_corruption():
+    assert tar_rows('a', b'junk' * 64)[0][7] == 'bad archive'
+    assert zip_rows('a', b'junk' * 64)[0][7] == 'bad archive'
+
+
+def test_targz_transparent():
+    import gzip
+    raw = _tar_bytes([('f.txt', b'data', 'reg')])
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode='wb', mtime=0) as gz:
+        gz.write(raw)
+    rows = tar_rows('a', buf.getvalue())
+    assert rows[0][1] == 'f.txt' and rows[0][4] == 'data'
