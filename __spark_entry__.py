@@ -5675,6 +5675,26 @@ def q_zip_extract(spark, sf_dir):
                       'content_md5', 'flag', 'error')
 
 
+def q_avro_extract(spark, sf_dir):
+    """Avro object-container source (spec-faithful stdlib decoder: the
+    full recursive type set, zigzag varints, null+deflate codecs, sync
+    markers) over a deterministic gate corpus — records rendered to
+    one JSON line each in schema field order. Plants: deflate on odd
+    doc_ids, corrupt magic (did%11==9 -> 'bad avro' row), flipped final
+    sync (did%13==6 -> earlier blocks SALVAGED + 'sync mismatch' row).
+    Construction-truth exact-SQL oracle restates every JSON string."""
+    from mineru_html_spark.sources.avro import (read_avro,
+                                                write_synth_avro_gate_set)
+    d = os.path.join(REPO, '.data',
+                     f'avro_gate_v1_{os.path.basename(sf_dir.rstrip("/"))}')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_avro_gate_set(d, _archive_gate_ids(spark, sf_dir))
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return read_avro(spark, d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries per round.  Entries are rotated so queries that
@@ -5927,6 +5947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_match': q_audio_match,
         'tar_extract': q_tar_extract,
         'zip_extract': q_zip_extract,
+        'avro_extract': q_avro_extract,
     }
 
 
@@ -9764,5 +9785,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT aid, '/abs_' || did || '.txt', 0, false, '',
                'unsafe_path', ''
         FROM c WHERE NOT bad AND did % 4 = 2
+    """
+    oracles['avro_extract'] = """
+        WITH s AS (SELECT doc_id AS did FROM documents
+                   WHERE doc_id % 37 = 0),
+        c AS (SELECT did,
+                CASE WHEN did % 11 = 9 THEN 'bad'
+                     WHEN did % 13 = 6 THEN 'sync' ELSE 'ok' END AS cls,
+                'data_' || CAST(did AS VARCHAR) || '.avro' AS fid
+              FROM s),
+        recs AS (SELECT did, cls, fid,
+                        unnest(range(0, did % 4 + 1)) AS i
+                 FROM c WHERE cls != 'bad')
+        SELECT fid AS file, CAST(i AS BIGINT) AS rec_idx,
+               '{"id": ' || (did * 1000 + i) || ', "name": "rec_'
+               || did || '_' || i || '", "score": ' || (did % 7)
+               || '.5, "flag": '
+               || CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END
+               || ', "tags": ["t' || (did % 3) || '", "t' || i
+               || '"], "note": '
+               || CASE WHEN i % 2 = 1 THEN 'null'
+                       ELSE '"n' || i || '"' END
+               || ', "raw": "' || lower(lpad(to_hex(did % 256), 2, '0'))
+               || lower(lpad(to_hex(i), 2, '0')) || '"}' AS record_json,
+               '' AS error
+        FROM recs WHERE cls = 'ok' OR i < did % 4
+        UNION ALL
+        SELECT fid, CAST(-1 AS BIGINT), '', 'bad avro: ValueError'
+        FROM c WHERE cls = 'bad'
+        UNION ALL
+        SELECT fid, CAST(-1 AS BIGINT), '', 'sync mismatch'
+        FROM c WHERE cls = 'sync'
     """
     return oracles

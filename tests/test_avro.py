@@ -1,0 +1,121 @@
+"""Avro codec kernels: full type-set round-trip, spec edge cases,
+containment paths."""
+
+import json
+import struct
+
+import pytest
+
+from mineru_html_spark.sources.avro import (
+    _Reader, avro_rows, decode_value, encode_long, encode_value,
+    render_json, write_container)
+
+
+def _roundtrip(schema, value):
+    return decode_value(schema, _Reader(encode_value(schema, value)))
+
+
+def test_zigzag_longs():
+    for n in (0, -1, 1, -2, 2, 63, -64, 64, 2**31, -2**31,
+              2**62, -2**63, 2**63 - 1):
+        assert decode_value('long', _Reader(encode_long(n))) == n
+
+
+def test_primitives_roundtrip():
+    assert _roundtrip('string', 'héllo ✓') == 'héllo ✓'
+    assert _roundtrip('bytes', b'\x00\xff') == b'\x00\xff'
+    assert _roundtrip('boolean', True) is True
+    assert _roundtrip('double', 2.5) == 2.5
+    assert abs(_roundtrip('float', 1.5) - 1.5) < 1e-7
+    assert _roundtrip('null', None) is None
+
+
+def test_complex_types_roundtrip():
+    enum = {'type': 'enum', 'name': 'E', 'symbols': ['A', 'B', 'C']}
+    assert _roundtrip(enum, 'B') == 'B'
+    arr = {'type': 'array', 'items': 'long'}
+    assert _roundtrip(arr, [1, -2, 3]) == [1, -2, 3]
+    assert _roundtrip(arr, []) == []
+    mp = {'type': 'map', 'values': 'string'}
+    assert _roundtrip(mp, {'k1': 'v1', 'k2': 'v2'}) == {'k1': 'v1',
+                                                        'k2': 'v2'}
+    fx = {'type': 'fixed', 'name': 'F', 'size': 3}
+    assert _roundtrip(fx, b'abc') == b'abc'
+    un = ['null', 'string']
+    assert _roundtrip(un, None) is None
+    assert _roundtrip(un, 'x') == 'x'
+
+
+def test_nested_record_roundtrip():
+    schema = {'type': 'record', 'name': 'Outer', 'fields': [
+        {'name': 'inner', 'type': {'type': 'record', 'name': 'Inner',
+                                   'fields': [{'name': 'v',
+                                               'type': 'long'}]}},
+        {'name': 'xs', 'type': {'type': 'array',
+                                'items': ['null', 'double']}},
+    ]}
+    v = {'inner': {'v': 7}, 'xs': [None, 1.5]}
+    got = decode_value(schema, _Reader(encode_value(schema, v)))
+    assert got == [('inner', [('v', 7)]), ('xs', [None, 1.5])]
+    assert render_json(got) == \
+        '{"inner": {"v": 7}, "xs": [null, 1.5]}'
+
+
+def test_negative_count_array_block_honored():
+    # spec: a negative count means |count| items preceded by a byte size
+    items = encode_value('long', 5) + encode_value('long', 6)
+    data = (encode_long(-2) + encode_long(len(items)) + items
+            + encode_long(0))
+    arr = {'type': 'array', 'items': 'long'}
+    assert decode_value(arr, _Reader(data)) == [5, 6]
+
+
+def test_truncated_varint_and_bytes_contained():
+    with pytest.raises(ValueError):
+        decode_value('long', _Reader(b'\x80\x80'))
+    with pytest.raises(ValueError):
+        decode_value('string', _Reader(encode_long(100) + b'short'))
+
+
+def test_container_deflate_roundtrip_and_block_salvage():
+    schema = {'type': 'record', 'name': 'R',
+              'fields': [{'name': 'v', 'type': 'long'}]}
+    recs = [{'v': i} for i in range(5)]
+    data = write_container(schema, recs, codec='deflate')
+    rows = avro_rows('f', data)
+    assert [json.loads(r[2])['v'] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r[3] == '' for r in rows)
+    # corrupt the THIRD block's deflate payload: first two salvage
+    # (single-record blocks: magic..sync | blocks). Find block starts by
+    # re-encoding prefix lengths is fiddly — instead corrupt the tail
+    # and assert the prefix survived.
+    bad = data[:len(data) // 2] + b'\xff' * (len(data) - len(data) // 2)
+    rows = avro_rows('f', bad)
+    assert rows and rows[-1][3] in ('bad block', 'sync mismatch')
+    good = [r for r in rows if r[3] == '']
+    assert all(json.loads(r[2])['v'] == i for i, r in enumerate(good))
+
+
+def test_unsupported_codec_contained():
+    schema = {'type': 'record', 'name': 'R',
+              'fields': [{'name': 'v', 'type': 'long'}]}
+    data = write_container(schema, [{'v': 1}], codec='null')
+    data = data.replace(b'null', b'zstd', 1)  # codec name, same length
+    rows = avro_rows('f', data)
+    assert rows[0][3].startswith('bad avro')
+
+
+def test_multi_record_blocks():
+    schema = {'type': 'record', 'name': 'R',
+              'fields': [{'name': 'v', 'type': 'long'}]}
+    data = write_container(schema, [{'v': i} for i in range(7)],
+                           records_per_block=3)
+    rows = avro_rows('f', data)
+    assert [r[1] for r in rows] == list(range(7))
+
+
+def test_float_double_bit_exact():
+    # IEEE bit patterns survive: subnormal double, -0.0
+    for v in (struct.unpack('<d', b'\x01' + b'\x00' * 7)[0], -0.0):
+        assert struct.pack('<d', _roundtrip('double', v)) == \
+            struct.pack('<d', v)
