@@ -5675,6 +5675,88 @@ def q_zip_extract(spark, sf_dir):
                       'content_md5', 'flag', 'error')
 
 
+def q_tiff_decode(spark, sf_dir):
+    """Baseline TIFF decoded for REAL (functions/tiff.py — TIFF 6.0
+    8-bit gray/RGB, none/PackBits strips, both endiannesses): 24
+    deterministic payloads sweep gray/RGB x II/MM x compression x
+    multi-strip x WhiteIsZero inversion, plus an LZW plant and a
+    truncated-strip plant that must stay contained error rows. Routed
+    through decode_image (magic dispatch), md5 pins each DECODED
+    raster. Committed-output oracle."""
+    import numpy as np
+    import pandas as pd
+    from mineru_html_spark.functions.tiff import encode_tiff
+
+    def synth(i: int):
+        w, h = 6 + i % 9, 5 + i % 7
+        gray = i % 2 == 0
+        shape = (h, w) if gray else (h, w, 3)
+        img = ((np.arange(int(np.prod(shape)), dtype=np.uint32)
+                * (11 + i * 7)) % 256).astype(np.uint8).reshape(shape)
+        payload = encode_tiff(
+            img, endian='<' if i % 3 else '>',
+            compression=32773 if i % 4 < 2 else 1,
+            rows_per_strip=(3 if i % 5 == 0 else 0))
+        if i % 6 == 4:       # WhiteIsZero plant (even i -> gray)
+            import struct
+            raw = bytearray(payload)
+            e = '<' if i % 3 else '>'
+            n = struct.unpack_from(f'{e}H', raw, 8)[0]
+            for k in range(n):
+                pos = 10 + 12 * k
+                if struct.unpack_from(f'{e}H', raw, pos)[0] == 262 \
+                        and raw[pos + 8 if e == '<' else pos + 9] == 1:
+                    raw[pos + 8 if e == '<' else pos + 9] = 0
+            # gray only in practice (RGB never carries photometric
+            # 0); the decoder must INVERT, so the pinned md5 differs
+            # from the i%6!=3 twin — the inversion path is exercised
+            payload = bytes(raw)
+        return (f'tiff-{i:03d}', payload)
+
+    rows = [synth(i) for i in range(24)]
+    lzw = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    import struct as _s
+    nn = _s.unpack_from('<H', lzw, 8)[0]
+    for k in range(nn):
+        pos = 10 + 12 * k
+        if _s.unpack_from('<H', lzw, pos)[0] == 259:
+            _s.pack_into('<H', lzw, pos + 8, 5)
+    rows.append(('tiff-lzw', bytes(lzw)))
+    trunc = encode_tiff(np.zeros((8, 8), dtype=np.uint8))
+    rows.append(('tiff-trunc', trunc[:len(trunc) - 20]))
+    pdf = pd.DataFrame(rows, columns=['media_ref', 'payload'])
+    df = spark.createDataFrame(pdf)
+
+    def batch(it):
+        import hashlib
+        from mineru_html_spark.functions.media import decode_image
+        for b in it:
+            out = {'media_ref': [], 'width': [], 'height': [],
+                   'channels': [], 'raster_md5': [], 'error': []}
+            for ref, payload in zip(b['media_ref'], b['payload']):
+                try:
+                    img = decode_image(bytes(payload), 'image/tiff')
+                    out['width'].append(img.shape[1])
+                    out['height'].append(img.shape[0])
+                    out['channels'].append(
+                        1 if img.ndim == 2 else img.shape[2])
+                    out['raster_md5'].append(
+                        hashlib.md5(img.tobytes()).hexdigest())
+                    out['error'].append('')
+                except (ValueError, NotImplementedError) as e:
+                    out['width'].append(0)
+                    out['height'].append(0)
+                    out['channels'].append(0)
+                    out['raster_md5'].append('')
+                    out['error'].append(str(e)[:40])
+                out['media_ref'].append(ref)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batch, 'media_ref string, width int, height int, channels int, '
+               'raster_md5 string, error string')
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -5948,6 +6030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tar_extract': q_tar_extract,
         'zip_extract': q_zip_extract,
         'avro_extract': q_avro_extract,
+        'tiff_decode': q_tiff_decode,
     }
 
 
@@ -9816,5 +9899,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT fid, CAST(-1 AS BIGINT), '', 'sync mismatch'
         FROM c WHERE cls = 'sync'
+    """
+    oracles['tiff_decode'] = """
+        SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_tiff_decode_sf001.parquet')
     """
     return oracles

@@ -151,6 +151,12 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_gif(payload)[0][0]
     if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'AVI ':
         return decode_avi_mjpeg(payload)[0][0]
+    if bytes(payload[:2]) in (b'II', b'MM') and len(payload) >= 4 \
+            and bytes(payload[2:4]) in (b'*\x00', b'\x00*'):
+        # baseline TIFF (8-bit gray/RGB, none/PackBits strips) decodes
+        # for real; LZW/tiled/16-bit raise inside and stay contained
+        from .tiff import decode_tiff
+        return decode_tiff(bytes(payload))
     if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'WEBP':
         # lossless (VP8L) decodes for real (functions/vp8l.py, RFC
         # 9649); lossy VP8 raises inside and stays the contained path

@@ -1,0 +1,260 @@
+"""TIFF raster decode (TIFF 6.0 baseline, stdlib+numpy only).
+
+The EXIF tier already walks TIFF IFD structures for metadata
+(functions/exif.py); this module adds the PIXEL side for the baseline
+class real scan/document corpora are dominated by: 8-bit grayscale and
+RGB, strip-organized, Compression=1 (none) or 32773 (PackBits), both
+endiannesses, WhiteIsZero photometric inversion, multi-strip images
+(RowsPerStrip < height). That matches the "Baseline TIFF" requirements
+of the public TIFF 6.0 spec §8 minus palette color (rare in crawls) —
+LZW/JPEG-in-TIFF/tiled variants raise and stay contained error rows,
+exactly the JPEG-progressive / lossy-WebP containment convention.
+
+PackBits (spec §9, the classic Apple RLE): control byte n in 0..127 =
+copy the next n+1 literals; n in 129..255 (-127..-1 signed) = repeat
+the next byte 1-n times; 128 = noop. Decoded per strip, bounds-checked,
+over-long output truncates loud (ValueError) rather than silently.
+
+The deterministic encoder exists for the gate corpus (and doubles as a
+thumbnail sink kernel): single- or multi-strip, optional PackBits.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+# baseline tags
+_WIDTH, _LENGTH, _BPS, _COMPRESSION = 256, 257, 258, 259
+_PHOTOMETRIC, _STRIP_OFFSETS, _SPP = 262, 273, 277
+_ROWS_PER_STRIP, _STRIP_COUNTS, _PLANAR = 278, 279, 284
+
+_SHORT, _LONG = 3, 4
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def packbits_decode(src: bytes, expect: int) -> bytes:
+    """One PackBits stream -> exactly ``expect`` bytes (loud on both
+    truncation and overrun)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expect:
+        c = src[i]
+        i += 1
+        if c == 128:                                   # noop
+            continue
+        if c < 128:                                    # literal run
+            if i + c + 1 > n:
+                raise ValueError('packbits truncated literal')
+            out += src[i:i + c + 1]
+            i += c + 1
+        else:                                          # replicate run
+            if i >= n:
+                raise ValueError('packbits truncated replicate')
+            out += bytes([src[i]]) * (257 - c)
+            i += 1
+    if len(out) != expect:
+        raise ValueError(f'packbits length {len(out)} != {expect}')
+    return bytes(out)
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """Spec-shaped encoder (replicate runs >=3, literals otherwise)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:                                 # replicate run
+            out += bytes([257 - (j - i + 1), row[i]])
+            i = j + 1
+            continue
+        # literal run: until a >=3 replicate starts or 128 cap
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _read_ifd_arrays(d: bytes, off: int, e: str) -> dict:
+    """{tag: [values]} — the full-array variant the raster side needs
+    (StripOffsets/StripByteCounts/BitsPerSample are genuinely multi-
+    valued); bounds-checked like exif._read_ifd."""
+    if off + 2 > len(d):
+        raise ValueError('truncated ifd')
+    (n,) = struct.unpack_from(f'{e}H', d, off)
+    if off + 2 + 12 * n + 4 > len(d):
+        raise ValueError('truncated ifd')
+    out = {}
+    for k in range(n):
+        pos = off + 2 + 12 * k
+        tag, vtype, count = struct.unpack_from(f'{e}HHI', d, pos)
+        size = _TYPE_SIZE.get(vtype)
+        if size is None or count > len(d):
+            continue
+        total = size * count
+        voff = pos + 8 if total <= 4 else \
+            struct.unpack_from(f'{e}I', d, pos + 8)[0]
+        if voff + total > len(d):
+            raise ValueError('truncated ifd value')
+        if vtype == _SHORT:
+            out[tag] = list(struct.unpack_from(f'{e}{count}H', d, voff))
+        elif vtype == _LONG:
+            out[tag] = list(struct.unpack_from(f'{e}{count}I', d, voff))
+    return out
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF bytes -> HxW (gray) or HxWx3 (RGB) uint8 array.
+    Raises ValueError on malformed input, NotImplementedError on
+    beyond-baseline features (callers contain as error rows)."""
+    d = bytes(data)
+    if len(d) < 8:
+        raise ValueError('truncated header')
+    bo = d[:2]
+    if bo == b'II':
+        e = '<'
+    elif bo == b'MM':
+        e = '>'
+    else:
+        raise ValueError('bad byte order')
+    magic, ifd_off = struct.unpack_from(f'{e}HI', d, 2)
+    if magic != 42:
+        raise ValueError('bad tiff magic')
+    ifd = _read_ifd_arrays(d, ifd_off, e)
+
+    def one(tag, default=None):
+        v = ifd.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f'missing tag {tag}')
+            return default
+        return v[0]
+
+    w, h = one(_WIDTH), one(_LENGTH)
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError('bad dimensions')
+    comp = one(_COMPRESSION, 1)
+    photo = one(_PHOTOMETRIC)
+    spp = one(_SPP, 1)
+    bps = ifd.get(_BPS, [8])
+    if any(b != 8 for b in bps) or one(_PLANAR, 1) != 1:
+        raise NotImplementedError('beyond 8-bit chunky baseline')
+    if comp not in (1, 32773):
+        raise NotImplementedError(f'compression {comp}')
+    if photo not in (0, 1, 2) or spp not in (1, 3):
+        raise NotImplementedError(f'photometric {photo}/spp {spp}')
+    if (photo == 2) != (spp == 3):
+        raise ValueError('photometric/spp mismatch')
+
+    offsets = ifd.get(_STRIP_OFFSETS)
+    counts = ifd.get(_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError('bad strip tables')
+    rps = one(_ROWS_PER_STRIP, h)
+    row_bytes = w * spp
+    out = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(d):
+            raise ValueError('truncated strip')
+        rows = min(rps, remaining)
+        expect = rows * row_bytes
+        strip = d[off:off + cnt]
+        if comp == 32773:
+            strip = packbits_decode(strip, expect)
+        elif len(strip) < expect:
+            raise ValueError('short strip')
+        out += strip[:expect]
+        remaining -= rows
+    if remaining:
+        raise ValueError('missing strips')
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
+    if photo == 0:                                     # WhiteIsZero
+        arr = 255 - arr
+    return arr.copy()
+
+
+def encode_tiff(img: np.ndarray, endian: str = '<',
+                compression: int = 1, rows_per_strip: int = 0) -> bytes:
+    """uint8 gray (HxW) or RGB (HxWx3) -> deterministic baseline TIFF
+    (BlackIsZero/RGB photometric, chunky, optional PackBits)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    e = endian
+    raw = img.tobytes()
+    row_bytes = w * spp
+    strips: List[bytes] = []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        strip = raw[y0 * row_bytes:(y0 + rows) * row_bytes]
+        if compression == 32773:
+            strip = b''.join(
+                packbits_encode(strip[r * row_bytes:(r + 1) * row_bytes])
+                for r in range(rows))
+        strips.append(strip)
+
+    tags: List[Tuple[int, int, list]] = [
+        (_WIDTH, _LONG, [w]), (_LENGTH, _LONG, [h]),
+        (_BPS, _SHORT, [8] * spp), (_COMPRESSION, _SHORT, [compression]),
+        (_PHOTOMETRIC, _SHORT, [1 if gray else 2]),
+        (_STRIP_OFFSETS, _LONG, [0] * len(strips)),    # patched below
+        (_SPP, _SHORT, [spp]), (_ROWS_PER_STRIP, _LONG, [rps]),
+        (_STRIP_COUNTS, _LONG, [len(s) for s in strips]),
+        (_PLANAR, _SHORT, [1]),
+    ]
+    # layout: header(8) | IFD | out-of-line tag data | strips
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    data_off = ifd_off + ifd_size
+    overflow = bytearray()
+    for tag, vt, vals in tags:
+        total = _TYPE_SIZE[vt] * len(vals)
+        if total > 4:
+            overflow += b'\x00' * ((-len(overflow)) % 2)
+    # compute strip offsets after all out-of-line data
+    oversize = 0
+    for tag, vt, vals in tags:
+        total = _TYPE_SIZE[vt] * len(vals)
+        if total > 4:
+            oversize += total + (total % 2)
+    strips_off = data_off + oversize
+    offs, pos = [], strips_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    tags = [(t, vt, offs if t == _STRIP_OFFSETS else v)
+            for t, vt, v in tags]
+
+    entries = bytearray()
+    overflow = bytearray()
+    for tag, vt, vals in tags:
+        fmt = 'H' if vt == _SHORT else 'I'
+        total = _TYPE_SIZE[vt] * len(vals)
+        packed = struct.pack(f'{e}{len(vals)}{fmt}', *vals)
+        if total <= 4:
+            entries += struct.pack(f'{e}HHI', tag, vt, len(vals)) \
+                + packed.ljust(4, b'\x00')
+        else:
+            entries += struct.pack(f'{e}HHII', tag, vt, len(vals),
+                                   data_off + len(overflow))
+            overflow += packed + b'\x00' * (total % 2)
+    out = bytearray()
+    out += (b'II' if e == '<' else b'MM') + struct.pack(f'{e}HI', 42, 8)
+    out += struct.pack(f'{e}H', len(tags)) + entries \
+        + struct.pack(f'{e}I', 0)
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -1,0 +1,98 @@
+"""Baseline TIFF codec: round-trip sweep, PackBits spec arithmetic,
+photometric inversion, containment."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.tiff import (
+    decode_tiff, encode_tiff, packbits_decode, packbits_encode)
+
+
+def _img(shape, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize('gray', [True, False])
+@pytest.mark.parametrize('endian', ['<', '>'])
+@pytest.mark.parametrize('comp', [1, 32773])
+@pytest.mark.parametrize('rps', [0, 3])
+def test_roundtrip_sweep(gray, endian, comp, rps):
+    img = _img((11, 13) if gray else (11, 13, 3))
+    got = decode_tiff(encode_tiff(img, endian=endian, compression=comp,
+                                  rows_per_strip=rps))
+    assert got.shape == img.shape and (got == img).all()
+
+
+def test_packbits_apple_spec_vector():
+    # Apple TN1023's canonical example: FE=3x, literals, FD=4x, F7=10x
+    enc = bytes.fromhex('FEAA0280002AFDAA0380002A22F7AA')
+    exp = bytes.fromhex('AAAAAA80002AAAAAAAAA80002A22'
+                        + 'AA' * 10)
+    assert packbits_decode(enc, 24) == exp
+
+
+def test_packbits_roundtrip_edge_rows():
+    for row in (b'', b'a', b'aa', b'aaa', b'ab' * 100, b'\x00' * 300,
+                bytes(range(256)), b'abc' + b'd' * 130 + b'ef'):
+        assert packbits_decode(packbits_encode(row), len(row)) == row
+
+
+def test_packbits_loud_on_wrong_length():
+    enc = packbits_encode(b'hello world')
+    with pytest.raises(ValueError):
+        packbits_decode(enc, 999)
+    with pytest.raises(ValueError):
+        packbits_decode(b'\x05ab', 6)        # truncated literal
+
+
+def _flip_photometric(payload: bytes, endian: str) -> bytes:
+    raw = bytearray(payload)
+    e = endian
+    n = struct.unpack_from(f'{e}H', raw, 8)[0]
+    for k in range(n):
+        pos = 10 + 12 * k
+        if struct.unpack_from(f'{e}H', raw, pos)[0] == 262:
+            raw[pos + 8 if e == '<' else pos + 9] = 0
+    return bytes(raw)
+
+
+def test_whiteiszero_inverts():
+    img = _img((5, 6))
+    payload = _flip_photometric(encode_tiff(img), '<')
+    assert (decode_tiff(payload) == 255 - img).all()
+
+
+def test_beyond_baseline_contained():
+    img = _img((4, 4))
+    raw = bytearray(encode_tiff(img))
+    n = struct.unpack_from('<H', raw, 8)[0]
+    for k in range(n):
+        pos = 10 + 12 * k
+        if struct.unpack_from('<H', raw, pos)[0] == 259:
+            struct.pack_into('<H', raw, pos + 8, 5)     # LZW
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(raw))
+
+
+def test_truncated_strip_contained():
+    payload = encode_tiff(_img((8, 8)))
+    with pytest.raises(ValueError):
+        decode_tiff(payload[:-20])
+
+
+def test_not_a_tiff_contained():
+    with pytest.raises(ValueError):
+        decode_tiff(b'PK\x03\x04' + b'\x00' * 64)
+    with pytest.raises(ValueError):
+        decode_tiff(b'II+\x00' + b'\x00' * 64)   # BigTIFF magic 43
+
+
+def test_decode_image_dispatches_tiff():
+    from mineru_html_spark.functions.media import decode_image
+    img = _img((6, 7, 3))
+    for e in ('<', '>'):
+        got = decode_image(encode_tiff(img, endian=e), 'image/tiff')
+        assert (got == img).all()
