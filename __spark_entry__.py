@@ -5757,6 +5757,20 @@ def q_tiff_decode(spark, sf_dir):
                'raster_md5 string, error string')
 
 
+def q_audio_probe(spark, sf_dir):
+    """Audio-container probing joins the routing stage: MP3 frame-chain
+    walk (ID3v2 skip, per-header frame lengths, duration from REAL
+    frame counts), FLAC STREAMINFO bit unpack (exact duration, zero
+    audio frames read), Ogg id-header + final-granule (Vorbis at its
+    own rate, Opus at RFC 7845's 48 kHz) — plus junk and corrupt
+    plants (truncated fLaC, forbidden mp3 bitrate index) that must
+    stay contained status rows. Committed-output oracle."""
+    from mineru_html_spark.functions.probe import (probe_media,
+                                                   synth_audio_probe_df)
+    n = max(120, docs_for_sf(_sf_of(sf_dir)) // 64)
+    return probe_media(synth_audio_probe_df(spark, n))
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -6031,6 +6045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zip_extract': q_zip_extract,
         'avro_extract': q_avro_extract,
         'tiff_decode': q_tiff_decode,
+        'audio_probe': q_audio_probe,
     }
 
 
@@ -9903,5 +9918,9 @@ def oracle_sql() -> dict[str, str]:
     oracles['tiff_decode'] = """
         SELECT * FROM read_parquet(
             '/root/repo/tests/goldens/expected_tiff_decode_sf001.parquet')
+    """
+    oracles['audio_probe'] = """
+        SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_audio_probe_sf001.parquet')
     """
     return oracles

@@ -343,6 +343,15 @@ def probe_payload(payload: bytes) -> dict:
             return _probe_mp4(d)
         if d[:4] == b'\x1aE\xdf\xa3':
             return _probe_webm(d)
+        if d[:4] == b'fLaC':
+            return _probe_flac(d)
+        if d[:4] == b'OggS':
+            return _probe_ogg(d)
+        if d[:3] == b'ID3' or (len(d) >= 2 and d[0] == 0xFF
+                               and d[1] in (0xFA, 0xFB)):
+            # strict MPEG1 Layer III first-header match — looser sync
+            # scans would steal the junk class from 'unknown'
+            return _probe_mp3(d)
         return dict(_EMPTY, container='unknown',
                     status='error: unrecognized magic')
     except Exception as e:                  # malformed structure
@@ -515,6 +524,234 @@ def synth_probe_media_df(spark, n: int) -> DataFrame:
                 rows.append({'media_ref': ref, 'payload': payload,
                              'mime': mime, 'width': int(w),
                              'height': int(ht), 'n_frames': int(nf)})
+            yield pd.DataFrame(
+                rows, columns=['media_ref', 'payload', 'mime', 'width',
+                               'height', 'n_frames'])
+    return spark.range(n).mapInPandas(batch, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio containers: MP3 frame-walk, FLAC STREAMINFO, Ogg (Vorbis/Opus)
+
+# MPEG1 Layer III bitrate table (kbps, index 1..14) and sample rates
+_MP3_BITRATE = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)
+_MP3_RATE = (44100, 48000, 32000)
+
+
+def _probe_mp3(d: bytes) -> dict:
+    """MPEG1 Layer III: skip an ID3v2 tag (syncsafe size), then WALK
+    the frame chain (each header states its own frame length:
+    144*bitrate/rate + padding) — duration is counted from real frames
+    (1152 samples each), not estimated from file size, so truncated
+    tails and trailing junk are visible in n_frames."""
+    out = dict(_EMPTY, container='mp3', codec='mp3')
+    pos = 0
+    if d[:3] == b'ID3' and len(d) >= 10:
+        size = ((d[6] & 0x7F) << 21) | ((d[7] & 0x7F) << 14) \
+            | ((d[8] & 0x7F) << 7) | (d[9] & 0x7F)
+        pos = 10 + size
+    n_frames, rate, channels = 0, 0, 0
+    while pos + 4 <= len(d):
+        b0, b1, b2, b3 = d[pos:pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if n_frames:
+                break                        # trailing junk after chain
+            pos += 1
+            continue
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError('not MPEG1 Layer III')
+        bi, ri = b2 >> 4, (b2 >> 2) & 0x3
+        if bi in (0, 15) or ri == 3:
+            raise ValueError('bad bitrate/rate index')
+        rate = _MP3_RATE[ri]
+        pad = (b2 >> 1) & 0x1
+        channels = 1 if (b3 >> 6) == 3 else 2
+        flen = 144 * _MP3_BITRATE[bi] * 1000 // rate + pad
+        if pos + flen > len(d):
+            break                            # truncated final frame
+        n_frames += 1
+        pos += flen
+    if not n_frames:
+        raise ValueError('no mp3 frames')
+    out.update(n_frames=n_frames, sample_rate=rate, channels=channels,
+               duration_ms=n_frames * 1152 * 1000 // rate)
+    return out
+
+
+def _probe_flac(d: bytes) -> dict:
+    """fLaC STREAMINFO (first metadata block, mandatory per spec):
+    20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    samples — exact duration without touching a single audio frame."""
+    if len(d) < 4 + 4 + 34:
+        raise ValueError('truncated flac')
+    btype = d[4] & 0x7F
+    if btype != 0:
+        raise ValueError('first block not STREAMINFO')
+    blen = int.from_bytes(d[5:8], 'big')
+    if blen < 34:
+        raise ValueError('short streaminfo')
+    si = d[8:8 + 34]
+    bits = int.from_bytes(si[10:18], 'big')  # rate|ch|bps|samples(36)
+    rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    total = bits & ((1 << 36) - 1)
+    if not rate:
+        raise ValueError('zero sample rate')
+    return dict(_EMPTY, container='flac', codec='flac',
+                sample_rate=rate, channels=channels,
+                n_frames=0, duration_ms=total * 1000 // rate)
+
+
+def _probe_ogg(d: bytes) -> dict:
+    """Ogg pages: the FIRST page carries the codec id header (Vorbis
+    '\\x01vorbis' or 'OpusHead'); the LAST page's granule position is
+    the sample count (Opus granules run at 48 kHz per RFC 7845)."""
+    if d[:4] != b'OggS' or len(d) < 28:
+        raise ValueError('bad ogg page')
+    nseg = d[26]
+    body = 27 + nseg
+    seg0 = d[body:body + (d[27] if nseg else 0)]
+    if seg0[:7] == b'\x01vorbis':
+        codec = 'vorbis'
+        channels = seg0[11]
+        rate = int.from_bytes(seg0[12:16], 'little')
+        gran_rate = rate
+    elif seg0[:8] == b'OpusHead':
+        codec = 'opus'
+        channels = seg0[9]
+        rate = int.from_bytes(seg0[12:16], 'little')
+        gran_rate = 48000
+    else:
+        raise ValueError('unknown ogg codec')
+    if not rate:
+        raise ValueError('zero sample rate')
+    # find the final page (last OggS magic) and read its granule
+    last = d.rfind(b'OggS')
+    if last + 14 > len(d):
+        raise ValueError('truncated final page')
+    granule = int.from_bytes(d[last + 6:last + 14], 'little')
+    n_pages = d.count(b'OggS')
+    return dict(_EMPTY, container='ogg', codec=codec,
+                sample_rate=rate, channels=channels, n_frames=n_pages,
+                duration_ms=granule * 1000 // gran_rate)
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              body: bytes) -> bytes:
+    """One Ogg page, CRC zeroed (the probe never checks CRC — real
+    muxers do, but metadata probing shouldn't pay a table build)."""
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b'OggS\x00' + bytes([header_type])
+            + granule.to_bytes(8, 'little')
+            + serial.to_bytes(4, 'little') + seq.to_bytes(4, 'little')
+            + b'\x00\x00\x00\x00' + bytes([len(segs)]) + bytes(segs)
+            + body)
+
+
+def write_synth_mp3(n_frames: int, rate_idx: int = 0,
+                    bitrate_idx: int = 9, stereo: bool = True,
+                    id3_size: int = 0) -> bytes:
+    """Structurally-valid MPEG1 Layer III chain: honest-tier skeleton
+    (headers real, frame payloads deterministic junk)."""
+    out = bytearray()
+    if id3_size:
+        out += b'ID3\x04\x00\x00' + bytes(
+            [(id3_size >> s) & 0x7F for s in (21, 14, 7, 0)])
+        out += bytes(i & 0xFF for i in range(id3_size))
+    rate = _MP3_RATE[rate_idx]
+    for i in range(n_frames):
+        pad = i % 2
+        flen = 144 * _MP3_BITRATE[bitrate_idx] * 1000 // rate + pad
+        hdr = bytes([0xFF, 0xFB,
+                     (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1),
+                     0x00 if stereo else 0xC0])
+        out += hdr + bytes((i + j) % 251 for j in range(flen - 4))
+    return bytes(out)
+
+
+def write_synth_flac(rate: int, channels: int, total_samples: int,
+                     bps: int = 16) -> bytes:
+    """fLaC + last-block STREAMINFO with exact bit packing (no frames
+    — the probe never reads them)."""
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, 'big')
+    si[2:4] = (4096).to_bytes(2, 'big')
+    bits = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) \
+        | (total_samples & ((1 << 36) - 1))
+    si[10:18] = bits.to_bytes(8, 'big')
+    return b'fLaC' + bytes([0x80]) + (34).to_bytes(3, 'big') + bytes(si)
+
+
+def write_synth_ogg(codec: str, rate: int, channels: int,
+                    total_samples: int) -> bytes:
+    """Two-page Ogg: id-header page (BOS) + EOS page carrying the final
+    granule. Vorbis granules are at ``rate``; Opus at 48 kHz with the
+    stated input rate in OpusHead (RFC 7845 §4/§5)."""
+    if codec == 'vorbis':
+        ident = (b'\x01vorbis' + (0).to_bytes(4, 'little')
+                 + bytes([channels]) + rate.to_bytes(4, 'little')
+                 + b'\x00' * 16 + b'\xb8\x01')
+        granule = total_samples
+    else:
+        ident = (b'OpusHead\x01' + bytes([channels])
+                 + (312).to_bytes(2, 'little')
+                 + rate.to_bytes(4, 'little') + b'\x00\x00\x00')
+        granule = total_samples                 # caller passes 48k units
+    return (_ogg_page(0x1234, 0, 0, 0x02, ident)
+            + _ogg_page(0x1234, 1, granule, 0x04, b'\x00' * 32))
+
+
+def synth_audio_probe_df(spark, n: int) -> DataFrame:
+    """Deterministic audio-container corpus for the probe stage: ids
+    cycle mp3 (with/without ID3v2, both channel modes, varied
+    bitrate/rate) / flac / ogg-vorbis / ogg-opus / junk / corrupt
+    plants (truncated fLaC, an mp3 first header with the forbidden
+    bitrate index) — every parameter sha-derived from the ref."""
+    import hashlib
+
+    from .media import MEDIA_SCHEMA
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for idx in pdf['id']:
+                idx = int(idx)
+                ref = f'aprobe-{idx:05d}'
+                h = hashlib.sha256(ref.encode()).digest()
+                kind = idx % 6
+                if kind == 0:
+                    payload = write_synth_mp3(
+                        5 + h[0] % 20, rate_idx=h[1] % 3,
+                        bitrate_idx=1 + h[2] % 14,
+                        stereo=h[3] % 2 == 0,
+                        id3_size=40 + h[4] if h[5] % 3 == 0 else 0)
+                elif kind == 1:
+                    rate = (8000, 16000, 22050, 44100)[h[1] % 4]
+                    payload = write_synth_flac(
+                        rate, 1 + h[2] % 2, rate * (1 + h[3] % 5) // 2)
+                elif kind == 2:
+                    rate = (8000, 16000, 44100)[h[1] % 3]
+                    payload = write_synth_ogg(
+                        'vorbis', rate, 1 + h[2] % 2,
+                        rate * (1 + h[3] % 4))
+                elif kind == 3:
+                    payload = write_synth_ogg(
+                        'opus', (16000, 48000)[h[1] % 2], 1 + h[2] % 2,
+                        4800 * (1 + h[3] % 50))
+                elif kind == 4:
+                    payload = h * 3
+                else:
+                    payload = (write_synth_flac(8000, 1, 100)[:8]
+                               if h[1] % 2 else b'\xff\xfb\xf0\x00')
+                rows.append({'media_ref': ref, 'payload': payload,
+                             'mime': 'application/octet-stream',
+                             'width': 0, 'height': 0, 'n_frames': 0})
             yield pd.DataFrame(
                 rows, columns=['media_ref', 'payload', 'mime', 'width',
                                'height', 'n_frames'])

@@ -145,3 +145,66 @@ def test_probe_media_spark(spark):
             assert r['status'].startswith('error')
         else:
             assert r['status'] == 'ok', (ref, r['status'])
+
+
+# --- audio containers (mp3 / flac / ogg) ---------------------------------
+
+def test_mp3_frame_walk_counts_real_frames():
+    from mineru_html_spark.functions.probe import (_probe_mp3,
+                                                   write_synth_mp3)
+    p = write_synth_mp3(10, rate_idx=0, bitrate_idx=9, id3_size=50)
+    out = _probe_mp3(p)
+    assert (out['n_frames'], out['sample_rate'], out['channels']) == \
+        (10, 44100, 2)
+    assert out['duration_ms'] == 10 * 1152 * 1000 // 44100
+    # a cut inside the final frame drops exactly that frame
+    assert _probe_mp3(p[:-10])['n_frames'] == 9
+    # mono, other rate
+    out = _probe_mp3(write_synth_mp3(7, rate_idx=2, bitrate_idx=3,
+                                     stereo=False))
+    assert (out['sample_rate'], out['channels']) == (32000, 1)
+
+
+def test_mp3_forbidden_indices_raise():
+    import pytest
+    from mineru_html_spark.functions.probe import _probe_mp3
+    with pytest.raises(ValueError):
+        _probe_mp3(b'\xff\xfb\xf0\x00' + b'\x00' * 100)  # bitrate 15
+    with pytest.raises(ValueError):
+        _probe_mp3(b'\xff\xfb\x9c\x00' + b'\x00' * 100)  # rate idx 3
+
+
+def test_flac_streaminfo_bit_unpack():
+    from mineru_html_spark.functions.probe import (_probe_flac,
+                                                   write_synth_flac)
+    out = _probe_flac(write_synth_flac(22050, 2, 44100))
+    assert (out['sample_rate'], out['channels'],
+            out['duration_ms']) == (22050, 2, 2000)
+    # 8-channel, odd rate, bps variant
+    out = _probe_flac(write_synth_flac(96000, 8, 96000 * 3, bps=24))
+    assert (out['sample_rate'], out['channels'],
+            out['duration_ms']) == (96000, 8, 3000)
+
+
+def test_ogg_vorbis_and_opus_granule_rates():
+    from mineru_html_spark.functions.probe import (_probe_ogg,
+                                                   write_synth_ogg)
+    out = _probe_ogg(write_synth_ogg('vorbis', 8000, 1, 16000))
+    assert (out['codec'], out['duration_ms']) == ('vorbis', 2000)
+    # opus: granules at 48 kHz regardless of the 16 kHz input rate
+    out = _probe_ogg(write_synth_ogg('opus', 16000, 2, 96000))
+    assert (out['codec'], out['sample_rate'],
+            out['duration_ms']) == ('opus', 16000, 2000)
+
+
+def test_audio_dispatch_and_junk_still_unknown():
+    from mineru_html_spark.functions.probe import (
+        probe_payload, write_synth_flac, write_synth_mp3,
+        write_synth_ogg)
+    assert probe_payload(write_synth_mp3(3))['container'] == 'mp3'
+    assert probe_payload(
+        write_synth_flac(8000, 1, 800))['container'] == 'flac'
+    assert probe_payload(
+        write_synth_ogg('opus', 48000, 1, 480))['codec'] == 'opus'
+    assert probe_payload(b'\x00\x01\x02junk' * 10)['container'] == \
+        'unknown'
