@@ -5678,9 +5678,11 @@ def q_zip_extract(spark, sf_dir):
 def q_tiff_decode(spark, sf_dir):
     """Baseline TIFF decoded for REAL (functions/tiff.py — TIFF 6.0
     8-bit gray/RGB, none/PackBits strips, both endiannesses): 24
-    deterministic payloads sweep gray/RGB x II/MM x compression x
-    multi-strip x WhiteIsZero inversion, plus an LZW plant and a
-    truncated-strip plant that must stay contained error rows. Routed
+    deterministic payloads sweep gray/RGB x II/MM x compression
+    (none/PackBits/LZW-with-early-change/Adobe-deflate) x horizontal-
+    differencing predictor x multi-strip x WhiteIsZero inversion, plus
+    a CCITT-G3 plant and a truncated-strip plant that must stay
+    contained error rows. Routed
     through decode_image (magic dispatch), md5 pins each DECODED
     raster. Committed-output oracle."""
     import numpy as np
@@ -5695,8 +5697,9 @@ def q_tiff_decode(spark, sf_dir):
                 * (11 + i * 7)) % 256).astype(np.uint8).reshape(shape)
         payload = encode_tiff(
             img, endian='<' if i % 3 else '>',
-            compression=32773 if i % 4 < 2 else 1,
-            rows_per_strip=(3 if i % 5 == 0 else 0))
+            compression=(32773, 5, 1, 8)[i % 4],
+            rows_per_strip=(3 if i % 5 == 0 else 0),
+            predictor=2 if i % 3 == 2 else 1)
         if i % 6 == 4:       # WhiteIsZero plant (even i -> gray)
             import struct
             raw = bytearray(payload)
@@ -5714,14 +5717,14 @@ def q_tiff_decode(spark, sf_dir):
         return (f'tiff-{i:03d}', payload)
 
     rows = [synth(i) for i in range(24)]
-    lzw = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    g3 = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
     import struct as _s
-    nn = _s.unpack_from('<H', lzw, 8)[0]
+    nn = _s.unpack_from('<H', g3, 8)[0]
     for k in range(nn):
         pos = 10 + 12 * k
-        if _s.unpack_from('<H', lzw, pos)[0] == 259:
-            _s.pack_into('<H', lzw, pos + 8, 5)
-    rows.append(('tiff-lzw', bytes(lzw)))
+        if _s.unpack_from('<H', g3, pos)[0] == 259:
+            _s.pack_into('<H', g3, pos + 8, 3)   # CCITT G3: contained
+    rows.append(('tiff-g3', bytes(g3)))
     trunc = encode_tiff(np.zeros((8, 8), dtype=np.uint8))
     rows.append(('tiff-trunc', trunc[:len(trunc) - 20]))
     pdf = pd.DataFrame(rows, columns=['media_ref', 'payload'])

@@ -30,6 +30,7 @@ import numpy as np
 _WIDTH, _LENGTH, _BPS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _STRIP_OFFSETS, _SPP = 262, 273, 277
 _ROWS_PER_STRIP, _STRIP_COUNTS, _PLANAR = 278, 279, 284
+_PREDICTOR = 317
 
 _SHORT, _LONG = 3, 4
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -144,11 +145,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
     comp = one(_COMPRESSION, 1)
     photo = one(_PHOTOMETRIC)
     spp = one(_SPP, 1)
+    pred = one(_PREDICTOR, 1)
     bps = ifd.get(_BPS, [8])
     if any(b != 8 for b in bps) or one(_PLANAR, 1) != 1:
         raise NotImplementedError('beyond 8-bit chunky baseline')
-    if comp not in (1, 32773):
+    if comp not in (1, 32773, 5, 8):
         raise NotImplementedError(f'compression {comp}')
+    if pred not in (1, 2):
+        raise NotImplementedError(f'predictor {pred}')
     if photo not in (0, 1, 2) or spp not in (1, 3):
         raise NotImplementedError(f'photometric {photo}/spp {spp}')
     if (photo == 2) != (spp == 3):
@@ -170,9 +174,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
         strip = d[off:off + cnt]
         if comp == 32773:
             strip = packbits_decode(strip, expect)
+        elif comp == 5:
+            strip = lzw_decode(strip, expect)
+        elif comp == 8:                        # Adobe deflate (zlib)
+            import zlib
+            strip = zlib.decompress(strip)
+            if len(strip) < expect:
+                raise ValueError('short deflate strip')
         elif len(strip) < expect:
             raise ValueError('short strip')
-        out += strip[:expect]
+        strip = strip[:expect]
+        if pred == 2:
+            strip = _undo_predictor2(
+                np.frombuffer(strip, dtype=np.uint8), rows, w,
+                spp).tobytes()
+        out += strip
         remaining -= rows
     if remaining:
         raise ValueError('missing strips')
@@ -184,9 +200,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 def encode_tiff(img: np.ndarray, endian: str = '<',
-                compression: int = 1, rows_per_strip: int = 0) -> bytes:
+                compression: int = 1, rows_per_strip: int = 0,
+                predictor: int = 1) -> bytes:
     """uint8 gray (HxW) or RGB (HxWx3) -> deterministic baseline TIFF
-    (BlackIsZero/RGB photometric, chunky, optional PackBits)."""
+    (BlackIsZero/RGB photometric, chunky; compression 1/32773
+    PackBits/5 LZW; predictor 2 = horizontal differencing)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -199,10 +217,19 @@ def encode_tiff(img: np.ndarray, endian: str = '<',
     for y0 in range(0, h, rps):
         rows = min(rps, h - y0)
         strip = raw[y0 * row_bytes:(y0 + rows) * row_bytes]
+        if predictor == 2:
+            strip = _apply_predictor2(
+                np.frombuffer(strip, dtype=np.uint8), rows, w,
+                spp).tobytes()
         if compression == 32773:
             strip = b''.join(
                 packbits_encode(strip[r * row_bytes:(r + 1) * row_bytes])
                 for r in range(rows))
+        elif compression == 5:
+            strip = lzw_encode(strip)
+        elif compression == 8:
+            import zlib
+            strip = zlib.compress(strip, 9)
         strips.append(strip)
 
     tags: List[Tuple[int, int, list]] = [
@@ -214,6 +241,8 @@ def encode_tiff(img: np.ndarray, endian: str = '<',
         (_STRIP_COUNTS, _LONG, [len(s) for s in strips]),
         (_PLANAR, _SHORT, [1]),
     ]
+    if predictor == 2:
+        tags.append((_PREDICTOR, _SHORT, [2]))
     # layout: header(8) | IFD | out-of-line tag data | strips
     ifd_off = 8
     ifd_size = 2 + 12 * len(tags) + 4
@@ -258,3 +287,121 @@ def encode_tiff(img: np.ndarray, endian: str = '<',
     for s in strips:
         out += s
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13) + horizontal-differencing predictor (§14)
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(src: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9-bit initial codes,
+    ClearCode 256 / EOI 257, and the EARLY code-size bump (at table
+    sizes 511/1023/2047 — one before GIF's boundaries; the spec's
+    "LZW Differences" note every second TIFF decoder gets wrong)."""
+    out = bytearray()
+    table: List[bytes] = []
+    width = 9
+    prev: bytes = b''
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b'', b'']
+        width, prev = 9, b''
+
+    reset()
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(src):
+                raise ValueError('lzw truncated')
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            reset()
+            continue
+        if prev == b'':
+            if code >= len(table):
+                raise ValueError('lzw bad first code')
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):               # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError('lzw bad code')
+        out += entry
+        prev = entry
+        # EARLY change: bump width when the NEXT add would hit the cap
+        if len(table) in (510, 1022, 2046) and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError(f'lzw length {len(out)} != {expect}')
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Matching TIFF-variant encoder (early change, clear at 12-bit
+    cap) — gate corpus + thumbnail sink kernel."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(_CLEAR, width)
+    prev = b''
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = nxt
+        nxt += 1
+        if nxt in (511, 1023, 2047):           # early change
+            width += 1
+        elif nxt == 4095:                      # table full: clear
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(strip: np.ndarray, rows: int, w: int,
+                     spp: int) -> np.ndarray:
+    """Horizontal differencing (Predictor=2): per-row, per-channel
+    cumulative sum mod 256 — one vectorized np.cumsum, no Python loop."""
+    a = strip.reshape(rows, w, spp).astype(np.uint32)
+    return np.cumsum(a, axis=1).astype(np.uint8).reshape(-1)
+
+
+def _apply_predictor2(img_rows: np.ndarray, rows: int, w: int,
+                      spp: int) -> np.ndarray:
+    a = img_rows.reshape(rows, w, spp).astype(np.int16)
+    d = np.empty_like(a)
+    d[:, 0, :] = a[:, 0, :]
+    d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+    return (d & 0xFF).astype(np.uint8).reshape(-1)

@@ -72,7 +72,7 @@ def test_beyond_baseline_contained():
     for k in range(n):
         pos = 10 + 12 * k
         if struct.unpack_from('<H', raw, pos)[0] == 259:
-            struct.pack_into('<H', raw, pos + 8, 5)     # LZW
+            struct.pack_into('<H', raw, pos + 8, 7)     # JPEG-in-TIFF
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(raw))
 
@@ -96,3 +96,60 @@ def test_decode_image_dispatches_tiff():
     for e in ('<', '>'):
         got = decode_image(encode_tiff(img, endian=e), 'image/tiff')
         assert (got == img).all()
+
+
+# --- LZW (TIFF variant: MSB-first, early change) + predictor -------------
+
+def test_lzw_roundtrip_and_code_growth():
+    from mineru_html_spark.functions.tiff import lzw_decode, lzw_encode
+    rng = np.random.default_rng(5)
+    for data in (b'', b'a', b'TOBEORNOTTOBEORTOBEORNOT',
+                 bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+                 b'\x00' * 10000,
+                 bytes(rng.integers(0, 4, 30000, dtype=np.uint8))):
+        assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_lzw_early_change_boundary():
+    # an input long enough to cross 510 table entries checks the
+    # TIFF-vs-GIF off-by-one: decoding with GIF boundaries would
+    # misalign every code after the first width bump
+    from mineru_html_spark.functions.tiff import lzw_decode, lzw_encode
+    data = bytes((i * 7 + (i >> 3)) % 256 for i in range(4000))
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_lzw_loud_on_garbage():
+    from mineru_html_spark.functions.tiff import lzw_decode
+    with pytest.raises(ValueError):
+        lzw_decode(b'\x00' * 3, 1000)           # truncated
+    with pytest.raises(ValueError):
+        # first code far beyond the table
+        lzw_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF]), 10)
+
+
+@pytest.mark.parametrize('comp', [5, 8])
+@pytest.mark.parametrize('pred', [1, 2])
+def test_roundtrip_lzw_deflate_predictor(comp, pred):
+    img = _img((9, 14, 3), seed=13)
+    got = decode_tiff(encode_tiff(img, compression=comp, predictor=pred,
+                                  rows_per_strip=4))
+    assert (got == img).all()
+
+
+def test_predictor2_gray_and_uncompressed():
+    img = _img((7, 5), seed=17)
+    got = decode_tiff(encode_tiff(img, compression=1, predictor=2))
+    assert (got == img).all()
+
+
+def test_ccitt_g3_contained():
+    import struct as s
+    raw = bytearray(encode_tiff(_img((4, 4))))
+    n = s.unpack_from('<H', raw, 8)[0]
+    for k in range(n):
+        pos = 10 + 12 * k
+        if s.unpack_from('<H', raw, pos)[0] == 259:
+            s.pack_into('<H', raw, pos + 8, 3)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(raw))
