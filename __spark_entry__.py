@@ -5774,6 +5774,18 @@ def q_audio_probe(spark, sf_dir):
     return probe_media(synth_audio_probe_df(spark, n))
 
 
+def q_resample_events(spark, sf_dir):
+    """Per-user fixed-interval resampling with LOCF + integer linear
+    interpolation over the events stream (4h buckets, user_id%5==0
+    slice): the dense-grid regularization a metric/training pipeline
+    runs over irregular event streams. All-LONG arithmetic (centi
+    values, div interpolation) — exact SQL oracle mirrors the grid,
+    both fills and the max_by(event_id) last-value tiebreak."""
+    from mineru_html_spark.functions.sessions import resample_events
+    ev = _events(spark, sf_dir).where(F.col('user_id') % 5 == 0)
+    return resample_events(ev, step_s=14400)
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -6049,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'avro_extract': q_avro_extract,
         'tiff_decode': q_tiff_decode,
         'audio_probe': q_audio_probe,
+        'resample_events': q_resample_events,
     }
 
 
@@ -9925,5 +9938,52 @@ def oracle_sql() -> dict[str, str]:
     oracles['audio_probe'] = """
         SELECT * FROM read_parquet(
             '/root/repo/tests/goldens/expected_audio_probe_sf001.parquet')
+    """
+    oracles['resample_events'] = """
+        WITH e AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts) / 14400) AS BIGINT) * 14400
+                   AS bucket,
+                 CAST(round(value * 100) AS BIGINT) AS centi
+          FROM events WHERE user_id % 5 = 0),
+        obs AS (
+          SELECT user_id, bucket, count(*) AS n_obs,
+                 CAST(sum(centi) AS BIGINT) AS sum_centi,
+                 max_by(centi, event_id) AS last_centi
+          FROM e GROUP BY 1, 2),
+        grid AS (
+          SELECT user_id,
+                 unnest(range(min(bucket), max(bucket) + 1, 14400))
+                   AS bucket
+          FROM obs GROUP BY user_id),
+        dense AS (
+          SELECT g.user_id, g.bucket, o.n_obs, o.sum_centi,
+                 o.last_centi
+          FROM grid g LEFT JOIN obs o
+            ON o.user_id = g.user_id AND o.bucket = g.bucket),
+        filled AS (
+          SELECT user_id, bucket, n_obs, sum_centi, last_centi,
+            last_value(last_centi IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN n_obs IS NOT NULL THEN bucket END
+                       IGNORE NULLS) OVER wp AS pb,
+            first_value(last_centi IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN n_obs IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER wn AS nb
+          FROM dense
+          WINDOW
+            wp AS (PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING),
+            wn AS (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, bucket,
+               coalesce(n_obs, 0) AS n_obs,
+               coalesce(sum_centi, 0) AS sum_centi,
+               pv AS locf_centi,
+               CASE WHEN n_obs IS NOT NULL THEN last_centi * 10
+                    ELSE (pv * 10 * (nb - bucket)
+                          + nv * 10 * (bucket - pb)) // (nb - pb)
+               END AS interp_milli,
+               n_obs IS NULL AS is_gap
+        FROM filled
     """
     return oracles

@@ -170,3 +170,79 @@ def daily_anomalies(events: DataFrame, window_days: int = 7,
         'day', 'cnt',
         n.cast('long').alias('n_window'),
         direction.alias('direction'))
+
+
+def resample_events(events: DataFrame, step_s: int = 14400) -> DataFrame:
+    """Per-user fixed-interval resampling with gap-fill — the
+    time-series regularization stage (metric rollups, training windows
+    over sensor/click streams need a dense grid, not raw irregular
+    events): every ``step_s`` bucket between a user's first and last
+    observed bucket exists in the output, observed or not.
+
+    Per (user_id, bucket): n_obs, the exact centi-unit value sum, the
+    LAST observed value (max_by over event_id — a stated, engine-exact
+    tiebreak), then two fill columns over the dense grid:
+
+      * ``locf_centi`` — last observation carried forward;
+      * ``interp_milli`` — linear interpolation between the straddling
+        observed buckets, integer milli-units with floor division
+        (numerators are non-negative, so floor == truncate and the
+        DuckDB ``//`` mirror is exact). Grid edges are always observed
+        (the grid spans min..max observed bucket), so every gap is
+        interior and prev/next always exist.
+
+    All value arithmetic is integer (centi = round(value*100)) so the
+    oracle matches bit-for-bit.
+
+    Scale shape: the RAW event stream takes exactly one partial-
+    aggregated groupBy (user, bucket) — everything after runs on
+    bucket-level rows (~events/step density). The grid explode is
+    row-local from a per-user (min, max) aggregate; the fills are two
+    windows partitioned by user over bucket rows. No window or join
+    ever sees raw events; skew follows user skew on a stream already
+    collapsed by step_s."""
+    centi = F.round(F.col('value') * 100).cast('long')
+    bucket = F.floor(F.unix_timestamp(F.col('ts')) / step_s) \
+        .cast('long') * step_s
+    obs = (events
+           .select('user_id', bucket.alias('bucket'),
+                   centi.alias('centi'), 'event_id')
+           .groupBy('user_id', 'bucket')
+           .agg(F.count('*').alias('n_obs'),
+                F.sum('centi').alias('sum_centi'),
+                F.max_by('centi', 'event_id').alias('last_centi')))
+    grid = (obs.groupBy('user_id')
+            .agg(F.min('bucket').alias('b0'), F.max('bucket').alias('b1'))
+            .select('user_id', F.explode(
+                F.sequence(F.col('b0'), F.col('b1'),
+                           F.lit(step_s))).alias('bucket')))
+    dense = grid.join(obs, ['user_id', 'bucket'], 'left')
+
+    w_prev = Window.partitionBy('user_id').orderBy('bucket') \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.partitionBy('user_id').orderBy('bucket') \
+        .rowsBetween(0, Window.unboundedFollowing)
+    obs_b = F.when(F.col('n_obs').isNotNull(), F.col('bucket'))
+    prev_v = F.last('last_centi', ignorenulls=True).over(w_prev)
+    prev_b = F.last(obs_b, ignorenulls=True).over(w_prev)
+    next_v = F.first('last_centi', ignorenulls=True).over(w_next)
+    next_b = F.first(obs_b, ignorenulls=True).over(w_next)
+
+    staged = dense.select(
+        'user_id', 'bucket', 'n_obs', 'sum_centi', 'last_centi',
+        prev_v.alias('pv'), prev_b.alias('pb'),
+        next_v.alias('nv'), next_b.alias('nb'))
+    # pure LONG arithmetic end to end (`div`, never float division —
+    # a 1-ulp double error would flip the floor on exact ratios)
+    interp = F.when(
+        F.col('n_obs').isNotNull(), F.col('last_centi') * 10
+    ).otherwise(F.expr(
+        '(pv * 10 * (nb - bucket) + nv * 10 * (bucket - pb)) '
+        'div (nb - pb)'))
+    return staged.select(
+        'user_id', 'bucket',
+        F.coalesce('n_obs', F.lit(0)).alias('n_obs'),
+        F.coalesce('sum_centi', F.lit(0)).alias('sum_centi'),
+        F.col('pv').alias('locf_centi'),
+        interp.alias('interp_milli'),
+        F.col('n_obs').isNull().alias('is_gap'))

@@ -1,0 +1,50 @@
+"""resample_events: dense grid, LOCF, integer linear interpolation."""
+
+import datetime as dt
+
+BASE = 1704067200        # epoch of 2024-01-01 (buckets are absolute)
+
+
+def _ev(uid, sec, value, eid):
+    return (eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+            uid, 'view', value)
+
+
+def test_resample_fills_and_interpolates(spark):
+    # user 1: obs at buckets 0 (v=1.00) and 30 (v=4.00) with a 10s step
+    # -> gaps at 10 and 20 interpolate 2.00 / 3.00 exactly; LOCF stays
+    # at the bucket-0 value until bucket 30.
+    rows = [_ev(1, 0, 1.00, 1), _ev(1, 35, 4.00, 2),
+            # user 2: two obs in ONE bucket — last-by-event_id wins,
+            # sum is exact
+            _ev(2, 3, 1.50, 3), _ev(2, 7, 2.25, 4)]
+    df = spark.createDataFrame(
+        rows, 'event_id long, ts timestamp, user_id long, '
+              'event_type string, value double')
+    from mineru_html_spark.functions.sessions import resample_events
+    out = {(r['user_id'], r['bucket']): r
+           for r in resample_events(df, step_s=10).collect()}
+
+    u1 = [out[(1, BASE + b)] for b in (0, 10, 20, 30)]
+    assert [r['is_gap'] for r in u1] == [False, True, True, False]
+    assert [r['interp_milli'] for r in u1] == [1000, 2000, 3000, 4000]
+    assert [r['locf_centi'] for r in u1] == [100, 100, 100, 400]
+    assert [r['n_obs'] for r in u1] == [1, 0, 0, 1]
+
+    u2 = out[(2, BASE)]
+    assert (u2['n_obs'], u2['sum_centi'], u2['locf_centi'],
+            u2['interp_milli']) == (2, 375, 225, 2250)
+    assert len(out) == 5
+
+
+def test_resample_uneven_gap_floor_division(spark):
+    # obs v=0.00 at bucket 0, v=1.00 at bucket 30: interp at 10/20 is
+    # 100*10*{10,20}/30 -> floor(333.3)=333, floor(666.6)=666
+    rows = [_ev(1, 0, 0.00, 1), _ev(1, 30, 1.00, 2)]
+    df = spark.createDataFrame(
+        rows, 'event_id long, ts timestamp, user_id long, '
+              'event_type string, value double')
+    from mineru_html_spark.functions.sessions import resample_events
+    out = {r['bucket'] - BASE: r['interp_milli']
+           for r in resample_events(df, step_s=10).collect()}
+    assert out == {0: 0, 10: 333, 20: 666, 30: 1000}
