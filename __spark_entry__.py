@@ -5786,6 +5786,22 @@ def q_resample_events(spark, sf_dir):
     return resample_events(ev, step_s=14400)
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix recipe) over the embeddings table split into source
+    (even vec_id) / target (odd vec_id) sides: cosine normalized by
+    both neighborhoods' top-k density, forward-strategy best target
+    per source, milli-margin threshold. All-LONG scoring chain —
+    exact SQL oracle mirrors the full grid, both rank windows and
+    the div arithmetic."""
+    from mineru_html_spark.functions.similarity import bitext_margin_mine
+    # %8<2 slice: the exact all-pairs grid is quadratic by design (the
+    # operator's scale path swaps candidates to the IVF bucketed
+    # route); the gate slice keeps the n^2 certification affordable
+    emb = _embeddings(spark, sf_dir).where(F.col('vec_id') % 8 < 2)
+    return bitext_margin_mine(emb)
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -6062,6 +6078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tiff_decode': q_tiff_decode,
         'audio_probe': q_audio_probe,
         'resample_events': q_resample_events,
+        'bitext_mine': q_bitext_mine,
     }
 
 
@@ -9985,5 +10002,52 @@ def oracle_sql() -> dict[str, str]:
                END AS interp_milli,
                n_obs IS NULL AS is_gap
         FROM filled
+    """
+    oracles['bitext_mine'] = """
+        WITH srcv AS (
+          SELECT vec_id AS src_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   (CASE WHEN sqrt(list_sum(list_transform(embedding,
+                           y -> y::DOUBLE * y::DOUBLE))) = 0 THEN 1.0
+                         ELSE sqrt(list_sum(list_transform(embedding,
+                           y -> y::DOUBLE * y::DOUBLE))) END)) AS sn
+          FROM embeddings WHERE vec_id % 8 = 0),
+        tgtv AS (
+          SELECT vec_id AS tgt_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   (CASE WHEN sqrt(list_sum(list_transform(embedding,
+                           y -> y::DOUBLE * y::DOUBLE))) = 0 THEN 1.0
+                         ELSE sqrt(list_sum(list_transform(embedding,
+                           y -> y::DOUBLE * y::DOUBLE))) END)) AS tn
+          FROM embeddings WHERE vec_id % 8 = 1),
+        pairs AS (
+          SELECT s.src_id, t.tgt_id,
+                 cast(round(1000000 * list_sum(list_transform(
+                   range(0, len(s.sn)),
+                   i -> s.sn[i+1] * t.tn[i+1]))) AS BIGINT) AS cos_micro
+          FROM srcv s CROSS JOIN tgtv t),
+        rs AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cos_micro DESC, tgt_id ASC) AS r_s,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_micro DESC, src_id ASC) AS r_t
+               FROM pairs),
+        ks AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT)
+                 AS sumk_src FROM rs WHERE r_s <= 4 GROUP BY 1),
+        kt AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT)
+                 AS sumk_tgt FROM rs WHERE r_t <= 4 GROUP BY 1),
+        m AS (SELECT p.src_id, p.tgt_id, p.cos_micro,
+                CASE WHEN sumk_src + sumk_tgt <= 0 THEN 0
+                     ELSE (2 * 4 * 1000 * p.cos_micro)
+                          // (sumk_src + sumk_tgt) END AS margin_milli
+              FROM pairs p JOIN ks USING (src_id)
+                           JOIN kt USING (tgt_id)),
+        b AS (SELECT *,
+                row_number() OVER (PARTITION BY src_id
+                  ORDER BY margin_milli DESC, cos_micro DESC,
+                           tgt_id ASC) AS rk
+              FROM m)
+        SELECT src_id, tgt_id, cos_micro, margin_milli
+        FROM b WHERE rk = 1 AND margin_milli >= 1050
     """
     return oracles

@@ -779,3 +779,94 @@ def embedding_outliers(embeddings: DataFrame, dim: int = 64,
         'vec_id', 'd2',
         (F.lit(n).cast('long') * F.col('d2')
          > F.lit(k * sd2).cast('long')).alias('is_outlier'))
+
+
+def bitext_margin_mine(embeddings: DataFrame, k: int = 4,
+                       margin_milli_min: int = 1050,
+                       vec_col: str = 'embedding') -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): the embeddings table splits into a SOURCE
+    side (even vec_id) and TARGET side (odd vec_id) — the synthetic
+    stand-in for two languages' sentence embeddings — and a pair
+    (x, y) scores by its cosine RATIO to the neighborhood densities:
+
+        margin(x, y) = cos(x, y) /
+            ((avg_k cos(x, NN_k(x, tgt)) + avg_k cos(y, NN_k(y, src))) / 2)
+
+    Raw cosine mining drowns in hubness (some sentences are near
+    everything); the margin normalizes by how crowded each side's
+    neighborhood is, which is why it's the published standard for
+    mining parallel corpora out of crawls.
+
+    Integer-exact: cosines in micro units; margin_milli =
+    (2 * k * 1000 * cos_micro) div (sumk_src + sumk_tgt) where sumk_*
+    are the top-k micro-cosine SUMS (sums, not averages — the k
+    division would lose exactness). 'Forward' strategy: each source
+    keeps its best target by (margin desc, cos desc, tgt asc), then
+    thresholds.
+
+    Scale shape: at gate scale the candidate set is the full
+    src x tgt grid with the SMALLER side broadcast (one scan of the
+    larger, no shuffle of vectors); at web scale candidate generation
+    swaps to the IVF bucketed path (``ann_topk_ivf``) exactly like
+    hard_negative_mine — the margin contract is unchanged. Everything
+    after candidates is int-triple windows."""
+    from pyspark.sql.window import Window
+
+    def _unit(col):
+        # normalize ONCE per vector (guarded) — the n^2 pair stage
+        # then pays ONE index-walk dot, no per-pair norm recompute,
+        # no per-pair zip_with array allocation
+        v = F.transform(F.col(col), lambda x: x.cast('double'))
+        n = F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v))
+        return F.transform(v, lambda x: x / n)
+
+    spark = embeddings.sparkSession
+    n_part = int(spark.conf.get('spark.sql.shuffle.partitions', '32'))
+    # the scanned side must be spread BEFORE the broadcast product: a
+    # single small parquet file otherwise serializes the whole
+    # src x tgt grid (and both rank windows) onto one core
+    src = embeddings.where(F.col('vec_id') % 2 == 0).select(
+        F.col('vec_id').alias('src_id'), F.col(vec_col).alias('svec')) \
+        .repartition(n_part, 'src_id') \
+        .select('src_id', _unit('svec').alias('sn'))
+    tgt = embeddings.where(F.col('vec_id') % 2 == 1).select(
+        F.col('vec_id').alias('tgt_id'), F.col(vec_col).alias('tvec')) \
+        .select('tgt_id', _unit('tvec').alias('tn'))
+    cos = F.aggregate(
+        F.sequence(F.lit(1), F.size('sn')), F.lit(0.0),
+        lambda acc, i: acc + F.element_at('sn', i)
+        * F.element_at('tn', i))
+    pairs = (src.crossJoin(F.broadcast(tgt))
+             .select('src_id', 'tgt_id',
+                     F.round(cos * 1000000).cast('long')
+                     .alias('cos_micro')))
+
+    w_src = Window.partitionBy('src_id').orderBy(
+        F.desc('cos_micro'), F.asc('tgt_id'))
+    w_tgt = Window.partitionBy('tgt_id').orderBy(
+        F.desc('cos_micro'), F.asc('src_id'))
+    ranked = (pairs
+              .withColumn('r_s', F.row_number().over(w_src))
+              .withColumn('r_t', F.row_number().over(w_tgt)))
+    sumk_src = (ranked.where(F.col('r_s') <= k)
+                .groupBy('src_id')
+                .agg(F.sum('cos_micro').alias('sumk_src')))
+    sumk_tgt = (ranked.where(F.col('r_t') <= k)
+                .groupBy('tgt_id')
+                .agg(F.sum('cos_micro').alias('sumk_tgt')))
+    m = (pairs.join(F.broadcast(sumk_src), 'src_id')
+         .join(F.broadcast(sumk_tgt), 'tgt_id')
+         .withColumn('margin_milli', F.expr(
+             # denominator <= 0 (all-negative neighborhoods) can't
+             # be a meaningful density — score 0, thresholded away;
+             # div (not /) keeps the whole chain in LONGs
+             f'CASE WHEN sumk_src + sumk_tgt <= 0 THEN 0 ELSE '
+             f'(2 * {k} * 1000 * cos_micro) div (sumk_src + sumk_tgt) '
+             f'END')))
+    w_best = Window.partitionBy('src_id').orderBy(
+        F.desc('margin_milli'), F.desc('cos_micro'), F.asc('tgt_id'))
+    return (m.withColumn('rk', F.row_number().over(w_best))
+            .where((F.col('rk') == 1)
+                   & (F.col('margin_milli') >= margin_milli_min))
+            .select('src_id', 'tgt_id', 'cos_micro', 'margin_milli'))

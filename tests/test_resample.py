@@ -48,3 +48,23 @@ def test_resample_uneven_gap_floor_division(spark):
     out = {r['bucket'] - BASE: r['interp_milli']
            for r in resample_events(df, step_s=10).collect()}
     assert out == {0: 0, 10: 333, 20: 666, 30: 1000}
+
+
+# --- bitext margin mining --------------------------------------------------
+
+def test_bitext_margin_beats_raw_cosine_on_hubs(spark):
+    """t1 is a hub (near BOTH sources); s2's raw-cos best is t1 (0.8 >
+    0.6) but the margin normalizes by t1's crowded neighborhood and
+    picks t3 — the exact failure mode Artetxe & Schwenk's ratio margin
+    exists to fix. All values chosen to be float-exact."""
+    rows = [(0, [1.0, 0.0], 0), (2, [0.8, 0.6], 0),   # sources (even)
+            (1, [1.0, 0.0], 0), (3, [0.0, 1.0], 0)]   # targets (odd)
+    df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<float>, label int')
+    from mineru_html_spark.functions.similarity import bitext_margin_mine
+    out = {r['src_id']: r
+           for r in bitext_margin_mine(df, k=2,
+                                       margin_milli_min=500).collect()}
+    assert out[0]['tgt_id'] == 1 and out[0]['margin_milli'] == 1428
+    assert out[2]['tgt_id'] == 3 and out[2]['cos_micro'] == 600000
+    assert out[2]['margin_milli'] == 1200        # > t1's 1000
