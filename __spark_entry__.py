@@ -5802,6 +5802,40 @@ def q_bitext_mine(spark, sf_dir):
     return bitext_margin_mine(emb)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Partition-level copy-on-write MERGE over hive-partitioned
+    parquet (plans/merge.py — the Delta/Iceberg upsert shape on plain
+    files): a base table derived from documents takes a batch of
+    keyed updates (doc_id%10==0, new values) and inserts (new keys),
+    only the touched partitions rewrite, each swaps in atomically by
+    rename. The gate rebuilds base fresh per run then reads the merged
+    table back; exact SQL oracle restates upsert semantics."""
+    import shutil
+    from mineru_html_spark.plans.merge import (merge_upsert,
+                                               read_partitioned,
+                                               write_partitioned)
+    base_dir = os.path.join(
+        REPO, '.data',
+        f'merge_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    shutil.rmtree(base_dir, ignore_errors=True)
+    d = F.col('doc_id')
+    base = _docs(spark, sf_dir).select(
+        d.alias('doc_id'), (d % 8).cast('int').alias('part'),
+        (d * 3).alias('val'))
+    write_partitioned(base, base_dir, 'part')
+    upd = _docs(spark, sf_dir).where(d % 10 == 0).select(
+        d.alias('doc_id'), (d % 8).cast('int').alias('part'),
+        (d * 7).alias('val'))
+    ins = _docs(spark, sf_dir).where(d % 10 == 5).select(
+        (d + 1000000).alias('doc_id'),
+        (d % 8).cast('int').alias('part'), (d * 7).alias('val'))
+    merge_upsert(spark, base_dir, upd.unionByName(ins),
+                 ['doc_id'], 'part')
+    return read_partitioned(spark, base_dir) \
+        .select('doc_id', F.col('part').cast('int').alias('part'),
+                'val')
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -6079,6 +6113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_probe': q_audio_probe,
         'resample_events': q_resample_events,
         'bitext_mine': q_bitext_mine,
+        'merge_upsert': q_merge_upsert,
     }
 
 
@@ -10049,5 +10084,15 @@ def oracle_sql() -> dict[str, str]:
               FROM m)
         SELECT src_id, tgt_id, cos_micro, margin_milli
         FROM b WHERE rk = 1 AND margin_milli >= 1050
+    """
+    oracles['merge_upsert'] = """
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS part,
+               CASE WHEN doc_id % 10 = 0 THEN doc_id * 7
+                    ELSE doc_id * 3 END AS val
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, CAST(doc_id % 8 AS INT),
+               doc_id * 7
+        FROM documents WHERE doc_id % 10 = 5
     """
     return oracles

@@ -1,0 +1,99 @@
+"""Partition-level copy-on-write MERGE (upsert) over plain parquet.
+
+The maintenance operation every lakehouse table needs between full
+rewrites: apply a batch of keyed updates/inserts to a partitioned table
+WITHOUT touching partitions the batch doesn't reach. This is the
+copy-on-write MERGE shape of Delta/Iceberg (rewrite affected files,
+swap atomically), rebuilt over directory-partitioned parquet with the
+repo's publish-by-rename convention (same as the WARC sink):
+
+1. the update batch's distinct partition values are collected — a
+   driver-side list of PARTITION KEYS, never data (one tiny aggregate;
+   a 10^12-row table with daily partitions has ~10^4 keys);
+2. ONLY those partition directories are read back, anti-joined on the
+   merge key against the batch (update-wins semantics), unioned with
+   the batch, and written to a staging dir — untouched partitions are
+   never opened, so merge cost scales with the BATCH's partition
+   footprint, not the table;
+3. each staged partition dir atomically replaces its live counterpart
+   (rename into place, old dir renamed aside then dropped) — a reader
+   sees old or new, never a mix, per partition;
+4. the whole merge is idempotent at the partition level: a crash
+   between renames leaves each partition either old or new, and
+   re-running the same batch converges (upsert is a projection).
+
+Constraints stated honestly: atomicity is PER PARTITION (cross-
+partition readers can observe a torn batch mid-publish — the Iceberg
+snapshot sink in plans/sinks.py is the stronger tier when available);
+the merge key must be unique within base and batch per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, out_dir: str, part_col: str) -> None:
+    """Initial materialization of a partitioned table (hive layout:
+    ``part_col=value/`` subdirs)."""
+    df.write.mode('overwrite').partitionBy(part_col).parquet(out_dir)
+
+
+def read_partitioned(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.option('basePath', table_dir).parquet(table_dir)
+
+
+def _part_dirs(table_dir: str, part_col: str) -> List[str]:
+    return [d for d in os.listdir(table_dir)
+            if d.startswith(f'{part_col}=')]
+
+
+def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
+                 key_cols: List[str], part_col: str) -> dict:
+    """Upsert ``updates`` into the partitioned parquet table at
+    ``table_dir``. Update-wins on ``key_cols``; rows with new keys
+    insert. Returns counters (audit contract: partitions touched /
+    rows written are the numbers an operator checks after a merge)."""
+    touched = [r[0] for r in
+               updates.select(part_col).distinct().collect()]
+    if not touched:
+        return {'parts_touched': 0, 'rows_written': 0}
+
+    live = {d.split('=', 1)[1]: d
+            for d in _part_dirs(table_dir, part_col)}
+    staging = os.path.join(table_dir,
+                           f'_staging_{uuid.uuid4().hex[:12]}')
+    existing = [v for v in touched if str(v) in live]
+    base_cols = None
+    if existing:
+        base = spark.read.option('basePath', table_dir).parquet(
+            *[os.path.join(table_dir, live[str(v)]) for v in existing])
+        base_cols = base.columns
+        merged = base.join(updates.select(*key_cols), key_cols,
+                           'left_anti').unionByName(
+            updates.select(*base_cols))
+    else:
+        merged = updates
+        base_cols = updates.columns
+    merged.write.mode('overwrite').partitionBy(part_col).parquet(staging)
+    rows_written = spark.read.option('basePath', staging) \
+        .parquet(staging).count()
+
+    # atomic per-partition swap: new -> live via rename; previous dir
+    # renamed aside first so a crash leaves old OR new, never a blend
+    for d in _part_dirs(staging, part_col):
+        src = os.path.join(staging, d)
+        dst = os.path.join(table_dir, d)
+        old = dst + f'.old_{uuid.uuid4().hex[:8]}'
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {'parts_touched': len(touched), 'rows_written': rows_written}

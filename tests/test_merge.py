@@ -1,0 +1,65 @@
+"""Copy-on-write MERGE: partition pruning is the contract — untouched
+partitions must not be rewritten, touched ones swap atomically."""
+
+import os
+
+
+def _write_base(spark, d):
+    from mineru_html_spark.plans.merge import write_partitioned
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)],
+        'k long, part int, v long')
+    write_partitioned(df, d, 'part')
+
+
+def test_merge_updates_inserts_and_prunes(spark, tmp_path):
+    from mineru_html_spark.plans.merge import (merge_upsert,
+                                               read_partitioned)
+    d = str(tmp_path / 'tbl')
+    _write_base(spark, d)
+
+    def files_of(part):
+        pd_ = os.path.join(d, f'part={part}')
+        return sorted(os.path.join(pd_, f) for f in os.listdir(pd_)
+                      if f.endswith('.parquet'))
+
+    before_p2 = [(f, os.stat(f).st_ino) for f in files_of(2)]
+    upd = spark.createDataFrame(
+        [(0, 0, 999), (3, 0, 888),        # updates in part 0
+         (100, 1, 777),                   # insert into existing part 1
+         (200, 7, 666)],                  # insert into NEW partition 7
+        'k long, part int, v long')
+    stats = merge_upsert(spark, d, upd, ['k'], 'part')
+    assert stats['parts_touched'] == 3
+
+    rows = {r['k']: (r['part'], r['v'])
+            for r in read_partitioned(spark, d).collect()}
+    assert rows[0] == (0, 999) and rows[3] == (0, 888)   # updated
+    assert rows[1] == (1, 10) and rows[4] == (1, 40)     # untouched keys
+    assert rows[100] == (1, 777) and rows[200] == (7, 666)
+    assert len(rows) == 32
+    # partition 2 was never touched: same files, same inodes
+    after_p2 = [(f, os.stat(f).st_ino) for f in files_of(2)]
+    assert after_p2 == before_p2
+
+
+def test_merge_idempotent_rerun(spark, tmp_path):
+    from mineru_html_spark.plans.merge import (merge_upsert,
+                                               read_partitioned)
+    d = str(tmp_path / 'tbl')
+    _write_base(spark, d)
+    upd = spark.createDataFrame([(0, 0, 999), (200, 7, 1)],
+                                'k long, part int, v long')
+    merge_upsert(spark, d, upd, ['k'], 'part')
+    merge_upsert(spark, d, upd, ['k'], 'part')   # converges, no dup
+    rows = read_partitioned(spark, d).groupBy('k').count().collect()
+    assert all(r['count'] == 1 for r in rows)
+
+
+def test_merge_empty_batch_noop(spark, tmp_path):
+    from mineru_html_spark.plans.merge import merge_upsert
+    d = str(tmp_path / 'tbl')
+    _write_base(spark, d)
+    empty = spark.createDataFrame([], 'k long, part int, v long')
+    assert merge_upsert(spark, d, empty, ['k'], 'part') == \
+        {'parts_touched': 0, 'rows_written': 0}
