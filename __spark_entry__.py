@@ -5836,6 +5836,66 @@ def q_merge_upsert(spark, sf_dir):
                 'val')
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot CDC between two derived table versions: deletes
+    (doc_id%9==0 vanish), value updates (doc_id%7==1), NULL-flip
+    updates in BOTH directions (%11==4 old-NULL, %11==6 new-NULL —
+    the eqNullSafe cases a naive != comparison silently drops), and
+    inserts (new key space). One full-outer join; exact SQL oracle
+    restates every class."""
+    from mineru_html_spark.functions.relational import table_diff
+    d = F.col('doc_id')
+    old = _docs(spark, sf_dir).select(
+        d.alias('doc_id'),
+        F.when(d % 11 == 4, F.lit(None).cast('long'))
+        .otherwise(d * 3).alias('val'))
+    new = _docs(spark, sf_dir).where(d % 9 != 0).select(
+        d.alias('doc_id'),
+        F.when(d % 11 == 6, F.lit(None).cast('long'))
+        .when(d % 7 == 1, d * 5).otherwise(d * 3).alias('val'))
+    ins = _docs(spark, sf_dir).where(d % 10 == 3).select(
+        (d + 500000).alias('doc_id'), (d * 9).alias('val'))
+    return table_diff(old, new.unionByName(ins),
+                      ['doc_id'], ['val'])
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucket-banded interval-overlap join (the genomic/temporal
+    primitive Spark lacks natively): intervals derived from doc_id
+    arithmetic bin onto a 32-wide grid, equi-join on bucket, exact
+    overlap filter, canonical-bucket dedup (no distinct pass). Oracle
+    is the brute-force cross-join overlap predicate — every pair the
+    grid path finds, and none it invents."""
+    from mineru_html_spark.functions.relational import interval_join
+    d = F.col('doc_id')
+    left = _docs(spark, sf_dir).where(d % 3 == 0).select(
+        d.alias('l_id'), ((d * 7) % 1000).alias('start'),
+        ((d * 7) % 1000 + d % 50 + 1).alias('end'))
+    right = _docs(spark, sf_dir).where(d % 3 == 1).select(
+        d.alias('r_id'), ((d * 13) % 1000).alias('start'),
+        ((d * 13) % 1000 + d % 40 + 1).alias('end'))
+    return interval_join(left, right, bucket_width=32)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC format tier via Spark's built-in reader/writer: the
+    documents slice round-trips through an ORC table (zlib stripes)
+    and must hash identically to the parquet truth — certifying the
+    engine handles the other columnar format a lakehouse migration
+    drags in. Exact SQL oracle reads the parquet side."""
+    import shutil
+    d = os.path.join(
+        REPO, '.data',
+        f'orc_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    shutil.rmtree(d, ignore_errors=True)
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 4 == 0) \
+        .select('doc_id', 'source', 'text')
+    docs.write.mode('overwrite').orc(d)
+    back = spark.read.orc(d)
+    return back.select('doc_id', 'source',
+                       F.md5('text').alias('text_md5'))
+
+
 def q_avro_extract(spark, sf_dir):
     """Avro object-container source (spec-faithful stdlib decoder: the
     full recursive type set, zigzag varints, null+deflate codecs, sync
@@ -6114,6 +6174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'resample_events': q_resample_events,
         'bitext_mine': q_bitext_mine,
         'merge_upsert': q_merge_upsert,
+        'table_diff': q_table_diff,
+        'interval_join': q_interval_join,
+        'orc_roundtrip': q_orc_roundtrip,
     }
 
 
@@ -10094,5 +10157,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id + 1000000, CAST(doc_id % 8 AS INT),
                doc_id * 7
         FROM documents WHERE doc_id % 10 = 5
+    """
+    oracles['table_diff'] = """
+        WITH np AS (SELECT doc_id FROM documents WHERE doc_id % 9 != 0)
+        SELECT doc_id, 'delete' AS change FROM documents
+        WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT doc_id + 500000, 'insert' FROM documents
+        WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, 'update' FROM np
+        WHERE doc_id % 11 IN (4, 6) OR doc_id % 7 = 1
+    """
+    oracles['interval_join'] = """
+        WITH l AS (SELECT doc_id AS l_id, (doc_id * 7) % 1000 AS ls,
+                          (doc_id * 7) % 1000 + doc_id % 50 + 1 AS le
+                   FROM documents WHERE doc_id % 3 = 0),
+        r AS (SELECT doc_id AS r_id, (doc_id * 13) % 1000 AS rs,
+                     (doc_id * 13) % 1000 + doc_id % 40 + 1 AS re
+              FROM documents WHERE doc_id % 3 = 1)
+        SELECT l_id, r_id,
+               greatest(ls, rs) AS overlap_start,
+               least(le, re) AS overlap_end
+        FROM l, r WHERE ls < re AND rs < le
+    """
+    oracles['orc_roundtrip'] = """
+        SELECT doc_id, source, md5(text) AS text_md5
+        FROM documents WHERE doc_id % 4 = 0
     """
     return oracles

@@ -1,0 +1,50 @@
+"""table_diff + interval_join semantics."""
+
+
+def test_table_diff_classes_and_null_flips(spark):
+    from mineru_html_spark.functions.relational import table_diff
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40), (5, 50)],
+        'k long, v long')
+    new = spark.createDataFrame(
+        [(1, 10),            # unchanged -> no row
+         (2, 99),            # update
+         (3, 30),            # NULL -> value: update
+         (4, None),          # value -> NULL: update
+         (6, 60)],           # insert; 5 deleted
+        'k long, v long')
+    out = {r['k']: r['change']
+           for r in table_diff(old, new, ['k'], ['v']).collect()}
+    assert out == {2: 'update', 3: 'update', 4: 'update',
+                   5: 'delete', 6: 'insert'}
+
+
+def test_interval_join_half_open_and_bucket_dedup(spark):
+    from mineru_html_spark.functions.relational import interval_join
+    left = spark.createDataFrame(
+        [(1, 0, 100),        # spans 4 buckets at width 32
+         (2, 100, 101),      # touches r3 end-to-start: NO overlap
+         (3, 200, 210)],
+        'l_id long, start long, end long')
+    right = spark.createDataFrame(
+        [(10, 50, 150),      # overlaps l1 in several buckets -> once
+         (11, 99, 100),      # ends exactly at l2.start: half-open, no
+         (12, 205, 300)],
+        'r_id long, start long, end long')
+    rows = {(r['l_id'], r['r_id']): (r['overlap_start'],
+                                     r['overlap_end'])
+            for r in interval_join(left, right,
+                                   bucket_width=32).collect()}
+    assert rows == {(1, 10): (50, 100), (1, 11): (99, 100),
+                    (2, 10): (100, 101), (3, 12): (205, 210)}
+
+
+def test_interval_join_cross_bucket_pair_counted_once(spark):
+    from mineru_html_spark.functions.relational import interval_join
+    # both intervals span the SAME 3 buckets — the pair must emit once
+    left = spark.createDataFrame([(1, 10, 90)],
+                                 'l_id long, start long, end long')
+    right = spark.createDataFrame([(2, 5, 95)],
+                                  'r_id long, start long, end long')
+    out = interval_join(left, right, bucket_width=32).collect()
+    assert len(out) == 1 and out[0]['overlap_start'] == 10
