@@ -5859,14 +5859,15 @@ def q_table_diff(spark, sf_dir):
                       ['doc_id'], ['val'])
 
 
-def q_interval_join(spark, sf_dir):
+def q_interval_overlap_join(spark, sf_dir):
     """Bucket-banded interval-overlap join (the genomic/temporal
     primitive Spark lacks natively): intervals derived from doc_id
     arithmetic bin onto a 32-wide grid, equi-join on bucket, exact
     overlap filter, canonical-bucket dedup (no distinct pass). Oracle
     is the brute-force cross-join overlap predicate — every pair the
     grid path finds, and none it invents."""
-    from mineru_html_spark.functions.relational import interval_join
+    from mineru_html_spark.functions.relational import \
+        interval_overlap_join
     d = F.col('doc_id')
     left = _docs(spark, sf_dir).where(d % 3 == 0).select(
         d.alias('l_id'), ((d * 7) % 1000).alias('start'),
@@ -5874,7 +5875,7 @@ def q_interval_join(spark, sf_dir):
     right = _docs(spark, sf_dir).where(d % 3 == 1).select(
         d.alias('r_id'), ((d * 13) % 1000).alias('start'),
         ((d * 13) % 1000 + d % 40 + 1).alias('end'))
-    return interval_join(left, right, bucket_width=32)
+    return interval_overlap_join(left, right, bucket_width=32)
 
 
 def q_orc_roundtrip(spark, sf_dir):
@@ -6175,7 +6176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bitext_mine': q_bitext_mine,
         'merge_upsert': q_merge_upsert,
         'table_diff': q_table_diff,
-        'interval_join': q_interval_join,
+        'interval_overlap_join': q_interval_overlap_join,
         'orc_roundtrip': q_orc_roundtrip,
     }
 
@@ -10169,7 +10170,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'update' FROM np
         WHERE doc_id % 11 IN (4, 6) OR doc_id % 7 = 1
     """
-    oracles['interval_join'] = """
+    oracles['interval_overlap_join'] = """
         WITH l AS (SELECT doc_id AS l_id, (doc_id * 7) % 1000 AS ls,
                           (doc_id * 7) % 1000 + doc_id % 50 + 1 AS le
                    FROM documents WHERE doc_id % 3 = 0),

@@ -269,8 +269,8 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list,
             .select(*key_cols, 'change'))
 
 
-def interval_join(left: DataFrame, right: DataFrame,
-                  bucket_width: int,
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          bucket_width: int,
                   l_start: str = 'start', l_end: str = 'end',
                   r_start: str = 'start', r_end: str = 'end',
                   l_id: str = 'l_id', r_id: str = 'r_id') -> DataFrame:

@@ -19,8 +19,8 @@ def test_table_diff_classes_and_null_flips(spark):
                    5: 'delete', 6: 'insert'}
 
 
-def test_interval_join_half_open_and_bucket_dedup(spark):
-    from mineru_html_spark.functions.relational import interval_join
+def test_interval_overlap_half_open_and_bucket_dedup(spark):
+    from mineru_html_spark.functions.relational import interval_overlap_join
     left = spark.createDataFrame(
         [(1, 0, 100),        # spans 4 buckets at width 32
          (2, 100, 101),      # touches r3 end-to-start: NO overlap
@@ -33,18 +33,18 @@ def test_interval_join_half_open_and_bucket_dedup(spark):
         'r_id long, start long, end long')
     rows = {(r['l_id'], r['r_id']): (r['overlap_start'],
                                      r['overlap_end'])
-            for r in interval_join(left, right,
+            for r in interval_overlap_join(left, right,
                                    bucket_width=32).collect()}
     assert rows == {(1, 10): (50, 100), (1, 11): (99, 100),
                     (2, 10): (100, 101), (3, 12): (205, 210)}
 
 
-def test_interval_join_cross_bucket_pair_counted_once(spark):
-    from mineru_html_spark.functions.relational import interval_join
+def test_interval_overlap_cross_bucket_pair_counted_once(spark):
+    from mineru_html_spark.functions.relational import interval_overlap_join
     # both intervals span the SAME 3 buckets — the pair must emit once
     left = spark.createDataFrame([(1, 10, 90)],
                                  'l_id long, start long, end long')
     right = spark.createDataFrame([(2, 5, 95)],
                                   'r_id long, start long, end long')
-    out = interval_join(left, right, bucket_width=32).collect()
+    out = interval_overlap_join(left, right, bucket_width=32).collect()
     assert len(out) == 1 and out[0]['overlap_start'] == 10
