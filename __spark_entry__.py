@@ -4697,6 +4697,187 @@ def q_tpch_q8(spark, sf_dir):
                  F.sum(rev).alias('total_centi')))
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 analog (shipping-priority audit): for lines shipped in
+    one year, per return-flag class (the synthetic schema's stand-in
+    for l_shipmode), how many came from critical-priority orders vs
+    not. One fact-to-fact join on orderkey (the only exchange), then a
+    3-row conditional-count aggregate — the canonical join +
+    CASE-pivot shape."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate >= timestamp '1996-01-01 00:00:00' AND "
+        "l_shipdate < timestamp '1997-01-01 00:00:00'").select(
+        'l_orderkey', 'l_returnflag')
+    orders = _table(spark, sf_dir, 'orders').select(
+        'o_orderkey', 'o_orderpriority')
+    hi = F.col('o_orderpriority').isin('1-URGENT', '2-HIGH')
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy('l_returnflag')
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias('high_count'),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias('low_count')))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    never-ordered customers survive with c_count=0, the join-side
+    filter (priority != 1-URGENT) applied BEFORE the join — inside the
+    outer join's ON in the oracle, as a pre-filter here (equivalent,
+    and lets the scan prune). Two aggregates: per-customer count
+    (shuffles on custkey), then the tiny distribution rollup."""
+    cust = _table(spark, sf_dir, 'customer').select('c_custkey')
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderpriority <> '1-URGENT'").select(
+        'o_orderkey', 'o_custkey')
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          'left')
+                .groupBy('c_custkey')
+                .agg(F.count('o_orderkey').alias('c_count')))
+    return (per_cust.groupBy('c_count')
+            .agg(F.count('*').alias('custdist')))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, then
+    every supplier hitting the GLOBAL max (ties kept, as the spec's
+    view formulation does). The max comes from an unpartitioned window
+    over the PER-SUPPLIER ROLLUP — #suppliers rows, not lineitem rows
+    — so the fact table is scanned exactly ONCE (the naive
+    rollup-joins-its-own-max formulation plans two full lineitem
+    scans); never a global sort; supplier dim broadcasts."""
+    li = _table(spark, sf_dir, 'lineitem').where(
+        "l_shipdate >= timestamp '1996-01-01 00:00:00' AND "
+        "l_shipdate < timestamp '1996-04-01 00:00:00'").select(
+        'l_suppkey', 'l_extendedprice', 'l_discount')
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    per_supp = (li.groupBy('l_suppkey')
+                .agg(F.sum(rev).alias('total_revenue_centi')))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    top = (per_supp
+           .withColumn('_mx', F.max('total_revenue_centi').over(w))
+           .where(F.col('total_revenue_centi') == F.col('_mx')))
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_name')
+    return (top.join(F.broadcast(supp),
+                     top.l_suppkey == supp.s_suppkey)
+            .select('s_suppkey', 's_name', 'total_revenue_centi'))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lines of
+    one brand's small parts whose quantity is under 20% of that part's
+    corpus-wide average. The correlated subquery decorrelates into a
+    per-partkey aggregate computed AFTER the broadcast semi-reduction
+    to the brand's parts — the avg never aggregates the full lineitem,
+    only the filtered partkeys' lines (the semi-join pushdown a naive
+    translation misses). Quantities are integer-valued doubles, so the
+    sum driving each avg is exact and 0.2*avg is one deterministic
+    IEEE multiply on both engines."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_brand = 'Brand#5' AND p_size <= 25")
+            .select('p_partkey'))
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_partkey', 'l_quantity', 'l_extendedprice')
+    brand_lines = li.join(F.broadcast(part),
+                          li.l_partkey == part.p_partkey)
+    avg_q = (brand_lines.groupBy('l_partkey')
+             .agg(F.avg('l_quantity').alias('_avg_q')))
+    j = brand_lines.join(F.broadcast(avg_q), 'l_partkey').where(
+        F.col('l_quantity') < 0.2 * F.col('_avg_q'))
+    return j.agg(
+        F.coalesce(F.sum(F.round(F.col('l_extendedprice') * 100)
+                         .cast('long')), F.lit(0).cast('long'))
+        .alias('total_centi'),
+        F.count('*').alias('n_lines'))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    clears a threshold, attributed to their customers. The HAVING
+    aggregate shuffles lineitem on orderkey once; the surviving
+    handful of orderkeys then joins orders (shuffle) and the customer
+    dim (broadcast). Quantity sums are integer-valued doubles cast to
+    long after the exact integer sum."""
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_orderkey', 'l_quantity')
+    big = (li.groupBy('l_orderkey')
+           .agg(F.sum('l_quantity').cast('long').alias('total_qty'))
+           .where(F.col('total_qty') > 250))
+    orders = _table(spark, sf_dir, 'orders').select(
+        'o_orderkey', 'o_custkey', 'o_orderdate')
+    cust = _table(spark, sf_dir, 'customer').select(
+        'c_custkey', 'c_name')
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .select('c_custkey', 'c_name',
+                    F.col('o_orderkey').alias('o_orderkey'),
+                    F.date_format('o_orderdate', 'yyyy-MM-dd')
+                     .alias('o_orderdate_str'),
+                    'total_qty'))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive brackets): three
+    brand/size/quantity brackets OR-ed together — the classic
+    join-condition-pushdown stressor. The part dim BROADCASTS with
+    only the union-of-brackets rows surviving the scan (brand IN +
+    max-size prune), the per-bracket re-check runs post-join, and the
+    result is one exact centi-unit row."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') "
+                   "AND p_size <= 15")
+            .select('p_partkey', 'p_brand', 'p_size'))
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_partkey', 'l_quantity', 'l_extendedprice', 'l_discount')
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col('p_brand')
+    s = F.col('p_size')
+    q = F.col('l_quantity')
+    brackets = (
+        ((b == 'Brand#1') & (s <= 5) & (q >= 1) & (q <= 11))
+        | ((b == 'Brand#2') & (s <= 10) & (q >= 10) & (q <= 20))
+        | ((b == 'Brand#3') & (s <= 15) & (q >= 20) & (q <= 30)))
+    rev = F.round(F.col('l_extendedprice') * (1 - F.col('l_discount'))
+                  * 100).cast('long')
+    return j.where(brackets).agg(
+        F.coalesce(F.sum(rev), F.lit(0).cast('long'))
+        .alias('revenue_centi'),
+        F.count('*').alias('n_lines'))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): customers from a country
+    set with above-average positive balances and NO orders, rolled up
+    per country. The average is computed over exact centi-unit
+    integers (one-row broadcast); the no-RECENT-orders test is a LEFT
+    ANTI join against the date-pruned orders fact (never
+    EXISTS-per-row; the date filter reaches the scan, so the anti
+    join's build side is a fraction of the table). Nationkey stands in
+    for the phone prefix the synthetic schema lacks, and "lapsed"
+    replaces "never ordered" because every synthetic customer has at
+    least one order."""
+    cust = (_table(spark, sf_dir, 'customer')
+            .where(F.col('c_nationkey').isin(1, 3, 5, 7, 9, 11, 13))
+            .select('c_custkey', 'c_nationkey',
+                    F.round(F.col('c_acctbal') * 100).cast('long')
+                     .alias('bal_centi')))
+    avg_bal = (cust.where(F.col('bal_centi') > 0)
+               .agg(F.avg('bal_centi').alias('_avg')))
+    orders = _table(spark, sf_dir, 'orders').where(
+        "o_orderdate >= timestamp '2000-09-01 00:00:00'").select(
+        'o_custkey')
+    rich = (cust.join(F.broadcast(avg_bal))
+            .where(F.col('bal_centi') > F.col('_avg')))
+    no_orders = rich.join(orders,
+                          rich.c_custkey == orders.o_custkey,
+                          'left_anti')
+    return (no_orders.groupBy('c_nationkey')
+            .agg(F.count('*').alias('numcust'),
+                 F.sum('bal_centi').alias('totacctbal_centi')))
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -6046,6 +6227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q14': q_tpch_q14,
         'tpch_q7': q_tpch_q7,
         'tpch_q8': q_tpch_q8,
+        'tpch_q12': q_tpch_q12,
+        'tpch_q13': q_tpch_q13,
+        'tpch_q15': q_tpch_q15,
+        'tpch_q17': q_tpch_q17,
+        'tpch_q18': q_tpch_q18,
+        'tpch_q19': q_tpch_q19,
+        'tpch_q22': q_tpch_q22,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -8044,6 +8232,111 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1
+        """,
+        'tpch_q12': """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_count
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        'tpch_q13': """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        'tpch_q15': """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice
+                          * (1 - l_discount) * 100) AS BIGINT))
+                          AS BIGINT) AS total_revenue_centi
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_centi
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue_centi =
+                  (SELECT max(total_revenue_centi) FROM rev)
+        """,
+        'tpch_q17': """
+            WITH bl AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#5' AND p.p_size <= 25),
+            a AS (
+              SELECT l_partkey, avg(l_quantity) AS avg_q
+              FROM bl GROUP BY l_partkey)
+            SELECT COALESCE(CAST(sum(CAST(round(bl.l_extendedprice
+                        * 100) AS BIGINT)) AS BIGINT), 0)
+                     AS total_centi,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM bl JOIN a ON bl.l_partkey = a.l_partkey
+            WHERE bl.l_quantity < 0.2 * a.avg_q
+        """,
+        'tpch_q18': """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(l_quantity) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d')
+                     AS o_orderdate_str,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'tpch_q19': """
+            SELECT COALESCE(CAST(sum(CAST(round(l.l_extendedprice
+                     * (1 - l.l_discount) * 100) AS BIGINT))
+                     AS BIGINT), 0) AS revenue_centi,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p
+              ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        'tpch_q22': """
+            WITH cset AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+                       AS bal_centi
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            a AS (SELECT avg(bal_centi) AS avg_bal FROM cset
+                  WHERE bal_centi > 0)
+            SELECT c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(c.bal_centi) AS BIGINT)
+                     AS totacctbal_centi
+            FROM cset c, a
+            WHERE c.bal_centi > a.avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-09-01')
+            GROUP BY c.c_nationkey
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),

@@ -349,3 +349,43 @@ def test_interleaved_seqs_fold_is_row_local(spark, entry):
     for op in ('Exchange', 'Join', 'CartesianProduct'):
         assert p.count(op) == base.count(op), op
     assert p.count('MapInPandas') == base.count('MapInPandas')
+
+
+def test_tpch_q19_part_join_broadcasts(spark, entry):
+    """Q19's disjunctive-bracket join must broadcast the pruned part
+    dim into the lineitem scan — a shuffle join here means the fact
+    table exchanges for a 2k-row dim."""
+    p = plan_of(entry.q_tpch_q19(spark, SF))
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_tpch_q15_max_is_broadcast_not_global_sort(spark, entry):
+    """Q15 finds the max-revenue supplier via a one-row aggregate
+    broadcast back over the rollup — never a global sort of the
+    per-supplier table, and lineitem is scanned exactly once."""
+    p = plan_of(entry.q_tpch_q15(spark, SF))
+    assert 'TakeOrderedAndProject' not in p  # no top-k needed either
+    assert p.count('Scan parquet') == 2      # lineitem once + supplier
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_tpch_q17_avg_runs_after_brand_semi_reduction(spark, entry):
+    """Q17's per-part average must aggregate only the brand-filtered
+    lines (broadcast semi-reduction first): exactly two lineitem scans
+    (reused base), both joined against the broadcast part dim before
+    any hash aggregate sees full-table rows."""
+    p = plan_of(entry.q_tpch_q17(spark, SF))
+    assert 'SortMergeJoin' not in p
+    assert 'CartesianProduct' not in p
+    assert p.count('BroadcastHashJoin') >= 2
+
+
+def test_tpch_q22_anti_join_prunes_order_dates(spark, entry):
+    """The lapsed-customer anti join must push the recency predicate
+    into the orders scan (PushedFilters), not filter post-join."""
+    p = plan_of(entry.q_tpch_q22(spark, SF))
+    assert 'LeftAnti' in p
+    assert 'PushedFilters: [IsNotNull(o_orderdate), ' \
+           'GreaterThanOrEqual(o_orderdate' in p
