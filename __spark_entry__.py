@@ -5941,6 +5941,73 @@ def q_tiff_decode(spark, sf_dir):
                'raster_md5 string, error string')
 
 
+def q_bmp_decode(spark, sf_dir):
+    """Windows BMP decoded for REAL (functions/bmp.py — 8-bit palette
+    BI_RGB/BI_RLE8, 24/32-bit BI_RGB, both row orders): 24
+    deterministic payloads sweep bpp x top-down x RLE x every 4-byte
+    pad phase, plus a 16-bit plant and a truncated-raster plant that
+    must stay contained error rows. Routed through decode_image (magic
+    dispatch); md5 pins each DECODED raster. Committed-output
+    oracle."""
+    import numpy as np
+    import pandas as pd
+    from mineru_html_spark.functions.bmp import encode_bmp
+
+    def synth(i: int):
+        w, h = 3 + i % 9, 4 + i % 6           # all pad phases
+        gray = i % 3 == 0
+        shape = (h, w) if gray else (h, w, 3)
+        img = ((np.arange(int(np.prod(shape)), dtype=np.uint32)
+                * (13 + i * 5)) % 256).astype(np.uint8).reshape(shape)
+        if gray:
+            bpp = 8
+            rle = i % 2 == 1
+        else:
+            bpp = 24 if i % 2 else 32
+            rle = False
+        payload = encode_bmp(img, bpp=bpp, rle=rle,
+                             top_down=i % 4 == 2)
+        return (f'bmp-{i:03d}', payload)
+
+    rows = [synth(i) for i in range(24)]
+    bad16 = bytearray(encode_bmp(np.zeros((4, 4), dtype=np.uint8)))
+    bad16[28] = 16                            # biBitCount: contained
+    rows.append(('bmp-16bit', bytes(bad16)))
+    trunc = encode_bmp(np.zeros((8, 8, 3), dtype=np.uint8))
+    rows.append(('bmp-trunc', trunc[:len(trunc) - 24]))
+    pdf = pd.DataFrame(rows, columns=['media_ref', 'payload'])
+    df = spark.createDataFrame(pdf)
+
+    def batch(it):
+        import hashlib
+        from mineru_html_spark.functions.media import decode_image
+        for b in it:
+            out = {'media_ref': [], 'width': [], 'height': [],
+                   'channels': [], 'raster_md5': [], 'error': []}
+            for ref, payload in zip(b['media_ref'], b['payload']):
+                try:
+                    img = decode_image(bytes(payload), 'image/bmp')
+                    out['width'].append(img.shape[1])
+                    out['height'].append(img.shape[0])
+                    out['channels'].append(
+                        1 if img.ndim == 2 else img.shape[2])
+                    out['raster_md5'].append(
+                        hashlib.md5(img.tobytes()).hexdigest())
+                    out['error'].append('')
+                except (ValueError, NotImplementedError) as e:
+                    out['width'].append(0)
+                    out['height'].append(0)
+                    out['channels'].append(0)
+                    out['raster_md5'].append('')
+                    out['error'].append(str(e)[:40])
+                out['media_ref'].append(ref)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batch, 'media_ref string, width int, height int, channels int, '
+               'raster_md5 string, error string')
+
+
 def q_audio_probe(spark, sf_dir):
     """Audio-container probing joins the routing stage: MP3 frame-chain
     walk (ID3v2 skip, per-header frame lengths, duration from REAL
@@ -6359,6 +6426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zip_extract': q_zip_extract,
         'avro_extract': q_avro_extract,
         'tiff_decode': q_tiff_decode,
+        'bmp_decode': q_bmp_decode,
         'audio_probe': q_audio_probe,
         'resample_events': q_resample_events,
         'bitext_mine': q_bitext_mine,
@@ -10347,6 +10415,10 @@ def oracle_sql() -> dict[str, str]:
     oracles['audio_probe'] = """
         SELECT * FROM read_parquet(
             '/root/repo/tests/goldens/expected_audio_probe_sf001.parquet')
+    """
+    oracles['bmp_decode'] = """
+        SELECT * FROM read_parquet(
+            '/root/repo/tests/goldens/expected_bmp_decode_sf001.parquet')
     """
     oracles['resample_events'] = """
         WITH e AS (

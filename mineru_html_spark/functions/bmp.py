@@ -1,0 +1,208 @@
+"""Pure-stdlib BMP codec — the last common still-image container the
+media tier lacked (PNG/JPEG/GIF/TIFF/WebP-lossless already decode for
+real; crawl payloads still carry Windows bitmaps from legacy CMSes and
+screenshot uploads).
+
+Implements the dominant on-disk shapes of the Windows DIB format
+(public spec: Windows GDI BITMAPFILEHEADER/BITMAPINFOHEADER layout,
+same layout documented in every BMP reference):
+
+  * ``decode_bmp(data)`` — BITMAPINFOHEADER (40-byte) and the larger
+    V4/V5 headers (their prefix is layout-compatible); 24-bit and
+    32-bit BI_RGB (BGR / BGRX byte order, 4-byte row padding), 8-bit
+    palette in both BI_RGB and BI_RLE8 (encoded runs, absolute mode,
+    end-of-line / end-of-bitmap / delta escapes); positive height =
+    bottom-up rows, negative = top-down. Returns (H, W, 3) uint8 RGB.
+  * ``encode_bmp(arr, bpp=24, rle=False, top_down=False)`` — gray
+    (H,W) or RGB (H,W,3) input; 24/32-bit BI_RGB or 8-bit palette
+    (grayscale palette; ``rle=True`` emits BI_RLE8 encoded-mode runs)
+    — the deterministic writer the gate corpus is built from.
+
+Out of scope, loudly: 1/4/16-bit pixels, BI_BITFIELDS masks, embedded
+PNG/JPEG (BI_PNG/BI_JPEG) — ``ValueError`` with a clear message; the
+media stage contains it as an error row (the same policy as every
+other codec in this package).
+
+Reference parity note: the reference engine never decodes pixels at
+all (see VERDICT r4 — media handling is beyond-reference scope); this
+module exists for the training-data pipeline tier, not for parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FILE_HDR = struct.Struct('<2sIHHI')     # magic, size, res1, res2, offset
+_INFO_HDR = struct.Struct('<IiiHHIIiiII')
+
+BI_RGB = 0
+BI_RLE8 = 1
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (H, W, 3) uint8 RGB. ValueError on anything outside
+    the documented scope — callers contain it as an error row."""
+    if len(data) < _FILE_HDR.size + 40:
+        raise ValueError('bmp: truncated header')
+    magic, _fsize, _r1, _r2, px_off = _FILE_HDR.unpack_from(data, 0)
+    if magic != b'BM':
+        raise ValueError('bmp: bad magic')
+    (hdr_size, width, height, planes, bpp, compression, _img_size,
+     _xppm, _yppm, clr_used, _clr_imp) = _INFO_HDR.unpack_from(
+        data, _FILE_HDR.size)
+    if hdr_size < 40:
+        raise ValueError(f'bmp: unsupported header size {hdr_size} '
+                         '(BITMAPCOREHEADER out of scope)')
+    if planes != 1:
+        raise ValueError(f'bmp: planes={planes}')
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
+        raise ValueError(f'bmp: bad dimensions {width}x{height}')
+    if bpp not in (8, 24, 32):
+        raise ValueError(f'bmp: {bpp}-bit pixels out of scope '
+                         '(8/24/32 supported)')
+    if compression not in (BI_RGB, BI_RLE8) \
+            or (compression == BI_RLE8 and bpp != 8):
+        raise ValueError(f'bmp: compression {compression} out of scope')
+
+    palette = None
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = _FILE_HDR.size + hdr_size
+        pal_end = pal_off + 4 * n_colors
+        if pal_end > len(data) or pal_end > px_off:
+            raise ValueError('bmp: truncated palette')
+        pal = np.frombuffer(data, np.uint8, 4 * n_colors, pal_off)
+        pal = pal.reshape(n_colors, 4)
+        palette = np.zeros((256, 3), np.uint8)
+        palette[:n_colors] = pal[:, 2::-1]        # BGRX -> RGB
+
+    if compression == BI_RLE8:
+        idx = _unrle8(data, px_off, width, height)
+        rows = palette[idx]                       # (H, W, 3), bottom-up
+        return rows.copy() if top_down else rows[::-1].copy()
+
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = px_off + stride * height
+    if need > len(data):
+        raise ValueError('bmp: truncated pixel data')
+    raster = np.frombuffer(data, np.uint8, stride * height, px_off)
+    raster = raster.reshape(height, stride)[:, :width * bytes_pp]
+    if bpp == 8:
+        out = palette[raster.reshape(height, width)]
+    else:
+        px = raster.reshape(height, width, bytes_pp)
+        out = px[:, :, 2::-1]                     # BGR(X) -> RGB
+    return out.copy() if top_down else out[::-1].copy()
+
+
+def _unrle8(data: bytes, off: int, width: int, height: int) -> np.ndarray:
+    """BI_RLE8 -> (H, W) palette indexes, rows in FILE order
+    (bottom-up). Escapes per the spec: 00 00 end-of-line, 00 01
+    end-of-bitmap, 00 02 dx dy delta, 00 n>=3 absolute mode (word
+    aligned); anything running past the raster is a truncation error."""
+    out = np.zeros((height, width), np.uint8)
+    x = y = 0
+    i = off
+    n = len(data)
+    while i + 1 < n:
+        count = data[i]
+        val = data[i + 1]
+        i += 2
+        if count > 0:                             # encoded run
+            if y >= height or x + count > width:
+                raise ValueError('bmp: rle run past row end')
+            out[y, x:x + count] = val
+            x += count
+            continue
+        if val == 0:                              # end of line
+            x, y = 0, y + 1
+            continue
+        if val == 1:                              # end of bitmap
+            return out
+        if val == 2:                              # delta
+            if i + 2 > n:
+                raise ValueError('bmp: truncated rle delta')
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError('bmp: rle delta out of raster')
+            continue
+        if y >= height or x + val > width or i + val > n:   # absolute
+            raise ValueError('bmp: rle absolute past row end')
+        out[y, x:x + val] = np.frombuffer(data, np.uint8, val, i)
+        x += val
+        i += val + (val & 1)                      # word aligned
+    raise ValueError('bmp: rle stream missing end-of-bitmap')
+
+
+def encode_bmp(arr: np.ndarray, bpp: int = 24, rle: bool = False,
+               top_down: bool = False) -> bytes:
+    """(H,W) gray or (H,W,3) RGB uint8 -> BMP bytes. 8-bit output uses
+    the identity grayscale palette (gray input required); 24/32-bit
+    BI_RGB writes BGR(X) rows; top_down writes a negative height."""
+    arr = np.asarray(arr, np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError('encode_bmp expects (H,W) or (H,W,3) uint8')
+    h, w = arr.shape[:2]
+    if bpp == 8:
+        if not gray:
+            raise ValueError('8-bit encode requires a gray array')
+        palette = b''.join(struct.pack('<BBBB', v, v, v, 0)
+                           for v in range(256))
+        if rle:
+            body = _rle8(arr if top_down else arr[::-1])
+            compression = BI_RLE8
+        else:
+            stride = (w + 3) & ~3
+            rows = arr if top_down else arr[::-1]
+            pad = np.zeros((h, stride - w), np.uint8)
+            body = np.hstack([rows, pad]).tobytes()
+            compression = BI_RGB
+    elif bpp in (24, 32):
+        palette = b''
+        compression = BI_RGB
+        rgb = np.stack([arr] * 3, axis=-1) if gray else arr
+        bgr = rgb[:, :, ::-1]
+        if bpp == 32:
+            bgrx = np.concatenate(
+                [bgr, np.zeros((h, w, 1), np.uint8)], axis=2)
+            px = bgrx.reshape(h, w * 4)
+        else:
+            px = bgr.reshape(h, w * 3)
+        stride = (px.shape[1] + 3) & ~3
+        rows = px if top_down else px[::-1]
+        pad = np.zeros((h, stride - px.shape[1]), np.uint8)
+        body = np.hstack([rows, pad]).tobytes()
+    else:
+        raise ValueError(f'encode bpp {bpp} unsupported')
+    px_off = _FILE_HDR.size + 40 + len(palette)
+    info = _INFO_HDR.pack(40, w, -h if top_down else h, 1, bpp,
+                          compression, len(body), 2835, 2835,
+                          256 if bpp == 8 else 0, 0)
+    hdr = _FILE_HDR.pack(b'BM', px_off + len(body), 0, 0, px_off)
+    return hdr + info + palette + body
+
+
+def _rle8(rows: np.ndarray) -> bytes:
+    """Encoded-mode-only RLE8 (maximal runs capped at 255), EOL after
+    every row, EOB at the end — the deterministic writer shape."""
+    out = bytearray()
+    for row in rows:
+        x = 0
+        w = len(row)
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes((run, int(row[x])))
+            x += run
+        out += b'\x00\x00'
+    out += b'\x00\x01'
+    return bytes(out)

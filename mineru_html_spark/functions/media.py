@@ -157,6 +157,12 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         # for real; LZW/tiled/16-bit raise inside and stay contained
         from .tiff import decode_tiff
         return decode_tiff(bytes(payload))
+    if mime == 'image/bmp' or bytes(payload[:2]) == b'BM':
+        # Windows DIB (functions/bmp.py): 8-bit palette (BI_RGB +
+        # BI_RLE8), 24/32-bit BI_RGB, both row orders; 1/4/16-bit and
+        # bitfields raise inside and stay contained
+        from .bmp import decode_bmp
+        return decode_bmp(bytes(payload))
     if bytes(payload[:4]) == b'RIFF' and bytes(payload[8:12]) == b'WEBP':
         # lossless (VP8L) decodes for real (functions/vp8l.py, RFC
         # 9649); lossy VP8 raises inside and stays the contained path

@@ -1,0 +1,97 @@
+"""BMP codec unit tests (functions/bmp.py) — round-trips across the
+supported shape matrix plus the contained-failure plants."""
+
+import numpy as np
+import pytest
+
+from mineru_html_spark.functions.bmp import decode_bmp, encode_bmp
+
+
+def _img(h, w, channels=3, seed=1):
+    n = h * w * channels
+    a = ((np.arange(n, dtype=np.uint32) * (seed * 7 + 11)) % 256)
+    a = a.astype(np.uint8)
+    return a.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
+@pytest.mark.parametrize('w', [1, 2, 3, 4, 5, 17])   # every pad phase
+@pytest.mark.parametrize('bpp', [24, 32])
+def test_rgb_roundtrip_all_padding_phases(w, bpp):
+    img = _img(5, w)
+    assert np.array_equal(decode_bmp(encode_bmp(img, bpp=bpp)), img)
+
+
+@pytest.mark.parametrize('top_down', [False, True])
+def test_row_order_flag_is_invisible_to_consumers(top_down):
+    img = _img(7, 6)
+    out = decode_bmp(encode_bmp(img, top_down=top_down))
+    assert np.array_equal(out, img)
+
+
+def test_gray_8bit_palette_roundtrip_expands_to_rgb():
+    g = _img(6, 9, 1, seed=3)
+    out = decode_bmp(encode_bmp(g, bpp=8))
+    assert out.shape == (6, 9, 3)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], g)
+
+
+@pytest.mark.parametrize('top_down', [False, True])
+def test_rle8_roundtrip(top_down):
+    g = np.repeat(_img(5, 4, 1, seed=5), 3, axis=1)   # runs to compress
+    enc = encode_bmp(g, bpp=8, rle=True, top_down=top_down)
+    out = decode_bmp(enc)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_rle8_run_longer_than_255_splits():
+    g = np.full((2, 300), 77, np.uint8)
+    assert np.array_equal(
+        decode_bmp(encode_bmp(g, bpp=8, rle=True))[:, :, 0], g)
+
+
+def test_rle8_absolute_and_delta_modes_decode():
+    # hand-built stream: row0 = absolute [1,2,3] then delta (2,1) skips
+    # to row1 x=5, one encoded run, EOL, EOB. Skipped cells are 0 per
+    # the spec (delta leaves untouched pixels at their initial value).
+    body = bytes([0, 3, 1, 2, 3, 0,        # absolute 3 (word-aligned pad)
+                  0, 2, 2, 1,              # delta dx=2 dy=1 -> (5, 1)
+                  2, 9,                    # run of 2 nines
+                  0, 0,                    # EOL
+                  0, 1])                   # EOB
+    base = encode_bmp(np.zeros((3, 8), np.uint8), bpp=8, rle=True)
+    px_off = int.from_bytes(base[10:14], 'little')
+    import struct
+    hdr = bytearray(base[:px_off])
+    struct.pack_into('<I', hdr, 34, len(body))     # biSizeImage
+    out = decode_bmp(bytes(hdr) + body)[:, :, 0]
+    bottom = out[::-1]                             # file rows bottom-up
+    assert list(bottom[0][:3]) == [1, 2, 3]
+    assert list(bottom[1][5:7]) == [9, 9]
+    assert bottom[2].sum() == 0 and bottom[0][3:].sum() == 0
+
+
+def test_32bit_padding_free_stride():
+    img = _img(3, 7)
+    enc = encode_bmp(img, bpp=32)
+    assert np.array_equal(decode_bmp(enc), img)
+
+
+def test_unsupported_bpp_and_truncation_raise_value_error():
+    img = _img(4, 4)
+    enc = encode_bmp(img)
+    with pytest.raises(ValueError, match='truncated'):
+        decode_bmp(enc[:len(enc) - 8])
+    bad = bytearray(enc)
+    bad[28] = 16                                   # biBitCount = 16
+    with pytest.raises(ValueError, match='16-bit'):
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match='magic'):
+        decode_bmp(b'XX' + enc[2:])
+
+
+def test_decode_image_dispatches_on_bm_magic():
+    from mineru_html_spark.functions.media import decode_image
+    img = _img(5, 5)
+    out = decode_image(encode_bmp(img), 'application/octet-stream')
+    assert np.array_equal(out, img)

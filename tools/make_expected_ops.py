@@ -35,7 +35,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'ipynb_extract', 'latex_extract', 'table_extract', 'html_meta',
          'lz78_quality', 'pdf_layout', 'citation_graph', 'wet_extract',
          'wat_extract', 'rouge_l', 'textrank_keywords', 'pptx_extract',
-         'xlsx_extract', 'exif_orient', 'cdc_chunks', 'audio_fp', 'tiff_decode', 'audio_probe')
+         'xlsx_extract', 'exif_orient', 'cdc_chunks', 'audio_fp', 'tiff_decode', 'audio_probe',
+         'bmp_decode')
 
 
 def main():
