@@ -876,6 +876,45 @@ def q_badwords_screen(spark, sf_dir):
     return badwords_screen(docs)
 
 
+def q_bidi_screen(spark, sf_dir):
+    """Trojan-Source screen (CVE-2021-42574) over the corpus. Clean
+    synthetic text, so the gate plants the attack shapes: doc_id%50==7
+    a BALANCED RLO..PDF pair (flagged, well-formed), ==17 an
+    unterminated RLO (the paper's attack shape — unbalanced), ==27 a
+    closed isolate pair, ==37 a lone LRM mark (flagged, balanced).
+    Exact SQL oracle shares the plants and the length-diff count
+    kernel verbatim."""
+    from mineru_html_spark.functions.unicode_sec import bidi_screen
+    d = F.col('doc_id') % 50
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(d == 7, F.concat('text', F.lit('‮ hidden‬')))
+         .when(d == 17, F.concat('text', F.lit('‮evil')))
+         .when(d == 27, F.concat('text', F.lit('⁦iso⁩')))
+         .when(d == 37, F.concat('text', F.lit('‎')))
+         .otherwise(F.col('text')).alias('text'))
+    return bidi_screen(docs)
+
+
+def q_confusable_screen(spark, sf_dir):
+    """UTS #39 confusable/mixed-script screen. Plants: doc_id%50==5 a
+    homograph token (Cyrillic а inside a Latin word — must flag),
+    ==15 a pure-Cyrillic word (confusables counted, must NOT flag),
+    ==25 a Greek-omicron homograph. Exact SQL oracle mirrors the
+    translate skeleton, the token filter and every count."""
+    from mineru_html_spark.functions.unicode_sec import \
+        confusable_screen
+    d = F.col('doc_id') % 50
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.when(d == 5, F.concat('text', F.lit(' pаypal')))
+         .when(d == 15, F.concat('text', F.lit(' при'
+                                               'вет')))
+         .when(d == 25, F.concat('text', F.lit(' οmega')))
+         .otherwise(F.col('text')).alias('text'))
+    return confusable_screen(docs)
+
+
 def q_compaction_apply(spark, sf_dir):
     """The compaction plan EXECUTED on a real small-files directory:
     documents write as 12 tiny parquet files, compact_parquet_dir
@@ -6334,6 +6373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'collated_dedup': q_collated_dedup,
         'compaction_apply': q_compaction_apply,
         'badwords_screen': q_badwords_screen,
+        'bidi_screen': q_bidi_screen,
+        'confusable_screen': q_confusable_screen,
         'interval_join': q_interval_join,
         'dsv2_time_travel': q_dsv2_time_travel,
         'dsv2_incremental_read': q_dsv2_incremental_read,
@@ -6837,6 +6878,76 @@ def oracle_sql() -> dict[str, str]:
                        '') AS first_hit
               FROM d2)
             SELECT doc_id, n_hits, first_hit, n_hits = 0 AS keep
+            FROM x
+        """,
+        'bidi_screen': """
+            WITH d2 AS (
+              SELECT doc_id,
+                     CASE doc_id % 50
+                       WHEN 7 THEN text || '‮ hidden‬'
+                       WHEN 17 THEN text || '‮evil'
+                       WHEN 27 THEN text || '⁦iso⁩'
+                       WHEN 37 THEN text || '‎'
+                       ELSE text END AS text
+              FROM documents),
+            x AS (
+              SELECT doc_id,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[‪‫‭‮‬⁦⁧⁨⁩‎‏]', '', 'g'))
+                  AS BIGINT) AS n_bidi,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[‪‫‭‮]', '', 'g'))
+                  AS BIGINT) AS n_embed_open,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[‬]', '', 'g')) AS BIGINT) AS n_embed_close,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[⁦⁧⁨]', '', 'g'))
+                  AS BIGINT) AS n_iso_open,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[⁩]', '', 'g')) AS BIGINT) AS n_iso_close,
+                md5(regexp_replace(text,
+                  '[‪‫‭‮‬⁦⁧⁨⁩‎‏]', '', 'g'))
+                  AS scrubbed_md5
+              FROM d2)
+            SELECT doc_id, n_bidi, n_embed_open, n_embed_close,
+                   n_iso_open, n_iso_close,
+                   (n_embed_open = n_embed_close
+                    AND n_iso_open = n_iso_close) AS balanced,
+                   scrubbed_md5, n_bidi > 0 AS flagged
+            FROM x
+        """,
+        'confusable_screen': """
+            WITH d2 AS (
+              SELECT doc_id,
+                     CASE doc_id % 50
+                       WHEN 5 THEN text || ' pаypal'
+                       WHEN 15 THEN text
+                            || ' привет'
+                       WHEN 25 THEN text || ' οmega'
+                       ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                CASE WHEN len(trim(text)) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS w
+              FROM d2),
+            x AS (
+              SELECT doc_id,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[аеорсухіѕјһԁԛԝονι]',
+                  '', 'g')) AS BIGINT) AS n_confusable,
+                len(w) AS n_words,
+                len(list_filter(w, t ->
+                  regexp_matches(t, '[a-zA-Z]') AND regexp_matches(t,
+                  '[аеорсухіѕјһԁԛԝονι]')))
+                  AS mixed_words,
+                md5(lower(translate(text,
+                  'аеорсухіѕјһԁԛԝονι',
+                  'aeopcyxisjhdqwovi'))) AS skeleton_md5
+              FROM c)
+            SELECT doc_id, n_confusable, n_words, mixed_words,
+                   skeleton_md5, mixed_words > 0 AS flagged
             FROM x
         """,
         'collated_dedup': """

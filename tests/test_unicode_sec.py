@@ -1,0 +1,99 @@
+"""Unicode security screens (functions/unicode_sec.py): Trojan-Source
+bidi controls and UTS #39 confusables."""
+
+from mineru_html_spark.functions.unicode_sec import (
+    CONFUSABLE_FROM, CONFUSABLE_TO, bidi_screen, confusable_screen)
+
+RLO, LRO, PDF = '‮', '‭', '‬'
+LRI, PDI = '⁦', '⁩'
+LRM = '‎'
+
+
+def test_confusable_map_is_parallel():
+    assert len(CONFUSABLE_FROM) == len(CONFUSABLE_TO)
+    assert len(set(CONFUSABLE_FROM)) == len(CONFUSABLE_FROM)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_bidi_clean_text_unflagged(spark):
+    r = _one(bidi_screen(spark.createDataFrame(
+        [(1, 'plain ascii with ) brackets')],
+        'doc_id long, text string')))
+    assert not r['flagged'] and r['balanced'] and r['n_bidi'] == 0
+
+
+def test_bidi_balanced_override_flags_but_balances(spark):
+    # the paper's stretched-string shape, properly closed
+    txt = f'access_level = "user{RLO} ⁦// Check if admin⁩ ⁦"{PDF}'
+    r = _one(bidi_screen(spark.createDataFrame(
+        [(1, txt)], 'doc_id long, text string')))
+    assert r['flagged'] and r['n_embed_open'] == 1
+    assert r['n_embed_close'] == 1
+
+
+def test_bidi_unterminated_embedding_unbalanced(spark):
+    r = _one(bidi_screen(spark.createDataFrame(
+        [(1, f'evil{RLO}tail')], 'doc_id long, text string')))
+    assert r['flagged'] and not r['balanced']
+    assert r['n_bidi'] == 1 and r['n_embed_close'] == 0
+
+
+def test_bidi_isolates_counted_separately(spark):
+    r = _one(bidi_screen(spark.createDataFrame(
+        [(1, f'{LRI}iso{PDI}{LRM}')], 'doc_id long, text string')))
+    assert r['n_iso_open'] == 1 and r['n_iso_close'] == 1
+    assert r['balanced'] and r['n_bidi'] == 3    # + the LRM mark
+
+
+def test_bidi_scrub_md5_equals_control_free_twin(spark):
+    import hashlib
+    dirty = f'a{RLO}b{PDF}c{LRM}'
+    r = _one(bidi_screen(spark.createDataFrame(
+        [(1, dirty)], 'doc_id long, text string')))
+    assert r['scrubbed_md5'] == hashlib.md5(b'abc').hexdigest()
+
+
+def test_confusable_mixed_token_flags(spark):
+    r = _one(confusable_screen(spark.createDataFrame(
+        [(1, 'login at pаypal now')],    # Cyrillic а
+        'doc_id long, text string')))
+    assert r['flagged'] and r['mixed_words'] == 1
+    assert r['n_confusable'] == 1 and r['n_words'] == 4
+
+
+def test_confusable_pure_cyrillic_not_flagged(spark):
+    r = _one(confusable_screen(spark.createDataFrame(
+        [(1, 'привет world')],  # привет
+        'doc_id long, text string')))
+    assert not r['flagged'] and r['mixed_words'] == 0
+    assert r['n_confusable'] > 0                 # р/и? only mapped ones
+
+
+def test_confusable_skeletons_collide_for_homoglyph_twins(spark):
+    rows = confusable_screen(spark.createDataFrame(
+        [(1, 'paypal secure'), (2, 'pаypаl secure'),
+         (3, 'paypal insecure')],
+        'doc_id long, text string')).collect()
+    by = {r['doc_id']: r['skeleton_md5'] for r in rows}
+    assert by[1] == by[2] and by[1] != by[3]
+
+
+def test_confusable_greek_subset_maps(spark):
+    r = _one(confusable_screen(spark.createDataFrame(
+        [(1, 'οmega')],                     # Greek omicron + mega
+        'doc_id long, text string')))
+    assert r['flagged'] and r['n_confusable'] == 1
+
+
+def test_both_screens_empty_text_total(spark):
+    df = spark.createDataFrame([(1, ''), (2, None)],
+                               'doc_id long, text string')
+    assert bidi_screen(df).count() == 2
+    out = {r['doc_id']: r for r in confusable_screen(
+        df.fillna({'text': ''})).collect()}
+    assert out[1]['n_words'] == 0 and not out[1]['flagged']
