@@ -4917,6 +4917,216 @@ def q_tpch_q22(spark, sf_dir):
                  F.sum('bal_centi').alias('totacctbal_centi')))
 
 
+def _supply(spark, sf_dir):
+    """The synthetic schema has no PARTSUPP table, so the Q2/Q11/Q16/
+    Q20 family derives its supply relation from lineitem: one row per
+    (l_partkey, l_suppkey) with the MIN observed line price in exact
+    centi units standing in for ps_supplycost, and the summed quantity
+    standing in for ps_availqty. One map-side-combined aggregate; both
+    downstream consumers re-reduce it further before anything joins."""
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_partkey', 'l_suppkey',
+        F.round(F.col('l_extendedprice') * 100).cast('long')
+         .alias('_price_centi'),
+        F.col('l_quantity').cast('long').alias('_qty'))
+    return (li.groupBy('l_partkey', 'l_suppkey')
+            .agg(F.min('_price_centi').alias('supplycost_centi'),
+                 F.sum('_qty').alias('avail_qty')))
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 analog (min-cost regional supplier): for LARGE size-15
+    parts, the EUROPE supplier(s) offering the part at its regional
+    minimum supply cost (derived relation: see _supply — min line
+    price per part/supplier). The correlated MIN subquery decorrelates
+    into an unpartitioned-window-free per-part aggregate joined back
+    broadcast (supply rows for <=2k parts x 100 suppliers are tiny
+    after the reduction); supplier/nation/region dims all broadcast —
+    lineitem's one groupBy is the only big exchange."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_size = 15 AND p_type = 'LARGE'")
+            .select('p_partkey'))
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_name', 's_nationkey',
+        F.round(F.col('s_acctbal') * 100).cast('long')
+         .alias('bal_centi'))
+    nation = _table(spark, sf_dir, 'nation').select(
+        'n_nationkey', 'n_name', 'n_regionkey')
+    region = _table(spark, sf_dir, 'region').where(
+        "r_name = 'EUROPE'").select('r_regionkey')
+    eu_supp = (supp.join(F.broadcast(nation),
+                         supp.s_nationkey == nation.n_nationkey)
+               .join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey))
+    sup = _supply(spark, sf_dir).join(
+        F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+    offers = sup.join(F.broadcast(eu_supp),
+                      sup.l_suppkey == eu_supp.s_suppkey)
+    min_cost = (offers.groupBy('l_partkey')
+                .agg(F.min('supplycost_centi').alias('_min_cost')))
+    return (offers.join(F.broadcast(min_cost), 'l_partkey')
+            .where(F.col('supplycost_centi') == F.col('_min_cost'))
+            .select(F.col('l_partkey').alias('p_partkey'),
+                    's_suppkey', 's_name', 'n_name', 'bal_centi',
+                    'supplycost_centi'))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 analog (product-type profit by nation and year):
+    profit per line = revenue centi minus retail-cost centi
+    (p_retailprice x quantity standing in for ps_supplycost), summed
+    per supplier nation per order year over 'red' parts. Part filter
+    and supplier->nation chain broadcast; the lineitem⨝orders
+    orderkey shuffle is the single big exchange, and the profit
+    arithmetic is exact integer centi throughout."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_name LIKE '%red%'")
+            .select('p_partkey',
+                    F.round(F.col('p_retailprice') * 100).cast('long')
+                     .alias('_cost_centi')))
+    li = _table(spark, sf_dir, 'lineitem').select(
+        'l_orderkey', 'l_partkey', 'l_suppkey',
+        'l_extendedprice', 'l_discount',
+        F.col('l_quantity').cast('long').alias('_qty'))
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_nationkey')
+    nation = _table(spark, sf_dir, 'nation').select(
+        'n_nationkey', 'n_name')
+    orders = _table(spark, sf_dir, 'orders').select(
+        'o_orderkey', F.year('o_orderdate').alias('o_year'))
+    profit = (F.round(F.col('l_extendedprice')
+                      * (1 - F.col('l_discount')) * 100).cast('long')
+              - F.col('_cost_centi') * F.col('_qty'))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation),
+               supp.s_nationkey == nation.n_nationkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey))
+    return (j.groupBy('n_name', 'o_year')
+            .agg(F.sum(profit).alias('profit_centi'),
+                 F.count('*').alias('n_lines')))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 analog (important stock): supply value per part from
+    one nation's suppliers (derived supply relation, value =
+    supplycost x avail qty in exact centi), keeping parts whose value
+    exceeds 1/2000 of the nation total. The threshold compare is
+    INTEGER (value*2000 > total) — no float fraction on either
+    engine; the grand total rides a one-row broadcast crossJoin, never
+    a second scan of the supply aggregate's input."""
+    supp = (_table(spark, sf_dir, 'supplier')
+            .where(F.col('s_nationkey') == 7).select('s_suppkey'))
+    sup = (_supply(spark, sf_dir)
+           .join(F.broadcast(supp),
+                 F.col('l_suppkey') == F.col('s_suppkey')))
+    val = (sup.groupBy('l_partkey')
+           .agg(F.sum(F.col('supplycost_centi') * F.col('avail_qty'))
+                .alias('value_centi')))
+    total = val.agg(F.sum('value_centi').alias('_total'))
+    return (val.join(F.broadcast(total))
+            .where(F.col('value_centi') * 2000 > F.col('_total'))
+            .select(F.col('l_partkey').alias('p_partkey'),
+                    'value_centi'))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 analog (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) class over the derived
+    supply relation, excluding one brand, PROMO types, sizes outside
+    the probe list, and negative-balance suppliers (the 'complaints'
+    exclusion re-expressed as a data predicate). The distinct runs on
+    the already-reduced supply rows; part and the tiny bad-supplier
+    set broadcast."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND "
+                   "p_size IN (1, 4, 9, 14, 19, 24, 29, 34)")
+            .select('p_partkey', 'p_brand', 'p_type', 'p_size'))
+    ok_supp = (_table(spark, sf_dir, 'supplier')
+               .where(F.col('s_acctbal') >= 0).select('s_suppkey'))
+    sup = (_supply(spark, sf_dir)
+           .join(F.broadcast(part),
+                 F.col('l_partkey') == F.col('p_partkey'))
+           .join(F.broadcast(ok_supp),
+                 F.col('l_suppkey') == F.col('s_suppkey')))
+    return (sup.groupBy('p_brand', 'p_type', 'p_size')
+            .agg(F.countDistinct('l_suppkey').alias('supplier_cnt')))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 analog (dominant suppliers of a part family):
+    AMERICA suppliers who shipped MORE THAN HALF of some blue part's
+    total 1997 volume (the availqty > 0.5 x shipped test re-expressed
+    over the shipped volumes themselves; the compare is integer
+    2*supplier_qty > part_total). Per-(part,supplier) sums shuffle
+    once; the per-part total is a second reduction of that SAME
+    aggregate joined back broadcast; the output is the distinct
+    qualifying supplier set."""
+    part = (_table(spark, sf_dir, 'part')
+            .where("p_name LIKE 'blue%'").select('p_partkey'))
+    li = (_table(spark, sf_dir, 'lineitem')
+          .where("l_shipdate >= timestamp '1997-01-01 00:00:00' AND "
+                 "l_shipdate < timestamp '1998-01-01 00:00:00'")
+          .select('l_partkey', 'l_suppkey',
+                  F.col('l_quantity').cast('long').alias('_qty'))
+          .join(F.broadcast(part),
+                F.col('l_partkey') == F.col('p_partkey')))
+    per_ps = (li.groupBy('l_partkey', 'l_suppkey')
+              .agg(F.sum('_qty').alias('ps_qty')))
+    per_part = (per_ps.groupBy('l_partkey')
+                .agg(F.sum('ps_qty').alias('part_qty')))
+    dominant = (per_ps.join(F.broadcast(per_part), 'l_partkey')
+                .where(F.col('ps_qty') * 2 > F.col('part_qty'))
+                .select('l_suppkey').distinct())
+    nation = _table(spark, sf_dir, 'nation').select(
+        'n_nationkey', 'n_regionkey')
+    region = _table(spark, sf_dir, 'region').where(
+        "r_name = 'AMERICA'").select('r_regionkey')
+    supp = (_table(spark, sf_dir, 'supplier')
+            .join(F.broadcast(nation),
+                  F.col('s_nationkey') == F.col('n_nationkey'))
+            .join(F.broadcast(region),
+                  F.col('n_regionkey') == F.col('r_regionkey'))
+            .select('s_suppkey', 's_name'))
+    return (supp.join(dominant,
+                      supp.s_suppkey == dominant.l_suppkey)
+            .select('s_suppkey', 's_name'))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 analog (suppliers who kept orders waiting): in
+    finished ('F') multi-supplier orders, the supplier whose line is
+    the ONLY returned ('R', the lateness stand-in) one. The
+    EXISTS/NOT-EXISTS pair decorrelates into one per-order aggregate
+    (distinct suppliers, distinct R-suppliers) joined back on
+    orderkey — lineitem⨝orders and the join-back are the only
+    exchanges; supplier names broadcast; numwait counts distinct
+    orders per supplier."""
+    orders = (_table(spark, sf_dir, 'orders')
+              .where("o_orderstatus = 'F'").select('o_orderkey'))
+    li = (_table(spark, sf_dir, 'lineitem')
+          .select('l_orderkey', 'l_suppkey', 'l_returnflag')
+          .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+          .select('l_orderkey', 'l_suppkey', 'l_returnflag'))
+    per_order = (li.groupBy('l_orderkey')
+                 .agg(F.countDistinct('l_suppkey').alias('_n_supps'),
+                      F.countDistinct(
+                          F.when(F.col('l_returnflag') == 'R',
+                                 F.col('l_suppkey')))
+                       .alias('_n_r_supps')))
+    waiters = (li.where(F.col('l_returnflag') == 'R')
+               .join(per_order, 'l_orderkey')
+               .where((F.col('_n_supps') > 1)
+                      & (F.col('_n_r_supps') == 1)))
+    supp = _table(spark, sf_dir, 'supplier').select(
+        's_suppkey', 's_name')
+    return (waiters.groupBy('l_suppkey')
+            .agg(F.countDistinct('l_orderkey').alias('numwait'))
+            .join(F.broadcast(supp),
+                  F.col('l_suppkey') == F.col('s_suppkey'))
+            .select('s_suppkey', 's_name', 'numwait'))
+
+
 _PAIRS_CACHE: dict = {}
 
 
@@ -6340,6 +6550,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_q18': q_tpch_q18,
         'tpch_q19': q_tpch_q19,
         'tpch_q22': q_tpch_q22,
+        'tpch_q2': q_tpch_q2,
+        'tpch_q9': q_tpch_q9,
+        'tpch_q11': q_tpch_q11,
+        'tpch_q16': q_tpch_q16,
+        'tpch_q20': q_tpch_q20,
+        'tpch_q21': q_tpch_q21,
         'phrase_detect': q_phrase_detect,
         'bm25_topk': q_bm25_topk,
         'frontier_waves': q_frontier_waves,
@@ -8516,6 +8732,131 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2000-09-01')
             GROUP BY c.c_nationkey
+        """,
+        'tpch_q2': """
+            WITH sup AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(min(CAST(round(l_extendedprice * 100)
+                          AS BIGINT)) AS BIGINT) AS supplycost_centi
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            offers AS (
+              SELECT sup.l_partkey AS p_partkey, s.s_suppkey,
+                     s.s_name, n.n_name,
+                     CAST(round(s.s_acctbal * 100) AS BIGINT)
+                       AS bal_centi,
+                     sup.supplycost_centi
+              FROM sup
+              JOIN part p ON sup.l_partkey = p.p_partkey
+              JOIN supplier s ON sup.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+                AND r.r_name = 'EUROPE')
+            SELECT o.p_partkey, o.s_suppkey, o.s_name, o.n_name,
+                   o.bal_centi, o.supplycost_centi
+            FROM offers o
+            WHERE o.supplycost_centi = (
+              SELECT min(o2.supplycost_centi) FROM offers o2
+              WHERE o2.p_partkey = o.p_partkey)
+        """,
+        'tpch_q9': """
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS INT)
+                     AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                        * (1 - l.l_discount) * 100) AS BIGINT)
+                        - CAST(round(p.p_retailprice * 100)
+                          AS BIGINT)
+                          * CAST(l.l_quantity AS BIGINT))
+                        AS BIGINT) AS profit_centi,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        'tpch_q11': """
+            WITH sup AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(min(CAST(round(l_extendedprice * 100)
+                          AS BIGINT)) AS BIGINT) AS supplycost_centi,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS avail_qty
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            val AS (
+              SELECT sup.l_partkey AS p_partkey,
+                     CAST(sum(sup.supplycost_centi * sup.avail_qty)
+                          AS BIGINT) AS value_centi
+              FROM sup JOIN supplier s
+                ON sup.l_suppkey = s.s_suppkey
+              WHERE s.s_nationkey = 7
+              GROUP BY sup.l_partkey)
+            SELECT p_partkey, value_centi FROM val
+            WHERE value_centi * 2000 >
+                  (SELECT sum(value_centi) FROM val)
+        """,
+        'tpch_q16': """
+            WITH sup AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT sup.l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM sup
+            JOIN part p ON sup.l_partkey = p.p_partkey
+            JOIN supplier s ON sup.l_suppkey = s.s_suppkey
+            WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND s.s_acctbal >= 0
+            GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        'tpch_q20': """
+            WITH ps AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     CAST(sum(CAST(l.l_quantity AS BIGINT))
+                          AS BIGINT) AS ps_qty
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'blue%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l.l_partkey, l.l_suppkey),
+            tot AS (
+              SELECT l_partkey, sum(ps_qty) AS part_qty
+              FROM ps GROUP BY l_partkey),
+            dom AS (
+              SELECT DISTINCT ps.l_suppkey
+              FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+              WHERE ps.ps_qty * 2 > tot.part_qty)
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN dom ON s.s_suppkey = dom.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'AMERICA'
+        """,
+        'tpch_q21': """
+            WITH li AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            po AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supps,
+                     count(DISTINCT CASE WHEN l_returnflag = 'R'
+                           THEN l_suppkey END) AS n_r_supps
+              FROM li GROUP BY l_orderkey)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(DISTINCT li.l_orderkey) AS BIGINT)
+                     AS numwait
+            FROM li
+            JOIN po ON li.l_orderkey = po.l_orderkey
+            JOIN supplier s ON li.l_suppkey = s.s_suppkey
+            WHERE li.l_returnflag = 'R'
+              AND po.n_supps > 1 AND po.n_r_supps = 1
+            GROUP BY s.s_suppkey, s.s_name
         """,
         'pagerank': _pagerank_oracle(iters=10),
         'hits_scores': _hits_oracle(iters=4),
