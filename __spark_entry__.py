@@ -470,6 +470,35 @@ def q_pdf_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_pdf_image_spans(spark, sf_dir):
+    """Interleaved text+image SPAN extraction from PDFs — the north
+    rule's ordered (kind, text, media_ref, offset) contract fed from
+    embedded /Subtype /Image XObjects painted by Do operators: a
+    deterministic 12-file gate set (JPEG gray + 4:2:0 color decoded by
+    the repo's own codec, Flate RGB/gray samples, an image-ONLY page
+    whose content stream has no BT, an undecodable CCITT stub and a
+    corrupt-JPEG plant that must COUNT as undecoded, a '/Im1 Do'
+    inside a shown STRING that must stay text, an RC4-128
+    owner-restricted file whose image must decrypt, multi-page
+    placement, an uncompressed content stream, and a corrupt non-PDF
+    as a contained error row). Each image span's media_ref pins the
+    DECODED raster md5, so the golden certifies real pixel decode.
+    Committed-output oracle."""
+    from mineru_html_spark.sources.pdfimages import (
+        read_pdf_spans, write_synth_pdf_image_set)
+    d = os.path.join(REPO, '.data', 'pdf_image_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_pdf_image_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_pdf_spans(spark, d)
+    return out.select(
+        'doc_id', 'n_pages', 'n_bad_streams', 'n_images',
+        'n_undecoded', F.md5(F.to_json('spans')).alias('spans_md5'),
+        F.regexp_extract('error', r'^(\w*)', 1).alias('error_kind'))
+
+
 def q_epub_extract(spark, sf_dir):
     """End-to-end EPUB path — the book-corpus ingestion tier: a
     deterministic 7-file gate set (OPF at root and nested with
@@ -6427,6 +6456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry every round regardless of order.
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
+        'pdf_image_spans': q_pdf_image_spans,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -6861,7 +6891,8 @@ def oracle_sql() -> dict[str, str]:
                      'approx_distinct_users', 'warc_extract',
                      'wet_extract', 'wat_extract', 'rouge_l',
                      'textrank_keywords', 'pptx_extract',
-                     'xlsx_extract', 'exif_orient')
+                     'xlsx_extract', 'exif_orient',
+                     'pdf_image_spans')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

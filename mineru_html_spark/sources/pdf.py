@@ -170,6 +170,8 @@ _TJ_INNER_RE = re.compile(rb"\s*(?:-?[0-9.]+\s*)*(?:\(|<(?!<)|\]\s*TJ)")
 # font selection: /Name size Tf (PDF 32000-1 §9.3.1); the name may use
 # #xx hex escapes per §7.3.5 — rare in font keys, handled on lookup
 _TF_OP_RE = re.compile(rb'/([^\s/<>\[\]()]+)\s+[-0-9.]+\s+Tf')
+# XObject paint: /Name Do (§8.8.1) — token-bounded like the Tf/Tj ops
+_DO_OP_RE = re.compile(rb'/([^\s/<>\[\]()]+)\s+Do(?![0-9A-Za-z])')
 
 StrDecoder = Callable[[bytes], str]
 
@@ -614,7 +616,7 @@ def _page_font_maps(objects: Dict[int, bytes],
     return out
 
 
-def _text_stream_graph(data: bytes):
+def _text_stream_graph(data: bytes, extended: bool = False):
     """Shared object-graph pass behind ``pdf_to_text`` and the layout
     tier (``pdflayout.pdf_to_layout_text``): stream bounds via
     /Length-verified offsets (regex fallback), decryption with the
@@ -625,7 +627,16 @@ def _text_stream_graph(data: bytes):
     ``(scan_list, n_pages, n_bad)`` where scan_list is
     [(content stream bytes, font_map or None)] in document order with
     incremental-update last-occurrence-wins semantics, and streams that
-    fail to inflate are COUNTED, never silently dropped."""
+    fail to inflate are COUNTED, never silently dropped.
+
+    ``extended=True`` is the interleaved-span tier's contract
+    (``pdfimages.pdf_to_spans``): scan_list entries become
+    ``(object number, stream bytes, font_map or None)``, content
+    streams that paint ONLY images (``Do`` with no ``BT`` — an
+    image-only page) are retained in the scan list, and the object
+    dict + crypt handler are returned so the image pass can resolve
+    page resources and decrypt XObject payloads:
+    ``(scan_list3, n_pages, n_bad, objects, handler)``."""
     if not bytes(data[:5]) == b'%PDF-':
         raise ValueError('not a PDF (missing %PDF- header)')
     data = bytes(data)
@@ -687,10 +698,20 @@ def _text_stream_graph(data: bytes):
     # the final version N times and the superseded text never)
     last_of: Dict[int, int] = {num: i for i, (num, _) in enumerate(entries)}
     scan_list: List[Tuple[bytes, Optional[Dict[str, StrDecoder]]]] = []
+    scan3: List[Tuple[int, bytes, Optional[Dict[str, StrDecoder]]]] = []
     for i, (num, raw) in enumerate(entries):
-        if last_of[num] != i or num in objstm_ids or b'BT' not in raw:
-            continue                        # superseded / not text
-        scan_list.append((raw, page_fonts.get(num)))
+        if last_of[num] != i or num in objstm_ids:
+            continue                        # superseded / non-content
+        if b'BT' in raw:
+            scan_list.append((raw, page_fonts.get(num)))
+            if extended:
+                scan3.append((num, raw, page_fonts.get(num)))
+        elif extended and _DO_OP_RE.search(raw):
+            # image-only content stream: no text operators, but its Do
+            # paints span-sequence entries the interleaved tier needs
+            scan3.append((num, raw, page_fonts.get(num)))
+    if extended:
+        return scan3, n_pages, n_bad, objects, handler
     return scan_list, n_pages, n_bad
 
 

@@ -1,0 +1,475 @@
+"""Interleaved text + image span extraction from PDFs.
+
+The north rule's document shape is an ORDERED span sequence mixing text
+with media references. HTML gets there via ``<img>`` elements (see
+``core/extract.py``); real-world PDF corpora carry their media INSIDE
+the file as ``/Subtype /Image`` XObjects painted by ``Do`` operators
+(PDF 32000-1 §8.9.5, §8.8). This module closes that gap Spark-first:
+
+- one task per file (binaryFile source), Arrow-batched parse;
+- image XObjects are decoded ONE AT A TIME and immediately reduced to
+  (width, height, format, raster md5) — the raster is dropped before
+  the next image loads, so executor memory stays bounded by the single
+  largest image, never the file's total decompressed size (the same
+  policy that makes ``_text_stream_graph`` drop image payloads on the
+  text-only path);
+- DCTDecode payloads decode through the repo's own baseline/progressive
+  JPEG codec, FlateDecode/raw samples through zlib + the declared
+  ``/ColorSpace``/``/BitsPerComponent``; anything else (CCITT, JBIG2,
+  JPX) stays an ``image`` span with dict-declared dimensions and an
+  ``undecoded`` marker — counted, never silently dropped;
+- the span walk interleaves text runs (the existing font-state machine
+  semantics, incl. ToUnicode CMaps and decryption) with ``Do`` paints
+  in content-stream byte order, and a ``Do`` appearing INSIDE a shown
+  string is text, not an operator (the ``Tf``-in-string lesson).
+
+Scope note (honest): ``/Subtype /Form`` XObjects are scanned as
+separate content streams in document order (their text is never lost —
+same behavior as ``pdf_to_text``), but a form's Do site is not inlined
+into the calling page's span order.
+
+Reference parity: MinerU-HTML keeps image references in extraction
+output (magic_html item list with img items); span kinds here follow
+the engine's DOCS_SCHEMA contract (kind in {'text','image'}).
+"""
+from __future__ import annotations
+
+import bisect
+import hashlib
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from .pdf import (_DO_OP_RE, _SHOW_OP_RE, _TF_OP_RE, _TJ_INNER_RE,
+                  _CONTENTS_RE, _PARENT_RE, _REF_LIST_RE, _RESOURCES_RE,
+                  _TYPE_PAGE_RE, _balanced_dict, _iter_objects, _latin1,
+                  _scan_strings, _text_stream_graph, StrDecoder)
+
+_IMG_SUBTYPE_RE = re.compile(rb'/Subtype\s*/Image')
+_WIDTH_RE = re.compile(rb'/Width\s+(\d+)')
+_HEIGHT_RE = re.compile(rb'/Height\s+(\d+)')
+_BPC_RE = re.compile(rb'/BitsPerComponent\s+(\d+)')
+_FILTER_NAME_RE = re.compile(rb'/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)')
+_CS_NAME_RE = re.compile(rb'/ColorSpace\s*/([A-Za-z0-9]+)')
+_XOBJ_KEY_RE = re.compile(rb'/XObject\s*(?:(\d+)\s+\d+\s+R|<<)')
+_XOBJ_NAME_REF_RE = re.compile(rb'/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R')
+
+SPANS_DDL = ('array<struct<kind:string,text:string,'
+             'media_ref:string,offset:int>>')
+PDF_SPAN_ROWS_DDL = (
+    'doc_id string, n_pages int, n_bad_streams int, n_images int, '
+    'n_undecoded int, spans ' + SPANS_DDL + ', error string')
+
+
+def _page_xobj_maps(objects: Dict[int, bytes]) -> Dict[int, Dict[str, int]]:
+    """content-stream object number -> {XObject name: object number},
+    the ``/Resources /XObject`` mirror of ``_page_font_maps`` (same
+    inline-vs-indirect handling, same bounded /Parent inheritance
+    walk per §7.7.3.4)."""
+    out: Dict[int, Dict[str, int]] = {}
+    for body in objects.values():
+        if not _TYPE_PAGE_RE.search(body):
+            continue
+        cm = _CONTENTS_RE.search(body)
+        if not cm:
+            continue
+        content_ids = ([int(cm.group(1))] if cm.group(1)
+                       else [int(m.group(1)) for m in
+                             _REF_LIST_RE.finditer(cm.group(2))])
+        rm, holder = _RESOURCES_RE.search(body), body
+        hops = 0
+        while rm is None and hops < 8:
+            pm = _PARENT_RE.search(holder)
+            if not pm:
+                break
+            holder = objects.get(int(pm.group(1)), b'')
+            rm = _RESOURCES_RE.search(holder)
+            hops += 1
+        if not rm:
+            continue
+        res = (objects.get(int(rm.group(1)), b'') if rm.group(1)
+               else _balanced_dict(holder, rm.end() - 2))
+        xm = _XOBJ_KEY_RE.search(res)
+        if not xm:
+            continue
+        xdict = (objects.get(int(xm.group(1)), b'') if xm.group(1)
+                 else _balanced_dict(res, xm.end() - 2))
+        name_map = {m.group(1).decode('latin-1'): int(m.group(2))
+                    for m in _XOBJ_NAME_REF_RE.finditer(xdict)}
+        if name_map:
+            for cid in content_ids:
+                out[cid] = name_map
+    return out
+
+
+def _decode_image(body: bytes, raw: bytes) -> dict:
+    """One image XObject dict + (decrypted) payload -> metadata with
+    the raster decoded and immediately reduced to an md5. Never raises:
+    undecodable payloads keep their dict-declared dims with
+    ``raster_md5=None`` and a short note."""
+    import numpy as np
+
+    w = int(m.group(1)) if (m := _WIDTH_RE.search(body)) else 0
+    h = int(m.group(1)) if (m := _HEIGHT_RE.search(body)) else 0
+    bpc = int(m.group(1)) if (m := _BPC_RE.search(body)) else 8
+    filt = (m.group(1).decode('latin-1')
+            if (m := _FILTER_NAME_RE.search(body)) else '')
+    cs = (m.group(1).decode('latin-1')
+          if (m := _CS_NAME_RE.search(body)) else 'DeviceRGB')
+    meta = {'width': w, 'height': h, 'fmt': filt or 'raw',
+            'raster_md5': None, 'note': ''}
+    try:
+        if filt == 'DCTDecode':
+            from ..functions.jpeg import decode_jpeg
+            arr = decode_jpeg(raw)
+            meta['fmt'] = 'jpeg'
+            meta['width'], meta['height'] = (
+                int(arr.shape[1]), int(arr.shape[0]))
+            meta['raster_md5'] = hashlib.md5(
+                np.ascontiguousarray(arr).tobytes()).hexdigest()
+        elif filt in ('', 'FlateDecode'):
+            samples = zlib.decompress(raw) if filt else raw
+            if bpc != 8:
+                raise ValueError(f'bpc {bpc}')
+            ncomp = 3 if cs == 'DeviceRGB' else 1
+            need = w * h * ncomp
+            if w <= 0 or h <= 0 or len(samples) < need:
+                raise ValueError('short sample data')
+            meta['fmt'] = 'rgb' if ncomp == 3 else 'gray'
+            meta['raster_md5'] = hashlib.md5(samples[:need]).hexdigest()
+        else:
+            meta['note'] = f'undecoded:{filt}'
+    except Exception as e:                  # contained AND visible
+        meta['note'] = f'{type(e).__name__}'[:80]
+        meta['raster_md5'] = None
+    return meta
+
+
+def _image_xobjects(data: bytes, handler) -> Dict[int, dict]:
+    """Second pass over the raw file collecting ONLY /Subtype /Image
+    XObjects — decoded one at a time, rasters dropped immediately.
+    Incremental updates follow last-occurrence-wins (xref semantics),
+    matching the text pass."""
+    metas: Dict[int, dict] = {}
+    for num, gen, body, raw, _span in _iter_objects(data):
+        if raw is None or not _IMG_SUBTYPE_RE.search(body):
+            continue
+        if handler is not None:
+            raw = handler.decrypt(num, gen, raw)
+        metas[num] = _decode_image(body, raw)
+    return metas
+
+
+def _stream_events(stream: bytes,
+                   font_map: Optional[Dict[str, StrDecoder]]
+                   ) -> List[Tuple[int, str, str]]:
+    """Ordered (position, kind, payload) events for one content
+    stream: kind 'text' carries a decoded shown string (same font-state
+    machine semantics as ``extract_stream_text``), kind 'image' carries
+    the XObject resource NAME of a ``Do`` paint. A Do-looking token
+    inside a previously shown string is page text, not an operator."""
+    tf_ops: List[Tuple[int, str]] = []
+    if font_map:
+        tf_ops = [(m.start(), m.group(1).decode('latin-1'))
+                  for m in _TF_OP_RE.finditer(stream)]
+    events: List[Tuple[int, str, str]] = []
+    str_starts: List[int] = []
+    str_ends: List[int] = []
+    decoder: StrDecoder = _latin1
+    tf_i = 0
+    prev_end = 0
+    for raw, start, end in _scan_strings(stream):
+        str_starts.append(start)
+        str_ends.append(end)
+        while tf_i < len(tf_ops) and tf_ops[tf_i][0] < start:
+            pos_op, name = tf_ops[tf_i]
+            if pos_op >= prev_end:
+                decoder = font_map.get(name, _latin1)
+            tf_i += 1
+        prev_end = end
+        if (_SHOW_OP_RE.match(stream, end)
+                or _TJ_INNER_RE.match(stream, end)):
+            events.append((start, 'text', decoder(raw)))
+    for m in _DO_OP_RE.finditer(stream):
+        p = m.start()
+        i = bisect.bisect_right(str_starts, p) - 1
+        if i >= 0 and p < str_ends[i]:
+            continue                        # inside a string: text
+        events.append((p, 'image', m.group(1).decode('latin-1')))
+    events.sort(key=lambda t: t[0])
+    return events
+
+
+def pdf_to_spans(data: bytes) -> Tuple[List[dict], int, int, int, int]:
+    """(spans, n_pages, n_bad_streams, n_images, n_undecoded) for one
+    PDF: ordered (kind, text, media_ref, offset) dicts interleaving
+    text blocks with image paints. Consecutive text runs between two
+    image paints fold into ONE text span (newline-joined, matching
+    ``pdf_to_text``'s joining); each image span's media_ref pins the
+    DECODED raster identity (``img:<obj>:<fmt>:<WxH>:<md5-16>``) so a
+    golden over the spans certifies real pixel decode, with
+    ``undecoded`` for filters outside the codec set. Raises ValueError
+    on non-PDF input (contained by the row wrapper)."""
+    scan3, n_pages, n_bad, objects, handler = _text_stream_graph(
+        data, extended=True)
+    xobj_maps = _page_xobj_maps(objects)
+    metas = _image_xobjects(data, handler)
+    spans: List[dict] = []
+    buf: List[str] = []
+    n_images = 0
+    n_undecoded = 0
+
+    def flush() -> None:
+        if buf:
+            spans.append({'kind': 'text', 'text': '\n'.join(buf),
+                          'media_ref': None, 'offset': len(spans)})
+            buf.clear()
+
+    for num, raw, font_map in scan3:
+        names = xobj_maps.get(num, {})
+        for _pos, kind, payload in _stream_events(raw, font_map):
+            if kind == 'text':
+                buf.append(payload)
+                continue
+            onum = names.get(payload)
+            meta = metas.get(onum) if onum is not None else None
+            if meta is None:
+                continue        # form XObject / unresolvable name
+            flush()
+            n_images += 1
+            if meta['raster_md5'] is None:
+                n_undecoded += 1
+                ident = meta['note'] or 'undecoded'
+            else:
+                ident = meta['raster_md5'][:16]
+            spans.append({
+                'kind': 'image', 'text': '',
+                'media_ref': (f"img:{onum}:{meta['fmt']}:"
+                              f"{meta['width']}x{meta['height']}:"
+                              f"{ident}"),
+                'offset': len(spans)})
+    flush()
+    return spans, n_pages, n_bad, n_images, n_undecoded
+
+
+def pdf_spans_to_row(name: str, data: bytes) -> dict:
+    """One (file -> row) parse with contained failure, the span-tier
+    sibling of ``pdf_bytes_to_row``."""
+    try:
+        spans, n_pages, n_bad, n_img, n_und = pdf_to_spans(data)
+        return {'doc_id': name, 'n_pages': n_pages,
+                'n_bad_streams': n_bad, 'n_images': n_img,
+                'n_undecoded': n_und, 'spans': spans, 'error': ''}
+    except Exception as e:
+        return {'doc_id': name, 'n_pages': 0, 'n_bad_streams': 0,
+                'n_images': 0, 'n_undecoded': 0, 'spans': [],
+                'error': f'{type(e).__name__}: {e}'[:300]}
+
+
+def read_pdf_spans(spark, path: str):
+    """Directory of .pdf files -> interleaved span rows in the engine's
+    native (kind, text, media_ref, offset) contract — one task per
+    file, Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile')
+             .option('pathGlobFilter', '*.pdf').load(path)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows = [pdf_spans_to_row(p.rsplit('/', 1)[-1], bytes(c))
+                    for p, c in zip(pdf['path'], pdf['content'])]
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'n_pages', 'n_bad_streams',
+                               'n_images', 'n_undecoded', 'spans',
+                               'error'])
+
+    return files.mapInPandas(batch, PDF_SPAN_ROWS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synth writer (gate input, no external data)
+# ---------------------------------------------------------------------------
+
+def _synth_raster(seed: int, w: int, h: int, gray: bool):
+    """Deterministic smooth gradient raster (the JPEG codec's synth
+    shape: smooth content keeps baseline quality stable)."""
+    import numpy as np
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    base = (x * (3 + seed % 5) + y * (2 + seed % 7)) % 256
+    if gray:
+        return base.astype(np.uint8)
+    g = (x * 2 + y * (1 + seed % 3) + seed * 11) % 256
+    b = (x + y * 4 + seed * 29) % 256
+    return np.stack([base, g, b], axis=-1).astype(np.uint8)
+
+
+def _img_xobject(kind: str, seed: int, w: int, h: int) -> bytes:
+    """One image XObject body (dict + stream) per gate kind."""
+    import numpy as np
+    if kind == 'jpeg_gray' or kind == 'jpeg_rgb':
+        from ..functions.jpeg import encode_jpeg_baseline
+        arr = _synth_raster(seed, w, h, gray=(kind == 'jpeg_gray'))
+        payload = encode_jpeg_baseline(
+            arr, quality=85, subsample=(kind == 'jpeg_rgb'))
+        cs = b'/DeviceGray' if kind == 'jpeg_gray' else b'/DeviceRGB'
+        filt = b'/Filter /DCTDecode '
+    elif kind == 'jpeg_corrupt':
+        payload = b'\xff\xd8\xff\xe0' + bytes((seed * 7 + i) % 256
+                                              for i in range(64))
+        cs = b'/DeviceRGB'
+        filt = b'/Filter /DCTDecode '
+    elif kind in ('flate_rgb', 'flate_gray'):
+        arr = _synth_raster(seed, w, h, gray=(kind == 'flate_gray'))
+        payload = zlib.compress(np.ascontiguousarray(arr).tobytes(), 6)
+        cs = b'/DeviceGray' if kind == 'flate_gray' else b'/DeviceRGB'
+        filt = b'/Filter /FlateDecode '
+    elif kind == 'ccitt':
+        payload = bytes((seed + i) % 256 for i in range(32))
+        cs = b'/DeviceGray'
+        filt = b'/Filter /CCITTFaxDecode '
+    else:
+        raise ValueError(kind)
+    return (b'<< /Type /XObject /Subtype /Image /Width '
+            + str(w).encode() + b' /Height ' + str(h).encode()
+            + b' /ColorSpace ' + cs + b' /BitsPerComponent 8 '
+            + filt + b'/Length ' + str(len(payload)).encode()
+            + b' >>\nstream\n' + payload + b'\nendstream')
+
+
+def write_synth_pdf_with_images(pages: List[List[Tuple[str, object]]],
+                                compress: bool = True) -> bytes:
+    """A complete, valid PDF whose ``pages`` are lists of
+    ``('text', line)`` and ``('img', (kind, seed, w, h))`` items painted
+    in order. Deterministic; single Helvetica font; images become
+    /XObject resources painted with cm+Do."""
+    objs: List[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>')
+    content_ids: List[int] = []
+    page_xobjs: List[Dict[str, int]] = []
+    for items in pages:
+        xobjs: Dict[str, int] = {}
+        parts: List[bytes] = []
+        text_open = False
+        for it in items:
+            if it[0] == 'text':
+                if not text_open:
+                    parts.append(b'BT /F1 11 Tf 50 780 Td 14 TL')
+                    text_open = True
+                ln = str(it[1])
+                esc = (ln.replace('\\', r'\\').replace('(', r'\(')
+                         .replace(')', r'\)').encode('latin-1',
+                                                     'replace'))
+                parts.append(b'(' + esc + b') Tj T*')
+            else:
+                if text_open:
+                    parts.append(b'ET')
+                    text_open = False
+                kind, seed, w, h = it[1]
+                name = f'Im{len(xobjs) + 1}'
+                xobjs[name] = add(_img_xobject(kind, seed, w, h))
+                parts.append(b'q ' + str(w).encode() + b' 0 0 '
+                             + str(h).encode() + b' 60 400 cm /'
+                             + name.encode() + b' Do Q')
+        if text_open:
+            parts.append(b'ET')
+        stream = b'\n'.join(parts)
+        if compress:
+            comp = zlib.compress(stream, 6)
+            body = (b'<< /Length ' + str(len(comp)).encode()
+                    + b' /Filter /FlateDecode >>\nstream\n' + comp
+                    + b'\nendstream')
+        else:
+            body = (b'<< /Length ' + str(len(stream)).encode()
+                    + b' >>\nstream\n' + stream + b'\nendstream')
+        content_ids.append(add(body))
+        page_xobjs.append(xobjs)
+    pages_id = len(objs) + len(pages) + 1
+    page_ids: List[int] = []
+    for cid, xobjs in zip(content_ids, page_xobjs):
+        xo = b''.join(b'/' + n.encode() + b' ' + str(o).encode()
+                      + b' 0 R ' for n, o in xobjs.items())
+        page_ids.append(add(
+            b'<< /Type /Page /Parent ' + str(pages_id).encode()
+            + b' 0 R /MediaBox [0 0 612 792] /Contents '
+            + str(cid).encode() + b' 0 R /Resources << /Font << /F1 '
+            + str(font).encode() + b' 0 R >> /XObject << ' + xo
+            + b'>> >> >>'))
+    kids = b' '.join(str(p).encode() + b' 0 R' for p in page_ids)
+    assert add(b'<< /Type /Pages /Kids [' + kids + b'] /Count '
+               + str(len(page_ids)).encode() + b' >>') == pages_id
+    catalog = add(b'<< /Type /Catalog /Pages '
+                  + str(pages_id).encode() + b' 0 R >>')
+    out = bytearray(b'%PDF-1.4\n')
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b' 0 obj\n' + body + b'\nendobj\n'
+    xref_at = len(out)
+    out += b'xref\n0 ' + str(len(objs) + 1).encode() + b'\n'
+    out += b'0000000000 65535 f \n'
+    for off in offsets[1:]:
+        out += f'{off:010d} 00000 n \n'.encode()
+    out += (b'trailer\n<< /Size ' + str(len(objs) + 1).encode()
+            + b' /Root ' + str(catalog).encode() + b' 0 R >>\n'
+            + b'startxref\n' + str(xref_at).encode() + b'\n%%EOF\n')
+    return bytes(out)
+
+
+def write_synth_pdf_image_set(out_dir: str) -> None:
+    """The interleaved-span gate set: 12 deterministic files covering
+    JPEG (gray + 4:2:0 color) and Flate (RGB + gray) decode, an
+    image-only page (Do with no BT), an undecodable CCITT stub and a
+    corrupt-JPEG plant (both must COUNT as undecoded, not vanish), a
+    'Do inside a string' false-operator plant, an RC4-128
+    owner-restricted file whose image must decrypt, a multi-page file
+    with the image on page 2, an uncompressed-content-stream file, and
+    one corrupt non-PDF that must surface as a contained error row."""
+    import os
+    from .pdf import encrypt_pdf
+    os.makedirs(out_dir, exist_ok=True)
+
+    def txt(i, n=3):
+        return [('text', f'Body paragraph {i}-{k} with enough words '
+                         f'to look like prose.') for k in range(n)]
+
+    docs: Dict[str, bytes] = {}
+    docs['img_jpeg_gray.pdf'] = write_synth_pdf_with_images(
+        [txt(0) + [('img', ('jpeg_gray', 1, 48, 32))] + txt(1)])
+    docs['img_jpeg_rgb.pdf'] = write_synth_pdf_with_images(
+        [txt(2) + [('img', ('jpeg_rgb', 2, 64, 48))] + txt(3)
+         + [('img', ('jpeg_rgb', 3, 32, 32))] + txt(4)])
+    docs['img_flate_rgb.pdf'] = write_synth_pdf_with_images(
+        [txt(5) + [('img', ('flate_rgb', 4, 40, 24))] + txt(6)])
+    docs['img_flate_gray.pdf'] = write_synth_pdf_with_images(
+        [txt(7) + [('img', ('flate_gray', 5, 24, 40))] + txt(8)])
+    docs['img_only_page.pdf'] = write_synth_pdf_with_images(
+        [[('img', ('jpeg_gray', 6, 56, 56))]])
+    docs['img_ccitt_stub.pdf'] = write_synth_pdf_with_images(
+        [txt(9) + [('img', ('ccitt', 7, 100, 80))] + txt(10)])
+    docs['img_jpeg_corrupt.pdf'] = write_synth_pdf_with_images(
+        [txt(11) + [('img', ('jpeg_corrupt', 8, 16, 16))] + txt(12)])
+    docs['img_do_in_string.pdf'] = write_synth_pdf_with_images(
+        [[('text', 'Operators like /Im1 Do are explained here.')]
+         + [('img', ('jpeg_gray', 9, 20, 20))]])
+    docs['img_uncompressed.pdf'] = write_synth_pdf_with_images(
+        [txt(13) + [('img', ('flate_gray', 10, 30, 30))] + txt(14)],
+        compress=False)
+    docs['img_multipage.pdf'] = write_synth_pdf_with_images(
+        [txt(15, 4), txt(16, 2) + [('img', ('jpeg_rgb', 11, 44, 28))]
+         + txt(17, 2)])
+    docs['img_encrypted_rc4.pdf'] = encrypt_pdf(
+        write_synth_pdf_with_images(
+            [txt(18) + [('img', ('jpeg_gray', 12, 36, 36))] + txt(19)]),
+        method='rc4-128')
+    docs['img_corrupt_file.pdf'] = b'not a pdf at all' + bytes(64)
+    for name, data in sorted(docs.items()):
+        with open(os.path.join(out_dir, name), 'wb') as f:
+            f.write(data)

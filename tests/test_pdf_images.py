@@ -1,0 +1,128 @@
+"""Interleaved PDF span extraction: text/image ordering, real raster
+decode (construction truth), decryption, containment plants."""
+
+import hashlib
+import zlib
+
+import numpy as np
+
+from mineru_html_spark.sources.pdf import encrypt_pdf
+from mineru_html_spark.sources.pdfimages import (
+    _synth_raster, pdf_spans_to_row, pdf_to_spans,
+    write_synth_pdf_with_images)
+
+
+def _spans(pages, **kw):
+    return pdf_to_spans(write_synth_pdf_with_images(pages, **kw))
+
+
+def test_interleave_order_and_text_fold():
+    pages = [[('text', 'para one'), ('text', 'para two'),
+              ('img', ('flate_gray', 3, 8, 8)),
+              ('text', 'para three'),
+              ('img', ('flate_gray', 4, 8, 8)),
+              ('text', 'para four'), ('text', 'para five')]]
+    spans, n_pages, n_bad, n_img, n_und = _spans(pages)
+    assert n_pages == 1 and n_bad == 0 and n_img == 2 and n_und == 0
+    assert [s['kind'] for s in spans] == [
+        'text', 'image', 'text', 'image', 'text']
+    # consecutive text runs fold into ONE newline-joined span
+    assert spans[0]['text'] == 'para one\npara two'
+    assert spans[4]['text'] == 'para four\npara five'
+    assert [s['offset'] for s in spans] == list(range(5))
+
+
+def test_flate_raster_md5_is_construction_truth():
+    arr = _synth_raster(7, 10, 6, gray=False)
+    spans, *_ = _spans([[('img', ('flate_rgb', 7, 10, 6))]])
+    ref = spans[0]['media_ref']
+    assert ref.startswith('img:')
+    assert f':rgb:10x6:' in ref
+    want = hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
+    assert ref.endswith(want[:16])
+
+
+def test_jpeg_raster_md5_matches_codec_roundtrip():
+    from mineru_html_spark.functions.jpeg import (decode_jpeg,
+                                                  encode_jpeg_baseline)
+    arr = _synth_raster(5, 24, 16, gray=True)
+    decoded = decode_jpeg(encode_jpeg_baseline(arr, quality=85))
+    want = hashlib.md5(
+        np.ascontiguousarray(decoded).tobytes()).hexdigest()
+    spans, *_ = _spans([[('img', ('jpeg_gray', 5, 24, 16))]])
+    assert spans[0]['media_ref'].endswith(want[:16])
+
+
+def test_do_inside_string_is_text_not_paint():
+    pages = [[('text', 'see /Im9 Do for details'),
+              ('img', ('flate_gray', 1, 4, 4))]]
+    spans, _, _, n_img, _ = _spans(pages)
+    assert n_img == 1
+    assert spans[0]['text'] == 'see /Im9 Do for details'
+
+
+def test_image_only_page_no_bt_stream():
+    spans, n_pages, _, n_img, _ = _spans(
+        [[('img', ('jpeg_gray', 2, 16, 16))]])
+    assert n_pages == 1 and n_img == 1
+    assert [s['kind'] for s in spans] == ['image']
+
+
+def test_undecodable_filters_counted_not_dropped():
+    spans, _, _, n_img, n_und = _spans(
+        [[('text', 'a'), ('img', ('ccitt', 1, 50, 40)),
+          ('img', ('jpeg_corrupt', 2, 8, 8)), ('text', 'b')]])
+    assert n_img == 2 and n_und == 2
+    imgs = [s for s in spans if s['kind'] == 'image']
+    assert '50x40' in imgs[0]['media_ref']          # dict dims kept
+    assert 'undecoded' in imgs[0]['media_ref']
+    assert imgs[1]['media_ref'].count(':') >= 4     # note visible
+
+
+def test_encrypted_image_decrypts_to_same_raster():
+    pages = [[('text', 'secret doc'), ('img', ('jpeg_gray', 9, 20, 20))]]
+    plain = pdf_to_spans(write_synth_pdf_with_images(pages))[0]
+    enc = pdf_to_spans(encrypt_pdf(
+        write_synth_pdf_with_images(pages), method='rc4-128'))[0]
+    p_ref = [s for s in plain if s['kind'] == 'image'][0]['media_ref']
+    e_ref = [s for s in enc if s['kind'] == 'image'][0]['media_ref']
+    assert p_ref == e_ref
+    assert [s['text'] for s in enc if s['kind'] == 'text'] == \
+        [s['text'] for s in plain if s['kind'] == 'text']
+
+
+def test_corrupt_file_contained_as_error_row():
+    row = pdf_spans_to_row('bad.pdf', b'garbage' * 10)
+    assert row['error'].startswith('ValueError')
+    assert row['spans'] == [] and row['n_images'] == 0
+
+
+def test_text_path_unchanged_by_extended_graph():
+    # pdf_to_text over an image-bearing file still extracts all text
+    # (image streams never pollute the text scan)
+    from mineru_html_spark.sources.pdf import pdf_to_text
+    data = write_synth_pdf_with_images(
+        [[('text', 'alpha'), ('img', ('flate_rgb', 1, 6, 6)),
+          ('text', 'omega')]])
+    text, n_pages, n_bad = pdf_to_text(data)
+    assert text.split('\n') == ['alpha', 'omega']
+    assert n_pages == 1 and n_bad == 0
+
+
+def test_spark_read_pdf_spans(spark, tmp_path):
+    from mineru_html_spark.sources.pdfimages import (
+        read_pdf_spans, write_synth_pdf_image_set)
+    d = str(tmp_path / 'gate')
+    write_synth_pdf_image_set(d)
+    rows = {r['doc_id']: r for r in read_pdf_spans(spark, d).collect()}
+    assert len(rows) == 12
+    assert rows['img_corrupt_file.pdf']['error'].startswith('ValueError')
+    jr = rows['img_jpeg_rgb.pdf']
+    assert jr['n_images'] == 2 and jr['n_undecoded'] == 0
+    kinds = [s['kind'] for s in jr['spans']]
+    assert kinds == ['text', 'image', 'text', 'image', 'text']
+    # engine span contract: only text/image kinds, contiguous offsets
+    for r in rows.values():
+        for i, s in enumerate(r['spans']):
+            assert s['kind'] in ('text', 'image')
+            assert s['offset'] == i
