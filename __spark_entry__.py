@@ -470,6 +470,32 @@ def q_pdf_extract(spark, sf_dir):
                        .alias('error_kind'))
 
 
+def q_tfrecord_roundtrip(spark, sf_dir):
+    """TFRecord SINK certified by the reader: sink the corpus to
+    tf.train.Example records (CRC-32C-masked framing, publish-by-
+    rename, one file per partition), read the archives back with the
+    CRC-verifying source, and gate the READBACK — framing, varint/
+    map-entry wire format and the masked-CRC math all sit on the
+    verified path. Oracle is construction truth from the documents
+    table (sink-out == source). The trainer-handoff format a 100 TB
+    extraction pipeline ships."""
+    import tempfile
+
+    from mineru_html_spark.sources.tfrecord import (read_tfrecords,
+                                                    write_tfrecords)
+    docs = _docs(spark, sf_dir).select(
+        F.col('doc_id').cast('string').alias('doc_id'), 'text',
+        'source')
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f'mineru_tfrec_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    write_tfrecords(docs.repartition(4, 'doc_id'), out_dir)
+    back = read_tfrecords(spark, os.path.join(out_dir,
+                                              'part-*.tfrecord'))
+    return back.select('doc_id', F.md5('text').alias('text_md5'),
+                       'source', 'n_chars', 'error')
+
+
 def q_pdf_image_spans(spark, sf_dir):
     """Interleaved text+image SPAN extraction from PDFs — the north
     rule's ordered (kind, text, media_ref, offset) contract fed from
@@ -6457,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'pdf_image_spans': q_pdf_image_spans,
+        'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10438,6 +10465,14 @@ def oracle_sql() -> dict[str, str]:
                  || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
                md5('<html><body>' || text || '</body></html>')
                  AS html_md5,
+               '' AS error
+        FROM documents
+    """
+    # TFRecord sink roundtrip: the readback must reproduce the source
+    oracles['tfrecord_roundtrip'] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               md5(text) AS text_md5, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
                '' AS error
         FROM documents
     """

@@ -1,0 +1,337 @@
+"""TFRecord source/sink: the ML-training-data container format.
+
+A 100 TB extraction pipeline's downstream consumer is a trainer, and
+the dominant on-disk handoff formats are TFRecord (TensorFlow /
+tf.data, also read by JAX/PyTorch loaders) and tar shards. This module
+implements the TFRecord side pure-stdlib+numpy from the PUBLIC format
+specs:
+
+- record framing (TensorFlow's ``tensorflow/core/lib/io/record_writer``
+  documented layout): ``uint64 length (LE) | uint32 masked-crc32c of
+  the length bytes | payload | uint32 masked-crc32c of the payload``,
+  with ``masked = ((crc >> 15) | (crc << 17)) + 0xa282ead8``;
+- CRC-32C (Castagnoli, reflected poly 0x82F63B78) — table-driven,
+  vectorized over numpy for whole-payload throughput;
+- ``tf.train.Example`` protobuf wire format (proto3 encoding rules,
+  public): Example{features=1} -> Features{feature map=1} ->
+  map entries {key=1 string, value=2 Feature} ->
+  Feature{bytes_list=1 | float_list=2 | int64_list=3}; the writer
+  emits map keys SORTED so output bytes are deterministic, the reader
+  accepts any order/interleaving.
+
+Spark-first shape: the sink writes one ``part-<pid>.tfrecord`` per
+partition via the engine's publish-by-rename commit protocol (atomic
+``os.replace``; retried tasks republish the same name, last attempt
+wins); the reader is one task per file (binaryFile), CRC-verifying
+every frame — a corrupt frame poisons the rest of its FILE only
+(TFRecord has no resync marker), counted and surfaced, never silent.
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli), table-driven; numpy byte loop is fine for the
+# frame sizes here (a few KB); the table build runs once per process.
+# ---------------------------------------------------------------------------
+
+_POLY = 0x82F63B78
+
+
+def _build_table() -> np.ndarray:
+    tab = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (_POLY if c & 1 else 0)
+        tab[i] = c
+    return tab
+
+
+_TABLE = _build_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    tab = _TABLE
+    for b in data:
+        crc = (crc >> 8) ^ int(tab[(crc ^ b) & 0xFF])
+    return crc ^ 0xFFFFFFFF
+
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire helpers (proto3 encoding rules — public spec)
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(data: bytes, i: int) -> Tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = data[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 63:
+            raise ValueError('varint overflow')
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_example(features: Dict[str, object]) -> bytes:
+    """``tf.train.Example`` bytes for one row. Values map by Python
+    type: bytes/str -> bytes_list, int -> int64_list, float ->
+    float_list, and lists thereof; map keys are emitted SORTED so the
+    byte output is deterministic."""
+    entries = []
+    for key in sorted(features):
+        val = features[key]
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        if vals and isinstance(vals[0], (bytes, str)):
+            inner = b''.join(
+                _len_field(1, v.encode('utf-8')
+                           if isinstance(v, str) else v)
+                for v in vals)
+            feat = _len_field(1, inner)                 # bytes_list
+        elif vals and isinstance(vals[0], float):
+            # float_list.value is packed repeated float: field 1, LEN
+            packed = struct.pack(f'<{len(vals)}f', *vals)
+            feat = _len_field(2, _len_field(1, packed))
+        else:
+            inner = b''.join(
+                _varint(1 << 3 | 0)
+                + _varint(v & 0xFFFFFFFFFFFFFFFF) for v in vals)
+            feat = _len_field(3, inner)                 # int64_list
+        entry = _len_field(1, key.encode('utf-8')) + _len_field(2, feat)
+        entries.append(_len_field(1, entry))            # map entry
+    return _len_field(1, b''.join(entries))             # features
+
+
+def decode_example(data: bytes) -> Dict[str, list]:
+    """Parse one Example; returns {key: list of bytes/int/float}.
+    Accepts any map-entry order; unknown fields are skipped per proto3
+    rules (forward compatibility)."""
+
+    def fields(buf: bytes) -> Iterator[Tuple[int, int, bytes]]:
+        i = 0
+        while i < len(buf):
+            tag, i = _read_varint(buf, i)
+            num, wt = tag >> 3, tag & 7
+            if wt == 2:
+                ln, i = _read_varint(buf, i)
+                yield num, wt, buf[i:i + ln]
+                i += ln
+            elif wt == 0:
+                v, i = _read_varint(buf, i)
+                yield num, wt, v
+            elif wt == 5:
+                yield num, wt, buf[i:i + 4]
+                i += 4
+            elif wt == 1:
+                yield num, wt, buf[i:i + 8]
+                i += 8
+            else:
+                raise ValueError(f'wire type {wt}')
+
+    out: Dict[str, list] = {}
+    for num, _wt, feats in fields(data):
+        if num != 1:
+            continue
+        for fnum, _fwt, entry in fields(feats):
+            if fnum != 1:
+                continue
+            key = ''
+            vals: list = []
+            for enum_, _ewt, eval_ in fields(entry):
+                if enum_ == 1:
+                    key = eval_.decode('utf-8')
+                elif enum_ == 2:
+                    for vnum, _vwt, vbuf in fields(eval_):
+                        if vnum == 1:        # bytes_list
+                            vals = [b for n2, _w, b in fields(vbuf)
+                                    if n2 == 1]
+                        elif vnum == 2:      # float_list
+                            for n2, w2, b2 in fields(vbuf):
+                                if n2 != 1:
+                                    continue
+                                if w2 == 2:  # packed
+                                    vals = list(struct.unpack(
+                                        f'<{len(b2) // 4}f', b2))
+                                else:        # unpacked single
+                                    vals.append(struct.unpack(
+                                        '<f', b2)[0])
+                        elif vnum == 3:      # int64_list
+                            ints = []
+                            for n2, w2, v2 in fields(vbuf):
+                                if n2 == 1:
+                                    v = v2
+                                    if v >= 1 << 63:
+                                        v -= 1 << 64
+                                    ints.append(v)
+                            vals = ints
+            if key:
+                out[key] = vals
+    return out
+
+
+# ---------------------------------------------------------------------------
+# record framing
+# ---------------------------------------------------------------------------
+
+def write_frame(payload: bytes) -> bytes:
+    header = struct.pack('<Q', len(payload))
+    return (header + struct.pack('<I', _masked_crc(header))
+            + payload + struct.pack('<I', _masked_crc(payload)))
+
+
+def iter_frames(data: bytes) -> Iterator[Tuple[bytes, str]]:
+    """Yield (payload, error) per frame; on a CRC/framing failure
+    yields one ('', reason) sentinel and STOPS (no resync marker in
+    the format — the rest of the file is unreadable and must be
+    counted lost, not guessed at)."""
+    i = 0
+    n = len(data)
+    while i < n:
+        if i + 12 > n:
+            yield b'', 'truncated header'
+            return
+        header = data[i:i + 8]
+        (length,) = struct.unpack('<Q', header)
+        (hcrc,) = struct.unpack('<I', data[i + 8:i + 12])
+        if hcrc != _masked_crc(header):
+            yield b'', 'bad length crc'
+            return
+        j = i + 12
+        if j + length + 4 > n:
+            yield b'', 'truncated payload'
+            return
+        payload = data[j:j + length]
+        (pcrc,) = struct.unpack('<I', data[j + length:j + length + 4])
+        if pcrc != _masked_crc(payload):
+            yield b'', 'bad payload crc'
+            return
+        yield payload, ''
+        i = j + length + 4
+
+
+# ---------------------------------------------------------------------------
+# Spark sink / source
+# ---------------------------------------------------------------------------
+
+def write_tfrecords(docs, out_dir: str, overwrite: bool = True) -> list:
+    """Sink a (doc_id, text, source) frame to TFRecord files of
+    ``tf.train.Example`` records, one file per partition with the
+    engine's publish-by-rename commit protocol. Features per record:
+    ``doc_id``/``text``/``source`` bytes_list, ``n_chars`` int64_list
+    (characters, the trainer-side length signal). Returns the
+    driver-side manifest [(file, n_records, n_bytes)]."""
+    if overwrite and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith('part-') and name.endswith('.tfrecord'):
+                os.remove(os.path.join(out_dir, name))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(it):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.attemptNumber()
+        recs = []
+        for row in it:
+            text = str(row['text'])
+            ex = encode_example({
+                'doc_id': str(row['doc_id']).encode('utf-8'),
+                'text': text.encode('utf-8'),
+                'source': str(row['source']).encode('utf-8'),
+                'n_chars': len(text)})
+            recs.append(write_frame(ex))
+        if not recs:
+            return iter(())
+        payload = b''.join(recs)
+        final = os.path.join(out_dir, f'part-{pid:05d}.tfrecord')
+        tmp = os.path.join(out_dir, f'.tmp-{pid:05d}-{att}')
+        with open(tmp, 'wb') as f:
+            f.write(payload)
+        os.replace(tmp, final)
+        return iter([(final, len(recs), len(payload))])
+
+    manifest = (docs.select('doc_id', 'text', 'source').rdd
+                .mapPartitions(sink).collect())
+    return [dict(tfrecord_file=f, n_records=n, n_bytes=b)
+            for f, n, b in manifest]
+
+
+TFRECORD_ROWS_DDL = ('doc_id string, text string, source string, '
+                     'n_chars bigint, file string, error string')
+
+
+def read_tfrecords(spark, path_glob: str):
+    """Directory/glob of .tfrecord files -> one row per Example — one
+    task per file, CRC-verified framing, contained failure: a corrupt
+    frame emits ONE error row naming the file and the loss reason (the
+    format cannot resync past it)."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows: List[dict] = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                fname = p.rsplit('/', 1)[-1]
+                for payload, err in iter_frames(bytes(c)):
+                    if err:
+                        rows.append({'doc_id': '', 'text': '',
+                                     'source': '', 'n_chars': 0,
+                                     'file': fname, 'error': err})
+                        break
+                    try:
+                        ex = decode_example(payload)
+                        rows.append({
+                            'doc_id': (ex.get('doc_id') or [b''])[0]
+                            .decode('utf-8'),
+                            'text': (ex.get('text') or [b''])[0]
+                            .decode('utf-8'),
+                            'source': (ex.get('source') or [b''])[0]
+                            .decode('utf-8'),
+                            'n_chars': int((ex.get('n_chars')
+                                            or [0])[0]),
+                            'file': fname, 'error': ''})
+                    except Exception as e:
+                        rows.append({'doc_id': '', 'text': '',
+                                     'source': '', 'n_chars': 0,
+                                     'file': fname,
+                                     'error': f'{type(e).__name__}'})
+                        break
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'text', 'source', 'n_chars',
+                               'file', 'error'])
+
+    return files.mapInPandas(batch, TFRECORD_ROWS_DDL)

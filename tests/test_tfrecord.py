@@ -1,0 +1,101 @@
+"""TFRecord container: CRC-32C vectors, Example wire format, framing
+containment, and the Spark sink/source roundtrip."""
+
+import struct
+
+from mineru_html_spark.sources.tfrecord import (
+    crc32c, decode_example, encode_example, iter_frames, read_tfrecords,
+    write_frame, write_tfrecords, _masked_crc)
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 §B.4 / kernel crypto test vectors
+    assert crc32c(b'123456789') == 0xE3069283
+    assert crc32c(b'') == 0x0
+    assert crc32c(b'\x00' * 32) == 0x8A9136AA
+    assert crc32c(b'\xff' * 32) == 0x62A8AB43
+
+
+def test_masked_crc_formula():
+    crc = crc32c(b'123456789')
+    want = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert _masked_crc(b'123456789') == want
+
+
+def test_example_roundtrip_all_types():
+    ex = encode_example({'doc_id': b'd1', 'text': 'héllo',
+                         'n_chars': 5, 'neg': -7,
+                         'emb': [1.0, -2.5, 0.0],
+                         'toks': [3, 1, 4, 1, 5]})
+    dec = decode_example(ex)
+    assert dec['doc_id'] == [b'd1']
+    assert dec['text'] == ['héllo'.encode('utf-8')]
+    assert dec['n_chars'] == [5]
+    assert dec['neg'] == [-7]       # two's-complement varint restores
+    assert dec['emb'] == [1.0, -2.5, 0.0]
+    assert dec['toks'] == [3, 1, 4, 1, 5]
+
+
+def test_example_bytes_deterministic_sorted_keys():
+    a = encode_example({'b': b'x', 'a': b'y'})
+    b = encode_example({'a': b'y', 'b': b'x'})
+    assert a == b
+
+
+def test_unpacked_float_list_accepted():
+    # a writer may emit repeated floats UNPACKED (wire type 5 per
+    # element); the reader must accept both encodings
+    from mineru_html_spark.sources.tfrecord import _len_field, _varint
+    unpacked = b''.join(_varint(1 << 3 | 5) + struct.pack('<f', v)
+                        for v in (0.5, 2.0))
+    feat = _len_field(2, unpacked)
+    entry = _len_field(1, b'f') + _len_field(2, feat)
+    ex = _len_field(1, _len_field(1, entry))
+    assert decode_example(ex)['f'] == [0.5, 2.0]
+
+
+def test_framing_roundtrip_and_containment():
+    ex = encode_example({'k': b'v'})
+    blob = write_frame(ex) * 3
+    frames = list(iter_frames(blob))
+    assert [e for _, e in frames] == ['', '', '']
+    # flip one payload byte in frame 2: frame 1 survives, the rest of
+    # the file is counted lost (no resync marker in the format)
+    bad = bytearray(blob)
+    bad[len(write_frame(ex)) + 13] ^= 0xFF
+    frames = list(iter_frames(bytes(bad)))
+    assert frames[0][1] == '' and frames[1][1] == 'bad payload crc'
+    assert len(frames) == 2
+    # truncation mid-payload
+    frames = list(iter_frames(blob[:len(write_frame(ex)) + 20]))
+    assert frames[-1][1].startswith('truncated')
+
+
+def test_spark_sink_source_roundtrip(spark, tmp_path):
+    rows = [(str(i), f'document body {i} ' * (1 + i % 3), f's{i % 2}')
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, 'doc_id string, text string, source string')
+    out = str(tmp_path / 'tfrec')
+    manifest = write_tfrecords(docs.repartition(3), out)
+    assert sum(m['n_records'] for m in manifest) == 40
+    back = read_tfrecords(spark, out + '/part-*.tfrecord')
+    got = {r['doc_id']: r for r in back.collect()}
+    assert len(got) == 40 and all(r['error'] == '' for r in got.values())
+    for i in range(40):
+        assert got[str(i)]['text'] == rows[i][1]
+        assert got[str(i)]['n_chars'] == len(rows[i][1])
+        assert got[str(i)]['source'] == rows[i][2]
+
+
+def test_spark_reader_contains_corrupt_file(spark, tmp_path):
+    d = tmp_path / 'tf2'
+    d.mkdir()
+    good = write_frame(encode_example({'doc_id': b'a', 'text': b't',
+                                       'source': b's', 'n_chars': 1}))
+    (d / 'part-00000.tfrecord').write_bytes(good)
+    (d / 'part-00001.tfrecord').write_bytes(b'\x07garbage-not-a-frame')
+    rows = read_tfrecords(spark, str(d) + '/part-*.tfrecord').collect()
+    errs = [r for r in rows if r['error']]
+    assert len(rows) == 2 and len(errs) == 1
+    assert errs[0]['file'] == 'part-00001.tfrecord'
