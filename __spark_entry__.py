@@ -496,6 +496,36 @@ def q_tfrecord_roundtrip(spark, sf_dir):
                        'source', 'n_chars', 'error')
 
 
+def q_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard SINK certified by the reader: sink the
+    corpus to size-budgeted deterministic USTAR shards (samples
+    contiguous and never split across shards; byte-identical across
+    runs), read them back grouping members by basename, and gate the
+    READBACK with metadata parsed JVM-side (get_json_object). The
+    small budget forces multi-shard rolls per partition, so the roll
+    path itself is on the gated path. Oracle is construction truth
+    from the documents table."""
+    import tempfile
+
+    from mineru_html_spark.sources.webdataset import (read_webdataset,
+                                                      write_webdataset)
+    docs = _docs(spark, sf_dir).select(
+        F.col('doc_id').cast('string').alias('doc_id'), 'text',
+        'source')
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f'mineru_wds_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    write_webdataset(docs.repartition(4, 'doc_id'), out_dir,
+                     max_shard_bytes=256 * 1024)
+    back = read_webdataset(spark, os.path.join(out_dir, 'part-*.tar'))
+    return back.select(
+        'doc_id', F.md5('text').alias('text_md5'),
+        F.get_json_object('meta_json', '$.source').alias('source'),
+        F.get_json_object('meta_json', '$.n_chars').cast('long')
+         .alias('n_chars'),
+        'error')
+
+
 def q_pdf_image_spans(spark, sf_dir):
     """Interleaved text+image SPAN extraction from PDFs — the north
     rule's ordered (kind, text, media_ref, offset) contract fed from
@@ -6484,6 +6514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-certified through r4 (rotated to the front) ---
         'pdf_image_spans': q_pdf_image_spans,
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
+        'webdataset_roundtrip': q_webdataset_roundtrip,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10470,6 +10501,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # TFRecord sink roundtrip: the readback must reproduce the source
     oracles['tfrecord_roundtrip'] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               md5(text) AS text_md5, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               '' AS error
+        FROM documents
+    """
+    # WebDataset shard roundtrip: readback must reproduce the source
+    oracles['webdataset_roundtrip'] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                md5(text) AS text_md5, source,
                CAST(length(text) AS BIGINT) AS n_chars,

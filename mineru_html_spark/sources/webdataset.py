@@ -1,0 +1,176 @@
+"""WebDataset tar-shard sink/source: size-budgeted training shards.
+
+WebDataset (the PUBLIC webdataset/tarp convention used by large-scale
+vision-language training) stores samples as groups of files sharing a
+basename inside plain POSIX tars — ``{key}.txt`` + ``{key}.json`` here
+— streamed sequentially by trainers. The convention's operational
+contract, implemented exactly:
+
+- a sample's members are CONTIGUOUS and never split across shards;
+- shards are size-budgeted: a partition rolls to a new tar when the
+  budget would overflow (the last sample may overshoot — a sample is
+  atomic);
+- shard bytes are deterministic: USTAR format, mtime/uid/gid pinned to
+  0, empty uname/gname, samples emitted in sorted-key order within the
+  partition, JSON metadata with sorted keys — two identical runs
+  produce byte-identical shards (the resumability property);
+- commit is the engine's publish-by-rename protocol (atomic
+  ``os.replace``; a retried task republishes the same names).
+
+The reader is one task per shard (binaryFile), grouping consecutive
+members by stem; corrupt tars and incomplete trailing groups surface
+as counted error rows.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from typing import List
+
+WDS_ROWS_DDL = ('doc_id string, text string, meta_json string, '
+                'shard string, error string')
+
+
+def _sample_members(key: str, text: str, meta: dict) -> List[tuple]:
+    """[(name, payload bytes)] for one sample — .txt then .json, the
+    convention's grouping unit."""
+    return [(f'{key}.txt', text.encode('utf-8')),
+            (f'{key}.json', json.dumps(meta, sort_keys=True,
+                                       ensure_ascii=False)
+              .encode('utf-8'))]
+
+
+def _tar_bytes(samples: List[List[tuple]]) -> bytes:
+    """One deterministic USTAR archive from sample member groups."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode='w',
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for members in samples:
+            for name, payload in members:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ''
+                tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def _sample_size(members: List[tuple]) -> int:
+    """On-disk tar cost of one sample: 512-byte header + payload
+    rounded up to 512 per member (USTAR block math)."""
+    return sum(512 + ((len(p) + 511) // 512) * 512 for _, p in members)
+
+
+def write_webdataset(docs, out_dir: str,
+                     max_shard_bytes: int = 1 << 30,
+                     overwrite: bool = True) -> list:
+    """Sink (doc_id, text, source) to WebDataset tar shards, one or
+    more per partition under the byte budget. Returns the driver-side
+    manifest [(shard, n_samples, n_bytes)]."""
+    if overwrite and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith('part-') and name.endswith('.tar'):
+                os.remove(os.path.join(out_dir, name))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(it):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.attemptNumber()
+        rows = sorted(
+            ((str(r['doc_id']), str(r['text']), str(r['source']))
+             for r in it), key=lambda t: t[0])
+        if not rows:
+            return iter(())
+        out = []
+        shard_samples: List[List[tuple]] = []
+        shard_cost = 0
+        shard_idx = 0
+
+        def flush():
+            nonlocal shard_samples, shard_cost, shard_idx
+            if not shard_samples:
+                return
+            payload = _tar_bytes(shard_samples)
+            final = os.path.join(
+                out_dir, f'part-{pid:05d}-{shard_idx:04d}.tar')
+            tmp = os.path.join(out_dir,
+                               f'.tmp-{pid:05d}-{shard_idx:04d}-{att}')
+            with open(tmp, 'wb') as f:
+                f.write(payload)
+            os.replace(tmp, final)
+            out.append((final, len(shard_samples), len(payload)))
+            shard_samples = []
+            shard_cost = 0
+            shard_idx += 1
+
+        for key, text, source in rows:
+            members = _sample_members(
+                key, text, {'doc_id': key, 'source': source,
+                            'n_chars': len(text)})
+            cost = _sample_size(members)
+            if shard_samples and shard_cost + cost > max_shard_bytes:
+                flush()
+            shard_samples.append(members)
+            shard_cost += cost
+        flush()
+        return iter(out)
+
+    manifest = (docs.select('doc_id', 'text', 'source').rdd
+                .mapPartitions(sink).collect())
+    return [dict(shard=f, n_samples=n, n_bytes=b)
+            for f, n, b in manifest]
+
+
+def read_webdataset(spark, path_glob: str):
+    """Shard glob -> one row per sample (doc_id, text, meta_json).
+    Members group by basename stem; a group missing its .txt or .json
+    (or a corrupt tar) is an error row naming the shard."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows: List[dict] = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                shard = p.rsplit('/', 1)[-1]
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(c)),
+                                      mode='r')
+                    groups: dict = {}
+                    order: List[str] = []
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem, _, ext = m.name.rpartition('.')
+                        if stem not in groups:
+                            groups[stem] = {}
+                            order.append(stem)
+                        groups[stem][ext] = tf.extractfile(m).read()
+                    for stem in order:
+                        g = groups[stem]
+                        if 'txt' not in g or 'json' not in g:
+                            rows.append({'doc_id': stem, 'text': '',
+                                         'meta_json': '',
+                                         'shard': shard,
+                                         'error': 'incomplete sample'})
+                            continue
+                        rows.append({
+                            'doc_id': stem,
+                            'text': g['txt'].decode('utf-8'),
+                            'meta_json': g['json'].decode('utf-8'),
+                            'shard': shard, 'error': ''})
+                except Exception as e:
+                    rows.append({'doc_id': '', 'text': '',
+                                 'meta_json': '', 'shard': shard,
+                                 'error': f'{type(e).__name__}'})
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'text', 'meta_json', 'shard',
+                               'error'])
+
+    return files.mapInPandas(batch, WDS_ROWS_DDL)

@@ -1,0 +1,106 @@
+"""WebDataset shards: determinism, budget rolls, sample atomicity,
+containment, Spark roundtrip."""
+
+import hashlib
+import io
+import tarfile
+
+from mineru_html_spark.sources.webdataset import (
+    _sample_members, _sample_size, _tar_bytes, read_webdataset,
+    write_webdataset)
+
+
+def _samples(n, body='word ' * 50):
+    return [_sample_members(f'doc{i:03d}', body + str(i),
+                            {'doc_id': f'doc{i:03d}', 'source': 's',
+                             'n_chars': len(body) + len(str(i))})
+            for i in range(n)]
+
+
+def test_tar_bytes_deterministic():
+    s = _samples(5)
+    assert hashlib.md5(_tar_bytes(s)).hexdigest() == \
+        hashlib.md5(_tar_bytes(s)).hexdigest()
+    tf = tarfile.open(fileobj=io.BytesIO(_tar_bytes(s)))
+    for m in tf.getmembers():
+        assert m.mtime == 0 and m.uid == 0 and m.uname == ''
+
+
+def test_sample_size_matches_ustar_block_math():
+    s = _samples(3)
+    blob = _tar_bytes(s)
+    # archive = sum of sample costs + two 512-byte end-of-archive
+    # blocks (tarfile pads to RECORDSIZE, so allow the 10KiB round-up)
+    want = sum(_sample_size(m) for m in s)
+    assert want + 1024 <= len(blob) <= want + 10240
+    assert len(blob) % 512 == 0
+
+
+def test_members_grouped_and_contiguous():
+    blob = _tar_bytes(_samples(4))
+    names = [m.name for m in tarfile.open(fileobj=io.BytesIO(blob))]
+    for i in range(4):
+        assert names[2 * i] == f'doc{i:03d}.txt'
+        assert names[2 * i + 1] == f'doc{i:03d}.json'
+
+
+def test_spark_budget_rolls_and_roundtrip(spark, tmp_path):
+    rows = [(f'{i:03d}', 'body text ' * 120 + str(i), f's{i % 3}')
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, 'doc_id string, text string, source string')
+    out = str(tmp_path / 'wds')
+    manifest = write_webdataset(docs.repartition(2), out,
+                                max_shard_bytes=8192)
+    # the tiny budget must force multiple shards per partition
+    assert len(manifest) > 4
+    assert sum(m['n_samples'] for m in manifest) == 30
+    for m in manifest:
+        # sample atomicity: every shard holds whole samples; size may
+        # overshoot by at most one sample
+        assert m['n_samples'] >= 1
+    back = read_webdataset(spark, out + '/part-*.tar')
+    got = {r['doc_id']: r for r in back.collect()}
+    assert len(got) == 30
+    for d, text, source in rows:
+        assert got[d]['text'] == text
+        assert f'"source": "{source}"' in got[d]['meta_json']
+
+
+def test_write_is_byte_deterministic_across_runs(spark, tmp_path):
+    rows = [(f'{i}', f'text {i}', 's') for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, 'doc_id string, text string, source string')
+    hashes = []
+    for run in ('a', 'b'):
+        out = str(tmp_path / f'wds_{run}')
+        man = write_webdataset(docs.repartition(2, 'doc_id'), out,
+                               max_shard_bytes=4096)
+        digest = {}
+        for m in man:
+            with open(m['shard'], 'rb') as f:
+                digest[m['shard'].rsplit('/', 1)[-1]] = \
+                    hashlib.md5(f.read()).hexdigest()
+        hashes.append(digest)
+    assert hashes[0] == hashes[1]
+
+
+def test_reader_contains_corrupt_and_incomplete(spark, tmp_path):
+    d = tmp_path / 'bad'
+    d.mkdir()
+    (d / 'part-00000-0000.tar').write_bytes(_tar_bytes(_samples(2)))
+    (d / 'part-00001-0000.tar').write_bytes(b'not a tar file' * 40)
+    # a tar with a .txt but no .json sibling
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode='w') as tf:
+        info = tarfile.TarInfo('lonely.txt')
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b'text'))
+    (d / 'part-00002-0000.tar').write_bytes(buf.getvalue())
+    rows = read_webdataset(spark, str(d) + '/part-*.tar').collect()
+    by_err = {}
+    for r in rows:
+        by_err.setdefault(r['error'], []).append(r)
+    assert len(by_err['']) == 2
+    assert len(by_err.get('incomplete sample', [])) == 1
+    assert any(e for e in by_err if e not in ('', 'incomplete sample'))
