@@ -526,6 +526,29 @@ def q_webdataset_roundtrip(spark, sf_dir):
         'error')
 
 
+def q_sqlite_extract(spark, sf_dir):
+    """SQLite database-file source — the structured-data slice of a
+    crawl: a deterministic 10-file gate set (typed docs/meta tables
+    covering every SQLite storage class incl. blobs and NULLs, an
+    empty table that must still appear, a valid-header corrupt-page
+    file and a non-database payload that must surface as contained
+    error rows) reads via one task per file; rows emit as sorted-key
+    JSON in sqlite_master/rowid order with loud per-table truncation
+    caps. Committed-output oracle."""
+    from mineru_html_spark.sources.sqlitesrc import (
+        read_sqlite, write_synth_sqlite_set)
+    d = os.path.join(REPO, '.data', 'sqlite_gate_v1')
+    marker = os.path.join(d, '.complete')
+    if not os.path.exists(marker):
+        write_synth_sqlite_set(d)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    out = read_sqlite(spark, os.path.join(d, '*.sqlite'))
+    return out.select(
+        'file', 'table_name', 'row_idx', 'row_json', 'truncated',
+        F.regexp_extract('error', r'^(\w*)', 1).alias('error_kind'))
+
+
 def q_pdf_image_spans(spark, sf_dir):
     """Interleaved text+image SPAN extraction from PDFs — the north
     rule's ordered (kind, text, media_ref, offset) contract fed from
@@ -6515,6 +6538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pdf_image_spans': q_pdf_image_spans,
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'webdataset_roundtrip': q_webdataset_roundtrip,
+        'sqlite_extract': q_sqlite_extract,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -6950,7 +6974,7 @@ def oracle_sql() -> dict[str, str]:
                      'wet_extract', 'wat_extract', 'rouge_l',
                      'textrank_keywords', 'pptx_extract',
                      'xlsx_extract', 'exif_orient',
-                     'pdf_image_spans')
+                     'pdf_image_spans', 'sqlite_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

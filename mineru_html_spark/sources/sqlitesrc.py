@@ -1,0 +1,153 @@
+"""SQLite database file source: structured-data ingestion.
+
+Crawl dumps and app exports routinely contain SQLite files (the
+world's most-deployed database format); a corpus pipeline ingests
+them as row streams. Pure stdlib: ``sqlite3.Connection.deserialize``
+(Python 3.11+) attaches the raw BYTES as an in-memory database — no
+temp files, no native deps beyond CPython itself.
+
+Untrusted-input posture (the archive-source policy):
+- the connection is opened read-only in intent (``query_only`` pragma)
+  and never executes schema-provided SQL beyond SELECTs the reader
+  itself composes from quoted identifiers;
+- per-table row caps with a LOUD ``truncated`` flag (a hostile file
+  with a billion-row table must not OOM an executor);
+- corrupt / encrypted / non-SQLite payloads surface as one contained
+  error row per file.
+
+Row contract: one output row per table row — (file, table_name,
+row_idx, row_json) with row_json a sorted-key JSON object; blobs hex-
+encode, NULLs stay null, so every SQLite storage class has exactly one
+deterministic representation. Tables emit in ``sqlite_master`` order,
+rows in rowid order (stated, stable).
+"""
+from __future__ import annotations
+
+import json
+import sqlite3
+from typing import List
+
+SQLITE_ROWS_DDL = ('file string, table_name string, row_idx bigint, '
+                   'row_json string, truncated boolean, error string')
+
+
+def _jsonable(v):
+    if isinstance(v, bytes):
+        return 'hex:' + v.hex()
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+def sqlite_to_rows(name: str, data: bytes,
+                   max_rows_per_table: int = 100_000) -> List[dict]:
+    """All rows of all user tables in one SQLite file, contained."""
+    try:
+        conn = sqlite3.connect(':memory:')
+        conn.deserialize(bytes(data))
+        conn.execute('PRAGMA query_only = 1')
+        tables = [r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type = 'table' "
+            "AND name NOT LIKE 'sqlite_%'")]
+        out: List[dict] = []
+
+        def q(ident: str) -> str:
+            # standard SQL identifier quoting: double the quotes (a
+            # hostile schema name must never break out of the quote)
+            return '"' + ident.replace('"', '""') + '"'
+
+        for t in tables:
+            cols = [r[1] for r in conn.execute(
+                f'PRAGMA table_info({q(t)})')]
+            qcols = ', '.join(q(c) for c in cols)
+            cur = conn.execute(
+                f'SELECT {qcols} FROM {q(t)} '
+                f'LIMIT {max_rows_per_table + 1}')
+            rows = cur.fetchall()
+            truncated = len(rows) > max_rows_per_table
+            for i, row in enumerate(rows[:max_rows_per_table]):
+                out.append({
+                    'file': name, 'table_name': t, 'row_idx': i,
+                    'row_json': json.dumps(
+                        {c: _jsonable(v) for c, v in zip(cols, row)},
+                        sort_keys=True, ensure_ascii=False),
+                    'truncated': truncated, 'error': ''})
+            if not rows:
+                out.append({'file': name, 'table_name': t,
+                            'row_idx': -1, 'row_json': '',
+                            'truncated': False, 'error': ''})
+        conn.close()
+        return out
+    except Exception as e:
+        return [{'file': name, 'table_name': '', 'row_idx': -1,
+                 'row_json': '', 'truncated': False,
+                 'error': f'{type(e).__name__}: {e}'[:200]}]
+
+
+def read_sqlite(spark, path_glob: str,
+                max_rows_per_table: int = 100_000):
+    """Glob of .sqlite/.db files -> row stream — one task per file
+    (binaryFile), Arrow-batched, errors as rows."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it):
+        for pdf in it:
+            rows: List[dict] = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                rows.extend(sqlite_to_rows(
+                    p.rsplit('/', 1)[-1], bytes(c),
+                    max_rows_per_table))
+            yield pd.DataFrame(
+                rows, columns=['file', 'table_name', 'row_idx',
+                               'row_json', 'truncated', 'error'])
+
+    return files.mapInPandas(batch, SQLITE_ROWS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synth writer (gate input, no external data)
+# ---------------------------------------------------------------------------
+
+def synth_sqlite_bytes(seed: int) -> bytes:
+    """One deterministic in-memory database serialized to bytes:
+    a ``docs`` table (int pk, text body, real score, blob digest,
+    nullable note), a ``meta`` k/v table, and for seed%4==1 an empty
+    ``empty_t`` table."""
+    conn = sqlite3.connect(':memory:')
+    conn.execute('CREATE TABLE docs (id INTEGER PRIMARY KEY, '
+                 'body TEXT, score REAL, digest BLOB, note TEXT)')
+    conn.execute('CREATE TABLE meta (k TEXT, v TEXT)')
+    if seed % 4 == 1:
+        conn.execute('CREATE TABLE empty_t (x INTEGER)')
+    for i in range(3 + seed % 5):
+        conn.execute(
+            'INSERT INTO docs VALUES (?, ?, ?, ?, ?)',
+            (i + 1, f'body {seed}-{i} with words',
+             float(i) + seed * 0.5,
+             bytes(((seed * 13 + i * 7 + k) % 256 for k in range(4))),
+             None if i % 2 else f'note{i}'))
+    conn.execute('INSERT INTO meta VALUES (?, ?)',
+                 ('origin', f'synth-{seed}'))
+    conn.commit()
+    data = conn.serialize()
+    conn.close()
+    return bytes(data)
+
+
+def write_synth_sqlite_set(out_dir: str, n_files: int = 10) -> None:
+    """Gate set: n_files-2 valid databases, one corrupt payload and
+    one truncated header (both must surface as contained error rows)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_files - 2):
+        with open(os.path.join(out_dir, f'db_{i:02d}.sqlite'),
+                  'wb') as f:
+            f.write(synth_sqlite_bytes(i))
+    with open(os.path.join(out_dir, 'db_corrupt.sqlite'), 'wb') as f:
+        f.write(b'SQLite format 3\x00' + bytes((i * 37) % 256
+                                               for i in range(512)))
+    with open(os.path.join(out_dir, 'db_tiny.sqlite'), 'wb') as f:
+        f.write(b'not a database')

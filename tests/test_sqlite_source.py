@@ -1,0 +1,96 @@
+"""SQLite source: type mapping, ordering, caps, containment, and the
+Spark binaryFile path."""
+
+import json
+import sqlite3
+
+from mineru_html_spark.sources.sqlitesrc import (
+    read_sqlite, sqlite_to_rows, synth_sqlite_bytes,
+    write_synth_sqlite_set)
+
+
+def _db(sql_stmts):
+    conn = sqlite3.connect(':memory:')
+    for s, args in sql_stmts:
+        if args is None:
+            conn.execute(s)
+        else:
+            conn.executemany(s, args)
+    conn.commit()
+    data = bytes(conn.serialize())
+    conn.close()
+    return data
+
+
+def test_storage_classes_one_representation_each():
+    data = _db([
+        ('CREATE TABLE t (i INTEGER, r REAL, s TEXT, b BLOB, n TEXT)',
+         None),
+        ('INSERT INTO t VALUES (?, ?, ?, ?, ?)',
+         [(-5, 2.25, 'héllo', b'\x00\xff', None)])])
+    rows = sqlite_to_rows('f', data)
+    obj = json.loads(rows[0]['row_json'])
+    assert obj == {'i': -5, 'r': 2.25, 's': 'héllo',
+                   'b': 'hex:00ff', 'n': None}
+
+
+def test_table_and_row_order_stable():
+    data = _db([
+        ('CREATE TABLE zz (x INTEGER)', None),
+        ('CREATE TABLE aa (x INTEGER)', None),
+        ('INSERT INTO zz VALUES (?)', [(3,), (1,), (2,)])])
+    rows = sqlite_to_rows('f', data)
+    # sqlite_master order (creation order), not alphabetical
+    assert [r['table_name'] for r in rows] == ['zz', 'zz', 'zz', 'aa']
+    assert [json.loads(r['row_json'])['x']
+            for r in rows if r['table_name'] == 'zz'] == [3, 1, 2]
+    assert rows[-1]['row_idx'] == -1        # empty-table marker
+
+
+def test_row_cap_is_loud():
+    data = _db([('CREATE TABLE big (x INTEGER)', None),
+                ('INSERT INTO big VALUES (?)',
+                 [(i,) for i in range(40)])])
+    rows = sqlite_to_rows('f', data, max_rows_per_table=10)
+    assert len(rows) == 10
+    assert all(r['truncated'] for r in rows)
+
+
+def test_quoted_identifiers_survive():
+    data = _db([('CREATE TABLE "weird name" '
+                 '("col ""q", "sel)ect" TEXT)', None),
+                ('INSERT INTO "weird name" VALUES (?, ?)',
+                 [(1, 'v')])])
+    rows = sqlite_to_rows('f', data)
+    assert rows[0]['table_name'] == 'weird name'
+    assert json.loads(rows[0]['row_json'])['sel)ect'] == 'v'
+
+
+def test_corrupt_and_non_db_contained():
+    assert sqlite_to_rows('x', b'junk')[0]['error'].startswith(
+        'DatabaseError')
+    fake = b'SQLite format 3\x00' + bytes(1024)
+    r = sqlite_to_rows('x', fake)
+    assert len(r) == 1  # either empty parse or a contained error
+
+
+def test_synth_bytes_deterministic():
+    assert synth_sqlite_bytes(4) == synth_sqlite_bytes(4)
+    assert synth_sqlite_bytes(4) != synth_sqlite_bytes(5)
+
+
+def test_spark_read_sqlite_gate_set(spark, tmp_path):
+    d = str(tmp_path / 'dbs')
+    write_synth_sqlite_set(d)
+    rows = read_sqlite(spark, d + '/*.sqlite').collect()
+    errs = {r['file'] for r in rows if r['error']}
+    assert errs == {'db_corrupt.sqlite', 'db_tiny.sqlite'}
+    ok = [r for r in rows if not r['error']]
+    assert {r['file'] for r in ok} == {f'db_{i:02d}.sqlite'
+                                      for i in range(8)}
+    # every valid db contributes its meta row
+    metas = [r for r in ok if r['table_name'] == 'meta']
+    assert len(metas) == 8
+    for r in metas:
+        seed = int(r['file'][3:5])
+        assert json.loads(r['row_json'])['v'] == f'synth-{seed}'
