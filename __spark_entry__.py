@@ -526,6 +526,48 @@ def q_webdataset_roundtrip(spark, sf_dir):
         'error')
 
 
+def q_cer_eval(spark, sf_dir):
+    """CER — the codepoint-level twin of wer_eval, the OCR/ASR metric
+    where word segmentation is unreliable. Gate degrades each doc's
+    text at CHAR level (every 9th char dropped, every 13th surviving
+    char uppercased), and the Arrow DP's distance is mirrored exactly
+    in SQL via the same per-doc vocab -> single-byte-char trick the
+    WER oracle uses (per-doc distinct chars are bounded — guard at
+    120 — so the mapping always fits the ASCII plane where DuckDB's
+    levenshtein is byte==codepoint)."""
+    from mineru_html_spark.functions.rouge import cer_eval
+    cdf = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.filter(F.split('text', ''), lambda x: x != '').alias('_c'))
+    c = F.col('_c')
+    ref = F.array_join(
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(c)),
+                     lambda i: i % 9 != 5),
+            lambda i: F.when((i % 13) == 7,
+                             F.upper(F.element_at(c, i)))
+                       .otherwise(F.element_at(c, i))), '')
+    pairs = cdf.select('doc_id', F.array_join(c, '').alias('hyp'),
+                       ref.alias('ref'))
+    return cer_eval(pairs)
+
+
+def q_pass_at_k(spark, sf_dir):
+    """pass@k (k=4) over a deterministic synthetic eval run: samples
+    are the corpus docs grouped into problems (doc_id % 13), each
+    doc's pass bit derived from its text md5 (~1/3 pass rate). The
+    estimator's binomial ratio is carried as exact falling-factorial
+    integers, so the oracle unrolls the same four factors in SQL and
+    the hash match certifies the arithmetic, not a float echo."""
+    from mineru_html_spark.functions.rouge import pass_at_k
+    samples = _docs(spark, sf_dir).select(
+        (F.col('doc_id') % 13).alias('problem_id'),
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            ':', F.col('doc_id'), F.col('text'))), 1, 6), 16, 10)
+         .cast('long') % 3 == 0).alias('passed'))
+    return pass_at_k(samples, k=4)
+
+
 def q_sqlite_extract(spark, sf_dir):
     """SQLite database-file source — the structured-data slice of a
     crawl: a deterministic 10-file gate set (typed docs/meta tables
@@ -6539,6 +6581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'webdataset_roundtrip': q_webdataset_roundtrip,
         'sqlite_extract': q_sqlite_extract,
+        'cer_eval': q_cer_eval,
+        'pass_at_k': q_pass_at_k,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10491,6 +10535,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # CER: the WER oracle's vocab trick at char level
+    oracles['cer_eval'] = """
+        WITH cr AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ''), x -> x != '')
+                   AS hc
+          FROM documents),
+        p AS (
+          SELECT doc_id, hc,
+            list_transform(
+              list_filter(range(1, len(hc) + 1), i -> i % 9 != 5),
+              i -> CASE WHEN i % 13 = 7 THEN upper(hc[i])
+                        ELSE hc[i] END) AS rc
+          FROM cr),
+        v AS (SELECT doc_id, hc, rc,
+                CASE WHEN len(list_distinct(hc || rc)) > 120
+                     THEN error('cer oracle: per-doc charset > 120')
+                     ELSE list_distinct(hc || rc) END AS vocab
+              FROM p),
+        s AS (SELECT doc_id,
+                array_to_string(list_transform(hc,
+                  w -> chr(1 + list_position(vocab, w))), '') AS hs,
+                array_to_string(list_transform(rc,
+                  w -> chr(1 + list_position(vocab, w))), '') AS rs,
+                len(hc) AS hl, len(rc) AS rl
+              FROM v)
+        SELECT doc_id,
+               CAST(levenshtein(hs, rs) AS BIGINT) AS edit_distance,
+               CAST(hl AS BIGINT) AS hyp_len,
+               CAST(rl AS BIGINT) AS ref_len,
+               CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
+                    AS BIGINT) AS cer_milli
+        FROM s
+    """
+    # pass@k: the falling factorials unrolled for k=4
+    oracles['pass_at_k'] = """
+        WITH s AS (
+          SELECT doc_id % 13 AS problem_id,
+                 (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                      || ':' || text), 1, 6) AS BIGINT) % 3 = 0)
+                   AS passed
+          FROM documents),
+        a AS (
+          SELECT problem_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM s GROUP BY problem_id),
+        f AS (
+          SELECT problem_id, n, c,
+                 CASE WHEN n < 4
+                      THEN error('pass@4 needs n >= 4')
+                      ELSE greatest(n - c, 0)
+                           * greatest(n - c - 1, 0)
+                           * greatest(n - c - 2, 0)
+                           * greatest(n - c - 3, 0) END AS pass_num,
+                 n * (n - 1) * (n - 2) * (n - 3) AS pass_den
+          FROM a)
+        SELECT problem_id, n, c, pass_num, pass_den,
+               CAST(1000 - (1000 * pass_num) // pass_den AS BIGINT)
+                 AS pass_milli
+        FROM f
     """
     # charset sniff/decode: construction truth — every payload encodes a
     # known string, so the decoded md5/encoding/evidence are stated

@@ -475,3 +475,70 @@ def corpus_wer(stats: DataFrame) -> float:
     row = stats.agg(F.sum('edit_distance').alias('d'),
                     F.sum('ref_len').alias('r')).collect()[0]
     return (row['d'] or 0) / max(row['r'] or 0, 1)
+
+
+CER_SCHEMA = ('doc_id long, edit_distance long, hyp_len long, '
+              'ref_len long, cer_milli long')
+
+
+def cer_eval(pairs: DataFrame, hyp_col: str = 'hyp',
+             ref_col: str = 'ref') -> DataFrame:
+    """Character error rate — the codepoint-level twin of
+    :func:`wer_eval` (the OCR/ASR eval convention where word
+    segmentation is unreliable): the SAME two-row DP over codepoint
+    lists, cer_milli = 1000 * distance // max(ref_len, 1). Arrow-
+    batched row-local, zero exchanges; only 4 longs leave the stage."""
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['doc_id', 'edit_distance', 'hyp_len', 'ref_len',
+                'cer_milli']
+        for pdf in frames:
+            rows = []
+            for doc_id, hyp, ref in zip(pdf['doc_id'], pdf[hyp_col],
+                                        pdf[ref_col]):
+                hc, rc = list(str(hyp)), list(str(ref))
+                d = word_edit_distance(hc, rc)
+                rows.append((doc_id, d, len(hc), len(rc),
+                             1000 * d // max(len(rc), 1)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (pairs.select('doc_id', hyp_col, ref_col)
+            .mapInPandas(batch, CER_SCHEMA))
+
+
+def pass_at_k(samples: DataFrame, k: int = 4,
+              problem_col: str = 'problem_id',
+              passed_col: str = 'passed') -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", eq. 1) as EXACT integer
+    rationals: per problem with n samples and c passes,
+    ``pass@k = 1 - C(n-c, k) / C(n, k)``, carried as the falling
+    factorials ``num = (n-c)(n-c-1)...(n-c-k+1)`` (floored at 0) and
+    ``den = n(n-1)...(n-k+1)`` — the binomial ratio reduced by the
+    shared k!, so both sides stay small exact BIGINTs and
+    ``pass_milli = 1000 - (1000 * num) DIV den`` hashes exactly.
+    ONE map-side-combined aggregate over the samples; problems with
+    n < k raise loudly (the estimator requires n >= k — silently
+    emitting a biased number would be worse than failing)."""
+    from functools import reduce
+    from pyspark.sql import functions as F
+
+    agg = (samples.groupBy(F.col(problem_col).alias('problem_id'))
+           .agg(F.count('*').alias('n'),
+                F.sum(F.col(passed_col).cast('long')).alias('c')))
+    num = reduce(lambda a, b: a * b,
+                 [F.greatest(F.col('n') - F.col('c') - F.lit(i),
+                             F.lit(0).cast('long'))
+                  for i in range(k)])
+    den = reduce(lambda a, b: a * b,
+                 [(F.col('n') - F.lit(i)).cast('long')
+                  for i in range(k)])
+    return (agg.select(
+        'problem_id', 'n', 'c',
+        F.when(F.col('n') >= k, num).otherwise(
+            F.raise_error(F.concat(F.lit(f'pass@{k} needs n >= {k}, '
+                                         'problem '),
+                          F.col('problem_id').cast('string'))))
+         .alias('pass_num'),
+        den.alias('pass_den'))
+        .withColumn('pass_milli',
+                    F.expr('1000 - (1000 * pass_num) DIV pass_den')))

@@ -1,0 +1,77 @@
+"""CER and pass@k eval members: hand-computed values, estimator
+exactness vs math.comb, loud n<k guard."""
+
+from math import comb
+
+import pytest
+
+from mineru_html_spark.functions.rouge import cer_eval, pass_at_k
+
+
+def _rows(df):
+    return {r[df.columns[0]]: r.asDict() for r in df.collect()}
+
+
+def test_cer_hand_values(spark):
+    pairs = spark.createDataFrame(
+        [(1, 'kitten', 'sitting'),      # classic distance 3
+         (2, 'héllo', 'héllo'),         # identical incl. non-ASCII
+         (3, '', 'abcd'),               # all-insertions
+         (4, 'abc', '')],               # empty ref: denominator floor
+        'doc_id long, hyp string, ref string')
+    got = _rows(cer_eval(pairs))
+    assert got[1]['edit_distance'] == 3
+    assert got[1]['cer_milli'] == 3000 // 7
+    assert got[2]['edit_distance'] == 0 and got[2]['cer_milli'] == 0
+    assert got[3]['edit_distance'] == 4 and got[3]['cer_milli'] == 1000
+    assert got[4]['edit_distance'] == 3 and got[4]['cer_milli'] == 3000
+
+
+def test_pass_at_k_matches_comb_and_bounds(spark):
+    rows = []
+    for p, (n, c) in enumerate([(4, 0), (4, 4), (6, 2), (10, 1),
+                                (7, 7)]):
+        rows += [(p, i, 1 if i < c else 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, 'problem_id int, sample_id int, passed int')
+    got = _rows(pass_at_k(df, k=4))
+    for p, (n, c) in enumerate([(4, 0), (4, 4), (6, 2), (10, 1),
+                                (7, 7)]):
+        r = got[p]
+        # the k!-reduced factorials equal the binomial ratio as exact
+        # rationals, so the floored milli value is representation-free
+        assert r['pass_num'] * comb(n, 4) == comb(n - c, 4) * \
+            r['pass_den']
+        assert r['pass_milli'] == \
+            1000 - (1000 * comb(n - c, 4)) // comb(n, 4)
+    # all-pass -> 1000, zero-pass with n == k -> 0
+    assert got[1]['pass_milli'] == 1000
+    assert got[0]['pass_milli'] == 0
+
+
+def test_pass_at_k_raises_when_n_below_k(spark):
+    df = spark.createDataFrame([(0, 0, 1), (0, 1, 0), (0, 2, 1)],
+                               'problem_id int, sample_id int, '
+                               'passed int')
+    with pytest.raises(Exception, match='pass@4 needs n >= 4'):
+        pass_at_k(df, k=4).collect()
+
+
+def test_pass_at_k_reduced_ratio_equals_binomial(spark):
+    # the k!-reduced falling factorials must equal the full binomial
+    # ratio for every reachable (n, c) in a sweep
+    rows = []
+    pid = 0
+    cases = []
+    for n in range(4, 9):
+        for c in range(0, n + 1):
+            rows += [(pid, i, 1 if i < c else 0) for i in range(n)]
+            cases.append((pid, n, c))
+            pid += 1
+    df = spark.createDataFrame(
+        rows, 'problem_id int, sample_id int, passed int')
+    got = _rows(pass_at_k(df, k=4))
+    for pid, n, c in cases:
+        r = got[pid]
+        assert r['pass_num'] * comb(n, 4) == \
+            comb(n - c, 4) * r['pass_den'], (n, c)
