@@ -3877,6 +3877,71 @@ def _meta_gate_docs(spark, n: int):
         'media_ref:string,offset:int>>')
 
 
+def q_microdata_extract(spark, sf_dir):
+    """Schema.org MICRODATA — the third structured-data channel next
+    to JSON-LD and OpenGraph (html_meta): itemscope/itemprop items
+    flattened to dotted property paths through the engine's repairing
+    DOM. The deterministic corpus sweeps the spec's value rules
+    (img/src, a/href, time/datetime with text fallback, meta/content,
+    data/value, text default), nested itemscope+itemprop flattening,
+    the unrelated-nested-itemscope rule (own top-level item, never a
+    host property), multi-name itemprops, orphan properties outside
+    any item (dropped), uppercase attribute spellings and an unclosed-
+    tag page exercising the repair path. Committed-output oracle."""
+    from mineru_html_spark.functions.meta import extract_microdata
+    import pandas as _pd
+    sf = _sf_of(sf_dir)
+    n = max(40, int(docs_for_sf(sf) // 25))
+    rows = []
+    for i in range(n):
+        v = i % 5
+        if v == 0:
+            html = (
+                '<html><body><div itemscope '
+                'itemtype="https://schema.org/Article">'
+                '<h1 itemprop="headline name">Title %d</h1>'
+                '<div itemprop="author" itemscope '
+                'itemtype="https://schema.org/Person">'
+                '<span itemprop="name">Author %d</span>'
+                '<a itemprop="url" href="/a/%d">p</a></div>'
+                '<time itemprop="datePublished" '
+                'datetime="2024-0%d-01">then</time>'
+                '<img itemprop="image" src="/img/%d.png">'
+                '</div></body></html>' % (i, i, i, i % 9 + 1, i))
+        elif v == 1:
+            html = (
+                '<html><body><DIV ITEMSCOPE '
+                'ITEMTYPE="https://schema.org/Product">'
+                '<span ITEMPROP="name">Widget %d</span>'
+                '<meta itemprop="sku" content="SKU-%d">'
+                '<data itemprop="price" value="%d">"%d euros"</data>'
+                '</DIV><span itemprop="orphan">outside %d</span>'
+                '</body></html>' % (i, i, i * 3, i * 3, i))
+        elif v == 2:
+            html = (
+                '<html><body>'
+                '<div itemscope itemtype="https://schema.org/Recipe">'
+                '<span itemprop="name">Soup %d'
+                '<div itemscope itemtype="https://schema.org/Ad">'
+                '<span itemprop="name">unrelated %d</span></div>'
+                '</div></body></html>' % (i, i))
+        elif v == 3:
+            html = ('<html><body><p>No items here, just text %d.</p>'
+                    '</body></html>' % i)
+        else:
+            html = (
+                '<html><body><section itemscope>'
+                '<span itemprop="note">typeless %d</span></section>'
+                '<article itemscope '
+                'itemtype="https://schema.org/Event">'
+                '<time itemprop="startDate">March %d</time>'
+                '</article></body></html>' % (i, i % 28 + 1))
+        rows.append({'doc_id': 'md-%04d' % i, 'html': html})
+    docs = spark.createDataFrame(_pd.DataFrame(rows),
+                                 'doc_id string, html string')
+    return extract_microdata(docs)
+
+
 def q_html_meta(spark, sf_dir):
     """Page-metadata extraction (the structured-data tier a crawl mines
     before content: canonical collapses URL aliases pre-dedup, OG cards
@@ -6583,6 +6648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sqlite_extract': q_sqlite_extract,
         'cer_eval': q_cer_eval,
         'pass_at_k': q_pass_at_k,
+        'microdata_extract': q_microdata_extract,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -7018,7 +7084,8 @@ def oracle_sql() -> dict[str, str]:
                      'wet_extract', 'wat_extract', 'rouge_l',
                      'textrank_keywords', 'pptx_extract',
                      'xlsx_extract', 'exif_orient',
-                     'pdf_image_spans', 'sqlite_extract')
+                     'pdf_image_spans', 'sqlite_extract',
+                     'microdata_extract')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

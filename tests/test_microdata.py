@@ -1,0 +1,78 @@
+"""Microdata extraction: spec value rules, nesting, orphan drops,
+repairing-DOM path."""
+
+from mineru_html_spark.functions.meta import (extract_microdata,
+                                              microdata_from_html)
+
+
+def _by_path(rows, idx=0):
+    return {r['prop_path']: r['value'] for r in rows
+            if r['item_idx'] == idx}
+
+
+def test_value_rules_per_element():
+    html = ('<div itemscope itemtype="T">'
+            '<meta itemprop="m" content="MC">'
+            '<img itemprop="i" src="/s.png">'
+            '<a itemprop="a" href="/h">text ignored</a>'
+            '<time itemprop="t1" datetime="2020-01-01">Jan</time>'
+            '<time itemprop="t2">fallback text</time>'
+            '<data itemprop="d" value="42">forty-two</data>'
+            '<span itemprop="s">  spaced   <b>text</b>  </span>'
+            '</div>')
+    p = _by_path(microdata_from_html(html))
+    assert p['m'] == 'MC' and p['i'] == '/s.png' and p['a'] == '/h'
+    assert p['t1'] == '2020-01-01' and p['t2'] == 'fallback text'
+    assert p['d'] == '42'
+    assert p['s'] == 'spaced text'        # ws-normalized text content
+
+
+def test_nested_item_flattens_with_type_row():
+    html = ('<div itemscope itemtype="A">'
+            '<div itemprop="author" itemscope itemtype="P">'
+            '<span itemprop="name">Ada</span></div></div>')
+    p = _by_path(microdata_from_html(html))
+    assert p['author.@type'] == 'P'
+    assert p['author.name'] == 'Ada'
+
+
+def test_unrelated_nested_itemscope_is_own_item():
+    html = ('<div itemscope itemtype="A"><span itemprop="x">1</span>'
+            '<div itemscope itemtype="B">'
+            '<span itemprop="y">2</span></div></div>')
+    rows = microdata_from_html(html)
+    a = _by_path(rows, 0)
+    b = _by_path(rows, 1)
+    assert 'x' in a and 'y' not in a
+    assert b['@type'] == 'B' and b['y'] == '2'
+
+
+def test_multiname_orphans_and_propertyless():
+    html = ('<span itemprop="lost">orphan</span>'
+            '<div itemscope itemtype="E"></div>'
+            '<div itemscope><b itemprop="n t">two names</b></div>')
+    rows = microdata_from_html(html)
+    paths = [(r['item_idx'], r['prop_path']) for r in rows]
+    assert (0, '@type') in paths            # property-less item visible
+    assert not any(p == 'lost' for _, p in paths)
+    assert (1, 'n') in paths and (1, 't') in paths
+
+
+def test_repairing_dom_unclosed_tags():
+    html = ('<div itemscope itemtype="R"><span itemprop="name">Soup '
+            '<div itemscope itemtype="Ad"><span itemprop="name">x')
+    rows = microdata_from_html(html)
+    types = {r['item_idx']: r['item_type'] for r in rows}
+    assert set(types.values()) == {'R', 'Ad'}
+
+
+def test_spark_path(spark):
+    docs = spark.createDataFrame(
+        [('d1', '<div itemscope itemtype="T">'
+                '<i itemprop="p">v</i></div>'),
+         ('d2', 'no items at all')],
+        'doc_id string, html string')
+    rows = extract_microdata(docs).collect()
+    assert {r['doc_id'] for r in rows} == {'d1'}
+    assert {(r['prop_path'], r['value']) for r in rows} == {
+        ('@type', 'T'), ('p', 'v')}

@@ -36,7 +36,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'lz78_quality', 'pdf_layout', 'citation_graph', 'wet_extract',
          'wat_extract', 'rouge_l', 'textrank_keywords', 'pptx_extract',
          'xlsx_extract', 'exif_orient', 'cdc_chunks', 'audio_fp', 'tiff_decode', 'audio_probe',
-         'bmp_decode', 'pdf_image_spans', 'sqlite_extract')
+         'bmp_decode', 'pdf_image_spans', 'sqlite_extract',
+         'microdata_extract')
 
 
 def main():
