@@ -3690,6 +3690,31 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, n_merges=50))
 
 
+def q_bbpe_train(spark, sf_dir):
+    """BYTE-level BPE training (the GPT-2 tokenizer family): the
+    corpus-scale part is one pre-token type aggregate with the
+    pre-tokenizer running JVM-side (regexp_extract_all — verified
+    char-identical across Java regex / Python re / DuckDB RE2 in
+    tests); merges learn over the 256-entry byte<->unicode bijection,
+    so there is no <unk> and any byte string round-trips losslessly.
+    Committed-output oracle."""
+    from mineru_html_spark.functions.bbpe import (bbpe_merges_df,
+                                                  bbpe_train)
+    return bbpe_merges_df(
+        spark, bbpe_train(_docs(spark, sf_dir), n_merges=60))
+
+
+def q_bbpe_apply(spark, sf_dir):
+    """Apply the byte-level merges: Arrow pass with a capped pretoken
+    memo; tokens_md5 pins the exact token-string sequence, so the
+    distributed segmentation must reproduce the single-run output.
+    The lossless-decode invariant (tokens -> original bytes) is
+    unit-tested next to this gate. Committed-output oracle."""
+    from mineru_html_spark.functions.bbpe import bbpe_apply, bbpe_train
+    docs = _docs(spark, sf_dir)
+    return bbpe_apply(docs, bbpe_train(docs, n_merges=60))
+
+
 def q_near_dup_incremental(spark, sf_dir):
     """Incremental near-dup: the documents table plays the EXISTING
     corpus — its banded MinHash signatures materialize once into a
@@ -6649,6 +6674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cer_eval': q_cer_eval,
         'pass_at_k': q_pass_at_k,
         'microdata_extract': q_microdata_extract,
+        'bbpe_train': q_bbpe_train,
+        'bbpe_apply': q_bbpe_apply,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -7085,7 +7112,7 @@ def oracle_sql() -> dict[str, str]:
                      'textrank_keywords', 'pptx_extract',
                      'xlsx_extract', 'exif_orient',
                      'pdf_image_spans', 'sqlite_extract',
-                     'microdata_extract')
+                     'microdata_extract', 'bbpe_train', 'bbpe_apply')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

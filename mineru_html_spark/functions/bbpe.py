@@ -1,0 +1,175 @@
+"""Byte-level BPE: the GPT-2 tokenizer family (Radford et al. 2019).
+
+Completes the tokenizer tier next to word-BPE (``bpe.py``), WordPiece
+and Unigram: the variant virtually every production LLM ships. Two
+published ingredients, reimplemented from the paper/spec:
+
+* the 256-entry byte<->printable-unicode bijection (printable latin
+  ranges stay identity, the remaining bytes map above U+0100) — this
+  table IS the format, like a file-magic constant: any byte string
+  round-trips losslessly through it, so there is never an <unk>;
+* merges learned over PRE-TOKENS, not words: a regex splits text into
+  contraction / letter-run / digit-run / punctuation-run / whitespace
+  units with the leading space attached to the following run (the
+  Ġ-prefix convention). The pattern here is the GPT-2 shape restricted
+  to ASCII classes and WITHOUT the trailing-space lookahead — stated
+  ASCII simplification so the SAME pattern runs identically on Spark
+  (Java regex), Python ``re`` (the apply path) and DuckDB RE2 (the
+  oracle); GPT-2's ``\\p{L}``/lookahead variant is a drop-in swap
+  where RE2 parity is not needed.
+
+Scale split (the ``bpe.py`` contract): corpus touched ONCE for the
+pre-token type dictionary (explode + map-side-combined agg, TakeOrdered
+pruning); the merge loop is driver-side over that dictionary; apply is
+a distributed Arrow pass with a capped per-task memo. The merge-loop
+internals (`_pair_counts`, `_merge_seq`) are shared with word-BPE —
+byte-level BPE differs only in its alphabet and pre-tokenization.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .bpe import _merge_seq, _pair_counts
+
+# one pattern string, three engines (Java regex / Python re / RE2):
+# ASCII classes only, no lookahead, alternation order = precedence
+PRETOK_PATTERN = ("'s|'t|'re|'ve|'m|'ll|'d"
+                  "| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+")
+
+
+def bytes_to_unicode() -> Dict[int, str]:
+    """The GPT-2 byte->printable-char bijection: visible latin bytes
+    map to themselves, every other byte to 256+n in first-gap order.
+    Published constant table (it is the interchange format)."""
+    bs = (list(range(ord('!'), ord('~') + 1))
+          + list(range(0xA1, 0xAC + 1))
+          + list(range(0xAE, 0xFF + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = bytes_to_unicode()
+_U2B = {c: b for b, c in _B2U.items()}
+
+
+def to_byte_chars(pretok: str) -> Tuple[str, ...]:
+    """UTF-8 bytes of one pre-token as byte-chars (' world' ->
+    ('Ġ','w','o','r','l','d'))."""
+    return tuple(_B2U[b] for b in pretok.encode('utf-8'))
+
+
+def from_tokens(tokens: List[str]) -> str:
+    """Inverse mapping: token strings -> original text (lossless)."""
+    return bytes(_U2B[c] for t in tokens for c in t).decode(
+        'utf-8', errors='strict')
+
+
+def bbpe_pretoken_counts(documents: DataFrame) -> DataFrame:
+    """(pretok, cnt): the type dictionary — the ONLY corpus-scale pass
+    of training. Pre-tokenization runs JVM-side (regexp_extract_all +
+    explode), so no text ever reaches Python here."""
+    return (documents
+            .select(F.explode(F.regexp_extract_all(
+                'text', F.lit(PRETOK_PATTERN), 0)).alias('pretok'))
+            .groupBy('pretok').agg(F.count('*').alias('cnt')))
+
+
+def bbpe_train(documents: DataFrame, n_merges: int = 60,
+               top_types: int = 20000) -> list:
+    """[(rank, left, right)] over byte-chars. Deterministic: type dict
+    TakeOrdered'd on (cnt desc, pretok asc); merge ties break on
+    (count desc, pair asc) — the bpe.py convention."""
+    rows = (bbpe_pretoken_counts(documents)
+            .orderBy(F.desc('cnt'), F.asc('pretok'))
+            .limit(top_types).collect())
+    seqs = {r['pretok']: (to_byte_chars(r['pretok']), r['cnt'])
+            for r in rows}
+    merges = []
+    for rank in range(n_merges):
+        pc = _pair_counts(seqs)
+        pc = {p: c for p, c in pc.items()}
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1]))
+        seqs = {w: (_merge_seq(seq, best), cnt)
+                for w, (seq, cnt) in seqs.items()}
+    return merges
+
+
+def _encode_pretok(chars: Tuple[str, ...], ranks: dict) -> tuple:
+    """Greedy lowest-rank merge loop (no end-of-word marker — byte
+    BPE carries the boundary in the Ġ space prefix instead)."""
+    seq = chars
+    while len(seq) > 1:
+        best, bi = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        seq = seq[:bi] + (seq[bi] + seq[bi + 1],) + seq[bi + 2:]
+    return seq
+
+
+BBPE_APPLY_SCHEMA = ('doc_id long, n_pretoks long, n_tokens long, '
+                     'tokens_md5 string')
+
+
+def bbpe_apply(documents: DataFrame, merges: list) -> DataFrame:
+    """(doc_id, n_pretoks, n_tokens, tokens_md5): tokenize with the
+    merge table. Arrow-batched; per-task pretoken memo capped at 2^16
+    entries (web text repeats pre-tokens heavily — the memo hit rate
+    is the batch's type/token ratio). tokens_md5 hashes the exact
+    token string sequence, so the gate pins segmentation, not just
+    counts."""
+    ranks = {(a, b): r for r, a, b in merges}
+    spark = documents.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        rk = b_ranks.value
+        pat = re.compile(PRETOK_PATTERN)
+        memo: dict = {}
+        for pdf in it:
+            out = {'doc_id': [], 'n_pretoks': [], 'n_tokens': [],
+                   'tokens_md5': []}
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                pretoks = pat.findall(str(text))
+                tokens: List[str] = []
+                for p in pretoks:
+                    enc = memo.get(p)
+                    if enc is None:
+                        enc = _encode_pretok(to_byte_chars(p), rk)
+                        if len(memo) >= 1 << 16:
+                            memo.clear()
+                        memo[p] = enc
+                    tokens.extend(enc)
+                out['doc_id'].append(doc_id)
+                out['n_pretoks'].append(len(pretoks))
+                out['n_tokens'].append(len(tokens))
+                out['tokens_md5'].append(hashlib.md5(
+                    '\x00'.join(tokens).encode('utf-8')).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(run, BBPE_APPLY_SCHEMA))
+
+
+def bbpe_merges_df(spark: SparkSession, merges: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, a, b, a + b) for r, a, b in merges],
+        'rank int, left string, right string, merged string')

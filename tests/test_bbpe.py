@@ -1,0 +1,81 @@
+"""Byte-level BPE: bijection, pretokenization parity across engines,
+merge determinism, lossless decode, repartition invariance."""
+
+import re
+
+import pyspark.sql.functions as F
+
+from mineru_html_spark.functions.bbpe import (
+    PRETOK_PATTERN, _encode_pretok, bbpe_apply, bbpe_train,
+    bytes_to_unicode, from_tokens, to_byte_chars)
+
+
+def test_bijection_covers_all_bytes_once():
+    b2u = bytes_to_unicode()
+    assert sorted(b2u) == list(range(256))
+    assert len(set(b2u.values())) == 256
+    # visible latin bytes map to themselves
+    for b in range(ord('!'), ord('~') + 1):
+        assert b2u[b] == chr(b)
+    # space maps above U+0100 (the published Ġ)
+    assert ord(b2u[ord(' ')]) == 0x120
+
+
+def test_lossless_roundtrip_arbitrary_bytes():
+    b2u = bytes_to_unicode()
+    for s in ['plain', 'héllo wörld', 'tabs\tand\nnews', '日本語',
+              'emoji \U0001f600 end']:
+        chars = [b2u[b] for b in s.encode('utf-8')]
+        assert from_tokens(chars) == s
+
+
+def test_pretok_pattern_reconstructs_and_attaches_space():
+    pat = re.compile(PRETOK_PATTERN)
+    t = "It's a mixed-case 42 test,  with   gaps!"
+    toks = pat.findall(t)
+    assert ''.join(toks) == t               # lossless split
+    assert ' a' in toks and ' 42' in toks   # leading space attached
+    assert "'s" in toks                     # contraction unit
+
+
+def test_pretok_parity_java_python(spark):
+    texts = ["fox's 12 jumps!  Over\tlazy", "it's we've 3.14 a,b;c  x ",
+             'CAPS lower 100x "quoted" (par)']
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               'doc_id long, text string')
+    jav = {r['doc_id']: list(r['p']) for r in df.select(
+        'doc_id', F.regexp_extract_all(
+            'text', F.lit(PRETOK_PATTERN), 0).alias('p')).collect()}
+    pat = re.compile(PRETOK_PATTERN)
+    for i, t in enumerate(texts):
+        assert jav[i] == pat.findall(t)
+
+
+def test_train_deterministic_and_apply_lossless(spark):
+    docs = spark.createDataFrame(
+        [(i, 'the cat sat on the mat and the cat ran %d times' % i)
+         for i in range(30)], 'doc_id long, text string')
+    m1 = bbpe_train(docs, n_merges=20)
+    m2 = bbpe_train(docs.repartition(7), n_merges=20)
+    assert m1 == m2                         # partitioning-invariant
+    ranks = {(a, b): r for r, a, b in m1}
+    pat = re.compile(PRETOK_PATTERN)
+    text = 'the cat sat on the mat and the cat ran 5 times'
+    toks = []
+    for p in pat.findall(text):
+        toks.extend(_encode_pretok(to_byte_chars(p), ranks))
+    assert from_tokens(toks) == text        # decode restores bytes
+    # frequent bigram ' the' must have merged into few tokens
+    assert len(toks) < len(text)
+
+
+def test_apply_repartition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f'shared vocabulary document number {i} with words')
+         for i in range(40)], 'doc_id long, text string')
+    merges = bbpe_train(docs, n_merges=15)
+    a = {r['doc_id']: r['tokens_md5']
+         for r in bbpe_apply(docs, merges).collect()}
+    b = {r['doc_id']: r['tokens_md5']
+         for r in bbpe_apply(docs.repartition(9), merges).collect()}
+    assert a == b
