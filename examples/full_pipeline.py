@@ -263,6 +263,21 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
              'cluster_id', 'keep')
      .write.mode('overwrite').parquet(os.path.join(out_dir, 'media')))
 
+    # 16. ship: the trainer-handoff containers — TFRecord Examples and
+    #     WebDataset tar shards over the survivors (both sinks commit
+    #     publish-by-rename; shard budget keeps tars streamable). This
+    #     is the terminal stage a 100 TB run hands to the training
+    #     cluster in place of the parquet mirror above.
+    from mineru_html_spark.sources.tfrecord import write_tfrecords
+    from mineru_html_spark.sources.webdataset import write_webdataset
+    ship = clean.select(F.col('doc_id').cast('string').alias('doc_id'),
+                        'text', F.lit('pipeline').alias('source'))
+    tf_manifest = write_tfrecords(
+        ship, os.path.join(out_dir, 'tfrecord'))
+    wds_manifest = write_webdataset(
+        ship, os.path.join(out_dir, 'wds'),
+        max_shard_bytes=64 * 1024 * 1024)
+
     stats = {
         'input_docs': docs.count(),
         'extracted_ok': results.where("status in ('ok','fallback','too_long')").count(),
@@ -273,6 +288,10 @@ def run_pipeline(spark, docs, out_dir: str, token_budget: int = 2048,
         'media_refs': media_keep.count(),
         'media_decoded_ok': feats.count(),
         'media_survivors': media_keep.where('keep').count(),
+        'tfrecord_files': len(tf_manifest),
+        'tfrecord_records': sum(m['n_records'] for m in tf_manifest),
+        'wds_shards': len(wds_manifest),
+        'wds_samples': sum(m['n_samples'] for m in wds_manifest),
     }
     stats['after_quality_gate_and_exact_dedup'] = stats['survivors']
     results.unpersist()

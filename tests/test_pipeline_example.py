@@ -53,6 +53,19 @@ def test_full_pipeline_example(spark, tmp_path):
             media.select('container').distinct().collect()} \
         <= {'png', 'jpeg', 'gif'}
 
+    # trainer-handoff stage: both containers hold exactly the
+    # survivors and read back clean through their own sources
+    assert stats['tfrecord_records'] == stats['survivors']
+    assert stats['wds_samples'] == stats['survivors']
+    from mineru_html_spark.sources.tfrecord import read_tfrecords
+    from mineru_html_spark.sources.webdataset import read_webdataset
+    tf_back = read_tfrecords(spark, out + '/tfrecord/part-*.tfrecord')
+    assert tf_back.where("error != ''").count() == 0
+    assert tf_back.count() == stats['survivors']
+    wds_back = read_webdataset(spark, out + '/wds/part-*.tar')
+    assert wds_back.where("error != ''").count() == 0
+    assert wds_back.count() == stats['survivors']
+
 
 def test_events_analytics_example(spark):
     """The events-analytics example runs end-to-end and its reports
