@@ -5659,6 +5659,48 @@ def q_interleaved_seqs(spark, sf_dir):
         _extraction_results(spark, sf_dir), budget=512, image_tokens=64)
 
 
+def q_span_lang_id(spark, sf_dir):
+    """Per-span language routing over INTERLEAVED sequences: the gate
+    constructs a deterministic interleaved doc per corpus row entirely
+    in native expressions (40-word text chunks, an image span after
+    every 3rd chunk, positional offsets via the index-aware
+    transform), then tags each text span with the span-local
+    stopword-permille decision while image spans pass through NULL.
+    The whole construction + decision mirrors in exact SQL (DuckDB
+    zipped unnests supply the offsets)."""
+    from mineru_html_spark.functions.text import span_lang_id
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    w = F.split('text', ' ')
+    nc = F.greatest(F.ceil(F.size(w) / 40).cast('int'), F.lit(1))
+    did = F.col('doc_id').cast('string')
+    groups = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda j: F.when(
+            j % 3 == 2,
+            F.array(
+                F.struct(F.lit('text').alias('kind'),
+                         F.array_join(F.slice(w, j * 40 + 1, 40), ' ')
+                          .alias('text'),
+                         F.lit(None).cast('string')
+                          .alias('media_ref')),
+                F.struct(F.lit('image').alias('kind'),
+                         F.lit('').alias('text'),
+                         F.concat(F.lit('img:'), did, F.lit(':'),
+                                  j.cast('string')).alias('media_ref'))
+            )).otherwise(F.array(F.struct(
+                F.lit('text').alias('kind'),
+                F.array_join(F.slice(w, j * 40 + 1, 40), ' ')
+                 .alias('text'),
+                F.lit(None).cast('string').alias('media_ref')))))
+    spans = F.transform(
+        F.flatten(groups),
+        lambda x, i: F.struct(x['kind'].alias('kind'),
+                              x['text'].alias('text'),
+                              x['media_ref'].alias('media_ref'),
+                              i.cast('int').alias('offset')))
+    return span_lang_id(docs.select('doc_id', spans.alias('spans')))
+
+
 def q_repetition_signals(spark, sf_dir):
     """The COMPLETE Gopher repetition-filter table (Rae et al. 2021,
     Table A1): duplicate line/paragraph fractions by count and by char
@@ -6676,6 +6718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'microdata_extract': q_microdata_extract,
         'bbpe_train': q_bbpe_train,
         'bbpe_apply': q_bbpe_apply,
+        'span_lang_id': q_span_lang_id,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10629,6 +10672,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # span-level lang ID: same interleaved construction, zipped unnest
+    oracles['span_lang_id'] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 greatest(CAST(ceil(len(string_split(text, ' '))
+                               / 40.0) AS INT), 1) AS nc
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            flatten(list_transform(range(nc), j ->
+              CASE WHEN j % 3 = 2 THEN [
+                struct_pack(kind := 'text',
+                  txt := array_to_string(
+                    list_slice(w, j*40 + 1, j*40 + 40), ' '),
+                  media_ref := CAST(NULL AS VARCHAR)),
+                struct_pack(kind := 'image', txt := '',
+                  media_ref := 'img:' || CAST(doc_id AS VARCHAR)
+                               || ':' || CAST(j AS VARCHAR))]
+              ELSE [
+                struct_pack(kind := 'text',
+                  txt := array_to_string(
+                    list_slice(w, j*40 + 1, j*40 + 40), ' '),
+                  media_ref := CAST(NULL AS VARCHAR))]
+              END)) AS spans
+          FROM t),
+        e AS (
+          SELECT doc_id, unnest(spans) AS s,
+                 CAST(unnest(range(len(spans))) AS INT) AS "offset"
+          FROM g),
+        m AS (
+          SELECT doc_id, "offset", s.kind AS kind,
+                 s.media_ref AS media_ref,
+                 list_filter(string_split_regex(
+                     lower(trim(s.txt)), '[^a-z]+'),
+                     x -> x != '') AS lw
+          FROM e),
+        d AS (
+          SELECT doc_id, "offset", kind, media_ref,
+                 CASE WHEN len(lw) = 0 THEN 0
+                      ELSE CAST(floor(1000 *
+                        len(list_filter(lw,
+                            x -> x IN ({_STOP_SQL}))) / len(lw))
+                        AS INT) END AS pm
+          FROM m)
+        SELECT doc_id, "offset", kind, media_ref,
+               CASE WHEN kind = 'text' THEN pm ELSE -1 END
+                 AS stopword_permille,
+               CASE WHEN kind = 'text'
+                    THEN CASE WHEN pm >= 180 THEN 'en'
+                              ELSE 'other' END END AS lang_pred
+        FROM d
     """
     # CER: the WER oracle's vocab trick at char level
     oracles['cer_eval'] = """

@@ -1262,3 +1262,39 @@ def dehyphenate(documents: DataFrame,
         '([a-z])-\r?\n([A-Z])', '$1-$2')
     return documents.select('doc_id', (n1 + n2).alias('n_joins'),
                             fixed.alias('text_fixed'))
+
+
+def span_lang_id(docs_with_spans: DataFrame,
+                 min_ratio_permille: int = 180) -> DataFrame:
+    """Per-SPAN language ID over interleaved (kind, text, media_ref,
+    offset) sequences — the routing stage a multilingual multimodal
+    pipeline runs before per-language quality/tokenizer tiers, where
+    a single page legitimately mixes languages across blocks: every
+    TEXT span gets the :func:`lang_id` stopword-permille decision
+    applied span-locally; non-text spans pass through untagged
+    (lang_pred NULL, permille -1 — a sentinel rather than NULL so the
+    int column never goes nullable->float64 through pandas on either
+    compare side). One explode, all-native, exact SQL mirror."""
+    s = F.col('s')
+    words = F.filter(
+        F.split(F.lower(F.trim(s['text'])), r'[^a-z]+'),
+        lambda w: F.length(w) > 0)
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    permille = (F.when(nw == 0, F.lit(0))
+                .otherwise(F.floor(F.lit(1000) * nstop / nw))
+                .cast('int'))
+    is_text = s['kind'] == 'text'
+    return (docs_with_spans
+            .select('doc_id', F.explode('spans').alias('s'))
+            .select(
+                'doc_id',
+                s['offset'].alias('offset'),
+                s['kind'].alias('kind'),
+                s['media_ref'].alias('media_ref'),
+                F.when(is_text, permille).otherwise(F.lit(-1))
+                 .cast('int').alias('stopword_permille'),
+                F.when(is_text,
+                       F.when(permille >= min_ratio_permille,
+                              F.lit('en')).otherwise(F.lit('other')))
+                 .alias('lang_pred')))

@@ -2894,3 +2894,27 @@ def test_scrub_spans_masks_in_place_preserving_contract(spark):
             for s in a['spans']] == [('text', '', 0), ('image', 'm:1', 1),
                                      ('text', '', 2)]
     assert got['b']['n_spans'] == 0 and got['b']['n_redactions'] == 0
+
+
+def test_span_lang_id_routes_per_span(spark):
+    from mineru_html_spark.functions.text import span_lang_id
+    spans = [
+        {'kind': 'text',
+         'text': 'the and of to in that it is was for on are with',
+         'media_ref': None, 'offset': 0},
+        {'kind': 'image', 'text': '', 'media_ref': 'img:1', 'offset': 1},
+        {'kind': 'text', 'text': 'zymurgy quixotic fjord vex blitz',
+         'media_ref': None, 'offset': 2},
+        {'kind': 'text', 'text': '', 'media_ref': None, 'offset': 3},
+    ]
+    df = spark.createDataFrame(
+        [(1, spans)],
+        'doc_id long, spans array<struct<kind:string,text:string,'
+        'media_ref:string,offset:int>>')
+    rows = {r['offset']: r for r in span_lang_id(df).collect()}
+    assert rows[0]['lang_pred'] == 'en'          # all stopwords
+    assert rows[0]['stopword_permille'] == 1000
+    assert rows[1]['lang_pred'] is None          # image untagged
+    assert rows[1]['stopword_permille'] == -1    # stated sentinel
+    assert rows[2]['lang_pred'] == 'other'       # zero stopwords
+    assert rows[3]['stopword_permille'] == 0     # empty text span
