@@ -5701,6 +5701,18 @@ def q_span_lang_id(spark, sf_dir):
     return span_lang_id(docs.select('doc_id', spans.alias('spans')))
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum schedule: length-staged easy-first ordering with a
+    salted deterministic within-stage shuffle, numbered by the
+    range-partitioned global_row_ids primitive (no single-reducer
+    sort). The exact SQL oracle is the row_number() mirror — the gate
+    certifies the distributed numbering equals the global window
+    semantics exactly."""
+    from mineru_html_spark.functions.corpus import curriculum_order
+    return curriculum_order(_docs(spark, sf_dir).select(
+        'doc_id', 'text'))
+
+
 def q_repetition_signals(spark, sf_dir):
     """The COMPLETE Gopher repetition-filter table (Rae et al. 2021,
     Table A1): duplicate line/paragraph fractions by count and by char
@@ -6719,6 +6731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bbpe_train': q_bbpe_train,
         'bbpe_apply': q_bbpe_apply,
         'span_lang_id': q_span_lang_id,
+        'curriculum_order': q_curriculum_order,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10671,6 +10684,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(rl AS BIGINT) AS ref_len,
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
+        FROM s
+    """
+    # curriculum: the row_number mirror of the distributed numbering
+    oracles['curriculum_order'] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len({_WORDS_AZ09}) AS INT) AS n_words,
+                 CAST(least(len({_WORDS_AZ09}) // 64, 3) AS INT)
+                   AS stage,
+                 md5(CAST(doc_id AS VARCHAR) || ':cur1')
+                   AS shuffle_key
+          FROM documents)
+        SELECT doc_id, n_words, stage, shuffle_key,
+               CAST(row_number() OVER
+                    (ORDER BY stage, shuffle_key, doc_id) - 1
+                    AS BIGINT) AS row_id
         FROM s
     """
     # span-level lang ID: same interleaved construction, zipped unnest

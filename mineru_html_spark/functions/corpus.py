@@ -1653,3 +1653,28 @@ def fim_transform(documents: DataFrame, rate_milli: int = 500,
         F.when(applied, hi).otherwise(-1).cast('long').alias('cut2'),
         F.md5(out).alias('out_md5'),
         out.alias('text_out'))
+
+
+def curriculum_order(documents: DataFrame, n_stages: int = 4,
+                     words_per_stage: int = 64,
+                     salt: str = 'cur1') -> DataFrame:
+    """Curriculum schedule (Bengio et al. 2009 easy-first training):
+    examples ordered by a difficulty STAGE (length buckets — the
+    standard model-free proxy), deterministically shuffled WITHIN each
+    stage by salted md5 (so every run and every executor count yields
+    the same epoch order), numbered with contiguous global row ids via
+    the range-partitioned :func:`layout.global_row_ids` — never a
+    single-reducer ``ORDER BY`` window. Output (doc_id, n_words,
+    stage, shuffle_key, row_id): row_id is exactly the rank in
+    (stage, shuffle_key, doc_id) order, which is what the oracle's
+    row_number mirror certifies."""
+    from .layout import global_row_ids
+    w = _words()
+    staged = documents.select(
+        'doc_id',
+        F.size(w).alias('n_words'),
+        F.least(F.floor(F.size(w) / words_per_stage),
+                F.lit(n_stages - 1)).cast('int').alias('stage'),
+        F.md5(F.concat_ws(':', F.col('doc_id'), F.lit(salt)))
+         .alias('shuffle_key'))
+    return global_row_ids(staged, ['stage', 'shuffle_key', 'doc_id'])

@@ -51,3 +51,24 @@ def test_compaction_plan_offset_binning(spark):
     assert got[('b', 0)]['n_files'] == 1
     assert got[('b', 2)]['first_file'] == 2
     assert ('b', 1) not in got
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    from mineru_html_spark.functions.corpus import curriculum_order
+    docs = spark.createDataFrame(
+        [(i, 'w ' * (10 + (i * 37) % 300)) for i in range(60)],
+        'doc_id long, text string')
+    a = curriculum_order(docs)
+    rows = a.orderBy('row_id').collect()
+    # contiguous ids, stages ascending along the schedule
+    assert [r['row_id'] for r in rows] == list(range(60))
+    stages = [r['stage'] for r in rows]
+    assert stages == sorted(stages)
+    assert set(stages) <= {0, 1, 2, 3}
+    # deterministic across partitioning
+    b = {r['doc_id']: r['row_id']
+         for r in curriculum_order(docs.repartition(7)).collect()}
+    assert b == {r['doc_id']: r['row_id'] for r in rows}
+    # within a stage the order is the salted shuffle, not doc_id order
+    s0 = [r['doc_id'] for r in rows if r['stage'] == stages[0]]
+    assert s0 != sorted(s0)
