@@ -5701,6 +5701,82 @@ def q_span_lang_id(spark, sf_dir):
     return span_lang_id(docs.select('doc_id', spans.alias('spans')))
 
 
+def q_ranking_eval(spark, sf_dir):
+    """MRR + NDCG@10 over a deterministic synthetic eval run: docs
+    group into queries (doc_id % 29), the ranking is a salted-md5
+    shuffle (so rank and relevance are independent), relevance grades
+    0-3 derive from a second salt. Exact SQL oracle: same
+    construction, same embedded integer log2-discount table."""
+    from pyspark.sql.window import Window
+
+    from mineru_html_spark.functions.retrieval import ranking_eval
+    d = F.col('doc_id')
+    raw = (F.conv(F.substring(
+        F.md5(F.concat_ws(':', d, F.lit('rel'))), 1, 4), 16, 10)
+        .cast('int') % 5)
+    base = _docs(spark, sf_dir).select(
+        'doc_id', (d % 29).alias('query_id'),
+        F.md5(F.concat_ws(':', d, F.lit('rk'))).alias('rk_key'),
+        F.when(raw < 2, 0).otherwise(raw - 1).cast('int').alias('rel'))
+    w = Window.partitionBy('query_id').orderBy('rk_key', 'doc_id')
+    runs = (base.withColumn('rank', F.row_number().over(w))
+            .select('query_id', 'doc_id', 'rank'))
+    qrels = base.select('query_id', 'doc_id', 'rel')
+    return ranking_eval(runs, qrels, k=10)
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the deterministic synthetic
+    link graph (the pagerank construction): per candidate pair, the
+    sum of 1/ln(deg) over common neighbors as exact micro-nat
+    integers via the embedded ln-table idiom. The oracle replays the
+    same self-join with a literal copy of the same table — never a
+    second libm call; hubs beyond the table raise loudly on both
+    engines."""
+    from mineru_html_spark.functions.graph import adamic_adar
+    docs = _docs(spark, sf_dir).select('doc_id')
+    n = docs.count()
+    d = F.col('doc_id')
+    edges = (docs.select(d.alias('src'), ((d * 7 + 3) % n).alias('dst'))
+             .unionByName(
+                 docs.select(d.alias('src'),
+                             ((d * 13 + 5) % n).alias('dst'))))
+    return adamic_adar(edges)
+
+
+def q_readability_ext(spark, sf_dir):
+    """ARI + Coleman-Liau — the syllable-free readability pair
+    (character/word/sentence counts only, exact by construction),
+    completing the readability tier next to Flesch/FK. Exact SQL
+    oracle with the published coefficients in milli units."""
+    from mineru_html_spark.functions.text import readability_ext
+    return readability_ext(_docs(spark, sf_dir).select(
+        'doc_id', 'text'))
+
+
+def q_extract_entities(spark, sf_dir):
+    """Regex-NER surface entities: the corpus word salad carries no
+    dates/URLs/money naturally, so the gate plants a deterministic
+    entity tail on 4 of 5 docs (date, time, money, percent, URL,
+    email — every pattern fires) and leaves every 5th doc bare (all
+    six md5s must equal md5(''), the empty-match case). Counts AND
+    in-order occurrence-sequence md5s cross the gate, mirrored by the
+    same six patterns in DuckDB RE2."""
+    from mineru_html_spark.functions.text import extract_entities
+    d = F.col('doc_id')
+    tail = F.concat(
+        F.lit(' Meeting 202'), d % 10, F.lit('-0'), d % 9 + 1,
+        F.lit('-1'), d % 8, F.lit(' at '), d % 12 + 1, F.lit(':0'),
+        d % 6, F.lit(' pay $'), d % 90 + 10, F.lit('.'), d % 10,
+        F.lit('5 up '), d % 100, F.lit('.5% via https://h'), d % 23,
+        F.lit('.example/p/'), d, F.lit('?s=1 or mail user'), d,
+        F.lit('@host'), d % 7, F.lit('.example.org done'))
+    t = F.when(d % 5 == 4, F.col('text')) \
+         .otherwise(F.concat(F.col('text'), tail))
+    docs = _docs(spark, sf_dir).select('doc_id', t.alias('text'))
+    return extract_entities(docs)
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum schedule: length-staged easy-first ordering with a
     salted deterministic within-stage shuffle, numbered by the
@@ -6732,6 +6808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bbpe_apply': q_bbpe_apply,
         'span_lang_id': q_span_lang_id,
         'curriculum_order': q_curriculum_order,
+        'extract_entities': q_extract_entities,
+        'readability_ext': q_readability_ext,
+        'adamic_adar': q_adamic_adar,
+        'ranking_eval': q_ranking_eval,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10685,6 +10765,155 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # MRR/NDCG: same construction, same embedded discount table
+    from mineru_html_spark.functions.retrieval import _log2_weight_micro
+    _ndcg_tab = ', '.join(str(v) for v in _log2_weight_micro(10))
+    oracles['ranking_eval'] = f"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 29 AS query_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':rk') AS rk_key,
+                 CASE WHEN CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':rel'), 1, 4)
+                        AS BIGINT) % 5 < 2 THEN 0
+                      ELSE CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':rel'), 1, 4)
+                        AS BIGINT) % 5 - 1 END AS rel
+          FROM documents),
+        runs AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rk_key, doc_id) AS rnk
+          FROM base),
+        j AS (
+          SELECT r.query_id, r.rnk, b.rel
+          FROM runs r JOIN base b
+            ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+          WHERE r.rnk <= 10),
+        dcg AS (
+          SELECT query_id,
+                 CAST(sum(((1 << rel) - 1)
+                      * ([{_ndcg_tab}])[CAST(rnk AS INT)])
+                      AS BIGINT) AS dcg_micro,
+                 min(CASE WHEN rel > 0 THEN rnk END) AS first_r
+          FROM j GROUP BY query_id),
+        ib AS (
+          SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id)
+                   AS irank
+          FROM base WHERE rel > 0),
+        ideal AS (
+          SELECT query_id,
+                 CAST(sum(((1 << rel) - 1)
+                      * ([{_ndcg_tab}])[CAST(irank AS INT)])
+                      AS BIGINT) AS idcg_micro
+          FROM ib WHERE irank <= 10 GROUP BY query_id)
+        SELECT d.query_id,
+               CAST(coalesce(d.first_r, 0) AS BIGINT)
+                 AS first_rel_rank,
+               CAST(CASE WHEN d.first_r IS NULL THEN 0
+                    ELSE 1000 // d.first_r END AS BIGINT)
+                 AS mrr_milli,
+               d.dcg_micro,
+               CAST(coalesce(i.idcg_micro, 0) AS BIGINT)
+                 AS idcg_micro,
+               CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN 0
+                    ELSE (1000 * d.dcg_micro) // i.idcg_micro END
+                    AS BIGINT) AS ndcg_milli
+        FROM dcg d LEFT JOIN ideal i ON d.query_id = i.query_id
+    """
+    # Adamic-Adar: literal copy of the operator's own ln-milli table
+    from mineru_html_spark.functions.frontier import _ln_milli_table
+    _aa_tab = ', '.join(str(v) for v in _ln_milli_table(64))
+    oracles['adamic_adar'] = f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 5) % nn.n
+          FROM documents, nn),
+        u AS (SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM e0 WHERE src != dst),
+        nb AS (SELECT a AS z, b AS nb FROM u
+               UNION ALL SELECT b, a FROM u),
+        dg AS (SELECT z, count(*) AS deg FROM nb GROUP BY z),
+        p AS (SELECT l.nb AS pa, r.nb AS pb, l.z AS z
+              FROM nb l JOIN nb r ON l.z = r.z AND l.nb < r.nb),
+        s AS (SELECT p.pa, p.pb,
+                CASE WHEN dg.deg <= 64
+                     THEN ([{_aa_tab}])[CAST(dg.deg AS INT)]
+                     ELSE error('adamic_adar oracle: degree > 64')
+                END AS lnm
+              FROM p JOIN dg ON p.z = dg.z)
+        SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(1000000000 // lnm) AS BIGINT) AS aa_micro
+        FROM s GROUP BY pa, pb
+    """
+    # ARI + Coleman-Liau: syllable-free counts, milli coefficients
+    oracles['readability_ext'] = """
+        WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+                   FROM documents),
+        c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '[a-z0-9]')) AS BIGINT)
+              AS n_chars,
+            CAST(len(regexp_extract_all(t, '[a-z]')) AS BIGINT)
+              AS n_letters,
+            CAST(greatest(len(list_filter(
+                regexp_split_to_array(t, '\\s+'),
+                w -> len(w) > 0)), 1) AS BIGINT) AS n_words,
+            CAST(greatest(len(list_filter(
+                regexp_split_to_array(t, '[.!?]+'),
+                s -> len(trim(s)) > 0)), 1) AS BIGINT) AS n_sentences
+          FROM d)
+        SELECT doc_id, n_chars, n_letters, n_words, n_sentences,
+               CAST((4710 * n_chars) // n_words
+                    + (500 * n_words) // n_sentences - 21430
+                    AS BIGINT) AS ari_milli,
+               CAST((5880 * n_letters) // n_words
+                    - (29600 * n_sentences) // n_words - 15800
+                    AS BIGINT) AS cli_milli
+        FROM c
+    """
+    # regex NER: identical six patterns over the same planted text
+    _ent_tail = (
+        "' Meeting 202' || CAST(doc_id % 10 AS VARCHAR) || '-0' || "
+        "CAST(doc_id % 9 + 1 AS VARCHAR) || '-1' || "
+        "CAST(doc_id % 8 AS VARCHAR) || ' at ' || "
+        "CAST(doc_id % 12 + 1 AS VARCHAR) || ':0' || "
+        "CAST(doc_id % 6 AS VARCHAR) || ' pay $' || "
+        "CAST(doc_id % 90 + 10 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 10 AS VARCHAR) || '5 up ' || "
+        "CAST(doc_id % 100 AS VARCHAR) || '.5% via https://h' || "
+        "CAST(doc_id % 23 AS VARCHAR) || '.example/p/' || "
+        "CAST(doc_id AS VARCHAR) || '?s=1 or mail user' || "
+        "CAST(doc_id AS VARCHAR) || '@host' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.org done'")
+    _ent_cols = []
+    for _en, _ep in (
+            ('dates', '[0-9]{4}-[0-9]{2}-[0-9]{2}'),
+            ('times', r'\b[0-9]{1,2}:[0-9]{2}\b'),
+            ('money', r'[$][0-9]+(\.[0-9]+)?'),
+            ('percents', r'[0-9]+(\.[0-9]+)?%'),
+            ('urls', 'https?://[^\\s<>"]+'),
+            ('emails',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')):
+        _eq = _ep.replace("'", "''")
+        _ent_cols.append(
+            f"CAST(len(regexp_extract_all(t, '{_eq}')) AS INT) "
+            f"AS n_{_en}, "
+            f"md5(coalesce(array_to_string("
+            f"regexp_extract_all(t, '{_eq}'), ''), '')) "
+            f"AS {_en}_md5")
+    oracles['extract_entities'] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 4 THEN text
+                      ELSE text || {_ent_tail} END AS t
+          FROM documents)
+        SELECT doc_id, {', '.join(_ent_cols)} FROM p
     """
     # curriculum: the row_number mirror of the distributed numbering
     oracles['curriculum_order'] = f"""

@@ -176,3 +176,74 @@ def kwic_snippets(documents: DataFrame, terms: list, window: int = 3,
             .select('term', 'doc_id', F.col('pos').cast('long').alias('pos'),
                     F.array_join(F.slice(w, start, length), ' ')
                      .alias('snippet')))
+
+
+def _log2_weight_micro(k: int) -> list:
+    """floor(10^6 / log2(i+1)) for i = 1..k — the NDCG position
+    discounts as integers, generated once per process and embedded as
+    a literal on BOTH engines (the ln-table idiom), so the gate
+    compares two copies of the same integers."""
+    import math
+    return [int(math.floor(1_000_000 / math.log2(i + 1)))
+            for i in range(1, k + 1)]
+
+
+def ranking_eval(runs: DataFrame, qrels: DataFrame,
+                 k: int = 10) -> DataFrame:
+    """MRR and NDCG@k — the ranking-quality members of the eval
+    family (the search stack's scorers: bm25/phrase/inverted-index
+    produce rankings; this grades them against graded relevance):
+
+    * ``first_rel_rank``: the rank of the first relevant hit (0 if
+      none in the run); ``mrr_milli = 1000 div first_rel_rank`` — the
+      reciprocal rank as exact integer floor (corpus MRR composes
+      from the per-query sums driver-side);
+    * ``dcg_micro = sum (2^rel - 1) * w[rank]`` over the top-k with
+      ``w[i] = floor(10^6 / log2(i+1))`` embedded as a literal table
+      (no libm at eval time); ``idcg_micro`` ranks the query's qrels
+      by (rel desc, doc_id asc) — a stated deterministic ideal;
+      ``ndcg_milli = 1000 * dcg_micro div idcg_micro`` (0 when the
+      query has no relevant documents).
+
+    Shapes: one run⨝qrels hash join on (query_id, doc_id), one window
+    over qrels for the ideal, two per-query aggregates. All integer."""
+    from pyspark.sql.window import Window
+
+    w_tab = _log2_weight_micro(k)
+    arr = F.array(*[F.lit(v) for v in w_tab])
+    joined = (runs.where(F.col('rank') <= k)
+              .join(qrels, ['query_id', 'doc_id'], 'left')
+              .select('query_id', 'rank',
+                      F.coalesce('rel', F.lit(0)).alias('rel')))
+    gain = F.expr('CAST(shiftleft(1, rel) AS BIGINT) - 1')
+    dcg = (joined.groupBy('query_id')
+           .agg(F.sum(gain * F.element_at(arr,
+                                          F.col('rank').cast('int')))
+                .alias('dcg_micro'),
+                F.min(F.when(F.col('rel') > 0, F.col('rank')))
+                .alias('_first')))
+    iw = Window.partitionBy('query_id').orderBy(
+        F.desc('rel'), F.asc('doc_id'))
+    ideal = (qrels.where(F.col('rel') > 0)
+             .withColumn('_irank', F.row_number().over(iw))
+             .where(F.col('_irank') <= k)
+             .groupBy('query_id')
+             .agg(F.sum(
+                 F.expr('CAST(shiftleft(1, rel) AS BIGINT) - 1')
+                 * F.element_at(arr, F.col('_irank').cast('int')))
+                 .alias('idcg_micro')))
+    out = (dcg.join(ideal, 'query_id', 'left')
+           .select(
+               'query_id',
+               F.coalesce('_first', F.lit(0)).cast('long')
+                .alias('first_rel_rank'),
+               F.expr('CASE WHEN _first IS NULL THEN 0 '
+                      'ELSE 1000 div _first END').cast('long')
+                .alias('mrr_milli'),
+               F.col('dcg_micro').cast('long').alias('dcg_micro'),
+               F.coalesce('idcg_micro', F.lit(0)).cast('long')
+                .alias('idcg_micro'),
+               F.expr('CASE WHEN coalesce(idcg_micro, 0) = 0 THEN 0 '
+                      'ELSE (1000 * dcg_micro) div idcg_micro END')
+                .cast('long').alias('ndcg_milli')))
+    return out

@@ -762,6 +762,46 @@ def readability(documents: DataFrame) -> DataFrame:
         (g_wps + g_spw - F.lit(15590)).cast('long').alias('fkg_milli'))
 
 
+def readability_ext(documents: DataFrame) -> DataFrame:
+    """ARI (Senter & Smith 1967) + Coleman-Liau (1975): the two
+    syllable-FREE readability indices — both run on pure character/
+    word/sentence counts, so unlike Flesch they are exact by
+    construction and the preferred screens for noisy web text where
+    syllable approximation is least reliable.
+
+    Definitions (stated, mirrored verbatim in SQL):
+    * chars: ``[A-Za-z0-9]`` occurrences (ARI's letters+digits);
+    * letters: ``[A-Za-z]`` occurrences (Coleman-Liau);
+    * words/sentences: the :func:`readability` conventions (min 1);
+    * ``ari_milli = 4710*C div W + 500*W div S - 21430``
+      ``cli_milli = (5880*L) div W - (29600*S) div W - 15800``
+      (published coefficients in milli units, floor division).
+
+    One native projection — no shuffle, no Python."""
+    text = F.lower(F.trim('text'))
+    words = F.filter(F.split(text, r'\s+'), lambda w: F.length(w) > 0)
+    n_words = F.greatest(F.size(words), F.lit(1)).cast('long')
+    sents = F.filter(F.split(text, r'[.!?]+'),
+                     lambda s: F.length(F.trim(s)) > 0)
+    n_sents = F.greatest(F.size(sents), F.lit(1)).cast('long')
+    n_chars = F.size(
+        F.regexp_extract_all(text, F.lit('[a-z0-9]'), 0)).cast('long')
+    n_letters = F.size(
+        F.regexp_extract_all(text, F.lit('[a-z]'), 0)).cast('long')
+    base = documents.select(
+        'doc_id', n_chars.alias('n_chars'),
+        n_letters.alias('n_letters'), n_words.alias('n_words'),
+        n_sents.alias('n_sentences'))
+    return base.select(
+        'doc_id', 'n_chars', 'n_letters', 'n_words', 'n_sentences',
+        F.expr('(4710 * n_chars) div n_words '
+               '+ (500 * n_words) div n_sentences - 21430')
+         .cast('long').alias('ari_milli'),
+        F.expr('(5880 * n_letters) div n_words '
+               '- (29600 * n_sentences) div n_words - 15800')
+         .cast('long').alias('cli_milli'))
+
+
 def char_entropy(documents: DataFrame,
                  low_milli: int = 1500,
                  high_milli: int = 4000) -> DataFrame:
@@ -1298,3 +1338,33 @@ def span_lang_id(docs_with_spans: DataFrame,
                        F.when(permille >= min_ratio_permille,
                               F.lit('en')).otherwise(F.lit('other')))
                  .alias('lang_pred')))
+
+
+# entity regexes shared verbatim with the SQL oracle: ASCII classes,
+# no lookaround, so Java regex and RE2 agree token-for-token
+ENTITY_PATTERNS = (
+    ('dates', r'[0-9]{4}-[0-9]{2}-[0-9]{2}'),
+    ('times', r'\b[0-9]{1,2}:[0-9]{2}\b'),
+    ('money', r'[$][0-9]+(\.[0-9]+)?'),
+    ('percents', r'[0-9]+(\.[0-9]+)?%'),
+    ('urls', r'https?://[^\s<>"]+'),
+    ('emails', r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+)
+
+
+def extract_entities(documents: DataFrame) -> DataFrame:
+    """Typed surface-entity extraction (the regex-NER tier a corpus
+    pipeline runs for metadata enrichment and PII-adjacent audits):
+    ISO dates, clock times, dollar amounts, percentages, URLs and
+    emails per document — counts plus an md5 over the concatenated
+    in-order occurrence list per type, so the gate pins the exact
+    match sequence, not just tallies. Pure native regexp_extract_all,
+    zero UDFs, zero exchanges; patterns are lookaround-free ASCII so
+    Java regex and RE2 extract identically."""
+    cols = [F.col('doc_id')]
+    for name, pat in ENTITY_PATTERNS:
+        hits = F.regexp_extract_all('text', F.lit(pat), 0)
+        cols.append(F.size(hits).alias(f'n_{name}'))
+        cols.append(F.md5(F.array_join(hits, ''))
+                    .alias(f'{name}_md5'))
+    return documents.select(*cols)

@@ -1,0 +1,85 @@
+"""ranking_eval (MRR/NDCG), adamic_adar, extract_entities,
+readability_ext: hand-computed values and published-example checks."""
+
+import math
+
+from mineru_html_spark.functions.graph import adamic_adar
+from mineru_html_spark.functions.retrieval import (_log2_weight_micro,
+                                                   ranking_eval)
+from mineru_html_spark.functions.text import (extract_entities,
+                                              readability_ext)
+
+
+def test_ranking_eval_hand_values(spark):
+    # q1: relevant doc (rel=2) at rank 3, another (rel=1) at rank 1
+    runs = spark.createDataFrame(
+        [(1, 'a', 1), (1, 'b', 2), (1, 'c', 3),
+         (2, 'x', 1), (2, 'y', 2)],
+        'query_id long, doc_id string, rank long')
+    qrels = spark.createDataFrame(
+        [(1, 'a', 1), (1, 'c', 2), (2, 'x', 0)],
+        'query_id long, doc_id string, rel int')
+    got = {r['query_id']: r for r in ranking_eval(runs, qrels,
+                                                  k=10).collect()}
+    w = _log2_weight_micro(10)
+    # q1: dcg = (2^1-1)*w1 + (2^2-1)*w3 ; ideal = rel2@1, rel1@2
+    assert got[1]['first_rel_rank'] == 1
+    assert got[1]['mrr_milli'] == 1000
+    assert got[1]['dcg_micro'] == 1 * w[0] + 3 * w[2]
+    assert got[1]['idcg_micro'] == 3 * w[0] + 1 * w[1]
+    assert got[1]['ndcg_milli'] == \
+        1000 * got[1]['dcg_micro'] // got[1]['idcg_micro']
+    # q2: no relevant docs at all
+    assert got[2]['first_rel_rank'] == 0
+    assert got[2]['mrr_milli'] == 0 and got[2]['ndcg_milli'] == 0
+
+
+def test_ndcg_weights_match_log2():
+    for i, w in enumerate(_log2_weight_micro(10), start=1):
+        assert w == int(math.floor(1_000_000 / math.log2(i + 1)))
+
+
+def test_adamic_adar_triangle(spark):
+    # path a-z-b plus z-c: pair (a,b) shares z (deg 3); (a,c),(b,c) too
+    edges = spark.createDataFrame(
+        [('a', 'z'), ('z', 'b'), ('z', 'c')],
+        'src string, dst string')
+    got = {(r['pa'], r['pb']): r for r in adamic_adar(edges).collect()}
+    ln3 = int(math.floor(1000 * math.log(3)))
+    for pair in [('a', 'b'), ('a', 'c'), ('b', 'c')]:
+        assert got[pair]['n_common'] == 1
+        assert got[pair]['aa_micro'] == 1000000000 // ln3
+    # two common neighbors double the score
+    edges2 = spark.createDataFrame(
+        [('a', 'z'), ('z', 'b'), ('a', 'y'), ('y', 'b')],
+        'src string, dst string')
+    got2 = {(r['pa'], r['pb']): r
+            for r in adamic_adar(edges2).collect()}
+    ln2 = int(math.floor(1000 * math.log(2)))
+    assert got2[('a', 'b')]['n_common'] == 2
+    assert got2[('a', 'b')]['aa_micro'] == 2 * (1000000000 // ln2)
+
+
+def test_extract_entities_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, 'pay $5 then $6.50; see https://a.ex and 2020-01-02 '
+             'mail a@b.co at 9:15')],
+        'doc_id long, text string')
+    r = extract_entities(docs).collect()[0]
+    assert r['n_money'] == 2 and r['n_dates'] == 1
+    assert r['n_urls'] == 1 and r['n_emails'] == 1
+    assert r['n_times'] == 1 and r['n_percents'] == 0
+    import hashlib
+    assert r['money_md5'] == hashlib.md5(b'$5$6.50').hexdigest()
+
+
+def test_readability_ext_hand_value(spark):
+    text = 'The cat sat. The dog ran fast!'
+    docs = spark.createDataFrame([(1, text)],
+                                 'doc_id long, text string')
+    r = readability_ext(docs).collect()[0]
+    assert r['n_words'] == 7 and r['n_sentences'] == 2
+    chars = sum(c.isalnum() for c in text)
+    assert r['n_chars'] == chars
+    assert r['ari_milli'] == (4710 * chars) // 7 + (500 * 7) // 2 \
+        - 21430
