@@ -5701,6 +5701,52 @@ def q_span_lang_id(spark, sf_dir):
     return span_lang_id(docs.select('doc_id', spans.alias('spans')))
 
 
+def q_parquet_stats(spark, sf_dir):
+    """Row-group statistics audit — the data-skipping observability
+    op: a deterministic 4-file parquet layout (one task per part_id,
+    sorted rows, row_group_size=50, publish-by-rename) is read back
+    through FOOTERS ONLY (pyarrow metadata, zero data pages), and
+    every (file, row group, column) min/max/null-count row is
+    certified by an exact SQL oracle that recomputes the stats from
+    the row_number()-derived group boundaries — so a writer that
+    stopped emitting stats, or a layout that lost its clustering,
+    fails the gate."""
+    import tempfile
+
+    from mineru_html_spark.functions.layout import parquet_rowgroup_stats
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f'mineru_pqstats_gate_{os.path.basename(sf_dir.rstrip("/"))}')
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.startswith('part-'):
+            os.remove(os.path.join(out_dir, old))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', (F.col('doc_id') % 4).cast('int').alias('part_id'),
+        F.length('text').cast('long').alias('n_chars'))
+
+    def write_group(pdf):
+        import pandas as _pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        part = int(pdf['part_id'].iloc[0])
+        t = pa.Table.from_pandas(
+            pdf.sort_values('doc_id')[['doc_id', 'n_chars']],
+            preserve_index=False)
+        tmp = os.path.join(out_dir, f'.tmp-{part:03d}')
+        pq.write_table(t, tmp, row_group_size=50)
+        os.replace(tmp, os.path.join(out_dir,
+                                     f'part-{part:03d}.parquet'))
+        return _pd.DataFrame({'part_id': [part]})
+
+    docs.groupBy('part_id').applyInPandas(
+        write_group, 'part_id int').collect()
+    stats = parquet_rowgroup_stats(spark,
+                                   os.path.join(out_dir, 'part-*.parquet'))
+    return stats.select('file', 'row_group', 'n_rows', 'col',
+                        'min_val', 'max_val', 'null_count')
+
+
 def q_ranking_eval(spark, sf_dir):
     """MRR + NDCG@10 over a deterministic synthetic eval run: docs
     group into queries (doc_id % 29), the ranking is a salted-md5
@@ -6812,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'readability_ext': q_readability_ext,
         'adamic_adar': q_adamic_adar,
         'ranking_eval': q_ranking_eval,
+        'parquet_stats': q_parquet_stats,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -10765,6 +10812,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # parquet stats: recompute footer stats from group boundaries
+    oracles['parquet_stats'] = """
+        WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS part_id,
+                          CAST(length(text) AS BIGINT) AS n_chars
+                   FROM documents),
+        r AS (SELECT doc_id, part_id, n_chars,
+                CAST((row_number() OVER (PARTITION BY part_id
+                      ORDER BY doc_id) - 1) // 50 AS INT) AS rg
+              FROM d),
+        g AS (SELECT part_id, rg, CAST(count(*) AS BIGINT) AS n_rows,
+                min(doc_id) AS min_d, max(doc_id) AS max_d,
+                min(n_chars) AS min_c, max(n_chars) AS max_c
+              FROM r GROUP BY part_id, rg)
+        SELECT 'part-' || lpad(CAST(part_id AS VARCHAR), 3, '0')
+                 || '.parquet' AS file,
+               rg AS row_group, n_rows, 'doc_id' AS col,
+               CAST(min_d AS VARCHAR) AS min_val,
+               CAST(max_d AS VARCHAR) AS max_val,
+               CAST(0 AS BIGINT) AS null_count
+        FROM g
+        UNION ALL
+        SELECT 'part-' || lpad(CAST(part_id AS VARCHAR), 3, '0')
+                 || '.parquet',
+               rg, n_rows, 'n_chars',
+               CAST(min_c AS VARCHAR), CAST(max_c AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM g
     """
     # MRR/NDCG: same construction, same embedded discount table
     from mineru_html_spark.functions.retrieval import _log2_weight_micro

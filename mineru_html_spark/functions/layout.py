@@ -261,3 +261,65 @@ def compact_parquet_dir(spark, src_dir: str, dst_dir: str,
         out_n += 1
     return {'n_input_files': len(names), 'n_output_files': out_n,
             'groups': groups}
+
+
+PARQUET_STATS_DDL = ('file string, row_group int, n_rows bigint, '
+                     'total_bytes bigint, col string, '
+                     'min_val string, max_val string, '
+                     'null_count bigint')
+
+
+def parquet_rowgroup_stats(spark, path_glob: str) -> DataFrame:
+    """Row-group statistics audit: the min/max/null-count footer
+    metadata data-skipping consults — read from parquet FOOTERS ONLY
+    (pyarrow ParquetFile metadata; no data pages are touched), one
+    task per file. This is the observability half of the layout tier:
+    zorder_layout_report predicts skippability from the data; this
+    reads back what the writer actually put in the footers, so a
+    clustering regression (interleaved writes, dropped stats) is
+    visible without scanning a byte of data.
+
+    Values stringify canonically (integers bare, floats repr,
+    bytes/str as-is) so one schema serves all column types."""
+    import pandas as pd
+
+    files = (spark.read.format('binaryFile').load(path_glob)
+             .select('path', 'content'))
+
+    def batch(it):
+        import io
+
+        import pyarrow.parquet as pq
+        for pdf in it:
+            rows = []
+            for p, c in zip(pdf['path'], pdf['content']):
+                fname = p.rsplit('/', 1)[-1]
+                md = pq.ParquetFile(io.BytesIO(bytes(c))).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        def s(v):
+                            if v is None:
+                                return None
+                            if isinstance(v, bytes):
+                                return v.decode('utf-8', 'replace')
+                            return str(v)
+                        rows.append({
+                            'file': fname, 'row_group': rg,
+                            'n_rows': g.num_rows,
+                            'total_bytes': g.total_byte_size,
+                            'col': col.path_in_schema,
+                            'min_val': s(st.min) if st else None,
+                            'max_val': s(st.max) if st else None,
+                            'null_count': (st.null_count
+                                           if st and
+                                           st.has_null_count
+                                           else -1)})
+            yield pd.DataFrame(
+                rows, columns=['file', 'row_group', 'n_rows',
+                               'total_bytes', 'col', 'min_val',
+                               'max_val', 'null_count'])
+
+    return files.mapInPandas(batch, PARQUET_STATS_DDL)

@@ -72,3 +72,25 @@ def test_curriculum_order_stages_and_determinism(spark):
     # within a stage the order is the salted shuffle, not doc_id order
     s0 = [r['doc_id'] for r in rows if r['stage'] == stages[0]]
     assert s0 != sorted(s0)
+
+
+def test_parquet_rowgroup_stats_footers_only(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mineru_html_spark.functions.layout import parquet_rowgroup_stats
+    t = pa.table({'k': list(range(100)),
+                  's': [f'v{i:03d}' for i in range(100)],
+                  'n': [None if i % 10 == 0 else i for i in range(100)]})
+    p = str(tmp_path / 'part-000.parquet')
+    pq.write_table(t, p, row_group_size=40)
+    rows = parquet_rowgroup_stats(spark, p).collect()
+    by = {(r['row_group'], r['col']): r for r in rows}
+    # 3 row groups (40/40/20) x 3 columns
+    assert len(rows) == 9
+    assert by[(0, 'k')]['min_val'] == '0'
+    assert by[(0, 'k')]['max_val'] == '39'
+    assert by[(2, 'k')]['n_rows'] == 20
+    assert by[(1, 's')]['min_val'] == 'v040'
+    assert by[(1, 's')]['max_val'] == 'v079'
+    assert by[(0, 'n')]['null_count'] == 4
+    assert all(r['total_bytes'] > 0 for r in rows)
