@@ -5701,6 +5701,52 @@ def q_span_lang_id(spark, sf_dir):
     return span_lang_id(docs.select('doc_id', spans.alias('spans')))
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_results(spark, sf_dir):
+    """(codes_df, codebooks) memoized per (session, sf): the encode
+    and probe gates share one training run (the _extraction_results
+    pattern)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CACHE.get(key)
+    if cached is None:
+        from mineru_html_spark.functions.similarity import \
+            pq_train_encode
+        emb = _table(spark, sf_dir, 'embeddings')
+        cached = pq_train_encode(emb, m=4, k=8, iters=2)
+        _PQ_CACHE[key] = cached
+    return cached
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (Jégou 2011) — the compression member of
+    the ANN family next to IVF/LSH/RP: 4 subspaces x 8 integer-kmeans
+    centroids, every vector reduced to 4 codes + exact subspace
+    quantization errors. Integer-exact end to end, so the oracle is
+    the full unrolled per-subspace Lloyd's CTE mirror (the kmeans
+    approach), not a committed golden."""
+    codes, _ = _pq_results(spark, sf_dir)
+    return codes
+
+
+def q_pq_probe(spark, sf_dir):
+    """ADC probe over the PQ codes: the probe vector (vec_id 0,
+    quantized) precomputes its distance to every subspace centroid
+    driver-side; stored vectors are scored by table lookups on their
+    codes ALONE — original vectors never re-read (the 10^12-scale
+    point of PQ). TakeOrdered top-50 on (adc_d2, vec_id); exact
+    unrolled SQL mirror."""
+    from mineru_html_spark.functions.similarity import (_quantize_micro,
+                                                        pq_probe)
+    codes, books = _pq_results(spark, sf_dir)
+    probe = (_table(spark, sf_dir, 'embeddings')
+             .where(F.col('vec_id') == 0)
+             .select(_quantize_micro('embedding').alias('v'))
+             .head()['v'])
+    return pq_probe(codes, books, list(probe), top_k=50)
+
+
 def q_parquet_stats(spark, sf_dir):
     """Row-group statistics audit — the data-skipping observability
     op: a deterministic 4-file parquet layout (one task per part_id,
@@ -6859,6 +6905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'adamic_adar': q_adamic_adar,
         'ranking_eval': q_ranking_eval,
         'parquet_stats': q_parquet_stats,
+        'pq_encode': q_pq_encode,
+        'pq_probe': q_pq_probe,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -7190,6 +7238,98 @@ def _hashed_embed_oracle_sql(dim: int = 64, salt: str = 'he1') -> str:
                    x -> CAST(x AS VARCHAR)), ',')) AS emb_md5
         FROM v
     """
+
+
+def _pq_chains_sql(m: int = 4, k: int = 8, iters: int = 2,
+                   dim: int = 64) -> tuple:
+    """Shared CTE chains for the PQ oracles: per subspace the exact
+    unrolled (assign, sum, rebuild) Lloyd's mirror of
+    similarity.pq_train_encode, over the subvector slice with the
+    per-subspace init salt. Returns (with_clause, final_cte_names)."""
+    subdim = dim // m
+    rng = f"range(1, {subdim + 1})"
+
+    def dist(vt, ct):
+        return (f"list_sum(list_transform({rng}, j -> "
+                f"({vt}.w[j]-{ct}.cv[j])*({vt}.w[j]-{ct}.cv[j])))")
+
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings)"]
+    finals = []
+    for s in range(m):
+        start = s * subdim
+        salt = f'pq{s}|'
+        parts.append(
+            f"w{s} AS (SELECT vec_id, "
+            f"list_slice(v, {start + 1}, {start + subdim}) AS w "
+            f"FROM e)")
+        parts.append(
+            f"c{s}x0 AS (SELECT (row_number() OVER (ORDER BY "
+            f"md5('{salt}' || CAST(vec_id AS VARCHAR)))) - 1 AS ci, "
+            f"w AS cv FROM (SELECT vec_id, w FROM w{s} ORDER BY "
+            f"md5('{salt}' || CAST(vec_id AS VARCHAR)) LIMIT {k}))")
+        for t in range(iters):
+            parts.append(
+                f"a{s}x{t} AS (SELECT x.vec_id, x.w, "
+                f"min([{dist('x', 'c')}, c.ci])[2] AS c "
+                f"FROM w{s} x CROSS JOIN c{s}x{t} c "
+                f"GROUP BY x.vec_id, x.w)")
+            parts.append(
+                f"s{s}x{t} AS (SELECT a.c AS ci, r.j AS j, "
+                f"CAST(SUM(a.w[r.j]) // COUNT(*) AS BIGINT) AS mm "
+                f"FROM a{s}x{t} a CROSS JOIN {rng} r(j) "
+                f"GROUP BY a.c, r.j)")
+            parts.append(
+                f"c{s}x{t + 1} AS (SELECT p.ci, "
+                f"COALESCE(n.cv, p.cv) AS cv FROM c{s}x{t} p "
+                f"LEFT JOIN (SELECT ci, list(mm ORDER BY j) AS cv "
+                f"FROM s{s}x{t} GROUP BY ci) n USING (ci))")
+        parts.append(
+            f"f{s} AS (SELECT x.vec_id, "
+            f"CAST(min([{dist('x', 'c')}, c.ci])[2] AS INT) AS code, "
+            f"CAST(min([{dist('x', 'c')}, c.ci])[1] AS BIGINT) AS d2 "
+            f"FROM w{s} x CROSS JOIN c{s}x{iters} c "
+            f"GROUP BY x.vec_id)")
+        finals.append(f"f{s}")
+    return parts[0] + ", " + ", ".join(parts[1:]), finals
+
+
+def _pq_encode_oracle_sql(m: int = 4, k: int = 8, iters: int = 2,
+                          dim: int = 64) -> str:
+    with_clause, finals = _pq_chains_sql(m, k, iters, dim)
+    cols = ", ".join(
+        f"{f}.code AS code_{s}, {f}.d2 AS d2_{s}"
+        for s, f in enumerate(finals))
+    joins = " ".join(f"JOIN {f} ON e.vec_id = {f}.vec_id"
+                     for f in finals)
+    return (f"{with_clause} SELECT e.vec_id, {cols} "
+            f"FROM e {joins}")
+
+
+def _pq_probe_oracle_sql(m: int = 4, k: int = 8, iters: int = 2,
+                         dim: int = 64, top_k: int = 50) -> str:
+    """ADC probe mirror: the probe row is vec_id 0's subvector; each
+    vector's distance is the probe's distance to its ASSIGNED
+    centroid, summed across subspaces."""
+    subdim = dim // m
+    rng = f"range(1, {subdim + 1})"
+    with_clause, finals = _pq_chains_sql(m, k, iters, dim)
+    terms = []
+    joins = []
+    for s, f in enumerate(finals):
+        joins.append(f"JOIN {f} ON e.vec_id = {f}.vec_id")
+        joins.append(f"JOIN c{s}x{iters} z{s} ON {f}.code = z{s}.ci")
+        terms.append(
+            f"list_sum(list_transform({rng}, j -> "
+            f"(p{s}.w[j]-z{s}.cv[j])*(p{s}.w[j]-z{s}.cv[j])))")
+        joins.append(
+            f"CROSS JOIN (SELECT w FROM w{s} WHERE vec_id = 0) p{s}")
+    return (f"{with_clause} SELECT e.vec_id, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS adc_d2 "
+            f"FROM e {' '.join(joins)} "
+            f"ORDER BY adc_d2, e.vec_id LIMIT {top_k}")
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
@@ -10428,6 +10568,10 @@ def oracle_sql() -> dict[str, str]:
         """,
     })
     oracles['kmeans_topics'] = _kmeans_oracle_sql(k=8, iters=4, dim=64)
+    oracles['pq_encode'] = _pq_encode_oracle_sql(m=4, k=8, iters=2,
+                                                 dim=64)
+    oracles['pq_probe'] = _pq_probe_oracle_sql(m=4, k=8, iters=2,
+                                               dim=64, top_k=50)
     oracles['hashed_embed'] = _hashed_embed_oracle_sql(dim=64, salt='he1')
     oracles['corpus_quantiles'] = """
         SELECT source,

@@ -870,3 +870,128 @@ def bitext_margin_mine(embeddings: DataFrame, k: int = 4,
             .where((F.col('rk') == 1)
                    & (F.col('margin_milli') >= margin_milli_min))
             .select('src_id', 'tgt_id', 'cos_micro', 'margin_milli'))
+
+
+def _lloyd_centroids_for_slice(q, start: int, subdim: int, k: int,
+                               iters: int, salt: str) -> list:
+    """Integer Lloyd's over ONE subvector slice of the cached
+    quantized frame ``q`` (vec_id, v): the kmeans_labels loop
+    parameterized for product quantization — deterministic md5 init
+    with a per-subspace salt, exact integer assignment, truncating-
+    division centroid rebuild (SQL // semantics). Returns the final
+    k x subdim centroid list; the corpus never shuffles."""
+    sub = F.slice('v', start + 1, subdim)
+    qs = q.select('vec_id', sub.alias('w'))
+    init = (qs.select('w', F.md5(F.concat(
+                F.lit(salt), F.col('vec_id').cast('string')))
+                .alias('h'))
+            .orderBy('h').limit(k).collect())
+    cents = [list(r['w']) for r in init]
+    kk = len(cents)
+
+    def dist_to(c):
+        zipped = F.zip_with(
+            F.col('w'),
+            F.array(*[F.lit(x).cast('long') for x in c]),
+            lambda x, y: (x - y) * (x - y))
+        return F.aggregate(zipped, F.lit(0).cast('long'),
+                           lambda acc, d: acc + d)
+
+    def assign_col():
+        return F.array_min(F.array(*[
+            F.struct(dist_to(c).alias('d'),
+                     F.lit(i).cast('int').alias('i'))
+            for i, c in enumerate(cents)]))
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    for _ in range(iters):
+        sums = (qs.select(assign_col()['i'].alias('c'), 'w')
+                .groupBy('c')
+                .agg(F.count('*').alias('n'),
+                     *[F.sum(F.element_at('w', j + 1)).alias(f's{j}')
+                       for j in range(subdim)])
+                .collect())
+        by_c = {r['c']: r for r in sums}
+        cents = [
+            [tdiv(int(by_c[i][f's{j}']), int(by_c[i]['n']))
+             for j in range(subdim)] if i in by_c else cents[i]
+            for i in range(kk)]
+    return cents
+
+
+def pq_train_encode(embeddings: DataFrame, m: int = 4, k: int = 8,
+                    iters: int = 2, vec_col: str = 'embedding'):
+    """Product quantization (Jégou et al. 2011): the vector splits
+    into ``m`` subspaces, each trained with its OWN integer k-means
+    codebook (salt ``pq{s}|``), and every vector compresses to m
+    small codes — 64 dims x 4 bytes becomes m bytes, the standard
+    billion-scale ANN compression. INTEGER-EXACT end to end (the
+    kmeans_labels arithmetic per subspace), so codes are partitioning-
+    independent and the oracle is an exact unrolled-CTE mirror — per
+    subspace the same (assign, sum, rebuild) chain, then one final
+    assignment.
+
+    Returns ``(codes_df, codebooks)``: codes_df has flat columns
+    code_s (the assigned centroid index) and d2_s (the subspace
+    quantization error) per subspace — the encode pass is ONE scan
+    with all m argmins fused; codebooks is the driver-side
+    m x k x subdim integer list (bytes, rides any later probe's plan
+    as literals)."""
+    q = embeddings.select('vec_id',
+                          _quantize_micro(vec_col).alias('v'))
+    q = q.persist()
+    dim = int(q.select(F.size('v')).head()[0])
+    if dim % m:
+        raise ValueError(f'dim {dim} not divisible by m={m}')
+    subdim = dim // m
+    codebooks = [
+        _lloyd_centroids_for_slice(q, s * subdim, subdim, k, iters,
+                                   salt=f'pq{s}|')
+        for s in range(m)]
+
+    cols = [F.col('vec_id')]
+    for s, cents in enumerate(codebooks):
+        sub = F.slice('v', s * subdim + 1, subdim)
+
+        def dist_to(c, sub=sub):
+            zipped = F.zip_with(
+                sub, F.array(*[F.lit(x).cast('long') for x in c]),
+                lambda x, y: (x - y) * (x - y))
+            return F.aggregate(zipped, F.lit(0).cast('long'),
+                               lambda acc, d: acc + d)
+
+        am = F.array_min(F.array(*[
+            F.struct(dist_to(c).alias('d'),
+                     F.lit(i).cast('int').alias('i'))
+            for i, c in enumerate(cents)]))
+        cols.append(am['i'].alias(f'code_{s}'))
+        cols.append(am['d'].alias(f'd2_{s}'))
+    return q.select(*cols), codebooks
+
+
+def pq_probe(codes_df: DataFrame, codebooks: list, probe_vec: list,
+             top_k: int = 50) -> DataFrame:
+    """Asymmetric-distance (ADC) probe over PQ codes: the probe's
+    distance to every subspace centroid precomputes driver-side into
+    m tiny tables that ride the plan as literals; each stored
+    vector's approximate distance is then m table lookups + a sum —
+    no original vectors are read (the whole point of PQ at 10^12
+    scale). TakeOrdered top-k on (adc_d2, vec_id); exact integers
+    throughout so the oracle mirrors with the same literal tables."""
+    m = len(codebooks)
+    adc = []
+    for s, cents in enumerate(codebooks):
+        subdim = len(cents[0])
+        psub = probe_vec[s * subdim:(s + 1) * subdim]
+        adc.append([sum((int(a) - int(b)) * (int(a) - int(b))
+                        for a, b in zip(psub, c)) for c in cents])
+    total = None
+    for s in range(m):
+        arr = F.array(*[F.lit(v).cast('long') for v in adc[s]])
+        term = F.element_at(arr, F.col(f'code_{s}') + 1)
+        total = term if total is None else total + term
+    scored = codes_df.select('vec_id', total.alias('adc_d2'))
+    return (scored.orderBy(F.asc('adc_d2'), F.asc('vec_id'))
+            .limit(top_k))

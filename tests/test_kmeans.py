@@ -103,3 +103,51 @@ def test_kmeans_oracle_sql_mirrors(spark):
     assert (got['cluster_id'].to_numpy()
             == ref['cluster_id'].to_numpy()).all()
     assert (got['d2'].to_numpy() == ref['d2'].to_numpy()).all()
+
+
+def test_pq_encode_invariance_and_probe(spark):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.similarity import (
+        _quantize_micro, pq_probe, pq_train_encode)
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows,
+                                'vec_id long, embedding array<float>')
+    codes, books = pq_train_encode(emb, m=4, k=4, iters=2)
+    got = {r['vec_id']: r for r in codes.collect()}
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)   # subdim 4
+    for r in got.values():
+        for s in range(4):
+            assert 0 <= r[f'code_{s}'] < 4
+            assert r[f'd2_{s}'] >= 0
+    # partitioning cannot change a single code (integer arithmetic)
+    codes2, books2 = pq_train_encode(emb.repartition(7), m=4, k=4,
+                                     iters=2)
+    assert books2 == books
+    got2 = {r['vec_id']: r for r in codes2.collect()}
+    assert {k: tuple(v[f'code_{s}'] for s in range(4))
+            for k, v in got.items()} == \
+        {k: tuple(v[f'code_{s}'] for s in range(4))
+         for k, v in got2.items()}
+    # ADC probe: distances equal the manual table lookups
+    probe = list(emb.where(F.col('vec_id') == 3)
+                 .select(_quantize_micro('embedding').alias('v'))
+                 .head()['v'])
+    top = pq_probe(codes, books, probe, top_k=80).collect()
+    def manual(vid):
+        r = got[vid]
+        tot = 0
+        for s, cents in enumerate(books):
+            psub = probe[s * 4:(s + 1) * 4]
+            c = cents[r[f'code_{s}']]
+            tot += sum((int(a) - int(b)) ** 2
+                       for a, b in zip(psub, c))
+        return tot
+    for row in top[:10]:
+        assert row['adc_d2'] == manual(row['vec_id'])
+    # ordering is (adc_d2, vec_id)
+    ds = [(r['adc_d2'], r['vec_id']) for r in top]
+    assert ds == sorted(ds)
