@@ -6890,23 +6890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-certified through r4 (rotated to the front) ---
         'pdf_image_spans': q_pdf_image_spans,
-        'tfrecord_roundtrip': q_tfrecord_roundtrip,
-        'webdataset_roundtrip': q_webdataset_roundtrip,
         'sqlite_extract': q_sqlite_extract,
-        'cer_eval': q_cer_eval,
-        'pass_at_k': q_pass_at_k,
         'microdata_extract': q_microdata_extract,
         'bbpe_train': q_bbpe_train,
         'bbpe_apply': q_bbpe_apply,
-        'span_lang_id': q_span_lang_id,
-        'curriculum_order': q_curriculum_order,
-        'extract_entities': q_extract_entities,
-        'readability_ext': q_readability_ext,
-        'adamic_adar': q_adamic_adar,
-        'ranking_eval': q_ranking_eval,
-        'parquet_stats': q_parquet_stats,
-        'pq_encode': q_pq_encode,
-        'pq_probe': q_pq_probe,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -6919,20 +6906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_traps': q_crawl_traps,
         'meta_robots': q_meta_robots,
         'ac_blocklist': q_ac_blocklist,
-        'nfc_normalize': q_nfc_normalize,
         't5_spans': q_t5_spans,
         'recrawl_schedule': q_recrawl,
         'semantic_decontaminate': q_semantic_decon,
-        'crawl_delay': q_crawl_delay,
-        'squad_eval': q_squad_eval,
         'citation_graph': q_citation_graph,
         'paragraph_filter': q_paragraph_filter,
         'exact_substr_spans': q_exact_substr_spans,
         'mojibake_repair': q_mojibake_repair,
         'interleaved_seqs': q_interleaved_seqs,
         'extract_markdown': q_extract_markdown,
-        'tpch_q6': q_tpch_q6,
-        'tpch_q10': q_tpch_q10,
         'dsv2_sink_roundtrip': q_dsv2_sink_roundtrip,
         'image_near_dups': q_image_near_dups,
         'image_dedup_keep': q_image_dedup_keep,
@@ -6957,6 +6939,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ipynb_extract': q_ipynb_extract,
         'latex_extract': q_latex_extract,
         'table_extract': q_table_extract,
+        'tfrecord_roundtrip': q_tfrecord_roundtrip,
+        'webdataset_roundtrip': q_webdataset_roundtrip,
+        'cer_eval': q_cer_eval,
+        'pass_at_k': q_pass_at_k,
+        'span_lang_id': q_span_lang_id,
+        'curriculum_order': q_curriculum_order,
+        'extract_entities': q_extract_entities,
+        'readability_ext': q_readability_ext,
+        'adamic_adar': q_adamic_adar,
+        'ranking_eval': q_ranking_eval,
+        'parquet_stats': q_parquet_stats,
+        'pq_encode': q_pq_encode,
+        'pq_probe': q_pq_probe,
+        'tpch_q6': q_tpch_q6,
+        'tpch_q10': q_tpch_q10,
+        'nfc_normalize': q_nfc_normalize,
+        'crawl_delay': q_crawl_delay,
+        'squad_eval': q_squad_eval,
         'html_meta': q_html_meta,
         'code_quality': q_code_quality,
         'mix_plan': q_mix_plan,
