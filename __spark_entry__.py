@@ -5747,6 +5747,15 @@ def q_pq_probe(spark, sf_dir):
     return pq_probe(codes, books, list(probe), top_k=50)
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt linear-trend forecast over the daily event series: one
+    map-side-combined daily aggregate reduces the corpus to a bounded
+    series; the alpha=beta=1/4 recurrence runs in exact truncating
+    integer milli units, mirrored by a recursive-CTE SQL oracle."""
+    from mineru_html_spark.functions.sessions import holt_forecast
+    return holt_forecast(_table(spark, sf_dir, 'events'))
+
+
 def q_parquet_stats(spark, sf_dir):
     """Row-group statistics audit — the data-skipping observability
     op: a deterministic 4-file parquet layout (one task per part_id,
@@ -6952,6 +6961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'parquet_stats': q_parquet_stats,
         'pq_encode': q_pq_encode,
         'pq_probe': q_pq_probe,
+        'holt_forecast': q_holt_forecast,
         'tpch_q6': q_tpch_q6,
         'tpch_q10': q_tpch_q10,
         'nfc_normalize': q_nfc_normalize,
@@ -10956,6 +10966,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # Holt: the recurrence as a recursive CTE, truncating division
+    oracles['holt_forecast'] = """
+        WITH RECURSIVE d AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        o AS (SELECT day, y,
+                     row_number() OVER (ORDER BY day) AS i
+              FROM d),
+        n AS (SELECT count(*) AS cnt FROM o),
+        r AS (
+          SELECT o.i, o.day, o.y, 1000 * o.y AS l,
+                 CASE WHEN n.cnt > 1
+                      THEN (SELECT 1000 * y FROM o WHERE i = 2)
+                           - 1000 * o.y
+                      ELSE 0 END AS b
+          FROM o, n WHERE o.i = 1
+          UNION ALL
+          SELECT o.i, o.day, o.y,
+                 (1000 * o.y + 3 * (r.l + r.b)) // 4,
+                 (((1000 * o.y + 3 * (r.l + r.b)) // 4)
+                  - r.l + 3 * r.b) // 4
+          FROM r JOIN o ON o.i = r.i + 1)
+        SELECT day, y, l AS level_milli, b AS trend_milli,
+               l + b AS forecast_next_milli
+        FROM r
     """
     # parquet stats: recompute footer stats from group boundaries
     oracles['parquet_stats'] = """

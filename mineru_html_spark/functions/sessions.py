@@ -246,3 +246,49 @@ def resample_events(events: DataFrame, step_s: int = 14400) -> DataFrame:
         F.col('pv').alias('locf_centi'),
         interp.alias('interp_milli'),
         F.col('n_obs').isNull().alias('is_gap'))
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt's linear-trend smoothing (double exponential smoothing,
+    Holt 1957) over the daily event series — the forecasting member
+    of the analytics family next to daily_anomalies' rolling z-score:
+    alpha = beta = 1/4 carried as EXACT integer milli recurrences,
+
+        l_t = (1000*y_t + 3*(l_{t-1} + b_{t-1})) div 4
+        b_t = (l_t - l_{t-1} + 3*b_{t-1})        div 4
+
+    with div TRUNCATING toward zero (SQL semantics — trend goes
+    negative on declines, and Python's floor // would diverge from
+    DuckDB's // there). Init: l_1 = 1000*y_1, b_1 = 1000*(y_2 - y_1).
+
+    Scale shape: ONE corpus aggregate (daily counts — map-side
+    combined) reduces 10^12 events to a days-long series; the
+    recurrence is inherently sequential, so it runs driver-side over
+    that bounded series (the BPE-merge-loop stance) and returns as a
+    small DataFrame. Oracle: recursive CTE over the same counts."""
+    daily = (events
+             .groupBy(F.date_format(F.date_trunc('day', 'ts'),
+                                    'yyyy-MM-dd').alias('day'))
+             .agg(F.count('*').alias('y'))
+             .orderBy('day').collect())
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    rows = []
+    l = b = 0
+    for i, r in enumerate(daily):
+        ym = 1000 * int(r['y'])
+        if i == 0:
+            l = ym
+            b = (1000 * int(daily[1]['y']) - ym) if len(daily) > 1 \
+                else 0
+        else:
+            l_new = tdiv(ym + 3 * (l + b), 4)
+            b = tdiv(l_new - l + 3 * b, 4)
+            l = l_new
+        rows.append((r['day'], int(r['y']), l, b, l + b))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, 'day string, y bigint, level_milli bigint, '
+              'trend_milli bigint, forecast_next_milli bigint')

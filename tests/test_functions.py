@@ -2918,3 +2918,49 @@ def test_span_lang_id_routes_per_span(spark):
     assert rows[1]['stopword_permille'] == -1    # stated sentinel
     assert rows[2]['lang_pred'] == 'other'       # zero stopwords
     assert rows[3]['stopword_permille'] == 0     # empty text span
+
+
+def test_holt_forecast_hand_recurrence(spark):
+    from mineru_html_spark.functions.sessions import holt_forecast
+    rows = [(i, f'2024-02-{d:02d} 10:00:00', 1, 'click', 1.0, '{}')
+            for i, d in enumerate(
+                [1] * 4 + [2] * 8 + [3] * 6 + [4] * 2)]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, ts string, user_id long, '
+              'event_type string, value double, props string'
+    ).withColumn('ts', __import__('pyspark.sql.functions',
+                                  fromlist=['F']).to_timestamp('ts'))
+    out = {r['day']: r for r in holt_forecast(ev).collect()}
+    # hand recurrence: y = [4, 8, 6, 2]
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+    l, b = 4000, 4000
+    assert out['2024-02-01']['level_milli'] == 4000
+    assert out['2024-02-01']['trend_milli'] == 4000
+    for day, y in [('2024-02-02', 8), ('2024-02-03', 6),
+                   ('2024-02-04', 2)]:
+        l_new = tdiv(1000 * y + 3 * (l + b), 4)
+        b = tdiv(l_new - l + 3 * b, 4)
+        l = l_new
+        assert out[day]['level_milli'] == l
+        assert out[day]['trend_milli'] == b
+        assert out[day]['forecast_next_milli'] == l + b
+    # a sustained decline drives the trend negative and exercises the
+    # toward-zero truncation branch (Python floor // would differ)
+    rows2 = [(i, f'2024-03-{d:02d} 10:00:00', 1, 'click', 1.0, '{}')
+             for i, d in enumerate(
+                 [1] * 20 + [2] * 2 + [3] * 1 + [4] * 1 + [5] * 1)]
+    ev2 = spark.createDataFrame(
+        rows2, 'event_id long, ts string, user_id long, '
+               'event_type string, value double, props string'
+    ).withColumn('ts', __import__('pyspark.sql.functions',
+                                  fromlist=['F']).to_timestamp('ts'))
+    out2 = {r['day']: r for r in holt_forecast(ev2).collect()}
+    assert out2['2024-03-05']['trend_milli'] < 0
+    l2, b2 = 20000, -18000
+    for day, y in [('2024-03-02', 2), ('2024-03-03', 1),
+                   ('2024-03-04', 1), ('2024-03-05', 1)]:
+        l_new = tdiv(1000 * y + 3 * (l2 + b2), 4)
+        b2 = tdiv(l_new - l2 + 3 * b2, 4)
+        l2 = l_new
+        assert out2[day]['trend_milli'] == b2
