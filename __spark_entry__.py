@@ -5747,6 +5747,25 @@ def q_pq_probe(spark, sf_dir):
     return pq_probe(codes, books, list(probe), top_k=50)
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect resolution by pointer doubling over a deterministic
+    chain graph (every non-multiple-of-8 doc redirects to doc-1, so
+    terminal and hop count are pure functions of doc_id) plus a
+    planted 3-cycle that must emit resolved=false — construction-
+    truth oracle. Six doubling rounds cover 64-hop chains; the
+    synthetic max is 7."""
+    from mineru_html_spark.functions.urls import resolve_redirects
+    d = F.col('doc_id')
+    chain = (_docs(spark, sf_dir).select('doc_id')
+             .where(d % 8 != 0)
+             .select(F.concat(F.lit('u'), d).alias('src'),
+                     F.concat(F.lit('u'), d - 1).alias('dst')))
+    cyc = spark.createDataFrame(
+        [('cyc1', 'cyc2'), ('cyc2', 'cyc3'), ('cyc3', 'cyc1')],
+        'src string, dst string')
+    return resolve_redirects(chain.unionByName(cyc))
+
+
 def q_holt_forecast(spark, sf_dir):
     """Holt linear-trend forecast over the daily event series: one
     map-side-combined daily aggregate reduces the corpus to a bounded
@@ -6962,6 +6981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_encode': q_pq_encode,
         'pq_probe': q_pq_probe,
         'holt_forecast': q_holt_forecast,
+        'resolve_redirects': q_resolve_redirects,
         'tpch_q6': q_tpch_q6,
         'tpch_q10': q_tpch_q10,
         'nfc_normalize': q_nfc_normalize,
@@ -10966,6 +10986,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # redirect resolution: construction truth (terminal/hops are pure
+    # functions of doc_id; the planted cycle is flagged, not resolved)
+    oracles['resolve_redirects'] = """
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+               'u' || CAST(doc_id - doc_id % 8 AS VARCHAR)
+                 AS terminal,
+               CAST(doc_id % 8 AS BIGINT) AS hops,
+               TRUE AS resolved
+        FROM documents WHERE doc_id % 8 != 0
+        UNION ALL
+        SELECT u, NULL, CAST(-1 AS BIGINT), FALSE
+        FROM (VALUES ('cyc1'), ('cyc2'), ('cyc3')) c(u)
     """
     # Holt: the recurrence as a recursive CTE, truncating division
     oracles['holt_forecast'] = """

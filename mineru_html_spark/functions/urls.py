@@ -320,3 +320,44 @@ def trap_screen(urls: DataFrame, url_col: str = 'url') -> DataFrame:
         'is_trap', F.col('deep_path') | F.col('cycle') |
         F.col('calendar') | F.col('session_id') |
         F.col('param_blowup') | F.col('overlong'))
+
+
+def resolve_redirects(edges: DataFrame, max_rounds: int = 6
+                      ) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: each round
+    composes the mapping with itself (f <- f.f), so a chain of length
+    L resolves in ceil(log2 L) rounds — the only shape that works
+    when 10^12 redirect edges contain million-hop pathologies (naive
+    one-hop iteration would need L rounds). Hop counts compose
+    additively along the same join.
+
+    Input: (src, dst) one edge per redirecting URL. Output per
+    source: (url, terminal, hops, resolved) where terminal is the
+    first non-redirecting URL on the chain; a pointer still sitting
+    on a redirecting node after max_rounds (a cycle, or a chain
+    beyond 2^max_rounds) emits resolved=false with NULL terminal and
+    hops = -1 (an int sentinel, not NULL — a nullable int degrades to
+    float64 through pandas on the compare path) — flagged, never a
+    wrong answer. localCheckpoint
+    per round cuts the doubling plan's growth (the near-dup
+    clustering lesson)."""
+    m = edges.select(F.col('src').alias('u'), F.col('dst').alias('p'),
+                     F.lit(1).cast('long').alias('h'))
+    for _ in range(max_rounds):
+        nxt = m.select(F.col('u').alias('bu'), F.col('p').alias('bp'),
+                       F.col('h').alias('bh'))
+        m = (m.join(nxt, m.p == nxt.bu, 'left')
+             .select(F.col('u'),
+                     F.coalesce('bp', 'p').alias('p'),
+                     (F.col('h') + F.coalesce('bh', F.lit(0)))
+                     .alias('h'))
+             .localCheckpoint(eager=False))
+    srcs = edges.select(F.col('src').alias('p')).distinct() \
+                .withColumn('_is_src', F.lit(True))
+    return (m.join(srcs, 'p', 'left')
+            .select(F.col('u').alias('url'),
+                    F.when(F.col('_is_src').isNull(), F.col('p'))
+                     .alias('terminal'),
+                    F.when(F.col('_is_src').isNull(), F.col('h'))
+                     .otherwise(F.lit(-1)).cast('long').alias('hops'),
+                    F.col('_is_src').isNull().alias('resolved')))

@@ -2964,3 +2964,27 @@ def test_holt_forecast_hand_recurrence(spark):
         b2 = tdiv(l_new - l2 + 3 * b2, 4)
         l2 = l_new
         assert out2[day]['trend_milli'] == b2
+
+
+def test_resolve_redirects_doubling_and_cycle(spark):
+    from mineru_html_spark.functions.urls import resolve_redirects
+    # one 40-hop chain (needs 6 doubling rounds: 2^6=64 >= 40),
+    # a self-contained 2-cycle, and a short chain
+    edges = [(f'c{i}', f'c{i+1}') for i in range(40)]
+    edges += [('loopA', 'loopB'), ('loopB', 'loopA')]
+    edges += [('s0', 's1'), ('s1', 'end')]
+    df = spark.createDataFrame(edges, 'src string, dst string')
+    got = {r['url']: r for r in resolve_redirects(df,
+                                                  max_rounds=6).collect()}
+    assert got['c0']['terminal'] == 'c40'
+    assert got['c0']['hops'] == 40 and got['c0']['resolved']
+    assert got['c39']['hops'] == 1
+    assert got['s0']['terminal'] == 'end' and got['s0']['hops'] == 2
+    for u in ('loopA', 'loopB'):
+        assert not got[u]['resolved']
+        assert got[u]['terminal'] is None and got[u]['hops'] == -1
+    # insufficient rounds leave the long chain flagged, never wrong
+    got2 = {r['url']: r for r in resolve_redirects(df,
+                                                   max_rounds=3).collect()}
+    assert not got2['c0']['resolved']
+    assert got2['c39']['resolved']
