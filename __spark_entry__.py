@@ -5747,6 +5747,23 @@ def q_pq_probe(spark, sf_dir):
     return pq_probe(codes, books, list(probe), top_k=50)
 
 
+def q_temporal_join(spark, sf_dir):
+    """Versioned-dimension (temporal) join: every event picks the
+    SCD2 attribute version valid at its own timestamp — the facts ⨝
+    attribute-history lookup, composed from the engine's scd2_history
+    operator on one session. One equi-exchange on the key, range
+    predicate post-join; the oracle nests the scd2 mirror as a CTE
+    and replays the interval containment exactly."""
+    from mineru_html_spark.functions.relational import temporal_join
+    from mineru_html_spark.functions.sessions import scd2_history
+    ev = _table(spark, sf_dir, 'events')
+    hist = scd2_history(ev)
+    facts = ev.select('event_id', 'user_id',
+                      F.unix_timestamp('ts').cast('long').alias('ep'))
+    return temporal_join(facts, hist, 'user_id', 'ep',
+                         ['version', 'value'])
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect resolution by pointer doubling over a deterministic
     chain graph (every non-multiple-of-8 doc redirects to doc-1, so
@@ -6982,6 +6999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_probe': q_pq_probe,
         'holt_forecast': q_holt_forecast,
         'resolve_redirects': q_resolve_redirects,
+        'temporal_join': q_temporal_join,
         'tpch_q6': q_tpch_q6,
         'tpch_q10': q_tpch_q10,
         'nfc_normalize': q_nfc_normalize,
@@ -10986,6 +11004,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * levenshtein(hs, rs) // greatest(rl, 1)
                     AS BIGINT) AS wer_milli
         FROM s
+    """
+    # temporal join: the scd2 mirror nested as a CTE + containment
+    oracles['temporal_join'] = f"""
+        WITH h AS ({oracles['scd2_history']})
+        SELECT e.event_id, e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS ep,
+               h.version, h.value
+        FROM events e LEFT JOIN h
+          ON e.user_id = h.user_id
+         AND h.valid_from <= CAST(floor(epoch(e.ts)) AS BIGINT)
+         AND CAST(floor(epoch(e.ts)) AS BIGINT) < h.valid_to
     """
     # redirect resolution: construction truth (terminal/hops are pure
     # functions of doc_id; the planted cycle is flagged, not resolved)

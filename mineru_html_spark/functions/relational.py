@@ -304,3 +304,30 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
             .select(l_id, r_id,
                     F.greatest('l_s', 'r_s').alias('overlap_start'),
                     F.least('l_e', 'r_e').alias('overlap_end')))
+
+
+def temporal_join(facts: DataFrame, dim: DataFrame, by: str,
+                  ep_col: str, dim_cols: list,
+                  valid_from: str = 'valid_from',
+                  valid_to: str = 'valid_to') -> DataFrame:
+    """Versioned-dimension (temporal) join: each fact row picks the
+    dimension version whose validity interval contains its event
+    time — ``valid_from <= ep < valid_to``, the SCD2 lookup every
+    warehouse runs between facts and attribute history.
+
+    Plan shape: ONE equi-exchange on the key; the range predicate
+    filters AFTER the join, which is right when version counts per
+    key are dimension-like (dozens). For pathological keys with
+    millions of versions, asof_join's union-window formulation is the
+    fallback (same module). Intervals must tile without overlap —
+    overlapping versions would duplicate facts, so callers feeding
+    non-SCD2 inputs should pre-assert disjointness."""
+    f = facts.alias('f')
+    d = dim.alias('d')
+    ep = F.col(f'f.{ep_col}')
+    cond = ((F.col(f'f.{by}') == F.col(f'd.{by}'))
+            & (F.col(f'd.{valid_from}') <= ep)
+            & (ep < F.col(f'd.{valid_to}')))
+    return (f.join(d, cond, 'left')
+            .select('f.*',
+                    *[F.col(f'd.{c}').alias(c) for c in dim_cols]))

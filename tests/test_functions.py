@@ -2988,3 +2988,24 @@ def test_resolve_redirects_doubling_and_cycle(spark):
                                                    max_rounds=3).collect()}
     assert not got2['c0']['resolved']
     assert got2['c39']['resolved']
+
+
+def test_temporal_join_picks_containing_version(spark):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.relational import temporal_join
+    dim = spark.createDataFrame(
+        [(1, 100, 200, 1, 'bronze'), (1, 200, 300, 2, 'silver'),
+         (1, 300, 253402300799, 3, 'gold')],
+        'user_id long, valid_from long, valid_to long, version long, '
+        'value string')
+    facts = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 200), (12, 1, 299), (13, 1, 5000),
+         (14, 2, 150)],
+        'event_id long, user_id long, ep long')
+    got = {r['event_id']: r for r in temporal_join(
+        facts, dim, 'user_id', 'ep', ['version', 'value']).collect()}
+    assert got[10]['value'] == 'bronze'
+    assert got[11]['value'] == 'silver'     # boundary: from<=ep<to
+    assert got[12]['value'] == 'silver'
+    assert got[13]['value'] == 'gold'       # open current interval
+    assert got[14]['value'] is None         # unknown key: left join
