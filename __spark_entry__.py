@@ -5747,6 +5747,44 @@ def q_pq_probe(spark, sf_dir):
     return pq_probe(codes, books, list(probe), top_k=50)
 
 
+def q_align_sentences(spark, sf_dir):
+    """Gale-Church sentence alignment (the intra-pair stage after
+    bitext mining): each corpus doc becomes a deterministic bitext
+    pair — source sentences are 6-word chunks; the target copies them
+    with a fixed per-sentence pad (simulating translation length
+    drift), MERGES sentences 2+3 on doc_id%3==0 and INSERTS an extra
+    target sentence on doc_id%5==0 — and the integer DP (published
+    structural penalties + frozen delta-cost table) emits the op
+    sequence. Committed-output oracle; the DP's shape recovery under
+    forced counts is unit-tested."""
+    from mineru_html_spark.functions.similarity import align_sentences
+    d = F.col('doc_id')
+    w = F.split('text', ' ')
+    nc = F.least(F.greatest(F.ceil(F.size(w) / 6).cast('int'),
+                            F.lit(2)), F.lit(8))
+    sents = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda j: F.concat(F.array_join(F.slice(w, j * 6 + 1, 6), ' '),
+                           F.lit('.')))
+    base = _docs(spark, sf_dir).select('doc_id',
+                                       sents.alias('src_sents'))
+    s = F.col('src_sents')
+    padded = F.transform(s, lambda x: F.concat(x, F.lit(' ok')))
+    merged = F.when(
+        (d % 3 == 0) & (F.size(s) >= 3),
+        F.concat(F.slice(padded, 1, 1),
+                 F.array(F.concat(F.element_at(padded, 2), F.lit(' '),
+                                  F.element_at(padded, 3))),
+                 F.slice(padded, 4, 100))).otherwise(padded)
+    with_ins = F.when(
+        d % 5 == 0,
+        F.concat(merged, F.array(F.lit('trailing insert here.'))))\
+        .otherwise(merged)
+    pairs = base.select('doc_id', 'src_sents',
+                        with_ins.alias('tgt_sents'))
+    return align_sentences(pairs)
+
+
 def q_temporal_join(spark, sf_dir):
     """Versioned-dimension (temporal) join: every event picks the
     SCD2 attribute version valid at its own timestamp — the facts ⨝
@@ -6939,6 +6977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'microdata_extract': q_microdata_extract,
         'bbpe_train': q_bbpe_train,
         'bbpe_apply': q_bbpe_apply,
+        'align_sentences': q_align_sentences,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -6952,7 +6991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'meta_robots': q_meta_robots,
         'ac_blocklist': q_ac_blocklist,
         't5_spans': q_t5_spans,
-        'recrawl_schedule': q_recrawl,
         'semantic_decontaminate': q_semantic_decon,
         'citation_graph': q_citation_graph,
         'paragraph_filter': q_paragraph_filter,
@@ -6984,6 +7022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ipynb_extract': q_ipynb_extract,
         'latex_extract': q_latex_extract,
         'table_extract': q_table_extract,
+        'recrawl_schedule': q_recrawl,
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'webdataset_roundtrip': q_webdataset_roundtrip,
         'cer_eval': q_cer_eval,
@@ -7483,7 +7522,8 @@ def oracle_sql() -> dict[str, str]:
                      'textrank_keywords', 'pptx_extract',
                      'xlsx_extract', 'exif_orient',
                      'pdf_image_spans', 'sqlite_extract',
-                     'microdata_extract', 'bbpe_train', 'bbpe_apply')
+                     'microdata_extract', 'bbpe_train', 'bbpe_apply',
+                     'align_sentences')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

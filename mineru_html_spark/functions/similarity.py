@@ -995,3 +995,109 @@ def pq_probe(codes_df: DataFrame, codebooks: list, probe_vec: list,
     scored = codes_df.select('vec_id', total.alias('adc_d2'))
     return (scored.orderBy(F.asc('adc_d2'), F.asc('vec_id'))
             .limit(top_k))
+
+
+# ---------------------------------------------------------------------------
+# sentence alignment (the intra-pair stage after bitext_margin_mine)
+# ---------------------------------------------------------------------------
+
+# Gale & Church (1993) structural match penalties, -100*log prob of
+# each alignment shape (the published constant table).
+ALIGN_PENALTY = {(1, 1): 0, (1, 0): 450, (0, 1): 450,
+                 (2, 1): 230, (1, 2): 230, (2, 2): 440}
+
+# the paper's length term -100*ln(2*(1-Phi(|delta|))) FROZEN as an
+# integer table over delta in 0.25 steps (0..6, saturating) — libm's
+# erf is not bit-identical across platforms, so the table is a pasted
+# source constant, never regenerated at runtime (the committed-golden
+# environment-fragility lesson from media_resize)
+_DELTA_COST = (0, 22, 48, 79, 115, 155, 201, 252, 309, 371, 439, 512,
+               591, 676, 767, 864, 967, 1075, 1190, 1311, 1437, 1570,
+               1709, 1853, 2004)
+
+
+def _len_cost(la: int, lb: int) -> int:
+    """delta = (lb-la)/sqrt((la+lb)*3.4) quantized to quarter units
+    via exact integer isqrt (variance = mean length x s^2 with the
+    paper's s^2=6.8), looked up in the frozen cost table."""
+    import math
+    if la == 0 and lb == 0:
+        return 0
+    sd10 = math.isqrt((la + lb) * 340) or 1     # 10*sqrt((la+lb)*3.4)
+    delta_centi = abs(lb - la) * 1000 // sd10
+    return _DELTA_COST[min(delta_centi // 25, len(_DELTA_COST) - 1)]
+
+
+def align_sentence_pair(src: list, tgt: list) -> list:
+    """Align one document pair's sentence lists with the
+    Gale-Church-style DP over the six published alignment shapes.
+    Returns [(shape_a, shape_b, i, j, cost)] in order: the op consumed
+    shape_a source and shape_b target sentences ENDING at source index
+    i / target index j (1-based, 0 = none consumed yet). Deterministic
+    tie-break: the shape list order below (1-1 preferred, then
+    substitutions cheapest-first)."""
+    la = [len(s) for s in src]
+    lb = [len(s) for s in tgt]
+    n, m = len(la), len(lb)
+    INF = 1 << 60
+    # dp[i][j]: best cost aligning first i source / j target sentences
+    dp = [[INF] * (m + 1) for _ in range(n + 1)]
+    back = [[None] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    shapes = ((1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (2, 2))
+    for i in range(n + 1):
+        for j in range(m + 1):
+            base = dp[i][j]
+            if base >= INF:
+                continue
+            for (a, b) in shapes:
+                ii, jj = i + a, j + b
+                if ii > n or jj > m:
+                    continue
+                ca = sum(la[i:ii])
+                cb = sum(lb[j:jj])
+                cost = base + ALIGN_PENALTY[(a, b)] + \
+                    _len_cost(ca, cb)
+                if cost < dp[ii][jj]:
+                    dp[ii][jj] = cost
+                    back[ii][jj] = (a, b)
+    ops = []
+    i, j = n, m
+    while i or j:
+        a, b = back[i][j]
+        step = ALIGN_PENALTY[(a, b)] + _len_cost(
+            sum(la[i - a:i]), sum(lb[j - b:j]))
+        ops.append((a, b, i, j, step))
+        i -= a
+        j -= b
+    ops.reverse()
+    return ops
+
+
+ALIGN_ROWS_DDL = ('doc_id long, op_idx int, shape_a int, shape_b int, '
+                  'src_end int, tgt_end int, cost bigint')
+
+
+def align_sentences(pairs: DataFrame, src_col: str = 'src_sents',
+                    tgt_col: str = 'tgt_sents') -> DataFrame:
+    """Distributed sentence alignment over mined document pairs: each
+    row carries two sentence ARRAYS; the DP is row-local (O(n*m) per
+    pair — eval/bitext-sized documents), Arrow-batched, zero
+    exchanges. Output: one row per alignment op in order."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for doc_id, src, tgt in zip(pdf['doc_id'], pdf[src_col],
+                                        pdf[tgt_col]):
+                for k, (a, b, i, j, c) in enumerate(
+                        align_sentence_pair(list(src), list(tgt))):
+                    rows.append((doc_id, k, a, b, i, j, c))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'op_idx', 'shape_a',
+                               'shape_b', 'src_end', 'tgt_end',
+                               'cost'])
+
+    return (pairs.select('doc_id', src_col, tgt_col)
+            .mapInPandas(run, ALIGN_ROWS_DDL))

@@ -151,3 +151,41 @@ def test_pq_encode_invariance_and_probe(spark):
     # ordering is (adc_d2, vec_id)
     ds = [(r['adc_d2'], r['vec_id']) for r in top]
     assert ds == sorted(ds)
+
+
+def test_align_sentences_shapes_and_invariants(spark):
+    from mineru_html_spark.functions.similarity import (
+        align_sentence_pair, align_sentences)
+    # forced 2-1: three sources, two targets, the long target merges
+    src = ['Aaaa bbbb cccc.', 'Dddd eeee ffff.', 'Gggg hhhh iiii.']
+    tgt = ['Aaaa bbbb cccc dddd eeee ffff merged.',
+           'Gggg hhhh iiii too.']
+    ops = align_sentence_pair(src, tgt)
+    assert [(a, b) for a, b, *_ in ops] == [(2, 1), (1, 1)]
+    # extra target with one source: the model prefers a 1-2 expansion
+    # (cheaper than 1-1 + a 0-1 insertion under the published costs)
+    ops2 = align_sentence_pair(
+        ['One sentence here.'], ['One sentence here too.', 'Extra.'])
+    assert [(a, b) for a, b, *_ in ops2] == [(1, 2)]
+    # a clearly-unpairable lone target forces the true 0-1 insertion
+    ops2b = align_sentence_pair(
+        [], ['Orphan target sentence.'])
+    assert [(a, b) for a, b, *_ in ops2b] == [(0, 1)]
+    # balanced lengths align 1-1 and consume everything exactly once
+    src3 = [f'Sentence number {i} with words.' for i in range(6)]
+    ops3 = align_sentence_pair(src3, [s + ' ok' for s in src3])
+    assert [(a, b) for a, b, *_ in ops3] == [(1, 1)] * 6
+    assert ops3[-1][2] == 6 and ops3[-1][3] == 6
+    # every op sequence tiles both sides (prefix sums = ends)
+    si = ti = 0
+    for a, b, i, j, _ in ops:
+        si += a
+        ti += b
+        assert (i, j) == (si, ti)
+    # Spark path mirrors the row-local function
+    df = spark.createDataFrame([(1, src, tgt)],
+                               'doc_id long, src_sents array<string>, '
+                               'tgt_sents array<string>')
+    rows = align_sentences(df).orderBy('op_idx').collect()
+    assert [(r['shape_a'], r['shape_b']) for r in rows] == \
+        [(a, b) for a, b, *_ in ops]

@@ -37,7 +37,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'wat_extract', 'rouge_l', 'textrank_keywords', 'pptx_extract',
          'xlsx_extract', 'exif_orient', 'cdc_chunks', 'audio_fp', 'tiff_decode', 'audio_probe',
          'bmp_decode', 'pdf_image_spans', 'sqlite_extract',
-         'microdata_extract', 'bbpe_train', 'bbpe_apply')
+         'microdata_extract', 'bbpe_train', 'bbpe_apply',
+         'align_sentences')
 
 
 def main():
