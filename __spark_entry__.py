@@ -5669,8 +5669,12 @@ def q_span_lang_id(spark, sf_dir):
     The whole construction + decision mirrors in exact SQL (DuckDB
     zipped unnests supply the offsets)."""
     from mineru_html_spark.functions.text import span_lang_id
-    docs = _docs(spark, sf_dir).select('doc_id', 'text')
-    w = F.split('text', ' ')
+    # materialize the split ONCE behind a select boundary — capturing
+    # the split EXPRESSION in the chunk lambdas below would re-split
+    # the full text per chunk index (the audited quadratic trap)
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('w'))
+    w = F.col('w')
     nc = F.greatest(F.ceil(F.size(w) / 40).cast('int'), F.lit(1))
     did = F.col('doc_id').cast('string')
     groups = F.transform(
@@ -5759,15 +5763,18 @@ def q_align_sentences(spark, sf_dir):
     forced counts is unit-tested."""
     from mineru_html_spark.functions.similarity import align_sentences
     d = F.col('doc_id')
-    w = F.split('text', ' ')
+    # split materialized behind a select boundary (the HOF-audit rule:
+    # a split expression captured in the chunk lambda is quadratic)
+    wdf = _docs(spark, sf_dir).select(
+        'doc_id', F.split('text', ' ').alias('w'))
+    w = F.col('w')
     nc = F.least(F.greatest(F.ceil(F.size(w) / 6).cast('int'),
                             F.lit(2)), F.lit(8))
     sents = F.transform(
         F.sequence(F.lit(0), nc - 1),
         lambda j: F.concat(F.array_join(F.slice(w, j * 6 + 1, 6), ' '),
                            F.lit('.')))
-    base = _docs(spark, sf_dir).select('doc_id',
-                                       sents.alias('src_sents'))
+    base = wdf.select('doc_id', sents.alias('src_sents'))
     s = F.col('src_sents')
     padded = F.transform(s, lambda x: F.concat(x, F.lit(' ok')))
     merged = F.when(
