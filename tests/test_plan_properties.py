@@ -389,3 +389,59 @@ def test_tpch_q22_anti_join_prunes_order_dates(spark, entry):
     assert 'LeftAnti' in p
     assert 'PushedFilters: [IsNotNull(o_orderdate), ' \
            'GreaterThanOrEqual(o_orderdate' in p
+
+
+def test_entity_and_readability_are_exchange_free(spark, entry):
+    for q in ('extract_entities', 'readability_ext'):
+        p = plan_of(entry.queries()[q](spark, SF))
+        assert 'Exchange' not in p, q
+
+
+def test_span_lang_id_single_explode_no_shuffle(spark, entry):
+    p = plan_of(entry.queries()['span_lang_id'](spark, SF))
+    assert 'Exchange' not in p
+    assert p.count('Generate explode') == 1
+
+
+def test_curriculum_numbering_is_range_partitioned(spark, entry):
+    # global ids come from range partitioning + per-range ranks with
+    # the tiny per-range offset table broadcast back; the CORPUS must
+    # ride the range exchange (a regression to row_number over an
+    # unpartitioned window would drop the rangepartitioning + the
+    # offsets broadcast — the SinglePartition window that remains is
+    # the documented bounded num_ranges-row offset cumsum)
+    # (the range exchange itself sits behind global_row_ids'
+    # materialization cut, so the final plan consumes the checkpointed
+    # ranked frame — visible as ExistingRDD — rather than replaying it)
+    p = plan_of(entry.queries()['curriculum_order'](spark, SF))
+    assert 'BroadcastExchange' in p
+    assert 'Scan ExistingRDD' in p and '_rn#' in p
+
+
+def test_tpch_q2_dims_broadcast_single_big_exchange(spark, entry):
+    p = plan_of(entry.queries()['tpch_q2'](spark, SF))
+    assert 'SortMergeJoin' not in p       # all dims broadcast
+    assert 'CartesianProduct' not in p
+
+
+def test_tpch_q9_only_orderkey_shuffle_joins(spark, entry):
+    p = plan_of(entry.queries()['tpch_q9'](spark, SF))
+    # part/supplier/nation broadcast; lineitem joins orders on the key
+    assert p.count('BroadcastHashJoin') >= 3
+
+
+def test_pq_probe_reads_codes_not_vectors(spark, entry):
+    # ADC scoring is table lookups over the code columns; the probe
+    # plan must not re-aggregate or re-join the embedding vectors
+    codes, books = entry._pq_results(spark, SF)
+    from mineru_html_spark.functions.similarity import pq_probe
+    probe = [0] * 64
+    p = plan_of(pq_probe(codes, books, probe, top_k=10))
+    assert 'TakeOrderedAndProject' in p
+    assert 'Join' not in p                # pure projection + top-k
+
+
+def test_temporal_join_single_equi_exchange(spark, entry):
+    p = plan_of(entry.queries()['temporal_join'](spark, SF))
+    assert 'CartesianProduct' not in p
+    assert 'BroadcastNestedLoopJoin' not in p
