@@ -422,15 +422,48 @@ WER_SCHEMA = ('doc_id long, edit_distance long, hyp_len long, '
               'ref_len long, wer_milli long')
 
 
+def _edit_distance_np(hyp: list, ref: list) -> int:
+    """The same exact Levenshtein with the per-ROW inner loop
+    vectorized in integer numpy. The left-neighbor (insertion)
+    dependency looks sequential, but with t[j] = cur[j] - j it
+    collapses to a prefix minimum — ``cur[j] = min(cur[j],
+    cur[j-1]+1)  <=>  t[j] = min(t[j], t[j-1])`` — so one
+    ``np.minimum.accumulate`` relaxes the whole row exactly. All
+    int64; bit-identical to the scalar DP (equivalence fuzz-tested)."""
+    import numpy as np
+    vocab: dict = {}
+
+    def ids(seq):
+        return np.fromiter((vocab.setdefault(x, len(vocab))
+                            for x in seq), dtype=np.int64,
+                           count=len(seq))
+
+    a, b = ids(hyp), ids(ref)
+    m = len(b)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(m + 1, dtype=np.int64)
+    for i in range(len(a)):
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i]), out=cur[1:])
+        prev = np.minimum.accumulate(cur - idx) + idx
+        cur = np.empty(m + 1, dtype=np.int64)
+    return int(prev[m])
+
+
 def word_edit_distance(hyp: list, ref: list) -> int:
-    """Exact word-level Levenshtein (unit costs), two-row DP —
-    O(len(hyp) * len(ref)) time, O(len(ref)) memory. Eval-tier pairs
-    are benchmark-sized; for giant pairs the banded variant is the
-    upgrade path (same caveat class as ROUGE-L's Hunt–Szymanski note)."""
+    """Exact word-level Levenshtein (unit costs). Small pairs run the
+    two-row scalar DP (O(len*len) time, O(len) memory); once the cell
+    count clears 16k the numpy row-vectorized twin takes over (same
+    integers — the prefix-minimum relaxation is exact, not an
+    approximation), which is what keeps char-level CER linear-ish in
+    wall time on document-sized inputs."""
     if not hyp:
         return len(ref)
     if not ref:
         return len(hyp)
+    if len(hyp) * len(ref) >= 16384:
+        return _edit_distance_np(hyp, ref)
     prev = list(range(len(ref) + 1))
     for i, hw in enumerate(hyp, 1):
         cur = [i] + [0] * len(ref)

@@ -57,3 +57,34 @@ def test_spark_wer_and_corpus_composition(spark):
     assert got[2]['hyp_len'] == 1 and got[2]['edit_distance'] == 2
     w = corpus_wer(out)
     assert abs(w - (0 + 2 + 2) / (4 + 3 + 2)) < 1e-12
+
+
+def test_np_edit_distance_equivalence_fuzz():
+    import random
+    from mineru_html_spark.functions.rouge import _edit_distance_np
+
+    def scalar(hyp, ref):
+        prev = list(range(len(ref) + 1))
+        for i, hw in enumerate(hyp, 1):
+            cur = [i] + [0] * len(ref)
+            for j, rw in enumerate(ref, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (hw != rw))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(11)
+    for _ in range(200):
+        a = [rnd.choice('abcd') for _ in range(rnd.randint(1, 48))]
+        b = [rnd.choice('abcd') for _ in range(rnd.randint(1, 48))]
+        assert _edit_distance_np(a, b) == scalar(a, b), (a, b)
+
+
+def test_dispatch_threshold_results_identical():
+    # the same pair through both paths (force by size around 16384)
+    from mineru_html_spark.functions.rouge import (_edit_distance_np,
+                                                   word_edit_distance)
+    a = list('abcdefgh' * 20)       # 160
+    b = list('abxdefgh' * 20)
+    # 160*160 = 25600 >= 16384 -> np path inside word_edit_distance
+    assert word_edit_distance(a, b) == _edit_distance_np(a, b)
