@@ -5828,6 +5828,28 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+def q_soundex_keys(spark, sf_dir):
+    """Soundex phonetic blocking keys (record-linkage stage before
+    fuzzy_block_match's Levenshtein verify): the National Archives
+    rules as a backreference-free native chain that runs identically
+    on Spark and DuckDB RE2. Every 8th doc gets one of the published
+    torture names (Ashcraft's H/W rule, Pfister's first-letter-code
+    collapse, Honeyman, Tymczak, Washington) so the gate pins the
+    tricky rules, the rest key their first text word. Exact SQL
+    oracle."""
+    from mineru_html_spark.functions.text import soundex_keys
+    d = F.col('doc_id')
+    plant = F.element_at(
+        F.array(F.lit('Ashcraft'), F.lit('Pfister'), F.lit('Honeyman'),
+                F.lit('Tymczak'), F.lit('Washington'), F.lit('Rupert'),
+                F.lit('Gutierrez'), F.lit('Jackson')),
+        (F.floor(d / 8) % 8 + 1).cast('int'))
+    name = F.when(d % 8 == 3, plant) \
+        .otherwise(F.element_at(F.split('text', ' '), 1))
+    docs = _docs(spark, sf_dir).select('doc_id', name.alias('name'))
+    return soundex_keys(docs)
+
+
 def q_holt_forecast(spark, sf_dir):
     """Holt linear-trend forecast over the daily event series: one
     map-side-combined daily aggregate reduces the corpus to a bounded
@@ -7044,6 +7066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_encode': q_pq_encode,
         'pq_probe': q_pq_probe,
         'holt_forecast': q_holt_forecast,
+        'soundex_keys': q_soundex_keys,
         'resolve_redirects': q_resolve_redirects,
         'temporal_join': q_temporal_join,
         'tpch_q6': q_tpch_q6,
@@ -11075,6 +11098,44 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT u, NULL, CAST(-1 AS BIGINT), FALSE
         FROM (VALUES ('cyc1'), ('cyc2'), ('cyc3')) c(u)
+    """
+    # soundex: the same backreference-free chain in DuckDB RE2
+    oracles['soundex_keys'] = """
+        WITH nm AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 8 = 3
+                      THEN (['Ashcraft', 'Pfister', 'Honeyman',
+                             'Tymczak', 'Washington', 'Rupert',
+                             'Gutierrez', 'Jackson'])
+                           [CAST((doc_id // 8) % 8 + 1 AS INT)]
+                      ELSE string_split(text, ' ')[1] END AS name
+          FROM documents),
+        s1 AS (SELECT doc_id, name,
+                      regexp_replace(upper(name), '[^A-Z]', '', 'g')
+                        AS s
+               FROM nm),
+        s2 AS (SELECT doc_id, name, s, substring(s, 1, 1) AS f,
+                      substring(s, 1, 1) ||
+                      regexp_replace(substring(s, 2),
+                                     '[HW]', '', 'g') AS u
+               FROM s1),
+        s3 AS (SELECT doc_id, name, s, f,
+                      translate(u, 'BFPVCGJKQSXZDTLMNRAEIOUY',
+                                '111122222222334556000000') AS d0
+               FROM s2),
+        s4 AS (SELECT doc_id, name, s, f,
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   d0, '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+                   '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+                   '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS d
+               FROM s3)
+        SELECT doc_id, name,
+               CASE WHEN s = '' THEN ''
+                    ELSE f || rpad(substring(
+                      regexp_replace(substring(d, 2), '0', '', 'g'),
+                      1, 3), 3, '0') END AS soundex
+        FROM s4
     """
     # Holt: the recurrence as a recursive CTE, truncating division
     oracles['holt_forecast'] = """

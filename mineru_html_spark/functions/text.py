@@ -1368,3 +1368,47 @@ def extract_entities(documents: DataFrame) -> DataFrame:
         cols.append(F.md5(F.array_join(hits, ''))
                     .alias(f'{name}_md5'))
     return documents.select(*cols)
+
+
+def soundex_key(col) -> 'F.Column':
+    """American Soundex (the National Archives rules) as a chain of
+    NATIVE string ops expressible identically in Spark SQL and DuckDB
+    RE2 — deliberately backreference-free (RE2 has none), so the
+    duplicate-digit collapse is six fixed per-digit replaces:
+
+    1. uppercase, letters only;
+    2. drop H/W FIRST (they do not separate equal codes — the
+       Ashcraft rule);
+    3. consonants -> digits, vowels -> '0' separators;
+    4. collapse adjacent equal digits (first letter's code included,
+       so Pfister -> P236);
+    5. drop separators, drop the first letter's own code, prepend the
+       letter, right-pad with zeros to 4."""
+    s = F.regexp_replace(F.upper(col), '[^A-Z]', '')
+    first = F.substring(s, 1, 1)
+    # H/W drop applies from position 2 on — a LEADING H/W is the
+    # retained letter itself (Honeyman -> H555, Washington -> W252)
+    u = F.concat(first, F.regexp_replace(
+        F.substring(s, 2, 1 << 30), '[HW]', ''))
+    d = F.translate(u, 'BFPVCGJKQSXZDTLMNRAEIOUY',
+                    '111122222222334556000000')
+    for dig in '123456':
+        d = F.regexp_replace(d, dig + '{2,}', dig)
+    # drop the first letter's OWN code positionally (char 1 of the
+    # collapsed string) BEFORE removing separators — after zero
+    # removal the first char would be some later consonant's digit
+    rest = F.substring(
+        F.regexp_replace(F.substring(d, 2, 1 << 30), '0', ''), 1, 3)
+    return (F.when(s == '', F.lit(''))
+            .otherwise(F.concat(first, F.rpad(rest, 3, '0'))))
+
+
+def soundex_keys(documents: DataFrame, name_col: str = 'name'
+                 ) -> DataFrame:
+    """(doc_id, name, soundex): the phonetic blocking key for record
+    linkage — rows sharing a key become fuzzy-match candidates without
+    any pairwise comparison (the blocking stage fuzzy_block_match's
+    Levenshtein verify runs inside). Zero UDFs, zero exchanges."""
+    return documents.select('doc_id', F.col(name_col).alias('name'),
+                            soundex_key(F.col(name_col))
+                            .alias('soundex'))

@@ -3009,3 +3009,20 @@ def test_temporal_join_picks_containing_version(spark):
     assert got[12]['value'] == 'silver'
     assert got[13]['value'] == 'gold'       # open current interval
     assert got[14]['value'] is None         # unknown key: left join
+
+
+def test_soundex_published_vectors(spark):
+    import pyspark.sql.functions as F
+    from mineru_html_spark.functions.text import soundex_key
+    cases = [('Robert', 'R163'), ('Rupert', 'R163'),
+             ('Ashcraft', 'A261'), ('Ashcroft', 'A261'),
+             ('Tymczak', 'T522'), ('Pfister', 'P236'),
+             ('Honeyman', 'H555'), ('Jackson', 'J250'),
+             ('Washington', 'W252'), ('Lee', 'L000'),
+             ('Gutierrez', 'G362'), ('a', 'A000'),
+             ('', ''), ('123', '')]
+    df = spark.createDataFrame([(c,) for c, _ in cases],
+                               'name string')
+    got = [r[0] for r in df.select(soundex_key(F.col('name')))
+           .collect()]
+    assert got == [w for _, w in cases]
