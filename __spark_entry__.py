@@ -5828,6 +5828,16 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-row dataset datasheet (datasheets-for-datasets practice):
+    doc/source counts, word volume, English share and exact duplicate
+    mass composed from the engine's own building blocks — the corpus
+    folds map-side into one row, only md5+count pairs shuffle. Exact
+    SQL oracle mirrors every aggregate."""
+    from mineru_html_spark.functions.corpus import dataset_card
+    return dataset_card(_docs(spark, sf_dir))
+
+
 def q_soundex_keys(spark, sf_dir):
     """Soundex phonetic blocking keys (record-linkage stage before
     fuzzy_block_match's Levenshtein verify): the National Archives
@@ -7067,6 +7077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_probe': q_pq_probe,
         'holt_forecast': q_holt_forecast,
         'soundex_keys': q_soundex_keys,
+        'dataset_card': q_dataset_card,
         'resolve_redirects': q_resolve_redirects,
         'temporal_join': q_temporal_join,
         'tpch_q6': q_tpch_q6,
@@ -11098,6 +11109,33 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT u, NULL, CAST(-1 AS BIGINT), FALSE
         FROM (VALUES ('cyc1'), ('cyc2'), ('cyc3')) c(u)
+    """
+    # dataset card: every aggregate mirrored
+    oracles['dataset_card'] = f"""
+        WITH b AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(sum(len({_WORDS_AZ09})) AS BIGINT)
+                   AS total_words,
+                 CAST(sum(CASE WHEN (CASE WHEN len({_WORDS_AZ}) = 0
+                      THEN 0 ELSE CAST(floor(1000 *
+                        len(list_filter({_WORDS_AZ},
+                            w -> w IN ({_STOP_SQL}))) /
+                        len({_WORDS_AZ})) AS INT) END) >= 180
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          FROM documents),
+        d AS (
+          SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+                   AS n_dup_docs
+          FROM (SELECT md5({_NORM_TEXT}) AS fp, count(*) AS c
+                FROM documents GROUP BY 1))
+        SELECT b.n_docs, b.n_sources, b.total_words, b.n_en,
+               d.n_dup_docs,
+               CAST(b.total_words // b.n_docs AS BIGINT)
+                 AS mean_words,
+               CAST(1000 * b.n_en // b.n_docs AS BIGINT)
+                 AS en_permille
+        FROM b, d
     """
     # soundex: the same backreference-free chain in DuckDB RE2
     oracles['soundex_keys'] = """

@@ -1678,3 +1678,42 @@ def curriculum_order(documents: DataFrame, n_stages: int = 4,
         F.md5(F.concat_ws(':', F.col('doc_id'), F.lit(salt)))
          .alias('shuffle_key'))
     return global_row_ids(staged, ['stage', 'shuffle_key', 'doc_id'])
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """One-row dataset datasheet — the summary block a corpus release
+    ships (datasheets-for-datasets practice): doc/source counts, word
+    volume, English share (the lang_id rule inline), and exact
+    duplicate mass (fingerprint groups). Two bounded exchanges: the
+    corpus folds map-side into one aggregate row, and the fingerprint
+    dedup shuffles only md5+count pairs; the two single-row frames
+    broadcast-join at the end. All integers; exact SQL mirror."""
+    from .text import STOPWORDS
+    words = _words()
+    nw = F.size(words)
+    lower_words = F.filter(
+        F.split(F.lower(F.trim('text')), r'[^a-z]+'),
+        lambda w: F.length(w) > 0)
+    n_lw = F.size(lower_words)
+    n_stop = F.size(F.filter(lower_words,
+                             lambda w: w.isin(*STOPWORDS)))
+    permille = (F.when(n_lw == 0, F.lit(0))
+                .otherwise(F.floor(F.lit(1000) * n_stop / n_lw)))
+    base = documents.agg(
+        F.count('*').alias('n_docs'),
+        F.countDistinct('source').alias('n_sources'),
+        F.sum(nw.cast('long')).alias('total_words'),
+        F.sum(F.when(permille >= 180, 1).otherwise(0)).cast('long')
+         .alias('n_en'))
+    norm = F.trim(F.regexp_replace(F.lower('text'), r'\s+', ' '))
+    dup = (documents.select(F.md5(norm).alias('fp'))
+           .groupBy('fp').agg(F.count('*').alias('c'))
+           .agg(F.coalesce(F.sum(F.col('c') - 1), F.lit(0))
+                .cast('long').alias('n_dup_docs')))
+    return (base.join(F.broadcast(dup))
+            .select('n_docs', 'n_sources', 'total_words', 'n_en',
+                    'n_dup_docs',
+                    F.expr('total_words div n_docs').cast('long')
+                     .alias('mean_words'),
+                    F.expr('1000 * n_en div n_docs').cast('long')
+                     .alias('en_permille')))

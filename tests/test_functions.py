@@ -3026,3 +3026,20 @@ def test_soundex_published_vectors(spark):
     got = [r[0] for r in df.select(soundex_key(F.col('name')))
            .collect()]
     assert got == [w for _, w in cases]
+
+
+def test_dataset_card_hand_values(spark):
+    from mineru_html_spark.functions.corpus import dataset_card
+    docs = spark.createDataFrame(
+        [(1, 'the and of to in it is was', 'a'),      # en, 8 words
+         (2, 'zyx wvu tsr qpo', 'a'),                 # other, 4 words
+         (3, 'the and of to in it is was', 'b'),      # dup of 1
+         (4, 'THE AND of to  in it is was', 'b')],    # ws/case dup
+        'doc_id long, text string, source string')
+    r = dataset_card(docs).collect()[0]
+    assert r['n_docs'] == 4 and r['n_sources'] == 2
+    assert r['total_words'] == 28
+    assert r['n_en'] == 3
+    assert r['n_dup_docs'] == 2      # one fp group of 3 -> 2 extras
+    assert r['mean_words'] == 7
+    assert r['en_permille'] == 750
