@@ -6032,21 +6032,16 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(docs.select('doc_id', t.alias('text')))
 
 
-def q_exif_probe(spark, sf_dir):
-    """EXIF metadata probe over a deterministic JPEG corpus: per sampled
-    doc a real baseline JPEG (doc-derived dims) gets an APP1 Exif
-    segment with doc-derived orientation/endianness/make/model/
-    timestamp/pixel-dims/GPS — except doc_id%3==2 rows ship bare (web
-    JPEGs are usually stripped: has_exif=false is NOT an error) and
-    doc_id%100==75 rows carry a TRUNCATED TIFF (contained error row).
-    Every field is a pure function of doc_id, so the oracle is
-    construction truth (the frontier_waves idiom) — any parser drift on
-    endianness, inline-vs-offset values, sub-IFD walks or bounds checks
-    breaks the hash."""
+def _exif_gate_media(spark, sf_dir):
+    """The deterministic EXIF gate corpus shared by exif_probe and
+    exif_strip_gps: per sampled doc a real baseline JPEG with a
+    doc-derived APP1 (bare on doc_id%3==2, GPS on doc_id%4==0,
+    truncated TIFF on doc_id%100==75). Every field a pure function of
+    doc_id — both gates' oracles are construction truth."""
     import numpy as np
 
     from mineru_html_spark.functions.exif import (build_exif_app1,
-                                                  exif_probe, insert_app1)
+                                                  insert_app1)
     from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
 
     docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0) \
@@ -6077,8 +6072,50 @@ def q_exif_probe(spark, sf_dir):
                              'payload': payload})
             yield pd.DataFrame(rows, columns=['media_ref', 'payload'])
 
-    media = docs.mapInPandas(batch, 'media_ref string, payload binary')
-    return exif_probe(media)
+    return docs.mapInPandas(batch, 'media_ref string, payload binary')
+
+
+def q_exif_probe(spark, sf_dir):
+    """EXIF metadata probe over the deterministic JPEG gate corpus
+    (see _exif_gate_media): every field is a pure function of doc_id,
+    so the oracle is construction truth (the frontier_waves idiom) —
+    any parser drift on endianness, inline-vs-offset values, sub-IFD
+    walks or bounds checks breaks the hash."""
+    from mineru_html_spark.functions.exif import exif_probe
+    return exif_probe(_exif_gate_media(spark, sf_dir))
+
+
+def q_exif_strip_gps(spark, sf_dir):
+    """GPS privacy scrub certified by RE-PROBING the rewritten bytes:
+    strip_gps rebuilds the APP1 without the GPS IFD (everything
+    outside the segment byte-identical; unparseable EXIF left
+    untouched — never a destructive rewrite), then exif_probe runs
+    over the SCRUBBED payloads — so the gate certifies has_gps=false
+    afterward, every other field preserved, the bare/truncated rows
+    passed through, and the stripped flag exactly matching which rows
+    carried GPS. Construction-truth oracle."""
+    import pandas as _pd
+
+    from mineru_html_spark.functions.exif import exif_probe, strip_gps
+    media = _exif_gate_media(spark, sf_dir)
+
+    def scrub(it):
+        for pdf in it:
+            outs, flags = [], []
+            for payload in pdf['payload']:
+                out, stripped = strip_gps(bytes(payload))
+                outs.append(out)
+                flags.append(stripped)
+            yield _pd.DataFrame({'media_ref': pdf['media_ref'],
+                                 'payload': outs, 'stripped': flags})
+
+    scrubbed = media.mapInPandas(
+        scrub, 'media_ref string, payload binary, stripped boolean')
+    probe = exif_probe(scrubbed.select('media_ref', 'payload'))
+    return (probe.join(scrubbed.select('media_ref', 'stripped'),
+                       'media_ref')
+            .select('media_ref', 'stripped', 'has_exif', 'has_gps',
+                    'make', 'orientation', 'taken_at', 'status'))
 
 
 def q_warc_roundtrip(spark, sf_dir):
@@ -7078,6 +7115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'holt_forecast': q_holt_forecast,
         'soundex_keys': q_soundex_keys,
         'dataset_card': q_dataset_card,
+        'exif_strip_gps': q_exif_strip_gps,
         'resolve_redirects': q_resolve_redirects,
         'temporal_join': q_temporal_join,
         'tpch_q6': q_tpch_q6,
@@ -11584,6 +11622,31 @@ def oracle_sql() -> dict[str, str]:
           CAST(CASE WHEN NOT wrote OR trunc THEN 0
                ELSE 12 + (doc_id % 2) * 4 END AS INT) AS pixel_y,
           (wrote AND NOT trunc AND doc_id % 4 = 0) AS has_gps,
+          CASE WHEN trunc THEN 'error: truncated ifd'
+               ELSE 'ok' END AS status
+        FROM f
+    """
+    # GPS strip: construction truth over the SCRUBBED re-probe
+    oracles['exif_strip_gps'] = """
+        WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        f AS (SELECT doc_id,
+                (doc_id % 3 != 2) AS wrote,
+                (doc_id % 3 != 2 AND doc_id % 100 = 75) AS trunc,
+                (doc_id % 3 != 2 AND doc_id % 100 != 75
+                 AND doc_id % 4 = 0) AS had_gps
+              FROM s)
+        SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+          had_gps AS stripped,
+          (wrote AND NOT trunc) AS has_exif,
+          FALSE AS has_gps,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               ELSE 'maker' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+          CAST(CASE WHEN NOT wrote OR trunc THEN 0
+               ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+          CASE WHEN NOT wrote OR trunc THEN ''
+               ELSE '2026:01:'
+                    || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                    || ' 12:00:00' END AS taken_at,
           CASE WHEN trunc THEN 'error: truncated ifd'
                ELSE 'ok' END AS status
         FROM f

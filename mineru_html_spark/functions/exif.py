@@ -303,3 +303,69 @@ def auto_orient(img, orientation: int):
     else:
         return img
     return np.ascontiguousarray(out)
+
+
+def strip_gps(jpeg: bytes):
+    """(jpeg_out, stripped): the privacy scrub a crawl media pipeline
+    runs before redistribution — if the first APP1 Exif segment
+    carries a GPS IFD, the segment is REBUILT without it (Make/Model/
+    Orientation/DateTime/pixel dims preserved byte-deterministically
+    via build_exif_app1) and spliced in place; everything outside the
+    APP1 segment — including the entropy-coded image data — is
+    byte-identical. No GPS, not a JPEG, or unparseable EXIF ->
+    (input unchanged, False): never a destructive rewrite on a parse
+    the walker does not fully understand."""
+    d = bytes(jpeg or b'')
+    if d[:2] != b'\xff\xd8':
+        return d, False
+    i = 2
+    while i + 4 <= len(d):
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        marker = d[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xDA or marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from('>H', d, i + 2)
+        if marker == 0xE1 and d[i + 4:i + 10] == b'Exif\x00\x00':
+            meta = parse_exif(d[i + 4:i + 2 + seg_len])
+            if not meta.get('has_gps') or \
+                    meta.get('status', 'ok') != 'ok':
+                return d, False
+            payload = build_exif_app1(
+                meta['byte_order'], meta['make'], meta['model'],
+                meta['orientation'], meta['taken_at'],
+                meta['pixel_x'], meta['pixel_y'], gps=False)
+            seg = (b'\xff\xe1'
+                   + struct.pack('>H', len(payload) + 2) + payload)
+            return d[:i] + seg + d[i + 2 + seg_len:], True
+        i += 2 + seg_len
+    return d, False
+
+
+def scrub_gps(media: DataFrame, payload_col: str = 'payload'
+              ) -> DataFrame:
+    """media(media_ref, payload) -> (media_ref, stripped, had_gps,
+    payload_md5, raster_md5-stable proof columns left to the gate):
+    Arrow-batched per-payload strip, zero exchanges."""
+    import hashlib
+
+    import pandas as pd
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf['media_ref'],
+                                    pdf[payload_col]):
+                out, stripped = strip_gps(bytes(payload))
+                rows.append((ref, stripped,
+                             hashlib.md5(out).hexdigest()))
+            yield pd.DataFrame(rows, columns=['media_ref', 'stripped',
+                                              'payload_md5'])
+
+    return (media.select('media_ref', payload_col)
+            .mapInPandas(batch, 'media_ref string, stripped boolean, '
+                                'payload_md5 string'))

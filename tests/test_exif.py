@@ -139,3 +139,40 @@ def test_decode_image_honors_orientation(jpeg):
                              24, 16)
     assert (decode_image(insert_app1(jpeg, app1_1), 'image/jpeg')
             == upright).all()
+
+
+def test_strip_gps_preserves_everything_else():
+    import hashlib
+
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import (build_exif_app1,
+                                                  exif_from_jpeg,
+                                                  insert_app1,
+                                                  strip_gps)
+    from mineru_html_spark.functions.jpeg import (decode_jpeg,
+                                                  encode_jpeg_baseline)
+    img = (np.arange(32 * 24).reshape(24, 32) % 256).astype(np.uint8)
+    base = encode_jpeg_baseline(img, quality=85)
+    j = insert_app1(base, build_exif_app1(
+        'MM', 'CamCo', 'X100', 6, '2024:01:02 03:04:05', 32, 24,
+        gps=True))
+    out, stripped = strip_gps(j)
+    assert stripped
+    after = exif_from_jpeg(out)
+    assert not after['has_gps'] and after['has_exif']
+    assert (after['make'], after['model'], after['orientation'],
+            after['taken_at'], after['pixel_x'], after['pixel_y']) == \
+        ('CamCo', 'X100', 6, '2024:01:02 03:04:05', 32, 24)
+    # image data byte-identical (raster md5 equal)
+    assert hashlib.md5(decode_jpeg(out).tobytes()).digest() == \
+        hashlib.md5(decode_jpeg(j).tobytes()).digest()
+    # idempotent; non-GPS and non-JPEG inputs pass through untouched
+    out2, s2 = strip_gps(out)
+    assert not s2 and out2 == out
+    assert strip_gps(base) == (base, False)
+    assert strip_gps(b'not a jpeg') == (b'not a jpeg', False)
+    # unparseable EXIF is NEVER rewritten
+    trunc = insert_app1(base, build_exif_app1(
+        'II', 'a', 'b', 1, 'x', 8, 8, gps=True)[:14])
+    assert strip_gps(trunc) == (trunc, False)
