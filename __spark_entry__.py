@@ -5828,6 +5828,20 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+def q_jw_block_match(spark, sf_dir):
+    """Record linkage, both stages on one session: the soundex gate's
+    name corpus blocks on its phonetic key, then every within-block
+    pair scores with EXACT-integer Jaro-Winkler (rationals via
+    Fraction; float never enters, so the committed golden cannot
+    drift with libm), keeping the published >= 0.84 review band.
+    Blocks guarantee recall for same-key pairs; the planted torture
+    names land in shared blocks by construction. Committed-output
+    oracle; published vectors pinned in tests."""
+    from mineru_html_spark.functions.dedup import jw_block_match
+    names = q_soundex_keys(spark, sf_dir)
+    return jw_block_match(names)
+
+
 def q_dataset_card(spark, sf_dir):
     """One-row dataset datasheet (datasheets-for-datasets practice):
     doc/source counts, word volume, English share and exact duplicate
@@ -7054,6 +7068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bbpe_train': q_bbpe_train,
         'bbpe_apply': q_bbpe_apply,
         'align_sentences': q_align_sentences,
+        'jw_block_match': q_jw_block_match,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -7066,7 +7081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_traps': q_crawl_traps,
         'meta_robots': q_meta_robots,
         'ac_blocklist': q_ac_blocklist,
-        't5_spans': q_t5_spans,
         'semantic_decontaminate': q_semantic_decon,
         'citation_graph': q_citation_graph,
         'paragraph_filter': q_paragraph_filter,
@@ -7099,6 +7113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'latex_extract': q_latex_extract,
         'table_extract': q_table_extract,
         'recrawl_schedule': q_recrawl,
+        't5_spans': q_t5_spans,
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'webdataset_roundtrip': q_webdataset_roundtrip,
         'cer_eval': q_cer_eval,
@@ -7602,7 +7617,7 @@ def oracle_sql() -> dict[str, str]:
                      'xlsx_extract', 'exif_orient',
                      'pdf_image_spans', 'sqlite_extract',
                      'microdata_extract', 'bbpe_train', 'bbpe_apply',
-                     'align_sentences')
+                     'align_sentences', 'jw_block_match')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

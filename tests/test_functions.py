@@ -3043,3 +3043,27 @@ def test_dataset_card_hand_values(spark):
     assert r['n_dup_docs'] == 2      # one fp group of 3 -> 2 extras
     assert r['mean_words'] == 7
     assert r['en_permille'] == 750
+
+
+def test_jaro_winkler_published_vectors():
+    from mineru_html_spark.functions.dedup import jaro_winkler_milli
+    assert jaro_winkler_milli('MARTHA', 'MARHTA') == 961
+    assert jaro_winkler_milli('DWAYNE', 'DUANE') == 840
+    assert jaro_winkler_milli('DIXON', 'DICKSONX') == 813
+    assert jaro_winkler_milli('same', 'same') == 1000
+    assert jaro_winkler_milli('abc', 'xyz') == 0
+    assert jaro_winkler_milli('', 'abc') == 0
+    # symmetry
+    assert jaro_winkler_milli('DICKSONX', 'DIXON') == 813
+
+
+def test_jw_block_match_scores_within_blocks(spark):
+    from mineru_html_spark.functions.dedup import jw_block_match
+    names = spark.createDataFrame(
+        [(1, 'MARTHA', 'M630'), (2, 'MARHTA', 'M630'),
+         (3, 'DWAYNE', 'D500'), (4, 'DUANE', 'D500'),
+         (5, 'SMITH', 'S530')],
+        'doc_id long, name string, soundex string')
+    got = {(r['id_a'], r['id_b']): r['jw_milli']
+           for r in jw_block_match(names, t_milli=800).collect()}
+    assert got == {(1, 2): 961, (3, 4): 840}
