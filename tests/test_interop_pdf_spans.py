@@ -1,0 +1,79 @@
+"""Interop: the PDF embedded-image span tier must plug into the
+engine's interleaved consumers unchanged — PII scrub inside spans,
+training-sequence assembly, per-span language routing — because all
+four speak the same (kind, text, media_ref, offset) contract."""
+
+import pyspark.sql.functions as F
+
+
+def test_pdf_spans_feed_interleaved_consumers(spark, tmp_path):
+    from mineru_html_spark.functions.media import (
+        assemble_interleaved_sequences, scrub_spans)
+    from mineru_html_spark.functions.text import span_lang_id
+    from mineru_html_spark.sources.pdfimages import (
+        read_pdf_spans, write_synth_pdf_image_set)
+
+    d = str(tmp_path / 'gate')
+    write_synth_pdf_image_set(d)
+    rows = read_pdf_spans(spark, d).where("error = ''") \
+        .select('doc_id', 'spans')
+    n_docs = rows.count()
+    assert n_docs == 11                      # 12 files, 1 corrupt
+
+    # numeric doc ids for the consumers that expect them
+    docs = rows.select(
+        F.xxhash64('doc_id').alias('doc_id'), 'spans')
+
+    # 1. PII scrub: plant an email into every text span, scrub, and
+    #    require kinds/media_refs/offsets byte-identical
+    planted = docs.select('doc_id', F.transform(
+        'spans', lambda s: F.struct(
+            s['kind'].alias('kind'),
+            F.when(s['kind'] == 'text',
+                   F.concat(s['text'], F.lit(' mail me a@b.co')))
+             .otherwise(s['text']).alias('text'),
+            s['media_ref'].alias('media_ref'),
+            s['offset'].alias('offset'))).alias('spans'))
+    scrubbed = scrub_spans(planted)
+    out = {r['doc_id']: r for r in scrubbed.collect()}
+    orig = {r['doc_id']: r for r in docs.collect()}
+    assert set(out) == set(orig)
+    for k, r in out.items():
+        o = orig[k]
+        assert [s['kind'] for s in r['spans']] == \
+            [s['kind'] for s in o['spans']]
+        assert [s['offset'] for s in r['spans']] == \
+            [s['offset'] for s in o['spans']]
+        assert [s['media_ref'] for s in r['spans']] == \
+            [s['media_ref'] for s in o['spans']]
+        for s in r['spans']:
+            assert 'a@b.co' not in (s['text'] or '')
+        assert r['n_redactions'] == sum(
+            1 for s in o['spans'] if s['kind'] == 'text')
+
+    # 2. training-sequence assembly: every span lands in exactly one
+    #    sequence; image spans cost the fixed vision slot
+    seqs = assemble_interleaved_sequences(docs, budget=64,
+                                          image_tokens=16)
+    agg = seqs.groupBy('doc_id').agg(
+        F.sum('n_spans').alias('n'), F.sum('n_images').alias('ni'))
+    want = docs.select(
+        'doc_id', F.size('spans').alias('n'),
+        F.size(F.filter('spans', lambda s: s['kind'] == 'image'))
+         .alias('ni'))
+    got = {r['doc_id']: (r['n'], r['ni']) for r in agg.collect()}
+    exp = {r['doc_id']: (r['n'], r['ni']) for r in want.collect()}
+    assert got == exp
+
+    # 3. per-span language routing: image spans untagged, text tagged
+    tagged = span_lang_id(docs)
+    assert tagged.where("kind = 'image' AND lang_pred IS NOT NULL") \
+        .count() == 0
+    assert tagged.where("kind = 'text' AND lang_pred IS NULL") \
+        .count() == 0
+    # interleave order survives: offsets are contiguous per doc
+    from pyspark.sql import Window
+    w = Window.partitionBy('doc_id').orderBy('offset')
+    chk = tagged.withColumn('rn', F.row_number().over(w) - 1) \
+        .where(F.col('rn') != F.col('offset'))
+    assert chk.count() == 0
