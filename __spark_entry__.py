@@ -5828,6 +5828,17 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+def q_stem_profile(spark, sf_dir):
+    """Porter stemming over the corpus — the retrieval stack's index
+    normalization (search-normalization trio with accent folding and
+    Soundex): per-doc token counts, distinct-stem counts and the
+    in-order stem-sequence md5, so the gate pins every rule's output
+    on real text. Committed-output oracle; the paper's example
+    vocabulary is pinned in unit tests."""
+    from mineru_html_spark.functions.stem import stem_tokens
+    return stem_tokens(_docs(spark, sf_dir))
+
+
 def q_jw_block_match(spark, sf_dir):
     """Record linkage, both stages on one session: the soundex gate's
     name corpus blocks on its phonetic key, then every within-block
@@ -7069,6 +7080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bbpe_apply': q_bbpe_apply,
         'align_sentences': q_align_sentences,
         'jw_block_match': q_jw_block_match,
+        'stem_profile': q_stem_profile,
         'site_template': q_site_template,
         'lz78_quality': q_lz78_quality,
         'pdf_layout': q_pdf_layout,
@@ -7081,7 +7093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_traps': q_crawl_traps,
         'meta_robots': q_meta_robots,
         'ac_blocklist': q_ac_blocklist,
-        'semantic_decontaminate': q_semantic_decon,
         'citation_graph': q_citation_graph,
         'paragraph_filter': q_paragraph_filter,
         'exact_substr_spans': q_exact_substr_spans,
@@ -7114,6 +7125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'table_extract': q_table_extract,
         'recrawl_schedule': q_recrawl,
         't5_spans': q_t5_spans,
+        'semantic_decontaminate': q_semantic_decon,
         'tfrecord_roundtrip': q_tfrecord_roundtrip,
         'webdataset_roundtrip': q_webdataset_roundtrip,
         'cer_eval': q_cer_eval,
@@ -7617,7 +7629,8 @@ def oracle_sql() -> dict[str, str]:
                      'xlsx_extract', 'exif_orient',
                      'pdf_image_spans', 'sqlite_extract',
                      'microdata_extract', 'bbpe_train', 'bbpe_apply',
-                     'align_sentences', 'jw_block_match')
+                     'align_sentences', 'jw_block_match',
+                     'stem_profile')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

@@ -1,0 +1,188 @@
+"""Porter stemming (Porter 1980, "An algorithm for suffix stripping").
+
+The third member of the search-normalization trio next to accent
+folding and Soundex: the retrieval stack's index/query terms collapse
+inflected forms ('connect', 'connected', 'connecting' -> 'connect').
+Implemented verbatim from the published five-step rule table — the
+algorithm IS the spec, like the byte-BPE bijection; no external
+stemmer library exists in this container and none is needed.
+
+Pure-Python row-local (Arrow-batched on the Spark side); the gate is a
+committed-output oracle and the published paper examples are pinned as
+unit vectors.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+_VOWELS = set('aeiou')
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == 'y':
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in the C?(VC){m}V? form."""
+    m = 0
+    prev_v = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    """ends cvc where the final c is not w/x/y (rule *o)."""
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in 'wxy')
+
+
+def _replace(w: str, suf: str, rep: str, min_m: int) -> str | None:
+    if not w.endswith(suf):
+        return None
+    stem = w[:len(w) - len(suf)]
+    if _measure(stem) > min_m - 1:
+        return stem + rep
+    return w
+
+
+def porter_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith('sses'):
+        w = w[:-2]
+    elif w.endswith('ies'):
+        w = w[:-2]
+    elif w.endswith('ss'):
+        pass
+    elif w.endswith('s'):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith('eed'):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith('ed') and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith('ing') and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(('at', 'bl', 'iz')):
+            w += 'e'
+        elif _double_cons(w) and w[-1] not in 'lsz':
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += 'e'
+    # step 1c
+    if w.endswith('y') and _has_vowel(w[:-1]):
+        w = w[:-1] + 'i'
+    # step 2 (longest match on the penultimate letter per the paper)
+    for suf, rep in (('ational', 'ate'), ('tional', 'tion'),
+                     ('enci', 'ence'), ('anci', 'ance'),
+                     ('izer', 'ize'), ('abli', 'able'),
+                     ('alli', 'al'), ('entli', 'ent'), ('eli', 'e'),
+                     ('ousli', 'ous'), ('ization', 'ize'),
+                     ('ation', 'ate'), ('ator', 'ate'),
+                     ('alism', 'al'), ('iveness', 'ive'),
+                     ('fulness', 'ful'), ('ousness', 'ous'),
+                     ('aliti', 'al'), ('iviti', 'ive'),
+                     ('biliti', 'ble')):
+        if w.endswith(suf):
+            out = _replace(w, suf, rep, 1)
+            if out is not None:
+                w = out
+            break
+    # step 3
+    for suf, rep in (('icate', 'ic'), ('ative', ''), ('alize', 'al'),
+                     ('iciti', 'ic'), ('ical', 'ic'), ('ful', ''),
+                     ('ness', '')):
+        if w.endswith(suf):
+            out = _replace(w, suf, rep, 1)
+            if out is not None:
+                w = out
+            break
+    # step 4
+    for suf in ('al', 'ance', 'ence', 'er', 'ic', 'able', 'ible',
+                'ant', 'ement', 'ment', 'ent', 'ion', 'ou', 'ism',
+                'ate', 'iti', 'ous', 'ive', 'ize'):
+        if w.endswith(suf):
+            stem = w[:len(w) - len(suf)]
+            if suf == 'ion' and not (stem and stem[-1] in 'st'):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith('e'):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _double_cons(w) and w.endswith('l'):
+        w = w[:-1]
+    return w
+
+
+def stem_tokens(documents, text_col: str = 'text'):
+    """(doc_id, n_tokens, n_distinct_stems, stems_md5): the corpus's
+    per-doc stemmed-term profile — tokenize on the corpus convention
+    ([a-z0-9] runs), stem each token, hash the in-order stem sequence
+    so the gate pins every rule's output, not just counts. Arrow-
+    batched row-local; a per-task memo exploits token repetition."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    tok = re.compile(r'[a-z0-9]+')
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in it:
+            out = {'doc_id': [], 'n_tokens': [],
+                   'n_distinct_stems': [], 'stems_md5': []}
+            for doc_id, text in zip(pdf['doc_id'], pdf[text_col]):
+                toks = tok.findall(str(text).lower())
+                stems = []
+                for t in toks:
+                    s = memo.get(t)
+                    if s is None:
+                        if len(memo) >= 1 << 16:
+                            memo.clear()
+                        s = porter_stem(t)
+                        memo[t] = s
+                    stems.append(s)
+                out['doc_id'].append(doc_id)
+                out['n_tokens'].append(len(stems))
+                out['n_distinct_stems'].append(len(set(stems)))
+                out['stems_md5'].append(hashlib.md5(
+                    ' '.join(stems).encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (documents.select('doc_id', text_col)
+            .mapInPandas(run, 'doc_id long, n_tokens long, '
+                              'n_distinct_stems long, '
+                              'stems_md5 string'))

@@ -3067,3 +3067,59 @@ def test_jw_block_match_scores_within_blocks(spark):
     got = {(r['id_a'], r['id_b']): r['jw_milli']
            for r in jw_block_match(names, t_milli=800).collect()}
     assert got == {(1, 2): 961, (3, 4): 840}
+
+
+def test_porter_stemmer_paper_vectors():
+    from mineru_html_spark.functions.stem import porter_stem as p
+    # full-algorithm outputs (per-step paper examples continue through
+    # later steps: differentli -> differ, electrical -> electr)
+    cases = {
+        'caresses': 'caress', 'ponies': 'poni', 'ties': 'ti',
+        'caress': 'caress', 'cats': 'cat', 'feed': 'feed',
+        'agreed': 'agre', 'plastered': 'plaster', 'bled': 'bled',
+        'motoring': 'motor', 'sing': 'sing', 'conflated': 'conflat',
+        'troubled': 'troubl', 'sized': 'size', 'hopping': 'hop',
+        'tanned': 'tan', 'falling': 'fall', 'hissing': 'hiss',
+        'fizzed': 'fizz', 'failing': 'fail', 'filing': 'file',
+        'happy': 'happi', 'sky': 'sky', 'relational': 'relat',
+        'conditional': 'condit', 'rational': 'ration',
+        'valenci': 'valenc', 'hesitanci': 'hesit',
+        'digitizer': 'digit', 'conformabli': 'conform',
+        'radicalli': 'radic', 'differentli': 'differ',
+        'vileli': 'vile', 'analogousli': 'analog',
+        'vietnamization': 'vietnam', 'predication': 'predic',
+        'operator': 'oper', 'feudalism': 'feudal',
+        'decisiveness': 'decis', 'hopefulness': 'hope',
+        'callousness': 'callous', 'formaliti': 'formal',
+        'sensitiviti': 'sensit', 'sensibiliti': 'sensibl',
+        'triplicate': 'triplic', 'formative': 'form',
+        'formalize': 'formal', 'electriciti': 'electr',
+        'electrical': 'electr', 'hopeful': 'hope',
+        'goodness': 'good', 'revival': 'reviv',
+        'allowance': 'allow', 'inference': 'infer',
+        'airliner': 'airlin', 'gyroscopic': 'gyroscop',
+        'adjustable': 'adjust', 'defensible': 'defens',
+        'irritant': 'irrit', 'replacement': 'replac',
+        'adjustment': 'adjust', 'dependent': 'depend',
+        'adoption': 'adopt', 'communism': 'commun',
+        'activate': 'activ', 'angulariti': 'angular',
+        'homologous': 'homolog', 'effective': 'effect',
+        'bowdlerize': 'bowdler', 'probate': 'probat', 'rate': 'rate',
+        'cease': 'ceas', 'controll': 'control', 'roll': 'roll',
+        'generalization': 'gener', 'oscillators': 'oscil',
+    }
+    bad = {w: (want, p(w)) for w, want in cases.items()
+           if p(w) != want}
+    assert not bad, bad
+
+
+def test_stem_tokens_spark(spark):
+    from mineru_html_spark.functions.stem import stem_tokens
+    docs = spark.createDataFrame(
+        [(1, 'The ponies were hopping and agreed gladly')],
+        'doc_id long, text string')
+    r = stem_tokens(docs).collect()[0]
+    assert r['n_tokens'] == 7
+    import hashlib
+    want = 'the poni were hop and agre gladli'
+    assert r['stems_md5'] == hashlib.md5(want.encode()).hexdigest()
