@@ -5828,6 +5828,40 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cyc))
 
 
+_NFKC_PLANTS = (
+    ('ﬁne', 'fine'),                       # fi ligature
+    ('ｆｕｌｌ', 'full'),       # fullwidth ASCII
+    ('①②', '12'),                     # circled digits
+    ('x²y³', 'x2y3'),                 # superscripts
+    ('ℌello', 'Hello'),                    # letterlike H
+    ('Kelvin', 'Kelvin'),                  # Kelvin sign
+    ('²/₂', '2/2'),                   # super/subscript
+    ('ﬀﬂ', 'fffl'),                   # ff + fl ligatures
+)
+
+
+def q_nfkc_normalize(spark, sf_dir):
+    """NFKC compatibility normalization: the corpus text is ASCII
+    (NFKC-invariant — asserted at construction), so appending one
+    compatibility plant per doc makes the whole output a pure
+    function of (text, doc_id): CONSTRUCTION-TRUTH oracle (DuckDB's
+    utf8proc exposes NFC only, so the cross-implementation trick the
+    NFC gate uses is unavailable — known-image plants replace it).
+    Plants cover ligatures, fullwidth forms, circled/superscript
+    digits and the letter-like/Kelvin signs."""
+    from mineru_html_spark.functions.text import nfkc_normalize_docs
+    d = F.col('doc_id')
+    plant = F.element_at(
+        F.array(*[F.lit(p) for p, _ in _NFKC_PLANTS]),
+        (d % 8 + 1).cast('int'))
+    docs = _docs(spark, sf_dir).select(
+        'doc_id', F.concat('text', F.lit(' '), plant).alias('text'))
+    out = nfkc_normalize_docs(docs)
+    return out.select('doc_id', 'was_changed', 'n_chars_before',
+                      'n_chars_after',
+                      F.md5('text_nfkc').alias('nfkc_md5'))
+
+
 def q_stem_profile(spark, sf_dir):
     """Porter stemming over the corpus — the retrieval stack's index
     normalization (search-normalization trio with accent folding and
@@ -7082,6 +7116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'align_sentences': q_align_sentences,
         'jw_block_match': q_jw_block_match,
         'stem_profile': q_stem_profile,
+        'nfkc_normalize': q_nfkc_normalize,
         'html_meta': q_html_meta,
         'feed_extract': q_feed_extract,
         'wordpiece_train': q_wordpiece_train,
@@ -11654,6 +11689,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN trunc THEN 'error: truncated ifd'
                ELSE 'ok' END AS status
         FROM f
+    """
+    # NFKC: construction truth generated FROM the plant table itself
+    _img_case = ('CASE CAST(doc_id % 8 AS INT) ' + ' '.join(
+        f"WHEN {i} THEN '{img}'"
+        for i, (_p, img) in enumerate(_NFKC_PLANTS)) + ' END')
+    _plen_case = ('CASE CAST(doc_id % 8 AS INT) ' + ' '.join(
+        f'WHEN {i} THEN {len(p)}'
+        for i, (p, _img) in enumerate(_NFKC_PLANTS)) + ' END')
+    oracles['nfkc_normalize'] = f"""
+        SELECT doc_id, TRUE AS was_changed,
+               CAST(length(text) + 1 + {_plen_case} AS BIGINT)
+                 AS n_chars_before,
+               CAST(length(text) + 1 + length({_img_case}) AS BIGINT)
+                 AS n_chars_after,
+               md5(text || ' ' || {_img_case}) AS nfkc_md5
+        FROM documents
     """
     # GPS strip: construction truth over the SCRUBBED re-probe
     oracles['exif_strip_gps'] = """

@@ -1412,3 +1412,38 @@ def soundex_keys(documents: DataFrame, name_col: str = 'name'
     return documents.select('doc_id', F.col(name_col).alias('name'),
                             soundex_key(F.col(name_col))
                             .alias('soundex'))
+
+
+def nfkc_normalize_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, was_changed, n_chars_before, n_chars_after, text_nfkc):
+    Unicode NFKC COMPATIBILITY normalization — the tokenizer-facing
+    sibling of nfc_normalize_docs (ligatures, fullwidth forms,
+    circled/superscript digits and letter-like symbols collapse to
+    their plain equivalents: the SentencePiece/BERT preprocessing
+    convention). CPython unicodedata does the UAX #15 work
+    Arrow-batched; DuckDB's utf8proc exposes only NFC, so the gate
+    oracle is CONSTRUCTION TRUTH over planted compatibility
+    characters whose NFKC image is a known constant — the plants
+    cover ligatures (ﬁ), fullwidth ASCII, circled and superscript
+    digits, the Kelvin/Angstrom letter-likes and squared units."""
+    out_schema = ('doc_id long, was_changed boolean, '
+                  'n_chars_before long, n_chars_after long, '
+                  'text_nfkc string')
+
+    def batch(frames):
+        import unicodedata
+
+        import pandas as pd
+        for pdf in frames:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+                s = text or ''
+                t = unicodedata.normalize('NFKC', s)
+                rows.append((doc_id, t != s, len(s), len(t), t))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'was_changed',
+                               'n_chars_before', 'n_chars_after',
+                               'text_nfkc'])
+
+    return (documents.select('doc_id', 'text')
+            .mapInPandas(batch, out_schema))

@@ -3123,3 +3123,19 @@ def test_stem_tokens_spark(spark):
     import hashlib
     want = 'the poni were hop and agre gladli'
     assert r['stems_md5'] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_nfkc_normalize_compat_forms(spark):
+    from mineru_html_spark.functions.text import nfkc_normalize_docs
+    docs = spark.createDataFrame(
+        [(1, 'oﬃce work'),           # ffi ligature
+         (2, 'ａｂｃ'),        # fullwidth abc
+         (3, 'plain ascii'),
+         (4, 'café')],                # NFC-composed, NFKC-stable
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in nfkc_normalize_docs(docs).collect()}
+    assert got[1]['text_nfkc'] == 'office work'
+    assert got[1]['was_changed'] and got[1]['n_chars_after'] == 11
+    assert got[2]['text_nfkc'] == 'abc'
+    assert not got[3]['was_changed']
+    assert not got[4]['was_changed']       # compat-stable composed é
