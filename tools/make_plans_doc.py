@@ -397,6 +397,40 @@ def main():
                 [r'Project|Scan|WholeStageCodegen|Exchange'],
                 max_lines=8)))
 
+    sections.append((
+        'Zero-exchange quality screens (extract_entities)',
+        'Six regex extractions + counts + sequence md5s in ONE codegen '
+        'projection — no exchange anywhere in the plan.',
+        trimmed(plan_of(entry.q_extract_entities(spark, SF)),
+                [r'Project|Scan|WholeStageCodegen|Exchange'],
+                max_lines=8)))
+
+    sections.append((
+        'TPC-H Q2 (derived supply relation, all dims broadcast)',
+        'The only big exchange is lineitem\'s groupBy; part/supplier/'
+        'nation/region and the per-part min all ride BroadcastExchange '
+        '— no SortMergeJoin in the plan.',
+        trimmed(plan_of(entry.queries()['tpch_q2'](spark, SF)),
+                [r'Join|Exchange|HashAggregate'],
+                max_lines=14)))
+
+    sections.append((
+        'PQ ADC probe (codes only, top-k)',
+        'Scoring is table lookups over the code columns + '
+        'TakeOrderedAndProject: no join, no re-read of the vectors.',
+        trimmed(plan_of(entry.q_pq_probe(spark, SF)),
+                [r'TakeOrdered|Project|Scan|Exchange'],
+                max_lines=8)))
+
+    sections.append((
+        'Curriculum global numbering (range exchange behind the cut)',
+        'The final plan consumes the checkpointed ranked frame '
+        '(ExistingRDD) and broadcasts only the per-range offsets — no '
+        'single-reducer sort of the corpus.',
+        trimmed(plan_of(entry.queries()['curriculum_order'](spark, SF)),
+                [r'Exchange|Scan|Window|Broadcast'],
+                max_lines=10)))
+
     out = ['# PLANS — physical-plan evidence (`.explain`)', '',
            'Captured from the live engine at sf=0.01; the properties below '
            'are the ones that keep the job viable at 100 TB.', '']
