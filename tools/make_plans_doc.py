@@ -1,5 +1,11 @@
 """Generate PLANS.md: physical-plan evidence for the headline operators.
 
+NOTE: PLANS.md also carries HAND-CURATED sections appended after the
+generated block (window-12/15 evidence, per-operator captures made
+during reviews). Regenerating OVERWRITES the file — re-append the
+curated tail (everything from "## AllPairs prefix-filtered Jaccard
+join" onward in the previous git version) after running this.
+
 Shows, straight from `.explain`, that the engine gets the plans a 100 TB
 deployment needs: column-pruned scans (ReadSchema), pushed filters,
 broadcast anti-joins, TakeOrderedAndProject top-k, single salted exchange
