@@ -5862,6 +5862,18 @@ def q_nfkc_normalize(spark, sf_dir):
                       F.md5('text_nfkc').alias('nfkc_md5'))
 
 
+def q_mtld_profile(spark, sf_dir):
+    """MTLD lexical diversity (McCarthy & Jarvis 2010) as exact
+    integers: per-direction factor counts plus the trailing partial
+    factor as a rational (25*(k-t), 7*k), the published two-direction
+    mean floored to milli — repetitive boilerplate scores low
+    regardless of document length, which plain TTR cannot do.
+    Committed-output oracle; factor boundaries hand-traced in
+    tests."""
+    from mineru_html_spark.functions.stem import mtld_profile
+    return mtld_profile(_docs(spark, sf_dir))
+
+
 def q_stem_profile(spark, sf_dir):
     """Porter stemming over the corpus — the retrieval stack's index
     normalization (search-normalization trio with accent folding and
@@ -7116,7 +7128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'align_sentences': q_align_sentences,
         'jw_block_match': q_jw_block_match,
         'stem_profile': q_stem_profile,
-        'nfkc_normalize': q_nfkc_normalize,
+        'mtld_profile': q_mtld_profile,
         'html_meta': q_html_meta,
         'feed_extract': q_feed_extract,
         'wordpiece_train': q_wordpiece_train,
@@ -7160,6 +7172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'latex_extract': q_latex_extract,
         'table_extract': q_table_extract,
         'recrawl_schedule': q_recrawl,
+        'nfkc_normalize': q_nfkc_normalize,
         'site_template': q_site_template,
         'chrf_eval': q_chrf_eval,
         'inverted_index': q_inverted_index,
@@ -7666,7 +7679,7 @@ def oracle_sql() -> dict[str, str]:
                      'pdf_image_spans', 'sqlite_extract',
                      'microdata_extract', 'bbpe_train', 'bbpe_apply',
                      'align_sentences', 'jw_block_match',
-                     'stem_profile')
+                     'stem_profile', 'mtld_profile')
     }
     # the star-CC twin is value-checked against HASH-MIN's committed
     # output — the gate itself certifies the two component algorithms

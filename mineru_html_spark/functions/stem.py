@@ -186,3 +186,76 @@ def stem_tokens(documents, text_col: str = 'text'):
             .mapInPandas(run, 'doc_id long, n_tokens long, '
                               'n_distinct_stems long, '
                               'stems_md5 string'))
+
+
+def _mtld_pass(tokens: list) -> tuple:
+    """(factors, partial_num, partial_den) for one direction of MTLD
+    (McCarthy & Jarvis 2010): a factor completes when the running
+    type-token ratio drops below 0.72 — compared as integers
+    (types*25 < tokens*18); the trailing partial factor is the exact
+    rational (1 - TTR)/(1 - 0.72) = 25*(k-t) / (7*k)."""
+    factors = 0
+    types: set = set()
+    k = 0
+    for tok in tokens:
+        k += 1
+        types.add(tok)
+        if len(types) * 25 < k * 18:
+            factors += 1
+            types.clear()
+            k = 0
+    if k == 0:
+        return factors, 0, 1
+    return factors, 25 * (k - len(types)), 7 * k
+
+
+def mtld_milli(tokens: list) -> tuple:
+    """(n_tokens, fwd_factors, fwd_num, fwd_den, bwd_factors,
+    bwd_num, bwd_den, mtld_milli): MTLD as exact integers — each
+    direction's count is N / (factors + partial), the published
+    score is the mean of the two directions, and mtld_milli is the
+    floor of 1000x the exact Fraction (0 for token-free or
+    factor-free degenerate inputs, stated)."""
+    from fractions import Fraction
+    n = len(tokens)
+    ff, fn, fd = _mtld_pass(tokens)
+    bf, bn, bd = _mtld_pass(tokens[::-1])
+    vals = []
+    for fac, num, den in ((ff, fn, fd), (bf, bn, bd)):
+        denom = Fraction(fac) + Fraction(num, den)
+        if denom > 0:
+            vals.append(Fraction(n) / denom)
+    m = int(1000 * sum(vals) / len(vals)) if vals else 0
+    return n, ff, fn, fd, bf, bn, bd, m
+
+
+def mtld_profile(documents, text_col: str = 'text'):
+    """(doc_id, n_tokens, fwd_factors, fwd_num, fwd_den, bwd_factors,
+    bwd_num, bwd_den, mtld_milli): per-doc MTLD lexical diversity —
+    the length-robust TTR successor used in text-quality stacks
+    (repetitive boilerplate scores low regardless of document
+    length). Arrow-batched row-local, integers only out."""
+    import re
+
+    import pandas as pd
+
+    tok = re.compile(r'[a-z0-9]+')
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf['doc_id'], pdf[text_col]):
+                rows.append((doc_id,)
+                            + mtld_milli(tok.findall(
+                                str(text).lower())))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'n_tokens', 'fwd_factors',
+                               'fwd_num', 'fwd_den', 'bwd_factors',
+                               'bwd_num', 'bwd_den', 'mtld_milli'])
+
+    return (documents.select('doc_id', text_col)
+            .mapInPandas(run, 'doc_id long, n_tokens long, '
+                              'fwd_factors long, fwd_num long, '
+                              'fwd_den long, bwd_factors long, '
+                              'bwd_num long, bwd_den long, '
+                              'mtld_milli long'))

@@ -3139,3 +3139,19 @@ def test_nfkc_normalize_compat_forms(spark):
     assert got[2]['text_nfkc'] == 'abc'
     assert not got[3]['was_changed']
     assert not got[4]['was_changed']       # compat-stable composed é
+
+
+def test_mtld_hand_trace_and_spark(spark):
+    from mineru_html_spark.functions.stem import (_mtld_pass,
+                                                  mtld_milli,
+                                                  mtld_profile)
+    # a,b,a,a,a,a: factor at k=3 (2*25 < 3*18), again at k=2
+    assert _mtld_pass(['a', 'b', 'a', 'a', 'a', 'a']) == (2, 0, 7)
+    assert mtld_milli(['a', 'b', 'a', 'a', 'a', 'a'])[-1] == 3000
+    # all-distinct short text never completes a factor: stated 0
+    assert mtld_milli(list('abcdefgh'))[-1] == 0
+    assert mtld_milli([])[-1] == 0
+    r = mtld_profile(spark.createDataFrame(
+        [(1, 'a b a a a a')], 'doc_id long, text string')).collect()[0]
+    assert (r['fwd_factors'], r['fwd_num'], r['fwd_den']) == (2, 0, 7)
+    assert r['mtld_milli'] == 3000

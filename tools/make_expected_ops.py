@@ -38,7 +38,8 @@ NAMES = ('minhash_pairs', 'simhash_dups', 'ann_lsh_topk', 'rouge_self',
          'xlsx_extract', 'exif_orient', 'cdc_chunks', 'audio_fp', 'tiff_decode', 'audio_probe',
          'bmp_decode', 'pdf_image_spans', 'sqlite_extract',
          'microdata_extract', 'bbpe_train', 'bbpe_apply',
-         'align_sentences', 'jw_block_match', 'stem_profile')
+         'align_sentences', 'jw_block_match', 'stem_profile',
+         'mtld_profile')
 
 
 def main():
