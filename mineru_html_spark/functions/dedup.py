@@ -813,9 +813,14 @@ def containment_join(documents: DataFrame, k: int = 3,
     """
     from pyspark.sql import Window
 
+    # SIX consumers read this frame (df count, rank attach, postings,
+    # both verify sides, sizes) — without the cut Spark re-runs the
+    # full-text shingle explode per branch (measured: most of the
+    # gate's wall at sf0.1; the training-mix planner lesson)
     sh = (shingle_sets(documents, k)
           .select('doc_id', F.explode('shingles').alias('s'))
-          .select('doc_id', F.md5('s').alias('sh')))
+          .select('doc_id', F.md5('s').alias('sh'))
+          .persist())
     dfreq = sh.groupBy('sh').agg(F.count('*').alias('df'))
     win = Window.partitionBy('doc_id').orderBy('df', 'sh')
     ranked = (sh.join(dfreq, 'sh')
