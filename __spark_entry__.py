@@ -5899,6 +5899,16 @@ def q_jw_block_match(spark, sf_dir):
     return jw_block_match(names)
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift over the event stream split at its median
+    day: the max ECDF gap carried as the exact integer
+    max|cumA*nB - cumB*nA| so the hash certifies the statistic, not a
+    float echo. Exact SQL mirror via the same windowed cumsums."""
+    from mineru_html_spark.functions.sessions import ks_drift
+    return ks_drift(_table(spark, sf_dir, 'events'),
+                    split_epoch=1705276800)     # 2024-01-15
+
+
 def q_dataset_card(spark, sf_dir):
     """One-row dataset datasheet (datasheets-for-datasets practice):
     doc/source counts, word volume, English share and exact duplicate
@@ -7203,6 +7213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'holt_forecast': q_holt_forecast,
         'soundex_keys': q_soundex_keys,
         'dataset_card': q_dataset_card,
+        'ks_drift': q_ks_drift,
         'exif_strip_gps': q_exif_strip_gps,
         'resolve_redirects': q_resolve_redirects,
         'temporal_join': q_temporal_join,
@@ -11224,6 +11235,35 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT u, NULL, CAST(-1 AS BIGINT), FALSE
         FROM (VALUES ('cyc1'), ('cyc2'), ('cyc3')) c(u)
+    """
+    # KS drift: exact integer max ECDF gap
+    oracles['ks_drift'] = """
+        WITH t AS (
+          SELECT value AS v,
+                 (CAST(floor(epoch(ts)) AS BIGINT) < 1705276800)
+                   AS is_a
+          FROM events),
+        p AS (
+          SELECT v,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+          FROM t GROUP BY v),
+        c AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum_a,
+                 sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum_b
+          FROM p),
+        n AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM p)
+        SELECT CAST(n.n_a AS BIGINT) AS n_a,
+               CAST(n.n_b AS BIGINT) AS n_b,
+               CAST(max(abs(c.cum_a * n.n_b - c.cum_b * n.n_a))
+                    AS BIGINT) AS d_scaled,
+               CAST((1000 * max(abs(c.cum_a * n.n_b
+                    - c.cum_b * n.n_a))) // (n.n_a * n.n_b)
+                    AS BIGINT) AS ks_permille
+        FROM c, n GROUP BY n.n_a, n.n_b
     """
     # dataset card: every aggregate mirrored
     oracles['dataset_card'] = f"""

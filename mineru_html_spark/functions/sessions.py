@@ -292,3 +292,48 @@ def holt_forecast(events: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, 'day string, y bigint, level_milli bigint, '
               'trend_milli bigint, forecast_next_milli bigint')
+
+
+def ks_drift(events: DataFrame, split_epoch: int,
+             value_col: str = 'value') -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between the event values
+    before and after ``split_epoch`` — the distribution-shift monitor
+    next to histogram_drift's binned chi-square, but bin-free: the KS
+    statistic is the max ECDF gap, and with sample sizes nA/nB it is
+    EXACTLY ``max |cumA*nB - cumB*nA| / (nA*nB)`` — an integer
+    numerator, so the gate hashes exact integers and the float is the
+    consumer's division.
+
+    Shape: one map-side-combined per-value count aggregate (the only
+    corpus exchange; values are low-cardinality measurement readings,
+    so the distinct-value table is BOUNDED — stated), one window over
+    that bounded table, one global max. Returns a single row
+    (n_a, n_b, d_scaled, ks_permille)."""
+    ep = F.unix_timestamp('ts').cast('long')
+    tagged = events.select(
+        F.col(value_col).alias('v'),
+        (ep < split_epoch).alias('is_a'))
+    per_v = (tagged.groupBy('v')
+             .agg(F.sum(F.when(F.col('is_a'), 1).otherwise(0))
+                  .alias('ca'),
+                  F.sum(F.when(F.col('is_a'), 0).otherwise(1))
+                  .alias('cb')))
+    w = (Window.orderBy('v')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_v.select(
+        'v', F.sum('ca').over(w).alias('cum_a'),
+        F.sum('cb').over(w).alias('cum_b'))
+    totals = per_v.agg(F.sum('ca').alias('n_a'),
+                       F.sum('cb').alias('n_b'))
+    gap = (cum.join(F.broadcast(totals))
+           .select('n_a', 'n_b',
+                   F.abs(F.col('cum_a') * F.col('n_b')
+                         - F.col('cum_b') * F.col('n_a'))
+                   .alias('g')))
+    return (gap.groupBy('n_a', 'n_b')
+            .agg(F.max('g').alias('d_scaled'))
+            .select(F.col('n_a').cast('long'),
+                    F.col('n_b').cast('long'),
+                    F.col('d_scaled').cast('long'),
+                    F.expr('(1000 * d_scaled) div (n_a * n_b)')
+                    .cast('long').alias('ks_permille')))

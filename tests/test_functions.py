@@ -3155,3 +3155,36 @@ def test_mtld_hand_trace_and_spark(spark):
         [(1, 'a b a a a a')], 'doc_id long, text string')).collect()[0]
     assert (r['fwd_factors'], r['fwd_num'], r['fwd_den']) == (2, 0, 7)
     assert r['mtld_milli'] == 3000
+
+
+def test_ks_drift_hand_values(spark):
+    from mineru_html_spark.functions.sessions import ks_drift
+    # A = {1,2,3} (before split), B = {3,4,5} (after)
+    rows = [(i, f'2024-01-0{1 + (0 if i < 3 else 8)} 00:00:00',
+             1, 'e', v, '{}')
+            for i, v in enumerate([1.0, 2.0, 3.0])] + \
+           [(i + 3, '2024-02-01 00:00:00', 1, 'e', v, '{}')
+            for i, v in enumerate([3.0, 4.0, 5.0])]
+    ev = spark.createDataFrame(
+        rows, 'event_id long, ts string, user_id long, '
+              'event_type string, value double, props string'
+    ).withColumn('ts', __import__('pyspark.sql.functions',
+                                  fromlist=['F']).to_timestamp('ts'))
+    r = ks_drift(ev, split_epoch=1705276800).collect()[0]
+    assert (r['n_a'], r['n_b']) == (3, 3)
+    # ECDFs: at v=2, F_A=2/3 F_B=0 -> gap 2/3: d_scaled = |2*3-0*3|=6
+    assert r['d_scaled'] == 6
+    assert r['ks_permille'] == 1000 * 6 // 9
+    # identical samples -> zero drift
+    same = ev.withColumn('ts', __import__('pyspark.sql.functions',
+                                          fromlist=['F'])
+                         .to_timestamp(__import__('pyspark.sql.functions',
+                                                  fromlist=['F'])
+                                       .lit('2024-01-01 00:00:00')))
+    r0 = ks_drift(same.union(same.withColumn(
+        'ts', __import__('pyspark.sql.functions', fromlist=['F'])
+        .to_timestamp(__import__('pyspark.sql.functions',
+                                 fromlist=['F'])
+                      .lit('2024-02-01 00:00:00')))),
+        split_epoch=1705276800).collect()[0]
+    assert r0['d_scaled'] == 0 and r0['ks_permille'] == 0
