@@ -904,10 +904,21 @@ def jw_block_match(names: DataFrame, name_col: str = 'name',
     """Record linkage round 2: within each phonetic block (the
     soundex_keys output), all pairs scored with exact-integer
     Jaro-Winkler, keeping scores >= the published 0.84 review
-    threshold. The block self-join never leaves its key (one hash
-    exchange on the block key; oversized blocks are the caller's
-    cap — same stance as fuzzy_block_match)."""
-    import pandas as pd
+    threshold.
+
+    Scale shape (the §8 lightweight-proxy pattern): the JW score
+    depends only on the NAME PAIR, never the ids, so Python scores
+    each distinct within-block (name_a, name_b) combination exactly
+    once — a frame bounded by sum(distinct-names-per-block)^2, tiny
+    versus the id-pair explosion — and the scores are attached to the
+    id pairs with a broadcast hash join that never leaves the JVM.
+    The id-pair explosion itself stays in whole-stage codegen, spread
+    over 4x defaultParallelism tasks by a cheap round-robin
+    repartition of the (small) left side so one hot phonetic block
+    cannot serialize the join. Identical output: same pairs, same
+    exact-integer scores, same >= t_milli band."""
+    sc = names.sparkSession.sparkContext
+    n_parts = 4 * sc.defaultParallelism
 
     l = names.select(F.col(key_col).alias('k'),
                      F.col('doc_id').alias('id_a'),
@@ -915,8 +926,16 @@ def jw_block_match(names: DataFrame, name_col: str = 'name',
     r = names.select(F.col(key_col).alias('k'),
                      F.col('doc_id').alias('id_b'),
                      F.col(name_col).alias('name_b'))
-    pairs = (l.join(r, 'k')
+    pairs = (l.repartition(n_parts)
+             .join(F.broadcast(r), 'k')
              .where(F.col('id_a') < F.col('id_b')))
+
+    # distinct name pairs per block: the only rows Python ever sees
+    da = names.select(F.col(key_col).alias('k'),
+                      F.col(name_col).alias('name_a')).distinct()
+    db = names.select(F.col(key_col).alias('k'),
+                      F.col(name_col).alias('name_b')).distinct()
+    cand = da.join(db, 'k')
 
     def score(it):
         for pdf in it:
@@ -925,6 +944,7 @@ def jw_block_match(names: DataFrame, name_col: str = 'name',
             out = pdf.assign(jw_milli=jw)
             yield out[out['jw_milli'] >= t_milli]
 
-    return pairs.mapInPandas(
-        score, 'k string, id_a long, name_a string, id_b long, '
-               'name_b string, jw_milli int')
+    scored = cand.mapInPandas(
+        score, 'k string, name_a string, name_b string, jw_milli int')
+    return (pairs.join(F.broadcast(scored), ['k', 'name_a', 'name_b'])
+            .select('k', 'id_a', 'name_a', 'id_b', 'name_b', 'jw_milli'))

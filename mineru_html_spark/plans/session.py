@@ -3,9 +3,13 @@
 Tuned for the production shape this engine targets (1000-executor cluster,
 100 TB input) while testable on local[N]:
   * AQE on — runtime coalescing + skew-split of the size-salted partitions.
-  * Arrow batches capped — documents are multi-KB..MB strings; a 10k-row
-    default Arrow batch of 200 KB pages would hold ~2 GB in the Python
-    worker. 256 rows bounds worker RSS without hurting vectorization.
+  * Arrow batches capped BY BYTES, not by a tiny row count — documents are
+    multi-KB..MB strings, so maxBytesPerBatch=16m bounds worker RSS the way
+    the old 256-row cap did, while small-row frames (pair tables, token
+    rows) still batch at up to 10k rows. The old 256-row cap made every
+    mapInPandas over millions of narrow rows pay ~1-3 ms of pandas
+    construction per 256 rows (measured: jw_block_match 331 s at sf1.0,
+    almost all of it batch overhead).
   * shuffle.partitions sized by caller (cores at local; ~2-3x cores/executor
     on a cluster).
 """
@@ -33,7 +37,8 @@ def get_spark(master: str | None = None,
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
-        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '256')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
+        .config('spark.sql.execution.arrow.maxBytesPerBatch', '16777216')
         .config('spark.sql.files.maxPartitionBytes', '134217728')
         .config('spark.driver.memory',
                 os.environ.get('SPARK_DRIVER_MEMORY', '8g'))

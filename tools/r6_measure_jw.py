@@ -1,0 +1,53 @@
+"""r6 measurement: jw_block_match shape at the driver's sf1.0."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from mineru_html_spark.plans.session import get_spark
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf1.0')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    spark = get_spark(f'local[{cpus}]', app_name='r6-measure',
+                      shuffle_partitions=cpus)
+
+    names = entry.q_soundex_keys(spark, sf_dir)
+    t0 = time.time()
+    n = names.count()
+    print(f'names rows: {n}  ({time.time()-t0:.2f}s)')
+
+    # block-size distribution
+    t0 = time.time()
+    blocks = (names.groupBy('soundex').count()
+              .orderBy(F.desc('count')).limit(20).collect())
+    print(f'top blocks ({time.time()-t0:.2f}s):')
+    tot_pairs = 0
+    for r in blocks:
+        print(f'  {r["soundex"]}: {r["count"]}  pairs~{r["count"]*(r["count"]-1)//2}')
+    t0 = time.time()
+    pair_count = (names.select(F.col('soundex').alias('k')).groupBy('k')
+                  .count()
+                  .select(F.sum(F.col('count') * (F.col('count') - 1) / 2)
+                          .alias('p')).collect()[0]['p'])
+    print(f'total within-block ordered pairs: {pair_count}  ({time.time()-t0:.2f}s)')
+
+    # distinct names per block (dup-name collapse potential)
+    t0 = time.time()
+    dn = (names.groupBy('soundex')
+          .agg(F.count('*').alias('n'),
+               F.countDistinct('name').alias('dn'))
+          .select(F.sum(F.col('dn') * (F.col('dn') - 1) / 2).alias('dp'),
+                  F.sum((F.col('n') - F.col('dn'))).alias('dups'))
+          .collect()[0])
+    print(f'distinct-name pairs: {dn["dp"]}  dup name rows: {dn["dups"]}  ({time.time()-t0:.2f}s)')
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
