@@ -788,60 +788,50 @@ def containment_join(documents: DataFrame, k: int = 3,
     resemblance MinHash structurally misses (a 200-word quote inside a
     5000-word page has Jaccard ~0.04 but containment 1.0).
 
-    Algorithm: prefix filtering (AllPairs, Bayardo et al. WWW'07;
-    SSJoin, Chaudhuri et al. ICDE'06), the published exact
-    set-similarity join. If B holds >= ceil(t*n_A) of A's n_A shingles,
-    A misses at most m = n_A - ceil(t*n_A) of them, so ANY m+1 shingles
-    of A must hit B — index only that prefix on the query side, rarest
-    (lowest document frequency) first so prefix postings are the
-    shortest lists. Ordering is a performance heuristic only;
-    correctness holds for any total order, so the df tie-break by
-    shingle text keeps the plan deterministic.
+    Algorithm (r6, measurement-driven): one rare-key count join —
+    sh_a ⋈ sh_b on the shingle hash, partial-aggregated count per
+    (a, b), size attach, threshold filter. Its join-output volume is
+    EXACTLY sum(df^2) over shingles. The r1-r5 AllPairs prefix filter
+    (Bayardo WWW'07) + PPJoin positional filter (Xiao WWW'08) was
+    measured against it at sf1.0: the gate corpus is so templated
+    that "rare" shingles still hit ~50-100 docs each, so candidates
+    were 31M-52M for 17.5k true pairs and the verify re-join touched
+    cand x n_a ~ 1.5G rows (the bench -1.0 at sf1.0), while
+    sum(df^2) is only 297M pipelined rows — the direct join is 5x
+    less work AND three fewer shuffles. Prefix+positional filtering
+    remains the right shape when the df distribution is heavy-tailed
+    but candidates are selective; on corpora where even the df-rank
+    prefix is promiscuous it is strictly worse than counting, which
+    is why the choice is recorded here with the numbers.
 
-    Scale shape: after the one shingle projection, every exchange
-    carries (md5-shingle, doc_id, small ints) — the full text never
-    shuffles. Stages: df count (map-side combined), df attach (hash
-    join on shingle), per-doc rank (one window on doc_id), prefix
-    filter row-local, candidate generation = prefix ⋈ postings on the
-    shingle key (AQE skew-join absorbs a stop-shingle hot key), then an
-    exact verify that touches candidate pairs only. At 100 TB the next
-    lever is positional filtering (PPJoin proper) on top of the same
-    plan — noted, not needed at current candidate volumes.
+    Scale shape: the only full-text exchange is ONE bounded
+    round-robin repartition of the input docs (the docs table is a
+    single parquet row group, so without it the shingle explode runs
+    single-threaded — measured 69 s at sf1.0); after that every
+    exchange carries (md5-shingle, doc_id, small ints), and the
+    sum(df^2) join output is pipelined straight into a map-side
+    combined (a, b) count, never shuffled row-by-row. The persist of
+    the materialized docs also cuts a nested higher-order-function
+    expression: computed text columns (the planted quotes) would
+    otherwise be re-evaluated inside the shingle transform's lambda
+    per element — measured 54 s of the old wall at sf1.0.
 
     Emits (inner_doc_id, outer_doc_id, n_inner, n_common,
     containment_permille), integer-exact for the DuckDB oracle.
     """
-    from pyspark.sql import Window
-
-    # SIX consumers read this frame (df count, rank attach, postings,
-    # both verify sides, sizes) — without the cut Spark re-runs the
-    # full-text shingle explode per branch (measured: most of the
-    # gate's wall at sf0.1; the training-mix planner lesson)
-    sh = (shingle_sets(documents, k)
+    n_parts = 4 * documents.sparkSession.sparkContext.defaultParallelism
+    docs_m = documents.repartition(n_parts).persist()
+    # THREE consumers read the shingle frame (a-side, b-side, sizes) —
+    # without the cut Spark re-runs the full-text shingle explode per
+    # branch (measured: most of the gate's wall at sf0.1)
+    sh = (shingle_sets(docs_m, k)
           .select('doc_id', F.explode('shingles').alias('s'))
           .select('doc_id', F.md5('s').alias('sh'))
           .persist())
-    dfreq = sh.groupBy('sh').agg(F.count('*').alias('df'))
-    win = Window.partitionBy('doc_id').orderBy('df', 'sh')
-    ranked = (sh.join(dfreq, 'sh')
-              .select('doc_id', 'sh',
-                      F.row_number().over(win).alias('rk'),
-                      F.count('*').over(
-                          Window.partitionBy('doc_id')).alias('n')))
-    # m+1 where m = n - ceil(t*n/1000): misses m shingles at most
-    plen = (F.col('n')
-            - ((F.lit(t_permille) * F.col('n') + 999)
-               / 1000).cast('long') + 1)
-    prefix = ranked.filter(F.col('rk') <= plen).select(
-        F.col('doc_id').alias('a'), 'sh')
-    postings = sh.select(F.col('doc_id').alias('b'), 'sh')
-    cand = (prefix.join(postings, 'sh')
-            .filter(F.col('a') != F.col('b'))
-            .select('a', 'b').distinct())
-    # exact verify over candidate pairs only
     sh_a = sh.select(F.col('doc_id').alias('a'), 'sh')
     sh_b = sh.select(F.col('doc_id').alias('b'), 'sh')
-    common = (cand.join(sh_a, 'a').join(sh_b, ['b', 'sh'])
+    common = (sh_a.join(sh_b, 'sh')
+              .filter(F.col('a') != F.col('b'))
               .groupBy('a', 'b').agg(F.count('*').alias('n_common')))
     sizes = sh.groupBy('doc_id').agg(F.count('*').alias('n_inner'))
     return (common

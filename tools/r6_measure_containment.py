@@ -1,0 +1,82 @@
+"""r6: stage-level timing of containment_join at sf1.0 (noop sink)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F, Window
+
+import __spark_entry__ as entry
+from mineru_html_spark.functions.dedup import shingle_sets
+from mineru_html_spark.plans.session import get_spark
+
+
+def noop(df, label):
+    spark = df.sparkSession
+    spark.sparkContext.setJobDescription(label)
+    t0 = time.time()
+    df.write.format('noop').mode('overwrite').save()
+    print(f'{label}: {time.time()-t0:.1f}s', flush=True)
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf1.0')
+    spark = get_spark('local[32]', app_name='r6-cont', shuffle_partitions=32)
+
+    docs = entry._docs(spark, sf_dir).select('doc_id', 'text')
+    w = F.filter(F.split(F.lower(F.trim('text')), r'[^a-z0-9]+'),
+                 lambda t: F.length(t) > 0)
+    qlen = F.greatest(F.floor(F.size(w) * 2 / 5).cast('int'), F.lit(3))
+    quotes = (docs.filter(F.col('doc_id') % 5 == 0)
+              .select((F.col('doc_id') + 2000000).alias('doc_id'),
+                      F.array_join(F.slice(w, 1, qlen), ' ').alias('text')))
+    documents = docs.unionByName(quotes)
+    k, t_permille = 3, 800
+
+    t0 = time.time()
+    sh = (shingle_sets(documents, k)
+          .select('doc_id', F.explode('shingles').alias('s'))
+          .select('doc_id', F.md5('s').alias('sh'))
+          .persist())
+    n_sh = sh.count()
+    print(f'sh rows={n_sh}  materialize={time.time()-t0:.1f}s', flush=True)
+
+    dfreq = sh.groupBy('sh').agg(F.count('*').alias('df'))
+    noop(dfreq, 'dfreq')
+
+    win = Window.partitionBy('doc_id').orderBy('df', 'sh')
+    ranked = (sh.join(dfreq, 'sh')
+              .select('doc_id', 'sh',
+                      F.row_number().over(win).alias('rk'),
+                      F.count('*').over(
+                          Window.partitionBy('doc_id')).alias('n')))
+    noop(ranked, 'ranked (join+2 windows)')
+
+    plen = (F.col('n')
+            - ((F.lit(t_permille) * F.col('n') + 999) / 1000).cast('long')
+            + 1)
+    prefix = ranked.filter(F.col('rk') <= plen).select(
+        F.col('doc_id').alias('a'), 'sh')
+    postings = sh.select(F.col('doc_id').alias('b'), 'sh')
+    t0 = time.time()
+    n_pref = prefix.count()
+    print(f'prefix rows={n_pref} ({time.time()-t0:.1f}s)', flush=True)
+
+    cand = (prefix.join(postings, 'sh')
+            .filter(F.col('a') != F.col('b'))
+            .select('a', 'b').distinct())
+    t0 = time.time()
+    n_cand = cand.count()
+    print(f'cand rows={n_cand} ({time.time()-t0:.1f}s)', flush=True)
+
+    sh_a = sh.select(F.col('doc_id').alias('a'), 'sh')
+    sh_b = sh.select(F.col('doc_id').alias('b'), 'sh')
+    common = (cand.join(sh_a, 'a').join(sh_b, ['b', 'sh'])
+              .groupBy('a', 'b').agg(F.count('*').alias('n_common')))
+    noop(common, 'verify (cand x shingles)')
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
