@@ -64,6 +64,14 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
 
 
+
+def _io_parts(spark: SparkSession) -> int:
+    """Shard count for the roundtrip sink/source gates: scaled with the
+    session (not a constant 4) so the write AND the readback — gzip/tar
+    members read one task per file — run as wide as the box; at cluster
+    scale defaultParallelism makes this the usual 2x-cores shape."""
+    return 2 * spark.sparkContext.defaultParallelism
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
 
@@ -489,7 +497,8 @@ def q_tfrecord_roundtrip(spark, sf_dir):
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f'mineru_tfrec_gate_{os.path.basename(sf_dir.rstrip("/"))}')
-    write_tfrecords(docs.repartition(4, 'doc_id'), out_dir)
+    write_tfrecords(docs.repartition(_io_parts(spark), 'doc_id'),
+                    out_dir)
     back = read_tfrecords(spark, os.path.join(out_dir,
                                               'part-*.tfrecord'))
     return back.select('doc_id', F.md5('text').alias('text_md5'),
@@ -515,7 +524,7 @@ def q_webdataset_roundtrip(spark, sf_dir):
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f'mineru_wds_gate_{os.path.basename(sf_dir.rstrip("/"))}')
-    write_webdataset(docs.repartition(4, 'doc_id'), out_dir,
+    write_webdataset(docs.repartition(_io_parts(spark), 'doc_id'), out_dir,
                      max_shard_bytes=256 * 1024)
     back = read_webdataset(spark, os.path.join(out_dir, 'part-*.tar'))
     return back.select(
@@ -947,7 +956,7 @@ def q_pyds_write_roundtrip(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     (_docs(spark, sf_dir)
      .select('doc_id', 'text', 'lang', 'source', 'n_chars')
-     .repartition(4)
+     .repartition(_io_parts(spark))
      .write.format('jsonldocs').option('path', base)
      .mode('overwrite').save())
     return (spark.read.format('jsonldocs').option('path', base).load()
@@ -6221,7 +6230,7 @@ def q_warc_roundtrip(spark, sf_dir):
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f'mineru_warc_sink_gate_{os.path.basename(sf_dir.rstrip("/"))}')
-    write_warc(wrapped.repartition(4, 'doc_id'), out_dir)
+    write_warc(wrapped.repartition(_io_parts(spark), 'doc_id'), out_dir)
     back = read_warc(spark, os.path.join(out_dir, 'part-*.warc.gz'))
     return back.select(
         'doc_id', 'url',

@@ -39,6 +39,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 # deterministic gear table: 256 x uint64 from md5(i) — no RNG, stable
 # across runs/executors/build environments
 _GEAR = np.frombuffer(
@@ -158,5 +160,5 @@ def synth_cdc_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({'doc_id': pdf['doc_id'],
                                 'payload': payloads})
 
-    return (docs.select('doc_id')
+    return (spread(docs.select('doc_id'))
             .mapInPandas(batches, 'doc_id long, payload binary'))

@@ -101,7 +101,8 @@ def dsir_weights(documents: DataFrame,
     # referencing the _words() EXPRESSION inside transform would
     # re-split the whole text once per element (O(n^2) on a giant doc —
     # a 37k-word page turned this stage into a hang before the fix)
-    wt = documents.select('doc_id', _words().alias('w'))
+    from .par import spread
+    wt = spread(documents.select('doc_id', _words().alias('w')))
     w = F.col('w')
     feats = F.concat(
         w, F.when(F.size(w) < 2, F.array().cast('array<string>'))
@@ -645,7 +646,8 @@ def exact_substr_spans(documents: DataFrame, k: int = 10,
     the family. No HOF captures any O(len) expression (the audit's
     rule): the word array is materialized behind a select boundary.
     """
-    docs = documents.select('doc_id', _words().alias('w'))
+    from .par import spread
+    docs = spread(documents.select('doc_id', _words().alias('w')))
     w = F.col('w')
     wins = F.when(
         F.size(w) < k, F.array().cast('array<struct<i:int,h:string>>')

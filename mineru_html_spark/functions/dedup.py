@@ -138,7 +138,8 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
     cols = ['doc_id', 'text'] + ([ts_col] if ts_col else [])
     schema = 'doc_id long, sig array<long>' + (
         f', {ts_col} timestamp' if ts_col else '')
-    return documents.select(*cols).mapInPandas(batch, schema)
+    from .par import spread
+    return spread(documents.select(*cols)).mapInPandas(batch, schema)
 
 
 def lsh_candidate_pairs(documents: DataFrame, k: int = 3,
@@ -240,7 +241,8 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document (Arrow-batched pandas UDF)."""
-    return documents.select('doc_id', 'text').mapInPandas(
+    from .par import spread
+    return spread(documents.select('doc_id', 'text')).mapInPandas(
         _simhash_batch, _SIMHASH_SCHEMA)
 
 

@@ -27,6 +27,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 # word tokens, or RUNS of CJK codepoints (segmented by _seg_cjk)
 _TOKEN_RE = re.compile(
     r'[a-z0-9]+|[一-鿿぀-ヿ가-힣]+')
@@ -130,7 +132,7 @@ def rouge_eval(pairs: DataFrame, n: int = 5,
                              'f1_micro': int(round(f1 * 1000000))})
             yield pd.DataFrame(rows, columns=['doc_id', 'prec_micro',
                                               'rec_micro', 'f1_micro'])
-    return pairs.mapInPandas(batch, ROUGE_SCHEMA)
+    return spread(pairs).mapInPandas(batch, ROUGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +200,7 @@ def chrf_eval(pairs: DataFrame, max_n: int = 6,
             yield pd.DataFrame(rows, columns=[
                 'doc_id', 'chrf2_milli', 'n_match', 'n_hyp', 'n_ref'])
 
-    return (pairs.select('doc_id', hyp_col, ref_col)
+    return (spread(pairs.select('doc_id', hyp_col, ref_col))
             .mapInPandas(batch, CHRF_SCHEMA))
 
 
@@ -256,7 +258,7 @@ def squad_eval(pairs: DataFrame, pred_col: str = 'pred',
                 'doc_id', 'em', 'f1_milli', 'n_common', 'n_pred',
                 'n_gold'])
 
-    return (pairs.select('doc_id', pred_col, gold_col)
+    return (spread(pairs.select('doc_id', pred_col, gold_col))
             .mapInPandas(batch, EMF1_SCHEMA))
 
 
@@ -316,7 +318,7 @@ def bleu_eval(pairs: DataFrame, hyp_col: str = 'hyp',
                 rows.append((doc_id,) + bleu_stats(hyp, ref))
             yield pd.DataFrame(rows, columns=cols)
 
-    return (pairs.select('doc_id', hyp_col, ref_col)
+    return (spread(pairs.select('doc_id', hyp_col, ref_col))
             .mapInPandas(batch, BLEU_SCHEMA))
 
 
@@ -408,7 +410,7 @@ def rouge_l_eval(pairs: DataFrame, limit: int = 400,
             yield pd.DataFrame(rows, columns=[
                 'doc_id', 'lcs', 'hyp_len', 'ref_len', 'f1_milli'])
 
-    return (pairs.select('doc_id', hyp_col, ref_col)
+    return (spread(pairs.select('doc_id', hyp_col, ref_col))
             .mapInPandas(batch, ROUGEL_SCHEMA))
 
 
@@ -497,7 +499,7 @@ def wer_eval(pairs: DataFrame, hyp_col: str = 'hyp',
                              1000 * d // max(len(rw), 1)))
             yield pd.DataFrame(rows, columns=cols)
 
-    return (pairs.select('doc_id', hyp_col, ref_col)
+    return (spread(pairs.select('doc_id', hyp_col, ref_col))
             .mapInPandas(batch, WER_SCHEMA))
 
 
@@ -534,7 +536,7 @@ def cer_eval(pairs: DataFrame, hyp_col: str = 'hyp',
                              1000 * d // max(len(rc), 1)))
             yield pd.DataFrame(rows, columns=cols)
 
-    return (pairs.select('doc_id', hyp_col, ref_col)
+    return (spread(pairs.select('doc_id', hyp_col, ref_col))
             .mapInPandas(batch, CER_SCHEMA))
 
 

@@ -1099,5 +1099,6 @@ def align_sentences(pairs: DataFrame, src_col: str = 'src_sents',
                                'shape_b', 'src_end', 'tgt_end',
                                'cost'])
 
-    return (pairs.select('doc_id', src_col, tgt_col)
+    from .par import spread
+    return (spread(pairs.select('doc_id', src_col, tgt_col))
             .mapInPandas(run, ALIGN_ROWS_DDL))

@@ -1232,7 +1232,8 @@ def repetition_signals(documents: DataFrame,
                     for did, txt in zip(pdf['doc_id'], pdf[text_col])]
             yield pd.DataFrame(rows, columns=cols)
 
-    return (documents.select('doc_id', text_col)
+    from .par import spread
+    return (spread(documents.select('doc_id', text_col))
             .mapInPandas(batch, REPETITION_SCHEMA))
 
 

@@ -31,6 +31,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 from .text import STOPWORDS
 
 TEXTRANK_SCHEMA = ('doc_id long, rank long, word string, '
@@ -92,5 +94,5 @@ def textrank_eval(documents: DataFrame, k: int = 10,
             yield pd.DataFrame(rows, columns=[
                 'doc_id', 'rank', 'word', 'score_micro'])
 
-    return (documents.select('doc_id', 'text')
+    return (spread(documents.select('doc_id', 'text'))
             .mapInPandas(batch, TEXTRANK_SCHEMA))

@@ -39,7 +39,15 @@ def get_spark(master: str | None = None,
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
         .config('spark.sql.execution.arrow.maxBytesPerBatch', '16777216')
-        .config('spark.sql.files.maxPartitionBytes', '134217728')
+        # local default 16m: the gate tables are single parquet files
+        # (lineitem 126 MB / 6 row groups), so 128m splits put a whole
+        # 6M-row scan on ONE core; 16m splits recover row-group-level
+        # parallelism. Production (many large files) overrides to
+        # 512m-1g per the large-sequential-scan guidance — env knob,
+        # same contract as SPARK_GRAFT_CPUS.
+        .config('spark.sql.files.maxPartitionBytes',
+                os.environ.get('SPARK_GRAFT_MAX_PARTITION_BYTES',
+                               '16777216'))
         .config('spark.driver.memory',
                 os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.ui.enabled', 'false')
