@@ -28,6 +28,8 @@ from typing import Iterator, List, Sequence, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 AC_SCHEMA = ('doc_id long, n_matches long, n_distinct_patterns long, '
              'first_pattern string, first_pos long')
 
@@ -120,5 +122,5 @@ def ac_blocklist_screen(documents: DataFrame,
                 'doc_id', 'n_matches', 'n_distinct_patterns',
                 'first_pattern', 'first_pos'])
 
-    return (documents.select('doc_id', 'text')
+    return (spread(documents.select('doc_id', 'text'))
             .mapInPandas(batch, AC_SCHEMA))

@@ -27,6 +27,8 @@ from typing import Iterator, Optional, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 # label aliases -> canonical name (also the python codec). Subset of the
 # WHATWG label table covering the encodings the engine can decode with
 # stdlib codecs; unknown labels fall through to the next evidence tier.
@@ -142,4 +144,4 @@ def decode_documents(raw: DataFrame, payload_col: str = 'payload',
             yield pd.DataFrame(
                 rows, columns=['doc_id', 'text', 'encoding', 'evidence'])
 
-    return raw.select(*cols).mapInPandas(batch, CHARSET_SCHEMA)
+    return spread(raw.select(*cols)).mapInPandas(batch, CHARSET_SCHEMA)

@@ -911,7 +911,8 @@ def kn_bigram_nll(documents: DataFrame, vocab: int = 4096,
     bigrams once and partial-aggregates per doc map-side. Pass
     ``lists=(c12, c1n1, n1r, ncc)`` to reuse a materialized model (the
     production path — CCNet's LM is a static artifact)."""
-    w = documents.select('doc_id', _words().alias('w'))
+    from .par import spread
+    w = spread(documents.select('doc_id', _words().alias('w')))
     spark = documents.sparkSession
 
     def bigrams(df):

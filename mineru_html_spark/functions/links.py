@@ -29,6 +29,8 @@ from typing import Iterator, List, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 LINK_ROWS_SCHEMA = ('doc_id string, link_idx int, href string, '
                     'anchor string, kind string, nofollow boolean')
 
@@ -100,7 +102,7 @@ def extract_links(docs: DataFrame) -> DataFrame:
                                               'href', 'anchor', 'kind',
                                               'nofollow'])
 
-    return docs.select('doc_id', 'spans').mapInPandas(
+    return spread(docs.select('doc_id', 'spans')).mapInPandas(
         batch, LINK_ROWS_SCHEMA)
 
 

@@ -42,6 +42,8 @@ from typing import Iterator, List, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 from ..core.dom import Node, parse_html
 from ..core.jsonrepair import JsonRepairError, parse_tolerant
 
@@ -182,7 +184,7 @@ def extract_page_meta(docs: DataFrame) -> DataFrame:
                 rows.append((doc_id,) + tuple(rec[c] for c in cols[1:]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select('doc_id', 'spans').mapInPandas(
+    return spread(docs.select('doc_id', 'spans')).mapInPandas(
         batch, META_ROWS_SCHEMA)
 
 
@@ -256,7 +258,7 @@ def robots_meta(docs: DataFrame, html_col: str = 'html') -> DataFrame:
                              r['nosnippet']))
             yield pd.DataFrame(rows, columns=cols)
 
-    return (docs.select('doc_id', html_col)
+    return (spread(docs.select('doc_id', html_col))
             .mapInPandas(batch, ROBOTS_META_SCHEMA))
 
 
@@ -371,5 +373,5 @@ def extract_microdata(docs: DataFrame, html_col: str = 'html'
                                  r['prop_path'], r['value']))
             yield pd.DataFrame(rows, columns=cols)
 
-    return (docs.select('doc_id', html_col)
+    return (spread(docs.select('doc_id', html_col))
             .mapInPandas(batch, MICRODATA_ROWS_SCHEMA))

@@ -25,6 +25,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 _HEADINGS = {'h1': 1, 'h2': 2, 'h3': 3, 'h4': 4, 'h5': 5, 'h6': 6}
 _SKIP_SUBTREES = {'script', 'style', 'noscript', 'template'}
 
@@ -117,7 +119,7 @@ def extract_outline(docs: DataFrame, html_col: str = 'html') -> DataFrame:
                 'doc_id', 'sec_idx', 'level', 'title', 'path',
                 'n_words'])
 
-    return (docs.select('doc_id', html_col)
+    return (spread(docs.select('doc_id', html_col))
             .mapInPandas(batches, OUTLINE_SCHEMA))
 
 

@@ -36,6 +36,8 @@ def bm25_topk(documents: DataFrame, terms: list, k: int = 20,
     scan + tiny-broadcast + top-k plan you'd want; a persistent inverted
     index is a different trade (build cost, mutation) a crawl-audit
     pass doesn't need."""
+    from .par import spread
+    documents = spread(documents)
     terms = sorted(set(terms))
     w = _words()
 

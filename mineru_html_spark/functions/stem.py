@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from .par import spread
+
 _VOWELS = set('aeiou')
 
 
@@ -182,7 +184,7 @@ def stem_tokens(documents, text_col: str = 'text'):
                     ' '.join(stems).encode()).hexdigest())
             yield pd.DataFrame(out)
 
-    return (documents.select('doc_id', text_col)
+    return (spread(documents.select('doc_id', text_col))
             .mapInPandas(run, 'doc_id long, n_tokens long, '
                               'n_distinct_stems long, '
                               'stems_md5 string'))
@@ -253,7 +255,7 @@ def mtld_profile(documents, text_col: str = 'text'):
                                'fwd_num', 'fwd_den', 'bwd_factors',
                                'bwd_num', 'bwd_den', 'mtld_milli'])
 
-    return (documents.select('doc_id', text_col)
+    return (spread(documents.select('doc_id', text_col))
             .mapInPandas(run, 'doc_id long, n_tokens long, '
                               'fwd_factors long, fwd_num long, '
                               'fwd_den long, bwd_factors long, '

@@ -38,6 +38,8 @@ from typing import Iterator, List, Optional, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 from ..core.dom import Node, parse_html
 
 TABLE_ROWS_SCHEMA = (
@@ -176,5 +178,5 @@ def extract_tables(docs: DataFrame) -> DataFrame:
                                'n_cols', 'n_header_rows', 'caption',
                                'header', 'cells'])
 
-    return docs.select('doc_id', 'spans').mapInPandas(
+    return spread(docs.select('doc_id', 'spans')).mapInPandas(
         batch, TABLE_ROWS_SCHEMA)

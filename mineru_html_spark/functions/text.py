@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 # Frozen stopword list — shared verbatim with the SQL oracles.
 STOPWORDS = (
     'the', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on',
@@ -596,7 +598,7 @@ def normalize_text(documents: DataFrame,
             t = t.map(lambda s: ws.sub(' ', ctrl.sub('', s)).strip())
             yield pd.DataFrame({'doc_id': pdf['doc_id'], 'norm_text': t})
 
-    return documents.select('doc_id', text_col).mapInPandas(
+    return spread(documents.select('doc_id', text_col)).mapInPandas(
         batch, 'doc_id long, norm_text string')
 
 
@@ -851,7 +853,7 @@ def char_entropy(documents: DataFrame,
             yield pd.DataFrame({'doc_id': pdf['doc_id'],
                                 'n_chars': ns, 'entropy_milli': ents})
 
-    out = documents.select('doc_id', 'text').mapInPandas(
+    out = spread(documents.select('doc_id', 'text')).mapInPandas(
         batch, 'doc_id long, n_chars long, entropy_milli long')
     cls = (F.when(F.col('n_chars') == 0, 'empty')
             .when(F.col('entropy_milli') < low_milli, 'low')
@@ -1018,7 +1020,7 @@ def lz78_complexity(documents: DataFrame,
                                 'n_phrases': nps, 'norm_milli': norms,
                                 'lz_class': cls})
 
-    return (documents.select('doc_id', 'text')
+    return (spread(documents.select('doc_id', 'text'))
             .mapInPandas(batch, out_schema))
 
 
@@ -1053,8 +1055,8 @@ def nfc_normalize_docs(documents: DataFrame) -> DataFrame:
                 'doc_id', 'was_changed', 'n_chars_before',
                 'n_chars_after', 'text_nfc'])
 
-    return documents.select('doc_id', 'text').mapInPandas(batch,
-                                                          out_schema)
+    return spread(documents.select('doc_id', 'text')).mapInPandas(
+        batch, out_schema)
 
 
 def with_lz78_complexity(documents: DataFrame,
@@ -1270,7 +1272,7 @@ def fold_accents(documents: DataFrame,
             yield pd.DataFrame({'doc_id': pdf['doc_id'], 'folded': f,
                                 'n_chars': f.map(len).astype('int64')})
 
-    return documents.select('doc_id', text_col).mapInPandas(
+    return spread(documents.select('doc_id', text_col)).mapInPandas(
         batch, 'doc_id long, folded string, n_chars long')
 
 
@@ -1446,5 +1448,5 @@ def nfkc_normalize_docs(documents: DataFrame) -> DataFrame:
                                'n_chars_before', 'n_chars_after',
                                'text_nfkc'])
 
-    return (documents.select('doc_id', 'text')
+    return (spread(documents.select('doc_id', 'text'))
             .mapInPandas(batch, out_schema))
