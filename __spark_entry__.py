@@ -6134,8 +6134,9 @@ def _exif_gate_media(spark, sf_dir):
                                                   insert_app1)
     from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
 
-    docs = _docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0) \
-        .select('doc_id')
+    from mineru_html_spark.functions.par import spread
+    docs = spread(_docs(spark, sf_dir).where(F.col('doc_id') % 25 == 0)
+                  .select('doc_id'))
 
     def batch(it):
         import pandas as pd

@@ -24,6 +24,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -645,7 +647,7 @@ def allpairs_join(documents: DataFrame, k: int = 3,
                 {'doc_id': pd.Series(ids, dtype='int64'),
                  'hs': pd.Series(sets, dtype='object')})
 
-    hs = (documents.select('doc_id', 'text')
+    hs = (spread(documents.select('doc_id', 'text'))
           .mapInPandas(hash_sets, 'doc_id long, hs array<string>')
           .withColumn('n', F.size('hs'))
           .localCheckpoint(eager=False))

@@ -25,6 +25,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 # TIFF value types: id -> byte size
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
@@ -268,7 +270,7 @@ def exif_probe(media: DataFrame) -> DataFrame:
                 rows.append(dict(exif_from_jpeg(payload), media_ref=ref))
             yield pd.DataFrame(rows, columns=cols)
 
-    return media.select('media_ref', 'payload').mapInPandas(
+    return spread(media.select('media_ref', 'payload')).mapInPandas(
         batch, EXIF_SCHEMA)
 
 

@@ -19,6 +19,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .par import spread
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -77,7 +79,7 @@ def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
                 sig |= signs[:, b].astype(np.int64) << b
             yield pd.DataFrame({'vec_id': pdf['vec_id'], 'sig': sig})
 
-    return embeddings.select('vec_id', vec_col).mapInPandas(
+    return spread(embeddings.select('vec_id', vec_col)).mapInPandas(
         batch, 'vec_id long, sig long')
 
 
@@ -234,7 +236,8 @@ def ivf_assign(embeddings: DataFrame, cents: 'np.ndarray',
     if keep_vec:
         vtype = dict(embeddings.dtypes)[vec_col]
         schema += f', {vec_col} {vtype}'
-    return embeddings.select('vec_id', vec_col).mapInPandas(assign, schema)
+    return spread(embeddings.select('vec_id', vec_col)).mapInPandas(
+        assign, schema)
 
 
 def ivf_index(embeddings: DataFrame, dim: int, n_lists: int = 16,
