@@ -1,0 +1,71 @@
+"""Targeted per-query benchmark (optimization-round tooling; bench.py is
+frozen for the driver's measurement — this file only feeds
+OPTIMIZATION_r*.md evidence).
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 SPARK_GRAFT_CPUS=32 \
+        python bench_extra.py q1 q2 ...
+
+Differences from bench.py, per the optimization guide §1.4/§1.5:
+  - runs ONLY the named queries (default: none — pass names);
+  - times a noop-format write (every column of every row computed,
+    nothing collected) instead of .count(), isolating computation;
+  - labels each job via setJobDescription;
+  - single run per query by default (--repeat N for best-of-N).
+Prints one JSON line {"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    repeat = 1
+    for a in sys.argv[1:]:
+        if a.startswith('--repeat='):
+            repeat = int(a.split('=', 1)[1])
+
+    import __spark_entry__ as entry
+    from mineru_html_spark.plans.session import get_spark
+
+    sf = entry._sf_of(sf_dir)
+    spark = get_spark(f'local[{cpus}]', app_name='bench_extra',
+                      shuffle_partitions=cpus)
+
+    qs = entry.queries()
+    unknown = [n for n in args if n not in qs]
+    if unknown:
+        print(f'unknown queries: {unknown}', file=sys.stderr)
+        sys.exit(2)
+
+    timings = {}
+    for name in args:
+        best = None
+        try:
+            for _ in range(max(1, repeat)):
+                spark.sparkContext.setJobDescription(f'bench_extra:{name}')
+                t0 = time.time()
+                (qs[name](spark, sf_dir).write.format('noop')
+                 .mode('overwrite').save())
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as e:
+            print(f'{name} FAILED: {e}', file=sys.stderr)
+            timings[name] = -1.0
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    print(json.dumps({'queries': timings, 'sf': sf, 'cpus': cpus}))
+
+
+if __name__ == '__main__':
+    main()

@@ -910,9 +910,14 @@ def kn_bigram_nll(documents: DataFrame, vocab: int = 4096,
     <=V^2 observed) and BROADCAST to the probe; the corpus explodes its
     bigrams once and partial-aggregates per doc map-side. Pass
     ``lists=(c12, c1n1, n1r, ncc)`` to reuse a materialized model (the
-    production path — CCNet's LM is a static artifact)."""
-    from .par import spread
-    w = spread(documents.select('doc_id', _words().alias('w')))
+    production path — CCNet's LM is a static artifact).
+
+    Deliberately NOT spread(): this frame feeds five aggregation
+    branches plus the probe, and a prepended round-robin exchange is
+    re-materialized per broadcast-build subquery — measured +1.0-1.5 s
+    at sf0.1 against zero sf1.0 benefit (the per-branch map side is the
+    narrow scan either way)."""
+    w = documents.select('doc_id', _words().alias('w'))
     spark = documents.sparkSession
 
     def bigrams(df):

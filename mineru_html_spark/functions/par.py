@@ -15,9 +15,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition to ``factor * defaultParallelism`` iff the
-    physical input has fewer partitions than the session parallelism."""
+    physical input has fewer partitions than the session parallelism.
+
+    factor=1 (not 2): the spread targets operators whose rows carry
+    near-uniform Python cost, so parallelism = cores already saturates
+    the box, and the measured overhead of over-partitioning is real —
+    at sf0.1 kn_bigram paid +1.5 s for a 64-target vs +0.1 s for 32
+    (every broadcast-build job re-runs the wider exchange), while the
+    sf1.0 single-core pathologies this helper fixes (cer_eval 88 s)
+    are indifferent to 32 vs 64."""
     if df.isStreaming:
         # micro-batch partitioning is the source's concern; stateful
         # stages downstream shuffle by key anyway

@@ -1,0 +1,36 @@
+"""Dump .explain('formatted') for the round-6 touched queries.
+
+Usage: python tools/capture_plans_r06.py <outdir> <suffix> [query ...]
+Runs against the CURRENT tree (run it from a round-start worktree to get
+the _before captures). sf0.1 input — plan shape, not timing, is the point.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+OUT = sys.argv[1]
+SUFFIX = sys.argv[2]
+NAMES = sys.argv[3:]
+
+os.makedirs(OUT, exist_ok=True)
+
+import __spark_entry__ as entry  # noqa: E402
+from mineru_html_spark.plans.session import get_spark  # noqa: E402
+
+sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+spark = get_spark('local[8]', app_name='plans_r06', shuffle_partitions=8)
+qs = entry.queries()
+
+for name in NAMES:
+    try:
+        df = qs[name](spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString('formatted'))
+    except Exception as e:  # capture the failure rather than dying
+        txt = f'EXPLAIN FAILED: {e!r}\n'
+    with open(os.path.join(OUT, f'{name}_{SUFFIX}.txt'), 'w') as f:
+        f.write(txt)
+    print(f'{name}: {len(txt)} bytes')

@@ -1,0 +1,43 @@
+"""Controlled 16x-headline pairing (VERDICT r5 item 2): time the
+extraction headline exactly as frozen bench.py does, on whichever tree's
+directory this script is invoked from. Run back-to-back on the
+round-start worktree and HEAD in one quiet window."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.getcwd())
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+
+    import __spark_entry__ as entry
+    from mineru_html_spark.core.synth import docs_for_sf
+    from mineru_html_spark.plans.job import run_extraction
+    from mineru_html_spark.plans.session import get_spark
+    from mineru_html_spark.sources.synthsource import materialized_docs
+
+    sf = entry._sf_of(sf_dir)
+    n_docs = 16 * docs_for_sf(sf)
+    spark = get_spark(f'local[{cpus}]', app_name='headline_pair',
+                      shuffle_partitions=cpus)
+    docs = materialized_docs(spark, n_docs)
+    res = run_extraction(spark, docs, num_partitions=4 * cpus)
+    res.count()  # warmup, exactly like bench.py
+    best, n_out = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n_out = res.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({'tree': os.getcwd(), 'sf': sf, 'n_docs': n_docs,
+                      'headline_sec': round(best, 3),
+                      'docs_per_sec': round(n_out / best, 2)}))
+
+
+if __name__ == '__main__':
+    main()
