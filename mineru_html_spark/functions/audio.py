@@ -228,7 +228,11 @@ def synth_audio_df(spark: SparkSession, n: int,
             yield pd.DataFrame(
                 rows, columns=['media_ref', 'payload', 'mime',
                                'sample_rate', 'n_samples', 'n_channels'])
-    return spark.range(n).mapInPandas(batch, AUDIO_SCHEMA)
+    # size-adaptive width: ~1 ms of Python per clip means 32 one-row
+    # tasks are pure scheduling overhead at gate n; large n still fans
+    # out to the session's full parallelism (derived, not a constant)
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 8))
+    return spark.range(0, n, 1, parts).mapInPandas(batch, AUDIO_SCHEMA)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

@@ -227,16 +227,17 @@ def test_events_cube_is_single_expand_aggregate(spark, entry):
 
 
 def test_bloom_semi_join_filters_before_exchange(spark, entry):
-    """The runtime-filter claim: the packed-bloom probe (conv over md5
-    substrings against the literal word array) must run in the big
-    side's SCAN stage — i.e. appear as a Filter BELOW the first
+    """The runtime-filter claim: the packed-bloom probe (seeded
+    xxhash64 positions against the literal word array — the r6 cheap
+    probe; md5/conv stays only where the oracle mirrors it) must run in
+    the big side's SCAN stage — i.e. appear as a Filter BELOW the first
     Exchange on the lineitem branch — so the shuffle moves only
     bloom-surviving rows."""
     p = plan_of(entry.q_bloom_semi_join(spark, SF))
-    assert 'conv(' in p and 'md5(' in p
+    assert 'xxhash64(' in p
     lines = p.splitlines()
     probe_at = min(i for i, ln in enumerate(lines)
-                   if 'md5(' in ln and 'Filter' in ln)
+                   if 'xxhash64(' in ln and 'Filter' in ln)
     scan_at = max(i for i, ln in enumerate(lines)
                   if 'Scan parquet' in ln and 'lineitem' in ln)
     # tree prints root-first: the probe Filter must sit between the
