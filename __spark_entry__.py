@@ -40,6 +40,8 @@ _STOP_SQL = ', '.join(f"'{w}'" for w in tx.STOPWORDS)
 # one token definition everywhere: the oracle pattern is the engine's
 # (core/tokens.py), SQL-escaped
 from mineru_html_spark.core.tokens import BPE_TOKEN_PATTERN  # noqa: E402
+from mineru_html_spark.functions.par import \
+    local_rows_df as _local_rows_df  # noqa: E402
 
 _BPE_SQL_PATTERN = BPE_TOKEN_PATTERN.replace("'", "''")
 
@@ -775,7 +777,8 @@ def q_robots_gate(spark, sf_dir):
     ]
     rows = [(f'site{m}.example', bodies[m % 5])
             for m in range(40) if bodies[m % 5] is not None]
-    robots = spark.createDataFrame(rows, 'host string, robots_txt string')
+    robots = _local_rows_df(spark, rows,
+                            'host string, robots_txt string')
     out = robots_allowed(urls, robots, agent='testbot')
     return out.select('doc_id', 'host', 'path', 'allowed',
                       'matched_pattern')
@@ -1007,9 +1010,9 @@ def q_interval_join(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         'event_id',
         F.round(F.col('value') * 100).cast('long').alias('vc'))
-    tiers = spark.createDataFrame(
-        [(1, 0, 1000), (2, 1000, 3000), (3, 3000, 6000),
-         (4, 6000, 10001), (5, 2500, 3500)],   # 5 overlaps 2 and 3
+    tiers = _local_rows_df(
+        spark, [(1, 0, 1000), (2, 1000, 3000), (3, 3000, 6000),
+                (4, 6000, 10001), (5, 2500, 3500)],  # 5 overlaps 2+3
         'tier_id int, lo long, hi long')
     out = interval_join(ev, tiers, 'vc', bucket_size=1000)
     return (out.groupBy('tier_id')
@@ -2592,8 +2595,8 @@ def q_crawl_delay(spark, sf_dir):
     its expected delay — is a function of its index)."""
     from mineru_html_spark.functions.robots import crawl_delays
     rows = [(f'site{m}.example', _CD_BODIES[m % 6]) for m in range(40)]
-    robots = spark.createDataFrame(rows,
-                                   'host string, robots_txt string')
+    robots = _local_rows_df(spark, rows,
+                            'host string, robots_txt string')
     return crawl_delays(robots, agent='minerubot')
 
 
@@ -2927,8 +2930,8 @@ def q_decontaminate(spark, sf_dir):
                   F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
             .otherwise(F.col('text')))
     docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
-    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
-                                  'text string')
+    bench = _local_rows_df(spark, [(t,) for t in _BENCH_TEXTS],
+                           'text string')
     return decontaminate(docs, bench, n=8)
 
 
@@ -2947,8 +2950,8 @@ def q_decontaminate_spans(spark, sf_dir):
                   F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
             .otherwise(F.col('text')))
     docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
-    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
-                                  'text string')
+    bench = _local_rows_df(spark, [(t,) for t in _BENCH_TEXTS],
+                           'text string')
     return decontaminate_spans(docs, bench, n=8, dirty_permille=800)
 
 
@@ -2973,8 +2976,8 @@ def q_bloom_decontaminate(spark, sf_dir):
                   F.concat('text', F.lit(' ' + _BENCH_TEXTS[1])))
             .otherwise(F.col('text')))
     docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
-    bench = spark.createDataFrame([(t,) for t in _BENCH_TEXTS],
-                                  'text string')
+    bench = _local_rows_df(spark, [(t,) for t in _BENCH_TEXTS],
+                           'text string')
     bits = bloom_bits(bench, n=8, m_bits=1024, k_hashes=2)
     return bloom_decontaminate(docs, bits, n=8, k_hashes=2)
 
@@ -5831,8 +5834,8 @@ def q_resolve_redirects(spark, sf_dir):
              .where(d % 8 != 0)
              .select(F.concat(F.lit('u'), d).alias('src'),
                      F.concat(F.lit('u'), d - 1).alias('dst')))
-    cyc = spark.createDataFrame(
-        [('cyc1', 'cyc2'), ('cyc2', 'cyc3'), ('cyc3', 'cyc1')],
+    cyc = _local_rows_df(
+        spark, [('cyc1', 'cyc2'), ('cyc2', 'cyc3'), ('cyc3', 'cyc1')],
         'src string, dst string')
     return resolve_redirects(chain.unionByName(cyc))
 

@@ -87,8 +87,9 @@ def bpe_train(documents: DataFrame, n_merges: int = 50,
 
 
 def merges_df(spark: SparkSession, merges: list) -> DataFrame:
-    return spark.createDataFrame(
-        [(r, a, b, a + b) for r, a, b in merges],
+    from .par import local_rows_df
+    return local_rows_df(
+        spark, [(r, a, b, a + b) for r, a, b in merges],
         'rank int, left string, right string, merged string')
 
 

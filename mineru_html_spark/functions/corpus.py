@@ -95,8 +95,9 @@ def dsir_weights(documents: DataFrame,
     exchange. Production swaps the target file for a dump-trained one
     (tools/train_dsir_target.py)."""
     spark = documents.sparkSession
-    tgt = spark.createDataFrame(load_dsir_target(),
-                                'bucket int, mln_t long')
+    from .par import local_rows_df
+    tgt = local_rows_df(spark, load_dsir_target(),
+                        'bucket int, mln_t long')
     # materialize the words array as a COLUMN before the bigram lambda:
     # referencing the _words() EXPRESSION inside transform would
     # re-split the whole text once per element (O(n^2) on a giant doc —
@@ -329,8 +330,9 @@ def stratified_sample(documents: DataFrame, rates: dict,
     give a correctness gate). Corpus mixing ("2x wikipedia, 0.3x
     crawl") is this exact operator at 100 TB."""
     spark = documents.sparkSession
-    rdf = spark.createDataFrame(
-        [(s, int(p)) for s, p in sorted(rates.items())],
+    from .par import local_rows_df
+    rdf = local_rows_df(
+        spark, [(s, int(p)) for s, p in sorted(rates.items())],
         f'{stratum_col} string, _rate int')
     out = (documents
            .join(F.broadcast(rdf), stratum_col, 'left')
@@ -1064,8 +1066,9 @@ def training_mix_plan(documents: DataFrame, targets: dict,
         F.count('*').cast('long').alias('_n'),
         F.sum('_t').cast('long').alias('_tok')).localCheckpoint()
 
-    tdf = spark.createDataFrame(
-        [(s, int(t)) for s, t in sorted(targets.items())],
+    from .par import local_rows_df
+    tdf = local_rows_df(
+        spark, [(s, int(t)) for s, t in sorted(targets.items())],
         'stratum string, target_tokens long')
     avail = hist.groupBy('stratum').agg(
         F.sum('_n').cast('long').alias('available_docs'),

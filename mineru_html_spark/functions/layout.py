@@ -244,9 +244,10 @@ def compact_parquet_dir(spark, src_dir: str, dst_dir: str,
     import os
     names = sorted(n for n in os.listdir(src_dir)
                    if n.endswith('.parquet') and not n.startswith('_'))
-    files = spark.createDataFrame(
-        [('-', i, os.path.getsize(os.path.join(src_dir, n)), n)
-         for i, n in enumerate(names)],
+    from .par import local_rows_df
+    files = local_rows_df(
+        spark, [('-', i, os.path.getsize(os.path.join(src_dir, n)), n)
+                for i, n in enumerate(names)],
         'part string, file_id long, size_bytes long, name string')
     plan = compaction_plan(files, target_bytes)
     groups = sorted((r['group_id'], r['first_file'], r['last_file'])

@@ -134,9 +134,11 @@ def phrase_search(documents: DataFrame, phrases: list,
     spark = documents.sparkSession
     terms = [(p, i, t) for p in phrases
              for i, t in enumerate(p.split(' '))]
-    q = spark.createDataFrame(terms, 'phrase string, idx int, term string')
-    kdf = spark.createDataFrame(
-        [(p, len(p.split(' '))) for p in phrases], 'phrase string, k int')
+    from .par import local_rows_df
+    q = local_rows_df(spark, terms, 'phrase string, idx int, term string')
+    kdf = local_rows_df(
+        spark, [(p, len(p.split(' '))) for p in phrases],
+        'phrase string, k int')
     toks = documents.select(
         'doc_id', F.posexplode(_words(text_col)).alias('pos', 'term'))
     starts = (toks.join(F.broadcast(q), 'term')

@@ -289,9 +289,10 @@ def holt_forecast(events: DataFrame) -> DataFrame:
             l = l_new
         rows.append((r['day'], int(r['y']), l, b, l + b))
     spark = events.sparkSession
-    return spark.createDataFrame(
-        rows, 'day string, y bigint, level_milli bigint, '
-              'trend_milli bigint, forecast_next_milli bigint')
+    from .par import local_rows_df
+    return local_rows_df(
+        spark, rows, 'day string, y bigint, level_milli bigint, '
+                     'trend_milli bigint, forecast_next_milli bigint')
 
 
 def ks_drift(events: DataFrame, split_epoch: int,

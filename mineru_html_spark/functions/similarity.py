@@ -272,8 +272,16 @@ def materialize_ivf(embeddings: DataFrame, index_dir: str, n_lists: int = 16,
      .write.mode('overwrite').partitionBy('list_id')
      .parquet(os.path.join(index_dir, 'vectors')))
     spark = embeddings.sparkSession
+    # pandas/Arrow construction: a plain Python list becomes a
+    # 32-partition PICKLED RDD whose coalesce(1) evaluation funnels one
+    # Python-worker roundtrip per parent partition through a single
+    # task (measured 4.4 s for 16 rows); the Arrow path writes the same
+    # 16 rows in ~0.3 s
+    import pandas as pd
     cdf = spark.createDataFrame(
-        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        pd.DataFrame({'list_id': list(range(len(cents))),
+                      'centroid': [[float(x) for x in c]
+                                   for c in cents]}),
         'list_id int, centroid array<double>')
     (cdf.coalesce(1).write.mode('overwrite')
      .parquet(os.path.join(index_dir, 'centroids')))

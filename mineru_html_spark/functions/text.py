@@ -407,8 +407,10 @@ def latin_trigram_profiles(spark) -> DataFrame:
     (lang, trigram, weight) DataFrame, one broadcast away from any join.
     ~1200 rows; production retrains on Wikipedia dumps with the same
     tool and swaps the file, like the PSL snapshot."""
-    return spark.createDataFrame(
-        load_trigram_rows(), 'lang string, trigram string, weight long')
+    from .par import local_rows_df
+    return local_rows_df(
+        spark, load_trigram_rows(),
+        'lang string, trigram string, weight long')
 
 
 def lang_id_by_script_learned(documents: DataFrame) -> DataFrame:

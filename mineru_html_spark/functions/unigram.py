@@ -143,7 +143,8 @@ def unigram_train(documents: DataFrame, vocab_size: int = 400,
 
 
 def pieces_df(spark: SparkSession, pieces: list) -> DataFrame:
-    return spark.createDataFrame(pieces, 'piece string, score_milli long')
+    from .par import local_rows_df
+    return local_rows_df(spark, pieces, 'piece string, score_milli long')
 
 
 def viterbi_segment(word: str, scores: Dict[str, int]) -> tuple:

@@ -202,9 +202,10 @@ def with_registrable_domain(df: DataFrame, url_col: str = 'url',
     depths = sorted({r['key_len'] for r in rules})
     for k in depths:
         rk = [r for r in rules if r['key_len'] == k]
-        rdf = spark.createDataFrame(
-            [(r['key'], r['norm_eff'], r['wild_eff'], r['exc_eff'])
-             for r in rk],
+        from .par import local_rows_df
+        rdf = local_rows_df(
+            spark, [(r['key'], r['norm_eff'], r['wild_eff'], r['exc_eff'])
+                    for r in rk],
             f'_k{k} string, _norm{k} int, _wild{k} int, _exc{k} int')
         lastk = F.array_join(F.slice('_psl_labels', -k, k), '.')
         df = df.join(F.broadcast(rdf),
@@ -262,8 +263,9 @@ def url_blocklist_filter(df: DataFrame, url_col: str = 'url',
     of the URL table, zero UDFs."""
     d = with_registrable_domain(df, url_col)
     spark = df.sparkSession
-    bdf = spark.createDataFrame([(x, 1) for x in sorted(domains)],
-                                'domain string, _blk int')
+    from .par import local_rows_df
+    bdf = local_rows_df(spark, [(x, 1) for x in sorted(domains)],
+                        'domain string, _blk int')
     j = d.join(F.broadcast(bdf), 'domain', 'left')
     path = parse_url(F.col(url_col))['path']
     kw = '|'.join(regex_literal(x) for x in path_keywords)

@@ -133,7 +133,8 @@ def wordpiece_train(documents: DataFrame, n_merges: int = 60,
 
 
 def vocab_df(spark: SparkSession, vocab: list) -> DataFrame:
-    return spark.createDataFrame(vocab, 'rank int, piece string')
+    from .par import local_rows_df
+    return local_rows_df(spark, vocab, 'rank int, piece string')
 
 
 def wordpiece_segment(word: str, vocab: set,
