@@ -36,9 +36,16 @@ from pyspark.sql import DataFrame, SparkSession
 from .bpe import _merge_seq, _pair_counts
 
 # one pattern string, three engines (Java regex / Python re / RE2):
-# ASCII classes only, no lookahead, alternation order = precedence
+# ASCII classes only, no lookahead, alternation order = precedence.
+# The whitespace class is spelled out ([ \t\n\x0B\f\r]) instead of \s:
+# Python re's \s is Unicode-aware (U+00A0/U+3000 etc.) while Java
+# regex and RE2 default to ASCII-only \s, so the shorthand silently
+# segmented non-ASCII text differently between train (JVM counts) and
+# apply (Python) — the explicit class pins all three engines to the
+# same ASCII semantics (r5 advisory).
+_WS = ' \\t\\n\\x0B\\f\\r'
 PRETOK_PATTERN = ("'s|'t|'re|'ve|'m|'ll|'d"
-                  "| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+")
+                  f"| ?[A-Za-z]+| ?[0-9]+| ?[^{_WS}A-Za-z0-9]+|[{_WS}]+")
 
 
 def bytes_to_unicode() -> Dict[int, str]:

@@ -309,17 +309,23 @@ def auto_orient(img, orientation: int):
 
 def strip_gps(jpeg: bytes):
     """(jpeg_out, stripped): the privacy scrub a crawl media pipeline
-    runs before redistribution — if the first APP1 Exif segment
-    carries a GPS IFD, the segment is REBUILT without it (Make/Model/
-    Orientation/DateTime/pixel dims preserved byte-deterministically
-    via build_exif_app1) and spliced in place; everything outside the
-    APP1 segment — including the entropy-coded image data — is
-    byte-identical. No GPS, not a JPEG, or unparseable EXIF ->
-    (input unchanged, False): never a destructive rewrite on a parse
-    the walker does not fully understand."""
+    runs before redistribution — EVERY APP1 Exif segment carrying a
+    GPS IFD is REBUILT without it and spliced in place; everything
+    outside the rewritten segments — including the entropy-coded image
+    data — is byte-identical. stripped=True is a CERTIFICATION, so it
+    is conservative (r5 advisory): a non-Exif APP1 segment (XMP can
+    embed GPS the TIFF walker cannot see) or any unparseable Exif
+    segment yields (input unchanged, False) — never a rewrite, never a
+    clean bill the walker cannot vouch for. The rebuild is lossy by
+    design: build_exif_app1 re-emits only Make/Model/Orientation/
+    DateTime/pixel dims, so vendor tags beyond those are dropped from
+    files that carried GPS (documented trade: byte-deterministic
+    output the gate can hash vs. preserving unvetted maker notes that
+    may themselves hide location data)."""
     d = bytes(jpeg or b'')
     if d[:2] != b'\xff\xd8':
         return d, False
+    segs = []            # (offset, seg_len, is_exif) for every APP1
     i = 2
     while i + 4 <= len(d):
         if d[i] != 0xFF:
@@ -332,20 +338,30 @@ def strip_gps(jpeg: bytes):
         if marker == 0xDA or marker == 0xD9:
             break
         (seg_len,) = struct.unpack_from('>H', d, i + 2)
-        if marker == 0xE1 and d[i + 4:i + 10] == b'Exif\x00\x00':
-            meta = parse_exif(d[i + 4:i + 2 + seg_len])
-            if not meta.get('has_gps') or \
-                    meta.get('status', 'ok') != 'ok':
-                return d, False
-            payload = build_exif_app1(
-                meta['byte_order'], meta['make'], meta['model'],
-                meta['orientation'], meta['taken_at'],
-                meta['pixel_x'], meta['pixel_y'], gps=False)
-            seg = (b'\xff\xe1'
-                   + struct.pack('>H', len(payload) + 2) + payload)
-            return d[:i] + seg + d[i + 2 + seg_len:], True
+        if marker == 0xE1:
+            segs.append((i, seg_len,
+                         d[i + 4:i + 10] == b'Exif\x00\x00'))
         i += 2 + seg_len
-    return d, False
+    if not segs or any(not is_exif for _, _, is_exif in segs):
+        return d, False
+    metas = [parse_exif(d[off + 4:off + 2 + ln]) for off, ln, _ in segs]
+    if any(m.get('status', 'ok') != 'ok' for m in metas):
+        return d, False
+    if not any(m.get('has_gps') for m in metas):
+        return d, False
+    out = d
+    # splice back-to-front so earlier offsets stay valid
+    for (off, ln, _), meta in reversed(list(zip(segs, metas))):
+        if not meta.get('has_gps'):
+            continue
+        payload = build_exif_app1(
+            meta['byte_order'], meta['make'], meta['model'],
+            meta['orientation'], meta['taken_at'],
+            meta['pixel_x'], meta['pixel_y'], gps=False)
+        seg = (b'\xff\xe1'
+               + struct.pack('>H', len(payload) + 2) + payload)
+        out = out[:off] + seg + out[off + 2 + ln:]
+    return out, True
 
 
 def scrub_gps(media: DataFrame, payload_col: str = 'payload'

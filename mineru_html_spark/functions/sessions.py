@@ -331,10 +331,20 @@ def ks_drift(events: DataFrame, split_epoch: int,
                    F.abs(F.col('cum_a') * F.col('n_b')
                          - F.col('cum_b') * F.col('n_a'))
                    .alias('g')))
+    # degenerate split (every event on one side): n_a*n_b = 0 would
+    # silently NULL the div — and a nullable long degrades to float64
+    # through pandas on the compare path, the repo's own oracle trap.
+    # Fail loudly instead, mirroring pass_at_k's stance (r5 advisory).
+    ks = F.when(
+        (F.col('n_a') == 0) | (F.col('n_b') == 0),
+        F.raise_error(F.lit(
+            'ks_drift: degenerate split — one side of split_epoch '
+            'is empty (n_a or n_b is 0); pick a split inside the '
+            'observed time range'))
+    ).otherwise(F.expr('(1000 * d_scaled) div (n_a * n_b)'))
     return (gap.groupBy('n_a', 'n_b')
             .agg(F.max('g').alias('d_scaled'))
             .select(F.col('n_a').cast('long'),
                     F.col('n_b').cast('long'),
                     F.col('d_scaled').cast('long'),
-                    F.expr('(1000 * d_scaled) div (n_a * n_b)')
-                    .cast('long').alias('ks_permille')))
+                    ks.cast('long').alias('ks_permille')))

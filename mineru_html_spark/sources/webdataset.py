@@ -151,9 +151,22 @@ def read_webdataset(spark, path_glob: str):
                         if stem not in groups:
                             groups[stem] = {}
                             order.append(stem)
+                        if ext in groups[stem]:
+                            # duplicate key written into one shard:
+                            # last-write-wins would silently collapse
+                            # two samples into one on readback (written
+                            # vs read counts diverge with no error row)
+                            # — surface it instead (r5 advisory)
+                            groups[stem]['__dup__'] = b''
                         groups[stem][ext] = tf.extractfile(m).read()
                     for stem in order:
                         g = groups[stem]
+                        if '__dup__' in g:
+                            rows.append({'doc_id': stem, 'text': '',
+                                         'meta_json': '',
+                                         'shard': shard,
+                                         'error': 'duplicate key'})
+                            continue
                         if 'txt' not in g or 'json' not in g:
                             rows.append({'doc_id': stem, 'text': '',
                                          'meta_json': '',

@@ -40,7 +40,12 @@ def test_pretok_pattern_reconstructs_and_attaches_space():
 
 def test_pretok_parity_java_python(spark):
     texts = ["fox's 12 jumps!  Over\tlazy", "it's we've 3.14 a,b;c  x ",
-             'CAPS lower 100x "quoted" (par)']
+             'CAPS lower 100x "quoted" (par)',
+             # non-ASCII whitespace (NBSP, IDEOGRAPHIC SPACE): Python
+             # \s would treat these as separators while Java/RE2 \s
+             # would not — the explicit ASCII class must make all
+             # engines agree (r5 advisory regression case)
+             'a\xa0 x', 'wide　gap \xa0end']
     df = spark.createDataFrame(list(enumerate(texts)),
                                'doc_id long, text string')
     jav = {r['doc_id']: list(r['p']) for r in df.select(

@@ -176,3 +176,37 @@ def test_strip_gps_preserves_everything_else():
     trunc = insert_app1(base, build_exif_app1(
         'II', 'a', 'b', 1, 'x', 8, 8, gps=True)[:14])
     assert strip_gps(trunc) == (trunc, False)
+
+
+def test_strip_gps_multi_app1_conservative():
+    """r5 advisory: GPS in a SECOND APP1 Exif segment must not survive
+    a stripped=True verdict, and a non-Exif APP1 (XMP can embed GPS the
+    TIFF walker cannot see) must force (unchanged, False)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from mineru_html_spark.functions.exif import (build_exif_app1,
+                                                  exif_from_jpeg,
+                                                  insert_app1,
+                                                  strip_gps)
+    from mineru_html_spark.functions.jpeg import encode_jpeg_baseline
+    img = (np.arange(32 * 24).reshape(24, 32) % 256).astype(np.uint8)
+    base = encode_jpeg_baseline(img, quality=85)
+    clean = build_exif_app1('MM', 'CamCo', 'X100', 1,
+                            '2024:01:02 03:04:05', 32, 24, gps=False)
+    gps = build_exif_app1('II', 'CamCo', 'X100', 1,
+                          '2024:01:02 03:04:05', 32, 24, gps=True)
+    # GPS only in the SECOND Exif segment
+    two = insert_app1(insert_app1(base, gps), clean)
+    out, stripped = strip_gps(two)
+    assert stripped
+    assert not exif_from_jpeg(out)['has_gps']
+    # idempotent re-strip finds nothing
+    assert strip_gps(out) == (out, False)
+    # an XMP APP1 next to a GPS-bearing Exif: cannot certify -> refuse
+    xmp = b'http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>'
+    xseg = b'\xff\xe1' + _struct.pack('>H', len(xmp) + 2) + xmp
+    withgps = insert_app1(base, gps)
+    mixed = withgps[:2] + xseg + withgps[2:]
+    assert strip_gps(mixed) == (mixed, False)

@@ -104,3 +104,24 @@ def test_reader_contains_corrupt_and_incomplete(spark, tmp_path):
     assert len(by_err['']) == 2
     assert len(by_err.get('incomplete sample', [])) == 1
     assert any(e for e in by_err if e not in ('', 'incomplete sample'))
+
+
+def test_reader_flags_duplicate_keys(spark, tmp_path):
+    """A shard carrying the same stem twice must surface a 'duplicate
+    key' error row, not silently collapse two samples into one
+    (written-vs-read counts would diverge with no signal)."""
+    d = tmp_path / 'dup'
+    d.mkdir()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode='w') as tf:
+        for name, payload in [('s1.txt', b'one'), ('s1.json', b'{}'),
+                              ('s1.txt', b'two'),
+                              ('ok.txt', b'fine'), ('ok.json', b'{}')]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    (d / 'part-00000-0000.tar').write_bytes(buf.getvalue())
+    rows = read_webdataset(spark, str(d) + '/part-*.tar').collect()
+    by_id = {r['doc_id']: r for r in rows}
+    assert by_id['s1']['error'] == 'duplicate key'
+    assert by_id['ok']['error'] == '' and by_id['ok']['text'] == 'fine'
