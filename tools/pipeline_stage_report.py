@@ -85,7 +85,9 @@ def main():
                     'sub-linear ratios are fixed-overhead amortization; '
                     'each run records its own spark conf (the big run '
                     'uses more, smaller shuffle tasks — AQE coalesces)')}
-    path = os.path.join(REPO, 'BENCH', 'pipeline_sf1_r5.json')
+    path = os.path.join(
+        REPO, 'BENCH',
+        os.environ.get('PIPE_OUT_NAME', 'pipeline_sf1_r6.json'))
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
     print(json.dumps(ratios, indent=1))
