@@ -957,7 +957,18 @@ def pq_train_encode(embeddings: DataFrame, m: int = 4, k: int = 8,
     quantization error) per subspace — the encode pass is ONE scan
     with all m argmins fused; codebooks is the driver-side
     m x k x subdim integer list (bytes, rides any later probe's plan
-    as literals)."""
+    as literals).
+
+    Cache lifetime (r5 advisory): the quantized projection ``q`` is
+    persisted and returned-from — the m x iters training aggregates
+    read it HERE, but the returned codes_df scans it again at the
+    CALLER's action, so unpersisting before return would silently
+    re-quantize the corpus per downstream branch. The cache is
+    therefore session-lifetime by design (same decision as
+    containment_join's shingle frame); a long-lived session that
+    re-trains repeatedly should release it via
+    ``codes_df.sparkSession.catalog.clearCache()`` or by unpersisting
+    the codes_df's source after its last action."""
     q = embeddings.select('vec_id',
                           _quantize_micro(vec_col).alias('v'))
     q = q.persist()
